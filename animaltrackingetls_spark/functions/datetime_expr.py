@@ -1,0 +1,110 @@
+"""Date/time expression library — pure Catalyst expressions, no UDFs.
+
+Covers the reference's scalar date semantics (SURVEY.md §2.9):
+
+* C1 date rescue — pre-parse string repair of partial/range dates
+  (reference monarch_etl/cleaning.py:105-169, ``_fix``): ``"A/B"`` → ``A``;
+  4-digit year → ``YYYY-01-01``; ``YYYY-MM`` → ``YYYY-MM-01``; null-ish
+  sentinels left untouched.
+* C2 permissive timestamp parse — pandas ``to_datetime(errors='coerce',
+  format='mixed', utc=True)`` (cleaning.py:177-182) becomes an explicit
+  ``coalesce(try_to_timestamp(...), ...)`` fallback chain under a UTC
+  session timezone; unparseable → NULL (never an error).
+* C5/P3 temporal derivation — year/month/day/day_of_week (pandas Mon=0,
+  cleaning.py:242)/week_of_year (ISO, cleaning.py:243)/date_only/time_only
+  (HH:mm:ss string, enrichment.py:69-72, schema.py:84).
+
+Everything here stays inside whole-stage codegen — these run per-row on
+100 TB scans, so the JVM-side expression form is the difference between
+I/O-bound and CPU-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Null-ish sentinels the reference's _fix leaves untouched
+# (cleaning.py:125-130): None/nan/NaT/empty-after-strip.
+_NULLISH = ("", "nan", "nat", "none", "null")
+
+
+def date_rescue(c: Column) -> Column:
+    """C1: repair partial/range date strings before parsing.
+
+    Order matters and mirrors the reference (cleaning.py:125-142):
+    trim → null-ish passthrough → range split on '/' → year-only pad →
+    year-month pad → otherwise unchanged.
+    """
+    s = F.trim(c)
+    first = F.trim(F.split(s, "/").getItem(0))  # "A/B" range → A
+    repaired = (
+        F.when(c.isNull() | F.lower(s).isin(*_NULLISH), c)
+        .otherwise(
+            F.when(s.contains("/"), first).otherwise(s)
+        )
+    )
+    # After range collapse, pad year-only and year-month forms.
+    padded = (
+        F.when(repaired.rlike(r"^\d{4}$"), F.concat(repaired, F.lit("-01-01")))
+        .when(repaired.rlike(r"^\d{4}-\d{1,2}$"), F.concat(repaired, F.lit("-01")))
+        .otherwise(repaired)
+    )
+    return padded
+
+
+# The explicit format chain standing in for pandas format="mixed"
+# (SURVEY.md §7 hard-part 1). Each returns NULL instead of raising.
+_TS_FORMATS = [
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+    "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss.SSS",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm",
+    "yyyy-MM-dd HH:mm:ss.SSSSSSXXX",
+    "yyyy-MM-dd HH:mm:ssXXX",
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd HH:mm",
+    "yyyy-MM-dd",
+]
+
+
+def parse_event_timestamp(c: Column, rescue: bool = True) -> Column:
+    """C2: permissive parse to a UTC timestamp; failures → NULL.
+
+    With ``rescue=True`` the C1 repair runs first (the reference composes
+    them the same way: cleaning.py:158 then :177). tz-aware inputs are
+    normalized to the UTC session zone; naive inputs are taken as UTC —
+    matching pandas ``utc=True`` (the mixed-timezone production fix in the
+    reference history).
+    """
+    s = date_rescue(c) if rescue else F.trim(c)
+    attempts = [F.try_to_timestamp(s, F.lit(fmt)) for fmt in _TS_FORMATS]
+    return F.coalesce(*attempts)
+
+
+def temporal_columns(ts: Column) -> dict[str, Column]:
+    """P3/C5: the seven derived temporal columns, pandas conventions.
+
+    day_of_week uses ``weekday()`` (Mon=0) NOT ``dayofweek`` (Sun=1) —
+    reference uses pandas ``.dt.dayofweek`` (cleaning.py:242).
+    week_of_year is ISO (``weekofyear`` ≡ pandas ``isocalendar().week``,
+    cleaning.py:243).
+    """
+    return {
+        "year": F.year(ts).cast("int"),
+        "month": F.month(ts).cast("int"),
+        "day": F.dayofmonth(ts).cast("int"),
+        "day_of_week": F.weekday(ts).cast("int"),
+        "week_of_year": F.weekofyear(ts).cast("long"),
+        "date_only": F.to_date(ts),
+        "time_only": F.date_format(ts, "HH:mm:ss"),
+    }
+
+
+def with_temporal_columns(df: DataFrame, ts_col: str = "eventDateParsed") -> DataFrame:
+    cols = temporal_columns(F.col(ts_col))
+    return df.withColumns(cols)
