@@ -1,0 +1,234 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale posture:
+* Exact dedup is a hash aggregate (map-side partial + final) — the only
+  shuffle is on the dedup key; at 100 TB dedup on a 128-bit digest of the
+  content, never on the content itself, so shuffle rows stay tiny.
+* Near-dup NEVER compares all pairs. Candidate generation is blocked —
+  MinHash banding (LSH) or cheap attribute blocks — and the exact
+  similarity only runs on candidates. The all-pairs form here exists only
+  as the test oracle path.
+* All hashing is `xxhash64`/`md5` (JVM, codegen) — no Python in the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Groups of exact duplicates: one row per duplicated key with the
+    canonical (min) id and the multiplicity. The groupBy key should be a
+    digest for wide content columns (see `md5`), keeping shuffle narrow.
+    """
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the min-id representative per key — deterministic, unlike
+    dropDuplicates (which keeps an arbitrary row per key)."""
+    w_min = F.min(id_col).over(Window.partitionBy(*key_cols))
+    return df.withColumn("_min_id", w_min).filter(F.col(id_col) == F.col("_min_id")).drop("_min_id")
+
+
+# ---------------------------------------------------------------------------
+# Shingles + Jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(c: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM-side:
+    regexp tokenize → sliding join via transform over index sequence)."""
+    toks = tokens(c)
+    if n == 1:
+        return F.array_distinct(toks)
+    # indexes 0 .. size-n ; join n consecutive tokens with a separator
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(F.array_distinct(toks))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_cols: list[str] | None = None,
+    length_band: int | None = None,
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard with attribute blocking.
+
+    Blocking (equi-join on block columns + optional length band) bounds the
+    candidate set; the quadratic comparison only happens inside a block.
+    At scale, prefer `minhash_candidate_pairs` which replaces attribute
+    blocks with LSH bands.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+        *[F.col(c) for c in (block_cols or [])],
+        *([F.col(length_col).alias("len")] if length_band is not None else []),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols or []:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    if length_band is not None:
+        cond = cond & (F.abs(F.col("a.len") - F.col("b.len")) <= length_band)
+    pairs = a.join(b, cond)
+    sim = jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(c: Column, num_hashes: int = 32) -> list[Column]:
+    """k min-hashes of the shingle set. Each hash family member is
+    xxhash64(shingle, seed_i) — JVM-side, no UDF; array_min folds the
+    per-shingle hashes without exploding rows."""
+    return [
+        F.array_min(F.transform(c, lambda s: F.xxhash64(s, F.lit(i)))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: shingle → k minhashes → band buckets
+    → self-join per bucket → exact Jaccard verify on candidates only.
+
+    The band self-join shuffles on (band_idx, band_hash) — uniform keys,
+    no skew beyond true duplicate clusters. Candidate count ≈ true-dup
+    pairs, so the verify step is linear-ish, not quadratic.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+    ).select("id", "sh", *minhash_signature(F.col("sh"), num_hashes))
+
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*members).alias("bh")))
+    buckets = sig.select(
+        "id", "sh", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select("a.id", "b.id", "a.sh", "b.sh")
+        .toDF("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return cand.select("id_a", "id_b", sim.alias("jaccard_sim")).filter(
+        F.col("jaccard_sim") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit)
+# ---------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side.
+
+    Explodes tokens (one shuffle on id), takes xxhash64(token), and for
+    each bit position accumulates +1/-1 votes with shiftright/bitwise-and;
+    the sign vector re-packs into a 64-bit long. Documents with small
+    Hamming distance between simhashes are near-duplicates.
+    """
+    toked = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64(F.col("tok"))
+    votes = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = toked.groupBy("id").agg(*votes)
+    packed = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(bit == 1, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return agg.select("id", packed.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-duplicate pairs with attribute blocking (see
+    similarity.cosine for the expression). Blocking on a cluster/label
+    column keeps the join from going quadratic; the LSH variant in
+    `similarity.py` replaces the block with hyperplane buckets."""
+    from .similarity import cosine_expr
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    sim = cosine_expr(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, cond)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

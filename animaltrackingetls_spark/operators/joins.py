@@ -1,0 +1,155 @@
+"""Join operators beyond vanilla equi-joins: as-of and range joins.
+
+Spark has no native as-of join; the two distributed strategies are
+(a) equi-join on the `by` key + window pick of the closest match — one
+shuffle per side on the key, correct for any data, used here; and
+(b) `applyInPandas` with `pd.merge_asof` per key-group — faster when the
+per-key history is long (sorted merge instead of join+rank) but requires
+the group to fit in memory. Both are exposed.
+
+Range joins use an equi-key plus a band predicate; Catalyst executes the
+equi part as a normal shuffled/broadcast hash join and post-filters the
+band, which is the right plan when the equi key is selective. Keyless
+band joins (pure interval overlap) should bucketize the range dimension
+first — see `bucketized_range_join`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    by_left: str,
+    by_right: str,
+    left_id: str | None = None,
+    direction: str = "backward",
+    right_cols: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` (backward; ``>=`` + earliest for forward),
+    matching on the `by` key. Left rows with no match keep NULLs.
+
+    ``left_id`` is a unique left key for the dedup window (defaults to all
+    left columns); ``tiebreak`` breaks right-side ts ties deterministically.
+    """
+    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (F.col(f"l.{by_left}") == F.col(f"r.{by_right}")) & (
+        rt <= lt if direction == "backward" else rt >= lt
+    )
+    keep = right_cols or list(right.columns)
+    l, r = left.alias("l"), right.alias("r")
+    joined = l.join(r, cond, "left")
+    if direction == "backward":
+        order = [rt.desc_nulls_last()] + [F.col(f"r.{c}").desc_nulls_last() for c in (tiebreak or [])]
+    else:
+        order = [rt.asc_nulls_last()] + [F.col(f"r.{c}").asc_nulls_last() for c in (tiebreak or [])]
+    part = [F.col(f"l.{left_id}")] if left_id else [F.col(f"l.{c}") for c in left.columns]
+    w = Window.partitionBy(*part).orderBy(*order)
+    ranked = joined.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return ranked.select(
+        *[F.col(f"l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"r.{c}").alias(c) for c in keep],
+    )
+
+
+def merge_asof_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    by_left: str,
+    by_right: str,
+    right_value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """pd.merge_asof per co-grouped key — the long-history fast path.
+
+    cogroup shuffles each side once on the key; within a group the match
+    is a linear sorted merge (no rank materialization). Arrow moves the
+    batches; keep per-key groups bounded (salt years/months into the key
+    for unbounded histories).
+    """
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields]
+        + [f"`{c}` {dict((fl.name, fl.dataType.simpleString()) for fl in right.schema.fields)[c]}"
+           for c in right_value_cols]
+    )
+
+    lcols = list(left.columns)
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame(columns=lcols + right_value_cols)
+        l = l.sort_values(left_ts)
+        if r.empty:
+            out = l.copy()
+            for c in right_value_cols:
+                out[c] = None
+            return out[lcols + right_value_cols]
+        r = r.sort_values(right_ts)[[right_ts] + [c for c in right_value_cols if c != right_ts]]
+        merged = pd.merge_asof(
+            l, r, left_on=left_ts, right_on=right_ts, direction=direction,
+            suffixes=("", "_r"),
+        )
+        for c in right_value_cols:
+            if c == right_ts and f"{c}_r" in merged.columns:
+                merged[c] = merged[f"{c}_r"]
+        return merged[lcols + right_value_cols]
+
+    return (
+        left.groupBy(by_left)
+        .cogroup(right.groupBy(by_right))
+        .applyInPandas(lambda _key, l, r: merge(l, r), out_schema)
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    band,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-key + band-predicate join: equi part runs as a hash join,
+    `band` (a Column over the joined frame) post-filters the range."""
+    return left.join(right, on, how).filter(band)
+
+
+def bucketized_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_width_days: int = 7,
+) -> DataFrame:
+    """Keyless interval join at scale: assign each left point to a
+    time bucket, explode each right interval over the buckets it spans,
+    equi-join on bucket, then post-filter the exact containment. Turns an
+    O(n·m) broadcast-nested-loop into a shuffled hash join keyed by time.
+    """
+    width = F.lit(bucket_width_days)
+    lb = left.withColumn("_bkt", (F.datediff(F.col(left_point), F.lit("1970-01-01")) / width).cast("long"))
+    rb = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.datediff(F.col(right_start), F.lit("1970-01-01")) / width).cast("long"),
+                (F.datediff(F.col(right_end), F.lit("1970-01-01")) / width).cast("long"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "_bkt")
+        .filter((F.col(left_point) >= F.col(right_start)) & (F.col(left_point) <= F.col(right_end)))
+        .drop("_bkt")
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — corpus scanned once, query side
+broadcast (queries ≪ corpus always holds for ANN serving), ranking via a
+per-query window. The dot product is a JVM-side ``aggregate`` over
+``zip_with`` — sequential fold in array order, so results are
+bit-deterministic (important for oracle comparison and for reproducible
+top-k cuts).
+
+Scale path: random-hyperplane LSH bucketing — each vector lands in
+2^p sign-buckets (with multi-probe via several tables); candidates are
+bucket-joined, exact cosine re-ranks. Corpus bucketing is a narrow map;
+the join shuffles only (table, bucket) keys. An IVF variant would swap
+hyperplanes for k-means centroids; hyperplanes keep it dependency-free
+and fully deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two double arrays (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _as_double(vec: Column) -> Column:
+    return vec.cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Plan shape: one scan of the corpus, broadcast-nested-loop join against
+    the (small) query set, window row_number per query. No corpus shuffle
+    until the final per-query ranking, which AQE coalesces.
+    """
+    c = corpus.select(F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec"))
+    q = queries.select(F.col(query_id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec"))
+    scored = c.join(F.broadcast(q), F.col("n_id") != F.col("q_id")).select(
+        "q_id", "n_id", cosine_expr(F.col("q_vec"), F.col("n_vec")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cosine_sim")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (driver-side constants,
+    shipped into the plan as literals — tiny, no broadcast needed)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit i = (vec · plane_i) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x).cast("double") for x in p])
+        bit = F.when(dot_expr(vec, plane) >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH candidates + exact re-rank.
+
+    Recall grows with n_tables (independent hash tables OR-ed together);
+    cost per query shrinks by ~2^n_planes versus brute force. At 100 TB
+    the corpus bucketing is computed once and persisted partitioned by
+    (table, bucket) so queries touch only matching partitions.
+    """
+    c = corpus.select(F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec"))
+    q = queries.select(F.col(query_id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec"))
+
+    c_buckets, q_buckets = [], []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        c_buckets.append(c.select("n_id", "n_vec", F.lit(t).alias("tbl"), _bucket_expr(F.col("n_vec"), planes).alias("bkt")))
+        q_buckets.append(q.select("q_id", "q_vec", F.lit(t).alias("tbl"), _bucket_expr(F.col("q_vec"), planes).alias("bkt")))
+    cb = c_buckets[0]
+    for x in c_buckets[1:]:
+        cb = cb.unionByName(x)
+    qb = q_buckets[0]
+    for x in q_buckets[1:]:
+        qb = qb.unionByName(x)
+
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bkt"])
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "q_vec", "n_id", "n_vec")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    scored = cand.select("q_id", "n_id", cosine_expr(F.col("q_vec"), F.col("n_vec")).alias("cosine_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cosine_sim")
+    )

@@ -1,0 +1,100 @@
+"""Text-analysis operators for a training-data pipeline over `documents`.
+
+All hot-path expressions are JVM-side (`pyspark.sql.functions`) so they
+stay inside whole-stage codegen — at 100 TB these run per-document on the
+scan, and a Python UDF here would dominate the job. Tokenization is a
+regexp over non-whitespace runs (``\\S+``) so the count is
+whitespace-shape-insensitive and reproducible in ANSI SQL engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords for the n-gram-free language-ID heuristic. Scores are
+# token-set intersections — deterministic and expressible in plain SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "los", "una"],
+    "fr": ["le", "la", "de", "et", "les", "des", "une"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht"],
+}
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+]
+
+
+def tokens(c: Column) -> Column:
+    """Lower-cased non-whitespace tokens."""
+    return F.regexp_extract_all(F.lower(c), F.lit(r"\S+"), F.lit(0))
+
+
+def token_count(c: Column) -> Column:
+    return F.size(F.regexp_extract_all(c, F.lit(r"\S+"), F.lit(0)))
+
+
+def char_count(c: Column) -> Column:
+    return F.length(c)
+
+
+def alpha_ratio(c: Column) -> Column:
+    """Fraction of characters that are ASCII letters or space — a cheap
+    quality signal (binary/garbled text scores low)."""
+    clean = F.length(F.regexp_replace(c, r"[^A-Za-z ]", ""))
+    return clean.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
+def stopword_ratio(c: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are common stopwords — natural prose sits
+    around 0.2-0.5; keyword spam and boilerplate sit near 0."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    toks = tokens(c)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the quality-scoring feature columns."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c).cast("long"),
+            "n_chars_m": char_count(c).cast("long"),
+            "alpha_ratio": alpha_ratio(c),
+            "stopword_ratio": stopword_ratio(c),
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-stopword language ID (deterministic heuristic).
+
+    Scores each language by |tokens ∩ markers|; CJK codepoints short-cut
+    to ``zh``. Ties resolve in fixed language order (en, es, fr, de).
+    """
+    toks = tokens(F.col(text_col))
+    scores = {
+        lang: F.size(F.array_intersect(F.array_distinct(toks),
+                                       F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+    has_cjk = F.col(text_col).rlike(r"[一-鿿]")
+    best = F.greatest(*scores.values())
+    pred = F.when(has_cjk, F.lit("zh"))
+    for lang in ("en", "es", "fr", "de"):  # fixed tie order
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    pred = pred.otherwise(F.lit("und"))
+    out = df.withColumn("predicted_lang", pred)
+    return out
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprints: md5 (portable) + xxhash64 (fast 64-bit)."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("md5_fp"),
+        F.xxhash64(F.col(text_col)).alias("xx64_fp"),
+    )
