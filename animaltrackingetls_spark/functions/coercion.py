@@ -25,10 +25,18 @@ def count_with_default(c: Column | None, default: int = 1) -> Column:
     """C4: individualCount semantics — numeric coercion with default
     (cleaning.py:221-231); column absent entirely → literal default
     (cleaning.py:223-224).
+
+    Coerce via double first: a double-typed column stringifies as '2.0'
+    and decimal strings like '2.5' are valid inputs — ``try_cast('long')``
+    would NULL both and silently default them. double→long truncates,
+    matching the reference's ``to_numeric(...).fillna(1).astype(int)``.
     """
     if c is None:
         return F.lit(default).cast("long")
-    return F.coalesce(F.trim(c).try_cast("long"), F.lit(default).cast("long"))
+    return F.coalesce(
+        F.trim(c.cast("string")).try_cast("double").cast("long"),
+        F.lit(default).cast("long"),
+    )
 
 
 def scrub_na_strings(c: Column) -> Column:

@@ -44,10 +44,23 @@ def date_rescue(c: Column) -> Column:
             F.when(s.contains("/"), first).otherwise(s)
         )
     )
-    # After range collapse, pad year-only and year-month forms.
+    # After range collapse, pad year-only / year-month / narrow y-m-d forms.
+    # Month and day widths are normalized with lpad: pandas format='mixed'
+    # parses '2021-5' and '2021-5-3', but the strict 'MM'/'dd' formats in
+    # _TS_FORMATS need two digits — without the lpad those rows would be
+    # rejected as unparseable while the reference keeps them.
+    part = F.split(repaired, "-")
+    y, m, d = part.getItem(0), part.getItem(1), part.getItem(2)
     padded = (
         F.when(repaired.rlike(r"^\d{4}$"), F.concat(repaired, F.lit("-01-01")))
-        .when(repaired.rlike(r"^\d{4}-\d{1,2}$"), F.concat(repaired, F.lit("-01")))
+        .when(
+            repaired.rlike(r"^\d{4}-\d{1,2}$"),
+            F.concat(y, F.lit("-"), F.lpad(m, 2, "0"), F.lit("-01")),
+        )
+        .when(
+            repaired.rlike(r"^\d{4}-\d{1,2}-\d{1,2}$"),
+            F.concat(y, F.lit("-"), F.lpad(m, 2, "0"), F.lit("-"), F.lpad(d, 2, "0")),
+        )
         .otherwise(repaired)
     )
     return padded

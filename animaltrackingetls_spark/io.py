@@ -7,7 +7,11 @@ supplied (no database ships in the test environment).
 
 from __future__ import annotations
 
+import glob as _glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -15,8 +19,38 @@ TABLES = [
 ]
 
 
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) at ``path``.
+
+    Spark 4 cannot read nanos timestamps natively; with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) they
+    surface as raw int64 nanoseconds and must be cast back. Footer-only
+    inspection via pyarrow — no data read.
+    """
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked into the env
+        return []
+    target = path
+    if os.path.isdir(path):
+        inner = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not inner:
+            return []
+        target = inner[0]
+    try:
+        schema = pq.read_schema(target)
+    except Exception:
+        return []
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_columns(path):
+        # int64 nanos → microseconds → timestamp (UTC session zone).
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -140,27 +140,33 @@ def minhash_candidate_pairs(
     pairs, so the verify step is linear-ish, not quadratic.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    shingled = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n).alias("sh"),
-    ).select("id", "sh", *minhash_signature(F.col("sh"), num_hashes))
+    )
+    sig = shingled.select("id", *minhash_signature(F.col("sh"), num_hashes))
 
     band_cols = []
     for b in range(bands):
         members = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
         band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*members).alias("bh")))
+    # Candidate generation carries ONLY (id, band, bh) through the shuffle —
+    # shingle arrays are re-joined by id afterwards, so shuffle payload is
+    # O(docs × bands × 16 bytes) regardless of document size.
     buckets = sig.select(
-        "id", "sh", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
     a, b_ = buckets.alias("a"), buckets.alias("b")
-    cand = (
+    cand_ids = (
         a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
                & (F.col("a.id") < F.col("b.id")))
-        .select("a.id", "b.id", "a.sh", "b.sh")
-        .toDF("id_a", "id_b", "sh_a", "sh_b")
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    cand = cand_ids.join(sh_a, "id_a").join(sh_b, "id_b")
     sim = jaccard(F.col("sh_a"), F.col("sh_b"))
     return cand.select("id_a", "id_b", sim.alias("jaccard_sim")).filter(
         F.col("jaccard_sim") >= threshold
@@ -214,9 +220,19 @@ def embedding_neardup_pairs(
     """Cosine near-duplicate pairs with attribute blocking (see
     similarity.cosine for the expression). Blocking on a cluster/label
     column keeps the join from going quadratic; the LSH variant in
-    `similarity.py` replaces the block with hyperplane buckets."""
+    `similarity.py` replaces the block with hyperplane buckets.
+
+    ``block_col=None`` is refused: an unblocked self-join is a silent
+    all-pairs cartesian — a scale-killer at 100 TB. Use
+    ``similarity.lsh_topk`` buckets when no natural block exists.
+    """
     from .similarity import cosine_expr
 
+    if block_col is None:
+        raise ValueError(
+            "embedding_neardup_pairs requires a block column; an unblocked "
+            "self-join is O(n^2). Use similarity.lsh_topk for blockless ANN."
+        )
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),

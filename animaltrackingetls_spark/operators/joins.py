@@ -36,26 +36,38 @@ def asof_join(
     ``right_ts <= left_ts`` (backward; ``>=`` + earliest for forward),
     matching on the `by` key. Left rows with no match keep NULLs.
 
-    ``left_id`` is a unique left key for the dedup window (defaults to all
-    left columns); ``tiebreak`` breaks right-side ts ties deterministically.
+    ``left_id`` is a unique left key for the dedup window; when omitted a
+    ``monotonically_increasing_id`` is synthesized (never partition the
+    window by every left column — wide shuffle key, and wrong when left
+    has genuine duplicate rows). ``tiebreak`` breaks right-side ts ties
+    deterministically. Right columns whose names collide with left
+    columns are suffixed ``_r`` in the output (default keep-list excludes
+    the join key ``by_right`` to avoid a redundant duplicate).
     """
+    synthesized = left_id is None
+    if synthesized:
+        left_id = "_asof_lid"
+        left = left.withColumn(left_id, F.monotonically_increasing_id())
     lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
     cond = (F.col(f"l.{by_left}") == F.col(f"r.{by_right}")) & (
         rt <= lt if direction == "backward" else rt >= lt
     )
-    keep = right_cols or list(right.columns)
+    keep = right_cols or [c for c in right.columns if c != by_right]
     l, r = left.alias("l"), right.alias("r")
     joined = l.join(r, cond, "left")
     if direction == "backward":
         order = [rt.desc_nulls_last()] + [F.col(f"r.{c}").desc_nulls_last() for c in (tiebreak or [])]
     else:
         order = [rt.asc_nulls_last()] + [F.col(f"r.{c}").asc_nulls_last() for c in (tiebreak or [])]
-    part = [F.col(f"l.{left_id}")] if left_id else [F.col(f"l.{c}") for c in left.columns]
-    w = Window.partitionBy(*part).orderBy(*order)
+    w = Window.partitionBy(F.col(f"l.{left_id}")).orderBy(*order)
     ranked = joined.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    out_left = [c for c in left.columns if not (synthesized and c == left_id)]
     return ranked.select(
-        *[F.col(f"l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"r.{c}").alias(c) for c in keep],
+        *[F.col(f"l.{c}").alias(c) for c in out_left],
+        *[
+            F.col(f"r.{c}").alias(f"{c}_r" if c in out_left else c)
+            for c in keep
+        ],
     )
 
 

@@ -83,7 +83,10 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     }
     has_cjk = F.col(text_col).rlike(r"[一-鿿]")
     best = F.greatest(*scores.values())
-    pred = F.when(has_cjk, F.lit("zh"))
+    # best == 0 (no marker hit at all) must resolve to 'und' BEFORE the
+    # per-language equality chain — otherwise scores['en'] == 0 == best
+    # matches first and zero-signal text is mislabeled 'en'.
+    pred = F.when(has_cjk, F.lit("zh")).when(best == 0, F.lit("und"))
     for lang in ("en", "es", "fr", "de"):  # fixed tie order
         pred = pred.when(scores[lang] == best, F.lit(lang))
     pred = pred.otherwise(F.lit("und"))

@@ -47,6 +47,10 @@ def get_spark(
         # Datetime parity with external engines (no Julian rebasing surprises)
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # pandas/pyarrow-written parquet often carries TIMESTAMP(NANOS),
+        # which Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). Read the
+        # raw int64 instead; io.load_table casts ns → timestamp.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
