@@ -13,11 +13,13 @@ Layout:
     functions/   Scalar expression library (date rescue, parsing, coercion).
     cleaning     Clean/reject two-branch DAG (the reference's cleaning kernel).
     enrichment   Geocode enrichment as broadcast join / mapInPandas.
-    inventory    Load-catalog upsert (MERGE-style) + table naming.
+    inventory    Load-catalog upsert (MERGE-style), table naming, date helpers.
+    serving      Dynamic serving filters, date match, JSON edge sink.
+    io           Parquet/JDBC/CSV readers and writers (incl. nanos rescue).
     operators/   Relational + LLM-data-pipeline operators (dedup,
                  similarity search, text analysis, as-of/range joins,
                  multimodal plumbing).
-    sources/     REST paginated source, JDBC helpers, binary payloads.
+    sources/     Paginated REST DataSource (partition-per-page, pushdown).
     streaming/   Structured Streaming jobs (windowed aggs, watermarks).
     plans/       Plan inspection helpers (explain auditing).
 """

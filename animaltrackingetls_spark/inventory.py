@@ -1,0 +1,148 @@
+"""Load-catalog (inventory) upsert + period table naming + date helpers.
+
+Reference semantics (studied, not ported):
+* K3 — ``INSERT ... ON CONFLICT (available_date) DO UPDATE`` of
+  (available_date, table_name, record_count, processed_at)
+  (monarch_etl/inventory.py:52-59); K4 — delete-then-insert variant
+  (inventory.py:69-96); backfill recomputes COUNT(*) per table and
+  upserts (retroactive_table_log.py:30-69).
+* C10 — month-name period naming: ``june012025`` / ``june2025``
+  (monarch_etl/table_naming.py:24-43, month dict config.py:37-41).
+* C12 — first-Sunday-of-year and date-x-days-ago helpers
+  (etl_past_day_script.py:9-37, 52-73).
+
+Spark posture: the inventory is a tiny keyed table. Upsert is expressed
+as a pure DataFrame MERGE (union + window keep-latest) so it is
+engine-native and oracle-checkable; durable storage is a keyed parquet
+overwrite (`upsert_parquet`) — last-writer-wins per key, the honest
+non-Delta equivalent of MERGE INTO (with Delta/Iceberg available, swap
+the writer for a real MERGE and the read-modify-write race goes away).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+INVENTORY_COLUMNS = ["available_date", "table_name", "record_count", "processed_at"]
+
+
+# ---------------------------------------------------------------------------
+# C10: period table naming
+# ---------------------------------------------------------------------------
+
+
+def table_name_for_day(d: Column) -> Column:
+    """``june012025``-style name (table_naming.py:24-33 semantics)."""
+    return F.concat(
+        F.lower(F.date_format(d, "MMMM")),
+        F.lpad(F.dayofmonth(d).cast("string"), 2, "0"),
+        F.year(d).cast("string"),
+    )
+
+
+def table_name_for_month(d: Column) -> Column:
+    """``june2025``-style name (table_naming.py:36-43 semantics)."""
+    return F.concat(F.lower(F.date_format(d, "MMMM")), F.year(d).cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# C12: date arithmetic helpers
+# ---------------------------------------------------------------------------
+
+
+def first_sunday_of_year(year_col: Column) -> Column:
+    """Date of the first Sunday of the given year.
+
+    ``next_day`` is strictly-after, so anchoring at Dec 31 of the prior
+    year makes a Jan 1 Sunday return Jan 1 itself — matching the
+    reference's ``(7 - isoweekday(jan1)) % 7`` days-after-Jan-1 formula.
+    """
+    jan1 = F.make_date(year_col, F.lit(1), F.lit(1))
+    return F.next_day(F.date_sub(jan1, 1), "Sun")
+
+
+def date_days_ago(n: Column | int, anchor: Column | None = None) -> Column:
+    """``anchor - n days`` (anchor defaults to current_date — pass an
+    explicit anchor in tests/oracles for determinism)."""
+    base = anchor if anchor is not None else F.current_date()
+    return F.date_sub(base, n)
+
+
+# ---------------------------------------------------------------------------
+# K3/K4: MERGE-style upsert
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert(existing: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Keyed upsert as a DataFrame op: updates win over existing rows on
+    the same key; keys only in one side pass through.
+
+    Plan shape: union (no shuffle) + one hash shuffle on the key for the
+    window — equivalent cost to the join a MERGE would do. Deterministic:
+    priority column, not arrival order, decides the winner.
+    """
+    e = existing.withColumn("_prio", F.lit(0))
+    u = updates.withColumn("_prio", F.lit(1))
+    all_rows = e.unionByName(u)
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("_prio"))
+    return (
+        all_rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_prio", "_rn")
+    )
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Durable keyed upsert onto a parquet-backed table.
+
+    Read-merge-overwrite; last writer wins per key. For a catalog-sized
+    table (thousands of rows) this is the right cost model. The
+    read-modify-write is not transactional under concurrent writers —
+    with Delta/Iceberg in the environment, replace with ``MERGE INTO``
+    (documented tradeoff; the reference gets atomicity from Postgres
+    ``ON CONFLICT``).
+    """
+    try:
+        existing = spark.read.parquet(path)
+        merged = merge_upsert(existing, updates, key_cols)
+    except Exception:  # first write: no table yet
+        merged = updates
+    # Materialize before overwriting the path we just read.
+    rows = merged.collect()
+    out = spark.createDataFrame(rows, merged.schema)
+    out.coalesce(1).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def register_load(
+    inventory: DataFrame,
+    loaded: DataFrame,
+    date_col: str = "date_only",
+    processed_at: str | None = None,
+) -> DataFrame:
+    """A5 + K3: count a load per day and upsert it into the inventory.
+
+    One aggregate produces (available_date, table_name, record_count,
+    processed_at) per day present in ``loaded`` (the reference registers
+    one day per run, etl.py:129-130; doing it group-wise is the
+    distributed generalization).
+    """
+    updates = (
+        loaded.groupBy(F.col(date_col).alias("available_date"))
+        .agg(F.count(F.lit(1)).alias("record_count"))
+        .withColumn("table_name", table_name_for_day(F.col("available_date")))
+        .withColumn(
+            "processed_at",
+            F.lit(processed_at).cast("string")
+            if processed_at is not None
+            else F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss"),
+        )
+        .select(*INVENTORY_COLUMNS)
+    )
+    return merge_upsert(inventory, updates, ["available_date"])

@@ -51,6 +51,8 @@ def get_spark(
         # which Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). Read the
         # raw int64 instead; io.load_table casts ns → timestamp.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Let Python DataSources (sources/rest.py) receive pushFilters.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -1,0 +1,243 @@
+"""Paginated REST source (SURVEY.md §2.1 S1/S2, §2.5 L1/L2, §2.4 F6).
+
+Reference semantics (studied, not ported — monarch_etl/gbif_client.py:56-164):
+offset/limit pagination of ≤``limit_per_request`` JSON records per page;
+server-side predicates sent as query params (F6 — year/month/day/
+taxonKey/country and friends are *pushed*, not post-filtered); page-count
+cap (L2); per-page record slice (L1, the ``records_limitation`` test
+knob); stop on ``endOfRecords`` or an empty page; politeness delay
+between calls; retry with exponential backoff on transient failures
+(S2 — gbif_client.py:29-49 + retry_config.py:28-37).
+
+Two Spark-first forms:
+
+* ``PagedRestDataSource`` — a PySpark custom ``DataSource`` with
+  **partition-per-page**: each Spark task fetches one page, so a
+  1000-executor cluster drains a deep scan in parallel, and
+  ``pushFilters`` turns Catalyst equality predicates into API query
+  params (the source-pushed filter the reference hand-codes).
+* ``fetch_all_pages`` — the sequential driver-loop fallback with the
+  exact reference stop/cap/slice semantics, for politeness-constrained
+  APIs where parallel fetch is rude.
+
+Transports are injectable and string-configurable (workers rebuild them
+from options): ``FixtureTransport`` replays recorded pages from a local
+directory (network-free tests); an HTTP transport would urlopen the
+endpoint — intentionally not shipped wired-in, since this environment is
+offline and correctness tests must never depend on a network.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable, Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+DEFAULT_PAGE_SIZE = 300          # GBIF max page size (gbif_client.py:61)
+DEFAULT_MAX_PAGES = 10           # reference page cap (etl.py:52-54)
+DEFAULT_RETRY_ATTEMPTS = 5       # retry_config.py:28-37
+DEFAULT_BACKOFF_BASE = 2.0
+DEFAULT_BACKOFF_CAP = 10.0
+
+# Predicates the source can push into API query params (F6).
+PUSHABLE_ATTRIBUTES = frozenset(
+    {"year", "month", "day", "taxonKey", "country", "basisOfRecord"}
+)
+
+
+# ---------------------------------------------------------------------------
+# Transports
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FixtureTransport:
+    """Replays recorded pages from ``dir/page_<N>.json``.
+
+    Each file holds ``{"results": [...], "endOfRecords": bool}``. The
+    page index is derived from the request's offset/limit — mirroring how
+    a real API would address pages. Filter params narrow results by
+    simple equality, emulating server-side filtering so pushdown is
+    observable in tests.
+    """
+
+    fixture_dir: str
+
+    def fetch(self, params: dict) -> dict:
+        limit = int(params.get("limit", DEFAULT_PAGE_SIZE))
+        offset = int(params.get("offset", 0))
+        page_idx = offset // max(1, limit)
+        path = os.path.join(self.fixture_dir, f"page_{page_idx}.json")
+        if not os.path.exists(path):
+            return {"results": [], "endOfRecords": True}
+        with open(path) as f:
+            page = json.load(f)
+        results = page.get("results", [])
+        for key, val in params.items():
+            if key in ("limit", "offset"):
+                continue
+            results = [r for r in results if str(r.get(key)) == str(val)]
+        return {"results": results, "endOfRecords": page.get("endOfRecords", False)}
+
+
+def fetch_page_with_retry(
+    fetch: Callable[[dict], dict],
+    params: dict,
+    attempts: int = DEFAULT_RETRY_ATTEMPTS,
+    backoff_base: float = DEFAULT_BACKOFF_BASE,
+    backoff_cap: float = DEFAULT_BACKOFF_CAP,
+    sleep: Callable[[float], None] = time.sleep,
+) -> dict:
+    """S2: single-page fetch under the reference's retry policy —
+    ``attempts`` tries, exponential backoff ``base^n`` capped at
+    ``backoff_cap`` seconds (retry_config.py:28-37)."""
+    last_err: Exception | None = None
+    for attempt in range(attempts):
+        try:
+            return fetch(params)
+        except Exception as err:  # transient transport failure
+            last_err = err
+            if attempt < attempts - 1:
+                sleep(min(backoff_cap, backoff_base ** (attempt + 1)))
+    raise last_err  # type: ignore[misc]
+
+
+# ---------------------------------------------------------------------------
+# Driver-loop scan (sequential, reference-exact semantics)
+# ---------------------------------------------------------------------------
+
+
+def fetch_all_pages(
+    transport,
+    params: dict | None = None,
+    limit_per_request: int = DEFAULT_PAGE_SIZE,
+    max_pages: int | None = DEFAULT_MAX_PAGES,
+    records_limitation: int | None = None,
+    delay_seconds: float = 0.0,
+    sleep: Callable[[float], None] = time.sleep,
+) -> list[dict]:
+    """S1: sequential paginated scan with the reference's exact loop:
+    offset advances by ``len(records)``; stop on ``endOfRecords``, empty
+    page, or the L2 page cap; L1 slices each page to
+    ``records_limitation``; optional politeness delay between pages."""
+    all_records: list[dict] = []
+    offset = 0
+    page_count = 0
+    while True:
+        if max_pages is not None and page_count >= max_pages:
+            break
+        page_params = dict(params or {})
+        page_params["limit"] = limit_per_request
+        page_params["offset"] = offset
+        page = fetch_page_with_retry(transport.fetch, page_params)
+        records = page.get("results", [])
+        if not records:
+            break
+        offset += len(records)
+        page_count += 1
+        if records_limitation is not None:
+            records = records[: int(records_limitation)]
+        all_records.extend(records)
+        if page.get("endOfRecords", False):
+            break
+        if delay_seconds:
+            sleep(delay_seconds)
+    return all_records
+
+
+# ---------------------------------------------------------------------------
+# Custom DataSource: partition-per-page
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _PagePartition(InputPartition):
+    page_index: int
+
+
+class _PagedRestReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._options = dict(options)
+        self._pushed_params: dict[str, str] = {}
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """F6: accept EqualTo on pushable attributes as API params; yield
+        back everything else for Spark to evaluate post-scan."""
+        for flt in filters:
+            if (
+                isinstance(flt, EqualTo)
+                and len(flt.attribute) == 1
+                and flt.attribute[0] in PUSHABLE_ATTRIBUTES
+            ):
+                self._pushed_params[flt.attribute[0]] = str(flt.value)
+            else:
+                yield flt
+
+    def partitions(self) -> Sequence[InputPartition]:
+        max_pages = int(self._options.get("max_pages", DEFAULT_MAX_PAGES))
+        return [_PagePartition(i) for i in range(max_pages)]
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        limit = int(self._options.get("limit_per_request", DEFAULT_PAGE_SIZE))
+        records_limitation = self._options.get("records_limitation")
+        delay = float(self._options.get("delay_seconds", 0.0))
+        fixture_dir = self._options.get("fixture_dir")
+        if not fixture_dir:
+            raise ValueError(
+                "paged_rest requires option 'fixture_dir' in this offline "
+                "environment; wire an HTTP transport here for live APIs"
+            )
+        transport = FixtureTransport(fixture_dir)
+        if delay:
+            time.sleep(delay * partition.page_index)  # staggered politeness
+        params: dict = {
+            "limit": limit,
+            "offset": partition.page_index * limit,
+            **self._pushed_params,
+        }
+        page = fetch_page_with_retry(transport.fetch, params)
+        records = page.get("results", [])
+        if records_limitation is not None:
+            records = records[: int(records_limitation)]  # L1 slice per page
+        field_names = [f.name for f in self._schema.fields]
+        for rec in records:
+            yield tuple(rec.get(name) for name in field_names)
+
+
+class PagedRestDataSource(DataSource):
+    """``spark.read.format("paged_rest")`` — register with
+    ``spark.dataSource.register(PagedRestDataSource)``.
+
+    Options: ``fixture_dir`` (page store), ``schema_ddl`` (row schema),
+    ``limit_per_request``, ``max_pages``, ``records_limitation``,
+    ``delay_seconds``. Equality filters on year/month/day/taxonKey/
+    country/basisOfRecord are pushed into the page request (observable:
+    the fixture transport filters server-side).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "paged_rest"
+
+    def schema(self):
+        return self.options.get(
+            "schema_ddl",
+            "gbifID string, eventDate string, decimalLatitude double, "
+            "decimalLongitude double, individualCount bigint, year int, "
+            "month int, day int, country string, basisOfRecord string",
+        )
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _PagedRestReader(schema, self.options)

@@ -1,0 +1,17 @@
+"""Structured Streaming jobs over the event stream.
+
+The reference has no streaming operators (SURVEY.md §2.10) — its cadence
+is cron-triggered batch. These jobs are the engine-surface extension:
+the same event-table shape consumed incrementally, with watermarks for
+late data and ``Trigger.AvailableNow`` for the reference's
+"micro-batch-by-schedule" pattern (process everything that has landed,
+then stop — a cron-safe streaming run).
+"""
+
+from .jobs import (  # noqa: F401
+    read_event_stream,
+    run_available_now_to_memory,
+    sessionized_user_activity,
+    stream_dedup,
+    windowed_event_counts,
+)

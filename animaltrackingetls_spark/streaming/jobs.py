@@ -1,0 +1,119 @@
+"""Streaming jobs: windowed counts, session windows, stream dedup.
+
+All stateful operators carry a watermark so state is bounded: without
+one, a 100 TB/day stream accretes state forever. ``AvailableNow``
+triggers make every job runnable as an incremental batch (the Spark
+idiom replacing the reference's cron re-runs, SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-landing-directory stream (the cloud-scale pattern: writers
+    drop parquet into a prefix; the stream discovers new files)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type with a
+    watermark bounding late data (and state)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_user_activity(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` idle.
+    State per in-flight session only — the watermark evicts closed ones."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon:
+    ``dropDuplicatesWithinWatermark`` keeps key state only until the
+    watermark passes — bounded state, unlike plain dropDuplicates on a
+    stream."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def run_available_now_to_memory(
+    result: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_seconds: int = 120,
+) -> None:
+    """Run a streaming frame to completion over currently-available input
+    (cron-style incremental batch) into an in-memory table named
+    ``query_name`` — the test/demo sink; production swaps in
+    ``format('parquet')`` + checkpointLocation."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_seconds)
