@@ -57,6 +57,12 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def union_append(a: DataFrame, b: DataFrame) -> DataFrame:
+    """J3: union by column name, NULL-filling columns absent on one side
+    (the reference's pd.concat accumulation, usamonarchbutterflies.py:57-69)."""
+    return a.unionByName(b, allowMissingColumns=True)
+
+
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite") -> None:
     """K1-analog: idempotent partitioned write. With
     ``partitionOverwriteMode=dynamic`` a day re-run replaces only its own

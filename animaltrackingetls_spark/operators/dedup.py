@@ -114,13 +114,44 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(c: Column, num_hashes: int = 32) -> list[Column]:
-    """k min-hashes of the shingle set. Each hash family member is
-    xxhash64(shingle, seed_i) — JVM-side, no UDF; array_min folds the
-    per-shingle hashes without exploding rows."""
+    """k min-hashes of a shingle-array column, as expressions. Each hash
+    family member is xxhash64(shingle, seed_i) — JVM-side, no UDF.
+
+    Expression form only — when the shingle array is itself a derived
+    column, projection collapse re-inlines its computation into every one
+    of the k expressions. Use ``minhash_signatures`` (the explode/agg
+    form) for real corpora; this form is for already-materialized arrays.
+    """
     return [
         F.array_min(F.transform(c, lambda s: F.xxhash64(s, F.lit(i)))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) signature table via explode + hash-agg.
+
+    Shingling runs ONCE per document; each exploded shingle row computes
+    k seeded xxhash64 values and the k mins aggregate map-side before the
+    single shuffle on id — shuffle rows are k longs per document
+    regardless of document size. Same hash family as
+    ``minhash_signature``, so the two forms agree bit-for-bit.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy("id").agg(*aggs)
 
 
 def minhash_candidate_pairs(
@@ -144,7 +175,7 @@ def minhash_candidate_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n).alias("sh"),
     )
-    sig = shingled.select("id", *minhash_signature(F.col("sh"), num_hashes))
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
 
     band_cols = []
     for b in range(bands):

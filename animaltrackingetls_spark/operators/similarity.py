@@ -52,17 +52,25 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Plan shape: one scan of the corpus, broadcast-nested-loop join against
     the (small) query set, window row_number per query. No corpus shuffle
     until the final per-query ranking, which AQE coalesces.
+
+    ``round_digits`` rounds similarities BEFORE ranking — use when
+    comparing against an external engine whose floating-point reduction
+    order differs (ranking on rounded values is cross-engine stable).
     """
     c = corpus.select(F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec"))
     q = queries.select(F.col(query_id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec"))
+    sim = cosine_expr(F.col("q_vec"), F.col("n_vec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
     scored = c.join(F.broadcast(q), F.col("n_id") != F.col("q_id")).select(
-        "q_id", "n_id", cosine_expr(F.col("q_vec"), F.col("n_vec")).alias("cosine_sim")
+        "q_id", "n_id", sim.alias("cosine_sim")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("n_id"))
     return (
@@ -105,6 +113,7 @@ def lsh_topk(
     n_planes: int = 4,
     n_tables: int = 4,
     seed: int = 42,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH candidates + exact re-rank.
 
@@ -134,7 +143,10 @@ def lsh_topk(
         .select("q_id", "q_vec", "n_id", "n_vec")
         .dropDuplicates(["q_id", "n_id"])
     )
-    scored = cand.select("q_id", "n_id", cosine_expr(F.col("q_vec"), F.col("n_vec")).alias("cosine_sim"))
+    sim = cosine_expr(F.col("q_vec"), F.col("n_vec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = cand.select("q_id", "n_id", sim.alias("cosine_sim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": "...", "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": N}.
+
+The headline set spans the engine's cost classes: scan+agg (flagship,
+q1), multi-join (q3, q5), window (window_latest_event), the cleaning
+kernel (clean_good_agg), dedup (dup_groups exact, minhash LSH), text
+featurization, and similarity top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from animaltrackingetls_spark.session import get_spark
+
+import __spark_entry__ as entry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "flagship_day_scan",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "window_latest_event",
+    "clean_good_agg",
+    "dup_groups",
+    "minhash_lsh_pairs",
+    "text_quality",
+    "topk_cosine",
+    "asof_join_events",
+]
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    qs = entry.queries()
+
+    # warm the JVM + parquet footers once, outside the timed region
+    entry._t(spark, SF_DIR, "lineitem").count()
+    entry._t(spark, SF_DIR, "events").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.3f}s", flush=True)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
