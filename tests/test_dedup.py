@@ -1,0 +1,99 @@
+"""Dedup operators: exact, Jaccard, MinHash LSH, SimHash, embedding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from animaltrackingetls_spark.operators import dedup
+from animaltrackingetls_spark.plans.audit import assert_no_cartesian
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+DOCS = [
+    (1, BASE),
+    (2, BASE),                                   # exact dup of 1
+    (3, BASE + " tomorrow"),                     # near dup of 1
+    (4, "completely different content about spark query engines at scale"),
+    (5, "completely different content about spark query engines at scale"),  # dup of 4
+    (6, "unrelated short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates_groups(docs):
+    d = docs.withColumn("fp", F.md5("text"))
+    groups = dedup.exact_duplicates(d, ["fp"], "doc_id").collect()
+    got = {(r.canonical_id, r.n_copies) for r in groups}
+    assert got == {(1, 2), (4, 2)}
+
+
+def test_drop_exact_duplicates_keeps_min_id(docs):
+    d = docs.withColumn("fp", F.md5("text"))
+    kept = {r.doc_id for r in dedup.drop_exact_duplicates(d, ["fp"], "doc_id").collect()}
+    assert kept == {1, 3, 4, 6}
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got and (4, 5) in got and (1, 3) in got
+    exact = {(r.id_a, r.id_b): r.jaccard_sim for r in pairs}
+    assert exact[(1, 2)] == 1.0
+
+
+def test_minhash_lsh_finds_dups_and_plan_is_joined(docs):
+    cand = dedup.minhash_candidate_pairs(docs, threshold=0.5)
+    assert_no_cartesian(cand)
+    got = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (1, 2) in got and (4, 5) in got
+
+
+def test_minhash_signature_forms_agree(spark, docs):
+    from animaltrackingetls_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    k = 8
+    arr = docs.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 3).alias("sh")
+    ).select("id", *minhash_signature(F.col("sh"), k))
+    agg = minhash_signatures(docs, num_hashes=k)
+    a = {r.id: tuple(r[f"mh_{i}"] for i in range(k)) for r in arr.collect()}
+    b = {r.id: tuple(r[f"mh_{i}"] for i in range(k)) for r in agg.collect()}
+    assert a == b
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    sh = {r.id: r.simhash for r in dedup.simhash64(docs).collect()}
+    d = spark.createDataFrame(
+        [(sh[1], sh[3]), (sh[1], sh[4])], "a long, b long"
+    ).select(dedup.hamming64(F.col("a"), F.col("b")).alias("h"))
+    near, far = [r.h for r in d.collect()]
+    assert near < far
+    assert near <= 8
+
+
+def test_embedding_neardup_requires_block(spark):
+    emb = spark.createDataFrame([(1, [1.0, 0.0], 0)], "vec_id long, embedding array<double>, label int")
+    with pytest.raises(ValueError):
+        dedup.embedding_neardup_pairs(emb, block_col=None)
+
+
+def test_embedding_neardup_pairs(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.999, 0.01, 0.0], 0),   # near dup of 1
+            (3, [0.0, 1.0, 0.0], 0),
+            (4, [1.0, 0.0, 0.0], 1),      # same vector, different block → no pair
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    pairs = {(r.id_a, r.id_b) for r in dedup.embedding_neardup_pairs(emb, threshold=0.95).collect()}
+    assert pairs == {(1, 2)}

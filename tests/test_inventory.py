@@ -1,0 +1,82 @@
+"""Inventory: naming, date helpers, MERGE-style upsert."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+from animaltrackingetls_spark.inventory import (
+    INVENTORY_COLUMNS,
+    date_days_ago,
+    first_sunday_of_year,
+    merge_upsert,
+    register_load,
+    table_name_for_day,
+    table_name_for_month,
+    upsert_parquet,
+)
+
+_B_SCHEMA = "available_date string, table_name string, record_count long, processed_at string"
+
+
+def test_table_naming(spark):
+    df = spark.createDataFrame([("2025-06-01",), ("2024-12-31",)], "d string").select(
+        F.col("d").cast("date").alias("d")
+    )
+    out = df.select(
+        table_name_for_day(F.col("d")).alias("day_name"),
+        table_name_for_month(F.col("d")).alias("month_name"),
+    ).collect()
+    assert {(r.day_name, r.month_name) for r in out} == {
+        ("june012025", "june2025"), ("december312024", "december2024")
+    }
+
+
+def test_first_sunday_including_jan1_edge(spark):
+    df = spark.createDataFrame([(2024,), (2023,), (2017,)], "y int")
+    out = {r.y: r.fs for r in df.select(
+        "y", first_sunday_of_year(F.col("y")).alias("fs")).collect()}
+    assert out[2024] == datetime.date(2024, 1, 7)
+    assert out[2023] == datetime.date(2023, 1, 1)  # Jan 1 IS a Sunday
+    assert out[2017] == datetime.date(2017, 1, 1)
+
+
+def test_date_days_ago_with_anchor(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    out = df.select(
+        date_days_ago(10, F.lit("2024-03-05").cast("date")).alias("d")
+    ).collect()[0].d
+    assert out == datetime.date(2024, 2, 24)
+
+
+def test_merge_upsert_updates_win(spark):
+    b1 = spark.createDataFrame(
+        [("2024-01-01", "t1", 10, "a"), ("2024-01-02", "t2", 20, "a")], _B_SCHEMA)
+    b2 = spark.createDataFrame(
+        [("2024-01-02", "t2", 25, "b"), ("2024-01-03", "t3", 5, "b")], _B_SCHEMA)
+    out = {r.available_date: (r.record_count, r.processed_at)
+           for r in merge_upsert(b1, b2, ["available_date"]).collect()}
+    assert out == {"2024-01-01": (10, "a"), "2024-01-02": (25, "b"), "2024-01-03": (5, "b")}
+
+
+def test_upsert_parquet_durable(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "inv")
+    b1 = spark.createDataFrame([("2024-01-01", "t1", 10, "a")], _B_SCHEMA)
+    b2 = spark.createDataFrame([("2024-01-01", "t1", 99, "b")], _B_SCHEMA)
+    upsert_parquet(spark, path, b1, ["available_date"])
+    final = upsert_parquet(spark, path, b2, ["available_date"])
+    assert [(r.record_count, r.processed_at) for r in final.collect()] == [(99, "b")]
+
+
+def test_register_load_counts_per_day(spark):
+    inv = spark.createDataFrame([], _B_SCHEMA).select(
+        F.col("available_date").cast("date"), "table_name", "record_count", "processed_at")
+    loaded = spark.createDataFrame(
+        [("2025-06-01",), ("2025-06-01",), ("2025-06-02",)], "d string"
+    ).select(F.col("d").cast("date").alias("date_only"))
+    out = register_load(inv, loaded, processed_at="now")
+    assert out.columns == INVENTORY_COLUMNS
+    got = {str(r.available_date): (r.table_name, r.record_count) for r in out.collect()}
+    assert got == {"2025-06-01": ("june012025", 2), "2025-06-02": ("june022025", 1)}

@@ -1,0 +1,46 @@
+"""IO: nanos-timestamp rescue, partitioned writes, union append."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from animaltrackingetls_spark.io import load_table, union_append, write_partitioned
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_load_events_nanos_becomes_timestamp(spark):
+    ev = load_table(spark, SF, "events")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert lo.year == 2024 and hi.year == 2024
+
+
+def test_load_regular_tables_untouched(spark):
+    o = load_table(spark, SF, "orders")
+    # ms-precision parquet loads natively (NTZ variant — no UTC adjustment flag)
+    assert isinstance(
+        o.schema["o_orderdate"].dataType, (T.TimestampType, T.TimestampNTZType)
+    )
+
+
+def test_write_partitioned_dynamic_overwrite(spark, tmp_path):
+    path = str(tmp_path / "part")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, d string")
+    write_partitioned(df1, path, ["d"])
+    # re-write only partition 'a' — partition 'b' must survive
+    df2 = spark.createDataFrame([(9, "a")], "id long, d string")
+    write_partitioned(df2, path, ["d"], mode="overwrite")
+    out = {(r.id, r.d) for r in spark.read.parquet(path).collect()}
+    assert out == {(9, "a"), (2, "b")}
+
+
+def test_union_append_fills_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, v string")
+    b = spark.createDataFrame([(2,)], "id long")
+    out = union_append(a, b).collect()
+    got = {(r.id, r.v) for r in out}
+    assert got == {(1, "x"), (2, None)}

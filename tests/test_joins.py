@@ -1,0 +1,102 @@
+"""As-of and range joins."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from animaltrackingetls_spark.operators import joins
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01T10:00:00")),
+            (2, "A", _ts("2024-01-01T11:00:00")),
+            (3, "B", _ts("2024-01-01T10:30:00")),
+            (4, "C", _ts("2024-01-01T10:00:00")),  # no quotes for C
+        ],
+        "trade_id long, sym string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T09:59:00"), 10.0),
+            ("A", _ts("2024-01-01T10:30:00"), 11.0),
+            ("B", _ts("2024-01-01T10:31:00"), 20.0),  # after the B trade
+        ],
+        "q_sym string, q_ts timestamp, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward(trades_quotes):
+    trades, quotes = trades_quotes
+    out = {r.trade_id: r.px for r in joins.asof_join(
+        trades, quotes, "ts", "q_ts", "sym", "q_sym", left_id="trade_id"
+    ).collect()}
+    assert out == {1: 10.0, 2: 11.0, 3: None, 4: None}
+
+
+def test_asof_forward(trades_quotes):
+    trades, quotes = trades_quotes
+    out = {r.trade_id: r.px for r in joins.asof_join(
+        trades, quotes, "ts", "q_ts", "sym", "q_sym",
+        left_id="trade_id", direction="forward",
+    ).collect()}
+    assert out == {1: 11.0, 2: None, 3: 20.0, 4: None}
+
+
+def test_asof_without_left_id_synthesizes(trades_quotes):
+    trades, quotes = trades_quotes
+    out = joins.asof_join(trades, quotes, "ts", "q_ts", "sym", "q_sym")
+    assert sorted(out.columns) == sorted(["trade_id", "sym", "ts", "q_ts", "px"])
+    assert out.count() == trades.count()
+
+
+def test_asof_suffixes_colliding_columns(spark):
+    left = spark.createDataFrame([(1, "A", _ts("2024-01-01T10:00:00"))], "id long, sym string, ts timestamp")
+    right = spark.createDataFrame([("A", _ts("2024-01-01T09:00:00"))], "sym string, ts timestamp")
+    out = joins.asof_join(left, right, "ts", "ts", "sym", "sym", left_id="id",
+                          right_cols=["ts"])
+    assert "ts_r" in out.columns  # collision suffixed, selectable by name
+    assert out.select("ts_r").collect()[0][0] == _ts("2024-01-01T09:00:00")
+
+
+def test_merge_asof_grouped_matches_join_form(trades_quotes):
+    trades, quotes = trades_quotes
+    a = {r.trade_id: r.px for r in joins.asof_join(
+        trades, quotes, "ts", "q_ts", "sym", "q_sym", left_id="trade_id"
+    ).collect()}
+    b = {r.trade_id: r.px for r in joins.merge_asof_grouped(
+        trades, quotes, "ts", "q_ts", "sym", "q_sym", ["px"]
+    ).collect()}
+    assert a == b
+
+
+def test_range_join(spark):
+    points = spark.createDataFrame([(1, 5), (2, 15)], "id long, v int")
+    bands = spark.createDataFrame([(1, 0), (1, 10)], "id long, lo int")
+    out = joins.range_join(
+        points, bands, ["id"], (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("lo") + 10)
+    )
+    assert out.count() == 1  # only (v=5, lo=0) matches on id=1
+
+
+def test_bucketized_range_join(spark):
+    pts = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 3)), (2, datetime.date(2024, 2, 1))],
+        "id long, p date",
+    )
+    iv = spark.createDataFrame(
+        [(datetime.date(2024, 1, 1), datetime.date(2024, 1, 7))],
+        "ws date, we date",
+    )
+    out = joins.bucketized_range_join(pts, iv, "p", "ws", "we")
+    assert [r.id for r in out.collect()] == [1]

@@ -1,0 +1,64 @@
+"""Similarity search: brute-force exactness, LSH recall."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from animaltrackingetls_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.9, 0.1, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_exact(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = similarity.brute_force_topk(vectors, q, k=2).collect()
+    assert [(r.n_id, r.rank) for r in sorted(out, key=lambda r: r.rank)] == [(1, 1), (2, 2)]
+    top = next(r for r in out if r.rank == 1)
+    expected = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(top.cosine_sim - expected) < 1e-12
+
+
+def test_brute_force_excludes_self(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = similarity.brute_force_topk(vectors, q, k=10).collect()
+    assert all(r.n_id != 0 for r in out)
+
+
+def test_lsh_topk_recall_on_clusters(spark):
+    # two tight clusters; LSH must recover within-cluster neighbors
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 0.0, 0.0, 1.0]
+        rows.append((i, [x + rng.gauss(0, 0.01) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 2)
+    out = similarity.lsh_topk(df, q, k=5, dim=4, n_planes=2, n_tables=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r.n_id)
+    # every neighbor of query i must be in query i's parity cluster
+    for qid, neigh in by_q.items():
+        assert neigh and all(n % 2 == qid % 2 for n in neigh)
+
+
+def test_round_digits_rounds_similarity(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = similarity.brute_force_topk(vectors, q, k=1, round_digits=2).collect()
+    sim = out[0].cosine_sim
+    assert sim == round(sim, 2) and sim == 0.99  # 0.9/sqrt(0.82) ≈ 0.9939 → 0.99

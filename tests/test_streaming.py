@@ -1,0 +1,62 @@
+"""Streaming jobs: windowed counts parity with batch, stream dedup."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from animaltrackingetls_spark.streaming import (
+    read_event_stream,
+    run_available_now_to_memory,
+    stream_dedup,
+    windowed_event_counts,
+)
+
+
+def _write_events(spark, path):
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, i % 5, 10), i % 3, "click" if i % 2 else "view",
+         float(i), "{}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    )
+    df.write.mode("overwrite").parquet(path)
+    return df
+
+
+def test_windowed_counts_match_batch(spark, tmp_path):
+    path = str(tmp_path / "ev")
+    batch = _write_events(spark, path)
+    stream = read_event_stream(spark, path)
+    # complete mode: emit every window, incl. ones the watermark hasn't
+    # closed (append mode would hold the tail windows back in state)
+    run_available_now_to_memory(
+        windowed_event_counts(stream, "1 hour"), "t_wc", output_mode="complete"
+    )
+    got = {
+        (r.window_start, r.event_type): r.n_events for r in spark.table("t_wc").collect()
+    }
+    expected = {
+        (r.ws, r.event_type): r.n for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expected
+
+
+def test_stream_dedup_drops_repeats(spark, tmp_path):
+    path = str(tmp_path / "ev2")
+    rows = [(1, datetime.datetime(2024, 1, 1, 0, 0), 1, "a", 1.0, "{}")] * 3 + [
+        (2, datetime.datetime(2024, 1, 1, 0, 1), 1, "b", 1.0, "{}")
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    ).write.mode("overwrite").parquet(path)
+    stream = read_event_stream(spark, path)
+    run_available_now_to_memory(stream_dedup(stream), "t_dd")
+    assert sorted(r.event_id for r in spark.table("t_dd").collect()) == [1, 2]
