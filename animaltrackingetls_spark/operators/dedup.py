@@ -66,6 +66,47 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _combine_shingles(th: Column, n: int) -> Column:
+    """Distinct shingle hashes from a *bound* token-hash array column.
+
+    ``th`` MUST be a materialized attribute (a real column), not a derived
+    expression: it is referenced several times below, and Spark has no
+    let-binding — a derived expression would be re-computed per reference
+    (measured 5× tokenization cost). See ``shingle_hash_frame``.
+    """
+    if n == 1:
+        return F.array_distinct(th)
+    idx = F.sequence(F.lit(1), F.size(th) - (n - 1))
+    combined = F.transform(
+        idx, lambda i: F.xxhash64(*[F.element_at(th, i + j) for j in range(n)])
+    )
+    return F.when(F.size(th) >= n, F.array_distinct(combined)).otherwise(
+        F.array_distinct(th)
+    )
+
+
+def shingle_hash_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, sh: array<long>) — 64-bit hashes of word n-gram shingles,
+    with no shingle strings ever built.
+
+    Tokens are hashed once; each shingle combines n consecutive token
+    hashes with one more xxhash64. Jaccard over hash sets equals Jaccard
+    over shingle sets up to 2^-64 collisions. The token-hash array is
+    bound through ``explode(array(...))`` — a Generate node — because
+    projection collapse would otherwise re-inline its computation into
+    every one of the several references inside the combine expression
+    (no let-binding in Catalyst; keeping it bound is ~3×).
+    """
+    th = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    bound = df.select(F.col(id_col).alias("id"), F.explode(F.array(th)).alias("th"))
+    return bound.select("id", _combine_shingles(F.col("th"), n).alias("sh"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -143,9 +184,8 @@ def minhash_signatures(
     regardless of document size. Same hash family as
     ``minhash_signature``, so the two forms agree bit-for-bit.
     """
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    ex = shingle_hash_frame(df, id_col, text_col, n).select(
+        "id", F.explode("sh").alias("s")
     )
     aggs = [
         F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh_{i}")
@@ -171,10 +211,7 @@ def minhash_candidate_pairs(
     pairs, so the verify step is linear-ish, not quadratic.
     """
     rows_per_band = num_hashes // bands
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("sh"),
-    )
+    shingled = shingle_hash_frame(df, id_col, text_col, n)
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
 
     band_cols = []

@@ -56,13 +56,11 @@ def test_minhash_signature_forms_agree(spark, docs):
     from animaltrackingetls_spark.operators.dedup import (
         minhash_signature,
         minhash_signatures,
-        word_shingles,
+        shingle_hash_frame,
     )
 
     k = 8
-    arr = docs.select(
-        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 3).alias("sh")
-    ).select("id", *minhash_signature(F.col("sh"), k))
+    arr = shingle_hash_frame(docs).select("id", *minhash_signature(F.col("sh"), k))
     agg = minhash_signatures(docs, num_hashes=k)
     a = {r.id: tuple(r[f"mh_{i}"] for i in range(k)) for r in arr.collect()}
     b = {r.id: tuple(r[f"mh_{i}"] for i in range(k)) for r in agg.collect()}
