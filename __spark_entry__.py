@@ -625,7 +625,153 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("media_id", "content_type", "n_bytes", "sha256_hex")
 
 
+def _q_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: catalog introspection — (table, column, ordinal) rows."""
+    from animaltrackingetls_spark.operators.aggregates import catalog_columns
+
+    return catalog_columns(spark, eio.load_all(spark, sf_dir))
+
+
+def _q_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: full-table COUNT(*) per table."""
+    from animaltrackingetls_spark.operators.aggregates import table_counts
+
+    return table_counts(eio.load_all(spark, sf_dir))
+
+
+def _q_scrub_na_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: stringified-NA scrub — sentinel strings become NULL."""
+    from animaltrackingetls_spark.functions.coercion import scrub_na_strings
+
+    ev = _t(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id",
+        F.expr(
+            "CASE event_id % 4 WHEN 0 THEN 'None' WHEN 1 THEN 'nan' "
+            "WHEN 2 THEN 'NaT' ELSE event_type END"
+        ).alias("v"),
+    )
+    return raw.select("event_id", scrub_na_strings(F.col("v")).alias("v"))
+
+
+def _q_udaf_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: GROUPED_AGG pandas UDAF — per-type median of value."""
+    from animaltrackingetls_spark.operators.aggregates import median_udaf
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(median_udaf("value"), 6).alias("median_value")
+    )
+
+
+def _q_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: GROUPED_AGG pandas UDAF — weighted mean of value."""
+    from animaltrackingetls_spark.operators.aggregates import weighted_mean_udaf
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "w", (F.col("event_id") % 7 + 1).cast("double")
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(weighted_mean_udaf("value", "w"), 6).alias("wmean_value")
+    )
+
+
+def _q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube aggregation over status × priority (all grouping sets)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram analysis: top-20 bigrams by document frequency."""
+    docs = _t(spark, sf_dir, "documents")
+    bg = docs.select(F.explode(dedup.word_shingles(F.col("text"), 2)).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+def _q_token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer segment counts per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.token_count_bpeish(F.col("text")).alias("n_bpeish")
+    )
+
+
+def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: tumbling-hour counts over the events stream,
+    run to completion with an AvailableNow trigger (§2.10 extension).
+    Returns the materialized result table — oracle-checkable because the
+    stream drains the same parquet the batch oracle reads."""
+    from pyspark.sql import types as T
+
+    from animaltrackingetls_spark.streaming import run_available_now_to_memory
+
+    # nanos timestamps surface as int64 under nanosAsLong — cast back.
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    run_available_now_to_memory(agg, "q_stream_wc", output_mode="complete")
+    return spark.table("q_stream_wc")
+
+
 # --- rows-only queries (no ANSI-SQL oracle; driver records weaker check) ---
+
+
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (xxhash64-based, rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.winnow_fingerprint_frame(docs)
+    return out.select("id", F.size("fps").alias("n_fps"))
+
+
+def _q_salted_join_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join — same aggregate as the plain join (oracle uses
+    the plain SQL join, proving the salt is result-transparent)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = joins.salted_join(
+        o.withColumnRenamed("o_custkey", "c_custkey"), c, ["c_custkey"]
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
 
 
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,7 +862,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_counts": _q_mask_counts,
         "distinct_event_types": _q_distinct_event_types,
         "media_metadata": _q_media_metadata,
+        "catalog_columns": _q_catalog_columns,
+        "table_counts": _q_table_counts,
+        "scrub_na_strings": _q_scrub_na_strings,
+        "udaf_median_value": _q_udaf_median_value,
+        "udaf_weighted_mean": _q_udaf_weighted_mean,
+        "cube_orders": _q_cube_orders,
+        "top_bigrams": _q_top_bigrams,
+        "token_count_bpeish": _q_token_count_bpeish,
+        "streaming_window_counts": _q_streaming_window_counts,
+        "salted_join_check": _q_salted_join_check,
         # rows-only (hash-based / approximate / Python-batch operators)
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_docs": _q_simhash_docs,
         "lsh_topk": _q_lsh_topk,
@@ -1133,5 +1290,93 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256_hex
             FROM documents
+        """,
+        "catalog_columns": """
+            SELECT table_name, column_name,
+                   CAST(ordinal_position AS INT) AS ordinal_position
+            FROM information_schema.columns
+            WHERE table_name IN ('region','nation','customer','supplier','part',
+                                 'orders','lineitem','events','documents',
+                                 'embeddings')
+        """,
+        "table_counts": """
+            SELECT 'region' AS table_name, count(*) AS n_rows FROM region
+            UNION ALL SELECT 'nation', count(*) FROM nation
+            UNION ALL SELECT 'customer', count(*) FROM customer
+            UNION ALL SELECT 'supplier', count(*) FROM supplier
+            UNION ALL SELECT 'part', count(*) FROM part
+            UNION ALL SELECT 'orders', count(*) FROM orders
+            UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+            UNION ALL SELECT 'events', count(*) FROM events
+            UNION ALL SELECT 'documents', count(*) FROM documents
+            UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+        """,
+        "scrub_na_strings": """
+            SELECT event_id,
+                   CASE WHEN v IN ('None', 'nan', 'NaT', '<NA>', '') THEN NULL
+                        ELSE v END AS v
+            FROM (
+              SELECT event_id,
+                     CASE event_id % 4 WHEN 0 THEN 'None' WHEN 1 THEN 'nan'
+                          WHEN 2 THEN 'NaT' ELSE event_type END AS v
+              FROM events
+            )
+        """,
+        "udaf_median_value": """
+            SELECT event_type, round(median(value), 6) AS median_value
+            FROM events GROUP BY event_type
+        """,
+        "udaf_weighted_mean": """
+            SELECT event_type,
+                   round(sum(value * w) / sum(w), 6) AS wmean_value
+            FROM (SELECT event_type, value,
+                         CAST(event_id % 7 + 1 AS DOUBLE) AS w FROM events)
+            GROUP BY event_type
+        """,
+        "cube_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "top_bigrams": """
+            WITH t AS (
+              SELECT regexp_extract_all(lower(text), '\\S+') AS toks
+              FROM documents
+            ),
+            s AS (
+              SELECT CASE WHEN len(toks) >= 2
+                          THEN list_distinct(list_transform(range(1, len(toks)),
+                                 i -> array_to_string(toks[i:i+1], ' ')))
+                          ELSE list_distinct(toks) END AS bgs
+              FROM t
+            )
+            SELECT bigram, count(*) AS n_docs
+            FROM s, unnest(s.bgs) AS u(bigram)
+            GROUP BY bigram
+            ORDER BY n_docs DESC, bigram
+            LIMIT 20
+        """,
+        "token_count_bpeish": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS INT) AS n_bpeish
+            FROM documents
+        """,
+        "streaming_window_counts": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "salted_join_check": """
+            SELECT c.c_mktsegment,
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS sum_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
         """,
     }

@@ -1,0 +1,90 @@
+"""Aggregation surface beyond plain groupBy.agg (SURVEY.md §2.7/§2.11 U4).
+
+* ``median_udaf`` / ``weighted_mean_udaf`` — Arrow-batched GROUPED_AGG
+  pandas UDAFs: the Python slow path, used only where no builtin
+  aggregate exists. Each group's column ships to Python as one Arrow
+  batch, so cost is one IPC round-trip per group, not per row.
+* ``catalog_columns`` — S4 catalog introspection as a DataFrame
+  (table/column/ordinal), the Spark-native
+  ``information_schema.columns ORDER BY ORDINAL_POSITION``.
+* ``table_counts`` — A2 full-table COUNT(*) per table.
+
+NOTE: no ``from __future__ import annotations`` here — pandas_udf infers
+the UDAF type from *evaluated* annotations; stringified ones raise
+UNSUPPORTED_SIGNATURE.
+"""
+
+from functools import cache
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+@cache
+def _median_udaf():
+    import pandas as pd
+
+    @pandas_udf("double")
+    def median(v: pd.Series) -> float:
+        return float(v.median())
+
+    return median
+
+
+@cache
+def _weighted_mean_udaf():
+    import pandas as pd
+
+    @pandas_udf("double")
+    def weighted_mean(v: pd.Series, w: pd.Series) -> float:
+        mask = v.notna() & w.notna()
+        tot = w[mask].sum()
+        return float((v[mask] * w[mask]).sum() / tot) if tot else float("nan")
+
+    return weighted_mean
+
+
+def median_udaf(v) -> Column:
+    """GROUPED_AGG pandas UDAF: median, pandas semantics (mean of the
+    middle pair for even counts). Built lazily — pandas_udf registration
+    needs an active session."""
+    return _median_udaf()(v)
+
+
+def weighted_mean_udaf(v, w) -> Column:
+    """GROUPED_AGG pandas UDAF: Σvw/Σw; NULL-value rows drop out."""
+    return _weighted_mean_udaf()(v, w)
+
+
+def catalog_columns(
+    spark: SparkSession, tables: dict[str, DataFrame]
+) -> DataFrame:
+    """S4: one row per (table_name, column_name, ordinal_position).
+
+    Registers the frames as temp views and introspects ``spark.catalog``
+    — the engine-native twin of the reference's information_schema scan
+    (catch_duplicates_script.py:45-51).
+    """
+    rows = []
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+        for i, col_info in enumerate(spark.catalog.listColumns(name), start=1):
+            rows.append((name, col_info.name, i))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, ordinal_position int"
+    )
+
+
+def table_counts(tables: dict[str, DataFrame]) -> DataFrame:
+    """A2: full-table row counts, one aggregate per table, unioned."""
+    counted = [
+        df.groupBy(F.lit(name).alias("table_name")).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        for name, df in tables.items()
+    ]
+    out = counted[0]
+    for c in counted[1:]:
+        out = out.unionByName(c)
+    return out

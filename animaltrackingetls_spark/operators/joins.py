@@ -136,6 +136,32 @@ def range_join(
     return left.join(right, on, how).filter(band)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-mitigated equi-join: hot keys on the big (left) side spread
+    over ``salt_buckets`` sub-keys; the small/replicable (right) side is
+    exploded ×buckets so every salted sub-key finds its match.
+
+    Use when one join key dominates (AQE's skew-join split handles sort-
+    merge skew, but salting also works for aggregations-after-join and
+    for engines/paths AQE doesn't cover). Results are identical to the
+    unsalted join; cost is ×buckets replication of the right side.
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
+    ).cast("int")
+    l = left.withColumn("_salt", salt)
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return l.join(r, on + ["_salt"], how).drop("_salt")
+
+
 def bucketized_range_join(
     left: DataFrame,
     right: DataFrame,

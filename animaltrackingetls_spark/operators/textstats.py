@@ -101,3 +101,56 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(F.col(text_col)).alias("md5_fp"),
         F.xxhash64(F.col(text_col)).alias("xx64_fp"),
     )
+
+
+# A no-lookaround approximation of the GPT-2/BPE pre-tokenizer split:
+# letter runs, digit runs, punctuation runs (RE2-safe, so the same
+# pattern is reusable in SQL engines for oracle parity).
+BPEISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def token_count_bpeish(c: Column) -> Column:
+    """Subword-ish token count: splits letter/digit/punct runs — a
+    deterministic stand-in for a BPE pre-tokenizer's segment count."""
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPEISH_PATTERN), F.lit(0)))
+
+
+def winnow_fingerprint_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fps: array<long>) — winnowing document fingerprints.
+
+    Classic rolling-hash scheme: hash every character k-gram, slide a
+    window of ``window`` consecutive k-gram hashes, keep each window's
+    minimum, distinct the kept set. Two documents sharing a substring of
+    length ≥ k + window - 1 share at least one fingerprint, so
+    containment/plagiarism candidates fall out of a fingerprint join.
+
+    The k-gram hash array is bound through ``explode(array(...))`` so the
+    window-min pass references an attribute instead of re-computing the
+    hash array per window (no let-binding in Catalyst).
+    """
+    s = F.lower(F.col(text_col))
+    n_grams = F.greatest(F.length(s) - (k - 1), F.lit(0))
+    # guard: sequence(1, 0) auto-descends ([1, 0]) instead of being empty
+    kh = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.xxhash64(s.substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    bound = df.select(F.col(id_col).alias("id"), F.explode(F.array(kh)).alias("kh"))
+    n_windows = F.greatest(F.size(F.col("kh")) - (window - 1), F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(F.col("kh"), j, window)),
+    )
+    fps = F.when(n_windows > 0, F.array_distinct(mins)).otherwise(
+        F.array_distinct(F.col("kh"))
+    )
+    return bound.select("id", fps.alias("fps"))

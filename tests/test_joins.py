@@ -89,6 +89,23 @@ def test_range_join(spark):
     assert out.count() == 1  # only (v=5, lo=0) matches on id=1
 
 
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(k % 3, i) for i, k in enumerate(range(30))], "k long, v long"
+    )
+    right = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "k long, tag string")
+    plain = {(r.k, r.v, r.tag) for r in left.join(right, ["k"]).collect()}
+    salted = {(r.k, r.v, r.tag) for r in joins.salted_join(left, right, ["k"]).collect()}
+    assert salted == plain
+
+
+def test_salted_join_left_outer(spark):
+    left = spark.createDataFrame([(1, "a"), (99, "b")], "k long, v string")
+    right = spark.createDataFrame([(1, "x")], "k long, tag string")
+    out = {r.v: r.tag for r in joins.salted_join(left, right, ["k"], how="left").collect()}
+    assert out == {"a": "x", "b": None}
+
+
 def test_bucketized_range_join(spark):
     pts = spark.createDataFrame(
         [(1, datetime.date(2024, 1, 3)), (2, datetime.date(2024, 2, 1))],

@@ -45,6 +45,35 @@ def test_fingerprint_deterministic(spark):
     assert rows[1][0] == "900150983cd24fb0d6963f7d28e17f72"  # md5('abc')
 
 
+def test_token_count_bpeish_splits_runs(spark):
+    df = spark.createDataFrame([("Hello, world42!",)], "t string")
+    out = df.select(textstats.token_count_bpeish(F.col("t")).alias("n")).collect()[0].n
+    # hello | , | world | 42 | !
+    assert out == 5
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "CCCC " + shared + " DDDD"),
+            (3, "totally unrelated content with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r.id: set(r.fps) for r in textstats.winnow_fingerprint_frame(df).collect()}
+    assert fps[1] & fps[2]          # shared substring → shared fingerprint
+    assert not (fps[1] & fps[3])    # unrelated docs → disjoint
+    assert all(len(v) > 0 for v in fps.values())
+
+
+def test_winnow_short_text_falls_back(spark):
+    df = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+    out = textstats.winnow_fingerprint_frame(df, k=8, window=4).collect()[0]
+    assert out.fps == []  # shorter than k → no k-grams, empty set
+
+
 def test_tokens_are_lowercased_whitespace_split(spark):
     df = spark.createDataFrame([("Foo  BAR\tbaz",)], "t string")
     out = df.select(textstats.tokens(F.col("t")).alias("tk")).collect()[0].tk
