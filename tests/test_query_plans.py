@@ -1,0 +1,54 @@
+"""Plan-shape assertions for headline queries — the 100 TB design
+properties (broadcasts, pruning, no cartesians, top-k physical op) kept
+as regression tests, not one-time explain() eyeballs."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from animaltrackingetls_spark.plans.audit import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    formatted_plan,
+    scan_read_schema,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q5_broadcasts_dims_no_cartesian(spark):
+    df = entry._q_q5_local_supplier(spark, SF)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df)
+
+
+def test_geocode_join_is_broadcast(spark):
+    df = entry._q_geocode_broadcast(spark, SF)
+    assert_broadcast_join(df)
+
+
+def test_minhash_plan_shuffles_only_band_keys(spark):
+    df = entry._q_minhash_lsh_pairs(spark, SF)
+    assert_no_cartesian(df)
+
+
+def test_topk_orders_uses_take_ordered(spark):
+    df = entry._q_topk_orders(spark, SF)
+    # top-k must be TakeOrderedAndProject (per-partition heap + merge),
+    # never a global sort of the whole table
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_q1_scan_prunes_columns(spark):
+    df = entry._q_q1_pricing_summary(spark, SF)
+    cols = set(scan_read_schema(df))
+    # 7 needed columns of lineitem's 11 — projection reached the reader
+    assert cols == {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }
+
+
+def test_flagship_runs_and_has_no_cartesian(spark):
+    df = entry.entry(spark)
+    assert_no_cartesian(df)
+    assert df.count() > 0
