@@ -42,9 +42,31 @@ from animaltrackingetls_spark.serving import dynamic_filters
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+# Runtime-settable confs the queries depend on, applied defensively in
+# case the caller's SparkSession was not built by session.get_spark():
+# nanos parquet readability, UTC temporal semantics (parse/derive parity
+# with the reference's utc=True), and Python-DataSource pushdown.
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.python.filterPushdown.enabled": "true",
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+}
+
+
+def _ensure_confs(spark: SparkSession) -> SparkSession:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this deployment — proceed best-effort
+    return spark
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return eio.load_table(spark, sf_dir, name)
+    return eio.load_table(_ensure_confs(spark), sf_dir, name)
 
 
 # ---------------------------------------------------------------------------
@@ -629,14 +651,14 @@ def _q_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4: catalog introspection — (table, column, ordinal) rows."""
     from animaltrackingetls_spark.operators.aggregates import catalog_columns
 
-    return catalog_columns(spark, eio.load_all(spark, sf_dir))
+    return catalog_columns(spark, eio.load_all(_ensure_confs(spark), sf_dir))
 
 
 def _q_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: full-table COUNT(*) per table."""
     from animaltrackingetls_spark.operators.aggregates import table_counts
 
-    return table_counts(eio.load_all(spark, sf_dir))
+    return table_counts(eio.load_all(_ensure_confs(spark), sf_dir))
 
 
 def _q_scrub_na_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -714,6 +736,7 @@ def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from animaltrackingetls_spark.streaming import run_available_now_to_memory
 
+    _ensure_confs(spark)
     # nanos timestamps surface as int64 under nanosAsLong — cast back.
     raw_schema = T.StructType(
         [
