@@ -783,6 +783,13 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.size("fps").alias("n_fps"))
 
 
+def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blockless near-dup via hyperplane LSH buckets (rows-only: bucket
+    membership is hash-seeded; exact-cosine recall is pinned by tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_lsh(emb, dim=64, threshold=0.3, n_planes=4)
+
+
 def _q_salted_join_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted join — same aggregate as the plain join (oracle uses
     the plain SQL join, proving the salt is result-transparent)."""
@@ -897,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_check": _q_salted_join_check,
         # rows-only (hash-based / approximate / Python-batch operators)
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_docs": _q_simhash_docs,
         "lsh_topk": _q_lsh_topk,

@@ -299,7 +299,8 @@ def embedding_neardup_pairs(
     if block_col is None:
         raise ValueError(
             "embedding_neardup_pairs requires a block column; an unblocked "
-            "self-join is O(n^2). Use similarity.lsh_topk for blockless ANN."
+            "self-join is O(n^2). Use embedding_neardup_lsh when no natural "
+            "block exists."
         )
     base = df.select(
         F.col(id_col).alias("id"),
@@ -315,4 +316,60 @@ def embedding_neardup_pairs(
         a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Blockless embedding near-dup: random-hyperplane LSH buckets stand
+    in for the attribute block, then exact cosine verifies candidates.
+
+    Each vector lands in one bucket per table; the self-join runs per
+    (table, bucket) — expected bucket size n/2^planes, so the candidate
+    count stays near-linear. Recall rises with ``n_tables`` (OR over
+    independent tables); high thresholds need few planes' agreement
+    because near-identical vectors share sign patterns.
+    """
+    from .similarity import _bucket_expr, _hyperplanes, cosine_expr
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        tables.append(
+            base.select(
+                "id", "v", F.lit(t).alias("tbl"),
+                _bucket_expr(F.col("v"), planes).alias("bkt"),
+            )
+        )
+    buckets = tables[0]
+    for x in tables[1:]:
+        buckets = buckets.unionByName(x)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = cosine_expr(F.col("va"), F.col("vb"))
+    return cand.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
+        F.col("cosine_sim") >= threshold
     )

@@ -83,6 +83,24 @@ def test_embedding_neardup_requires_block(spark):
         dedup.embedding_neardup_pairs(emb, block_col=None)
 
 
+def test_embedding_neardup_lsh_blockless(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(30):
+        base = [1.0, 0.0, 0.0, 0.0]
+        rows.append((i, [x + rng.gauss(0, 0.005) for x in base]))   # tight cluster
+    for i in range(30, 60):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(4)]))       # noise
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dedup.embedding_neardup_lsh(df, dim=4, threshold=0.99, n_planes=3).collect()
+    in_cluster = {(r.id_a, r.id_b) for r in pairs if r.id_a < 30 and r.id_b < 30}
+    cross = [(r.id_a, r.id_b) for r in pairs if (r.id_a < 30) != (r.id_b < 30)]
+    assert len(in_cluster) > 100   # most of the 435 cluster pairs recovered
+    assert not cross               # no noise vector passes 0.99 cosine
+
+
 def test_embedding_neardup_pairs(spark):
     emb = spark.createDataFrame(
         [

@@ -38,6 +38,20 @@ def test_write_partitioned_dynamic_overwrite(spark, tmp_path):
     assert out == {(9, "a"), (2, "b")}
 
 
+def test_write_rejects_csv_roundtrip(spark, tmp_path):
+    from animaltrackingetls_spark.io import write_rejects_csv
+
+    path = str(tmp_path / "rejects")
+    bad = spark.createDataFrame(
+        [("3", "unparseable_eventDate", "eventDate=junk")],
+        "gbifID string, _failure_reason string, _failure_detail string",
+    )
+    write_rejects_csv(bad, path)
+    back = spark.read.option("header", True).csv(path)
+    row = back.collect()[0]
+    assert (row.gbifID, row._failure_reason) == ("3", "unparseable_eventDate")
+
+
 def test_union_append_fills_missing_columns(spark):
     a = spark.createDataFrame([(1, "x")], "id long, v string")
     b = spark.createDataFrame([(2,)], "id long")
