@@ -438,10 +438,16 @@ def _q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("c_ts"),
-        F.col("value").alias("c_value"),
+    # Dedup clicks per (user, ts) keeping max value: with unique match
+    # timestamps, both engines' as-of tie behavior is irrelevant — the
+    # oracle comparison cannot go nondeterministic on same-ts clicks.
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .agg(F.max("value").alias("c_value"))
     )
     return joins.asof_join(
         purchases, clicks, "ts", "c_ts", "user_id", "c_user", left_id="event_id"
@@ -1189,8 +1195,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id, l.ts, r.c_ts, r.c_value
             FROM (SELECT event_id, user_id, ts FROM events
                   WHERE event_type = 'purchase') l
-            ASOF LEFT JOIN (SELECT user_id AS c_user, ts AS c_ts, value AS c_value
-                            FROM events WHERE event_type = 'click') r
+            ASOF LEFT JOIN (SELECT user_id AS c_user, ts AS c_ts,
+                                   max(value) AS c_value
+                            FROM events WHERE event_type = 'click'
+                            GROUP BY 1, 2) r
               ON l.user_id = r.c_user AND l.ts >= r.c_ts
         """,
         "range_join_weeks": """

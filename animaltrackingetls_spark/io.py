@@ -19,29 +19,35 @@ TABLES = [
 ]
 
 
+_NANOS_COLUMNS_CACHE: dict[str, list[str]] = {}
+
+
 def _nanos_timestamp_columns(path: str) -> list[str]:
     """Column names stored as parquet TIMESTAMP(NANOS) at ``path``.
 
     Spark 4 cannot read nanos timestamps natively; with
     ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) they
     surface as raw int64 nanoseconds and must be cast back. Footer-only
-    inspection via pyarrow — no data read.
+    inspection via pyarrow — no data read; memoized per path (testdata is
+    immutable and queries reference the same tables repeatedly).
     """
+    if path in _NANOS_COLUMNS_CACHE:
+        return _NANOS_COLUMNS_CACHE[path]
+    result: list[str] = []
     try:
         import pyarrow.parquet as pq
-    except ImportError:  # pragma: no cover - pyarrow is baked into the env
-        return []
-    target = path
-    if os.path.isdir(path):
-        inner = sorted(_glob.glob(os.path.join(path, "*.parquet")))
-        if not inner:
-            return []
-        target = inner[0]
-    try:
-        schema = pq.read_schema(target)
+
+        target = path
+        if os.path.isdir(path):
+            inner = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+            target = inner[0] if inner else None
+        if target is not None:
+            schema = pq.read_schema(target)
+            result = [f.name for f in schema if str(f.type) == "timestamp[ns]"]
     except Exception:
-        return []
-    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+        result = []
+    _NANOS_COLUMNS_CACHE[path] = result
+    return result
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

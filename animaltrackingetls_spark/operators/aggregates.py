@@ -77,10 +77,14 @@ def catalog_columns(
 
 
 def table_counts(tables: dict[str, DataFrame]) -> DataFrame:
-    """A2: full-table row counts, one aggregate per table, unioned."""
+    """A2: full-table row counts, one aggregate per table, unioned.
+
+    Global agg (not groupBy on a literal): an empty table must still
+    yield its (name, 0) row, matching COUNT(*) semantics.
+    """
     counted = [
-        df.groupBy(F.lit(name).alias("table_name")).agg(
-            F.count(F.lit(1)).alias("n_rows")
+        df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("table_name"), "n_rows"
         )
         for name, df in tables.items()
     ]

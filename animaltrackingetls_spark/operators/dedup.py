@@ -212,7 +212,18 @@ def minhash_candidate_pairs(
     """
     rows_per_band = num_hashes // bands
     shingled = shingle_hash_frame(df, id_col, text_col, n)
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # The shingle frame feeds three plan branches (signatures + both
+    # sides of the verify join); without persist each branch re-runs the
+    # full tokenize+hash pass — persist trades one spill-able
+    # materialization for two recomputes of the most expensive stage.
+    shingled = shingled.persist()
+    sig_src = shingled.select("id", F.explode("sh").alias("s"))
+    sig = sig_src.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
 
     band_cols = []
     for b in range(bands):
@@ -254,7 +265,12 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     the sign vector re-packs into a 64-bit long. Documents with small
     Hamming distance between simhashes are near-duplicates.
     """
-    toked = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    # explode_outer: a document whose text tokenizes to nothing still gets
+    # a row (tok NULL → one deterministic vote vector, the same for every
+    # empty document), instead of silently vanishing from the audit.
+    toked = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(tokens(F.col(text_col))).alias("tok")
+    )
     h = F.xxhash64(F.col("tok"))
     votes = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{i}")

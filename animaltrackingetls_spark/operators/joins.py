@@ -87,7 +87,20 @@ def merge_asof_grouped(
     is a linear sorted merge (no rank materialization). Arrow moves the
     batches; keep per-key groups bounded (salt years/months into the key
     for unbounded histories).
+
+    ``right_value_cols`` must not collide with left column names:
+    pd.merge_asof would suffix the right column and the positional select
+    would silently return left-side values (or clobber the left column)
+    — refused up front instead.
     """
+    collisions = set(right_value_cols) & set(left.columns)
+    if right_ts in left.columns and right_ts != left_ts:
+        collisions.add(right_ts)
+    if collisions:
+        raise ValueError(
+            f"right_value_cols collide with left columns: {sorted(collisions)}; "
+            "rename the right-side columns before the as-of merge"
+        )
     import pandas as pd
 
     out_schema = ", ".join(
@@ -131,9 +144,33 @@ def range_join(
     band,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-key + band-predicate join: equi part runs as a hash join,
-    `band` (a Column over the joined frame) post-filters the range."""
-    return left.join(right, on, how).filter(band)
+    """Equi-key + band-predicate join: the equi part runs as a hash join
+    and ``band`` (a Column over the joined columns) restricts the range.
+
+    For ``how='inner'`` the band is an equivalent post-join filter. For
+    outer joins a post-filter would be WRONG (it drops null-extended
+    rows, silently degrading to inner), so the band goes into the join
+    condition itself; the duplicate key columns are then resolved
+    (kept from the preserved side, coalesced for full outer).
+    """
+    if how == "inner":
+        return left.join(right, on, how).filter(band)
+    cond = None
+    for c in on:
+        e = left[c].eqNullSafe(right[c]) if how == "full" else (left[c] == right[c])
+        cond = e if cond is None else cond & e
+    joined = left.join(right, cond & band, how)
+    if how in ("left", "left_outer"):
+        for c in on:
+            joined = joined.drop(right[c])
+    elif how in ("right", "right_outer"):
+        for c in on:
+            joined = joined.drop(left[c])
+    elif how in ("full", "full_outer", "outer"):
+        for c in on:
+            joined = joined.withColumn(f"_k_{c}", F.coalesce(left[c], right[c]))
+            joined = joined.drop(left[c]).drop(right[c]).withColumnRenamed(f"_k_{c}", c)
+    return joined
 
 
 def salted_join(
@@ -150,8 +187,17 @@ def salted_join(
     Use when one join key dominates (AQE's skew-join split handles sort-
     merge skew, but salting also works for aggregations-after-join and
     for engines/paths AQE doesn't cover). Results are identical to the
-    unsalted join; cost is ×buckets replication of the right side.
+    unsalted join for inner/left/semi/anti; cost is ×buckets replication
+    of the right side. Right/full outer joins are refused: the exploded
+    right copies would null-extend once per unmatched salt bucket.
     """
+    if how.replace("_outer", "") in ("right", "full", "outer"):
+        raise ValueError(
+            "salted_join supports inner/left/semi/anti joins only; a "
+            "right/full outer join over exploded salt copies emits one "
+            "null-extended row per unmatched bucket. Swap the sides or "
+            "use AQE skew handling for outer joins."
+        )
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
     ).cast("int")

@@ -116,4 +116,12 @@ def run_available_now_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_seconds)
+    finished = q.awaitTermination(timeout_seconds)
+    if not finished:
+        # Returning here would hand the caller a silently-partial memory
+        # table and leak a query still holding the queryName.
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {query_name!r} did not drain within "
+            f"{timeout_seconds}s; raise timeout_seconds for this volume"
+        )

@@ -31,7 +31,10 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         elif str(df[c].dtype) in ("float64", "float32"):
             df[c] = df[c].round(9)
         elif str(df[c].dtype).startswith(("int", "uint", "Int")):
-            df[c] = df[c].astype("int64", errors="ignore")
+            try:
+                df[c] = df[c].astype("int64")
+            except (TypeError, ValueError):
+                pass
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 

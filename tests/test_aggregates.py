@@ -39,3 +39,10 @@ def test_table_counts(spark):
     b = spark.createDataFrame([(1,)], "id long")
     out = {r.table_name: r.n_rows for r in table_counts({"ta": a, "tb": b}).collect()}
     assert out == {"ta": 2, "tb": 1}
+
+
+def test_table_counts_includes_empty_tables(spark):
+    a = spark.createDataFrame([(1,)], "id long")
+    empty = a.filter(F.col("id") < 0)
+    out = {r.table_name: r.n_rows for r in table_counts({"a": a, "e": empty}).collect()}
+    assert out == {"a": 1, "e": 0}  # COUNT(*)=0 row, not a missing row

@@ -77,6 +77,15 @@ def test_simhash_near_dups_have_small_hamming(spark, docs):
     assert near <= 8
 
 
+def test_simhash_keeps_empty_documents(spark):
+    df = spark.createDataFrame(
+        [(1, "real content here"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    out = {r.id: r.simhash for r in dedup.simhash64(df).collect()}
+    assert set(out) == {1, 2, 3}      # empty docs get a row, not dropped
+    assert out[2] == out[3]            # ...and the same deterministic hash
+
+
 def test_embedding_neardup_requires_block(spark):
     emb = spark.createDataFrame([(1, [1.0, 0.0], 0)], "vec_id long, embedding array<double>, label int")
     with pytest.raises(ValueError):

@@ -89,6 +89,36 @@ def test_range_join(spark):
     assert out.count() == 1  # only (v=5, lo=0) matches on id=1
 
 
+def test_range_join_left_outer_preserves_unmatched(spark):
+    points = spark.createDataFrame([(1, 5), (2, 99)], "id long, v int")
+    bands = spark.createDataFrame([(1, 0), (2, 0)], "id long, lo int")
+    out = joins.range_join(
+        points, bands, ["id"],
+        (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("lo") + 10),
+        how="left",
+    )
+    rows = {r.id: r.lo for r in out.collect()}
+    assert rows == {1: 0, 2: None}  # id=2 out of band → survives null-extended
+
+
+def test_salted_join_refuses_full_outer(spark):
+    l = spark.createDataFrame([(1, "a")], "k long, v string")
+    r = spark.createDataFrame([(2, "x")], "k long, tag string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        joins.salted_join(l, r, ["k"], how="full")
+
+
+def test_merge_asof_refuses_column_collision(spark):
+    l = spark.createDataFrame([(1, "A", 1.0)], "id long, sym string, px double")
+    r = spark.createDataFrame([("A", 2.0)], "sym string, px double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        joins.merge_asof_grouped(l, r, "px", "px", "sym", "sym", ["px"])
+
+
 def test_salted_join_matches_plain_join(spark):
     left = spark.createDataFrame(
         [(k % 3, i) for i, k in enumerate(range(30))], "k long, v long"
