@@ -12,6 +12,8 @@ Layout:
     schema       Canonical 35-column occurrence schema + align helpers.
     functions/   Scalar expression library (date rescue, parsing, coercion).
     cleaning     Clean/reject two-branch DAG (the reference's cleaning kernel).
+    pipeline     The §3.1 flagship lifecycle composed end-to-end
+                 (extract → clean → enrich → load → register → rejects).
     enrichment   Geocode enrichment as broadcast join / mapInPandas.
     inventory    Load-catalog upsert (MERGE-style), table naming, date helpers.
     serving      Dynamic serving filters, date match, JSON edge sink.

@@ -1,0 +1,105 @@
+"""End-to-end occurrence pipeline — the reference's flagship lifecycle
+(SURVEY.md §3.1, ``monarch_etl_day_scan``) as one lazy Spark DAG.
+
+Reference stages → Spark form:
+1.  extract   paginated REST scan → any occurrence-shaped DataFrame
+              (the ``paged_rest`` source, a parquet landing dir, JDBC…)
+2.  clean     rescue dates, parse, coerce coords/counts, split
+              good/reject (cleaning.clean_occurrences — one tagged
+              projection, two filters, zero shuffles)
+3.  enrich    geocode broadcast join (deterministic) or batched service
+4.  time_only + temporal derivation (inside the cleaning kernel)
+5.  schema    canonical 35-column alignment (inside the cleaning kernel)
+6.  rejects   CSV sidecar export (io.write_rejects_csv)
+7.  load      partitioned parquet, dynamic overwrite per date_only —
+              the scalable replacement for table-per-day
+8.  register  inventory upsert keyed on available_date
+
+Stages 2-5 are narrow transformations — Catalyst plans the whole thing
+as a single scan with two output branches; the only shuffles are the
+inventory count and the (tiny) broadcast build. The reference's
+empty-input short-circuits (F7, etl.py:56-58) are preserved.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .cleaning import CleanResult, clean_occurrences, rejection_histogram
+from .enrichment import geocode_broadcast_join
+from .inventory import INVENTORY_COLUMNS, register_load, upsert_parquet
+from .io import write_partitioned, write_rejects_csv
+from .serving import is_empty
+
+
+@dataclass
+class PipelineResult:
+    good: DataFrame
+    rejected: DataFrame
+    reject_histogram: DataFrame
+    inventory: DataFrame | None
+    loaded_rows: int
+
+
+def occurrence_scan(
+    spark: SparkSession,
+    raw: DataFrame,
+    output_dir: str | None = None,
+    rejects_dir: str | None = None,
+    inventory_path: str | None = None,
+    geocode_dim: DataFrame | None = None,
+    processed_at: str | None = None,
+) -> PipelineResult:
+    """Run the full §3.1 lifecycle over ``raw`` occurrence records.
+
+    All sinks are optional so the same function serves tests (no writes),
+    the day-scan job (all three sinks), and serving backfills. A
+    multi-day input needs no loop — the partitioned write and the
+    group-wise inventory registration handle any number of days in one
+    pass (the reference's ``monarch_etl_multi_day_scan`` sequential loop
+    collapses into this).
+    """
+    if is_empty(raw):  # F7: abort before planning any downstream work
+        empty = raw.sparkSession.createDataFrame([], raw.schema)
+        return PipelineResult(empty, empty, empty, None, 0)
+
+    result: CleanResult = clean_occurrences(raw, cache=True)
+    good = result.good
+    if geocode_dim is not None:
+        enriched = geocode_broadcast_join(
+            good.drop("county", "cityOrTown"), geocode_dim
+        )
+        good = enriched.select(*good.columns)
+
+    if rejects_dir is not None and not is_empty(result.rejected):
+        write_rejects_csv(result.rejected, rejects_dir)
+
+    loaded_rows = 0
+    if output_dir is not None:
+        write_partitioned(good, output_dir, ["date_only"])
+        loaded_rows = spark.read.parquet(output_dir).count()
+
+    inventory = None
+    if inventory_path is not None:
+        try:
+            existing = spark.read.parquet(inventory_path)
+        except Exception:
+            existing = spark.createDataFrame(
+                [],
+                "available_date date, table_name string, "
+                "record_count bigint, processed_at string",
+            )
+        merged = register_load(existing, good, processed_at=processed_at)
+        inventory = upsert_parquet(
+            spark, inventory_path, merged.select(*INVENTORY_COLUMNS), ["available_date"]
+        )
+
+    return PipelineResult(
+        good=good,
+        rejected=result.rejected,
+        reject_histogram=rejection_histogram(result.rejected),
+        inventory=inventory,
+        loaded_rows=loaded_rows,
+    )
