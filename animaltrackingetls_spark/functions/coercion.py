@@ -30,13 +30,17 @@ def count_with_default(c: Column | None, default: int = 1) -> Column:
     and decimal strings like '2.5' are valid inputs — ``try_cast('long')``
     would NULL both and silently default them. double→long truncates,
     matching the reference's ``to_numeric(...).fillna(1).astype(int)``.
+
+    Edge semantics: 'NaN' parses to double NaN (→ default, like pandas
+    fillna); ±Infinity and values beyond long range null out via
+    try_cast (→ default) where pandas ``astype(int)`` would raise —
+    coerce-don't-crash is this kernel's contract.
     """
     if c is None:
         return F.lit(default).cast("long")
-    return F.coalesce(
-        F.trim(c.cast("string")).try_cast("double").cast("long"),
-        F.lit(default).cast("long"),
-    )
+    d = F.trim(c.cast("string")).try_cast("double")
+    d = F.when(F.isnan(d), F.lit(None)).otherwise(d)
+    return F.coalesce(d.try_cast("long"), F.lit(default).cast("long"))
 
 
 def scrub_na_strings(c: Column) -> Column:
