@@ -830,6 +830,15 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries_df, k=10, dim=64, round_digits=6)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF (k-means cells) + exact re-rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(
+        emb, queries_df, k=10, n_centroids=8, n_probe=2, round_digits=6
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (stub codec)."""
     docs = _t(spark, sf_dir, "documents")
@@ -914,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_docs": _q_simhash_docs,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "multimodal_features": _q_multimodal_features,
         "approx_users_per_type": _q_approx_users_per_type,
     }

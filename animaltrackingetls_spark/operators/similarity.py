@@ -102,6 +102,86 @@ def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning.
+
+    k-means centroids (Spark ML, one pass over the corpus) define the
+    cells; each corpus vector lands in its nearest cell, each query
+    probes its ``n_probe`` nearest cells, and exact cosine re-ranks the
+    candidates. Versus hyperplane LSH: data-adaptive cells give better
+    recall on clustered corpora at the same candidate budget; the
+    tradeoff is the training pass. At 100 TB, train on a sample, persist
+    the centroid assignment partitioned by cell, and queries touch only
+    ``n_probe`` cells' partitions.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+
+    train = c.withColumn("features", array_to_vector(F.col("n_vec")))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    c_cells = model.transform(train).select(
+        "n_id", "n_vec", F.col("prediction").alias("cell")
+    )
+
+    # centroids are tiny: ship as literal arrays, rank cells per query
+    centroids = [
+        (ci, [float(x) for x in center]) for ci, center in enumerate(model.clusterCenters())
+    ]
+    cent_rows = [F.struct(F.lit(ci).alias("cell"), F.array(*[F.lit(x) for x in vec]).alias("cv"))
+                 for ci, vec in centroids]
+    q_cells = (
+        q.select("q_id", "q_vec", F.explode(F.array(*cent_rows)).alias("ct"))
+        .select(
+            "q_id", "q_vec", F.col("ct.cell").alias("cell"),
+            F.aggregate(
+                F.zip_with(F.col("q_vec"), F.col("ct.cv"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            ).alias("dist2"),
+        )
+    )
+    w_cell = Window.partitionBy("q_id").orderBy(F.asc("dist2"), F.asc("cell"))
+    probes = (
+        q_cells.withColumn("_r", F.row_number().over(w_cell))
+        .filter(F.col("_r") <= n_probe)
+        .select("q_id", "q_vec", "cell")
+    )
+
+    cand = (
+        c_cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    sim = cosine_expr(F.col("q_vec"), F.col("n_vec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = cand.select("q_id", "n_id", sim.alias("cosine_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cosine_sim")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

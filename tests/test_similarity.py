@@ -57,6 +57,38 @@ def test_lsh_topk_recall_on_clusters(spark):
         assert neigh and all(n % 2 == qid % 2 for n in neigh)
 
 
+def test_ivf_topk_recall_on_clusters(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 0.0, 0.0, 1.0]
+        rows.append((i, [x + rng.gauss(0, 0.02) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 2)
+    out = similarity.ivf_topk(df, q, k=5, n_centroids=4, n_probe=1).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r.n_id)
+    assert set(by_q) == {0, 1}
+    for qid, neigh in by_q.items():
+        assert len(neigh) == 5
+        assert all(n % 2 == qid % 2 for n in neigh)  # stays in own cluster
+
+
+def test_ivf_matches_brute_force_when_probing_all_cells(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)] + [
+        (10, [0.7, 0.7, 0.0, 0.0])
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 10)
+    exact = {(r.n_id, r.rank) for r in similarity.brute_force_topk(df, q, k=3).collect()}
+    ivf = {(r.n_id, r.rank) for r in similarity.ivf_topk(
+        df, q, k=3, n_centroids=2, n_probe=2).collect()}
+    assert ivf == exact  # probing every cell ⇒ identical to exact search
+
+
 def test_round_digits_rounds_similarity(vectors):
     q = vectors.filter(F.col("vec_id") == 0)
     out = similarity.brute_force_topk(vectors, q, k=1, round_digits=2).collect()
