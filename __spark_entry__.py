@@ -367,6 +367,12 @@ def _q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(d, ["md5_fp"], "doc_id")
 
 
+def _q_dup_audit_all_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 reference-exact: GROUP BY every column, HAVING count>1."""
+    d = _docs_with_dups(spark, sf_dir).drop("doc_id")  # clones differ only by id
+    return dedup.duplicate_audit(d)
+
+
 def _q_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keep-list: deterministic min-id representative per digest."""
     d = _docs_with_dups(spark, sf_dir).withColumn("md5_fp", F.md5("text"))
@@ -882,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geocode_broadcast": _q_geocode_broadcast,
         "enrich_batched": _q_enrich_batched,
         "dup_groups": _q_dup_groups,
+        "dup_audit_all_columns": _q_dup_audit_all_columns,
         "dedup_kept": _q_dedup_kept,
         "fingerprint": _q_fingerprint,
         "text_quality": _q_text_quality,
@@ -1086,6 +1093,13 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS canonical_id,
                    count(*) AS n_copies
             FROM d GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dup_audit_all_columns": f"""
+            WITH {_DOCS_WITH_DUPS_SQL}
+            SELECT text, lang, source, n_chars, count(*) AS duplicate_count
+            FROM d
+            GROUP BY text, lang, source, n_chars
+            HAVING count(*) > 1
         """,
         "dedup_kept": f"""
             WITH {_DOCS_WITH_DUPS_SQL}

@@ -36,6 +36,21 @@ def exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> DataFra
     )
 
 
+def duplicate_audit(df: DataFrame) -> DataFrame:
+    """A1, reference-exact form: GROUP BY *every* column (discovered
+    dynamically from the frame, as the reference discovers them from the
+    catalog), HAVING count(*) > 1 — full-row duplicate report with a
+    ``duplicate_count`` column (catch_duplicates_script.py:56-67
+    semantics). For wide tables prefer ``exact_duplicates`` on a content
+    digest: same answer, narrow shuffle key.
+    """
+    return (
+        df.groupBy(*df.columns)
+        .agg(F.count(F.lit(1)).alias("duplicate_count"))
+        .filter(F.col("duplicate_count") > 1)
+    )
+
+
 def drop_exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep the min-id representative per key — deterministic, unlike
     dropDuplicates (which keeps an arbitrary row per key)."""
