@@ -325,7 +325,7 @@ def embedding_neardup_pairs(
     all-pairs cartesian — a scale-killer at 100 TB. Use
     ``similarity.lsh_topk`` buckets when no natural block exists.
     """
-    from .similarity import cosine_expr
+    from .similarity import cosine_with_norms, norm_expr
 
     if block_col is None:
         raise ValueError(
@@ -336,13 +336,13 @@ def embedding_neardup_pairs(
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
-    )
+        F.col(block_col).alias("blk"),
+    ).withColumn("nrm", norm_expr(F.col("v")))
     a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
-    sim = cosine_expr(F.col("a.v"), F.col("b.v"))
+    cond = (F.col("a.id") < F.col("b.id")) & (F.col("a.blk") == F.col("b.blk"))
+    sim = cosine_with_norms(
+        F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+    )
     return (
         a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cosine_sim"))
@@ -369,17 +369,17 @@ def embedding_neardup_lsh(
     independent tables); high thresholds need few planes' agreement
     because near-identical vectors share sign patterns.
     """
-    from .similarity import _bucket_expr, _hyperplanes, cosine_expr
+    from .similarity import _bucket_expr, _hyperplanes, cosine_with_norms, norm_expr
 
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).withColumn("nrm", norm_expr(F.col("v")))
     tables = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
         tables.append(
             base.select(
-                "id", "v", F.lit(t).alias("tbl"),
+                "id", "v", "nrm", F.lit(t).alias("tbl"),
                 _bucket_expr(F.col("v"), planes).alias("bkt"),
             )
         )
@@ -397,10 +397,11 @@ def embedding_neardup_lsh(
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
             F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+            F.col("a.nrm").alias("na"), F.col("b.nrm").alias("nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = cosine_expr(F.col("va"), F.col("vb"))
+    sim = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return cand.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
         F.col("cosine_sim") >= threshold
     )

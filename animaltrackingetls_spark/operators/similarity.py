@@ -41,6 +41,15 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine given precomputed norms. Higher-order functions
+    (zip_with/aggregate) are CodegenFallback — interpreted per call — so
+    a pair expression must run ONE of them (the dot), not three: compute
+    each vector's norm once per row upstream and reference it here.
+    Numerically identical to ``cosine_expr`` (same fold order)."""
+    return dot_expr(a, b) / (na * nb)
+
+
 def _as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
 
@@ -64,9 +73,15 @@ def brute_force_topk(
     comparing against an external engine whose floating-point reduction
     order differs (ranking on rounded values is cross-engine stable).
     """
-    c = corpus.select(F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec"))
-    q = queries.select(F.col(query_id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec"))
-    sim = cosine_expr(F.col("q_vec"), F.col("n_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
+    ).withColumn("n_nrm", norm_expr(F.col("n_vec")))
+    q = queries.select(
+        F.col(query_id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("q_nrm", norm_expr(F.col("q_vec")))
+    sim = cosine_with_norms(
+        F.col("q_vec"), F.col("n_vec"), F.col("q_nrm"), F.col("n_nrm")
+    )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = c.join(F.broadcast(q), F.col("n_id") != F.col("q_id")).select(
@@ -130,15 +145,15 @@ def ivf_topk(
 
     c = corpus.select(
         F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
-    )
+    ).withColumn("n_nrm", norm_expr(F.col("n_vec")))
     q = queries.select(
         F.col(query_id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    )
+    ).withColumn("q_nrm", norm_expr(F.col("q_vec")))
 
     train = c.withColumn("features", array_to_vector(F.col("n_vec")))
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
     c_cells = model.transform(train).select(
-        "n_id", "n_vec", F.col("prediction").alias("cell")
+        "n_id", "n_vec", "n_nrm", F.col("prediction").alias("cell")
     )
 
     # centroids are tiny: ship as literal arrays, rank cells per query
@@ -148,9 +163,9 @@ def ivf_topk(
     cent_rows = [F.struct(F.lit(ci).alias("cell"), F.array(*[F.lit(x) for x in vec]).alias("cv"))
                  for ci, vec in centroids]
     q_cells = (
-        q.select("q_id", "q_vec", F.explode(F.array(*cent_rows)).alias("ct"))
+        q.select("q_id", "q_vec", "q_nrm", F.explode(F.array(*cent_rows)).alias("ct"))
         .select(
-            "q_id", "q_vec", F.col("ct.cell").alias("cell"),
+            "q_id", "q_vec", "q_nrm", F.col("ct.cell").alias("cell"),
             F.aggregate(
                 F.zip_with(F.col("q_vec"), F.col("ct.cv"), lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0).cast("double"),
@@ -162,7 +177,7 @@ def ivf_topk(
     probes = (
         q_cells.withColumn("_r", F.row_number().over(w_cell))
         .filter(F.col("_r") <= n_probe)
-        .select("q_id", "q_vec", "cell")
+        .select("q_id", "q_vec", "q_nrm", "cell")
     )
 
     cand = (
@@ -170,7 +185,9 @@ def ivf_topk(
         .filter(F.col("n_id") != F.col("q_id"))
         .dropDuplicates(["q_id", "n_id"])
     )
-    sim = cosine_expr(F.col("q_vec"), F.col("n_vec"))
+    sim = cosine_with_norms(
+        F.col("q_vec"), F.col("n_vec"), F.col("q_nrm"), F.col("n_nrm")
+    )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = cand.select("q_id", "n_id", sim.alias("cosine_sim"))
@@ -202,14 +219,18 @@ def lsh_topk(
     the corpus bucketing is computed once and persisted partitioned by
     (table, bucket) so queries touch only matching partitions.
     """
-    c = corpus.select(F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec"))
-    q = queries.select(F.col(query_id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
+    ).withColumn("n_nrm", norm_expr(F.col("n_vec")))
+    q = queries.select(
+        F.col(query_id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("q_nrm", norm_expr(F.col("q_vec")))
 
     c_buckets, q_buckets = [], []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        c_buckets.append(c.select("n_id", "n_vec", F.lit(t).alias("tbl"), _bucket_expr(F.col("n_vec"), planes).alias("bkt")))
-        q_buckets.append(q.select("q_id", "q_vec", F.lit(t).alias("tbl"), _bucket_expr(F.col("q_vec"), planes).alias("bkt")))
+        c_buckets.append(c.select("n_id", "n_vec", "n_nrm", F.lit(t).alias("tbl"), _bucket_expr(F.col("n_vec"), planes).alias("bkt")))
+        q_buckets.append(q.select("q_id", "q_vec", "q_nrm", F.lit(t).alias("tbl"), _bucket_expr(F.col("q_vec"), planes).alias("bkt")))
     cb = c_buckets[0]
     for x in c_buckets[1:]:
         cb = cb.unionByName(x)
@@ -220,10 +241,12 @@ def lsh_topk(
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "bkt"])
         .filter(F.col("n_id") != F.col("q_id"))
-        .select("q_id", "q_vec", "n_id", "n_vec")
+        .select("q_id", "q_vec", "q_nrm", "n_id", "n_vec", "n_nrm")
         .dropDuplicates(["q_id", "n_id"])
     )
-    sim = cosine_expr(F.col("q_vec"), F.col("n_vec"))
+    sim = cosine_with_norms(
+        F.col("q_vec"), F.col("n_vec"), F.col("q_nrm"), F.col("n_nrm")
+    )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = cand.select("q_id", "n_id", sim.alias("cosine_sim"))
