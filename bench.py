@@ -35,6 +35,12 @@ HEADLINE = [
     "text_quality",
     "topk_cosine",
     "asof_join_events",
+    "serving_day_filter",
+    "geocode_broadcast",
+    "inventory_upsert",
+    "streaming_window_counts",
+    "embedding_neardup",
+    "ivf_topk",
 ]
 
 
