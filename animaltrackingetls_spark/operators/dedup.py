@@ -225,12 +225,21 @@ def minhash_candidate_pairs(
     no skew beyond true duplicate clusters. Candidate count ≈ true-dup
     pairs, so the verify step is linear-ish, not quadratic.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes evenly (got num_hashes={num_hashes}, "
+            f"bands={bands}); a remainder would silently change the LSH "
+            "threshold curve from the requested parameters"
+        )
     rows_per_band = num_hashes // bands
     shingled = shingle_hash_frame(df, id_col, text_col, n)
     # The shingle frame feeds three plan branches (signatures + both
     # sides of the verify join); without persist each branch re-runs the
     # full tokenize+hash pass — persist trades one spill-able
     # materialization for two recomputes of the most expensive stage.
+    # The cache lives until evicted (LRU) or released: the returned
+    # DataFrame carries it as `.shingled_cache` so long-lived sessions
+    # can `result.shingled_cache.unpersist()` after consuming the result.
     shingled = shingled.persist()
     sig_src = shingled.select("id", F.explode("sh").alias("s"))
     sig = sig_src.groupBy("id").agg(
@@ -262,9 +271,11 @@ def minhash_candidate_pairs(
     sh_b = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     cand = cand_ids.join(sh_a, "id_a").join(sh_b, "id_b")
     sim = jaccard(F.col("sh_a"), F.col("sh_b"))
-    return cand.select("id_a", "id_b", sim.alias("jaccard_sim")).filter(
+    out = cand.select("id_a", "id_b", sim.alias("jaccard_sim")).filter(
         F.col("jaccard_sim") >= threshold
     )
+    out.shingled_cache = shingled  # handle for explicit unpersist
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -369,11 +380,18 @@ def embedding_neardup_lsh(
     independent tables); high thresholds need few planes' agreement
     because near-identical vectors share sign patterns.
     """
-    from .similarity import _bucket_expr, _hyperplanes, cosine_with_norms, norm_expr
+    from .similarity import (
+        _bucket_expr,
+        _check_dim,
+        _hyperplanes,
+        cosine_with_norms,
+        norm_expr,
+    )
 
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("nrm", norm_expr(F.col("v")))
+    _check_dim(base, F.col("v"), dim, "embedding_neardup_lsh")
     tables = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + 1000 * t)

@@ -114,9 +114,15 @@ def merge_asof_grouped(
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         if l.empty:
             return pd.DataFrame(columns=lcols + right_value_cols)
-        l = l.sort_values(left_ts)
-        if r.empty:
-            out = l.copy()
+        # pd.merge_asof raises on NULL merge keys; mirror asof_join's
+        # semantics instead: null-ts left rows keep NULL matches, null-ts
+        # right rows can never match.
+        l_null = l[l[left_ts].isna()]
+        l = l[l[left_ts].notna()].sort_values(left_ts)
+        r = r[r[right_ts].notna()]
+        if l.empty or r.empty:
+            out = pd.concat([l, l_null]) if not l_null.empty else l
+            out = out.copy()
             for c in right_value_cols:
                 out[c] = None
             return out[lcols + right_value_cols]
@@ -128,6 +134,11 @@ def merge_asof_grouped(
         for c in right_value_cols:
             if c == right_ts and f"{c}_r" in merged.columns:
                 merged[c] = merged[f"{c}_r"]
+        if not l_null.empty:
+            nulls = l_null.copy()
+            for c in right_value_cols:
+                nulls[c] = None
+            merged = pd.concat([merged, nulls])
         return merged[lcols + right_value_cols]
 
     return (
@@ -157,7 +168,7 @@ def range_join(
         return left.join(right, on, how).filter(band)
     cond = None
     for c in on:
-        e = left[c].eqNullSafe(right[c]) if how == "full" else (left[c] == right[c])
+        e = left[c] == right[c]  # standard semantics: NULL keys never match
         cond = e if cond is None else cond & e
     joined = left.join(right, cond & band, how)
     if how in ("left", "left_outer"):

@@ -107,6 +107,18 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _check_dim(df: DataFrame, vec_col, dim: int, caller: str) -> None:
+    """Refuse a dim mismatch: zip_with pads with NULLs, every dot goes
+    NULL, every vector lands in bucket 0 — the 'blocked' join silently
+    becomes an all-pairs cartesian. One-row probe, fails loudly instead."""
+    row = df.select(F.size(vec_col).alias("d")).first()
+    if row is not None and row.d is not None and row.d != dim:
+        raise ValueError(
+            f"{caller}: dim={dim} but vectors have {row.d} elements — "
+            "a mismatch degenerates every LSH bucket to 0 (all-pairs join)"
+        )
+
+
 def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id: bit i = (vec · plane_i) >= 0."""
     bucket = F.lit(0).cast("long")
@@ -225,6 +237,7 @@ def lsh_topk(
     q = queries.select(
         F.col(query_id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
     ).withColumn("q_nrm", norm_expr(F.col("q_vec")))
+    _check_dim(c, F.col("n_vec"), dim, "lsh_topk")
 
     c_buckets, q_buckets = [], []
     for t in range(n_tables):

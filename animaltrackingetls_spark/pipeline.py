@@ -62,8 +62,30 @@ def occurrence_scan(
     collapses into this).
     """
     if is_empty(raw):  # F7: abort before planning any downstream work
-        empty = raw.sparkSession.createDataFrame([], raw.schema)
-        return PipelineResult(empty, empty, empty, None, 0)
+        # Preserve the normal-path schema contract even for empty input:
+        # good is canonical 35-column, rejected is raw+failure columns,
+        # histogram is (reason, n) — so unionByName across days and
+        # downstream selects never break on an empty day.
+        from pyspark.sql import types as T
+
+        from .schema import FAILURE_DETAIL, FAILURE_REASON, OCCURRENCE_SCHEMA
+
+        empty_good = spark.createDataFrame([], OCCURRENCE_SCHEMA)
+        rej_schema = T.StructType(
+            list(raw.schema.fields)
+            + [
+                T.StructField(FAILURE_REASON, T.StringType()),
+                T.StructField(FAILURE_DETAIL, T.StringType()),
+            ]
+        )
+        empty_rej = spark.createDataFrame([], rej_schema)
+        empty_hist = spark.createDataFrame(
+            [], T.StructType([
+                T.StructField(FAILURE_REASON, T.StringType()),
+                T.StructField("n", T.LongType(), False),
+            ])
+        )
+        return PipelineResult(empty_good, empty_rej, empty_hist, None, 0)
 
     result: CleanResult = clean_occurrences(raw, cache=True)
     good = result.good
@@ -79,21 +101,22 @@ def occurrence_scan(
     loaded_rows = 0
     if output_dir is not None:
         write_partitioned(good, output_dir, ["date_only"])
-        loaded_rows = spark.read.parquet(output_dir).count()
+        # count THIS run's rows (cached tagged frame) — counting the
+        # output dir would include surviving partitions from prior days
+        loaded_rows = good.count()
 
     inventory = None
     if inventory_path is not None:
-        try:
-            existing = spark.read.parquet(inventory_path)
-        except Exception:
-            existing = spark.createDataFrame(
-                [],
-                "available_date date, table_name string, "
-                "record_count bigint, processed_at string",
-            )
-        merged = register_load(existing, good, processed_at=processed_at)
+        # register_load against an empty inventory yields just this run's
+        # update rows; upsert_parquet does the (single) merge with disk
+        empty_inventory = spark.createDataFrame(
+            [],
+            "available_date date, table_name string, "
+            "record_count bigint, processed_at string",
+        )
+        updates = register_load(empty_inventory, good, processed_at=processed_at)
         inventory = upsert_parquet(
-            spark, inventory_path, merged.select(*INVENTORY_COLUMNS), ["available_date"]
+            spark, inventory_path, updates.select(*INVENTORY_COLUMNS), ["available_date"]
         )
 
     return PipelineResult(

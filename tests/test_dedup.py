@@ -77,6 +77,19 @@ def test_simhash_near_dups_have_small_hamming(spark, docs):
     assert near <= 8
 
 
+def test_minhash_rejects_bad_band_split(docs):
+    with pytest.raises(ValueError):
+        dedup.minhash_candidate_pairs(docs, num_hashes=32, bands=5)
+
+
+def test_lsh_neardup_rejects_dim_mismatch(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        dedup.embedding_neardup_lsh(emb, dim=64).collect()
+
+
 def test_simhash_keeps_empty_documents(spark):
     df = spark.createDataFrame(
         [(1, "real content here"), (2, ""), (3, "   ")], "doc_id long, text string"

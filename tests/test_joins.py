@@ -69,6 +69,22 @@ def test_asof_suffixes_colliding_columns(spark):
     assert out.select("ts_r").collect()[0][0] == _ts("2024-01-01T09:00:00")
 
 
+def test_merge_asof_handles_null_timestamps(spark):
+    left = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01T10:00:00")), (2, "A", None)],
+        "trade_id long, sym string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("A", _ts("2024-01-01T09:00:00"), 10.0), ("A", None, 99.0)],
+        "q_sym string, q_ts timestamp, px double",
+    )
+    out = {r.trade_id: r.px for r in joins.merge_asof_grouped(
+        left, right, "ts", "q_ts", "sym", "q_sym", ["px"]
+    ).collect()}
+    # null-ts left row survives with NULL match; null-ts quote never matches
+    assert out == {1: 10.0, 2: None}
+
+
 def test_merge_asof_grouped_matches_join_form(trades_quotes):
     trades, quotes = trades_quotes
     a = {r.trade_id: r.px for r in joins.asof_join(

@@ -94,6 +94,8 @@ def test_rerun_is_idempotent(spark, raw_from_rest, tmp_path):
 
 
 def test_empty_input_short_circuits(spark):
+    from animaltrackingetls_spark.schema import FINAL_COLUMNS
+
     empty = spark.createDataFrame(
         [], "gbifID string, eventDate string, decimalLatitude string, "
             "decimalLongitude string, individualCount string",
@@ -101,3 +103,21 @@ def test_empty_input_short_circuits(spark):
     res = occurrence_scan(spark, empty)
     assert res.loaded_rows == 0 and res.inventory is None
     assert res.good.count() == 0 and res.rejected.count() == 0
+    # schema contract holds on the empty path too
+    assert res.good.columns == FINAL_COLUMNS
+    assert res.reject_histogram.columns == ["_failure_reason", "n"]
+    assert "_failure_reason" in res.rejected.columns
+
+
+def test_loaded_rows_counts_this_run_only(spark, raw_from_rest, tmp_path):
+    out_dir = os.path.join(str(tmp_path), "occ")
+    first = occurrence_scan(spark, raw_from_rest, output_dir=out_dir)
+    assert first.loaded_rows == 2
+    # a second run into the same dir must not count surviving partitions twice
+    day2 = raw_from_rest.filter(F.col("gbifID") == "1").withColumn(
+        "eventDate", F.lit("2024-07-09")
+    )
+    second = occurrence_scan(spark, day2, output_dir=out_dir)
+    assert second.loaded_rows == 1
+    # and the physical dataset now holds both days' partitions
+    assert spark.read.parquet(out_dir).count() == 3
