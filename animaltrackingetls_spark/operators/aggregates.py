@@ -45,6 +45,39 @@ def _weighted_mean_udaf():
     return weighted_mean
 
 
+def make_bucket_assigner(planes_by_table):
+    """Vectorized LSH bucket assignment: one numpy GEMM per Arrow batch.
+
+    ``planes_by_table``: n_tables × n_planes × dim floats. Returns a
+    scalar pandas UDF mapping an array<double> vector column to the
+    array<long> of its sign-buckets, one per table. Replaces n_tables ×
+    n_planes interpreted higher-order dot products per row (~50-100 µs
+    each) with a single matrix multiply per batch. Lives in this module
+    because pandas_udf type-hint inference needs evaluated annotations.
+    """
+    import numpy as np
+    import pandas as pd
+
+    mats = [np.asarray(p, dtype=np.float64) for p in planes_by_table]
+
+    @pandas_udf("array<long>")
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        V = np.asarray(v.tolist(), dtype=np.float64)
+        per_table = []
+        for M in mats:
+            S = (V @ M.T) >= 0.0
+            b = np.zeros(len(V), dtype=np.int64)
+            for i in range(S.shape[1]):
+                b |= S[:, i].astype(np.int64) << i
+            per_table.append(b)
+        B = np.stack(per_table, axis=1)
+        return pd.Series([row.tolist() for row in B])
+
+    return assign
+
+
 def median_udaf(v) -> Column:
     """GROUPED_AGG pandas UDAF: median, pandas semantics (mean of the
     middle pair for even counts). Built lazily — pandas_udf registration

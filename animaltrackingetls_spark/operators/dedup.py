@@ -380,30 +380,21 @@ def embedding_neardup_lsh(
     independent tables); high thresholds need few planes' agreement
     because near-identical vectors share sign patterns.
     """
-    from .similarity import (
-        _bucket_expr,
-        _check_dim,
-        _hyperplanes,
-        cosine_with_norms,
-        norm_expr,
-    )
+    from .similarity import _check_dim, _hyperplanes, cosine_with_norms, norm_expr
 
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("nrm", norm_expr(F.col("v")))
     _check_dim(base, F.col("v"), dim, "embedding_neardup_lsh")
-    tables = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        tables.append(
-            base.select(
-                "id", "v", "nrm", F.lit(t).alias("tbl"),
-                _bucket_expr(F.col("v"), planes).alias("bkt"),
-            )
-        )
-    buckets = tables[0]
-    for x in tables[1:]:
-        buckets = buckets.unionByName(x)
+    # single scan; all tables' buckets via one numpy GEMM per Arrow batch
+    from .aggregates import make_bucket_assigner
+
+    assigner = make_bucket_assigner(
+        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )
+    buckets = base.select(
+        "id", "v", "nrm", F.posexplode(assigner(F.col("v"))).alias("tbl", "bkt")
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

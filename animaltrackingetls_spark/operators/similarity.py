@@ -239,17 +239,22 @@ def lsh_topk(
     ).withColumn("q_nrm", norm_expr(F.col("q_vec")))
     _check_dim(c, F.col("n_vec"), dim, "lsh_topk")
 
-    c_buckets, q_buckets = [], []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        c_buckets.append(c.select("n_id", "n_vec", "n_nrm", F.lit(t).alias("tbl"), _bucket_expr(F.col("n_vec"), planes).alias("bkt")))
-        q_buckets.append(q.select("q_id", "q_vec", "q_nrm", F.lit(t).alias("tbl"), _bucket_expr(F.col("q_vec"), planes).alias("bkt")))
-    cb = c_buckets[0]
-    for x in c_buckets[1:]:
-        cb = cb.unionByName(x)
-    qb = q_buckets[0]
-    for x in q_buckets[1:]:
-        qb = qb.unionByName(x)
+    # ONE scan per side, buckets for every table via a single numpy GEMM
+    # per Arrow batch (the n_tables×n_planes interpreted dot products
+    # would otherwise dominate the whole query), then posexplode.
+    from .aggregates import make_bucket_assigner
+
+    assigner = make_bucket_assigner(
+        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )
+
+    def with_buckets(df: DataFrame, vec: str) -> DataFrame:
+        return df.select(
+            "*", F.posexplode(assigner(F.col(vec))).alias("tbl", "bkt")
+        )
+
+    cb = with_buckets(c, "n_vec")
+    qb = with_buckets(q, "q_vec")
 
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "bkt"])
