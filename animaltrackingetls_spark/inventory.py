@@ -120,6 +120,53 @@ def upsert_parquet(
     return spark.read.parquet(path)
 
 
+def upsert_dbapi(
+    df: DataFrame,
+    conn_factory,
+    table: str,
+    key_cols: list[str],
+    batch_size: int = 500,
+) -> None:
+    """K3's database form: per-partition keyed upsert through any DB-API
+    connection (the reference's ``INSERT ... ON CONFLICT DO UPDATE``,
+    inventory.py:52-59, as a distributed writer).
+
+    ``conn_factory`` is a zero-arg picklable callable returning a DB-API
+    connection — each partition opens its own connection on the executor
+    (never serialize a connection). Statements use the portable
+    ``ON CONFLICT (keys) DO UPDATE`` form (PostgreSQL/SQLite/DuckDB);
+    rows are executemany'd in ``batch_size`` chunks and committed per
+    partition — a failed partition retries idempotently because the
+    upsert converges.
+    """
+    cols = list(df.columns)
+    non_keys = [c for c in cols if c not in key_cols]
+    placeholders = ", ".join(["?"] * len(cols))
+    updates = ", ".join(f"{c} = excluded.{c}" for c in non_keys)
+    sql = (
+        f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders}) "
+        f"ON CONFLICT ({', '.join(key_cols)}) DO UPDATE SET {updates}"
+    )
+
+    def write_partition(rows) -> None:
+        conn = conn_factory()
+        try:
+            cur = conn.cursor()
+            batch = []
+            for row in rows:
+                batch.append(tuple(row[c] for c in cols))
+                if len(batch) >= batch_size:
+                    cur.executemany(sql, batch)
+                    batch = []
+            if batch:
+                cur.executemany(sql, batch)
+            conn.commit()
+        finally:
+            conn.close()
+
+    df.foreachPartition(write_partition)
+
+
 def register_load(
     inventory: DataFrame,
     loaded: DataFrame,

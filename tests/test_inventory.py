@@ -70,6 +70,44 @@ def test_upsert_parquet_durable(spark, tmp_path):
     assert [(r.record_count, r.processed_at) for r in final.collect()] == [(99, "b")]
 
 
+def test_upsert_dbapi_on_conflict(spark, tmp_path):
+    import sqlite3
+
+    from animaltrackingetls_spark.inventory import upsert_dbapi
+
+    db = os.path.join(str(tmp_path), "inv.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE data_inventory (available_date TEXT PRIMARY KEY, "
+            "table_name TEXT, record_count INTEGER, processed_at TEXT)"
+        )
+
+    def factory(path=db):
+        import sqlite3 as _s
+
+        # serialized writes: sqlite locks the file; fine for a catalog table
+        return _s.connect(path, timeout=30)
+
+    b1 = spark.createDataFrame(
+        [("2024-01-01", "t1", 10, "a"), ("2024-01-02", "t2", 20, "a")], _B_SCHEMA
+    ).coalesce(1)
+    b2 = spark.createDataFrame(
+        [("2024-01-02", "t2", 25, "b"), ("2024-01-03", "t3", 5, "b")], _B_SCHEMA
+    ).coalesce(1)
+    upsert_dbapi(b1, factory, "data_inventory", ["available_date"])
+    upsert_dbapi(b2, factory, "data_inventory", ["available_date"])
+    with sqlite3.connect(db) as conn:
+        rows = conn.execute(
+            "SELECT available_date, record_count, processed_at "
+            "FROM data_inventory ORDER BY available_date"
+        ).fetchall()
+    assert rows == [
+        ("2024-01-01", 10, "a"),
+        ("2024-01-02", 25, "b"),   # conflict → update won
+        ("2024-01-03", 5, "b"),
+    ]
+
+
 def test_register_load_counts_per_day(spark):
     inv = spark.createDataFrame([], _B_SCHEMA).select(
         F.col("available_date").cast("date"), "table_name", "record_count", "processed_at")
