@@ -739,6 +739,57 @@ def _q_token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: single-pass filtered revenue aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def _q_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pretraining filter: quality thresholds + language gate —
+    the classic keep/drop decision chain over documents."""
+    docs = _t(spark, sf_dir, "documents")
+    q = textstats.quality_columns(textstats.language_id(docs))
+    return q.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("alpha_ratio") >= 0.8)
+        & (F.col("stopword_ratio") >= 0.01)
+        & (F.col("predicted_lang") == "en")
+    ).select("doc_id")
+
+
+def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy token-budget bin assignment."""
+    docs = textstats.quality_columns(_t(spark, sf_dir, "documents"))
+    return textstats.pack_documents(docs, max_tokens=2048)
+
+
+def _q_normalized_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/control normalization, verified via post-norm lengths."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = textstats.normalize_whitespace(
+        textstats.strip_control_chars(F.col("text"))
+    )
+    return docs.select(
+        "doc_id",
+        F.length(norm).alias("n_chars_norm"),
+        F.md5(norm).alias("md5_norm"),
+    )
+
+
 def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: tumbling-hour counts over the events stream,
     run to completion with an AvailableNow trigger (§2.10 extension).
@@ -924,6 +975,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpeish": _q_token_count_bpeish,
         "streaming_window_counts": _q_streaming_window_counts,
         "salted_join_check": _q_salted_join_check,
+        "q6_revenue_forecast": _q_q6_revenue_forecast,
+        "pretrain_filter": _q_pretrain_filter,
+        "pack_documents": _q_pack_documents,
+        "normalized_text_stats": _q_normalized_text_stats,
         # rows-only (hash-based / approximate / Python-batch operators)
         "winnow_fingerprints": _q_winnow_fingerprints,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -1441,5 +1496,76 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o.o_totalprice), 2) AS sum_price
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "q6_revenue_forecast": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 25
+        """,
+        "pretrain_filter": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '\\S+') AS ltoks
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, text, ltoks,
+                     len(list_intersect(list_distinct(ltoks), {_MARKERS_SQL["en"]})) AS s_en,
+                     len(list_intersect(list_distinct(ltoks), {_MARKERS_SQL["es"]})) AS s_es,
+                     len(list_intersect(list_distinct(ltoks), {_MARKERS_SQL["fr"]})) AS s_fr,
+                     len(list_intersect(list_distinct(ltoks), {_MARKERS_SQL["de"]})) AS s_de
+              FROM t
+            ),
+            feat AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                     CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS alpha_ratio,
+                     CAST(len(list_filter(ltoks,
+                         tk -> list_contains({_STOPWORDS_SQL}, tk))) AS DOUBLE)
+                       / greatest(len(ltoks), 1) AS stopword_ratio,
+                     CASE
+                       WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                       WHEN {_GREATEST_SQL} = 0 THEN 'und'
+                       WHEN s_en = {_GREATEST_SQL} THEN 'en'
+                       WHEN s_es = {_GREATEST_SQL} THEN 'es'
+                       WHEN s_fr = {_GREATEST_SQL} THEN 'fr'
+                       WHEN s_de = {_GREATEST_SQL} THEN 'de'
+                       ELSE 'und'
+                     END AS predicted_lang
+              FROM s
+            )
+            SELECT doc_id FROM feat
+            WHERE n_tokens >= 20 AND alpha_ratio >= 0.8
+              AND stopword_ratio >= 0.01 AND predicted_lang = 'en'
+        """,
+        "pack_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor(
+                     COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / 2048.0) AS BIGINT) AS bin_id
+            FROM t
+        """,
+        "normalized_text_stats": """
+            SELECT doc_id,
+                   length(trim(regexp_replace(
+                     regexp_replace(text,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g'),
+                     '\\s+', ' ', 'g'))) AS n_chars_norm,
+                   md5(trim(regexp_replace(
+                     regexp_replace(text,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g'),
+                     '\\s+', ' ', 'g'))) AS md5_norm
+            FROM documents
         """,
     }

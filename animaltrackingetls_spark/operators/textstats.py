@@ -9,7 +9,7 @@ whitespace-shape-insensitive and reproducible in ANSI SQL engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker stopwords for the n-gram-free language-ID heuristic. Scores are
@@ -100,6 +100,48 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         F.md5(F.col(text_col)).alias("md5_fp"),
         F.xxhash64(F.col(text_col)).alias("xx64_fp"),
+    )
+
+
+def normalize_whitespace(c: Column) -> Column:
+    """Collapse whitespace runs to single spaces and trim — pure codegen
+    (the cheap 90% of text normalization; NFC is the Python-side 10%)."""
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def strip_control_chars(c: Column) -> Column:
+    """Remove C0/C1 control characters (keep \\t\\n via the whitespace
+    collapse running first if composed)."""
+    return F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]", "")
+
+
+def pack_documents(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing: assign documents to token-budget bins.
+
+    Deterministic greedy packing in ``order_col`` order (defaults to the
+    id): running token total via a window cumsum, bin = floor of the
+    *exclusive* cumsum / budget — every bin holds ≤ max_tokens except
+    single oversized documents, which get a bin alone. One shuffle (the
+    global sort window); at 100 TB partition the window by a coarse salt
+    (e.g. source) for parallel packing at the cost of cross-partition
+    bin fragmentation.
+    """
+    order = order_col or id_col
+    w = Window.orderBy(F.asc(order))
+    cum_excl = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(token_col),
+        F.floor(cum_excl / max_tokens).cast("long").alias("bin_id"),
     )
 
 

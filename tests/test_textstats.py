@@ -74,6 +74,34 @@ def test_winnow_short_text_falls_back(spark):
     assert out.fps == []  # shorter than k → no k-grams, empty set
 
 
+def test_pack_documents_respects_budget(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 250), (5, 10)],
+        "doc_id long, n_tokens long",
+    )
+    bins = {r.doc_id: r.bin_id for r in textstats.pack_documents(df, 300).collect()}
+    # cumsum-exclusive: 0,100,200,300,550 → bins 0,0,0,1,1
+    assert bins == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1}
+    # no bin except an oversized-single exceeds budget before its last doc
+    assert bins[4] != bins[3]
+
+
+def test_pack_documents_oversized_doc_gets_own_progression(spark):
+    df = spark.createDataFrame([(1, 1000), (2, 10)], "doc_id long, n_tokens long")
+    bins = {r.doc_id: r.bin_id for r in textstats.pack_documents(df, 300).collect()}
+    assert bins == {1: 0, 2: 3}  # 1000-token doc pushes cumsum past 3 budgets
+
+
+def test_normalize_whitespace_and_controls(spark):
+    df = spark.createDataFrame([("  a\t\tb\x00c \n d  ",)], "t string")
+    out = df.select(
+        textstats.normalize_whitespace(
+            textstats.strip_control_chars(F.col("t"))
+        ).alias("n")
+    ).collect()[0].n
+    assert out == "a bc d"
+
+
 def test_tokens_are_lowercased_whitespace_split(spark):
     df = spark.createDataFrame([("Foo  BAR\tbaz",)], "t string")
     out = df.select(textstats.tokens(F.col("t")).alias("tk")).collect()[0].tk
