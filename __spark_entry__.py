@@ -777,6 +777,24 @@ def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pack_documents(docs, max_tokens=2048)
 
 
+def _q_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% sample (md5-bucket membership, partitioning-
+    independent — reproducible in any engine, unlike df.sample)."""
+    from animaltrackingetls_spark.operators.sampling import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.25).select("doc_id")
+
+
+def _q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling, verified via stratum counts."""
+    from animaltrackingetls_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "doc_id", "lang", {"en": 0.5, "zh": 0.1})
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
 def _q_normalized_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace/control normalization, verified via post-norm lengths."""
     docs = _t(spark, sf_dir, "documents")
@@ -979,6 +997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretrain_filter": _q_pretrain_filter,
         "pack_documents": _q_pack_documents,
         "normalized_text_stats": _q_normalized_text_stats,
+        "sampled_docs": _q_sampled_docs,
+        "stratified_sample_counts": _q_stratified_sample_counts,
         # rows-only (hash-based / approximate / Python-batch operators)
         "winnow_fingerprints": _q_winnow_fingerprints,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -1555,6 +1575,18 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                      / 2048.0) AS BIGINT) AS bin_id
             FROM t
+        """,
+        "sampled_docs": """
+            SELECT doc_id FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        """,
+        "stratified_sample_counts": """
+            SELECT lang, count(*) AS n FROM documents
+            WHERE (lang = 'en'
+                   AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+               OR (lang = 'zh'
+                   AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a')
+            GROUP BY lang
         """,
         "normalized_text_stats": """
             SELECT doc_id,

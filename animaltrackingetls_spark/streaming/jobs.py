@@ -99,6 +99,63 @@ def stream_dedup(
     )
 
 
+def running_user_totals(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count and value total, carried across micro-batches.
+
+    Spark has no builtin "emit the running cumulative per key each
+    batch" — aggregations emit per *window*, not per lifetime — so this
+    is the documented custom-state path: state is one (count, total)
+    pair per user (bounded, tiny), updated from each batch's Arrow
+    frame, optionally timed out to bound key cardinality drift.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            n += int(len(pdf))
+            total += float(vals.sum())
+        state.update((n, total))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream.groupBy(F.col(user_col)).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
 def run_available_now_to_memory(
     result: DataFrame,
     query_name: str,

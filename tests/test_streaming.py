@@ -48,6 +48,29 @@ def test_windowed_counts_match_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_running_user_totals_stateful(spark, tmp_path):
+    from animaltrackingetls_spark.streaming import running_user_totals
+
+    path = str(tmp_path / "ev3")
+    batch = _write_events(spark, path)
+    stream = read_event_stream(spark, path)
+    run_available_now_to_memory(
+        running_user_totals(stream), "t_rt", output_mode="update"
+    )
+    # final state per user must equal the batch aggregate
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.table("t_rt").collect()
+    }
+    expected = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_stream_dedup_drops_repeats(spark, tmp_path):
     path = str(tmp_path / "ev2")
     rows = [(1, datetime.datetime(2024, 1, 1, 0, 0), 1, "a", 1.0, "{}")] * 3 + [
