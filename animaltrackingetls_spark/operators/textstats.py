@@ -121,28 +121,45 @@ def pack_documents(
     id_col: str = "doc_id",
     token_col: str = "n_tokens",
     order_col: str | None = None,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing: assign documents to token-budget bins.
 
-    Deterministic greedy packing in ``order_col`` order (defaults to the
+    Deterministic offset packing in ``order_col`` order (defaults to the
     id): running token total via a window cumsum, bin = floor of the
-    *exclusive* cumsum / budget — every bin holds ≤ max_tokens except
-    single oversized documents, which get a bin alone. One shuffle (the
-    global sort window); at 100 TB partition the window by a coarse salt
-    (e.g. source) for parallel packing at the cost of cross-partition
-    bin fragmentation.
+    *exclusive* cumsum / budget. A document belongs to the bin where its
+    token range STARTS — so a boundary-straddling document overflows its
+    bin by its tail (the standard pretokenized-shard semantics, where
+    the consumer splits or truncates at the boundary); a bin never
+    starts mid-document.
+
+    Scale: the default global window funnels all rows through ONE
+    partition — fine to ~10^7 rows, a bottleneck beyond. Pass
+    ``partition_col`` (a coarse natural key like source/shard) to pack
+    each partition independently in parallel; bins are then unique per
+    (partition, local bin) and ``bin_id`` becomes a collision-free
+    combination of the two. Cost: bins never span partitions, so tail
+    bins (one per partition) may run under-budget.
     """
     order = order_col or id_col
-    w = Window.orderBy(F.asc(order))
+    if partition_col is None:
+        w = Window.orderBy(F.asc(order))
+    else:
+        w = Window.partitionBy(partition_col).orderBy(F.asc(order))
     cum_excl = F.coalesce(
         F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0).cast("long"),
     )
-    return df.select(
-        F.col(id_col),
-        F.col(token_col),
-        F.floor(cum_excl / max_tokens).cast("long").alias("bin_id"),
+    local_bin = F.floor(cum_excl / max_tokens).cast("long")
+    bin_id = (
+        local_bin
+        if partition_col is None
+        else F.xxhash64(F.col(partition_col), local_bin)
     )
+    out_cols = [F.col(id_col), F.col(token_col), bin_id.alias("bin_id")]
+    if partition_col is not None:
+        out_cols.insert(2, F.col(partition_col))
+    return df.select(*out_cols)
 
 
 # A no-lookaround approximation of the GPT-2/BPE pre-tokenizer split:

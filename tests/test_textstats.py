@@ -92,6 +92,19 @@ def test_pack_documents_oversized_doc_gets_own_progression(spark):
     assert bins == {1: 0, 2: 3}  # 1000-token doc pushes cumsum past 3 budgets
 
 
+def test_pack_documents_partitioned_parallel(spark):
+    df = spark.createDataFrame(
+        [(1, 300, "a"), (2, 300, "a"), (3, 300, "b"), (4, 300, "b")],
+        "doc_id long, n_tokens long, src string",
+    )
+    out = textstats.pack_documents(df, 300, partition_col="src").collect()
+    bins = {r.doc_id: r.bin_id for r in out}
+    # packing is per-partition: docs 1,2 split across a's bins; 3,4 across b's
+    assert bins[1] != bins[2] and bins[3] != bins[4]
+    # bins never span partitions
+    assert len({bins[1], bins[2], bins[3], bins[4]}) == 4
+
+
 def test_normalize_whitespace_and_controls(spark):
     df = spark.createDataFrame([("  a\t\tb\x00c \n d  ",)], "t string")
     out = df.select(
