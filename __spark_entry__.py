@@ -739,6 +739,67 @@ def _q_token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: order-priority counts for orders having at least
+    one line shipped after the order date (EXISTS → left-semi join)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def _q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: customers with any order whose line quantities
+    sum above a threshold (HAVING subquery → agg + join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+def _q_batch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the batch twin of session_window): a session
+    breaks after a 30-minute idle gap — lag + cumulative new-session
+    flags per user, then per-session aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessioned = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessioned.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def _q_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-shaped: single-pass filtered revenue aggregate."""
     li = _t(spark, sf_dir, "lineitem")
@@ -993,6 +1054,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpeish": _q_token_count_bpeish,
         "streaming_window_counts": _q_streaming_window_counts,
         "salted_join_check": _q_salted_join_check,
+        "q4_order_priority": _q_q4_order_priority,
+        "q18_large_orders": _q_q18_large_orders,
+        "batch_sessions": _q_batch_sessions,
         "q6_revenue_forecast": _q_q6_revenue_forecast,
         "pretrain_filter": _q_pretrain_filter,
         "pack_documents": _q_pack_documents,
@@ -1516,6 +1580,52 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o.o_totalprice), 2) AS sum_price
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(sum(l_quantity), 2) > 250
+            )
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+                   b.total_qty
+            FROM big b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "batch_sessions": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sessioned AS (
+              SELECT *, CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS session_idx
+              FROM flagged
+            )
+            SELECT user_id, session_idx,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM sessioned
+            GROUP BY user_id, session_idx
         """,
         "q6_revenue_forecast": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
