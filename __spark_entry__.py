@@ -874,42 +874,18 @@ def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     run to completion with an AvailableNow trigger (§2.10 extension).
     Returns the materialized result table — oracle-checkable because the
     stream drains the same parquet the batch oracle reads."""
-    from pyspark.sql import types as T
-
-    from animaltrackingetls_spark.streaming import run_available_now_to_memory
+    from animaltrackingetls_spark.streaming import (
+        read_event_stream,
+        run_available_now_to_memory,
+        windowed_event_counts,
+    )
 
     _ensure_confs(spark)
-    # nanos timestamps surface as int64 under nanosAsLong — cast back.
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
+    stream = read_event_stream(
+        spark, sf_dir, nanos_ts=True, path_glob="events.parquet"
     )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    agg = (
-        stream.groupBy(
-            F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
+    agg = windowed_event_counts(stream, "1 hour", round_digits=2).select(
+        "window_start", "event_type", "n_events", "sum_value"
     )
     run_available_now_to_memory(agg, "q_stream_wc", output_mode="complete")
     return spark.table("q_stream_wc")

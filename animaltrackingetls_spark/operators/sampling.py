@@ -20,10 +20,19 @@ from pyspark.sql import functions as F
 _BUCKETS = 65536
 
 
-def _threshold_hex(rate: float) -> str:
+def _threshold_hex(rate: float) -> str | None:
+    """4-hex-digit exclusive upper bound, or None for keep-everything.
+
+    rate≈1.0 rounds to 65536 → '10000', a 5-char string that compares
+    lexicographically BELOW 'ffff' and would silently keep ~6% — so full
+    rates return None and callers skip the filter entirely.
+    """
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"sample rate must be in [0, 1], got {rate}")
-    return format(int(round(rate * _BUCKETS)), "04x")
+    bucket = int(round(rate * _BUCKETS))
+    if bucket >= _BUCKETS:
+        return None
+    return format(bucket, "04x")
 
 
 def sample_hash_bucket(c: Column) -> Column:
@@ -34,7 +43,10 @@ def sample_hash_bucket(c: Column) -> Column:
 def deterministic_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
     """Keep ≈``rate`` of rows, membership decided by md5(id) bucket —
     partitioning-independent and reproducible across engines."""
-    return df.filter(sample_hash_bucket(F.col(id_col)) < _threshold_hex(rate))
+    thr = _threshold_hex(rate)
+    if thr is None:
+        return df
+    return df.filter(sample_hash_bucket(F.col(id_col)) < thr)
 
 
 def stratified_sample(
@@ -46,7 +58,9 @@ def stratified_sample(
     bucket = sample_hash_bucket(F.col(id_col))
     pred = F.lit(False)
     for stratum, rate in rates.items():
-        pred = pred | (
-            (F.col(strata_col) == stratum) & (bucket < _threshold_hex(rate))
-        )
+        thr = _threshold_hex(rate)
+        stratum_pred = F.col(strata_col) == stratum
+        if thr is not None:
+            stratum_pred = stratum_pred & (bucket < thr)
+        pred = pred | stratum_pred
     return df.filter(pred)

@@ -136,27 +136,27 @@ def pack_documents(
     Scale: the default global window funnels all rows through ONE
     partition — fine to ~10^7 rows, a bottleneck beyond. Pass
     ``partition_col`` (a coarse natural key like source/shard) to pack
-    each partition independently in parallel; bins are then unique per
-    (partition, local bin) and ``bin_id`` becomes a collision-free
-    combination of the two. Cost: bins never span partitions, so tail
-    bins (one per partition) may run under-budget.
+    each partition independently in parallel; ``bin_id`` is then the
+    LOCAL bin and the unique bin key is the (partition_col, bin_id)
+    PAIR — both are output columns (a hashed combination would risk
+    silent birthday collisions at billions of bins). Cost: bins never
+    span partitions, so tail bins (one per partition) may run
+    under-budget.
     """
     order = order_col or id_col
+    # id tiebreak: a non-unique order_col would make the cumsum — and
+    # every bin assignment — nondeterministic across runs/partitionings
+    order_by = [F.asc(order)] + ([F.asc(id_col)] if order != id_col else [])
     if partition_col is None:
-        w = Window.orderBy(F.asc(order))
+        w = Window.orderBy(*order_by)
     else:
-        w = Window.partitionBy(partition_col).orderBy(F.asc(order))
+        w = Window.partitionBy(partition_col).orderBy(*order_by)
     cum_excl = F.coalesce(
         F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0).cast("long"),
     )
     local_bin = F.floor(cum_excl / max_tokens).cast("long")
-    bin_id = (
-        local_bin
-        if partition_col is None
-        else F.xxhash64(F.col(partition_col), local_bin)
-    )
-    out_cols = [F.col(id_col), F.col(token_col), bin_id.alias("bin_id")]
+    out_cols = [F.col(id_col), F.col(token_col), local_bin.alias("bin_id")]
     if partition_col is not None:
         out_cols.insert(2, F.col(partition_col))
     return df.select(*out_cols)

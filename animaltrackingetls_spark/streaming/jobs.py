@@ -29,13 +29,33 @@ def read_event_stream(
     path: str,
     schema: T.StructType = EVENT_SCHEMA,
     max_files_per_trigger: int | None = None,
+    nanos_ts: bool = False,
+    path_glob: str | None = None,
 ) -> DataFrame:
     """File-landing-directory stream (the cloud-scale pattern: writers
-    drop parquet into a prefix; the stream discovers new files)."""
-    reader = spark.readStream.schema(schema)
+    drop parquet into a prefix; the stream discovers new files).
+
+    ``nanos_ts=True`` reads a TIMESTAMP(NANOS) ``ts`` column (surfacing
+    as int64 under the session's nanosAsLong conf) and casts it back —
+    the streaming twin of io.load_table's rescue.
+    """
+    read_schema = schema
+    if nanos_ts:
+        read_schema = T.StructType(
+            [
+                T.StructField(f.name, T.LongType()) if f.name == "ts" else f
+                for f in schema.fields
+            ]
+        )
+    reader = spark.readStream.schema(read_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(path)
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    out = reader.parquet(path)
+    if nanos_ts:
+        out = out.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return out
 
 
 def windowed_event_counts(
@@ -43,6 +63,7 @@ def windowed_event_counts(
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
     ts_col: str = "ts",
+    round_digits: int = 6,
 ) -> DataFrame:
     """Tumbling-window counts + value sums per event_type with a
     watermark bounding late data (and state)."""
@@ -51,7 +72,7 @@ def windowed_event_counts(
         .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.sum("value"), round_digits).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -117,9 +138,11 @@ def running_user_totals(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    key_field = stream.schema[user_col]
+    key_name = key_field.name
     out_schema = T.StructType(
         [
-            T.StructField("user_id", T.LongType()),
+            T.StructField(key_name, key_field.dataType),
             T.StructField("n_events", T.LongType()),
             T.StructField("total_value", T.DoubleType()),
         ]
@@ -134,6 +157,11 @@ def running_user_totals(
     def update(key, pdfs, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # evict — re-updating here would resurrect the state forever
+            # and emit a spurious row per idle key each timeout cycle
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             vals = pdf[value_col].dropna()
@@ -143,7 +171,7 @@ def running_user_totals(
         if state_timeout_ms is not None:
             state.setTimeoutDuration(state_timeout_ms)
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+            {key_name: [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
         )
 
     timeout = (

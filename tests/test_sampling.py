@@ -43,6 +43,17 @@ def test_stratified_rates_and_dropped_strata(spark):
     assert 0.4 * total_en < n_en < 0.6 * total_en
 
 
+def test_rate_one_keeps_everything(spark):
+    df = _docs(spark)
+    assert deterministic_sample(df, "doc_id", 1.0).count() == df.count()
+    out = stratified_sample(df, "doc_id", "lang", {"en": 1.0})
+    assert out.count() == df.filter("lang = 'en'").count()
+
+
+def test_rate_zero_keeps_nothing(spark):
+    assert deterministic_sample(_docs(spark), "doc_id", 0.0).count() == 0
+
+
 def test_sample_rejects_bad_rate(spark):
     import pytest
 

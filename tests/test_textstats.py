@@ -98,11 +98,11 @@ def test_pack_documents_partitioned_parallel(spark):
         "doc_id long, n_tokens long, src string",
     )
     out = textstats.pack_documents(df, 300, partition_col="src").collect()
-    bins = {r.doc_id: r.bin_id for r in out}
+    bins = {r.doc_id: (r.src, r.bin_id) for r in out}
     # packing is per-partition: docs 1,2 split across a's bins; 3,4 across b's
-    assert bins[1] != bins[2] and bins[3] != bins[4]
-    # bins never span partitions
-    assert len({bins[1], bins[2], bins[3], bins[4]}) == 4
+    assert bins[1][1] != bins[2][1] and bins[3][1] != bins[4][1]
+    # the (partition, local bin) PAIR is the unique bin key
+    assert len(set(bins.values())) == 4
 
 
 def test_normalize_whitespace_and_controls(spark):
