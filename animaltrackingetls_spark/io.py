@@ -42,18 +42,39 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
             inner = sorted(_glob.glob(os.path.join(path, "*.parquet")))
             target = inner[0] if inner else None
         if target is not None:
-            schema = pq.read_schema(target)
-            result = [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+            # Must check the PHYSICAL parquet type: pyarrow also reports
+            # Spark-written INT96 timestamps as timestamp[ns], but Spark
+            # reads INT96 natively — only INT64 TIMESTAMP(NANOS) columns
+            # surface as longs under nanosAsLong and need the cast.
+            meta = pq.read_metadata(target).schema
+            for i in range(len(meta)):
+                col = meta.column(i)
+                if (
+                    col.physical_type == "INT64"
+                    and "nanos" in str(col.logical_type).lower()
+                ):
+                    result.append(col.name)
     except Exception:
         result = []
     _NANOS_COLUMNS_CACHE[path] = result
     return result
 
 
+def _is_long(df: DataFrame, col: str) -> bool:
+    from pyspark.sql import types as T
+
+    try:
+        return isinstance(df.schema[col].dataType, T.LongType)
+    except Exception:
+        return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_columns(path):
+        if not _is_long(df, c):
+            continue  # belt-and-braces: only cast what Spark read as long
         # int64 nanos → microseconds → timestamp (UTC session zone).
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df

@@ -38,6 +38,20 @@ def test_write_partitioned_dynamic_overwrite(spark, tmp_path):
     assert out == {(9, "a"), (2, "b")}
 
 
+def test_load_table_spark_written_timestamps_untouched(spark, tmp_path):
+    # Spark-written INT96 timestamps ALSO look like timestamp[ns] to
+    # pyarrow — load_table must not apply the nanos-long cast to them
+    import datetime
+
+    src = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 3, 1, 12, 30))], "event_id long, ts timestamp"
+    )
+    src.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    back = load_table(spark, str(tmp_path), "events")
+    assert isinstance(back.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType))
+    assert back.collect()[0].ts == datetime.datetime(2024, 3, 1, 12, 30)
+
+
 def test_write_rejects_csv_roundtrip(spark, tmp_path):
     from animaltrackingetls_spark.io import write_rejects_csv
 
