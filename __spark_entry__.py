@@ -69,6 +69,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return eio.load_table(_ensure_confs(spark), sf_dir, name)
 
 
+def _money_round(c, decimals: int = 4):
+    """Cross-engine-stable rounding for sums of fixed-decimal money
+    arithmetic: round to the value's NATURAL decimal width (price×(1−disc)
+    has exactly 4 decimals, ×(1+tax) has 6), where a half-way point
+    cannot occur. Rounding such sums to 2 decimals is cross-engine
+    UNSTABLE twice over: the true value often lands exactly on .xx5, and
+    there Spark rounds the shortest decimal representation (BigDecimal →
+    HALF_UP on .xx5) while DuckDB rounds the binary double (usually just
+    below .xx5 → down) — a genuine engine divergence, not float noise.
+    At the natural width the only error is ±1e-9 reduction noise, far
+    from any boundary, so both engines snap to the identical value."""
+    return F.round(c, decimals)
+
+
 # ---------------------------------------------------------------------------
 # Shared constructions (same logic expressed in Spark and in the oracle SQL)
 # ---------------------------------------------------------------------------
@@ -484,8 +498,8 @@ def _q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            _money_round(F.sum(disc_price)).alias("sum_disc_price"),
+            _money_round(F.sum(charge), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -503,7 +517,7 @@ def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
     )
-    revenue = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    revenue = _money_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -538,8 +552,8 @@ def _q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             ).alias("revenue")
         )
     )
@@ -800,6 +814,93 @@ def _q_batch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: shipping volume between supplier and customer
+    nations per ship-year (two nation role-joins on one dim)."""
+    n = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    supp_n = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_n = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg(
+            _money_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("volume")
+        )
+    )
+
+
+def _q_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: promo part types' share of one month's revenue."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def _q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral funnel: users who signed up, then clicked, then
+    purchased — strictly in that temporal order (min-ts per stage)."""
+    ev = _t(spark, sf_dir, "events")
+    stage = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+        )
+    )
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0)).cast("long").alias("n_signup"),
+        F.sum(
+            F.when(
+                F.col("t_signup").isNotNull()
+                & (F.col("t_click") > F.col("t_signup")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_click_after_signup"),
+        F.sum(
+            F.when(
+                F.col("t_signup").isNotNull()
+                & (F.col("t_click") > F.col("t_signup"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_full_funnel"),
+    )
+
+
 def _q_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-shaped: single-pass filtered revenue aggregate."""
     li = _t(spark, sf_dir, "lineitem")
@@ -811,9 +912,7 @@ def _q_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 25)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            _money_round(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -1031,6 +1130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_counts": _q_streaming_window_counts,
         "salted_join_check": _q_salted_join_check,
         "q4_order_priority": _q_q4_order_priority,
+        "q7_nation_volume": _q_q7_nation_volume,
+        "q14_promo_share": _q_q14_promo_share,
+        "funnel_conversion": _q_funnel_conversion,
         "q18_large_orders": _q_q18_large_orders,
         "batch_sessions": _q_batch_sessions,
         "q6_revenue_forecast": _q_q6_revenue_forecast,
@@ -1352,8 +1454,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
                    round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
                      AS sum_charge,
                    round(avg(l_quantity), 6) AS avg_qty,
                    round(avg(l_extendedprice), 6) AS avg_price,
@@ -1365,7 +1467,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
             FROM customer c
             JOIN orders o ON c.c_custkey = o.o_custkey
             JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -1378,7 +1480,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_local_supplier": """
             SELECT n.n_name,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1557,6 +1659,52 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
         """,
+        "q7_nation_volume": """
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INT) AS l_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE sn.n_name < cn.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "q14_promo_share": """
+            SELECT round(100.0
+                     * sum(CASE WHEN p.p_type = 'PROMO'
+                                THEN l.l_extendedprice * (1 - l.l_discount)
+                                ELSE 0.0 END)
+                     / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                     AS promo_share_pct,
+                   count(*) AS n_rows
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+        """,
+        "funnel_conversion": """
+            WITH stage AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                     min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+              FROM events GROUP BY user_id
+            )
+            SELECT count(*) AS n_users,
+                   CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN t_signup IS NOT NULL
+                                  AND t_click > t_signup THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_click_after_signup,
+                   CAST(sum(CASE WHEN t_signup IS NOT NULL
+                                  AND t_click > t_signup
+                                  AND t_purchase > t_click THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_full_funnel
+            FROM stage
+        """,
         "q4_order_priority": """
             SELECT o_orderpriority, count(*) AS order_count
             FROM orders o
@@ -1604,7 +1752,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, session_idx
         """,
         "q6_revenue_forecast": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
                    count(*) AS n_rows
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
