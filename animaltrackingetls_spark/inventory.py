@@ -21,6 +21,7 @@ the writer for a real MERGE and the read-modify-write race goes away).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -110,9 +111,21 @@ def upsert_parquet(
     """
     try:
         existing = spark.read.parquet(path)
-        merged = merge_upsert(existing, updates, key_cols)
-    except Exception:  # first write: no table yet
+    except AnalysisException as err:
+        # ONLY a missing path means "first write". Any other analysis
+        # failure (corrupt footer, schema error) must surface — treating
+        # it as first-write would overwrite and destroy the existing
+        # table. getCondition() is the stable error class in Spark 4.
+        cond = ""
+        try:
+            cond = err.getCondition() or ""
+        except Exception:
+            pass
+        if "PATH_NOT_FOUND" not in cond and "PATH_NOT_FOUND" not in str(err):
+            raise
         merged = updates
+    else:
+        merged = merge_upsert(existing, updates, key_cols)
     # Materialize before overwriting the path we just read.
     rows = merged.collect()
     out = spark.createDataFrame(rows, merged.schema)

@@ -19,7 +19,26 @@ TABLES = [
 ]
 
 
-_NANOS_COLUMNS_CACHE: dict[str, list[str]] = {}
+_NANOS_COLUMNS_CACHE: dict[tuple, list[str]] = {}
+
+
+def _footer_signature(path: str) -> tuple:
+    """(file, mtime, size) fingerprint of the parquet file set at ``path``
+    — the cache key, so a path rewritten in place (e.g. by upsert_parquet)
+    is re-inspected instead of served a stale answer."""
+    files: list[str]
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    else:
+        files = [path] if os.path.exists(path) else []
+    sig = []
+    for f in files:
+        try:
+            st = os.stat(f)
+            sig.append((f, st.st_mtime_ns, st.st_size))
+        except OSError:
+            sig.append((f, 0, 0))
+    return (path, tuple(sig))
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
@@ -28,20 +47,18 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
     Spark 4 cannot read nanos timestamps natively; with
     ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) they
     surface as raw int64 nanoseconds and must be cast back. Footer-only
-    inspection via pyarrow — no data read; memoized per path (testdata is
-    immutable and queries reference the same tables repeatedly).
+    inspection via pyarrow — no data read. ALL footers are scanned (a
+    directory may hold mixed writer schemas) and the memo key carries the
+    file list + mtimes, so in-place rewrites invalidate the cache.
     """
-    if path in _NANOS_COLUMNS_CACHE:
-        return _NANOS_COLUMNS_CACHE[path]
-    result: list[str] = []
+    key = _footer_signature(path)
+    if key in _NANOS_COLUMNS_CACHE:
+        return _NANOS_COLUMNS_CACHE[key]
+    found: set[str] = set()
     try:
         import pyarrow.parquet as pq
 
-        target = path
-        if os.path.isdir(path):
-            inner = sorted(_glob.glob(os.path.join(path, "*.parquet")))
-            target = inner[0] if inner else None
-        if target is not None:
+        for target, _mt, _sz in key[1]:
             # Must check the PHYSICAL parquet type: pyarrow also reports
             # Spark-written INT96 timestamps as timestamp[ns], but Spark
             # reads INT96 natively — only INT64 TIMESTAMP(NANOS) columns
@@ -53,10 +70,11 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
                     col.physical_type == "INT64"
                     and "nanos" in str(col.logical_type).lower()
                 ):
-                    result.append(col.name)
+                    found.add(col.name)
     except Exception:
-        result = []
-    _NANOS_COLUMNS_CACHE[path] = result
+        found = set()
+    result = sorted(found)
+    _NANOS_COLUMNS_CACHE[key] = result
     return result
 
 

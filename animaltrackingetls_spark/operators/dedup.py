@@ -217,9 +217,16 @@ def minhash_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: shingle → k minhashes → band buckets
     → self-join per bucket → exact Jaccard verify on candidates only.
+
+    ``cache_handles``: optional caller-owned list; the persisted shingle
+    frame is appended to it so long-lived sessions can ``unpersist()``
+    after consuming the result. (The legacy ``.shingled_cache`` attribute
+    on the returned DataFrame is best-effort only — any further transform
+    produces a new DataFrame without it.)
 
     The band self-join shuffles on (band_idx, band_hash) — uniform keys,
     no skew beyond true duplicate clusters. Candidate count ≈ true-dup
@@ -237,10 +244,10 @@ def minhash_candidate_pairs(
     # sides of the verify join); without persist each branch re-runs the
     # full tokenize+hash pass — persist trades one spill-able
     # materialization for two recomputes of the most expensive stage.
-    # The cache lives until evicted (LRU) or released: the returned
-    # DataFrame carries it as `.shingled_cache` so long-lived sessions
-    # can `result.shingled_cache.unpersist()` after consuming the result.
+    # The cache lives until evicted (LRU) or released via cache_handles.
     shingled = shingled.persist()
+    if cache_handles is not None:
+        cache_handles.append(shingled)
     sig_src = shingled.select("id", F.explode("sh").alias("s"))
     sig = sig_src.groupBy("id").agg(
         *[

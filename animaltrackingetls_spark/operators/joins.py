@@ -209,14 +209,20 @@ def salted_join(
             "null-extended row per unmatched bucket. Swap the sides or "
             "use AQE skew handling for outer joins."
         )
+    # Collision-free internal salt name: silently reusing a user column
+    # called `_salt` would corrupt (overwrite, then drop) that column.
+    salt_col = "_salt"
+    taken = set(left.columns) | set(right.columns)
+    while salt_col in taken:
+        salt_col = "_" + salt_col
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
     ).cast("int")
-    l = left.withColumn("_salt", salt)
+    l = left.withColumn(salt_col, salt)
     r = right.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
-    return l.join(r, on + ["_salt"], how).drop("_salt")
+    return l.join(r, on + [salt_col], how).drop(salt_col)
 
 
 def bucketized_range_join(

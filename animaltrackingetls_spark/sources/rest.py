@@ -102,6 +102,11 @@ def fetch_page_with_retry(
     """S2: single-page fetch under the reference's retry policy —
     ``attempts`` tries, exponential backoff ``base^n`` capped at
     ``backoff_cap`` seconds (retry_config.py:28-37)."""
+    if attempts < 1:
+        # Without this, zero iterations would reach `raise last_err` with
+        # last_err still None — a baffling TypeError instead of the real
+        # problem.
+        raise ValueError(f"attempts must be >= 1 (got {attempts})")
     last_err: Exception | None = None
     for attempt in range(attempts):
         try:

@@ -135,3 +135,12 @@ def test_embedding_neardup_pairs(spark):
     )
     pairs = {(r.id_a, r.id_b) for r in dedup.embedding_neardup_pairs(emb, threshold=0.95).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_minhash_cache_handles_returned(docs):
+    handles = []
+    out = dedup.minhash_candidate_pairs(docs, threshold=0.5, cache_handles=handles)
+    out.count()
+    assert len(handles) == 1 and handles[0].is_cached
+    handles[0].unpersist()
+    assert not handles[0].is_cached

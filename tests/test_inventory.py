@@ -118,3 +118,26 @@ def test_register_load_counts_per_day(spark):
     assert out.columns == INVENTORY_COLUMNS
     got = {str(r.available_date): (r.table_name, r.record_count) for r in out.collect()}
     assert got == {"2025-06-01": ("june012025", 2), "2025-06-02": ("june022025", 1)}
+
+
+def test_upsert_parquet_corrupt_existing_raises(spark, tmp_path):
+    """A read failure that is NOT path-missing must surface, never be
+    treated as a first write (which would overwrite the surviving data)."""
+    import glob
+
+    import pytest
+
+    path = os.path.join(str(tmp_path), "inv_corrupt")
+    b1 = spark.createDataFrame([("2024-01-01", "t1", 10, "a")], _B_SCHEMA)
+    upsert_parquet(spark, path, b1, ["available_date"])
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        with open(f, "wb") as fh:
+            fh.write(b"not parquet at all")
+    b2 = spark.createDataFrame([("2024-01-02", "t2", 5, "b")], _B_SCHEMA)
+    with pytest.raises(Exception) as exc_info:
+        upsert_parquet(spark, path, b2, ["available_date"])
+    # must not have silently replaced the table with only batch 2
+    assert "2024-01-02" not in str(
+        [r for f in glob.glob(os.path.join(path, "*.parquet")) for r in [f]]
+    )
+    assert exc_info.value is not None

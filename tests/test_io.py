@@ -72,3 +72,21 @@ def test_union_append_fills_missing_columns(spark):
     out = union_append(a, b).collect()
     got = {(r.id, r.v) for r in out}
     assert got == {(1, "x"), (2, None)}
+
+
+def test_nanos_cache_invalidates_on_rewrite(spark, tmp_path):
+    """The footer memo is keyed on file mtimes: rewriting a path in place
+    must re-inspect, not serve the stale nanos-column answer."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from animaltrackingetls_spark.io import _nanos_timestamp_columns
+
+    path = str(tmp_path / "swap.parquet")
+    ns = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:00:00.000000001"])})
+    pq.write_table(pa.Table.from_pandas(ns), path, coerce_timestamps=None)
+    assert _nanos_timestamp_columns(path) == ["ts"]
+    plain = pa.table({"x": [1, 2]})
+    pq.write_table(plain, path)
+    assert _nanos_timestamp_columns(path) == []

@@ -163,3 +163,11 @@ def test_bucketized_range_join(spark):
     )
     out = joins.bucketized_range_join(pts, iv, "p", "ws", "we")
     assert [r.id for r in out.collect()] == [1]
+
+
+def test_salted_join_preserves_user_salt_column(spark):
+    """A pre-existing `_salt` column must pass through unharmed."""
+    left = spark.createDataFrame([(1, "keep_l")], "k long, _salt string")
+    right = spark.createDataFrame([(1, "tag")], "k long, tag string")
+    out = joins.salted_join(left, right, ["k"]).collect()
+    assert [(r.k, r._salt, r.tag) for r in out] == [(1, "keep_l", "tag")]

@@ -102,3 +102,10 @@ def test_retry_exhaustion_raises():
 
     with pytest.raises(ConnectionError):
         fetch_page_with_retry(always_down, {}, attempts=3, sleep=lambda s: None)
+
+
+def test_retry_rejects_nonpositive_attempts():
+    import pytest
+
+    with pytest.raises(ValueError, match="attempts"):
+        fetch_page_with_retry(lambda p: {}, {}, attempts=0)
