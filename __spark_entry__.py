@@ -932,9 +932,12 @@ def _q_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: greedy token-budget bin assignment."""
+    """Sequence packing: token-budget bin assignment, packed per `source`
+    shard so the window is partition-parallel (the scale-safe form — a
+    global-window pack funnels every row through one partition; that form
+    survives only as a unit test). Unique bin key = (source, bin_id)."""
     docs = textstats.quality_columns(_t(spark, sf_dir, "documents"))
-    return textstats.pack_documents(docs, max_tokens=2048)
+    return textstats.pack_documents(docs, max_tokens=2048, partition_col="source")
 
 
 def _q_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1799,13 +1802,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_documents": """
             WITH t AS (
-              SELECT doc_id,
+              SELECT doc_id, source,
                      CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
               FROM documents
             )
-            SELECT doc_id, n_tokens,
+            SELECT doc_id, n_tokens, source,
                    CAST(floor(
-                     COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                     COALESCE(sum(n_tokens) OVER (PARTITION BY source
+                       ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                      / 2048.0) AS BIGINT) AS bin_id
             FROM t

@@ -52,3 +52,12 @@ def test_flagship_runs_and_has_no_cartesian(spark):
     df = entry.entry(spark)
     assert_no_cartesian(df)
     assert df.count() > 0
+
+
+def test_pack_documents_window_is_partitioned(spark):
+    """The registered pack query must NOT use a global (single-partition)
+    window — the scale-killer flagged in round 2."""
+    df = entry._q_pack_documents(spark, SF)
+    plan = formatted_plan(df)
+    spec = "\n".join(l for l in plan.splitlines() if "windowspecdefinition" in l)
+    assert "windowspecdefinition(source" in spec  # partitioned, not global
