@@ -235,36 +235,37 @@ def _q_flagship_day_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_temporal_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3/C5: the seven derived temporal columns, pandas conventions."""
+def _q_temporal_rescue_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/C5 + C1/C2 in one projection (folded so every oracle query fits
+    the driver's 50-entry window): the seven derived temporal columns
+    from the clean ts, plus messy-date-string rescue+parse → NULL."""
     ev = _t(spark, sf_dir, "events")
-    return ev.select("event_id", *[v.alias(k) for k, v in temporal_columns(F.col("ts")).items()])
-
-
-def _q_date_rescue_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C1+C2: rescue messy date strings then parse; failures → NULL."""
-    ev = _t(spark, sf_dir, "events")
-    raw = ev.select("event_id", F.expr(_DIRTY_DATE_SPARK).alias("eventDate"))
-    return raw.select(
+    return ev.select(
         "event_id",
-        "eventDate",
-        parse_event_timestamp(F.col("eventDate")).alias("eventDateParsed"),
-    )
+        *[v.alias(k) for k, v in temporal_columns(F.col("ts")).items()],
+        F.expr(_DIRTY_DATE_SPARK).alias("eventDate"),
+    ).withColumn("eventDateParsed", parse_event_timestamp(F.col("eventDate")))
 
 
-def _q_clean_good_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F2/C3/C4 good branch: per-day counts + individualCount sums."""
+def _q_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/C3/C4 good branch + A3 reject histogram, folded into one
+    summary: good rows bucketed per day (with individualCount sums),
+    reject rows bucketed per failure reason (NULL sum)."""
     res = clean_occurrences(_dirty_occurrences(spark, sf_dir))
-    return res.good.groupBy("date_only").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("individualCount").alias("sum_count"),
+    good = (
+        res.good.groupBy("date_only")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("individualCount").alias("sum_count"),
+        )
+        .select(F.col("date_only").cast("string").alias("bucket"), "n", "sum_count")
     )
-
-
-def _q_clean_reject_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: rejection-reason histogram over the reject branch."""
-    res = clean_occurrences(_dirty_occurrences(spark, sf_dir))
-    return rejection_histogram(res.rejected)
+    rej = rejection_histogram(res.rejected).select(
+        F.concat(F.lit("reject:"), F.col("_failure_reason")).alias("bucket"),
+        F.col("n"),
+        F.lit(None).cast("bigint").alias("sum_count"),
+    )
+    return good.unionByName(rej)
 
 
 def _q_clean_aligned_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,31 +291,34 @@ def _q_serving_day_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C11: JSON field extraction from the props column."""
+def _q_json_scrub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 JSON extraction + C7 NA-string scrub, one projection."""
+    from animaltrackingetls_spark.functions.coercion import scrub_na_strings
+
     ev = _t(spark, sf_dir, "events")
+    raw_v = F.expr(
+        "CASE event_id % 4 WHEN 0 THEN 'None' WHEN 1 THEN 'nan' "
+        "WHEN 2 THEN 'NaT' ELSE event_type END"
+    )
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        scrub_na_strings(raw_v).alias("v"),
     )
 
 
-def _q_month_table_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C10: month-name period naming per distinct day."""
+def _q_calendar_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 month-name period naming + C12 first-Sunday arithmetic, per
+    distinct event day (the fold keeps both calendar ops oracle-checked;
+    multi-year first-Sunday behavior is pinned by unit tests)."""
     ev = _t(spark, sf_dir, "events")
     d = ev.select(F.to_date("ts").alias("date_only")).distinct()
     return d.select(
         "date_only",
         table_name_for_day(F.col("date_only")).alias("table_day"),
         table_name_for_month(F.col("date_only")).alias("table_month"),
+        first_sunday_of_year(F.year("date_only").cast("int")).alias("first_sunday"),
     )
-
-
-def _q_first_sundays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C12: first Sunday of each order-year."""
-    o = _t(spark, sf_dir, "orders")
-    years = o.select(F.year("o_orderdate").cast("int").alias("year")).distinct()
-    return years.withColumn("first_sunday", first_sunday_of_year(F.col("year")))
 
 
 def _q_inventory_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,14 +397,25 @@ def _q_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.drop_exact_duplicates(d, ["md5_fp"], "doc_id").select("doc_id")
 
 
-def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprinting (md5; xxhash64 exercised in tests)."""
+def _q_fingerprint_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting (md5; xxhash64 exercised in tests) folded
+    with whitespace/control normalization, verified via post-norm
+    lengths + digests."""
     docs = _t(spark, sf_dir, "documents")
-    return textstats.fingerprint(docs).select("doc_id", "md5_fp")
+    norm = textstats.normalize_whitespace(
+        textstats.strip_control_chars(F.col("text"))
+    )
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_fp"),
+        F.length(norm).alias("n_chars_norm"),
+        F.md5(norm).alias("md5_norm"),
+    )
 
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text quality features: token/char counts, alpha & stopword ratios."""
+    """Text quality features: token/char counts, alpha & stopword ratios,
+    plus the BPE-ish pre-tokenizer segment count (folded)."""
     docs = _t(spark, sf_dir, "documents")
     q = textstats.quality_columns(docs)
     return q.select(
@@ -409,6 +424,7 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars_m",
         F.round("alpha_ratio", 6).alias("alpha_ratio"),
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        textstats.token_count_bpeish(F.col("text")).alias("n_bpeish"),
     )
 
 
@@ -422,20 +438,18 @@ def _q_language_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_ngram_jaccard_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs: word-trigram Jaccard with source+length blocking."""
+def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at two granularities (folded): word-trigram Jaccard
+    with source+length blocking, and unigram token-set Jaccard with a
+    tighter threshold — tagged by ngram_n."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(
+    tri = dedup.ngram_jaccard_pairs(
         docs, n=3, threshold=0.2, block_cols=["source"], length_band=40
-    )
-
-
-def _q_ngram_jaccard_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs: unigram (token-set) Jaccard, tighter threshold."""
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(
+    ).withColumn("ngram_n", F.lit(3))
+    uni = dedup.ngram_jaccard_pairs(
         docs, n=1, threshold=0.5, block_cols=["source"], length_band=60
-    )
+    ).withColumn("ngram_n", F.lit(1))
+    return tri.unionByName(uni)
 
 
 def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,18 +589,19 @@ def _q_broadcast_dim_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join: customers having a >300k order."""
+def _q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (folded): customers having a >300k
+    order, and customers who never placed a >350k order."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
-
-
-def _q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers who never placed a >350k order."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+    o_hi = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    o_vh = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    semi = c.join(o_hi, c.c_custkey == o_hi.o_custkey, "left_semi").select(
+        F.lit("semi").alias("side"), "c_custkey"
+    )
+    anti = c.join(o_vh, c.c_custkey == o_vh.o_custkey, "left_anti").select(
+        F.lit("anti").alias("side"), "c_custkey"
+    )
+    return semi.unionByName(anti)
 
 
 def _q_window_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,67 +625,100 @@ def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rollup aggregation over status × priority."""
+def _q_rollup_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup + cube aggregations over status × priority (folded, tagged
+    by mode — the cube adds the status-free grouping sets)."""
     o = _t(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    ]
+    r = o.rollup("o_orderstatus", "o_orderpriority").agg(*aggs).select(
+        F.lit("rollup").alias("mode"), "o_orderstatus", "o_orderpriority",
+        "n_orders", "sum_price",
     )
+    cb = o.cube("o_orderstatus", "o_orderpriority").agg(*aggs).select(
+        F.lit("cube").alias("mode"), "o_orderstatus", "o_orderpriority",
+        "n_orders", "sum_price",
+    )
+    return r.unionByName(cb)
 
 
-def _q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set op: BUILDING-segment ∩ high-balance customer keys."""
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (folded): BUILDING ∩ high-balance keys, and BUILDING minus
+    negative-balance keys — tagged by op."""
     c = _t(spark, sf_dir, "customer")
-    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    b = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
-    return a.intersect(b)
+    bld = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    hi = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    neg = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    inter = bld.intersect(hi).select(F.lit("intersect").alias("op"), "c_custkey")
+    exc = bld.subtract(neg).select(F.lit("except").alias("op"), "c_custkey")
+    return inter.unionByName(exc)
 
 
-def _q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set op: BUILDING-segment minus negative-balance customer keys."""
-    c = _t(spark, sf_dir, "customer")
-    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    b = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
-    return a.subtract(b)
-
-
-def _q_union_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3: unionByName with missing-column fill, then aggregate."""
+def _q_mask_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 unionByName-with-fill aggregate + A4 boolean-mask sums, folded
+    into one (label, n, n2) report: union rows carry (type, count,
+    non-null value count); mask rows carry (mask name, hits, total)."""
     ev = _t(spark, sf_dir, "events")
     signups = ev.filter(F.col("event_type") == "signup").select(
         "event_id", "event_type", "value"
     )
     errors = ev.filter(F.col("event_type") == "error").select("event_id", "event_type")
     u = eio.union_append(signups, errors)
-    return u.groupBy("event_type").agg(
+    ua = u.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.count("value").alias("n_value"),
-    )
-
-
-def _q_mask_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: boolean-mask sums."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.agg(
+        F.count("value").alias("n2"),
+    ).select(F.col("event_type").alias("label"), "n", "n2")
+    masks = ev.agg(
         F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).cast("long").alias("n_high"),
         F.sum(F.when(F.col("value") <= 10, 1).otherwise(0)).cast("long").alias("n_low"),
         F.count(F.lit(1)).alias("n_total"),
     )
-
-
-def _q_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return ev.select("event_type").distinct()
+    m = masks.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("value_gt_100").alias("label"),
+                    F.col("n_high").alias("n"),
+                    F.col("n_total").alias("n2"),
+                ),
+                F.struct(
+                    F.lit("value_le_10").alias("label"),
+                    F.col("n_low").alias("n"),
+                    F.col("n_total").alias("n2"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.label", "s.n", "s.n2")
+    return ua.unionByName(m)
 
 
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal metadata: JVM-side byte length + sha256 of payloads."""
+    """Multimodal metadata + REAL PNG header decode (folded).
+
+    Text payloads carry JVM-side byte length + sha256 as before. A second
+    image payload per doc is synthesized as genuine PNG signature+IHDR
+    bytes (dims derived from doc_id) and parsed BACK from the raw bytes
+    by the byte-level parser — the oracle recomputes the dims by formula,
+    so any parse/synthesis disagreement fails the hash."""
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.to_media_table(
         docs, "doc_id", F.encode(F.col("text"), "utf-8"), "text/plain"
     )
-    return media.select("media_id", "content_type", "n_bytes", "sha256_hex")
+    png = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("image/png").alias("content_type"),
+        multimodal.synthesize_png_header(
+            (F.col("doc_id") % 1024 + 16).cast("long"),
+            (F.col("doc_id") * 7 % 768 + 16).cast("long"),
+        ).alias("payload"),
+    )
+    dims = multimodal.image_dimensions(png)
+    return media.select("media_id", "content_type", "n_bytes", "sha256_hex").join(
+        dims.select("media_id", "width", "height", "bit_depth", "color_type"),
+        "media_id",
+    )
 
 
 def _q_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,55 +729,41 @@ def _q_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: full-table COUNT(*) per table."""
+    """A2 full-table COUNT(*) per table, folded with the distinct-values
+    audit: per-event-type counts appended as 'events.event_type=<t>'
+    rows (groupBy IS distinct — presence of a row proves the type
+    exists, n_rows carries its cardinality)."""
     from animaltrackingetls_spark.operators.aggregates import table_counts
 
-    return table_counts(eio.load_all(_ensure_confs(spark), sf_dir))
-
-
-def _q_scrub_na_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C7: stringified-NA scrub — sentinel strings become NULL."""
-    from animaltrackingetls_spark.functions.coercion import scrub_na_strings
-
+    counts = table_counts(eio.load_all(_ensure_confs(spark), sf_dir))
     ev = _t(spark, sf_dir, "events")
-    raw = ev.select(
-        "event_id",
-        F.expr(
-            "CASE event_id % 4 WHEN 0 THEN 'None' WHEN 1 THEN 'nan' "
-            "WHEN 2 THEN 'NaT' ELSE event_type END"
-        ).alias("v"),
+    per_type = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.concat(F.lit("events.event_type="), F.col("event_type")).alias(
+                "table_name"
+            ),
+            "n_rows",
+        )
     )
-    return raw.select("event_id", scrub_na_strings(F.col("v")).alias("v"))
+    return counts.unionByName(per_type)
 
 
-def _q_udaf_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U4: GROUPED_AGG pandas UDAF — per-type median of value."""
-    from animaltrackingetls_spark.operators.aggregates import median_udaf
-
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(median_udaf("value"), 6).alias("median_value")
+def _q_udaf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: both GROUPED_AGG pandas UDAFs (median + weighted mean) in one
+    aggregation — a single shuffle computes both custom aggregates."""
+    from animaltrackingetls_spark.operators.aggregates import (
+        median_udaf,
+        weighted_mean_udaf,
     )
-
-
-def _q_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U4: GROUPED_AGG pandas UDAF — weighted mean of value."""
-    from animaltrackingetls_spark.operators.aggregates import weighted_mean_udaf
 
     ev = _t(spark, sf_dir, "events").withColumn(
         "w", (F.col("event_id") % 7 + 1).cast("double")
     )
     return ev.groupBy("event_type").agg(
-        F.round(weighted_mean_udaf("value", "w"), 6).alias("wmean_value")
-    )
-
-
-def _q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cube aggregation over status × priority (all grouping sets)."""
-    o = _t(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(median_udaf("value"), 6).alias("median_value"),
+        F.round(weighted_mean_udaf("value", "w"), 6).alias("wmean_value"),
     )
 
 
@@ -742,14 +776,6 @@ def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(F.desc("n_docs"), F.asc("bigram"))
         .limit(20)
-    )
-
-
-def _q_token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish pre-tokenizer segment counts per document."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", textstats.token_count_bpeish(F.col("text")).alias("n_bpeish")
     )
 
 
@@ -940,35 +966,29 @@ def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pack_documents(docs, max_tokens=2048, partition_col="source")
 
 
-def _q_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 25% sample (md5-bucket membership, partitioning-
-    independent — reproducible in any engine, unlike df.sample)."""
-    from animaltrackingetls_spark.operators.sampling import deterministic_sample
-
-    docs = _t(spark, sf_dir, "documents")
-    return deterministic_sample(docs, "doc_id", 0.25).select("doc_id")
-
-
-def _q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-stratum deterministic sampling, verified via stratum counts."""
-    from animaltrackingetls_spark.operators.sampling import stratified_sample
-
-    docs = _t(spark, sf_dir, "documents")
-    out = stratified_sample(docs, "doc_id", "lang", {"en": 0.5, "zh": 0.1})
-    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-
-
-def _q_normalized_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace/control normalization, verified via post-norm lengths."""
-    docs = _t(spark, sf_dir, "documents")
-    norm = textstats.normalize_whitespace(
-        textstats.strip_control_chars(F.col("text"))
+def _q_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling (folded): the md5-bucket 25% uniform sample
+    (partitioning-independent — reproducible in any engine, unlike
+    df.sample) as ('uniform', doc_id) membership rows, plus per-stratum
+    counts of a stratified sample as ('stratum', lang) rows."""
+    from animaltrackingetls_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
     )
-    return docs.select(
-        "doc_id",
-        F.length(norm).alias("n_chars_norm"),
-        F.md5(norm).alias("md5_norm"),
+
+    docs = _t(spark, sf_dir, "documents")
+    uni = deterministic_sample(docs, "doc_id", 0.25).select(
+        F.lit("uniform").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit(None).cast("bigint").alias("n"),
     )
+    strat = (
+        stratified_sample(docs, "doc_id", "lang", {"en": 0.5, "zh": 0.1})
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("stratum").alias("kind"), F.col("lang").alias("key"), "n")
+    )
+    return uni.unionByName(strat)
 
 
 def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,6 +1011,48 @@ def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_available_now_to_memory(agg, "q_stream_wc", output_mode="complete")
     return spark.table("q_stream_wc")
+
+
+def _q_sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming session windows (§2.10): per-user sessions
+    closing after 30 idle minutes, drained with AvailableNow. Session
+    semantics are deterministic (start=min ts, end=last ts + gap), so
+    the batch island-grouping SQL is an exact oracle."""
+    from animaltrackingetls_spark.streaming import (
+        read_event_stream,
+        run_available_now_to_memory,
+        sessionized_user_activity,
+    )
+
+    _ensure_confs(spark)
+    stream = read_event_stream(
+        spark, sf_dir, nanos_ts=True, path_glob="events.parquet"
+    )
+    sess = sessionized_user_activity(stream, gap="30 minutes")
+    run_available_now_to_memory(sess, "q_stream_sessions", output_mode="complete")
+    return spark.table("q_stream_sessions")
+
+
+def _q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming dedup (§2.10): dropDuplicatesWithinWatermark
+    on (user_id, event_type), projected to the kept KEY SET — which row
+    survives per key is arrival-order-dependent, but the set of keys is
+    exactly DISTINCT(user_id, event_type), giving a value oracle."""
+    from animaltrackingetls_spark.streaming import (
+        read_event_stream,
+        run_available_now_to_memory,
+        stream_dedup,
+    )
+
+    _ensure_confs(spark)
+    stream = read_event_stream(
+        spark, sf_dir, nanos_ts=True, path_glob="events.parquet"
+    )
+    kept = stream_dedup(stream, ["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    run_available_now_to_memory(kept, "q_stream_dedup", output_mode="append")
+    return spark.table("q_stream_dedup")
 
 
 # --- rows-only queries (no ANSI-SQL oracle; driver records weaker check) ---
@@ -1081,28 +1143,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver verifies the first 50 entries against
+    # oracle_sql() (CORRECTNESS_r02 covered exactly 50), so every
+    # oracle-backed query sits in positions 1-50; rows-only (hash-seeded
+    # / approximate) queries follow. Near-duplicate operator pairs are
+    # folded into single tagged queries to fit the window without
+    # dropping any operator's oracle coverage.
     return {
         "flagship_day_scan": _q_flagship_day_scan,
-        "temporal_derive": _q_temporal_derive,
-        "date_rescue_parse": _q_date_rescue_parse,
-        "clean_good_agg": _q_clean_good_agg,
-        "clean_reject_histogram": _q_clean_reject_histogram,
+        "temporal_rescue_derive": _q_temporal_rescue_derive,
+        "clean_summary": _q_clean_summary,
         "clean_aligned_sample": _q_clean_aligned_sample,
         "serving_day_filter": _q_serving_day_filter,
-        "json_extract_props": _q_json_extract_props,
-        "month_table_names": _q_month_table_names,
-        "first_sundays": _q_first_sundays,
+        "json_scrub_extract": _q_json_scrub_extract,
+        "calendar_naming": _q_calendar_naming,
         "inventory_upsert": _q_inventory_upsert,
         "geocode_broadcast": _q_geocode_broadcast,
         "enrich_batched": _q_enrich_batched,
         "dup_groups": _q_dup_groups,
         "dup_audit_all_columns": _q_dup_audit_all_columns,
         "dedup_kept": _q_dedup_kept,
-        "fingerprint": _q_fingerprint,
+        "fingerprint_norm": _q_fingerprint_norm,
         "text_quality": _q_text_quality,
         "language_counts": _q_language_counts,
-        "ngram_jaccard_trigram": _q_ngram_jaccard_trigram,
-        "ngram_jaccard_unigram": _q_ngram_jaccard_unigram,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "topk_cosine": _q_topk_cosine,
         "embedding_neardup": _q_embedding_neardup,
         "asof_join_events": _q_asof_join_events,
@@ -1111,25 +1175,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": _q_q3_shipping_priority,
         "q5_local_supplier": _q_q5_local_supplier,
         "broadcast_dim_agg": _q_broadcast_dim_agg,
-        "semi_join_customers": _q_semi_join_customers,
-        "anti_join_customers": _q_anti_join_customers,
+        "semi_anti_join": _q_semi_anti_join,
         "window_latest_event": _q_window_latest_event,
         "topk_orders": _q_topk_orders,
-        "rollup_orders": _q_rollup_orders,
-        "set_intersect": _q_set_intersect,
-        "set_except": _q_set_except,
-        "union_append": _q_union_append,
-        "mask_counts": _q_mask_counts,
-        "distinct_event_types": _q_distinct_event_types,
+        "rollup_cube_orders": _q_rollup_cube_orders,
+        "set_ops": _q_set_ops,
+        "mask_union_counts": _q_mask_union_counts,
         "media_metadata": _q_media_metadata,
         "catalog_columns": _q_catalog_columns,
         "table_counts": _q_table_counts,
-        "scrub_na_strings": _q_scrub_na_strings,
-        "udaf_median_value": _q_udaf_median_value,
-        "udaf_weighted_mean": _q_udaf_weighted_mean,
-        "cube_orders": _q_cube_orders,
+        "udaf_stats": _q_udaf_stats,
         "top_bigrams": _q_top_bigrams,
-        "token_count_bpeish": _q_token_count_bpeish,
         "streaming_window_counts": _q_streaming_window_counts,
         "salted_join_check": _q_salted_join_check,
         "q4_order_priority": _q_q4_order_priority,
@@ -1141,9 +1197,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_revenue_forecast": _q_q6_revenue_forecast,
         "pretrain_filter": _q_pretrain_filter,
         "pack_documents": _q_pack_documents,
-        "normalized_text_stats": _q_normalized_text_stats,
-        "sampled_docs": _q_sampled_docs,
-        "stratified_sample_counts": _q_stratified_sample_counts,
+        "sample_audit": _q_sample_audit,
+        "sessionized_stream": _q_sessionized_stream,
+        "stream_dedup_keys": _q_stream_dedup_keys,
         # rows-only (hash-based / approximate / Python-batch operators)
         "winnow_fingerprints": _q_winnow_fingerprints,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -1175,7 +1231,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(ts AS DATE) = DATE '2024-01-05'
             GROUP BY event_type
         """,
-        "temporal_derive": """
+        "temporal_rescue_derive": f"""
+            WITH raw AS (
+              SELECT event_id, ts, {_DIRTY_DATE_SQL} AS eventDate FROM events
+            )
             SELECT event_id,
                    CAST(year(ts) AS INT) AS year,
                    CAST(month(ts) AS INT) AS month,
@@ -1183,31 +1242,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(isodow(ts) - 1 AS INT) AS day_of_week,
                    CAST(week(ts) AS BIGINT) AS week_of_year,
                    CAST(ts AS DATE) AS date_only,
-                   strftime(ts, '%H:%M:%S') AS time_only
-            FROM events
-        """,
-        "date_rescue_parse": f"""
-            WITH raw AS (
-              SELECT event_id, {_DIRTY_DATE_SQL} AS eventDate FROM events
-            )
-            SELECT event_id, eventDate, {_PARSED_SQL} AS eventDateParsed
+                   strftime(ts, '%H:%M:%S') AS time_only,
+                   eventDate,
+                   {_PARSED_SQL} AS eventDateParsed
             FROM raw
         """,
-        "clean_good_agg": f"""
+        "clean_summary": f"""
             WITH {_TAGGED_SQL}
-            SELECT CAST(eventDateParsed AS DATE) AS date_only,
+            SELECT CAST(CAST(eventDateParsed AS DATE) AS VARCHAR) AS bucket,
                    count(*) AS n,
                    CAST(sum(individualCount) AS BIGINT) AS sum_count
             FROM tagged
             WHERE eventDateParsed IS NOT NULL
               AND lat IS NOT NULL AND lon IS NOT NULL
             GROUP BY 1
-        """,
-        "clean_reject_histogram": f"""
-            WITH {_TAGGED_SQL}
-            SELECT CASE WHEN eventDateParsed IS NULL THEN 'unparseable_eventDate'
-                        ELSE 'invalid_coordinates' END AS "_failure_reason",
-                   count(*) AS n
+            UNION ALL
+            SELECT 'reject:' || CASE WHEN eventDateParsed IS NULL
+                                     THEN 'unparseable_eventDate'
+                                     ELSE 'invalid_coordinates' END AS bucket,
+                   count(*) AS n,
+                   CAST(NULL AS BIGINT) AS sum_count
             FROM tagged
             WHERE eventDateParsed IS NULL OR lat IS NULL OR lon IS NULL
             GROUP BY 1
@@ -1237,25 +1291,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 15
         """,
-        "json_extract_props": """
+        "json_scrub_extract": """
             SELECT event_id,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
-            FROM events
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+                   CASE WHEN raw_v IN ('None', 'nan', 'NaT', '<NA>', '') THEN NULL
+                        ELSE raw_v END AS v
+            FROM (
+              SELECT event_id, props,
+                     CASE event_id % 4 WHEN 0 THEN 'None' WHEN 1 THEN 'nan'
+                          WHEN 2 THEN 'NaT' ELSE event_type END AS raw_v
+              FROM events
+            )
         """,
-        "month_table_names": """
+        "calendar_naming": """
             SELECT DISTINCT CAST(ts AS DATE) AS date_only,
                    lower(monthname(ts)) || lpad(CAST(day(ts) AS VARCHAR), 2, '0')
                      || CAST(year(ts) AS VARCHAR) AS table_day,
-                   lower(monthname(ts)) || CAST(year(ts) AS VARCHAR) AS table_month
-            FROM events
-        """,
-        "first_sundays": """
-            WITH y AS (SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS year FROM orders)
-            SELECT year,
-                   CAST(make_date(year, 1, 1)
-                        + INTERVAL ((7 - isodow(make_date(year, 1, 1))) % 7) DAY
+                   lower(monthname(ts)) || CAST(year(ts) AS VARCHAR) AS table_month,
+                   CAST(make_date(CAST(year(ts) AS INT), 1, 1)
+                        + INTERVAL ((7 - isodow(make_date(CAST(year(ts) AS INT), 1, 1))) % 7) DAY
                         AS DATE) AS first_sunday
-            FROM y
+            FROM events
         """,
         "inventory_upsert": """
             WITH e AS (SELECT CAST(ts AS DATE) AS d, event_id FROM events),
@@ -1325,8 +1381,17 @@ def oracle_sql() -> dict[str, str]:
             WITH {_DOCS_WITH_DUPS_SQL}
             SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)
         """,
-        "fingerprint": """
-            SELECT doc_id, md5(text) AS md5_fp FROM documents
+        "fingerprint_norm": """
+            SELECT doc_id, md5(text) AS md5_fp,
+                   length(trim(regexp_replace(
+                     regexp_replace(text,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g'),
+                     '\\s+', ' ', 'g'))) AS n_chars_norm,
+                   md5(trim(regexp_replace(
+                     regexp_replace(text,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g'),
+                     '\\s+', ' ', 'g'))) AS md5_norm
+            FROM documents
         """,
         "text_quality": f"""
             WITH t AS (
@@ -1341,7 +1406,9 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(text), 1), 6) AS alpha_ratio,
                    round(CAST(len(list_filter(toks,
                            tk -> list_contains({_STOPWORDS_SQL}, tk))) AS DOUBLE)
-                         / greatest(len(toks), 1), 6) AS stopword_ratio
+                         / greatest(len(toks), 1), 6) AS stopword_ratio,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS INT) AS n_bpeish
             FROM t
         """,
         "language_counts": f"""
@@ -1370,7 +1437,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM s GROUP BY 1
         """,
-        "ngram_jaccard_trigram": """
+        "ngram_jaccard_pairs": """
             WITH t AS (
               SELECT doc_id, source, n_chars,
                      regexp_extract_all(lower(text), '\\S+') AS toks
@@ -1386,23 +1453,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard_sim
+                     / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard_sim,
+                   CAST(3 AS INT) AS ngram_n
             FROM s a JOIN s b
               ON a.doc_id < b.doc_id AND a.source = b.source
              AND abs(a.n_chars - b.n_chars) <= 40
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
-        """,
-        "ngram_jaccard_unigram": """
-            WITH t AS (
+            UNION ALL
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard_sim,
+                   CAST(1 AS INT) AS ngram_n
+            FROM (
               SELECT doc_id, source, n_chars,
                      list_distinct(regexp_extract_all(lower(text), '\\S+')) AS sh
               FROM documents
-            )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard_sim
-            FROM t a JOIN t b
+            ) a JOIN (
+              SELECT doc_id, source, n_chars,
+                     list_distinct(regexp_extract_all(lower(text), '\\S+')) AS sh
+              FROM documents
+            ) b
               ON a.doc_id < b.doc_id AND a.source = b.source
              AND abs(a.n_chars - b.n_chars) <= 60
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -1505,14 +1576,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_name
         """,
-        "semi_join_customers": """
-            SELECT c_custkey FROM customer c
+        "semi_anti_join": """
+            SELECT 'semi' AS side, c_custkey FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_totalprice > 300000)
-        """,
-        "anti_join_customers": """
-            SELECT c_custkey FROM customer c
+            UNION ALL
+            SELECT 'anti' AS side, c_custkey FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 350000)
@@ -1530,25 +1600,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
         """,
-        "rollup_orders": """
-            SELECT o_orderstatus, o_orderpriority,
+        "rollup_cube_orders": """
+            SELECT 'rollup' AS mode, o_orderstatus, o_orderpriority,
                    count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS sum_price
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            UNION ALL
+            SELECT 'cube' AS mode, o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
         """,
-        "set_intersect": """
-            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-            INTERSECT
-            SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+        "set_ops": """
+            SELECT 'intersect' AS op, c_custkey FROM (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              INTERSECT
+              SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+            )
+            UNION ALL
+            SELECT 'except' AS op, c_custkey FROM (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              EXCEPT
+              SELECT c_custkey FROM customer WHERE c_acctbal < 0
+            )
         """,
-        "set_except": """
-            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-            EXCEPT
-            SELECT c_custkey FROM customer WHERE c_acctbal < 0
-        """,
-        "union_append": """
-            SELECT event_type, count(*) AS n, count(value) AS n_value
+        "mask_union_counts": """
+            SELECT event_type AS label, count(*) AS n,
+                   count(value) AS n2
             FROM (
               SELECT event_id, event_type, value FROM events
               WHERE event_type = 'signup'
@@ -1557,21 +1637,26 @@ def oracle_sql() -> dict[str, str]:
               WHERE event_type = 'error'
             )
             GROUP BY event_type
-        """,
-        "mask_counts": """
-            SELECT CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-                   CAST(sum(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
-                   count(*) AS n_total
+            UNION ALL
+            SELECT 'value_gt_100' AS label,
+                   CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+                   count(*) AS n2
             FROM events
-        """,
-        "distinct_event_types": """
-            SELECT DISTINCT event_type FROM events
+            UNION ALL
+            SELECT 'value_le_10' AS label,
+                   CAST(sum(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+                   count(*) AS n2
+            FROM events
         """,
         "media_metadata": """
             SELECT doc_id AS media_id,
                    'text/plain' AS content_type,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   sha256(text) AS sha256_hex
+                   sha256(text) AS sha256_hex,
+                   CAST(doc_id % 1024 + 16 AS BIGINT) AS width,
+                   CAST(doc_id * 7 % 768 + 16 AS BIGINT) AS height,
+                   CAST(8 AS INT) AS bit_depth,
+                   CAST(6 AS INT) AS color_type
             FROM documents
         """,
         "catalog_columns": """
@@ -1593,35 +1678,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'events', count(*) FROM events
             UNION ALL SELECT 'documents', count(*) FROM documents
             UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+            UNION ALL SELECT 'events.event_type=' || event_type, count(*)
+                      FROM events GROUP BY event_type
         """,
-        "scrub_na_strings": """
-            SELECT event_id,
-                   CASE WHEN v IN ('None', 'nan', 'NaT', '<NA>', '') THEN NULL
-                        ELSE v END AS v
-            FROM (
-              SELECT event_id,
-                     CASE event_id % 4 WHEN 0 THEN 'None' WHEN 1 THEN 'nan'
-                          WHEN 2 THEN 'NaT' ELSE event_type END AS v
-              FROM events
-            )
-        """,
-        "udaf_median_value": """
-            SELECT event_type, round(median(value), 6) AS median_value
-            FROM events GROUP BY event_type
-        """,
-        "udaf_weighted_mean": """
+        "udaf_stats": """
             SELECT event_type,
+                   round(median(value), 6) AS median_value,
                    round(sum(value * w) / sum(w), 6) AS wmean_value
             FROM (SELECT event_type, value,
                          CAST(event_id % 7 + 1 AS DOUBLE) AS w FROM events)
             GROUP BY event_type
-        """,
-        "cube_orders": """
-            SELECT o_orderstatus, o_orderpriority,
-                   count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS sum_price
-            FROM orders
-            GROUP BY CUBE(o_orderstatus, o_orderpriority)
         """,
         "top_bigrams": """
             WITH t AS (
@@ -1640,12 +1706,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY bigram
             ORDER BY n_docs DESC, bigram
             LIMIT 20
-        """,
-        "token_count_bpeish": """
-            SELECT doc_id,
-                   CAST(len(regexp_extract_all(lower(text),
-                        '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS INT) AS n_bpeish
-            FROM documents
         """,
         "streaming_window_counts": """
             SELECT date_trunc('hour', ts) AS window_start,
@@ -1814,28 +1874,44 @@ def oracle_sql() -> dict[str, str]:
                      / 2048.0) AS BIGINT) AS bin_id
             FROM t
         """,
-        "sampled_docs": """
-            SELECT doc_id FROM documents
+        "sample_audit": """
+            SELECT 'uniform' AS kind, CAST(doc_id AS VARCHAR) AS "key",
+                   CAST(NULL AS BIGINT) AS n
+            FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
-        """,
-        "stratified_sample_counts": """
-            SELECT lang, count(*) AS n FROM documents
+            UNION ALL
+            SELECT 'stratum' AS kind, lang AS "key", count(*) AS n
+            FROM documents
             WHERE (lang = 'en'
                    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
                OR (lang = 'zh'
                    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a')
             GROUP BY lang
         """,
-        "normalized_text_stats": """
-            SELECT doc_id,
-                   length(trim(regexp_replace(
-                     regexp_replace(text,
-                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g'),
-                     '\\s+', ' ', 'g'))) AS n_chars_norm,
-                   md5(trim(regexp_replace(
-                     regexp_replace(text,
-                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g'),
-                     '\\s+', ' ', 'g'))) AS md5_norm
-            FROM documents
+        "sessionized_stream": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sessioned AS (
+              SELECT *, sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS session_idx
+              FROM flagged
+            )
+            SELECT min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   user_id,
+                   count(*) AS n_events
+            FROM sessioned
+            GROUP BY user_id, session_idx
+        """,
+        "stream_dedup_keys": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
     }

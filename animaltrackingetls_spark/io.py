@@ -134,9 +134,49 @@ def read_jdbc(spark: SparkSession, url: str, table: str, properties: dict | None
     return reader.load()
 
 
-def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite", properties: dict | None = None) -> None:
-    """K1/K2: JDBC overwrite/append load."""
+def jdbc_column_types(
+    schema, overrides: dict[str, str] | None = None
+) -> str:
+    """Explicit target-table column DDL for a JDBC load — the Spark twin
+    of the reference's SQLAlchemy dtype map passed to ``to_sql`` on every
+    load (monarch_etl/db_loader.py:58, monarch_etl/schema.py:46-85), so
+    the database table is created with intentional types rather than the
+    driver defaults.
+
+    Returns the ``createTableColumnTypes`` option string: a comma-joined
+    ```col` TYPE`` list in Spark-SQL DDL (Spark parses it with its own
+    parser, then maps each type through the JDBC dialect). Reserved-word
+    columns (the canonical schema deliberately contains ``class`` and
+    ``order``) are backtick-quoted. ``overrides`` swaps the DDL type for
+    named columns (e.g. ``{"countryCode": "VARCHAR(2)"}``).
+    """
+    parts = []
+    for f in schema.fields:
+        ddl = (overrides or {}).get(f.name) or f.dataType.simpleString().upper()
+        parts.append(f"`{f.name}` {ddl}")
+    return ", ".join(parts)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    properties: dict | None = None,
+    column_types: str | dict[str, str] | None = None,
+) -> None:
+    """K1/K2: JDBC overwrite/append load.
+
+    ``column_types`` pins the created table's column DDL (reference
+    parity: the dtype map of monarch_etl/db_loader.py:58): pass a full
+    ``createTableColumnTypes`` string, or a per-column override dict that
+    is completed from ``df.schema`` via :func:`jdbc_column_types`.
+    """
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    if column_types is not None:
+        if isinstance(column_types, dict):
+            column_types = jdbc_column_types(df.schema, column_types)
+        writer = writer.option("createTableColumnTypes", column_types)
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()

@@ -18,9 +18,10 @@ openweatherbasicmap.py:23-34 — SURVEY.md §2.1 S6).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -63,10 +64,99 @@ def read_binary_dir(spark, path: str, glob: str | None = None) -> DataFrame:
     return reader.load(path)
 
 
+PNG_SIGNATURE_HEX = "89504E470D0A1A0A"  # \x89PNG\r\n\x1a\n
+_IHDR_TYPE_HEX = "49484452"  # "IHDR"
+
+
+def png_ihdr(payload: Column) -> Column:
+    """Parse the PNG IHDR header from raw bytes with JVM byte functions —
+    a REAL decode for one format, no codec library involved.
+
+    PNG layout is fixed: 8-byte signature, then the IHDR chunk (4-byte
+    length, 4-byte type, 13-byte data: width u32be, height u32be,
+    bit_depth u8, color_type u8, ...). Big-endian integers are decoded
+    via hex → base-16 conv, all inside codegen. Non-PNG payloads (bad
+    signature or first chunk not IHDR) yield NULL rather than garbage.
+    """
+    def be_uint(offset_1based: int, nbytes: int) -> Column:
+        return F.conv(
+            F.hex(F.substring(payload, offset_1based, nbytes)), 16, 10
+        ).cast("long")
+
+    is_png = (F.hex(F.substring(payload, 1, 8)) == F.lit(PNG_SIGNATURE_HEX)) & (
+        F.hex(F.substring(payload, 13, 4)) == F.lit(_IHDR_TYPE_HEX)
+    )
+    return F.when(
+        is_png,
+        F.struct(
+            be_uint(17, 4).alias("width"),
+            be_uint(21, 4).alias("height"),
+            be_uint(25, 1).cast("int").alias("bit_depth"),
+            be_uint(26, 1).cast("int").alias("color_type"),
+        ),
+    )
+
+
+def image_dimensions(media: DataFrame) -> DataFrame:
+    """(media_id, width, height, bit_depth, color_type) for PNG payloads
+    in a media table; NULL struct fields for non-PNG rows. Pure JVM —
+    the payload never crosses into Python."""
+    ihdr = png_ihdr(F.col("payload"))
+    return media.select(
+        "media_id",
+        "content_type",
+        F.col("payload"),
+        ihdr.alias("_ihdr"),
+    ).select(
+        "media_id",
+        "content_type",
+        F.col("_ihdr.width").alias("width"),
+        F.col("_ihdr.height").alias("height"),
+        F.col("_ihdr.bit_depth").alias("bit_depth"),
+        F.col("_ihdr.color_type").alias("color_type"),
+    )
+
+
+def synthesize_png_header(width: Column, height: Column,
+                          bit_depth: int = 8, color_type: int = 6) -> Column:
+    """Build a structurally valid PNG signature + IHDR chunk as a binary
+    column, entirely JVM-side (hex-assemble → unhex). Used to materialize
+    image payloads for corpora that ship none (this environment has no
+    image files), so the REAL parser (:func:`png_ihdr`) has real bytes to
+    decode — the exact byte layout a genuine PNG starts with."""
+    def hex8(c: Column) -> Column:
+        return F.lpad(F.hex(c.cast("long")), 8, "0")
+
+    fixed_prefix = PNG_SIGNATURE_HEX + "0000000D" + _IHDR_TYPE_HEX
+    trailer = f"{bit_depth:02X}{color_type:02X}" + "000000"  # comp/filter/interlace
+    return F.unhex(
+        F.concat(F.lit(fixed_prefix), hex8(width), hex8(height), F.lit(trailer))
+    )
+
+
+def decode_png_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Python twin of :func:`png_ihdr` for the Arrow-batched decode path
+    (stdlib struct only). Returns (width, height, bit_depth, color_type)
+    or None for non-PNG bytes."""
+    if len(payload) < 26 or payload[:8] != bytes.fromhex(PNG_SIGNATURE_HEX):
+        return None
+    if payload[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", payload[16:24])
+    bit_depth, color_type = payload[24], payload[25]
+    return (width, height, bit_depth, color_type)
+
+
 def decode_stub(payload: bytes, content_type: str, strict: bool = False) -> list[float]:
-    """STUB decode/feature-extract. Real deployments swap in PIL/ffmpeg
-    etc.; this container has neither, so strict mode raises and the
+    """Decode/feature-extract. PNG headers are decoded for REAL (stdlib
+    struct — no codec lib needed): feature = [width, height, bit_depth,
+    color_type]. Other formats remain STUBBED — real deployments swap in
+    PIL/ffmpeg; this container has neither, so strict mode raises and the
     default returns a deterministic 8-dim byte-histogram feature."""
+    if content_type == "image/png":
+        header = decode_png_header(bytes(payload))
+        if header is not None:
+            return [float(v) for v in header]
     if strict:
         raise NotImplementedError(
             f"media decode for {content_type} requires codec libraries not "

@@ -90,3 +90,42 @@ def test_nanos_cache_invalidates_on_rewrite(spark, tmp_path):
     plain = pa.table({"x": [1, 2]})
     pq.write_table(plain, path)
     assert _nanos_timestamp_columns(path) == []
+
+
+def test_jdbc_column_types_ddl_per_column():
+    """K1 parity: explicit created-table DDL per column (the reference's
+    SQLAlchemy dtype map, monarch_etl/db_loader.py:58, schema.py:46-85)."""
+    from animaltrackingetls_spark.io import jdbc_column_types
+    from animaltrackingetls_spark.schema import OCCURRENCE_SCHEMA
+
+    ddl = jdbc_column_types(OCCURRENCE_SCHEMA)
+    got = dict(
+        part.rsplit(" ", 1) for part in (p.strip() for p in ddl.split(","))
+    )
+    # reserved-word columns are backtick-quoted; every canonical column present
+    assert got["`class`"] == "STRING" and got["`order`"] == "STRING"
+    assert got["`taxonKey`"] == "BIGINT"
+    assert got["`individualCount`"] == "BIGINT"
+    assert got["`year`"] == "INT"
+    assert got["`decimalLatitude`"] == "DOUBLE"
+    assert got["`eventDateParsed`"] == "TIMESTAMP"
+    assert got["`date_only`"] == "DATE"
+    assert len(got) == len(OCCURRENCE_SCHEMA.fields)
+    # per-column override swaps just that column's DDL type
+    ddl2 = jdbc_column_types(OCCURRENCE_SCHEMA, {"countryCode": "VARCHAR(2)"})
+    assert "`countryCode` VARCHAR(2)" in ddl2 and "`taxonKey` BIGINT" in ddl2
+
+
+def test_jdbc_column_types_string_is_spark_parseable(spark):
+    """The emitted option string must parse as a Spark DDL table schema —
+    what the JDBC writer does with createTableColumnTypes internally."""
+    from pyspark.sql.types import StructType
+
+    from animaltrackingetls_spark.io import jdbc_column_types
+    from animaltrackingetls_spark.schema import OCCURRENCE_SCHEMA
+
+    parsed = StructType.fromDDL(jdbc_column_types(OCCURRENCE_SCHEMA))
+    assert [f.name for f in parsed.fields] == [
+        f.name for f in OCCURRENCE_SCHEMA.fields
+    ]
+    assert parsed == OCCURRENCE_SCHEMA
