@@ -8,7 +8,9 @@ binaryFile path; JDBC lives in ``animaltrackingetls_spark.io``.
 
 from .rest import (  # noqa: F401
     FixtureTransport,
+    HttpTransport,
     PagedRestDataSource,
     fetch_all_pages,
     fetch_page_with_retry,
+    transport_from_options,
 )

@@ -21,10 +21,12 @@ Two Spark-first forms:
   APIs where parallel fetch is rude.
 
 Transports are injectable and string-configurable (workers rebuild them
-from options): ``FixtureTransport`` replays recorded pages from a local
-directory (network-free tests); an HTTP transport would urlopen the
-endpoint — intentionally not shipped wired-in, since this environment is
-offline and correctness tests must never depend on a network.
+from options via :func:`transport_from_options`): ``FixtureTransport``
+replays recorded pages from a local directory (network-free tests);
+``HttpTransport`` urlopens the endpoint with the reference's politeness
+headers (gbif_client.py:29-49). Tests exercise the HTTP transport with an
+injected opener against recorded fixtures — correctness never depends on
+a network.
 """
 
 from __future__ import annotations
@@ -89,6 +91,75 @@ class FixtureTransport:
                 continue
             results = [r for r in results if str(r.get(key)) == str(val)]
         return {"results": results, "endOfRecords": page.get("endOfRecords", False)}
+
+
+@dataclass
+class HttpTransport:
+    """Live-API transport: GET ``base_url?<params>`` and parse the JSON
+    body (reference behavior: monarch_etl/gbif_client.py:29-49 — a
+    requests.get with params, User-Agent, timeout; errors surface as
+    exceptions for :func:`fetch_page_with_retry` to back off on).
+
+    ``opener`` is injectable for tests: a ``(url, timeout) -> bytes``
+    callable replacing ``urllib.request.urlopen`` so recorded fixture
+    bodies can be served without any network. Left as ``None`` (the
+    default, picklable — workers can rebuild the transport from string
+    options), real urlopen is used.
+    """
+
+    base_url: str
+    timeout: float = 30.0
+    user_agent: str = "animaltrackingetls-spark/0.1"
+    opener: Callable[[str, float], bytes] | None = None
+
+    def fetch(self, params: dict) -> dict:
+        from urllib.parse import urlencode
+
+        qs = urlencode(sorted(params.items()))
+        url = f"{self.base_url}?{qs}" if qs else self.base_url
+        if self.opener is not None:
+            raw = self.opener(url, self.timeout)
+        else:  # pragma: no cover - exercised only against a live API
+            from urllib.request import Request, urlopen
+
+            req = Request(url, headers={"User-Agent": self.user_agent})
+            with urlopen(req, timeout=self.timeout) as resp:
+                raw = resp.read()
+        return json.loads(raw)
+
+
+def transport_from_options(options: dict):
+    """Build a transport from string options (the only thing that crosses
+    the driver→worker boundary for a custom DataSource).
+
+    ``transport=fixture`` needs ``fixture_dir``; ``transport=http`` needs
+    ``base_url`` (plus optional ``timeout``/``user_agent``). With no
+    explicit ``transport``, ``fixture_dir`` implies fixture and
+    ``base_url`` implies http — ambiguity or absence raises.
+    """
+    kind = options.get("transport")
+    if kind is None:
+        has_fixture, has_http = "fixture_dir" in options, "base_url" in options
+        if has_fixture == has_http:
+            raise ValueError(
+                "paged_rest needs 'fixture_dir' (fixture transport) or "
+                "'base_url' (http transport) — exactly one, or an explicit "
+                "'transport' option"
+            )
+        kind = "fixture" if has_fixture else "http"
+    if kind == "fixture":
+        if not options.get("fixture_dir"):
+            raise ValueError("transport=fixture requires option 'fixture_dir'")
+        return FixtureTransport(options["fixture_dir"])
+    if kind == "http":
+        if not options.get("base_url"):
+            raise ValueError("transport=http requires option 'base_url'")
+        return HttpTransport(
+            options["base_url"],
+            timeout=float(options.get("timeout", 30.0)),
+            user_agent=options.get("user_agent", HttpTransport.user_agent),
+        )
+    raise ValueError(f"unknown paged_rest transport {kind!r}")
 
 
 def fetch_page_with_retry(
@@ -198,13 +269,7 @@ class _PagedRestReader(DataSourceReader):
         limit = int(self._options.get("limit_per_request", DEFAULT_PAGE_SIZE))
         records_limitation = self._options.get("records_limitation")
         delay = float(self._options.get("delay_seconds", 0.0))
-        fixture_dir = self._options.get("fixture_dir")
-        if not fixture_dir:
-            raise ValueError(
-                "paged_rest requires option 'fixture_dir' in this offline "
-                "environment; wire an HTTP transport here for live APIs"
-            )
-        transport = FixtureTransport(fixture_dir)
+        transport = transport_from_options(self._options)
         if delay:
             time.sleep(delay * partition.page_index)  # staggered politeness
         params: dict = {
@@ -225,7 +290,9 @@ class PagedRestDataSource(DataSource):
     """``spark.read.format("paged_rest")`` — register with
     ``spark.dataSource.register(PagedRestDataSource)``.
 
-    Options: ``fixture_dir`` (page store), ``schema_ddl`` (row schema),
+    Options: ``transport`` (``fixture``/``http``, inferable),
+    ``fixture_dir`` (fixture page store) or ``base_url`` (+ ``timeout``,
+    ``user_agent``) for live HTTP, ``schema_ddl`` (row schema),
     ``limit_per_request``, ``max_pages``, ``records_limitation``,
     ``delay_seconds``. Equality filters on year/month/day/taxonKey/
     country/basisOfRecord are pushed into the page request (observable:

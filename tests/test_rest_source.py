@@ -109,3 +109,97 @@ def test_retry_rejects_nonpositive_attempts():
 
     with pytest.raises(ValueError, match="attempts"):
         fetch_page_with_retry(lambda p: {}, {}, attempts=0)
+
+
+# --- HTTP transport (recorded fixtures through an injected opener) ---
+
+
+def _page_server(fixture_dir):
+    """(url, timeout) -> bytes opener serving the recorded fixture pages
+    the way the live API would: parses offset/limit + filter params from
+    the request URL, reuses FixtureTransport's addressing."""
+    from urllib.parse import parse_qsl, urlsplit
+
+    calls = []
+
+    def opener(url, timeout):
+        calls.append(url)
+        params = dict(parse_qsl(urlsplit(url).query))
+        return json.dumps(FixtureTransport(fixture_dir).fetch(params)).encode()
+
+    return opener, calls
+
+
+def test_http_transport_builds_url_and_parses_json(fixture_dir):
+    from animaltrackingetls_spark.sources import HttpTransport
+
+    opener, calls = _page_server(fixture_dir)
+    t = HttpTransport("https://api.example.org/v1/occurrence/search", opener=opener)
+    page = t.fetch({"limit": 5, "offset": 0, "country": "US"})
+    assert len(page["results"]) == 3  # server-side filter applied
+    assert calls == [
+        "https://api.example.org/v1/occurrence/search?country=US&limit=5&offset=0"
+    ]
+
+
+def test_http_transport_full_pagination_matches_fixture(fixture_dir):
+    from animaltrackingetls_spark.sources import HttpTransport
+
+    opener, calls = _page_server(fixture_dir)
+    via_http = fetch_all_pages(
+        HttpTransport("https://api.example.org/s", opener=opener),
+        limit_per_request=5,
+    )
+    via_fixture = fetch_all_pages(FixtureTransport(fixture_dir), limit_per_request=5)
+    assert via_http == via_fixture and len(via_http) == 15
+    assert len(calls) == 3  # one GET per page, stop on endOfRecords
+
+
+def test_http_transport_retries_transient_errors(fixture_dir):
+    from urllib.error import URLError
+
+    from animaltrackingetls_spark.sources import HttpTransport
+
+    good_opener, _ = _page_server(fixture_dir)
+    failures = [URLError("boom"), URLError("boom")]
+
+    def flaky(url, timeout):
+        if failures:
+            raise failures.pop(0)
+        return good_opener(url, timeout)
+
+    sleeps = []
+    page = fetch_page_with_retry(
+        HttpTransport("https://api.example.org/s", opener=flaky).fetch,
+        {"limit": 5, "offset": 0},
+        sleep=sleeps.append,
+    )
+    assert len(page["results"]) == 5
+    assert sleeps == [2.0, 4.0]  # exponential backoff between attempts
+
+
+def test_transport_selection_by_option_string(fixture_dir):
+    from animaltrackingetls_spark.sources import (
+        HttpTransport,
+        transport_from_options,
+    )
+
+    assert isinstance(
+        transport_from_options({"fixture_dir": fixture_dir}), FixtureTransport
+    )
+    t = transport_from_options(
+        {"base_url": "https://api.example.org/s", "timeout": "7"}
+    )
+    assert isinstance(t, HttpTransport) and t.timeout == 7.0
+    explicit = transport_from_options(
+        {"transport": "fixture", "fixture_dir": fixture_dir, "base_url": "x"}
+    )
+    assert isinstance(explicit, FixtureTransport)
+    with pytest.raises(ValueError):
+        transport_from_options({})  # neither configured
+    with pytest.raises(ValueError):
+        transport_from_options({"fixture_dir": fixture_dir, "base_url": "x"})
+    with pytest.raises(ValueError):
+        transport_from_options({"transport": "carrier_pigeon"})
+    with pytest.raises(ValueError):
+        transport_from_options({"transport": "http"})  # missing base_url
