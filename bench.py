@@ -2,11 +2,17 @@
 
 Runs on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": "...", "value": total_sec, "unit": "sec",
- "queries": {name: sec, ...}, "sf": N}.
+ "queries": {name: sec, ...}, "spread": {name: [min, max]},
+ "runs": R, "sf": N}.
+
+Each query is timed over R warm runs (default 3, env
+SPARK_GRAFT_BENCH_RUNS) and reported as the per-query MEDIAN — single
+runs at this scale vary ±15%, which would hide real 20% regressions;
+the min/max spread is emitted alongside so variance itself is visible.
 
 The headline set spans the engine's cost classes: scan+agg (flagship,
 q1), multi-join (q3, q5), window (window_latest_event), the cleaning
-kernel (clean_good_agg), dedup (dup_groups exact, minhash LSH), text
+kernel (clean_summary), dedup (dup_groups exact, minhash LSH), text
 featurization, and similarity top-k.
 """
 
@@ -15,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import time
 
 from animaltrackingetls_spark.session import get_spark
@@ -29,7 +36,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "window_latest_event",
-    "clean_good_agg",
+    "clean_summary",
     "dup_groups",
     "minhash_lsh_pairs",
     "text_quality",
@@ -68,16 +75,27 @@ def main() -> None:
     except Exception:
         pass
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
-        t0 = time.monotonic()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        dt = time.monotonic() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {n} rows in {dt:.3f}s", flush=True)
+        samples: list[float] = []
+        n = 0
+        for _ in range(runs):
+            t0 = time.monotonic()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            samples.append(time.monotonic() - t0)
+        med = statistics.median(samples)
+        timings[name] = round(med, 3)
+        spread[name] = [round(min(samples), 3), round(max(samples), 3)]
+        total += med
+        print(
+            f"# {name}: {n} rows, median {med:.3f}s over {runs} runs "
+            f"(min {min(samples):.3f}, max {max(samples):.3f})",
+            flush=True,
+        )
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -88,6 +106,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs": runs,
                 "sf": sf,
             }
         ),
