@@ -1,0 +1,98 @@
+"""HTTP serving shell over the serving-layer queries.
+
+The reference exposes its date-filtered sightings query as a Flask
+endpoint (butterflyetl.py:53-116: parse year/month/day request args →
+filter → JSON records response). This is the same surface on the
+stdlib's threading HTTP server — no web framework ships in this
+environment, and the engine only needs a thin edge: every request
+composes `serving.dynamic_filters` onto a DataFrame the caller provides
+and collects through the capped `serving.to_json_records` edge.
+
+Spark posture: the server holds a zero-argument DataFrame *provider*
+(not a materialized result), so each request plans a fresh filtered
+query and Catalyst pushes the request's predicates into the scan. Spark
+sessions are thread-safe for concurrent actions; ThreadingHTTPServer
+handlers may overlap freely.
+
+Routes:
+  GET /health                  → {"status": "ok"}
+  GET /sightings?year=&month=&day=&limit=&<col>=<val>
+                               → JSON array of records (capped)
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, urlsplit
+
+from pyspark.sql import DataFrame
+
+from .serving import dynamic_filters, to_json_records
+
+DEFAULT_LIMIT = 1_000
+MAX_LIMIT = 10_000
+_RESERVED_PARAMS = {"year", "month", "day", "limit"}
+
+
+def handle_sightings(
+    df: DataFrame, params: dict[str, str], max_limit: int = MAX_LIMIT
+) -> list[dict]:
+    """Pure request → records function (testable without sockets):
+    year/month/day go through F4 dynamic filters, any other parameter
+    becomes an extra equality filter on a same-named column, and the
+    response is capped at ``limit`` (≤ ``max_limit``, so a crafted
+    request cannot pull a table through the driver)."""
+    limit = min(int(params.get("limit", DEFAULT_LIMIT)), max_limit)
+    extra = {k: v for k, v in params.items() if k not in _RESERVED_PARAMS}
+    filtered = dynamic_filters(
+        df,
+        year=params.get("year"),
+        month=params.get("month"),
+        day=params.get("day"),
+        extra=extra,
+    )
+    return to_json_records(filtered, limit=limit)
+
+
+def make_server(
+    df_provider: Callable[[], DataFrame],
+    host: str = "127.0.0.1",
+    port: int = 0,
+) -> ThreadingHTTPServer:
+    """Build (not start) the serving shell; ``port=0`` binds an ephemeral
+    port (read it back from ``server.server_address``). Run with
+    ``server.serve_forever()`` — typically on a daemon thread next to the
+    driver — and stop with ``server.shutdown()``."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self) -> None:  # noqa: N802 (stdlib API name)
+            split = urlsplit(self.path)
+            if split.path == "/health":
+                self._reply(200, {"status": "ok"})
+                return
+            if split.path != "/sightings":
+                self._reply(404, {"error": f"no route {split.path}"})
+                return
+            try:
+                records = handle_sightings(
+                    df_provider(), dict(parse_qsl(split.query))
+                )
+            except ValueError as err:  # bad int() in a filter param
+                self._reply(400, {"error": str(err)})
+                return
+            self._reply(200, records)
+
+        def _reply(self, status: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt: str, *args) -> None:  # quiet test runs
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -141,3 +141,65 @@ def test_upsert_parquet_corrupt_existing_raises(spark, tmp_path):
         [r for f in glob.glob(os.path.join(path, "*.parquet")) for r in [f]]
     )
     assert exc_info.value is not None
+
+
+def test_versioned_upsert_snapshot_atomic(spark, tmp_path):
+    """Pointer-swap upsert: merged result correct, publish is atomic
+    (pointer names a complete immutable dir), crash debris is ignored,
+    old versions pruned to the retention count."""
+    import os
+
+    from animaltrackingetls_spark.inventory import (
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+
+    t = str(tmp_path / "inv")
+    b1 = spark.createDataFrame(
+        [("2024-06-01", "june012024", 10), ("2024-06-02", "june022024", 20)],
+        "available_date string, table_name string, record_count long",
+    )
+    out1 = upsert_parquet_versioned(spark, t, b1, ["available_date"])
+    assert out1.count() == 2
+
+    # crashed writer: an unreferenced version dir must not affect readers
+    os.makedirs(os.path.join(t, "v-000099-deadbeef"), exist_ok=True)
+
+    b2 = spark.createDataFrame(
+        [("2024-06-02", "june022024", 99), ("2024-06-03", "june032024", 30)],
+        "available_date string, table_name string, record_count long",
+    )
+    out2 = {
+        r.available_date: r.record_count
+        for r in upsert_parquet_versioned(spark, t, b2, ["available_date"]).collect()
+    }
+    assert out2 == {"2024-06-01": 10, "2024-06-02": 99, "2024-06-03": 30}
+
+    # re-read through the pointer gives the same snapshot
+    again = {
+        r.available_date: r.record_count for r in read_versioned(spark, t).collect()
+    }
+    assert again == out2
+
+    # third upsert prunes to keep_versions=2 real versions (+ debris dir)
+    b3 = spark.createDataFrame(
+        [("2024-06-04", "june042024", 40)],
+        "available_date string, table_name string, record_count long",
+    )
+    upsert_parquet_versioned(spark, t, b3, ["available_date"])
+    versions = sorted(
+        d for d in os.listdir(t)
+        if d.startswith("v-") and os.path.isdir(os.path.join(t, d))
+    )
+    assert len(versions) == 3  # two retained real versions + ignored debris
+    with open(os.path.join(t, "_CURRENT")) as f:
+        assert f.read().strip() in versions
+
+
+def test_versioned_upsert_read_before_publish_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.inventory import read_versioned
+
+    with _pytest.raises(FileNotFoundError):
+        read_versioned(spark, str(tmp_path / "nothing"))

@@ -1,0 +1,71 @@
+"""HTTP serving shell: routes, dynamic filters through the wire, caps."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from animaltrackingetls_spark.serving_http import handle_sightings, make_server
+
+
+@pytest.fixture(scope="module")
+def sightings_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 2024, 6, 1, "US", 5.0),
+            (2, 2024, 6, 1, "MX", 6.0),
+            (3, 2024, 6, 2, "US", 7.0),
+            (4, 2023, 6, 1, "US", 8.0),
+        ],
+        "id long, year int, month int, day int, country string, v double",
+    )
+
+
+@pytest.fixture(scope="module")
+def server_url(sightings_df):
+    server = make_server(lambda: sightings_df)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    yield f"http://{host}:{port}"
+    server.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_health(server_url):
+    status, body = _get(f"{server_url}/health")
+    assert (status, body) == (200, {"status": "ok"})
+
+
+def test_sightings_dynamic_filters_over_http(server_url):
+    status, body = _get(f"{server_url}/sightings?year=2024&month=6&day=1")
+    assert status == 200
+    assert sorted(r["id"] for r in body) == [1, 2]
+
+
+def test_sightings_extra_column_filter(server_url):
+    _, body = _get(f"{server_url}/sightings?year=2024&country=US")
+    assert sorted(r["id"] for r in body) == [1, 3]
+
+
+def test_unknown_route_404_and_bad_param_400(server_url):
+    with pytest.raises(urllib.error.HTTPError) as e404:
+        _get(f"{server_url}/nope")
+    assert e404.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e400:
+        _get(f"{server_url}/sightings?year=banana")
+    assert e400.value.code == 400
+
+
+def test_limit_is_capped(sightings_df):
+    out = handle_sightings(sightings_df, {"limit": "999999"})
+    assert len(out) == 4  # applied, and bounded by MAX_LIMIT internally
+    out1 = handle_sightings(sightings_df, {"limit": "1"})
+    assert len(out1) == 1
