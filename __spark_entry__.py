@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from animaltrackingetls_spark import io as eio
-from animaltrackingetls_spark.cleaning import clean_occurrences, rejection_histogram
+from animaltrackingetls_spark.cleaning import clean_occurrences
 from animaltrackingetls_spark.enrichment import (
     enrich_batched,
     geocode_broadcast_join,
@@ -250,22 +250,22 @@ def _q_temporal_rescue_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2/C3/C4 good branch + A3 reject histogram, folded into one
     summary: good rows bucketed per day (with individualCount sums),
-    reject rows bucketed per failure reason (NULL sum)."""
+    reject rows bucketed per failure reason (NULL sum).
+
+    Computed in ONE pass over the kernel's shared tagged frame — a
+    union of the two branches re-scans the source and drags in
+    rejection_histogram's sort (measured: 2 scans + 3 exchanges + a
+    rangepartitioning sort → 1 scan + 1 exchange). At 100 TB that is
+    the difference between reading the table once and twice."""
     res = clean_occurrences(_dirty_occurrences(spark, sf_dir))
-    good = (
-        res.good.groupBy("date_only")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("individualCount").alias("sum_count"),
-        )
-        .select(F.col("date_only").cast("string").alias("bucket"), "n", "sum_count")
+    is_good = F.col("_failure_reason").isNull()
+    bucket = F.when(
+        is_good, F.to_date("eventDateParsed").cast("string")
+    ).otherwise(F.concat(F.lit("reject:"), F.col("_failure_reason")))
+    return res.tagged.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(is_good, F.col("individualCount_c"))).alias("sum_count"),
     )
-    rej = rejection_histogram(res.rejected).select(
-        F.concat(F.lit("reject:"), F.col("_failure_reason")).alias("bucket"),
-        F.col("n"),
-        F.lit(None).cast("bigint").alias("sum_count"),
-    )
-    return good.unionByName(rej)
 
 
 def _q_clean_aligned_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,21 +627,30 @@ def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_rollup_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup + cube aggregations over status × priority (folded, tagged
-    by mode — the cube adds the status-free grouping sets)."""
+    by mode — the cube adds the status-free grouping sets).
+
+    Single-pass: ROLLUP's grouping sets are a subset of CUBE's, so ONE
+    cube aggregate (1 scan, one 4-way Expand) yields both: each
+    aggregated row explodes into the modes it belongs to — gid=2 (the
+    priority-only set, the one ROLLUP lacks; grouping_id bit 2 = status
+    aggregated) is cube-only, everything else is both. A union of
+    separate .rollup()/.cube() aggregates scans the table twice and
+    expands 7 grouping-set copies per row instead of 4. The literal
+    df.rollup() operator is pinned equal to the derived form in
+    test_query_plans.py."""
     o = _t(spark, sf_dir, "orders")
-    aggs = [
+    cb = o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-    ]
-    r = o.rollup("o_orderstatus", "o_orderpriority").agg(*aggs).select(
-        F.lit("rollup").alias("mode"), "o_orderstatus", "o_orderpriority",
-        "n_orders", "sum_price",
+        F.grouping_id().alias("_gid"),
     )
-    cb = o.cube("o_orderstatus", "o_orderpriority").agg(*aggs).select(
-        F.lit("cube").alias("mode"), "o_orderstatus", "o_orderpriority",
-        "n_orders", "sum_price",
+    modes = F.when(
+        F.col("_gid") != 2, F.array(F.lit("rollup"), F.lit("cube"))
+    ).otherwise(F.array(F.lit("cube")))
+    return cb.select(
+        F.explode(modes).alias("mode"),
+        "o_orderstatus", "o_orderpriority", "n_orders", "sum_price",
     )
-    return r.unionByName(cb)
 
 
 def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -61,3 +61,35 @@ def test_pack_documents_window_is_partitioned(spark):
     plan = formatted_plan(df)
     spec = "\n".join(l for l in plan.splitlines() if "windowspecdefinition" in l)
     assert "windowspecdefinition(source" in spec  # partitioned, not global
+
+
+def test_rollup_cube_single_pass_and_rollup_operator_identity(spark):
+    """The folded rollup+cube query computes ONE cube aggregate (one
+    parquet scan; the second branch reuses the exchange) and its derived
+    rollup rows equal a literal df.rollup() — so the native operator's
+    semantics stay pinned while the plan stays single-scan."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    df = entry._q_rollup_cube_orders(spark, SF)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    # one 4-set cube Expand, not rollup(3)+cube(4)
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
+
+    o = entry._t(spark, SF, "orders")
+    native = {
+        (r.o_orderstatus, r.o_orderpriority, r.n_orders, r.sum_price)
+        for r in o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .collect()
+    }
+    derived = {
+        (r.o_orderstatus, r.o_orderpriority, r.n_orders, r.sum_price)
+        for r in df.filter(F.col("mode") == "rollup").collect()
+    }
+    assert derived == native
