@@ -953,17 +953,23 @@ def _q_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite pretraining filter: quality thresholds + language gate —
-    the classic keep/drop decision chain over documents."""
+def _q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining data pipeline END-TO-END in one Catalyst plan:
+    quality thresholds + language gate (keep/drop) → exact dedup
+    (md5-keyed, min-id canonical) → per-source sequence packing.
+    Everything stays declarative, so the filter pushes to the scan and
+    the only shuffles are the dedup window and the per-source pack —
+    the composition a 100 TB corpus build actually runs."""
     docs = _t(spark, sf_dir, "documents")
     q = textstats.quality_columns(textstats.language_id(docs))
-    return q.filter(
+    kept = q.filter(
         (F.col("n_tokens") >= 20)
         & (F.col("alpha_ratio") >= 0.8)
         & (F.col("stopword_ratio") >= 0.01)
         & (F.col("predicted_lang") == "en")
-    ).select("doc_id")
+    ).withColumn("md5_fp", F.md5("text"))
+    deduped = dedup.drop_exact_duplicates(kept, ["md5_fp"], "doc_id")
+    return textstats.pack_documents(deduped, max_tokens=2048, partition_col="source")
 
 
 def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1141,6 +1147,27 @@ def _q_approx_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user lifetime (count, value-total) state carried across
+    micro-batches. Rows-only here (update-mode emissions depend on
+    batch boundaries); the exact batch-parity identity — final state ==
+    groupBy aggregate — is pinned in test_streaming.py."""
+    from animaltrackingetls_spark.streaming import (
+        read_event_stream,
+        run_available_now_to_memory,
+        running_user_totals,
+    )
+
+    _ensure_confs(spark)
+    stream = read_event_stream(
+        spark, sf_dir, nanos_ts=True, path_glob="events.parquet"
+    )
+    totals = running_user_totals(stream)
+    run_available_now_to_memory(totals, "q_stream_totals", output_mode="update")
+    return spark.table("q_stream_totals")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1204,7 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q_q18_large_orders,
         "batch_sessions": _q_batch_sessions,
         "q6_revenue_forecast": _q_q6_revenue_forecast,
-        "pretrain_filter": _q_pretrain_filter,
+        "pretrain_pipeline": _q_pretrain_pipeline,
         "pack_documents": _q_pack_documents,
         "sample_audit": _q_sample_audit,
         "sessionized_stream": _q_sessionized_stream,
@@ -1218,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "multimodal_features": _q_multimodal_features,
         "approx_users_per_type": _q_approx_users_per_type,
+        "running_user_totals": _q_running_user_totals,
     }
 
 
@@ -1832,14 +1860,14 @@ def oracle_sql() -> dict[str, str]:
               AND l_discount BETWEEN 0.03 AND 0.07
               AND l_quantity < 25
         """,
-        "pretrain_filter": f"""
+        "pretrain_pipeline": f"""
             WITH t AS (
-              SELECT doc_id, text,
+              SELECT doc_id, source, text,
                      regexp_extract_all(lower(text), '\\S+') AS ltoks
               FROM documents
             ),
             s AS (
-              SELECT doc_id, text, ltoks,
+              SELECT doc_id, source, text, ltoks,
                      len(list_intersect(list_distinct(ltoks), {_MARKERS_SQL["en"]})) AS s_en,
                      len(list_intersect(list_distinct(ltoks), {_MARKERS_SQL["es"]})) AS s_es,
                      len(list_intersect(list_distinct(ltoks), {_MARKERS_SQL["fr"]})) AS s_fr,
@@ -1847,7 +1875,7 @@ def oracle_sql() -> dict[str, str]:
               FROM t
             ),
             feat AS (
-              SELECT doc_id,
+              SELECT doc_id, source, text,
                      len(regexp_extract_all(text, '\\S+')) AS n_tokens,
                      CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
                        / greatest(length(text), 1) AS alpha_ratio,
@@ -1864,10 +1892,28 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'und'
                      END AS predicted_lang
               FROM s
+            ),
+            kept AS (
+              SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     md5(text) AS fp
+              FROM feat
+              WHERE n_tokens >= 20 AND alpha_ratio >= 0.8
+                AND stopword_ratio >= 0.01 AND predicted_lang = 'en'
+            ),
+            deduped AS (
+              SELECT doc_id, source, n_tokens FROM (
+                SELECT *, row_number() OVER (PARTITION BY fp
+                                             ORDER BY doc_id) AS rn
+                FROM kept
+              ) WHERE rn = 1
             )
-            SELECT doc_id FROM feat
-            WHERE n_tokens >= 20 AND alpha_ratio >= 0.8
-              AND stopword_ratio >= 0.01 AND predicted_lang = 'en'
+            SELECT doc_id, n_tokens, source,
+                   CAST(floor(
+                     COALESCE(sum(n_tokens) OVER (PARTITION BY source
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / 2048.0) AS BIGINT) AS bin_id
+            FROM deduped
         """,
         "pack_documents": """
             WITH t AS (
