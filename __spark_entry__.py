@@ -380,15 +380,31 @@ def _q_enrich_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: exact-duplicate groups keyed on a content digest."""
+    """A1 duplicate audit, both reference forms folded and tagged by
+    mode: digest-keyed groups (md5 of content, narrow shuffle key) and
+    the reference-exact GROUP BY *every* column. The all-columns form
+    collapses its wide group key to a digest in the output so both modes
+    share one (mode, key, canonical_id, n_copies) schema; canonical_id
+    is -1 where the grouping dropped the id column."""
     d = _docs_with_dups(spark, sf_dir).withColumn("md5_fp", F.md5("text"))
-    return dedup.exact_duplicates(d, ["md5_fp"], "doc_id")
-
-
-def _q_dup_audit_all_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 reference-exact: GROUP BY every column, HAVING count>1."""
-    d = _docs_with_dups(spark, sf_dir).drop("doc_id")  # clones differ only by id
-    return dedup.duplicate_audit(d)
+    g = dedup.exact_duplicates(d, ["md5_fp"], "doc_id").select(
+        F.lit("digest").alias("mode"),
+        F.col("md5_fp").alias("key"),
+        "canonical_id",
+        "n_copies",
+    )
+    audit = dedup.duplicate_audit(d.drop("doc_id", "md5_fp"))
+    a = audit.select(
+        F.lit("all_columns").alias("mode"),
+        F.md5(
+            F.concat_ws(
+                "\x1f", "text", "lang", "source", F.col("n_chars").cast("string")
+            )
+        ).alias("key"),
+        F.lit(-1).cast("long").alias("canonical_id"),
+        F.col("duplicate_count").alias("n_copies"),
+    )
+    return g.unionByName(a)
 
 
 def _q_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,27 +413,16 @@ def _q_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.drop_exact_duplicates(d, ["md5_fp"], "doc_id").select("doc_id")
 
 
-def _q_fingerprint_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprinting (md5; xxhash64 exercised in tests) folded
-    with whitespace/control normalization, verified via post-norm
-    lengths + digests."""
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality features + content fingerprinting (folded): token/
+    char counts, alpha & stopword ratios, the BPE-ish pre-tokenizer
+    segment count, and raw/normalized md5 digests with post-norm length
+    (xxhash64 variant exercised in tests) — one scan, pure projection."""
     docs = _t(spark, sf_dir, "documents")
+    q = textstats.quality_columns(docs)
     norm = textstats.normalize_whitespace(
         textstats.strip_control_chars(F.col("text"))
     )
-    return docs.select(
-        "doc_id",
-        F.md5("text").alias("md5_fp"),
-        F.length(norm).alias("n_chars_norm"),
-        F.md5(norm).alias("md5_norm"),
-    )
-
-
-def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text quality features: token/char counts, alpha & stopword ratios,
-    plus the BPE-ish pre-tokenizer segment count (folded)."""
-    docs = _t(spark, sf_dir, "documents")
-    q = textstats.quality_columns(docs)
     return q.select(
         "doc_id",
         "n_tokens",
@@ -425,7 +430,63 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("alpha_ratio", 6).alias("alpha_ratio"),
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
         textstats.token_count_bpeish(F.col("text")).alias("n_bpeish"),
+        F.md5("text").alias("md5_fp"),
+        F.length(norm).alias("n_chars_norm"),
+        F.md5(norm).alias("md5_norm"),
     )
+
+
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition quality signals over documents: duplicate
+    -word fraction, top-word share, top-bigram share — the distributed
+    wordcount shape (explode → two hash aggregations, map-side partial
+    combine; see textstats.repetition_signals for the scale argument)."""
+    docs = _t(spark, sf_dir, "documents")
+    r = textstats.repetition_signals(docs)
+    return r.select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        "n_distinct_words",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+def _q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th document stands in for the
+    held-out eval suite; every other document reports how many of its
+    word 4-gram shingles collide with the broadcast benchmark shingle
+    set. (Published practice uses 13-grams; these synthetic docs average
+    ~54 words, so n=4 keeps the check discriminative.)"""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    out = dedup.contamination_overlap(corpus, bench, n=4)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_shingles",
+        "n_hits",
+        F.round("contamination_frac", 6).alias("contamination_frac"),
+        "contaminated",
+    )
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved into dedup clusters: bigram-shingle
+    Jaccard candidates (lang block + length band) over the duplicate-
+    injected corpus, then iterative min-label connected components
+    (dedup.connected_components). cluster_id == min doc id is the
+    keep-list representative. Verified against a DuckDB WITH RECURSIVE
+    transitive-closure oracle. At corpus scale the edge generator swaps
+    to minhash_candidate_pairs (LSH bands) — the component resolver is
+    agnostic to where the edges came from."""
+    d = _docs_with_dups(spark, sf_dir)
+    edges = dedup.ngram_jaccard_pairs(
+        d, n=2, threshold=0.6, block_cols=["lang"], length_band=60
+    )
+    cc = dedup.dedup_clusters(d, edges)
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
 
 
 def _q_language_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,33 +791,42 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4: catalog introspection — (table, column, ordinal) rows."""
-    from animaltrackingetls_spark.operators.aggregates import catalog_columns
+def _q_catalog_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 catalog introspection + A2 full-table COUNT(*) folded into one
+    (table_name, item, n) report: catalog rows carry (column name,
+    ordinal position); count rows carry ('count(*)', row count); the
+    distinct-values audit appends per-event-type counts as
+    'events.event_type=<t>' rows (groupBy IS distinct — presence of a
+    row proves the type exists, n carries its cardinality)."""
+    from animaltrackingetls_spark.operators.aggregates import (
+        catalog_columns,
+        table_counts,
+    )
 
-    return catalog_columns(spark, eio.load_all(_ensure_confs(spark), sf_dir))
-
-
-def _q_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 full-table COUNT(*) per table, folded with the distinct-values
-    audit: per-event-type counts appended as 'events.event_type=<t>'
-    rows (groupBy IS distinct — presence of a row proves the type
-    exists, n_rows carries its cardinality)."""
-    from animaltrackingetls_spark.operators.aggregates import table_counts
-
-    counts = table_counts(eio.load_all(_ensure_confs(spark), sf_dir))
+    tables = eio.load_all(_ensure_confs(spark), sf_dir)
+    cols = catalog_columns(spark, tables).select(
+        "table_name",
+        F.col("column_name").alias("item"),
+        F.col("ordinal_position").cast("long").alias("n"),
+    )
+    counts = table_counts(tables).select(
+        "table_name",
+        F.lit("count(*)").alias("item"),
+        F.col("n_rows").cast("long").alias("n"),
+    )
     ev = _t(spark, sf_dir, "events")
     per_type = (
         ev.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.concat(F.lit("events.event_type="), F.col("event_type")).alias(
                 "table_name"
             ),
-            "n_rows",
+            F.lit("count(*)").alias("item"),
+            F.col("n").cast("long").alias("n"),
         )
     )
-    return counts.unionByName(per_type)
+    return cols.unionByName(counts).unionByName(per_type)
 
 
 def _q_udaf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,12 +1267,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geocode_broadcast": _q_geocode_broadcast,
         "enrich_batched": _q_enrich_batched,
         "dup_groups": _q_dup_groups,
-        "dup_audit_all_columns": _q_dup_audit_all_columns,
         "dedup_kept": _q_dedup_kept,
-        "fingerprint_norm": _q_fingerprint_norm,
         "text_quality": _q_text_quality,
+        "repetition_signals": _q_repetition_signals,
         "language_counts": _q_language_counts,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "contamination_overlap": _q_contamination_overlap,
+        "dedup_clusters": _q_dedup_clusters,
         "topk_cosine": _q_topk_cosine,
         "embedding_neardup": _q_embedding_neardup,
         "asof_join_events": _q_asof_join_events,
@@ -1218,8 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": _q_set_ops,
         "mask_union_counts": _q_mask_union_counts,
         "media_metadata": _q_media_metadata,
-        "catalog_columns": _q_catalog_columns,
-        "table_counts": _q_table_counts,
+        "catalog_audit": _q_catalog_audit,
         "udaf_stats": _q_udaf_stats,
         "top_bigrams": _q_top_bigrams,
         "streaming_window_counts": _q_streaming_window_counts,
@@ -1402,14 +1472,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dup_groups": f"""
             WITH {_DOCS_WITH_DUPS_SQL}
-            SELECT md5(text) AS md5_fp,
+            SELECT 'digest' AS mode,
+                   md5(text) AS key,
                    min(doc_id) AS canonical_id,
                    count(*) AS n_copies
-            FROM d GROUP BY 1 HAVING count(*) > 1
-        """,
-        "dup_audit_all_columns": f"""
-            WITH {_DOCS_WITH_DUPS_SQL}
-            SELECT text, lang, source, n_chars, count(*) AS duplicate_count
+            FROM d GROUP BY md5(text) HAVING count(*) > 1
+            UNION ALL
+            SELECT 'all_columns' AS mode,
+                   md5(concat_ws(chr(31), text, lang, source,
+                                 CAST(n_chars AS VARCHAR))) AS key,
+                   CAST(-1 AS BIGINT) AS canonical_id,
+                   count(*) AS n_copies
             FROM d
             GROUP BY text, lang, source, n_chars
             HAVING count(*) > 1
@@ -1418,22 +1491,14 @@ def oracle_sql() -> dict[str, str]:
             WITH {_DOCS_WITH_DUPS_SQL}
             SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)
         """,
-        "fingerprint_norm": """
-            SELECT doc_id, md5(text) AS md5_fp,
-                   length(trim(regexp_replace(
-                     regexp_replace(text,
-                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g'),
-                     '\\s+', ' ', 'g'))) AS n_chars_norm,
-                   md5(trim(regexp_replace(
-                     regexp_replace(text,
-                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g'),
-                     '\\s+', ' ', 'g'))) AS md5_norm
-            FROM documents
-        """,
         "text_quality": f"""
             WITH t AS (
               SELECT doc_id, text,
-                     regexp_extract_all(lower(text), '\\S+') AS toks
+                     regexp_extract_all(lower(text), '\\S+') AS toks,
+                     trim(regexp_replace(
+                       regexp_replace(text,
+                         '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g'),
+                       '\\s+', ' ', 'g')) AS norm
               FROM documents
             )
             SELECT doc_id,
@@ -1445,8 +1510,124 @@ def oracle_sql() -> dict[str, str]:
                            tk -> list_contains({_STOPWORDS_SQL}, tk))) AS DOUBLE)
                          / greatest(len(toks), 1), 6) AS stopword_ratio,
                    CAST(len(regexp_extract_all(lower(text),
-                        '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS INT) AS n_bpeish
+                        '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS INT) AS n_bpeish,
+                   md5(text) AS md5_fp,
+                   length(norm) AS n_chars_norm,
+                   md5(norm) AS md5_norm
             FROM t
+        """,
+        "repetition_signals": """
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+              FROM documents
+            ),
+            w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+            wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+            ws AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                     CAST(count(*) AS BIGINT) AS n_distinct_words,
+                     CAST(max(c) AS BIGINT) AS top_word_n
+              FROM wc GROUP BY doc_id
+            ),
+            bi AS (
+              SELECT doc_id, toks,
+                     unnest(range(1, greatest(len(toks), 1))) AS i
+              FROM t
+            ),
+            bg AS (
+              SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+              FROM bi WHERE i + 1 <= len(toks)
+            ),
+            gc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+            gs AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                     CAST(max(c) AS BIGINT) AS top_bigram_n
+              FROM gc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(ws.n_words, 0) AS n_words,
+                   COALESCE(ws.n_distinct_words, 0) AS n_distinct_words,
+                   round(1.0 - CAST(COALESCE(ws.n_distinct_words, 0) AS DOUBLE)
+                         / greatest(COALESCE(ws.n_words, 0), 1), 6) AS dup_word_frac,
+                   round(CAST(COALESCE(ws.top_word_n, 0) AS DOUBLE)
+                         / greatest(COALESCE(ws.n_words, 0), 1), 6) AS top_word_frac,
+                   round(CAST(COALESCE(gs.top_bigram_n, 0) AS DOUBLE)
+                         / greatest(COALESCE(gs.n_bigrams, 0), 1), 6) AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN ws ON d.doc_id = ws.doc_id
+            LEFT JOIN gs ON d.doc_id = gs.doc_id
+        """,
+        "contamination_overlap": """
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 4
+                          THEN list_distinct(list_transform(range(1, len(toks) - 2),
+                                 i -> array_to_string(toks[i:i+3], ' ')))
+                          ELSE list_distinct(toks) END AS sh
+              FROM t
+            ),
+            bench AS (
+              SELECT DISTINCT unnest(sh) AS s FROM s WHERE doc_id % 50 = 0
+            ),
+            ex AS (
+              SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s
+              FROM s WHERE doc_id % 50 <> 0
+            ),
+            agg AS (
+              SELECT ex.doc_id, ex.n_shingles,
+                     CAST(count(bench.s) AS BIGINT) AS n_hits
+              FROM ex LEFT JOIN bench ON ex.s = bench.s
+              GROUP BY ex.doc_id, ex.n_shingles
+            )
+            SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_hits,
+                   round(CAST(n_hits AS DOUBLE) / greatest(n_shingles, 1), 6)
+                     AS contamination_frac,
+                   n_hits > 0 AS contaminated
+            FROM agg
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_DOCS_WITH_DUPS_SQL},
+            t AS (
+              SELECT doc_id, lang, n_chars,
+                     regexp_extract_all(lower(text), '\\S+') AS toks
+              FROM d
+            ),
+            s AS (
+              SELECT doc_id, lang, n_chars,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_distinct(list_transform(range(1, len(toks)),
+                                 i -> array_to_string(toks[i:i+1], ' ')))
+                          ELSE list_distinct(toks) END AS sh
+              FROM t
+            ),
+            e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM s a JOIN s b
+                ON a.doc_id < b.doc_id AND a.lang = b.lang
+               AND abs(a.n_chars - b.n_chars) <= 60
+              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+            ),
+            sym AS (
+              SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+            ),
+            walk(id, reach) AS (
+              SELECT src AS id, src AS reach FROM sym
+              UNION
+              SELECT sym.src AS id, walk.reach
+              FROM sym JOIN walk ON sym.dst = walk.id
+            ),
+            comp AS (SELECT id, min(reach) AS cluster_id FROM walk GROUP BY id),
+            sizes AS (
+              SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY cluster_id
+            )
+            SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size
+            FROM comp JOIN sizes ON comp.cluster_id = sizes.cluster_id
         """,
         "language_counts": f"""
             WITH t AS (
@@ -1696,27 +1877,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(6 AS INT) AS color_type
             FROM documents
         """,
-        "catalog_columns": """
-            SELECT table_name, column_name,
-                   CAST(ordinal_position AS INT) AS ordinal_position
+        "catalog_audit": """
+            SELECT table_name, column_name AS item,
+                   CAST(ordinal_position AS BIGINT) AS n
             FROM information_schema.columns
             WHERE table_name IN ('region','nation','customer','supplier','part',
                                  'orders','lineitem','events','documents',
                                  'embeddings')
-        """,
-        "table_counts": """
-            SELECT 'region' AS table_name, count(*) AS n_rows FROM region
-            UNION ALL SELECT 'nation', count(*) FROM nation
-            UNION ALL SELECT 'customer', count(*) FROM customer
-            UNION ALL SELECT 'supplier', count(*) FROM supplier
-            UNION ALL SELECT 'part', count(*) FROM part
-            UNION ALL SELECT 'orders', count(*) FROM orders
-            UNION ALL SELECT 'lineitem', count(*) FROM lineitem
-            UNION ALL SELECT 'events', count(*) FROM events
-            UNION ALL SELECT 'documents', count(*) FROM documents
-            UNION ALL SELECT 'embeddings', count(*) FROM embeddings
-            UNION ALL SELECT 'events.event_type=' || event_type, count(*)
-                      FROM events GROUP BY event_type
+            UNION ALL
+            SELECT table_name, 'count(*)' AS item, n FROM (
+              SELECT 'region' AS table_name, count(*) AS n FROM region
+              UNION ALL SELECT 'nation', count(*) FROM nation
+              UNION ALL SELECT 'customer', count(*) FROM customer
+              UNION ALL SELECT 'supplier', count(*) FROM supplier
+              UNION ALL SELECT 'part', count(*) FROM part
+              UNION ALL SELECT 'orders', count(*) FROM orders
+              UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+              UNION ALL SELECT 'events', count(*) FROM events
+              UNION ALL SELECT 'documents', count(*) FROM documents
+              UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+              UNION ALL SELECT 'events.event_type=' || event_type, count(*)
+                        FROM events GROUP BY event_type
+            )
         """,
         "udaf_stats": """
             SELECT event_type,

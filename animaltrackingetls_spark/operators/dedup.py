@@ -421,3 +421,148 @@ def embedding_neardup_lsh(
     return cand.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
         F.col("cosine_sim") >= threshold
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list →
+    ``(id, cluster_id)`` where ``cluster_id`` is the minimum node id in
+    the component — the canonicalization step that turns pairwise
+    near-dup hits (MinHash/LSH/Jaccard candidates) into dedup clusters.
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round every node takes the min of its own label and its
+    neighbors' labels. Each round is one equi-join + one partial-agg
+    shuffle, both keyed on node id, so the per-round cost is
+    O(|E|) shuffled bytes regardless of component sizes. Convergence is
+    detected with a 1-row action (sum of labels is strictly decreasing
+    until the fixpoint), and each round is ``localCheckpoint``-ed to
+    truncate lineage — without it, round k's plan re-derives rounds
+    1..k-1 and the job goes quadratic.
+
+    Rounds needed = max component diameter. Near-dup clusters are
+    shallow (dups of a doc are dups of each other), so a handful of
+    rounds converge; for web-scale graphs with long chains swap the
+    propagation body for alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the loop shell, convergence test, and checkpointing stay the same.
+    On a real cluster prefer ``df.checkpoint()`` to a reliable store:
+    ``localCheckpoint`` pins blocks to executors and does not survive
+    executor loss.
+
+    The fixpoint is independent of partitioning and iteration order, so
+    the result is deterministic (exercised against a DuckDB
+    ``WITH RECURSIVE`` transitive-closure oracle).
+    """
+    sym = edges.select(
+        F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
+    )
+    sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .select(sym["src"].alias("id"), "comp")
+            .groupBy("id")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.select(F.col("id"), F.col("comp").alias("cluster_id"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Resolve near-dup candidate pairs into clusters:
+    ``(id, cluster_id, cluster_size)`` for every node that appears in at
+    least one edge. ``cluster_id`` doubles as the keep-list key — keep
+    ``id == cluster_id`` (the min-id representative), drop the rest.
+    """
+    cc = connected_components(edges, src_col, dst_col)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select("id", "cluster_id", "cluster_size")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-decontamination scan: for every corpus document, how many
+    of its distinct word n-gram shingles appear anywhere in a benchmark
+    corpus — the standard eval-contamination check run before pretraining
+    (13-gram overlap in published practice; ``n`` is a parameter).
+
+    Shape: the benchmark side is reduced to DISTINCT shingles and
+    broadcast (eval suites are MBs against a corpus of TBs); the corpus
+    is exploded to (id, shingle) and probes the broadcast hash map —
+    no shuffle of corpus data for the join, and the per-doc re-aggregate
+    is a partial-combine groupBy on the id. Corpus documents with zero
+    overlap are kept (LEFT join) so the output is a complete per-doc
+    report: ``(id, n_shingles, n_hits, contamination_frac,
+    contaminated)``.
+    """
+    sh = corpus.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    exploded = sh.select("id", F.size("sh").alias("n_shingles"), F.explode_outer("sh").alias("s"))
+    bench_sh = (
+        benchmark.select(F.explode(word_shingles(F.col(bench_text_col), n)).alias("s"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    joined = exploded.join(F.broadcast(bench_sh), "s", "left")
+    agg = joined.groupBy("id", "n_shingles").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits")
+    )
+    frac = F.col("n_hits").cast("double") / F.greatest(
+        F.col("n_shingles"), F.lit(1)
+    ).cast("double")
+    return agg.select(
+        "id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        "n_hits",
+        frac.alias("contamination_frac"),
+        (F.col("n_hits") > 0).alias("contaminated"),
+    )

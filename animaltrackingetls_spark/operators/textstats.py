@@ -213,3 +213,75 @@ def winnow_fingerprint_frame(
         F.array_distinct(F.col("kh"))
     )
     return bound.select("id", fps.alias("fps"))
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family): what
+    fraction of a document is the same few words said again and again —
+    high values flag boilerplate, keyword spam, and generation loops.
+
+    Per document: ``n_words``, ``n_distinct_words``,
+    ``dup_word_frac`` (1 − distinct/total),
+    ``top_word_frac`` (most frequent word's share of all words),
+    ``top_bigram_frac`` (most frequent word 2-gram's share of all
+    2-grams — the Gopher "top n-gram fraction" with n=2).
+
+    Shape: the classic distributed wordcount — explode to (id, term),
+    hash-aggregate twice (term level, then doc level). Both shuffles key
+    on the doc id and benefit from map-side partial aggregation, so
+    shuffled rows are bounded by per-doc distinct-term counts, never raw
+    corpus size. The token array is bound through a Generate node
+    (``explode(array(...))``) because Catalyst has no let-binding — a
+    derived expression referenced by both the word and bigram branches
+    would be tokenized twice per row.
+    """
+    toks = tokens(F.col(text_col))
+    bound = df.select(F.col(id_col).alias("id"), F.explode(F.array(toks)).alias("tk"))
+
+    words = bound.select("id", F.explode("tk").alias("w"))
+    wc = words.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
+    word_stats = wc.groupBy("id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("c").alias("top_word_n"),
+    )
+
+    # Non-distinct bigram list; guarded because sequence(1, 0) in Spark
+    # yields a DESCENDING [1, 0], not an empty array.
+    big_expr = F.when(
+        F.size("tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("tk"), i), F.element_at(F.col("tk"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigs = bound.select("id", F.explode(big_expr).alias("g"))
+    gc = bigs.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    big_stats = gc.groupBy("id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n")
+    )
+
+    ids = df.select(F.col(id_col).alias("id"))
+    out = ids.join(word_stats, "id", "left").join(big_stats, "id", "left")
+    n_words = F.coalesce(F.col("n_words"), F.lit(0)).cast("long")
+    n_distinct = F.coalesce(F.col("n_distinct_words"), F.lit(0)).cast("long")
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    safe_bigrams = F.greatest(F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1)).cast(
+        "double"
+    )
+    return out.select(
+        "id",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        (F.lit(1.0) - n_distinct.cast("double") / safe_words).alias("dup_word_frac"),
+        (F.coalesce(F.col("top_word_n"), F.lit(0)).cast("double") / safe_words).alias(
+            "top_word_frac"
+        ),
+        (
+            F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("double") / safe_bigrams
+        ).alias("top_bigram_frac"),
+    )

@@ -144,3 +144,89 @@ def test_minhash_cache_handles_returned(docs):
     assert len(handles) == 1 and handles[0].is_cached
     handles[0].unpersist()
     assert not handles[0].is_cached
+
+
+# ---------------------------------------------------------------------------
+# Connected components / dedup clusters
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def chain_edges(spark):
+    # Two components: a 5-node CHAIN 10-20-30-40-50 (min label must
+    # propagate 4 hops — exercises the iteration, not just one join)
+    # and a 2-node pair {60, 70}; 80 is isolated (no edges → absent).
+    return spark.createDataFrame(
+        [(20, 10), (20, 30), (40, 30), (40, 50), (70, 60)],
+        "id_a long, id_b long",
+    )
+
+
+def test_connected_components_multi_hop_chain(chain_edges):
+    got = {
+        (r.id, r.cluster_id)
+        for r in dedup.connected_components(chain_edges).collect()
+    }
+    assert got == {
+        (10, 10), (20, 10), (30, 10), (40, 10), (50, 10),
+        (60, 60), (70, 60),
+    }
+
+
+def test_connected_components_partitioning_independent(chain_edges):
+    one = dedup.connected_components(chain_edges.repartition(1))
+    many = dedup.connected_components(chain_edges.repartition(7))
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_connected_components_max_iter_caps_rounds(chain_edges):
+    # One round only propagates one hop: the far chain end cannot reach
+    # the min label yet, proving the loop (not a lucky plan) does the work.
+    partial = {
+        (r.id, r.cluster_id)
+        for r in dedup.connected_components(chain_edges, max_iter=1).collect()
+    }
+    assert (50, 10) not in partial
+    assert (50, 40) in partial
+
+
+def test_dedup_clusters_sizes(chain_edges):
+    rows = dedup.dedup_clusters(None, chain_edges).collect()
+    sizes = {r.id: r.cluster_size for r in rows}
+    assert sizes[50] == 5 and sizes[60] == 2
+    keep = {r.id for r in rows if r.id == r.cluster_id}
+    assert keep == {10, 60}
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_overlap_counts(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # contains bench 3-grams
+            (2, "zeta eta theta iota kappa"),        # no overlap
+            (3, "alpha beta gamma zeta eta theta"),  # one bench 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"), (101, "totally separate words here")],
+        "bench_id long, text string",
+    )
+    out = {
+        r.id: (r.n_shingles, r.n_hits, r.contaminated)
+        for r in dedup.contamination_overlap(corpus, bench, n=3).collect()
+    }
+    # doc 1: 3 shingles, 2 hit ("alpha beta gamma", "beta gamma delta")
+    assert out[1] == (3, 2, True)
+    assert out[2] == (3, 0, False)
+    assert out[3] == (4, 1, True)
+
+
+def test_contamination_overlap_no_cartesian(spark):
+    corpus = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c")], "bench_id long, text string")
+    assert_no_cartesian(dedup.contamination_overlap(corpus, bench, n=3))

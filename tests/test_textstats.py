@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from animaltrackingetls_spark.operators import textstats
@@ -119,3 +121,30 @@ def test_tokens_are_lowercased_whitespace_split(spark):
     df = spark.createDataFrame([("Foo  BAR\tbaz",)], "t string")
     out = df.select(textstats.tokens(F.col("t")).alias("tk")).collect()[0].tk
     assert out == ["foo", "bar", "baz"]
+
+
+def test_repetition_signals_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),        # 4 words, 1 distinct, bigram "spam spam" x3
+            (2, "all words here are unique"),  # no repetition
+            (3, "go go stop go go stop"),      # top word "go" 4/6; "go go" 2/5
+            (4, "solo"),                       # single word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    from animaltrackingetls_spark.operators.textstats import repetition_signals
+
+    out = {r.id: r for r in repetition_signals(df).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_distinct_words) == (4, 1)
+    assert r1.dup_word_frac == pytest.approx(0.75)
+    assert r1.top_word_frac == pytest.approx(1.0)
+    assert r1.top_bigram_frac == pytest.approx(1.0)
+    r2 = out[2]
+    assert r2.dup_word_frac == 0.0 and r2.top_word_frac == pytest.approx(0.2)
+    r3 = out[3]
+    assert r3.top_word_frac == pytest.approx(4 / 6)
+    assert r3.top_bigram_frac == pytest.approx(2 / 5)
+    r4 = out[4]
+    assert (r4.n_words, r4.top_bigram_frac) == (1, 0.0)
