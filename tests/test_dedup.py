@@ -230,3 +230,23 @@ def test_contamination_overlap_no_cartesian(spark):
     corpus = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     bench = spark.createDataFrame([(9, "a b c")], "bench_id long, text string")
     assert_no_cartesian(dedup.contamination_overlap(corpus, bench, n=3))
+
+
+def test_minhash_portable_finds_planted_near_dups(docs):
+    d = docs.withColumn("n_chars", F.length("text"))
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidate_pairs_portable(
+            d, n=2, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs      # exact dup: identical signatures
+    assert (4, 5) in pairs      # exact dup
+    assert (1, 3) in pairs      # near dup: one appended word
+    assert not any(6 in p for p in pairs)
+
+
+def test_minhash_portable_no_cartesian_and_form(docs):
+    out = dedup.minhash_candidate_pairs_portable(docs)
+    assert_no_cartesian(out)
+    assert out.columns == ["id_a", "id_b", "jaccard_sim"]
