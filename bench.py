@@ -12,8 +12,10 @@ the min/max spread is emitted alongside so variance itself is visible.
 
 The headline set spans the engine's cost classes: scan+agg (flagship,
 q1), multi-join (q3, q5), window (window_latest_event), the cleaning
-kernel (clean_summary), dedup (dup_groups exact, minhash LSH), text
-featurization, and similarity top-k.
+kernel (clean_summary), dedup (dup_groups exact, minhash LSH, the
+LSH→connected-components cluster resolver), text featurization
+(quality, repetition signals), decontamination, the end-to-end
+pretraining pipeline (filter→dedup→pack), and similarity top-k.
 """
 
 from __future__ import annotations
@@ -48,6 +50,10 @@ HEADLINE = [
     "streaming_window_counts",
     "embedding_neardup",
     "ivf_topk",
+    "repetition_signals",
+    "contamination_overlap",
+    "dedup_clusters",
+    "pretrain_pipeline",
 ]
 
 
