@@ -491,6 +491,29 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingest: documents with doc_id%3==0 stand in
+    for the already-ingested corpus; the rest — plus re-submissions of
+    every 15th corpus doc under new ids — arrive as the new batch. The
+    exact layer probes the corpus digest set; the near layer joins the
+    batch's portable-LSH band keys against the corpus bands and
+    verifies only banded matches. O(batch) work per ingest, never
+    O(corpus²) — the shape a continuously-growing corpus actually
+    runs (see dedup.incremental_dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    resubmitted = corpus.filter(F.col("doc_id") % 15 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 200000
+    )
+    new = docs.filter(F.col("doc_id") % 3 != 0).unionByName(resubmitted)
+    out = dedup.incremental_dedup(new, corpus, n=2, threshold=0.6)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "status",
+        F.coalesce(F.col("matched_id"), F.lit(-1)).cast("long").alias("matched_id"),
+    )
+
+
 def _q_language_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID histogram over documents."""
     docs = _t(spark, sf_dir, "documents")
@@ -653,8 +676,10 @@ def _q_broadcast_dim_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi + left-anti joins (folded): customers having a >300k
-    order, and customers who never placed a >350k order."""
+    """Membership algebra on customer keys, four ops folded and tagged:
+    left-semi (customers having a >300k order), left-anti (customers
+    who never placed a >350k order), INTERSECT (BUILDING ∩ high-balance)
+    and EXCEPT (BUILDING minus negative-balance)."""
     c = _t(spark, sf_dir, "customer")
     o_hi = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     o_vh = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
@@ -664,7 +689,12 @@ def _q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti = c.join(o_vh, c.c_custkey == o_vh.o_custkey, "left_anti").select(
         F.lit("anti").alias("side"), "c_custkey"
     )
-    return semi.unionByName(anti)
+    bld = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    hi = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    neg = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    inter = bld.intersect(hi).select(F.lit("intersect").alias("side"), "c_custkey")
+    exc = bld.subtract(neg).select(F.lit("except").alias("side"), "c_custkey")
+    return semi.unionByName(anti).unionByName(inter).unionByName(exc)
 
 
 def _q_window_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -714,18 +744,6 @@ def _q_rollup_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(modes).alias("mode"),
         "o_orderstatus", "o_orderpriority", "n_orders", "sum_price",
     )
-
-
-def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set ops (folded): BUILDING ∩ high-balance keys, and BUILDING minus
-    negative-balance keys — tagged by op."""
-    c = _t(spark, sf_dir, "customer")
-    bld = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    hi = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
-    neg = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
-    inter = bld.intersect(hi).select(F.lit("intersect").alias("op"), "c_custkey")
-    exc = bld.subtract(neg).select(F.lit("except").alias("op"), "c_custkey")
-    return inter.unionByName(exc)
 
 
 def _q_mask_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1276,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "contamination_overlap": _q_contamination_overlap,
         "dedup_clusters": _q_dedup_clusters,
+        "incremental_dedup": _q_incremental_dedup,
         "topk_cosine": _q_topk_cosine,
         "embedding_neardup": _q_embedding_neardup,
         "asof_join_events": _q_asof_join_events,
@@ -1288,7 +1307,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_latest_event": _q_window_latest_event,
         "topk_orders": _q_topk_orders,
         "rollup_cube_orders": _q_rollup_cube_orders,
-        "set_ops": _q_set_ops,
         "mask_union_counts": _q_mask_union_counts,
         "media_metadata": _q_media_metadata,
         "catalog_audit": _q_catalog_audit,
@@ -1824,6 +1842,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 350000)
+            UNION ALL
+            SELECT 'intersect' AS side, c_custkey FROM (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              INTERSECT
+              SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+            )
+            UNION ALL
+            SELECT 'except' AS side, c_custkey FROM (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              EXCEPT
+              SELECT c_custkey FROM customer WHERE c_acctbal < 0
+            )
         """,
         "window_latest_event": """
             WITH r AS (
@@ -1851,18 +1881,82 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY CUBE(o_orderstatus, o_orderpriority)
         """,
-        "set_ops": """
-            SELECT 'intersect' AS op, c_custkey FROM (
-              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-              INTERSECT
-              SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+        "incremental_dedup": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+            ),
+            newb AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+              UNION ALL
+              SELECT doc_id + 200000 AS doc_id, text FROM documents
+              WHERE doc_id % 15 = 0
+            ),
+            cfp AS (
+              SELECT md5(text) AS fp, min(doc_id) AS exact_match
+              FROM corpus GROUP BY md5(text)
+            ),
+            nfp AS (SELECT doc_id, md5(text) AS fp FROM newb),
+            exact AS (
+              SELECT n.doc_id, c.exact_match
+              FROM nfp n LEFT JOIN cfp c ON n.fp = c.fp
+            ),
+            novel AS (
+              SELECT doc_id, text FROM newb
+              WHERE doc_id NOT IN (SELECT doc_id FROM exact
+                                   WHERE exact_match IS NOT NULL)
+            ),
+            nt AS (SELECT doc_id, regexp_extract_all(lower(text),'\\S+') AS toks
+                   FROM novel),
+            ns AS (SELECT doc_id,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_distinct(list_transform(range(1, len(toks)),
+                                 i -> array_to_string(toks[i:i+1], ' ')))
+                          ELSE list_distinct(toks) END AS sh
+                   FROM nt),
+            nh AS (SELECT doc_id, sh,
+                     list_min(list_transform(sh, x -> md5('0:' || x))) AS h0,
+                     list_min(list_transform(sh, x -> md5('1:' || x))) AS h1,
+                     list_min(list_transform(sh, x -> md5('2:' || x))) AS h2,
+                     list_min(list_transform(sh, x -> md5('3:' || x))) AS h3,
+                     list_min(list_transform(sh, x -> md5('4:' || x))) AS h4,
+                     list_min(list_transform(sh, x -> md5('5:' || x))) AS h5
+                   FROM ns),
+            nb AS (SELECT doc_id, sh,
+                     unnest(['0' || h0 || h1 || h2, '1' || h3 || h4 || h5]) AS bk
+                   FROM nh),
+            ct AS (SELECT doc_id, regexp_extract_all(lower(text),'\\S+') AS toks
+                   FROM corpus),
+            cs AS (SELECT doc_id,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_distinct(list_transform(range(1, len(toks)),
+                                 i -> array_to_string(toks[i:i+1], ' ')))
+                          ELSE list_distinct(toks) END AS sh
+                   FROM ct),
+            ch AS (SELECT doc_id, sh,
+                     list_min(list_transform(sh, x -> md5('0:' || x))) AS h0,
+                     list_min(list_transform(sh, x -> md5('1:' || x))) AS h1,
+                     list_min(list_transform(sh, x -> md5('2:' || x))) AS h2,
+                     list_min(list_transform(sh, x -> md5('3:' || x))) AS h3,
+                     list_min(list_transform(sh, x -> md5('4:' || x))) AS h4,
+                     list_min(list_transform(sh, x -> md5('5:' || x))) AS h5
+                   FROM cs),
+            cb AS (SELECT doc_id, sh,
+                     unnest(['0' || h0 || h1 || h2, '1' || h3 || h4 || h5]) AS bk
+                   FROM ch),
+            near AS (
+              SELECT nb.doc_id, min(cb.doc_id) AS near_match
+              FROM nb JOIN cb ON nb.bk = cb.bk
+              WHERE CAST(len(list_intersect(nb.sh, cb.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(nb.sh, cb.sh))) >= 0.6
+              GROUP BY nb.doc_id
             )
-            UNION ALL
-            SELECT 'except' AS op, c_custkey FROM (
-              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-              EXCEPT
-              SELECT c_custkey FROM customer WHERE c_acctbal < 0
-            )
+            SELECT e.doc_id,
+                   CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+                        WHEN nr.near_match IS NOT NULL THEN 'near_dup'
+                        ELSE 'kept' END AS status,
+                   CAST(COALESCE(e.exact_match, nr.near_match, -1) AS BIGINT)
+                     AS matched_id
+            FROM exact e LEFT JOIN near nr ON e.doc_id = nr.doc_id
         """,
         "mask_union_counts": """
             SELECT event_type AS label, count(*) AS n,

@@ -250,3 +250,39 @@ def test_minhash_portable_no_cartesian_and_form(docs):
     out = dedup.minhash_candidate_pairs_portable(docs)
     assert_no_cartesian(out)
     assert out.columns == ["id_a", "id_b", "jaccard_sim"]
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_statuses(spark):
+    corpus = spark.createDataFrame(
+        [(1, BASE), (2, "completely different content about spark query engines at scale")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, BASE),                    # exact dup of corpus 1
+            (11, BASE + " tomorrow"),      # near dup of corpus 1
+            (12, "wholly novel words never seen in any corpus document today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: (r.status, r.matched_id)
+        for r in dedup.incremental_dedup(new, corpus, n=2, threshold=0.5).collect()
+    }
+    assert out[10] == ("exact_dup", 1)
+    assert out[11] == ("near_dup", 1)
+    assert out[12] == ("kept", None)
+    assert_no_cartesian(dedup.incremental_dedup(new, corpus, n=2, threshold=0.5))
+
+
+def test_incremental_dedup_never_flags_corpus_rows(spark):
+    # the corpus is not re-examined: output ids are exactly the batch ids
+    corpus = spark.createDataFrame([(1, BASE), (5, BASE)], "doc_id long, text string")
+    new = spark.createDataFrame([(9, "something else entirely")], "doc_id long, text string")
+    ids = {r.id for r in dedup.incremental_dedup(new, corpus).collect()}
+    assert ids == {9}
