@@ -53,6 +53,7 @@ HEADLINE = [
     "repetition_signals",
     "contamination_overlap",
     "dedup_clusters",
+    "incremental_dedup",
     "pretrain_pipeline",
 ]
 
