@@ -1045,19 +1045,29 @@ def _q_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pretraining data pipeline END-TO-END in one Catalyst plan:
-    quality thresholds + language gate (keep/drop) → exact dedup
-    (md5-keyed, min-id canonical) → per-source sequence packing.
-    Everything stays declarative, so the filter pushes to the scan and
-    the only shuffles are the dedup window and the per-source pack —
-    the composition a 100 TB corpus build actually runs."""
+    quality thresholds + language gate (keep/drop) → unigram-LM
+    perplexity filter (corpus-self-trained, broadcast vocab — the
+    CCNet-style stage) → exact dedup (md5-keyed, min-id canonical) →
+    per-source sequence packing. Everything stays declarative, so the
+    static filters push to the scan and the only shuffles are the LM
+    wordcount, the per-doc score reduce, the dedup window, and the
+    per-source pack — the composition a 100 TB corpus build actually
+    runs. The LM score is rounded before thresholding: a float-mean
+    boundary must not decide keep/drop differently across engines."""
     docs = _t(spark, sf_dir, "documents")
+    lm = textstats.unigram_lm_scores(docs)
     q = textstats.quality_columns(textstats.language_id(docs))
-    kept = q.filter(
-        (F.col("n_tokens") >= 20)
-        & (F.col("alpha_ratio") >= 0.8)
-        & (F.col("stopword_ratio") >= 0.01)
-        & (F.col("predicted_lang") == "en")
-    ).withColumn("md5_fp", F.md5("text"))
+    kept = (
+        q.filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("alpha_ratio") >= 0.8)
+            & (F.col("stopword_ratio") >= 0.01)
+            & (F.col("predicted_lang") == "en")
+        )
+        .join(lm, F.col("doc_id") == lm["id"])
+        .filter(F.round("lm_logprob", 6) >= -3.45)
+        .withColumn("md5_fp", F.md5("text"))
+    )
     deduped = dedup.drop_exact_duplicates(kept, ["md5_fp"], "doc_id")
     return textstats.pack_documents(deduped, max_tokens=2048, partition_col="source")
 
@@ -2189,12 +2199,28 @@ def oracle_sql() -> dict[str, str]:
                      END AS predicted_lang
               FROM s
             ),
+            wlm AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+              FROM documents
+            ),
+            vocab AS (SELECT w, count(*) AS c FROM wlm GROUP BY w),
+            tot AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+              FROM vocab
+            ),
+            lm AS (
+              SELECT wlm.doc_id,
+                     avg(ln((vocab.c + 1.0) / (tot.n + tot.v))) AS lm_logprob
+              FROM wlm JOIN vocab USING (w), tot
+              GROUP BY wlm.doc_id
+            ),
             kept AS (
-              SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
-                     md5(text) AS fp
-              FROM feat
-              WHERE n_tokens >= 20 AND alpha_ratio >= 0.8
-                AND stopword_ratio >= 0.01 AND predicted_lang = 'en'
+              SELECT f.doc_id, f.source, CAST(f.n_tokens AS BIGINT) AS n_tokens,
+                     md5(f.text) AS fp
+              FROM feat f JOIN lm ON f.doc_id = lm.doc_id
+              WHERE f.n_tokens >= 20 AND f.alpha_ratio >= 0.8
+                AND f.stopword_ratio >= 0.01 AND f.predicted_lang = 'en'
+                AND round(lm.lm_logprob, 6) >= -3.45
             ),
             deduped AS (
               SELECT doc_id, source, n_tokens FROM (

@@ -285,3 +285,44 @@ def repetition_signals(
             F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("double") / safe_bigrams
         ).alias("top_bigram_frac"),
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean token log-probability under a corpus-self-trained
+    unigram LM with add-one smoothing — the cheap, fully-declarative
+    stand-in for the perplexity quality filter (the CCNet-style stage) a
+    pretraining pipeline runs: documents whose tokens are improbable
+    under the corpus distribution score low and get dropped.
+
+    Two passes, both shuffle-light: a wordcount aggregate builds the
+    vocabulary (the only global state — MBs even at corpus scale, so it
+    is broadcast), then each token probes the broadcast map and a
+    per-doc mean reduces on the id. Swap the self-trained vocab for a
+    reference-corpus count table and the same plan scores against an
+    external LM.
+
+    The mean is a floating reduction whose order differs between
+    engines; consumers thresholding the score must round first
+    (log values are not decimal-exact, so rounding ties are measure-
+    zero — unlike money sums, where coarse rounding hits real
+    half-points).
+    """
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(
+        F.sum("c").cast("double").alias("n"), F.count(F.lit(1)).cast("double").alias("v")
+    )
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("id")
+        .agg(
+            F.avg(F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v")))).alias(
+                "lm_logprob"
+            )
+        )
+    )

@@ -148,3 +148,21 @@ def test_repetition_signals_values(spark):
     assert r3.top_bigram_frac == pytest.approx(2 / 5)
     r4 = out[4]
     assert (r4.n_words, r4.top_bigram_frac) == (1, 0.0)
+
+
+def test_unigram_lm_scores_exact(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "c")],
+        "doc_id long, text string",
+    )
+    from animaltrackingetls_spark.operators.textstats import unigram_lm_scores
+
+    # corpus counts: a=2, b=1, c=1; N=4, V=3
+    out = {r.id: r.lm_logprob for r in unigram_lm_scores(df).collect()}
+    lp = lambda c: math.log((c + 1.0) / (4 + 3))
+    assert out[1] == pytest.approx((lp(2) + lp(2) + lp(1)) / 3)
+    assert out[2] == pytest.approx(lp(1))
+    # common-word docs score higher than rare-word docs
+    assert out[1] > out[2]
