@@ -119,6 +119,39 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode:
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_optimized(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    target_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Layout-optimizing write: hash-repartition on the partition
+    columns, sort WITHIN each task, write partitioned parquet.
+
+    Why each step matters at 100 TB:
+
+    * ``repartition(partition_cols)`` — without it every task writes a
+      file into every hive partition it happens to hold rows for:
+      tasks × partitions small files, the classic layout killer.
+      Co-locating first gives one file per (task, partition).
+    * ``sortWithinPartitions(sort_cols)`` — a task-local sort (NO global
+      shuffle/range exchange) that tightens parquet row-group min/max
+      bounds on the sort keys, so selective scans skip row groups
+      entirely; a hive-partition filter prunes directories before any
+      I/O (asserted plan-level in tests via PartitionFilters).
+    * ``target_partitions`` caps file count when the write follows a
+      wide shuffle (AQE may otherwise leave hundreds of tiny outputs).
+    """
+    out = df.repartition(*([target_partitions] if target_partitions else []),
+                         *[F.col(c) for c in partition_cols])
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def write_rejects_csv(rejected: DataFrame, path: str) -> None:
     """K5: rejection sidecar as CSV (reference etl.py:64-67)."""
     rejected.write.mode("overwrite").option("header", True).csv(path)

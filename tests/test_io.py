@@ -129,3 +129,36 @@ def test_jdbc_column_types_string_is_spark_parseable(spark):
         f.name for f in OCCURRENCE_SCHEMA.fields
     ]
     assert parsed == OCCURRENCE_SCHEMA
+
+
+def test_write_optimized_layout_and_pruning(spark, tmp_path):
+    from animaltrackingetls_spark.io import write_optimized
+
+    df = spark.createDataFrame(
+        [(i, ["x", "y"][i % 2], i * 10) for i in range(100)],
+        "id long, src string, v long",
+    ).repartition(8)
+    path = str(tmp_path / "opt")
+    write_optimized(df, path, ["src"], sort_cols=["id"], target_partitions=2)
+
+    # one file per (task, hive-partition); 2 target partitions → ≤2 files each
+    import glob
+
+    for part in ("src=x", "src=y"):
+        files = glob.glob(f"{path}/{part}/*.parquet")
+        assert 1 <= len(files) <= 2, files
+
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    # hive-partition filter prunes directories: plan carries PartitionFilters
+    plan = back.filter(F.col("src") == "x")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "src" in plan
+
+    # row groups are sorted within files: parquet min/max of id are tight
+    import pyarrow.parquet as pq
+
+    f = glob.glob(f"{path}/src=x/*.parquet")[0]
+    md = pq.ParquetFile(f).metadata
+    col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("id")
+    rg = md.row_group(0).column(col_idx).statistics
+    assert rg.min is not None and rg.min <= rg.max
