@@ -1,0 +1,225 @@
+"""Distributed lexical retrieval (TF-IDF / BM25) over a document corpus.
+
+A training-data pipeline needs query-driven corpus slicing — "pull the
+top-k documents about X" — next to its filters and dedup. This module
+implements Okapi BM25 as a pure DataFrame composition, shaped so the
+expensive parts scale:
+
+* **Filter before aggregate.** Tokens are exploded and immediately
+  filtered to the query's terms, so only (doc, query-term) pairs enter
+  the shuffle — at 100 TB the full corpus token stream never shuffles;
+  the per-document scan emits at most ``|query|`` distinct terms per doc.
+* **Corpus statistics are O(1) rows.** N and the average document length
+  reduce to a single row (map-side partial aggregation) and re-enter the
+  plan through a broadcast cross join, not a shuffle.
+* **Document frequencies are O(|query|) rows** — aggregated from the
+  already-filtered tf frame and broadcast back for the idf join.
+* **Top-k is TakeOrderedAndProject**, never a global sort: each
+  partition keeps k candidates, the driver merges k × partitions rows.
+
+Scores are rounded before ranking so the ordering (and therefore the
+k-boundary) is reproducible across engines despite float-sum ordering
+differences; ties break on document id.
+
+The tokenizer is shared with :mod:`.textstats` (lower-cased ``\\S+``
+runs) so retrieval, quality scoring, and dedup all agree on what a
+"word" is.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import token_count, tokens
+
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+def term_frequencies(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, term, tf)`` for the query's terms only.
+
+    The ``isin`` filter sits between the Generate (explode) and the
+    aggregation, so rows for non-query terms die in the same stage that
+    produced them — the shuffle carries only matching pairs.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term").isin(query_terms))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Okapi BM25 top-k: ``(doc_id, bm25, n_query_terms)``.
+
+    ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))`` (the non-negative
+    Robertson–Sparck-Jones form) and the standard saturation/length
+    normalization ``tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``.
+
+    Only documents containing ≥1 query term are scored (disjunctive
+    retrieval); everything else is pruned before any shuffle.
+    """
+    tf = term_frequencies(docs, query_terms, text_col=text_col, id_col=id_col)
+
+    # Per-document length: a projection over the scan — no explode, no
+    # shuffle. Joined on id AFTER the tf aggregation so only retrieved
+    # documents pay the join.
+    dl = docs.select(
+        F.col(id_col).alias("id"), token_count(F.col(text_col)).alias("dl")
+    )
+
+    # Corpus constants: one row, broadcast back in.
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    # Document frequency per query term: ≤ |query| rows, broadcast.
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    k1_l, b_l = F.lit(float(k1)), F.lit(float(b))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    saturation = (F.col("tf") * (k1_l + F.lit(1.0))) / (
+        F.col("tf")
+        + k1_l * (F.lit(1.0) - b_l + b_l * F.col("dl") / F.col("avgdl"))
+    )
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("id")
+        .agg(
+            F.sum(idf * saturation).alias("score"),
+            F.count(F.lit(1)).alias("n_query_terms"),
+        )
+    )
+    return (
+        scored.select(
+            F.col("id").alias(id_col),
+            F.round("score", 6).alias("bm25"),
+            F.col("n_query_terms").cast("long").alias("n_query_terms"),
+        )
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+    )
+
+
+def tf_idf_vectors(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Sparse TF-IDF weights ``(id, term, weight)`` for the whole corpus
+    — the feature-extraction sibling of :func:`bm25_topk` (which prunes
+    to a query). ``weight = tf · ln(N / df)``; terms below ``min_df``
+    are dropped.
+
+    This one DOES shuffle the corpus token stream (it must — every term
+    is kept); the aggregation is two hash-agg stages with map-side
+    partial combine, the same shape as the wordcount in
+    ``textstats.repetition_signals``. The df side is aggregated once and
+    joined back on term — at web scale that join key is Zipf-skewed, so
+    AQE skew-join (enabled in session.py) is the mitigation.
+    """
+    tf = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # N as a broadcast single-row frame, not a driver-side .count() —
+    # keeps the operator lazy and the whole thing one job.
+    stats = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("weight"),
+        )
+    )
+
+
+def bm25_oracle_sql(
+    query_terms: list[str],
+    k: int,
+    *,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """The DuckDB twin of :func:`bm25_topk` — same tokenizer, same
+    formula, same rounding and tie-break, for the correctness gate."""
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    assert math.isfinite(k1) and math.isfinite(b)
+    return f"""
+        WITH tok AS (
+          SELECT {id_col}, regexp_extract_all(lower({text_col}), '\\S+') AS toks
+          FROM {table}
+        ),
+        dl AS (SELECT {id_col}, len(toks) AS dl FROM tok),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        tf AS (
+          SELECT {id_col}, w AS term, count(*) AS tf
+          FROM (SELECT {id_col}, unnest(toks) AS w FROM tok)
+          WHERE w IN ({terms})
+          GROUP BY {id_col}, w
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT tf.{id_col},
+                 sum(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+                 ) AS score,
+                 count(*) AS n_query_terms
+          FROM tf
+          JOIN dfreq USING (term)
+          JOIN dl USING ({id_col})
+          CROSS JOIN stats
+          GROUP BY tf.{id_col}
+        )
+        SELECT {id_col}, round(score, 6) AS bm25,
+               CAST(n_query_terms AS BIGINT) AS n_query_terms
+        FROM scored
+        ORDER BY round(score, 6) DESC, {id_col}
+        LIMIT {int(k)}
+    """

@@ -49,6 +49,51 @@ def deterministic_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
     return df.filter(sample_hash_bucket(F.col(id_col)) < thr)
 
 
+def mixture_resample(
+    df: DataFrame, id_col: str, group_col: str, rates: dict[str, float]
+) -> DataFrame:
+    """Domain-mixture resampling: per-group rates that may EXCEED 1.
+
+    Training mixes are specified as per-source weights ("2.3 epochs of
+    src0, 0.4 of src1"); a rate r decomposes into ``floor(r)`` full
+    replications plus a fractional epoch decided by the row's md5
+    bucket — the same partitioning-independent draw as
+    :func:`deterministic_sample`, so the exact resampled set is
+    reproducible in any engine. Groups absent from ``rates`` are
+    dropped (they're not in the mix).
+
+    Output adds an ``epoch`` column (1-based) distinguishing the
+    replicas — downstream shuffles/packing treat each replica as a row.
+
+    Scale shape: replication is ``explode(sequence(...))`` on the scan
+    (a Generate — map-only, no shuffle); membership is a string compare
+    on a hash prefix. The output is ~sum(r_g·|g|) rows; nothing is
+    materialized driver-side. NOTE ``F.sequence(1, 0)`` silently
+    DESCENDS instead of returning empty, so the zero-copy case is
+    guarded with an explicit empty array.
+    """
+    bucket = sample_hash_bucket(F.col(id_col))
+    n_copies: Column = F.lit(None).cast("int")
+    for group, rate in rates.items():
+        if rate < 0:
+            raise ValueError(f"mixture rate must be >= 0, got {rate} for {group!r}")
+        whole = int(rate)
+        frac_thr = _threshold_hex(rate - whole)
+        copies = F.lit(whole)
+        if frac_thr is not None and frac_thr != "0000":
+            copies = copies + F.when(bucket < frac_thr, 1).otherwise(0)
+        n_copies = F.when(F.col(group_col) == group, copies).otherwise(n_copies)
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") >= 1)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(1), F.col("_n_copies"))),
+        )
+        .drop("_n_copies")
+    )
+
+
 def stratified_sample(
     df: DataFrame, id_col: str, strata_col: str, rates: dict[str, float]
 ) -> DataFrame:

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from animaltrackingetls_spark.operators.sampling import (
     deterministic_sample,
     stratified_sample,
@@ -59,3 +61,69 @@ def test_sample_rejects_bad_rate(spark):
 
     with pytest.raises(ValueError):
         deterministic_sample(_docs(spark), "doc_id", 1.5)
+
+
+def test_mixture_resample_epochs_and_fractions(spark):
+    from animaltrackingetls_spark.operators.sampling import mixture_resample
+
+    df = _docs(spark).withColumn(
+        "source", F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b")
+    )
+    out = mixture_resample(df, "doc_id", "source", {"a": 2.5, "b": 0.25})
+    per = {
+        (r.source, r.epoch): r.n
+        for r in out.groupBy("source", "epoch").agg(F.count("*").alias("n")).collect()
+    }
+    # 'a' (1000 rows): every row twice, ~50% a third time
+    assert per[("a", 1)] == per[("a", 2)] == 1000
+    assert 0.42 * 1000 < per[("a", 3)] < 0.58 * 1000
+    # 'b': only a fractional epoch
+    assert ("b", 2) not in per
+    assert 0.18 * 1000 < per[("b", 1)] < 0.32 * 1000
+
+
+def test_mixture_resample_is_partitioning_independent(spark):
+    from animaltrackingetls_spark.operators.sampling import mixture_resample
+
+    df = _docs(spark).withColumn("source", F.lit("a"))
+    rates = {"a": 1.5}
+    a = sorted(
+        (r.doc_id, r.epoch) for r in mixture_resample(df, "doc_id", "source", rates).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.epoch)
+        for r in mixture_resample(df.repartition(13), "doc_id", "source", rates).collect()
+    )
+    assert a == b
+
+
+def test_mixture_resample_drops_unlisted_and_zero_groups(spark):
+    from animaltrackingetls_spark.operators.sampling import mixture_resample
+
+    df = _docs(spark).withColumn(
+        "source", F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b")
+    )
+    out = mixture_resample(df, "doc_id", "source", {"a": 0.0})
+    assert out.count() == 0  # a: rate 0; b: not in the mix
+
+
+def test_mixture_resample_negative_rate_raises(spark):
+    import pytest
+
+    from animaltrackingetls_spark.operators.sampling import mixture_resample
+
+    with pytest.raises(ValueError):
+        mixture_resample(_docs(spark), "doc_id", "lang", {"en": -0.5})
+
+
+def test_mixture_resample_no_shuffle(spark):
+    from animaltrackingetls_spark.operators.sampling import mixture_resample
+
+    df = _docs(spark).withColumn("source", F.lit("a"))
+    plan = (
+        mixture_resample(df, "doc_id", "source", {"a": 2.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # replication is map-only (Generate)
