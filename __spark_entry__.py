@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from animaltrackingetls_spark import io as eio
@@ -37,7 +37,15 @@ from animaltrackingetls_spark.inventory import (
     table_name_for_day,
     table_name_for_month,
 )
-from animaltrackingetls_spark.operators import dedup, joins, multimodal, similarity, textstats
+from animaltrackingetls_spark.operators import (
+    dedup,
+    joins,
+    multimodal,
+    privacy,
+    retrieval,
+    similarity,
+    textstats,
+)
 from animaltrackingetls_spark.serving import dynamic_filters
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -380,12 +388,15 @@ def _q_enrich_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 duplicate audit, both reference forms folded and tagged by
-    mode: digest-keyed groups (md5 of content, narrow shuffle key) and
-    the reference-exact GROUP BY *every* column. The all-columns form
-    collapses its wide group key to a digest in the output so both modes
-    share one (mode, key, canonical_id, n_copies) schema; canonical_id
-    is -1 where the grouping dropped the id column."""
+    """A1 duplicate audit + exact-dedup keep-list, folded and tagged by
+    mode: digest-keyed duplicate groups (md5 of content, narrow shuffle
+    key), the reference-exact GROUP BY *every* column, and the 'kept'
+    rows from ``drop_exact_duplicates`` (deterministic min-id
+    representative per digest, singletons included). The all-columns
+    form collapses its wide group key to a digest in the output so all
+    modes share one (mode, key, canonical_id, n_copies) schema;
+    canonical_id is -1 where the grouping dropped the id column and
+    n_copies is NULL for kept rows (membership, not a group count)."""
     d = _docs_with_dups(spark, sf_dir).withColumn("md5_fp", F.md5("text"))
     g = dedup.exact_duplicates(d, ["md5_fp"], "doc_id").select(
         F.lit("digest").alias("mode"),
@@ -404,26 +415,31 @@ def _q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("canonical_id"),
         F.col("duplicate_count").alias("n_copies"),
     )
-    return g.unionByName(a)
-
-
-def _q_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup keep-list: deterministic min-id representative per digest."""
-    d = _docs_with_dups(spark, sf_dir).withColumn("md5_fp", F.md5("text"))
-    return dedup.drop_exact_duplicates(d, ["md5_fp"], "doc_id").select("doc_id")
+    kept = dedup.drop_exact_duplicates(d, ["md5_fp"], "doc_id").select(
+        F.lit("kept").alias("mode"),
+        F.col("md5_fp").alias("key"),
+        F.col("doc_id").alias("canonical_id"),
+        F.lit(None).cast("long").alias("n_copies"),
+    )
+    return g.unionByName(a).unionByName(kept)
 
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text quality features + content fingerprinting (folded): token/
-    char counts, alpha & stopword ratios, the BPE-ish pre-tokenizer
-    segment count, and raw/normalized md5 digests with post-norm length
-    (xxhash64 variant exercised in tests) — one scan, pure projection."""
+    """Per-document quality panel (folded): the projection-only features
+    (token/char counts, alpha & stopword ratios, BPE-ish segment count,
+    raw/normalized md5 digests) JOINED with the Gopher-family repetition
+    signals (duplicate-word fraction, top-word / top-bigram share — the
+    distributed-wordcount shape: explode → two hash aggregations with
+    map-side partial combine). The join is per-doc-keyed, so the
+    projection side stays a map-only scan and only the repetition
+    aggregates shuffle; see textstats.repetition_signals for the scale
+    argument."""
     docs = _t(spark, sf_dir, "documents")
     q = textstats.quality_columns(docs)
     norm = textstats.normalize_whitespace(
         textstats.strip_control_chars(F.col("text"))
     )
-    return q.select(
+    quality = q.select(
         "doc_id",
         "n_tokens",
         "n_chars_m",
@@ -434,22 +450,116 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).alias("n_chars_norm"),
         F.md5(norm).alias("md5_norm"),
     )
-
-
-def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-family repetition quality signals over documents: duplicate
-    -word fraction, top-word share, top-bigram share — the distributed
-    wordcount shape (explode → two hash aggregations, map-side partial
-    combine; see textstats.repetition_signals for the scale argument)."""
-    docs = _t(spark, sf_dir, "documents")
-    r = textstats.repetition_signals(docs)
-    return r.select(
+    rep = textstats.repetition_signals(docs).select(
         F.col("id").alias("doc_id"),
         "n_words",
         "n_distinct_words",
         F.round("dup_word_frac", 6).alias("dup_word_frac"),
         F.round("top_word_frac", 6).alias("top_word_frac"),
         F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+    return quality.join(rep, "doc_id")
+
+
+_BM25_QUERY_TERMS = ["spark", "window", "join", "stream"]
+_BM25_K = 25
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 disjunctive retrieval over documents: top-25 for a
+    4-term query. Plan shape: explode→isin-filter→agg shuffles only
+    (doc, query-term) pairs; N/avgdl re-enter as a broadcast single-row
+    frame; document frequencies broadcast (≤|query| rows); the final
+    ranking is TakeOrderedAndProject on the rounded score with doc_id
+    tiebreak (never a global sort). See operators/retrieval.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(docs, _BM25_QUERY_TERMS, _BM25_K)
+
+
+# The regex tier runs over a deterministic synthesized "contact card"
+# per customer (the slim TPC-H-ish schema carries no real PII), so the
+# gate checks that Spark's Java regex and the oracle's RE2 agree on
+# match sets and rewrites over realistic email/phone/IP/SSN shapes.
+# (A function, not a module constant: classic-mode Column construction
+# needs an active SparkContext.)
+def _contact_blob() -> Column:
+    return F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.regexp_replace("c_name", r"[^A-Za-z0-9]", ".")),
+        F.lit("@example.com> ph "),
+        F.lpad((F.col("c_custkey") % 90 + 10).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") * 7 % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") * 13 % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") * 17 % 10000).cast("string"), 4, "0"),
+        F.lit(" ip "),
+        (F.col("c_custkey") % 223 + 1).cast("string"),
+        F.lit("."),
+        (F.col("c_custkey") * 3 % 256).cast("string"),
+        F.lit("."),
+        (F.col("c_custkey") * 5 % 256).cast("string"),
+        F.lit("."),
+        (F.col("c_custkey") * 11 % 254 + 1).cast("string"),
+        F.lit(" ssn "),
+        F.lpad((F.col("c_custkey") % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 89 + 10).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") * 31 % 10000).cast("string"), 4, "0"),
+        F.lit(" seg "),
+        F.col("c_mktsegment"),
+    )
+
+_CONTACT_BLOB_SQL = (
+    "c_name || ' <' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g'))"
+    " || '@example.com> ph '"
+    " || lpad(CAST(c_custkey % 90 + 10 AS VARCHAR), 2, '0') || '-'"
+    " || lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(c_custkey * 13 % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(c_custkey * 17 % 10000 AS VARCHAR), 4, '0')"
+    " || ' ip ' || CAST(c_custkey % 223 + 1 AS VARCHAR)"
+    " || '.' || CAST(c_custkey * 3 % 256 AS VARCHAR)"
+    " || '.' || CAST(c_custkey * 5 % 256 AS VARCHAR)"
+    " || '.' || CAST(c_custkey * 11 % 254 + 1 AS VARCHAR)"
+    " || ' ssn ' || lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(c_custkey % 89 + 10 AS VARCHAR), 2, '0')"
+    " || '-' || lpad(CAST(c_custkey * 31 % 10000 AS VARCHAR), 4, '0')"
+    " || ' seg ' || c_mktsegment"
+)
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of the PII audit: same patterns (RE2-safe subset),
+    same application order, counts taken on the raw blob."""
+    redacted, counts = privacy.oracle_redaction_sql(_CONTACT_BLOB_SQL)
+    return f"""
+        SELECT c_custkey,
+               md5({redacted}) AS md5_redacted,
+               {', '.join(counts)}
+        FROM customer
+    """
+
+
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit: per-type hit counts + md5 of the redacted
+    text for every customer's contact card. Map-only stage — the whole
+    operator is regexp codegen on the scan, no shuffle (asserted in
+    tests/test_privacy.py); counts verify detection parity, the digest
+    verifies the rewrite byte-for-byte. See operators/privacy.py."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", _contact_blob().alias("contact")
+    )
+    red = privacy.redact_pii(cust, "contact")
+    return red.select(
+        "c_custkey",
+        F.md5("contact").alias("md5_redacted"),
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
     )
 
 
@@ -1081,13 +1191,50 @@ def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pack_documents(docs, max_tokens=2048, partition_col="source")
 
 
+_MIXTURE_RATES = {"src0": 2.3, "src1": 0.4, "src2": 1.0, "src3": 1.75}
+
+
+def _mixture_oracle_branch() -> str:
+    """('mixture', source:epoch, n) rows — thresholds computed by the
+    SAME Python helper the operator uses, embedded as hex literals so
+    no cross-engine float rounding can diverge."""
+    from animaltrackingetls_spark.operators.sampling import _threshold_hex
+
+    cases = []
+    for group, rate in _MIXTURE_RATES.items():
+        whole = int(rate)
+        thr = _threshold_hex(rate - whole)
+        expr = str(whole)
+        if thr is not None and thr != "0000":
+            expr += (
+                " + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+                f" < '{thr}' THEN 1 ELSE 0 END"
+            )
+        cases.append(f"WHEN '{group}' THEN {expr}")
+    groups = ", ".join(f"'{g}'" for g in _MIXTURE_RATES)
+    return f"""
+            SELECT 'mixture' AS kind, "key", count(*) AS n FROM (
+              SELECT source || ':' || CAST(unnest(generate_series(1, n_copies)) AS VARCHAR) AS "key"
+              FROM (
+                SELECT doc_id, source,
+                       CASE source {' '.join(cases)} END AS n_copies
+                FROM documents WHERE source IN ({groups})
+              ) WHERE n_copies >= 1
+            ) GROUP BY "key"
+    """
+
+
 def _q_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sampling (folded): the md5-bucket 25% uniform sample
     (partitioning-independent — reproducible in any engine, unlike
-    df.sample) as ('uniform', doc_id) membership rows, plus per-stratum
-    counts of a stratified sample as ('stratum', lang) rows."""
+    df.sample) as ('uniform', doc_id) membership rows, per-stratum
+    counts of a stratified sample as ('stratum', lang) rows, and the
+    domain-mixture resampler (rates > 1 replicate whole epochs via a
+    map-only Generate; the fractional epoch is the same md5-bucket draw)
+    as ('mixture', source:epoch) count rows."""
     from animaltrackingetls_spark.operators.sampling import (
         deterministic_sample,
+        mixture_resample,
         stratified_sample,
     )
 
@@ -1103,7 +1250,17 @@ def _q_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("stratum").alias("kind"), F.col("lang").alias("key"), "n")
     )
-    return uni.unionByName(strat)
+    mix = (
+        mixture_resample(docs, "doc_id", "source", _MIXTURE_RATES)
+        .groupBy("source", "epoch")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("mixture").alias("kind"),
+            F.concat_ws(":", "source", F.col("epoch").cast("string")).alias("key"),
+            "n",
+        )
+    )
+    return uni.unionByName(strat).unionByName(mix)
 
 
 def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1297,9 +1454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geocode_broadcast": _q_geocode_broadcast,
         "enrich_batched": _q_enrich_batched,
         "dup_groups": _q_dup_groups,
-        "dedup_kept": _q_dedup_kept,
         "text_quality": _q_text_quality,
-        "repetition_signals": _q_repetition_signals,
+        "bm25_topk": _q_bm25_topk,
+        "pii_redaction": _q_pii_redaction,
         "language_counts": _q_language_counts,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "contamination_overlap": _q_contamination_overlap,
@@ -1516,10 +1673,12 @@ def oracle_sql() -> dict[str, str]:
             FROM d
             GROUP BY text, lang, source, n_chars
             HAVING count(*) > 1
-        """,
-        "dedup_kept": f"""
-            WITH {_DOCS_WITH_DUPS_SQL}
-            SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)
+            UNION ALL
+            SELECT 'kept' AS mode,
+                   md5(text) AS key,
+                   min(doc_id) AS canonical_id,
+                   CAST(NULL AS BIGINT) AS n_copies
+            FROM d GROUP BY md5(text)
         """,
         "text_quality": f"""
             WITH t AS (
@@ -1530,26 +1689,22 @@ def oracle_sql() -> dict[str, str]:
                          '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g'),
                        '\\s+', ' ', 'g')) AS norm
               FROM documents
-            )
-            SELECT doc_id,
-                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
-                   CAST(length(text) AS BIGINT) AS n_chars_m,
-                   round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-                         / greatest(length(text), 1), 6) AS alpha_ratio,
-                   round(CAST(len(list_filter(toks,
-                           tk -> list_contains({_STOPWORDS_SQL}, tk))) AS DOUBLE)
-                         / greatest(len(toks), 1), 6) AS stopword_ratio,
-                   CAST(len(regexp_extract_all(lower(text),
-                        '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS INT) AS n_bpeish,
-                   md5(text) AS md5_fp,
-                   length(norm) AS n_chars_norm,
-                   md5(norm) AS md5_norm
-            FROM t
-        """,
-        "repetition_signals": """
-            WITH t AS (
-              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
-              FROM documents
+            ),
+            q AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                     CAST(length(text) AS BIGINT) AS n_chars_m,
+                     round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                           / greatest(length(text), 1), 6) AS alpha_ratio,
+                     round(CAST(len(list_filter(toks,
+                             tk -> list_contains({_STOPWORDS_SQL}, tk))) AS DOUBLE)
+                           / greatest(len(toks), 1), 6) AS stopword_ratio,
+                     CAST(len(regexp_extract_all(lower(text),
+                          '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS INT) AS n_bpeish,
+                     md5(text) AS md5_fp,
+                     length(norm) AS n_chars_norm,
+                     md5(norm) AS md5_norm
+              FROM t
             ),
             w AS (SELECT doc_id, unnest(toks) AS w FROM t),
             wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
@@ -1574,7 +1729,9 @@ def oracle_sql() -> dict[str, str]:
                      CAST(max(c) AS BIGINT) AS top_bigram_n
               FROM gc GROUP BY doc_id
             )
-            SELECT d.doc_id,
+            SELECT q.doc_id, q.n_tokens, q.n_chars_m, q.alpha_ratio,
+                   q.stopword_ratio, q.n_bpeish, q.md5_fp, q.n_chars_norm,
+                   q.md5_norm,
                    COALESCE(ws.n_words, 0) AS n_words,
                    COALESCE(ws.n_distinct_words, 0) AS n_distinct_words,
                    round(1.0 - CAST(COALESCE(ws.n_distinct_words, 0) AS DOUBLE)
@@ -1583,10 +1740,12 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(COALESCE(ws.n_words, 0), 1), 6) AS top_word_frac,
                    round(CAST(COALESCE(gs.top_bigram_n, 0) AS DOUBLE)
                          / greatest(COALESCE(gs.n_bigrams, 0), 1), 6) AS top_bigram_frac
-            FROM documents d
-            LEFT JOIN ws ON d.doc_id = ws.doc_id
-            LEFT JOIN gs ON d.doc_id = gs.doc_id
+            FROM q
+            LEFT JOIN ws ON q.doc_id = ws.doc_id
+            LEFT JOIN gs ON q.doc_id = gs.doc_id
         """,
+        "bm25_topk": retrieval.bm25_oracle_sql(_BM25_QUERY_TERMS, _BM25_K),
+        "pii_redaction": _pii_oracle_sql(),
         "contamination_overlap": """
             WITH t AS (
               SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
@@ -2251,7 +2410,7 @@ def oracle_sql() -> dict[str, str]:
                      / 2048.0) AS BIGINT) AS bin_id
             FROM t
         """,
-        "sample_audit": """
+        "sample_audit": f"""
             SELECT 'uniform' AS kind, CAST(doc_id AS VARCHAR) AS "key",
                    CAST(NULL AS BIGINT) AS n
             FROM documents
@@ -2264,6 +2423,8 @@ def oracle_sql() -> dict[str, str]:
                OR (lang = 'zh'
                    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a')
             GROUP BY lang
+            UNION ALL
+            {_mixture_oracle_branch()}
         """,
         "sessionized_stream": """
             WITH flagged AS (

@@ -50,7 +50,8 @@ HEADLINE = [
     "streaming_window_counts",
     "embedding_neardup",
     "ivf_topk",
-    "repetition_signals",
+    "bm25_topk",
+    "pii_redaction",
     "contamination_overlap",
     "dedup_clusters",
     "incremental_dedup",
