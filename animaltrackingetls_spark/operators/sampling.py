@@ -14,7 +14,7 @@ string comparison — pure codegen, no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 65536
@@ -109,3 +109,78 @@ def stratified_sample(
             stratum_pred = stratum_pred & (bucket < thr)
         pred = pred | stratum_pred
     return df.filter(pred)
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    order_cols: list[Column] | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-key quota: keep at most ``n`` rows per ``key_col`` value,
+    preferring rows by ``order_cols`` (ties MUST be broken — pass
+    ``id_col`` or make the last order column unique, or the kept set is
+    nondeterministic under re-partitioning).
+
+    The pretraining use case is the per-domain cap ("at most N pages per
+    host"), a standard counterweight to boilerplate-heavy domains.
+
+    Scale shape: one shuffle on the key, then a partitioned row_number —
+    no global window. Hot keys are naturally bounded by the cap on the
+    OUTPUT side but still sort their full input partition; for
+    pathologically hot keys (a domain with 10^9 pages) pre-filter with an
+    approximate per-key count and a cheap deterministic_sample to within
+    a constant factor of n before the exact window.
+    """
+    if n < 1:
+        raise ValueError(f"cap must be >= 1, got {n}")
+    order = list(order_cols) if order_cols else []
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    if not order:
+        raise ValueError("cap_per_key needs order_cols and/or id_col")
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        df.withColumn("_rank_in_key", F.row_number().over(w))
+        .filter(F.col("_rank_in_key") <= n)
+        .drop("_rank_in_key")
+    )
+
+
+def sharded_shuffle(
+    df: DataFrame, id_col: str, num_shards: int = 64, seed: int = 0
+) -> DataFrame:
+    """Deterministic global shuffle for training-data output: every row
+    gets a ``(shard, shard_pos)`` address decided purely by
+    ``md5(seed:id)`` — the same permutation on any cluster size, any
+    partitioning, any engine (md5 is universal; the draw is auditable in
+    SQL).
+
+    Training pipelines need this where ``orderBy(rand())`` fails them:
+    rand() is partitioning-dependent and unreproducible, and a true
+    global sort is one giant range shuffle. Here the order key is
+    content-derived, so the "sort" decomposes into independent shards:
+    readers stream shards in index order, rows within a shard in
+    shard_pos order, and the concatenation is the documented permutation.
+
+    Scale shape: shard assignment is pure codegen on the scan; the only
+    shuffle is the partition-by-shard window, and each shard sorts
+    locally (~|rows|/num_shards each). Size num_shards so a shard fits
+    an executor's sort buffer; the output is naturally written
+    ``partitionBy(shard)``.
+    """
+    if num_shards < 1 or num_shards > 65536:
+        raise ValueError(f"num_shards must be in [1, 65536], got {num_shards}")
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % num_shards
+    ).cast("int")
+    out = df.withColumn("_shuffle_key", h).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(
+        F.asc("_shuffle_key"), F.asc(F.col(id_col))
+    )
+    return (
+        out.withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .drop("_shuffle_key")
+    )

@@ -326,3 +326,53 @@ def unigram_lm_scores(
             )
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window splitter that
+    feeds tokenized documents into fixed-length training sequences
+    (stride < chunk_tokens gives the standard overlapping windows so no
+    span is ever cut without a covering chunk).
+
+    Chunk starts are ``0, stride, 2*stride, ...`` while start < n_tokens;
+    each chunk takes up to ``chunk_tokens`` tokens from its start (the
+    final chunks are short, not padded — padding is the trainer's job).
+    Output: ``(id, chunk_id, start, n_tokens, chunk_text)``, one row per
+    chunk; empty-text documents produce no chunks.
+
+    Scale shape: pure map-side — a Generate (posexplode of the start
+    sequence) over the scan, token slicing per emitted row, NO shuffle
+    anywhere. The expansion factor is ~n_tokens/stride rows per document,
+    each bounded by chunk_tokens tokens.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    starts = F.when(
+        F.size(F.col("_toks")) > 0,
+        F.sequence(
+            F.lit(0), F.size(F.col("_toks")) - 1, F.lit(stride)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    chunk = F.slice(F.col("_toks"), F.col("start") + 1, chunk_tokens)
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .select("id", "_toks", F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            F.col("id").alias(id_col),
+            "chunk_id",
+            "start",
+            F.size(chunk).alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

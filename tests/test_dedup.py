@@ -286,3 +286,117 @@ def test_incremental_dedup_never_flags_corpus_rows(spark):
     new = spark.createDataFrame([(9, "something else entirely")], "doc_id long, text string")
     ids = {r.id for r in dedup.incremental_dedup(new, corpus).collect()}
     assert ids == {9}
+
+
+# ---------------------------------------------------------------------------
+# segment_dedup / semantic_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_segment_dedup_keep_first_and_reassembly(spark):
+    rows = [
+        (1, "a b c x y z"),        # spans: "a b c", "x y z" — both first
+        (2, "a b c q q q"),        # "a b c" repeats doc1 → dropped
+        (3, "x y z a b c"),        # both spans repeat → everything dropped
+        (4, "q q q tail"),         # "q q q" repeats doc2; "tail" is new
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.segment_dedup(df, k=3).collect()}
+    assert out[1].clean_text == "a b c x y z"
+    assert (out[1].n_segments, out[1].n_kept) == (2, 2)
+    assert out[2].clean_text == "q q q"
+    assert (out[2].n_segments, out[2].n_kept) == (2, 1)
+    assert out[3].clean_text == ""
+    assert (out[3].n_segments, out[3].n_kept) == (2, 0)
+    assert out[4].clean_text == "tail"  # short trailing span survives
+
+
+def test_segment_dedup_within_doc_repeats_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "p q r p q r p q r")], "doc_id long, text string"
+    )
+    row = dedup.segment_dedup(df, k=3).collect()[0]
+    assert row.clean_text == "p q r"
+    assert (row.n_segments, row.n_kept) == (3, 1)
+
+
+def test_segment_dedup_empty_text_no_row(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "word")], "doc_id long, text string"
+    )
+    out = dedup.segment_dedup(df, k=3).collect()
+    assert [r.doc_id for r in out] == [3]
+
+
+def test_segment_dedup_partitioning_independent(spark):
+    rows = [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 7} uniq{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {(r.doc_id, r.n_kept, r.clean_text) for r in dedup.segment_dedup(df, k=2).collect()}
+    b = {
+        (r.doc_id, r.n_kept, r.clean_text)
+        for r in dedup.segment_dedup(df.repartition(13), k=2).collect()
+    }
+    assert a == b
+
+
+def test_segment_dedup_rejects_bad_k(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k must be"):
+        dedup.segment_dedup(df, k=0)
+
+
+def _greedy_semantic_keep(vectors, cells, threshold):
+    """Brute-force oracle for the greedy min-id drop rule."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    keep = {}
+    for i in sorted(vectors):
+        dropped = any(
+            j < i and cells[j] == cells[i] and cos(vectors[j], vectors[i]) >= threshold
+            for j in vectors
+        )
+        keep[i] = not dropped
+    return keep
+
+
+def test_semantic_dedup_matches_greedy_rule(spark):
+    import random
+
+    rng = random.Random(11)
+    base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(6)]
+    rows = []
+    for i in range(60):
+        v = list(base[i % 6])
+        jitter = 0.01 if i % 5 else 1.5  # every 5th vector is far off its base
+        rows.append((i, [x + rng.gauss(0, jitter) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.semantic_dedup(df, n_clusters=4, threshold=0.95, seed=7)
+    got = {r.vec_id: (r.cell, r.keep) for r in out.collect()}
+    assert len(got) == 60
+    vectors = {i: v for i, v in rows}
+    cells = {i: got[i][0] for i in got}
+    expected = _greedy_semantic_keep(vectors, cells, 0.95)
+    assert {i: got[i][1] for i in got} == expected
+    # near-identical jittered copies of the same base must actually dedup
+    assert sum(1 for k in got.values() if not k[1]) > 0
+
+
+def test_semantic_dedup_threshold_monotone(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    loose = dedup.semantic_dedup(df, n_clusters=2, threshold=0.1, seed=5)
+    tight = dedup.semantic_dedup(df, n_clusters=2, threshold=0.999, seed=5)
+    n_loose = sum(1 for r in loose.collect() if r.keep)
+    n_tight = sum(1 for r in tight.collect() if r.keep)
+    assert n_loose <= n_tight  # lower threshold drops at least as many

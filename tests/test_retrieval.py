@@ -7,6 +7,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from animaltrackingetls_spark.operators import retrieval
 from animaltrackingetls_spark.operators.retrieval import (
     bm25_topk,
     term_frequencies,
@@ -108,3 +109,74 @@ def test_tf_idf_min_df_drops_rare_terms(spark):
     w = tf_idf_vectors(_docs(spark), min_df=2)
     terms = {r.term for r in w.collect()}
     assert "fox" not in terms and "spark" in terms
+
+
+# ---------------------------------------------------------------------------
+# rrf_fusion
+# ---------------------------------------------------------------------------
+
+
+def _fusion_fixtures(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffle join"),          # lexical hit
+            (1, "spark spark spark shuffle"),   # strong lexical hit
+            (2, "nothing relevant here"),
+            (3, "join query shuffle spark"),    # lexical hit
+            (4, "pandas numpy"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # near query
+            (2, [1.0, 0.05, 0.0]),  # nearest query
+            (3, [0.0, 1.0, 0.0]),   # orthogonal
+            (4, [0.0, 0.0, 1.0]),   # orthogonal
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    return docs, emb
+
+
+def test_rrf_fusion_combines_both_retrievers(spark):
+    docs, emb = _fusion_fixtures(spark)
+    out = retrieval.rrf_fusion(
+        docs, emb, ["spark", "shuffle"], query_vec_id=0, k=5, pool=3
+    ).collect()
+    rows = {r.doc_id: r for r in out}
+    # doc1: top lexical AND near the query vector → ranked above
+    # lexical-only (doc3) and vector-only (doc2) entries
+    assert out[0].doc_id == 1
+    assert rows[1].lex_rank is not None and rows[1].vec_rank is not None
+    # vector-only doc2 still reaches the fused list with NULL lex_rank
+    assert rows[2].lex_rank is None and rows[2].vec_rank is not None
+    # rrf arithmetic: exactly 1/(60+lex) + 1/(60+vec) with NULL→0
+    for r in out:
+        expect = 0.0
+        if r.lex_rank is not None:
+            expect += 1.0 / (60 + r.lex_rank)
+        if r.vec_rank is not None:
+            expect += 1.0 / (60 + r.vec_rank)
+        assert abs(r.rrf - expect) < 1e-9
+    # self-match excluded from the dense side
+    assert rows.get(0) is None or rows[0].vec_rank is None
+
+
+def test_rrf_fusion_respects_k_and_pool(spark):
+    docs, emb = _fusion_fixtures(spark)
+    out = retrieval.rrf_fusion(
+        docs, emb, ["spark"], query_vec_id=0, k=2, pool=2
+    ).collect()
+    assert len(out) == 2
+    # pool=2 means no rank beyond 2 on either side
+    for r in out:
+        assert r.lex_rank is None or r.lex_rank <= 2
+        assert r.vec_rank is None or r.vec_rank <= 2
+
+
+def test_rrf_fusion_rejects_bad_k_rrf(spark):
+    docs, emb = _fusion_fixtures(spark)
+    with pytest.raises(ValueError, match="k_rrf"):
+        retrieval.rrf_fusion(docs, emb, ["spark"], 0, k_rrf=0)

@@ -127,3 +127,94 @@ def test_mixture_resample_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan  # replication is map-only (Generate)
+
+
+# ---------------------------------------------------------------------------
+# cap_per_key / sharded_shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_cap_per_key_quota_and_preference(spark):
+    from animaltrackingetls_spark.operators.sampling import cap_per_key
+
+    rows = [(i, f"d{i % 3}", 100 - i) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, domain string, score long")
+    out = cap_per_key(df, "domain", 4, [F.desc("score")], id_col="id").collect()
+    by_domain = {}
+    for r in out:
+        by_domain.setdefault(r.domain, []).append(r.id)
+    assert all(len(v) <= 4 for v in by_domain.values())
+    # highest scores (lowest ids here) win per domain
+    assert sorted(by_domain["d0"]) == [0, 3, 6, 9]
+
+
+def test_cap_per_key_partitioning_independent(spark):
+    from animaltrackingetls_spark.operators.sampling import cap_per_key
+
+    rows = [(i, f"d{i % 5}", i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, domain string, score long")
+    a = {r.id for r in cap_per_key(df, "domain", 3, [F.desc("score")], id_col="id").collect()}
+    b = {
+        r.id
+        for r in cap_per_key(
+            df.repartition(13), "domain", 3, [F.desc("score")], id_col="id"
+        ).collect()
+    }
+    assert a == b  # the id tiebreak makes the kept set deterministic
+
+
+def test_cap_per_key_rejects_bad_args(spark):
+    import pytest
+
+    from animaltrackingetls_spark.operators.sampling import cap_per_key
+
+    df = spark.createDataFrame([(1, "a")], "id long, domain string")
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_key(df, "domain", 0, id_col="id")
+    with pytest.raises(ValueError, match="order_cols"):
+        cap_per_key(df, "domain", 1)
+
+
+def test_sharded_shuffle_is_partitioning_independent(spark):
+    from animaltrackingetls_spark.operators.sampling import sharded_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    a = {(r.id, r.shard, r.shard_pos) for r in sharded_shuffle(df, "id", 8, seed=3).collect()}
+    b = {
+        (r.id, r.shard, r.shard_pos)
+        for r in sharded_shuffle(df.repartition(11), "id", 8, seed=3).collect()
+    }
+    assert a == b
+
+
+def test_sharded_shuffle_positions_are_dense_per_shard(spark):
+    from animaltrackingetls_spark.operators.sampling import sharded_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    out = sharded_shuffle(df, "id", 4, seed=0).collect()
+    assert len(out) == 300
+    shards = {}
+    for r in out:
+        assert 0 <= r.shard < 4
+        shards.setdefault(r.shard, []).append(r.shard_pos)
+    for positions in shards.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_sharded_shuffle_seed_changes_permutation(spark):
+    from animaltrackingetls_spark.operators.sampling import sharded_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    a = {(r.id, r.shard, r.shard_pos) for r in sharded_shuffle(df, "id", 8, seed=0).collect()}
+    b = {(r.id, r.shard, r.shard_pos) for r in sharded_shuffle(df, "id", 8, seed=1).collect()}
+    assert a != b
+
+
+def test_sharded_shuffle_rejects_bad_shards(spark):
+    import pytest
+
+    from animaltrackingetls_spark.operators.sampling import sharded_shuffle
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="num_shards"):
+        sharded_shuffle(df, "id", 0)

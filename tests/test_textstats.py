@@ -166,3 +166,52 @@ def test_unigram_lm_scores_exact(spark):
     assert out[2] == pytest.approx(lp(1))
     # common-word docs score higher than rare-word docs
     assert out[1] > out[2]
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_stride(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        textstats.chunk_documents(df, chunk_tokens=4, stride=3).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # starts 0,3,6,9 — last two chunks are short, never padded
+    assert [(r.chunk_id, r.start, r.n_tokens) for r in out] == [
+        (0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1),
+    ]
+    assert out[0].chunk_text == "t0 t1 t2 t3"
+    assert out[3].chunk_text == "t9"
+
+
+def test_chunk_documents_every_token_covered(spark):
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(i + 1))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.chunk_documents(df, chunk_tokens=8, stride=5).collect()
+    covered = {}
+    for r in out:
+        toks = r.chunk_text.split(" ")
+        assert len(toks) == r.n_tokens <= 8
+        for off, t in enumerate(toks):
+            covered.setdefault(r.doc_id, set()).add((r.start + off, t))
+    for i in range(40):
+        expect = {(j, f"w{i}_{j}") for j in range(i + 1)}
+        assert covered[i] >= expect  # every token appears at its position
+
+
+def test_chunk_documents_empty_text_no_rows(spark):
+    df = spark.createDataFrame([(1, ""), (2, "a b")], "doc_id long, text string")
+    out = textstats.chunk_documents(df, chunk_tokens=4, stride=4).collect()
+    assert {r.doc_id for r in out} == {2}
+
+
+def test_chunk_documents_rejects_bad_args(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        textstats.chunk_documents(df, chunk_tokens=0, stride=1)
+    with pytest.raises(ValueError, match="stride"):
+        textstats.chunk_documents(df, chunk_tokens=4, stride=0)
