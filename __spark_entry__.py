@@ -1478,6 +1478,36 @@ def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join over the derived sighting points: all pairs
+    within 100 km via 3D chord-grid blocking (pole-safe ±1-cell
+    neighbor join, exact haversine on candidates only) — the oracle is
+    the brute-force all-pairs form, so the blocked plan must find
+    EXACTLY the exhaustive answer. Subset (event_id % 4 = 0) keeps the
+    oracle's quadratic side tractable."""
+    pts = _points(spark, sf_dir).filter(F.col("event_id") % 4 == 0)
+    from animaltrackingetls_spark.operators import geo
+
+    return geo.proximity_self_join(
+        pts, "event_id", "decimalLatitude", "decimalLongitude", radius_km=100.0
+    )
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+
+def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the orders table (null counts, exact
+    cardinalities, min/max) — one aggregation pass with map-side
+    partials, per-column unpivot on the single result row. Doubles are
+    excluded from the registered set (cross-engine float rendering);
+    the operator itself profiles any column."""
+    from animaltrackingetls_spark.operators.profile import profile_columns
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_columns(orders, _PROFILE_COLS)
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means cells bound the pairwise
     cosine stage; greedy min-id keep rule. Rows-only (k-means training
@@ -1562,6 +1592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_shuffle": _q_sharded_shuffle,
         "chunk_documents": _q_chunk_documents,
         "rrf_fusion": _q_rrf_fusion,
+        "proximity_pairs": _q_proximity_pairs,
+        "profile_orders": _q_profile_orders,
         # rows-only (hash-based / approximate / Python-batch operators)
         "winnow_fingerprints": _q_winnow_fingerprints,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -1582,6 +1614,12 @@ _MARKERS_SQL = {
     for lang, words in textstats.LANG_MARKERS.items()
 }
 _GREATEST_SQL = "greatest(s_en, s_es, s_fr, s_de)"
+
+
+def _profile_oracle() -> str:
+    from animaltrackingetls_spark.operators.profile import profile_oracle_sql
+
+    return profile_oracle_sql("orders", _PROFILE_COLS)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2617,4 +2655,26 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": retrieval.rrf_oracle_sql(
             _RRF_TERMS, 0, k=10, pool=20
         ),
+        "profile_orders": _profile_oracle(),
+        "proximity_pairs": f"""
+            WITH {_POINTS_SQL},
+            q AS (
+              SELECT * FROM p
+              WHERE lat IS NOT NULL AND lon IS NOT NULL
+                AND event_id % 4 = 0
+            ),
+            pairs AS (
+              SELECT a.event_id AS id_a, b.event_id AS id_b,
+                round(2 * 6371.0088 * asin(sqrt(
+                  sin(radians(b.lat - a.lat) / 2)
+                    * sin(radians(b.lat - a.lat) / 2)
+                  + cos(radians(a.lat)) * cos(radians(b.lat))
+                    * sin(radians(b.lon - a.lon) / 2)
+                    * sin(radians(b.lon - a.lon) / 2)
+                )), 6) AS distance_km
+              FROM q a JOIN q b ON a.event_id < b.event_id
+            )
+            SELECT id_a, id_b, distance_km
+            FROM pairs WHERE distance_km <= 100.0
+        """,
     }
