@@ -2563,11 +2563,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_dedup": r"""
             WITH t AS (
               SELECT doc_id,
-                     CASE WHEN trim(text) = '' THEN []
-                          ELSE string_split(
-                                 regexp_replace(trim(text), '\s+', ' ', 'g'),
-                                 ' ')
-                     END AS toks
+                     regexp_extract_all(text, '\S+') AS toks
               FROM documents
             ),
             tk AS (
@@ -2629,11 +2625,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": r"""
             WITH t AS (
               SELECT doc_id,
-                     CASE WHEN trim(text) = '' THEN []
-                          ELSE string_split(
-                                 regexp_replace(trim(text), '\s+', ' ', 'g'),
-                                 ' ')
-                     END AS toks
+                     regexp_extract_all(text, '\S+') AS toks
               FROM documents
             ),
             st AS (

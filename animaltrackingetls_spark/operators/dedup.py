@@ -814,9 +814,10 @@ def segment_dedup(
     """
     if k < 1:
         raise ValueError(f"segment width k must be >= 1, got {k}")
-    toks = F.when(
-        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # Case-preserving \S+ extraction (same family as textstats.tokens):
+    # no empty tokens for whitespace-only or leading-whitespace text,
+    # exact agreement with the regexp_extract_all-based oracle.
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
     n_segs = F.floor((F.size(F.col("_toks")) + F.lit(k - 1)) / F.lit(k)).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), F.col("_n_segs") - 1),

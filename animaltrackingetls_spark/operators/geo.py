@@ -81,7 +81,13 @@ def proximity_self_join(
     """
     if radius_km <= 0:
         raise ValueError(f"radius_km must be > 0, got {radius_km}")
-    cell = chord_length(radius_km)
+    # Grid with slack past the query radius: the threshold compares the
+    # ROUNDED haversine, so a pair at true distance radius + 0.5 ulp of
+    # the rounding still qualifies; cover it (plus xyz/floor float error)
+    # so the ±1-neighbor guarantee holds on the rounded boundary.
+    cell = chord_length(radius_km + 0.5 * 10.0 ** (-round_digits)) * (
+        1.0 + 1e-12
+    )
 
     pts = df.filter(
         F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()

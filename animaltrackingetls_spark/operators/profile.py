@@ -73,20 +73,34 @@ def profile_columns(
     return one.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
 
 
+def _quote_ident(name: str) -> str:
+    """Double-quote an SQL identifier (DuckDB/ANSI escaping) so names
+    with spaces, quotes, or reserved words round-trip."""
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _quote_literal(value: str) -> str:
+    return "'" + value.replace("'", "''") + "'"
+
+
 def profile_oracle_sql(table: str, columns: list[str]) -> str:
     """DuckDB twin of :func:`profile_columns` (exact mode): one UNION ALL
-    branch per column, same aggregate semantics and string rendering."""
+    branch per column, same aggregate semantics and string rendering.
+    Identifiers are quoted so any valid Spark column name is
+    expressible."""
     branches = []
+    t = _quote_ident(table)
     for c in columns:
+        qc = _quote_ident(c)
         branches.append(
             f"""
-            SELECT '{c}' AS col_name,
+            SELECT {_quote_literal(c)} AS col_name,
                    count(*) AS n_rows,
-                   count(*) - count({c}) AS n_null,
-                   count(DISTINCT {c}) AS n_distinct,
-                   CAST(min({c}) AS VARCHAR) AS min_value,
-                   CAST(max({c}) AS VARCHAR) AS max_value
-            FROM {table}
+                   count(*) - count({qc}) AS n_null,
+                   count(DISTINCT {qc}) AS n_distinct,
+                   CAST(min({qc}) AS VARCHAR) AS min_value,
+                   CAST(max({qc}) AS VARCHAR) AS max_value
+            FROM {t}
             """
         )
     return " UNION ALL ".join(branches)

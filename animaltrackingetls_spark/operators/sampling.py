@@ -20,6 +20,17 @@ from pyspark.sql import functions as F
 _BUCKETS = 65536
 
 
+def _reject_reserved_columns(df: DataFrame, reserved: tuple[str, ...]) -> None:
+    """Working/output column names must not collide with input columns —
+    withColumn would silently REPLACE the caller's data."""
+    clash = [c for c in reserved if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with reserved working/output "
+            f"column names {list(reserved)}; rename them first"
+        )
+
+
 def _threshold_hex(rate: float) -> str | None:
     """4-hex-digit exclusive upper bound, or None for keep-everything.
 
@@ -72,6 +83,7 @@ def mixture_resample(
     DESCENDS instead of returning empty, so the zero-copy case is
     guarded with an explicit empty array.
     """
+    _reject_reserved_columns(df, ("_n_copies", "epoch"))
     bucket = sample_hash_bucket(F.col(id_col))
     n_copies: Column = F.lit(None).cast("int")
     for group, rate in rates.items():
@@ -140,6 +152,7 @@ def cap_per_key(
         order.append(F.col(id_col).asc())
     if not order:
         raise ValueError("cap_per_key needs order_cols and/or id_col")
+    _reject_reserved_columns(df, ("_rank_in_key",))
     w = Window.partitionBy(key_col).orderBy(*order)
     return (
         df.withColumn("_rank_in_key", F.row_number().over(w))
@@ -172,6 +185,7 @@ def sharded_shuffle(
     """
     if num_shards < 1 or num_shards > 65536:
         raise ValueError(f"num_shards must be in [1, 65536], got {num_shards}")
+    _reject_reserved_columns(df, ("_shuffle_key", "shard", "shard_pos"))
     h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     shard = (
         F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % num_shards

@@ -355,9 +355,10 @@ def chunk_documents(
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
-    toks = F.when(
-        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # Case-preserving \S+ extraction (same family as tokens()): no empty
+    # tokens for whitespace-only text, exact cross-engine agreement with
+    # the regexp_extract_all-based oracle.
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
     starts = F.when(
         F.size(F.col("_toks")) > 0,
         F.sequence(
