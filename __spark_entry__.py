@@ -1622,8 +1622,24 @@ def _profile_oracle() -> str:
     return profile_oracle_sql("orders", _PROFILE_COLS)
 
 
+_WS_SQL = r" \t\n\x0b\f\r"
+
+
+def _portable_ws(sql: str) -> str:
+    """Rewrite \\s/\\S regex shorthands in oracle SQL to an explicit
+    whitespace class. Java regex (Spark) counts U+000B as whitespace,
+    RE2 (DuckDB) does not, so the shorthands silently diverge on text
+    containing vertical tabs; the Spark side uses the explicit class
+    (textstats.WS_CHARS) and the oracle must tokenize identically."""
+    return (
+        sql.replace(r"[^a-z0-9\s]+", rf"[^a-z0-9{_WS_SQL}]+")
+        .replace(r"\S+", rf"[^{_WS_SQL}]+")
+        .replace(r"\s+", rf"[{_WS_SQL}]+")
+    )
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "flagship_day_scan": """
             SELECT event_type,
                    count(*) AS n_events,
@@ -2670,3 +2686,4 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE distance_km <= 100.0
         """,
     }
+    return {k: _portable_ws(v) for k, v in oracles.items()}

@@ -19,16 +19,16 @@ TABLES = [
 ]
 
 
-_NANOS_COLUMNS_CACHE: dict[tuple, list[str]] = {}
+_TS_KINDS_CACHE: dict[tuple, dict[str, str]] = {}
 
 
-def _footer_signature(path: str) -> tuple:
+def _footer_signature(path: str, glob_pat: str = "*.parquet") -> tuple:
     """(file, mtime, size) fingerprint of the parquet file set at ``path``
     — the cache key, so a path rewritten in place (e.g. by upsert_parquet)
     is re-inspected instead of served a stale answer."""
     files: list[str]
     if os.path.isdir(path):
-        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        files = sorted(_glob.glob(os.path.join(path, glob_pat)))
     else:
         files = [path] if os.path.exists(path) else []
     sig = []
@@ -41,41 +41,60 @@ def _footer_signature(path: str) -> tuple:
     return (path, tuple(sig))
 
 
-def _nanos_timestamp_columns(path: str) -> list[str]:
-    """Column names stored as parquet TIMESTAMP(NANOS) at ``path``.
+def timestamp_rescue_kinds(path: str, glob_pat: str = "*.parquet") -> dict[str, str]:
+    """Classify parquet timestamp columns at ``path`` that need a read-time
+    rescue: ``{'col': 'nanos' | 'ntz'}``.
 
-    Spark 4 cannot read nanos timestamps natively; with
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) they
-    surface as raw int64 nanoseconds and must be cast back. Footer-only
-    inspection via pyarrow — no data read. ALL footers are scanned (a
-    directory may hold mixed writer schemas) and the memo key carries the
-    file list + mtimes, so in-place rewrites invalidate the cache.
+    * ``nanos`` — INT64 TIMESTAMP(NANOS). Spark 4 cannot read these
+      natively; with ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in
+      session.py) they surface as raw int64 nanoseconds and must be cast
+      back to a timestamp.
+    * ``ntz`` — INT64 TIMESTAMP(isAdjustedToUTC=false, micros/millis).
+      Spark 4 infers TIMESTAMP_NTZ for these, which breaks epoch
+      arithmetic (``cast(ts AS BIGINT)`` is illegal on NTZ); under the
+      engine's UTC session zone a cast to TIMESTAMP is wall-clock
+      lossless, so callers normalize them.
+
+    The driver's testdata generator has shipped BOTH encodings across
+    rounds, so the loaders inspect the footer instead of assuming one.
+    Footer-only inspection via pyarrow — no data read. ALL footers are
+    scanned (a directory may hold mixed writer schemas) and the memo key
+    carries the file list + mtimes, so in-place rewrites invalidate the
+    cache.
     """
-    key = _footer_signature(path)
-    if key in _NANOS_COLUMNS_CACHE:
-        return _NANOS_COLUMNS_CACHE[key]
-    found: set[str] = set()
+    key = _footer_signature(path, glob_pat)
+    if key in _TS_KINDS_CACHE:
+        return _TS_KINDS_CACHE[key]
+    found: dict[str, str] = {}
     try:
         import pyarrow.parquet as pq
 
         for target, _mt, _sz in key[1]:
             # Must check the PHYSICAL parquet type: pyarrow also reports
             # Spark-written INT96 timestamps as timestamp[ns], but Spark
-            # reads INT96 natively — only INT64 TIMESTAMP(NANOS) columns
-            # surface as longs under nanosAsLong and need the cast.
+            # reads INT96 natively — only INT64 logical timestamps need
+            # rescue classification here.
             meta = pq.read_metadata(target).schema
             for i in range(len(meta)):
                 col = meta.column(i)
-                if (
-                    col.physical_type == "INT64"
-                    and "nanos" in str(col.logical_type).lower()
-                ):
-                    found.add(col.name)
+                logical = str(col.logical_type).lower()
+                if col.physical_type != "INT64" or "timestamp" not in logical:
+                    continue
+                if "nanos" in logical:
+                    found[col.name] = "nanos"
+                elif "isadjustedtoutc=false" in logical.replace(" ", ""):
+                    found[col.name] = "ntz"
     except Exception:
-        found = set()
-    result = sorted(found)
-    _NANOS_COLUMNS_CACHE[key] = result
-    return result
+        found = {}
+    _TS_KINDS_CACHE[key] = found
+    return found
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Back-compat shim: columns stored as TIMESTAMP(NANOS) at ``path``."""
+    return sorted(
+        c for c, kind in timestamp_rescue_kinds(path).items() if kind == "nanos"
+    )
 
 
 def _is_long(df: DataFrame, col: str) -> bool:
@@ -90,11 +109,17 @@ def _is_long(df: DataFrame, col: str) -> bool:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
-    for c in _nanos_timestamp_columns(path):
-        if not _is_long(df, c):
-            continue  # belt-and-braces: only cast what Spark read as long
-        # int64 nanos → microseconds → timestamp (UTC session zone).
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c, kind in timestamp_rescue_kinds(path).items():
+        if kind == "nanos" and _is_long(df, c):
+            # int64 nanos → microseconds → timestamp (UTC session zone).
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            # Session zone is UTC, so NTZ→TIMESTAMP keeps the wall clock
+            # and restores epoch arithmetic (cast-to-long, unix_timestamp).
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

@@ -814,10 +814,13 @@ def segment_dedup(
     """
     if k < 1:
         raise ValueError(f"segment width k must be >= 1, got {k}")
-    # Case-preserving \S+ extraction (same family as textstats.tokens):
+    # Case-preserving token extraction (same family as textstats.tokens):
     # no empty tokens for whitespace-only or leading-whitespace text,
-    # exact agreement with the regexp_extract_all-based oracle.
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+    # exact agreement with the regexp_extract_all-based oracle (the
+    # explicit class sidesteps the Java/RE2 \S divergence on U+000B).
+    from animaltrackingetls_spark.operators.textstats import TOKEN_PATTERN
+
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), F.lit(0))
     n_segs = F.floor((F.size(F.col("_toks")) + F.lit(k - 1)) / F.lit(k)).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), F.col("_n_segs") - 1),

@@ -21,7 +21,7 @@ Scores are rounded before ranking so the ordering (and therefore the
 k-boundary) is reproducible across engines despite float-sum ordering
 differences; ties break on document id.
 
-The tokenizer is shared with :mod:`.textstats` (lower-cased ``\\S+``
+The tokenizer is shared with :mod:`.textstats` (lower-cased non-whitespace runs
 runs) so retrieval, quality scoring, and dedup all agree on what a
 "word" is.
 """
@@ -192,7 +192,7 @@ def bm25_oracle_sql(
     assert math.isfinite(k1) and math.isfinite(b)
     return f"""
         WITH tok AS (
-          SELECT {id_col}, regexp_extract_all(lower({text_col}), '\\S+') AS toks
+          SELECT {id_col}, regexp_extract_all(lower({text_col}), '[^ \\t\\n\\x0b\\f\\r]+') AS toks
           FROM {table}
         ),
         dl AS (SELECT {id_col}, len(toks) AS dl FROM tok),

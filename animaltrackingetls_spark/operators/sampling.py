@@ -22,8 +22,12 @@ _BUCKETS = 65536
 
 def _reject_reserved_columns(df: DataFrame, reserved: tuple[str, ...]) -> None:
     """Working/output column names must not collide with input columns —
-    withColumn would silently REPLACE the caller's data."""
-    clash = [c for c in reserved if c in df.columns]
+    withColumn would silently REPLACE the caller's data. Spark resolves
+    names case-insensitively by default (spark.sql.caseSensitive=false),
+    so the comparison is casefolded: an input column 'Epoch' would be
+    clobbered by withColumn('epoch', ...) just the same."""
+    reserved_cf = {r.lower() for r in reserved}
+    clash = [c for c in df.columns if c.lower() in reserved_cf]
     if clash:
         raise ValueError(
             f"input columns {clash} collide with reserved working/output "

@@ -27,13 +27,23 @@ EN_STOPWORDS = [
 ]
 
 
+# Regex engines disagree on \s: Java (Spark) counts U+000B vertical tab
+# as whitespace while RE2 (DuckDB) does not, so '\S+' tokenizes 'a\x0Bb'
+# differently across engines. Every whitespace-driven pattern therefore
+# uses this EXPLICIT character class, on which both engines agree (the
+# class is Java's \s set; oracle SQL mirrors it via entry._portable_ws).
+WS_CHARS = r" \t\n\x0B\f\r"
+TOKEN_PATTERN = rf"[^{WS_CHARS}]+"
+WS_RUN_PATTERN = rf"[{WS_CHARS}]+"
+
+
 def tokens(c: Column) -> Column:
     """Lower-cased non-whitespace tokens."""
-    return F.regexp_extract_all(F.lower(c), F.lit(r"\S+"), F.lit(0))
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), F.lit(0))
 
 
 def token_count(c: Column) -> Column:
-    return F.size(F.regexp_extract_all(c, F.lit(r"\S+"), F.lit(0)))
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), F.lit(0)))
 
 
 def char_count(c: Column) -> Column:
@@ -106,7 +116,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def normalize_whitespace(c: Column) -> Column:
     """Collapse whitespace runs to single spaces and trim — pure codegen
     (the cheap 90% of text normalization; NFC is the Python-side 10%)."""
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    return F.trim(F.regexp_replace(c, WS_RUN_PATTERN, " "))
 
 
 def strip_control_chars(c: Column) -> Column:
@@ -165,7 +175,7 @@ def pack_documents(
 # A no-lookaround approximation of the GPT-2/BPE pre-tokenizer split:
 # letter runs, digit runs, punctuation runs (RE2-safe, so the same
 # pattern is reusable in SQL engines for oracle parity).
-BPEISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+BPEISH_PATTERN = rf"[a-z]+|[0-9]+|[^a-z0-9{WS_CHARS}]+"
 
 
 def token_count_bpeish(c: Column) -> Column:
@@ -355,10 +365,10 @@ def chunk_documents(
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
-    # Case-preserving \S+ extraction (same family as tokens()): no empty
-    # tokens for whitespace-only text, exact cross-engine agreement with
-    # the regexp_extract_all-based oracle.
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+    # Case-preserving token extraction (same family as tokens()): no
+    # empty tokens for whitespace-only text; the explicit class makes
+    # cross-engine agreement with the oracle exact (see WS_CHARS).
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), F.lit(0))
     starts = F.when(
         F.size(F.col("_toks")) > 0,
         F.sequence(

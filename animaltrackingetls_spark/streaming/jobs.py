@@ -35,15 +35,26 @@ def read_event_stream(
     """File-landing-directory stream (the cloud-scale pattern: writers
     drop parquet into a prefix; the stream discovers new files).
 
-    ``nanos_ts=True`` reads a TIMESTAMP(NANOS) ``ts`` column (surfacing
-    as int64 under the session's nanosAsLong conf) and casts it back —
-    the streaming twin of io.load_table's rescue.
+    ``nanos_ts=True`` enables a footer-driven rescue of the ``ts``
+    column — the streaming twin of io.load_table's. Streams need an
+    explicit schema, so the parquet footer decides which one:
+    TIMESTAMP(NANOS) reads as int64 under the session's nanosAsLong conf
+    and is cast back; TIMESTAMP(isAdjustedToUTC=false) reads as
+    TIMESTAMP_NTZ and is cast to the UTC session timestamp (wall-clock
+    lossless). The driver's testdata has shipped both encodings, so the
+    choice cannot be hard-coded.
     """
-    read_schema = schema
+    ts_kind = None
     if nanos_ts:
+        from animaltrackingetls_spark.io import timestamp_rescue_kinds
+
+        ts_kind = timestamp_rescue_kinds(path, path_glob or "*.parquet").get("ts")
+    read_schema = schema
+    if ts_kind is not None:
+        rescue_type = T.LongType() if ts_kind == "nanos" else T.TimestampNTZType()
         read_schema = T.StructType(
             [
-                T.StructField(f.name, T.LongType()) if f.name == "ts" else f
+                T.StructField(f.name, rescue_type) if f.name == "ts" else f
                 for f in schema.fields
             ]
         )
@@ -53,8 +64,10 @@ def read_event_stream(
     if path_glob is not None:
         reader = reader.option("pathGlobFilter", path_glob)
     out = reader.parquet(path)
-    if nanos_ts:
+    if ts_kind == "nanos":
         out = out.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_kind == "ntz":
+        out = out.withColumn("ts", F.col("ts").cast("timestamp"))
     return out
 
 
