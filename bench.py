@@ -36,7 +36,7 @@ HEADLINE = [
     "flagship_day_scan",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier",
+    "dim_revenue",
     "window_latest_event",
     "clean_summary",
     "dup_groups",
@@ -50,7 +50,7 @@ HEADLINE = [
     "streaming_window_counts",
     "embedding_neardup",
     "ivf_topk",
-    "bm25_topk",
+    "retrieval_rank",
     "pii_redaction",
     "contamination_overlap",
     "dedup_clusters",

@@ -93,3 +93,20 @@ def test_rollup_cube_single_pass_and_rollup_operator_identity(spark):
         for r in df.filter(F.col("mode") == "rollup").collect()
     }
     assert derived == native
+
+
+def test_every_oracle_backed_query_is_inside_driver_window():
+    # The driver verifies exactly the FIRST 50 queries() entries against
+    # oracle_sql() (CORRECTNESS_r02-r04 each covered 50). Every
+    # oracle-backed query must sit inside that window or its correctness
+    # claim has no hard signal; rows-only queries follow after.
+    names = list(entry.queries())
+    oracles = set(entry.oracle_sql())
+    window = names[:50]
+    assert all(n in oracles for n in window), [
+        n for n in window if n not in oracles
+    ]
+    outside = [n for n in oracles if n not in window]
+    assert outside == [], f"oracle-backed queries outside window: {outside}"
+    dangling = [n for n in oracles if n not in names]
+    assert dangling == [], f"oracles without queries: {dangling}"
