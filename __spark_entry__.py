@@ -1652,6 +1652,43 @@ def _q_catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.unionByName(prof)
 
 
+def _q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-ranking pair folded: deterministic top-20 by price ('topk'
+    rows — still TakeOrderedAndProject inside its branch) and TPC-H
+    Q18-shaped large-quantity orders with customer detail ('q18' rows)."""
+    topk = _q_topk_orders(spark, sf_dir).select(
+        F.lit("topk").alias("kind"),
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(None).cast("long").alias("c_custkey"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("total_qty"),
+    )
+    q18 = _q_q18_large_orders(spark, sf_dir).select(
+        F.lit("q18").alias("kind"),
+        "o_orderkey",
+        "o_totalprice",
+        F.col("c_custkey").cast("long"),
+        "c_name",
+        F.col("total_qty").cast("double"),
+    )
+    return topk.unionByName(q18)
+
+
+def _q_bloom_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-bitmap incremental ingest classification: corpus =
+    documents with doc_id%3==0, batch = the rest; every batch doc is
+    tagged 'new' or 'dup' by content digest. The broadcast bitmap
+    prefilter keeps the corpus join candidate-only; the result is exact
+    (bloom has no false negatives, false positives die in the confirm
+    join), so a plain anti/semi-join SQL is the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    out = dedup.bloom_new_docs(batch, corpus)
+    return out.select(F.col("id").alias("doc_id"), "status")
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means cells bound the pairwise
     cosine stage; greedy min-id keep rule. Rows-only (k-means training
@@ -1708,7 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_revenue": _q_dim_revenue,
         "semi_anti_join": _q_semi_anti_join,
         "window_latest_event": _q_window_latest_event,
-        "topk_orders": _q_topk_orders,
+        "large_orders": _q_large_orders,
         "rollup_cube_orders": _q_rollup_cube_orders,
         "mask_union_counts": _q_mask_union_counts,
         "media_metadata": _q_media_metadata,
@@ -1720,7 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": _q_q4_order_priority,
         "q7_nation_volume": _q_q7_nation_volume,
         "scalar_metrics": _q_scalar_metrics,
-        "q18_large_orders": _q_q18_large_orders,
+        "bloom_new_docs": _q_bloom_new_docs,
         "batch_sessions": _q_batch_sessions,
         "pretrain_pipeline": _q_pretrain_pipeline,
         "pack_documents": _q_pack_documents,
@@ -2303,9 +2340,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, event_id, event_type, ts FROM r WHERE rn = 1
         """,
-        "topk_orders": """
-            SELECT o_orderkey, o_totalprice FROM orders
-            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        "large_orders": """
+            SELECT 'topk' AS kind, o_orderkey, o_totalprice,
+                   CAST(NULL AS BIGINT) AS c_custkey,
+                   CAST(NULL AS VARCHAR) AS c_name,
+                   CAST(NULL AS DOUBLE) AS total_qty
+            FROM (SELECT o_orderkey, o_totalprice FROM orders
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 20)
+            UNION ALL
+            SELECT 'q18' AS kind, o.o_orderkey, o.o_totalprice,
+                   c.c_custkey, c.c_name, b.total_qty
+            FROM (
+              SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(sum(l_quantity), 2) > 250
+            ) b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "bloom_new_docs": """
+            SELECT b.doc_id,
+                   CASE WHEN EXISTS (
+                     SELECT 1 FROM documents c
+                     WHERE c.doc_id % 3 = 0 AND md5(c.text) = md5(b.text)
+                   ) THEN 'dup' ELSE 'new' END AS status
+            FROM documents b WHERE b.doc_id % 3 != 0
         """,
         "rollup_cube_orders": """
             SELECT 'rollup' AS mode, o_orderstatus, o_orderpriority,
@@ -2583,18 +2642,6 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_shipdate > o.o_orderdate)
             GROUP BY o_orderpriority
-        """,
-        "q18_large_orders": """
-            WITH big AS (
-              SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
-              FROM lineitem GROUP BY l_orderkey
-              HAVING round(sum(l_quantity), 2) > 250
-            )
-            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
-                   b.total_qty
-            FROM big b
-            JOIN orders o ON b.l_orderkey = o.o_orderkey
-            JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         "batch_sessions": """
             WITH flagged AS (

@@ -781,6 +781,93 @@ def incremental_dedup(
     )
 
 
+def digest_bitmap(
+    df: DataFrame,
+    fp_col: str = "fp",
+    m_bits: int = 1 << 26,
+) -> DataFrame:
+    """Pack a digest set into an ``(w_idx, word)`` bitmap — a k=1 Bloom
+    filter built entirely from JVM expressions (this Spark build does
+    not SQL-register ``bloom_filter_agg``, and a UDF here would put the
+    per-digest hot path in Python).
+
+    Each digest sets bit ``xxhash64(fp) mod m_bits``; bits pack 64-per-
+    row via ``bit_or(shiftleft(...))`` grouped on the word index, so the
+    result has at most ``m_bits/64`` rows regardless of corpus size —
+    ``m_bits = 2^26`` is ≤ 8 MiB, broadcastable. Build cost is one
+    map-side-combined aggregation over the corpus (partial bit_or per
+    partition, tiny shuffle). False-positive rate ≈ n/m for n corpus
+    digests; no false negatives ever.
+    """
+    if m_bits < 64 or (m_bits & (m_bits - 1)) != 0:
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    b = F.pmod(F.xxhash64(F.col(fp_col)), F.lit(m_bits))
+    return (
+        df.select(b.alias("b"))
+        .groupBy(F.floor(F.col("b") / 64).cast("long").alias("w_idx"))
+        .agg(F.expr("bit_or(shiftleft(1L, cast(b % 64 AS int)))").alias("word"))
+    )
+
+
+def bloom_new_docs(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 26,
+) -> DataFrame:
+    """Classify a batch against a corpus by content digest —
+    ``(id, status)`` with status ``new`` or ``dup`` — using a broadcast
+    bitmap prefilter so the expensive corpus join touches only bloom
+    candidates.
+
+    Three stages:
+
+    1. **Prefilter** (map-side): every batch digest probes the broadcast
+       :func:`digest_bitmap` with one bitwise AND. A clear bit proves the
+       digest is NOT in the corpus (no false negatives) — those rows are
+       emitted as ``new`` without ever joining the corpus.
+    2. **Confirm** (shuffle, candidates only): rows whose bit is set are
+       either genuine duplicates or bloom false positives (≈ n/m of the
+       batch); only they equi-join the corpus digest set to split
+       ``dup`` from FP-``new``.
+    3. Union — the result is EXACT (identical to a full anti-join),
+       which is what the DuckDB oracle checks.
+
+    Why this beats a plain anti-join at 100 TB: the anti-join shuffles
+    (or at best broadcast-hashes) every batch row against the corpus
+    digest table; here the corpus-sized join input shrinks to dups+FPs.
+    With a mostly-novel batch (the common ingest case) stage 2 handles a
+    few percent of rows. In production the bitmap is built once per
+    ingest epoch from the persisted digest table and cached; the confirm
+    join prunes further if that table is digest-partitioned.
+    """
+    batch_fp = new_docs.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fp")
+    )
+    corpus_fp = corpus.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+    bitmap = digest_bitmap(corpus_fp, "fp", m_bits)
+
+    probe = (
+        batch_fp.withColumn("b", F.pmod(F.xxhash64("fp"), F.lit(m_bits)))
+        .withColumn("w_idx", F.floor(F.col("b") / 64).cast("long"))
+        .withColumn("bit", F.expr("shiftleft(1L, cast(b % 64 AS int))"))
+        .join(F.broadcast(bitmap), "w_idx", "left")
+    )
+    maybe = F.col("word").isNotNull() & (
+        F.col("word").bitwiseAND(F.col("bit")) != 0
+    )
+    definitely_new = probe.filter(~maybe).select("id", F.lit("new").alias("status"))
+    candidates = probe.filter(maybe).select("id", "fp")
+    confirmed_dup = candidates.join(corpus_fp, "fp", "left_semi").select(
+        "id", F.lit("dup").alias("status")
+    )
+    fp_new = candidates.join(corpus_fp, "fp", "left_anti").select(
+        "id", F.lit("new").alias("status")
+    )
+    return definitely_new.unionByName(confirmed_dup).unionByName(fp_new)
+
+
 def segment_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -400,3 +400,76 @@ def test_semantic_dedup_threshold_monotone(spark):
     n_loose = sum(1 for r in loose.collect() if r.keep)
     n_tight = sum(1 for r in tight.collect() if r.keep)
     assert n_loose <= n_tight  # lower threshold drops at least as many
+
+
+# ---------------------------------------------------------------------------
+# digest_bitmap / bloom_new_docs
+# ---------------------------------------------------------------------------
+
+
+def test_digest_bitmap_rejects_bad_sizes(spark):
+    df = spark.createDataFrame([("a",)], "fp string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.digest_bitmap(df, m_bits=63)
+    with _pytest.raises(ValueError):
+        dedup.digest_bitmap(df, m_bits=100)  # not a power of two
+
+
+def test_digest_bitmap_is_bounded_and_populated(spark):
+    df = spark.range(500).selectExpr("md5(cast(id AS string)) AS fp")
+    bm = dedup.digest_bitmap(df, m_bits=1 << 12).collect()
+    assert 0 < len(bm) <= (1 << 12) // 64
+    assert all(r.word != 0 for r in bm)
+
+
+def test_bloom_new_docs_matches_exact_anti_join(spark):
+    # overlapping digests: batch ids 50..149, corpus ids 0..99 share text
+    # for ids 50..99 (same text <=> same md5)
+    corpus = spark.range(100).selectExpr(
+        "id AS doc_id", "concat('text-', id) AS text"
+    )
+    batch = spark.range(50, 150).selectExpr(
+        "id + 1000 AS doc_id", "concat('text-', id) AS text"
+    )
+    out = {r.id: r.status for r in dedup.bloom_new_docs(batch, corpus).collect()}
+    assert len(out) == 100
+    for i in range(50, 150):
+        expected = "dup" if i < 100 else "new"
+        assert out[i + 1000] == expected, (i, out[i + 1000])
+
+
+def test_bloom_new_docs_exact_under_heavy_fp_rate(spark):
+    # m_bits=64 (one word): nearly every probe is a bloom candidate, so
+    # the confirm join must still produce the exact answer
+    corpus = spark.range(30).selectExpr("id AS doc_id", "concat('c', id) AS text")
+    batch = spark.range(60).selectExpr(
+        "id + 500 AS doc_id", "concat('c', id) AS text"
+    )
+    out = {r.id: r.status for r in dedup.bloom_new_docs(batch, corpus, m_bits=64).collect()}
+    assert all(out[i + 500] == ("dup" if i < 30 else "new") for i in range(60))
+
+
+def test_bloom_prefilter_actually_prunes(spark):
+    # disjoint digest sets + a roomy bitmap: almost every batch row must
+    # skip the confirm join (bit clear), proving the prefilter prunes
+    corpus = spark.range(200).selectExpr("id AS doc_id", "concat('c', id) AS text")
+    batch = spark.range(200).selectExpr(
+        "id + 10000 AS doc_id", "concat('b', id) AS text"
+    )
+    from pyspark.sql import functions as F
+
+    batch_fp = batch.select(F.md5("text").alias("fp"))
+    corpus_fp = corpus.select(F.md5("text").alias("fp")).distinct()
+    bitmap = dedup.digest_bitmap(corpus_fp, m_bits=1 << 20)
+    probe = (
+        batch_fp.withColumn("b", F.pmod(F.xxhash64("fp"), F.lit(1 << 20)))
+        .withColumn("w_idx", F.floor(F.col("b") / 64).cast("long"))
+        .withColumn("bit", F.expr("shiftleft(1L, cast(b % 64 AS int))"))
+        .join(F.broadcast(bitmap), "w_idx", "left")
+    )
+    n_candidates = probe.filter(
+        F.col("word").isNotNull() & (F.col("word").bitwiseAND(F.col("bit")) != 0)
+    ).count()
+    assert n_candidates < 20  # expected ~200 * 200/2^20 << 1
