@@ -83,3 +83,50 @@ def test_stream_dedup_drops_repeats(spark, tmp_path):
     stream = read_event_stream(spark, path)
     run_available_now_to_memory(stream_dedup(stream), "t_dd")
     assert sorted(r.event_id for r in spark.table("t_dd").collect()) == [1, 2]
+
+
+def test_parquet_sink_matches_batch_and_rerun_is_idempotent(spark, tmp_path):
+    from animaltrackingetls_spark.streaming import run_available_now_to_parquet
+
+    src = str(tmp_path / "ev_pq")
+    batch = _write_events(spark, src)
+    out = str(tmp_path / "wc_out")
+
+    def drain(checkpoint):
+        stream = read_event_stream(spark, src)
+        agg = windowed_event_counts(stream, "1 hour").withColumn(
+            "window_date", F.to_date("window_start")
+        )
+        run_available_now_to_parquet(
+            agg, out, checkpoint, partition_cols=["window_date"],
+            output_mode="complete",
+        )
+
+    drain(str(tmp_path / "ckpt1"))
+    expected = {
+        (r.window_start, r.event_type, r.n_events, r.sum_value)
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+        .collect()
+    }
+    got1 = {
+        (r.window_start, r.event_type, r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == expected
+
+    # re-run from a FRESH checkpoint: dynamic partition overwrite must
+    # replace each window's partition, not append a second copy
+    drain(str(tmp_path / "ckpt2"))
+    got2 = {
+        (r.window_start, r.event_type, r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == expected
+    n_rows = spark.read.parquet(out).count()
+    assert n_rows == len(expected)  # no duplicated rows after re-run
