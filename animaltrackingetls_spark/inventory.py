@@ -314,3 +314,39 @@ def register_load(
         .select(*INVENTORY_COLUMNS)
     )
     return merge_upsert(inventory, updates, ["available_date"])
+
+
+def reconcile_inventory(
+    spark: SparkSession,
+    data_dir: str,
+    inventory_path: str,
+    date_col: str = "date_only",
+    processed_at: str | None = None,
+) -> DataFrame:
+    """Catalog backfill/repair — the reference's retroactive table log
+    (retroactive_table_log.py:30-69): recompute per-day record counts
+    from the DATA itself and upsert them into the inventory, fixing
+    drift from failed registrations or manual partition edits.
+
+    The reference loops existing tables issuing one COUNT(*) each; over
+    a ``date_only``-partitioned table this is ONE scan with a map-side
+    partial count per partition — and because only ``date_col`` is
+    selected, the parquet reader satisfies the count from row-group
+    metadata/partition values rather than reading data pages. Days
+    present in the inventory but absent on disk are left untouched
+    (upsert semantics — the reference's backfill also never deletes).
+    """
+    data = spark.read.parquet(data_dir).select(date_col)
+    counts = (
+        data.groupBy(F.col(date_col).alias("available_date"))
+        .agg(F.count(F.lit(1)).alias("record_count"))
+        .withColumn("table_name", table_name_for_day(F.col("available_date")))
+        .withColumn(
+            "processed_at",
+            F.lit(processed_at).cast("string")
+            if processed_at is not None
+            else F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss"),
+        )
+        .select(*INVENTORY_COLUMNS)
+    )
+    return upsert_parquet(spark, inventory_path, counts, ["available_date"])

@@ -203,3 +203,41 @@ def test_versioned_upsert_read_before_publish_raises(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_versioned(spark, str(tmp_path / "nothing"))
+
+
+def test_reconcile_inventory_repairs_drift(spark, tmp_path):
+    import datetime
+
+    from animaltrackingetls_spark.inventory import reconcile_inventory, upsert_parquet
+
+    data_dir = str(tmp_path / "data")
+    inv_path = str(tmp_path / "inventory")
+
+    rows = [
+        (i, datetime.date(2024, 6, 1 + (i % 3)))  # 3 days: 4/3/3 rows
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id long, date_only date")
+    df.write.partitionBy("date_only").parquet(data_dir)
+
+    # seed a DRIFTED inventory: day 1 undercounted, day 4 phantom (no data)
+    seed = spark.createDataFrame(
+        [
+            (datetime.date(2024, 6, 1), "june012024", 1, "2024-06-01 00:00:00"),
+            (datetime.date(2024, 6, 4), "june042024", 99, "2024-06-04 00:00:00"),
+        ],
+        "available_date date, table_name string, record_count long, processed_at string",
+    )
+    upsert_parquet(spark, inv_path, seed, ["available_date"])
+
+    out = reconcile_inventory(
+        spark, data_dir, inv_path, processed_at="2024-07-01 00:00:00"
+    )
+    got = {
+        str(r.available_date): (r.table_name, r.record_count)
+        for r in out.collect()
+    }
+    assert got["2024-06-01"] == ("june012024", 4)   # repaired from 1
+    assert got["2024-06-02"] == ("june022024", 3)   # newly registered
+    assert got["2024-06-03"] == ("june032024", 3)
+    assert got["2024-06-04"] == ("june042024", 99)  # phantom left untouched

@@ -215,3 +215,29 @@ def test_chunk_documents_rejects_bad_args(spark):
         textstats.chunk_documents(df, chunk_tokens=0, stride=1)
     with pytest.raises(ValueError, match="stride"):
         textstats.chunk_documents(df, chunk_tokens=4, stride=0)
+
+
+def test_tokenizer_class_agrees_with_duckdb_on_exotic_whitespace(spark):
+    # Java \S and RE2 \S disagree on U+000B; the explicit WS_CHARS class
+    # must tokenize identically in both engines (ADVICE r4 fix).
+    import duckdb
+
+    from animaltrackingetls_spark.operators.textstats import tokens
+
+    cases = [
+        "a\x0bb",          # vertical tab: the engine-divergent char
+        "a\fb",            # form feed
+        "a\tb  c\nd\re",   # the ordinary class members
+        "\x0b\x0b",        # whitespace-only
+        "a b",        # NBSP: NOT whitespace in either engine
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = {r.text: list(r.toks) for r in df.select("text", tokens(F.col("text")).alias("toks")).collect()}
+
+    con = duckdb.connect()
+    for c in cases:
+        oracle = con.execute(
+            "SELECT regexp_extract_all(lower(?), '[^ \t\n\x0b\f\r]+')", [c]
+        ).fetchone()[0]
+        assert got[c] == oracle, (repr(c), got[c], oracle)
