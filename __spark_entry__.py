@@ -960,8 +960,13 @@ def _q_catalog_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_udaf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U4: both GROUPED_AGG pandas UDAFs (median + weighted mean) in one
-    aggregation — a single shuffle computes both custom aggregates."""
+    """U4: both GROUPED_AGG pandas UDAFs (median + weighted mean) plus
+    native exact interpolated percentiles in ONE aggregation — a single
+    shuffle computes all five. `percentile()` and DuckDB's
+    `quantile_cont` share the linear-interpolation definition, so the
+    quantiles hash-match exactly (verified to 6 dp); the UDAF pair stays
+    as the custom-aggregate surface demo next to the native path you'd
+    prefer in production."""
     from animaltrackingetls_spark.operators.aggregates import (
         median_udaf,
         weighted_mean_udaf,
@@ -970,10 +975,19 @@ def _q_udaf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn(
         "w", (F.col("event_id") % 7 + 1).cast("double")
     )
-    return ev.groupBy("event_type").agg(
+    # Spark forbids GROUPED_AGG pandas UDFs alongside JVM aggregates in
+    # one agg (INVALID_PANDAS_UDF_PLACEMENT) — two aggregations over the
+    # same key, joined on the group-cardinality result (5 rows).
+    udaf_part = ev.groupBy("event_type").agg(
         F.round(median_udaf("value"), 6).alias("median_value"),
         F.round(weighted_mean_udaf("value", "w"), 6).alias("wmean_value"),
     )
+    native_part = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25_value"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75_value"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99_value"),
+    )
+    return udaf_part.join(native_part, "event_type")
 
 
 def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2528,7 +2542,10 @@ def oracle_sql() -> dict[str, str]:
         "udaf_stats": """
             SELECT event_type,
                    round(median(value), 6) AS median_value,
-                   round(sum(value * w) / sum(w), 6) AS wmean_value
+                   round(sum(value * w) / sum(w), 6) AS wmean_value,
+                   round(quantile_cont(value, 0.25), 6) AS p25_value,
+                   round(quantile_cont(value, 0.75), 6) AS p75_value,
+                   round(quantile_cont(value, 0.99), 6) AS p99_value
             FROM (SELECT event_type, value,
                          CAST(event_id % 7 + 1 AS DOUBLE) AS w FROM events)
             GROUP BY event_type
