@@ -449,6 +449,7 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("md5_fp"),
         F.length(norm).alias("n_chars_norm"),
         F.md5(norm).alias("md5_norm"),
+        F.md5(textstats.normalize_nfc(F.col("text"))).alias("md5_nfc"),
     )
     rep = textstats.repetition_signals(docs).select(
         F.col("id").alias("doc_id"),
@@ -2014,7 +2015,8 @@ def oracle_sql() -> dict[str, str]:
                           '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS INT) AS n_bpeish,
                      md5(text) AS md5_fp,
                      length(norm) AS n_chars_norm,
-                     md5(norm) AS md5_norm
+                     md5(norm) AS md5_norm,
+                     md5(nfc_normalize(text)) AS md5_nfc
               FROM t
             ),
             w AS (SELECT doc_id, unnest(toks) AS w FROM t),
@@ -2042,7 +2044,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q.doc_id, q.n_tokens, q.n_chars_m, q.alpha_ratio,
                    q.stopword_ratio, q.n_bpeish, q.md5_fp, q.n_chars_norm,
-                   q.md5_norm,
+                   q.md5_norm, q.md5_nfc,
                    COALESCE(ws.n_words, 0) AS n_words,
                    COALESCE(ws.n_distinct_words, 0) AS n_distinct_words,
                    round(1.0 - CAST(COALESCE(ws.n_distinct_words, 0) AS DOUBLE)

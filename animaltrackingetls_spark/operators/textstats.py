@@ -125,6 +125,32 @@ def strip_control_chars(c: Column) -> Column:
     return F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]", "")
 
 
+def normalize_nfc(c: Column) -> Column:
+    """Unicode NFC normalization — the Python-side 10% of text
+    normalization (`normalize_whitespace` is the codegen 90%): composed
+    and decomposed forms of the same text ("é" as U+00E9 vs e+U+0301)
+    must hash/dedup identically, or visually-equal near-dups survive
+    every digest-keyed stage.
+
+    Spark has no builtin NFC (it would need an ICU JVM UDF), so this is
+    a documented Arrow-batched exception to the JVM-only rule: one
+    `unicodedata.normalize` pass per batch, NULL-safe. Cross-engine
+    checkable — DuckDB's `nfc_normalize` applies the identical UCD
+    mapping (verified byte-equal through the oracle gate)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _nfc(s):  # pd.Series -> pd.Series
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc(c)
+
+
 def pack_documents(
     df: DataFrame,
     max_tokens: int,

@@ -241,3 +241,28 @@ def test_tokenizer_class_agrees_with_duckdb_on_exotic_whitespace(spark):
             "SELECT regexp_extract_all(lower(?), '[^ \t\n\x0b\f\r]+')", [c]
         ).fetchone()[0]
         assert got[c] == oracle, (repr(c), got[c], oracle)
+
+
+def test_normalize_nfc_composes_decomposed_forms(spark):
+    import unicodedata
+
+    from animaltrackingetls_spark.operators.textstats import normalize_nfc
+
+    decomposed = "café résumé"       # e + combining acute
+    composed = unicodedata.normalize("NFC", decomposed)  # é precomposed
+    assert decomposed != composed
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, None), (4, "ascii only")],
+        "id long, text string",
+    )
+    got = {r.id: r.norm for r in df.select("id", normalize_nfc(F.col("text")).alias("norm")).collect()}
+    assert got[1] == got[2] == composed  # both forms hash/dedup identically
+    assert got[3] is None
+    assert got[4] == "ascii only"
+
+    # cross-engine: DuckDB nfc_normalize applies the same UCD mapping
+    import duckdb
+
+    assert duckdb.connect().execute(
+        "SELECT nfc_normalize(?)", [decomposed]
+    ).fetchone()[0] == composed
