@@ -859,13 +859,17 @@ def bloom_new_docs(
     )
     definitely_new = probe.filter(~maybe).select("id", F.lit("new").alias("status"))
     candidates = probe.filter(maybe).select("id", "fp")
-    confirmed_dup = candidates.join(corpus_fp, "fp", "left_semi").select(
-        "id", F.lit("dup").alias("status")
+    # ONE left join (not semi+anti, which would scan the corpus twice):
+    # a hit row exists iff the digest is really in the corpus.
+    confirmed = candidates.join(
+        corpus_fp.withColumn("_hit", F.lit(1)), "fp", "left"
+    ).select(
+        "id",
+        F.when(F.col("_hit").isNotNull(), F.lit("dup"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
     )
-    fp_new = candidates.join(corpus_fp, "fp", "left_anti").select(
-        "id", F.lit("new").alias("status")
-    )
-    return definitely_new.unionByName(confirmed_dup).unionByName(fp_new)
+    return definitely_new.unionByName(confirmed)
 
 
 def segment_dedup(
