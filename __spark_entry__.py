@@ -38,6 +38,7 @@ from animaltrackingetls_spark.inventory import (
     table_name_for_month,
 )
 from animaltrackingetls_spark.operators import (
+    aggregates,
     dedup,
     joins,
     multimodal,
@@ -1704,6 +1705,31 @@ def _q_bloom_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "status")
 
 
+def _q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-user rollup: per-day sketches, then weekly
+    estimates derived by UNIONING the daily sketches (never rescanning
+    events) — the incremental-analytics pattern for 100 TB fact tables.
+    Rows-only: DataSketches estimates aren't DuckDB-reproducible (and
+    the HIP estimator is merge-order-sensitive); accuracy and the
+    merge-is-lossless identity are pinned in test_aggregates.py."""
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = aggregates.hll_rollup(ev, ["day"], "user_id")
+    weekly = aggregates.hll_union(
+        daily.withColumn("week", F.weekofyear("day")), ["week"]
+    )
+    d = daily.select(
+        F.lit("day").alias("grain"),
+        F.col("day").cast("string").alias("key"),
+        "n_distinct_est",
+    )
+    w = weekly.select(
+        F.lit("week").alias("grain"),
+        F.col("week").cast("string").alias("key"),
+        "n_distinct_est",
+    )
+    return d.unionByName(w)
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means cells bound the pairwise
     cosine stage; greedy min-id keep rule. Rows-only (k-means training
@@ -1793,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_users_per_type": _q_approx_users_per_type,
         "running_user_totals": _q_running_user_totals,
         "semantic_dedup": _q_semantic_dedup,
+        "hll_user_rollup": _q_hll_user_rollup,
     }
 
 

@@ -125,3 +125,55 @@ def table_counts(tables: dict[str, DataFrame]) -> DataFrame:
     for c in counted[1:]:
         out = out.unionByName(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketch rollups (incremental distinct-count analytics)
+# ---------------------------------------------------------------------------
+
+
+def hll_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group HLL distinct-count sketches — ``group_cols + (sketch,
+    n_distinct_est)`` via Spark's Apache DataSketches integration.
+
+    The point is MERGEABILITY, not the estimate itself: persist sketches
+    at fine grain (e.g. per day) once, then answer ANY coarser rollup
+    (week, month, arbitrary date range) by unioning sketches with
+    :func:`hll_union` — no rescan of raw data, no re-shuffle of the
+    100 TB fact table. A sketch is ~``2^lg_k`` bytes regardless of
+    cardinality (lg_k=12 ≈ 4 KiB with ~1.6% relative error), so a year
+    of daily per-segment sketches is megabytes.
+
+    Caveat, measured: estimates are NOT bit-stable under repartitioning
+    — DataSketches' HIP estimator depends on merge order, so the same
+    data re-partitioned shifts estimates ~1% (registers merge
+    commutatively; the estimator does not). That, plus DuckDB using a
+    different HLL implementation, is why accuracy and merge identities
+    are pinned in pytest with tolerances rather than the SQL oracle.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.expr(f"hll_sketch_agg({value_col}, {int(lg_k)})").alias("sketch"),
+        F.expr(
+            f"cast(hll_sketch_estimate(hll_sketch_agg({value_col}, {int(lg_k)}))"
+            " AS bigint)"
+        ).alias("n_distinct_est"),
+    )
+
+
+def hll_union(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Re-aggregate persisted HLL sketches to a coarser grain:
+    ``group_cols + (sketch, n_distinct_est)``. Input is the output of
+    :func:`hll_rollup` (or a parquet table of it); the union touches
+    only sketch rows, never raw data."""
+    merged = F.expr("hll_union_agg(sketch)")
+    return sketches.groupBy(*group_cols).agg(
+        merged.alias("sketch"),
+        F.expr(
+            "cast(hll_sketch_estimate(hll_union_agg(sketch)) AS bigint)"
+        ).alias("n_distinct_est"),
+    )

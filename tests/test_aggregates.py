@@ -46,3 +46,52 @@ def test_table_counts_includes_empty_tables(spark):
     empty = a.filter(F.col("id") < 0)
     out = {r.table_name: r.n_rows for r in table_counts({"a": a, "e": empty}).collect()}
     assert out == {"a": 1, "e": 0}  # COUNT(*)=0 row, not a missing row
+
+
+# ---------------------------------------------------------------------------
+# hll_rollup / hll_union
+# ---------------------------------------------------------------------------
+
+
+def test_hll_union_of_daily_sketches_equals_whole_period_sketch(spark):
+    from animaltrackingetls_spark.operators.aggregates import hll_rollup, hll_union
+
+    rows = [(d, u) for d in range(10) for u in range(d * 50, d * 50 + 400)]
+    df = spark.createDataFrame(rows, "day int, user_id long")
+
+    daily = hll_rollup(df, ["day"], "user_id")
+    assert daily.count() == 10
+    merged = hll_union(daily.withColumn("all", F.lit(1)), ["all"]).first()
+
+    whole = hll_rollup(df.withColumn("all", F.lit(1)), ["all"], "user_id").first()
+    # sketch merge is lossless vs sketching the whole set directly
+    assert merged.n_distinct_est == whole.n_distinct_est
+
+    exact = df.select("user_id").distinct().count()
+    assert abs(merged.n_distinct_est - exact) / exact < 0.05
+
+
+def test_hll_estimates_stable_within_tolerance_across_partitionings(spark):
+    # DataSketches' HIP estimator is merge-order-sensitive, so estimates
+    # are NOT bit-stable under repartitioning — only close. Pin the
+    # accuracy envelope, not equality (documented in hll_rollup).
+    from animaltrackingetls_spark.operators.aggregates import hll_rollup
+
+    df = spark.createDataFrame(
+        [(i % 3, i * 7 % 1000) for i in range(5000)], "g int, v long"
+    )
+    exact = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(
+            F.countDistinct("v").alias("n")
+        ).collect()
+    }
+    a = {r.g: r.n_distinct_est for r in hll_rollup(df, ["g"], "v").collect()}
+    b = {
+        r.g: r.n_distinct_est
+        for r in hll_rollup(df.repartition(17), ["g"], "v").collect()
+    }
+    for g in exact:
+        assert abs(a[g] - exact[g]) / exact[g] < 0.05
+        assert abs(b[g] - exact[g]) / exact[g] < 0.05
+        assert abs(a[g] - b[g]) / exact[g] < 0.02  # drift is small, not zero
