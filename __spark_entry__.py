@@ -1404,12 +1404,33 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads (stub codec)."""
+    """Arrow-batched multimodal plumbing, folded: whole-payload feature
+    extraction ('doc' rows, stub codec) plus video-style evenly-spaced
+    frame sampling → per-frame decode ('frame' rows: k = frame_idx,
+    synthetic n_frames/fps metadata derived from payload size — the
+    JVM Generate plan bounds output to n_samples rows per payload)."""
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.to_media_table(
         docs, "doc_id", F.encode(F.col("text"), "utf-8"), "text/plain"
     )
-    return multimodal.extract_features(media)
+    whole = multimodal.extract_features(media).select(
+        F.lit("doc").alias("kind"),
+        "media_id",
+        F.col("n_bytes").alias("k"),
+        "feature",
+    )
+    video_like = media.withColumn(
+        "n_frames", (F.col("n_bytes") / 16).cast("long")
+    ).withColumn("fps", F.lit(30.0))
+    frames = multimodal.extract_frame_features(
+        multimodal.frame_sample(video_like, n_samples=4)
+    ).select(
+        F.lit("frame").alias("kind"),
+        "media_id",
+        F.col("frame_idx").alias("k"),
+        "feature",
+    )
+    return whole.unionByName(frames)
 
 
 def _q_approx_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -194,3 +194,105 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize planning (images) and frame sampling (video-like payloads)
+# ---------------------------------------------------------------------------
+
+
+def resize_dims(width: Column, height: Column, max_side: int) -> Column:
+    """Aspect-preserving resize PLAN: struct(out_w, out_h) with the long
+    side clamped to ``max_side``, never upscaled, floor-rounded with a
+    1px floor — pure integer codegen. The pixel resample itself is a
+    codec op (PIL/ffmpeg, absent here); computing target geometry
+    JVM-side means the expensive Python decode step receives exact
+    output dims instead of re-deriving them per worker."""
+    if max_side < 1:
+        raise ValueError(f"max_side must be >= 1, got {max_side}")
+    long_side = F.greatest(width, height)
+    scale = F.least(F.lit(1.0), F.lit(float(max_side)) / long_side)
+    out = lambda side: F.greatest(F.lit(1), F.floor(side * scale)).cast("int")
+    return F.when(
+        width.isNotNull() & height.isNotNull() & (width > 0) & (height > 0),
+        F.struct(out(width).alias("out_w"), out(height).alias("out_h")),
+    )
+
+
+def frame_sample(
+    media: DataFrame,
+    n_samples: int,
+    n_frames_col: str = "n_frames",
+    fps_col: str = "fps",
+) -> DataFrame:
+    """Evenly-spaced frame sampling for video-like media: one output row
+    per sampled frame — (media_id, frame_idx, frame_ts_s) plus the
+    payload carried through for the decode stage.
+
+    The sampling plan is PURE JVM: a Generate (explode) over the
+    deduplicated index sequence ``floor(i * n_frames / n_samples)``,
+    i in [0, n_samples) — no Python, no shuffle, output bounded by
+    ``n_samples`` rows per video regardless of duration. Videos with
+    fewer frames than ``n_samples`` emit each frame once (the dedup).
+    Decode of the sampled frames is the Arrow-batched stub
+    (:func:`extract_frame_features`) — real deployments swap in ffmpeg
+    seek-and-decode per (payload, frame_ts).
+    """
+    if n_samples < 1:
+        raise ValueError(f"n_samples must be >= 1, got {n_samples}")
+    nf = F.col(n_frames_col).cast("long")
+    idx = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_samples - 1)),
+            lambda i: F.floor(i * nf / n_samples).cast("long"),
+        )
+    )
+    return (
+        media.filter(nf > 0)
+        .withColumn("frame_idx", F.explode(idx))
+        .withColumn(
+            "frame_ts_s",
+            F.round(F.col("frame_idx") / F.col(fps_col).cast("double"), 6),
+        )
+    )
+
+
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_frame_features(frames: DataFrame) -> DataFrame:
+    """Arrow-batched per-frame decode (STUB codec): each sampled frame's
+    "decode" reads a deterministic byte window of the payload at
+    ``frame_idx`` (a stand-in for an ffmpeg seek) and emits the 8-bin
+    byte histogram. Payload is dropped on output — only features travel
+    onward (never shuffle the binary)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for payload, idx in zip(pdf["payload"], pdf["frame_idx"]):
+                p = bytes(payload)
+                start = int(idx) * 64 % max(1, len(p))
+                window = p[start : start + 4096] or p[:4096]
+                buckets = [0] * 8
+                for byte in window:
+                    buckets[byte >> 5] += 1
+                total = max(1, len(window))
+                feats.append([b / total for b in buckets])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "feature": feats,
+                }
+            )
+
+    return frames.mapInPandas(run, FRAME_FEATURE_SCHEMA)

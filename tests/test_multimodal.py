@@ -89,3 +89,73 @@ def test_synthesize_png_roundtrip_both_parsers(spark):
     assert multimodal.decode_stub(payload, "image/png", strict=True) == [
         640.0, 480.0, 8.0, 6.0
     ]
+
+
+# ---------------------------------------------------------------------------
+# resize_dims / frame_sample / extract_frame_features
+# ---------------------------------------------------------------------------
+
+
+def test_resize_dims_clamps_long_side_never_upscales(spark):
+    from animaltrackingetls_spark.operators.multimodal import resize_dims
+
+    df = spark.createDataFrame(
+        [(1, 4000, 3000), (2, 100, 50), (3, 512, 2048), (4, None, 10), (5, 0, 10)],
+        "id long, w int, h int",
+    )
+    out = {
+        r.id: (r.d.out_w, r.d.out_h) if r.d else None
+        for r in df.select(
+            "id", resize_dims(F.col("w"), F.col("h"), 512).alias("d")
+        ).collect()
+    }
+    assert out[1] == (512, 384)      # 4000x3000 → long side 512, aspect kept
+    assert out[2] == (100, 50)       # already small: NOT upscaled
+    assert out[3] == (128, 512)      # portrait
+    assert out[4] is None and out[5] is None  # invalid dims → NULL plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resize_dims(F.col("w"), F.col("h"), 0)
+
+
+def test_frame_sample_even_spacing_and_dedup(spark):
+    from animaltrackingetls_spark.operators.multimodal import frame_sample
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 100), 100, 25.0), (2, bytearray(b"y" * 10), 3, 10.0),
+         (3, bytearray(b"z"), 0, 30.0)],
+        "media_id long, payload binary, n_frames long, fps double",
+    )
+    out = frame_sample(df, n_samples=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append((r.frame_idx, r.frame_ts_s))
+    assert [i for i, _ in sorted(by_id[1])] == [0, 25, 50, 75]  # even over 100
+    assert sorted(by_id[1])[1][1] == 1.0                        # 25/25fps = 1s
+    assert [i for i, _ in sorted(by_id[2])] == [0, 1, 2]        # 3 frames < 4 samples: dedup
+    assert 3 not in by_id                                       # zero-frame media filtered
+
+
+def test_extract_frame_features_deterministic_and_payload_free(spark):
+    from animaltrackingetls_spark.operators.multimodal import (
+        extract_frame_features,
+        frame_sample,
+    )
+
+    payload = bytearray(bytes(range(256)) * 8)
+    df = spark.createDataFrame(
+        [(7, payload, 64, 30.0)],
+        "media_id long, payload binary, n_frames long, fps double",
+    )
+    frames = frame_sample(df, n_samples=3)
+    feats = extract_frame_features(frames)
+    assert set(feats.columns) == {"media_id", "frame_idx", "feature"}  # payload dropped
+    rows = feats.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-9
+    again = {(r.media_id, r.frame_idx): r.feature for r in feats.collect()}
+    assert {(r.media_id, r.frame_idx): r.feature for r in rows} == again
