@@ -626,13 +626,23 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_language_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID histogram over documents."""
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality panel: marker-based language ID joined with
+    the fastText-style linear quality score — model inference as a
+    broadcast join over hashed token features (see
+    operators/quality_model.py). Strictly subsumes the old 2-row
+    language histogram (per-doc labels instead of counts). The weight
+    table is the deterministic md5-derived synthetic model, so DuckDB
+    regenerates the identical weights and replays inference exactly."""
+    from animaltrackingetls_spark.operators import quality_model
+
     docs = _t(spark, sf_dir, "documents")
-    return (
-        textstats.language_id(docs)
-        .groupBy("predicted_lang")
-        .agg(F.count(F.lit(1)).alias("n"))
+    scored = quality_model.linear_quality_scores(
+        docs, quality_model.synthetic_weights(spark)
+    )
+    lang = textstats.language_id(docs).select("doc_id", "predicted_lang")
+    return lang.join(scored, lang.doc_id == scored.id).select(
+        "doc_id", "predicted_lang", "n_feat", "logit", "score"
     )
 
 
@@ -1793,7 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "retrieval_rank": _q_retrieval_rank,
         "pii_redaction": _q_pii_redaction,
-        "language_counts": _q_language_counts,
+        "quality_scores": _q_quality_scores,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "contamination_overlap": _q_contamination_overlap,
         "dedup_clusters": _q_dedup_clusters,
@@ -1850,6 +1860,18 @@ _MARKERS_SQL = {
     for lang, words in textstats.LANG_MARKERS.items()
 }
 _GREATEST_SQL = "greatest(s_en, s_es, s_fr, s_de)"
+
+
+def _qm_weights_sql() -> str:
+    from animaltrackingetls_spark.operators.quality_model import synthetic_weights_sql
+
+    return synthetic_weights_sql()
+
+
+def _qm_hex4_sql(col: str) -> str:
+    from animaltrackingetls_spark.operators.quality_model import _SQL_HEX4
+
+    return _SQL_HEX4.format(col=col)
 
 
 def _profile_oracle() -> str:
@@ -2207,7 +2229,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size
             FROM comp JOIN sizes ON comp.cluster_id = sizes.cluster_id
         """,
-        "language_counts": f"""
+        "quality_scores": f"""
             WITH t AS (
               SELECT doc_id, text,
                      list_distinct(regexp_extract_all(lower(text), '\\S+')) AS toks
@@ -2220,18 +2242,41 @@ def oracle_sql() -> dict[str, str]:
                      len(list_intersect(toks, {_MARKERS_SQL["fr"]})) AS s_fr,
                      len(list_intersect(toks, {_MARKERS_SQL["de"]})) AS s_de
               FROM t
+            ),
+            lang AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                       WHEN {_GREATEST_SQL} = 0 THEN 'und'
+                       WHEN s_en = {_GREATEST_SQL} THEN 'en'
+                       WHEN s_es = {_GREATEST_SQL} THEN 'es'
+                       WHEN s_fr = {_GREATEST_SQL} THEN 'fr'
+                       WHEN s_de = {_GREATEST_SQL} THEN 'de'
+                       ELSE 'und'
+                     END AS predicted_lang
+              FROM s
+            ),
+            w AS ({_qm_weights_sql()}),
+            tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id,
+                     CAST({_qm_hex4_sql("md5(tok)")} % 4096 AS INT) AS bucket
+              FROM tok
+            ),
+            pd AS (
+              SELECT doc_id, count(*) AS n_feat,
+                     round(sum(weight), 6) AS logit
+              FROM b JOIN w USING (bucket) GROUP BY doc_id
             )
-            SELECT CASE
-                     WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
-                     WHEN {_GREATEST_SQL} = 0 THEN 'und'
-                     WHEN s_en = {_GREATEST_SQL} THEN 'en'
-                     WHEN s_es = {_GREATEST_SQL} THEN 'es'
-                     WHEN s_fr = {_GREATEST_SQL} THEN 'fr'
-                     WHEN s_de = {_GREATEST_SQL} THEN 'de'
-                     ELSE 'und'
-                   END AS predicted_lang,
-                   count(*) AS n
-            FROM s GROUP BY 1
+            SELECT lang.doc_id, lang.predicted_lang,
+                   CAST(coalesce(pd.n_feat, 0) AS BIGINT) AS n_feat,
+                   coalesce(pd.logit, 0.0) AS logit,
+                   round(1.0 / (1.0 + exp(-coalesce(pd.logit, 0.0))), 4)
+                     AS score
+            FROM lang LEFT JOIN pd ON lang.doc_id = pd.doc_id
         """,
         "ngram_jaccard_pairs": """
             WITH t AS (

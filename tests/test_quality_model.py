@@ -1,0 +1,69 @@
+"""Linear quality scorer: hand-computed parity, broadcast plan, edges."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from animaltrackingetls_spark.operators.quality_model import (
+    linear_quality_scores,
+    synthetic_weights,
+    token_bucket,
+)
+
+
+def _py_bucket(tok: str, n_buckets: int) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % n_buckets
+
+
+def _py_weight(bucket: int, seed: str = "qw") -> float:
+    h = hashlib.md5(f"{seed}:{bucket}".encode()).hexdigest()
+    return round((int(h[:4], 16) % 2001 - 1000) / 1000.0, 3)
+
+
+def test_scores_match_hand_computed_reference(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "THE the the"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    w = synthetic_weights(spark, 256)
+    out = {r.id: r for r in linear_quality_scores(docs, w, 256).collect()}
+    assert len(out) == 4
+
+    for doc_id, text in [(1, "the quick brown fox"), (2, "THE the the")]:
+        toks = text.lower().split()
+        logit = round(sum(_py_weight(_py_bucket(t, 256)) for t in toks), 6)
+        assert out[doc_id].n_feat == len(toks)
+        assert out[doc_id].logit == logit
+        assert out[doc_id].score == round(1 / (1 + math.exp(-logit)), 4)
+
+    for empty_id in (3, 4):  # tokenless docs: untrained prior
+        assert out[empty_id].n_feat == 0
+        assert out[empty_id].logit == 0.0
+        assert out[empty_id].score == 0.5
+
+
+def test_duplicate_tokens_count_term_frequency(spark):
+    docs = spark.createDataFrame([(1, "a a a"), (2, "a")], "doc_id long, text string")
+    w = synthetic_weights(spark, 64)
+    out = {r.id: r.logit for r in linear_quality_scores(docs, w, 64).collect()}
+    assert abs(out[1] - 3 * out[2]) < 1e-9
+
+
+def test_weight_join_is_broadcast_and_bucket_in_range(spark):
+    from animaltrackingetls_spark.plans.audit import assert_broadcast_join
+
+    docs = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    w = synthetic_weights(spark, 128)
+    df = linear_quality_scores(docs, w, 128)
+    assert_broadcast_join(df)
+
+    buckets = [
+        r.b
+        for r in spark.createDataFrame([(t,) for t in "abcdefgh"], "tok string")
+        .select(token_bucket(F.col("tok"), 32).alias("b"))
+        .collect()
+    ]
+    assert all(0 <= b < 32 for b in buckets)
