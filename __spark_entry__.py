@@ -1563,6 +1563,54 @@ def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _q_inventory_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory pair folded: the two-batch keyed upsert ('inv' rows:
+    name1=table_name, name2=processed_at, n=record_count) and the
+    calendar-naming/date-arithmetic panel ('cal' rows: name1=table_day,
+    name2=table_month|first_sunday)."""
+    inv = _q_inventory_upsert(spark, sf_dir).select(
+        F.lit("inv").alias("kind"),
+        F.col("available_date").alias("d"),
+        F.col("table_name").alias("name1"),
+        F.col("processed_at").alias("name2"),
+        F.col("record_count").cast("long").alias("n"),
+    )
+    cal = _q_calendar_naming(spark, sf_dir).select(
+        F.lit("cal").alias("kind"),
+        F.col("date_only").alias("d"),
+        F.col("table_day").alias("name1"),
+        F.concat_ws(
+            "|", "table_month", F.col("first_sunday").cast("string")
+        ).alias("name2"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    return inv.unionByName(cal)
+
+
+def _q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-validation report over orders: five value rules
+    in ONE aggregation pass plus a key-uniqueness rule (one shuffle) —
+    the reference's CI log-grep quality gates as a first-class operator
+    (operators/validate.py). The range and regex rules are deliberately
+    tighter than the data (high-price orders and '5-LOW' priorities
+    violate), so the report exercises nonzero counts, not just a wall
+    of zeros."""
+    from animaltrackingetls_spark.operators import validate as V
+
+    o = _t(spark, sf_dir, "orders")
+    return V.validation_report(
+        o,
+        [
+            V.not_null("o_orderkey"),
+            V.not_null("o_custkey"),
+            V.in_range("o_totalprice", 0.0, 300000.0),
+            V.in_set("o_orderstatus", ["O", "F", "P"]),
+            V.matches("o_orderpriority", "^[1-4]-"),
+        ],
+        unique_keys=[["o_orderkey"]],
+    )
+
+
 def _q_scalar_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three scalar-aggregate pipelines folded into (metric, value) rows:
     TPC-H Q14 promo share, TPC-H Q6 revenue forecast, and the behavioral
@@ -1795,8 +1843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_aligned_sample": _q_clean_aligned_sample,
         "serving_day_filter": _q_serving_day_filter,
         "json_scrub_extract": _q_json_scrub_extract,
-        "calendar_naming": _q_calendar_naming,
-        "inventory_upsert": _q_inventory_upsert,
+        "inventory_calendar": _q_inventory_calendar,
+        "validate_orders": _q_validate_orders,
         "geocode_broadcast": _q_geocode_broadcast,
         "enrich_batched": _q_enrich_batched,
         "dup_groups": _q_dup_groups,
@@ -1979,17 +2027,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
         """,
-        "calendar_naming": """
-            SELECT DISTINCT CAST(ts AS DATE) AS date_only,
-                   lower(monthname(ts)) || lpad(CAST(day(ts) AS VARCHAR), 2, '0')
-                     || CAST(year(ts) AS VARCHAR) AS table_day,
-                   lower(monthname(ts)) || CAST(year(ts) AS VARCHAR) AS table_month,
-                   CAST(make_date(CAST(year(ts) AS INT), 1, 1)
-                        + INTERVAL ((7 - isodow(make_date(CAST(year(ts) AS INT), 1, 1))) % 7) DAY
-                        AS DATE) AS first_sunday
-            FROM events
-        """,
-        "inventory_upsert": """
+        "inventory_calendar": """
             WITH e AS (SELECT CAST(ts AS DATE) AS d, event_id FROM events),
             b1 AS (
               SELECT d AS available_date,
@@ -2010,8 +2048,55 @@ def oracle_sql() -> dict[str, str]:
             u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
             r AS (SELECT *, row_number() OVER (PARTITION BY available_date
                                                ORDER BY prio DESC) AS rn FROM u)
-            SELECT available_date, table_name, record_count, processed_at
+            SELECT 'inv' AS kind, available_date AS d, table_name AS name1,
+                   processed_at AS name2, record_count AS n
             FROM r WHERE rn = 1
+            UNION ALL
+            SELECT DISTINCT 'cal' AS kind, CAST(ts AS DATE) AS d,
+                   lower(monthname(ts)) || lpad(CAST(day(ts) AS VARCHAR), 2, '0')
+                     || CAST(year(ts) AS VARCHAR) AS name1,
+                   lower(monthname(ts)) || CAST(year(ts) AS VARCHAR) || '|' ||
+                     CAST(CAST(make_date(CAST(year(ts) AS INT), 1, 1)
+                          + INTERVAL ((7 - isodow(make_date(CAST(year(ts) AS INT), 1, 1))) % 7) DAY
+                          AS DATE) AS VARCHAR) AS name2,
+                   CAST(NULL AS BIGINT) AS n
+            FROM events
+        """,
+        "validate_orders": """
+            WITH agg AS (
+              SELECT count(*) AS n_rows,
+                     sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS r1,
+                     sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS r2,
+                     sum(CASE WHEN NOT (o_totalprice IS NOT NULL
+                                        AND o_totalprice >= 0.0
+                                        AND o_totalprice <= 300000.0)
+                              THEN 1 ELSE 0 END) AS r3,
+                     sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'),
+                                                FALSE)
+                              THEN 1 ELSE 0 END) AS r4,
+                     sum(CASE WHEN NOT coalesce(
+                                   regexp_matches(o_orderpriority, '^[1-4]-'),
+                                   FALSE)
+                              THEN 1 ELSE 0 END) AS r5
+              FROM orders
+            ),
+            uniq AS (
+              SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0)
+                          AS BIGINT) AS n_violations,
+                     CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows
+              FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+            )
+            SELECT 'o_orderkey:not_null' AS rule, CAST(r1 AS BIGINT)
+                     AS n_violations, CAST(n_rows AS BIGINT) AS n_rows FROM agg
+            UNION ALL SELECT 'o_custkey:not_null', CAST(r2 AS BIGINT),
+                      CAST(n_rows AS BIGINT) FROM agg
+            UNION ALL SELECT 'o_totalprice:in_range', CAST(r3 AS BIGINT),
+                      CAST(n_rows AS BIGINT) FROM agg
+            UNION ALL SELECT 'o_orderstatus:in_set', CAST(r4 AS BIGINT),
+                      CAST(n_rows AS BIGINT) FROM agg
+            UNION ALL SELECT 'o_orderpriority:matches', CAST(r5 AS BIGINT),
+                      CAST(n_rows AS BIGINT) FROM agg
+            UNION ALL SELECT 'o_orderkey:unique', n_violations, n_rows FROM uniq
         """,
         "geocode_broadcast": f"""
             WITH {_POINTS_SQL}

@@ -1,0 +1,93 @@
+"""Declarative data-validation rules → violations report.
+
+The pre-load quality gate (Great-Expectations-shaped, engine-native):
+each rule is a boolean *violation* expression; the whole rule set is
+evaluated in ONE aggregation pass over the table — conditional sums
+with map-side partial combine, so a 100-rule suite costs the same scan
+as one rule. Key-uniqueness is the only rule that genuinely needs a
+shuffle (a hash aggregation on the key).
+
+The reference enforces data quality operationally (CI log-greps and the
+rejected-row gate, SURVEY.md §5); this is that idea as a first-class,
+composable operator whose output is a table you can alert on, join to
+the inventory, or trend over runs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """A named violation predicate: rows where ``violation`` is TRUE
+    fail the rule. NULL predicate results count as violations for
+    value-shaped rules built by the helpers below (explicit, not
+    accidental: ``in_range(NULL)`` is a missing value, not a pass)."""
+
+    name: str
+    violation: Column
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"{col}:not_null", F.col(col).isNull())
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    ok = F.col(col).isNotNull() & (F.col(col) >= lo) & (F.col(col) <= hi)
+    return Rule(f"{col}:in_range", ~ok)
+
+
+def in_set(col: str, values: list) -> Rule:
+    ok = F.col(col).isin(values)
+    return Rule(f"{col}:in_set", ~F.coalesce(ok, F.lit(False)))
+
+
+def matches(col: str, pattern: str) -> Rule:
+    ok = F.col(col).rlike(pattern)
+    return Rule(f"{col}:matches", ~F.coalesce(ok, F.lit(False)))
+
+
+def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """(rule, n_violations, n_rows) — the whole rule set in one scan,
+    one global aggregate (conditional sums, partial+final)."""
+    if not rules:
+        raise ValueError("validate() needs at least one rule")
+    aggs = [
+        F.sum(F.when(r.violation, 1).otherwise(0)).cast("long").alias(r.name)
+        for r in rules
+    ] + [F.count(F.lit(1)).alias("_n_rows")]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{r.name}', `{r.name}`" for r in rules)
+    return row.selectExpr(
+        f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)", "_n_rows"
+    ).select("rule", "n_violations", F.col("_n_rows").alias("n_rows"))
+
+
+def unique_violations(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(rule, n_violations, n_rows) for key uniqueness: n_violations =
+    rows carrying a duplicated key (total rows in >1-sized key groups).
+    One hash aggregation on the key; the tiny two-row reduce after it is
+    constant-size."""
+    name = ",".join(key_cols) + ":unique"
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_c"))
+    return per_key.agg(
+        F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
+        F.sum("_c").cast("long").alias("n_rows"),
+    ).select(F.lit(name).alias("rule"), "n_violations", "n_rows")
+
+
+def validation_report(
+    df: DataFrame, rules: list[Rule], unique_keys: list[list[str]] | None = None
+) -> DataFrame:
+    """Full report: value rules (one scan) + uniqueness rules (one
+    shuffle each), unioned into (rule, n_violations, n_rows)."""
+    out = validate(df, rules)
+    for keys in unique_keys or []:
+        out = out.unionByName(unique_violations(df, keys))
+    return out

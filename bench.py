@@ -46,7 +46,7 @@ HEADLINE = [
     "asof_join_events",
     "serving_day_filter",
     "geocode_broadcast",
-    "inventory_upsert",
+    "inventory_calendar",
     "streaming_window_counts",
     "embedding_neardup",
     "ivf_topk",

@@ -1,0 +1,73 @@
+"""Validation rules: counts, NULL semantics, single-scan plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from animaltrackingetls_spark.operators.validate import (
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    unique_violations,
+    validate,
+    validation_report,
+)
+
+
+@pytest.fixture()
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "A", "x1"),
+            (2, -5.0, "B", "x2"),     # range violation
+            (3, None, "A", "yy"),     # null + range(null) + regex violations
+            (3, 50.0, "C", "x3"),     # dup id + set violation
+            (5, 200.0, None, "x4"),   # range + set(null) violations
+        ],
+        "id long, v double, cat string, code string",
+    )
+
+
+def test_rule_counts_and_null_semantics(frame):
+    out = {
+        r.rule: (r.n_violations, r.n_rows)
+        for r in validate(
+            frame,
+            [
+                not_null("v"),
+                in_range("v", 0.0, 100.0),
+                in_set("cat", ["A", "B"]),
+                matches("code", "^x[0-9]$"),
+            ],
+        ).collect()
+    }
+    assert out["v:not_null"] == (1, 5)
+    assert out["v:in_range"] == (3, 5)   # -5, NULL, 200
+    assert out["cat:in_set"] == (2, 5)   # C and NULL
+    assert out["code:matches"] == (1, 5)  # yy
+
+
+def test_unique_violations_counts_all_rows_of_dup_keys(frame):
+    row = unique_violations(frame, ["id"]).first()
+    assert row.rule == "id:unique"
+    assert row.n_violations == 2  # both rows of id=3
+    assert row.n_rows == 5
+
+
+def test_report_unions_and_value_rules_share_one_scan(spark, frame):
+    from animaltrackingetls_spark.plans.audit import formatted_plan
+
+    rules = [not_null("v"), in_range("v", 0.0, 100.0), in_set("cat", ["A"])]
+    value_only = validate(frame, rules)
+    # all value rules ride ONE aggregate over one scan
+    import re
+
+    plan = formatted_plan(value_only)
+    assert len(re.findall(r"\(\d+\) Scan", plan)) == 1
+
+    report = validation_report(frame, rules, unique_keys=[["id"], ["code"]])
+    assert report.count() == 5  # 3 value rules + 2 uniqueness rules
+
+    with pytest.raises(ValueError):
+        validate(frame, [])
