@@ -177,6 +177,60 @@ def write_optimized(
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet table into ~``target_file_mb`` files — the
+    operational fix for small-file buildup (streaming micro-batches,
+    per-task writes after wide shuffles). Returns the output file count.
+
+    File count is sized from the CURRENT on-disk bytes (footer-free
+    os.stat walk), not a guess: ``ceil(total_bytes / target)``. With
+    ``partition_cols`` the repartition keys on them so each hive
+    partition lands in as few tasks as possible (the write_optimized
+    layout rule); the rewrite goes through a temp directory and an
+    atomic-rename swap so a crash mid-compaction leaves the original
+    table intact. At 100 TB run this per-partition (pass the partition
+    subdirectory as ``path``), never whole-table.
+    """
+    import math
+    import shutil
+    import uuid
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.stat(os.path.join(root, f)).st_size
+    if total == 0:
+        return 0
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    out = (
+        df.repartition(n_files, *[F.col(c) for c in partition_cols])
+        if partition_cols
+        else df.repartition(n_files)
+    )
+    writer = out.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for root, _d, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
 def write_rejects_csv(rejected: DataFrame, path: str) -> None:
     """K5: rejection sidecar as CSV (reference etl.py:64-67)."""
     rejected.write.mode("overwrite").option("header", True).csv(path)

@@ -202,3 +202,41 @@ def sharded_shuffle(
         out.withColumn("shard_pos", F.row_number().over(w).cast("long"))
         .drop("_shuffle_key")
     )
+
+
+def temperature_rates(
+    group_counts: dict[str, int],
+    alpha: float = 0.3,
+    total_budget: int | None = None,
+) -> dict[str, float]:
+    """Per-group mixture rates from a temperature-scaled distribution —
+    the standard multilingual/multi-domain sampling scheme (sample
+    probability p_g ∝ n_g^alpha): alpha=1 keeps natural proportions,
+    alpha→0 flattens toward uniform, upweighting small groups.
+
+    Returns rates consumable by :func:`mixture_resample`
+    (rate_g = p_g · budget / n_g, i.e. epochs over group g). With no
+    ``total_budget`` the output is normalized so the LARGEST implied
+    rate is 1.0 — small groups repeat fractionally less than their
+    flattened share demands, nothing is ever upsampled past the corpus
+    without an explicit budget asking for it.
+
+    Driver-side math over group COUNTS (a dict of ~#domains entries,
+    from one groupBy), not data — composes with the distributed
+    resampler without adding any plan nodes.
+    """
+    if not group_counts:
+        raise ValueError("group_counts must be non-empty")
+    if any(n <= 0 for n in group_counts.values()):
+        raise ValueError(f"group counts must be positive: {group_counts}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    weights = {g: float(n) ** alpha for g, n in group_counts.items()}
+    z = sum(weights.values())
+    probs = {g: w / z for g, w in weights.items()}
+    budget = total_budget if total_budget is not None else sum(group_counts.values())
+    rates = {g: probs[g] * budget / group_counts[g] for g in group_counts}
+    if total_budget is None:
+        top = max(rates.values())
+        rates = {g: r / top for g, r in rates.items()}
+    return rates

@@ -162,3 +162,50 @@ def test_write_optimized_layout_and_pruning(spark, tmp_path):
     col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("id")
     rg = md.row_group(0).column(col_idx).statistics
     assert rg.min is not None and rg.min <= rg.max
+
+
+def test_compact_parquet_collapses_small_files(spark, tmp_path):
+    from animaltrackingetls_spark.io import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10000).selectExpr("id", "id % 7 AS k")
+    df.repartition(40).write.parquet(path)  # fragment: 40 tiny files
+    import os
+
+    def n_files(p):
+        return sum(
+            1 for r, _d, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+        )
+
+    assert n_files(path) == 40
+    out = compact_parquet(spark, path, target_file_mb=256)
+    assert out == 1  # tiny table → single target-size file
+    assert n_files(path) == 1
+    got = spark.read.parquet(path)
+    assert got.count() == 10000
+    assert got.selectExpr("sum(id)").first()[0] == sum(range(10000))
+
+
+def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
+    from animaltrackingetls_spark.io import compact_parquet
+
+    path = str(tmp_path / "part")
+    df = spark.range(3000).selectExpr("id", "id % 3 AS part")
+    df.repartition(10).write.partitionBy("part").parquet(path)
+    compact_parquet(spark, path, target_file_mb=256, partition_cols=["part"])
+    import os
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("part=")
+    ) == ["part=0", "part=1", "part=2"]
+    got = spark.read.parquet(path)
+    assert got.count() == 3000
+    assert got.groupBy("part").count().count() == 3
+
+
+def test_compact_parquet_empty_dir_noop(spark, tmp_path):
+    from animaltrackingetls_spark.io import compact_parquet
+
+    p = tmp_path / "empty"
+    p.mkdir()
+    assert compact_parquet(spark, str(p)) == 0

@@ -218,3 +218,65 @@ def test_sharded_shuffle_rejects_bad_shards(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="num_shards"):
         sharded_shuffle(df, "id", 0)
+
+
+# ---------------------------------------------------------------------------
+# temperature_rates
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_rates_flatten_toward_uniform():
+    from animaltrackingetls_spark.operators.sampling import temperature_rates
+
+    counts = {"big": 9000, "small": 1000}
+    natural = temperature_rates(counts, alpha=1.0, total_budget=10000)
+    assert abs(natural["big"] - 1.0) < 1e-9  # alpha=1: natural proportions
+    assert abs(natural["small"] - 1.0) < 1e-9
+
+    flat = temperature_rates(counts, alpha=0.0, total_budget=10000)
+    assert abs(flat["small"] - 5.0) < 1e-9  # uniform: each group gets 5000
+    assert abs(flat["big"] - 5000 / 9000) < 1e-9
+
+    mid = temperature_rates(counts, alpha=0.3, total_budget=10000)
+    assert natural["small"] < mid["small"] < flat["small"]
+
+
+def test_temperature_rates_default_normalization_never_upsamples():
+    from animaltrackingetls_spark.operators.sampling import temperature_rates
+
+    rates = temperature_rates({"a": 100, "b": 10000, "c": 500}, alpha=0.3)
+    assert max(rates.values()) == 1.0
+    assert all(0 < r <= 1.0 for r in rates.values())
+    assert rates["a"] == 1.0  # smallest group carries the max rate
+
+
+def test_temperature_rates_compose_with_mixture_resample(spark):
+    from animaltrackingetls_spark.operators.sampling import (
+        mixture_resample,
+        temperature_rates,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    counts = {r.source: r.n for r in df.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rates = temperature_rates(counts, alpha=0.0, total_budget=1000)
+    out = mixture_resample(df, "doc_id", "source", rates).groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    got = {r.source: r.n for r in out.collect()}
+    # uniform target: ~500 rows per source (md5-bucket granularity)
+    assert abs(got["big"] - 500) < 50
+    assert abs(got["small"] - 500) < 50
+
+
+def test_temperature_rates_input_validation():
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.operators.sampling import temperature_rates
+
+    with _pytest.raises(ValueError):
+        temperature_rates({})
+    with _pytest.raises(ValueError):
+        temperature_rates({"a": 0})
+    with _pytest.raises(ValueError):
+        temperature_rates({"a": 10}, alpha=-1)
