@@ -245,14 +245,24 @@ def _q_flagship_day_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_temporal_rescue_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3/C5 + C1/C2 in one projection (folded so every oracle query fits
-    the driver's 50-entry window): the seven derived temporal columns
-    from the clean ts, plus messy-date-string rescue+parse → NULL."""
+    """P3/C5 + C1/C2 + C11/C7 in ONE per-event projection (folded so
+    every oracle query fits the driver's 50-entry window — and strictly
+    better than two queries: one scan feeds all of it): the seven
+    derived temporal columns, messy-date-string rescue+parse → NULL,
+    JSON extraction, and the NA-string scrub."""
+    from animaltrackingetls_spark.functions.coercion import scrub_na_strings
+
     ev = _t(spark, sf_dir, "events")
+    raw_v = F.expr(
+        "CASE event_id % 4 WHEN 0 THEN 'None' WHEN 1 THEN 'nan' "
+        "WHEN 2 THEN 'NaT' ELSE event_type END"
+    )
     return ev.select(
         "event_id",
         *[v.alias(k) for k, v in temporal_columns(F.col("ts")).items()],
         F.expr(_DIRTY_DATE_SPARK).alias("eventDate"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        scrub_na_strings(raw_v).alias("v"),
     ).withColumn("eventDateParsed", parse_event_timestamp(F.col("eventDate")))
 
 
@@ -300,20 +310,15 @@ def _q_serving_day_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_json_scrub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C11 JSON extraction + C7 NA-string scrub, one projection."""
-    from animaltrackingetls_spark.functions.coercion import scrub_na_strings
-
-    ev = _t(spark, sf_dir, "events")
-    raw_v = F.expr(
-        "CASE event_id % 4 WHEN 0 THEN 'None' WHEN 1 THEN 'nan' "
-        "WHEN 2 THEN 'NaT' ELSE event_type END"
-    )
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
-        scrub_na_strings(raw_v).alias("v"),
-    )
+def _q_winnow_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints with the md5-portable gram hash, exploded
+    to (doc_id, fp) rows — upgrading the winnow family from rows-only to
+    a full value oracle: DuckDB replays gram hashing (hex-cast md5),
+    window minima, and the distinct-keep rule exactly. The xx64 fast
+    path stays registered as the rows-only `winnow_fingerprints`."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    fps = textstats.winnow_fingerprint_frame(docs, k=8, window=4, hash_fn="md5")
+    return fps.select(F.col("id").alias("doc_id"), F.explode("fps").alias("fp"))
 
 
 def _q_calendar_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1842,7 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_summary": _q_clean_summary,
         "clean_aligned_sample": _q_clean_aligned_sample,
         "serving_day_filter": _q_serving_day_filter,
-        "json_scrub_extract": _q_json_scrub_extract,
+        "winnow_portable": _q_winnow_portable,
         "inventory_calendar": _q_inventory_calendar,
         "validate_orders": _q_validate_orders,
         "geocode_broadcast": _q_geocode_broadcast,
@@ -1957,7 +1962,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "temporal_rescue_derive": f"""
             WITH raw AS (
-              SELECT event_id, ts, {_DIRTY_DATE_SQL} AS eventDate FROM events
+              SELECT event_id, ts, props, {_DIRTY_DATE_SQL} AS eventDate,
+                     CASE event_id % 4 WHEN 0 THEN 'None' WHEN 1 THEN 'nan'
+                          WHEN 2 THEN 'NaT' ELSE event_type END AS raw_v
+              FROM events
             )
             SELECT event_id,
                    CAST(year(ts) AS INT) AS year,
@@ -1968,6 +1976,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ts AS DATE) AS date_only,
                    strftime(ts, '%H:%M:%S') AS time_only,
                    eventDate,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+                   CASE WHEN raw_v IN ('None', 'nan', 'NaT', '<NA>', '') THEN NULL
+                        ELSE raw_v END AS v,
                    {_PARSED_SQL} AS eventDateParsed
             FROM raw
         """,
@@ -2015,17 +2026,32 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 15
         """,
-        "json_scrub_extract": """
-            SELECT event_id,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-                   CASE WHEN raw_v IN ('None', 'nan', 'NaT', '<NA>', '') THEN NULL
-                        ELSE raw_v END AS v
-            FROM (
-              SELECT event_id, props,
-                     CASE event_id % 4 WHEN 0 THEN 'None' WHEN 1 THEN 'nan'
-                          WHEN 2 THEN 'NaT' ELSE event_type END AS raw_v
-              FROM events
+        "winnow_portable": """
+            WITH t AS (
+              SELECT doc_id, lower(text) AS s FROM documents
+              WHERE doc_id % 5 = 0
+            ),
+            g AS (
+              SELECT doc_id, i,
+                     ('0x' || substr(md5(substr(s, CAST(i AS INT), 8)), 1, 15))::BIGINT
+                       AS kh
+              FROM (SELECT doc_id, s,
+                           unnest(range(1, greatest(length(s) - 7, 0) + 1)) AS i
+                    FROM t)
+            ),
+            c AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY doc_id),
+            wm AS (
+              SELECT g.doc_id, g.i,
+                     min(kh) OVER (PARTITION BY g.doc_id ORDER BY g.i
+                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS m,
+                     c.n_g
+              FROM g JOIN c USING (doc_id)
             )
+            SELECT DISTINCT doc_id, m AS fp FROM wm WHERE i <= n_g - 3
+            UNION ALL
+            SELECT DISTINCT g.doc_id, g.kh AS fp
+            FROM g JOIN c USING (doc_id) WHERE c.n_g < 4
         """,
         "inventory_calendar": """
             WITH e AS (SELECT CAST(ts AS DATE) AS d, event_id FROM events),

@@ -216,6 +216,7 @@ def winnow_fingerprint_frame(
     text_col: str = "text",
     k: int = 8,
     window: int = 4,
+    hash_fn: str = "xx64",
 ) -> DataFrame:
     """(id, fps: array<long>) — winnowing document fingerprints.
 
@@ -225,19 +226,31 @@ def winnow_fingerprint_frame(
     length ≥ k + window - 1 share at least one fingerprint, so
     containment/plagiarism candidates fall out of a fingerprint join.
 
+    ``hash_fn``: ``'xx64'`` (default — one JVM hash per gram, the fast
+    path) or ``'md5'`` (first 15 hex chars → 60-bit int; ~2× the hash
+    cost but reproducible in any SQL engine, so the whole winnow is
+    oracle-checkable — DuckDB replays it via ('0x'||substr(md5(g),1,15))
+    casts). Identical selection structure either way.
+
     The k-gram hash array is bound through ``explode(array(...))`` so the
     window-min pass references an attribute instead of re-computing the
     hash array per window (no let-binding in Catalyst).
     """
+    if hash_fn not in ("xx64", "md5"):
+        raise ValueError(f"hash_fn must be 'xx64' or 'md5', got {hash_fn!r}")
     s = F.lower(F.col(text_col))
     n_grams = F.greatest(F.length(s) - (k - 1), F.lit(0))
+
+    def gram_hash(i):
+        g = s.substr(i, F.lit(k))
+        if hash_fn == "xx64":
+            return F.xxhash64(g)
+        return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+
     # guard: sequence(1, 0) auto-descends ([1, 0]) instead of being empty
     kh = F.when(
         n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.xxhash64(s.substr(i, F.lit(k))),
-        ),
+        F.transform(F.sequence(F.lit(1), n_grams), gram_hash),
     ).otherwise(F.array().cast("array<long>"))
     bound = df.select(F.col(id_col).alias("id"), F.explode(F.array(kh)).alias("kh"))
     n_windows = F.greatest(F.size(F.col("kh")) - (window - 1), F.lit(0))
