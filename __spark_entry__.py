@@ -714,6 +714,44 @@ def _q_range_join_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("ws").agg(F.count(F.lit(1)).alias("n_events"))
 
 
+def _q_interval_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-join pair folded: the as-of join ('asof' rows: each
+    purchase's latest prior click) and the bucketized range join
+    ('range' rows: events per week interval)."""
+    asof = _q_asof_join_events(spark, sf_dir).select(
+        F.lit("asof").alias("kind"),
+        "event_id",
+        "user_id",
+        "ts",
+        "c_ts",
+        "c_value",
+        F.lit(None).cast("string").alias("ws"),
+        F.lit(None).cast("long").alias("n_events"),
+    )
+    rng = _q_range_join_weeks(spark, sf_dir).select(
+        F.lit("range").alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(None).cast("double").alias("c_value"),
+        F.col("ws").cast("string").alias("ws"),
+        F.col("n_events").cast("long"),
+    )
+    return asof.unionByName(rng)
+
+
+def _q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with the md5-portable 60-bit token hash — the full
+    vote-and-pack pipeline replayed bit-for-bit by the DuckDB oracle
+    (60 bit-position sign votes per doc, repacked to one long). The
+    xx64 fast path stays registered rows-only as `simhash_docs`."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return dedup.simhash64(docs, hash_fn="md5").select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
 def _q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary over lineitem."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1863,8 +1901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "topk_cosine": _q_topk_cosine,
         "embedding_neardup": _q_embedding_neardup,
-        "asof_join_events": _q_asof_join_events,
-        "range_join_weeks": _q_range_join_weeks,
+        "interval_joins": _q_interval_joins,
+        "simhash_portable": _q_simhash_portable,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "q3_shipping_priority": _q_q3_shipping_priority,
         "dim_revenue": _q_dim_revenue,
@@ -2458,8 +2496,10 @@ def oracle_sql() -> dict[str, str]:
                     / (sqrt(list_dot_product(a.v, a.v))
                        * sqrt(list_dot_product(b.v, b.v))) >= 0.3
         """,
-        "asof_join_events": """
-            SELECT l.event_id, l.user_id, l.ts, r.c_ts, r.c_value
+        "interval_joins": """
+            SELECT 'asof' AS kind, l.event_id, l.user_id, l.ts,
+                   r.c_ts, r.c_value,
+                   CAST(NULL AS VARCHAR) AS ws, CAST(NULL AS BIGINT) AS n_events
             FROM (SELECT event_id, user_id, ts FROM events
                   WHERE event_type = 'purchase') l
             ASOF LEFT JOIN (SELECT user_id AS c_user, ts AS c_ts,
@@ -2467,14 +2507,44 @@ def oracle_sql() -> dict[str, str]:
                             FROM events WHERE event_type = 'click'
                             GROUP BY 1, 2) r
               ON l.user_id = r.c_user AND l.ts >= r.c_ts
-        """,
-        "range_join_weeks": """
-            WITH iv AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS ws
-                        FROM events)
-            SELECT iv.ws, count(*) AS n_events
-            FROM iv JOIN events e
+            UNION ALL
+            SELECT 'range' AS kind, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+                   CAST(NULL AS DOUBLE), CAST(iv.ws AS VARCHAR), count(*) AS n_events
+            FROM (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS ws
+                  FROM events) iv
+            JOIN events e
               ON CAST(e.ts AS DATE) BETWEEN iv.ws AND iv.ws + 6
             GROUP BY iv.ws
+        """,
+        "simhash_portable": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '\\S+') AS toks
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            tok AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(toks) = 0
+                                 THEN [CAST(NULL AS VARCHAR)]
+                                 ELSE toks END) AS tok
+              FROM t
+            ),
+            h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+              FROM tok
+            ),
+            votes AS (
+              SELECT doc_id, b.b,
+                     sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) b
+              GROUP BY doc_id, b.b
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

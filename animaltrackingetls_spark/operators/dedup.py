@@ -342,28 +342,45 @@ def minhash_candidate_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document, fully JVM-side.
+def simhash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xx64",
+) -> DataFrame:
+    """SimHash per document, fully JVM-side.
 
-    Explodes tokens (one shuffle on id), takes xxhash64(token), and for
+    Explodes tokens (one shuffle on id), hashes each token, and for
     each bit position accumulates +1/-1 votes with shiftright/bitwise-and;
-    the sign vector re-packs into a 64-bit long. Documents with small
+    the sign vector re-packs into a long. Documents with small
     Hamming distance between simhashes are near-duplicates.
+
+    ``hash_fn``: ``'xx64'`` (default, 64-bit xxhash — fast path) or
+    ``'md5'`` (60-bit md5-prefix hash, ~2× hash cost but reproducible in
+    any SQL engine, so the full vote-and-pack pipeline is
+    oracle-checkable; Hamming semantics are unchanged, just 60 usable
+    bits).
     """
+    if hash_fn not in ("xx64", "md5"):
+        raise ValueError(f"hash_fn must be 'xx64' or 'md5', got {hash_fn!r}")
+    n_bits = 64 if hash_fn == "xx64" else 60
     # explode_outer: a document whose text tokenizes to nothing still gets
     # a row (tok NULL → one deterministic vote vector, the same for every
     # empty document), instead of silently vanishing from the audit.
     toked = df.select(
         F.col(id_col).alias("id"), F.explode_outer(tokens(F.col(text_col))).alias("tok")
     )
-    h = F.xxhash64(F.col("tok"))
+    if hash_fn == "xx64":
+        h = F.xxhash64(F.col("tok"))
+    else:
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     votes = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = toked.groupBy("id").agg(*votes)
     packed = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(bit == 1, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
         packed = term if packed is None else packed + term
