@@ -43,7 +43,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "text_quality",
     "topk_cosine",
-    "asof_join_events",
+    "interval_joins",
     "serving_day_filter",
     "geocode_broadcast",
     "inventory_calendar",
@@ -56,6 +56,10 @@ HEADLINE = [
     "dedup_clusters",
     "incremental_dedup",
     "pretrain_pipeline",
+    "quality_scores",
+    "validate_orders",
+    "bloom_new_docs",
+    "winnow_portable",
 ]
 
 
