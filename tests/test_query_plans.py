@@ -110,3 +110,13 @@ def test_every_oracle_backed_query_is_inside_driver_window():
     assert outside == [], f"oracle-backed queries outside window: {outside}"
     dangling = [n for n in oracles if n not in names]
     assert dangling == [], f"oracles without queries: {dangling}"
+
+
+def test_folded_event_projection_is_single_scan(spark):
+    import re
+
+    df = entry._q_temporal_rescue_derive(spark, SF)
+    plan = formatted_plan(df)
+    # the fold's point: temporal derivation, date rescue, JSON extract,
+    # and NA scrub all ride ONE parquet scan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
