@@ -15,5 +15,6 @@ from .jobs import (  # noqa: F401
     running_user_totals,
     sessionized_user_activity,
     stream_dedup,
+    stream_static_enrich,
     windowed_event_counts,
 )

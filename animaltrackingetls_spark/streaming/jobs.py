@@ -118,6 +118,25 @@ def sessionized_user_activity(
     )
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream–static join: enrich each micro-batch against a batch
+    dimension table — the standard streaming enrichment pattern (the
+    reference's per-row geocode HTTP call, reshaped as a join the way
+    the batch path's J1 already is).
+
+    The static side is re-read per micro-batch by Spark (so a dimension
+    refresh is picked up without restarting the query) and broadcast
+    when small. Stateless — no watermark needed for the join itself;
+    compose with windowed aggs downstream as usual.
+    """
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def stream_dedup(
     stream: DataFrame,
     keys: list[str] | None = None,

@@ -130,3 +130,33 @@ def test_parquet_sink_matches_batch_and_rerun_is_idempotent(spark, tmp_path):
     assert got2 == expected
     n_rows = spark.read.parquet(out).count()
     assert n_rows == len(expected)  # no duplicated rows after re-run
+
+
+def test_stream_static_enrich_matches_batch_join(spark, tmp_path):
+    from animaltrackingetls_spark.streaming import (
+        run_available_now_to_memory,
+        stream_static_enrich,
+    )
+
+    src = str(tmp_path / "ev_enrich")
+    batch = _write_events(spark, src)
+    dim = spark.createDataFrame(
+        [(0, "free"), (1, "pro")], "user_id long, tier string"
+    )  # user 2 deliberately absent: left join must keep it with NULL tier
+    stream = read_event_stream(spark, src)
+    enriched = stream_static_enrich(stream, dim).select(
+        "event_id", "user_id", "tier"
+    )
+    run_available_now_to_memory(enriched, "t_enrich")
+    got = {
+        (r.event_id, r.user_id, r.tier)
+        for r in spark.table("t_enrich").collect()
+    }
+    expected = {
+        (r.event_id, r.user_id, r.tier)
+        for r in batch.join(dim, "user_id", "left").select(
+            "event_id", "user_id", "tier"
+        ).collect()
+    }
+    assert got == expected
+    assert any(t is None for _e, _u, t in got)  # unmatched users survive
