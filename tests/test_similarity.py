@@ -94,3 +94,43 @@ def test_round_digits_rounds_similarity(vectors):
     out = similarity.brute_force_topk(vectors, q, k=1, round_digits=2).collect()
     sim = out[0].cosine_sim
     assert sim == round(sim, 2) and sim == 0.99  # 0.9/sqrt(0.82) ≈ 0.9939 → 0.99
+
+
+def test_numpy_bucket_assigner_matches_jvm_expression(spark):
+    # The Arrow/numpy GEMM assigner (the fast path inside lsh_topk) and
+    # the pure-JVM sign-bit expression must agree bucket-for-bucket —
+    # pairwise-summed GEMM dots vs sequential fold dots may differ in
+    # ulps, and a silent divergence would desync probe and index sides.
+    import random
+
+    from animaltrackingetls_spark.operators.aggregates import make_bucket_assigner
+    from animaltrackingetls_spark.operators.similarity import (
+        _bucket_expr,
+        _hyperplanes,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tables = [_hyperplanes(16, 6, seed=42 + 1000 * t) for t in range(2)]
+
+    assigner = make_bucket_assigner(tables)
+    via_numpy = {
+        (r.vec_id, r.t): r.b
+        for t in range(2)
+        for r in df.select(
+            "vec_id",
+            F.lit(t).alias("t"),
+            F.get(assigner(F.col("embedding")), t).alias("b"),
+        ).collect()
+    }
+    via_jvm = {
+        (r.vec_id, r.t): r.b
+        for t, planes in enumerate(tables)
+        for r in df.select(
+            "vec_id",
+            F.lit(t).alias("t"),
+            _bucket_expr(F.col("embedding"), planes).alias("b"),
+        ).collect()
+    }
+    assert via_numpy == via_jvm
