@@ -51,11 +51,35 @@ def duplicate_audit(df: DataFrame) -> DataFrame:
     )
 
 
-def drop_exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
-    """Keep the min-id representative per key — deterministic, unlike
-    dropDuplicates (which keeps an arbitrary row per key)."""
-    w_min = F.min(id_col).over(Window.partitionBy(*key_cols))
-    return df.withColumn("_min_id", w_min).filter(F.col(id_col) == F.col("_min_id")).drop("_min_id")
+def drop_exact_duplicates(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    prefer: list[Column] | None = None,
+) -> DataFrame:
+    """Keep one deterministic representative per key — unlike
+    dropDuplicates (which keeps an arbitrary row per key).
+
+    Default policy: min id (a windowed MIN — partial-aggregatable, no
+    per-group sort). ``prefer`` swaps in a quality policy, e.g.
+    ``[F.desc("n_tokens")]`` keeps the longest duplicate — the common
+    real-world choice when dup groups mix truncated and full copies;
+    id ascending is always the final tiebreak, so the kept set stays
+    partitioning-independent. The prefer path pays a per-group sort
+    (row_number) instead of the MIN."""
+    if prefer is None:
+        w_min = F.min(id_col).over(Window.partitionBy(*key_cols))
+        return (
+            df.withColumn("_min_id", w_min)
+            .filter(F.col(id_col) == F.col("_min_id"))
+            .drop("_min_id")
+        )
+    w = Window.partitionBy(*key_cols).orderBy(*prefer, F.asc(id_col))
+    return (
+        df.withColumn("_keep_rn", F.row_number().over(w))
+        .filter(F.col("_keep_rn") == 1)
+        .drop("_keep_rn")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -31,6 +31,7 @@ def asof_join(
     direction: str = "backward",
     right_cols: list[str] | None = None,
     tiebreak: list[str] | None = None,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_ts <= left_ts`` (backward; ``>=`` + earliest for forward),
@@ -40,10 +41,17 @@ def asof_join(
     ``monotonically_increasing_id`` is synthesized (never partition the
     window by every left column — wide shuffle key, and wrong when left
     has genuine duplicate rows). ``tiebreak`` breaks right-side ts ties
-    deterministically. Right columns whose names collide with left
-    columns are suffixed ``_r`` in the output (default keep-list excludes
-    the join key ``by_right`` to avoid a redundant duplicate).
+    deterministically. ``tolerance_seconds`` bounds the match gap
+    (pandas merge_asof's ``tolerance``): a right row further than that
+    from the left timestamp does not match, leaving NULLs — and at
+    scale it also shrinks the pre-window join fan-out, which is the
+    real cost of the join+window as-of form. Right columns whose names
+    collide with left columns are suffixed ``_r`` in the output
+    (default keep-list excludes the join key ``by_right`` to avoid a
+    redundant duplicate).
     """
+    if tolerance_seconds is not None and tolerance_seconds < 0:
+        raise ValueError(f"tolerance_seconds must be >= 0, got {tolerance_seconds}")
     synthesized = left_id is None
     if synthesized:
         left_id = "_asof_lid"
@@ -52,6 +60,9 @@ def asof_join(
     cond = (F.col(f"l.{by_left}") == F.col(f"r.{by_right}")) & (
         rt <= lt if direction == "backward" else rt >= lt
     )
+    if tolerance_seconds is not None:
+        gap = F.abs(lt.cast("double") - rt.cast("double"))
+        cond = cond & (gap <= F.lit(float(tolerance_seconds)))
     keep = right_cols or [c for c in right.columns if c != by_right]
     l, r = left.alias("l"), right.alias("r")
     joined = l.join(r, cond, "left")

@@ -473,3 +473,24 @@ def test_bloom_prefilter_actually_prunes(spark):
         F.col("word").isNotNull() & (F.col("word").bitwiseAND(F.col("bit")) != 0)
     ).count()
     assert n_candidates < 20  # expected ~200 * 200/2^20 << 1
+
+
+def test_drop_exact_duplicates_prefer_policy(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "k1", 5), (2, "k1", 50), (3, "k1", 50),  # ties on score → min id
+            (4, "k2", 7),
+        ],
+        "doc_id long, fp string, n_tokens int",
+    )
+    kept_default = {
+        r.doc_id for r in dedup.drop_exact_duplicates(df, ["fp"], "doc_id").collect()
+    }
+    assert kept_default == {1, 4}  # min id wins
+    kept_longest = {
+        r.doc_id
+        for r in dedup.drop_exact_duplicates(
+            df, ["fp"], "doc_id", prefer=[F.desc("n_tokens")]
+        ).collect()
+    }
+    assert kept_longest == {2, 4}  # highest score, id tiebreak on the 50s

@@ -171,3 +171,41 @@ def test_salted_join_preserves_user_salt_column(spark):
     right = spark.createDataFrame([(1, "tag")], "k long, tag string")
     out = joins.salted_join(left, right, ["k"]).collect()
     assert [(r.k, r._salt, r.tag) for r in out] == [(1, "keep_l", "tag")]
+
+
+def test_asof_join_tolerance_bounds_match_gap(spark):
+    import datetime
+
+    from animaltrackingetls_spark.operators import joins
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 7, t0)], "lid long, uid long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(7, t0 - datetime.timedelta(seconds=90), 1.0),
+         (7, t0 - datetime.timedelta(seconds=30), 2.0)],
+        "uid long, rts timestamp, val double",
+    )
+    # no tolerance: latest prior row (30s ago) matches
+    out = joins.asof_join(left, right, "ts", "rts", "uid", "uid", left_id="lid").collect()
+    assert out[0].val == 2.0
+    # 60s tolerance still admits the 30s-ago row
+    out = joins.asof_join(
+        left, right, "ts", "rts", "uid", "uid", left_id="lid",
+        tolerance_seconds=60,
+    ).collect()
+    assert out[0].val == 2.0
+    # 10s tolerance excludes everything → NULL match
+    out = joins.asof_join(
+        left, right, "ts", "rts", "uid", "uid", left_id="lid",
+        tolerance_seconds=10,
+    ).collect()
+    assert out[0].val is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        joins.asof_join(
+            left, right, "ts", "rts", "uid", "uid", tolerance_seconds=-1
+        )
