@@ -177,6 +177,55 @@ def write_optimized(
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Permissive JSON-lines scan → (good, rejected) — the raw-landing
+    form of the reference's REST-page JSON ingestion: a malformed line
+    (truncated upload, junk bytes, schema break) lands in the rejected
+    frame with the raw line preserved, instead of failing the job or
+    silently vanishing.
+
+    With an explicit ``schema`` the scan is single-pass and the columns
+    prune/push down; without one, Spark samples to infer (fine for
+    exploration, pin the schema in production). Spark requires the
+    corrupt-record column to be part of the schema to populate it —
+    handled here. The split is the cleaning kernel's pattern: tag once,
+    filter twice; rejected carries only (raw_line,) + NULLs.
+    """
+    from pyspark.sql import types as T
+
+    if schema is not None:
+        read_schema = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+        )
+        reader = spark.read.schema(read_schema)
+    else:
+        reader = spark.read.option("columnNameOfCorruptRecord", corrupt_col)
+    df = (
+        reader.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    if corrupt_col not in df.columns:  # inferred-schema scan, zero bad lines
+        return df, df.limit(0).withColumn(corrupt_col, F.lit(None).cast("string")).select(corrupt_col)
+    # Spark refuses a query whose only referenced column is the internal
+    # corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN): the raw
+    # line isn't a real column of the scan, so the reject branch must
+    # read a materialized parse. cache() is the documented fix; at scale
+    # write the parsed frame to a landing parquet once and split from
+    # there (same two-branch shape, no memory pin).
+    df = df.cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    rejected = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, rejected
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -1076,3 +1076,39 @@ def semantic_dedup(
             F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def pair_metrics(
+    candidates: DataFrame,
+    truth: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Candidate-set quality vs a ground-truth pair set: one row of
+    (tp, fp, fn, precision, recall, f1) — the tuning loop for LSH
+    band/row and threshold choices (run on a labeled sample, pick
+    params, apply to the corpus).
+
+    Pairs are canonicalized to (min, max) so orientation never splits a
+    match. Plan: two full-outer-joinable sets → one equi-join + two
+    anti-join counts, all on the pair key — O(|candidates|+|truth|)
+    shuffled, nothing quadratic.
+    """
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("pa"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("pb"),
+        ).distinct()
+
+    c, t = canon(candidates), canon(truth)
+    tp = c.join(t, ["pa", "pb"], "left_semi").count()
+    fp = c.join(t, ["pa", "pb"], "left_anti").count()
+    fn = t.join(c, ["pa", "pb"], "left_anti").count()
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        [(tp, fp, fn, round(precision, 6), round(recall, 6), round(f1, 6))],
+        "tp long, fp long, fn long, precision double, recall double, f1 double",
+    )

@@ -494,3 +494,25 @@ def test_drop_exact_duplicates_prefer_policy(spark):
         ).collect()
     }
     assert kept_longest == {2, 4}  # highest score, id tiebreak on the 50s
+
+
+def test_pair_metrics_counts_and_orientation(spark):
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame(
+        [(2, 1), (4, 3), (7, 8)], "id_a long, id_b long"  # reversed orientation
+    )
+    row = dedup.pair_metrics(cand, truth).first()
+    assert (row.tp, row.fp, row.fn) == (2, 1, 1)
+    assert row.precision == round(2 / 3, 6)
+    assert row.recall == round(2 / 3, 6)
+
+
+def test_pair_metrics_tunes_lsh_against_jaccard_truth(docs):
+    # ground truth: blocked exact n-gram Jaccard; candidates: MinHash-LSH
+    truth = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("id_a", "id_b")
+    cand = dedup.minhash_candidate_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    row = dedup.pair_metrics(cand, truth).first()
+    assert row.recall >= 0.5  # LSH finds the seeded dups
+    assert row.tp >= 2

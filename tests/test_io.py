@@ -209,3 +209,54 @@ def test_compact_parquet_empty_dir_noop(spark, tmp_path):
     p = tmp_path / "empty"
     p.mkdir()
     assert compact_parquet(spark, str(p)) == 0
+
+
+def test_read_jsonl_splits_good_and_corrupt(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from animaltrackingetls_spark.io import read_jsonl
+
+    p = tmp_path / "landing.jsonl"
+    p.write_text(
+        '{"gbifID": "1", "n": 5}\n'
+        "this is not json at all\n"
+        '{"gbifID": "2", "n": 7}\n'
+        '{"gbifID": "3", "n": broken}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("gbifID", T.StringType()), T.StructField("n", T.LongType())]
+    )
+    good, rejected = read_jsonl(spark, str(p), schema)
+    assert {(r.gbifID, r.n) for r in good.collect()} == {("1", 5), ("2", 7)}
+    bad = [r.raw_line for r in rejected.collect()]
+    assert len(bad) == 2
+    assert "not json" in bad[0] or "not json" in bad[1]
+    # the raw line is preserved verbatim for the reject sidecar
+    assert any("broken" in b for b in bad)
+
+
+def test_read_jsonl_feeds_cleaning_kernel(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from animaltrackingetls_spark.cleaning import clean_occurrences
+    from animaltrackingetls_spark.io import read_jsonl
+
+    p = tmp_path / "occ.jsonl"
+    p.write_text(
+        '{"gbifID": "10", "eventDate": "2024-03-05", "decimalLatitude": 40.1, "decimalLongitude": -75.2}\n'
+        '{"gbifID": "11", "eventDate": "not a date", "decimalLatitude": 40.1, "decimalLongitude": -75.2}\n'
+        "garbage line\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("gbifID", T.StringType()),
+            T.StructField("eventDate", T.StringType()),
+            T.StructField("decimalLatitude", T.DoubleType()),
+            T.StructField("decimalLongitude", T.DoubleType()),
+        ]
+    )
+    good, io_rejects = read_jsonl(spark, str(p), schema)
+    assert io_rejects.count() == 1  # parse-level reject
+    result = clean_occurrences(good)
+    assert result.good.count() == 1          # value-level reject caught next
+    assert result.rejected.count() == 1
