@@ -1293,6 +1293,29 @@ def _mixture_oracle_branch() -> str:
     """
 
 
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_oracle_branch() -> str:
+    """('split', name, n) rows — bucket bounds computed by the same
+    rounding the operator uses, embedded as hex literals."""
+    names = list(_SPLIT_FRACTIONS)
+    bounds, acc = [], 0.0
+    for name in names[:-1]:
+        acc += _SPLIT_FRACTIONS[name]
+        bounds.append(format(min(65536, int(round(acc * 65536))), "04x"))
+    whens = " ".join(
+        f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{ub}' THEN '{n}'"
+        for n, ub in zip(names[:-1], bounds)
+    )
+    return f"""
+            SELECT 'split' AS kind,
+                   CASE {whens} ELSE '{names[-1]}' END AS "key",
+                   count(*) AS n
+            FROM documents GROUP BY 2
+    """
+
+
 def _q_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sampling (folded): the md5-bucket 25% uniform sample
     (partitioning-independent — reproducible in any engine, unlike
@@ -1329,7 +1352,15 @@ def _q_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return uni.unionByName(strat).unionByName(mix)
+    from animaltrackingetls_spark.operators.sampling import dataset_split
+
+    splits = (
+        dataset_split(docs, "doc_id", _SPLIT_FRACTIONS)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("split").alias("kind"), F.col("split").alias("key"), "n")
+    )
+    return uni.unionByName(strat).unionByName(mix).unionByName(splits)
 
 
 def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3060,6 +3091,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang
             UNION ALL
             {_mixture_oracle_branch()}
+            UNION ALL
+            {_split_oracle_branch()}
         """,
         "sessionized_stream": """
             WITH flagged AS (

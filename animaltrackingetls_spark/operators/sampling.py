@@ -240,3 +240,44 @@ def temperature_rates(
         top = max(rates.values())
         rates = {g: r / top for g, r in rates.items()}
     return rates
+
+
+def dataset_split(
+    df: DataFrame, id_col: str, fractions: dict[str, float], split_col: str = "split"
+) -> DataFrame:
+    """Deterministic DISJOINT train/val/test assignment: consecutive
+    md5-bucket ranges partition [0, 65536) by the given fractions, so
+    every row lands in exactly one split, independent of partitioning,
+    cluster size, or engine — and unlike three independent
+    deterministic_sample calls, splits can never overlap or leak.
+
+    Fractions must sum to 1 (±1e-9). Assignment order follows dict
+    order; the last split absorbs the rounding remainder so the ranges
+    exactly cover the bucket space.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"fractions must be >= 0: {fractions}")
+    _reject_reserved_columns(df, (split_col,))
+    bucket = sample_hash_bucket(F.col(id_col))
+    names = list(fractions)
+    bounds = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        bounds.append(format(min(_BUCKETS, int(round(acc * _BUCKETS))), "04x"))
+    expr = None
+    for name, ub in zip(names[:-1], bounds):
+        # ranges are consecutive, so "first upper bound the bucket is
+        # below" is exactly the range membership test
+        expr = (
+            F.when(bucket < ub, F.lit(name))
+            if expr is None
+            else expr.when(bucket < ub, F.lit(name))
+        )
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)

@@ -280,3 +280,36 @@ def test_temperature_rates_input_validation():
         temperature_rates({"a": 0})
     with _pytest.raises(ValueError):
         temperature_rates({"a": 10}, alpha=-1)
+
+
+# ---------------------------------------------------------------------------
+# dataset_split
+# ---------------------------------------------------------------------------
+
+
+def test_dataset_split_is_disjoint_exhaustive_and_stable(spark):
+    from animaltrackingetls_spark.operators.sampling import dataset_split
+
+    df = spark.range(20000).selectExpr("id AS doc_id")
+    out = dataset_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20000           # exhaustive
+    assert abs(counts["train"] - 16000) < 400      # ~fractions
+    assert abs(counts["val"] - 2000) < 200
+
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {(r.doc_id, r.split) for r in dataset_split(df.repartition(13), "doc_id",
+         {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert a == b                                   # partitioning-independent
+
+
+def test_dataset_split_validation():
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.operators.sampling import dataset_split
+
+    with _pytest.raises(ValueError):
+        dataset_split(None, "id", {})
+    with _pytest.raises(ValueError):
+        dataset_split(None, "id", {"a": 0.5, "b": 0.4})
