@@ -1252,12 +1252,50 @@ def _q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: token-budget bin assignment, packed per `source`
-    shard so the window is partition-parallel (the scale-safe form — a
-    global-window pack funnels every row through one partition; that form
-    survives only as a unit test). Unique bin key = (source, bin_id)."""
-    docs = textstats.quality_columns(_t(spark, sf_dir, "documents"))
-    return textstats.pack_documents(docs, max_tokens=2048, partition_col="source")
+    """Sequence packing end-to-end: token-budget bin assignment packed
+    per `source` shard (partition-parallel window — the scale-safe
+    form; the global-window variant survives only as a unit test), PLUS
+    the assembly step: 'bin' rows carry each bin's total tokens and the
+    md5 of the doc_id-ordered newline-joined packed sequence, so the
+    physical shard construction — order, membership, separator — is
+    digest-verified, not just the bin arithmetic. Unique bin key =
+    (source, bin_id)."""
+    raw = _t(spark, sf_dir, "documents")
+    docs = textstats.quality_columns(raw)
+    packed = textstats.pack_documents(docs, max_tokens=2048, partition_col="source")
+    doc_rows = packed.select(
+        F.lit("doc").alias("kind"),
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "source",
+        "bin_id",
+        F.lit(None).cast("string").alias("packed_md5"),
+    )
+    assembled = (
+        packed.join(raw.select("doc_id", "text"), "doc_id")
+        .groupBy("source", "bin_id")
+        .agg(
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                        lambda x: x.text,
+                    ),
+                    "\n",
+                )
+            ).alias("packed_md5"),
+        )
+        .select(
+            F.lit("bin").alias("kind"),
+            F.lit(None).cast("long").alias("doc_id"),
+            "n_tokens",
+            "source",
+            "bin_id",
+            "packed_md5",
+        )
+    )
+    return doc_rows.unionByName(assembled)
 
 
 _MIXTURE_RATES = {"src0": 2.3, "src1": 0.4, "src2": 1.0, "src3": 1.75}
@@ -3064,17 +3102,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_documents": """
             WITH t AS (
-              SELECT doc_id, source,
+              SELECT doc_id, source, text,
                      CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
               FROM documents
+            ),
+            packed AS (
+              SELECT doc_id, n_tokens, source, text,
+                     CAST(floor(
+                       COALESCE(sum(n_tokens) OVER (PARTITION BY source
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / 2048.0) AS BIGINT) AS bin_id
+              FROM t
             )
-            SELECT doc_id, n_tokens, source,
-                   CAST(floor(
-                     COALESCE(sum(n_tokens) OVER (PARTITION BY source
-                       ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                     / 2048.0) AS BIGINT) AS bin_id
-            FROM t
+            SELECT 'doc' AS kind, doc_id, n_tokens, source, bin_id,
+                   CAST(NULL AS VARCHAR) AS packed_md5
+            FROM packed
+            UNION ALL
+            SELECT 'bin' AS kind, CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens, source, bin_id,
+                   md5(string_agg(text, chr(10) ORDER BY doc_id)) AS packed_md5
+            FROM packed GROUP BY source, bin_id
         """,
         "sample_audit": f"""
             SELECT 'uniform' AS kind, CAST(doc_id AS VARCHAR) AS "key",
