@@ -177,3 +177,56 @@ def hll_union(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
             "cast(hll_sketch_estimate(hll_union_agg(sketch)) AS bigint)"
         ).alias("n_distinct_est"),
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group least-squares fit y ~ a·x + b via ``applyInPandas``
+    (GROUPED_MAP) — the per-group model-fitting pattern: each group's
+    rows arrive as one pandas frame, the fit runs vectorized, one row
+    (slope, intercept, n) returns per group.
+
+    The math is the closed form (covariance / variance), so a SQL
+    engine's regr_slope/regr_intercept replays it exactly — giving this
+    GROUPED_MAP a value oracle, which a blackbox model fit wouldn't
+    have. Degenerate groups (n < 2 or zero x-variance) yield NULL
+    slope/intercept rather than raising inside the worker.
+
+    Scale shape: one shuffle on the key; each group must fit one
+    worker's memory (GROUPED_MAP contract) — for billion-row groups use
+    the algebraic sums (sum x, sum y, sum xy, sum x²) as a plain
+    aggregation instead; this operator exists to exercise and document
+    the per-group-frame path for fits that have no algebraic form.
+    """
+    import pandas as pd  # noqa: F401 (worker-side import is the real one)
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*key_cols).schema.fields
+    )
+    schema = f"{out_fields}, slope double, intercept double, n bigint"
+
+    def fit(pdf):
+        import pandas as pd
+
+        keys = {k: pdf[k].iloc[0] for k in key_cols}
+        x = pdf[x_col].astype("float64")
+        y = pdf[y_col].astype("float64")
+        n = len(pdf)
+        slope = intercept = None
+        if n >= 2:
+            mx, my = x.mean(), y.mean()
+            varx = ((x - mx) ** 2).sum()
+            if varx > 0:
+                slope = ((x - mx) * (y - my)).sum() / varx
+                intercept = my - slope * mx
+                slope = round(slope, round_digits)
+                intercept = round(intercept, round_digits)
+        return pd.DataFrame([{**keys, "slope": slope, "intercept": intercept, "n": n}])
+
+    return df.groupBy(*key_cols).applyInPandas(fit, schema)

@@ -95,3 +95,51 @@ def test_hll_estimates_stable_within_tolerance_across_partitionings(spark):
         assert abs(a[g] - exact[g]) / exact[g] < 0.05
         assert abs(b[g] - exact[g]) / exact[g] < 0.05
         assert abs(a[g] - b[g]) / exact[g] < 0.02  # drift is small, not zero
+
+
+# ---------------------------------------------------------------------------
+# grouped_ols (applyInPandas GROUPED_MAP)
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_ols_exact_fit_and_degenerate_groups(spark):
+    from animaltrackingetls_spark.operators.aggregates import grouped_ols
+
+    rows = (
+        [("lin", float(i), 3.0 * i + 2.0) for i in range(10)]   # exact line
+        + [("one", 1.0, 5.0)]                                   # n=1 → NULL
+        + [("flat", 2.0, 1.0), ("flat", 2.0, 9.0)]              # zero x-var → NULL
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in grouped_ols(df, ["g"], "x", "y").collect()}
+    assert out["lin"].slope == 3.0 and out["lin"].intercept == 2.0
+    assert out["lin"].n == 10
+    assert out["one"].slope is None and out["one"].n == 1
+    assert out["flat"].slope is None and out["flat"].n == 2
+
+
+def test_grouped_ols_matches_duckdb_regression(spark):
+    import duckdb
+
+    from animaltrackingetls_spark.operators.aggregates import grouped_ols
+
+    rows = [
+        (f"g{i % 3}", float(i % 17), float((i * 7) % 23) + 0.5 * (i % 17))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {
+        r.g: (r.slope, r.intercept, r.n)
+        for r in grouped_ols(df, ["g"], "x", "y").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, x DOUBLE, y DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    oracle = {
+        g: (s, i, n)
+        for g, s, i, n in con.execute(
+            "SELECT g, round(regr_slope(y, x), 6), round(regr_intercept(y, x), 6),"
+            " count(*) FROM t GROUP BY g"
+        ).fetchall()
+    }
+    assert got == oracle
