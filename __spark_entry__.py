@@ -1696,7 +1696,21 @@ def _q_inventory_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("name2"),
         F.lit(None).cast("long").alias("n"),
     )
-    return inv.unionByName(cal)
+    # 'spine' branch: gap-filled daily event counts (a dense calendar —
+    # zero rows for days with no events), over a sparse subset so the
+    # fill demonstrably fills (purchases over $150 skip many days).
+    ev = _t(spark, sf_dir, "events")
+    sparse = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150)
+    ).select(F.to_date("ts").alias("day"))
+    spine = aggregates.calendar_spine_fill(sparse, "day").select(
+        F.lit("spine").alias("kind"),
+        F.col("day").alias("d"),
+        F.lit(None).cast("string").alias("name1"),
+        F.lit(None).cast("string").alias("name2"),
+        "n",
+    )
+    return inv.unionByName(cal).unionByName(spine)
 
 
 def _q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2194,6 +2208,22 @@ def oracle_sql() -> dict[str, str]:
                           AS DATE) AS VARCHAR) AS name2,
                    CAST(NULL AS BIGINT) AS n
             FROM events
+            UNION ALL
+            SELECT 'spine' AS kind, CAST(sp.d AS DATE) AS d,
+                   CAST(NULL AS VARCHAR) AS name1, CAST(NULL AS VARCHAR) AS name2,
+                   CAST(coalesce(pd.n, 0) AS BIGINT) AS n
+            FROM (
+              SELECT unnest(generate_series(
+                       (SELECT min(CAST(ts AS DATE)) FROM events
+                        WHERE event_type = 'purchase' AND value > 150),
+                       (SELECT max(CAST(ts AS DATE)) FROM events
+                        WHERE event_type = 'purchase' AND value > 150),
+                       INTERVAL 1 DAY)) AS d
+            ) sp
+            LEFT JOIN (
+              SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events
+              WHERE event_type = 'purchase' AND value > 150 GROUP BY 1
+            ) pd ON CAST(sp.d AS DATE) = pd.d
         """,
         "validate_orders": """
             WITH agg AS (

@@ -230,3 +230,35 @@ def grouped_ols(
         return pd.DataFrame([{**keys, "slope": slope, "intercept": intercept, "n": n}])
 
     return df.groupBy(*key_cols).applyInPandas(fit, schema)
+
+
+def calendar_spine_fill(
+    df: DataFrame,
+    date_col: str,
+    value_agg: Column | None = None,
+    value_name: str = "n",
+) -> DataFrame:
+    """Gap-filled daily series: one row for EVERY calendar day between
+    the data's min and max date, with the day's aggregate (default
+    COUNT(*)) and explicit zeros for absent days — the spine join that
+    turns an event log into a dense time series (a plain groupBy
+    silently skips empty days, which poisons moving averages and
+    day-over-day deltas downstream).
+
+    Plan: one aggregation for per-day values, a 1-row min/max reduce,
+    a Generate (sequence→explode) building the spine WITHOUT a driver
+    loop, and a broadcast-sized left join — the spine is O(days), tiny
+    at any data scale.
+    """
+    agg = value_agg if value_agg is not None else F.count(F.lit(1))
+    per_day = df.groupBy(F.col(date_col).alias("d")).agg(agg.alias(value_name))
+    bounds = df.agg(
+        F.min(date_col).alias("lo"), F.max(date_col).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    return spine.join(per_day, "d", "left").select(
+        F.col("d").alias(date_col),
+        F.coalesce(F.col(value_name), F.lit(0).cast("long")).alias(value_name),
+    )

@@ -143,3 +143,39 @@ def test_grouped_ols_matches_duckdb_regression(spark):
         ).fetchall()
     }
     assert got == oracle
+
+
+def test_calendar_spine_fill_zero_fills_gaps(spark):
+    import datetime
+
+    from animaltrackingetls_spark.operators.aggregates import calendar_spine_fill
+
+    d = datetime.date
+    df = spark.createDataFrame(
+        [(d(2024, 3, 1),), (d(2024, 3, 1),), (d(2024, 3, 4),)],
+        "day date",
+    )
+    out = {str(r.day): r.n for r in calendar_spine_fill(df, "day").collect()}
+    assert out == {
+        "2024-03-01": 2, "2024-03-02": 0, "2024-03-03": 0, "2024-03-04": 1,
+    }
+
+
+def test_calendar_spine_fill_custom_aggregate(spark):
+    import datetime
+
+    from animaltrackingetls_spark.operators.aggregates import calendar_spine_fill
+    from pyspark.sql import functions as F
+
+    d = datetime.date
+    df = spark.createDataFrame(
+        [(d(2024, 1, 1), 10.0), (d(2024, 1, 3), 4.0), (d(2024, 1, 3), 6.0)],
+        "day date, v double",
+    )
+    out = {
+        str(r.day): r.total
+        for r in calendar_spine_fill(
+            df, "day", F.sum("v").cast("long"), "total"
+        ).collect()
+    }
+    assert out == {"2024-01-01": 10, "2024-01-02": 0, "2024-01-03": 10}
