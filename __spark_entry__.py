@@ -863,13 +863,22 @@ def _q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_window_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking window: the latest event per user ('latest sighting')."""
+    """Windows, both families in one partition pass: the ranking window
+    (latest event per user — 'latest sighting') plus a ROWS-frame
+    analytic (the user's trailing 3-event value average at that latest
+    event). Same partitioning key, so Catalyst evaluates both windows
+    on one shuffle/sort."""
     ev = _t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
-        ev.withColumn("rn", F.row_number().over(w))
+        ev.withColumn(
+            "avg_last3",
+            F.round(F.avg("value").over(w_ord.rowsBetween(-2, 0)), 6),
+        )
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", "ts")
+        .select("user_id", "event_id", "event_type", "ts", "avg_last3")
     )
 
 
@@ -2723,11 +2732,16 @@ def oracle_sql() -> dict[str, str]:
         "window_latest_event": """
             WITH r AS (
               SELECT user_id, event_id, event_type, ts,
+                     round(avg(value) OVER (PARTITION BY user_id
+                                            ORDER BY ts ASC, event_id ASC
+                                            ROWS BETWEEN 2 PRECEDING
+                                            AND CURRENT ROW), 6) AS avg_last3,
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
             )
-            SELECT user_id, event_id, event_type, ts FROM r WHERE rn = 1
+            SELECT user_id, event_id, event_type, ts, avg_last3
+            FROM r WHERE rn = 1
         """,
         "large_orders": """
             SELECT 'topk' AS kind, o_orderkey, o_totalprice,
