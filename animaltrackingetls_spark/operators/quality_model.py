@@ -104,3 +104,68 @@ def linear_quality_scores(
     return out.withColumn(
         "score", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 4)
     )
+
+
+def train_weights(
+    docs: DataFrame,
+    label_col: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    reg_param: float = 0.0,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Train the bucket weights with Spark MLlib logistic regression —
+    closing the loop: ``train_weights`` → (bucket, weight) table →
+    :func:`linear_quality_scores` broadcast-join inference. The
+    feature space is the SAME hashed bag-of-tokens (term-frequency
+    counts per md5 bucket) the scorer reads, so trained weights drop in
+    for the synthetic ones with no inference change.
+
+    Returns (bucket, weight) for every bucket the model saw, plus the
+    intercept as bucket = -1 (callers who ignore it get the
+    uncalibrated ranking, which is unchanged by a constant).
+
+    Scale shape: feature assembly is the scorer's explode + hash agg
+    (one shuffle); LBFGS itself iterates over the assembled
+    SparseVectors via MLlib's distributed aggregation. Training is the
+    rare, offline step — inference never touches MLlib.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import SparseVector
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("double").alias("label"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("bucket", token_bucket(F.col("tok"), n_buckets))
+    counts = toks.groupBy("id", "label", "bucket").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    rows = counts.groupBy("id", "label").agg(
+        F.map_from_arrays(
+            F.collect_list("bucket"), F.collect_list(F.col("tf").cast("double"))
+        ).alias("feats")
+    )
+
+    def to_vec(m):
+        items = sorted(m.items())
+        return SparseVector(n_buckets, [k for k, _ in items], [v for _, v in items])
+
+    from pyspark.sql.functions import udf
+    from pyspark.ml.linalg import VectorUDT
+
+    vec_udf = udf(to_vec, VectorUDT())
+    train_df = rows.select("label", vec_udf("feats").alias("features"))
+    model = LogisticRegression(
+        regParam=reg_param, maxIter=max_iter, standardization=False
+    ).fit(train_df)
+
+    spark = docs.sparkSession
+    coef = model.coefficients
+    if hasattr(coef, "indices"):  # SparseVector
+        nonzero = [(int(i), float(coef[int(i)])) for i in coef.indices]
+    else:  # DenseVector — keep only buckets the model actually weighted
+        nonzero = [(i, float(v)) for i, v in enumerate(coef) if v != 0.0]
+    weight_rows = [(-1, float(model.intercept))] + nonzero
+    return spark.createDataFrame(weight_rows, "bucket int, weight double")

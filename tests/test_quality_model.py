@@ -67,3 +67,31 @@ def test_weight_join_is_broadcast_and_bucket_in_range(spark):
         .collect()
     ]
     assert all(0 <= b < 32 for b in buckets)
+
+
+def test_train_weights_learns_separable_vocab(spark):
+    from animaltrackingetls_spark.operators.quality_model import (
+        linear_quality_scores,
+        train_weights,
+    )
+
+    good_words = ["insightful", "thorough", "rigorous"]
+    bad_words = ["spam", "clickbait", "scam"]
+    rows = []
+    for i in range(60):
+        w = good_words if i % 2 == 0 else bad_words
+        text = " ".join(w[(i + j) % 3] for j in range(5))
+        rows.append((i, text, 1 if i % 2 == 0 else 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    weights = train_weights(docs, "label", n_buckets=512)
+    assert weights.filter("bucket >= 0").count() > 0
+
+    # trained weights drop straight into the broadcast-join scorer
+    scored = linear_quality_scores(
+        docs, weights.filter("bucket >= 0"), n_buckets=512
+    )
+    got = {r.id: r.score for r in scored.collect()}
+    good_scores = [got[i] for i in range(60) if i % 2 == 0]
+    bad_scores = [got[i] for i in range(60) if i % 2 == 1]
+    assert min(good_scores) > max(bad_scores)  # separable vocab → separated scores
