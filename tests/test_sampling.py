@@ -313,3 +313,49 @@ def test_dataset_split_validation():
         dataset_split(None, "id", {})
     with _pytest.raises(ValueError):
         dataset_split(None, "id", {"a": 0.5, "b": 0.4})
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the md5-bucket idioms hold for arbitrary rates/fractions
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+def test_threshold_hex_is_monotone_and_bounded(rate):
+    from animaltrackingetls_spark.operators.sampling import _threshold_hex
+
+    thr = _threshold_hex(rate)
+    if thr is None:
+        assert rate > 0.9999  # only ~full rates collapse to keep-everything
+    else:
+        assert len(thr) == 4 and int(thr, 16) <= 0xFFFF
+        # monotone: a strictly smaller bucket count never gets a larger threshold
+        smaller = _threshold_hex(rate / 2)
+        if smaller is not None:
+            assert smaller <= thr
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=1.0, allow_nan=False),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_dataset_split_always_disjoint_and_exhaustive(spark, raw):
+    from animaltrackingetls_spark.operators.sampling import dataset_split
+
+    total = sum(raw)
+    fractions = {f"s{i}": v / total for i, v in enumerate(raw)}
+    # normalize the residual rounding into the last split
+    fractions[f"s{len(raw)-1}"] += 1.0 - sum(fractions.values())
+    df = spark.range(500).selectExpr("id AS doc_id")
+    out = dataset_split(df, "doc_id", fractions)
+    assert out.count() == 500                      # exhaustive
+    assert out.select("doc_id").distinct().count() == 500  # disjoint (1 row/id)
+    assert {r.split for r in out.select("split").distinct().collect()} <= set(fractions)
