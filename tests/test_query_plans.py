@@ -120,3 +120,19 @@ def test_folded_event_projection_is_single_scan(spark):
     # the fold's point: temporal derivation, date rescue, JSON extract,
     # and NA scrub all ride ONE parquet scan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_no_query_plan_contains_a_cartesian_product(spark):
+    # The audit_plans.py invariant as a suite-enforced property: every
+    # registered query's physical plan is cartesian-free. Streaming
+    # queries execute on construction (AvailableNow drain) — their
+    # result-table plans are trivially checked too. sf0.001 keeps the
+    # full pass cheap.
+    failures = []
+    for name, fn in entry.queries().items():
+        try:
+            df = fn(spark, SF)
+            assert_no_cartesian(df)
+        except AssertionError:
+            failures.append(name)
+    assert failures == [], f"cartesian product in: {failures}"
