@@ -315,7 +315,11 @@ def _q_winnow_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     to (doc_id, fp) rows — upgrading the winnow family from rows-only to
     a full value oracle: DuckDB replays gram hashing (hex-cast md5),
     window minima, and the distinct-keep rule exactly. The xx64 fast
-    path stays registered as the rows-only `winnow_fingerprints`."""
+    path stays registered as the rows-only `winnow_fingerprints`. The
+    doc_id%5 subset bounds the ORACLE's cost (DuckDB computes one md5
+    per character 8-gram — ~n_chars hashes per doc — with no
+    parallelism), not Spark's; coverage is unaffected since every
+    document shape appears in the subset."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     fps = textstats.winnow_fingerprint_frame(docs, k=8, window=4, hash_fn="md5")
     return fps.select(F.col("id").alias("doc_id"), F.explode("fps").alias("fp"))
