@@ -160,3 +160,48 @@ def test_stream_static_enrich_matches_batch_join(spark, tmp_path):
     }
     assert got == expected
     assert any(t is None for _e, _u, t in got)  # unmatched users survive
+
+
+def test_parquet_sink_update_mode_replaces_reopened_window(spark, tmp_path):
+    import datetime
+
+    from animaltrackingetls_spark.streaming import run_available_now_to_parquet
+
+    src = tmp_path / "ev_late"
+    out = str(tmp_path / "wc_late_out")
+    ckpt = str(tmp_path / "ckpt_late")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def drain():
+        stream = read_event_stream(spark, str(src))
+        agg = windowed_event_counts(stream, "1 hour").withColumn(
+            "window_date", F.to_date("window_start")
+        )
+        run_available_now_to_parquet(
+            agg, out, ckpt, partition_cols=["window_date"], output_mode="update"
+        )
+
+    t = datetime.datetime(2024, 1, 1, 10, 30)
+    spark.createDataFrame(
+        [(1, t, 1, "click", 1.0, "{}"), (2, t, 1, "click", 2.0, "{}")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    first = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    assert first[(datetime.datetime(2024, 1, 1, 10, 0), "click")] == 2
+
+    # LATE data lands in the already-emitted 10:00 window; the same
+    # checkpoint resumes, the window re-emits with the updated total,
+    # and dynamic partition overwrite REPLACES the old row set
+    spark.createDataFrame(
+        [(3, t + datetime.timedelta(minutes=10), 1, "click", 3.0, "{}")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    rows = spark.read.parquet(out).filter("event_type = 'click'").collect()
+    assert len(rows) == 1  # replaced, not appended
+    assert rows[0].n_events == 3
