@@ -232,6 +232,58 @@ def fetch_all_pages(
     return all_records
 
 
+def fetch_all_pages_cursor(
+    transport,
+    params: dict | None = None,
+    limit_per_request: int = DEFAULT_PAGE_SIZE,
+    max_pages: int | None = DEFAULT_MAX_PAGES,
+    records_limitation: int | None = None,
+    delay_seconds: float = 0.0,
+    sleep: Callable[[float], None] = time.sleep,
+    cursor_param: str = "cursor",
+    next_cursor_key: str = "next_cursor",
+) -> list[dict]:
+    """S1 variant: cursor-token pagination — the other common REST
+    contract (the server hands back an opaque ``next_cursor``; the
+    client echoes it; no offsets exist). Same page cap / record slice /
+    politeness / retry knobs as the offset loop.
+
+    Cursor scans are INHERENTLY sequential — page N+1's address exists
+    only inside page N's response — so there is no partition-per-page
+    parallel form (that's why ``PagedRestDataSource`` keeps the offset
+    style). At scale a cursor feed is the single-writer ingest edge:
+    land pages to files, and parallelism starts at the landed data.
+    Defensive stop: a server that re-serves the same cursor would loop
+    forever; repeating a cursor terminates the scan.
+    """
+    all_records: list[dict] = []
+    cursor = None
+    seen_cursors: set = set()
+    page_count = 0
+    while True:
+        if max_pages is not None and page_count >= max_pages:
+            break
+        page_params = dict(params or {})
+        page_params["limit"] = limit_per_request
+        if cursor is not None:
+            page_params[cursor_param] = cursor
+        page = fetch_page_with_retry(transport.fetch, page_params)
+        records = page.get("results", [])
+        if not records:
+            break
+        page_count += 1
+        if records_limitation is not None:
+            records = records[: int(records_limitation)]
+        all_records.extend(records)
+        cursor = page.get(next_cursor_key)
+        if not cursor or cursor in seen_cursors:
+            break
+        seen_cursors.add(cursor)
+        if delay_seconds:
+            sleep(delay_seconds)
+    return all_records
+
+
 # ---------------------------------------------------------------------------
 # Custom DataSource: partition-per-page
 # ---------------------------------------------------------------------------

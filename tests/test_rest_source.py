@@ -203,3 +203,55 @@ def test_transport_selection_by_option_string(fixture_dir):
         transport_from_options({"transport": "carrier_pigeon"})
     with pytest.raises(ValueError):
         transport_from_options({"transport": "http"})  # missing base_url
+
+
+# ---------------------------------------------------------------------------
+# fetch_all_pages_cursor
+# ---------------------------------------------------------------------------
+
+
+class _CursorTransport:
+    """Serves pages addressed by opaque tokens; records requests."""
+
+    def __init__(self, pages, loop_forever=False):
+        # pages: list of record-lists; token for page i is f"tok{i}"
+        self.pages = pages
+        self.loop_forever = loop_forever
+        self.requests = []
+
+    def fetch(self, params):
+        self.requests.append(dict(params))
+        tok = params.get("cursor")
+        idx = 0 if tok is None else int(tok[3:])
+        if idx >= len(self.pages):
+            return {"results": []}
+        nxt = f"tok{idx + 1}" if idx + 1 < len(self.pages) else None
+        if self.loop_forever:
+            nxt = tok or "tok0"  # malicious server: re-serves the same cursor
+        return {"results": self.pages[idx], "next_cursor": nxt}
+
+
+def test_cursor_pagination_walks_all_pages():
+    from animaltrackingetls_spark.sources.rest import fetch_all_pages_cursor
+
+    t = _CursorTransport([[{"i": 1}, {"i": 2}], [{"i": 3}], [{"i": 4}]])
+    out = fetch_all_pages_cursor(t, max_pages=None)
+    assert [r["i"] for r in out] == [1, 2, 3, 4]
+    assert "cursor" not in t.requests[0]          # first page has no token
+    assert t.requests[1]["cursor"] == "tok1"      # echoed back verbatim
+
+
+def test_cursor_pagination_respects_caps_and_slice():
+    from animaltrackingetls_spark.sources.rest import fetch_all_pages_cursor
+
+    t = _CursorTransport([[{"i": 1}, {"i": 2}], [{"i": 3}], [{"i": 4}]])
+    out = fetch_all_pages_cursor(t, max_pages=2, records_limitation=1)
+    assert [r["i"] for r in out] == [1, 3]        # 2 pages, 1 record each
+
+
+def test_cursor_pagination_terminates_on_repeated_cursor():
+    from animaltrackingetls_spark.sources.rest import fetch_all_pages_cursor
+
+    t = _CursorTransport([[{"i": 1}], [{"i": 2}]], loop_forever=True)
+    out = fetch_all_pages_cursor(t, max_pages=None)
+    assert len(out) <= 2                          # no infinite loop
