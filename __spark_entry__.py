@@ -1737,7 +1737,7 @@ def _q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from animaltrackingetls_spark.operators import validate as V
 
     o = _t(spark, sf_dir, "orders")
-    return V.validation_report(
+    report = V.validation_report(
         o,
         [
             V.not_null("o_orderkey"),
@@ -1747,6 +1747,9 @@ def _q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             V.matches("o_orderpriority", "^[1-4]-"),
         ],
         unique_keys=[["o_orderkey"]],
+    )
+    return report.unionByName(
+        V.iqr_outliers(o, "o_totalprice", k=1.5, round_bounds=6)
     )
 
 
@@ -2273,6 +2276,20 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'o_orderpriority:matches', CAST(r5 AS BIGINT),
                       CAST(n_rows AS BIGINT) FROM agg
             UNION ALL SELECT 'o_orderkey:unique', n_violations, n_rows FROM uniq
+            UNION ALL
+            SELECT 'o_totalprice:iqr_outliers',
+                   CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                                  AND (o_totalprice < iqr.lo
+                                       OR o_totalprice > iqr.hi)
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM orders CROSS JOIN (
+              SELECT round(q1 - 1.5 * (q3 - q1), 6) AS lo,
+                     round(q3 + 1.5 * (q3 - q1), 6) AS hi
+              FROM (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                           quantile_cont(o_totalprice, 0.75) AS q3
+                    FROM orders)
+            ) iqr
         """,
         "geocode_broadcast": f"""
             WITH {_POINTS_SQL}

@@ -91,3 +91,46 @@ def validation_report(
     for keys in unique_keys or []:
         out = out.unionByName(unique_violations(df, keys))
     return out
+
+
+def iqr_outliers(
+    df: DataFrame, col: str, k: float = 1.5, round_bounds: int | None = None
+) -> DataFrame:
+    """(rule, n_violations, n_rows) for the Tukey IQR outlier rule:
+    values outside [q1 - k·IQR, q3 + k·IQR]. Unlike the static rules,
+    the bounds come FROM the data — one exact-percentile aggregation
+    produces a single bounds row, broadcast onto a second pass that
+    counts violations (NULLs are not outliers; `not_null` owns them).
+
+    Exact interpolated percentiles keep the rule reproducible in any
+    engine (quantile_cont parity); at 100 TB swap `percentile` for
+    `approx_percentile` and accept sketch bounds — same plan shape.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    lo = F.col("_q1") - k * (F.col("_q3") - F.col("_q1"))
+    hi = F.col("_q3") + k * (F.col("_q3") - F.col("_q1"))
+    if round_bounds is not None:
+        # cross-engine reproducibility: interpolated percentiles can
+        # differ in final ulps between engines; rounded fences make the
+        # outlier set identical (pass when an oracle replays the rule)
+        lo, hi = F.round(lo, round_bounds), F.round(hi, round_bounds)
+    bounds = df.agg(
+        F.expr(f"percentile({col}, 0.25)").alias("_q1"),
+        F.expr(f"percentile({col}, 0.75)").alias("_q3"),
+    ).select(lo.alias("_lo"), hi.alias("_hi"))
+    joined = df.join(F.broadcast(bounds))
+    return joined.agg(
+        F.sum(
+            F.when(
+                F.col(col).isNotNull()
+                & ((F.col(col) < F.col("_lo")) | (F.col(col) > F.col("_hi"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        F.lit(f"{col}:iqr_outliers").alias("rule"), "n_violations", "n_rows"
+    )

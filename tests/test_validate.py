@@ -71,3 +71,23 @@ def test_report_unions_and_value_rules_share_one_scan(spark, frame):
 
     with pytest.raises(ValueError):
         validate(frame, [])
+
+
+def test_iqr_outliers_flags_tails_only(spark):
+    from animaltrackingetls_spark.operators.validate import iqr_outliers
+
+    rows = [(float(v),) for v in range(1, 101)] + [(1000.0,), (-500.0,), (None,)]
+    df = spark.createDataFrame(rows, "v double")
+    row = iqr_outliers(df, "v").first()
+    assert row.rule == "v:iqr_outliers"
+    assert row.n_violations == 2      # only the planted extremes; NULL exempt
+    assert row.n_rows == 103
+
+    # k=0 collapses the fence to [q1, q3]: ~half the uniform data flagged
+    tight = iqr_outliers(df, "v", k=0.0).first()
+    assert tight.n_violations > 40
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        iqr_outliers(df, "v", k=-1)
