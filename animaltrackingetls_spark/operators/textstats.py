@@ -426,3 +426,12 @@ def chunk_documents(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def dedup_lines(c: Column, sep: str = "\n") -> Column:
+    """Remove repeated lines WITHIN a document, keeping first occurrence
+    order — the boilerplate-collapse step (nav menus, repeated footers)
+    that runs before corpus-level dedup. Pure codegen: split →
+    array_distinct (order-preserving, first wins) → rejoin. Whitespace
+    inside lines is untouched; empty lines dedup like any other line."""
+    return F.array_join(F.array_distinct(F.split(c, sep)), sep)

@@ -266,3 +266,20 @@ def test_normalize_nfc_composes_decomposed_forms(spark):
     assert duckdb.connect().execute(
         "SELECT nfc_normalize(?)", [decomposed]
     ).fetchone()[0] == composed
+
+
+def test_dedup_lines_keeps_first_occurrence_order(spark):
+    from animaltrackingetls_spark.operators.textstats import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "Home | About\nreal content\nHome | About\nmore text\nreal content"),
+            (2, "only line"),
+            (3, "a\n\nb\n\na"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.out for r in df.select("id", dedup_lines(F.col("text")).alias("out")).collect()}
+    assert got[1] == "Home | About\nreal content\nmore text"
+    assert got[2] == "only line"
+    assert got[3] == "a\n\nb"  # empty lines dedup too; order preserved
