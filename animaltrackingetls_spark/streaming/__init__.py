@@ -11,6 +11,7 @@ then stop — a cron-safe streaming run).
 from .jobs import (  # noqa: F401
     read_event_stream,
     run_available_now_to_memory,
+    run_available_now_register_inventory,
     run_available_now_to_parquet,
     running_user_totals,
     sessionized_user_activity,

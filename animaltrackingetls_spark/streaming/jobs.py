@@ -273,6 +273,84 @@ def run_available_now_to_parquet(
         )
 
 
+def run_available_now_register_inventory(
+    stream: DataFrame,
+    inventory_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    processed_at: str | None = None,
+    timeout_seconds: int = 120,
+) -> None:
+    """Streaming twin of the reference's inventory registration: each
+    micro-batch counts its rows per day and folds them into the
+    parquet inventory catalog via ``foreachBatch`` — counts ADD across
+    batches (a batch is an increment, not a restatement, unlike the
+    batch path's per-run overwrite), so the catalog tracks cumulative
+    ingested volume per day as files land.
+
+    Exactly-once accounting comes from the checkpoint: a replayed batch
+    after crash-before-commit would double-count, which is the known
+    foreachBatch at-least-once edge — production pairs this with a
+    batch-id high-watermark column or the reconcile_inventory backfill
+    (which recomputes truth from the data and repairs any drift).
+    """
+    from animaltrackingetls_spark.inventory import (
+        INVENTORY_COLUMNS,
+        table_name_for_day,
+        upsert_parquet,
+    )
+
+    def _register(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new_counts = (
+            batch_df.groupBy(
+                F.to_date(ts_col).alias("available_date")
+            )
+            .agg(F.count(F.lit(1)).alias("record_count"))
+        )
+        try:
+            existing = spark.read.parquet(inventory_path).select(
+                "available_date", F.col("record_count").alias("prior_count")
+            )
+            merged = new_counts.join(existing, "available_date", "left")
+            new_counts = merged.select(
+                "available_date",
+                (
+                    F.col("record_count")
+                    + F.coalesce("prior_count", F.lit(0))
+                ).alias("record_count"),
+            )
+        except Exception:
+            pass  # first batch: no inventory yet
+        updates = new_counts.select(
+            "available_date",
+            table_name_for_day(F.col("available_date")).alias("table_name"),
+            "record_count",
+            (
+                F.lit(processed_at).cast("string")
+                if processed_at is not None
+                else F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss")
+            ).alias("processed_at"),
+        ).select(*INVENTORY_COLUMNS)
+        upsert_parquet(spark, inventory_path, updates, ["available_date"])
+
+    q = (
+        stream.writeStream.foreachBatch(_register)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_seconds)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"inventory registration stream did not drain within {timeout_seconds}s"
+        )
+
+
 def run_available_now_to_memory(
     result: DataFrame,
     query_name: str,

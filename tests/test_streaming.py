@@ -205,3 +205,51 @@ def test_parquet_sink_update_mode_replaces_reopened_window(spark, tmp_path):
     rows = spark.read.parquet(out).filter("event_type = 'click'").collect()
     assert len(rows) == 1  # replaced, not appended
     assert rows[0].n_events == 3
+
+
+def test_streaming_inventory_registration_accumulates_counts(spark, tmp_path):
+    import datetime
+
+    from animaltrackingetls_spark.streaming import (
+        run_available_now_register_inventory,
+    )
+
+    src = tmp_path / "ev_inv"
+    inv = str(tmp_path / "inventory")
+    ckpt = str(tmp_path / "ckpt_inv")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    d1 = datetime.datetime(2024, 5, 1, 9, 0)
+    d2 = datetime.datetime(2024, 5, 2, 9, 0)
+
+    def drain():
+        stream = read_event_stream(spark, str(src))
+        run_available_now_register_inventory(
+            stream, inv, ckpt, processed_at="2024-05-02 12:00:00"
+        )
+
+    spark.createDataFrame(
+        [(1, d1, 1, "click", 1.0, "{}"), (2, d1, 2, "view", 1.0, "{}"),
+         (3, d2, 1, "click", 1.0, "{}")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    got = {
+        str(r.available_date): (r.table_name, r.record_count)
+        for r in spark.read.parquet(inv).collect()
+    }
+    assert got["2024-05-01"] == ("may012024", 2)
+    assert got["2024-05-02"] == ("may022024", 1)
+
+    # second landing: counts ADD for existing days, new days appear
+    spark.createDataFrame(
+        [(4, d1, 3, "click", 1.0, "{}")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    got = {
+        str(r.available_date): r.record_count
+        for r in spark.read.parquet(inv).collect()
+    }
+    assert got["2024-05-01"] == 3  # 2 + 1 incremental
+    assert got["2024-05-02"] == 1  # untouched day unchanged
