@@ -260,3 +260,39 @@ def test_read_jsonl_feeds_cleaning_kernel(spark, tmp_path):
     result = clean_occurrences(good)
     assert result.good.count() == 1          # value-level reject caught next
     assert result.rejected.count() == 1
+
+
+def test_load_table_rescues_both_timestamp_encodings(spark, tmp_path):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from animaltrackingetls_spark.io import load_table
+
+    ts = [datetime.datetime(2024, 1, 1, 12, 0, 0), datetime.datetime(2024, 1, 2, 13, 30, 0)]
+
+    # r1-r3 encoding: TIMESTAMP(NANOS) — Spark reads int64 under
+    # nanosAsLong; load_table must cast back
+    pq.write_table(
+        pa.table({"id": [1, 2], "ts": pa.array(ts, type=pa.timestamp("ns"))}),
+        str(tmp_path / "ev_nanos.parquet"),
+    )
+    df = load_table(spark, str(tmp_path), "ev_nanos")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = sorted(r.ts for r in df.collect())
+    assert got == ts
+
+    # r4+ encoding: TIMESTAMP(micros, isAdjustedToUTC=false) → NTZ;
+    # load_table must normalize to session-UTC timestamp
+    pq.write_table(
+        pa.table({"id": [1, 2], "ts": pa.array(ts, type=pa.timestamp("us"))}),
+        str(tmp_path / "ev_ntz.parquet"),
+    )
+    df2 = load_table(spark, str(tmp_path), "ev_ntz")
+    assert dict(df2.dtypes)["ts"] == "timestamp"
+    assert sorted(r.ts for r in df2.collect()) == ts
+
+    # epoch arithmetic works on both (the exact op that broke in r04)
+    for frame in (df, df2):
+        assert frame.selectExpr("cast(ts AS bigint)").count() == 2
