@@ -43,3 +43,48 @@ def test_assert_broadcast_join_detects(spark):
     assert_broadcast_join(joined)
     with pytest.raises(AssertionError):
         assert_broadcast_join(n.select("n_name"))
+
+
+def test_bucketed_tables_eliminate_join_shuffle(spark, tmp_path):
+    # The co-located-join technique for repeated 100 TB joins: both
+    # sides bucketed on the join key into the same bucket count means
+    # the sort-merge join reads pre-partitioned data — ZERO Exchange
+    # nodes in the join plan (vs 2 for unbucketed SMJ).
+    import re
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o = spark.range(1000).selectExpr("id AS o_orderkey", "id % 7 AS o_flag")
+    li = spark.range(3000).selectExpr(
+        "id % 1000 AS l_orderkey", "id AS l_lineno"
+    )
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(tmp_path / "b_orders"))
+        .mode("overwrite").saveAsTable("b_orders"))
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", str(tmp_path / "b_lineitem"))
+        .mode("overwrite").saveAsTable("b_lineitem"))
+
+    joined = spark.table("b_orders").join(
+        spark.table("b_lineitem"),
+        spark.table("b_orders").o_orderkey
+        == spark.table("b_lineitem").l_orderkey,
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 0, plan[:2000]
+    assert joined.count() == 3000
+
+    # control: the same join over plain parquet shuffles both sides
+    o.write.mode("overwrite").parquet(str(tmp_path / "po"))
+    li.write.mode("overwrite").parquet(str(tmp_path / "pl"))
+    po, pl = spark.read.parquet(str(tmp_path / "po")), spark.read.parquet(str(tmp_path / "pl"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        control = po.join(pl, po.o_orderkey == pl.l_orderkey)
+        cplan = control._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", cplan)) >= 2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
