@@ -6,6 +6,12 @@ the same event-table shape consumed incrementally, with watermarks for
 late data and ``Trigger.AvailableNow`` for the reference's
 "micro-batch-by-schedule" pattern (process everything that has landed,
 then stop — a cron-safe streaming run).
+
+Surface: adaptive-encoding source (``read_event_stream``), stateless and
+stateful transforms (windowed counts, session windows, stream dedup,
+stream-static enrichment, ``applyInPandasWithState`` running totals),
+and three sinks — memory (test/demo), idempotent partition-overwrite
+parquet (production), and additive inventory registration (catalog).
 """
 
 from .jobs import (  # noqa: F401
