@@ -1354,9 +1354,13 @@ def _split_oracle_branch() -> str:
     bounds, acc = [], 0.0
     for name in names[:-1]:
         acc += _SPLIT_FRACTIONS[name]
-        bounds.append(format(min(65536, int(round(acc * 65536))), "04x"))
+        # mirror of sampling.dataset_split: inclusive 4-hex bound clamped
+        # to 0xffff so a fraction rounding to 65536 can't emit '10000'
+        bounds.append(min(65536, int(round(acc * 65536))) - 1)
     whens = " ".join(
-        f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{ub}' THEN '{n}'"
+        "WHEN FALSE THEN '%s'" % n
+        if ub < 0
+        else f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= '{format(ub, '04x')}' THEN '{n}'"
         for n, ub in zip(names[:-1], bounds)
     )
     return f"""

@@ -211,7 +211,10 @@ def read_jsonl(
         .json(path)
     )
     if corrupt_col not in df.columns:  # inferred-schema scan, zero bad lines
-        return df, df.limit(0).withColumn(corrupt_col, F.lit(None).cast("string")).select(corrupt_col)
+        empty_rejected = df.limit(0).select(
+            F.lit(None).cast("string").alias("raw_line")
+        )
+        return df, empty_rejected
     # Spark refuses a query whose only referenced column is the internal
     # corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN): the raw
     # line isn't a real column of the scan, so the reject branch must

@@ -265,3 +265,33 @@ def bucketized_range_join(
         .filter((F.col(left_point) >= F.col(right_start)) & (F.col(left_point) <= F.col(right_end)))
         .drop("_bkt")
     )
+
+
+def attach_scalar(df: DataFrame, scalar_df: DataFrame) -> DataFrame:
+    """Attach every column of a single-row aggregate frame to each row of
+    ``df`` via a scalar subquery (``DataFrame.scalar()``, Spark 4+).
+
+    The canonical "broadcast one global statistic onto the stream" shape
+    (corpus size, avg doc length, IQR fences). Compiles to a
+    ``ScalarSubquery``: the aggregate runs once and its value is injected
+    into the main plan as a literal — no join node at all. The
+    ``crossJoin(F.broadcast(one_row))`` alternative is semantically
+    identical but plans as an unconditioned BroadcastNestedLoopJoin,
+    which the plan audit (``plans.audit.assert_no_cartesian``) rejects
+    because it is indistinguishable in the plan text from an accidental
+    O(n·m) product.
+
+    ``scalar_df`` must be exactly one row (an ungrouped ``agg``); Spark
+    enforces this at runtime (scalar subqueries fail on >1 row). Column
+    names must not collide with ``df``'s.
+    """
+    overlap = set(df.columns) & set(scalar_df.columns)
+    if overlap:
+        raise ValueError(f"scalar columns collide with df columns: {sorted(overlap)}")
+    packed = scalar_df.select(
+        F.struct(*[F.col(c) for c in scalar_df.columns]).alias("_scalar")
+    )
+    out = df.withColumn("_scalar", packed.scalar())
+    for c in scalar_df.columns:
+        out = out.withColumn(c, F.col(f"_scalar.{c}"))
+    return out.drop("_scalar")

@@ -127,12 +127,13 @@ def train_weights(
     uncalibrated ranking, which is unchanged by a constant).
 
     Scale shape: feature assembly is the scorer's explode + hash agg
-    (one shuffle); LBFGS itself iterates over the assembled
-    SparseVectors via MLlib's distributed aggregation. Training is the
-    rare, offline step — inference never touches MLlib.
+    (one shuffle), densified JVM-side and converted with the built-in
+    ``array_to_vector`` (no Python UDF in the plan); LBFGS then iterates
+    via MLlib's distributed aggregation. Training is the rare, offline
+    step on a labeled sample — inference never touches MLlib.
     """
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.linalg import SparseVector
+    from pyspark.ml.functions import array_to_vector
 
     toks = docs.select(
         F.col(id_col).alias("id"),
@@ -148,15 +149,15 @@ def train_weights(
         ).alias("feats")
     )
 
-    def to_vec(m):
-        items = sorted(m.items())
-        return SparseVector(n_buckets, [k for k, _ in items], [v for _, v in items])
-
-    from pyspark.sql.functions import udf
-    from pyspark.ml.linalg import VectorUDT
-
-    vec_udf = udf(to_vec, VectorUDT())
-    train_df = rows.select("label", vec_udf("feats").alias("features"))
+    # Densify the bucket→tf map JVM-side (transform over a 0..n_buckets-1
+    # sequence) and hand MLlib the vector via the built-in
+    # `array_to_vector` — no Python row UDF anywhere in the plan (the
+    # training path stays whole-stage-codegen until LBFGS takes over).
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("feats"), i), F.lit(0.0)),
+    )
+    train_df = rows.select("label", array_to_vector(dense).alias("features"))
     model = LogisticRegression(
         regParam=reg_param, maxIter=max_iter, standardization=False
     ).fit(train_df)

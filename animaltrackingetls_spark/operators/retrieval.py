@@ -11,7 +11,8 @@ expensive parts scale:
   the per-document scan emits at most ``|query|`` distinct terms per doc.
 * **Corpus statistics are O(1) rows.** N and the average document length
   reduce to a single row (map-side partial aggregation) and re-enter the
-  plan through a broadcast cross join, not a shuffle.
+  plan as a scalar subquery (`joins.attach_scalar`) — computed once,
+  injected as a literal, no join node and no shuffle.
 * **Document frequencies are O(|query|) rows** — aggregated from the
   already-filtered tf frame and broadcast back for the idf join.
 * **Top-k is TakeOrderedAndProject**, never a global sort: each
@@ -32,6 +33,8 @@ import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .joins import attach_scalar
 
 from .textstats import token_count, tokens
 
@@ -112,9 +115,7 @@ def bm25_topk(
     )
 
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "id")
-        .crossJoin(F.broadcast(stats))
+        attach_scalar(tf.join(F.broadcast(dfreq), "term").join(dl, "id"), stats)
         .groupBy("id")
         .agg(
             F.sum(idf * saturation).alias("score"),
@@ -166,8 +167,7 @@ def tf_idf_vectors(
     if min_df > 1:
         dfreq = dfreq.filter(F.col("df") >= min_df)
     return (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(stats))
+        attach_scalar(tf.join(dfreq, "term"), stats)
         .select(
             "id",
             "term",

@@ -269,15 +269,18 @@ def dataset_split(
     acc = 0.0
     for name in names[:-1]:
         acc += fractions[name]
-        bounds.append(format(min(_BUCKETS, int(round(acc * _BUCKETS))), "04x"))
+        # Inclusive bound on the last bucket of the range: a cumulative
+        # fraction that rounds to _BUCKETS would render as the 5-char hex
+        # '10000' under an exclusive compare and misroute every '1xxx'
+        # bucket lexicographically; clamping to _BUCKETS-1 ('ffff') keeps
+        # every bound a 4-char literal.
+        bounds.append(min(_BUCKETS, int(round(acc * _BUCKETS))) - 1)
     expr = None
     for name, ub in zip(names[:-1], bounds):
-        # ranges are consecutive, so "first upper bound the bucket is
-        # below" is exactly the range membership test
-        expr = (
-            F.when(bucket < ub, F.lit(name))
-            if expr is None
-            else expr.when(bucket < ub, F.lit(name))
-        )
+        # ranges are consecutive, so "first upper bound the bucket is at
+        # or below" is exactly the range membership test; ub < 0 means a
+        # zero-width range (fraction rounded to nothing)
+        cond = F.lit(False) if ub < 0 else (bucket <= format(ub, "04x"))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn(split_col, expr)

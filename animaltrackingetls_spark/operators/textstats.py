@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .joins import attach_scalar
+
 # Marker stopwords for the n-gram-free language-ID heuristic. Scores are
 # token-set intersections — deterministic and expressible in plain SQL.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -366,8 +368,7 @@ def unigram_lm_scores(
         F.sum("c").cast("double").alias("n"), F.count(F.lit(1)).cast("double").alias("v")
     )
     return (
-        words.join(F.broadcast(vocab), "w")
-        .crossJoin(F.broadcast(tot))
+        attach_scalar(words.join(F.broadcast(vocab), "w"), tot)
         .groupBy("id")
         .agg(
             F.avg(F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v")))).alias(

@@ -20,6 +20,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .joins import attach_scalar
+
 
 @dataclass(frozen=True)
 class Rule:
@@ -119,7 +121,7 @@ def iqr_outliers(
         F.expr(f"percentile({col}, 0.25)").alias("_q1"),
         F.expr(f"percentile({col}, 0.75)").alias("_q3"),
     ).select(lo.alias("_lo"), hi.alias("_hi"))
-    joined = df.join(F.broadcast(bounds))
+    joined = attach_scalar(df, bounds)
     return joined.agg(
         F.sum(
             F.when(

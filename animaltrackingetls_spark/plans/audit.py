@@ -18,10 +18,25 @@ def formatted_plan(df: DataFrame, mode: str = "formatted") -> str:
 
 def assert_no_cartesian(df: DataFrame) -> None:
     """Fail if the physical plan contains a cartesian / unconditioned
-    broadcast-nested-loop product."""
+    broadcast-nested-loop product.
+
+    Both shapes are O(n·m) row products. A CONDITIONED
+    BroadcastNestedLoopJoin (a genuine non-equi broadcast join, shown as
+    ``Join condition: (expr)`` in the node detail) is allowed; an
+    unconditioned one (``Join condition: None``) is not — scalar
+    attaches must go through ``joins.attach_scalar`` (a ScalarSubquery,
+    no join node) so a real accidental product can't hide behind the
+    "it's just a 1-row broadcast" excuse.
+    """
     plan = formatted_plan(df)
     if "CartesianProduct" in plan:
         raise AssertionError(f"plan contains CartesianProduct:\n{plan}")
+    if re.search(
+        r"BroadcastNestedLoopJoin\nJoin type: [^\n]+\nJoin condition: None", plan
+    ):
+        raise AssertionError(
+            f"plan contains unconditioned BroadcastNestedLoopJoin:\n{plan}"
+        )
 
 
 def assert_broadcast_join(df: DataFrame) -> None:

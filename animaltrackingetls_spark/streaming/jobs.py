@@ -8,6 +8,7 @@ idiom replacing the reference's cron re-runs, SURVEY.md §2.10).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -245,12 +246,13 @@ def run_available_now_to_parquet(
     """
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         if partition_cols:
-            spark = batch_df.sparkSession
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
+            # per-write option, NOT session conf: setting
+            # spark.sql.sources.partitionOverwriteMode on the shared
+            # session inside foreachBatch would silently change overwrite
+            # semantics for every later write in the same session
             (
                 batch_df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(*partition_cols)
                 .parquet(path)
             )
@@ -322,8 +324,17 @@ def run_available_now_register_inventory(
                     + F.coalesce("prior_count", F.lit(0))
                 ).alias("record_count"),
             )
-        except Exception:
-            pass  # first batch: no inventory yet
+        except AnalysisException as err:
+            # only a genuinely missing inventory means "first batch"; a
+            # corrupt or unreadable one must surface, not silently reset
+            # the cumulative counts (mirrors upsert_parquet's detection)
+            cond = ""
+            try:
+                cond = err.getCondition() or ""
+            except Exception:
+                pass
+            if "PATH_NOT_FOUND" not in cond and "PATH_NOT_FOUND" not in str(err):
+                raise
         updates = new_counts.select(
             "available_date",
             table_name_for_day(F.col("available_date")).alias("table_name"),

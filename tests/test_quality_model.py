@@ -95,3 +95,46 @@ def test_train_weights_learns_separable_vocab(spark):
     good_scores = [got[i] for i in range(60) if i % 2 == 0]
     bad_scores = [got[i] for i in range(60) if i % 2 == 1]
     assert min(good_scores) > max(bad_scores)  # separable vocab → separated scores
+
+def test_training_feature_plan_has_no_python_row_udf(spark):
+    """The densify + array_to_vector feature assembly must stay JVM-side:
+    no BatchEvalPython (row UDF) node anywhere in the training frame's
+    plan (ArrowEvalPython would also indicate a Python detour)."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.operators.quality_model import token_bucket
+    from animaltrackingetls_spark.operators.textstats import tokens
+    from animaltrackingetls_spark.plans.audit import formatted_plan
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", 1), (2, "gamma delta", 0)],
+        "doc_id long, text string, label int",
+    )
+    n_buckets = 64
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("label").cast("double").alias("label"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    ).withColumn("bucket", token_bucket(F.col("tok"), n_buckets))
+    rows = (
+        toks.groupBy("id", "label", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("id", "label")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("bucket"), F.collect_list(F.col("tf").cast("double"))
+            ).alias("feats")
+        )
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("feats"), i), F.lit(0.0)),
+    )
+    train_df = rows.select("label", array_to_vector(dense).alias("features"))
+    plan = formatted_plan(train_df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # and it still yields usable vectors
+    vecs = train_df.collect()
+    assert all(v.features.size == n_buckets for v in vecs)
