@@ -521,41 +521,90 @@ def embedding_neardup_lsh(
 # ---------------------------------------------------------------------------
 
 
+def _large_star_round(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014, Alg. 2): every node
+    connects its strictly-LARGER neighbors to the minimum of its closed
+    neighborhood. Input/output edges are (u, v) pairs with u != v in any
+    orientation; output is oriented big→small (u > v)."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least("u", "_mv").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star_round(e: DataFrame) -> DataFrame:
+    """One small-star round (Kiveris et al. 2014, Alg. 3): orient every
+    edge big→small, then every node connects its smaller neighbors (and
+    itself) to the minimum of them. Output oriented big→small."""
+    d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = d.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    own = mins.select("u", F.col("m").alias("v"))
+    return nbr.union(own).filter(F.col("u") != F.col("v")).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    mode: str = "auto",
+    star_edge_threshold: int = 5_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list →
     ``(id, cluster_id)`` where ``cluster_id`` is the minimum node id in
     the component — the canonicalization step that turns pairwise
     near-dup hits (MinHash/LSH/Jaccard candidates) into dedup clusters.
 
-    Iterative min-label propagation: every node starts labeled with its
-    own id; each round every node takes the min of its own label and its
-    neighbors' labels. Each round is one equi-join + one partial-agg
-    shuffle, both keyed on node id, so the per-round cost is
-    O(|E|) shuffled bytes regardless of component sizes. Convergence is
-    detected with a 1-row action (sum of labels is strictly decreasing
-    until the fixpoint), and each round is ``localCheckpoint``-ed to
-    truncate lineage — without it, round k's plan re-derives rounds
-    1..k-1 and the job goes quadratic.
+    Two interchangeable distributed strategies, selected by ``mode``:
 
-    Rounds needed = max component diameter. Near-dup clusters are
-    shallow (dups of a doc are dups of each other), so a handful of
-    rounds converge; for web-scale graphs with long chains swap the
-    propagation body for alternating large-star/small-star rounds
-    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
-    the loop shell, convergence test, and checkpointing stay the same.
-    On a real cluster prefer ``df.checkpoint()`` to a reliable store:
+    * ``"propagate"`` — iterative min-label propagation: every node
+      starts labeled with its own id; each round every node takes the
+      min of its own label and its neighbors' labels (one equi-join +
+      one partial-agg shuffle per round, O(|E|) shuffled bytes).
+      **Rounds needed = max component diameter** — ideal for near-dup
+      clusters, which are shallow (dups of a doc are dups of each
+      other), so a handful of rounds converge.
+    * ``"star"`` — alternating large-star/small-star rounds (Kiveris et
+      al., "Connected Components in MapReduce and Beyond", 2014): each
+      cycle rewrites the edge set so larger nodes point at ever-smaller
+      component members; the fixpoint of both operations is a disjoint
+      union of stars centered at each component's minimum node.
+      **Converges in O(log n) cycles regardless of diameter** — the
+      scale path for adversarial graphs (long chains, comment spam
+      threads, boilerplate rings) where propagation's rounds-=-diameter
+      becomes the superlinear cliff. Per cycle: two groupBy-min + two
+      self-join shuffles, all keyed on node id.
+    * ``"auto"`` (default) — ``star`` when the symmetrized edge count is
+      at or above ``star_edge_threshold``, else ``propagate``. Rationale:
+      small candidate graphs are diameter-shallow in practice and the
+      propagation round is ~2 shuffles vs star's ~4, while big graphs
+      can't risk a deep chain; the threshold is per-job tunable.
+
+    Every round is ``localCheckpoint``-ed to truncate lineage — without
+    it, round k's plan re-derives rounds 1..k-1 and the job goes
+    quadratic. Convergence is detected with a 1-row action (label-sum
+    fixpoint for propagate; edge-set count+hash signature for star). On
+    a real cluster prefer ``df.checkpoint()`` to a reliable store:
     ``localCheckpoint`` pins blocks to executors and does not survive
     executor loss.
 
     The fixpoint is independent of partitioning and iteration order, so
     the result is deterministic (exercised against a DuckDB
-    ``WITH RECURSIVE`` transitive-closure oracle).
+    ``WITH RECURSIVE`` transitive-closure oracle). ``stats``, when
+    passed, receives ``{"mode": ..., "rounds": n}`` for scale audits.
     """
+    if mode not in ("auto", "propagate", "star"):
+        raise ValueError(f"mode must be auto|propagate|star, got {mode!r}")
     sym = edges.select(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
     )
@@ -566,14 +615,31 @@ def connected_components(
     # scheduler tax for nothing (measured ~2× on a 2.7k-edge graph at 32
     # partitions vs 4). count() on the just-materialized checkpoint is a
     # metadata-cheap action. Large graphs keep the session partitioning.
-    if sym.count() < 1_000_000:
+    n_sym = sym.count()
+    if n_sym < 1_000_000:
         sym = sym.repartition(4).localCheckpoint(eager=True)
+    if mode == "auto":
+        mode = "star" if n_sym >= star_edge_threshold else "propagate"
 
+    if mode == "star":
+        labels = _star_components(sym, max_iter, stats)
+    else:
+        labels = _propagate_components(sym, max_iter, stats)
+    if stats is not None:
+        stats["mode"] = mode
+    return labels
+
+
+def _propagate_components(
+    sym: DataFrame, max_iter: int, stats: dict | None = None
+) -> DataFrame:
+    """Min-label propagation body (see connected_components)."""
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("comp")).first()[0]
 
+    rounds = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -591,12 +657,69 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        rounds += 1
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
 
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(F.col("id"), F.col("comp").alias("cluster_id"))
+
+
+def _star_components(
+    sym: DataFrame, max_iter: int, stats: dict | None = None
+) -> DataFrame:
+    """Alternating large-star/small-star body (see connected_components).
+
+    ``sym`` is the symmetrized, deduped edge set. Convergence: a cycle
+    (large + small) that leaves the edge-set signature — (count,
+    bit_xor(xxhash64(u,v))) — unchanged means both operations hit their
+    joint fixpoint, which Kiveris et al. prove is the star forest
+    centered at component minima. The signature is one tiny action per
+    cycle (XOR, not SUM: order-independent, duplicate-free input, and it
+    cannot overflow under ANSI mode); a 64-bit collision masking a real
+    change is ~2^-64 — and harmless anyway, because convergence is
+    monotone and an extra cycle re-checks.
+    """
+    nodes = sym.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    # Work on the big→small orientation of each undirected edge.
+    e = (
+        sym.filter(F.col("src") > F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = _sig(e)
+    cycles = 0
+    for _ in range(max_iter):
+        e = _large_star_round(e).localCheckpoint(eager=True)
+        e = _small_star_round(e).localCheckpoint(eager=True)
+        cycles += 1
+        cur = _sig(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    if stats is not None:
+        stats["rounds"] = cycles
+    # At the fixpoint every non-minimum node carries exactly one edge to
+    # its component minimum; minima have only incoming edges. groupBy-min
+    # (instead of trusting uniqueness) keeps the mapping well-defined
+    # even if max_iter stopped short of the fixpoint.
+    mapping = e.groupBy("u").agg(F.min("v").alias("comp"))
+    return (
+        nodes.join(mapping, nodes["id"] == mapping["u"], "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("cluster_id"))
+    )
 
 
 def dedup_clusters(

@@ -516,3 +516,63 @@ def test_pair_metrics_tunes_lsh_against_jaccard_truth(docs):
     row = dedup.pair_metrics(cand, truth).first()
     assert row.recall >= 0.5  # LSH finds the seeded dups
     assert row.tp >= 2
+
+
+def test_star_mode_long_chain_bounded_rounds(spark):
+    """A diameter-120 chain with shuffled (non-monotone) ids: propagation
+    would need ~120 rounds; the large-star/small-star alternation must
+    converge in O(log n) cycles with the same min-id labeling."""
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(1000, 1000 + 121))
+    rng.shuffle(ids)  # adversarial: chain order != id order
+    pairs = [(ids[i], ids[i + 1]) for i in range(120)]
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    stats: dict = {}
+    got = {
+        (r.id, r.cluster_id)
+        for r in dedup.connected_components(
+            edges, mode="star", stats=stats
+        ).collect()
+    }
+    expect_min = min(ids)
+    assert got == {(i, expect_min) for i in ids}
+    assert stats["mode"] == "star"
+    # log2(121) ~ 7; allow slack but stay far under the 120-diameter bound
+    assert stats["rounds"] <= 12
+
+
+def test_star_mode_matches_propagation_on_random_graph(spark):
+    import random
+
+    rng = random.Random(13)
+    nodes = list(range(500))
+    pairs = {
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(400)
+    }
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "id_a long, id_b long"
+    )
+    star = sorted(
+        map(tuple, dedup.connected_components(edges, mode="star").collect())
+    )
+    prop = sorted(
+        map(
+            tuple,
+            dedup.connected_components(edges, mode="propagate", max_iter=60).collect(),
+        )
+    )
+    assert star == prop
+
+
+def test_auto_mode_selects_by_edge_count(chain_edges):
+    stats: dict = {}
+    dedup.connected_components(chain_edges, stats=stats).collect()
+    assert stats["mode"] == "propagate"  # tiny graph stays on propagation
+    stats2: dict = {}
+    dedup.connected_components(
+        chain_edges, star_edge_threshold=1, stats=stats2
+    ).collect()
+    assert stats2["mode"] == "star"  # threshold crossed -> star rounds
