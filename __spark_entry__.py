@@ -963,13 +963,16 @@ def _q_mask_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal metadata + REAL PNG header decode (folded).
+    """Multimodal metadata + REAL PNG and JPEG header decodes (folded).
 
-    Text payloads carry JVM-side byte length + sha256 as before. A second
-    image payload per doc is synthesized as genuine PNG signature+IHDR
-    bytes (dims derived from doc_id) and parsed BACK from the raw bytes
-    by the byte-level parser — the oracle recomputes the dims by formula,
-    so any parse/synthesis disagreement fails the hash."""
+    Text payloads carry JVM-side byte length + sha256 as before. Two
+    image payloads per doc are synthesized as genuine bytes — PNG
+    signature+IHDR, and a JPEG marker-segment stream whose APP1 payload
+    deliberately embeds a fake FFC0 (the false-SOF trap) — with dims
+    derived from doc_id, then parsed BACK from the raw bytes by the
+    byte-level parsers (png_ihdr / jpeg_sof segment walk). The oracle
+    recomputes the dims by formula, so any parse/synthesis disagreement
+    — including falling into the APP1 trap — fails the hash."""
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.to_media_table(
         docs, "doc_id", F.encode(F.col("text"), "utf-8"), "text/plain"
@@ -982,10 +985,32 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") * 7 % 768 + 16).cast("long"),
         ).alias("payload"),
     )
+    jpeg = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("image/jpeg").alias("content_type"),
+        multimodal.synthesize_jpeg_header(
+            (F.col("doc_id") * 13 % 512 + 32).cast("long"),
+            (F.col("doc_id") * 3 % 512 + 32).cast("long"),
+        ).alias("payload"),
+    )
     dims = multimodal.image_dimensions(png)
-    return media.select("media_id", "content_type", "n_bytes", "sha256_hex").join(
-        dims.select("media_id", "width", "height", "bit_depth", "color_type"),
-        "media_id",
+    jdims = multimodal.image_dimensions(jpeg)
+    return (
+        media.select("media_id", "content_type", "n_bytes", "sha256_hex")
+        .join(
+            dims.select("media_id", "width", "height", "bit_depth", "color_type"),
+            "media_id",
+        )
+        .join(
+            jdims.select(
+                "media_id",
+                F.col("width").alias("jpeg_w"),
+                F.col("height").alias("jpeg_h"),
+                F.col("bit_depth").alias("jpeg_precision"),
+                F.col("color_type").alias("jpeg_ncomp"),
+            ),
+            "media_id",
+        )
     )
 
 
@@ -2914,7 +2939,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 1024 + 16 AS BIGINT) AS width,
                    CAST(doc_id * 7 % 768 + 16 AS BIGINT) AS height,
                    CAST(8 AS INT) AS bit_depth,
-                   CAST(6 AS INT) AS color_type
+                   CAST(6 AS INT) AS color_type,
+                   CAST(doc_id * 13 % 512 + 32 AS BIGINT) AS jpeg_w,
+                   CAST(doc_id * 3 % 512 + 32 AS BIGINT) AS jpeg_h,
+                   CAST(8 AS INT) AS jpeg_precision,
+                   CAST(3 AS INT) AS jpeg_ncomp
             FROM documents
         """,
         "catalog_profile": f"""

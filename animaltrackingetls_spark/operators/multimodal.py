@@ -3,7 +3,9 @@
 Images/audio/video travel as opaque ``binary`` columns plus a typed
 metadata struct; decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` so each Python worker touches a whole batch of payloads
-at once. The actual codec step is STUBBED (media libraries are not in
+at once. PNG (IHDR) and JPEG (SOF segment walk) headers are decoded for
+REAL from raw bytes, JVM-side and in the stdlib Python twin. The pixel
+codec step for other formats is STUBBED (media libraries are not in
 this environment): ``decode_stub`` either raises ``NotImplementedError``
 (strict mode) or produces a deterministic fake decode — the Spark-side
 plumbing (schema, batching, partition sizing) is real and tested.
@@ -98,10 +100,13 @@ def png_ihdr(payload: Column) -> Column:
 
 
 def image_dimensions(media: DataFrame) -> DataFrame:
-    """(media_id, width, height, bit_depth, color_type) for PNG payloads
-    in a media table; NULL struct fields for non-PNG rows. Pure JVM —
-    the payload never crosses into Python."""
-    ihdr = png_ihdr(F.col("payload"))
+    """(media_id, width, height, bit_depth, color_type) for PNG and JPEG
+    payloads in a media table, auto-detected by signature (PNG first,
+    then the JPEG segment walk); NULL fields for anything else. Pure JVM
+    — the payload never crosses into Python. For JPEG rows bit_depth is
+    the sample precision and color_type the component count (see
+    :func:`jpeg_sof`)."""
+    ihdr = F.coalesce(png_ihdr(F.col("payload")), jpeg_sof(F.col("payload")))
     return media.select(
         "media_id",
         "content_type",
@@ -134,6 +139,158 @@ def synthesize_png_header(width: Column, height: Column,
     )
 
 
+JPEG_SOI_HEX = "FFD8"
+# SOF segment markers: C0-CF minus DHT (C4), JPG (C8), DAC (CC).
+_JPEG_SOF_TYPES = {
+    "C0", "C1", "C2", "C3", "C5", "C6", "C7", "C9", "CA", "CB", "CD", "CE", "CF",
+}
+# Standalone markers (no length field) legal between SOI and SOS.
+_JPEG_STANDALONE = {"01", "D0", "D1", "D2", "D3", "D4", "D5", "D6", "D7"}
+_JPEG_MAX_SEGMENTS = 24
+
+
+def jpeg_sof(payload: Column) -> Column:
+    """Parse JPEG dimensions from the SOF0/SOF2 frame header with JVM
+    byte functions — the second REAL no-codec decode next to
+    :func:`png_ihdr`.
+
+    JPEG is a marker-segment stream: SOI (FFD8), then segments of
+    (FF, type, u16be length incl. itself, payload) until SOS starts the
+    entropy-coded data. The frame header (SOFn, n∉{4,8,12}) carries
+    sample precision u8, height u16be, width u16be, component count u8.
+    A naive ``locate(FFC0)`` is WRONG — APP1/EXIF payloads may contain
+    those bytes — so this walks the segment chain properly: a bounded
+    ``aggregate`` fold (≤24 segments, plenty for APPn + tables before
+    SOF) advances offset by each segment's declared length and stops at
+    the first SOF. Malformed streams (no SOI, fill byte missing, SOS/EOI
+    before SOF, >24 segments) yield NULL rather than garbage.
+
+    Returns struct(width, height, bit_depth, color_type) matching
+    :func:`png_ihdr`'s shape: bit_depth carries the sample precision
+    (8 for baseline), color_type the component count (3 = YCbCr,
+    1 = grayscale).
+    """
+
+    def be_uint(offset: Column, nbytes: int) -> Column:
+        return F.conv(F.hex(F.substring(payload, offset, nbytes)), 16, 10).cast(
+            "long"
+        )
+
+    def byte_hex(offset: Column) -> Column:
+        return F.hex(F.substring(payload, offset, 1))
+
+    # fold state: off = 1-based offset of the next marker; st 0=walking,
+    # 1=SOF found (w/h/prec/ncomp populated), 2=malformed/absent
+    init = F.struct(
+        F.lit(3).cast("long").alias("off"),
+        F.when(
+            F.hex(F.substring(payload, 1, 2)) == F.lit(JPEG_SOI_HEX), F.lit(0)
+        )
+        .otherwise(F.lit(2))
+        .alias("st"),
+        F.lit(None).cast("long").alias("w"),
+        F.lit(None).cast("long").alias("h"),
+        F.lit(None).cast("int").alias("prec"),
+        F.lit(None).cast("int").alias("ncomp"),
+    )
+
+    def step(acc: Column, _x: Column) -> Column:
+        off = acc["off"]
+        mtype = byte_hex(off + 1)
+        is_sof = mtype.isin(*_JPEG_SOF_TYPES)
+        is_standalone = mtype.isin(*_JPEG_STANDALONE)
+        ends_scan = mtype.isin("DA", "D9")  # SOS / EOI: no SOF will follow
+        bad = (byte_hex(off) != F.lit("FF")) | (mtype == F.lit(""))
+        nxt_off = off + F.lit(2) + be_uint(off + 2, 2)
+        walking = F.struct(
+            F.when(is_standalone, off + 2).otherwise(nxt_off).alias("off"),
+            F.when(bad | ends_scan, F.lit(2))
+            .when(is_sof, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("st"),
+            F.when(is_sof, be_uint(off + 7, 2)).alias("w"),
+            F.when(is_sof, be_uint(off + 5, 2)).alias("h"),
+            F.when(is_sof, be_uint(off + 4, 1).cast("int")).alias("prec"),
+            F.when(is_sof, be_uint(off + 9, 1).cast("int")).alias("ncomp"),
+        )
+        return F.when(acc["st"] == 0, walking).otherwise(acc)
+
+    final = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_JPEG_MAX_SEGMENTS)), init, step
+    )
+    return F.when(
+        final["st"] == 1,
+        F.struct(
+            final["w"].alias("width"),
+            final["h"].alias("height"),
+            final["prec"].alias("bit_depth"),
+            final["ncomp"].alias("color_type"),
+        ),
+    )
+
+
+def decode_jpeg_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Python twin of :func:`jpeg_sof` for the Arrow-batched decode path
+    (stdlib only). Returns (width, height, precision, n_components) or
+    None for non-JPEG / malformed bytes."""
+    p = bytes(payload)
+    if len(p) < 4 or p[:2] != b"\xff\xd8":
+        return None
+    off = 2
+    for _ in range(_JPEG_MAX_SEGMENTS):
+        if off + 1 >= len(p) or p[off] != 0xFF:
+            return None
+        mtype = p[off + 1]
+        if f"{mtype:02X}" in _JPEG_SOF_TYPES:
+            if off + 9 >= len(p):
+                return None
+            prec = p[off + 4]
+            height = struct.unpack(">H", p[off + 5 : off + 7])[0]
+            width = struct.unpack(">H", p[off + 7 : off + 9])[0]
+            ncomp = p[off + 9]
+            return (width, height, prec, ncomp)
+        if f"{mtype:02X}" in _JPEG_STANDALONE:
+            off += 2
+            continue
+        if mtype in (0xDA, 0xD9):  # SOS / EOI before any SOF
+            return None
+        if off + 4 > len(p):
+            return None
+        off += 2 + struct.unpack(">H", p[off + 2 : off + 4])[0]
+    return None
+
+
+def synthesize_jpeg_header(width: Column, height: Column,
+                           precision: int = 8, n_components: int = 3) -> Column:
+    """Build a structurally valid JPEG prefix (SOI + APP0/JFIF + an APP1
+    whose payload deliberately contains the bytes FFC0 — the false-SOF
+    trap a naive byte search falls into — + SOF0), entirely JVM-side.
+    The media twin of :func:`synthesize_png_header`: gives the REAL
+    parser (:func:`jpeg_sof`) real marker-segment bytes to walk in an
+    environment that ships no image files."""
+
+    def hex4(c: Column) -> Column:
+        return F.lpad(F.hex(c.cast("long")), 4, "0")
+
+    app0 = "FFE0" + "0010" + "4A46494600" + "0101" + "00" + "0001" + "0001" + "0000"
+    # APP1 (length 8): 6 payload bytes containing a fake FFC0 marker
+    app1_trap = "FFE1" + "0008" + "4578" + "FFC0" + "0000"
+    sof_len = 8 + 3 * n_components
+    comps = "".join(
+        f"{i + 1:02X}{'22' if i == 0 else '11'}{'00' if i == 0 else '01'}"
+        for i in range(n_components)
+    )
+    return F.unhex(
+        F.concat(
+            F.lit(JPEG_SOI_HEX + app0 + app1_trap + "FFC0" + f"{sof_len:04X}"
+                  + f"{precision:02X}"),
+            hex4(height),
+            hex4(width),
+            F.lit(f"{n_components:02X}" + comps),
+        )
+    )
+
+
 def decode_png_header(payload: bytes) -> tuple[int, int, int, int] | None:
     """Python twin of :func:`png_ihdr` for the Arrow-batched decode path
     (stdlib struct only). Returns (width, height, bit_depth, color_type)
@@ -148,15 +305,20 @@ def decode_png_header(payload: bytes) -> tuple[int, int, int, int] | None:
 
 
 def decode_stub(payload: bytes, content_type: str, strict: bool = False) -> list[float]:
-    """Decode/feature-extract. PNG headers are decoded for REAL (stdlib
-    struct — no codec lib needed): feature = [width, height, bit_depth,
-    color_type]. Other formats remain STUBBED — real deployments swap in
-    PIL/ffmpeg; this container has neither, so strict mode raises and the
-    default returns a deterministic 8-dim byte-histogram feature."""
+    """Decode/feature-extract. PNG and JPEG headers are decoded for REAL
+    (stdlib struct — no codec lib needed): feature = [width, height,
+    bit_depth/precision, color_type/n_components]. Other formats remain
+    STUBBED — real deployments swap in PIL/ffmpeg; this container has
+    neither, so strict mode raises and the default returns a
+    deterministic 8-dim byte-histogram feature."""
     if content_type == "image/png":
         header = decode_png_header(bytes(payload))
         if header is not None:
             return [float(v) for v in header]
+    if content_type == "image/jpeg":
+        jheader = decode_jpeg_header(bytes(payload))
+        if jheader is not None:
+            return [float(v) for v in jheader]
     if strict:
         raise NotImplementedError(
             f"media decode for {content_type} requires codec libraries not "
