@@ -344,3 +344,140 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def create_table_sql(table: str, schema, column_types: str | dict | None = None) -> str:
+    """``CREATE TABLE`` statement from the SAME column DDL that
+    :func:`write_jdbc` hands Spark's JDBC writer — one source of truth
+    for target-table types whichever transport executes them."""
+    cols = (
+        column_types
+        if isinstance(column_types, str)
+        else jdbc_column_types(schema, column_types)
+    )
+    return f"CREATE TABLE {table} ({cols})"
+
+
+def write_dbapi(
+    df: DataFrame,
+    conn_factory,
+    table: str,
+    mode: str = "overwrite",
+    column_types: str | dict[str, str] | None = None,
+    batch_size: int = 500,
+) -> None:
+    """K1/K2's database form through any DB-API connection — the
+    EXECUTABLE mirror of :func:`write_jdbc` for environments without a
+    JDBC driver jar (this sandbox; also DuckDB/SQLite targets that have
+    no JDBC URL from Python). Same semantics: overwrite drops and
+    recreates from the :func:`jdbc_column_types` DDL, append creates
+    only if missing; inserts run distributed, one connection per
+    partition, executemany'd in ``batch_size`` chunks.
+
+    ``conn_factory`` must be a zero-arg picklable callable (executors
+    open their own connections — never serialize one). DDL runs once on
+    the driver before the distributed insert.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    ddl = create_table_sql(table, df.schema, column_types)
+    conn = conn_factory()
+    try:
+        cur = conn.cursor()
+        if mode == "overwrite":
+            cur.execute(f"DROP TABLE IF EXISTS {table}")
+            cur.execute(ddl)
+        else:
+            cur.execute(ddl.replace("CREATE TABLE", "CREATE TABLE IF NOT EXISTS", 1))
+        conn.commit()
+    finally:
+        conn.close()
+
+    cols = list(df.columns)
+    insert = (
+        f"INSERT INTO {table} ({', '.join(cols)}) "
+        f"VALUES ({', '.join(['?'] * len(cols))})"
+    )
+
+    def write_partition(rows) -> None:
+        pconn = conn_factory()
+        try:
+            pcur = pconn.cursor()
+            batch = []
+            for row in rows:
+                batch.append(tuple(row[c] for c in cols))
+                if len(batch) >= batch_size:
+                    pcur.executemany(insert, batch)
+                    batch = []
+            if batch:
+                pcur.executemany(insert, batch)
+            pconn.commit()
+        finally:
+            pconn.close()
+
+    df.foreachPartition(write_partition)
+
+
+def read_dbapi(
+    spark: SparkSession,
+    conn_factory,
+    table: str,
+    schema,
+    partition_col: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 1,
+) -> DataFrame:
+    """S3's executable mirror of :func:`read_jdbc`: a typed, PARALLEL
+    table scan through DB-API connections, with the same partitioning
+    contract as Spark's JDBC source — ``num_partitions`` stride clauses
+    over ``[lower_bound, upper_bound)`` of ``partition_col``, first and
+    last clauses open-ended (and NULLs routed to the first) so the union
+    of partitions is exactly the table regardless of out-of-range rows.
+
+    Each Spark task executes its own bounded SELECT on its own
+    connection (``mapInPandas`` over one clause per partition), so the
+    database sees ``num_partitions`` concurrent range queries — the
+    JDBC source's behavior, minus the driver jar. ``schema`` (a
+    StructType or DDL string) makes the readback typed: Arrow coerces
+    the fetched rows to it, failing loudly on mismatch rather than
+    inferring drifted types.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    col_list = ", ".join(f.name for f in schema.fields)
+    if partition_col is None or num_partitions <= 1:
+        clauses = ["1=1"]
+    else:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned read needs lower_bound and upper_bound")
+        stride = max(1, (upper_bound - lower_bound) // num_partitions)
+        bounds = [lower_bound + i * stride for i in range(1, num_partitions)]
+        clauses = [f"{partition_col} < {bounds[0]} OR {partition_col} IS NULL"]
+        clauses += [
+            f"{partition_col} >= {bounds[i - 1]} AND {partition_col} < {bounds[i]}"
+            for i in range(1, len(bounds))
+        ]
+        clauses.append(f"{partition_col} >= {bounds[-1]}")
+
+    clause_df = spark.createDataFrame(
+        [(c,) for c in clauses], "clause string"
+    ).repartition(len(clauses), "clause")
+
+    def fetch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for clause in pdf["clause"]:
+                conn = conn_factory()
+                try:
+                    cur = conn.cursor()
+                    cur.execute(f"SELECT {col_list} FROM {table} WHERE {clause}")
+                    rows = cur.fetchall()
+                finally:
+                    conn.close()
+                yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return clause_df.mapInPandas(fetch, schema)
