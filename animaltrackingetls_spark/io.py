@@ -61,6 +61,15 @@ def timestamp_rescue_kinds(path: str, glob_pat: str = "*.parquet") -> dict[str, 
     scanned (a directory may hold mixed writer schemas) and the memo key
     carries the file list + mtimes, so in-place rewrites invalidate the
     cache.
+
+    Recognized-but-native encodings pass silently (INT96; INT64
+    utc-adjusted millis/micros — Spark reads both directly; NTZ-millis
+    joins NTZ-micros in the ``ntz`` class). Anything ELSE that claims to
+    be a timestamp — an unexpected physical type, or an INT64 unit this
+    classifier doesn't know — raises ``ValueError`` immediately: the
+    generator has changed encodings twice already, and a silent
+    pass-through here surfaces later as 50 mysteriously-failing oracle
+    queries instead of one loud line naming the column.
     """
     key = _footer_signature(path, glob_pat)
     if key in _TS_KINDS_CACHE:
@@ -68,24 +77,45 @@ def timestamp_rescue_kinds(path: str, glob_pat: str = "*.parquet") -> dict[str, 
     found: dict[str, str] = {}
     try:
         import pyarrow.parquet as pq
-
-        for target, _mt, _sz in key[1]:
-            # Must check the PHYSICAL parquet type: pyarrow also reports
-            # Spark-written INT96 timestamps as timestamp[ns], but Spark
-            # reads INT96 natively — only INT64 logical timestamps need
-            # rescue classification here.
-            meta = pq.read_metadata(target).schema
-            for i in range(len(meta)):
-                col = meta.column(i)
-                logical = str(col.logical_type).lower()
-                if col.physical_type != "INT64" or "timestamp" not in logical:
-                    continue
-                if "nanos" in logical:
-                    found[col.name] = "nanos"
-                elif "isadjustedtoutc=false" in logical.replace(" ", ""):
-                    found[col.name] = "ntz"
     except Exception:
-        found = {}
+        _TS_KINDS_CACHE[key] = found
+        return found
+    for target, _mt, _sz in key[1]:
+        try:
+            meta = pq.read_metadata(target).schema
+        except Exception:
+            continue  # unreadable footer: Spark's own reader will complain
+        for i in range(len(meta)):
+            col = meta.column(i)
+            logical = str(col.logical_type).lower()
+            if "timestamp" not in logical:
+                continue  # includes INT96 (logical None): Spark-native
+            compact = logical.replace(" ", "")
+            if col.physical_type != "INT64":
+                # Must check the PHYSICAL parquet type: pyarrow reports
+                # Spark-written INT96 timestamps as timestamp[ns] at the
+                # *arrow* level, but their parquet logical type is None,
+                # so reaching here means a genuinely novel encoding.
+                raise ValueError(
+                    f"{target}: column {col.name!r} is a TIMESTAMP with "
+                    f"physical type {col.physical_type} — not a layout this "
+                    "loader knows; extend timestamp_rescue_kinds before "
+                    "trusting any query over it"
+                )
+            if "nanos" in logical:
+                found[col.name] = "nanos"
+            elif "isadjustedtoutc=false" in compact:
+                # NTZ in any unit (micros r4+, millis future): Spark infers
+                # TIMESTAMP_NTZ; load_table casts to session-UTC timestamp
+                found[col.name] = "ntz"
+            elif "millis" in logical or "micros" in logical:
+                pass  # utc-adjusted INT64: Spark reads natively, no rescue
+            else:
+                raise ValueError(
+                    f"{target}: column {col.name!r} has unrecognized INT64 "
+                    f"timestamp unit ({col.logical_type}) — extend "
+                    "timestamp_rescue_kinds before trusting any query over it"
+                )
     _TS_KINDS_CACHE[key] = found
     return found
 

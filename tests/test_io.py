@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -358,3 +359,78 @@ def test_dbapi_round_trip_exercises_jdbc_ddl_and_typed_readback(spark, tmp_path)
     write_dbapi(src.limit(5).coalesce(1), factory, "metrics", mode="append")
     with sqlite3.connect(db) as conn:
         assert conn.execute("SELECT count(*) FROM metrics").fetchone()[0] == 105
+
+
+@pytest.mark.parametrize(
+    "unit,utc,expect_kind",
+    [
+        ("ms", False, "ntz"),    # future driver flip: NTZ-millis
+        ("ms", True, None),      # utc-adjusted millis: Spark-native
+        ("us", True, None),      # utc-adjusted micros: Spark-native
+        ("us", False, "ntz"),    # r4+ encoding
+        ("ns", False, "nanos"),  # r1-r3 encoding
+    ],
+)
+def test_timestamp_rescue_classifies_every_known_encoding(
+    spark, tmp_path, unit, utc, expect_kind
+):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from animaltrackingetls_spark.io import load_table, timestamp_rescue_kinds
+
+    ts = [datetime.datetime(2024, 1, 1, 12, 0, 0),
+          datetime.datetime(2024, 1, 2, 13, 30, 0)]
+    tz = "UTC" if utc else None
+    name = f"enc_{unit}_{utc}"
+    pq.write_table(
+        pa.table({"id": [1, 2], "ts": pa.array(ts, type=pa.timestamp(unit, tz=tz))}),
+        str(tmp_path / f"{name}.parquet"),
+    )
+    kinds = timestamp_rescue_kinds(str(tmp_path / f"{name}.parquet"))
+    assert kinds.get("ts") == expect_kind if expect_kind else "ts" not in kinds
+    # whatever the footer said, the loaded frame is a session-UTC
+    # timestamp with working epoch arithmetic
+    df = load_table(spark, str(tmp_path), name)
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert sorted(r.ts for r in df.collect()) == ts
+    assert df.selectExpr("cast(ts AS bigint)").count() == 2
+
+
+def test_timestamp_rescue_fails_loudly_on_unknown_layout(tmp_path, monkeypatch):
+    """A novel encoding must raise naming the column, not silently skip
+    classification (which would surface rounds later as oracle
+    mismatches)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from animaltrackingetls_spark import io as eio
+
+    target = str(tmp_path / "novel.parquet")
+    pq.write_table(pa.table({"id": [1]}), target)
+
+    class _Col:
+        name = "ts"
+        physical_type = "FIXED_LEN_BYTE_ARRAY"
+        logical_type = "Timestamp(isAdjustedToUTC=true, timeUnit=exotic)"
+
+    class _Schema:
+        def __len__(self):
+            return 1
+
+        def column(self, i):
+            return _Col()
+
+    class _Meta:
+        schema = _Schema()
+
+    monkeypatch.setattr(pq, "read_metadata", lambda p: _Meta())
+    with pytest.raises(ValueError, match="'ts'.*FIXED_LEN_BYTE_ARRAY"):
+        eio.timestamp_rescue_kinds(target)
+
+    _Col.physical_type = "INT64"
+    eio._TS_KINDS_CACHE.clear()
+    with pytest.raises(ValueError, match="unrecognized INT64 timestamp unit"):
+        eio.timestamp_rescue_kinds(target)
