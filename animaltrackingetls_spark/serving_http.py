@@ -36,24 +36,33 @@ MAX_LIMIT = 10_000
 _RESERVED_PARAMS = {"year", "month", "day", "limit"}
 
 
-def handle_sightings(
-    df: DataFrame, params: dict[str, str], max_limit: int = MAX_LIMIT
-) -> list[dict]:
-    """Pure request → records function (testable without sockets):
-    year/month/day go through F4 dynamic filters, any other parameter
-    becomes an extra equality filter on a same-named column, and the
-    response is capped at ``limit`` (≤ ``max_limit``, so a crafted
-    request cannot pull a table through the driver)."""
-    limit = min(int(params.get("limit", DEFAULT_LIMIT)), max_limit)
+def plan_for_params(df: DataFrame, params: dict[str, str]) -> DataFrame:
+    """Request params → filtered (uncollected) frame: year/month/day go
+    through F4 dynamic filters, any other parameter becomes an extra
+    equality filter on a same-named column. Split from
+    :func:`handle_sightings` so the PLAN is testable: against a parquet
+    provider the request predicates must reach the scan as
+    PushedFilters (asserted in test_serving_http.py) — the whole point
+    of holding a provider instead of a materialized frame."""
     extra = {k: v for k, v in params.items() if k not in _RESERVED_PARAMS}
-    filtered = dynamic_filters(
+    return dynamic_filters(
         df,
         year=params.get("year"),
         month=params.get("month"),
         day=params.get("day"),
         extra=extra,
     )
-    return to_json_records(filtered, limit=limit)
+
+
+def handle_sightings(
+    df: DataFrame, params: dict[str, str], max_limit: int = MAX_LIMIT
+) -> list[dict]:
+    """Pure request → records function (testable without sockets):
+    :func:`plan_for_params` + the capped ``serving.to_json_records``
+    edge (limit ≤ ``max_limit``, so a crafted request cannot pull a
+    table through the driver)."""
+    limit = min(int(params.get("limit", DEFAULT_LIMIT)), max_limit)
+    return to_json_records(plan_for_params(df, params), limit=limit)
 
 
 def make_server(
