@@ -1849,10 +1849,17 @@ def _q_quota_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-segmentation pair folded: span-level dedup ('seg' rows:
-    n1=n_segments, n2=n_kept, txt=clean_text) and sliding-window
-    chunking ('chunk' rows: n1=chunk_id, n2=start, n3=n_tokens,
-    txt=chunk_text)."""
+    """Token-segmentation trio folded: span-level dedup ('seg' rows:
+    n1=n_segments, n2=n_kept, txt=clean_text), sliding-window chunking
+    ('chunk' rows: n1=chunk_id, n2=start, n3=n_tokens, txt=chunk_text),
+    and CROSS-document boilerplate-line removal ('boiler' rows:
+    n1=n_lines, n2=n_kept, txt=clean_text). The corpus texts are
+    single-line, so the boiler branch wraps each document with an
+    injected all-docs header and a per-source footer (25 docs per
+    source — both ≥ min_docs=10); the operator must strip exactly
+    those, so every clean_text hashes back to the original body — the
+    oracle replays the same construction and any over/under-removal or
+    reassembly-order slip fails the value hash."""
     seg = _q_segment_dedup(spark, sf_dir).select(
         F.lit("seg").alias("kind"),
         "doc_id",
@@ -1869,7 +1876,24 @@ def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n3"),
         F.col("chunk_text").alias("txt"),
     )
-    return seg.unionByName(chunk)
+    mdocs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HDR: subscribe to our newsletter\n"),
+            F.col("text"),
+            F.lit("\nSRC: "),
+            F.col("source"),
+        ).alias("text"),
+    )
+    boiler = dedup.remove_boilerplate_lines(mdocs, min_docs=10).select(
+        F.lit("boiler").alias("kind"),
+        "doc_id",
+        F.col("n_lines").alias("n1"),
+        F.col("n_kept").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        F.col("clean_text").alias("txt"),
+    )
+    return seg.unionByName(chunk).unionByName(boiler)
 
 
 def _q_retrieval_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3299,6 +3323,22 @@ def oracle_sql() -> dict[str, str]:
                      generate_subscripts(range(0, len(toks), 12), 1) - 1
                        AS chunk_id
               FROM t
+            ),
+            ml AS (
+              SELECT doc_id,
+                     'HDR: subscribe to our newsletter' || chr(10) || text ||
+                     chr(10) || 'SRC: ' || source AS mtext
+              FROM documents
+            ),
+            bl AS (
+              SELECT doc_id,
+                     unnest(string_split(mtext, chr(10))) AS line,
+                     generate_subscripts(string_split(mtext, chr(10)), 1) AS pos
+              FROM ml
+            ),
+            bset AS (
+              SELECT line FROM bl WHERE trim(line) != ''
+              GROUP BY line HAVING count(DISTINCT doc_id) >= 10
             )
             SELECT 'seg' AS kind, doc_id,
                    count(*) AS n1,
@@ -3319,6 +3359,15 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(toks, start + 1, start + 16), ' ')
                      AS txt
             FROM st
+            UNION ALL
+            SELECT 'boiler' AS kind, l.doc_id,
+                   CAST(count(*) AS BIGINT) AS n1,
+                   CAST(count(*) FILTER (WHERE b.line IS NULL) AS BIGINT) AS n2,
+                   CAST(NULL AS BIGINT) AS n3,
+                   coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+                            FILTER (WHERE b.line IS NULL), '') AS txt
+            FROM bl l LEFT JOIN bset b ON l.line = b.line
+            GROUP BY l.doc_id
         """,
         "quota_shuffle": """
             WITH h AS (

@@ -1124,6 +1124,65 @@ def segment_dedup(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 10,
+) -> DataFrame:
+    """CROSS-document boilerplate line removal — the C4/RefinedWeb rule
+    that complements :func:`segment_dedup`'s within-corpus
+    first-occurrence dedup: a line (exact text, non-blank after trim)
+    appearing in ≥ ``min_docs`` DISTINCT documents is boilerplate
+    (navigation, cookie banners, headers/footers) and is dropped from
+    EVERY document, including the first; blank lines always survive.
+    Returns ``(id, n_lines, n_kept, clean_text)`` with the document
+    reassembled from surviving lines in original order.
+
+    Scale shape: one Generate (posexplode of the line split) on the
+    scan; one hash-agg shuffle keyed on line text for document
+    frequencies (map-side partial combine — and the hot keys are
+    exactly the boilerplate, which AQE's skew split handles); the
+    qualifying line set is the tiny high-frequency HEAD of the
+    distribution, so it broadcasts back; one shuffle on id reassembles.
+    No corpus-wide window, no driver-side state. At 100 TB key the
+    frequency agg on ``xxhash64(line)`` and confirm on a second pass if
+    line reconstruction isn't needed downstream.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    boiler = (
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("line")
+        .agg(F.count_distinct("id").alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("line", F.lit(True).alias("_boiler"))
+    )
+    flagged = lines.join(F.broadcast(boiler), "line", "left")
+    kept_struct = F.when(F.col("_boiler").isNull(), F.struct("pos", "line"))
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("_boiler").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.getField("line"),
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .select(F.col("id").alias(id_col), "n_lines", "n_kept", "clean_text")
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -576,3 +576,40 @@ def test_auto_mode_selects_by_edge_count(chain_edges):
         chain_edges, star_edge_threshold=1, stats=stats2
     ).collect()
     assert stats2["mode"] == "star"  # threshold crossed -> star rounds
+
+
+def test_remove_boilerplate_lines_drops_cross_doc_lines(spark):
+    """Lines in >= min_docs distinct docs vanish from EVERY doc; unique
+    body lines and blank lines survive in original order."""
+    docs = spark.createDataFrame(
+        [
+            (1, "NAV MENU\nunique one\n\nfooter (c) 2024"),
+            (2, "NAV MENU\nunique two\nfooter (c) 2024"),
+            (3, "NAV MENU\nunique three\nfooter (c) 2024"),
+            (4, "all alone here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert out[1].clean_text == "unique one\n"      # blank line survives
+    assert (out[1].n_lines, out[1].n_kept) == (4, 2)
+    assert out[2].clean_text == "unique two"
+    assert out[3].clean_text == "unique three"
+    assert out[4].clean_text == "all alone here"    # df=1 everywhere: untouched
+
+
+def test_remove_boilerplate_duplicate_line_within_one_doc_counts_once(spark):
+    # same line twice in ONE doc is df=1, not df=2 — count_distinct(id)
+    docs = spark.createDataFrame(
+        [(1, "repeat\nrepeat"), (2, "other")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup.remove_boilerplate_lines(docs, min_docs=2).collect()}
+    assert out[1].clean_text == "repeat\nrepeat"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.remove_boilerplate_lines(docs, min_docs=1)
