@@ -461,6 +461,75 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_gemm(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.95,
+    chunk: int = 4096,
+) -> DataFrame:
+    """Same pair set as `embedding_neardup_pairs`, computed as one numpy
+    GEMM per block (``applyInPandas``) instead of a self-join with an
+    interpreted per-pair fold.
+
+    The join form materializes every within-block candidate pair and
+    evaluates a CodegenFallback 64-element `aggregate`/`zip_with` fold
+    per pair (~µs each); here a block of m vectors costs a single
+    m×d @ d×m matrix multiply (~ns per pair), and only surviving pairs
+    are emitted — the quadratic candidate set never leaves numpy. The
+    block-sized similarity strip is bounded by ``chunk`` rows at a time,
+    so executor memory is O(chunk × block) regardless of block size.
+
+    Similarity is dot(a,b)/(|a|·|b|), the same formula as the join form;
+    reduction order differs (pairwise numpy sum vs sequential fold), so
+    compare across engines on values rounded to ≤6 digits — exactly what
+    the oracle gate does. Pairs are oriented id_a < id_b.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        ids = pdf["id"]
+        V = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
+                                 "cosine_sim": pd.Series([], dtype="float64")})
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        frames = []
+        for s in range(0, m, chunk):
+            e = min(s + chunk, m)
+            S = V[s:e] @ V.T
+            S /= np.outer(nrm[s:e], nrm)
+            rows, cols = np.nonzero(S >= threshold)
+            ia = ids.iloc[rows + s].to_numpy()
+            ib = ids.iloc[cols].to_numpy()
+            keep = ib > ia  # strict orientation, same as the join's a.id < b.id
+            rows, cols, ia, ib = rows[keep], cols[keep], ia[keep], ib[keep]
+            if len(rows):
+                frames.append(pd.DataFrame({
+                    "id_a": ia, "id_b": ib, "cosine_sim": S[rows, cols],
+                }))
+        if not frames:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
+                                 "cosine_sim": pd.Series([], dtype="float64")})
+        return pd.concat(frames, ignore_index=True)
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(block_col).alias("blk"),
+    )
+    return base.groupBy("blk").applyInPandas(score, out_schema)
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -616,7 +685,8 @@ def connected_components(
     # partitions vs 4). count() on the just-materialized checkpoint is a
     # metadata-cheap action. Large graphs keep the session partitioning.
     n_sym = sym.count()
-    if n_sym < 1_000_000:
+    small = n_sym < 1_000_000
+    if small:
         sym = sym.repartition(4).localCheckpoint(eager=True)
     if mode == "auto":
         mode = "star" if n_sym >= star_edge_threshold else "propagate"
@@ -624,16 +694,25 @@ def connected_components(
     if mode == "star":
         labels = _star_components(sym, max_iter, stats)
     else:
-        labels = _propagate_components(sym, max_iter, stats)
+        labels = _propagate_components(sym, max_iter, stats, small=small)
     if stats is not None:
         stats["mode"] = mode
     return labels
 
 
 def _propagate_components(
-    sym: DataFrame, max_iter: int, stats: dict | None = None
+    sym: DataFrame, max_iter: int, stats: dict | None = None, small: bool = False
 ) -> DataFrame:
-    """Min-label propagation body (see connected_components)."""
+    """Min-label propagation body (see connected_components).
+
+    ``small`` (set by the caller from the measured symmetrized edge
+    count) broadcasts the per-round label frames into both joins: the
+    label set is at most 2×|E| rows, so under the 1M-edge small-graph
+    gate it always fits a broadcast, and each round's two shuffle
+    exchanges collapse to one partial-agg shuffle — on a banded near-dup
+    graph (thousands of edges) the loop is fixed-overhead-bound and this
+    halves the per-round job count. Large graphs keep shuffle joins:
+    broadcasting |V| rows there would be the actual scale bug."""
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
@@ -641,12 +720,15 @@ def _propagate_components(
 
     rounds = 0
     for _ in range(max_iter):
+        lbl = F.broadcast(labels) if small else labels
         nbr_min = (
-            sym.join(labels, sym["dst"] == labels["id"])
+            sym.join(lbl, sym["dst"] == labels["id"])
             .select(sym["src"].alias("id"), "comp")
             .groupBy("id")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        if small:
+            nbr_min = F.broadcast(nbr_min)
         labels = (
             labels.join(nbr_min, "id", "left")
             .select(

@@ -137,6 +137,58 @@ def test_embedding_neardup_pairs(spark):
     assert pairs == {(1, 2)}
 
 
+def test_embedding_neardup_gemm_matches_join_form(spark):
+    """The GEMM form is a drop-in for the join form: same pair set, same
+    similarities at oracle rounding (6 digits), on a seeded mix of
+    near-dups, noise, and cross-block twins."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.2, 0.0, -0.5]
+        rows.append((i, [x + rng.gauss(0, 0.01) for x in base], i % 3))
+    for i in range(40, 80):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(4)], i % 3))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+    def rounded(frame):
+        return {
+            (r.id_a, r.id_b, r.cs)
+            for r in frame.select(
+                "id_a", "id_b", F.round("cosine_sim", 6).alias("cs")
+            ).collect()
+        }
+
+    join_pairs = rounded(dedup.embedding_neardup_pairs(df, threshold=0.8))
+    gemm_pairs = rounded(dedup.embedding_neardup_gemm(df, threshold=0.8))
+    assert join_pairs  # fixture actually produces pairs
+    assert gemm_pairs == join_pairs
+
+
+def test_embedding_neardup_gemm_chunking_and_edges(spark):
+    """chunk smaller than the block must not change the output; blocks of
+    size one (and an id-orientation check) are handled."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (5, [1.0, 0.0], 0),
+            (2, [0.999, 0.01], 0),    # near dup of 5, id order reversed
+            (9, [0.0, 1.0], 0),
+            (7, [1.0, 0.0], 1),       # singleton block
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    full = dedup.embedding_neardup_gemm(df, threshold=0.95)
+    tiny = dedup.embedding_neardup_gemm(df, threshold=0.95, chunk=1)
+    want = {(2, 5)}
+    assert {(r.id_a, r.id_b) for r in full.collect()} == want
+    assert {(r.id_a, r.id_b) for r in tiny.collect()} == want
+
+
 def test_minhash_cache_handles_returned(docs):
     handles = []
     out = dedup.minhash_candidate_pairs(docs, threshold=0.5, cache_handles=handles)
