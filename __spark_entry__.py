@@ -967,16 +967,21 @@ def _q_mask_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal metadata + REAL PNG and JPEG header decodes (folded).
+    """Multimodal metadata + REAL PNG/JPEG/GIF/WAV header decodes
+    (folded).
 
-    Text payloads carry JVM-side byte length + sha256 as before. Two
-    image payloads per doc are synthesized as genuine bytes — PNG
-    signature+IHDR, and a JPEG marker-segment stream whose APP1 payload
-    deliberately embeds a fake FFC0 (the false-SOF trap) — with dims
-    derived from doc_id, then parsed BACK from the raw bytes by the
-    byte-level parsers (png_ihdr / jpeg_sof segment walk). The oracle
-    recomputes the dims by formula, so any parse/synthesis disagreement
-    — including falling into the APP1 trap — fails the hash."""
+    Text payloads carry JVM-side byte length + sha256 as before. Four
+    media payloads per doc are synthesized as genuine bytes — PNG
+    signature+IHDR; a JPEG marker-segment stream whose APP1 payload
+    deliberately embeds a fake FFC0 (the false-SOF trap); a GIF89a
+    logical screen descriptor (little-endian dims); and a RIFF/WAVE
+    header with a decoy LIST chunk before "fmt " (the fixed-offset
+    trap) — with dims/audio params derived from doc_id, then parsed
+    BACK from the raw bytes by the byte-level parsers (png_ihdr /
+    jpeg_sof segment walk / gif_screen / wav_fmt chunk walk). The
+    oracle recomputes everything by formula, so any parse/synthesis
+    disagreement — including falling into either trap — fails the
+    hash."""
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.to_media_table(
         docs, "doc_id", F.encode(F.col("text"), "utf-8"), "text/plain"
@@ -997,8 +1002,27 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") * 3 % 512 + 32).cast("long"),
         ).alias("payload"),
     )
+    gif = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("image/gif").alias("content_type"),
+        multimodal.synthesize_gif_header(
+            (F.col("doc_id") * 11 % 640 + 8).cast("long"),
+            (F.col("doc_id") * 5 % 480 + 8).cast("long"),
+        ).alias("payload"),
+    )
+    wav = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("audio/wav").alias("content_type"),
+        multimodal.synthesize_wav_header(
+            (F.col("doc_id") % 2 + 1).cast("long"),
+            (F.col("doc_id") % 3 * 8000 + 16000).cast("long"),
+            (F.col("doc_id") * 997 % 100000 + 8000).cast("long"),
+        ).alias("payload"),
+    )
     dims = multimodal.image_dimensions(png)
     jdims = multimodal.image_dimensions(jpeg)
+    gdims = multimodal.image_dimensions(gif)
+    wmeta = multimodal.audio_metadata(wav)
     return (
         media.select("media_id", "content_type", "n_bytes", "sha256_hex")
         .join(
@@ -1012,6 +1036,24 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("height").alias("jpeg_h"),
                 F.col("bit_depth").alias("jpeg_precision"),
                 F.col("color_type").alias("jpeg_ncomp"),
+            ),
+            "media_id",
+        )
+        .join(
+            gdims.select(
+                "media_id",
+                F.col("width").alias("gif_w"),
+                F.col("height").alias("gif_h"),
+            ),
+            "media_id",
+        )
+        .join(
+            wmeta.select(
+                "media_id",
+                F.col("n_channels").alias("wav_channels"),
+                F.col("sample_rate").alias("wav_rate"),
+                F.col("bits_per_sample").alias("wav_bits"),
+                F.col("duration_ms").alias("wav_ms"),
             ),
             "media_id",
         )
@@ -2976,7 +3018,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id * 13 % 512 + 32 AS BIGINT) AS jpeg_w,
                    CAST(doc_id * 3 % 512 + 32 AS BIGINT) AS jpeg_h,
                    CAST(8 AS INT) AS jpeg_precision,
-                   CAST(3 AS INT) AS jpeg_ncomp
+                   CAST(3 AS INT) AS jpeg_ncomp,
+                   CAST(doc_id * 11 % 640 + 8 AS BIGINT) AS gif_w,
+                   CAST(doc_id * 5 % 480 + 8 AS BIGINT) AS gif_h,
+                   CAST(doc_id % 2 + 1 AS INT) AS wav_channels,
+                   CAST(doc_id % 3 * 8000 + 16000 AS BIGINT) AS wav_rate,
+                   CAST(16 AS INT) AS wav_bits,
+                   -- duration = floor(data_size*1000/byte_rate), with
+                   -- block_align = channels*2 (16-bit PCM)
+                   CAST(floor(
+                     ((doc_id * 997 % 100000 + 8000) * (doc_id % 2 + 1) * 2) * 1000.0
+                     / ((doc_id % 3 * 8000 + 16000) * (doc_id % 2 + 1) * 2)
+                   ) AS BIGINT) AS wav_ms
             FROM documents
         """,
         "catalog_profile": f"""

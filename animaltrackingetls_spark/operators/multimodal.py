@@ -100,13 +100,19 @@ def png_ihdr(payload: Column) -> Column:
 
 
 def image_dimensions(media: DataFrame) -> DataFrame:
-    """(media_id, width, height, bit_depth, color_type) for PNG and JPEG
-    payloads in a media table, auto-detected by signature (PNG first,
-    then the JPEG segment walk); NULL fields for anything else. Pure JVM
-    — the payload never crosses into Python. For JPEG rows bit_depth is
-    the sample precision and color_type the component count (see
-    :func:`jpeg_sof`)."""
-    ihdr = F.coalesce(png_ihdr(F.col("payload")), jpeg_sof(F.col("payload")))
+    """(media_id, width, height, bit_depth, color_type) for PNG, JPEG,
+    and GIF payloads in a media table, auto-detected by signature (PNG
+    first, then the JPEG segment walk, then the GIF screen descriptor);
+    NULL fields for anything else. Pure JVM — the payload never crosses
+    into Python. For JPEG rows bit_depth is the sample precision and
+    color_type the component count (see :func:`jpeg_sof`); for GIF rows
+    bit_depth is the color resolution and color_type the GCT flag (see
+    :func:`gif_screen`)."""
+    ihdr = F.coalesce(
+        png_ihdr(F.col("payload")),
+        jpeg_sof(F.col("payload")),
+        gif_screen(F.col("payload")),
+    )
     return media.select(
         "media_id",
         "content_type",
@@ -304,13 +310,261 @@ def decode_png_header(payload: bytes) -> tuple[int, int, int, int] | None:
     return (width, height, bit_depth, color_type)
 
 
+# ---------------------------------------------------------------------------
+# GIF (logical screen descriptor) and WAV (RIFF chunk walk) — the third
+# and fourth REAL no-codec header decodes, covering the little-endian
+# image case and the audio modality.
+# ---------------------------------------------------------------------------
+
+_GIF_SIGNATURES_HEX = ("474946383761", "474946383961")  # GIF87a / GIF89a
+_WAV_RIFF_HEX = "52494646"  # "RIFF"
+_WAV_WAVE_HEX = "57415645"  # "WAVE"
+_WAV_FMT_HEX = "666D7420"  # "fmt "
+_WAV_DATA_HEX = "64617461"  # "data"
+_WAV_MAX_CHUNKS = 12
+
+
+def _le_uint(payload: Column, off: Column, nbytes: int) -> Column:
+    """Little-endian unsigned int: hex each byte, concat in REVERSED
+    order, one base-16 conv. The LE mirror of the parsers' be_uint
+    (GIF and RIFF/WAV are little-endian formats; PNG/JPEG big-endian)."""
+    parts = [F.hex(F.substring(payload, off + i, 1)) for i in reversed(range(nbytes))]
+    return F.conv(F.concat(*parts), 16, 10).cast("long")
+
+
+def gif_screen(payload: Column) -> Column:
+    """Parse the GIF logical screen descriptor from raw bytes, JVM-side.
+
+    GIF layout is fixed (unlike JPEG, no walk needed): 6-byte signature
+    ("GIF87a"/"GIF89a"), then width u16le, height u16le, one packed byte
+    (bit 7 = global-color-table flag, bits 6-4 = color resolution − 1).
+    Returns struct(width, height, bit_depth, color_type) in
+    :func:`png_ihdr`'s shape — bit_depth carries the color resolution in
+    bits, color_type the GCT flag (0/1). Non-GIF bytes yield NULL.
+    """
+    sig = F.hex(F.substring(payload, 1, 6))
+    is_gif = sig.isin(*_GIF_SIGNATURES_HEX) & (F.octet_length(payload) >= 11)
+    packed = _le_uint(payload, F.lit(11), 1)
+    return F.when(
+        is_gif,
+        F.struct(
+            _le_uint(payload, F.lit(7), 2).alias("width"),
+            _le_uint(payload, F.lit(9), 2).alias("height"),
+            (F.shiftright(packed, 4).bitwiseAND(F.lit(7)) + 1)
+            .cast("int")
+            .alias("bit_depth"),
+            F.shiftright(packed, 7).bitwiseAND(F.lit(1)).cast("int").alias("color_type"),
+        ),
+    )
+
+
+def synthesize_gif_header(width: Column, height: Column) -> Column:
+    """Build a genuine GIF89a signature + logical screen descriptor as a
+    binary column (JVM hex-assemble → unhex), the little-endian sibling
+    of :func:`synthesize_png_header`. Packed byte F7: GCT present,
+    color resolution 8 bits."""
+
+    def le16(c: Column) -> Column:
+        h = F.lpad(F.hex(c.cast("long")), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    return F.unhex(
+        F.concat(
+            F.lit(_GIF_SIGNATURES_HEX[1]), le16(width), le16(height), F.lit("F70000")
+        )
+    )
+
+
+def decode_gif_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Python twin of :func:`gif_screen` (stdlib only). Returns
+    (width, height, color_resolution_bits, gct_flag) or None."""
+    p = bytes(payload)
+    if len(p) < 11 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width, height = struct.unpack("<HH", p[6:10])
+    packed = p[10]
+    return (width, height, ((packed >> 4) & 7) + 1, packed >> 7)
+
+
+def wav_fmt(payload: Column) -> Column:
+    """Parse WAV audio metadata from the RIFF container, JVM-side — the
+    audio analog of :func:`jpeg_sof`'s segment walk.
+
+    RIFF layout: "RIFF", u32le riff size, "WAVE", then chunks of
+    (4-byte id, u32le size, payload, odd sizes padded). The "fmt " chunk
+    carries audio_format u16le (1 = PCM), n_channels u16le, sample_rate
+    u32le, byte_rate u32le, block_align u16le, bits_per_sample u16le;
+    the "data" chunk's declared size gives the duration. A naive
+    fixed-offset read is WRONG — writers put LIST/INFO, fact, or cue
+    chunks before "fmt " — so this walks the chunk chain with a bounded
+    ``aggregate`` fold (≤12 chunks), advancing by each declared size.
+    Malformed payloads (no RIFF/WAVE, truncated chain, fmt shorter than
+    16 bytes) yield NULL.
+
+    Returns struct(audio_format, n_channels, sample_rate,
+    bits_per_sample, n_data_bytes, duration_ms); duration_ms =
+    floor(n_data_bytes · 1000 / byte_rate).
+    """
+    is_wav = (F.hex(F.substring(payload, 1, 4)) == F.lit(_WAV_RIFF_HEX)) & (
+        F.hex(F.substring(payload, 9, 4)) == F.lit(_WAV_WAVE_HEX)
+    )
+    # fold state: off = 1-based offset of the next chunk id; st 0=walking,
+    # 1=fmt+data both seen, 2=malformed/truncated
+    init = F.struct(
+        F.lit(13).cast("long").alias("off"),
+        F.when(is_wav, F.lit(0)).otherwise(F.lit(2)).alias("st"),
+        F.lit(None).cast("int").alias("af"),
+        F.lit(None).cast("int").alias("nch"),
+        F.lit(None).cast("long").alias("rate"),
+        F.lit(None).cast("long").alias("br"),
+        F.lit(None).cast("int").alias("bits"),
+        F.lit(None).cast("long").alias("data_size"),
+    )
+
+    def step(acc: Column, _x: Column) -> Column:
+        off = acc["off"]
+        past_end = (off + F.lit(7)) > F.octet_length(payload)
+        cid = F.hex(F.substring(payload, off, 4))
+        size = _le_uint(payload, off + 4, 4)
+        is_fmt = cid == F.lit(_WAV_FMT_HEX)
+        is_data = cid == F.lit(_WAV_DATA_HEX)
+        bad_fmt = is_fmt & (size < 16)
+        af = F.when(is_fmt, _le_uint(payload, off + 8, 2).cast("int")).otherwise(acc["af"])
+        nch = F.when(is_fmt, _le_uint(payload, off + 10, 2).cast("int")).otherwise(acc["nch"])
+        rate = F.when(is_fmt, _le_uint(payload, off + 12, 4)).otherwise(acc["rate"])
+        br = F.when(is_fmt, _le_uint(payload, off + 16, 4)).otherwise(acc["br"])
+        bits = F.when(is_fmt, _le_uint(payload, off + 22, 2).cast("int")).otherwise(acc["bits"])
+        data_size = F.when(is_data, size).otherwise(acc["data_size"])
+        done = af.isNotNull() & data_size.isNotNull()
+        walking = F.struct(
+            (off + 8 + size + (size % 2)).alias("off"),
+            F.when(past_end | bad_fmt, F.lit(2))
+            .when(done, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("st"),
+            af.alias("af"),
+            nch.alias("nch"),
+            rate.alias("rate"),
+            br.alias("br"),
+            bits.alias("bits"),
+            data_size.alias("data_size"),
+        )
+        return F.when(acc["st"] == 0, walking).otherwise(acc)
+
+    final = F.aggregate(F.sequence(F.lit(1), F.lit(_WAV_MAX_CHUNKS)), init, step)
+    duration_ms = F.when(
+        final["br"] > 0,
+        F.floor(final["data_size"] * 1000 / final["br"]).cast("long"),
+    )
+    return F.when(
+        final["st"] == 1,
+        F.struct(
+            final["af"].alias("audio_format"),
+            final["nch"].alias("n_channels"),
+            final["rate"].alias("sample_rate"),
+            final["bits"].alias("bits_per_sample"),
+            final["data_size"].alias("n_data_bytes"),
+            duration_ms.alias("duration_ms"),
+        ),
+    )
+
+
+def synthesize_wav_header(
+    n_channels: Column, sample_rate: Column, n_frames: Column, bits: int = 16
+) -> Column:
+    """Build a genuine RIFF/WAVE prefix — with a decoy LIST chunk BEFORE
+    "fmt " (the fixed-offset trap, mirroring the JPEG APP1 fake-SOF) —
+    entirely JVM-side. Declares a "data" chunk sized n_frames ·
+    block_align; the audio samples themselves are not materialized
+    (header metadata is what the parser reads)."""
+
+    def le16(c: Column) -> Column:
+        h = F.lpad(F.hex(c.cast("long")), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    def le32(c: Column) -> Column:
+        h = F.lpad(F.hex(c.cast("long")), 8, "0")
+        return F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        )
+
+    block_align = n_channels.cast("long") * (bits // 8)
+    byte_rate = sample_rate.cast("long") * block_align
+    data_size = n_frames.cast("long") * block_align
+    # RIFF size = "WAVE"(4) + LIST hdr+payload(8+6) + fmt hdr+payload(8+16)
+    #           + data hdr(8) + declared samples
+    riff_size = F.lit(50).cast("long") + data_size
+    list_chunk = "4C495354" + "06000000" + "494E464F6162"  # LIST, size 6, "INFOab"
+    return F.unhex(
+        F.concat(
+            F.lit(_WAV_RIFF_HEX), le32(riff_size), F.lit(_WAV_WAVE_HEX),
+            F.lit(list_chunk),
+            F.lit(_WAV_FMT_HEX + "10000000" + "0100"),  # fmt, size 16, PCM
+            le16(n_channels), le32(sample_rate), le32(byte_rate),
+            le16(block_align), le16(F.lit(bits)),
+            F.lit(_WAV_DATA_HEX), le32(data_size),
+        )
+    )
+
+
+def decode_wav_header(payload: bytes) -> tuple[int, int, int, int, int, int] | None:
+    """Python twin of :func:`wav_fmt` (stdlib struct only). Returns
+    (audio_format, n_channels, sample_rate, bits_per_sample,
+    n_data_bytes, duration_ms) or None."""
+    p = bytes(payload)
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    off = 12
+    fmt_fields = None
+    data_size = None
+    for _ in range(_WAV_MAX_CHUNKS):
+        if fmt_fields is not None and data_size is not None:
+            break
+        if off + 8 > len(p):
+            return None
+        cid = p[off : off + 4]
+        size = struct.unpack("<I", p[off + 4 : off + 8])[0]
+        if cid == b"fmt ":
+            if size < 16 or off + 24 > len(p):
+                return None
+            fmt_fields = struct.unpack("<HHIIHH", p[off + 8 : off + 24])
+        elif cid == b"data":
+            data_size = size
+        off += 8 + size + (size % 2)
+    if fmt_fields is None or data_size is None:
+        return None
+    af, nch, rate, br, _ba, bits = fmt_fields
+    duration_ms = data_size * 1000 // br if br else None
+    return (af, nch, rate, bits, data_size, duration_ms)
+
+
+def audio_metadata(media: DataFrame) -> DataFrame:
+    """(media_id, audio_format, n_channels, sample_rate, bits_per_sample,
+    n_data_bytes, duration_ms) for WAV payloads in a media table; NULL
+    fields for anything else. Pure JVM — the payload never crosses into
+    Python. The audio sibling of :func:`image_dimensions`."""
+    meta = wav_fmt(F.col("payload"))
+    return media.select("media_id", "content_type", meta.alias("_m")).select(
+        "media_id",
+        "content_type",
+        F.col("_m.audio_format").alias("audio_format"),
+        F.col("_m.n_channels").alias("n_channels"),
+        F.col("_m.sample_rate").alias("sample_rate"),
+        F.col("_m.bits_per_sample").alias("bits_per_sample"),
+        F.col("_m.n_data_bytes").alias("n_data_bytes"),
+        F.col("_m.duration_ms").alias("duration_ms"),
+    )
+
+
 def decode_stub(payload: bytes, content_type: str, strict: bool = False) -> list[float]:
-    """Decode/feature-extract. PNG and JPEG headers are decoded for REAL
-    (stdlib struct — no codec lib needed): feature = [width, height,
-    bit_depth/precision, color_type/n_components]. Other formats remain
-    STUBBED — real deployments swap in PIL/ffmpeg; this container has
-    neither, so strict mode raises and the default returns a
-    deterministic 8-dim byte-histogram feature."""
+    """Decode/feature-extract. PNG, JPEG, GIF, and WAV headers are
+    decoded for REAL (stdlib struct — no codec lib needed): feature =
+    [width, height, bit_depth/precision, color_type/n_components] for
+    images, [n_channels, sample_rate, bits, duration_ms] for WAV audio.
+    Other formats remain STUBBED — real deployments swap in PIL/ffmpeg;
+    this container has neither, so strict mode raises and the default
+    returns a deterministic 8-dim byte-histogram feature."""
     if content_type == "image/png":
         header = decode_png_header(bytes(payload))
         if header is not None:
@@ -319,6 +573,15 @@ def decode_stub(payload: bytes, content_type: str, strict: bool = False) -> list
         jheader = decode_jpeg_header(bytes(payload))
         if jheader is not None:
             return [float(v) for v in jheader]
+    if content_type == "image/gif":
+        gheader = decode_gif_header(bytes(payload))
+        if gheader is not None:
+            return [float(v) for v in gheader]
+    if content_type in ("audio/wav", "audio/x-wav"):
+        wheader = decode_wav_header(bytes(payload))
+        if wheader is not None:
+            af, nch, rate, bits, _nd, dur = wheader
+            return [float(nch), float(rate), float(bits), float(dur)]
     if strict:
         raise NotImplementedError(
             f"media decode for {content_type} requires codec libraries not "

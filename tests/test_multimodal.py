@@ -273,3 +273,128 @@ def test_decode_stub_jpeg_real_branch():
 
     with _pytest.raises(NotImplementedError):
         decode_stub(b"RIFFxxxx", "audio/wav", strict=True)
+
+
+def test_gif_screen_roundtrip_and_twin(spark):
+    """Synthesized GIF89a headers parse back to the exact little-endian
+    dims in both the JVM parser and the Python twin; non-GIF bytes and
+    truncated headers yield NULL/None."""
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.operators.multimodal import (
+        decode_gif_header,
+        gif_screen,
+        synthesize_gif_header,
+    )
+
+    df = spark.range(6).select(
+        F.col("id").alias("media_id"),
+        synthesize_gif_header(
+            (F.col("id") * 300 % 70000 % 640 + 1).cast("long"),
+            (F.col("id") * 251 % 480 + 1).cast("long"),
+        ).alias("payload"),
+    )
+    got = {r.media_id: r.d for r in df.select("media_id", gif_screen(F.col("payload")).alias("d")).collect()}
+    for r in df.collect():
+        i = r.media_id
+        d = got[i]
+        assert (d.width, d.height) == (i * 300 % 70000 % 640 + 1, i * 251 % 480 + 1)
+        assert d.bit_depth == 8 and d.color_type == 1
+        assert decode_gif_header(bytes(r.payload)) == (d.width, d.height, 8, 1)
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"GIF90a\x01\x00\x01\x00\xf7")),   # unknown version
+         (2, bytearray(b"GIF89a\x01\x00")),               # truncated
+         (3, bytearray(b""))],
+        "media_id long, payload binary",
+    )
+    assert all(r.d is None for r in bad.select(gif_screen(F.col("payload")).alias("d")).collect())
+    assert decode_gif_header(b"GIF89a\x01\x00") is None
+
+
+def test_wav_fmt_walks_past_decoy_list_chunk(spark):
+    """The synthesized RIFF stream puts a LIST chunk before "fmt " — a
+    fixed-offset parser reads garbage there. Correct audio params prove
+    the chunk walk advances by declared sizes; duration is derived from
+    the declared data size and byte rate."""
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.operators.multimodal import (
+        decode_wav_header,
+        synthesize_wav_header,
+        wav_fmt,
+    )
+
+    df = spark.range(6).select(
+        F.col("id").alias("media_id"),
+        synthesize_wav_header(
+            (F.col("id") % 2 + 1).cast("long"),
+            (F.col("id") % 3 * 8000 + 8000).cast("long"),
+            (F.col("id") * 997 + 4000).cast("long"),
+        ).alias("payload"),
+    )
+    got = {r.media_id: r.d for r in df.select("media_id", wav_fmt(F.col("payload")).alias("d")).collect()}
+    for r in df.collect():
+        i = r.media_id
+        d = got[i]
+        ch, rate, frames = i % 2 + 1, i % 3 * 8000 + 8000, i * 997 + 4000
+        assert d.audio_format == 1 and d.n_channels == ch
+        assert d.sample_rate == rate and d.bits_per_sample == 16
+        assert d.n_data_bytes == frames * ch * 2
+        assert d.duration_ms == frames * ch * 2 * 1000 // (rate * ch * 2)
+        assert decode_wav_header(bytes(r.payload)) == (
+            1, ch, rate, 16, d.n_data_bytes, d.duration_ms
+        )
+
+
+def test_wav_fmt_null_on_malformed(spark):
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.operators.multimodal import decode_wav_header, wav_fmt
+
+    rows = [
+        (1, bytearray(b"RIFFxxxx")),                       # no WAVE tag
+        (2, bytearray(b"RIFF\x00\x00\x00\x00WAVE")),       # no chunks at all
+        # fmt chunk declaring size 4 (< 16): malformed
+        (3, bytearray(b"RIFF\x24\x00\x00\x00WAVEfmt \x04\x00\x00\x00\x01\x00\x01\x00")),
+        # data chunk but never a fmt chunk
+        (4, bytearray(b"RIFF\x14\x00\x00\x00WAVEdata\x04\x00\x00\x00abcd")),
+        (5, bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = df.select(wav_fmt(F.col("payload")).alias("d")).collect()
+    assert all(r.d is None for r in out)
+    for _, p in rows:
+        assert decode_wav_header(bytes(p)) is None
+
+
+def test_image_dimensions_detects_gif_and_decode_stub_real_branches(spark):
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.operators.multimodal import (
+        decode_stub,
+        image_dimensions,
+        synthesize_gif_header,
+        synthesize_wav_header,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image/gif")], "media_id long, content_type string"
+    ).select(
+        "media_id",
+        "content_type",
+        synthesize_gif_header(F.lit(320).cast("long"), F.lit(200).cast("long")).alias("payload"),
+    )
+    out = image_dimensions(media).collect()[0]
+    assert (out.width, out.height, out.bit_depth, out.color_type) == (320, 200, 8, 1)
+
+    gif_bytes = bytes(media.collect()[0].payload)
+    assert decode_stub(gif_bytes, "image/gif") == [320.0, 200.0, 8.0, 1.0]
+
+    wav_df = spark.range(1).select(
+        synthesize_wav_header(
+            F.lit(2).cast("long"), F.lit(16000).cast("long"), F.lit(48000).cast("long")
+        ).alias("payload")
+    )
+    wav_bytes = bytes(wav_df.collect()[0].payload)
+    # [n_channels, sample_rate, bits, duration_ms]; 48000 frames @16 kHz = 3 s
+    assert decode_stub(wav_bytes, "audio/wav") == [2.0, 16000.0, 16.0, 3000.0]
