@@ -882,6 +882,7 @@ def minhash_candidate_pairs_portable(
     bands: int = 2,
     rows_per_band: int = 3,
     threshold: float = 0.6,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding with a *portable* hash family — each hash is
     ``md5(seed || ':' || shingle)`` — so the entire pipeline (signatures,
@@ -913,6 +914,12 @@ def minhash_candidate_pairs_portable(
         return lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))
 
     bound = shingle_frame(df, id_col, text_col, n)
+    # Three plan branches read the shingle frame (band keys + both sides
+    # of the verify rejoin); persist trades one materialization for two
+    # re-tokenizations, same as minhash_candidate_pairs.
+    bound = bound.persist()
+    if cache_handles is not None:
+        cache_handles.append(bound)
     hashes = [
         F.array_min(F.transform(F.col("sh"), _seeded_md5(i)))
         for i in range(num_hashes)
@@ -923,18 +930,22 @@ def minhash_candidate_pairs_portable(
         )
         for b in range(bands)
     ]
-    banded = bound.select("id", "sh", F.explode(F.array(*band_keys)).alias("bk"))
+    # Band join on NARROW (id, band-key) rows only — shuffling the
+    # shingle arrays through the self-join and the pair-dedup would move
+    # the whole corpus text twice; instead the (small, output-bound)
+    # candidate id-pairs fetch their shingle sets back with two joins
+    # against the one-row-per-doc frame.
+    banded = bound.select("id", F.explode(F.array(*band_keys)).alias("bk"))
     a, b2 = banded.alias("a"), banded.alias("b")
-    cand = (
+    cand_ids = (
         a.join(b2, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sha"),
-            F.col("b.sh").alias("shb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sets = bound.select("id", "sh")
+    cand = cand_ids.join(
+        sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sha")), "id_a"
+    ).join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("shb")), "id_b")
     sim = jaccard(F.col("sha"), F.col("shb"))
     return cand.select("id_a", "id_b", sim.alias("jaccard_sim")).filter(
         F.col("jaccard_sim") >= threshold
