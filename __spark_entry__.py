@@ -1895,17 +1895,21 @@ def _q_quota_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-segmentation trio folded: span-level dedup ('seg' rows:
-    n1=n_segments, n2=n_kept, txt=clean_text), sliding-window chunking
-    ('chunk' rows: n1=chunk_id, n2=start, n3=n_tokens, txt=chunk_text),
-    and CROSS-document boilerplate-line removal ('boiler' rows:
-    n1=n_lines, n2=n_kept, txt=clean_text). The corpus texts are
+    """Token-segmentation quartet folded: paragraph-level dedup ('seg'
+    rows: n1=n_segments, n2=n_kept, txt=clean_text), sliding-window
+    chunking ('chunk' rows: n1=chunk_id, n2=start, n3=n_tokens,
+    txt=chunk_text), CROSS-document boilerplate-line removal ('boiler'
+    rows: n1=n_lines, n2=n_kept, txt=clean_text), and cross-document
+    duplicated-SPAN detection ('span' rows: n1=start, n2=end,
+    n3=n_tokens, txt=span_text — Lee et al. 2022 exact-substring dedup
+    as k-gram fingerprints + gaps-and-islands). The corpus texts are
     single-line, so the boiler branch wraps each document with an
     injected all-docs header and a per-source footer (25 docs per
-    source — both ≥ min_docs=10); the operator must strip exactly
-    those, so every clean_text hashes back to the original body — the
-    oracle replays the same construction and any over/under-removal or
-    reassembly-order slip fails the value hash."""
+    source — both ≥ min_docs=10); the span branch appends a shared
+    10-token tail to every even doc of its subset. The operators must
+    find exactly those constructions (plus any organic repeats, which
+    the oracle reproduces identically), so any over/under-detection or
+    span-merge slip fails the value hash."""
     seg = _q_segment_dedup(spark, sf_dir).select(
         F.lit("seg").alias("kind"),
         "doc_id",
@@ -1939,7 +1943,25 @@ def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n3"),
         F.col("clean_text").alias("txt"),
     )
-    return seg.unionByName(chunk).unionByName(boiler)
+    sdocs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(" the quick brown fox jumps over the lazy dog today"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    span = dedup.duplicate_spans(sdocs, k=5, min_docs=2).select(
+        F.lit("span").alias("kind"),
+        F.col("id").alias("doc_id"),
+        F.col("start").alias("n1"),
+        F.col("end").alias("n2"),
+        F.col("n_tokens").alias("n3"),
+        F.col("span_text").alias("txt"),
+    )
+    return seg.unionByName(chunk).unionByName(boiler).unionByName(span)
 
 
 def _q_retrieval_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3425,6 +3447,60 @@ def oracle_sql() -> dict[str, str]:
                             FILTER (WHERE b.line IS NULL), '') AS txt
             FROM bl l LEFT JOIN bset b ON l.line = b.line
             GROUP BY l.doc_id
+            UNION ALL
+            SELECT 'span' AS kind, s.doc_id,
+                   CAST(s.st AS BIGINT) AS n1,
+                   CAST(s.en AS BIGINT) AS n2,
+                   CAST(s.en - s.st + 1 AS BIGINT) AS n3,
+                   array_to_string(list_slice(sp.tk, s.st + 1, s.en + 1), ' ')
+                     AS txt
+            FROM (
+              WITH sd AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 2 = 0
+                       THEN ' the quick brown fox jumps over the lazy dog today'
+                       ELSE '' END AS text
+                FROM documents WHERE doc_id % 3 = 0
+              ),
+              spt AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+                FROM sd
+              ),
+              g AS (
+                SELECT doc_id, i - 1 AS pos0,
+                       md5(array_to_string(list_slice(tk, i, i + 4), ' ')) AS gh
+                FROM (SELECT doc_id, tk,
+                             unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS i
+                      FROM spt)
+              ),
+              dup AS (
+                SELECT gh FROM g GROUP BY gh
+                HAVING count(DISTINCT doc_id) >= 2
+              ),
+              m AS (SELECT g.doc_id, g.pos0 FROM g JOIN dup USING (gh)),
+              i1 AS (
+                SELECT doc_id, pos0,
+                       CASE WHEN lag(pos0) OVER w IS NULL
+                                 OR pos0 - lag(pos0) OVER w > 5
+                            THEN 1 ELSE 0 END AS brk
+                FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos0)
+              ),
+              i2 AS (
+                SELECT doc_id, pos0,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos0) AS isl
+                FROM i1
+              )
+              SELECT doc_id, isl, min(pos0) AS st, max(pos0) + 4 AS en
+              FROM i2 GROUP BY doc_id, isl
+            ) s
+            JOIN (
+              SELECT doc_id,
+                     regexp_extract_all(
+                       lower(text || CASE WHEN doc_id % 2 = 0
+                       THEN ' the quick brown fox jumps over the lazy dog today'
+                       ELSE '' END), '\S+') AS tk
+              FROM documents WHERE doc_id % 3 = 0
+            ) sp ON s.doc_id = sp.doc_id
         """,
         "quota_shuffle": """
             WITH h AS (

@@ -1217,6 +1217,99 @@ def segment_dedup(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated SPANS — the token-level exact-substring
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressed for Spark: their
+    suffix-array scan becomes k-gram fingerprinting + a gaps-and-islands
+    merge, which needs only groupBy/join/window primitives and scales as
+    O(total tokens), not O(corpus²).
+
+    A token k-gram whose md5 fingerprint occurs in ≥ ``min_docs``
+    DISTINCT documents marks its k token positions as duplicated;
+    overlapping/adjacent marked ranges within a document merge into
+    maximal spans (window lag → island ids → per-island min/max). The
+    md5-of-space-joined-tokens fingerprint is portable (tokens cannot
+    contain whitespace, so the join is collision-free), making the whole
+    operator replayable in an external SQL engine — the oracle shape.
+
+    Returns ``(id, start, end, n_tokens, span_text)`` per maximal span,
+    token positions 0-based inclusive, ``span_text`` the space-joined
+    duplicated tokens.
+
+    Scale shape: the corpus-wide shuffle carries only (id, pos, 16-byte
+    hash) rows; document text is re-joined per *span* (output-bound),
+    never per gram. At 100 TB swap md5 for xxhash64 (same plan, 8-byte
+    keys) and pre-filter grams through a frequency sketch.
+    """
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("tk"),
+    )
+    # one fingerprint per k-gram start position (0-based); < k tokens → none
+    gram_hashes = F.when(
+        F.size("tk") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - F.lit(k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toked.select("id", F.posexplode(gram_hashes).alias("pos0", "gh"))
+
+    dup_grams = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    marked = grams.join(dup_grams, "gh", "leftsemi").select("id", "pos0")
+
+    # gaps-and-islands: gram at pos0 covers tokens [pos0, pos0+k-1]; a
+    # gap > k between consecutive marked positions breaks coverage
+    w = Window.partitionBy("id").orderBy("pos0")
+    isl = (
+        marked.withColumn("_prev", F.lag("pos0").over(w))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos0") - F.col("_prev") > k),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    spans = isl.groupBy("id", "_isl").agg(
+        F.min("pos0").alias("start"),
+        (F.max("pos0") + F.lit(k - 1)).alias("end"),
+    )
+    return (
+        spans.join(toked, "id")
+        .select(
+            "id",
+            F.col("start").cast("long").alias("start"),
+            F.col("end").cast("long").alias("end"),
+            (F.col("end") - F.col("start") + 1).cast("long").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("tk"),
+                    F.col("start") + 1,
+                    F.col("end") - F.col("start") + 1,
+                ),
+            ).alias("span_text"),
+        )
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -189,6 +189,60 @@ def test_embedding_neardup_gemm_chunking_and_edges(spark):
     assert {(r.id_a, r.id_b) for r in tiny.collect()} == want
 
 
+def test_duplicate_spans_finds_and_merges_cross_doc_runs(spark):
+    """A 6-token run shared by three docs is found everywhere it occurs
+    (twice in doc 5 → two separate spans, since the separator token is
+    not duplicated); overlapping k-gram marks merge to ONE maximal span
+    per run; docs with no shared grams or fewer than k tokens emit
+    nothing."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta unique one text here"),
+            (2, "intro words alpha beta gamma delta epsilon zeta trailing stuff"),
+            (3, "totally different content with no duplicated pieces at all"),
+            (4, "short doc"),
+            (5, "x alpha beta gamma delta epsilon zeta y alpha beta gamma delta epsilon zeta z"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id, r.start, r.end): (r.n_tokens, r.span_text)
+        for r in dedup.duplicate_spans(docs, k=5, min_docs=2).collect()
+    }
+    run = (6, "alpha beta gamma delta epsilon zeta")
+    assert out == {
+        (1, 0, 5): run,
+        (2, 2, 7): run,
+        (5, 1, 6): run,
+        (5, 8, 13): run,
+    }
+
+
+def test_duplicate_spans_distinct_doc_threshold(spark):
+    """Repetition WITHIN one document does not count toward min_docs
+    (count is over distinct doc ids); raising min_docs above the true
+    sharing count silences the detection."""
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six one two three four five six"),
+            (2, "entirely different words in this second document body here"),
+        ],
+        "doc_id long, text string",
+    )
+    assert dedup.duplicate_spans(docs, k=5, min_docs=2).count() == 0
+    shared = spark.createDataFrame(
+        [
+            (1, "one two three four five tail a"),
+            (2, "one two three four five tail b"),
+        ],
+        "doc_id long, text string",
+    )
+    assert dedup.duplicate_spans(shared, k=5, min_docs=3).count() == 0
+    got = dedup.duplicate_spans(shared, k=5, min_docs=2).collect()
+    # "one two three four five tail" (the 'tail' token extends the run)
+    assert {(r.id, r.start, r.end) for r in got} == {(1, 0, 5), (2, 0, 5)}
+
+
 def test_minhash_cache_handles_returned(docs):
     handles = []
     out = dedup.minhash_candidate_pairs(docs, threshold=0.5, cache_handles=handles)
