@@ -1310,6 +1310,72 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Rewrite documents with cross-document duplicated spans excised —
+    the removal step over :func:`duplicate_spans`' detection, i.e. what
+    Lee et al. 2022 actually apply to the training corpus.
+
+    ``keep_first=True`` keeps each span's first occurrence (minimum
+    (doc id, start) across the corpus) and removes the rest, preserving
+    one copy of legitimately shared text; ``False`` removes every
+    occurrence (the C4-style aggressive form). Tokens outside removed
+    spans are reassembled in order, whitespace-normalized (tokenization
+    already collapsed whitespace).
+
+    Returns ``(id, n_tokens, n_removed, clean_text)``. The keep-first
+    election is one tiny aggregate over the span set (output-bound);
+    the rewrite is a narrow per-document filter over token positions —
+    no extra corpus shuffle beyond :func:`duplicate_spans` itself.
+    """
+    spans = duplicate_spans(df, id_col, text_col, k=k, min_docs=min_docs)
+    if keep_first:
+        w = Window.partitionBy("span_text").orderBy(F.asc("id"), F.asc("start"))
+        spans = spans.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") > 1
+        )
+    doc_spans = spans.groupBy("id").agg(
+        F.collect_list(F.struct("start", "end")).alias("cut")
+    )
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("tk"),
+    )
+    joined = toked.join(doc_spans, "id", "left")
+    cuts = F.coalesce(
+        F.col("cut"), F.array().cast("array<struct<start:long,end:long>>")
+    )
+    positions = F.when(
+        F.size("tk") > 0, F.sequence(F.lit(0), F.size("tk") - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    keep_mask = F.filter(
+        F.transform(
+            positions,
+            lambda i: F.when(
+                F.size(
+                    F.filter(cuts, lambda c: (i >= c["start"]) & (i <= c["end"]))
+                )
+                == 0,
+                i,
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    kept = F.transform(keep_mask, lambda i: F.element_at(F.col("tk"), i + 1))
+    return joined.select(
+        "id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        (F.size("tk") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     id_col: str = "doc_id",

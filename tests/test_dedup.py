@@ -243,6 +243,35 @@ def test_duplicate_spans_distinct_doc_threshold(spark):
     assert {(r.id, r.start, r.end) for r in got} == {(1, 0, 5), (2, 0, 5)}
 
 
+def test_remove_duplicate_spans_keep_first_and_aggressive(spark):
+    """keep_first elects the corpus-wide first occurrence (min doc id,
+    start) and removes the rest; keep_first=False removes every
+    occurrence; unaffected and empty docs pass through intact."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta unique one text here"),
+            (2, "intro words alpha beta gamma delta epsilon zeta trailing stuff"),
+            (3, "totally different content here today"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    first = {r.id: r for r in dedup.remove_duplicate_spans(docs, k=5).collect()}
+    assert first[1].n_removed == 0  # first occurrence kept
+    assert first[1].clean_text.startswith("alpha beta gamma")
+    assert first[2].n_removed == 6
+    assert first[2].clean_text == "intro words trailing stuff"
+    assert first[3].n_removed == 0 and first[4].clean_text == ""
+
+    allrm = {
+        r.id: r
+        for r in dedup.remove_duplicate_spans(docs, k=5, keep_first=False).collect()
+    }
+    assert allrm[1].n_removed == 6
+    assert allrm[1].clean_text == "unique one text here"
+    assert allrm[2].clean_text == "intro words trailing stuff"
+
+
 def test_minhash_cache_handles_returned(docs):
     handles = []
     out = dedup.minhash_candidate_pairs(docs, threshold=0.5, cache_handles=handles)
