@@ -141,6 +141,7 @@ def ivf_topk(
     seed: int = 42,
     round_digits: int | None = None,
     max_iter: int = 8,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning.
 
@@ -149,17 +150,25 @@ def ivf_topk(
     training is the dominant cost (measured 4.3 s @ 20 iters vs 1.4 s
     @ 8 on 5 k×64 with indistinguishable recall).
 
-    k-means centroids (Spark ML, one pass over the corpus) define the
-    cells; each corpus vector lands in its nearest cell, each query
-    probes its ``n_probe`` nearest cells, and exact cosine re-ranks the
-    candidates. Versus hyperplane LSH: data-adaptive cells give better
-    recall on clustered corpora at the same candidate budget; the
-    tradeoff is the training pass. At 100 TB, train on a sample, persist
-    the centroid assignment partitioned by cell, and queries touch only
-    ``n_probe`` cells' partitions.
+    k-means centroids (Spark ML) define the cells; each corpus vector
+    lands in its nearest cell, each query probes its ``n_probe`` nearest
+    cells, and exact cosine re-ranks the candidates. Versus hyperplane
+    LSH: data-adaptive cells give better recall on clustered corpora at
+    the same candidate budget; the tradeoff is the training pass.
+
+    ``train_fraction < 1`` fits the centroids on a seeded Bernoulli
+    sample — the 100 TB posture, where k-means never sees the full
+    corpus: cells only need to approximate the density, and the FULL
+    corpus is still assigned to cells afterwards (assignment is one
+    narrow pass; recall measured within noise of full-corpus training —
+    SCALING.md). Persist the assignment partitioned by cell and queries
+    touch only ``n_probe`` cells' partitions.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+
+    if not (0.0 < train_fraction <= 1.0):
+        raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
 
     c = corpus.select(
         F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
@@ -168,11 +177,14 @@ def ivf_topk(
         F.col(query_id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
     ).withColumn("q_nrm", norm_expr(F.col("q_vec")))
 
-    train = c.withColumn("features", array_to_vector(F.col("n_vec")))
+    full = c.withColumn("features", array_to_vector(F.col("n_vec")))
+    train = (
+        full if train_fraction >= 1.0 else full.sample(train_fraction, seed=seed)
+    )
     model = KMeans(
         k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
     ).fit(train)
-    c_cells = model.transform(train).select(
+    c_cells = model.transform(full).select(
         "n_id", "n_vec", "n_nrm", F.col("prediction").alias("cell")
     )
 

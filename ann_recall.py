@@ -76,6 +76,24 @@ def main() -> None:
             {"algo": "ivf", "n_centroids": 8, "n_probe": n_probe,
              "recall_at_10": round(recall_at_k(approx, exact), 4)}
         )
+    # sample-trained centroids (the 100 TB posture): recall at the
+    # registered operating point must be within noise of full training
+    import time as _time
+
+    for frac in (1.0, 0.25):
+        t0 = _time.monotonic()
+        approx = topk_sets(
+            similarity.ivf_topk(
+                emb, queries, k=K, n_centroids=8, n_probe=2,
+                round_digits=6, train_fraction=frac,
+            )
+        )
+        results.append(
+            {"algo": "ivf", "n_centroids": 8, "n_probe": 2,
+             "train_fraction": frac,
+             "recall_at_10": round(recall_at_k(approx, exact), 4),
+             "wall_sec": round(_time.monotonic() - t0, 2)}
+        )
     for r in results:
         print(json.dumps(r))
     spark.stop()

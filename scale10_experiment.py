@@ -79,8 +79,15 @@ def fuzzy_dedup_run(docs):
 
 
 def neardup_run(emb):
-    pairs = dedup.embedding_neardup_pairs(emb, threshold=0.3)
+    # registered (GEMM) form; the join-form numbers it replaced are kept
+    # in SCALING.md's round-6 follow-up table
+    pairs = dedup.embedding_neardup_gemm(emb, threshold=0.3)
     return {"pairs": pairs.count()}
+
+
+def span_run(docs):
+    spans = dedup.duplicate_spans(docs, k=5, min_docs=2)
+    return {"spans": spans.count()}
 
 
 def timed(fn, *args):
@@ -102,6 +109,9 @@ def main() -> None:
         n_docs = docs.count()
         res = timed(fuzzy_dedup_run, docs)
         print(json.dumps({"pipeline": "fuzzy_dedup", "copies": copies,
+                          "docs": n_docs, **res}))
+        res = timed(span_run, docs)
+        print(json.dumps({"pipeline": "duplicate_spans", "copies": copies,
                           "docs": n_docs, **res}))
         docs.unpersist()
     for copies in (1, 10):

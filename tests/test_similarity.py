@@ -89,6 +89,30 @@ def test_ivf_matches_brute_force_when_probing_all_cells(spark):
     assert ivf == exact  # probing every cell ⇒ identical to exact search
 
 
+def test_ivf_sample_training_still_exact_when_probing_all(spark):
+    """train_fraction changes WHICH cells k-means finds, never the
+    candidate completeness when every cell is probed — sampled training
+    plus probe-all must still equal brute force. Out-of-range fractions
+    are refused."""
+    import pytest as _pytest
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)] + [
+        (10, [0.7, 0.7, 0.0, 0.0]),
+        (11, [0.0, 0.6, 0.6, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 10)
+    exact = {(r.n_id, r.rank) for r in similarity.brute_force_topk(df, q, k=3).collect()}
+    sampled = {(r.n_id, r.rank) for r in similarity.ivf_topk(
+        df, q, k=3, n_centroids=2, n_probe=2, train_fraction=0.6).collect()}
+    assert sampled == exact
+
+    with _pytest.raises(ValueError):
+        similarity.ivf_topk(df, q, train_fraction=0.0)
+    with _pytest.raises(ValueError):
+        similarity.ivf_topk(df, q, train_fraction=1.5)
+
+
 def test_round_digits_rounds_similarity(vectors):
     q = vectors.filter(F.col("vec_id") == 0)
     out = similarity.brute_force_topk(vectors, q, k=1, round_digits=2).collect()
