@@ -13,9 +13,10 @@ the min/max spread is emitted alongside so variance itself is visible.
 The headline set spans the engine's cost classes: scan+agg (flagship,
 q1), multi-join (q3, q5), window (window_latest_event), the cleaning
 kernel (clean_summary), dedup (dup_groups exact, minhash LSH, the
-LSH→connected-components cluster resolver), text featurization
-(quality, repetition signals), decontamination, the end-to-end
-pretraining pipeline (filter→dedup→pack), and similarity top-k.
+LSH→connected-components cluster resolver, token-level duplicated-span
+detection inside segments_chunks), text featurization (quality,
+repetition signals), decontamination, the end-to-end pretraining
+pipeline (filter→dedup→pack), and similarity top-k.
 """
 
 from __future__ import annotations
@@ -60,6 +61,7 @@ HEADLINE = [
     "validate_orders",
     "bloom_new_docs",
     "winnow_portable",
+    "segments_chunks",
 ]
 
 
