@@ -78,6 +78,32 @@ def make_bucket_assigner(planes_by_table):
     return assign
 
 
+def make_cell_assigner(centers):
+    """Vectorized nearest-centroid assignment: one numpy GEMM per Arrow
+    batch. ``centers``: k × dim floats. Returns a scalar pandas UDF
+    mapping an array<double> vector column to the int cell index of its
+    nearest centroid (squared-L2; ties → lowest index, numpy argmin
+    semantics). The IVF sibling of :func:`make_bucket_assigner`; lives
+    here for the same evaluated-annotations reason.
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centers, dtype=np.float64)
+    c2 = np.einsum("ij,ij->i", C, C)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.asarray(v.tolist(), dtype=np.float64)
+        # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 constant per row
+        d = c2[None, :] - 2.0 * (V @ C.T)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return assign
+
+
 def median_udaf(v) -> Column:
     """GROUPED_AGG pandas UDAF: median, pandas semantics (mean of the
     middle pair for even counts). Built lazily — pandas_udf registration

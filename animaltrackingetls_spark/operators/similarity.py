@@ -129,6 +129,58 @@ def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _kmeanspp_lloyd(V, k: int, seed: int, max_iter: int, n_init: int = 4):
+    """Seeded k-means++ init + Lloyd iterations over a bounded in-memory
+    sample (numpy), with ``n_init`` restarts keeping the lowest-inertia
+    run — the cheap compensation for k-means++'s seeding variance that a
+    distributed trainer can't afford but a sample-local one gets for
+    ~milliseconds. Deterministic for a given (sample, k, seed, max_iter,
+    n_init); empty cells keep their previous centroid. Returns a k × dim
+    float64 array."""
+    import numpy as np
+
+    n = len(V)
+    k = min(k, n)
+    v2 = np.einsum("ij,ij->i", V, V)
+
+    def one_run(run_seed: int):
+        rng = np.random.RandomState(run_seed)
+        idx = [int(rng.randint(n))]
+        d2 = np.full(n, np.inf)
+        for _ in range(1, k):
+            c = V[idx[-1]]
+            d2 = np.minimum(d2, v2 - 2.0 * (V @ c) + c @ c)
+            d2c = np.clip(d2, 0.0, None)
+            tot = d2c.sum()
+            if tot <= 0:
+                idx.append(int(rng.randint(n)))
+            else:
+                idx.append(int(rng.choice(n, p=d2c / tot)))
+        C = V[idx].copy()
+        for _ in range(max_iter):
+            d = np.einsum("ij,ij->i", C, C)[None, :] - 2.0 * (V @ C.T)
+            a = d.argmin(axis=1)
+            newC = C.copy()
+            for j in range(k):
+                members = V[a == j]
+                if len(members):
+                    newC[j] = members.mean(axis=0)
+            if np.allclose(newC, C, rtol=0.0, atol=1e-12):
+                C = newC
+                break
+            C = newC
+        d = np.einsum("ij,ij->i", C, C)[None, :] - 2.0 * (V @ C.T)
+        inertia = float((v2 + d.min(axis=1)).sum())
+        return C, inertia
+
+    best, best_inertia = None, np.inf
+    for i in range(max(1, n_init)):
+        C, inertia = one_run(seed + 7919 * i)
+        if inertia < best_inertia:
+            best, best_inertia = C, inertia
+    return best
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -142,6 +194,8 @@ def ivf_topk(
     round_digits: int | None = None,
     max_iter: int = 8,
     train_fraction: float = 1.0,
+    fit_impl: str = "mllib",
+    max_train_rows: int = 25_000,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning.
 
@@ -160,15 +214,35 @@ def ivf_topk(
     sample — the 100 TB posture, where k-means never sees the full
     corpus: cells only need to approximate the density, and the FULL
     corpus is still assigned to cells afterwards (assignment is one
-    narrow pass; recall measured within noise of full-corpus training —
-    SCALING.md). Persist the assignment partitioned by cell and queries
-    touch only ``n_probe`` cells' partitions.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    narrow pass). ``fit_impl`` picks the trainer:
 
+    * ``"mllib"`` (default) — Spark ML KMeans over the (sampled)
+      corpus: distributed training, and the registered queries' pinned
+      recall envelope.
+    * ``"driver"`` — numpy k-means++ (best of 4 seeded restarts by
+      inertia) + Lloyd on a driver-collected sample hard-capped at
+      ``max_train_rows`` (deterministic md5-bucket thinning above the
+      cap, so the sample — and therefore the centroids — is independent
+      of partitioning). This is how production ANN indexes (FAISS
+      et al.) train coarse quantizers: centroid fitting needs a density
+      sketch, not the corpus, and the bounded collect
+      (≤ max_train_rows × dim doubles) replaces a multi-job distributed
+      k-means whose per-iteration overhead dominates when k is small —
+      measured 2.2 s → 1.4 s end-to-end at sf0.1. Corpus cell
+      ASSIGNMENT stays distributed (one Arrow-batched argmin pass).
+      Caveat, measured (SCALING.md): on near-uniform random embeddings
+      the two trainers' cells score different recall@10 at the same
+      probe budget (0.58 mllib vs 0.46 driver here) — cell geometry on
+      structureless data is seeding luck, so the registered query keeps
+      the mllib envelope and ``driver`` is the opt-in fast path.
+
+    Persist the assignment partitioned by cell and queries touch only
+    ``n_probe`` cells' partitions.
+    """
     if not (0.0 < train_fraction <= 1.0):
         raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
+    if fit_impl not in ("driver", "mllib"):
+        raise ValueError(f"fit_impl must be driver|mllib, got {fit_impl!r}")
 
     c = corpus.select(
         F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
@@ -177,21 +251,60 @@ def ivf_topk(
         F.col(query_id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
     ).withColumn("q_nrm", norm_expr(F.col("q_vec")))
 
-    full = c.withColumn("features", array_to_vector(F.col("n_vec")))
-    train = (
-        full if train_fraction >= 1.0 else full.sample(train_fraction, seed=seed)
-    )
-    model = KMeans(
-        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
-    ).fit(train)
-    c_cells = model.transform(full).select(
-        "n_id", "n_vec", "n_nrm", F.col("prediction").alias("cell")
-    )
+    if fit_impl == "mllib":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        full = c.withColumn("features", array_to_vector(F.col("n_vec")))
+        train = (
+            full if train_fraction >= 1.0 else full.sample(train_fraction, seed=seed)
+        )
+        model = KMeans(
+            k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
+        ).fit(train)
+        c_cells = model.transform(full).select(
+            "n_id", "n_vec", "n_nrm", F.col("prediction").alias("cell")
+        )
+        centers_list = [
+            [float(x) for x in center] for center in model.clusterCenters()
+        ]
+    else:
+        import numpy as np
+
+        train = (
+            c if train_fraction >= 1.0 else c.sample(train_fraction, seed=seed)
+        )
+        n_train = train.count()
+        if n_train > max_train_rows:
+            # deterministic, partitioning-independent thinning: keep ids
+            # whose md5 bucket falls under the target fraction
+            frac_hex = int(65536 * max_train_rows / n_train)
+            train = train.filter(
+                F.conv(
+                    F.substring(F.md5(F.col("n_id").cast("string")), 1, 4), 16, 10
+                ).cast("long")
+                < F.lit(frac_hex)
+            )
+        sample = np.asarray(
+            [r["n_vec"] for r in train.select("n_vec").collect()], dtype=np.float64
+        )
+        if len(sample) == 0:
+            raise ValueError(
+                "ivf_topk: training sample is empty (corpus empty or "
+                "train_fraction too small)"
+            )
+        from .aggregates import make_cell_assigner
+
+        # sample-local iterations are ~free: run Lloyd to at least 25
+        # rounds and take the best of 4 seeded restarts (max_iter keeps
+        # its distributed meaning for the mllib path)
+        centers = _kmeanspp_lloyd(sample, n_centroids, seed, max(max_iter, 25))
+        centers_list = [[float(x) for x in row] for row in centers]
+        assigner = make_cell_assigner(centers)
+        c_cells = c.withColumn("cell", assigner(F.col("n_vec")))
 
     # centroids are tiny: ship as literal arrays, rank cells per query
-    centroids = [
-        (ci, [float(x) for x in center]) for ci, center in enumerate(model.clusterCenters())
-    ]
+    centroids = list(enumerate(centers_list))
     cent_rows = [F.struct(F.lit(ci).alias("cell"), F.array(*[F.lit(x) for x in vec]).alias("cv"))
                  for ci, vec in centroids]
     q_cells = (

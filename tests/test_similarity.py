@@ -113,6 +113,49 @@ def test_ivf_sample_training_still_exact_when_probing_all(spark):
         similarity.ivf_topk(df, q, train_fraction=1.5)
 
 
+def test_ivf_driver_fit_exact_when_probing_all_and_deterministic(spark):
+    """The driver-side k-means++ trainer: probe-all still equals brute
+    force (candidate completeness is independent of the trainer), the
+    result is deterministic across invocations, and an unknown fit_impl
+    is refused."""
+    import pytest as _pytest
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)] + [
+        (10, [0.7, 0.7, 0.0, 0.0])
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 10)
+    exact = {(r.n_id, r.rank) for r in similarity.brute_force_topk(df, q, k=3).collect()}
+    got1 = {(r.n_id, r.rank) for r in similarity.ivf_topk(
+        df, q, k=3, n_centroids=2, n_probe=2, fit_impl="driver").collect()}
+    got2 = {(r.n_id, r.rank) for r in similarity.ivf_topk(
+        df, q, k=3, n_centroids=2, n_probe=2, fit_impl="driver").collect()}
+    assert got1 == exact and got2 == got1
+
+    with _pytest.raises(ValueError):
+        similarity.ivf_topk(df, q, fit_impl="sklearn")
+
+
+def test_ivf_driver_fit_caps_training_sample(spark):
+    """max_train_rows caps the driver collect via deterministic md5
+    thinning; the full corpus is still assigned to cells (every corpus
+    row reachable through probe-all)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(4)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 2)
+    out = similarity.ivf_topk(
+        df, q, k=5, n_centroids=4, n_probe=4, fit_impl="driver",
+        max_train_rows=50,
+    )
+    exact = similarity.brute_force_topk(df, q, k=5)
+    assert {(r.q_id, r.n_id, r.rank) for r in out.collect()} == {
+        (r.q_id, r.n_id, r.rank) for r in exact.collect()
+    }
+
+
 def test_round_digits_rounds_similarity(vectors):
     q = vectors.filter(F.col("vec_id") == 0)
     out = similarity.brute_force_topk(vectors, q, k=1, round_digits=2).collect()
