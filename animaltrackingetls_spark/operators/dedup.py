@@ -495,31 +495,41 @@ def embedding_neardup_gemm(
     )
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL-vector rows can never satisfy the threshold in the join
+        # form (NULL cosine → filtered); drop them before the GEMM.
+        # Mixed-dimension vectors likewise pair to NULL there (zip_with
+        # pads with NULLs), so pairs only form WITHIN a length group —
+        # GEMM each group separately instead of crashing on a ragged
+        # matrix.
+        pdf = pdf[pdf["v"].notna()]
         pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
-        ids = pdf["id"]
-        V = np.asarray(pdf["v"].tolist(), dtype=np.float64)
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
-                                 "cosine_sim": pd.Series([], dtype="float64")})
-        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        empty = pd.DataFrame({"id_a": pdf["id"][:0], "id_b": pdf["id"][:0],
+                              "cosine_sim": pd.Series([], dtype="float64")})
+        if len(pdf) < 2:
+            return empty
         frames = []
-        for s in range(0, m, chunk):
-            e = min(s + chunk, m)
-            S = V[s:e] @ V.T
-            S /= np.outer(nrm[s:e], nrm)
-            rows, cols = np.nonzero(S >= threshold)
-            ia = ids.iloc[rows + s].to_numpy()
-            ib = ids.iloc[cols].to_numpy()
-            keep = ib > ia  # strict orientation, same as the join's a.id < b.id
-            rows, cols, ia, ib = rows[keep], cols[keep], ia[keep], ib[keep]
-            if len(rows):
-                frames.append(pd.DataFrame({
-                    "id_a": ia, "id_b": ib, "cosine_sim": S[rows, cols],
-                }))
+        for _dim, grp in pdf.groupby(pdf["v"].str.len(), sort=False):
+            ids = grp["id"].reset_index(drop=True)
+            m = len(grp)
+            if m < 2:
+                continue
+            V = np.asarray(grp["v"].tolist(), dtype=np.float64)
+            nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+            for s in range(0, m, chunk):
+                e = min(s + chunk, m)
+                S = V[s:e] @ V.T
+                S /= np.outer(nrm[s:e], nrm)
+                rows, cols = np.nonzero(S >= threshold)
+                ia = ids.iloc[rows + s].to_numpy()
+                ib = ids.iloc[cols].to_numpy()
+                keep = ib > ia  # strict orientation, same as a.id < b.id
+                rows, cols, ia, ib = rows[keep], cols[keep], ia[keep], ib[keep]
+                if len(rows):
+                    frames.append(pd.DataFrame({
+                        "id_a": ia, "id_b": ib, "cosine_sim": S[rows, cols],
+                    }))
         if not frames:
-            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
-                                 "cosine_sim": pd.Series([], dtype="float64")})
+            return empty
         return pd.concat(frames, ignore_index=True)
 
     base = df.select(
@@ -1250,7 +1260,10 @@ def duplicate_spans(
     """
     toked = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array(tokens(F.col(text_col)))).alias("tk"),
+        F.explode(
+            F.array(F.coalesce(tokens(F.col(text_col)),
+                               F.array().cast("array<string>")))
+        ).alias("tk"),
     )
     # one fingerprint per k-gram start position (0-based); < k tokens → none
     gram_hashes = F.when(
@@ -1345,7 +1358,10 @@ def remove_duplicate_spans(
     )
     toked = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array(tokens(F.col(text_col)))).alias("tk"),
+        F.explode(
+            F.array(F.coalesce(tokens(F.col(text_col)),
+                               F.array().cast("array<string>")))
+        ).alias("tk"),
     )
     joined = toked.join(doc_spans, "id", "left")
     cuts = F.coalesce(

@@ -243,6 +243,40 @@ def test_duplicate_spans_distinct_doc_threshold(spark):
     assert {(r.id, r.start, r.end) for r in got} == {(1, 0, 5), (2, 0, 5)}
 
 
+def test_embedding_neardup_gemm_null_and_ragged_vectors(spark):
+    """NULL vectors and mixed dimensions must match the join form's
+    semantics (NULL cosine → dropped; cross-dimension pairs → dropped)
+    instead of crashing the ragged numpy conversion."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.999, 0.01], 0),
+            (3, None, 0),              # NULL vector
+            (4, [1.0, 0.0, 0.0], 0),   # different dimension
+            (5, [0.999, 0.01, 0.0], 0),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    gemm = sorted((r.id_a, r.id_b) for r in
+                  dedup.embedding_neardup_gemm(emb, threshold=0.95).collect())
+    join = sorted((r.id_a, r.id_b) for r in
+                  dedup.embedding_neardup_pairs(emb, threshold=0.95).collect())
+    assert gemm == join == [(1, 2), (4, 5)]
+
+
+def test_duplicate_spans_null_text(spark):
+    """NULL text tokenizes to zero tokens: no grams, no crash, and the
+    removal form reports 0/0 with empty clean_text."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, None), (3, "a b c d e g")],
+        "doc_id long, text string",
+    )
+    spans = {(r.id, r.start, r.end) for r in dedup.duplicate_spans(docs, k=5).collect()}
+    assert spans == {(1, 0, 4), (3, 0, 4)}
+    out = {r.id: r for r in dedup.remove_duplicate_spans(docs, k=5).collect()}
+    assert (out[2].n_tokens, out[2].n_removed, out[2].clean_text) == (0, 0, "")
+
+
 def test_remove_duplicate_spans_keep_first_and_aggressive(spark):
     """keep_first elects the corpus-wide first occurrence (min doc id,
     start) and removes the rest; keep_first=False removes every
