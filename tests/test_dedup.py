@@ -782,3 +782,63 @@ def test_remove_boilerplate_duplicate_line_within_one_doc_counts_once(spark):
 
     with _pytest.raises(ValueError):
         dedup.remove_boilerplate_lines(docs, min_docs=1)
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans property test vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _ref_duplicate_spans(corpus: dict, k: int, min_docs: int) -> set:
+    """Brute-force reference: mark every k-gram occurring in >= min_docs
+    distinct docs, merge marks closer than k into maximal spans."""
+    grams: dict = {}
+    for i, tk in corpus.items():
+        for p in range(len(tk) - k + 1):
+            grams.setdefault(tuple(tk[p : p + k]), set()).add(i)
+    dup = {g for g, ids in grams.items() if len(ids) >= min_docs}
+    out = set()
+    for i, tk in corpus.items():
+        marked = [p for p in range(len(tk) - k + 1) if tuple(tk[p : p + k]) in dup]
+        cur, prev = None, None
+        spans = []
+        for p in marked:
+            if prev is None or p - prev > k:
+                if cur:
+                    spans.append(cur)
+                cur = [p, p]
+            else:
+                cur[1] = p
+            prev = p
+        if cur:
+            spans.append(cur)
+        for s, e in spans:
+            out.add((i, s, e + k - 1, e + k - s, " ".join(tk[s : e + k])))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(st.sampled_from(list("abcde")), min_size=0, max_size=12),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_duplicate_spans_matches_python_reference(spark, doc_tokens):
+    """Over a tiny alphabet (dense gram collisions — the adversarial
+    case for island merging) the Spark operator and the brute-force
+    Python reference must emit identical span sets."""
+    corpus = {i: toks for i, toks in enumerate(doc_tokens)}
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in corpus.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id, r.start, r.end, r.n_tokens, r.span_text)
+        for r in dedup.duplicate_spans(df, k=3, min_docs=2).collect()
+    }
+    assert got == _ref_duplicate_spans(corpus, k=3, min_docs=2)
