@@ -2096,6 +2096,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_flagship_day_scan(spark, SF_SMOKE)
 
 
+def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer end-to-end: one distributed word-count pass trains
+    merges driver-side (deterministic: frequency then lexicographic
+    tie-break), then an Arrow-batched UDF segments every document.
+    Rows-only by nature — the trainer's merge loop is a driver
+    iteration no SQL engine replays — pinned instead by
+    test_textstats.py's reference-trainer equality and reconstruction
+    property. Returns per-doc subword stats plus the first subwords
+    (deterministic)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = textstats.bpe_train(docs, num_merges=64)
+    apply_udf = textstats.make_bpe_apply_udf(merges)
+    subs = docs.select("doc_id", apply_udf(F.col("text")).alias("subs"))
+    return subs.select(
+        "doc_id",
+        F.size("subs").cast("long").alias("n_subwords"),
+        F.size(F.array_distinct("subs")).cast("long").alias("n_distinct"),
+        F.concat_ws(" ", F.slice("subs", 1, 8)).alias("head_subwords"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver verifies the first 50 entries against
     # oracle_sql() (CORRECTNESS_r02-r04 each covered exactly 50), so
@@ -2167,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_user_totals": _q_running_user_totals,
         "semantic_dedup": _q_semantic_dedup,
         "hll_user_rollup": _q_hll_user_rollup,
+        "bpe_tokenize": _q_bpe_tokenize,
     }
 
 

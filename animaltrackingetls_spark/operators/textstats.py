@@ -436,3 +436,174 @@ def dedup_lines(c: Column, sep: str = "\n") -> Column:
     array_distinct (order-preserving, first wins) → rejoin. Whitespace
     inside lines is untouched; empty lines dedup like any other line."""
     return F.array_join(F.array_distinct(F.split(c, sep)), sep)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: distributed word-count pass + driver-side merge learning
+# + Arrow-batched apply
+# ---------------------------------------------------------------------------
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 200,
+    max_vocab_rows: int = 100_000,
+    min_word_count: int = 1,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn byte-pair-encoding merges from a corpus — the standard
+    trainer decomposition (Sennrich et al. 2016; GPT-2's trainer has
+    the same shape): ONE distributed pass aggregates the word-frequency
+    table, and the merge loop runs driver-side over that table with
+    incremental pair-count maintenance. The corpus text is never
+    collected — only (word, count) rows, deterministically capped at
+    ``max_vocab_rows`` (by count desc, then word: regeneration-stable),
+    which is how real tokenizer trainers bound memory too (a frequency
+    table, not the corpus, is the training input).
+
+    Words are :func:`tokens` units (lowercased, whitespace-split — the
+    same pre-tokenizer the apply side uses); symbols start as single
+    characters, no end-of-word marker. Merges are deterministic: the
+    most frequent pair wins, count ties break to the lexicographically
+    smallest pair. Stops early when no pair reaches ``min_pair_count``.
+
+    Returns the ordered merge list (rank = list position) for
+    :func:`make_bpe_apply_udf`.
+    """
+    wc = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_word_count)
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(max_vocab_rows)
+    )
+    vocab = {r["w"]: int(r["n"]) for r in wc.collect()}
+    return _bpe_merges_from_vocab(vocab, num_merges, min_pair_count)
+
+
+def _bpe_merges_from_vocab(
+    vocab: dict, num_merges: int, min_pair_count: int = 2
+) -> list[tuple[str, str]]:
+    """Driver-side BPE merge loop over a (word → count) table with
+    incremental pair-count updates: each merge touches only the words
+    that contain the merged pair (classic trainer optimization — a full
+    vocab re-scan per merge would be O(merges × vocab))."""
+    from collections import Counter, defaultdict
+
+    words = {w: list(w) for w in vocab}
+    pair_counts: Counter = Counter()
+    where: dict = defaultdict(set)
+    for w, syms in words.items():
+        n = vocab[w]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += n
+            where[p].add(w)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        m = max(pair_counts.values())
+        if m < min_pair_count:
+            break
+        best = min(p for p, c in pair_counts.items() if c == m)
+        merges.append(best)
+        a, b = best
+        for w in list(where.get(best, ())):
+            syms = words[w]
+            n = vocab[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] -= n
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+            out: list = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pair_counts[p] += n
+                where[p].add(w)
+        where.pop(best, None)
+    return merges
+
+
+def bpe_encode_word(word: str, rank: dict, cache: dict | None = None) -> list[str]:
+    """Apply learned merges to one word, lowest-rank-first (the standard
+    greedy BPE segmenter). Pure Python so the Spark UDF and tests share
+    one body; ``cache`` memoizes per distinct word."""
+    if cache is not None and word in cache:
+        return cache[word]
+    syms = list(word)
+    while len(syms) > 1:
+        best_r, best_pair = None, None
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            r = rank.get(p)
+            if r is not None and (best_r is None or r < best_r):
+                best_r, best_pair = r, p
+        if best_r is None:
+            break
+        a, b = best_pair
+        out: list = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    if cache is not None:
+        cache[word] = syms
+    return syms
+
+
+def make_bpe_apply_udf(merges: list):
+    """Arrow-batched BPE segmentation: text → array<string> of subwords.
+
+    Pre-tokenizes with the SAME pattern the trainer's word-count pass
+    used (``TOKEN_PATTERN``, lowercased — Python `re` and Java regex
+    agree on the explicit class), then applies merges rank-greedily per
+    word with a per-batch memo of distinct words (Zipf: a batch's
+    distinct-word count is far below its token count). NULL text → [].
+    The merges list is captured in the UDF closure and ships to
+    executors once per task via the normal broadcast of the serialized
+    function — at 100 TB the list is a few hundred KB, not a join.
+    """
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    rank = {tuple(p): i for i, p in enumerate(merges)}
+    pat = _re.compile(TOKEN_PATTERN)
+
+    @pandas_udf(ArrayType(StringType()))
+    def apply(texts):  # pd.Series -> pd.Series (hints omitted: __future__
+        # annotations stringifies them, breaking pandas_udf inference)
+        cache: dict = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            subs: list = []
+            for w in pat.findall(t.lower()):
+                subs.extend(bpe_encode_word(w, rank, cache))
+            out.append(subs)
+        return pd.Series(out)
+
+    return apply

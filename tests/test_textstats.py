@@ -283,3 +283,99 @@ def test_dedup_lines_keeps_first_occurrence_order(spark):
     assert got[1] == "Home | About\nreal content\nmore text"
     assert got[2] == "only line"
     assert got[3] == "a\n\nb"  # empty lines dedup too; order preserved
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer + apply
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe_merges(word_counts: dict, num_merges: int, min_pair_count: int = 2):
+    """O(merges × vocab) reference trainer (no incremental updates):
+    most-frequent pair, ties to lexicographically smallest."""
+    words = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + word_counts[w]
+        if not pairs:
+            break
+        m = max(pairs.values())
+        if m < min_pair_count:
+            break
+        best = min(p for p, c in pairs.items() if c == m)
+        merges.append(best)
+        a, b = best
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    """The incremental driver trainer must produce the identical merge
+    sequence as the brute-force reference over the same word counts —
+    and those counts must be the corpus's (distributed pass, lowercase
+    tokens)."""
+    from animaltrackingetls_spark.operators.textstats import (
+        _bpe_merges_from_vocab,
+        bpe_train,
+    )
+
+    rows = [
+        (1, "low lower lowest low low"),
+        (2, "newer newest new lower Low"),
+        (3, "widest wide wider new"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    counts: dict = {}
+    for _, text in rows:
+        for w in text.lower().split():
+            counts[w] = counts.get(w, 0) + 1
+    for n in (1, 5, 12, 50):
+        assert bpe_train(docs, num_merges=n) == _ref_bpe_merges(counts, n)
+    # incremental == reference on a larger random vocab too
+    import random
+
+    rng = random.Random(5)
+    vocab = {
+        "".join(rng.choice("abcd") for _ in range(rng.randint(1, 8))): rng.randint(1, 9)
+        for _ in range(200)
+    }
+    assert _bpe_merges_from_vocab(vocab, 40) == _ref_bpe_merges(vocab, 40)
+
+
+def test_bpe_apply_reconstructs_and_handles_null(spark):
+    """Concatenating a word's subwords must reproduce the word (BPE
+    only merges, never rewrites); NULL text → empty array; longest
+    learned units actually win (rank-greedy)."""
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.operators.textstats import (
+        bpe_train,
+        make_bpe_apply_udf,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "banana bandana ban banana"), (2, "bandana banana band"), (3, None)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, num_merges=20)
+    udf = make_bpe_apply_udf(merges)
+    out = {r.doc_id: r.subs for r in docs.select(
+        "doc_id", udf(F.col("text")).alias("subs")).collect()}
+    assert out[3] == []
+    # reconstruction: subwords joined with no separator == tokens joined
+    assert "".join(out[1]) == "bananabandanabanbanana"
+    # 'banana' is frequent enough to become a single learned unit
+    assert "banana" in out[1]
