@@ -2012,7 +2012,25 @@ def _q_catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         "s",
     )
-    return cat.unionByName(prof)
+    # mergeable fixed-bin histogram rollup ('hist' rows: one row per
+    # (event_type, bin), dense — zero bins emitted, closed outer edges)
+    from animaltrackingetls_spark.operators import aggregates as _agg
+
+    ev = _t(spark, sf_dir, "events")
+    hist = _agg.histogram_rollup(
+        ev, ["event_type"], "value", lo=0.0, hi=500.0, n_bins=16
+    ).select(
+        F.lit("hist").alias("kind"),
+        F.col("event_type").alias("key"),
+        F.posexplode("bins").alias("pos", "c"),
+    ).select(
+        "kind",
+        "key",
+        F.col("pos").cast("string").alias("item"),
+        F.col("c").alias("n"),
+        F.lit(None).cast("string").alias("s"),
+    )
+    return cat.unionByName(prof).unionByName(hist)
 
 
 def _q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3111,6 +3129,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'profile', col_name, 'min', CAST(NULL AS BIGINT),
                       min_value FROM prof
             UNION ALL SELECT 'profile', col_name, 'max', NULL, max_value FROM prof
+            UNION ALL
+            SELECT 'hist', et.event_type,
+                   CAST(r.b AS VARCHAR),
+                   coalesce(hc.c, 0),
+                   NULL
+            FROM (SELECT DISTINCT event_type FROM events
+                  WHERE value IS NOT NULL) et
+            CROSS JOIN (SELECT unnest(range(0, 16)) AS b) r
+            LEFT JOIN (
+              SELECT event_type,
+                     CAST(least(greatest(floor(value / 31.25), 0), 15) AS INT)
+                       AS b,
+                     count(*) AS c
+              FROM events WHERE value IS NOT NULL
+              GROUP BY 1, 2
+            ) hc ON hc.event_type = et.event_type AND hc.b = r.b
         """,
         "udaf_stats": """
             SELECT event_type,

@@ -288,3 +288,97 @@ def calendar_spine_fill(
         F.col("d").alias(date_col),
         F.coalesce(F.col(value_name), F.lit(0).cast("long")).alias(value_name),
     )
+
+
+def histogram_rollup(
+    df: DataFrame,
+    group_cols: list,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Per-group fixed-bin histograms — the QUANTILE analog of
+    :func:`hll_rollup`: persist bin-count vectors at fine grain (per
+    day/segment) once, then any coarser rollup (week, month, arbitrary
+    range) is an element-wise SUM of vectors — exactly mergeable, no
+    approximation drift, no rescan of the fact table. Unlike
+    percentile_approx (whose KLL-style state is not exposed for
+    re-merge at query time), the bin vector is plain data: mergeable in
+    SQL, portable to any engine, oracle-checkable.
+
+    Bins: ``[lo, hi)`` split into ``n_bins`` equal widths; values below
+    ``lo`` clamp to bin 0, at-or-above ``hi`` clamp to the last bin
+    (closed outer edges — a rollup must not silently drop outliers);
+    NULLs are excluded. Returns ``group_cols + (bins: array<long>,
+    n: long)``.
+
+    Accuracy contract: any quantile estimated from the histogram
+    (:func:`quantile_from_histogram`) is exact to within one bin width
+    — a KNOWN, fixed error bound chosen by (lo, hi, n_bins), versus
+    percentile_approx's data-dependent rank error.
+    """
+    if n_bins < 1 or not (hi > lo):
+        raise ValueError(f"need hi > lo and n_bins >= 1 (got {lo}, {hi}, {n_bins})")
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    bin_idx = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols, bin_idx.alias("_bin"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    grouped = counts.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_bin"), F.col("_c")))
+        ).alias("_m"),
+        F.sum("_c").alias("n"),
+    )
+    # dense vector: absent bins fill with 0 (sparse map → fixed array)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    return grouped.select(*group_cols, vec.alias("bins"), "n")
+
+
+def histogram_merge(df: DataFrame, group_cols: list, n_bins: int) -> DataFrame:
+    """Merge fine-grain histogram rows to a coarser grouping:
+    element-wise vector sum (``aggregate`` over ``zip_with``) + count
+    sum. The histogram twin of :func:`hll_union` — pure data movement
+    of n_bins longs per group, never the raw values."""
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(n_bins)])
+    return df.groupBy(*group_cols).agg(
+        F.aggregate(
+            F.collect_list("bins"),
+            zero,
+            lambda acc, b: F.zip_with(acc, b, lambda x, y: x + y),
+        ).alias("bins"),
+        F.sum("n").alias("n"),
+    )
+
+
+def quantile_from_histogram(
+    bins: list, n: int, q: float, lo: float, hi: float
+) -> float:
+    """Linear-interpolated quantile from a bin-count vector (driver-side
+    helper for serving paths; exact to one bin width by construction).
+    ``q`` in [0, 1]."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    if n <= 0:
+        raise ValueError("empty histogram")
+    width = (hi - lo) / len(bins)
+    target = q * n
+    seen = 0
+    for i, c in enumerate(bins):
+        if seen + c >= target:
+            frac = 0.5 if c == 0 else (target - seen) / c
+            return lo + (i + max(0.0, min(1.0, frac))) * width
+        seen += c
+    return hi

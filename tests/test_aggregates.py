@@ -179,3 +179,57 @@ def test_calendar_spine_fill_custom_aggregate(spark):
         ).collect()
     }
     assert out == {"2024-01-01": 10, "2024-01-02": 0, "2024-01-03": 10}
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram rollups
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_rollup_merge_equals_direct(spark):
+    """Daily histograms merged to group grain must equal the histogram
+    computed directly over the raw data — the exactness property that
+    makes fixed-bin vectors the re-aggregatable quantile sketch."""
+    from animaltrackingetls_spark.operators import aggregates as A
+
+    rows = (
+        [("a", "d1", float(v)) for v in range(0, 50)]
+        + [("a", "d2", float(v)) for v in range(25, 100)]
+        + [("b", "d1", 200.0), ("b", "d1", None), ("b", "d2", -5.0)]
+    )
+    df = spark.createDataFrame(rows, "grp string, day string, value double")
+    daily = A.histogram_rollup(df, ["grp", "day"], "value", lo=0.0, hi=100.0, n_bins=10)
+    merged = {r.grp: (r.bins, r.n) for r in
+              A.histogram_merge(daily, ["grp"], n_bins=10).collect()}
+    direct = {r.grp: (r.bins, r.n) for r in
+              A.histogram_rollup(df, ["grp"], "value", lo=0.0, hi=100.0,
+                                 n_bins=10).collect()}
+    assert merged == direct
+    # closed outer edges: 200 clamps to the last bin, -5 to bin 0; NULL drops
+    assert direct["b"] == ([1, 0, 0, 0, 0, 0, 0, 0, 0, 1], 2)
+
+
+def test_histogram_quantile_within_one_bin_of_exact(spark):
+    """quantile_from_histogram's error bound is one bin width by
+    construction; check against numpy percentiles on a skewed sample."""
+    import numpy as np
+
+    from animaltrackingetls_spark.operators import aggregates as A
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate([rng.uniform(0, 20, 600), rng.uniform(60, 100, 400)])
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    h = A.histogram_rollup(df.withColumn("g", __import__("pyspark").sql.functions.lit("x")),
+                           ["g"], "value", lo=0.0, hi=100.0, n_bins=50).collect()[0]
+    width = 100.0 / 50
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = A.quantile_from_histogram(h.bins, h.n, q, 0.0, 100.0)
+        exact = float(np.percentile(vals, q * 100))
+        assert abs(est - exact) <= width + 1e-9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        A.quantile_from_histogram(h.bins, h.n, 1.5, 0.0, 100.0)
+    with _pytest.raises(ValueError):
+        A.histogram_rollup(df, [], "value", lo=5.0, hi=5.0)
