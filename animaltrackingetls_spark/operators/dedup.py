@@ -1000,8 +1000,14 @@ def incremental_dedup(
     def _seeded_md5(seed: int):
         return lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))
 
-    def _banded(df: DataFrame) -> DataFrame:
-        bound = shingle_frame(df, id_col, text_col, n)
+    def _bound(df: DataFrame) -> DataFrame:
+        return shingle_frame(df, id_col, text_col, n)
+
+    def _band_keys(bound: DataFrame) -> DataFrame:
+        # NARROW (id, band-key) rows only — the shingle arrays rejoin
+        # per candidate pair below, so the band join's shuffle payload
+        # is independent of document size (the store-backed production
+        # form persists exactly this (id, bk) table)
         hashes = [
             F.array_min(F.transform(F.col("sh"), _seeded_md5(i)))
             for i in range(num_hashes)
@@ -1013,7 +1019,7 @@ def incremental_dedup(
             )
             for b in range(bands)
         ]
-        return bound.select("id", "sh", F.explode(F.array(*band_keys)).alias("bk"))
+        return bound.select("id", F.explode(F.array(*band_keys)).alias("bk"))
 
     new_fp = new_docs.select(
         F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fp")
@@ -1028,13 +1034,17 @@ def incremental_dedup(
         F.col(id_col) == F.col("id"),
         "left_anti",
     )
-    nb = _banded(novel)
-    cb = _banded(corpus).select(
-        F.col("id").alias("cid"), F.col("sh").alias("csh"), "bk"
-    )
+    nbound = _bound(novel)
+    cbound = _bound(corpus)
+    nb = _band_keys(nbound)
+    cb = _band_keys(cbound).select(F.col("id").alias("cid"), "bk")
+    cand = nb.join(cb, "bk").dropDuplicates(["id", "cid"])
     near = (
-        nb.join(cb, "bk")
-        .dropDuplicates(["id", "cid"])
+        cand.join(nbound.select("id", "sh"), "id")
+        .join(
+            cbound.select(F.col("id").alias("cid"), F.col("sh").alias("csh")),
+            "cid",
+        )
         .filter(jaccard(F.col("sh"), F.col("csh")) >= threshold)
         .groupBy("id")
         .agg(F.min("cid").alias("near_match"))
