@@ -388,3 +388,70 @@ def run_available_now_to_memory(
             f"streaming query {query_name!r} did not drain within "
             f"{timeout_seconds}s; raise timeout_seconds for this volume"
         )
+
+
+def run_available_now_histogram_rollup(
+    stream: DataFrame,
+    rollup_path: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 16,
+    timeout_seconds: int = 120,
+) -> None:
+    """Streaming ingestion of the mergeable histogram rollup: each
+    micro-batch computes its own fixed-bin vectors
+    (``aggregates.histogram_rollup``) and element-wise ADDS them into
+    the persisted parquet rollup via ``foreachBatch`` — the exact
+    mergeability property the batch operator proves
+    (merge(batch, prior) == direct over all data) is what makes the
+    streaming form correct with no restatement and no raw-data
+    retention: the sink only ever holds n_bins longs per group.
+
+    Same at-least-once caveat and PATH_NOT_FOUND-only first-write
+    detection as ``run_available_now_register_inventory``; the repair
+    path is recomputation from the (partitioned) fact table.
+    """
+    from animaltrackingetls_spark.operators.aggregates import (
+        histogram_merge,
+        histogram_rollup,
+    )
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new_h = histogram_rollup(
+            batch_df, [group_col], value_col, lo=lo, hi=hi, n_bins=n_bins
+        )
+        try:
+            prior = spark.read.parquet(rollup_path)
+            new_h = histogram_merge(
+                new_h.unionByName(prior), [group_col], n_bins=n_bins
+            )
+        except AnalysisException as err:
+            cond = ""
+            try:
+                cond = err.getCondition() or ""
+            except Exception:
+                pass
+            if "PATH_NOT_FOUND" not in cond and "PATH_NOT_FOUND" not in str(err):
+                raise
+        out = new_h.localCheckpoint(eager=True)  # sever read-from-path lineage
+        out.write.mode("overwrite").parquet(rollup_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_seconds)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"histogram rollup stream did not drain within {timeout_seconds}s"
+        )

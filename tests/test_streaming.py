@@ -253,3 +253,47 @@ def test_streaming_inventory_registration_accumulates_counts(spark, tmp_path):
     }
     assert got["2024-05-01"] == 3  # 2 + 1 incremental
     assert got["2024-05-02"] == 1  # untouched day unchanged
+
+
+def test_streaming_histogram_rollup_accumulates_to_direct(spark, tmp_path):
+    """Two landings drained separately must produce the same persisted
+    bin vectors as one direct histogram over all the data — the
+    mergeability identity carried into the streaming sink."""
+    import datetime
+
+    from animaltrackingetls_spark.operators.aggregates import histogram_rollup
+    from animaltrackingetls_spark.streaming.jobs import (
+        run_available_now_histogram_rollup,
+    )
+
+    src = tmp_path / "ev_hist"
+    roll = str(tmp_path / "hist_rollup")
+    ckpt = str(tmp_path / "ckpt_hist")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t0 = datetime.datetime(2024, 5, 1, 9, 0)
+
+    def drain():
+        stream = read_event_stream(spark, str(src))
+        run_available_now_histogram_rollup(
+            stream, roll, ckpt, lo=0.0, hi=100.0, n_bins=10
+        )
+
+    batch1 = [(i, t0, i, "click" if i % 2 else "view", float(i % 100), "{}")
+              for i in range(200)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    batch2 = [(1000 + i, t0, i, "click", float((i * 7) % 100), "{}")
+              for i in range(100)]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+
+    streamed = {r.event_type: (r.bins, r.n)
+                for r in spark.read.parquet(roll).collect()}
+    alldata = spark.createDataFrame(batch1 + batch2, schema)
+    direct = {r.event_type: (r.bins, r.n)
+              for r in histogram_rollup(alldata, ["event_type"], "value",
+                                        lo=0.0, hi=100.0, n_bins=10).collect()}
+    assert streamed == direct
