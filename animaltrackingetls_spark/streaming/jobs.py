@@ -455,3 +455,73 @@ def run_available_now_histogram_rollup(
         raise TimeoutError(
             f"histogram rollup stream did not drain within {timeout_seconds}s"
         )
+
+
+def running_user_totals_tws(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """`running_user_totals` on Spark 4's ``transformWithStateInPandas``
+    — the successor API to ``applyInPandasWithState``: state lives in
+    named, typed handles (ValueState here; ListState/MapState/timers
+    exist) owned by a ``StatefulProcessor``, instead of one opaque
+    tuple, and the same processor runs unchanged on batch DataFrames
+    (Spark executes it with transient state). Semantics match the
+    classic form: one cumulative (n_events, total_value) row per seen
+    user per batch.
+
+    Runtime requirements (environment-bound, like the JDBC driver jar):
+    the TWS Python state server needs the ``protobuf`` package (absent
+    in this container — the parity test skips with that reason) and the
+    RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``). The classic
+    ``running_user_totals`` has no such dependencies and is the
+    registered form.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    key_field = stream.schema[user_col]
+    key_name = key_field.name
+    out_schema = T.StructType(
+        [
+            T.StructField(key_name, key_field.dataType),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                vals = pdf[value_col].dropna()
+                n += int(len(pdf))
+                total += float(vals.sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {key_name: [key[0]], "n_events": [n],
+                 "total_value": [round(total, 6)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(F.col(user_col)).transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

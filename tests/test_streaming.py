@@ -297,3 +297,42 @@ def test_streaming_histogram_rollup_accumulates_to_direct(spark, tmp_path):
               for r in histogram_rollup(alldata, ["event_type"], "value",
                                         lo=0.0, hi=100.0, n_bins=10).collect()}
     assert streamed == direct
+
+
+def test_running_user_totals_tws_matches_classic_and_batch(spark, tmp_path):
+    """The transformWithStateInPandas form must reach the same final
+    per-user state as both the applyInPandasWithState form and the
+    plain batch aggregate over the same landings."""
+    import pytest as _pytest
+
+    _pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas's Python state server needs "
+               "protobuf, not shipped in this container",
+    )
+    from animaltrackingetls_spark.streaming import running_user_totals
+    from animaltrackingetls_spark.streaming.jobs import running_user_totals_tws
+
+    path = str(tmp_path / "ev_tws")
+    batch = _write_events(spark, path)
+
+    stream = read_event_stream(spark, path)
+    run_available_now_to_memory(
+        running_user_totals_tws(stream), "t_tws", output_mode="update"
+    )
+    got = {r.user_id: (r.n_events, r.total_value)
+           for r in spark.table("t_tws").collect()}
+
+    stream2 = read_event_stream(spark, path)
+    run_available_now_to_memory(
+        running_user_totals(stream2), "t_cls", output_mode="update"
+    )
+    classic = {r.user_id: (r.n_events, r.total_value)
+               for r in spark.table("t_cls").collect()}
+    expected = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+        ).collect()
+    }
+    assert got == expected == classic
