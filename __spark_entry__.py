@@ -1895,14 +1895,17 @@ def _q_quota_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-segmentation quartet folded: paragraph-level dedup ('seg'
+    """Token-segmentation quintet folded: paragraph-level dedup ('seg'
     rows: n1=n_segments, n2=n_kept, txt=clean_text), sliding-window
     chunking ('chunk' rows: n1=chunk_id, n2=start, n3=n_tokens,
     txt=chunk_text), CROSS-document boilerplate-line removal ('boiler'
     rows: n1=n_lines, n2=n_kept, txt=clean_text), and cross-document
     duplicated-SPAN detection ('span' rows: n1=start, n2=end,
     n3=n_tokens, txt=span_text — Lee et al. 2022 exact-substring dedup
-    as k-gram fingerprints + gaps-and-islands). The corpus texts are
+    as k-gram fingerprints + gaps-and-islands), and its REMOVAL step
+    ('rmspan' rows: n1=n_tokens, n2=n_removed, txt=clean_text —
+    keep-first election by corpus-wide (doc id, start), every other
+    occurrence excised and tokens reassembled in order). The corpus texts are
     single-line, so the boiler branch wraps each document with an
     injected all-docs header and a per-source footer (25 docs per
     source — both ≥ min_docs=10); the span branch appends a shared
@@ -1961,7 +1964,20 @@ def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").alias("n3"),
         F.col("span_text").alias("txt"),
     )
-    return seg.unionByName(chunk).unionByName(boiler).unionByName(span)
+    rmspan = dedup.remove_duplicate_spans(sdocs, k=5, min_docs=2).select(
+        F.lit("rmspan").alias("kind"),
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").alias("n1"),
+        F.col("n_removed").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        F.col("clean_text").alias("txt"),
+    )
+    return (
+        seg.unionByName(chunk)
+        .unionByName(boiler)
+        .unionByName(span)
+        .unionByName(rmspan)
+    )
 
 
 def _q_retrieval_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3557,6 +3573,87 @@ def oracle_sql() -> dict[str, str]:
                        ELSE '' END), '\S+') AS tk
               FROM documents WHERE doc_id % 3 = 0
             ) sp ON s.doc_id = sp.doc_id
+            UNION ALL
+            SELECT 'rmspan' AS kind, t.doc_id,
+                   CAST(len(t.tk) AS BIGINT) AS n1,
+                   CAST(len(t.tk) - coalesce(kc.n_kept, 0) AS BIGINT) AS n2,
+                   CAST(NULL AS BIGINT) AS n3,
+                   coalesce(kc.txt, '') AS txt
+            FROM (
+              SELECT doc_id,
+                     regexp_extract_all(
+                       lower(text || CASE WHEN doc_id % 2 = 0
+                       THEN ' the quick brown fox jumps over the lazy dog today'
+                       ELSE '' END), '\S+') AS tk
+              FROM documents WHERE doc_id % 3 = 0
+            ) t
+            LEFT JOIN (
+              WITH sd AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 2 = 0
+                       THEN ' the quick brown fox jumps over the lazy dog today'
+                       ELSE '' END AS text
+                FROM documents WHERE doc_id % 3 = 0
+              ),
+              spt AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+                FROM sd
+              ),
+              g AS (
+                SELECT doc_id, i - 1 AS pos0,
+                       md5(array_to_string(list_slice(tk, i, i + 4), ' ')) AS gh
+                FROM (SELECT doc_id, tk,
+                             unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS i
+                      FROM spt)
+              ),
+              dup AS (
+                SELECT gh FROM g GROUP BY gh
+                HAVING count(DISTINCT doc_id) >= 2
+              ),
+              m AS (SELECT g.doc_id, g.pos0 FROM g JOIN dup USING (gh)),
+              i1 AS (
+                SELECT doc_id, pos0,
+                       CASE WHEN lag(pos0) OVER w IS NULL
+                                 OR pos0 - lag(pos0) OVER w > 5
+                            THEN 1 ELSE 0 END AS brk
+                FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos0)
+              ),
+              i2 AS (
+                SELECT doc_id, pos0,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos0) AS isl
+                FROM i1
+              ),
+              sp2 AS (
+                SELECT doc_id, min(pos0) AS st, max(pos0) + 4 AS en
+                FROM i2 GROUP BY doc_id, isl
+              ),
+              stx AS (
+                SELECT sp2.doc_id, sp2.st, sp2.en,
+                       array_to_string(
+                         list_slice(spt.tk, sp2.st + 1, sp2.en + 1), ' ') AS sptxt
+                FROM sp2 JOIN spt USING (doc_id)
+              ),
+              cuts AS (
+                SELECT doc_id, st, en FROM (
+                  SELECT doc_id, st, en,
+                         row_number() OVER (PARTITION BY sptxt
+                                            ORDER BY doc_id, st) AS rn
+                  FROM stx
+                ) WHERE rn > 1
+              ),
+              p AS (
+                SELECT doc_id, unnest(tk) AS tok,
+                       generate_subscripts(tk, 1) - 1 AS pos0
+                FROM spt
+              )
+              SELECT p.doc_id,
+                     count(*) FILTER (WHERE c.st IS NULL) AS n_kept,
+                     coalesce(string_agg(p.tok, ' ' ORDER BY p.pos0)
+                              FILTER (WHERE c.st IS NULL), '') AS txt
+              FROM p LEFT JOIN cuts c
+                ON p.doc_id = c.doc_id AND p.pos0 BETWEEN c.st AND c.en
+              GROUP BY p.doc_id
+            ) kc ON kc.doc_id = t.doc_id
         """,
         "quota_shuffle": """
             WITH h AS (
