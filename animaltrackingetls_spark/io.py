@@ -562,7 +562,11 @@ def layout_prune_stats(path: str, col: str, value) -> dict:
 
     import pyarrow.parquet as _pq
 
-    files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+    files = sorted(
+        _glob.glob(_os.path.join(path, "*.parquet"))
+        + _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    files = sorted(set(files))
     n_prunable = 0
     for f in files:
         md = _pq.ParquetFile(f).metadata
