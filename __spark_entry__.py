@@ -1956,7 +1956,13 @@ def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    span = dedup.duplicate_spans(sdocs, k=5, min_docs=2).select(
+    # span detection feeds both the 'span' and 'rmspan' branches: the
+    # span frame is output-bound small, so one checkpoint spares the
+    # second corpus-wide gram pass
+    spans_df = dedup.duplicate_spans(sdocs, k=5, min_docs=2).localCheckpoint(
+        eager=True
+    )
+    span = spans_df.select(
         F.lit("span").alias("kind"),
         F.col("id").alias("doc_id"),
         F.col("start").alias("n1"),
@@ -1964,7 +1970,7 @@ def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").alias("n3"),
         F.col("span_text").alias("txt"),
     )
-    rmspan = dedup.remove_duplicate_spans(sdocs, k=5, min_docs=2).select(
+    rmspan = dedup.remove_duplicate_spans(sdocs, k=5, min_docs=2, spans=spans_df).select(
         F.lit("rmspan").alias("kind"),
         F.col("id").alias("doc_id"),
         F.col("n_tokens").alias("n1"),

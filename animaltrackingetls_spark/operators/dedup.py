@@ -1340,6 +1340,7 @@ def remove_duplicate_spans(
     k: int = 5,
     min_docs: int = 2,
     keep_first: bool = True,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Rewrite documents with cross-document duplicated spans excised —
     the removal step over :func:`duplicate_spans`' detection, i.e. what
@@ -1356,8 +1357,14 @@ def remove_duplicate_spans(
     election is one tiny aggregate over the span set (output-bound);
     the rewrite is a narrow per-document filter over token positions —
     no extra corpus shuffle beyond :func:`duplicate_spans` itself.
+
+    ``spans``: optionally pass a precomputed :func:`duplicate_spans`
+    output (same k/min_docs) — callers that also report the detection
+    side should compute it once (and checkpoint/persist the small span
+    frame) instead of paying the corpus-wide gram pass twice.
     """
-    spans = duplicate_spans(df, id_col, text_col, k=k, min_docs=min_docs)
+    if spans is None:
+        spans = duplicate_spans(df, id_col, text_col, k=k, min_docs=min_docs)
     if keep_first:
         w = Window.partitionBy("span_text").orderBy(F.asc("id"), F.asc("start"))
         spans = spans.withColumn("_rn", F.row_number().over(w)).filter(
