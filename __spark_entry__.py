@@ -1895,7 +1895,7 @@ def _q_quota_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-segmentation quintet folded: paragraph-level dedup ('seg'
+    """Token-segmentation sextet folded: paragraph-level dedup ('seg'
     rows: n1=n_segments, n2=n_kept, txt=clean_text), sliding-window
     chunking ('chunk' rows: n1=chunk_id, n2=start, n3=n_tokens,
     txt=chunk_text), CROSS-document boilerplate-line removal ('boiler'
@@ -1905,7 +1905,10 @@ def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     as k-gram fingerprints + gaps-and-islands), and its REMOVAL step
     ('rmspan' rows: n1=n_tokens, n2=n_removed, txt=clean_text —
     keep-first election by corpus-wide (doc id, start), every other
-    occurrence excised and tokens reassembled in order). The corpus texts are
+    occurrence excised and tokens reassembled in order), plus
+    HTML-to-text extraction ('html' rows: n1=raw chars, n2=clean chars,
+    txt=extracted text — script/style/comment traps wrapped around each
+    doc, replayed by the oracle). The corpus texts are
     single-line, so the boiler branch wraps each document with an
     injected all-docs header and a per-source footer (25 docs per
     source — both ≥ min_docs=10); the span branch appends a shared
@@ -1978,11 +1981,34 @@ def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n3"),
         F.col("clean_text").alias("txt"),
     )
+    # 'html' branch: wrap each doc in a deterministic HTML template with
+    # script/style/comment traps (their contents must NOT leak into the
+    # text), extract with html_to_text, and let the oracle replay both
+    # construction and extraction — over/under-stripping fails the hash
+    hdocs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1).select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><title>D</title><style>p{color:#000}</style>'
+                  '<script>var t="<p>trap</p>";</script></head>'
+                  '<body><!-- menu<b>x</b> --><div>Home &gt; Docs</div><p>'),
+            F.col("text"),
+            F.lit('</p><footer>&amp;copy 2024</footer></body></html>'),
+        ).alias("html"),
+    )
+    html = hdocs.select(
+        F.lit("html").alias("kind"),
+        "doc_id",
+        F.length("html").cast("long").alias("n1"),
+        F.length(textstats.html_to_text(F.col("html"))).cast("long").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        textstats.html_to_text(F.col("html")).alias("txt"),
+    )
     return (
         seg.unionByName(chunk)
         .unionByName(boiler)
         .unionByName(span)
         .unionByName(rmspan)
+        .unionByName(html)
     )
 
 
@@ -3660,6 +3686,36 @@ def oracle_sql() -> dict[str, str]:
                 ON p.doc_id = c.doc_id AND p.pos0 BETWEEN c.st AND c.en
               GROUP BY p.doc_id
             ) kc ON kc.doc_id = t.doc_id
+            UNION ALL
+            SELECT 'html' AS kind, doc_id,
+                   CAST(length(html) AS BIGINT) AS n1,
+                   CAST(length(clean) AS BIGINT) AS n2,
+                   CAST(NULL AS BIGINT) AS n3,
+                   clean AS txt
+            FROM (
+              SELECT doc_id, html,
+                     trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                         regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(html,
+                             '<script\b.*?</script>', ' ', 'gis'),
+                           '<style\b.*?</style>', ' ', 'gis'),
+                         '<!--.*?-->', ' ', 'gs'),
+                       '<[^>]+>', ' ', 'gs'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+                       '\s+', ' ', 'g')) AS clean
+              FROM (
+                SELECT doc_id,
+                       '<html><head><title>D</title><style>p{color:#000}</style>'
+                       || '<script>var t="<p>trap</p>";</script></head>'
+                       || '<body><!-- menu<b>x</b> --><div>Home &gt; Docs</div><p>'
+                       || text
+                       || '</p><footer>&amp;copy 2024</footer></body></html>'
+                         AS html
+                FROM documents WHERE doc_id % 4 = 1
+              )
+            )
         """,
         "quota_shuffle": """
             WITH h AS (

@@ -121,6 +121,30 @@ def normalize_whitespace(c: Column) -> Column:
     return F.trim(F.regexp_replace(c, WS_RUN_PATTERN, " "))
 
 
+def html_to_text(c: Column) -> Column:
+    """HTML → visible text, entirely JVM-side — the web-corpus
+    extraction stage (trafilatura-lite): script and style elements go
+    WITH their contents (a bare tag-stripper leaks JavaScript and CSS
+    into the training text — the classic web-corpus contamination bug),
+    then comments, then remaining tags; the five XML entities plus
+    ``&nbsp;`` unescape ONCE (``&amp;`` last, so double-escaped text
+    stays single-escaped rather than over-decoding); whitespace
+    collapses via the explicit cross-engine class. Every regex here is
+    supported identically by Java regex and RE2 (non-greedy spans,
+    (?is) flags), so the whole extraction replays in the SQL oracle.
+    """
+    x = F.regexp_replace(c, r"(?is)<script\b.*?</script>", " ")
+    x = F.regexp_replace(x, r"(?is)<style\b.*?</style>", " ")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(x, r"(?s)<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    return normalize_whitespace(x)
+
+
 def strip_control_chars(c: Column) -> Column:
     """Remove C0/C1 control characters (keep \\t\\n via the whitespace
     collapse running first if composed)."""

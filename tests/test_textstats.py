@@ -379,3 +379,28 @@ def test_bpe_apply_reconstructs_and_handles_null(spark):
     assert "".join(out[1]) == "bananabandanabanbanana"
     # 'banana' is frequent enough to become a single learned unit
     assert "banana" in out[1]
+
+
+def test_html_to_text_strips_traps_and_unescapes_once(spark):
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.operators.textstats import html_to_text
+
+    cases = [
+        # script/style contents must vanish entirely, not just the tags
+        (1, '<p>keep</p><script>var x="<p>leak</p>";</script><style>p{}</style>',
+         "keep"),
+        # comments (even containing tags) vanish; entities decode ONCE
+        (2, '<!-- <b>menu</b> -->A &amp;amp; B &lt;ok&gt; &#39;q&#39;&nbsp;end',
+         "A &amp; B <ok> 'q' end"),
+        # multi-line elements, case-insensitive tag names
+        (3, '<SCRIPT>\nline1\nline2\n</SCRIPT><DIV>text\nacross</DIV>',
+         "text across"),
+        # plain text untouched beyond whitespace collapse
+        (4, "  no   markup\there  ", "no markup here"),
+        (5, None, None),
+    ]
+    df = spark.createDataFrame([(i, h) for i, h, _ in cases], "id long, html string")
+    got = {r.id: r.t for r in df.select("id", html_to_text(F.col("html")).alias("t")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i])
