@@ -494,7 +494,11 @@ def read_dbapi(
 
     clause_df = spark.createDataFrame(
         [(c,) for c in clauses], "clause string"
-    ).repartition(len(clauses), "clause")
+    ).repartition(len(clauses))
+    # round-robin, NOT hash-by-clause: hashing can collide two range
+    # clauses into one task (serializing their queries) and leave
+    # another task empty, breaking the num_partitions-concurrent-scans
+    # contract
 
     def fetch(batches):
         import pandas as pd

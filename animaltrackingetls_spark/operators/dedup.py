@@ -536,7 +536,10 @@ def embedding_neardup_gemm(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         F.col(block_col).alias("blk"),
-    )
+    ).filter(F.col("blk").isNotNull())
+    # NULL-block rows are excluded (groupBy would treat NULL as a real
+    # group; the join form's blk equality never matches NULL) — parity
+    # with embedding_neardup_pairs requires the filter, not the group.
     return base.groupBy("blk").applyInPandas(score, out_schema)
 
 
@@ -971,6 +974,7 @@ def incremental_dedup(
     bands: int = 2,
     rows_per_band: int = 3,
     threshold: float = 0.6,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Dedupe an incoming batch against an existing corpus WITHOUT
     re-comparing the corpus to itself — the incremental form a
@@ -1001,7 +1005,13 @@ def incremental_dedup(
         return lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))
 
     def _bound(df: DataFrame) -> DataFrame:
-        return shingle_frame(df, id_col, text_col, n)
+        # each side's shingle frame feeds two plan branches (band keys +
+        # the candidate-verify rejoin): persist spares one full
+        # tokenize+shingle pass per side, released via cache_handles
+        bound = shingle_frame(df, id_col, text_col, n).persist()
+        if cache_handles is not None:
+            cache_handles.append(bound)
+        return bound
 
     def _band_keys(bound: DataFrame) -> DataFrame:
         # NARROW (id, band-key) rows only — the shingle arrays rejoin

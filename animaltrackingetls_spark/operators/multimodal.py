@@ -428,7 +428,12 @@ def wav_fmt(payload: Column) -> Column:
         size = _le_uint(payload, off + 4, 4)
         is_fmt = cid == F.lit(_WAV_FMT_HEX)
         is_data = cid == F.lit(_WAV_DATA_HEX)
-        bad_fmt = is_fmt & (size < 16)
+        # a fmt chunk must declare >= 16 bytes AND actually carry them —
+        # a truncated chunk would otherwise half-populate the struct
+        # (NULL rate/bits) while the done check passes
+        bad_fmt = is_fmt & (
+            (size < 16) | ((off + F.lit(23)) > F.octet_length(payload))
+        )
         af = F.when(is_fmt, _le_uint(payload, off + 8, 2).cast("int")).otherwise(acc["af"])
         nch = F.when(is_fmt, _le_uint(payload, off + 10, 2).cast("int")).otherwise(acc["nch"])
         rate = F.when(is_fmt, _le_uint(payload, off + 12, 4)).otherwise(acc["rate"])
@@ -579,7 +584,10 @@ def decode_stub(payload: bytes, content_type: str, strict: bool = False) -> list
             return [float(v) for v in gheader]
     if content_type in ("audio/wav", "audio/x-wav"):
         wheader = decode_wav_header(bytes(payload))
-        if wheader is not None:
+        if wheader is not None and wheader[5] is not None:
+            # duration is None when byte_rate is 0 — a header we can
+            # parse but not meaningfully featurize; fall through to the
+            # stub/strict path like any other undecodable payload
             af, nch, rate, bits, _nd, dur = wheader
             return [float(nch), float(rate), float(bits), float(dur)]
     if strict:

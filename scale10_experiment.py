@@ -69,12 +69,18 @@ def replicated_embeddings(spark, copies: int):
 
 
 def fuzzy_dedup_run(docs):
+    handles: list = []
     edges = dedup.minhash_candidate_pairs_portable(
-        docs, n=2, bands=2, rows_per_band=3, threshold=0.6
+        docs, n=2, bands=2, rows_per_band=3, threshold=0.6,
+        cache_handles=handles,
     )
     cc = dedup.dedup_clusters(docs, edges)
     keep = cc.filter(F.col("id") == F.col("cluster_id")).count()
     total = cc.count()
+    # release the shingle cache per run — six leaked copies across the
+    # timed runs would distort the later embedding measurements
+    for h in handles:
+        h.unpersist()
     return {"clustered": total, "keep_list": keep}
 
 

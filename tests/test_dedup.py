@@ -842,3 +842,22 @@ def test_duplicate_spans_matches_python_reference(spark, doc_tokens):
         for r in dedup.duplicate_spans(df, k=3, min_docs=2).collect()
     }
     assert got == _ref_duplicate_spans(corpus, k=3, min_docs=2)
+
+
+def test_embedding_neardup_gemm_excludes_null_blocks(spark):
+    """NULL block labels never join in the pairs form (NULL equality);
+    the GEMM form must exclude them too, not group them together."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], None),
+            (2, [0.999, 0.01], None),
+            (3, [1.0, 0.0], "a"),
+            (4, [0.999, 0.01], "a"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    gemm = {(r.id_a, r.id_b) for r in
+            dedup.embedding_neardup_gemm(emb, threshold=0.95).collect()}
+    join = {(r.id_a, r.id_b) for r in
+            dedup.embedding_neardup_pairs(emb, threshold=0.95).collect()}
+    assert gemm == join == {(3, 4)}

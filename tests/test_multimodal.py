@@ -398,3 +398,39 @@ def test_image_dimensions_detects_gif_and_decode_stub_real_branches(spark):
     wav_bytes = bytes(wav_df.collect()[0].payload)
     # [n_channels, sample_rate, bits, duration_ms]; 48000 frames @16 kHz = 3 s
     assert decode_stub(wav_bytes, "audio/wav") == [2.0, 16000.0, 16.0, 3000.0]
+
+
+def test_wav_zero_byte_rate_and_truncated_fmt(spark):
+    """byte_rate 0 → parseable header but no duration: decode_stub falls
+    back to the stub instead of crashing on float(None). A fmt chunk
+    declaring 16 bytes but truncated mid-chunk yields NULL from the JVM
+    parser, matching the Python twin, never a half-populated struct."""
+    import struct as _struct
+
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.operators.multimodal import (
+        decode_stub,
+        decode_wav_header,
+        wav_fmt,
+    )
+
+    # RIFF/WAVE + fmt(16, byte_rate=0) + data(4)
+    fmt = _struct.pack("<HHIIHH", 1, 2, 16000, 0, 4, 16)
+    zero_br = (b"RIFF" + _struct.pack("<I", 40) + b"WAVE"
+               + b"fmt " + _struct.pack("<I", 16) + fmt
+               + b"data" + _struct.pack("<I", 4) + b"abcd")
+    hdr = decode_wav_header(zero_br)
+    assert hdr is not None and hdr[5] is None    # duration undefined
+    feat = decode_stub(zero_br, "audio/wav")     # must NOT raise
+    assert len(feat) == 8                        # histogram fallback
+
+    # data chunk first, then fmt declaring 16 bytes but truncated
+    truncated = (b"RIFF" + _struct.pack("<I", 30) + b"WAVE"
+                 + b"data" + _struct.pack("<I", 4) + b"abcd"
+                 + b"fmt " + _struct.pack("<I", 16) + b"\x01\x00\x02\x00")
+    assert decode_wav_header(truncated) is None
+    df = spark.createDataFrame([(1, bytearray(truncated))],
+                               "media_id long, payload binary")
+    out = df.select(wav_fmt(F.col("payload")).alias("d")).collect()[0]
+    assert out.d is None
