@@ -233,3 +233,37 @@ def test_histogram_quantile_within_one_bin_of_exact(spark):
         A.quantile_from_histogram(h.bins, h.n, 1.5, 0.0, 100.0)
     with _pytest.raises(ValueError):
         A.histogram_rollup(df, [], "value", lo=5.0, hi=5.0)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.sampled_from(["d1", "d2", "d3"]),
+                  st.floats(min_value=-50, max_value=150, allow_nan=False)),
+        min_size=1, max_size=60,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+def test_histogram_merge_equals_direct_property(spark, rows, n_bins):
+    """For arbitrary values (including out-of-range, which clamp) and
+    arbitrary bin counts, per-day histograms merged to group grain must
+    equal the direct group histogram, and total counts must equal the
+    row count."""
+    from animaltrackingetls_spark.operators import aggregates as A
+
+    df = spark.createDataFrame(rows, "grp string, day string, value double")
+    daily = A.histogram_rollup(df, ["grp", "day"], "value", lo=0.0, hi=100.0,
+                               n_bins=n_bins)
+    merged = {r.grp: (tuple(r.bins), r.n)
+              for r in A.histogram_merge(daily, ["grp"], n_bins=n_bins).collect()}
+    direct = {r.grp: (tuple(r.bins), r.n)
+              for r in A.histogram_rollup(df, ["grp"], "value", lo=0.0, hi=100.0,
+                                          n_bins=n_bins).collect()}
+    assert merged == direct
+    assert sum(n for _, n in direct.values()) == len(rows)
+    for bins, n in direct.values():
+        assert sum(bins) == n

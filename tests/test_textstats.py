@@ -404,3 +404,38 @@ def test_html_to_text_strips_traps_and_unescapes_once(spark):
     got = {r.id: r.t for r in df.select("id", html_to_text(F.col("html")).alias("t")).collect()}
     for i, _, want in cases:
         assert got[i] == want, (i, got[i])
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.text(alphabet="abcdef ,.", min_size=0, max_size=40),
+                min_size=1, max_size=8))
+def test_html_to_text_roundtrips_wrapped_text(spark, texts):
+    """Wrapping arbitrary tag-free text in the trap template and
+    extracting must return exactly the whitespace-normalized text —
+    no template fragment may leak, no content may be lost."""
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.operators.textstats import (
+        html_to_text,
+        normalize_whitespace,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    wrapped = df.select(
+        "id",
+        F.concat(
+            F.lit('<html><head><style>p{}</style><script>var x="<b>t</b>";'
+                  '</script></head><body><!-- <i>c</i> --><p>'),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+        normalize_whitespace(F.col("text")).alias("want"),
+    )
+    got = wrapped.select("id", html_to_text(F.col("html")).alias("t"), "want").collect()
+    for r in got:
+        assert r.t == r.want, (r.t, r.want)
