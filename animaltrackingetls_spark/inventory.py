@@ -153,14 +153,40 @@ def _current_version(table_dir: str) -> str | None:
         return None
 
 
-def read_versioned(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Read the current published snapshot of a versioned table. Raises
-    AnalysisException-like FileNotFoundError if nothing is published."""
+def list_versions(table_dir: str) -> list[str]:
+    """Retained snapshot directory names, oldest first, with the
+    published one identifiable via ``_current_version``. The ``v-<seq>-``
+    prefix sorts lexicographically in publish order, so this doubles as
+    the time-travel index (retention is ``keep_versions`` at upsert
+    time — older snapshots are gone by design, same as VACUUM)."""
     import os
 
-    version = _current_version(table_dir)
+    try:
+        entries = os.listdir(table_dir)
+    except FileNotFoundError:
+        return []
+    return sorted(d for d in entries if d.startswith("v-"))
+
+
+def read_versioned(
+    spark: SparkSession, table_dir: str, version: str | None = None
+) -> DataFrame:
+    """Read a published snapshot of a versioned table — the CURRENT one
+    by default, or any retained version name from :func:`list_versions`
+    (time travel: audit what a pipeline consumed before the latest
+    upsert). Raises FileNotFoundError if nothing is published or the
+    requested version is not retained."""
+    import os
+
     if version is None:
-        raise FileNotFoundError(f"no published snapshot under {table_dir}")
+        version = _current_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no published snapshot under {table_dir}")
+    elif version not in list_versions(table_dir):
+        raise FileNotFoundError(
+            f"version {version!r} not retained under {table_dir} "
+            f"(have: {list_versions(table_dir)})"
+        )
     return spark.read.parquet(os.path.join(table_dir, version))
 
 

@@ -241,3 +241,33 @@ def test_reconcile_inventory_repairs_drift(spark, tmp_path):
     assert got["2024-06-02"] == ("june022024", 3)   # newly registered
     assert got["2024-06-03"] == ("june032024", 3)
     assert got["2024-06-04"] == ("june042024", 99)  # phantom left untouched
+
+
+def test_versioned_time_travel_reads_retained_snapshot(spark, tmp_path):
+    """After a second upsert, the previous retained version is still
+    readable by name (audit what a consumer saw pre-upsert); unknown or
+    pruned versions are refused with the retained list in the error."""
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.inventory import (
+        list_versions,
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+
+    table = str(tmp_path / "vt")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    upsert_parquet_versioned(spark, table, df1, ["k"], keep_versions=2)
+    v1 = list_versions(table)[-1]
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    upsert_parquet_versioned(spark, table, df2, ["k"], keep_versions=2)
+
+    versions = list_versions(table)
+    assert len(versions) == 2 and versions[0] == v1
+    old = {r.k: r.v for r in read_versioned(spark, table, version=v1).collect()}
+    cur = {r.k: r.v for r in read_versioned(spark, table).collect()}
+    assert old == {1: "a", 2: "b"}
+    assert cur == {1: "a", 2: "B", 3: "c"}
+
+    with _pytest.raises(FileNotFoundError):
+        read_versioned(spark, table, version="v-999999-deadbeef")
