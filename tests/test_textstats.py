@@ -439,3 +439,39 @@ def test_html_to_text_roundtrips_wrapped_text(spark, texts):
     got = wrapped.select("id", html_to_text(F.col("html")).alias("t"), "want").collect()
     for r in got:
         assert r.t == r.want, (r.t, r.want)
+
+
+def test_pack_documents_with_bpe_token_counts(spark):
+    """Packing on BPE subword counts (the actual training-token budget)
+    composes directly: count subwords with the learned tokenizer, pass
+    the column as token_col — every doc assigned exactly once, bins
+    start on the cumulative BPE budget."""
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.operators.textstats import (
+        bpe_train,
+        make_bpe_apply_udf,
+        pack_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest new newer banana band " * (1 + i % 3))
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, num_merges=30)
+    udf = make_bpe_apply_udf(merges)
+    counted = docs.withColumn("n_bpe", F.size(udf(F.col("text"))))
+    packed = pack_documents(counted, max_tokens=40, token_col="n_bpe")
+    rows = packed.collect()
+    assert len(rows) == 12                       # every doc exactly once
+    by_bin: dict = {}
+    for r in rows:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    # reconstruct the exclusive cumsum: each bin's first doc starts at a
+    # multiple boundary of the 40-subword budget
+    ordered = sorted(rows, key=lambda r: r.doc_id)
+    cum = 0
+    for r in ordered:
+        assert r.bin_id == cum // 40
+        cum += r.n_bpe
