@@ -2078,7 +2078,39 @@ def _q_catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n"),
         F.lit(None).cast("string").alias("s"),
     )
-    return cat.unionByName(prof).unionByName(hist)
+    # 'pgm' rows: the sighting-density heatmap rendered to REAL P5 image
+    # bytes (geo.grid_heatmap → multimodal.render_pgm), then parsed BACK
+    # from the raw bytes (multimodal.pgm_parse) — the reference's
+    # overlay-on-basemap analog (openweatherbasicmap.py:36-83), with the
+    # oracle recomputing every field from the grid formula, so a
+    # malformed header or wrong raster byte fails the hash
+    from animaltrackingetls_spark.operators import geo as _geo
+
+    pgm_grid = _geo.grid_heatmap(
+        _points(spark, sf_dir), "decimalLatitude", "decimalLongitude",
+        width=64, height=32, lat_min=0.0, lat_max=90.0,
+        lon_min=-90.0, lon_max=90.0,
+    )
+    pgm = (
+        multimodal.render_pgm(pgm_grid, 64, 32)
+        .select(multimodal.pgm_parse(F.col("payload")).alias("p"), "n_bytes")
+        .selectExpr(
+            "stack(5,"
+            " 'width', CAST(p.width AS BIGINT),"
+            " 'height', CAST(p.height AS BIGINT),"
+            " 'maxval', CAST(p.maxval AS BIGINT),"
+            " 'raster_sum', p.raster_sum,"
+            " 'n_bytes', n_bytes) AS (item, n)",
+        )
+        .select(
+            F.lit("pgm").alias("kind"),
+            F.lit("heatmap").alias("key"),
+            "item",
+            "n",
+            F.lit(None).cast("string").alias("s"),
+        )
+    )
+    return cat.unionByName(prof).unionByName(hist).unionByName(pgm)
 
 
 def _q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3193,6 +3225,23 @@ def oracle_sql() -> dict[str, str]:
               FROM events WHERE value IS NOT NULL
               GROUP BY 1, 2
             ) hc ON hc.event_type = et.event_type AND hc.b = r.b
+            UNION ALL
+            SELECT 'pgm', 'heatmap', item, n, NULL FROM (
+              WITH {_POINTS_SQL.strip().lstrip()}
+              , g AS (
+                SELECT least(greatest(floor(lat / 2.8125), 0), 31) AS r,
+                       least(greatest(floor((lon - -90.0) / 2.8125), 0), 63) AS c,
+                       count(*) AS n
+                FROM p WHERE lat IS NOT NULL AND lon IS NOT NULL
+                GROUP BY 1, 2
+              )
+              SELECT 'width' AS item, CAST(64 AS BIGINT) AS n
+              UNION ALL SELECT 'height', 32
+              UNION ALL SELECT 'maxval', 255
+              UNION ALL SELECT 'raster_sum',
+                        CAST(coalesce(sum(least(n, 255)), 0) AS BIGINT) FROM g
+              UNION ALL SELECT 'n_bytes', 13 + 64 * 32
+            )
         """,
         "udaf_stats": """
             SELECT event_type,

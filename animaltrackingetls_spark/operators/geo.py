@@ -141,3 +141,49 @@ def proximity_self_join(
         .select("id_a", "id_b", dist.alias("distance_km"))
         .filter(F.col("distance_km") <= F.lit(float(radius_km)))
     )
+
+
+def grid_heatmap(
+    points: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    width: int,
+    height: int,
+    lat_min: float = -90.0,
+    lat_max: float = 90.0,
+    lon_min: float = -180.0,
+    lon_max: float = 180.0,
+) -> DataFrame:
+    """Aggregate points onto a width × height grid — the Spark-first
+    analog of the reference's overlay-sightings-on-a-basemap step
+    (openweatherbasicmap.py:36-83): instead of a driver-side image
+    library compositing pixels, the raster IS a groupBy — one shuffle of
+    (row, col) pairs, counts per cell. NULL coordinates drop; points on
+    or beyond the max edge clamp to the last cell (closed outer edges,
+    same posture as histogram_rollup). Returns sparse ``(row, col, n)``
+    with row 0 at ``lat_min``. Feed :func:`multimodal.render_pgm` to
+    materialize actual image bytes.
+    """
+    if width < 1 or height < 1 or not (lat_max > lat_min and lon_max > lon_min):
+        raise ValueError("need positive dims and max > min bounds")
+    lat = F.col(lat_col).cast("double")
+    lon = F.col(lon_col).cast("double")
+    r = F.least(
+        F.greatest(
+            F.floor((lat - F.lit(lat_min)) / F.lit((lat_max - lat_min) / height)),
+            F.lit(0),
+        ),
+        F.lit(height - 1),
+    ).cast("int")
+    c = F.least(
+        F.greatest(
+            F.floor((lon - F.lit(lon_min)) / F.lit((lon_max - lon_min) / width)),
+            F.lit(0),
+        ),
+        F.lit(width - 1),
+    ).cast("int")
+    return (
+        points.filter(lat.isNotNull() & lon.isNotNull())
+        .groupBy(r.alias("row"), c.alias("col"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

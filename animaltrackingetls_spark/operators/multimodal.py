@@ -729,3 +729,123 @@ def extract_frame_features(frames: DataFrame) -> DataFrame:
             )
 
     return frames.mapInPandas(run, FRAME_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PGM (portable graymap) rendering + parse — images as a query RESULT,
+# the reference's basemap-overlay analog done Spark-first.
+# ---------------------------------------------------------------------------
+
+
+def render_pgm(grid: DataFrame, width: int, height: int) -> DataFrame:
+    """Render a sparse ``(row, col, n)`` grid (``geo.grid_heatmap``
+    output) into a genuine binary P5 PGM image, JVM-side: header
+    ``P5\\n{w} {h}\\n255\\n`` + row-major raster, one byte per cell,
+    intensity = min(count, 255), absent cells 0. The dense assembly runs
+    on ONE row by construction — an image is bounded by its dimensions,
+    not the corpus, so this is the legitimate single-row collapse (the
+    grid aggregation upstream did the distributed work). Returns a
+    1-row frame ``(payload: binary, n_bytes: long)``.
+    """
+    header = f"P5\n{width} {height}\n255\n"
+    header_hex = header.encode("ascii").hex().upper()
+    dense = grid.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("row").cast("long") * width + F.col("col")).alias("k"),
+                    F.col("n").alias("v"),
+                )
+            )
+        ).alias("_m")
+    )
+    raster_hex = F.aggregate(
+        F.sequence(F.lit(0), F.lit(width * height - 1)),
+        F.lit(""),
+        lambda acc, i: F.concat(
+            acc,
+            F.lpad(
+                F.hex(
+                    F.least(
+                        F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("long")),
+                        F.lit(255).cast("long"),
+                    )
+                ),
+                2,
+                "0",
+            ),
+        ),
+    )
+    payload = F.unhex(F.concat(F.lit(header_hex), raster_hex))
+    return dense.select(
+        payload.alias("payload"), F.octet_length(payload).cast("long").alias("n_bytes")
+    )
+
+
+def pgm_parse(payload: Column, max_header: int = 32) -> Column:
+    """Parse a P5 PGM from raw bytes, JVM-side: magic, whitespace-
+    separated width/height/maxval from the ASCII header (bounded scan —
+    the raster may be arbitrary bytes, so nothing is ever cast to
+    string beyond the byte being inspected), then the raster byte sum —
+    the round-trip proof that :func:`render_pgm` wrote a well-formed
+    image. Returns struct(width, height, maxval, raster_sum) or NULL
+    for non-PGM bytes.
+    """
+
+    def byte_at(i: Column) -> Column:
+        return F.conv(F.hex(F.substring(payload, i, 1)), 16, 10).cast("long")
+
+    is_pgm = F.hex(F.substring(payload, 1, 3)) == F.lit("50350A")  # "P5\n"
+
+    # fold over the bounded header region: collect three ASCII ints
+    # separated by single whitespace bytes, tracking (offset, field idx,
+    # w, h, maxval, done)
+    init = F.struct(
+        F.lit(4).cast("long").alias("off"),
+        F.lit(0).alias("fld"),
+        F.lit(0).cast("long").alias("w"),
+        F.lit(0).cast("long").alias("h"),
+        F.lit(0).cast("long").alias("mx"),
+        F.lit(False).alias("done"),
+        F.lit(False).alias("bad"),
+    )
+
+    def step(acc: Column, _x: Column) -> Column:
+        b = byte_at(acc["off"])
+        is_digit = (b >= 48) & (b <= 57)
+        is_ws = (b == 32) | (b == 10) | (b == 9) | (b == 13)
+        cur = F.when(acc["fld"] == 0, acc["w"]).when(acc["fld"] == 1, acc["h"]).otherwise(acc["mx"])
+        nxt_val = cur * 10 + (b - 48)
+        w2 = F.when(acc["fld"] == 0, F.when(is_digit, nxt_val).otherwise(acc["w"])).otherwise(acc["w"])
+        h2 = F.when(acc["fld"] == 1, F.when(is_digit, nxt_val).otherwise(acc["h"])).otherwise(acc["h"])
+        m2 = F.when(acc["fld"] == 2, F.when(is_digit, nxt_val).otherwise(acc["mx"])).otherwise(acc["mx"])
+        fld2 = F.when(is_ws, acc["fld"] + 1).otherwise(acc["fld"])
+        done2 = is_ws & (acc["fld"] == 2)
+        bad2 = ~is_digit & ~is_ws
+        out = F.struct(
+            (acc["off"] + 1).alias("off"),
+            fld2.alias("fld"),
+            w2.alias("w"),
+            h2.alias("h"),
+            m2.alias("mx"),
+            done2.alias("done"),
+            bad2.alias("bad"),
+        )
+        return F.when(acc["done"] | acc["bad"], acc).otherwise(out)
+
+    final = F.aggregate(F.sequence(F.lit(1), F.lit(max_header)), init, step)
+    ok = is_pgm & final["done"] & ~final["bad"] & (final["w"] > 0) & (final["h"] > 0)
+    raster_sum = F.aggregate(
+        F.sequence(final["off"], final["off"] + final["w"] * final["h"] - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + byte_at(i),
+    )
+    return F.when(
+        ok,
+        F.struct(
+            final["w"].cast("int").alias("width"),
+            final["h"].cast("int").alias("height"),
+            final["mx"].cast("int").alias("maxval"),
+            raster_sum.alias("raster_sum"),
+        ),
+    )

@@ -100,3 +100,24 @@ def test_proximity_rejects_bad_radius(spark):
     df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lat double, lon double")
     with pytest.raises(ValueError, match="radius_km"):
         geo.proximity_self_join(df, "id", "lat", "lon", 0.0)
+
+
+def test_grid_heatmap_cells_clamp_and_drop_nulls(spark):
+    from animaltrackingetls_spark.operators import geo
+
+    pts = spark.createDataFrame(
+        [(1, 10.0, -50.0), (2, 10.0, -50.0), (3, 80.0, 80.0),
+         (4, None, 5.0), (5, 95.0, 200.0)],
+        "id long, lat double, lon double",
+    )
+    grid = {(r.row, r.col): r.n for r in geo.grid_heatmap(
+        pts, "lat", "lon", width=8, height=4,
+        lat_min=0, lat_max=90, lon_min=-90, lon_max=90).collect()}
+    # two points share a cell; out-of-range clamps to the far edge cell;
+    # the NULL-latitude point vanishes
+    assert grid == {(0, 1): 2, (3, 7): 2}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        geo.grid_heatmap(pts, "lat", "lon", width=0, height=4)

@@ -434,3 +434,35 @@ def test_wav_zero_byte_rate_and_truncated_fmt(spark):
                                "media_id long, payload binary")
     out = df.select(wav_fmt(F.col("payload")).alias("d")).collect()[0]
     assert out.d is None
+
+
+def test_render_pgm_roundtrip_and_python_parity(spark):
+    """render_pgm writes a genuine P5 image (header + row-major raster,
+    counts clamped at 255) that pgm_parse recovers from the raw bytes —
+    and plain-Python byte inspection agrees on every field."""
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.operators import geo, multimodal
+
+    pts = spark.createDataFrame(
+        [(i, 10.0, -50.0) for i in range(300)] + [(1000, 80.0, 80.0)],
+        "id long, lat double, lon double",
+    )
+    grid = geo.grid_heatmap(pts, "lat", "lon", width=8, height=4,
+                            lat_min=0, lat_max=90, lon_min=-90, lon_max=90)
+    img = multimodal.render_pgm(grid, 8, 4)
+    row = img.select("payload", "n_bytes",
+                     multimodal.pgm_parse(F.col("payload")).alias("p")).collect()[0]
+    raw = bytes(row.payload)
+    assert raw[:3] == b"P5\n" and row.n_bytes == len(raw)
+    body = raw[raw.index(b"255\n") + 4:]
+    assert len(body) == 8 * 4
+    assert max(body) == 255                    # 300-count cell clamps
+    assert (row.p.width, row.p.height, row.p.maxval) == (8, 4, 255)
+    assert row.p.raster_sum == sum(body) == 255 + 1
+
+    # non-PGM bytes parse to NULL
+    junk = spark.createDataFrame([(1, bytearray(b"P6\n2 2\n255\nXXXX"))],
+                                 "id long, payload binary")
+    assert junk.select(multimodal.pgm_parse(F.col("payload")).alias("p")
+                       ).collect()[0].p is None
