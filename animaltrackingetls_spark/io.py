@@ -157,6 +157,18 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every dataset table as a temp view (through
+    ``load_table``, so timestamp-encoding rescue applies) and return the
+    view names — the one-call setup that makes the pure-SQL surface
+    first-class: after this, ``spark.sql("SELECT ... FROM lineitem
+    JOIN orders ...")`` works exactly like the DataFrame API, Catalyst
+    plans and all."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return list(TABLES)
+
+
 def union_append(a: DataFrame, b: DataFrame) -> DataFrame:
     """J3: union by column name, NULL-filling columns absent on one side
     (the reference's pd.concat accumulation, usamonarchbutterflies.py:57-69)."""

@@ -498,3 +498,23 @@ def test_zorder_key_clusters_both_dimensions(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         io_mod.zorder_key(F.col("x"), F.col("y"), bits=0)
+
+
+def test_register_views_enables_pure_sql(spark):
+    """One call registers every table (through load_table's timestamp
+    rescue) so the pure-SQL surface works, including epoch arithmetic
+    on the rescued ts column."""
+    from animaltrackingetls_spark.io import TABLES, register_views
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert names == TABLES
+    row = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_type) AS t, "
+        "max(CAST(ts AS BIGINT)) AS mx FROM events"
+    ).collect()[0]
+    assert row.n > 0 and row.t > 0 and row.mx > 0
+    joined = spark.sql(
+        "SELECT count(*) AS n FROM lineitem l JOIN orders o "
+        "ON l.l_orderkey = o.o_orderkey"
+    ).collect()[0]
+    assert joined.n > 0
