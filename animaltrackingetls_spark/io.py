@@ -215,8 +215,15 @@ def write_optimized(
                          *[F.col(c) for c in partition_cols])
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
-    out.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    # per-write option, not session conf: a session-level
+    # partitionOverwriteMode=dynamic would silently change overwrite
+    # semantics for every later write on the shared session
+    (
+        out.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
 
 
 def read_jsonl(
