@@ -1532,14 +1532,24 @@ def _q_sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming dedup (§2.10): dropDuplicatesWithinWatermark
-    on (user_id, event_type), projected to the kept KEY SET — which row
-    survives per key is arrival-order-dependent, but the set of keys is
-    exactly DISTINCT(user_id, event_type), giving a value oracle."""
+    """Structured Streaming dedup + stream–stream join (§2.10, folded).
+
+    'dedup' rows: dropDuplicatesWithinWatermark on (user_id,
+    event_type), projected to the kept KEY SET — which row survives per
+    key is arrival-order-dependent, but the set of keys is exactly
+    DISTINCT(user_id, event_type), giving a value oracle.
+
+    'join' rows: watermarked INNER stream–stream join — each purchase
+    paired with every signup by the same user at most 1 h before it
+    (``streaming.stream_stream_join``: watermarks on both sides + an
+    event-time range in the join condition, the two things that bound
+    join state). Inner output is order-independent (every qualifying
+    pair, once), so the batch interval join is an exact oracle."""
     from animaltrackingetls_spark.streaming import (
         read_event_stream,
         run_available_now_to_memory,
         stream_dedup,
+        stream_stream_join,
     )
 
     _ensure_confs(spark)
@@ -1550,7 +1560,37 @@ def _q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type"
     )
     run_available_now_to_memory(kept, "q_stream_dedup", output_mode="append")
-    return spark.table("q_stream_dedup")
+
+    signups = read_event_stream(
+        spark, sf_dir, nanos_ts=True, path_glob="events.parquet"
+    ).filter(F.col("event_type") == "signup").select("event_id", "ts", "user_id")
+    purchases = (
+        read_event_stream(spark, sf_dir, nanos_ts=True, path_glob="events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("event_id_r"),
+            F.col("ts").alias("ts_r"),
+            "user_id",
+        )
+    )
+    pairs = stream_stream_join(signups, purchases, max_gap_seconds=3600).select(
+        "user_id", "event_id", "event_id_r"
+    )
+    run_available_now_to_memory(pairs, "q_stream_join", output_mode="append")
+
+    dedup_rows = spark.table("q_stream_dedup").select(
+        F.lit("dedup").alias("kind"),
+        "user_id",
+        F.col("event_type").alias("k"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    join_rows = spark.table("q_stream_join").select(
+        F.lit("join").alias("kind"),
+        "user_id",
+        F.col("event_id").cast("string").alias("k"),
+        F.col("event_id_r").alias("n"),
+    )
+    return dedup_rows.unionByName(join_rows)
 
 
 # --- rows-only queries (no ANSI-SQL oracle; driver records weaker check) ---
@@ -3525,7 +3565,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, session_idx
         """,
         "stream_dedup_keys": """
-            SELECT DISTINCT user_id, event_type FROM events
+            SELECT 'dedup' AS kind, user_id, event_type AS k,
+                   CAST(NULL AS BIGINT) AS n
+            FROM (SELECT DISTINCT user_id, event_type FROM events)
+            UNION ALL
+            SELECT 'join', l.user_id, CAST(l.event_id AS VARCHAR),
+                   r.event_id_r
+            FROM (SELECT event_id, ts, user_id FROM events
+                  WHERE event_type = 'signup') l
+            JOIN (SELECT event_id AS event_id_r, ts AS ts_r, user_id
+                  FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id
+             AND l.ts <= r.ts_r
+             AND l.ts >= r.ts_r - INTERVAL 3600 SECONDS
         """,
         "segments_chunks": r"""
             WITH t AS (

@@ -23,5 +23,6 @@ from .jobs import (  # noqa: F401
     sessionized_user_activity,
     stream_dedup,
     stream_static_enrich,
+    stream_stream_join,
     windowed_event_counts,
 )

@@ -138,6 +138,57 @@ def stream_static_enrich(
     return stream.join(F.broadcast(dim), on, how)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    max_gap_seconds: int = 3600,
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream–stream join: pair each right-side event with
+    every left-side event for the same key that happened at most
+    ``max_gap_seconds`` BEFORE it (attribution: purchase joined to the
+    signups that preceded it within the window).
+
+    The two pieces that make this bounded-state at 100 TB/day:
+
+    * both inputs carry a watermark, so each side's buffered rows are
+      evicted once the other side's event-time frontier passes them;
+    * the join condition includes an explicit event-time RANGE
+      (``l.ts BETWEEN r.ts - gap AND r.ts``), which is what lets Spark
+      derive the state-cleanup predicate — an equi-only stream–stream
+      join would buffer both sides forever and fail the unsupported-
+      operation check in append mode.
+
+    Inner join output is exactly the batch join's row set (every
+    qualifying pair is emitted once, when both sides have arrived), so
+    a plain SQL interval join is an exact oracle. Outer variants emit
+    NULL-padded rows only after the watermark closes the window —
+    supported here via ``how`` but arrival-order-sensitive at the
+    margins, so keep oracles to ``inner``.
+
+    ``left``/``right`` column names must be disjoint apart from ``key``;
+    the right side's event-time column is expected pre-renamed (default
+    ``ts_r``) for the same reason.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"l.{left_ts}") <= F.col(f"r.{right_ts}"))
+        & (
+            F.col(f"l.{left_ts}")
+            >= F.col(f"r.{right_ts}") - F.expr(f"INTERVAL {int(max_gap_seconds)} SECONDS")
+        )
+    )
+    joined = l.join(r, cond, how)
+    # drop the duplicate key column from the right side
+    return joined.drop(F.col(f"r.{key}"))
+
+
 def stream_dedup(
     stream: DataFrame,
     keys: list[str] | None = None,

@@ -336,3 +336,52 @@ def test_running_user_totals_tws_matches_classic_and_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expected == classic
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark, tmp_path):
+    """Inner watermarked stream-stream join == the batch interval join:
+    every (signup, later purchase within 1h, same user) pair, no extras,
+    no misses — including a purchase with NO prior signup (absent) and a
+    signup outside the gap (absent)."""
+    from animaltrackingetls_spark.streaming import (
+        run_available_now_to_memory,
+        stream_stream_join,
+    )
+
+    src = str(tmp_path / "ev_ssj")
+    batch = _write_events(spark, src)
+    stream_l = read_event_stream(spark, src).filter(
+        F.col("event_type") == "view"
+    ).select("event_id", "ts", "user_id")
+    stream_r = (
+        read_event_stream(spark, src)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("event_id_r"),
+            F.col("ts").alias("ts_r"),
+            "user_id",
+        )
+    )
+    pairs = stream_stream_join(
+        stream_l, stream_r, max_gap_seconds=3600
+    ).select("event_id", "event_id_r")
+    run_available_now_to_memory(pairs, "t_ssj", output_mode="append")
+    got = {(r.event_id, r.event_id_r) for r in spark.table("t_ssj").collect()}
+
+    l = batch.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("lid"), F.col("ts").alias("lts"), "user_id"
+    )
+    r = batch.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("rid"), F.col("ts").alias("rts"), "user_id"
+    )
+    expected = {
+        (row.lid, row.rid)
+        for row in l.join(r, "user_id")
+        .filter(
+            (F.col("lts") <= F.col("rts"))
+            & (F.col("lts") >= F.col("rts") - F.expr("INTERVAL 3600 SECONDS"))
+        )
+        .collect()
+    }
+    assert got == expected
+    assert expected  # non-degenerate: the fixture must produce matches
