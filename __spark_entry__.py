@@ -1486,7 +1486,29 @@ def _q_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("split").alias("kind"), F.col("split").alias("key"), "n")
     )
-    return uni.unionByName(strat).unionByName(mix).unionByName(splits)
+    # 'gidx' rows: the scalable global total-order index
+    # (ordering.global_order_index — range exchange + per-partition
+    # counts + offset broadcast, NO unpartitioned window) over
+    # (n_chars, doc_id), audited on every 97th doc; the oracle replays
+    # it as the window function the operator deliberately avoids.
+    from animaltrackingetls_spark.operators.ordering import global_order_index
+
+    gidx = (
+        global_order_index(
+            docs.select("doc_id", "n_chars"), ["n_chars", "doc_id"],
+            num_partitions=8,
+        )
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.lit("gidx").alias("kind"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("global_idx").alias("n"),
+        )
+    )
+    return (
+        uni.unionByName(strat).unionByName(mix).unionByName(splits)
+        .unionByName(gidx)
+    )
 
 
 def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3540,6 +3562,12 @@ def oracle_sql() -> dict[str, str]:
             {_mixture_oracle_branch()}
             UNION ALL
             {_split_oracle_branch()}
+            UNION ALL
+            SELECT 'gidx', CAST(doc_id AS VARCHAR),
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1
+                        AS BIGINT)
+            FROM documents
+            QUALIFY doc_id % 97 = 0
         """,
         "sessionized_stream": """
             WITH flagged AS (

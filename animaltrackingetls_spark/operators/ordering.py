@@ -1,0 +1,106 @@
+"""Global total-order indexing without a single-partition bottleneck.
+
+The naive way to number rows globally — ``row_number().over(Window
+.orderBy(...))`` with no partitionBy — funnels the ENTIRE dataset
+through one task (Spark even warns); at 100 TB that is the job. The
+scalable classic is two passes over a range-partitioned layout:
+
+1. range-exchange on the order keys (each partition owns a contiguous
+   key range, ascending with partition id), sort within partitions;
+2. count rows per partition — a tiny driver-side list, one entry per
+   partition — prefix-sum it into per-partition offsets;
+3. global index = partition offset + position within the partition.
+
+Everything stays JVM-side: within-partition positions come from
+``monotonically_increasing_id`` (documented layout: partition id in the
+upper bits, a 0-based consecutive record number in the lower 33), so no
+Python, no extra shuffle beyond the one range exchange, and the offset
+attach is a broadcast of #partitions rows.
+
+This is the same pattern RDD ``zipWithIndex`` uses internally, kept in
+DataFrame land so column pruning and codegen survive, plus an explicit
+ORDER: the index follows ``order_cols``, not arbitrary partition layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_POS_MASK = (1 << 33) - 1
+
+
+def global_order_index(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    index_col: str = "global_idx",
+    num_partitions: int | None = None,
+    start: int = 0,
+) -> DataFrame:
+    """Append a dense 0-based (``start``-based) global index in
+    ``order_cols`` order — the scalable replacement for an unpartitioned
+    ``row_number()`` window.
+
+    ``order_cols`` MUST be a total order (append a unique id as the last
+    key): ties straddling a range boundary would otherwise make the
+    index depend on the sampled boundaries. With a total order the
+    result is fully deterministic — range boundaries only decide WHERE
+    the work happens, never the index a row gets.
+
+    Cost: one range exchange (sampled, so skewed key distributions still
+    balance), a per-partition count job over the pinned layout, and a
+    broadcast join of #partitions offset rows. The layout is pinned with
+    ``localCheckpoint`` because positions are read in two separate jobs
+    (counts, then index) and must see identical partitioning; on a real
+    cluster prefer ``df.checkpoint()`` to a reliable store —
+    ``localCheckpoint`` blocks die with their executor.
+
+    Partition count sizing: ≤ 2^31 partitions and ≤ 2^33 rows per
+    partition (the id layout's limits — enforced); pick
+    ``num_partitions`` so each partition's sort fits executor memory.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    if index_col in df.columns:
+        raise ValueError(f"column {index_col!r} already exists")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = df.repartitionByRange(*([num_partitions] if num_partitions else []), *cols)
+    pinned = part.sortWithinPartitions(*cols).localCheckpoint(eager=True)
+
+    # one id expression instance per job, materialized into a column
+    # BEFORE any derivation: two derived uses of separate nondeterministic
+    # instances could in principle drift, a single column cannot
+    def with_mid(frame: DataFrame) -> DataFrame:
+        return frame.withColumn("_mid", F.monotonically_increasing_id())
+
+    sizes = (
+        with_mid(pinned)
+        .select(F.shiftright("_mid", 33).alias("_pid"))
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )  # one row per partition — driver-tiny by construction
+    acc = start
+    offsets = []
+    for row in sorted(sizes, key=lambda r: r["_pid"]):
+        if row["_n"] > _POS_MASK + 1:
+            raise ValueError(
+                f"partition {row['_pid']} holds {row['_n']} rows, over the "
+                f"2^33 per-partition id limit; raise num_partitions"
+            )
+        offsets.append((row["_pid"], acc))
+        acc += row["_n"]
+    if not offsets:
+        return df.withColumn(index_col, F.lit(start).cast("long")).limit(0)
+
+    off_df = pinned.sparkSession.createDataFrame(
+        offsets, "_pid bigint, _off bigint"
+    )
+    return (
+        with_mid(pinned)
+        .withColumn("_pid", F.shiftright("_mid", 33))
+        .withColumn("_pos", F.col("_mid").bitwiseAND(F.lit(_POS_MASK)))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(index_col, (F.col("_off") + F.col("_pos")).cast("long"))
+        .drop("_mid", "_pid", "_pos", "_off")
+    )

@@ -1,0 +1,68 @@
+"""global_order_index: parity with the (unscalable) global window,
+determinism across input partitionings, edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from animaltrackingetls_spark.operators.ordering import global_order_index
+
+
+def _frame(spark, n=500, parts=7):
+    # deliberately scrambled insert order + skewed sort key (heavy ties)
+    rows = [((i * 7919) % n, (i * 7919) % 13, f"d{i}") for i in range(n)]
+    return spark.createDataFrame(
+        rows, "uid long, grp long, payload string"
+    ).repartition(parts)
+
+
+def test_matches_global_window(spark):
+    df = _frame(spark)
+    got = global_order_index(df, ["grp", "uid"], num_partitions=5)
+    w = Window.orderBy("grp", "uid")
+    exp = df.withColumn("global_idx", F.row_number().over(w).cast("long") - 1)
+    assert sorted(got.select("uid", "global_idx").collect()) == sorted(
+        exp.select("uid", "global_idx").collect()
+    )
+
+
+def test_deterministic_across_partitionings(spark):
+    base = _frame(spark)
+    a = global_order_index(base.repartition(3), ["grp", "uid"], num_partitions=4)
+    b = global_order_index(base.repartition(17), ["grp", "uid"], num_partitions=9)
+    assert sorted(a.select("uid", "global_idx").collect()) == sorted(
+        b.select("uid", "global_idx").collect()
+    )
+
+
+def test_index_is_dense_and_start_offset(spark):
+    df = _frame(spark, n=100)
+    got = global_order_index(df, ["uid"], start=1000, num_partitions=3)
+    idx = sorted(r.global_idx for r in got.collect())
+    assert idx == list(range(1000, 1100))
+
+
+def test_empty_input(spark):
+    df = _frame(spark).filter(F.lit(False))
+    got = global_order_index(df, ["uid"])
+    assert got.count() == 0
+    assert "global_idx" in got.columns
+
+
+def test_rejects_existing_column_and_empty_order(spark):
+    df = _frame(spark, n=10)
+    with pytest.raises(ValueError, match="already exists"):
+        global_order_index(df.withColumn("global_idx", F.lit(0)), ["uid"])
+    with pytest.raises(ValueError, match="non-empty"):
+        global_order_index(df, [])
+
+
+def test_no_single_partition_global_sort_in_plan(spark):
+    """The point of the operator: the plan must contain a RANGE
+    repartitioning (parallel), not an unpartitioned window sort."""
+    df = _frame(spark)
+    got = global_order_index(df, ["grp", "uid"], num_partitions=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
