@@ -670,10 +670,24 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact top-k cosine neighbors for a small query set."""
+    """Brute-force top-k cosine neighbors for a small query set, in two
+    folded forms: 'exact' over the double vectors, and 'int8' over
+    symmetric-quantized vectors (``quantize_embeddings_int8`` — global
+    max-|x| scale via scalar subquery, floor-based rounding so the
+    quantized ints are bit-identical across engines, then EXACT integer
+    dot products; 8× fewer wire bytes per vector at scale). The oracle
+    replays the quantization formula, so a drifting scale, rounding
+    mode, or clamp fails the hash."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return similarity.brute_force_topk(emb, queries_df, k=10, round_digits=6)
+    exact = similarity.brute_force_topk(emb, queries_df, k=10, round_digits=6)
+    qz = similarity.quantize_embeddings_int8(emb)
+    quant = similarity.brute_force_topk_quantized(
+        qz, qz.filter(F.col("vec_id") < 5), k=10, round_digits=6
+    )
+    return exact.select(F.lit("exact").alias("kind"), "*").unionByName(
+        quant.select(F.lit("int8").alias("kind"), "*")
+    )
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2917,9 +2931,30 @@ def oracle_sql() -> dict[str, str]:
               FROM q JOIN e c ON c.vec_id != q.vec_id
             ),
             r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-                    ORDER BY cosine_sim DESC, n_id) AS rank FROM scored)
-            SELECT q_id, n_id, CAST(rank AS INT) AS rank, cosine_sim
+                    ORDER BY cosine_sim DESC, n_id) AS rank FROM scored),
+            s AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS mx
+                  FROM e),
+            z AS (SELECT vec_id,
+                         list_transform(v, x -> greatest(-127.0, least(127.0,
+                             floor(x * 127.0 / s.mx + 0.5)))) AS qv
+                  FROM e, s),
+            zq AS (SELECT * FROM z WHERE vec_id < 5),
+            scoredq AS (
+              SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                     round(list_dot_product(q.qv, c.qv)
+                           / (sqrt(list_dot_product(q.qv, q.qv))
+                              * sqrt(list_dot_product(c.qv, c.qv))), 6)
+                       AS cosine_sim
+              FROM zq q JOIN z c ON c.vec_id != q.vec_id
+            ),
+            rq AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY cosine_sim DESC, n_id) AS rank FROM scoredq)
+            SELECT 'exact' AS kind, q_id, n_id, CAST(rank AS INT) AS rank,
+                   cosine_sim
             FROM r WHERE rank <= 10
+            UNION ALL
+            SELECT 'int8', q_id, n_id, CAST(rank AS INT), cosine_sim
+            FROM rq WHERE rank <= 10
         """,
         "embedding_neardup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
