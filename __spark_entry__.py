@@ -1144,14 +1144,38 @@ def _q_udaf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus n-gram analysis: top-20 bigrams by document frequency."""
+    """Corpus n-gram analysis, two folded forms: 'exact' top-20 bigrams
+    by document frequency (full groupBy — shuffles every distinct
+    bigram), and 'hh' the same answer from the heavy-hitters path
+    (``aggregates.approx_top_k``: per-partition exact top-m candidates
+    via one narrow Arrow pass, then an exact recount of candidates only
+    — the shuffle-bounded form for 100 TB n-gram spaces). The run
+    asserts the certificate (kth count > n/(m+1)), so 'hh' rows are
+    PROVABLY the exact top-20 and the single SQL oracle covers both."""
+    from animaltrackingetls_spark.operators.aggregates import approx_top_k
+
     docs = _t(spark, sf_dir, "documents")
     bg = docs.select(F.explode(dedup.word_shingles(F.col("text"), 2)).alias("bigram"))
-    return (
+    exact = (
         bg.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(F.desc("n_docs"), F.asc("bigram"))
         .limit(20)
+    )
+    stats: dict = {}
+    # m sized for this corpus's flat synthetic tail: kth doc-frequency
+    # ≈ n/640, so the certificate needs n/(m+1) below that — 1024 gives
+    # ~1.6x margin and is still only ~1k strings per partition
+    hh = approx_top_k(bg, "bigram", k=20, per_partition_m=1024, stats=stats).select(
+        "bigram", F.col("n").alias("n_docs")
+    )
+    if not stats["proven_exact"]:
+        raise AssertionError(
+            f"heavy-hitter certificate failed (stats={stats}); "
+            "raise per_partition_m"
+        )
+    return exact.select(F.lit("exact").alias("kind"), "*").unionByName(
+        hh.select(F.lit("hh").alias("kind"), "*")
     )
 
 
@@ -3363,11 +3387,16 @@ def oracle_sql() -> dict[str, str]:
                           ELSE list_distinct(toks) END AS bgs
               FROM t
             )
-            SELECT bigram, count(*) AS n_docs
-            FROM s, unnest(s.bgs) AS u(bigram)
-            GROUP BY bigram
-            ORDER BY n_docs DESC, bigram
-            LIMIT 20
+            , top AS (
+              SELECT bigram, count(*) AS n_docs
+              FROM s, unnest(s.bgs) AS u(bigram)
+              GROUP BY bigram
+              ORDER BY n_docs DESC, bigram
+              LIMIT 20
+            )
+            SELECT 'exact' AS kind, bigram, n_docs FROM top
+            UNION ALL
+            SELECT 'hh', bigram, n_docs FROM top
         """,
         "streaming_window_counts": """
             SELECT date_trunc('hour', ts) AS window_start,

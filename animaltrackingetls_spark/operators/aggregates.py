@@ -382,3 +382,73 @@ def quantile_from_histogram(
             return lo + (i + max(0.0, min(1.0, frac))) * width
         seen += c
     return hi
+
+
+def approx_top_k(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    per_partition_m: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Heavy hitters by candidate-generation + exact recount — the
+    shuffle-bounded top-k for ULTRA-high-cardinality columns.
+
+    A plain ``groupBy(col).count().orderBy(...).limit(k)`` shuffles one
+    row per DISTINCT value; on a 100 TB corpus keyed by URL or n-gram
+    that is billions of rows of exchange for a 10-row answer. This runs:
+
+    1. one narrow Arrow pass producing each partition's exact top-``m``
+       values (``m = per_partition_m``, default ``max(4k, 64)``) — no
+       shuffle, only ``col`` is serialized;
+    2. an exact recount of the candidate set: broadcast semi-join +
+       partial-agg shuffle of candidate rows only.
+
+    The per-partition guarantee makes the result PROVABLE, not fuzzy:
+    a value outside a partition's exact top-m has partition count
+    ≤ n_p/(m+1), so any value with GLOBAL count > n/(m+1) is a
+    candidate somewhere. After the recount, if the k-th count exceeds
+    n/(m+1), the output is certified the exact global top-k;
+    ``stats["proven_exact"]`` records the check (and ``threshold``/
+    ``n_rows`` the inputs to it). When the certificate fails, raise
+    ``per_partition_m`` — the cost is linear in m and stays tiny.
+
+    Output: (col, n) ordered by n desc then value asc, exactly k rows
+    (fewer if the column has fewer distinct values). NULLs are ignored.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    m = per_partition_m or max(4 * k, 64)
+    field = df.schema[col]
+    sel = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+
+    def partition_top(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in batches:
+            for val, c in pdf["v"].value_counts().items():
+                counts[val] = counts.get(val, 0) + int(c)
+        if not counts:
+            return
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
+        yield pd.DataFrame({"v": [t[0] for t in top]})
+
+    cand_schema = f"v {field.dataType.simpleString()}"
+    cands = sel.mapInPandas(partition_top, cand_schema).distinct()
+    exact = (
+        sel.join(F.broadcast(cands), "v")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("v"))
+        .limit(k)
+    )
+    if stats is not None:
+        n_rows = sel.count()
+        rows = exact.collect()
+        kth = rows[-1]["n"] if len(rows) >= k else 0
+        stats["n_rows"] = n_rows
+        stats["threshold"] = n_rows / (m + 1)
+        # fewer distinct values than k ⇒ every value was recounted ⇒ exact
+        stats["proven_exact"] = len(rows) < k or kth > n_rows / (m + 1)
+    return exact.select(F.col("v").alias(col), "n")

@@ -267,3 +267,59 @@ def test_histogram_merge_equals_direct_property(spark, rows, n_bins):
     assert sum(n for _, n in direct.values()) == len(rows)
     for bins, n in direct.values():
         assert sum(bins) == n
+
+
+def test_approx_top_k_matches_exact_on_skew(spark):
+    """Zipf-ish skew over many partitions: candidate+recount must equal
+    the exact groupBy top-k, and the certificate must hold."""
+    from animaltrackingetls_spark.operators.aggregates import approx_top_k
+
+    rows = [(f"w{i % (1 + i % 97)}",) for i in range(20000)]
+    df = spark.createDataFrame(rows, "tok string").repartition(16)
+    stats = {}
+    got = approx_top_k(df, "tok", k=10, stats=stats)
+    exact = (
+        df.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(10)
+    )
+    assert [(r.tok, r.n) for r in got.collect()] == [
+        (r.tok, r.n) for r in exact.collect()
+    ]
+    assert stats["proven_exact"] is True
+    assert stats["n_rows"] == 20000
+
+
+def test_approx_top_k_ignores_nulls_and_handles_few_distinct(spark):
+    from animaltrackingetls_spark.operators.aggregates import approx_top_k
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,)], "tok string"
+    ).repartition(4)
+    stats = {}
+    got = approx_top_k(df, "tok", k=5, stats=stats)
+    assert [(r.tok, r.n) for r in got.collect()] == [("a", 2), ("b", 1)]
+    assert stats["proven_exact"] is True  # all distinct values recounted
+
+
+def test_approx_top_k_certificate_fails_loud_when_m_too_small(spark):
+    """Near-uniform data with tiny m: the certificate must be honest
+    (proven_exact False), not silently wrong."""
+    from animaltrackingetls_spark.operators.aggregates import approx_top_k
+
+    rows = [(f"u{i % 5000}",) for i in range(10000)]
+    df = spark.createDataFrame(rows, "tok string").repartition(8)
+    stats = {}
+    approx_top_k(df, "tok", k=10, per_partition_m=2, stats=stats)
+    assert stats["proven_exact"] is False
+
+
+def test_approx_top_k_long_column(spark):
+    from animaltrackingetls_spark.operators.aggregates import approx_top_k
+
+    df = spark.createDataFrame([(i % 7,) for i in range(700)], "uid long")
+    got = approx_top_k(df, "uid", k=3)
+    assert [r.n for r in got.collect()] == [100, 100, 100]
+    assert got.schema["uid"].dataType.simpleString() == "bigint"
