@@ -1568,7 +1568,16 @@ def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start", "event_type", "n_events", "sum_value"
     )
     run_available_now_to_memory(agg, "q_stream_wc", output_mode="complete")
-    return spark.table("q_stream_wc")
+    # 'sliding' branch: the same hour of data hopped every 30 minutes —
+    # each event lands in exactly two windows (duration/slide), the
+    # oracle replays it as a two-bucket explode
+    sliding = windowed_event_counts(
+        stream, "1 hour", round_digits=2, slide="30 minutes"
+    ).select("window_start", "event_type", "n_events", "sum_value")
+    run_available_now_to_memory(sliding, "q_stream_swc", output_mode="complete")
+    tum = spark.table("q_stream_wc").select(F.lit("tumbling").alias("kind"), "*")
+    sli = spark.table("q_stream_swc").select(F.lit("sliding").alias("kind"), "*")
+    return tum.unionByName(sli)
 
 
 def _q_sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3399,12 +3408,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'hh', bigram, n_docs FROM top
         """,
         "streaming_window_counts": """
-            SELECT date_trunc('hour', ts) AS window_start,
+            SELECT 'tumbling' AS kind, date_trunc('hour', ts) AS window_start,
                    event_type,
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events
-            GROUP BY 1, 2
+            GROUP BY 2, 3
+            UNION ALL
+            SELECT 'sliding', ws, event_type, count(*), round(sum(value), 2)
+            FROM (
+              SELECT unnest([
+                       date_trunc('hour', ts),
+                       CASE WHEN extract(minute FROM ts) >= 30
+                            THEN date_trunc('hour', ts) + INTERVAL 30 MINUTE
+                            ELSE date_trunc('hour', ts) - INTERVAL 30 MINUTE
+                       END]) AS ws,
+                     event_type, value
+              FROM events
+            )
+            GROUP BY 2, 3
         """,
         "salted_join_check": """
             SELECT c.c_mktsegment,

@@ -78,12 +78,23 @@ def windowed_event_counts(
     watermark: str = "2 hours",
     ts_col: str = "ts",
     round_digits: int = 6,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts + value sums per event_type with a
-    watermark bounding late data (and state)."""
+    """Windowed counts + value sums per event_type with a watermark
+    bounding late data (and state). Default is tumbling windows; pass
+    ``slide`` (< duration) for sliding/hopping windows — each event then
+    lands in duration/slide windows, and state scales by the same
+    factor, which is why the slide should divide the duration and stay
+    coarse at 100 TB/day (12 overlapping windows per event is a 12×
+    state bill)."""
+    win = (
+        F.window(F.col(ts_col), window_duration, slide)
+        if slide
+        else F.window(F.col(ts_col), window_duration)
+    )
     return (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col("event_type"))
+        .groupBy(win.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), round_digits).alias("sum_value"),

@@ -385,3 +385,39 @@ def test_stream_stream_join_matches_batch_interval_join(spark, tmp_path):
     }
     assert got == expected
     assert expected  # non-degenerate: the fixture must produce matches
+
+
+def test_sliding_window_counts_match_batch(spark, tmp_path):
+    """1h windows sliding every 30min: every event lands in exactly two
+    windows; totals match the batch double-bucket expansion."""
+    path = str(tmp_path / "ev_slide")
+    batch = _write_events(spark, path)
+    stream = read_event_stream(spark, path)
+    run_available_now_to_memory(
+        windowed_event_counts(stream, "1 hour", slide="30 minutes"),
+        "t_swc",
+        output_mode="complete",
+    )
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table("t_swc").collect()
+    }
+    b = batch.select(
+        F.explode(
+            F.array(
+                F.date_trunc("hour", "ts"),
+                F.when(
+                    F.minute("ts") >= 30,
+                    F.date_trunc("hour", "ts") + F.expr("INTERVAL 30 MINUTES"),
+                ).otherwise(F.date_trunc("hour", "ts") - F.expr("INTERVAL 30 MINUTES")),
+            )
+        ).alias("ws"),
+        "event_type",
+    )
+    expected = {
+        (r.ws, r.event_type): r.n
+        for r in b.groupBy("ws", "event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expected
+    # each event in exactly 2 windows
+    assert sum(got.values()) == 2 * batch.count()
