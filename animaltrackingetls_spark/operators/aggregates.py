@@ -425,14 +425,18 @@ def approx_top_k(
     def partition_top(batches):
         import pandas as pd
 
-        counts: dict = {}
-        for pdf in batches:
-            for val, c in pdf["v"].value_counts().items():
-                counts[val] = counts.get(val, 0) + int(c)
-        if not counts:
+        parts = [pdf["v"].value_counts() for pdf in batches]
+        parts = [p for p in parts if len(p)]
+        if not parts:
             return
-        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
-        yield pd.DataFrame({"v": [t[0] for t in top]})
+        counts = (
+            parts[0] if len(parts) == 1 else pd.concat(parts).groupby(level=0).sum()
+        )
+        # deterministic cut: count desc, value asc — vectorized
+        top = counts.sort_index(kind="mergesort").sort_values(
+            ascending=False, kind="mergesort"
+        )[:m]
+        yield pd.DataFrame({"v": top.index.to_numpy()})
 
     cand_schema = f"v {field.dataType.simpleString()}"
     cands = sel.mapInPandas(partition_top, cand_schema).distinct()
@@ -445,10 +449,14 @@ def approx_top_k(
     )
     if stats is not None:
         n_rows = sel.count()
+        # collect the k result rows ONCE and hand them back as a literal
+        # frame: certifying via a second action would re-run the whole
+        # candidate pipeline (the Arrow pass is the expensive node)
         rows = exact.collect()
         kth = rows[-1]["n"] if len(rows) >= k else 0
         stats["n_rows"] = n_rows
         stats["threshold"] = n_rows / (m + 1)
         # fewer distinct values than k ⇒ every value was recounted ⇒ exact
         stats["proven_exact"] = len(rows) < k or kth > n_rows / (m + 1)
+        exact = df.sparkSession.createDataFrame(rows, exact.schema)
     return exact.select(F.col("v").alias(col), "n")

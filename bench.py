@@ -17,6 +17,12 @@ LSH→connected-components cluster resolver, token-level duplicated-span
 detection inside segments_chunks), text featurization (quality,
 repetition signals), decontamination, the end-to-end pretraining
 pipeline (filter→dedup→pack), and similarity top-k.
+
+Round-over-round comparability note: entries fold MORE work over time,
+so a per-name uptick can be added coverage, not regression. Round-6
+folds: `topk_cosine` now also runs the int8-quantized top-k branch
+(~2× the work of r5's exact-only entry); `streaming_window_counts` now
+drains a second (sliding-window) streaming query alongside tumbling.
 """
 
 from __future__ import annotations
