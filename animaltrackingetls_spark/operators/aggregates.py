@@ -419,6 +419,11 @@ def approx_top_k(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     m = per_partition_m or max(4 * k, 64)
+    if m < k:
+        # with m < k a "fewer than k results" outcome could mean a
+        # truncated candidate set rather than a small domain, and the
+        # small-domain branch of the certificate would lie
+        raise ValueError(f"per_partition_m ({m}) must be >= k ({k})")
     field = df.schema[col]
     sel = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
 

@@ -45,7 +45,10 @@ def global_order_index(
     key): ties straddling a range boundary would otherwise make the
     index depend on the sampled boundaries. With a total order the
     result is fully deterministic — range boundaries only decide WHERE
-    the work happens, never the index a row gets.
+    the work happens, never the index a row gets. Ordering is Spark's
+    ascending default, which puts NULL keys FIRST — SQL engines default
+    to NULLS LAST, so filter or coalesce NULL keys when an external
+    oracle replays the order.
 
     Cost: one range exchange (sampled, so skewed key distributions still
     balance), a per-partition count job over the pinned layout, and a
@@ -63,6 +66,9 @@ def global_order_index(
         raise ValueError("order_cols must be non-empty")
     if index_col in df.columns:
         raise ValueError(f"column {index_col!r} already exists")
+    reserved = {"_mid", "_pid", "_pos", "_off"} & set(df.columns)
+    if reserved:
+        raise ValueError(f"columns {sorted(reserved)} are reserved here")
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     part = df.repartitionByRange(*([num_partitions] if num_partitions else []), *cols)
     pinned = part.sortWithinPartitions(*cols).localCheckpoint(eager=True)

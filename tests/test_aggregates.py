@@ -312,7 +312,7 @@ def test_approx_top_k_certificate_fails_loud_when_m_too_small(spark):
     rows = [(f"u{i % 5000}",) for i in range(10000)]
     df = spark.createDataFrame(rows, "tok string").repartition(8)
     stats = {}
-    approx_top_k(df, "tok", k=10, per_partition_m=2, stats=stats)
+    approx_top_k(df, "tok", k=10, per_partition_m=10, stats=stats)
     assert stats["proven_exact"] is False
 
 
@@ -323,3 +323,13 @@ def test_approx_top_k_long_column(spark):
     got = approx_top_k(df, "uid", k=3)
     assert [r.n for r in got.collect()] == [100, 100, 100]
     assert got.schema["uid"].dataType.simpleString() == "bigint"
+
+
+def test_approx_top_k_rejects_m_below_k(spark):
+    from animaltrackingetls_spark.operators.aggregates import approx_top_k
+
+    df = spark.createDataFrame([("a",)], "tok string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must be >= k"):
+        approx_top_k(df, "tok", k=10, per_partition_m=2)
