@@ -66,3 +66,27 @@ def test_no_single_partition_global_sort_in_plan(spark):
     got = global_order_index(df, ["grp", "uid"], num_partitions=5)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(0, 5)),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t,  # total order guaranteed by uniqueness
+    ),
+    st.integers(1, 6),
+)
+def test_global_index_equals_sorted_enumeration(spark, rows, parts):
+    """Property: for ANY unique (key, grp) set and ANY partition count,
+    the index is exactly the position in the sorted order."""
+    df = spark.createDataFrame(rows, "key long, grp long").repartition(3)
+    got = global_order_index(df, ["grp", "key"], num_partitions=parts)
+    out = {(r.key, r.grp): r.global_idx for r in got.collect()}
+    for i, (k, g) in enumerate(sorted(rows, key=lambda t: (t[1], t[0]))):
+        assert out[(k, g)] == i

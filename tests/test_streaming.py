@@ -421,3 +421,53 @@ def test_sliding_window_counts_match_batch(spark, tmp_path):
     assert got == expected
     # each event in exactly 2 windows
     assert sum(got.values()) == 2 * batch.count()
+
+
+def test_stream_stream_left_outer_availablenow_emits_inner_subset(spark, tmp_path):
+    """Pin the availableNow outer-join tail behavior: unmatched left
+    rows NULL-pad only on a trigger AFTER the watermark passes them, and
+    an AvailableNow drain ends with no such trigger — so the outer form
+    yields exactly the inner pairs here. This is a Spark semantics
+    edge, not an operator bug; continuous triggers emit the tail."""
+    import datetime
+
+    from animaltrackingetls_spark.streaming import (
+        run_available_now_to_memory,
+        stream_stream_join,
+    )
+
+    src = str(tmp_path / "ev_ossj")
+    t0 = datetime.datetime(2024, 1, 1, 0, 0)
+    rows1 = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0, 2, "view", 1.0, "{}"),  # never matches any click
+        (3, t0 + datetime.timedelta(minutes=10), 1, "click", 1.0, "{}"),
+    ]
+    rows2 = [(9, t0 + datetime.timedelta(hours=50), 9, "view", 1.0, "{}")]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    for rows in (rows1, rows2):  # two files → two micro-batches
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    l = read_event_stream(spark, src, max_files_per_trigger=1).filter(
+        F.col("event_type") == "view"
+    ).select("event_id", "ts", "user_id")
+    r = read_event_stream(spark, src, max_files_per_trigger=1).filter(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("event_id").alias("event_id_r"),
+        F.col("ts").alias("ts_r"),
+        "user_id",
+    )
+    pairs = stream_stream_join(
+        l, r, max_gap_seconds=3600, watermark="1 hour", how="left_outer"
+    ).select("event_id", "event_id_r")
+    run_available_now_to_memory(pairs, "t_ossj", output_mode="append")
+    got = sorted(
+        (row.event_id, row.event_id_r) for row in spark.table("t_ossj").collect()
+    )
+    assert got == [(1, 3)]
