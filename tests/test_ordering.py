@@ -90,3 +90,40 @@ def test_global_index_equals_sorted_enumeration(spark, rows, parts):
     out = {(r.key, r.grp): r.global_idx for r in got.collect()}
     for i, (k, g) in enumerate(sorted(rows, key=lambda t: (t[1], t[0]))):
         assert out[(k, g)] == i
+
+
+def test_export_ordered_shards_contiguous_balanced_roundtrip(spark, tmp_path):
+    from animaltrackingetls_spark.operators.ordering import export_ordered_shards
+
+    df = _frame(spark, n=103)  # deliberately not divisible by num_shards
+    path = str(tmp_path / "shards")
+    manifest = export_ordered_shards(df, ["grp", "uid"], 4, path).collect()
+    assert [r.shard for r in manifest] == [0, 1, 2, 3]
+    sizes = [r.n_rows for r in manifest]
+    assert sum(sizes) == 103 and max(sizes) - min(sizes) <= 1
+    # contiguity: each shard's index range touches the next
+    for a, b in zip(manifest, manifest[1:]):
+        assert a.max_idx + 1 == b.min_idx
+    assert manifest[0].min_idx == 0 and manifest[-1].max_idx == 102
+    # reading shards in order reproduces the exact global order
+    back = spark.read.parquet(path)
+    got = [
+        r.uid
+        for r in back.orderBy("shard", "global_idx").collect()
+    ]
+    exp = [
+        r.uid for r in df.orderBy("grp", "uid").collect()
+    ]
+    assert got == exp
+
+
+def test_export_ordered_shards_rejects_empty_and_bad_k(spark, tmp_path):
+    from animaltrackingetls_spark.operators.ordering import export_ordered_shards
+
+    df = _frame(spark, n=10)
+    with pytest.raises(ValueError, match="num_shards"):
+        export_ordered_shards(df, ["uid"], 0, str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="empty"):
+        export_ordered_shards(
+            df.filter(F.lit(False)), ["uid"], 2, str(tmp_path / "y")
+        )
