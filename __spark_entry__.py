@@ -1630,17 +1630,16 @@ def _q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_available_now_to_memory(kept, "q_stream_dedup", output_mode="append")
 
-    signups = read_event_stream(
-        spark, sf_dir, nanos_ts=True, path_glob="events.parquet"
-    ).filter(F.col("event_type") == "signup").select("event_id", "ts", "user_id")
-    purchases = (
-        read_event_stream(spark, sf_dir, nanos_ts=True, path_glob="events.parquet")
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("event_id_r"),
-            F.col("ts").alias("ts_r"),
-            "user_id",
-        )
+    # both join sides filter the ONE reader above (streaming self-joins
+    # are supported); separate readers would re-probe the parquet footer
+    # per side for nothing
+    signups = stream.filter(F.col("event_type") == "signup").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("event_id_r"),
+        F.col("ts").alias("ts_r"),
+        "user_id",
     )
     pairs = stream_stream_join(signups, purchases, max_gap_seconds=3600).select(
         "user_id", "event_id", "event_id_r"

@@ -179,11 +179,17 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode:
     """K1-analog: idempotent partitioned write. With
     ``partitionOverwriteMode=dynamic`` a day re-run replaces only its own
     partition — the Spark answer to the reference's drop-and-recreate
-    table-per-day load (db_loader.py:23-59)."""
+    table-per-day load (db_loader.py:23-59).
+
+    The mode is a per-write option, not session conf: a session-level
+    dynamic setting would silently change overwrite semantics for every
+    later write on the shared session."""
     (
-        df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
     )
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
 def write_optimized(

@@ -430,8 +430,13 @@ def approx_top_k(
     def partition_top(batches):
         import pandas as pd
 
-        parts = [pdf["v"].value_counts() for pdf in batches]
-        parts = [p for p in parts if len(p)]
+        pid, pn = -1, 0
+        parts = []
+        for pdf in batches:
+            pn += len(pdf)
+            if len(pdf):
+                pid = int(pdf["_pid"].iloc[0])
+                parts.append(pdf["v"].value_counts())
         if not parts:
             return
         counts = (
@@ -441,10 +446,22 @@ def approx_top_k(
         top = counts.sort_index(kind="mergesort").sort_values(
             ascending=False, kind="mergesort"
         )[:m]
-        yield pd.DataFrame({"v": top.index.to_numpy()})
+        # every candidate row carries this partition's id + row count, so
+        # the total row count falls out of the (tiny) candidate frame —
+        # no separate full scan just to certify
+        yield pd.DataFrame(
+            {"v": top.index.to_numpy(), "_pid": pid, "_pn": pn}
+        )
 
-    cand_schema = f"v {field.dataType.simpleString()}"
-    cands = sel.mapInPandas(partition_top, cand_schema).distinct()
+    cand_schema = f"v {field.dataType.simpleString()}, _pid int, _pn long"
+    raw = sel.withColumn("_pid", F.spark_partition_id()).mapInPandas(
+        partition_top, cand_schema
+    )
+    if stats is not None:
+        # ≤ partitions × m rows — pin them so candidates and the row
+        # count both come from ONE Arrow pass
+        raw = raw.localCheckpoint(eager=True)
+    cands = raw.select("v").distinct()
     exact = (
         sel.join(F.broadcast(cands), "v")
         .groupBy("v")
@@ -453,7 +470,9 @@ def approx_top_k(
         .limit(k)
     )
     if stats is not None:
-        n_rows = sel.count()
+        n_rows = (
+            raw.select("_pid", "_pn").distinct().agg(F.sum("_pn")).first()[0] or 0
+        )
         # collect the k result rows ONCE and hand them back as a literal
         # frame: certifying via a second action would re-run the whole
         # candidate pipeline (the Arrow pass is the expensive node)
@@ -461,7 +480,10 @@ def approx_top_k(
         kth = rows[-1]["n"] if len(rows) >= k else 0
         stats["n_rows"] = n_rows
         stats["threshold"] = n_rows / (m + 1)
-        # fewer distinct values than k ⇒ every value was recounted ⇒ exact
-        stats["proven_exact"] = len(rows) < k or kth > n_rows / (m + 1)
+        # fewer distinct values than k ⇒ every value was recounted ⇒ exact.
+        # Cross-multiplied INTEGER compare (kth·(m+1) > n), not the float
+        # quotient: past 2^53 rows the float can round a tie downward and
+        # falsely certify — this operator's pitch is provable exactness
+        stats["proven_exact"] = len(rows) < k or kth * (m + 1) > n_rows
         exact = df.sparkSession.createDataFrame(rows, exact.schema)
     return exact.select(F.col("v").alias(col), "n")

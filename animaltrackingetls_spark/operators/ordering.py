@@ -11,11 +11,13 @@ scalable classic is two passes over a range-partitioned layout:
    partition — prefix-sum it into per-partition offsets;
 3. global index = partition offset + position within the partition.
 
-Everything stays JVM-side: within-partition positions come from
-``monotonically_increasing_id`` (documented layout: partition id in the
-upper bits, a 0-based consecutive record number in the lower 33), so no
-Python, no extra shuffle beyond the one range exchange, and the offset
-attach is a broadcast of #partitions rows.
+Everything stays JVM-side: partition ids come from
+``spark_partition_id()`` (the physical partition index — reliable even
+when a partition is oversized), within-partition positions from
+``monotonically_increasing_id``'s low 33 bits (a 0-based consecutive
+record number, valid because partition sizes are guard-checked first),
+so no Python, no extra shuffle beyond the one range exchange, and the
+offset attach is a broadcast of #partitions rows.
 
 This is the same pattern RDD ``zipWithIndex`` uses internally, kept in
 DataFrame land so column pruning and codegen survive, plus an explicit
@@ -36,6 +38,7 @@ def global_order_index(
     index_col: str = "global_idx",
     num_partitions: int | None = None,
     start: int = 0,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Append a dense 0-based (``start``-based) global index in
     ``order_cols`` order — the scalable replacement for an unpartitioned
@@ -73,15 +76,13 @@ def global_order_index(
     part = df.repartitionByRange(*([num_partitions] if num_partitions else []), *cols)
     pinned = part.sortWithinPartitions(*cols).localCheckpoint(eager=True)
 
-    # one id expression instance per job, materialized into a column
-    # BEFORE any derivation: two derived uses of separate nondeterministic
-    # instances could in principle drift, a single column cannot
-    def with_mid(frame: DataFrame) -> DataFrame:
-        return frame.withColumn("_mid", F.monotonically_increasing_id())
-
+    # partition ids come from spark_partition_id() — the REAL physical
+    # partition index — not from monotonically_increasing_id's upper
+    # bits: an oversized partition spills its record counter INTO those
+    # bits, aliasing neighbors, so sizes derived from them could never
+    # catch the overflow they are supposed to guard against
     sizes = (
-        with_mid(pinned)
-        .select(F.shiftright("_mid", 33).alias("_pid"))
+        pinned.select(F.spark_partition_id().alias("_pid"))
         .groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_n"))
         .collect()
@@ -96,15 +97,23 @@ def global_order_index(
             )
         offsets.append((row["_pid"], acc))
         acc += row["_n"]
+    if stats is not None:
+        stats["n_rows"] = acc - start
+        stats["partition_sizes"] = [int(r["_n"]) for r in
+                                    sorted(sizes, key=lambda r: r["_pid"])]
     if not offsets:
         return df.withColumn(index_col, F.lit(start).cast("long")).limit(0)
 
     off_df = pinned.sparkSession.createDataFrame(
         offsets, "_pid bigint, _off bigint"
     )
+    # within-partition position from monotonically_increasing_id's low
+    # 33 bits — safe ONLY because the size guard above already bounded
+    # every partition; materialized into a column before derivation so
+    # the nondeterministic expression is evaluated exactly once per row
     return (
-        with_mid(pinned)
-        .withColumn("_pid", F.shiftright("_mid", 33))
+        pinned.withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.spark_partition_id().cast("long"))
         .withColumn("_pos", F.col("_mid").bitwiseAND(F.lit(_POS_MASK)))
         .join(F.broadcast(off_df), "_pid")
         .withColumn(index_col, (F.col("_off") + F.col("_pos")).cast("long"))
@@ -129,9 +138,13 @@ def export_ordered_shards(
 
     Shard assignment is ``floor(global_idx · num_shards / n)`` — equal
     ±1 row counts by construction, unlike hash sharding (balanced only
-    in expectation) — and the write repartitions BY shard so each shard
-    lands as one writer task's files (no tasks × shards small-file
-    blowup), sorted within by the index.
+    in expectation). The write range-partitions on (shard, index) and
+    sorts within tasks the same way, so the writer's required ordering
+    (the partition column) is ALREADY satisfied — no re-sort happens,
+    and every parquet file's row order is the index order by
+    construction, not by sort-stability luck. Reader contract: files
+    within a shard directory concatenate in filename order (task order
+    == range order); shards concatenate in shard order.
 
     Returns the manifest (one row per shard, driver-tiny):
     ``(shard, n_rows, min_idx, max_idx, xor64)`` where ``xor64`` is the
@@ -140,8 +153,9 @@ def export_ordered_shards(
     """
     if num_shards < 1:
         raise ValueError(f"num_shards must be >= 1, got {num_shards}")
-    indexed = global_order_index(df, order_cols, index_col=index_col)
-    n = indexed.count()  # cheap: scans the pinned checkpoint
+    gstats: dict = {}
+    indexed = global_order_index(df, order_cols, index_col=index_col, stats=gstats)
+    n = gstats["n_rows"]  # already measured by the index pass — no extra job
     if n == 0:
         raise ValueError("cannot export an empty dataset")
     # integer DIV, not float division: idx·k/n through a double loses
@@ -150,8 +164,8 @@ def export_ordered_shards(
     shard = F.expr(f"CAST(({index_col} * {int(num_shards)}) DIV {n} AS INT)")
     out = indexed.withColumn(shard_col, shard)
     (
-        out.repartition(num_shards, F.col(shard_col))
-        .sortWithinPartitions(index_col)
+        out.repartitionByRange(num_shards, F.col(shard_col), F.col(index_col))
+        .sortWithinPartitions(shard_col, index_col)
         .write.mode("overwrite")
         .partitionBy(shard_col)
         .parquet(path)

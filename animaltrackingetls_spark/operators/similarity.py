@@ -447,9 +447,23 @@ def quantize_embeddings_int8(
         mx = base.agg(
             F.max(
                 F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x)))
-            ).alias("_scale")
+            ).alias("_raw_scale")
         )
         base = attach_scalar(base, mx)
+        # an all-zero / all-NULL corpus computes scale 0 (or NULL): x/0
+        # is NaN in Spark double math, which would quantize to garbage
+        # SILENTLY — fail as loudly as the explicit-scale path does
+        base = base.withColumn(
+            "_scale",
+            F.when(F.col("_raw_scale") > 0, F.col("_raw_scale")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "quantize_embeddings_int8: computed scale is 0/NULL "
+                        "(all-zero or empty embedding corpus)"
+                    )
+                )
+            ),
+        ).drop("_raw_scale")
     else:
         if scale <= 0:
             raise ValueError(f"scale must be > 0, got {scale}")

@@ -115,6 +115,22 @@ def test_export_ordered_shards_contiguous_balanced_roundtrip(spark, tmp_path):
         r.uid for r in df.orderBy("grp", "uid").collect()
     ]
     assert got == exp
+    # the ON-FILE contract, checked WITHOUT re-sorting: concatenating
+    # each shard dir's parquet files in filename order yields the index
+    # in strictly increasing order
+    import os
+
+    import pyarrow.parquet as pq
+
+    streamed = []
+    for shard_dir in sorted(
+        d for d in os.listdir(path) if d.startswith("shard=")
+    ):
+        for f in sorted(os.listdir(os.path.join(path, shard_dir))):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(path, shard_dir, f))
+                streamed.extend(t.column("global_idx").to_pylist())
+    assert streamed == list(range(103))
 
 
 def test_export_ordered_shards_rejects_empty_and_bad_k(spark, tmp_path):

@@ -298,3 +298,18 @@ def test_quantize_int8_null_vector_passthrough(spark):
     )
     out = {r.vec_id: r.qvec for r in quantize_embeddings_int8(df).collect()}
     assert out[2] is None and out[1] is not None
+
+
+def test_quantize_int8_all_zero_corpus_fails_loud(spark):
+    from animaltrackingetls_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    with _pytest.raises(SparkRuntimeException, match="computed scale"):
+        quantize_embeddings_int8(df).collect()
