@@ -12,3 +12,4 @@ from .audit import (  # noqa: F401
     pushed_filters,
     scan_read_schema,
 )
+from .metrics import execution_metrics  # noqa: F401

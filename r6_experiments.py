@@ -74,14 +74,20 @@ def main():
     )
     from animaltrackingetls_spark.operators.aggregates import approx_top_k
 
+    from animaltrackingetls_spark.plans.metrics import execution_metrics
+
+    hh_metrics = {}
+
     def exact_hh():
-        return (
+        top = (
             hh.groupBy("tok")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.asc("tok"))
             .limit(20)
-            .collect()[-1]["n"]
         )
+        out = top.collect()[-1]["n"]
+        hh_metrics["exact"] = execution_metrics(top)["shuffle_bytes_written"]
+        return out
 
     stats: dict = {}
 
@@ -94,12 +100,15 @@ def main():
 
     t_ex = timed("hh/full-groupBy  30M rows, 3.5M distinct", exact_hh)
     t_hh = timed("hh/cand+recount  30M rows, 3.5M distinct", cand_hh)
-    n_distinct = hh.select("tok").distinct().count()
+    # candidate-path shuffle bytes: run WITHOUT stats so the returned
+    # frame is the live distributed plan (stats mode returns literals)
+    cand_frame = approx_top_k(hh, "tok", k=10, per_partition_m=256)
+    cand_frame.collect()
+    hh_metrics["cand"] = execution_metrics(cand_frame)["shuffle_bytes_written"]
     print(
         f"hh wall ratio: {t_ex / t_hh:.2f}x proven_exact={stats.get('proven_exact')} "
-        f"exchange rows: full-groupBy ~{n_distinct} (one partial per distinct "
-        f"value) vs cand+recount <= {32 * 256} candidate set x 32 partitions "
-        f"<= {32 * 32 * 256} recount partials",
+        f"MEASURED shuffle bytes: full-groupBy {hh_metrics.get('exact')} vs "
+        f"cand+recount {hh_metrics.get('cand')}",
         flush=True,
     )
 
