@@ -68,6 +68,12 @@ HEADLINE = [
     "bloom_new_docs",
     "winnow_portable",
     "segments_chunks",
+    # round-6: global ordering runs inside sample_audit's 'gidx' branch.
+    # The other new primitives (certified heavy hitters in top_bigrams,
+    # stream-stream join in stream_dedup_keys) are measured in SCALING.md
+    # instead of here — their folded entries are streaming/Arrow-bound
+    # (~8-11 s warm) and would triple the bench wall for no extra signal.
+    "sample_audit",
 ]
 
 
