@@ -1356,21 +1356,12 @@ def _q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs. The LM score is rounded before thresholding: a float-mean
     boundary must not decide keep/drop differently across engines."""
     docs = _t(spark, sf_dir, "documents")
-    lm = textstats.unigram_lm_scores(docs)
-    q = textstats.quality_columns(textstats.language_id(docs))
-    kept = (
-        q.filter(
-            (F.col("n_tokens") >= 20)
-            & (F.col("alpha_ratio") >= 0.8)
-            & (F.col("stopword_ratio") >= 0.01)
-            & (F.col("predicted_lang") == "en")
-        )
-        .join(lm, F.col("doc_id") == lm["id"])
-        .filter(F.round("lm_logprob", 6) >= -3.45)
-        .withColumn("md5_fp", F.md5("text"))
-    )
-    deduped = dedup.drop_exact_duplicates(kept, ["md5_fp"], "doc_id")
-    return textstats.pack_documents(deduped, max_tokens=2048, partition_col="source")
+    # implementation lives in pretrain.build_pretraining_corpus (the
+    # library one-call; export_pretraining_shards adds the ordered
+    # shard write) — this entry hash-verifies it against the oracle
+    from animaltrackingetls_spark.pretrain import build_pretraining_corpus
+
+    return build_pretraining_corpus(docs)
 
 
 def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
