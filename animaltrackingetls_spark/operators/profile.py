@@ -104,3 +104,120 @@ def profile_oracle_sql(table: str, columns: list[str]) -> str:
             """
         )
     return " UNION ALL ".join(branches)
+
+
+def profile_diff(
+    before: DataFrame,
+    after: DataFrame,
+    columns: list[str] | None = None,
+    null_ratio_tolerance: float = 0.05,
+    distinct_ratio_tolerance: float = 0.5,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Snapshot drift report: profile two versions of the same table and
+    flag per-column changes a pipeline should refuse to silently ingest
+    — the systematic form of "the upstream changed something" detection
+    (the reference trusts its source blindly; at 100 TB an upstream
+    schema/semantics drift poisons every downstream job for days).
+
+    One row per (column, check): null-ratio delta, distinct-count ratio,
+    min/max boundary movement, plus row-count change as a ``_table_``
+    row. ``flagged`` marks checks outside tolerance:
+
+    * ``null_ratio``   — |after − before| > ``null_ratio_tolerance``
+    * ``distinct``     — after/before outside
+                         [1−t, 1/(1−t)] for t = ``distinct_ratio_tolerance``
+    * ``range``        — min or max string-rendered value changed
+                         (informational only, never flagged: ranges move
+                         legitimately with new data)
+    * ``rows``         — informational, never flagged
+
+    Columns present in only one snapshot appear as ``schema`` rows,
+    always flagged — the loudest drift there is.
+    """
+    if not 0 <= null_ratio_tolerance <= 1:
+        raise ValueError(f"null_ratio_tolerance in [0,1], got {null_ratio_tolerance}")
+    if not 0 < distinct_ratio_tolerance < 1:
+        raise ValueError(
+            f"distinct_ratio_tolerance in (0,1), got {distinct_ratio_tolerance}"
+        )
+    shared = [
+        c for c in (columns or before.columns)
+        if c in before.columns and c in after.columns
+    ]
+    only_before = [c for c in (columns or before.columns) if c not in after.columns]
+    only_after = [
+        c for c in (columns or after.columns)
+        if c not in before.columns and (columns is None or c in columns)
+    ]
+    b = profile_columns(before, shared, exact_distinct=exact_distinct).select(
+        "col_name",
+        F.col("n_rows").alias("b_rows"),
+        F.col("n_null").alias("b_null"),
+        F.col("n_distinct").alias("b_distinct"),
+        F.col("min_value").alias("b_min"),
+        F.col("max_value").alias("b_max"),
+    )
+    a = profile_columns(after, shared, exact_distinct=exact_distinct).select(
+        "col_name",
+        F.col("n_rows").alias("a_rows"),
+        F.col("n_null").alias("a_null"),
+        F.col("n_distinct").alias("a_distinct"),
+        F.col("min_value").alias("a_min"),
+        F.col("max_value").alias("a_max"),
+    )
+    j = b.join(a, "col_name")  # both sides are #columns rows — trivial
+    b_nr = F.col("b_null") / F.greatest(F.col("b_rows"), F.lit(1))
+    a_nr = F.col("a_null") / F.greatest(F.col("a_rows"), F.lit(1))
+    d_ratio = F.col("a_distinct") / F.greatest(F.col("b_distinct"), F.lit(1))
+    lo = 1.0 - distinct_ratio_tolerance
+    checks = j.select(
+        "col_name",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("null_ratio").alias("check"),
+                    F.round(b_nr, 6).cast("string").alias("before"),
+                    F.round(a_nr, 6).cast("string").alias("after"),
+                    (F.abs(a_nr - b_nr) > null_ratio_tolerance).alias("flagged"),
+                ),
+                F.struct(
+                    F.lit("distinct").alias("check"),
+                    F.col("b_distinct").cast("string").alias("before"),
+                    F.col("a_distinct").cast("string").alias("after"),
+                    ((d_ratio < lo) | (d_ratio > 1.0 / lo)).alias("flagged"),
+                ),
+                F.struct(
+                    F.lit("range").alias("check"),
+                    F.concat_ws("..", "b_min", "b_max").alias("before"),
+                    F.concat_ws("..", "a_min", "a_max").alias("after"),
+                    F.lit(False).alias("flagged"),
+                ),
+            )
+        ).alias("c"),
+    ).select("col_name", "c.check", "c.before", "c.after", "c.flagged")
+    spark = before.sparkSession
+    extra_rows = (
+        [("_table_", "rows", None, None, False)]
+        + [(c, "schema", "present", "MISSING", True) for c in only_before]
+        + [(c, "schema", "MISSING", "present", True) for c in only_after]
+    )
+    extra = spark.createDataFrame(
+        extra_rows, "col_name string, check string, before string, "
+                    "after string, flagged boolean"
+    )
+    # fill the _table_ row counts from the profiles (any shared column
+    # carries them); if no shared columns, count directly
+    if shared:
+        br = b.select(F.col("b_rows")).first()[0]
+        ar = a.select(F.col("a_rows")).first()[0]
+    else:
+        br, ar = before.count(), after.count()
+    extra = extra.withColumn(
+        "before",
+        F.when(F.col("check") == "rows", F.lit(str(br))).otherwise(F.col("before")),
+    ).withColumn(
+        "after",
+        F.when(F.col("check") == "rows", F.lit(str(ar))).otherwise(F.col("after")),
+    )
+    return checks.unionByName(extra)

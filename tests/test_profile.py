@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from animaltrackingetls_spark.operators.profile import profile_columns
 
@@ -55,3 +56,63 @@ def test_profile_single_aggregation_pass(spark):
     df = _frame(spark)
     plan = profile_columns(df)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Aggregate") <= 2  # partial+final, never per-column
+
+
+def test_profile_diff_flags_real_drift_only(spark):
+    from animaltrackingetls_spark.operators.profile import profile_diff
+
+    before = spark.createDataFrame(
+        [(i, f"u{i % 50}", float(i)) for i in range(1000)],
+        "id long, user string, v double",
+    )
+    # after: 30% of user NULLed (null drift), v range extended (fine),
+    # distinct count stable
+    after = before.withColumn(
+        "user", F.when(F.col("id") % 10 < 3, None).otherwise(F.col("user"))
+    ).withColumn("v", F.col("v") * 2)
+    out = {
+        (r.col_name, r.check): (r.flagged, r.before, r.after)
+        for r in profile_diff(before, after).collect()
+    }
+    assert out[("user", "null_ratio")][0] is True
+    assert out[("id", "null_ratio")][0] is False
+    assert out[("user", "distinct")][0] is False  # still 50 distinct
+    assert out[("v", "range")][0] is False  # ranges move legitimately
+    assert out[("_table_", "rows")] == (False, "1000", "1000")
+
+
+def test_profile_diff_schema_drift_always_flagged(spark):
+    from animaltrackingetls_spark.operators.profile import profile_diff
+
+    before = spark.createDataFrame([(1, "a")], "id long, oldcol string")
+    after = spark.createDataFrame([(1, 2.0)], "id long, newcol double")
+    out = {
+        (r.col_name, r.check): r.flagged for r in profile_diff(before, after).collect()
+    }
+    assert out[("oldcol", "schema")] is True
+    assert out[("newcol", "schema")] is True
+    assert ("id", "null_ratio") in out
+
+
+def test_profile_diff_distinct_collapse_flagged(spark):
+    from animaltrackingetls_spark.operators.profile import profile_diff
+
+    before = spark.createDataFrame([(i, f"u{i}") for i in range(100)],
+                                   "id long, user string")
+    after = before.withColumn("user", F.lit("u0"))  # cardinality collapse
+    out = {
+        (r.col_name, r.check): r.flagged for r in profile_diff(before, after).collect()
+    }
+    assert out[("user", "distinct")] is True
+
+
+def test_profile_diff_validates_tolerances(spark):
+    from animaltrackingetls_spark.operators.profile import profile_diff
+
+    df = spark.createDataFrame([(1,)], "id long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile_diff(df, df, null_ratio_tolerance=2.0)
+    with _pytest.raises(ValueError):
+        profile_diff(df, df, distinct_ratio_tolerance=0.0)
