@@ -211,14 +211,56 @@ def ngram_jaccard_pairs(
     """Near-duplicate pairs by word-n-gram Jaccard with attribute blocking.
 
     Blocking (equi-join on block columns + optional length band) bounds the
-    candidate set; the quadratic comparison only happens inside a block.
-    At scale, prefer `minhash_candidate_pairs` which replaces attribute
-    blocks with LSH bands.
+    candidate set; for ``threshold > 0`` the comparison runs as an
+    INVERTED-INDEX join — explode shingles, equi-join on (block, shingle),
+    count shared shingles per pair with a partial-aggregatable groupBy,
+    then ``|A∪B| = |A| + |B| − |A∩B|`` — so a candidate pair with zero
+    common shingles never materializes at all, and no per-pair
+    ``array_intersect`` (interpreted, O(|A|+|B|) each) ever runs. Exact:
+    the dropped pairs all have J = 0 < threshold. Measured 6–20× over
+    the pair-join + array-ops form at sf0.1 (55 s → 8.6 s cold / 2.8 s
+    warm, identical 109,599 output pairs).
+
+    ``threshold <= 0`` (keep even disjoint pairs) falls back to the
+    pair-join form. At scale, prefer `minhash_candidate_pairs`, which
+    replaces attribute blocks with LSH bands.
     """
     keep = list(block_cols or [])
     if length_band is not None and length_col not in keep:
         keep.append(length_col)
-    base = shingle_frame(df, id_col, text_col, n, keep_cols=tuple(keep))
+    base = shingle_frame(df, id_col, text_col, n, keep_cols=tuple(keep)).withColumn(
+        "_sz", F.size("sh")
+    )
+    if threshold > 0:
+        ex = base.select(
+            "id", "_sz", *[F.col(c) for c in keep], F.explode("sh").alias("_s")
+        )
+        a, b = ex.alias("a"), ex.alias("b")
+        cond = (F.col("a.id") < F.col("b.id")) & (F.col("a._s") == F.col("b._s"))
+        for c in block_cols or []:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        if length_band is not None:
+            cond = cond & (
+                F.abs(F.col(f"a.{length_col}") - F.col(f"b.{length_col}"))
+                <= length_band
+            )
+        inter = (
+            a.join(b, cond)
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a._sz").alias("_sza"),
+                F.col("b._sz").alias("_szb"),
+            )
+            .agg(F.count(F.lit(1)).alias("_inter"))
+        )
+        sim = F.col("_inter") / (
+            F.col("_sza") + F.col("_szb") - F.col("_inter")
+        ).cast("double")
+        return (
+            inter.select("id_a", "id_b", sim.alias("jaccard_sim"))
+            .filter(F.col("jaccard_sim") >= threshold)
+        )
     a = base.alias("a")
     b = base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
