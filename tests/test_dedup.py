@@ -861,3 +861,36 @@ def test_embedding_neardup_gemm_excludes_null_blocks(spark):
     join = {(r.id_a, r.id_b) for r in
             dedup.embedding_neardup_pairs(emb, threshold=0.95).collect()}
     assert gemm == join == {(3, 4)}
+
+
+def test_ngram_jaccard_inverted_index_matches_pair_join(spark):
+    """The threshold>0 inverted-index path and the threshold<=0 pair-join
+    path must agree pair-for-pair (the index path may only drop J=0
+    pairs, which a client-side filter reproduces)."""
+    from animaltrackingetls_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "a", 40),
+        (2, "the quick brown fox jumps over a lazy dog", "a", 41),
+        (3, "completely different text with no overlap here", "a", 46),
+        (4, "the quick brown fox jumps over the lazy dog", "b", 40),  # other block
+        (5, "quick brown fox jumps over the lazy", "a", 36),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+    via_index = {
+        (r.id_a, r.id_b): round(r.jaccard_sim, 9)
+        for r in ngram_jaccard_pairs(
+            df, n=2, threshold=0.1, block_cols=["source"], length_band=10
+        ).collect()
+    }
+    all_pairs = ngram_jaccard_pairs(
+        df, n=2, threshold=0.0, block_cols=["source"], length_band=10
+    ).collect()
+    via_pairs = {
+        (r.id_a, r.id_b): round(r.jaccard_sim, 9)
+        for r in all_pairs
+        if r.jaccard_sim >= 0.1
+    }
+    assert via_index == via_pairs and via_index  # non-degenerate
+    # blocking respected: doc 4 (other source) pairs with nobody
+    assert not [k for k in via_index if 4 in k]
