@@ -141,16 +141,44 @@ def profile_diff(
         raise ValueError(
             f"distinct_ratio_tolerance in (0,1), got {distinct_ratio_tolerance}"
         )
+    if columns is not None:
+        ghost = [
+            c for c in columns
+            if c not in before.columns and c not in after.columns
+        ]
+        if ghost:
+            # a typo'd column must not masquerade as schema drift
+            raise ValueError(f"columns in neither snapshot: {ghost}")
     shared = [
         c for c in (columns or before.columns)
         if c in before.columns and c in after.columns
     ]
-    only_before = [c for c in (columns or before.columns) if c not in after.columns]
+    only_before = [
+        c for c in (columns or before.columns)
+        if c in before.columns and c not in after.columns
+    ]
     only_after = [
         c for c in (columns or after.columns)
-        if c not in before.columns and (columns is None or c in columns)
+        if c in after.columns and c not in before.columns
+        and (columns is None or c in columns)
     ]
-    b = profile_columns(before, shared, exact_distinct=exact_distinct).select(
+    spark = before.sparkSession
+    if not shared:
+        # total schema replacement: no profiles to join, only the
+        # (always-flagged) schema rows + the row-count row
+        rows = (
+            [("_table_", "rows", str(before.count()), str(after.count()), False)]
+            + [(c, "schema", "present", "MISSING", True) for c in only_before]
+            + [(c, "schema", "MISSING", "present", True) for c in only_after]
+        )
+        return spark.createDataFrame(
+            rows, "col_name string, check string, before string, "
+                  "after string, flagged boolean"
+        )
+    # each profile is one aggregation pass over its table, materialized
+    # ONCE (k-row localCheckpoint): the join, the row-count reads, and
+    # the returned frame all reuse it instead of re-scanning the table
+    b = profile_columns(before, shared, exact_distinct=exact_distinct).localCheckpoint(eager=True).select(
         "col_name",
         F.col("n_rows").alias("b_rows"),
         F.col("n_null").alias("b_null"),
@@ -158,7 +186,7 @@ def profile_diff(
         F.col("min_value").alias("b_min"),
         F.col("max_value").alias("b_max"),
     )
-    a = profile_columns(after, shared, exact_distinct=exact_distinct).select(
+    a = profile_columns(after, shared, exact_distinct=exact_distinct).localCheckpoint(eager=True).select(
         "col_name",
         F.col("n_rows").alias("a_rows"),
         F.col("n_null").alias("a_null"),
@@ -196,28 +224,16 @@ def profile_diff(
             )
         ).alias("c"),
     ).select("col_name", "c.check", "c.before", "c.after", "c.flagged")
-    spark = before.sparkSession
+    # row counts come from the checkpointed profiles — no table re-scan
+    br = b.select(F.col("b_rows")).first()[0]
+    ar = a.select(F.col("a_rows")).first()[0]
     extra_rows = (
-        [("_table_", "rows", None, None, False)]
+        [("_table_", "rows", str(br), str(ar), False)]
         + [(c, "schema", "present", "MISSING", True) for c in only_before]
         + [(c, "schema", "MISSING", "present", True) for c in only_after]
     )
     extra = spark.createDataFrame(
         extra_rows, "col_name string, check string, before string, "
                     "after string, flagged boolean"
-    )
-    # fill the _table_ row counts from the profiles (any shared column
-    # carries them); if no shared columns, count directly
-    if shared:
-        br = b.select(F.col("b_rows")).first()[0]
-        ar = a.select(F.col("a_rows")).first()[0]
-    else:
-        br, ar = before.count(), after.count()
-    extra = extra.withColumn(
-        "before",
-        F.when(F.col("check") == "rows", F.lit(str(br))).otherwise(F.col("before")),
-    ).withColumn(
-        "after",
-        F.when(F.col("check") == "rows", F.lit(str(ar))).otherwise(F.col("after")),
     )
     return checks.unionByName(extra)

@@ -452,14 +452,16 @@ def quantize_embeddings_int8(
         base = attach_scalar(base, mx)
         # an all-zero / all-NULL corpus computes scale 0 (or NULL): x/0
         # is NaN in Spark double math, which would quantize to garbage
-        # SILENTLY — fail as loudly as the explicit-scale path does
+        # SILENTLY — fail loudly like the explicit-scale path. (A truly
+        # EMPTY corpus has no rows for this expression to evaluate on
+        # and simply returns an empty frame — empty in, empty out.)
         base = base.withColumn(
             "_scale",
             F.when(F.col("_raw_scale") > 0, F.col("_raw_scale")).otherwise(
                 F.raise_error(
                     F.lit(
                         "quantize_embeddings_int8: computed scale is 0/NULL "
-                        "(all-zero or empty embedding corpus)"
+                        "(all-zero or all-NULL embedding corpus)"
                     )
                 )
             ),

@@ -17,7 +17,7 @@ ev.withColumn("slice", F.ntile(10).over(
 os.makedirs(f"{d}/flat")
 for i in range(1, 11):
     fs = glob.glob(f"{src}/slice={i}/*.parquet")
-    assert len(fs) >= 1
+    assert len(fs) == 1  # the experiment depends on one file per slice
     # name files so discovery order == time order
     os.rename(fs[0], f"{d}/flat/{i:04d}.parquet")
     # ensure mtime order matches too

@@ -116,3 +116,24 @@ def test_profile_diff_validates_tolerances(spark):
         profile_diff(df, df, null_ratio_tolerance=2.0)
     with _pytest.raises(ValueError):
         profile_diff(df, df, distinct_ratio_tolerance=0.0)
+
+
+def test_profile_diff_total_schema_replacement(spark):
+    """No shared columns at all — the loudest drift must not crash."""
+    from animaltrackingetls_spark.operators.profile import profile_diff
+
+    before = spark.createDataFrame([(1,), (2,)], "a long")
+    after = spark.createDataFrame([(1.0,)], "b double")
+    out = {(r.col_name, r.check): (r.flagged, r.before, r.after)
+           for r in profile_diff(before, after).collect()}
+    assert out[("a", "schema")][0] is True
+    assert out[("b", "schema")][0] is True
+    assert out[("_table_", "rows")] == (False, "2", "1")
+
+
+def test_profile_diff_rejects_ghost_columns(spark):
+    from animaltrackingetls_spark.operators.profile import profile_diff
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="neither snapshot"):
+        profile_diff(df, df, columns=["typo_col"])
