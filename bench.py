@@ -68,7 +68,10 @@ HEADLINE = [
     "bloom_new_docs",
     "winnow_portable",
     "segments_chunks",
-    # round-6: global ordering runs inside sample_audit's 'gidx' branch.
+    # round-6: the blocked Jaccard verify, benchable since the
+    # inverted-index rework (55 s -> ~3 s warm at sf0.1);
+    # global ordering runs inside sample_audit's 'gidx' branch.
+    "ngram_jaccard_pairs",
     # The other new primitives (certified heavy hitters in top_bigrams,
     # stream-stream join in stream_dedup_keys) are measured in SCALING.md
     # instead of here — their folded entries are streaming/Arrow-bound

@@ -333,3 +333,15 @@ def test_approx_top_k_rejects_m_below_k(spark):
 
     with _pytest.raises(ValueError, match="must be >= k"):
         approx_top_k(df, "tok", k=10, per_partition_m=2)
+
+
+def test_approx_top_k_partitioning_independent(spark):
+    """Candidate sets differ per layout, but the certified result must
+    not: identical top-k at 2 and 16 partitions."""
+    from animaltrackingetls_spark.operators.aggregates import approx_top_k
+
+    rows = [(f"w{i % (1 + i % 37)}",) for i in range(8000)]
+    base = spark.createDataFrame(rows, "tok string")
+    a = [(r.tok, r.n) for r in approx_top_k(base.repartition(2), "tok", k=8).collect()]
+    b = [(r.tok, r.n) for r in approx_top_k(base.repartition(16), "tok", k=8).collect()]
+    assert a == b and len(a) == 8
