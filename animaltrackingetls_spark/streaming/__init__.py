@@ -17,6 +17,7 @@ parquet (production), and additive inventory registration (catalog).
 from .jobs import (  # noqa: F401
     read_event_stream,
     run_available_now_to_memory,
+    run_available_now_ingest_dedup,
     run_available_now_register_inventory,
     run_available_now_to_parquet,
     running_user_totals,

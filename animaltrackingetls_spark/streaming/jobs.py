@@ -587,3 +587,79 @@ def running_user_totals_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def run_available_now_ingest_dedup(
+    stream: DataFrame,
+    corpus_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    timeout_seconds: int = 120,
+) -> None:
+    """Streaming corpus ingest with content dedup against the LAKE, not
+    the state store: each micro-batch is (1) internally deduped on the
+    md5 text digest, (2) classified against the persisted corpus by the
+    broadcast-bloom prefilter + exact confirm join
+    (``dedup.bloom_new_docs`` — no false negatives, FPs resolved
+    exactly), and (3) only novel documents are appended.
+
+    Why lake-side instead of ``dropDuplicatesWithinWatermark``: content
+    dedup has no event-time horizon — a document ingested last month is
+    still a duplicate today — so keyed state would grow with the corpus
+    forever. Here the dedup "state" IS the corpus parquet; the bloom
+    bitmap (≤ m_bits/8 bytes, built per batch from the digest column
+    scan) keeps the probe broadcastable at any corpus size, and in
+    production it would be cached per ingest epoch rather than rebuilt.
+
+    Replay safety: foreachBatch is at-least-once, but a replayed batch
+    re-classifies against the ALREADY-APPENDED corpus, so its documents
+    come back ``dup`` and nothing is appended twice — the dedup makes
+    the sink idempotent by construction.
+    """
+    from animaltrackingetls_spark.operators.dedup import (
+        bloom_new_docs,
+        drop_exact_duplicates,
+    )
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = drop_exact_duplicates(
+            batch_df.withColumn("_fp", F.md5(F.col(text_col))), ["_fp"], id_col
+        ).drop("_fp")
+        try:
+            corpus = spark.read.parquet(corpus_path)
+        except AnalysisException as err:
+            cond = ""
+            try:
+                cond = err.getCondition() or ""
+            except Exception:
+                pass
+            if "PATH_NOT_FOUND" not in cond and "PATH_NOT_FOUND" not in str(err):
+                raise
+            batch.write.mode("append").parquet(corpus_path)
+            return
+        verdict = bloom_new_docs(batch, corpus, id_col, text_col, m_bits)
+        novel_ids = verdict.filter(F.col("status") == "new").select(
+            F.col("id").alias(id_col)
+        )
+        novel = batch.join(novel_ids, id_col, "left_semi")
+        if not novel.isEmpty():
+            novel.write.mode("append").parquet(corpus_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_seconds)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"ingest-dedup into {corpus_path!r} did not drain within "
+            f"{timeout_seconds}s"
+        )

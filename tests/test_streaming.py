@@ -471,3 +471,35 @@ def test_stream_stream_left_outer_availablenow_emits_inner_subset(spark, tmp_pat
         (row.event_id, row.event_id_r) for row in spark.table("t_ossj").collect()
     )
     assert got == [(1, 3)]
+
+
+def test_ingest_dedup_sink_appends_only_novel_content(spark, tmp_path):
+    """Two drains with overlapping content: the corpus ends with exactly
+    the distinct texts, the second drain appending only the new ones —
+    and a replayed document never lands twice (lake-side dedup, no keyed
+    state)."""
+    from animaltrackingetls_spark.streaming import run_available_now_ingest_dedup
+
+    src = str(tmp_path / "docs_in")
+    corpus = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck_ingest")
+    schema = "doc_id long, text string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_available_now_ingest_dedup(stream, corpus, ck)
+
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], schema  # 3 dups 1 in-batch
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got1 = {r.text for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {"alpha", "beta"}
+
+    spark.createDataFrame(
+        [(4, "beta"), (5, "gamma")], schema  # beta is a corpus-level dup
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    rows = spark.read.parquet(corpus).collect()
+    assert {r.text for r in rows} == {"alpha", "beta", "gamma"}
+    assert len(rows) == 3  # beta appended exactly once across both drains
