@@ -8,10 +8,14 @@ late data and ``Trigger.AvailableNow`` for the reference's
 then stop — a cron-safe streaming run).
 
 Surface: adaptive-encoding source (``read_event_stream``), stateless and
-stateful transforms (windowed counts, session windows, stream dedup,
-stream-static enrichment, ``applyInPandasWithState`` running totals),
-and three sinks — memory (test/demo), idempotent partition-overwrite
-parquet (production), and additive inventory registration (catalog).
+stateful transforms (windowed counts — tumbling and sliding, session
+windows, stream dedup, stream-static enrichment, watermarked
+stream-stream interval join, ``applyInPandasWithState`` /
+``transformWithStateInPandas`` running totals), and five sinks — memory
+(test/demo), idempotent partition-overwrite parquet (production),
+additive inventory registration (catalog), histogram rollup
+(mergeable sketch), and lake-side ingest dedup (bloom classify,
+replay-idempotent).
 """
 
 from .jobs import (  # noqa: F401
