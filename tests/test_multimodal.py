@@ -466,3 +466,29 @@ def test_render_pgm_roundtrip_and_python_parity(spark):
                                  "id long, payload binary")
     assert junk.select(multimodal.pgm_parse(F.col("payload")).alias("p")
                        ).collect()[0].p is None
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(min_size=0, max_size=64))
+def test_byte_parsers_never_throw_on_garbage(spark, payload):
+    """Fuzz: every header parser must return NULL for arbitrary bytes,
+    never raise — a corrupt blob in a 100 TB media column must not kill
+    the job. (Prefix-corrupted REAL headers are covered by the directed
+    malformed-input tests; this is the pure-garbage envelope.)"""
+    from animaltrackingetls_spark.operators import multimodal as M
+
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    row = df.select(
+        M.png_ihdr(F.col("payload")).alias("png"),
+        M.jpeg_sof(F.col("payload")).alias("jpeg"),
+        M.gif_screen(F.col("payload")).alias("gif"),
+        M.wav_fmt(F.col("payload")).alias("wav"),
+        M.pgm_parse(F.col("payload")).alias("pgm"),
+    ).first()
+    # random short bytes can't be a valid header of any format
+    assert row.png is None and row.jpeg is None and row.gif is None
+    assert row.wav is None and row.pgm is None
