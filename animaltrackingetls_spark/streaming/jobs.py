@@ -646,9 +646,12 @@ def run_available_now_ingest_dedup(
         novel_ids = verdict.filter(F.col("status") == "new").select(
             F.col("id").alias(id_col)
         )
-        novel = batch.join(novel_ids, id_col, "left_semi")
-        if not novel.isEmpty():
-            novel.write.mode("append").parquet(corpus_path)
+        # write unconditionally: an isEmpty() probe would run the whole
+        # bloom-classify plan a second time just to maybe skip an
+        # append of nothing (an empty part file is far cheaper)
+        batch.join(novel_ids, id_col, "left_semi").write.mode("append").parquet(
+            corpus_path
+        )
 
     q = (
         stream.writeStream.foreachBatch(_ingest)
