@@ -2058,12 +2058,14 @@ def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    # span detection feeds both the 'span' and 'rmspan' branches: the
-    # span frame is output-bound small, so one checkpoint spares the
-    # second corpus-wide gram pass
-    spans_df = dedup.duplicate_spans(sdocs, k=5, min_docs=2).localCheckpoint(
+    # ONE corpus-wide gram pass feeds both branches: the duplicated-gram
+    # position frame is output-bound small, so a checkpoint of IT (not
+    # just the merged spans) lets detection AND the gram-level keep-first
+    # election share the expensive pass
+    grams_df = dedup.dup_gram_positions(sdocs, k=5, min_docs=2).localCheckpoint(
         eager=True
     )
+    spans_df = dedup.duplicate_spans(sdocs, k=5, min_docs=2, gram_positions=grams_df)
     span = spans_df.select(
         F.lit("span").alias("kind"),
         F.col("id").alias("doc_id"),
@@ -2072,7 +2074,9 @@ def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").alias("n3"),
         F.col("span_text").alias("txt"),
     )
-    rmspan = dedup.remove_duplicate_spans(sdocs, k=5, min_docs=2, spans=spans_df).select(
+    rmspan = dedup.remove_duplicate_spans(
+        sdocs, k=5, min_docs=2, gram_positions=grams_df
+    ).select(
         F.lit("rmspan").alias("kind"),
         F.col("id").alias("doc_id"),
         F.col("n_tokens").alias("n1"),
@@ -3847,36 +3851,32 @@ def oracle_sql() -> dict[str, str]:
                 SELECT gh FROM g GROUP BY gh
                 HAVING count(DISTINCT doc_id) >= 2
               ),
-              m AS (SELECT g.doc_id, g.pos0 FROM g JOIN dup USING (gh)),
-              i1 AS (
+              m AS (SELECT g.doc_id, g.pos0, g.gh FROM g JOIN dup USING (gh)),
+              cutg AS (
+                -- gram-level keep-first election: every occurrence of a
+                -- duplicated gram except the corpus-wide first is cut
+                SELECT doc_id, pos0 FROM (
+                  SELECT doc_id, pos0,
+                         row_number() OVER (PARTITION BY gh
+                                            ORDER BY doc_id, pos0) AS rn
+                  FROM m
+                ) WHERE rn > 1
+              ),
+              c1 AS (
                 SELECT doc_id, pos0,
                        CASE WHEN lag(pos0) OVER w IS NULL
                                  OR pos0 - lag(pos0) OVER w > 5
                             THEN 1 ELSE 0 END AS brk
-                FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos0)
+                FROM cutg WINDOW w AS (PARTITION BY doc_id ORDER BY pos0)
               ),
-              i2 AS (
+              c2 AS (
                 SELECT doc_id, pos0,
                        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos0) AS isl
-                FROM i1
-              ),
-              sp2 AS (
-                SELECT doc_id, min(pos0) AS st, max(pos0) + 4 AS en
-                FROM i2 GROUP BY doc_id, isl
-              ),
-              stx AS (
-                SELECT sp2.doc_id, sp2.st, sp2.en,
-                       array_to_string(
-                         list_slice(spt.tk, sp2.st + 1, sp2.en + 1), ' ') AS sptxt
-                FROM sp2 JOIN spt USING (doc_id)
+                FROM c1
               ),
               cuts AS (
-                SELECT doc_id, st, en FROM (
-                  SELECT doc_id, st, en,
-                         row_number() OVER (PARTITION BY sptxt
-                                            ORDER BY doc_id, st) AS rn
-                  FROM stx
-                ) WHERE rn > 1
+                SELECT doc_id, min(pos0) AS st, max(pos0) + 4 AS en
+                FROM c2 GROUP BY doc_id, isl
               ),
               p AS (
                 SELECT doc_id, unnest(tk) AS tok,

@@ -426,6 +426,11 @@ def approx_top_k(
         raise ValueError(f"per_partition_m ({m}) must be >= k ({k})")
     field = df.schema[col]
     sel = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    if field.dataType.simpleString() in ("float", "double"):
+        # NaN passes isNotNull but pandas value_counts drops it, so it
+        # could count toward n while never becoming a candidate — a hole
+        # in the exactness certificate. Treat NaN as missing, like NULL.
+        sel = sel.filter(~F.isnan("v"))
 
     def partition_top(batches):
         import pandas as pd

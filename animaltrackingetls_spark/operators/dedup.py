@@ -683,6 +683,7 @@ def connected_components(
     mode: str = "auto",
     star_edge_threshold: int = 5_000_000,
     stats: dict | None = None,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components over an undirected edge list →
     ``(id, cluster_id)`` where ``cluster_id`` is the minimum node id in
@@ -725,8 +726,20 @@ def connected_components(
     The fixpoint is independent of partitioning and iteration order, so
     the result is deterministic (exercised against a DuckDB
     ``WITH RECURSIVE`` transitive-closure oracle). ``stats``, when
-    passed, receives ``{"mode": ..., "rounds": n}`` for scale audits.
+    passed, receives ``{"mode": ..., "rounds": n, "converged": bool}``
+    for scale audits.
+
+    If ``max_iter`` is exhausted before the fixpoint, the labels are
+    WRONG (one true component reported as several) — by default that
+    RAISES with guidance (``mode="star"`` converges in O(log n) cycles
+    regardless of diameter; or raise ``max_iter``). Pass
+    ``on_nonconverged="partial"`` only when fragmented labels are
+    acceptable (diagnostics, round-capped experiments).
     """
+    if on_nonconverged not in ("raise", "partial"):
+        raise ValueError(
+            f"on_nonconverged must be raise|partial, got {on_nonconverged!r}"
+        )
     if mode not in ("auto", "propagate", "star"):
         raise ValueError(f"mode must be auto|propagate|star, got {mode!r}")
     sym = edges.select(
@@ -746,12 +759,22 @@ def connected_components(
     if mode == "auto":
         mode = "star" if n_sym >= star_edge_threshold else "propagate"
 
+    run_stats: dict = {}
     if mode == "star":
-        labels = _star_components(sym, max_iter, stats)
+        labels = _star_components(sym, max_iter, run_stats)
     else:
-        labels = _propagate_components(sym, max_iter, stats, small=small)
+        labels = _propagate_components(sym, max_iter, run_stats, small=small)
     if stats is not None:
+        stats.update(run_stats)
         stats["mode"] = mode
+    if not run_stats.get("converged", True) and on_nonconverged == "raise":
+        raise RuntimeError(
+            f"connected_components ({mode}) did not converge in {max_iter} "
+            "rounds — labels would fragment true components. Use "
+            'mode="star" (O(log n) rounds at any diameter) or raise '
+            'max_iter; pass on_nonconverged="partial" to accept '
+            "fragmented labels."
+        )
     return labels
 
 
@@ -774,6 +797,7 @@ def _propagate_components(
     prev_sum = labels.agg(F.sum("comp")).first()[0]
 
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         lbl = F.broadcast(labels) if small else labels
         nbr_min = (
@@ -797,11 +821,13 @@ def _propagate_components(
         rounds += 1
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
 
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
     return labels.select(F.col("id"), F.col("comp").alias("cluster_id"))
 
 
@@ -837,17 +863,20 @@ def _star_components(
 
     prev = _sig(e)
     cycles = 0
+    converged = False
     for _ in range(max_iter):
         e = _large_star_round(e).localCheckpoint(eager=True)
         e = _small_star_round(e).localCheckpoint(eager=True)
         cycles += 1
         cur = _sig(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
 
     if stats is not None:
         stats["rounds"] = cycles
+        stats["converged"] = converged
     # At the fixpoint every non-minimum node carries exactly one edge to
     # its component minimum; minima have only incoming edges. groupBy-min
     # (instead of trusting uniqueness) keeps the mapping well-defined
@@ -929,6 +958,39 @@ def contamination_overlap(
     )
 
 
+def _portable_seeded_md5(seed: int):
+    """One-arg lambda factory for seeded portable MinHash members. NOT
+    ``lambda x, seed=seed: ...``: a two-parameter lambda makes pyspark's
+    transform() call it as (element, index) — the default would be
+    silently rebound to the index Column, and an f-string of it embeds
+    the Column repr (with a global auto-naming counter), yielding wrong
+    AND rebuild-unstable hashes. Measured, not hypothetical."""
+    return lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))
+
+
+def _portable_band_keys(
+    bound: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, bk): portable md5-MinHash LSH band keys over a shingle frame
+    — THE band-key definition, shared by the batch pipeline
+    (minhash_candidate_pairs_portable) and the incremental one
+    (incremental_dedup). One definition, one compatibility contract: a
+    corpus bands table persisted by either is joinable by the other."""
+    num_hashes = bands * rows_per_band
+    hashes = [
+        F.array_min(F.transform(F.col("sh"), _portable_seeded_md5(i)))
+        for i in range(num_hashes)
+    ]
+    band_keys = [
+        F.concat(
+            F.lit(str(b)),
+            *[hashes[b * rows_per_band + r] for r in range(rows_per_band)],
+        )
+        for b in range(bands)
+    ]
+    return bound.select("id", F.explode(F.array(*band_keys)).alias("bk"))
+
+
 def minhash_candidate_pairs_portable(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -958,16 +1020,6 @@ def minhash_candidate_pairs_portable(
     """
     num_hashes = bands * rows_per_band
 
-    def _seeded_md5(seed: int):
-        # A one-arg lambda, built per seed by this factory. NOT
-        # ``lambda x, seed=seed: ...``: a two-parameter lambda makes
-        # pyspark's transform() call it as (element, index) — the
-        # default would be silently rebound to the index Column, and
-        # an f-string of it embeds the Column repr (with a global
-        # auto-naming counter), yielding wrong AND rebuild-unstable
-        # hashes. Measured, not hypothetical.
-        return lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))
-
     bound = shingle_frame(df, id_col, text_col, n)
     # Three plan branches read the shingle frame (band keys + both sides
     # of the verify rejoin); persist trades one materialization for two
@@ -975,22 +1027,12 @@ def minhash_candidate_pairs_portable(
     bound = bound.persist()
     if cache_handles is not None:
         cache_handles.append(bound)
-    hashes = [
-        F.array_min(F.transform(F.col("sh"), _seeded_md5(i)))
-        for i in range(num_hashes)
-    ]
-    band_keys = [
-        F.concat(
-            F.lit(str(b)), *[hashes[b * rows_per_band + r] for r in range(rows_per_band)]
-        )
-        for b in range(bands)
-    ]
     # Band join on NARROW (id, band-key) rows only — shuffling the
     # shingle arrays through the self-join and the pair-dedup would move
     # the whole corpus text twice; instead the (small, output-bound)
     # candidate id-pairs fetch their shingle sets back with two joins
     # against the one-row-per-doc frame.
-    banded = bound.select("id", F.explode(F.array(*band_keys)).alias("bk"))
+    banded = _portable_band_keys(bound, bands, rows_per_band)
     a, b2 = banded.alias("a"), banded.alias("b")
     cand_ids = (
         a.join(b2, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
@@ -1043,9 +1085,6 @@ def incremental_dedup(
     """
     num_hashes = bands * rows_per_band
 
-    def _seeded_md5(seed: int):
-        return lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))
-
     def _bound(df: DataFrame) -> DataFrame:
         # each side's shingle frame feeds two plan branches (band keys +
         # the candidate-verify rejoin): persist spares one full
@@ -1059,19 +1098,10 @@ def incremental_dedup(
         # NARROW (id, band-key) rows only — the shingle arrays rejoin
         # per candidate pair below, so the band join's shuffle payload
         # is independent of document size (the store-backed production
-        # form persists exactly this (id, bk) table)
-        hashes = [
-            F.array_min(F.transform(F.col("sh"), _seeded_md5(i)))
-            for i in range(num_hashes)
-        ]
-        band_keys = [
-            F.concat(
-                F.lit(str(b)),
-                *[hashes[b * rows_per_band + r] for r in range(rows_per_band)],
-            )
-            for b in range(bands)
-        ]
-        return bound.select("id", F.explode(F.array(*band_keys)).alias("bk"))
+        # form persists exactly this (id, bk) table). The key definition
+        # is _portable_band_keys — ONE definition shared with the batch
+        # pipeline, so persisted bands tables stay join-compatible.
+        return _portable_band_keys(bound, bands, rows_per_band)
 
     new_fp = new_docs.select(
         F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fp")
@@ -1289,12 +1319,70 @@ def segment_dedup(
     )
 
 
+def dup_gram_positions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(id, pos0, gh): every position whose k-gram md5 fingerprint occurs
+    in >= min_docs distinct documents — the shared substrate of
+    duplicate_spans (detection) and remove_duplicate_spans (keep-first
+    election). Compute once and checkpoint when feeding both."""
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(F.coalesce(tokens(F.col(text_col)),
+                               F.array().cast("array<string>")))
+        ).alias("tk"),
+    )
+    # one fingerprint per k-gram start position (0-based); < k tokens -> none
+    gram_hashes = F.when(
+        F.size("tk") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - F.lit(k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toked.select("id", F.posexplode(gram_hashes).alias("pos0", "gh"))
+    dup_grams = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    return grams.join(dup_grams, "gh", "leftsemi").select("id", "pos0", "gh")
+
+
+def _mark_islands(marked: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands over (id, pos0): a gram at pos0 covers tokens
+    [pos0, pos0+k-1]; a gap > k between consecutive marked positions
+    breaks coverage. Adds the per-document island id ``_isl``."""
+    w = Window.partitionBy("id").orderBy("pos0")
+    return (
+        marked.withColumn("_prev", F.lag("pos0").over(w))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos0") - F.col("_prev") > k),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
     min_docs: int = 2,
+    gram_positions: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document duplicated SPANS — the token-level exact-substring
     dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
@@ -1320,51 +1408,24 @@ def duplicate_spans(
     never per gram. At 100 TB swap md5 for xxhash64 (same plan, 8-byte
     keys) and pre-filter grams through a frequency sketch.
     """
+    marked = (
+        gram_positions
+        if gram_positions is not None
+        else dup_gram_positions(df, id_col, text_col, k, min_docs)
+    ).select("id", "pos0")
+    isl = _mark_islands(marked, k)
+    spans = isl.groupBy("id", "_isl").agg(
+        F.min("pos0").alias("start"),
+        (F.max("pos0") + F.lit(k - 1)).alias("end"),
+    )
+    # span_text needs each spanned doc's token array — re-tokenize only
+    # the docs that HAVE spans (output-bound join, not a corpus pass)
     toked = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array(F.coalesce(tokens(F.col(text_col)),
                                F.array().cast("array<string>")))
         ).alias("tk"),
-    )
-    # one fingerprint per k-gram start position (0-based); < k tokens → none
-    gram_hashes = F.when(
-        F.size("tk") >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size("tk") - F.lit(k - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i, k))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = toked.select("id", F.posexplode(gram_hashes).alias("pos0", "gh"))
-
-    dup_grams = (
-        grams.groupBy("gh")
-        .agg(F.count_distinct("id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("gh")
-    )
-    marked = grams.join(dup_grams, "gh", "leftsemi").select("id", "pos0")
-
-    # gaps-and-islands: gram at pos0 covers tokens [pos0, pos0+k-1]; a
-    # gap > k between consecutive marked positions breaks coverage
-    w = Window.partitionBy("id").orderBy("pos0")
-    isl = (
-        marked.withColumn("_prev", F.lag("pos0").over(w))
-        .withColumn(
-            "_brk",
-            F.when(
-                F.col("_prev").isNull() | (F.col("pos0") - F.col("_prev") > k),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn(
-            "_isl",
-            F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-    )
-    spans = isl.groupBy("id", "_isl").agg(
-        F.min("pos0").alias("start"),
-        (F.max("pos0") + F.lit(k - 1)).alias("end"),
     )
     return (
         spans.join(toked, "id")
@@ -1393,34 +1454,54 @@ def remove_duplicate_spans(
     min_docs: int = 2,
     keep_first: bool = True,
     spans: DataFrame | None = None,
+    gram_positions: DataFrame | None = None,
 ) -> DataFrame:
     """Rewrite documents with cross-document duplicated spans excised —
     the removal step over :func:`duplicate_spans`' detection, i.e. what
     Lee et al. 2022 actually apply to the training corpus.
 
-    ``keep_first=True`` keeps each span's first occurrence (minimum
-    (doc id, start) across the corpus) and removes the rest, preserving
-    one copy of legitimately shared text; ``False`` removes every
-    occurrence (the C4-style aggressive form). Tokens outside removed
-    spans are reassembled in order, whitespace-normalized (tokenization
-    already collapsed whitespace).
+    ``keep_first=True`` elects survivors at the GRAM level: the corpus-
+    wide first occurrence (minimum (doc id, pos)) of every duplicated
+    k-gram is kept, every later occurrence is a cut position, and cut
+    positions merge into maximal removal spans per document. Election
+    must happen at gram granularity, not on merged span text: the same
+    duplicated run merges with different neighbors in different
+    documents (one doc's span may be two other docs' spans glued
+    together), so distinct span strings would each look "first" and
+    nothing would be removed. ``False`` removes every occurrence (the
+    C4-style aggressive form). Tokens outside removed spans are
+    reassembled in order, whitespace-normalized (tokenization already
+    collapsed whitespace).
 
-    Returns ``(id, n_tokens, n_removed, clean_text)``. The keep-first
-    election is one tiny aggregate over the span set (output-bound);
-    the rewrite is a narrow per-document filter over token positions —
-    no extra corpus shuffle beyond :func:`duplicate_spans` itself.
+    Returns ``(id, n_tokens, n_removed, clean_text)``.
 
-    ``spans``: optionally pass a precomputed :func:`duplicate_spans`
-    output (same k/min_docs) — callers that also report the detection
-    side should compute it once (and checkpoint/persist the small span
-    frame) instead of paying the corpus-wide gram pass twice.
+    Sharing with the detection side: pass ``gram_positions``
+    (:func:`dup_gram_positions` output, ideally checkpointed) to feed
+    BOTH this and :func:`duplicate_spans` from one corpus-wide gram
+    pass. ``spans`` (a precomputed detection output) is honored only by
+    the aggressive form — keep-first needs gram identity, which merged
+    spans no longer carry.
     """
-    if spans is None:
-        spans = duplicate_spans(df, id_col, text_col, k=k, min_docs=min_docs)
     if keep_first:
-        w = Window.partitionBy("span_text").orderBy(F.asc("id"), F.asc("start"))
-        spans = spans.withColumn("_rn", F.row_number().over(w)).filter(
-            F.col("_rn") > 1
+        marked = (
+            gram_positions
+            if gram_positions is not None
+            else dup_gram_positions(df, id_col, text_col, k, min_docs)
+        )
+        w = Window.partitionBy("gh").orderBy(F.asc("id"), F.asc("pos0"))
+        cut_grams = (
+            marked.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select("id", "pos0")
+        )
+        spans = _mark_islands(cut_grams, k).groupBy("id", "_isl").agg(
+            F.min("pos0").alias("start"),
+            (F.max("pos0") + F.lit(k - 1)).alias("end"),
+        )
+    elif spans is None:
+        spans = duplicate_spans(
+            df, id_col, text_col, k=k, min_docs=min_docs,
+            gram_positions=gram_positions,
         )
     doc_spans = spans.groupBy("id").agg(
         F.collect_list(F.struct("start", "end")).alias("cut")

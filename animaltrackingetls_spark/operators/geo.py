@@ -47,6 +47,10 @@ def haversine_km(
     h = F.sin(dlat) * F.sin(dlat) + F.cos(F.radians(lat_a)) * F.cos(
         F.radians(lat_b)
     ) * F.sin(dlon) * F.sin(dlon)
+    # clamp: float rounding can push h a ulp past 1.0 near antipodes,
+    # and asin(sqrt(>1)) is NaN — which then compares false against any
+    # radius instead of failing loudly
+    h = F.least(F.lit(1.0), h)
     return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(h))
 
 

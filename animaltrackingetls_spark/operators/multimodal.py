@@ -759,12 +759,14 @@ def render_pgm(grid: DataFrame, width: int, height: int) -> DataFrame:
             )
         ).alias("_m")
     )
-    raster_hex = F.aggregate(
-        F.sequence(F.lit(0), F.lit(width * height - 1)),
-        F.lit(""),
-        lambda acc, i: F.concat(
-            acc,
-            F.lpad(
+    # array_join(transform(...)), NOT an aggregate fold: a fold re-copies
+    # the growing accumulator string per cell — O(cells²) bytes for a
+    # linear job, which hangs well below plausible image sizes. transform
+    # builds each 2-char cell once; the join concatenates once.
+    raster_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(width * height - 1)),
+            lambda i: F.lpad(
                 F.hex(
                     F.least(
                         F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("long")),
@@ -775,6 +777,7 @@ def render_pgm(grid: DataFrame, width: int, height: int) -> DataFrame:
                 "0",
             ),
         ),
+        "",
     )
     payload = F.unhex(F.concat(F.lit(header_hex), raster_hex))
     return dense.select(

@@ -213,7 +213,12 @@ def profile_diff(
                     F.lit("distinct").alias("check"),
                     F.col("b_distinct").cast("string").alias("before"),
                     F.col("a_distinct").cast("string").alias("after"),
-                    ((d_ratio < lo) | (d_ratio > 1.0 / lo)).alias("flagged"),
+                    (
+                        # a column NULL in BOTH snapshots (0 distinct on
+                        # each side) has no drift to flag
+                        (F.col("b_distinct") + F.col("a_distinct") > 0)
+                        & ((d_ratio < lo) | (d_ratio > 1.0 / lo))
+                    ).alias("flagged"),
                 ),
                 F.struct(
                     F.lit("range").alias("check"),

@@ -96,7 +96,13 @@ def mixture_resample(
         whole = int(rate)
         frac_thr = _threshold_hex(rate - whole)
         copies = F.lit(whole)
-        if frac_thr is not None and frac_thr != "0000":
+        if frac_thr is None:
+            # the fractional epoch rounded UP to the whole bucket space
+            # (rate like 2.9999999): that is one more FULL copy for every
+            # row, not zero — dropping it would silently under-sample the
+            # group by a whole epoch
+            copies = copies + F.lit(1)
+        elif frac_thr != "0000":
             copies = copies + F.when(bucket < frac_thr, 1).otherwise(0)
         n_copies = F.when(F.col(group_col) == group, copies).otherwise(n_copies)
     return (

@@ -458,8 +458,15 @@ def dedup_lines(c: Column, sep: str = "\n") -> Column:
     order — the boilerplate-collapse step (nav menus, repeated footers)
     that runs before corpus-level dedup. Pure codegen: split →
     array_distinct (order-preserving, first wins) → rejoin. Whitespace
-    inside lines is untouched; empty lines dedup like any other line."""
-    return F.array_join(F.array_distinct(F.split(c, sep)), sep)
+    inside lines is untouched; empty lines dedup like any other line.
+
+    ``sep`` is treated as a LITERAL on both sides: ``F.split`` takes a
+    Java regex, so the separator is \\Q…\\E-quoted — without that, a
+    separator like ``'|'`` or ``'.'`` splits between every character
+    while the rejoin inserts it literally, destroying the text."""
+    return F.array_join(
+        F.array_distinct(F.split(c, "\\Q" + sep + "\\E")), sep
+    )
 
 
 # ---------------------------------------------------------------------------

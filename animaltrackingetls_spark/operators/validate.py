@@ -77,10 +77,15 @@ def unique_violations(df: DataFrame, key_cols: list[str]) -> DataFrame:
     name = ",".join(key_cols) + ":unique"
     per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_c"))
     return per_key.agg(
-        F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0))
+        # coalesce: SUM over zero groups is NULL, but an empty table has
+        # 0 violations/rows — keep the report's arithmetic NULL-free,
+        # matching validate()'s counts
+        F.coalesce(
+            F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("n_violations"),
-        F.sum("_c").cast("long").alias("n_rows"),
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_rows"),
     ).select(F.lit(name).alias("rule"), "n_violations", "n_rows")
 
 

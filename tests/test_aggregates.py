@@ -345,3 +345,18 @@ def test_approx_top_k_partitioning_independent(spark):
     a = [(r.tok, r.n) for r in approx_top_k(base.repartition(2), "tok", k=8).collect()]
     b = [(r.tok, r.n) for r in approx_top_k(base.repartition(16), "tok", k=8).collect()]
     assert a == b and len(a) == 8
+
+
+def test_approx_top_k_treats_nan_as_missing(spark):
+    """NaN would pass isNotNull but vanish from pandas value_counts —
+    it must be excluded from counts AND n_rows so the certificate stays
+    sound."""
+    from animaltrackingetls_spark.operators.aggregates import approx_top_k
+
+    rows = [(float("nan"),)] * 500 + [(1.0,)] * 30 + [(2.0,)] * 20
+    df = spark.createDataFrame(rows, "v double").repartition(4)
+    stats = {}
+    got = [(r.v, r.n) for r in approx_top_k(df, "v", k=2, stats=stats).collect()]
+    assert got == [(1.0, 30), (2.0, 20)]
+    assert stats["n_rows"] == 50  # NaN rows not counted
+    assert stats["proven_exact"] is True

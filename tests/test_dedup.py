@@ -353,10 +353,25 @@ def test_connected_components_max_iter_caps_rounds(chain_edges):
     # the min label yet, proving the loop (not a lucky plan) does the work.
     partial = {
         (r.id, r.cluster_id)
-        for r in dedup.connected_components(chain_edges, max_iter=1).collect()
+        for r in dedup.connected_components(
+            chain_edges, max_iter=1, on_nonconverged="partial"
+        ).collect()
     }
     assert (50, 10) not in partial
     assert (50, 40) in partial
+
+
+def test_connected_components_raises_on_nonconvergence_by_default(chain_edges):
+    """Fragmented labels are a CORRECTNESS failure, not a degraded
+    result: exhausting max_iter must raise (with star-mode guidance),
+    never silently return partial clusters."""
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain_edges, max_iter=1)
+    stats = {}
+    dedup.connected_components(chain_edges, stats=stats)
+    assert stats["converged"] is True
 
 
 def test_dedup_clusters_sizes(chain_edges):
@@ -894,3 +909,30 @@ def test_ngram_jaccard_inverted_index_matches_pair_join(spark):
     assert via_index == via_pairs and via_index  # non-degenerate
     # blocking respected: doc 4 (other source) pairs with nobody
     assert not [k for k in via_index if 4 in k]
+
+
+def test_remove_duplicate_spans_keep_first_across_merge_boundaries(spark):
+    """The island merge can glue two shared runs into ONE span in one
+    doc while they stay separate spans in others — span-text election
+    would see three distinct strings and remove nothing. Gram-level
+    election must still cut doc2's copies (doc1/doc3 own the first
+    occurrences)."""
+    run_a = "alpha beta gamma delta epsilon"          # 5 tokens = one gram
+    run_b = "zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, run_a + " filler one two three four"),
+            (2, run_a + " " + run_b),                  # runs adjacent: merge
+            (3, "pre amble words here now " + run_b),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in dedup.remove_duplicate_spans(docs, k=5).collect()}
+    # first occurrences by (doc id, pos): run_a belongs to doc1, run_b
+    # to doc2 (doc2 precedes doc3) — exactly ONE copy of each survives
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 5 and out[2].clean_text == run_b
+    assert out[3].n_removed == 5
+    assert out[3].clean_text == "pre amble words here now"
+    # the old span-TEXT election saw three distinct merged strings here
+    # (doc2's two runs glue into one span) and removed nothing

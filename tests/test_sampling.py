@@ -359,3 +359,14 @@ def test_dataset_split_always_disjoint_and_exhaustive(spark, raw):
     assert out.count() == 500                      # exhaustive
     assert out.select("doc_id").distinct().count() == 500  # disjoint (1 row/id)
     assert {r.split for r in out.select("split").distinct().collect()} <= set(fractions)
+
+
+def test_mixture_rate_fraction_rounding_to_full_epoch(spark):
+    """A fractional epoch that rounds to the whole bucket space is one
+    more FULL copy, not zero (2.9999999 ~ 3 epochs for every row)."""
+    from animaltrackingetls_spark.operators.sampling import mixture_resample
+
+    df = spark.createDataFrame([(i, "s") for i in range(50)], "doc_id long, src string")
+    out = mixture_resample(df, "doc_id", "src", {"s": 2.9999999})
+    per_doc = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 3 for r in per_doc)

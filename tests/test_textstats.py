@@ -475,3 +475,18 @@ def test_pack_documents_with_bpe_token_counts(spark):
     for r in ordered:
         assert r.bin_id == cum // 40
         cum += r.n_bpe
+
+
+def test_dedup_lines_metacharacter_separator_is_literal(spark):
+    from animaltrackingetls_spark.operators.textstats import dedup_lines
+
+    df = spark.createDataFrame([("a|b|a|c",), ("x.y.x",)], "t string")
+    got = [
+        (r.p, r.d)
+        for r in df.select(
+            dedup_lines(F.col("t"), "|").alias("p"),
+            dedup_lines(F.col("t"), ".").alias("d"),
+        ).collect()
+    ]
+    assert got[0][0] == "a|b|c"     # '|' is literal, not regex alternation
+    assert got[1][1] == "x.y"       # '.' is literal, not any-char
