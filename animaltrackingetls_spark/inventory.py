@@ -81,12 +81,19 @@ def merge_upsert(existing: DataFrame, updates: DataFrame, key_cols: list[str]) -
 
     Plan shape: union (no shuffle) + one hash shuffle on the key for the
     window — equivalent cost to the join a MERGE would do. Deterministic:
-    priority column, not arrival order, decides the winner.
+    priority decides update-vs-existing, and ties WITHIN a side (two
+    update rows for the same key in one run) break on the row's full
+    rendered value, never shuffle arrival order — a catalog value must
+    not vary run-to-run.
     """
     e = existing.withColumn("_prio", F.lit(0))
     u = updates.withColumn("_prio", F.lit(1))
     all_rows = e.unionByName(u)
-    w = Window.partitionBy(*key_cols).orderBy(F.desc("_prio"))
+    value_cols = [c for c in all_rows.columns if c not in (*key_cols, "_prio")]
+    tiebreak = (
+        [F.desc(F.to_json(F.struct(*value_cols)))] if value_cols else []
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("_prio"), *tiebreak)
     return (
         all_rows.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

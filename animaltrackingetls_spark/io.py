@@ -10,7 +10,7 @@ from __future__ import annotations
 import glob as _glob
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession  # noqa: F401 — Column is referenced by annotations
 from pyspark.sql import functions as F
 
 TABLES = [
@@ -28,7 +28,14 @@ def _footer_signature(path: str, glob_pat: str = "*.parquet") -> tuple:
     is re-inspected instead of served a stale answer."""
     files: list[str]
     if os.path.isdir(path):
-        files = sorted(_glob.glob(os.path.join(path, glob_pat)))
+        # recursive: hive-partitioned tables keep their parquet under
+        # key=value subdirectories — a top-level-only glob would return
+        # nothing and silently skip the rescue classification
+        files = sorted(
+            _glob.glob(os.path.join(path, glob_pat))
+            + _glob.glob(os.path.join(path, "**", glob_pat), recursive=True)
+        )
+        files = sorted(dict.fromkeys(files))
     else:
         files = [path] if os.path.exists(path) else []
     sig = []
@@ -298,14 +305,33 @@ def compact_parquet(
     os.stat walk), not a guess: ``ceil(total_bytes / target)``. With
     ``partition_cols`` the repartition keys on them so each hive
     partition lands in as few tasks as possible (the write_optimized
-    layout rule); the rewrite goes through a temp directory and an
-    atomic-rename swap so a crash mid-compaction leaves the original
-    table intact. At 100 TB run this per-partition (pass the partition
+    layout rule); the rewrite goes through a temp directory and a
+    rename swap. The swap is TWO renames, so there is a small window
+    (and a crash case) where ``path`` does not exist; a subsequent call
+    detects the stranded ``__old_*`` sibling and restores it before
+    doing anything else, so no data is ever lost — but readers racing
+    the swap can see ENOENT, and a crash between the renames needs that
+    one recovery call. True single-rename atomicity needs a pointer
+    scheme (see ``inventory.upsert_parquet_versioned``) or a lake
+    format. At 100 TB run this per-partition (pass the partition
     subdirectory as ``path``), never whole-table.
     """
     import math
     import shutil
     import uuid
+
+    # crash recovery: a previous run that died between its two renames
+    # left the table under __old_* with nothing at `path` — restore it
+    if not os.path.exists(path):
+        parent = os.path.dirname(path.rstrip("/")) or "."
+        base = os.path.basename(path.rstrip("/"))
+        stranded = sorted(
+            d for d in os.listdir(parent) if d.startswith(f"{base}__old_")
+        )
+        if stranded:
+            os.rename(os.path.join(parent, stranded[0]), path)
+            for extra in stranded[1:]:
+                shutil.rmtree(os.path.join(parent, extra))
 
     total = 0
     for root, _dirs, files in os.walk(path):

@@ -45,6 +45,11 @@ def plan_for_params(df: DataFrame, params: dict[str, str]) -> DataFrame:
     PushedFilters (asserted in test_serving_http.py) — the whole point
     of holding a provider instead of a materialized frame."""
     extra = {k: v for k, v in params.items() if k not in _RESERVED_PARAMS}
+    unknown = [k for k in extra if k not in df.columns]
+    if unknown:
+        # a typo'd filter must be a 400, not a silent full-table answer
+        # masquerading as a filtered one
+        raise ValueError(f"unknown filter column(s): {unknown}")
     return dynamic_filters(
         df,
         year=params.get("year"),
@@ -62,6 +67,8 @@ def handle_sightings(
     edge (limit ≤ ``max_limit``, so a crafted request cannot pull a
     table through the driver)."""
     limit = min(int(params.get("limit", DEFAULT_LIMIT)), max_limit)
+    if limit < 0:
+        raise ValueError(f"limit must be >= 0, got {limit}")
     return to_json_records(plan_for_params(df, params), limit=limit)
 
 
@@ -86,10 +93,17 @@ def make_server(
                 return
             try:
                 records = handle_sightings(
-                    df_provider(), dict(parse_qsl(split.query))
+                    df_provider(),
+                    dict(parse_qsl(split.query, keep_blank_values=True)),
                 )
-            except ValueError as err:  # bad int() in a filter param
+            except ValueError as err:  # bad int() / unknown column / limit
                 self._reply(400, {"error": str(err)})
+                return
+            except Exception as err:  # noqa: BLE001 — a handler thread
+                # must ANSWER (500), never die with a connection reset:
+                # Spark analysis errors are request errors here, not
+                # server-fatal conditions
+                self._reply(500, {"error": f"{type(err).__name__}: {err}"})
                 return
             self._reply(200, records)
 

@@ -24,7 +24,9 @@ from .jobs import (  # noqa: F401
     run_available_now_ingest_dedup,
     run_available_now_register_inventory,
     run_available_now_to_parquet,
+    run_available_now_histogram_rollup,
     running_user_totals,
+    running_user_totals_tws,
     sessionized_user_activity,
     stream_dedup,
     stream_static_enrich,

@@ -47,8 +47,19 @@ def read_event_stream(
     """
     ts_kind = None
     if nanos_ts:
-        from animaltrackingetls_spark.io import timestamp_rescue_kinds
+        from animaltrackingetls_spark.io import _footer_signature, timestamp_rescue_kinds
 
+        if not _footer_signature(path, path_glob or "*.parquet")[1]:
+            # a streaming query's schema is FIXED at start: classifying an
+            # empty landing dir would pin TimestampType, and the first
+            # TIMESTAMP(NANOS)/NTZ file to land then fails (or misreads)
+            # forever. Fail loudly now instead.
+            raise ValueError(
+                f"read_event_stream(nanos_ts=True): no parquet files under "
+                f"{path!r} to classify the ts encoding from — either wait "
+                "for the first file or pass nanos_ts=False with an explicit "
+                "schema matching the writer"
+            )
         ts_kind = timestamp_rescue_kinds(path, path_glob or "*.parquet").get("ts")
     read_schema = schema
     if ts_kind is not None:
@@ -284,42 +295,87 @@ def run_available_now_to_parquet(
     path: str,
     checkpoint_dir: str,
     partition_cols: list[str] | None = None,
-    output_mode: str = "update",
+    output_mode: str = "complete",
+    unique_key_cols: list[str] | None = None,
     timeout_seconds: int = 120,
 ) -> None:
-    """Drain a streaming frame into partitioned parquet via
-    ``foreachBatch`` + dynamic partition overwrite — the PRODUCTION sink
-    shape (the memory sink above is the test/demo path).
+    """Drain a streaming frame into parquet via ``foreachBatch`` — the
+    PRODUCTION sink shape (the memory sink above is the test/demo path).
 
     Why ``foreachBatch`` instead of ``format('parquet')``: the built-in
     file sink is append-only, so a stateful aggregation re-emitting a
-    window's updated total would duplicate rows. Here each micro-batch
-    rewrites exactly the hive partitions it touches
-    (``partitionOverwriteMode=dynamic``), so late data that reopens a
-    window replaces that window's partition instead of appending a
-    second copy — the streaming twin of the reference's idempotent
-    overwrite-table-per-day load (db_loader.py:23-59), and the reason a
-    re-run from a fresh checkpoint converges to the same table.
+    window's updated total would duplicate rows. The write strategy
+    follows the output mode, because each mode's batch rows mean
+    something different:
+
+    * ``"complete"`` (default) — every batch carries EVERY group, so a
+      straight overwrite (dynamic per-partition when partitioned) is
+      correct by construction.
+    * ``"update"`` — a batch carries only CHANGED groups, so the sink
+      must MERGE: rows whose ``unique_key_cols`` match a batch row are
+      replaced, everything else survives (required parameter — a plain
+      partition overwrite here would silently DROP unchanged groups
+      sharing a rewritten partition, and an append would duplicate).
+      With ``partition_cols`` the merge reads/rewrites only the touched
+      partitions — O(batch), the streaming twin of the reference's
+      idempotent overwrite-table-per-day load (db_loader.py:23-59).
+    * ``"append"`` — immutable finalized rows (watermark-closed
+      windows, stateless maps): plain file append.
 
     Scale notes: the checkpoint (offsets + state store) is what makes
     restarts exactly-once; partition columns should bound each
     micro-batch's rewrite to O(batch) partitions (e.g. window_start
     date/hour), never a high-cardinality key.
     """
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+    if output_mode == "update" and not unique_key_cols:
+        raise ValueError(
+            "output_mode='update' emits only changed groups — the sink "
+            "needs unique_key_cols to merge them without dropping "
+            "unchanged neighbors or duplicating re-emitted ones"
+        )
+
+    def _write(df: DataFrame, mode: str) -> None:
+        w = df.write.mode(mode)
         if partition_cols:
             # per-write option, NOT session conf: setting
             # spark.sql.sources.partitionOverwriteMode on the shared
             # session inside foreachBatch would silently change overwrite
             # semantics for every later write in the same session
-            (
-                batch_df.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(*partition_cols)
-                .parquet(path)
+            w = w.option("partitionOverwriteMode", "dynamic").partitionBy(
+                *partition_cols
             )
-        else:
-            batch_df.write.mode("append").parquet(path)
+        w.parquet(path)
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if output_mode == "append":
+            _write(batch_df, "append")
+            return
+        if output_mode == "complete":
+            _write(batch_df, "overwrite")
+            return
+        # update: keyed merge over the touched scope
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(path)
+        except AnalysisException as err:
+            cond = ""
+            try:
+                cond = err.getCondition() or ""
+            except Exception:
+                pass
+            if "PATH_NOT_FOUND" not in cond and "PATH_NOT_FOUND" not in str(err):
+                raise
+            _write(batch_df, "overwrite")
+            return
+        keys = batch_df.select(*unique_key_cols).distinct()
+        keep = existing
+        if partition_cols:
+            touched = batch_df.select(*partition_cols).distinct()
+            keep = keep.join(touched, partition_cols, "left_semi")
+        keep = keep.join(keys, unique_key_cols, "left_anti")
+        # lineage break: the merge reads the path the write overwrites
+        out = keep.unionByName(batch_df).localCheckpoint(eager=True)
+        _write(out, "overwrite")
 
     q = (
         result.writeStream.foreachBatch(_sink)

@@ -518,3 +518,19 @@ def test_register_views_enables_pure_sql(spark):
         "ON l.l_orderkey = o.o_orderkey"
     ).collect()[0]
     assert joined.n > 0
+
+
+def test_compact_parquet_recovers_stranded_old_dir(spark, tmp_path):
+    """A crash between the two swap renames leaves the table under
+    __old_* and nothing at `path`; the next call must restore it before
+    compacting, not report 'nothing to compact'."""
+    import os
+
+    from animaltrackingetls_spark.io import compact_parquet
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).write.parquet(path)
+    os.rename(path, f"{path}__old_deadbeef")  # simulate mid-swap crash
+    n = compact_parquet(spark, path, target_file_mb=256)
+    assert n >= 1
+    assert spark.read.parquet(path).count() == 100

@@ -113,3 +113,28 @@ def test_concurrent_overlapping_requests(server_url):
     for (status, body), expect in results:
         assert status == 200
         assert sorted(r["id"] for r in body) == expect
+
+
+def _get_any(url):
+    """status + raw body, 4xx/5xx included (urllib raises on those)."""
+    try:
+        with urllib.request.urlopen(url, timeout=30) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_unknown_filter_column_is_400_not_unfiltered(server_url):
+    status, body = _get_any(f"{server_url}/sightings?usr_id=5")
+    assert status == 400
+    assert b"unknown filter column" in body
+
+
+def test_blank_param_is_400_not_silently_dropped(server_url):
+    status, _ = _get_any(f"{server_url}/sightings?year=")
+    assert status == 400
+
+
+def test_negative_limit_is_400(server_url):
+    status, _ = _get_any(f"{server_url}/sightings?limit=-1")
+    assert status == 400

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from animaltrackingetls_spark.streaming import (
@@ -181,12 +182,17 @@ def test_parquet_sink_update_mode_replaces_reopened_window(spark, tmp_path):
             "window_date", F.to_date("window_start")
         )
         run_available_now_to_parquet(
-            agg, out, ckpt, partition_cols=["window_date"], output_mode="update"
+            agg, out, ckpt, partition_cols=["window_date"],
+            output_mode="update",
+            unique_key_cols=["window_start", "event_type"],
         )
 
     t = datetime.datetime(2024, 1, 1, 10, 30)
+    # 'view' shares the partition (same window date) but never updates:
+    # the keyed merge must carry it through every rewrite
     spark.createDataFrame(
-        [(1, t, 1, "click", 1.0, "{}"), (2, t, 1, "click", 2.0, "{}")], schema
+        [(1, t, 1, "click", 1.0, "{}"), (2, t, 1, "click", 2.0, "{}"),
+         (9, t, 2, "view", 9.0, "{}")], schema
     ).coalesce(1).write.mode("append").parquet(str(src))
     drain()
     first = {
@@ -196,8 +202,8 @@ def test_parquet_sink_update_mode_replaces_reopened_window(spark, tmp_path):
     assert first[(datetime.datetime(2024, 1, 1, 10, 0), "click")] == 2
 
     # LATE data lands in the already-emitted 10:00 window; the same
-    # checkpoint resumes, the window re-emits with the updated total,
-    # and dynamic partition overwrite REPLACES the old row set
+    # checkpoint resumes, ONLY the click group re-emits, and the keyed
+    # merge replaces it without dropping the untouched view neighbor
     spark.createDataFrame(
         [(3, t + datetime.timedelta(minutes=10), 1, "click", 3.0, "{}")], schema
     ).coalesce(1).write.mode("append").parquet(str(src))
@@ -205,6 +211,21 @@ def test_parquet_sink_update_mode_replaces_reopened_window(spark, tmp_path):
     rows = spark.read.parquet(out).filter("event_type = 'click'").collect()
     assert len(rows) == 1  # replaced, not appended
     assert rows[0].n_events == 3
+    views = spark.read.parquet(out).filter("event_type = 'view'").collect()
+    assert len(views) == 1 and views[0].n_events == 1  # neighbor survives
+
+
+def test_parquet_sink_update_mode_requires_keys(spark, tmp_path):
+    from animaltrackingetls_spark.streaming import run_available_now_to_parquet
+
+    src = str(tmp_path / "rk_src")
+    spark.createDataFrame([(1,)], "a long").write.parquet(src)
+    stream = spark.readStream.schema("a long").parquet(src)
+    with pytest.raises(ValueError, match="unique_key_cols"):
+        run_available_now_to_parquet(
+            stream, str(tmp_path / "o"), str(tmp_path / "c"),
+            output_mode="update",
+        )
 
 
 def test_streaming_inventory_registration_accumulates_counts(spark, tmp_path):
@@ -503,3 +524,15 @@ def test_ingest_dedup_sink_appends_only_novel_content(spark, tmp_path):
     rows = spark.read.parquet(corpus).collect()
     assert {r.text for r in rows} == {"alpha", "beta", "gamma"}
     assert len(rows) == 3  # beta appended exactly once across both drains
+
+
+def test_read_event_stream_refuses_empty_dir_with_nanos_rescue(spark, tmp_path):
+    """A streaming schema is pinned at start: classifying an empty
+    landing dir would lock in the wrong ts type and fail on the first
+    real file — refuse loudly instead."""
+    import os
+
+    src = str(tmp_path / "empty_landing")
+    os.makedirs(src)
+    with pytest.raises(ValueError, match="no parquet files"):
+        read_event_stream(spark, src, nanos_ts=True)
