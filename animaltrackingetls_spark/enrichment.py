@@ -120,11 +120,21 @@ def enrich_batched(
     whole batch NULL rather than failing the job.
 
     ``service`` takes [(lat, lon), ...] → [(county, city), ...]; swap in
-    an HTTP client in production, a deterministic stub in tests.
+    an HTTP client in production, a deterministic stub in tests. A
+    response whose length doesn't match the payload is treated as a
+    failed call (whole batch NULL) — positional map-back with a shifted
+    list would silently attach results to the WRONG rows, which is worse
+    than no enrichment.
+
+    Frames that already carry county/cityOrTown (the aligned 35-column
+    schema adds them as NULLs) are enriched IN PLACE — the output schema
+    must not grow duplicate fields.
     """
-    out_fields = df.schema.fields + [
-        T.StructField("county", T.StringType()),
-        T.StructField("cityOrTown", T.StringType()),
+    existing = set(df.columns)
+    out_fields = list(df.schema.fields) + [
+        T.StructField(name, T.StringType())
+        for name in ("county", "cityOrTown")
+        if name not in existing
     ]
     out_schema = T.StructType(out_fields)
 
@@ -143,6 +153,9 @@ def enrich_batched(
                 ]
                 try:
                     results = service(payload)
+                    if len(results) != len(payload):
+                        # a shifted zip would enrich the WRONG rows
+                        results = [(None, None)] * len(payload)
                 except Exception:
                     results = [(None, None)] * len(payload)
                 for i, (county, city) in zip(idx, results):

@@ -75,6 +75,17 @@ def date_days_ago(n: Column | int, anchor: Column | None = None) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def empty_inventory(spark: SparkSession) -> DataFrame:
+    """Zero-row frame with the canonical inventory schema — the single
+    owner of that schema (INVENTORY_COLUMNS order), so callers seeding a
+    register_load/upsert never hand-roll a drifting DDL string."""
+    return spark.createDataFrame(
+        [],
+        "available_date date, table_name string, "
+        "record_count bigint, processed_at string",
+    )
+
+
 def merge_upsert(existing: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
     """Keyed upsert as a DataFrame op: updates win over existing rows on
     the same key; keys only in one side pass through.

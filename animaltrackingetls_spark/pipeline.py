@@ -87,7 +87,16 @@ def occurrence_scan(
         )
         return PipelineResult(empty_good, empty_rej, empty_hist, None, 0)
 
-    result: CleanResult = clean_occurrences(raw, cache=True)
+    # cache only when two or more sinks will each trigger an action over
+    # the tagged frame; a single consumer (or the no-sink test path)
+    # should keep the one-pass shared scan — and the cache is RELEASED
+    # before returning, so looped day runs don't accrete a copy of the
+    # whole input per invocation
+    n_consumers = sum(
+        x is not None for x in (output_dir, rejects_dir, inventory_path)
+    )
+    use_cache = n_consumers >= 2
+    result: CleanResult = clean_occurrences(raw, cache=use_cache)
     good = result.good
     if geocode_dim is not None:
         enriched = geocode_broadcast_join(
@@ -109,15 +118,16 @@ def occurrence_scan(
     if inventory_path is not None:
         # register_load against an empty inventory yields just this run's
         # update rows; upsert_parquet does the (single) merge with disk
-        empty_inventory = spark.createDataFrame(
-            [],
-            "available_date date, table_name string, "
-            "record_count bigint, processed_at string",
-        )
+        from .inventory import empty_inventory as _empty_inventory
+
+        empty_inventory = _empty_inventory(spark)
         updates = register_load(empty_inventory, good, processed_at=processed_at)
         inventory = upsert_parquet(
             spark, inventory_path, updates.select(*INVENTORY_COLUMNS), ["available_date"]
         )
+
+    if use_cache:
+        result.tagged.unpersist()
 
     return PipelineResult(
         good=good,

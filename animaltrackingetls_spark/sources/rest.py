@@ -67,11 +67,10 @@ PUSHABLE_ATTRIBUTES = frozenset(
 class FixtureTransport:
     """Replays recorded pages from ``dir/page_<N>.json``.
 
-    Each file holds ``{"results": [...], "endOfRecords": bool}``. The
-    page index is derived from the request's offset/limit — mirroring how
-    a real API would address pages. Filter params narrow results by
-    simple equality, emulating server-side filtering so pushdown is
-    observable in tests.
+    Each file holds ``{"results": [...], "endOfRecords": bool}``. Filter
+    params narrow by simple equality BEFORE offset/limit slicing — the
+    way a real API serves filtered pagination — so pushdown is
+    observable in tests and page windows never re-serve rows.
     """
 
     fixture_dir: str
@@ -79,18 +78,32 @@ class FixtureTransport:
     def fetch(self, params: dict) -> dict:
         limit = int(params.get("limit", DEFAULT_PAGE_SIZE))
         offset = int(params.get("offset", 0))
-        page_idx = offset // max(1, limit)
-        path = os.path.join(self.fixture_dir, f"page_{page_idx}.json")
-        if not os.path.exists(path):
-            return {"results": [], "endOfRecords": True}
-        with open(path) as f:
-            page = json.load(f)
-        results = page.get("results", [])
+        # A real API applies filters BEFORE pagination: offset/limit
+        # address positions in the FILTERED result set. Filtering each
+        # stored page after deriving its index from offset would re-serve
+        # page 0 forever (the client advances offset by the records it
+        # received), duplicating rows — so load all pages, filter, slice.
+        all_results: list = []
+        page_idx = 0
+        while True:
+            path = os.path.join(self.fixture_dir, f"page_{page_idx}.json")
+            if not os.path.exists(path):
+                break
+            with open(path) as f:
+                page = json.load(f)
+            all_results.extend(page.get("results", []))
+            if page.get("endOfRecords", False):
+                break
+            page_idx += 1
         for key, val in params.items():
             if key in ("limit", "offset"):
                 continue
-            results = [r for r in results if str(r.get(key)) == str(val)]
-        return {"results": results, "endOfRecords": page.get("endOfRecords", False)}
+            all_results = [r for r in all_results if str(r.get(key)) == str(val)]
+        window = all_results[offset : offset + limit]
+        return {
+            "results": window,
+            "endOfRecords": offset + limit >= len(all_results),
+        }
 
 
 @dataclass
@@ -172,18 +185,35 @@ def fetch_page_with_retry(
 ) -> dict:
     """S2: single-page fetch under the reference's retry policy —
     ``attempts`` tries, exponential backoff ``base^n`` capped at
-    ``backoff_cap`` seconds (retry_config.py:28-37)."""
+    ``backoff_cap`` seconds (retry_config.py:28-37).
+
+    Only TRANSIENT failures retry (the policy's own contract): an HTTP
+    4xx other than 429, or a parse error on the body (``ValueError`` /
+    ``JSONDecodeError`` — the server answered, the answer is just not a
+    page), cannot succeed on retry and would otherwise burn the full
+    backoff budget PER PARTITION on a misconfigured URL."""
     if attempts < 1:
         # Without this, zero iterations would reach `raise last_err` with
         # last_err still None — a baffling TypeError instead of the real
         # problem.
         raise ValueError(f"attempts must be >= 1 (got {attempts})")
+
+    def _is_transient(err: Exception) -> bool:
+        code = getattr(err, "code", None)  # urllib HTTPError
+        if code is not None:
+            return int(code) >= 500 or int(code) == 429
+        if isinstance(err, ValueError):  # includes JSONDecodeError
+            return False
+        return True  # timeouts, connection resets, URLError, ...
+
     last_err: Exception | None = None
     for attempt in range(attempts):
         try:
             return fetch(params)
-        except Exception as err:  # transient transport failure
+        except Exception as err:
             last_err = err
+            if not _is_transient(err):
+                raise
             if attempt < attempts - 1:
                 sleep(min(backoff_cap, backoff_base ** (attempt + 1)))
     raise last_err  # type: ignore[misc]
@@ -323,7 +353,12 @@ class _PagedRestReader(DataSourceReader):
         delay = float(self._options.get("delay_seconds", 0.0))
         transport = transport_from_options(self._options)
         if delay:
-            time.sleep(delay * partition.page_index)  # staggered politeness
+            # staggered politeness, bounded: offset task STARTS within a
+            # wave of ~slots concurrent fetches. delay * absolute index
+            # would add O(max_pages * delay) dead wall-clock for pages
+            # scheduled long after the first wave anyway.
+            slots = 32
+            time.sleep(delay * (partition.page_index % slots))
         params: dict = {
             "limit": limit,
             "offset": partition.page_index * limit,

@@ -71,3 +71,38 @@ def test_geocode_eligible(spark):
         "id", geocode_eligible(F.col("decimalLatitude"), F.col("decimalLongitude")).alias("e")
     )
     assert {r.id: r.e for r in df.collect()} == {1: True, 2: True, 3: False}
+
+
+def test_enrich_batched_on_aligned_frame_with_existing_columns(spark):
+    """The aligned 35-column schema already carries county/cityOrTown as
+    NULLs — enrichment must fill them in place, not crash on a
+    duplicate-field output schema."""
+    from animaltrackingetls_spark.enrichment import (
+        enrich_batched,
+        stub_geocode_service,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 40.1, -75.2, None, None)],
+        "id long, decimalLatitude double, decimalLongitude double, "
+        "county string, cityOrTown string",
+    )
+    out = enrich_batched(df, stub_geocode_service).collect()
+    assert len(out[0].asDict()) == 5  # no duplicated columns
+    assert out[0].county is not None
+
+
+def test_enrich_batched_rejects_misaligned_service_response(spark):
+    """A response shorter than the payload must NULL the batch, never
+    shift results onto the wrong rows."""
+    from animaltrackingetls_spark.enrichment import enrich_batched
+
+    def short_service(payload):
+        return [("X", "Y")] * (len(payload) - 1)
+
+    df = spark.createDataFrame(
+        [(1, 40.0, -75.0), (2, 41.0, -76.0)],
+        "id long, decimalLatitude double, decimalLongitude double",
+    ).coalesce(1)
+    rows = {r.id: r for r in enrich_batched(df, short_service).collect()}
+    assert rows[1].county is None and rows[2].county is None

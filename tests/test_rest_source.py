@@ -75,8 +75,13 @@ def test_fetch_all_pages_loop_semantics(fixture_dir):
     t = FixtureTransport(fixture_dir)
     assert len(fetch_all_pages(t, limit_per_request=5, max_pages=None)) == 15
     assert len(fetch_all_pages(t, limit_per_request=5, max_pages=2)) == 10
-    assert len(fetch_all_pages(t, {"country": "US"}, limit_per_request=5,
-                               max_pages=2)) == 6
+    # server-side filter THEN paginate: 9 distinct US records exist and
+    # two 5-record pages cover them all — and none may repeat (the old
+    # filter-after-paging fixture re-served page 0 forever)
+    us = fetch_all_pages(t, {"country": "US"}, limit_per_request=5, max_pages=2)
+    assert len(us) == 9
+    ids = [r["key"] if "key" in r else tuple(sorted(r.items())) for r in us]
+    assert len(ids) == len(set(map(str, ids)))
     assert len(fetch_all_pages(t, limit_per_request=5, max_pages=None,
                                records_limitation=1)) == 3
 
@@ -136,7 +141,10 @@ def test_http_transport_builds_url_and_parses_json(fixture_dir):
     opener, calls = _page_server(fixture_dir)
     t = HttpTransport("https://api.example.org/v1/occurrence/search", opener=opener)
     page = t.fetch({"limit": 5, "offset": 0, "country": "US"})
-    assert len(page["results"]) == 3  # server-side filter applied
+    # server-side filter applies BEFORE pagination: the first page holds
+    # the first `limit` of the 9 filtered records
+    assert len(page["results"]) == 5
+    assert all(r["country"] == "US" for r in page["results"])
     assert calls == [
         "https://api.example.org/v1/occurrence/search?country=US&limit=5&offset=0"
     ]
