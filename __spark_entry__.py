@@ -186,10 +186,14 @@ tagged AS (
 
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with injected exact duplicates (doc_id%5==0 re-inserted
-    under doc_id+100000) — the A1 duplicate-audit corpus."""
+    above max(doc_id)) — the A1 duplicate-audit corpus. The clone offset
+    is max+1, NOT a fixed constant: a constant (+100000) collides with
+    real ids once the SF grows the table past it, silently merging
+    unrelated docs on BOTH engine sides — invisible to the hash gate."""
     docs = _t(spark, sf_dir, "documents")
+    off = docs.agg(F.max("doc_id")).first()[0] + 1
     clones = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 100000
+        "doc_id", F.col("doc_id") + F.lit(off)
     )
     return docs.unionByName(clones)
 
@@ -198,7 +202,8 @@ _DOCS_WITH_DUPS_SQL = """
 d AS (
   SELECT * FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+         text, lang, source, n_chars
   FROM documents WHERE doc_id % 5 = 0
 )
 """
@@ -623,8 +628,11 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs (see dedup.incremental_dedup)."""
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    # clone offset above max(doc_id), not a fixed constant that a larger
+    # SF would collide with (see _docs_with_dups)
+    off = docs.agg(F.max("doc_id")).first()[0] + 1
     resubmitted = corpus.filter(F.col("doc_id") % 15 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 200000
+        "doc_id", F.col("doc_id") + F.lit(off)
     )
     new = docs.filter(F.col("doc_id") % 3 != 0).unionByName(resubmitted)
     out = dedup.incremental_dedup(new, corpus, n=2, threshold=0.6)
@@ -1424,12 +1432,17 @@ def _mixture_oracle_branch() -> str:
     for group, rate in _MIXTURE_RATES.items():
         whole = int(rate)
         thr = _threshold_hex(rate - whole)
-        expr = str(whole)
-        if thr is not None and thr != "0000":
-            expr += (
-                " + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
-                f" < '{thr}' THEN 1 ELSE 0 END"
-            )
+        if thr is None:
+            # mirror of mixture_resample: a fraction rounding UP to the
+            # whole bucket space is one more FULL copy, not zero
+            expr = str(whole + 1)
+        else:
+            expr = str(whole)
+            if thr != "0000":
+                expr += (
+                    " + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+                    f" < '{thr}' THEN 1 ELSE 0 END"
+                )
         cases.append(f"WHEN '{group}' THEN {expr}")
     groups = ", ".join(f"'{g}'" for g in _MIXTURE_RATES)
     return f"""
@@ -1448,15 +1461,13 @@ _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
 def _split_oracle_branch() -> str:
-    """('split', name, n) rows — bucket bounds computed by the same
-    rounding the operator uses, embedded as hex literals."""
+    """('split', name, n) rows — bucket bounds come from the OPERATOR's
+    own exported helper (sampling.split_upper_bounds), embedded as hex
+    literals: one arithmetic, no silent drift."""
+    from animaltrackingetls_spark.operators.sampling import split_upper_bounds
+
     names = list(_SPLIT_FRACTIONS)
-    bounds, acc = [], 0.0
-    for name in names[:-1]:
-        acc += _SPLIT_FRACTIONS[name]
-        # mirror of sampling.dataset_split: inclusive 4-hex bound clamped
-        # to 0xffff so a fraction rounding to 65536 can't emit '10000'
-        bounds.append(min(65536, int(round(acc * 65536))) - 1)
+    bounds = split_upper_bounds(_SPLIT_FRACTIONS)
     whens = " ".join(
         "WHEN FALSE THEN '%s'" % n
         if ub < 0
@@ -2262,8 +2273,11 @@ def _q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge-is-lossless identity are pinned in test_aggregates.py."""
     ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     daily = aggregates.hll_rollup(ev, ["day"], "user_id")
+    # week key = the week's START DATE, not weekofyear alone: ISO week
+    # numbers repeat every year (Dec 30 is week 1 of the NEXT ISO year),
+    # so a bare week number would union sketches across year boundaries
     weekly = aggregates.hll_union(
-        daily.withColumn("week", F.weekofyear("day")), ["week"]
+        daily.withColumn("week", F.date_trunc("week", "day").cast("date")), ["week"]
     )
     d = daily.select(
         F.lit("day").alias("grain"),
@@ -2783,7 +2797,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT unnest(sh) AS s FROM s WHERE doc_id % 50 = 0
             ),
             ex AS (
-              SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s
+              -- empty shingle lists unnest to zero rows, which would drop
+              -- the doc from the report; Spark's explode_outer keeps it,
+              -- so pad with a NULL sentinel (never a bench hit)
+              SELECT doc_id, len(sh) AS n_shingles,
+                     unnest(CASE WHEN len(sh) = 0
+                                 THEN [CAST(NULL AS VARCHAR)] ELSE sh END) AS s
               FROM s WHERE doc_id % 50 <> 0
             ),
             agg AS (
@@ -3180,7 +3199,8 @@ def oracle_sql() -> dict[str, str]:
             newb AS (
               SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
               UNION ALL
-              SELECT doc_id + 200000 AS doc_id, text FROM documents
+              SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+                       AS doc_id, text FROM documents
               WHERE doc_id % 15 = 0
             ),
             cfp AS (

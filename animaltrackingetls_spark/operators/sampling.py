@@ -248,6 +248,20 @@ def temperature_rates(
     return rates
 
 
+def split_upper_bounds(fractions: dict[str, float]) -> list[int]:
+    """Inclusive md5-bucket upper bound for each NON-final split, in dict
+    order — THE bound arithmetic of :func:`dataset_split`, exported so an
+    external oracle replays the exact same rounding/clamping instead of
+    re-implementing it (drift between the two would silently re-route
+    rows). A bound of -1 marks a zero-width split."""
+    names = list(fractions)
+    bounds, acc = [], 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        bounds.append(min(_BUCKETS, int(round(acc * _BUCKETS))) - 1)
+    return bounds
+
+
 def dataset_split(
     df: DataFrame, id_col: str, fractions: dict[str, float], split_col: str = "split"
 ) -> DataFrame:
@@ -271,16 +285,12 @@ def dataset_split(
     _reject_reserved_columns(df, (split_col,))
     bucket = sample_hash_bucket(F.col(id_col))
     names = list(fractions)
-    bounds = []
-    acc = 0.0
-    for name in names[:-1]:
-        acc += fractions[name]
-        # Inclusive bound on the last bucket of the range: a cumulative
-        # fraction that rounds to _BUCKETS would render as the 5-char hex
-        # '10000' under an exclusive compare and misroute every '1xxx'
-        # bucket lexicographically; clamping to _BUCKETS-1 ('ffff') keeps
-        # every bound a 4-char literal.
-        bounds.append(min(_BUCKETS, int(round(acc * _BUCKETS))) - 1)
+    # Inclusive bound on the last bucket of each range: a cumulative
+    # fraction that rounds to _BUCKETS would render as the 5-char hex
+    # '10000' under an exclusive compare and misroute every '1xxx'
+    # bucket lexicographically; clamping to _BUCKETS-1 ('ffff') keeps
+    # every bound a 4-char literal. Shared with the oracle mirror.
+    bounds = split_upper_bounds(fractions)
     expr = None
     for name, ub in zip(names[:-1], bounds):
         # ranges are consecutive, so "first upper bound the bucket is at
