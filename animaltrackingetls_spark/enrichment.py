@@ -128,9 +128,19 @@ def enrich_batched(
 
     Frames that already carry county/cityOrTown (the aligned 35-column
     schema adds them as NULLs) are enriched IN PLACE — the output schema
-    must not grow duplicate fields.
+    must not grow duplicate fields. Pre-existing non-null values are
+    PRESERVED for rows the service can't improve (ineligible rows and
+    rows in a failed batch); only successful lookups overwrite. The two
+    in-place columns must be string-typed — anything else is rejected up
+    front rather than failing deep inside Arrow conversion.
     """
     existing = set(df.columns)
+    for name in ("county", "cityOrTown"):
+        if name in existing and not isinstance(df.schema[name].dataType, T.StringType):
+            raise TypeError(
+                f"enrich_batched enriches {name!r} in place and requires it to be "
+                f"string-typed; got {df.schema[name].dataType.simpleString()}"
+            )
     out_fields = list(df.schema.fields) + [
         T.StructField(name, T.StringType())
         for name in ("county", "cityOrTown")
@@ -143,8 +153,18 @@ def enrich_batched(
 
         for pdf in batches:
             eligible = pdf[lat_col].notna() & pdf[lon_col].notna()
-            counties = [None] * len(pdf)
-            cities = [None] * len(pdf)
+            # seed from pre-existing values so ineligible/failed rows keep
+            # whatever enrichment they already carried
+            counties = (
+                list(pdf["county"]) if "county" in pdf.columns else [None] * len(pdf)
+            )
+            cities = (
+                list(pdf["cityOrTown"])
+                if "cityOrTown" in pdf.columns
+                else [None] * len(pdf)
+            )
+            counties = [None if pd.isna(v) else v for v in counties]
+            cities = [None if pd.isna(v) else v for v in cities]
             idx = [i for i, ok in enumerate(eligible) if ok]
             if idx:
                 payload = [
@@ -155,12 +175,13 @@ def enrich_batched(
                     results = service(payload)
                     if len(results) != len(payload):
                         # a shifted zip would enrich the WRONG rows
-                        results = [(None, None)] * len(payload)
+                        results = None
                 except Exception:
-                    results = [(None, None)] * len(payload)
-                for i, (county, city) in zip(idx, results):
-                    counties[i] = county
-                    cities[i] = city
+                    results = None
+                if results is not None:
+                    for i, (county, city) in zip(idx, results):
+                        counties[i] = county
+                        cities[i] = city
             out = pdf.copy()
             out["county"] = pd.array(counties, dtype="object")
             out["cityOrTown"] = pd.array(cities, dtype="object")

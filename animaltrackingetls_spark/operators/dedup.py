@@ -1483,6 +1483,16 @@ def remove_duplicate_spans(
     spans no longer carry.
     """
     if keep_first:
+        if spans is not None:
+            raise ValueError(
+                "remove_duplicate_spans(keep_first=True) cannot honor a "
+                "precomputed spans= frame: keep-first elects survivors at "
+                "gram granularity, which merged spans no longer carry, so "
+                "the gram pass would be recomputed anyway. Pass "
+                "gram_positions= (dup_gram_positions output) to share work, "
+                "or use keep_first=False for the aggressive form spans= "
+                "supports."
+            )
         marked = (
             gram_positions
             if gram_positions is not None

@@ -196,10 +196,15 @@ def stream_stream_join(
     the right side's event-time column is expected pre-renamed (default
     ``ts_r``) for the same reason.
     """
+    r_key = f"__r_{key}"
     l = left.withWatermark(left_ts, watermark).alias("l")
-    r = right.withWatermark(right_ts, watermark).alias("r")
+    r = (
+        right.withWatermark(right_ts, watermark)
+        .withColumnRenamed(key, r_key)
+        .alias("r")
+    )
     cond = (
-        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        (F.col(f"l.{key}") == F.col(f"r.{r_key}"))
         & (F.col(f"l.{left_ts}") <= F.col(f"r.{right_ts}"))
         & (
             F.col(f"l.{left_ts}")
@@ -207,8 +212,12 @@ def stream_stream_join(
         )
     )
     joined = l.join(r, cond, how)
-    # drop the duplicate key column from the right side
-    return joined.drop(F.col(f"r.{key}"))
+    # Collapse the two key columns into one. For right/full outer rows the
+    # left key is NULL — coalescing keeps the key value for right-only rows
+    # instead of losing it with the dropped right-side column.
+    return joined.withColumn(key, F.coalesce(F.col(f"l.{key}"), F.col(r_key))).drop(
+        r_key
+    )
 
 
 def stream_dedup(
@@ -297,6 +306,7 @@ def run_available_now_to_parquet(
     partition_cols: list[str] | None = None,
     output_mode: str = "complete",
     unique_key_cols: list[str] | None = None,
+    keys_determine_partitions: bool = True,
     timeout_seconds: int = 120,
 ) -> None:
     """Drain a streaming frame into parquet via ``foreachBatch`` — the
@@ -319,6 +329,19 @@ def run_available_now_to_parquet(
       With ``partition_cols`` the merge reads/rewrites only the touched
       partitions — O(batch), the streaming twin of the reference's
       idempotent overwrite-table-per-day load (db_loader.py:23-59).
+      That O(batch) scoping is only correct when a key's partition
+      value never changes between emissions (``unique_key_cols``
+      functionally determine ``partition_cols`` — true for the
+      window-keyed aggregations this sink serves, where the window
+      start IS part of the key). If keys CAN migrate partitions, pass
+      ``keys_determine_partitions=False``: the sink then also scans the
+      existing table for partitions holding a batch key and rewrites
+      those too, so the stale copy in the old partition is removed —
+      an extra keyed scan of the table per batch, but still rewriting
+      only partitions that actually hold affected rows. A partition
+      whose rows ALL migrated away produces zero output rows, which
+      dynamic overwrite would silently skip — the sink detects those
+      emptied partitions and deletes their directories explicitly.
     * ``"append"`` — immutable finalized rows (watermark-closed
       windows, stateless maps): plain file append.
 
@@ -371,11 +394,44 @@ def run_available_now_to_parquet(
         keep = existing
         if partition_cols:
             touched = batch_df.select(*partition_cols).distinct()
+            if not keys_determine_partitions:
+                # keys may have migrated partitions: also rewrite any
+                # existing partition that holds a batch key, so the stale
+                # copy in the old partition is purged rather than
+                # surviving outside the rewrite scope
+                stale = (
+                    existing.join(keys, unique_key_cols, "left_semi")
+                    .select(*partition_cols)
+                    .distinct()
+                )
+                touched = touched.unionByName(stale).distinct()
             keep = keep.join(touched, partition_cols, "left_semi")
         keep = keep.join(keys, unique_key_cols, "left_anti")
         # lineage break: the merge reads the path the write overwrites
         out = keep.unionByName(batch_df).localCheckpoint(eager=True)
+        emptied: list = []
+        if partition_cols and not keys_determine_partitions:
+            # dynamic overwrite skips partitions with zero output rows, so a
+            # partition whose rows ALL migrated away would keep its stale
+            # files — find those and delete their directories after the write.
+            # Both sides are O(batch partitions) by construction.
+            emptied = (
+                touched.join(
+                    out.select(*partition_cols).distinct(), partition_cols, "left_anti"
+                )
+                .collect()
+            )
         _write(out, "overwrite")
+        if emptied:
+            sc = spark.sparkContext
+            hconf = sc._jsc.hadoopConfiguration()
+            jpath = sc._jvm.org.apache.hadoop.fs.Path
+            fs = jpath(path).getFileSystem(hconf)
+            for row in emptied:
+                sub = "/".join(f"{c}={row[c]}" for c in partition_cols)
+                p = jpath(f"{path}/{sub}")
+                if fs.exists(p):
+                    fs.delete(p, True)
 
     q = (
         result.writeStream.foreachBatch(_sink)

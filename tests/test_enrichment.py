@@ -106,3 +106,41 @@ def test_enrich_batched_rejects_misaligned_service_response(spark):
     ).coalesce(1)
     rows = {r.id: r for r in enrich_batched(df, short_service).collect()}
     assert rows[1].county is None and rows[2].county is None
+
+
+def test_enrich_batched_preserves_preexisting_values(spark):
+    """Rows the service can't improve keep their pre-existing enrichment:
+    an ineligible row (NULL coords) and a row in a failed batch must NOT
+    have a prior non-null county overwritten with NULL."""
+    df = spark.createDataFrame(
+        [
+            (1, 40.1, -75.2, "OldCounty", "OldCity"),  # eligible: overwritten
+            (2, None, None, "KeepCounty", "KeepCity"),  # ineligible: preserved
+        ],
+        "id long, decimalLatitude double, decimalLongitude double, "
+        "county string, cityOrTown string",
+    ).coalesce(1)
+    rows = {r.id: r for r in enrich_batched(df, stub_geocode_service).collect()}
+    assert rows[1].county == "county_40_-76"  # successful lookup overwrites
+    assert rows[2].county == "KeepCounty"  # ineligible row preserved
+    assert rows[2].cityOrTown == "KeepCity"
+
+    def broken(payload):
+        raise RuntimeError("service down")
+
+    rows = {r.id: r for r in enrich_batched(df, broken).collect()}
+    assert rows[1].county == "OldCounty"  # failed batch preserves too
+    assert rows[2].county == "KeepCounty"
+
+
+def test_enrich_batched_rejects_nonstring_inplace_column(spark):
+    """A non-string pre-existing county column fails fast with a typed
+    error instead of deep inside Arrow conversion."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 40.0, -75.0, 7)],
+        "id long, decimalLatitude double, decimalLongitude double, county long",
+    )
+    with pytest.raises(TypeError, match="string-typed"):
+        enrich_batched(df, stub_geocode_service)

@@ -536,3 +536,77 @@ def test_read_event_stream_refuses_empty_dir_with_nanos_rescue(spark, tmp_path):
     os.makedirs(src)
     with pytest.raises(ValueError, match="no parquet files"):
         read_event_stream(spark, src, nanos_ts=True)
+
+
+def test_stream_stream_join_outer_keeps_right_only_key(spark):
+    """how='right_outer': a right-side row with no qualifying left match
+    must come out with its KEY intact (coalesced from the right side),
+    not NULL — withWatermark is a no-op in batch, so the column
+    semantics are testable without draining a stream."""
+    from animaltrackingetls_spark.streaming import stream_stream_join
+
+    l = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00")],
+        "user_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = spark.createDataFrame(
+        [("u1", "2024-01-01 10:30:00"), ("u2", "2024-01-01 11:00:00")],
+        "user_id string, ts_r string",
+    ).withColumn("ts_r", F.col("ts_r").cast("timestamp"))
+    out = stream_stream_join(l, r, how="right_outer").collect()
+    keys = sorted(row.user_id for row in out)
+    assert keys == ["u1", "u2"]  # u2 (right-only) keeps its key
+    assert "user_id" in [f.name for f in stream_stream_join(l, r).schema.fields]
+
+
+def test_parquet_sink_update_mode_key_partition_migration(spark, tmp_path):
+    """keys_determine_partitions=False: a key re-emitted with a NEW
+    partition value must purge its stale copy in the old partition —
+    including deleting a partition directory that ends up fully empty
+    (dynamic overwrite would otherwise skip it)."""
+    import os
+
+    from animaltrackingetls_spark.streaming import run_available_now_to_parquet
+
+    src = tmp_path / "mig_src"
+    out = str(tmp_path / "mig_out")
+    ckpt = str(tmp_path / "mig_ckpt")
+    schema = "k long, part string, v long"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_available_now_to_parquet(
+            stream, out, ckpt, partition_cols=["part"],
+            output_mode="update", unique_key_cols=["k"],
+            keys_determine_partitions=False,
+        )
+
+    spark.createDataFrame([(1, "A", 1), (2, "C", 1)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()
+    assert {(r.k, r.part) for r in spark.read.parquet(out).collect()} == {
+        (1, "A"), (2, "C")
+    }
+
+    # key 1 migrates A -> B; partition A is left fully empty
+    spark.createDataFrame([(1, "B", 2)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()
+    rows = {(r.k, r.part, r.v) for r in spark.read.parquet(out).collect()}
+    assert rows == {(1, "B", 2), (2, "C", 1)}  # no stale (1, 'A') duplicate
+    assert not os.path.exists(os.path.join(out, "part=A"))  # emptied dir removed
+
+
+def test_remove_duplicate_spans_rejects_spans_with_keep_first(spark):
+    """keep_first=True cannot honor spans= (gram identity is gone after
+    merging) — passing both must raise, not silently recompute."""
+    from animaltrackingetls_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame([(2, 0, 5)], "id long, start long, end long")
+    with pytest.raises(ValueError, match="keep_first"):
+        dedup.remove_duplicate_spans(docs, spans=spans)
