@@ -207,6 +207,7 @@ def ngram_jaccard_pairs(
     block_cols: list[str] | None = None,
     length_band: int | None = None,
     length_col: str = "n_chars",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard with attribute blocking.
 
@@ -224,6 +225,22 @@ def ngram_jaccard_pairs(
     ``threshold <= 0`` (keep even disjoint pairs) falls back to the
     pair-join form. At scale, prefer `minhash_candidate_pairs`, which
     replaces attribute blocks with LSH bands.
+
+    **Adversarial-block guard** (``max_shingle_df``): the inverted-index
+    join's work is Σ per-(block, shingle) df² — one shingle appearing in
+    every document of a block goes quadratic. With ``max_shingle_df=c``
+    set, shingles whose per-(block) document frequency exceeds ``c`` are
+    excluded from CANDIDATE GENERATION, bounding join work at
+    ``c × total_shingle_rows`` (linear in the corpus for fixed ``c``).
+    Emitted pairs stay EXACT: each document's hot shingles form a tiny
+    array (at most the number of distinct over-cap shingles it holds),
+    joined back per candidate pair so the reported ``jaccard_sim``
+    includes the hot overlap bit-for-bit. The only loss is RECALL at the
+    margin: a pair whose entire overlap is over-cap shingles is never
+    generated — such a missed pair shares only its ``h`` hot shingles,
+    so its Jaccard is at most ``h / max(|A|, |B|)``; with stopword-like
+    hot shingles and any realistic threshold this is far below the cut.
+    ``None`` (default) applies no cap — identical output to round 6.
     """
     keep = list(block_cols or [])
     if length_band is not None and length_col not in keep:
@@ -235,6 +252,23 @@ def ngram_jaccard_pairs(
         ex = base.select(
             "id", "_sz", *[F.col(c) for c in keep], F.explode("sh").alias("_s")
         )
+        hot_by_doc = None
+        if max_shingle_df is not None:
+            # shingles are distinct per doc, so per-(block, shingle) df is a
+            # plain count; the cap is block-scoped because the join is
+            dfreq_keys = [*(block_cols or []), "_s"]
+            hot = (
+                ex.groupBy(*dfreq_keys)
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") > max_shingle_df)
+                .select(*dfreq_keys)
+            )
+            hot_by_doc = (
+                ex.join(hot, dfreq_keys, "left_semi")
+                .groupBy("id")
+                .agg(F.collect_set("_s").alias("_hot"))
+            )
+            ex = ex.join(hot, dfreq_keys, "left_anti")
         a, b = ex.alias("a"), ex.alias("b")
         cond = (F.col("a.id") < F.col("b.id")) & (F.col("a._s") == F.col("b._s"))
         for c in block_cols or []:
@@ -254,6 +288,36 @@ def ngram_jaccard_pairs(
             )
             .agg(F.count(F.lit(1)).alias("_inter"))
         )
+        if hot_by_doc is not None:
+            # restore exactness for emitted pairs: add the hot-shingle
+            # overlap back (per-doc hot arrays are tiny by construction)
+            empty = F.array().cast("array<string>")
+            inter = (
+                inter.join(
+                    hot_by_doc.select(
+                        F.col("id").alias("id_a"), F.col("_hot").alias("_ha")
+                    ),
+                    "id_a",
+                    "left",
+                )
+                .join(
+                    hot_by_doc.select(
+                        F.col("id").alias("id_b"), F.col("_hot").alias("_hb")
+                    ),
+                    "id_b",
+                    "left",
+                )
+                .withColumn(
+                    "_inter",
+                    F.col("_inter")
+                    + F.size(
+                        F.array_intersect(
+                            F.coalesce(F.col("_ha"), empty),
+                            F.coalesce(F.col("_hb"), empty),
+                        )
+                    ),
+                )
+            )
         sim = F.col("_inter") / (
             F.col("_sza") + F.col("_szb") - F.col("_inter")
         ).cast("double")

@@ -936,3 +936,58 @@ def test_remove_duplicate_spans_keep_first_across_merge_boundaries(spark):
     assert out[3].clean_text == "pre amble words here now"
     # the old span-TEXT election saw three distinct merged strings here
     # (doc2's two runs glue into one span) and removed nothing
+
+
+def test_ngram_jaccard_max_shingle_df_exact_above_cap(spark):
+    """max_shingle_df high enough to cap nothing -> bit-identical output;
+    emitted pairs under a tight cap keep their EXACT uncapped Jaccard
+    (hot overlap is added back), and only pairs whose entire overlap is
+    over-cap shingles are dropped."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat today fine"),
+            (2, "the cat sat on the mat today ok"),
+            (3, "a dog ran in the park quickly now"),
+            (4, "a dog ran in the park quickly now extra"),
+            (5, "the cat sat zzz qqq www eee rrr"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def pairs(**kw):
+        return sorted(
+            (r.id_a, r.id_b, round(r.jaccard_sim, 6))
+            for r in dedup.ngram_jaccard_pairs(docs, **kw).collect()
+        )
+
+    assert pairs(threshold=0.2, max_shingle_df=100) == pairs(threshold=0.2)
+
+    # 'the cat sat' has df=3 (docs 1,2,5): with cap=2 it cannot generate
+    # candidates. (1,5)/(2,5) overlap ONLY on it -> dropped; (1,2) also
+    # shares rare shingles -> kept, with the hot gram still counted.
+    uncapped = {(a, b): s for a, b, s in pairs(threshold=0.01)}
+    capped = {(a, b): s for a, b, s in pairs(threshold=0.01, max_shingle_df=2)}
+    assert set(uncapped) - set(capped) == {(1, 5), (2, 5)}
+    for k, s in capped.items():
+        assert s == uncapped[k]  # exact, not rare-only, similarity
+
+
+def test_ngram_jaccard_degenerate_block_bounded(spark):
+    """Adversarial block: one shingle present in EVERY document. With the
+    cap, the inverted-index join's per-shingle fan-out is bounded by the
+    cap, the universal shingle generates no candidates, and true near-dup
+    pairs (sharing rare shingles) still come out exact."""
+    n = 200
+    rows = [(i, f"common gram here unique{i} t{i} u{i} v{i}") for i in range(n)]
+    # one genuine near-dup pair that ALSO contains the universal shingle
+    rows.append((n, "common gram here unique7 t7 u7 v7 tail"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.4, max_shingle_df=5
+        ).collect()
+    }
+    assert set(out) == {(7, n)}
+    # doc 7: 5 shingles, doc n: 6 shingles, 5 shared (incl. the hot one)
+    assert abs(out[(7, n)] - 5 / 6) < 1e-9
