@@ -481,17 +481,6 @@ _BM25_QUERY_TERMS = ["spark", "window", "join", "stream"]
 _BM25_K = 25
 
 
-def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 disjunctive retrieval over documents: top-25 for a
-    4-term query. Plan shape: explode→isin-filter→agg shuffles only
-    (doc, query-term) pairs; N/avgdl re-enter as a broadcast single-row
-    frame; document frequencies broadcast (≤|query| rows); the final
-    ranking is TakeOrderedAndProject on the rounded score with doc_id
-    tiebreak (never a global sort). See operators/retrieval.py."""
-    docs = _t(spark, sf_dir, "documents")
-    return retrieval.bm25_topk(docs, _BM25_QUERY_TERMS, _BM25_K)
-
-
 # The regex tier runs over a deterministic synthesized "contact card"
 # per customer (the slim TPC-H-ish schema carries no real PII), so the
 # gate checks that Spark's Java regex and the oracle's RE2 agree on
@@ -1825,21 +1814,6 @@ def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.chunk_documents(docs, chunk_tokens=16, stride=12)
 
 
-_RRF_TERMS = ["spark", "shuffle", "join", "query"]
-
-
-def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: BM25 lexical top-20 fused with dense cosine
-    top-20 (query embedding vec_id=0) by reciprocal-rank fusion; both
-    retrievers prune to pool size before the (broadcast-small) fusion
-    join."""
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
-    return retrieval.rrf_fusion(
-        docs, emb, _RRF_TERMS, query_vec_id=0, k=10, pool=20
-    )
-
-
 def _q_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius self-join over the derived sighting points: all pairs
     within 100 km via 3D chord-grid blocking (pole-safe ±1-cell
@@ -2129,15 +2103,32 @@ def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_retrieval_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval pair folded: BM25 top-25 ('bm25' rows: score=bm25,
     n1=n_query_terms) and hybrid RRF fusion top-10 ('rrf' rows:
-    score=rrf, n1=lex_rank, n2=vec_rank)."""
-    bm = _q_bm25_topk(spark, sf_dir).select(
+    score=rrf, n1=lex_rank, n2=vec_rank).
+
+    Round-7 de-fold: both branches SHARE one BM25 scoring pass — the
+    fusion's lexical pool is the top-20 slice of the same top-25 frame
+    (``lex_pool=``), so the rrf branch uses _BM25_QUERY_TERMS (oracle
+    mirrors). The shared 25-row pool is persisted: without it Catalyst
+    prunes each union branch to a DIFFERENT column set (branch 1 keeps
+    n_query_terms, branch 2 only needs bm25 for ranks), the pruned
+    subtrees stop being canonical-equal, exchange reuse dies, and the
+    corpus scan+aggregation runs twice — two narrow scans instead of
+    one shared wide one, exactly backwards at 100 TB. Materializing
+    the k-row retriever pool is the production shape."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm_full = retrieval.bm25_topk(docs, _BM25_QUERY_TERMS, _BM25_K).persist()
+    bm = bm_full.select(
         F.lit("bm25").alias("kind"),
         "doc_id",
         F.col("bm25").alias("score"),
         F.col("n_query_terms").cast("long").alias("n1"),
         F.lit(None).cast("long").alias("n2"),
     )
-    rrf = _q_rrf_fusion(spark, sf_dir).select(
+    rrf = retrieval.rrf_fusion(
+        docs, emb, _BM25_QUERY_TERMS, query_vec_id=0, k=10, pool=20,
+        lex_pool=bm_full,
+    ).select(
         F.lit("rrf").alias("kind"),
         "doc_id",
         F.col("rrf").alias("score"),
@@ -2777,7 +2768,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'rrf' AS kind, doc_id, rrf AS score,
                    CAST(lex_rank AS BIGINT) AS n1,
                    CAST(vec_rank AS BIGINT) AS n2
-            FROM ({retrieval.rrf_oracle_sql(_RRF_TERMS, 0, k=10, pool=20)})
+            FROM ({retrieval.rrf_oracle_sql(_BM25_QUERY_TERMS, 0, k=10, pool=20)})
         """,
         "pii_redaction": _pii_oracle_sql(),
         "contamination_overlap": """

@@ -136,21 +136,28 @@ def catalog_columns(
 
 
 def table_counts(tables: dict[str, DataFrame]) -> DataFrame:
-    """A2: full-table row counts, one aggregate per table, unioned.
+    """A2: full-table row counts in ONE aggregation.
 
-    Global agg (not groupBy on a literal): an empty table must still
-    yield its (name, 0) row, matching COUNT(*) semantics.
+    Every table projects to a single literal-name column, the union of
+    those streams group-bys on the name — map-side partials reduce each
+    input partition to one row before the single shuffle, vs the
+    previous shape's one exchange PER table (10 exchanges for the
+    10-table catalog). An empty table contributes no rows to the union,
+    so COUNT(*)=0 semantics are restored by left-joining a driver-built
+    name dimension (|tables| rows, broadcast) and coalescing to 0.
     """
-    counted = [
-        df.agg(F.count(F.lit(1)).alias("n_rows")).select(
-            F.lit(name).alias("table_name"), "n_rows"
-        )
-        for name, df in tables.items()
-    ]
-    out = counted[0]
-    for c in counted[1:]:
-        out = out.unionByName(c)
-    return out
+    dfs = list(tables.values())
+    spark = dfs[0].sparkSession
+    names = spark.createDataFrame(
+        [(n,) for n in tables], "table_name string"
+    )
+    rows = dfs[0].select(F.lit(list(tables)[0]).alias("table_name"))
+    for name, df in list(tables.items())[1:]:
+        rows = rows.unionByName(df.select(F.lit(name).alias("table_name")))
+    counts = rows.groupBy("table_name").agg(F.count(F.lit(1)).alias("n_rows"))
+    return names.join(F.broadcast(counts), "table_name", "left").select(
+        "table_name", F.coalesce("n_rows", F.lit(0)).alias("n_rows")
+    )
 
 
 # ---------------------------------------------------------------------------

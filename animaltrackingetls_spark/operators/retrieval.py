@@ -87,17 +87,28 @@ def bm25_topk(
     Only documents containing ≥1 query term are scored (disjunctive
     retrieval); everything else is pruned before any shuffle.
     """
-    tf = term_frequencies(docs, query_terms, text_col=text_col, id_col=id_col)
-
-    # Per-document length: a projection over the scan — no explode, no
-    # shuffle. Joined on id AFTER the tf aggregation so only retrieved
-    # documents pay the join.
-    dl = docs.select(
-        F.col(id_col).alias("id"), token_count(F.col(text_col)).alias("dl")
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    # Per-document length rides INSIDE the tf pass as a grouping key
+    # (constant per document), so the corpus-wide (id, dl) shuffle join
+    # the previous shape paid is gone entirely — the only corpus-sized
+    # shuffle is the pruned (doc, query-term) stream, now 8 bytes/row
+    # wider. The token array is bound once (explode of a 1-element
+    # array) so size() and the explode read an attribute, not two
+    # regexp passes.
+    bound = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("tk"),
+    )
+    tf = (
+        bound.select("id", F.size("tk").alias("dl"), F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(query_terms))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
 
-    # Corpus constants: one row, broadcast back in.
-    stats = dl.agg(
+    # Corpus constants: one row, re-entering as a scalar subquery.
+    stats = docs.select(token_count(F.col(text_col)).alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
 
@@ -115,7 +126,7 @@ def bm25_topk(
     )
 
     scored = (
-        attach_scalar(tf.join(F.broadcast(dfreq), "term").join(dl, "id"), stats)
+        attach_scalar(tf.join(F.broadcast(dfreq), "term"), stats)
         .groupBy("id")
         .agg(
             F.sum(idf * saturation).alias("score"),
@@ -238,6 +249,7 @@ def rrf_fusion(
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lex_pool: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
     top-``pool`` and the dense cosine top-``pool`` (query = the
@@ -253,12 +265,21 @@ def rrf_fusion(
     so the fusion join touches 2·pool rows no matter the corpus size;
     both sides broadcast. The single-partition rank windows run on
     those pool-sized frames, not the corpus.
+
+    ``lex_pool`` lets a caller who ALREADY has a BM25 result (e.g. a
+    fold running the lexical top-k next to the fusion, or a cached
+    retriever output) feed it in instead of rescoring the corpus: any
+    frame with (``id_col``, ``bm25``) columns and ≥ ``pool`` of the
+    top documents works — it is re-ranked with the same (score desc,
+    id) tie-break and cut to ``pool``. Inside one query plan the shared
+    subtree's exchanges are reused, so the corpus is tokenized and
+    aggregated once for both branches.
     """
     from .similarity import brute_force_topk
 
     if k_rrf < 1:
         raise ValueError(f"k_rrf must be >= 1, got {k_rrf}")
-    bm = bm25_topk(
+    bm = lex_pool if lex_pool is not None else bm25_topk(
         docs, query_terms, pool, text_col=text_col, id_col=id_col
     )
     # rank over the already-limited pool frame (<= pool rows; the window
@@ -266,25 +287,38 @@ def rrf_fusion(
     w_lex = Window.orderBy(F.desc("bm25"), F.asc(id_col))
     lex = bm.select(
         F.col(id_col).alias("id"), F.row_number().over(w_lex).alias("lex_rank")
-    )
+    ).filter(F.col("lex_rank") <= pool)
     q = emb.filter(F.col(vec_id_col) == query_vec_id)
     cos = brute_force_topk(
         emb, q, k=pool, id_col=vec_id_col, vec_col=vec_col,
         query_id_col=vec_id_col, round_digits=6,
     ).select(F.col("n_id").alias("id"), F.col("rank").alias("vec_rank"))
 
-    fused = lex.join(cos, "id", "full_outer")
-    rrf = F.round(
-        F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("lex_rank")), F.lit(0.0))
-        + F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("vec_rank")), F.lit(0.0)),
-        9,
+    # RRF is a SUM of per-retriever contributions, so the fusion is an
+    # aggregation, not a join: union the two rank streams and groupBy id
+    # — one exchange over ≤ 2·pool rows, vs the full-outer join's two,
+    # and the same shape generalizes to any number of retrievers.
+    contrib = lex.select(
+        "id",
+        (F.lit(1.0) / (F.lit(k_rrf) + F.col("lex_rank"))).alias("c"),
+        F.col("lex_rank").cast("int").alias("lex_rank"),
+        F.lit(None).cast("int").alias("vec_rank"),
+    ).unionByName(
+        cos.select(
+            "id",
+            (F.lit(1.0) / (F.lit(k_rrf) + F.col("vec_rank"))).alias("c"),
+            F.lit(None).cast("int").alias("lex_rank"),
+            F.col("vec_rank").cast("int").alias("vec_rank"),
+        )
+    )
+    fused = contrib.groupBy("id").agg(
+        F.round(F.sum("c"), 9).alias("rrf"),
+        F.max("lex_rank").alias("lex_rank"),
+        F.max("vec_rank").alias("vec_rank"),
     )
     return (
         fused.select(
-            F.col("id").alias(id_col),
-            rrf.alias("rrf"),
-            F.col("lex_rank").cast("int").alias("lex_rank"),
-            F.col("vec_rank").cast("int").alias("vec_rank"),
+            F.col("id").alias(id_col), "rrf", "lex_rank", "vec_rank"
         )
         .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(k)
