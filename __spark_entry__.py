@@ -1152,7 +1152,11 @@ def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from animaltrackingetls_spark.operators.aggregates import approx_top_k
 
     docs = _t(spark, sf_dir, "documents")
-    bg = docs.select(F.explode(dedup.word_shingles(F.col("text"), 2)).alias("bigram"))
+    # bound-token form (shingle_frame): tokenize ONCE per doc through a
+    # Generate node — the expression form re-runs the regexp per shingle
+    bg = dedup.shingle_frame(docs, "doc_id", "text", 2).select(
+        F.explode("sh").alias("bigram")
+    )
     exact = (
         bg.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_docs"))
