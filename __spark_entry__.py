@@ -978,21 +978,25 @@ def _q_mask_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal metadata + REAL PNG/JPEG/GIF/WAV header decodes
-    (folded).
+    """Multimodal metadata + REAL PNG/JPEG/GIF/BMP/TIFF/WAV header
+    decodes (folded).
 
-    Text payloads carry JVM-side byte length + sha256 as before. Four
+    Text payloads carry JVM-side byte length + sha256 as before. Six
     media payloads per doc are synthesized as genuine bytes — PNG
     signature+IHDR; a JPEG marker-segment stream whose APP1 payload
     deliberately embeds a fake FFC0 (the false-SOF trap); a GIF89a
-    logical screen descriptor (little-endian dims); and a RIFF/WAVE
-    header with a decoy LIST chunk before "fmt " (the fixed-offset
-    trap) — with dims/audio params derived from doc_id, then parsed
-    BACK from the raw bytes by the byte-level parsers (png_ihdr /
-    jpeg_sof segment walk / gif_screen / wav_fmt chunk walk). The
-    oracle recomputes everything by formula, so any parse/synthesis
-    disagreement — including falling into either trap — fails the
-    hash."""
+    logical screen descriptor (little-endian dims); a BMP
+    BITMAPINFOHEADER with odd ids stored TOP-DOWN (negative s32le
+    height — the signed-field trap); a TIFF whose byte order flips per
+    row (II/MM — the endian trap) with BitsPerSample behind a count-3
+    offset pointer and decoy IFD tags; and a RIFF/WAVE header with a
+    decoy LIST chunk before "fmt " (the fixed-offset trap) — with
+    dims/audio params derived from doc_id, then parsed BACK from the
+    raw bytes by the byte-level parsers (png_ihdr / jpeg_sof segment
+    walk / gif_screen / bmp_header / tiff_ifd IFD walk / wav_fmt chunk
+    walk). The oracle recomputes everything by formula, so any
+    parse/synthesis disagreement — including falling into any trap —
+    fails the hash."""
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.to_media_table(
         docs, "doc_id", F.encode(F.col("text"), "utf-8"), "text/plain"
@@ -1030,9 +1034,35 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") * 997 % 100000 + 8000).cast("long"),
         ).alias("payload"),
     )
+    # BMP: odd ids stored top-down (negative s32le height — the signed
+    # trap); TIFF: even ids big-endian, odd little-endian, BitsPerSample
+    # stored as a count-3 offset array (the through-the-pointer read)
+    bmp = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("image/bmp").alias("content_type"),
+        multimodal.synthesize_bmp_header(
+            (F.col("doc_id") * 17 % 320 + 4).cast("long"),
+            (F.col("doc_id") * 19 % 240 + 4).cast("long"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(8)).otherwise(F.lit(24)),
+            F.col("doc_id") % 2 == 1,
+        ).alias("payload"),
+    )
+    tiff = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("image/tiff").alias("content_type"),
+        multimodal.synthesize_tiff_header(
+            (F.col("doc_id") * 23 % 2048 + 1).cast("long"),
+            (F.col("doc_id") * 29 % 2048 + 1).cast("long"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(16)).otherwise(F.lit(8)),
+            (F.col("doc_id") % 3).cast("long"),
+            F.col("doc_id") % 2 == 0,
+        ).alias("payload"),
+    )
     dims = multimodal.image_dimensions(png)
     jdims = multimodal.image_dimensions(jpeg)
     gdims = multimodal.image_dimensions(gif)
+    bdims = multimodal.image_dimensions(bmp)
+    tdims = multimodal.image_dimensions(tiff)
     wmeta = multimodal.audio_metadata(wav)
     return (
         media.select("media_id", "content_type", "n_bytes", "sha256_hex")
@@ -1055,6 +1085,25 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "media_id",
                 F.col("width").alias("gif_w"),
                 F.col("height").alias("gif_h"),
+            ),
+            "media_id",
+        )
+        .join(
+            bdims.select(
+                "media_id",
+                F.col("width").alias("bmp_w"),
+                F.col("height").alias("bmp_h"),
+                F.col("bit_depth").alias("bmp_bits"),
+            ),
+            "media_id",
+        )
+        .join(
+            tdims.select(
+                "media_id",
+                F.col("width").alias("tiff_w"),
+                F.col("height").alias("tiff_h"),
+                F.col("bit_depth").alias("tiff_bits"),
+                F.col("color_type").alias("tiff_photo"),
             ),
             "media_id",
         )
@@ -1713,12 +1762,23 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via IVF (k-means cells) + exact re-rank."""
+    """Approximate top-k via IVF (k-means cells) + exact re-rank over
+    the probed candidates, at BOTH pinned operating points: probe 2
+    (the 2.3×-candidate-lift efficiency point) and probe 6 (the ≥0.9
+    recall point — measured 0.96 recall@10 at sf0.01, floor pinned in
+    test_similarity.py). Scores within the candidate set are exact
+    cosine, so a returned neighbor's rank can only be wrong by
+    OMISSION (a true neighbor in an unprobed cell), never by
+    mis-scoring — the exact-over-candidates parity test pins that."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(
-        emb, queries_df, k=10, n_centroids=8, n_probe=2, round_digits=6
-    )
+    out = None
+    for probe in (2, 6):
+        branch = similarity.ivf_topk(
+            emb, queries_df, k=10, n_centroids=8, n_probe=probe, round_digits=6
+        ).select(F.lit(probe).alias("n_probe"), "*")
+        out = branch if out is None else out.unionByName(branch)
+    return out
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3302,6 +3362,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS INT) AS jpeg_ncomp,
                    CAST(doc_id * 11 % 640 + 8 AS BIGINT) AS gif_w,
                    CAST(doc_id * 5 % 480 + 8 AS BIGINT) AS gif_h,
+                   CAST(doc_id * 17 % 320 + 4 AS BIGINT) AS bmp_w,
+                   CAST(doc_id * 19 % 240 + 4 AS BIGINT) AS bmp_h,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 24 END AS INT)
+                     AS bmp_bits,
+                   CAST(doc_id * 23 % 2048 + 1 AS BIGINT) AS tiff_w,
+                   CAST(doc_id * 29 % 2048 + 1 AS BIGINT) AS tiff_h,
+                   CAST(CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 END AS INT)
+                     AS tiff_bits,
+                   CAST(doc_id % 3 AS INT) AS tiff_photo,
                    CAST(doc_id % 2 + 1 AS INT) AS wav_channels,
                    CAST(doc_id % 3 * 8000 + 16000 AS BIGINT) AS wav_rate,
                    CAST(16 AS INT) AS wav_bits,

@@ -101,17 +101,22 @@ def png_ihdr(payload: Column) -> Column:
 
 def image_dimensions(media: DataFrame) -> DataFrame:
     """(media_id, width, height, bit_depth, color_type) for PNG, JPEG,
-    and GIF payloads in a media table, auto-detected by signature (PNG
-    first, then the JPEG segment walk, then the GIF screen descriptor);
-    NULL fields for anything else. Pure JVM — the payload never crosses
-    into Python. For JPEG rows bit_depth is the sample precision and
+    GIF, BMP, and TIFF payloads in a media table, auto-detected by
+    signature (PNG first, then the JPEG segment walk, the GIF screen
+    descriptor, the BMP DIB struct, and the TIFF IFD walk); NULL fields
+    for anything else. Pure JVM — the payload never crosses into
+    Python. For JPEG rows bit_depth is the sample precision and
     color_type the component count (see :func:`jpeg_sof`); for GIF rows
     bit_depth is the color resolution and color_type the GCT flag (see
-    :func:`gif_screen`)."""
+    :func:`gif_screen`); for BMP rows bits-per-pixel and compression
+    (see :func:`bmp_header`); for TIFF rows BitsPerSample[0] and
+    PhotometricInterpretation (see :func:`tiff_ifd`)."""
     ihdr = F.coalesce(
         png_ihdr(F.col("payload")),
         jpeg_sof(F.col("payload")),
         gif_screen(F.col("payload")),
+        bmp_header(F.col("payload")),
+        tiff_ifd(F.col("payload")),
     )
     return media.select(
         "media_id",
@@ -384,6 +389,289 @@ def decode_gif_header(payload: bytes) -> tuple[int, int, int, int] | None:
     width, height = struct.unpack("<HH", p[6:10])
     packed = p[10]
     return (width, height, ((packed >> 4) & 7) + 1, packed >> 7)
+
+
+def bmp_header(payload: Column) -> Column:
+    """Parse the BMP file + BITMAPINFOHEADER from raw bytes, JVM-side.
+
+    Fixed little-endian struct: "BM" signature, u32le file size, 4
+    reserved bytes, u32le pixel-data offset, then the DIB header —
+    u32le header size (must be >= 40, the BITMAPINFOHEADER family),
+    s32le width, s32le height (NEGATIVE means top-down row order — the
+    classic signed-field trap; reported as |height|), u16le planes
+    (must be 1 per spec — a malformed-plane trap), u16le bits-per-pixel.
+    Returns struct(width, height, bit_depth=bpp, color_type=compression
+    u32le) in :func:`png_ihdr`'s shape; non-BMP bytes yield NULL.
+    """
+    height_raw = _le_uint(payload, F.lit(23), 4)
+    # s32le: values past 2^31-1 are negative (top-down); report magnitude
+    height = F.when(
+        height_raw > F.lit(0x7FFFFFFF), F.lit(0x100000000) - height_raw
+    ).otherwise(height_raw)
+    is_bmp = (
+        (F.hex(F.substring(payload, 1, 2)) == F.lit("424D"))  # "BM"
+        & (F.octet_length(payload) >= 34)
+        & (_le_uint(payload, F.lit(15), 4) >= 40)  # DIB header size
+        & (_le_uint(payload, F.lit(27), 2) == 1)  # planes
+    )
+    return F.when(
+        is_bmp,
+        F.struct(
+            _le_uint(payload, F.lit(19), 4).alias("width"),
+            height.cast("long").alias("height"),
+            _le_uint(payload, F.lit(29), 2).cast("int").alias("bit_depth"),
+            _le_uint(payload, F.lit(31), 4).cast("int").alias("color_type"),
+        ),
+    )
+
+
+def synthesize_bmp_header(
+    width: Column, height: Column, bits: Column, top_down: Column
+) -> Column:
+    """Genuine 54-byte BMP header (file header + BITMAPINFOHEADER) as a
+    binary column. ``top_down`` stores the height NEGATIVE (two's
+    complement s32le) so the parser's signed-field handling is really
+    exercised; compression is 0 (BI_RGB)."""
+
+    def le16(c: Column) -> Column:
+        h = F.lpad(F.hex(c.cast("long")), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    def le32(c: Column) -> Column:
+        h = F.lpad(F.hex(c.cast("long")), 8, "0")
+        return F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        )
+
+    row_bytes = F.shiftright(width * bits + 31, 5) * 4  # 4-byte aligned
+    file_size = F.lit(54) + row_bytes * height
+    stored_h = F.when(top_down, F.lit(0x100000000) - height).otherwise(height)
+    return F.unhex(
+        F.concat(
+            F.lit("424D"), le32(file_size), F.lit("00000000"), le32(F.lit(54)),
+            le32(F.lit(40)), le32(width), le32(stored_h), le16(F.lit(1)),
+            le16(bits), le32(F.lit(0)), le32(row_bytes * height),
+            le32(F.lit(2835)), le32(F.lit(2835)), le32(F.lit(0)), le32(F.lit(0)),
+        )
+    )
+
+
+def decode_bmp_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Python twin of :func:`bmp_header` (stdlib only). Returns
+    (width, |height|, bits_per_pixel, compression) or None."""
+    p = bytes(payload)
+    if len(p) < 34 or p[:2] != b"BM":
+        return None
+    dib_size, width, height = struct.unpack("<Iii", p[14:26])
+    planes, bits = struct.unpack("<HH", p[26:30])
+    compression = struct.unpack("<I", p[30:34])[0]
+    if dib_size < 40 or planes != 1:
+        return None
+    return (width, abs(height), bits, compression)
+
+
+_TIFF_MAX_IFD_ENTRIES = 64
+
+
+def tiff_ifd(payload: Column) -> Column:
+    """Parse TIFF image metadata by walking the first IFD, JVM-side.
+
+    TIFF is ENDIAN-TAGGED: "II"+42le (Intel) or "MM"+42be (Motorola),
+    then a u32 offset to the first IFD — every later integer is decoded
+    in whichever byte order the first two bytes declared, so both
+    helpers below are endian-conditional expressions. The IFD is a u16
+    entry count followed by 12-byte entries (tag u16, type u16, count
+    u32, value-or-offset u32) — the walk is an ``F.aggregate`` over the
+    entry index sequence (the same bounded-walk idiom as the JPEG
+    marker scan), capped at 64 entries, matching tags not positions
+    (decoy entries with other tags must be skipped, not tripped over).
+    SHORT(3) values live in the value field's FIRST TWO BYTES
+    (endian-dependent); a SHORT with count > 2 doesn't fit inline, so
+    the field is an offset and the first sample is read THROUGH it
+    (BitsPerSample for RGB is the classic case). LONG(4) reads all 4.
+
+    Returns struct(width, height, bit_depth=BitsPerSample[0],
+    color_type=PhotometricInterpretation) — tags 256/257/258/262 —
+    or NULL for non-TIFF bytes.
+    """
+    sig = F.hex(F.substring(payload, 1, 2))
+    is_le = sig == F.lit("4949")  # "II"
+    is_be = sig == F.lit("4D4D")  # "MM"
+
+    def be_uint(off: Column, nbytes: int) -> Column:
+        return F.conv(F.hex(F.substring(payload, off, nbytes)), 16, 10).cast("long")
+
+    def u16(off: Column) -> Column:
+        return F.when(is_le, _le_uint(payload, off, 2)).otherwise(be_uint(off, 2))
+
+    def u32(off: Column) -> Column:
+        return F.when(is_le, _le_uint(payload, off, 4)).otherwise(be_uint(off, 4))
+
+    ifd = u32(F.lit(5)) + 1  # TIFF offsets are 0-based; substring is 1-based
+    is_tiff = (
+        (is_le | is_be)
+        & (u16(F.lit(3)) == 42)
+        & (F.octet_length(payload) >= 8)
+        # the IFD entry count itself must be in bounds — a truncated
+        # file is rejected, not parsed into an all-NULL struct
+        & (F.octet_length(payload) >= ifd + 1)
+    )
+    n_entries = u16(ifd)
+    walk_n = F.least(n_entries, F.lit(_TIFF_MAX_IFD_ENTRIES))
+    init = F.struct(
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("bits"),
+        F.lit(None).cast("long").alias("photo"),
+    )
+
+    # Expression-size discipline: Catalyst has no let-binding, so the
+    # (tag, typ, cnt, value) decode is materialized ONCE per entry into
+    # a struct array via transform, and the fold's merge lambda only
+    # touches the tiny struct fields. Folding the raw decode directly
+    # would inline the byte-decode tree into every one of the four
+    # accumulator fields — measured as the ANALYZER (not execution)
+    # spinning minutes of GC on plans combining several parsers.
+    def entry_struct(i: Column) -> Column:
+        eo = ifd + 2 + i * 12
+        typ = u16(eo + 2)
+        cnt = u32(eo + 4)
+        # SHORT fits inline only while count <= 2; otherwise the value
+        # field is an offset to the sample array — follow it
+        val = (
+            F.when(typ == 3, F.when(cnt <= 2, u16(eo + 8)).otherwise(u16(u32(eo + 8) + 1)))
+            .when(typ == 4, u32(eo + 8))
+        )
+        return F.struct(u16(eo).alias("tag"), val.alias("val"))
+
+    entries = F.transform(
+        F.when(walk_n >= 1, F.sequence(F.lit(0), walk_n - 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        entry_struct,
+    )
+
+    def step(acc: Column, e: Column) -> Column:
+        def take(t: int, cur: Column) -> Column:
+            return F.when(
+                (e["tag"] == t) & cur.isNull() & e["val"].isNotNull(), e["val"]
+            ).otherwise(cur)
+
+        return F.struct(
+            take(256, acc["width"]).alias("width"),
+            take(257, acc["height"]).alias("height"),
+            take(258, acc["bits"]).alias("bits"),
+            take(262, acc["photo"]).alias("photo"),
+        )
+
+    walked = F.aggregate(
+        entries,
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["width"].alias("width"),
+            acc["height"].alias("height"),
+            acc["bits"].cast("int").alias("bit_depth"),
+            acc["photo"].cast("int").alias("color_type"),
+        ),
+    )
+    return F.when(is_tiff, walked)
+
+
+def synthesize_tiff_header(
+    width: Column, height: Column, bits: Column, photo: Column, big_endian: Column
+) -> Column:
+    """Genuine minimal TIFF as a binary column, in EITHER byte order
+    (``big_endian`` per row — the parser must honor the declared order,
+    not assume one). First IFD holds 6 entries sorted by tag: a decoy
+    NewSubfileType (254, LONG 0), ImageWidth (256, SHORT), ImageLength
+    (257, SHORT), BitsPerSample (258, SHORT count 3 → stored as an
+    OFFSET to three samples after the IFD, exercising the
+    through-the-pointer read), Compression decoy (259, SHORT 1) and
+    PhotometricInterpretation (262, SHORT)."""
+
+    def n16(c: Column) -> Column:
+        h = F.lpad(F.hex(c.cast("long")), 4, "0")
+        return F.when(
+            big_endian, h
+        ).otherwise(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)))
+
+    def n32(c: Column) -> Column:
+        h = F.lpad(F.hex(c.cast("long")), 8, "0")
+        return F.when(big_endian, h).otherwise(
+            F.concat(
+                F.substring(h, 7, 2), F.substring(h, 5, 2),
+                F.substring(h, 3, 2), F.substring(h, 1, 2),
+            )
+        )
+
+    def short_entry(tag: int, value: Column) -> Column:
+        # SHORT count 1: value in the FIRST two bytes of the field
+        # (position depends on endianness)
+        v = F.lpad(F.hex(value.cast("long")), 4, "0")
+        field = F.when(big_endian, F.concat(v, F.lit("0000"))).otherwise(
+            F.concat(F.substring(v, 3, 2), F.substring(v, 1, 2), F.lit("0000"))
+        )
+        return F.concat(n16(F.lit(tag)), n16(F.lit(3)), n32(F.lit(1)), field)
+
+    def long_entry(tag: int, value: Column) -> Column:
+        return F.concat(n16(F.lit(tag)), n16(F.lit(4)), n32(F.lit(1)), n32(value))
+
+    # layout: 8-byte header, IFD at offset 8: count(2) + 6*12 + next(4)
+    # = 78 bytes -> samples array at offset 8 + 78 = 86
+    samples_off = 86
+    bps_entry = F.concat(
+        n16(F.lit(258)), n16(F.lit(3)), n32(F.lit(3)), n32(F.lit(samples_off))
+    )
+    header = F.when(big_endian, F.lit("4D4D002A")).otherwise(F.lit("49492A00"))
+    return F.unhex(
+        F.concat(
+            header,
+            n32(F.lit(8)),
+            n16(F.lit(6)),
+            long_entry(254, F.lit(0)),
+            short_entry(256, width),
+            short_entry(257, height),
+            bps_entry,
+            short_entry(259, F.lit(1)),
+            short_entry(262, photo),
+            n32(F.lit(0)),  # next IFD: none
+            n16(bits), n16(bits), n16(bits),  # BitsPerSample[3]
+        )
+    )
+
+
+def decode_tiff_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Python twin of :func:`tiff_ifd` (stdlib only). Returns
+    (width, height, bits_per_sample0, photometric) or None."""
+    p = bytes(payload)
+    if len(p) < 8 or p[:2] not in (b"II", b"MM"):
+        return None
+    e = "<" if p[:2] == b"II" else ">"
+    if struct.unpack(e + "H", p[2:4])[0] != 42:
+        return None
+    ifd = struct.unpack(e + "I", p[4:8])[0]
+    n = struct.unpack(e + "H", p[ifd:ifd + 2])[0]
+    got: dict[int, int] = {}
+    for i in range(min(n, _TIFF_MAX_IFD_ENTRIES)):
+        eo = ifd + 2 + i * 12
+        tag, typ = struct.unpack(e + "HH", p[eo:eo + 4])
+        cnt = struct.unpack(e + "I", p[eo + 4:eo + 8])[0]
+        if typ == 3:
+            if cnt <= 2:
+                val = struct.unpack(e + "H", p[eo + 8:eo + 10])[0]
+            else:
+                off = struct.unpack(e + "I", p[eo + 8:eo + 12])[0]
+                val = struct.unpack(e + "H", p[off:off + 2])[0]
+        elif typ == 4:
+            val = struct.unpack(e + "I", p[eo + 8:eo + 12])[0]
+        else:
+            continue
+        got.setdefault(tag, val)
+    if not all(t in got for t in (256, 257, 258, 262)):
+        return None
+    return (got[256], got[257], got[258], got[262])
 
 
 def wav_fmt(payload: Column) -> Column:

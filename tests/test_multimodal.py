@@ -488,7 +488,91 @@ def test_byte_parsers_never_throw_on_garbage(spark, payload):
         M.gif_screen(F.col("payload")).alias("gif"),
         M.wav_fmt(F.col("payload")).alias("wav"),
         M.pgm_parse(F.col("payload")).alias("pgm"),
+        M.bmp_header(F.col("payload")).alias("bmp"),
+        M.tiff_ifd(F.col("payload")).alias("tiff"),
     ).first()
     # random short bytes can't be a valid header of any format
     assert row.png is None and row.jpeg is None and row.gif is None
     assert row.wav is None and row.pgm is None
+    assert row.bmp is None and row.tiff is None
+
+
+def test_bmp_header_roundtrip_topdown_and_twin(spark):
+    """BMP: bottom-up and TOP-DOWN (negative s32le height) rows both
+    decode to the magnitude dims; the Python twin agrees byte-for-byte;
+    planes != 1 and a sub-40-byte DIB header are rejected."""
+    from animaltrackingetls_spark.operators import multimodal as M
+
+    df = spark.range(8).select(
+        "id",
+        M.synthesize_bmp_header(
+            (F.col("id") * 31 % 500 + 1).cast("long"),
+            (F.col("id") * 37 % 400 + 1).cast("long"),
+            F.lit(24),
+            F.col("id") % 2 == 1,
+        ).alias("payload"),
+    )
+    rows = df.select("id", "payload", M.bmp_header(F.col("payload")).alias("b")).collect()
+    for r in rows:
+        i = r.id
+        assert (r.b.width, r.b.height, r.b.bit_depth, r.b.color_type) == (
+            i * 31 % 500 + 1, i * 37 % 400 + 1, 24, 0
+        )
+        assert M.decode_bmp_header(r.payload) == (
+            r.b.width, r.b.height, r.b.bit_depth, r.b.color_type
+        )
+    # directed traps: planes=2, DIB header size 12 (BITMAPCOREHEADER)
+    good = bytes(rows[0].payload)
+    planes2 = good[:26] + b"\x02\x00" + good[28:]
+    core12 = good[:14] + b"\x0c\x00\x00\x00" + good[18:]
+    bad = spark.createDataFrame(
+        [(1, bytearray(planes2)), (2, bytearray(core12))], "id long, payload binary"
+    )
+    assert all(
+        r.b is None
+        for r in bad.select(M.bmp_header(F.col("payload")).alias("b")).collect()
+    )
+    assert M.decode_bmp_header(planes2) is None
+    assert M.decode_bmp_header(core12) is None
+
+
+def test_tiff_ifd_both_endians_pointer_read_and_twin(spark):
+    """TIFF: the same logical image must decode identically from an
+    Intel ("II") and a Motorola ("MM") file; BitsPerSample is a count-3
+    SHORT stored behind an offset (the through-the-pointer read); decoy
+    tags (254, 259) must be skipped by tag matching; the Python twin
+    agrees; a truncated header is rejected."""
+    from animaltrackingetls_spark.operators import multimodal as M
+
+    df = spark.range(6).select(
+        "id",
+        M.synthesize_tiff_header(
+            (F.col("id") * 41 % 3000 + 1).cast("long"),
+            (F.col("id") * 43 % 3000 + 1).cast("long"),
+            F.lit(16),
+            (F.col("id") % 4).cast("long"),
+            F.col("id") % 2 == 0,
+        ).alias("payload"),
+    )
+    rows = df.select("id", "payload", M.tiff_ifd(F.col("payload")).alias("t")).collect()
+    for r in rows:
+        i = r.id
+        assert (r.t.width, r.t.height, r.t.bit_depth, r.t.color_type) == (
+            i * 41 % 3000 + 1, i * 43 % 3000 + 1, 16, i % 4
+        )
+        assert M.decode_tiff_header(r.payload) == (
+            r.t.width, r.t.height, r.t.bit_depth, r.t.color_type
+        )
+    # same image, both endians -> same decode
+    one = spark.createDataFrame([(1,)], "id long").select(
+        M.tiff_ifd(M.synthesize_tiff_header(
+            F.lit(77), F.lit(55), F.lit(8), F.lit(2), F.lit(True))).alias("be"),
+        M.tiff_ifd(M.synthesize_tiff_header(
+            F.lit(77), F.lit(55), F.lit(8), F.lit(2), F.lit(False))).alias("le"),
+    ).first()
+    assert one.be == one.le == (77, 55, 8, 2)
+    # truncated: valid signature, IFD offset past the payload end
+    trunc = spark.createDataFrame(
+        [(1, bytearray(b"II*\x00\x08\x00\x00\x00"))], "id long, payload binary"
+    )
+    assert trunc.select(M.tiff_ifd(F.col("payload")).alias("t")).first().t is None
