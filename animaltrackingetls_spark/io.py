@@ -182,7 +182,14 @@ def union_append(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b, allowMissingColumns=True)
 
 
-def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite") -> None:
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    drift_reference: DataFrame | None = None,
+    drift_columns: list[str] | None = None,
+) -> None:
     """K1-analog: idempotent partitioned write. With
     ``partitionOverwriteMode=dynamic`` a day re-run replaces only its own
     partition — the Spark answer to the reference's drop-and-recreate
@@ -190,7 +197,17 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode:
 
     The mode is a per-write option, not session conf: a session-level
     dynamic setting would silently change overwrite semantics for every
-    later write on the shared session."""
+    later write on the shared session.
+
+    ``drift_reference`` arms the drift gate: the batch is profiled
+    against the reference snapshot before anything is written, and a
+    flagged check (null-ratio jump, cardinality collapse, schema drift)
+    raises ``DriftDetected`` INSTEAD of loading — the load-side twin of
+    the cleaning tier's flag-rows-to-reject-sink convention."""
+    if drift_reference is not None:
+        from .operators.profile import assert_no_drift
+
+        assert_no_drift(drift_reference, df, columns=drift_columns)
     (
         df.write.mode(mode)
         .option("partitionOverwriteMode", "dynamic")

@@ -242,3 +242,52 @@ def profile_diff(
                     "after string, flagged boolean"
     )
     return checks.unionByName(extra)
+
+
+class DriftDetected(ValueError):
+    """A snapshot drift gate refused a load. ``.diff_rows`` carries the
+    flagged (col_name, check, before, after) rows for the reject log."""
+
+    def __init__(self, flagged_rows):
+        self.diff_rows = flagged_rows
+        lines = ", ".join(
+            f"{r['col_name']}/{r['check']}: {r['before']} -> {r['after']}"
+            for r in flagged_rows
+        )
+        super().__init__(
+            f"drift gate: {len(flagged_rows)} flagged check(s) — {lines}. "
+            "Inspect profile_diff output; widen tolerances or update the "
+            "reference snapshot to accept the change deliberately."
+        )
+
+
+def assert_no_drift(
+    reference: DataFrame,
+    batch: DataFrame,
+    columns: list[str] | None = None,
+    null_ratio_tolerance: float = 0.05,
+    distinct_ratio_tolerance: float = 0.5,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """The GATE form of :func:`profile_diff` — the cleaning tier's
+    flag-rows convention applied to whole-table drift: profile both
+    snapshots, and if ANY check is flagged (null-ratio jump, distinct
+    collapse/explosion, schema add/drop), raise :class:`DriftDetected`
+    carrying the flagged rows so the caller can log them to its reject
+    sink; otherwise return the full diff frame for the audit trail.
+
+    The collect is bounded by construction: the diff has at most
+    (checks × columns) + 1 rows, never data rows.
+    """
+    diff = profile_diff(
+        reference,
+        batch,
+        columns=columns,
+        null_ratio_tolerance=null_ratio_tolerance,
+        distinct_ratio_tolerance=distinct_ratio_tolerance,
+        exact_distinct=exact_distinct,
+    )
+    flagged = diff.filter(F.col("flagged")).collect()
+    if flagged:
+        raise DriftDetected(flagged)
+    return diff

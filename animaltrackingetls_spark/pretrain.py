@@ -30,6 +30,10 @@ def build_pretraining_corpus(
     min_lm_logprob: float = -3.45,
     max_tokens: int = 2048,
     partition_col: str = "source",
+    reference_snapshot: DataFrame | None = None,
+    drift_columns: list[str] | None = None,
+    null_ratio_tolerance: float = 0.05,
+    distinct_ratio_tolerance: float = 0.5,
 ) -> DataFrame:
     """documents → packed pretraining sequences, one declarative plan:
 
@@ -44,7 +48,28 @@ def build_pretraining_corpus(
        ``partition_col``.
 
     Returns (doc_id, n_tokens, ``partition_col``, bin_id).
+
+    ``reference_snapshot`` arms the DRIFT GATE (step 0): the incoming
+    ``docs`` batch is profiled against the snapshot
+    (:func:`~.operators.profile.assert_no_drift`) and the build refuses
+    to start — raising ``DriftDetected`` with the flagged checks — if
+    the upstream shape changed outside tolerance (null-ratio jump,
+    cardinality collapse, schema add/drop). At 100 TB a silently
+    drifted source poisons every downstream shard for days; blocking
+    the load is the cheap failure. The gate's two profile passes are
+    single-aggregation scans; its collect is bounded at
+    checks × columns rows.
     """
+    if reference_snapshot is not None:
+        from .operators.profile import assert_no_drift
+
+        assert_no_drift(
+            reference_snapshot,
+            docs,
+            columns=drift_columns,
+            null_ratio_tolerance=null_ratio_tolerance,
+            distinct_ratio_tolerance=distinct_ratio_tolerance,
+        )
     lm = textstats.unigram_lm_scores(docs)
     q = textstats.quality_columns(textstats.language_id(docs))
     kept = (

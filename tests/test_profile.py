@@ -137,3 +137,61 @@ def test_profile_diff_rejects_ghost_columns(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="neither snapshot"):
         profile_diff(df, df, columns=["typo_col"])
+
+
+def test_drift_gate_blocks_corpus_build_and_load(spark, tmp_path):
+    """The wired gate: injected drift (a column whose nulls jump 0% →
+    40%) must BLOCK both build_pretraining_corpus and write_partitioned
+    before any work happens; the same-shaped clean batch passes."""
+    import pytest
+
+    from animaltrackingetls_spark.io import write_partitioned
+    from animaltrackingetls_spark.operators.profile import DriftDetected
+    from animaltrackingetls_spark.pretrain import build_pretraining_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "far away into the green field where the other animals are happy "
+    )
+    def rows(start, null_lang=False):
+        return [
+            (
+                start + i,
+                base + f"variant{i % 5}",
+                None if null_lang and i % 5 < 2 else "en",
+                "web",
+                len(base) + 8,
+            )
+            for i in range(50)
+        ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    ref = spark.createDataFrame(rows(0), schema)
+    clean = spark.createDataFrame(rows(100), schema)
+    drifted = spark.createDataFrame(rows(200, null_lang=True), schema)
+
+    # clean batch: gate passes, corpus builds
+    out = build_pretraining_corpus(clean, reference_snapshot=ref)
+    assert out.count() > 0
+
+    # drifted batch: blocked with the flagged check carried in the error
+    with pytest.raises(DriftDetected) as exc:
+        build_pretraining_corpus(drifted, reference_snapshot=ref)
+    assert any(r["col_name"] == "lang" for r in exc.value.diff_rows)
+
+    # load-side twin: nothing may reach disk on a drifted batch
+    import os
+
+    target = str(tmp_path / "gated_load")
+    write_partitioned(clean, target, ["source"], drift_reference=ref)
+    assert os.path.exists(target)
+    target2 = str(tmp_path / "gated_load2")
+    with pytest.raises(DriftDetected):
+        write_partitioned(drifted, target2, ["source"], drift_reference=ref)
+    assert not os.path.exists(target2)
+
+    # schema drift (dropped column) is always flagged
+    with pytest.raises(DriftDetected):
+        build_pretraining_corpus(
+            drifted.drop("lang").withColumn("lang", F.lit("en")).drop("n_chars"),
+            reference_snapshot=ref,
+        )
