@@ -6,7 +6,12 @@
    universal shingle is excluded from candidate generation and the work
    is bounded by cap x shingle rows (linear). Results land in SCALING.md.
 
-Run: python r7_experiments.py degenerate
+2. global_order_index at 100x replicated sf0.1 events (the round-6
+   100x sweep covered spans/GEMM/fuzzy-dedup; this closes the ordering
+   primitive): range exchange + per-partition counts + broadcast
+   offsets, verified by min/max/count of the produced index.
+
+Run: python r7_experiments.py degenerate|order100
 """
 from __future__ import annotations
 
@@ -41,8 +46,49 @@ def degenerate_block(spark):
         docs.unpersist()
 
 
+def order100(spark):
+    import functools
+
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.io import load_table
+    from animaltrackingetls_spark.operators.ordering import global_order_index
+
+    ev = load_table(spark, "/root/testdata/sf0.1", "events")
+    for copies in (10, 100):
+        frames = [
+            ev.select(
+                (F.col("event_id") + r * 10_000_000).alias("event_id"),
+                "ts", "user_id", "event_type", "value",
+            )
+            for r in range(copies)
+        ]
+        big = functools.reduce(lambda a, b: a.unionByName(b), frames)
+        t0 = time.time()
+        stats = {}
+        idx = global_order_index(
+            big, ["ts", "event_id"], num_partitions=64, stats=stats
+        )
+        agg = idx.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("global_idx").alias("lo"),
+            F.max("global_idx").alias("hi"),
+        ).first()
+        dt = time.time() - t0
+        assert agg.lo == 0 and agg.hi == agg.n - 1, agg
+        print(
+            f"global_order_index x{copies}: {dt:.2f}s rows={agg.n} "
+            f"dense 0..{agg.hi} partitions={len(stats['partition_sizes'])} "
+            f"max_part={max(stats['partition_sizes'])}",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "degenerate"
-    s = get_spark(extra_conf={"spark.ui.showConsoleProgress": "false"})
+    s = get_spark(extra_conf={"spark.ui.showConsoleProgress": "false",
+                              "spark.driver.memory": "48g"})
     if which == "degenerate":
         degenerate_block(s)
+    elif which == "order100":
+        order100(s)
