@@ -2024,9 +2024,15 @@ def _q_dim_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_quota_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-sampling pair folded: per-domain quota cap ('cap' rows:
-    key=source, n=n_chars) and the deterministic sharded shuffle
-    ('shard' rows: key=shard, n=shard_pos)."""
+    """Corpus-sampling trio folded: per-domain quota cap ('cap' rows:
+    key=source, n=n_chars), the deterministic sharded shuffle ('shard'
+    rows: key=shard, n=shard_pos), and the skew-safe exact RANDOM cap
+    ('rcap' rows: key=source, n=n_chars — hash-threshold prefilter
+    bounds every window to ~oversample·n rows per key, provably the
+    same kept set as a plain md5-priority window, which is what the
+    oracle replays)."""
+    from animaltrackingetls_spark.operators.sampling import cap_per_key_random
+
     cap = _q_domain_cap(spark, sf_dir).select(
         F.lit("cap").alias("kind"),
         "doc_id",
@@ -2039,7 +2045,14 @@ def _q_quota_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("string").alias("key"),
         F.col("shard_pos").cast("long").alias("n"),
     )
-    return cap.unionByName(shard)
+    docs = _t(spark, sf_dir, "documents")
+    rcap = cap_per_key_random(docs, "source", 3, "doc_id", seed=0).select(
+        F.lit("rcap").alias("kind"),
+        "doc_id",
+        F.col("source").alias("key"),
+        F.col("n_chars").cast("long").alias("n"),
+    )
+    return cap.unionByName(shard).unionByName(rcap)
 
 
 def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4035,6 +4048,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (
                      PARTITION BY shard ORDER BY hk, doc_id) AS BIGINT) AS n
             FROM s
+            UNION ALL
+            -- rcap: the skew-safe random cap's kept set == the plain
+            -- md5-priority window, which is replayable directly
+            SELECT 'rcap' AS kind, doc_id, source AS "key",
+                   CAST(n_chars AS BIGINT) AS n
+            FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 3
         """,
         "proximity_pairs": f"""
             WITH {_POINTS_SQL},

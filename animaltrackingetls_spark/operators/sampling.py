@@ -150,10 +150,14 @@ def cap_per_key(
 
     Scale shape: one shuffle on the key, then a partitioned row_number —
     no global window. Hot keys are naturally bounded by the cap on the
-    OUTPUT side but still sort their full input partition; for
-    pathologically hot keys (a domain with 10^9 pages) pre-filter with an
-    approximate per-key count and a cheap deterministic_sample to within
-    a constant factor of n before the exact window.
+    OUTPUT side but still sort their full input partition. For
+    pathologically hot keys (a domain with 10^9 pages) and a RANDOM
+    preference order, use :func:`cap_per_key_random` — its hash-threshold
+    prefilter bounds every window to a constant factor of ``n`` while
+    staying provably exact. (A prefilter cannot help an ARBITRARY
+    preference order like "longest first": the top-n by an arbitrary key
+    can live anywhere in the distribution, so this form keeps the full
+    window.)
     """
     if n < 1:
         raise ValueError(f"cap must be >= 1, got {n}")
@@ -169,6 +173,116 @@ def cap_per_key(
         .filter(F.col("_rank_in_key") <= n)
         .drop("_rank_in_key")
     )
+
+
+def cap_per_key_random(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    id_col: str,
+    seed: int = 0,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Skew-safe EXACT per-key random cap: keep the ``n`` rows with the
+    smallest ``md5(seed:id)`` per key — the deterministic "at most N
+    random pages per domain" quota of a web-corpus build, built so a
+    pathologically hot key (one domain holding 10^9 of the corpus's
+    rows) never funnels through a single window task.
+
+    Two-phase plan:
+
+    1. **Hash-threshold prefilter.** Per-key counts (one partial-agg'd
+       shuffle) join back on the key; a row survives when its priority
+       hash falls below ``tau = min(1, oversample*n / count)`` — each
+       key keeps ~``oversample*n`` rows regardless of its size, all in
+       the same exchange the window needs anyway.
+    2. **Exactness check + bounded window.** The kept set must be the n
+       SMALLEST hashes per key, and it provably is whenever a key's
+       survivor count reaches ``min(n, count)``: survivors are exactly
+       every row below the threshold, so if ≥ n of them exist, the n
+       smallest hashes are all among them. Keys whose survivor count
+       falls short (P ≈ exp(-n·(oversample−1)²/(2·oversample)) per key,
+       ~e⁻ⁿ at the default oversample — and ONLY possible while
+       tau < 1, i.e. count > oversample·n) fall back to a full window
+       for those keys alone; every other key's window sorts a
+       constant-sized survivor set.
+
+    The kept SET is identical to ``cap_per_key(df, key, n,
+    [md5-priority], id_col)`` — pinned by test — and reproducible on
+    any partitioning or engine (the priority is a content hash, so a
+    SQL oracle can replay the exact selection).
+
+    Cost vs the plain window: one extra counts aggregation and one
+    survivor-count aggregation, all on the SAME key partitioning; what
+    it buys is per-window work bounded by ``oversample·n`` instead of
+    the hottest key's row count. Use the plain :func:`cap_per_key` when
+    keys are known to be roughly balanced or the preference order is
+    not random.
+    """
+    if n < 1:
+        raise ValueError(f"cap must be >= 1, got {n}")
+    if oversample <= 1.0:
+        raise ValueError(f"oversample must be > 1, got {oversample}")
+    _reject_reserved_columns(df, ("_pri", "_kn", "_sn", "_rank_in_key"))
+    pri = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    # pass 1: per-key counts — partial-agg'd, no priority hash needed
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_kn"))
+    # pass 2: the prefilter. counts is one row per key — orders of
+    # magnitude smaller than the data — so the join broadcasts (or, past
+    # the broadcast threshold, hash-joins as a STREAM per key: no sort,
+    # no per-key memory, unlike the window it replaces). Priority is a
+    # 32-hex string; its leading 15 hex digits (60 bits) compare
+    # numerically against tau scaled to the same space.
+    joined = df.withColumn("_pri", pri).join(counts, key_col)
+    frac = F.conv(F.substring(F.col("_pri"), 1, 15), 16, 10).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    tau = F.least(F.lit(1.0), F.lit(float(oversample * n)) / F.col("_kn"))
+    # survivors are ~oversample·n per key by construction — bounded, so
+    # pinning them is cheap and every later stage (the exactness audit,
+    # the window, the final projection) reads the pinned frame instead
+    # of re-scanning and re-hashing the corpus
+    survivors = joined.filter(frac < tau).localCheckpoint(eager=True)
+    surv_counts = survivors.groupBy(key_col).agg(F.count(F.lit(1)).alias("_sn"))
+    # a key is UNSAFE only when its survivors can miss one of the true
+    # top-n: fewer survivors than min(n, count). Possible only while
+    # tau < 1 and then with per-key probability ~e^-n, so the list is
+    # expected EMPTY — collect it (bounded by #keys, in practice zero
+    # rows) and skip the corpus-rescanning fallback branch entirely
+    # when it is.
+    unsafe = (
+        counts.join(surv_counts, key_col, "left")
+        .filter(
+            F.coalesce(F.col("_sn"), F.lit(0)) < F.least(F.lit(n), F.col("_kn"))
+        )
+        .select(key_col)
+    )
+    unsafe_rows = unsafe.limit(1001).collect()
+    w = Window.partitionBy(key_col).orderBy(F.asc("_pri"), F.asc(id_col))
+    safe = survivors
+    if unsafe_rows:
+        if len(unsafe_rows) > 1000:
+            # pathological: fall back to join-form exclusion
+            safe = survivors.join(unsafe, key_col, "left_anti")
+        else:
+            keys = [r[key_col] for r in unsafe_rows]
+            safe = survivors.filter(~F.col(key_col).isin(keys))
+    safe_kept = (
+        safe.withColumn("_rank_in_key", F.row_number().over(w))
+        .filter(F.col("_rank_in_key") <= n)
+    )
+    out = safe_kept
+    if unsafe_rows:
+        fb = joined.join(unsafe, key_col, "left_semi")
+        if len(unsafe_rows) <= 1000:
+            keys = [r[key_col] for r in unsafe_rows]
+            fb = joined.filter(F.col(key_col).isin(keys))
+        fallback_kept = (
+            fb.withColumn("_rank_in_key", F.row_number().over(w))
+            .filter(F.col("_rank_in_key") <= n)
+        )
+        out = safe_kept.unionByName(fallback_kept)
+    return out.drop("_pri", "_kn", "_rank_in_key")
 
 
 def sharded_shuffle(

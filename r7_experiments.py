@@ -11,7 +11,10 @@
    primitive): range exchange + per-partition counts + broadcast
    offsets, verified by min/max/count of the produced index.
 
-Run: python r7_experiments.py degenerate|order100
+3. Skewed per-key cap: one domain holding ~97% of the corpus, plain
+   full-window cap_per_key vs the prefiltered cap_per_key_random.
+
+Run: python r7_experiments.py degenerate|order100|skewcap
 """
 from __future__ import annotations
 
@@ -84,6 +87,37 @@ def order100(spark):
         )
 
 
+def skewcap(spark):
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.operators.sampling import (
+        cap_per_key,
+        cap_per_key_random,
+    )
+
+    hot_n = int(sys.argv[2]) if len(sys.argv) > 2 else 3_000_000
+    big = spark.range(hot_n).select(F.lit("hot.example").alias("dom"), "id")
+    tail = spark.range(hot_n, hot_n + 100_000).select(
+        F.concat(F.lit("d"), (F.col("id") % 5000).cast("string")).alias("dom"), "id"
+    )
+    df = big.unionByName(tail).cache()
+    df.count()
+    pri = F.md5(F.concat(F.lit("0:"), F.col("id").cast("string")))
+    t0 = time.time()
+    a = cap_per_key(
+        df.withColumn("_p", pri), "dom", 5, [F.asc("_p")], id_col="id"
+    ).count()
+    t1 = time.time()
+    b = cap_per_key_random(df, "dom", 5, "id", seed=0).count()
+    t2 = time.time()
+    print(
+        f"skewcap {hot_n + 100_000} rows / 5001 keys (one key={hot_n}): plain window "
+        f"{t1-t0:.2f}s ({a} kept) vs skew-safe {t2-t1:.2f}s ({b} kept)",
+        flush=True,
+    )
+    df.unpersist()
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "degenerate"
     s = get_spark(extra_conf={"spark.ui.showConsoleProgress": "false",
@@ -92,3 +126,5 @@ if __name__ == "__main__":
         degenerate_block(s)
     elif which == "order100":
         order100(s)
+    elif which == "skewcap":
+        skewcap(s)

@@ -370,3 +370,68 @@ def test_mixture_rate_fraction_rounding_to_full_epoch(spark):
     out = mixture_resample(df, "doc_id", "src", {"s": 2.9999999})
     per_doc = out.groupBy("doc_id").count().collect()
     assert all(r["count"] == 3 for r in per_doc)
+
+
+def test_cap_per_key_random_exact_and_skew_safe(spark):
+    """cap_per_key_random's kept set must EQUAL the plain md5-priority
+    window's (the prefilter provably never drops a true top-n row),
+    survive a pathologically tight oversample via the per-key fallback,
+    and be partitioning-independent."""
+    from animaltrackingetls_spark.operators.sampling import (
+        cap_per_key,
+        cap_per_key_random,
+    )
+
+    df = (
+        spark.range(20000).select(F.lit("big").alias("dom"), F.col("id"))
+        .unionByName(
+            spark.range(20000, 20030).select(F.lit("small").alias("dom"), F.col("id"))
+        )
+        .unionByName(
+            spark.range(30000, 30003).select(F.lit("tiny").alias("dom"), F.col("id"))
+        )
+    )
+    pri = F.md5(F.concat(F.lit("0:"), F.col("id").cast("string")))
+    direct = {
+        (r.dom, r.id)
+        for r in cap_per_key(
+            df.withColumn("_p", pri), "dom", 5, [F.asc("_p")], id_col="id"
+        ).drop("_p").collect()
+    }
+    safe = {
+        (r.dom, r.id)
+        for r in cap_per_key_random(df, "dom", 5, "id", seed=0).collect()
+    }
+    assert safe == direct
+    # a key smaller than the cap keeps everything
+    assert sum(1 for d, _ in safe if d == "tiny") == 3
+    # oversample barely above 1 forces the fallback path for some keys;
+    # the result must stay identical
+    tight = {
+        (r.dom, r.id)
+        for r in cap_per_key_random(
+            df, "dom", 5, "id", seed=0, oversample=1.05
+        ).collect()
+    }
+    assert tight == direct
+    # partitioning independence (the whole module's contract)
+    repart = {
+        (r.dom, r.id)
+        for r in cap_per_key_random(df.repartition(17), "dom", 5, "id", seed=0).collect()
+    }
+    assert repart == direct
+
+
+def test_cap_per_key_random_guards(spark):
+    import pytest
+
+    from animaltrackingetls_spark.operators.sampling import cap_per_key_random
+
+    df = spark.createDataFrame([("a", 1)], "dom string, id long")
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_key_random(df, "dom", 0, "id")
+    with pytest.raises(ValueError, match="oversample"):
+        cap_per_key_random(df, "dom", 3, "id", oversample=1.0)
+    clash = spark.createDataFrame([("a", 1, 2)], "dom string, id long, _pri long")
+    with pytest.raises(ValueError, match="reserved"):
+        cap_per_key_random(clash, "dom", 3, "id")
