@@ -537,35 +537,116 @@ _CONTACT_BLOB_SQL = (
 
 
 def _pii_oracle_sql() -> str:
-    """DuckDB twin of the PII audit: same patterns (RE2-safe subset),
-    same application order, counts taken on the raw blob."""
+    """DuckDB twin of the curation fold: the PII audit branch (same
+    patterns — RE2-safe subset — same application order, counts taken
+    on the raw blob) unioned with the web branch, whose host /
+    registered domain / kept-set are recomputed from the doc_id
+    FORMULAS (not by parsing), so the Spark parse must recover the
+    construction ground truth exactly."""
     redacted, counts = privacy.oracle_redaction_sql(_CONTACT_BLOB_SQL)
     return f"""
-        SELECT c_custkey,
-               md5({redacted}) AS md5_redacted,
-               {', '.join(counts)}
-        FROM customer
+        SELECT 'pii' AS kind, CAST(c_custkey AS BIGINT) AS "key",
+               s, n_email AS n1, n_ssn AS n2, n_phone AS n3, n_ipv4 AS n4
+        FROM (
+          SELECT c_custkey, md5({redacted}) AS s,
+                 {', '.join(counts)}
+          FROM customer
+        )
+        UNION ALL
+        SELECT 'web' AS kind, CAST(doc_id AS BIGINT) AS "key",
+               'site' || CAST(doc_id % 97 AS VARCHAR)
+                 || CASE doc_id % 3 WHEN 0 THEN '.com'
+                                    WHEN 1 THEN '.co.uk'
+                                    ELSE '.org' END AS s,
+               CAST(length(
+                 CASE doc_id % 4 WHEN 0 THEN ''
+                                 WHEN 1 THEN 'www.'
+                                 WHEN 2 THEN 'blog.news.'
+                                 ELSE 'm.' END
+                 || 'site' || CAST(doc_id % 97 AS VARCHAR)
+                 || CASE doc_id % 3 WHEN 0 THEN '.com'
+                                    WHEN 1 THEN '.co.uk'
+                                    ELSE '.org' END
+               ) AS BIGINT) AS n1,
+               CAST(NULL AS BIGINT) AS n2,
+               CAST(NULL AS BIGINT) AS n3,
+               CAST(NULL AS BIGINT) AS n4
+        FROM documents
+        WHERE doc_id % 97 NOT IN (0, 7, 13)
     """
 
 
 def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction audit: per-type hit counts + md5 of the redacted
-    text for every customer's contact card. Map-only stage — the whole
-    operator is regexp codegen on the scan, no shuffle (asserted in
-    tests/test_privacy.py); counts verify detection parity, the digest
-    verifies the rewrite byte-for-byte. See operators/privacy.py."""
+    """Document-curation gates folded: PII redaction audit ('pii' rows:
+    key=c_custkey, s=md5 of the redacted contact card, n1..n4 =
+    email/ssn/phone/ipv4 hit counts — regexp codegen, no shuffle) and
+    URL/domain curation ('web' rows: key=doc_id, s=registered eTLD+1
+    domain of a synthesized crawl URL, n1=host length).
+
+    The web branch is adversarial by construction: URLs carry rotating
+    subdomains, ``user:t0k3n@`` userinfo (doc_id%7==0), ``:8443`` ports
+    (doc_id%5==0), and multi-part ``.co.uk`` suffixes (doc_id%3==1);
+    `url_host` must strip userinfo/port (n1 = host length catches any
+    leftover), `registered_domain` must take THREE labels for co.uk and
+    two otherwise, and `domain_gate` must drop every doc whose
+    registered domain is blocklisted — including via subdomain. The
+    oracle recomputes every field from the doc_id formulas, so any
+    parsing slip fails the hash. See operators/privacy.py and
+    operators/web.py."""
+    from animaltrackingetls_spark.operators import web
+
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", _contact_blob().alias("contact")
     )
     red = privacy.redact_pii(cust, "contact")
-    return red.select(
-        "c_custkey",
-        F.md5("contact").alias("md5_redacted"),
-        "n_email",
-        "n_ssn",
-        "n_phone",
-        "n_ipv4",
+    pii = red.select(
+        F.lit("pii").alias("kind"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.md5("contact").alias("s"),
+        F.col("n_email").cast("long").alias("n1"),
+        F.col("n_ssn").cast("long").alias("n2"),
+        F.col("n_phone").cast("long").alias("n3"),
+        F.col("n_ipv4").cast("long").alias("n4"),
     )
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 97
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, ".com")
+        .when(F.col("doc_id") % 3 == 1, ".co.uk")
+        .otherwise(".org")
+    )
+    sub = (
+        F.when(F.col("doc_id") % 4 == 0, "")
+        .when(F.col("doc_id") % 4 == 1, "www.")
+        .when(F.col("doc_id") % 4 == 2, "blog.news.")
+        .otherwise("m.")
+    )
+    userinfo = F.when(F.col("doc_id") % 7 == 0, "crawler:t0k3n@").otherwise("")
+    port = F.when(F.col("doc_id") % 5 == 0, ":8443").otherwise("")
+    with_url = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), userinfo, sub, F.lit("site"),
+            k.cast("string"), tld, port, F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    blocklist = spark.createDataFrame(
+        [(f"site{i}{t}",) for i in (0, 7, 13) for t in (".com", ".co.uk", ".org")],
+        "domain string",
+    )
+    kept = web.domain_gate(with_url, "url", blocklist, mode="block")
+    host = web.url_host(F.col("url"))
+    webrows = kept.select(
+        F.lit("web").alias("kind"),
+        F.col("doc_id").cast("long").alias("key"),
+        web.registered_domain(host).alias("s"),
+        F.length(host).cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        F.lit(None).cast("long").alias("n4"),
+    )
+    return pii.unionByName(webrows)
 
 
 def _q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
