@@ -1853,10 +1853,13 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mis-scoring — the exact-over-candidates parity test pins that."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
+    # index ONCE (the eager k-means fit is the dominant cost), search
+    # at both probe budgets — the ivf_index/ivf_search production shape
+    index = similarity.ivf_index(emb, n_centroids=8)
     out = None
     for probe in (2, 6):
-        branch = similarity.ivf_topk(
-            emb, queries_df, k=10, n_centroids=8, n_probe=probe, round_digits=6
+        branch = similarity.ivf_search(
+            index, queries_df, k=10, n_probe=probe, round_digits=6
         ).select(F.lit(probe).alias("n_probe"), "*")
         out = branch if out is None else out.unionByName(branch)
     return out

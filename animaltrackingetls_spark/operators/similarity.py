@@ -181,6 +181,153 @@ def _kmeanspp_lloyd(V, k: int, seed: int, max_iter: int, n_init: int = 4):
     return best
 
 
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+    train_fraction: float = 1.0,
+    fit_impl: str = "mllib",
+    max_train_rows: int = 25_000,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build an IVF index ONCE: ``(cell_assignment_frame, centroids)``.
+
+    The expensive part of IVF is centroid TRAINING (an eager k-means
+    fit); searches at different probe budgets / query sets should share
+    it — the production shape is index-once, search-many
+    (:func:`ivf_search`). The returned frame is the lazy corpus→cell
+    assignment ``(n_id, n_vec, n_nrm, cell)``; persist it (ideally
+    written ``partitionBy(cell)``) when serving many query batches so
+    assignment isn't recomputed per search.
+
+    ``train_fraction`` / ``fit_impl`` / ``max_train_rows`` semantics are
+    documented on :func:`ivf_topk`, which is now a thin
+    index-then-search wrapper.
+    """
+    if not (0.0 < train_fraction <= 1.0):
+        raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
+    if fit_impl not in ("driver", "mllib"):
+        raise ValueError(f"fit_impl must be driver|mllib, got {fit_impl!r}")
+
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
+    ).withColumn("n_nrm", norm_expr(F.col("n_vec")))
+
+    if fit_impl == "mllib":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        full = c.withColumn("features", array_to_vector(F.col("n_vec")))
+        train = (
+            full if train_fraction >= 1.0 else full.sample(train_fraction, seed=seed)
+        )
+        model = KMeans(
+            k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
+        ).fit(train)
+        c_cells = model.transform(full).select(
+            "n_id", "n_vec", "n_nrm", F.col("prediction").alias("cell")
+        )
+        centers_list = [
+            [float(x) for x in center] for center in model.clusterCenters()
+        ]
+    else:
+        import numpy as np
+
+        train = (
+            c if train_fraction >= 1.0 else c.sample(train_fraction, seed=seed)
+        )
+        n_train = train.count()
+        if n_train > max_train_rows:
+            # deterministic, partitioning-independent thinning: keep ids
+            # whose md5 bucket falls under the target fraction
+            frac_hex = int(65536 * max_train_rows / n_train)
+            train = train.filter(
+                F.conv(
+                    F.substring(F.md5(F.col("n_id").cast("string")), 1, 4), 16, 10
+                ).cast("long")
+                < F.lit(frac_hex)
+            )
+        sample = np.asarray(
+            [r["n_vec"] for r in train.select("n_vec").collect()], dtype=np.float64
+        )
+        if len(sample) == 0:
+            raise ValueError(
+                "ivf_index: training sample is empty (corpus empty or "
+                "train_fraction too small)"
+            )
+        from .aggregates import make_cell_assigner
+
+        # sample-local iterations are ~free: run Lloyd to at least 25
+        # rounds and take the best of 4 seeded restarts (max_iter keeps
+        # its distributed meaning for the mllib path)
+        centers = _kmeanspp_lloyd(sample, n_centroids, seed, max(max_iter, 25))
+        centers_list = [[float(x) for x in row] for row in centers]
+        assigner = make_cell_assigner(centers)
+        c_cells = c.withColumn("cell", assigner(F.col("n_vec")))
+    return c_cells, centers_list
+
+
+def ivf_search(
+    index: tuple[DataFrame, list[list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    query_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Search a prebuilt :func:`ivf_index`: each query probes its
+    ``n_probe`` nearest cells and exact cosine re-ranks the candidates
+    — scores within the candidate set are EXACT, so a result can be
+    wrong only by omission (a true neighbor in an unprobed cell)."""
+    c_cells, centers_list = index
+    q = queries.select(
+        F.col(query_id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("q_nrm", norm_expr(F.col("q_vec")))
+
+    # centroids are tiny: ship as literal arrays, rank cells per query
+    centroids = list(enumerate(centers_list))
+    cent_rows = [F.struct(F.lit(ci).alias("cell"), F.array(*[F.lit(x) for x in vec]).alias("cv"))
+                 for ci, vec in centroids]
+    q_cells = (
+        q.select("q_id", "q_vec", "q_nrm", F.explode(F.array(*cent_rows)).alias("ct"))
+        .select(
+            "q_id", "q_vec", "q_nrm", F.col("ct.cell").alias("cell"),
+            F.aggregate(
+                F.zip_with(F.col("q_vec"), F.col("ct.cv"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            ).alias("dist2"),
+        )
+    )
+    w_cell = Window.partitionBy("q_id").orderBy(F.asc("dist2"), F.asc("cell"))
+    probes = (
+        q_cells.withColumn("_r", F.row_number().over(w_cell))
+        .filter(F.col("_r") <= n_probe)
+        .select("q_id", "q_vec", "q_nrm", "cell")
+    )
+
+    cand = (
+        c_cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    sim = cosine_with_norms(
+        F.col("q_vec"), F.col("n_vec"), F.col("q_nrm"), F.col("n_nrm")
+    )
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = cand.select("q_id", "n_id", sim.alias("cosine_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cosine_sim")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -197,7 +344,10 @@ def ivf_topk(
     fit_impl: str = "mllib",
     max_train_rows: int = 25_000,
 ) -> DataFrame:
-    """Approximate top-k via IVF (inverted-file) partitioning.
+    """Approximate top-k via IVF (inverted-file) partitioning — the
+    one-call form of :func:`ivf_index` + :func:`ivf_search` (use those
+    directly to reuse one trained index across probe budgets or query
+    batches; training is the dominant cost).
 
     ``max_iter`` is deliberately modest: cells only need to be *good*,
     not converged — the exact re-rank absorbs assignment slop, and
@@ -239,108 +389,25 @@ def ivf_topk(
     Persist the assignment partitioned by cell and queries touch only
     ``n_probe`` cells' partitions.
     """
-    if not (0.0 < train_fraction <= 1.0):
-        raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
-    if fit_impl not in ("driver", "mllib"):
-        raise ValueError(f"fit_impl must be driver|mllib, got {fit_impl!r}")
-
-    c = corpus.select(
-        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
-    ).withColumn("n_nrm", norm_expr(F.col("n_vec")))
-    q = queries.select(
-        F.col(query_id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    ).withColumn("q_nrm", norm_expr(F.col("q_vec")))
-
-    if fit_impl == "mllib":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        full = c.withColumn("features", array_to_vector(F.col("n_vec")))
-        train = (
-            full if train_fraction >= 1.0 else full.sample(train_fraction, seed=seed)
-        )
-        model = KMeans(
-            k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
-        ).fit(train)
-        c_cells = model.transform(full).select(
-            "n_id", "n_vec", "n_nrm", F.col("prediction").alias("cell")
-        )
-        centers_list = [
-            [float(x) for x in center] for center in model.clusterCenters()
-        ]
-    else:
-        import numpy as np
-
-        train = (
-            c if train_fraction >= 1.0 else c.sample(train_fraction, seed=seed)
-        )
-        n_train = train.count()
-        if n_train > max_train_rows:
-            # deterministic, partitioning-independent thinning: keep ids
-            # whose md5 bucket falls under the target fraction
-            frac_hex = int(65536 * max_train_rows / n_train)
-            train = train.filter(
-                F.conv(
-                    F.substring(F.md5(F.col("n_id").cast("string")), 1, 4), 16, 10
-                ).cast("long")
-                < F.lit(frac_hex)
-            )
-        sample = np.asarray(
-            [r["n_vec"] for r in train.select("n_vec").collect()], dtype=np.float64
-        )
-        if len(sample) == 0:
-            raise ValueError(
-                "ivf_topk: training sample is empty (corpus empty or "
-                "train_fraction too small)"
-            )
-        from .aggregates import make_cell_assigner
-
-        # sample-local iterations are ~free: run Lloyd to at least 25
-        # rounds and take the best of 4 seeded restarts (max_iter keeps
-        # its distributed meaning for the mllib path)
-        centers = _kmeanspp_lloyd(sample, n_centroids, seed, max(max_iter, 25))
-        centers_list = [[float(x) for x in row] for row in centers]
-        assigner = make_cell_assigner(centers)
-        c_cells = c.withColumn("cell", assigner(F.col("n_vec")))
-
-    # centroids are tiny: ship as literal arrays, rank cells per query
-    centroids = list(enumerate(centers_list))
-    cent_rows = [F.struct(F.lit(ci).alias("cell"), F.array(*[F.lit(x) for x in vec]).alias("cv"))
-                 for ci, vec in centroids]
-    q_cells = (
-        q.select("q_id", "q_vec", "q_nrm", F.explode(F.array(*cent_rows)).alias("ct"))
-        .select(
-            "q_id", "q_vec", "q_nrm", F.col("ct.cell").alias("cell"),
-            F.aggregate(
-                F.zip_with(F.col("q_vec"), F.col("ct.cv"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0).cast("double"),
-                lambda acc, v: acc + v,
-            ).alias("dist2"),
-        )
+    index = ivf_index(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        seed=seed,
+        max_iter=max_iter,
+        train_fraction=train_fraction,
+        fit_impl=fit_impl,
+        max_train_rows=max_train_rows,
     )
-    w_cell = Window.partitionBy("q_id").orderBy(F.asc("dist2"), F.asc("cell"))
-    probes = (
-        q_cells.withColumn("_r", F.row_number().over(w_cell))
-        .filter(F.col("_r") <= n_probe)
-        .select("q_id", "q_vec", "q_nrm", "cell")
-    )
-
-    cand = (
-        c_cells.join(F.broadcast(probes), "cell")
-        .filter(F.col("n_id") != F.col("q_id"))
-        .dropDuplicates(["q_id", "n_id"])
-    )
-    sim = cosine_with_norms(
-        F.col("q_vec"), F.col("n_vec"), F.col("q_nrm"), F.col("n_nrm")
-    )
-    if round_digits is not None:
-        sim = F.round(sim, round_digits)
-    scored = cand.select("q_id", "n_id", sim.alias("cosine_sim"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", "rank", "cosine_sim")
+    return ivf_search(
+        index,
+        queries,
+        k=k,
+        n_probe=n_probe,
+        query_id_col=query_id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
     )
 
 
