@@ -72,10 +72,11 @@ HEADLINE = [
     # inverted-index rework (55 s -> ~3 s warm at sf0.1);
     # global ordering runs inside sample_audit's 'gidx' branch.
     "ngram_jaccard_pairs",
-    # The other new primitives (certified heavy hitters in top_bigrams,
-    # stream-stream join in stream_dedup_keys) are measured in SCALING.md
-    # instead of here — their folded entries are streaming/Arrow-bound
-    # (~8-11 s warm) and would triple the bench wall for no extra signal.
+    # round-7: benchable since the int64-hash mapInArrow rework +
+    # bound-token shingling took the certified-heavy-hitters fold from
+    # 10.1 s to ~1.7 s warm. stream_dedup_keys stays in SCALING.md
+    # (two full streaming drains, ~8 s, no per-round signal).
+    "top_bigrams",
     "sample_audit",
 ]
 
