@@ -2114,8 +2114,15 @@ def _q_quota_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('rcap' rows: key=source, n=n_chars — hash-threshold prefilter
     bounds every window to ~oversample·n rows per key, provably the
     same kept set as a plain md5-priority window, which is what the
-    oracle replays)."""
-    from animaltrackingetls_spark.operators.sampling import cap_per_key_random
+    oracle replays), plus the per-source TOKEN budget sampler ('tok'
+    rows: greedy hash-ordered prefix until 30k chars per source,
+    overshoot at most one doc — the data-mixture "take N tokens per
+    source" primitive, same prefilter+audit structure, oracle = the
+    cumulative-sum window replay)."""
+    from animaltrackingetls_spark.operators.sampling import (
+        cap_per_key_random,
+        token_budget_sample,
+    )
 
     cap = _q_domain_cap(spark, sf_dir).select(
         F.lit("cap").alias("kind"),
@@ -2136,7 +2143,15 @@ def _q_quota_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("key"),
         F.col("n_chars").cast("long").alias("n"),
     )
-    return cap.unionByName(shard).unionByName(rcap)
+    tok = token_budget_sample(
+        docs, "source", "n_chars", 30_000, "doc_id", seed=11
+    ).select(
+        F.lit("tok").alias("kind"),
+        "doc_id",
+        F.col("source").alias("key"),
+        F.col("n_chars").cast("long").alias("n"),
+    )
+    return cap.unionByName(shard).unionByName(rcap).unionByName(tok)
 
 
 def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4145,6 +4160,20 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM documents
             ) WHERE rn <= 3
+            UNION ALL
+            -- tok: greedy token-budget prefix in hash order — keep while
+            -- the tokens accumulated BEFORE the row are under budget
+            SELECT 'tok' AS kind, doc_id, source AS "key",
+                   CAST(n_chars AS BIGINT) AS n
+            FROM (
+              SELECT doc_id, source, n_chars,
+                     sum(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY md5('11:' || CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS cum
+              FROM documents
+            ) WHERE cum - n_chars < 30000
         """,
         "proximity_pairs": f"""
             WITH {_POINTS_SQL},

@@ -414,3 +414,104 @@ def dataset_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn(split_col, expr)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget: int,
+    id_col: str,
+    seed: int = 0,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Per-group TOKEN-budget sampling — the data-mixture primitive
+    ("take ~10M tokens per source"): walk each group's rows in
+    deterministic random order (md5 priority) and keep rows while the
+    tokens accumulated BEFORE the row are under ``budget``, so the kept
+    mass overshoots by at most one document. Deterministic on any
+    partitioning/engine; a SQL window over (priority, id) replays the
+    exact kept set, which is what the oracle does.
+
+    Skew shape (same structure as :func:`cap_per_key_random`): the kept
+    set is a PREFIX of the group's hash-ordered stream, so a
+    hash-threshold prefilter bounds the window without changing the
+    answer. tau = oversample·budget / group_token_sum is a ROW fraction
+    whose expected surviving token mass is oversample·budget regardless
+    of how tokens distribute across rows (the hash draw is independent
+    of row size); exactness audit: if a group's survivors hold ≥ budget
+    tokens — or the whole group survived (tau = 1) — the true prefix is
+    provably inside the survivor set (the prefix's rows all hash below
+    the point where the budget is first reached, which is below tau
+    whenever survivor mass ≥ budget). Groups failing the audit (token
+    mass concentrated in a few huge docs plus hash bad luck) fall back
+    to a full window for that group alone — detected by a bounded collect
+    that is expected empty.
+
+    Rows with NULL or negative token counts are rejected up front: a
+    NULL would silently vanish from the cumulative sum and a negative
+    would un-spend budget.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if oversample <= 1.0:
+        raise ValueError(f"oversample must be > 1, got {oversample}")
+    _reject_reserved_columns(
+        df, ("_pri", "_tsum", "_ssum", "_cum", "_before")
+    )
+    bad = df.filter(F.col(token_col).isNull() | (F.col(token_col) < 0))
+    if bad.limit(1).count():
+        raise ValueError(
+            f"token_budget_sample: {token_col!r} contains NULL or negative "
+            "values; clean or default them first (coercion.count_default)"
+        )
+    pri = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    sums = df.groupBy(group_col).agg(F.sum(token_col).alias("_tsum"))
+    joined = df.withColumn("_pri", pri).join(sums, group_col)
+    frac = F.conv(F.substring(F.col("_pri"), 1, 15), 16, 10).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    tau = F.least(
+        F.lit(1.0), F.lit(float(oversample * budget)) / F.col("_tsum")
+    )
+    survivors = joined.filter(frac < tau).localCheckpoint(eager=True)
+    audits = survivors.groupBy(group_col).agg(F.sum(token_col).alias("_ssum"))
+    unsafe = (
+        sums.join(audits, group_col, "left")
+        .filter(
+            (F.coalesce(F.col("_ssum"), F.lit(0)) < budget)
+            & (F.col("_tsum") > F.coalesce(F.col("_ssum"), F.lit(0)))
+        )
+        .select(group_col)
+    )
+    unsafe_rows = unsafe.limit(1001).collect()
+
+    w = Window.partitionBy(group_col).orderBy(F.asc("_pri"), F.asc(id_col))
+
+    def kept(frame: DataFrame) -> DataFrame:
+        before = (
+            F.sum(F.col(token_col)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col(token_col)
+        )
+        return (
+            frame.withColumn("_before", before)
+            .filter(F.col("_before") < budget)
+            .drop("_pri", "_tsum", "_before")
+        )
+
+    safe = survivors
+    out_parts = []
+    if unsafe_rows:
+        if len(unsafe_rows) > 1000:
+            safe = survivors.join(unsafe, group_col, "left_anti")
+            out_parts.append(kept(joined.join(unsafe, group_col, "left_semi")))
+        else:
+            keys = [r[group_col] for r in unsafe_rows]
+            safe = survivors.filter(~F.col(group_col).isin(keys))
+            out_parts.append(kept(joined.filter(F.col(group_col).isin(keys))))
+    out = kept(safe)
+    for part in out_parts:
+        out = out.unionByName(part)
+    return out

@@ -435,3 +435,76 @@ def test_cap_per_key_random_guards(spark):
     clash = spark.createDataFrame([("a", 1, 2)], "dom string, id long, _pri long")
     with pytest.raises(ValueError, match="reserved"):
         cap_per_key_random(clash, "dom", 3, "id")
+
+
+def test_token_budget_sample_exact_vs_window_oracle(spark):
+    """token_budget_sample's kept set must equal the hash-ordered
+    cumulative-sum window replay (greedy prefix, overshoot at most one
+    doc), survive a forced-fallback oversample, and be
+    partitioning-independent."""
+    import random
+
+    from pyspark.sql import Window
+
+    from animaltrackingetls_spark.operators.sampling import token_budget_sample
+
+    random.seed(1)
+    rows = (
+        [("a", i, random.randint(1, 50)) for i in range(2000)]
+        + [("b", 10_000 + i, random.randint(200, 400)) for i in range(30)]
+        + [("c", 20_000, 5)]  # total below budget: kept whole
+    )
+    df = spark.createDataFrame(rows, "src string, doc_id long, toks long")
+    pri = F.md5(F.concat(F.lit("3:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("src").orderBy(F.asc("_p"), F.asc("doc_id"))
+    expected = {
+        (r.src, r.doc_id)
+        for r in df.withColumn("_p", pri)
+        .withColumn(
+            "_cum",
+            F.sum("toks").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("_cum") - F.col("toks") < 1000)
+        .collect()
+    }
+
+    def kept(frame, **kw):
+        return {
+            (r.src, r.doc_id)
+            for r in token_budget_sample(
+                frame, "src", "toks", 1000, "doc_id", seed=3, **kw
+            ).collect()
+        }
+
+    got = kept(df)
+    assert got == expected
+    # budget semantics: each group lands in [budget, budget + max_doc)
+    # unless the whole group is smaller
+    sums: dict[str, int] = {}
+    toks = {(r.src, r.doc_id): r.toks for r in df.collect()}
+    for k in got:
+        sums[k[0]] = sums.get(k[0], 0) + toks[k]
+    assert 1000 <= sums["a"] < 1050
+    assert 1000 <= sums["b"] < 1400
+    assert sums["c"] == 5
+    assert kept(df, oversample=1.01) == expected  # fallback path, same set
+    assert kept(df.repartition(13)) == expected
+
+
+def test_token_budget_sample_guards(spark):
+    import pytest
+
+    from animaltrackingetls_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame([("a", 1, 10)], "src string, doc_id long, toks long")
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_sample(df, "src", "toks", 0, "doc_id")
+    with pytest.raises(ValueError, match="oversample"):
+        token_budget_sample(df, "src", "toks", 5, "doc_id", oversample=0.5)
+    nulls = spark.createDataFrame(
+        [("a", 1, None)], "src string, doc_id long, toks long"
+    )
+    with pytest.raises(ValueError, match="NULL or negative"):
+        token_budget_sample(nulls, "src", "toks", 5, "doc_id")
