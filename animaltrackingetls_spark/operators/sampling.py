@@ -448,9 +448,11 @@ def token_budget_sample(
     to a full window for that group alone — detected by a bounded collect
     that is expected empty.
 
-    Rows with NULL or negative token counts are rejected up front: a
-    NULL would silently vanish from the cumulative sum and a negative
-    would un-spend budget.
+    Rows with NULL or negative token counts fail the job at first
+    contact (an inline ``raise_error`` guard on the token column — no
+    extra validation pass over a 100 TB input): a NULL would silently
+    vanish from the cumulative sum and a negative would un-spend
+    budget. Clean or default them first (coercion.count_default).
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
@@ -459,12 +461,17 @@ def token_budget_sample(
     _reject_reserved_columns(
         df, ("_pri", "_tsum", "_ssum", "_cum", "_before")
     )
-    bad = df.filter(F.col(token_col).isNull() | (F.col(token_col) < 0))
-    if bad.limit(1).count():
-        raise ValueError(
-            f"token_budget_sample: {token_col!r} contains NULL or negative "
-            "values; clean or default them first (coercion.count_default)"
-        )
+    checked = F.when(
+        F.col(token_col).isNull() | (F.col(token_col) < 0),
+        F.raise_error(
+            F.lit(
+                f"token_budget_sample: {token_col!r} contains NULL or "
+                "negative values; clean or default them first "
+                "(coercion.count_default)"
+            )
+        ).cast(df.schema[token_col].dataType),
+    ).otherwise(F.col(token_col))
+    df = df.withColumn(token_col, checked)
     pri = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     sums = df.groupBy(group_col).agg(F.sum(token_col).alias("_tsum"))
     joined = df.withColumn("_pri", pri).join(sums, group_col)

@@ -506,5 +506,70 @@ def test_token_budget_sample_guards(spark):
     nulls = spark.createDataFrame(
         [("a", 1, None)], "src string, doc_id long, toks long"
     )
-    with pytest.raises(ValueError, match="NULL or negative"):
+    # the NULL/negative guard is an inline raise_error (no validation
+    # pass) — it surfaces as a Spark runtime error at first contact
+    with pytest.raises(Exception, match="NULL or\s+negative"):
         token_budget_sample(nulls, "src", "toks", 5, "doc_id")
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=4),
+    budget=st.integers(min_value=1, max_value=300),
+    cap=st.integers(min_value=1, max_value=7),
+)
+def test_samplers_match_window_oracles_on_random_inputs(spark, sizes, budget, cap):
+    """Property: for arbitrary group sizes/budgets/caps, both skew-safe
+    samplers return exactly the window-replay kept set (empty groups,
+    groups under budget, caps above group size included)."""
+    from pyspark.sql import Window
+
+    from animaltrackingetls_spark.operators.sampling import (
+        cap_per_key_random,
+        token_budget_sample,
+    )
+
+    rows = [
+        (f"g{gi}", gi * 1000 + i, (i * 7 + gi) % 23 + 1)
+        for gi, size in enumerate(sizes)
+        for i in range(size)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "src string, doc_id long, toks long")
+    pri = F.md5(F.concat(F.lit("5:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("src").orderBy(F.asc("_p"), F.asc("doc_id"))
+    base = df.withColumn("_p", pri)
+    tok_expected = {
+        (r.src, r.doc_id)
+        for r in base.withColumn(
+            "_cum",
+            F.sum("toks").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("_cum") - F.col("toks") < budget)
+        .collect()
+    }
+    tok_got = {
+        (r.src, r.doc_id)
+        for r in token_budget_sample(
+            df, "src", "toks", budget, "doc_id", seed=5
+        ).collect()
+    }
+    assert tok_got == tok_expected
+    cap_expected = {
+        (r.src, r.doc_id)
+        for r in base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .collect()
+    }
+    cap_got = {
+        (r.src, r.doc_id)
+        for r in cap_per_key_random(df, "src", cap, "doc_id", seed=5).collect()
+    }
+    assert cap_got == cap_expected
