@@ -14,7 +14,10 @@
 3. Skewed per-key cap: one domain holding ~97% of the corpus, plain
    full-window cap_per_key vs the prefiltered cap_per_key_random.
 
-Run: python r7_experiments.py degenerate|order100|skewcap
+4. Skewed token-budget sampling: same hot-domain fixture, budget in
+   tokens instead of rows.
+
+Run: python r7_experiments.py degenerate|order100|skewcap|skewtok
 """
 from __future__ import annotations
 
@@ -118,6 +121,42 @@ def skewcap(spark):
     df.unpersist()
 
 
+def skewtok(spark):
+    from pyspark.sql import Window, functions as F
+
+    from animaltrackingetls_spark.operators.sampling import token_budget_sample
+
+    hot_n = int(sys.argv[2]) if len(sys.argv) > 2 else 3_000_000
+    big = spark.range(hot_n).select(
+        F.lit("hot.example").alias("dom"), "id", ((F.col("id") % 37) + 1).alias("toks")
+    )
+    tail = spark.range(hot_n, hot_n + 100_000).select(
+        F.concat(F.lit("d"), (F.col("id") % 5000).cast("string")).alias("dom"),
+        "id", ((F.col("id") % 37) + 1).alias("toks"),
+    )
+    df = big.unionByName(tail).cache()
+    df.count()
+    pri = F.md5(F.concat(F.lit("0:"), F.col("id").cast("string")))
+    w = Window.partitionBy("dom").orderBy(F.asc("_p"), F.asc("id"))
+    t0 = time.time()
+    a = (
+        df.withColumn("_p", pri)
+        .withColumn("_c", F.sum("toks").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(F.col("_c") - F.col("toks") < 500)
+        .count()
+    )
+    t1 = time.time()
+    b = token_budget_sample(df, "dom", "toks", 500, "id", seed=0).count()
+    t2 = time.time()
+    print(
+        f"skewtok {hot_n + 100_000} rows (one key={hot_n}): plain window "
+        f"{t1-t0:.2f}s ({a} kept) vs skew-safe {t2-t1:.2f}s ({b} kept)",
+        flush=True,
+    )
+    df.unpersist()
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "degenerate"
     s = get_spark(extra_conf={"spark.ui.showConsoleProgress": "false",
@@ -128,3 +167,5 @@ if __name__ == "__main__":
         order100(s)
     elif which == "skewcap":
         skewcap(s)
+    elif which == "skewtok":
+        skewtok(s)
