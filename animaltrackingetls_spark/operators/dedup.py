@@ -241,6 +241,10 @@ def ngram_jaccard_pairs(
     so its Jaccard is at most ``h / max(|A|, |B|)``; with stopword-like
     hot shingles and any realistic threshold this is far below the cut.
     ``None`` (default) applies no cap — identical output to round 6.
+    Size the cap well ABOVE the expected duplicate-cluster multiplicity
+    (e.g. 8× cluster size): an over-tight cap marks most shingles hot,
+    shrinking candidate recall and pushing intersection work onto the
+    per-pair hot-array intersects it was meant to avoid.
     """
     keep = list(block_cols or [])
     if length_band is not None and length_col not in keep:

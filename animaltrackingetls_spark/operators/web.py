@@ -66,7 +66,9 @@ def registered_domain(
     """eTLD+1 from a host: ``www.blog.spam.co.uk`` → ``spam.co.uk``,
     ``a.b.example.com`` → ``example.com``; a bare or two-label host is
     returned as-is. Case-folded (hosts are case-insensitive). Pure
-    string expressions — no UDF."""
+    string expressions — no UDF. IP-literal hosts come out as their
+    last two octets (a meaningless "domain"); gate IP-hosted URLs by
+    the raw host instead if they matter to your blocklist."""
     labels = F.split(F.lower(host), r"\.")
     k = F.size(labels)
     last2 = F.concat_ws(
