@@ -2293,7 +2293,13 @@ def _q_retrieval_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the k-row retriever pool is the production shape."""
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    bm_full = retrieval.bm25_topk(docs, _BM25_QUERY_TERMS, _BM25_K).persist()
+    # localCheckpoint (not persist): an unpersisted cache entry would
+    # leak a 25-row frame + lineage into the session per invocation;
+    # the eager checkpoint pins the shared pool for both branches and
+    # is released with the RDD, leaving no session-wide cache residue
+    bm_full = retrieval.bm25_topk(docs, _BM25_QUERY_TERMS, _BM25_K).localCheckpoint(
+        eager=True
+    )
     bm = bm_full.select(
         F.lit("bm25").alias("kind"),
         "doc_id",

@@ -652,10 +652,16 @@ def decode_tiff_header(payload: bytes) -> tuple[int, int, int, int] | None:
     if struct.unpack(e + "H", p[2:4])[0] != 42:
         return None
     ifd = struct.unpack(e + "I", p[4:8])[0]
+    # bounds-check every slice so truncated payloads reject (None) like
+    # tiff_ifd's JVM fold does, instead of raising struct.error
+    if len(p) < ifd + 2:
+        return None
     n = struct.unpack(e + "H", p[ifd:ifd + 2])[0]
     got: dict[int, int] = {}
     for i in range(min(n, _TIFF_MAX_IFD_ENTRIES)):
         eo = ifd + 2 + i * 12
+        if len(p) < eo + 12:
+            return None
         tag, typ = struct.unpack(e + "HH", p[eo:eo + 4])
         cnt = struct.unpack(e + "I", p[eo + 4:eo + 8])[0]
         if typ == 3:
@@ -663,6 +669,8 @@ def decode_tiff_header(payload: bytes) -> tuple[int, int, int, int] | None:
                 val = struct.unpack(e + "H", p[eo + 8:eo + 10])[0]
             else:
                 off = struct.unpack(e + "I", p[eo + 8:eo + 12])[0]
+                if len(p) < off + 2:
+                    return None
                 val = struct.unpack(e + "H", p[off:off + 2])[0]
         elif typ == 4:
             val = struct.unpack(e + "I", p[eo + 8:eo + 12])[0]

@@ -104,6 +104,15 @@ def domain_gate(
     """
     if mode not in ("block", "allow"):
         raise ValueError(f"mode must be block|allow, got {mode!r}")
+    # same convention as sampling._reject_reserved_columns: the staging
+    # column must not silently clobber caller data (case-insensitive,
+    # matching spark.sql.caseSensitive=false resolution)
+    clash = [c for c in df.columns if c.lower() == "_dom"]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with domain_gate's reserved "
+            "working column '_dom'; rename them first"
+        )
     dom = registered_domain(url_host(F.col(url_col)))
     keyed = df.withColumn("_dom", dom).filter(F.col("_dom").isNotNull())
     side = F.broadcast(

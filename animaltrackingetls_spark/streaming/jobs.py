@@ -25,6 +25,40 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
+# characters Spark escapes in partition directory names
+# (ExternalCatalogUtils.charToEscape: HTTP control chars plus the
+# path/URI metacharacters below); values escape as %XX uppercase hex
+_PATH_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\{[]^\x7f') | frozenset(
+    chr(i) for i in range(0x01, 0x20)
+)
+
+
+def _escape_path_name(s: str) -> str:
+    """Python twin of Spark's ExternalCatalogUtils.escapePathName."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _PATH_ESCAPE_CHARS else c for c in s
+    )
+
+
+def _partition_path_segment(col: str, value) -> str:
+    """Compose one ``col=value`` partition directory segment exactly as
+    Spark writes it: NULL and empty-string values become
+    ``__HIVE_DEFAULT_PARTITION__`` (PartitioningUtils.getPartitionPathString),
+    booleans lowercase like a Cast-to-string, and both sides escaped with
+    :func:`_escape_path_name`. Raw f-string interpolation is WRONG here —
+    a value containing ``/`` would compose a path outside the partition
+    dir, and NULL rows would never match the on-disk directory."""
+    if value is None:
+        return f"{_escape_path_name(col)}=__HIVE_DEFAULT_PARTITION__"
+    if isinstance(value, bool):
+        s = "true" if value else "false"
+    else:
+        s = str(value)
+    if s == "":
+        return f"{_escape_path_name(col)}=__HIVE_DEFAULT_PARTITION__"
+    return f"{_escape_path_name(col)}={_escape_path_name(s)}"
+
+
 def read_event_stream(
     spark: SparkSession,
     path: str,
@@ -428,7 +462,9 @@ def run_available_now_to_parquet(
             jpath = sc._jvm.org.apache.hadoop.fs.Path
             fs = jpath(path).getFileSystem(hconf)
             for row in emptied:
-                sub = "/".join(f"{c}={row[c]}" for c in partition_cols)
+                sub = "/".join(
+                    _partition_path_segment(c, row[c]) for c in partition_cols
+                )
                 p = jpath(f"{path}/{sub}")
                 if fs.exists(p):
                     fs.delete(p, True)

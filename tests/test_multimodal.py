@@ -576,3 +576,13 @@ def test_tiff_ifd_both_endians_pointer_read_and_twin(spark):
         [(1, bytearray(b"II*\x00\x08\x00\x00\x00"))], "id long, payload binary"
     )
     assert trunc.select(M.tiff_ifd(F.col("payload")).alias("t")).first().t is None
+    # Python twin must reject (None), not raise, on every truncation
+    # point: IFD offset past end, entry cut mid-way, BitsPerSample
+    # offset-pointer past end (r7 ADVICE: twin diverged from JVM side)
+    full = bytes(rows[0].payload)
+    assert M.decode_tiff_header(b"II*\x00\x08\x00\x00\x00") is None
+    assert M.decode_tiff_header(full[:20]) is None  # first entry truncated
+    assert M.decode_tiff_header(full[:60]) is None  # mid-IFD truncation
+    assert M.decode_tiff_header(full[:86]) is None  # BPS pointer past end
+    assert M.decode_tiff_header(b"") is None
+    assert M.decode_tiff_header(b"II+\x00\x08\x00\x00\x00") is None

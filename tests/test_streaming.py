@@ -599,6 +599,57 @@ def test_parquet_sink_update_mode_key_partition_migration(spark, tmp_path):
     assert not os.path.exists(os.path.join(out, "part=A"))  # emptied dir removed
 
 
+def test_parquet_sink_migration_escaped_and_null_partition_values(spark, tmp_path):
+    """Emptied-partition cleanup must compose directory names the way
+    Spark WRITES them: special characters %XX-escaped
+    (ExternalCatalogUtils.escapePathName) and NULL as
+    __HIVE_DEFAULT_PARTITION__ (r7 ADVICE). A raw f-string path would
+    miss both directories and leave stale rows that duplicate on
+    reread."""
+    import os
+
+    from animaltrackingetls_spark.streaming import run_available_now_to_parquet
+    from animaltrackingetls_spark.streaming.jobs import _partition_path_segment
+
+    # unit: the composer matches Spark's on-disk naming
+    assert _partition_path_segment("part", "a:b/c") == "part=a%3Ab%2Fc"
+    assert _partition_path_segment("part", None) == "part=__HIVE_DEFAULT_PARTITION__"
+    assert _partition_path_segment("part", "") == "part=__HIVE_DEFAULT_PARTITION__"
+    assert _partition_path_segment("part", True) == "part=true"
+
+    src = tmp_path / "esc_src"
+    out = str(tmp_path / "esc_out")
+    ckpt = str(tmp_path / "esc_ckpt")
+    schema = "k long, part string, v long"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_available_now_to_parquet(
+            stream, out, ckpt, partition_cols=["part"],
+            output_mode="update", unique_key_cols=["k"],
+            keys_determine_partitions=False,
+        )
+
+    # key 1 lands in a special-char partition, key 2 in the NULL partition
+    spark.createDataFrame(
+        [(1, "a:b/c", 1), (2, None, 1), (3, "ok", 1)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    # confirm Spark's actual directory names match the composer
+    assert os.path.exists(os.path.join(out, "part=a%3Ab%2Fc"))
+    assert os.path.exists(os.path.join(out, "part=__HIVE_DEFAULT_PARTITION__"))
+
+    # both keys migrate to 'ok': the escaped and NULL dirs empty out
+    spark.createDataFrame(
+        [(1, "ok", 2), (2, "ok", 2)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    rows = {(r.k, r.part, r.v) for r in spark.read.parquet(out).collect()}
+    assert rows == {(1, "ok", 2), (2, "ok", 2), (3, "ok", 1)}
+    assert not os.path.exists(os.path.join(out, "part=a%3Ab%2Fc"))
+    assert not os.path.exists(os.path.join(out, "part=__HIVE_DEFAULT_PARTITION__"))
+
+
 def test_remove_duplicate_spans_rejects_spans_with_keep_first(spark):
     """keep_first=True cannot honor spans= (gram identity is gone after
     merging) — passing both must raise, not silently recompute."""

@@ -74,6 +74,20 @@ def test_domain_gate_block_allow_and_fail_closed(spark):
         web.domain_gate(df, "url", bl, mode="deny")
 
 
+def test_domain_gate_rejects_reserved_dom_column(spark):
+    """A caller-owned '_dom' column must raise, not be silently
+    clobbered and dropped (r7 ADVICE; matches sampling's
+    _reject_reserved_columns convention, case-insensitive)."""
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    for col in ("_dom", "_DOM"):
+        df = spark.createDataFrame(
+            [(1, "https://a.example.com/x", "keepme")],
+            f"id long, url string, {col} string",
+        )
+        with pytest.raises(ValueError, match="_dom"):
+            web.domain_gate(df, "url", bl, mode="block")
+
+
 def test_domain_gate_is_broadcast(spark):
     """The gate must not shuffle: the list side broadcasts."""
     from animaltrackingetls_spark.plans.audit import assert_broadcast_join
