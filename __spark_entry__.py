@@ -1681,7 +1681,7 @@ def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream drains the same parquet the batch oracle reads."""
     from animaltrackingetls_spark.streaming import (
         read_event_stream,
-        run_available_now_to_memory,
+        run_available_now_to_memory_many,
         windowed_event_counts,
     )
 
@@ -1692,14 +1692,18 @@ def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = windowed_event_counts(stream, "1 hour", round_digits=2).select(
         "window_start", "event_type", "n_events", "sum_value"
     )
-    run_available_now_to_memory(agg, "q_stream_wc", output_mode="complete")
     # 'sliding' branch: the same hour of data hopped every 30 minutes —
     # each event lands in exactly two windows (duration/slide), the
-    # oracle replays it as a two-bucket explode
+    # oracle replays it as a two-bucket explode. Both independent
+    # queries drain CONCURRENTLY — sequential drains pay per-start
+    # fixed costs serially (the r7 bench drift: 2.6 s warm sequential
+    # vs 1.8 s concurrent at sf0.1, SCALING.md)
     sliding = windowed_event_counts(
         stream, "1 hour", round_digits=2, slide="30 minutes"
     ).select("window_start", "event_type", "n_events", "sum_value")
-    run_available_now_to_memory(sliding, "q_stream_swc", output_mode="complete")
+    run_available_now_to_memory_many(
+        {"q_stream_wc": agg, "q_stream_swc": sliding}, output_mode="complete"
+    )
     tum = spark.table("q_stream_wc").select(F.lit("tumbling").alias("kind"), "*")
     sli = spark.table("q_stream_swc").select(F.lit("sliding").alias("kind"), "*")
     return tum.unionByName(sli)
@@ -1741,7 +1745,7 @@ def _q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair, once), so the batch interval join is an exact oracle."""
     from animaltrackingetls_spark.streaming import (
         read_event_stream,
-        run_available_now_to_memory,
+        run_available_now_to_memory_many,
         stream_dedup,
         stream_stream_join,
     )
@@ -1753,8 +1757,6 @@ def _q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = stream_dedup(stream, ["user_id", "event_type"]).select(
         "user_id", "event_type"
     )
-    run_available_now_to_memory(kept, "q_stream_dedup", output_mode="append")
-
     # both join sides filter the ONE reader above (streaming self-joins
     # are supported); separate readers would re-probe the parquet footer
     # per side for nothing
@@ -1769,7 +1771,12 @@ def _q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = stream_stream_join(signups, purchases, max_gap_seconds=3600).select(
         "user_id", "event_id", "event_id_r"
     )
-    run_available_now_to_memory(pairs, "q_stream_join", output_mode="append")
+    # dedup + join drain concurrently (independent queries; serial
+    # drains pay per-start fixed costs twice — see SCALING.md
+    # 'streaming drift')
+    run_available_now_to_memory_many(
+        {"q_stream_dedup": kept, "q_stream_join": pairs}, output_mode="append"
+    )
 
     dedup_rows = spark.table("q_stream_dedup").select(
         F.lit("dedup").alias("kind"),
@@ -1863,6 +1870,41 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(probe).alias("n_probe"), "*")
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+def _q_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF SERVING shape (rows-only): search a SAVED index —
+    assignment persisted ``partitionBy(cell)``, centroids sidecar —
+    instead of training per query. The index is built once per
+    (sf_dir, embeddings mtime) into a local cache dir and every later
+    invocation only loads + searches with ``prune_cells=True``, so the
+    assignment scan partition-prunes to the probed cells. This is the
+    docstring claim of similarity.ivf_index made runnable: bench time
+    here is probe-bound, where ivf_topk's is train-bound. Recall floor
+    vs brute force and saved-vs-in-memory parity are pinned in
+    test_similarity.py."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb_file = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb_file)
+    key = hashlib.md5(
+        f"{emb_file}:{st.st_mtime_ns}:{st.st_size}:v1".encode()
+    ).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
+    done = os.path.join(cache, "_BUILT")
+    if not os.path.exists(done):
+        emb = _t(spark, sf_dir, "embeddings")
+        index = similarity.ivf_index(emb, n_centroids=8)
+        similarity.save_ivf_index(index, cache)
+        with open(done, "w") as f:
+            f.write(key)
+    index = similarity.load_ivf_index(spark, cache)
+    queries_df = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return similarity.ivf_search(
+        index, queries_df, k=10, n_probe=2, round_digits=6, prune_cells=True
+    )
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2297,8 +2339,12 @@ def _q_retrieval_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leak a 25-row frame + lineage into the session per invocation;
     # the eager checkpoint pins the shared pool for both branches and
     # is released with the RDD, leaving no session-wide cache residue
-    bm_full = retrieval.bm25_topk(docs, _BM25_QUERY_TERMS, _BM25_K).localCheckpoint(
-        eager=True
+    # coalesce(1) first: the pool is ≤25 rows — checkpointing it across
+    # 32 shuffle partitions stores 32 near-empty blocks for nothing
+    bm_full = (
+        retrieval.bm25_topk(docs, _BM25_QUERY_TERMS, _BM25_K)
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     bm = bm_full.select(
         F.lit("bm25").alias("kind"),
@@ -2571,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash_docs,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        "ivf_serve": _q_ivf_serve,
         "multimodal_features": _q_multimodal_features,
         "approx_users_per_type": _q_approx_users_per_type,
         "running_user_totals": _q_running_user_totals,

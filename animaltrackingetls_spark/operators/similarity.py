@@ -20,7 +20,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -269,6 +269,46 @@ def ivf_index(
     return c_cells, centers_list
 
 
+def save_ivf_index(
+    index: tuple[DataFrame, list[list[float]]], path: str
+) -> None:
+    """Persist an :func:`ivf_index` for serving: the corpus→cell
+    assignment written ``partitionBy("cell")`` (so a search touching
+    ``n_probe`` cells READS only those directories — the IVF promise
+    made physical) and the centroid table as a tiny sidecar parquet.
+    This is the index-once/search-many shape: training and assignment
+    are paid at build time; every later search is probe-bound."""
+    assignment, centers = index
+    assignment.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/assignment"
+    )
+    spark = assignment.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(centers)],
+        "cell int, cv array<double>",
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, list[list[float]]]:
+    """Load a :func:`save_ivf_index` layout back into the
+    ``(assignment, centroids)`` shape :func:`ivf_search` takes. The
+    assignment scan stays lazy — with ``prune_cells=True`` the search
+    filters on the partition column and Spark lists only the probed
+    cell directories (PartitionFilters in the scan node)."""
+    assignment = spark.read.parquet(f"{path}/assignment").select(
+        "n_id", "n_vec", "n_nrm", F.col("cell").cast("int").alias("cell")
+    )
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    if [r["cell"] for r in cent] != list(range(len(cent))):
+        raise ValueError(
+            f"corrupt IVF index at {path!r}: centroid cells not contiguous"
+        )
+    return assignment, [list(r["cv"]) for r in cent]
+
+
 def ivf_search(
     index: tuple[DataFrame, list[list[float]]],
     queries: DataFrame,
@@ -277,11 +317,23 @@ def ivf_search(
     query_id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = None,
+    prune_cells: bool = False,
 ) -> DataFrame:
     """Search a prebuilt :func:`ivf_index`: each query probes its
     ``n_probe`` nearest cells and exact cosine re-ranks the candidates
     — scores within the candidate set are EXACT, so a result can be
-    wrong only by omission (a true neighbor in an unprobed cell)."""
+    wrong only by omission (a true neighbor in an unprobed cell).
+
+    ``prune_cells=True`` (the serving path over a
+    :func:`save_ivf_index` assignment) first resolves the probed cell
+    SET on the driver — bounded by n_centroids, never by corpus or
+    query size — and filters the assignment with a static
+    ``cell IN (...)`` predicate, which Spark turns into partition
+    pruning on the ``partitionBy("cell")`` layout: the scan lists and
+    reads ONLY the probed cells' directories. Without it the full
+    assignment is scanned and the probe join filters rows after the
+    read — correct, but paying corpus-scan cost for a probe-bound
+    question."""
     c_cells, centers_list = index
     q = queries.select(
         F.col(query_id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
@@ -309,8 +361,18 @@ def ivf_search(
         .select("q_id", "q_vec", "q_nrm", "cell")
     )
 
+    corpus_side = c_cells
+    if prune_cells:
+        # bounded collect: distinct probed cells ≤ n_centroids (a
+        # serving index has tens-to-thousands of cells, never corpus
+        # cardinality). The static IN-list becomes PartitionFilters on
+        # a partitionBy("cell") assignment scan.
+        cells = sorted(
+            {r["cell"] for r in probes.select("cell").distinct().collect()}
+        )
+        corpus_side = c_cells.filter(F.col("cell").isin(cells))
     cand = (
-        c_cells.join(F.broadcast(probes), "cell")
+        corpus_side.join(F.broadcast(probes), "cell")
         .filter(F.col("n_id") != F.col("q_id"))
         .dropDuplicates(["q_id", "n_id"])
     )

@@ -8,6 +8,8 @@ idiom replacing the reference's cron re-runs, SURVEY.md §2.10).
 
 from __future__ import annotations
 
+import time as _time
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -598,6 +600,45 @@ def run_available_now_to_memory(
             f"streaming query {query_name!r} did not drain within "
             f"{timeout_seconds}s; raise timeout_seconds for this volume"
         )
+
+
+def run_available_now_to_memory_many(
+    results: dict[str, DataFrame],
+    output_mode: str = "append",
+    timeout_seconds: int = 120,
+) -> None:
+    """Drain SEVERAL independent streaming frames concurrently, each
+    into its own in-memory table (keys of ``results``). One session
+    runs many streaming queries at once — starting them all before
+    awaiting any overlaps the per-query fixed costs (temp checkpoint
+    creation, source listing, micro-batch scheduling) that a
+    sequential drain pays serially. Measured on the two-window bench
+    query at sf0.1: 2.6 s sequential → 1.8 s concurrent warm
+    (SCALING.md 'streaming drift'). On a cluster this is simply how
+    multi-query streaming apps are written; there is no sequential
+    version to prefer."""
+    queries = []
+    try:
+        for name, result in results.items():
+            queries.append(
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+        deadline = _time.monotonic() + timeout_seconds
+        for q in queries:
+            left = max(0.1, deadline - _time.monotonic())
+            if not q.awaitTermination(left):
+                raise TimeoutError(
+                    f"streaming query {q.name!r} did not drain within "
+                    f"{timeout_seconds}s; raise timeout_seconds for this volume"
+                )
+    finally:
+        for q in queries:
+            if q.isActive:
+                q.stop()
 
 
 def run_available_now_histogram_rollup(

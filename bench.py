@@ -5,10 +5,11 @@ Runs on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
  "queries": {name: sec, ...}, "spread": {name: [min, max]},
  "runs": R, "sf": N}.
 
-Each query is timed over R warm runs (default 3, env
-SPARK_GRAFT_BENCH_RUNS) and reported as the per-query MEDIAN — single
-runs at this scale vary ±15%, which would hide real 20% regressions;
-the min/max spread is emitted alongside so variance itself is visible.
+Each query runs R times (default 5, env SPARK_GRAFT_BENCH_RUNS); the
+FIRST run is discarded (JIT/codegen warm-up — r7's 3-run medians
+carried 5x spreads that could hide a 30% regression) and the per-query
+MEDIAN of the kept runs is reported, with the kept min/max spread
+emitted alongside so variance itself is visible.
 
 The headline set spans the engine's cost classes: scan+agg (flagship,
 q1), multi-join (q3, q5), window (window_latest_event), the cleaning
@@ -78,6 +79,11 @@ HEADLINE = [
     # (two full streaming drains, ~8 s, no per-round signal).
     "top_bigrams",
     "sample_audit",
+    # round-8: the IVF serving shape — search-only over a saved
+    # partitionBy(cell) index; the first (build) run is the discarded
+    # cold run, so the reported median is probe-bound, proving the
+    # index-once/search-many claim next to train-bound ivf_topk.
+    "ivf_serve",
 ]
 
 
@@ -105,7 +111,10 @@ def main() -> None:
     except Exception:
         pass
 
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # 5 runs, DISCARD the first (JIT/codegen/shuffle-service warm-up —
+    # the r7 3-run medians carried 5x spreads that could hide a 30%
+    # regression), report the median + min/max of the kept runs
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     total = 0.0
@@ -117,13 +126,15 @@ def main() -> None:
             df = qs[name](spark, SF_DIR)
             n = df.count()
             samples.append(time.monotonic() - t0)
-        med = statistics.median(samples)
+        kept = samples[1:] if runs > 2 else samples
+        med = statistics.median(kept)
         timings[name] = round(med, 3)
-        spread[name] = [round(min(samples), 3), round(max(samples), 3)]
+        spread[name] = [round(min(kept), 3), round(max(kept), 3)]
         total += med
         print(
-            f"# {name}: {n} rows, median {med:.3f}s over {runs} runs "
-            f"(min {min(samples):.3f}, max {max(samples):.3f})",
+            f"# {name}: {n} rows, median {med:.3f}s over {len(kept)} kept "
+            f"runs (cold {samples[0]:.3f}, min {min(kept):.3f}, "
+            f"max {max(kept):.3f})",
             flush=True,
         )
 

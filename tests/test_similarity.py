@@ -77,6 +77,47 @@ def test_ivf_topk_recall_on_clusters(spark):
         assert all(n % 2 == qid % 2 for n in neigh)  # stays in own cluster
 
 
+def test_ivf_save_load_search_parity_and_partition_pruning(spark, tmp_path):
+    """The serving shape: save_ivf_index (assignment partitionBy cell)
+    → load_ivf_index → ivf_search(prune_cells=True) must return
+    EXACTLY what searching the in-memory index returns, and the
+    assignment scan must carry a PartitionFilters entry on cell (the
+    probe-bound read the docstring promises)."""
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(80):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 0.0, 0.0, 1.0]
+        rows.append((i, [x + rng.gauss(0, 0.02) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 3)
+
+    index = similarity.ivf_index(df, n_centroids=4)
+    path = str(tmp_path / "ivf_idx")
+    similarity.save_ivf_index(index, path)
+    loaded = similarity.load_ivf_index(spark, path)
+    assert loaded[1] == index[1]  # centroids round-trip exactly
+
+    mem = {
+        (r.q_id, r.n_id, r.rank, round(r.cosine_sim, 9))
+        for r in similarity.ivf_search(index, q, k=5, n_probe=2).collect()
+    }
+    served = similarity.ivf_search(loaded, q, k=5, n_probe=2, prune_cells=True)
+    got = {
+        (r.q_id, r.n_id, r.rank, round(r.cosine_sim, 9))
+        for r in served.collect()
+    }
+    assert got == mem
+    # the pruned plan reads only the probed cells' directories
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", plan)
+    assert m, plan
+
+
 def test_ivf_matches_brute_force_when_probing_all_cells(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)] + [
         (10, [0.7, 0.7, 0.0, 0.0])

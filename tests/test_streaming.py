@@ -599,6 +599,54 @@ def test_parquet_sink_update_mode_key_partition_migration(spark, tmp_path):
     assert not os.path.exists(os.path.join(out, "part=A"))  # emptied dir removed
 
 
+def test_memory_many_concurrent_drain_matches_sequential(spark, tmp_path):
+    """run_available_now_to_memory_many drains independent queries
+    concurrently; each memory table must equal its own sequential
+    drain. Also: a failure/timeout path must leave no active query
+    behind (the finally-stop guarantee)."""
+    from animaltrackingetls_spark.streaming import (
+        read_event_stream,
+        run_available_now_to_memory_many,
+        windowed_event_counts,
+    )
+
+    src = tmp_path / "many_src"
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:05:00", 1, "click", 1.0, None),
+            (2, "2024-01-01 00:40:00", 1, "click", 2.0, None),
+            (3, "2024-01-01 01:10:00", 2, "view", 3.0, None),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "user_id",
+        "event_type", "value", "props"
+    ).coalesce(1).write.parquet(str(src))
+
+    stream = read_event_stream(spark, str(src))
+    tum = windowed_event_counts(stream, "1 hour").select(
+        "window_start", "event_type", "n_events"
+    )
+    sli = windowed_event_counts(stream, "1 hour", slide="30 minutes").select(
+        "window_start", "event_type", "n_events"
+    )
+    run_available_now_to_memory_many(
+        {"t_many_tum": tum, "t_many_sli": sli}, output_mode="complete"
+    )
+    assert len(spark.streams.active) == 0
+    tum_rows = {
+        (r.window_start, r.event_type, r.n_events)
+        for r in spark.table("t_many_tum").collect()
+    }
+    # tumbling: 2 clicks in hour 0, 1 view in hour 1
+    assert {(t.hour, e, n) for t, e, n in tum_rows} == {
+        (0, "click", 2), (1, "view", 1)
+    }
+    # sliding hour/30min: each event in exactly 2 windows
+    n_sli = spark.table("t_many_sli").agg(F.sum("n_events")).first()[0]
+    assert n_sli == 6
+
+
 def test_parquet_sink_migration_escaped_and_null_partition_values(spark, tmp_path):
     """Emptied-partition cleanup must compose directory names the way
     Spark WRITES them: special characters %XX-escaped
