@@ -635,13 +635,24 @@ def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(f"site{i}{t}",) for i in (0, 7, 13) for t in (".com", ".co.uk", ".org")],
         "domain string",
     )
-    kept = web.domain_gate(with_url, "url", blocklist, mode="block")
+    # round-8: gate + derivation run the FULL-PSL path (broadcast rule
+    # tables, one map-side join per rule length) over a rule set where
+    # it must agree exactly with the heuristic expression — the
+    # formula-recomputing oracle therefore hash-checks the PSL
+    # machinery end to end; wildcard/exception semantics are pinned by
+    # the official vectors in test_web.py
+    psl = web.parse_psl_rules(["com", "org", "uk", "co.uk"])
+    kept = web.domain_gate(
+        with_url, "url", blocklist, mode="block", psl_rules=psl
+    )
     host = web.url_host(F.col("url"))
-    webrows = kept.select(
+    webrows = web.registered_domain_psl(
+        kept.withColumn("_host", host), "_host", psl, out_col="_rd"
+    ).select(
         F.lit("web").alias("kind"),
         F.col("doc_id").cast("long").alias("key"),
-        web.registered_domain(host).alias("s"),
-        F.length(host).cast("long").alias("n1"),
+        F.col("_rd").alias("s"),
+        F.length("_host").cast("long").alias("n1"),
         F.lit(None).cast("long").alias("n2"),
         F.lit(None).cast("long").alias("n3"),
         F.lit(None).cast("long").alias("n4"),

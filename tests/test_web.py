@@ -74,6 +74,145 @@ def test_domain_gate_block_allow_and_fail_closed(spark):
         web.domain_gate(df, "url", bl, mode="deny")
 
 
+# rule set exercising every PSL construct: plain, multi-part, wildcard,
+# exception, comments/blanks (format per publicsuffix.org/list)
+_PSL_LINES = [
+    "// ===BEGIN ICANN DOMAINS===",
+    "",
+    "com",
+    "uk",
+    "co.uk",
+    "jp",
+    "ac.jp",
+    "*.kawasaki.jp",
+    "!city.kawasaki.jp",
+    "*.ck",
+    "!www.ck",
+    "us",
+    "k12.ak.us",
+]
+
+# (host, expected registered domain) — drawn from the official
+# checkPublicSuffix test vectors for these rules
+_PSL_CASES = [
+    ("example.com", "example.com"),
+    ("a.b.example.com", "example.com"),
+    ("com", None),                      # host IS a public suffix
+    ("example.co.uk", "example.co.uk"),
+    ("www.example.co.uk", "example.co.uk"),
+    ("co.uk", None),
+    ("uk", None),
+    ("test.ac.jp", "test.ac.jp"),
+    ("www.test.ac.jp", "test.ac.jp"),
+    # wildcard *.kawasaki.jp: 'test.kawasaki.jp' is a public suffix
+    ("test.kawasaki.jp", None),
+    ("www.test.kawasaki.jp", "www.test.kawasaki.jp"),
+    # exception !city.kawasaki.jp beats the wildcard
+    ("city.kawasaki.jp", "city.kawasaki.jp"),
+    ("www.city.kawasaki.jp", "city.kawasaki.jp"),
+    ("test.ck", None),                  # *.ck
+    ("www.test.ck", "www.test.ck"),
+    ("www.ck", "www.ck"),               # exception !www.ck
+    ("www.www.ck", "www.ck"),
+    # no matching rule -> implicit '*' default
+    ("example.pvt", "example.pvt"),
+    ("a.example.pvt", "example.pvt"),
+    ("pvt", None),
+    ("test.k12.ak.us", "test.k12.ak.us"),
+    ("www.test.k12.ak.us", "test.k12.ak.us"),
+    # case folding + trailing dot normalization
+    ("WwW.Example.COM", "example.com"),
+    ("example.com.", "example.com"),
+    # IP literals -> NULL
+    ("192.168.0.1", None),
+    ("[2001:db8::1]", None),
+    (None, None),
+]
+
+
+def test_registered_domain_psl_official_vectors(spark):
+    """Full PSL semantics against the official checkPublicSuffix
+    vectors for a rule set spanning plain/multi-part/wildcard/
+    exception rules, the implicit '*' default, public-suffix hosts,
+    normalization, and IP literals."""
+    rows = [(i, h) for i, (h, _) in enumerate(_PSL_CASES)]
+    df = spark.createDataFrame(rows, "id long, host string")
+    out = web.registered_domain_psl(df, "host", _PSL_LINES, out_col="rd")
+    got = {r.id: r.rd for r in out.collect()}
+    for i, (host, want) in enumerate(_PSL_CASES):
+        assert got[i] == want, f"host {host!r}: got {got[i]!r}, want {want!r}"
+    # output columns: input + out_col, no _psl_* residue
+    assert out.columns == ["id", "host", "rd"]
+
+
+def test_registered_domain_psl_accepts_table_and_is_shuffle_free(spark):
+    """The production shape: rules shipped as a DataFrame (broadcast
+    table); the derivation must add zero exchanges to a scan."""
+    rules_df = spark.createDataFrame([(l,) for l in _PSL_LINES], "rule string")
+    df = spark.createDataFrame(
+        [(1, "www.example.co.uk"), (2, "test.ck")], "id long, host string"
+    )
+    out = web.registered_domain_psl(df, "host", rules_df, out_col="rd")
+    got = {r.id: r.rd for r in out.collect()}
+    assert got == {1: "example.co.uk", 2: None}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # broadcast exchanges ship the rule tables (fine); what must be
+    # absent is any shuffle of the corpus side
+    import re as _re
+
+    assert not _re.search(r"Exchange (hash|range)partitioning", plan), plan
+    # pre-parsed dict form matches too
+    parsed = web.parse_psl_rules(rules_df)
+    out2 = web.registered_domain_psl(df, "host", parsed, out_col="rd")
+    assert {r.id: r.rd for r in out2.collect()} == got
+
+
+def test_registered_domain_psl_rejects_colliding_columns(spark):
+    df = spark.createDataFrame([(1, "a.com", "x")], "id long, host string, rd string")
+    with pytest.raises(ValueError, match="rd"):
+        web.registered_domain_psl(df, "host", _PSL_LINES, out_col="rd")
+    df2 = spark.createDataFrame(
+        [(1, "a.com", "x")], "id long, host string, _psl_n string"
+    )
+    with pytest.raises(ValueError, match="_psl_"):
+        web.registered_domain_psl(df2, "host", _PSL_LINES)
+
+
+def test_domain_gate_with_psl_rules_and_ip_guard(spark):
+    """domain_gate(psl_rules=...): blocking a wildcard-suffix
+    registrable domain must catch subdomains; IP-hosted URLs fail
+    closed in both modes; the heuristic path now also NULLs IP hosts
+    instead of inventing a last-two-octet 'domain'."""
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.test.ck/x"),        # reg dom www.test.ck
+            (2, "https://sub.www.test.ck/y"),    # same reg dom via subdomain
+            (3, "https://other.ck/z"),           # reg dom NULL (public suffix)
+            (4, "https://ok.example.com/w"),
+            (5, "http://192.168.0.1/ip"),        # IP -> dropped both modes
+        ],
+        "id long, url string",
+    )
+    bl = spark.createDataFrame([("www.test.ck",)], "domain string")
+    blocked = {
+        r.id
+        for r in web.domain_gate(
+            df, "url", bl, mode="block", psl_rules=_PSL_LINES
+        ).collect()
+    }
+    assert blocked == {4}  # 1,2 blocked; 3 unattributable; 5 IP
+    allowed = {
+        r.id
+        for r in web.domain_gate(
+            df, "url", bl, mode="allow", psl_rules=_PSL_LINES
+        ).collect()
+    }
+    assert allowed == {1, 2}
+    # heuristic path: IP host -> NULL -> dropped
+    heur = {r.id for r in web.domain_gate(df, "url", bl, mode="block").collect()}
+    assert 5 not in heur
+
+
 def test_domain_gate_rejects_reserved_dom_column(spark):
     """A caller-owned '_dom' column must raise, not be silently
     clobbered and dropped (r7 ADVICE; matches sampling's
