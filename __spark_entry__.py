@@ -2190,14 +2190,20 @@ def _q_quota_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard_pos").cast("long").alias("n"),
     )
     docs = _t(spark, sf_dir, "documents")
-    rcap = cap_per_key_random(docs, "source", 3, "doc_id", seed=0).select(
+    # mode="prefilter" pins the skew-safe two-phase plan under the
+    # oracle (auto would pick the plain window at sf-test scale);
+    # auto-mode parity both sides of the threshold is pinned in
+    # test_sampling.py
+    rcap = cap_per_key_random(
+        docs, "source", 3, "doc_id", seed=0, mode="prefilter"
+    ).select(
         F.lit("rcap").alias("kind"),
         "doc_id",
         F.col("source").alias("key"),
         F.col("n_chars").cast("long").alias("n"),
     )
     tok = token_budget_sample(
-        docs, "source", "n_chars", 30_000, "doc_id", seed=11
+        docs, "source", "n_chars", 30_000, "doc_id", seed=11, mode="prefilter"
     ).select(
         F.lit("tok").alias("kind"),
         "doc_id",

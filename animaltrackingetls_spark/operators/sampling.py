@@ -175,6 +175,17 @@ def cap_per_key(
     )
 
 
+# measured wall-clock crossover for cap_per_key_random (SCALING.md
+# round-7/8 skewcap rows): the plain window only loses to the
+# prefilter around a ~30M-row hot key locally; below that the window's
+# single sort is cheaper than two extra md5 passes + shuffles
+_CAP_SKEW_THRESHOLD = 30_000_000
+# token budgeting funnels the hot group's EVERY row through one
+# sort+running-sum task, so its crossover sits far lower (SCALING.md
+# round-8 tokcurve row)
+_TOK_SKEW_THRESHOLD = 2_000_000
+
+
 def cap_per_key_random(
     df: DataFrame,
     key_col: str,
@@ -182,6 +193,8 @@ def cap_per_key_random(
     id_col: str,
     seed: int = 0,
     oversample: float = 4.0,
+    mode: str = "auto",
+    skew_threshold: int = _CAP_SKEW_THRESHOLD,
 ) -> DataFrame:
     """Skew-safe EXACT per-key random cap: keep the ``n`` rows with the
     smallest ``md5(seed:id)`` per key — the deterministic "at most N
@@ -218,15 +231,43 @@ def cap_per_key_random(
     the hottest key's row count. Use the plain :func:`cap_per_key` when
     keys are known to be roughly balanced or the preference order is
     not random.
+
+    ``mode`` picks the physical form — the kept SET is identical in
+    all three (pinned both sides of the threshold by test):
+
+    * ``"auto"`` (default) — measure the hottest key from the per-key
+      counts the prefilter needs anyway (one extra 1-row agg job) and
+      choose: plain window below ``skew_threshold`` rows (the measured
+      local crossover, SCALING.md), prefilter at or above it. Callers
+      needn't know their skew.
+    * ``"window"`` — the plain md5-priority window, no counts pass at
+      all. Cheapest when keys are known balanced.
+    * ``"prefilter"`` — always the skew-safe two-phase plan. Right
+      when any key can dominate and the extra passes are acceptable
+      insurance (or the auto probe's eager count job is unwanted).
     """
     if n < 1:
         raise ValueError(f"cap must be >= 1, got {n}")
     if oversample <= 1.0:
         raise ValueError(f"oversample must be > 1, got {oversample}")
+    if mode not in ("auto", "window", "prefilter"):
+        raise ValueError(f"mode must be auto|window|prefilter, got {mode!r}")
     _reject_reserved_columns(df, ("_pri", "_kn", "_sn", "_rank_in_key"))
     pri = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
-    # pass 1: per-key counts — partial-agg'd, no priority hash needed
-    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_kn"))
+    w_plain = Window.partitionBy(key_col).orderBy(F.asc("_pri"), F.asc(id_col))
+    if mode != "window":
+        # pass 1: per-key counts — partial-agg'd, no priority hash needed
+        counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_kn"))
+    if mode == "auto":
+        hottest = counts.agg(F.max("_kn")).first()[0] or 0
+        mode = "prefilter" if hottest >= skew_threshold else "window"
+    if mode == "window":
+        return (
+            df.withColumn("_pri", pri)
+            .withColumn("_rank_in_key", F.row_number().over(w_plain))
+            .filter(F.col("_rank_in_key") <= n)
+            .drop("_pri", "_rank_in_key")
+        )
     # pass 2: the prefilter. counts is one row per key — orders of
     # magnitude smaller than the data — so the join broadcasts (or, past
     # the broadcast threshold, hash-joins as a STREAM per key: no sort,
@@ -424,6 +465,8 @@ def token_budget_sample(
     id_col: str,
     seed: int = 0,
     oversample: float = 4.0,
+    mode: str = "auto",
+    skew_threshold: int = _TOK_SKEW_THRESHOLD,
 ) -> DataFrame:
     """Per-group TOKEN-budget sampling — the data-mixture primitive
     ("take ~10M tokens per source"): walk each group's rows in
@@ -453,13 +496,23 @@ def token_budget_sample(
     extra validation pass over a 100 TB input): a NULL would silently
     vanish from the cumulative sum and a negative would un-spend
     budget. Clean or default them first (coercion.count_default).
+
+    ``mode`` (``"auto"`` | ``"window"`` | ``"prefilter"``) picks the
+    physical form exactly as in :func:`cap_per_key_random`; the kept
+    set is identical in all three. Auto measures the hottest group's
+    ROW count (carried in the same per-group aggregation as the token
+    sums — window cost is driven by rows sorted, not tokens) against
+    ``skew_threshold``, whose default is the measured local crossover
+    (SCALING.md round-8 tokcurve row).
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
     if oversample <= 1.0:
         raise ValueError(f"oversample must be > 1, got {oversample}")
+    if mode not in ("auto", "window", "prefilter"):
+        raise ValueError(f"mode must be auto|window|prefilter, got {mode!r}")
     _reject_reserved_columns(
-        df, ("_pri", "_tsum", "_ssum", "_cum", "_before")
+        df, ("_pri", "_tsum", "_gn", "_ssum", "_cum", "_before")
     )
     checked = F.when(
         F.col(token_col).isNull() | (F.col(token_col) < 0),
@@ -473,6 +526,24 @@ def token_budget_sample(
     ).otherwise(F.col(token_col))
     df = df.withColumn(token_col, checked)
     pri = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w_plain = Window.partitionBy(group_col).orderBy(F.asc("_pri"), F.asc(id_col))
+    if mode == "auto":
+        probe = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
+        hottest = probe.agg(F.max("_gn")).first()[0] or 0
+        mode = "prefilter" if hottest >= skew_threshold else "window"
+    if mode == "window":
+        before = (
+            F.sum(F.col(token_col)).over(
+                w_plain.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col(token_col)
+        )
+        return (
+            df.withColumn("_pri", pri)
+            .withColumn("_before", before)
+            .filter(F.col("_before") < budget)
+            .drop("_pri", "_before")
+        )
     sums = df.groupBy(group_col).agg(F.sum(token_col).alias("_tsum"))
     joined = df.withColumn("_pri", pri).join(sums, group_col)
     frac = F.conv(F.substring(F.col("_pri"), 1, 15), 16, 10).cast("double") / F.lit(

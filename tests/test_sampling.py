@@ -400,7 +400,9 @@ def test_cap_per_key_random_exact_and_skew_safe(spark):
     }
     safe = {
         (r.dom, r.id)
-        for r in cap_per_key_random(df, "dom", 5, "id", seed=0).collect()
+        for r in cap_per_key_random(
+            df, "dom", 5, "id", seed=0, mode="prefilter"
+        ).collect()
     }
     assert safe == direct
     # a key smaller than the cap keeps everything
@@ -410,14 +412,16 @@ def test_cap_per_key_random_exact_and_skew_safe(spark):
     tight = {
         (r.dom, r.id)
         for r in cap_per_key_random(
-            df, "dom", 5, "id", seed=0, oversample=1.05
+            df, "dom", 5, "id", seed=0, oversample=1.05, mode="prefilter"
         ).collect()
     }
     assert tight == direct
     # partitioning independence (the whole module's contract)
     repart = {
         (r.dom, r.id)
-        for r in cap_per_key_random(df.repartition(17), "dom", 5, "id", seed=0).collect()
+        for r in cap_per_key_random(
+            df.repartition(17), "dom", 5, "id", seed=0, mode="prefilter"
+        ).collect()
     }
     assert repart == direct
 
@@ -471,6 +475,7 @@ def test_token_budget_sample_exact_vs_window_oracle(spark):
     }
 
     def kept(frame, **kw):
+        kw.setdefault("mode", "prefilter")
         return {
             (r.src, r.doc_id)
             for r in token_budget_sample(
@@ -493,6 +498,68 @@ def test_token_budget_sample_exact_vs_window_oracle(spark):
     assert kept(df.repartition(13)) == expected
 
 
+def test_sampler_auto_mode_parity_both_sides_of_threshold(spark):
+    """mode='auto' must return the IDENTICAL kept set whichever
+    physical form the skew probe selects: skew_threshold=1 forces the
+    prefilter branch, a huge threshold forces the plain window, and
+    both must equal the explicit-mode results (r7 VERDICT: callers
+    needn't know their skew)."""
+    import random
+
+    from animaltrackingetls_spark.operators.sampling import (
+        cap_per_key_random,
+        token_budget_sample,
+    )
+
+    random.seed(9)
+    rows = [("hot", i, random.randint(1, 60)) for i in range(3000)] + [
+        ("cold", 10_000 + i, random.randint(1, 60)) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, toks long")
+
+    def cap_set(**kw):
+        return {
+            (r.src, r.doc_id)
+            for r in cap_per_key_random(df, "src", 4, "doc_id", seed=2, **kw).collect()
+        }
+
+    want = cap_set(mode="window")
+    assert cap_set(mode="prefilter") == want
+    assert cap_set(mode="auto", skew_threshold=1) == want        # auto->prefilter
+    assert cap_set(mode="auto", skew_threshold=10**9) == want    # auto->window
+    assert cap_set() == want                                     # default auto
+
+    def tok_set(**kw):
+        return {
+            (r.src, r.doc_id)
+            for r in token_budget_sample(
+                df, "src", "toks", 500, "doc_id", seed=2, **kw
+            ).collect()
+        }
+
+    twant = tok_set(mode="window")
+    assert tok_set(mode="prefilter") == twant
+    assert tok_set(mode="auto", skew_threshold=1) == twant
+    assert tok_set(mode="auto", skew_threshold=10**9) == twant
+    assert tok_set() == twant
+    # same output SCHEMA from every mode (window path must not leak
+    # working columns)
+    cols = set(df.columns)
+    for kw in ({"mode": "window"}, {"mode": "prefilter"}, {}):
+        assert set(
+            cap_per_key_random(df, "src", 4, "doc_id", seed=2, **kw).columns
+        ) == cols
+        assert set(
+            token_budget_sample(df, "src", "toks", 500, "doc_id", seed=2, **kw).columns
+        ) == cols
+    import pytest
+
+    with pytest.raises(ValueError, match="mode"):
+        cap_per_key_random(df, "src", 4, "doc_id", mode="magic")
+    with pytest.raises(ValueError, match="mode"):
+        token_budget_sample(df, "src", "toks", 500, "doc_id", mode="magic")
+
+
 def test_token_budget_sample_guards(spark):
     import pytest
 
@@ -508,8 +575,14 @@ def test_token_budget_sample_guards(spark):
     )
     # the NULL/negative guard is an inline raise_error (no validation
     # pass) — it surfaces as a Spark runtime error at first contact
+    # with the data, i.e. when the plan executes (the window form is
+    # fully lazy; the prefilter form hits it in its internal audit)
     with pytest.raises(Exception, match="NULL or\s+negative"):
-        token_budget_sample(nulls, "src", "toks", 5, "doc_id")
+        token_budget_sample(nulls, "src", "toks", 5, "doc_id").collect()
+    with pytest.raises(Exception, match="NULL or\s+negative"):
+        token_budget_sample(
+            nulls, "src", "toks", 5, "doc_id", mode="prefilter"
+        ).collect()
 
 
 from hypothesis import HealthCheck, given, settings
@@ -558,7 +631,7 @@ def test_samplers_match_window_oracles_on_random_inputs(spark, sizes, budget, ca
     tok_got = {
         (r.src, r.doc_id)
         for r in token_budget_sample(
-            df, "src", "toks", budget, "doc_id", seed=5
+            df, "src", "toks", budget, "doc_id", seed=5, mode="prefilter"
         ).collect()
     }
     assert tok_got == tok_expected
@@ -570,6 +643,8 @@ def test_samplers_match_window_oracles_on_random_inputs(spark, sizes, budget, ca
     }
     cap_got = {
         (r.src, r.doc_id)
-        for r in cap_per_key_random(df, "src", cap, "doc_id", seed=5).collect()
+        for r in cap_per_key_random(
+            df, "src", cap, "doc_id", seed=5, mode="prefilter"
+        ).collect()
     }
     assert cap_got == cap_expected
