@@ -2529,12 +2529,26 @@ def _q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup: k-means cells bound the pairwise
-    cosine stage; greedy min-id keep rule. Rows-only (k-means training
-    is not SQL-expressible); greedy-rule parity vs a brute-force oracle
-    is pinned in test_dedup.py."""
+    """SemDeDup-style semantic dedup, HASH-CHECKED since round 8: the
+    keep rule (drop any vector with a smaller-id within-cell neighbor
+    at cosine >= threshold) is a plain EXISTS, so the only non-SQL
+    piece was the k-means blocking — replaced here by a portable
+    sign-bit cell id over the first three embedding coordinates (8
+    cells), which DuckDB recomputes exactly; cosine is rounded to 6
+    digits on both sides so fold order can't flip a borderline pair.
+    The k-means blocking (the production shape for semantic locality)
+    stays pinned by test_dedup.py's brute-force parity test."""
     emb = _t(spark, sf_dir, "embeddings")
-    return dedup.semantic_dedup(emb, n_clusters=8, threshold=0.3)
+    e = F.col("embedding")
+    cell = (
+        (e[0] > 0).cast("int") * 4
+        + (e[1] > 0).cast("int") * 2
+        + (e[2] > 0).cast("int")
+    )
+    out = dedup.semantic_dedup(
+        emb, threshold=0.3, cell_expr=cell, round_digits=6
+    )
+    return out.select("vec_id", "cell", "keep")
 
 
 # ---------------------------------------------------------------------------
@@ -3202,6 +3216,22 @@ def oracle_sql() -> dict[str, str]:
              AND abs(a.n_chars - b.n_chars) <= 60
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        """,
+        "semantic_dedup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c AS (SELECT vec_id, v,
+                    (CASE WHEN v[1] > 0 THEN 4 ELSE 0 END
+                   + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+                   + CASE WHEN v[3] > 0 THEN 1 ELSE 0 END) AS cell
+                  FROM e),
+            d AS (SELECT DISTINCT b.vec_id AS id
+                  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                  WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3)
+            SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+                   (d.id IS NULL) AS keep
+            FROM c LEFT JOIN d ON c.vec_id = d.id
         """,
         "topk_cosine": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

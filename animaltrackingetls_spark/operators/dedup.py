@@ -1687,6 +1687,8 @@ def semantic_dedup(
     threshold: float = 0.9,
     seed: int = 42,
     max_iter: int = 8,
+    cell_expr: Column | None = None,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup over an embedding column: k-means
     clusters bound the pairwise comparison (never all-pairs), then the
@@ -1705,22 +1707,38 @@ def semantic_dedup(
     ~= N^2 / n_clusters work, tunable by n_clusters. The greedy rule is
     one-sided (a < b), so each pair is emitted once; no iteration, no
     driver loops.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
+    ``cell_expr`` swaps the k-means blocking for a caller-supplied cell
+    id computed over the raw ``vec_col`` (e.g. sign bits of fixed
+    coordinates, an md5 bucket, a saved IVF assignment). Trained cells
+    group semantically-close vectors better; a PORTABLE cell_expr makes
+    the whole operator replayable in ANSI SQL — the keep rule itself is
+    a plain EXISTS over within-cell pairs, so only the blocking stands
+    between this operator and a hash-checkable oracle. ``round_digits``
+    rounds the cosine before the threshold test so an engine computing
+    the same double sum in a different order cannot flip a borderline
+    pair.
+    """
     from .similarity import _as_double, cosine_with_norms, norm_expr
 
     base = emb.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+        *([] if cell_expr is None else [cell_expr.cast("int").alias("cell")]),
     ).withColumn("nrm", norm_expr(F.col("vec")))
-    train = base.withColumn("features", array_to_vector(F.col("vec")))
-    model = KMeans(
-        k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="features"
-    ).fit(train)
-    cells = model.transform(train).select(
-        "id", "vec", "nrm", F.col("prediction").alias("cell")
-    )
+    if cell_expr is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = base.withColumn("features", array_to_vector(F.col("vec")))
+        model = KMeans(
+            k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="features"
+        ).fit(train)
+        cells = model.transform(train).select(
+            "id", "vec", "nrm", F.col("prediction").alias("cell")
+        )
+    else:
+        cells = base.select("id", "vec", "nrm", "cell")
 
     a = cells.select(
         F.col("cell"),
@@ -1737,6 +1755,8 @@ def semantic_dedup(
     sim = cosine_with_norms(
         F.col("vec_a"), F.col("vec_b"), F.col("nrm_a"), F.col("nrm_b")
     )
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
     # one-sided within-cell pairs; a vector is dropped when ANY smaller id
     # sits within the threshold, so aggregate to the drop set first.
     dropped = (

@@ -175,15 +175,23 @@ def cap_per_key(
     )
 
 
-# measured wall-clock crossover for cap_per_key_random (SCALING.md
-# round-7/8 skewcap rows): the plain window only loses to the
-# prefilter around a ~30M-row hot key locally; below that the window's
-# single sort is cheaper than two extra md5 passes + shuffles
+# auto switch point for cap_per_key_random. NOT a local wall-clock
+# crossover: the round-8 curve (SCALING.md capcurve) shows the plain
+# top-n window beating the prefilter's extra corpus scans through a
+# 100M-row hot key on local[32] with 128 GB — a top-5 sort is cheap
+# when it fits. The threshold encodes the ROBUSTNESS bound instead:
+# past ~30M rows a single window task's sort buffer is spill/straggler
+# territory on real executors (not a 128 GB dev box), and the
+# prefilter's bounded ~oversample·n per-task working set is what
+# survives a 10^9-row key. Callers optimizing pure local wall-clock
+# with generous memory can raise it.
 _CAP_SKEW_THRESHOLD = 30_000_000
 # token budgeting funnels the hot group's EVERY row through one
-# sort+running-sum task, so its crossover sits far lower (SCALING.md
-# round-8 tokcurve row)
-_TOK_SKEW_THRESHOLD = 2_000_000
+# sort+running-sum task, so its crossover sits far lower — measured
+# (SCALING.md round-8 tokcurve row): window wins at a 300k-row hot
+# key, the forms tie around 1M, prefilter wins 1.7x at 3M and 1.6x
+# at 30M
+_TOK_SKEW_THRESHOLD = 1_000_000
 
 
 def cap_per_key_random(
@@ -195,6 +203,7 @@ def cap_per_key_random(
     oversample: float = 4.0,
     mode: str = "auto",
     skew_threshold: int = _CAP_SKEW_THRESHOLD,
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """Skew-safe EXACT per-key random cap: keep the ``n`` rows with the
     smallest ``md5(seed:id)`` per key — the deterministic "at most N
@@ -269,12 +278,20 @@ def cap_per_key_random(
             .drop("_pri", "_rank_in_key")
         )
     # pass 2: the prefilter. counts is one row per key — orders of
-    # magnitude smaller than the data — so the join broadcasts (or, past
-    # the broadcast threshold, hash-joins as a STREAM per key: no sort,
-    # no per-key memory, unlike the window it replaces). Priority is a
-    # 32-hex string; its leading 15 hex digits (60 bits) compare
-    # numerically against tau scaled to the same space.
-    joined = df.withColumn("_pri", pri).join(counts, key_col)
+    # magnitude smaller than the data — but the planner CANNOT know
+    # that (an aggregate's size estimate tracks its input), so without
+    # a hint it plans sort-merge: the corpus shuffled AND sorted on the
+    # skewed key — the exact single-task funnel this operator exists to
+    # avoid (measured: the 100M-row hot key's prefilter went 88 s->9 s
+    # when the hint landed, SCALING.md round-8 capcurve). broadcast()
+    # keeps the corpus side map-side. With corpus-scale key
+    # cardinality (counts itself too big to broadcast) set
+    # broadcast_counts=False and let AQE's skew-join splitting handle
+    # the shuffle. Priority is a 32-hex string; its leading 15 hex
+    # digits (60 bits) compare numerically against tau scaled to the
+    # same space.
+    counts_side = F.broadcast(counts) if broadcast_counts else counts
+    joined = df.withColumn("_pri", pri).join(counts_side, key_col)
     frac = F.conv(F.substring(F.col("_pri"), 1, 15), 16, 10).cast("double") / F.lit(
         float(1 << 60)
     )
@@ -467,6 +484,7 @@ def token_budget_sample(
     oversample: float = 4.0,
     mode: str = "auto",
     skew_threshold: int = _TOK_SKEW_THRESHOLD,
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """Per-group TOKEN-budget sampling — the data-mixture primitive
     ("take ~10M tokens per source"): walk each group's rows in
@@ -545,7 +563,11 @@ def token_budget_sample(
             .drop("_pri", "_before")
         )
     sums = df.groupBy(group_col).agg(F.sum(token_col).alias("_tsum"))
-    joined = df.withColumn("_pri", pri).join(sums, group_col)
+    # broadcast for the same reason as cap_per_key_random: the planner
+    # sizes the aggregate like its input and would sort-merge the
+    # corpus on the skewed group key
+    sums_side = F.broadcast(sums) if broadcast_counts else sums
+    joined = df.withColumn("_pri", pri).join(sums_side, group_col)
     frac = F.conv(F.substring(F.col("_pri"), 1, 15), 16, 10).cast("double") / F.lit(
         float(1 << 60)
     )

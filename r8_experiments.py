@@ -1,0 +1,100 @@
+"""Round-8 measurements.
+
+1. ``tokcurve`` — token-budget sampling crossover CURVE: one hot
+   domain of N rows (N swept over decades) plus a 100k-row balanced
+   tail, plain cumulative-sum window (mode='window') vs the
+   hash-threshold prefilter (mode='prefilter'), identical kept sets
+   asserted. Locates the wall-clock crossover that
+   sampling._TOK_SKEW_THRESHOLD encodes for mode='auto'.
+
+2. ``capcurve`` — the same sweep for the per-key random cap
+   (cap_per_key_random window vs prefilter), extending round 7's two
+   points (3M: window wins; 30M: crossover) toward 300M (the curve's
+   direction, per the round-7 verdict).
+
+Sizes above 30M are generated on the fly (spark.range is free to
+recompute and both arms pay it equally) — caching a 300M-row fixture
+buys nothing but heap pressure.
+
+Run: python r8_experiments.py tokcurve|capcurve [sizes...]
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+from animaltrackingetls_spark.session import get_spark
+from pyspark.sql import functions as F
+
+
+def _fixture(spark, hot_n: int, cache: bool):
+    big = spark.range(hot_n).select(
+        F.lit("hot.example").alias("dom"), "id", ((F.col("id") % 37) + 1).alias("toks")
+    )
+    tail = spark.range(hot_n, hot_n + 100_000).select(
+        F.concat(F.lit("d"), (F.col("id") % 5000).cast("string")).alias("dom"),
+        "id",
+        ((F.col("id") % 37) + 1).alias("toks"),
+    )
+    df = big.unionByName(tail)
+    if cache:
+        df = df.cache()
+        df.count()
+    return df
+
+
+def tokcurve(spark, sizes):
+    from animaltrackingetls_spark.operators.sampling import token_budget_sample
+
+    for hot_n in sizes:
+        df = _fixture(spark, hot_n, cache=hot_n <= 30_000_000)
+        t0 = time.time()
+        a = token_budget_sample(df, "dom", "toks", 500, "id", seed=0, mode="window").count()
+        t1 = time.time()
+        b = token_budget_sample(
+            df, "dom", "toks", 500, "id", seed=0, mode="prefilter"
+        ).count()
+        t2 = time.time()
+        assert a == b, (a, b)
+        print(
+            f"tokcurve hot={hot_n:>11,}: window {t1-t0:7.2f}s  "
+            f"prefilter {t2-t1:7.2f}s  (kept {a:,})",
+            flush=True,
+        )
+        if df.is_cached:
+            df.unpersist()
+
+
+def capcurve(spark, sizes):
+    from animaltrackingetls_spark.operators.sampling import cap_per_key_random
+
+    for hot_n in sizes:
+        df = _fixture(spark, hot_n, cache=hot_n <= 30_000_000)
+        t0 = time.time()
+        a = cap_per_key_random(df, "dom", 5, "id", seed=0, mode="window").count()
+        t1 = time.time()
+        b = cap_per_key_random(df, "dom", 5, "id", seed=0, mode="prefilter").count()
+        t2 = time.time()
+        assert a == b, (a, b)
+        print(
+            f"capcurve hot={hot_n:>11,}: window {t1-t0:7.2f}s  "
+            f"prefilter {t2-t1:7.2f}s  (kept {a:,})",
+            flush=True,
+        )
+        if df.is_cached:
+            df.unpersist()
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "tokcurve"
+    sizes = [int(x) for x in sys.argv[2:]] or {
+        "tokcurve": [300_000, 1_000_000, 3_000_000, 10_000_000, 30_000_000],
+        "capcurve": [30_000_000, 100_000_000, 300_000_000],
+    }[which]
+    s = get_spark(
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": "48g",
+        }
+    )
+    {"tokcurve": tokcurve, "capcurve": capcurve}[which](s, sizes)

@@ -571,6 +571,32 @@ def test_semantic_dedup_matches_greedy_rule(spark):
     assert sum(1 for k in got.values() if not k[1]) > 0
 
 
+def test_semantic_dedup_portable_cells_match_greedy_rule(spark):
+    """cell_expr swaps the k-means blocking for a caller expression:
+    the keep rule must follow the SAME greedy semantics over the given
+    cells, the returned cell must BE the expression's value, and
+    round_digits must round the cosine before the threshold test."""
+    import random
+
+    rng = random.Random(17)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    e = F.col("embedding")
+    cell = (e[0] > 0).cast("int") * 2 + (e[1] > 0).cast("int")
+    out = dedup.semantic_dedup(
+        df, threshold=0.5, cell_expr=cell, round_digits=6
+    )
+    got = {r.vec_id: (r.cell, r.keep) for r in out.collect()}
+    assert len(got) == 50
+    vectors = {i: v for i, v in rows}
+    want_cells = {
+        i: int(v[0] > 0) * 2 + int(v[1] > 0) for i, v in vectors.items()
+    }
+    assert {i: c for i, (c, _) in got.items()} == want_cells
+    expected = _greedy_semantic_keep(vectors, want_cells, 0.5)
+    assert {i: k for i, (_, k) in got.items()} == expected
+
+
 def test_semantic_dedup_threshold_monotone(spark):
     import random
 
