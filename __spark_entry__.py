@@ -2583,9 +2583,10 @@ def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver verifies the first 50 entries against
-    # oracle_sql() (CORRECTNESS_r02-r04 each covered exactly 50), so
-    # every oracle-backed query sits in positions 1-50; rows-only
+    # ORDER MATTERS: the driver verifies the oracle-backed prefix
+    # against oracle_sql() (51 entries since round 8 — semantic_dedup
+    # moved up when its portable-cell oracle landed), so
+    # every oracle-backed query sits in the leading positions; rows-only
     # (hash-seeded / approximate) queries follow. Operator pairs with
     # compatible output shapes are folded into single tagged-union
     # queries (_q_scalar_metrics .. _q_catalog_profile) so the whole
@@ -2641,6 +2642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segments_chunks": _q_segments_chunks,
         "quota_shuffle": _q_quota_shuffle,
         "proximity_pairs": _q_proximity_pairs,
+        "semantic_dedup": _q_semantic_dedup,
         # rows-only (hash-based / approximate / Python-batch operators)
         "winnow_fingerprints": _q_winnow_fingerprints,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -2652,7 +2654,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "approx_users_per_type": _q_approx_users_per_type,
         "running_user_totals": _q_running_user_totals,
-        "semantic_dedup": _q_semantic_dedup,
         "hll_user_rollup": _q_hll_user_rollup,
         "bpe_tokenize": _q_bpe_tokenize,
     }
