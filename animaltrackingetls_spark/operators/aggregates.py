@@ -104,6 +104,36 @@ def make_cell_assigner(centers):
     return assign
 
 
+def make_cell_ranker(centers, n_probe: int):
+    """Top-``n_probe`` nearest centroids per vector: the query-side
+    probe selection of IVF search, one numpy GEMM per Arrow batch —
+    the FAISS coarse-quantizer shape. Returns a scalar pandas UDF
+    mapping an array<double> vector column to the int[] of its
+    ``n_probe`` nearest cell indices (squared-L2 ascending, ties →
+    lowest index via stable argsort — the same (dist, cell) order a
+    window would rank). Replaces both a query×centroid join (an
+    unconditioned BNLJ or an n_centroids×dim literal expression tree,
+    each wrong at production index sizes) and the row_number window
+    that ranked it (a shuffle on query id)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centers, dtype=np.float64)
+    c2 = np.einsum("ij,ij->i", C, C)
+    k = max(1, min(int(n_probe), len(C)))
+
+    @pandas_udf("array<int>")
+    def rank(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray(v.tolist(), dtype=np.float64)
+        d = c2[None, :] - 2.0 * (V @ C.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    return rank
+
+
 def median_udaf(v) -> Column:
     """GROUPED_AGG pandas UDAF: median, pandas semantics (mean of the
     middle pair for even counts). Built lazily — pandas_udf registration

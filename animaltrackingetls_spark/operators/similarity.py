@@ -339,26 +339,22 @@ def ivf_search(
         F.col(query_id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
     ).withColumn("q_nrm", norm_expr(F.col("q_vec")))
 
-    # centroids are tiny: ship as literal arrays, rank cells per query
-    centroids = list(enumerate(centers_list))
-    cent_rows = [F.struct(F.lit(ci).alias("cell"), F.array(*[F.lit(x) for x in vec]).alias("cv"))
-                 for ci, vec in centroids]
-    q_cells = (
-        q.select("q_id", "q_vec", "q_nrm", F.explode(F.array(*cent_rows)).alias("ct"))
-        .select(
-            "q_id", "q_vec", "q_nrm", F.col("ct.cell").alias("cell"),
-            F.aggregate(
-                F.zip_with(F.col("q_vec"), F.col("ct.cv"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0).cast("double"),
-                lambda acc, v: acc + v,
-            ).alias("dist2"),
-        )
-    )
-    w_cell = Window.partitionBy("q_id").orderBy(F.asc("dist2"), F.asc("cell"))
-    probes = (
-        q_cells.withColumn("_r", F.row_number().over(w_cell))
-        .filter(F.col("_r") <= n_probe)
-        .select("q_id", "q_vec", "q_nrm", "cell")
+    # probe selection: each query's n_probe nearest cells via ONE
+    # Arrow-batched numpy GEMM against the centroid matrix (the FAISS
+    # coarse-quantizer shape), then a map-side explode. This replaces
+    # (r8) a query×centroid product + row_number window: the product is
+    # either an unconditioned BNLJ (flagged by the no-cartesian audit)
+    # or an n_centroids×dim LITERAL expression tree — which melts down
+    # in analysis at production index sizes (the round-7 Catalyst
+    # lesson: put bulk data in data, not in expressions) — and the
+    # window shuffled on query id. Now probe selection adds zero
+    # shuffles and zero joins.
+    from .aggregates import make_cell_ranker
+
+    ranker = make_cell_ranker(centers_list, n_probe)
+    probes = q.select(
+        "q_id", "q_vec", "q_nrm",
+        F.explode(ranker(F.col("q_vec"))).alias("cell"),
     )
 
     corpus_side = c_cells
@@ -371,10 +367,12 @@ def ivf_search(
             {r["cell"] for r in probes.select("cell").distinct().collect()}
         )
         corpus_side = c_cells.filter(F.col("cell").isin(cells))
-    cand = (
-        corpus_side.join(F.broadcast(probes), "cell")
-        .filter(F.col("n_id") != F.col("q_id"))
-        .dropDuplicates(["q_id", "n_id"])
+    # no dropDuplicates here: a corpus vector is assigned to exactly ONE
+    # cell and probes holds one row per (query, cell), so a (q_id, n_id)
+    # pair cannot repeat — the dedup was a full shuffle of the candidate
+    # set for nothing (removed r8; pair-uniqueness pinned in tests)
+    cand = corpus_side.join(F.broadcast(probes), "cell").filter(
+        F.col("n_id") != F.col("q_id")
     )
     sim = cosine_with_norms(
         F.col("q_vec"), F.col("n_vec"), F.col("q_nrm"), F.col("n_nrm")
