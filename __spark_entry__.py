@@ -635,20 +635,26 @@ def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(f"site{i}{t}",) for i in (0, 7, 13) for t in (".com", ".co.uk", ".org")],
         "domain string",
     )
-    # round-8: gate + derivation run the FULL-PSL path (broadcast rule
-    # tables, one map-side join per rule length) over a rule set where
-    # it must agree exactly with the heuristic expression — the
-    # formula-recomputing oracle therefore hash-checks the PSL
-    # machinery end to end; wildcard/exception semantics are pinned by
-    # the official vectors in test_web.py
+    # round-8: the FULL-PSL path (broadcast rule tables, one map-side
+    # join per rule length) over a rule set where it must agree exactly
+    # with the heuristic expression — the formula-recomputing oracle
+    # therefore hash-checks the PSL machinery end to end;
+    # wildcard/exception semantics are pinned by the official vectors
+    # in test_web.py. Derive the registered domain ONCE and gate on the
+    # derived column (the production shape) instead of letting
+    # domain_gate re-derive internally — one PSL pass, not two.
     psl = web.parse_psl_rules(["com", "org", "uk", "co.uk"])
-    kept = web.domain_gate(
-        with_url, "url", blocklist, mode="block", psl_rules=psl
+    hosted = web.registered_domain_psl(
+        with_url.withColumn("_host", web.url_host(F.col("url"))),
+        "_host",
+        psl,
+        out_col="_rd",
+    ).filter(F.col("_rd").isNotNull())
+    side = F.broadcast(
+        blocklist.select(F.lower(F.col("domain")).alias("_rd")).distinct()
     )
-    host = web.url_host(F.col("url"))
-    webrows = web.registered_domain_psl(
-        kept.withColumn("_host", host), "_host", psl, out_col="_rd"
-    ).select(
+    kept = hosted.join(side, "_rd", "left_anti")
+    webrows = kept.select(
         F.lit("web").alias("kind"),
         F.col("doc_id").cast("long").alias("key"),
         F.col("_rd").alias("s"),

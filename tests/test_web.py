@@ -167,6 +167,87 @@ def test_registered_domain_psl_accepts_table_and_is_shuffle_free(spark):
     assert {r.id: r.rd for r in out2.collect()} == got
 
 
+def _psl_reference(host: str | None, lines: list[str]) -> str | None:
+    """Independent pure-Python implementation of the published PSL
+    algorithm (rule labels matched right-to-left, '*' consumes one
+    label, exception prevails then longest match then implicit '*'),
+    used only to cross-check the Spark join-based form."""
+    rules = []
+    for line in lines:
+        line = (line or "").strip()
+        if not line or line.startswith("//"):
+            continue
+        token = line.split()[0].lower().strip(".")
+        is_exc = token.startswith("!")
+        if is_exc:
+            token = token[1:]
+        if not token:
+            continue
+        rules.append((token.split("."), is_exc))
+    if host is None:
+        return None
+    h = host.lower().rstrip(".")
+    import re
+
+    if not h or re.fullmatch(r"\d{1,3}(\.\d{1,3}){3}", h) or ":" in h:
+        return None
+    labels = h.split(".")
+    if "" in labels:
+        return None
+
+    def matches(rl):
+        if len(rl) > len(labels):
+            return False
+        return all(
+            r == "*" or r == l
+            for r, l in zip(reversed(rl), reversed(labels))
+        )
+
+    exc = [rl for rl, e in rules if e and matches(rl)]
+    if exc:
+        pub_len = max(len(rl) for rl in exc) - 1
+    else:
+        norm = [rl for rl, e in rules if not e and matches(rl)]
+        pub_len = max((len(rl) for rl in norm), default=1)
+    if len(labels) > pub_len:
+        return ".".join(labels[len(labels) - pub_len - 1:])
+    return None
+
+
+def test_registered_domain_psl_randomized_vs_reference(spark):
+    """400 seeded-random hosts built from labels that collide with
+    every rule construct in _PSL_LINES (plus IPs, trailing dots, case,
+    deep subdomains) must agree exactly with an independent Python
+    implementation of the published algorithm."""
+    import random
+
+    rng = random.Random(42)
+    parts = [
+        "a", "b", "ck", "uk", "co", "www", "test", "kawasaki", "jp",
+        "com", "ac", "city", "k12", "ak", "us", "x1", "example", "pvt",
+    ]
+    hosts: list[str | None] = []
+    for _ in range(380):
+        n = rng.randint(1, 5)
+        h = ".".join(rng.choice(parts) for _ in range(n))
+        roll = rng.random()
+        if roll < 0.05:
+            h = h.upper()
+        elif roll < 0.10:
+            h = h + "."
+        hosts.append(h)
+    hosts += ["10.0.0.1", "[::1]", "a:b:c", None, "com.", "WWW.CK",
+              "x1." * 6 + "ck", "ck", "us", "k12.ak.us"]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "id long, host string"
+    )
+    out = web.registered_domain_psl(df, "host", _PSL_LINES, out_col="rd")
+    got = {r.id: r.rd for r in out.collect()}
+    for i, h in enumerate(hosts):
+        want = _psl_reference(h, _PSL_LINES)
+        assert got[i] == want, f"host {h!r}: got {got[i]!r}, want {want!r}"
+
+
 def test_registered_domain_psl_rejects_colliding_columns(spark):
     df = spark.createDataFrame([(1, "a.com", "x")], "id long, host string, rd string")
     with pytest.raises(ValueError, match="rd"):
