@@ -2362,13 +2362,13 @@ def _q_retrieval_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leak a 25-row frame + lineage into the session per invocation;
     # the eager checkpoint pins the shared pool for both branches and
     # is released with the RDD, leaving no session-wide cache residue
-    # coalesce(1) first: the pool is ≤25 rows — checkpointing it across
-    # 32 shuffle partitions stores 32 near-empty blocks for nothing
-    bm_full = (
-        retrieval.bm25_topk(docs, _BM25_QUERY_TERMS, _BM25_K)
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
+    # pin the shared pool as a LocalRelation: the pool is ≤25 rows by
+    # construction, so a bounded collect + createDataFrame gives both
+    # union branches a free local frame — no session cache entry to
+    # leak (the r7 persist bug), no checkpoint blocks to store, and
+    # the corpus scan+aggregation runs exactly once
+    bm_lazy = retrieval.bm25_topk(docs, _BM25_QUERY_TERMS, _BM25_K)
+    bm_full = spark.createDataFrame(bm_lazy.collect(), bm_lazy.schema)
     bm = bm_full.select(
         F.lit("bm25").alias("kind"),
         "doc_id",
