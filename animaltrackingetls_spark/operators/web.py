@@ -82,21 +82,21 @@ def registered_domain(
     to your blocklist. For full public-suffix-list semantics (wildcard
     and exception rules, thousands of suffixes) use
     :func:`registered_domain_psl` with the real PSL."""
-    labels = F.split(F.lower(host), r"\.")
-    k = F.size(labels)
-    last2 = F.concat_ws(
-        ".", F.element_at(labels, -2), F.element_at(labels, -1)
-    )
-    last3 = F.concat_ws(
-        ".",
-        F.element_at(labels, -3),
-        F.element_at(labels, -2),
-        F.element_at(labels, -1),
-    )
+    # substring_index, not split+element_at: Catalyst has no
+    # let-binding, so the split array would be re-inlined (and the
+    # regex re-run) at every element_at reference — measured 10.6 s vs
+    # 3.0 s on 10M hosts (r8_experiments.py pslscale, SCALING.md).
+    # substring_index walks the string once per reference with no
+    # regex and no array. A host with ≤ 2 labels is its own last-2
+    # (substring_index returns the whole string when there are fewer
+    # separators), which is exactly the bare/two-label passthrough.
+    h = F.lower(host)
+    last2 = F.substring_index(h, ".", -2)
+    last3 = F.substring_index(h, ".", -3)
     return F.when(
-        host.isNull() | _is_ip_literal(F.lower(host)), F.lit(None).cast("string")
+        host.isNull() | _is_ip_literal(h), F.lit(None).cast("string")
     ).when(
-        k <= 2, F.lower(host)
+        last2 == h, h
     ).when(last2.isin(*multi_part_suffixes), last3).otherwise(last2)
 
 

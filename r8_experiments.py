@@ -85,11 +85,61 @@ def capcurve(spark, sizes):
             df.unpersist()
 
 
+def pslscale(spark, sizes):
+    """Full-PSL derivation vs the heuristic expression over synthetic
+    URL corpora: the join form's broadcast overhead is per-ACTION
+    (flat), so its per-row cost should converge toward the heuristic's
+    as the corpus grows — the claim in SCALING.md's cost-anatomy row,
+    demonstrated instead of asserted."""
+    from animaltrackingetls_spark.operators import web
+
+    rules = web.parse_psl_rules(
+        ["com", "org", "net", "uk", "co.uk", "org.uk", "jp", "ac.jp",
+         "*.kawasaki.jp", "!city.kawasaki.jp", "*.ck", "!www.ck"]
+    )
+    for n in sizes:
+        ids = spark.range(n)
+        tld = (
+            F.when(F.col("id") % 5 == 0, ".co.uk")
+            .when(F.col("id") % 5 == 1, ".ac.jp")
+            .when(F.col("id") % 5 == 2, ".kawasaki.jp")
+            .when(F.col("id") % 5 == 3, ".org")
+            .otherwise(".com")
+        )
+        sub = F.when(F.col("id") % 3 == 0, "www.").otherwise("")
+        urls = ids.select(
+            "id",
+            F.concat(
+                F.lit("https://"), sub, F.lit("h"),
+                (F.col("id") % 99_999).cast("string"), tld,
+                F.lit("/p/"), F.col("id").cast("string"),
+            ).alias("url"),
+        )
+        hosted = urls.withColumn("_host", web.url_host(F.col("url")))
+        t0 = time.time()
+        a = hosted.select(
+            web.registered_domain(F.col("_host")).alias("rd")
+        ).filter(F.col("rd").isNotNull()).count()
+        t1 = time.time()
+        b = (
+            web.registered_domain_psl(hosted, "_host", rules, out_col="rd")
+            .filter(F.col("rd").isNotNull())
+            .count()
+        )
+        t2 = time.time()
+        print(
+            f"pslscale n={n:>11,}: heuristic {t1-t0:6.2f}s ({a:,} rows)  "
+            f"full-psl {t2-t1:6.2f}s ({b:,} rows)",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "tokcurve"
     sizes = [int(x) for x in sys.argv[2:]] or {
         "tokcurve": [300_000, 1_000_000, 3_000_000, 10_000_000, 30_000_000],
         "capcurve": [30_000_000, 100_000_000, 300_000_000],
+        "pslscale": [100_000, 1_000_000, 10_000_000],
     }[which]
     s = get_spark(
         extra_conf={
@@ -97,4 +147,4 @@ if __name__ == "__main__":
             "spark.driver.memory": "48g",
         }
     )
-    {"tokcurve": tokcurve, "capcurve": capcurve}[which](s, sizes)
+    {"tokcurve": tokcurve, "capcurve": capcurve, "pslscale": pslscale}[which](s, sizes)
