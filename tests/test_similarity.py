@@ -77,6 +77,39 @@ def test_ivf_topk_recall_on_clusters(spark):
         assert all(n % 2 == qid % 2 for n in neigh)  # stays in own cluster
 
 
+def test_make_cell_ranker_order_ties_and_bounds(spark):
+    """The probe ranker must return cells in (squared-L2 asc, cell asc)
+    order — the ordering the old window ranked — clamp n_probe to the
+    centroid count, and handle empty input."""
+    from animaltrackingetls_spark.operators.aggregates import make_cell_ranker
+
+    centers = [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+    df = spark.createDataFrame(
+        [
+            (1, [0.1, 0.0]),    # nearest: c0, then c1
+            (2, [0.5, 0.0]),    # c0 and c1 EQUIDISTANT -> tie to lower index
+            (3, [0.9, 0.9]),    # nearest: c3, then c1/c2 tie -> c1
+        ],
+        "id long, v array<double>",
+    )
+    ranked = {
+        r.id: r.cells
+        for r in df.select(
+            "id", make_cell_ranker(centers, 3)(F.col("v")).alias("cells")
+        ).collect()
+    }
+    assert ranked[1][:2] == [0, 1]
+    assert ranked[2][0] == 0 and set(ranked[2][:2]) == {0, 1}
+    assert ranked[3][0] == 3 and ranked[3][1] == 1
+    # n_probe beyond the centroid count clamps; below 1 clamps to 1
+    full = df.select(make_cell_ranker(centers, 99)(F.col("v")).alias("c")).first().c
+    assert sorted(full) == [0, 1, 2, 3]
+    one = df.select(make_cell_ranker(centers, 0)(F.col("v")).alias("c")).first().c
+    assert len(one) == 1
+    empty = spark.createDataFrame([], "id long, v array<double>")
+    assert empty.select(make_cell_ranker(centers, 2)(F.col("v"))).count() == 0
+
+
 def test_ivf_save_load_search_parity_and_partition_pruning(spark, tmp_path):
     """The serving shape: save_ivf_index (assignment partitionBy cell)
     → load_ivf_index → ivf_search(prune_cells=True) must return
