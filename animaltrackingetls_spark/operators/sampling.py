@@ -246,9 +246,11 @@ def cap_per_key_random(
 
     * ``"auto"`` (default) — measure the hottest key from the per-key
       counts the prefilter needs anyway (one extra 1-row agg job) and
-      choose: plain window below ``skew_threshold`` rows (the measured
-      local crossover, SCALING.md), prefilter at or above it. Callers
-      needn't know their skew.
+      choose: plain window below ``skew_threshold`` rows, prefilter at
+      or above it (the default threshold is a bounded-task robustness
+      bound, not a pure wall-clock crossover — see the constant's
+      comment and SCALING.md capcurve). Callers needn't know their
+      skew.
     * ``"window"`` — the plain md5-priority window, no counts pass at
       all. Cheapest when keys are known balanced.
     * ``"prefilter"`` — always the skew-safe two-phase plan. Right
@@ -545,10 +547,19 @@ def token_budget_sample(
     df = df.withColumn(token_col, checked)
     pri = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     w_plain = Window.partitionBy(group_col).orderBy(F.asc("_pri"), F.asc(id_col))
+    sums = None
     if mode == "auto":
-        probe = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
-        hottest = probe.agg(F.max("_gn")).first()[0] or 0
+        # the probe rides the SAME per-group aggregation the prefilter
+        # needs (token sums + row counts in one pass); window cost is
+        # driven by rows sorted, so the switch reads the row count.
+        # Running it here also surfaces the NULL/negative token guard
+        # at call time in auto mode.
+        both = df.groupBy(group_col).agg(
+            F.sum(token_col).alias("_tsum"), F.count(F.lit(1)).alias("_gn")
+        )
+        hottest = both.agg(F.max("_gn")).first()[0] or 0
         mode = "prefilter" if hottest >= skew_threshold else "window"
+        sums = both.drop("_gn")
     if mode == "window":
         before = (
             F.sum(F.col(token_col)).over(
@@ -562,7 +573,8 @@ def token_budget_sample(
             .filter(F.col("_before") < budget)
             .drop("_pri", "_before")
         )
-    sums = df.groupBy(group_col).agg(F.sum(token_col).alias("_tsum"))
+    if sums is None:
+        sums = df.groupBy(group_col).agg(F.sum(token_col).alias("_tsum"))
     # broadcast for the same reason as cap_per_key_random: the planner
     # sizes the aggregate like its input and would sort-merge the
     # corpus on the skewed group key

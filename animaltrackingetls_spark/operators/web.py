@@ -116,7 +116,10 @@ def parse_psl_rules(rules) -> dict[int, dict[str, list[bool]]]:
     ``rules`` is an iterable of lines (e.g. the PSL file split on
     newlines) or a single-column DataFrame of lines (the broadcast-
     table production shape — collected here; the full PSL is ~15k
-    rows, list-sized, never corpus-sized)."""
+    rows, list-sized, never corpus-sized). IDN handling is the
+    caller's: the published PSL lists unicode labels, so punycode
+    (``xn--``) hosts only match if the rule table was punycoded the
+    same way — normalize one side before gating."""
     if isinstance(rules, DataFrame):
         col = rules.columns[0]
         rules = [r[col] for r in rules.select(col).collect()]
