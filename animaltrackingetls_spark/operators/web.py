@@ -14,12 +14,14 @@ domain — blocking ``spam.co.uk`` must also block ``www.spam.co.uk``,
 which a raw-host match silently misses. Everything is codegen on the
 scan; the only shuffle a gate introduces is none (broadcast).
 
-The suffix table is a HEURISTIC subset of the public-suffix list — the
-common multi-part commercial/academic suffixes — not the full
-Mozilla PSL (thousands of entries, updated continuously; in production
-ship the real PSL as a broadcast table and swap it in via
-``multi_part_suffixes=``). The fallback is classic eTLD+1: last two
-labels.
+Two derivation tiers (round 8): :func:`registered_domain` is the
+zero-setup heuristic (a ~21-entry multi-part suffix subset, classic
+eTLD+1 fallback) for when no rule table is at hand;
+:func:`registered_domain_psl` is the production path — the REAL
+public-suffix list (lines, a DataFrame, or pre-parsed) with full
+wildcard/exception semantics, executed as one broadcast left join per
+rule label count, still zero corpus shuffles. ``domain_gate`` takes
+``psl_rules=`` to gate with the full semantics.
 
 Reference behavior anchor: the reference's enrichment tier keys its
 geocode cache by URL-shaped API endpoints (monarch_etl/enrichment.py);
