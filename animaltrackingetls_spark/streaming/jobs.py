@@ -8,6 +8,7 @@ idiom replacing the reference's cron re-runs, SURVEY.md §2.10).
 
 from __future__ import annotations
 
+import datetime as _datetime
 import time as _time
 
 from pyspark.errors import AnalysisException
@@ -54,6 +55,13 @@ def _partition_path_segment(col: str, value) -> str:
         return f"{_escape_path_name(col)}=__HIVE_DEFAULT_PARTITION__"
     if isinstance(value, bool):
         s = "true" if value else "false"
+    elif isinstance(value, _datetime.datetime):
+        # Spark renders timestamp partition values as a cast-to-string:
+        # seconds, then the fraction with trailing zeros trimmed —
+        # str(datetime) would keep ".500000" and miss the directory
+        s = value.strftime("%Y-%m-%d %H:%M:%S")
+        if value.microsecond:
+            s += f".{value.microsecond:06d}".rstrip("0")
     else:
         s = str(value)
     if s == "":

@@ -664,6 +664,16 @@ def test_parquet_sink_migration_escaped_and_null_partition_values(spark, tmp_pat
     assert _partition_path_segment("part", None) == "part=__HIVE_DEFAULT_PARTITION__"
     assert _partition_path_segment("part", "") == "part=__HIVE_DEFAULT_PARTITION__"
     assert _partition_path_segment("part", True) == "part=true"
+    assert (
+        _partition_path_segment("ts", datetime.datetime(2024, 1, 1, 12, 34, 56))
+        == "ts=2024-01-01 12%3A34%3A56"
+    )
+    assert (
+        _partition_path_segment(
+            "ts", datetime.datetime(2024, 1, 1, 12, 34, 56, 500000)
+        )
+        == "ts=2024-01-01 12%3A34%3A56.5"
+    )
 
     src = tmp_path / "esc_src"
     out = str(tmp_path / "esc_out")
