@@ -88,3 +88,25 @@ def test_bucketed_tables_eliminate_join_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_global_topk_window_gets_group_limit_pushdown(spark):
+    """Global (unpartitioned) top-k windows — bm25_topk's pool, the
+    similarity re-ranks — LOOK like single-partition funnels (Spark
+    even warns 'No Partition Defined for Window'), but Spark 4
+    rewrites them into a distributed partial top-k: either
+    TakeOrderedAndProject (per-partition take, then a merge of at most
+    k×partitions rows) or WindowGroupLimit (per-partition rank prune
+    before the final window), so the funnel carries at most k rows per
+    upstream partition at any corpus size. Pin that so a regression
+    back to a true global sort fails loudly."""
+    from animaltrackingetls_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [(i, f"fox jumps over dog {i} " * (i % 7 + 1)) for i in range(500)],
+        "doc_id long, text string",
+    ).repartition(8)
+    topk = retrieval.bm25_topk(docs, ["fox", "dog"], 10)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, plan[:2000]
+    assert topk.count() == 10
