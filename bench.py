@@ -140,6 +140,13 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+    # 1-minute load average at exit: whole-invocation medians moved
+    # ±10-20% between otherwise-identical runs hours apart (round 8),
+    # so cross-round comparisons need the machine state on record
+    try:
+        loadavg = round(os.getloadavg()[0], 2)
+    except OSError:
+        loadavg = None
     print(
         json.dumps(
             {
@@ -150,6 +157,7 @@ def main() -> None:
                 "spread": spread,
                 "runs": runs,
                 "sf": sf,
+                "loadavg1m": loadavg,
             }
         ),
         flush=True,
