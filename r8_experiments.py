@@ -134,12 +134,66 @@ def pslscale(spark, sizes):
         )
 
 
+def ivfserve(spark, sizes):
+    """IVF serving at a corpus size where pruning matters: build an
+    index over N synthetic 64-dim vectors (driver-fit k-means on a
+    bounded sample — the documented 100 TB posture), save it
+    partitionBy(cell), then time searches over the LOADED index with
+    and without cell pruning. The pruned search should be roughly
+    probe_fraction of the unpruned scan cost, proving the
+    partitionBy(cell) layout does what the docstring claims at scale
+    (the registered ivf_serve query's sf0.1 corpus is only 5k vectors
+    — too small for the read cost to show)."""
+    import tempfile
+
+    from animaltrackingetls_spark.operators import similarity
+
+    n_cells = 64
+    for n in sizes:
+        # deterministic pseudo-gaussian-ish vectors from hash mixing —
+        # Date-free, partitioning-independent
+        vecs = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: (
+                    F.pmod(F.xxhash64(F.col("id"), i), F.lit(2000)) - 1000.0
+                ) / 1000.0,
+            ).alias("embedding"),
+        )
+        t0 = time.time()
+        index = similarity.ivf_index(
+            vecs, n_centroids=n_cells, fit_impl="driver", max_train_rows=20_000
+        )
+        path = tempfile.mkdtemp(prefix="ivfserve_")
+        similarity.save_ivf_index(index, path)
+        t1 = time.time()
+        loaded = similarity.load_ivf_index(spark, path)
+        queries = vecs.filter(F.col("vec_id") < 8)
+        t2 = time.time()
+        full = similarity.ivf_search(
+            loaded, queries, k=10, n_probe=4, prune_cells=False
+        ).count()
+        t3 = time.time()
+        pruned = similarity.ivf_search(
+            loaded, queries, k=10, n_probe=4, prune_cells=True
+        ).count()
+        t4 = time.time()
+        print(
+            f"ivfserve n={n:>10,} cells={n_cells} probe=4: build+save "
+            f"{t1-t0:6.1f}s  search full-scan {t3-t2:6.2f}s ({full} rows)  "
+            f"pruned {t4-t3:6.2f}s ({pruned} rows)",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "tokcurve"
     sizes = [int(x) for x in sys.argv[2:]] or {
         "tokcurve": [300_000, 1_000_000, 3_000_000, 10_000_000, 30_000_000],
         "capcurve": [30_000_000, 100_000_000, 300_000_000],
         "pslscale": [100_000, 1_000_000, 10_000_000],
+        "ivfserve": [1_000_000],
     }[which]
     s = get_spark(
         extra_conf={
@@ -147,4 +201,9 @@ if __name__ == "__main__":
             "spark.driver.memory": "48g",
         }
     )
-    {"tokcurve": tokcurve, "capcurve": capcurve, "pslscale": pslscale}[which](s, sizes)
+    {
+        "tokcurve": tokcurve,
+        "capcurve": capcurve,
+        "pslscale": pslscale,
+        "ivfserve": ivfserve,
+    }[which](s, sizes)
