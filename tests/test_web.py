@@ -248,6 +248,36 @@ def test_registered_domain_psl_randomized_vs_reference(spark):
         assert got[i] == want, f"host {h!r}: got {got[i]!r}, want {want!r}"
 
 
+def test_registered_domain_psl_handles_real_psl_sized_rule_table(spark):
+    """The production PSL is ~10k rules across ≤5 label counts. The
+    join form must stay one-join-per-length with rules in broadcast
+    DATA — a rules-in-the-expression-tree design would melt down in
+    analysis at this size (the Catalyst expression-size lesson). 9k
+    synthetic rules + wildcard/exception spot checks, matched against
+    the independent reference implementation."""
+    import random
+
+    rng = random.Random(7)
+    rules = ["com", "org", "uk", "co.uk"]
+    for i in range(9000):
+        ln = rng.randint(1, 4)
+        rules.append(".".join(f"s{rng.randint(0, 400)}" for _ in range(ln)))
+    rules += ["*.wild9k", "!keep.wild9k"]
+    hosts = []
+    for i in range(60):
+        ln = rng.randint(1, 5)
+        hosts.append(".".join(f"s{rng.randint(0, 400)}" for _ in range(ln)))
+    hosts += ["a.b.wild9k", "keep.wild9k", "x.keep.wild9k", "www.a.co.uk"]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "id long, host string"
+    )
+    out = web.registered_domain_psl(df, "host", rules, out_col="rd")
+    got = {r.id: r.rd for r in out.collect()}
+    for i, h in enumerate(hosts):
+        want = _psl_reference(h, rules)
+        assert got[i] == want, f"host {h!r}: got {got[i]!r}, want {want!r}"
+
+
 def test_registered_domain_psl_rejects_colliding_columns(spark):
     df = spark.createDataFrame([(1, "a.com", "x")], "id long, host string, rd string")
     with pytest.raises(ValueError, match="rd"):
