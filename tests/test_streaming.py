@@ -647,6 +647,33 @@ def test_memory_many_concurrent_drain_matches_sequential(spark, tmp_path):
     assert n_sli == 6
 
 
+def test_partition_path_segment_matches_spark_for_exotic_values(spark, tmp_path):
+    """Cross-check the escape table against Spark itself: write one
+    partitioned frame whose values cover every character class Spark
+    escapes (%XX metachars, control chars, spaces, unicode, equals,
+    hash, quotes) and assert the composer reproduces each on-disk
+    directory name exactly."""
+    import os
+
+    from animaltrackingetls_spark.streaming.jobs import _partition_path_segment
+
+    values = [
+        "plain", "with space", "a:b", "q?mark", "p%cent", 'd"quote',
+        "e=qual", "h#ash", "s/lash", "b\\slash", "st*ar", "unié",
+        "br[ack]et", "c^aret", "cu{rly", "ap'ostrophe",
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, part string"
+    )
+    out = str(tmp_path / "exotic")
+    df.write.partitionBy("part").parquet(out)
+    on_disk = {d for d in os.listdir(out) if d.startswith("part=")}
+    composed = {_partition_path_segment("part", v) for v in values}
+    assert composed == on_disk, (
+        sorted(composed - on_disk), sorted(on_disk - composed)
+    )
+
+
 def test_parquet_sink_migration_escaped_and_null_partition_values(spark, tmp_path):
     """Emptied-partition cleanup must compose directory names the way
     Spark WRITES them: special characters %XX-escaped
