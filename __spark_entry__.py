@@ -251,7 +251,7 @@ def _q_flagship_day_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_temporal_rescue_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3/C5 + C1/C2 + C11/C7 in ONE per-event projection (folded so
-    every oracle query fits the driver's 50-entry window — and strictly
+    every oracle query fits the driver's verified prefix — and strictly
     better than two queries: one scan feeds all of it): the seven
     derived temporal columns, messy-date-string rescue+parse → NULL,
     JSON extraction, and the NA-string scrub."""
@@ -2052,7 +2052,7 @@ def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Folded queries: the driver verifies only the first 50 queries() entries
+# Folded queries: the driver verifies the oracle-backed PREFIX of queries()
 # against oracle_sql(), so operator pairs with compatible output shapes are
 # folded into single tagged-union queries — every oracle-backed operator
 # keeps a hard driver signal without dropping any from the window.
