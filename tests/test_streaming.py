@@ -647,6 +647,38 @@ def test_memory_many_concurrent_drain_matches_sequential(spark, tmp_path):
     assert n_sli == 6
 
 
+def test_memory_many_failure_stops_all_queries(spark, tmp_path):
+    """If one of the concurrent queries dies (injected raise_error),
+    the helper must propagate the failure AND leave no other query
+    active — the finally-stop guarantee in the docstring."""
+    from animaltrackingetls_spark.streaming import (
+        read_event_stream,
+        run_available_now_to_memory_many,
+    )
+
+    src = tmp_path / "many_fail_src"
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00", 1, "click", 1.0, None)],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "user_id",
+        "event_type", "value", "props"
+    ).coalesce(1).write.parquet(str(src))
+
+    stream = read_event_stream(spark, str(src))
+    ok = stream.select("event_id")
+    bad = stream.select(
+        F.when(
+            F.col("event_id") >= 0, F.raise_error(F.lit("injected failure"))
+        ).otherwise(F.lit("x")).alias("boom")
+    )
+    with pytest.raises(Exception):
+        run_available_now_to_memory_many(
+            {"t_fail_ok": ok, "t_fail_bad": bad}, output_mode="append"
+        )
+    assert len(spark.streams.active) == 0
+
+
 def test_partition_path_segment_matches_spark_for_exotic_values(spark, tmp_path):
     """Cross-check the escape table against Spark itself: write one
     partitioned frame whose values cover every character class Spark
