@@ -2557,6 +2557,22 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "cell", "keep")
 
 
+def _q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-level best-fit-decreasing packing (rows-only: sequential
+    per-group bin state is not ANSI-SQL-replayable; no-overflow,
+    determinism, and waste-bound invariants pinned in
+    test_textstats.py). Documents pack whole into (source, bin_id)
+    bins of 30k chars; oversize docs are flagged in their own bins."""
+    from animaltrackingetls_spark.operators.textstats import (
+        pack_documents_bestfit,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_documents_bestfit(
+        docs, 30_000, token_col="n_chars", group_col="source"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2660,6 +2676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "approx_users_per_type": _q_approx_users_per_type,
         "running_user_totals": _q_running_user_totals,
+        "pack_bestfit": _q_pack_bestfit,
         "hll_user_rollup": _q_hll_user_rollup,
         "bpe_tokenize": _q_bpe_tokenize,
     }

@@ -224,6 +224,112 @@ def pack_documents(
     return df.select(*out_cols)
 
 
+def pack_documents_bestfit(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    group_col: str | None = None,
+    num_groups: int = 64,
+) -> DataFrame:
+    """Sample-level packing WITHOUT splitting: best-fit-decreasing bin
+    packing — the SFT/sample-packing sibling of :func:`pack_documents`
+    (which streams token ranges into bins and lets a boundary document
+    straddle). Here a document lands wholly in one bin, bins never
+    exceed ``max_tokens`` (an oversize document gets a bin of its own,
+    flagged), and BFD's waste is within 11/9·OPT+1 bins per group.
+
+    Deterministic: documents sort (tokens desc, id asc); each goes to
+    the open bin with the SMALLEST sufficient remaining capacity, ties
+    to the lowest bin id; bins are numbered in creation order. The same
+    inputs pack identically on any partitioning or cluster size.
+
+    Scale shape: packing is sequential per bin-set by nature, so it
+    runs per GROUP via ``applyInPandas`` — pass a natural coarse key
+    (``group_col``: source, shard, language) or let the default salt
+    by ``md5(id) % num_groups`` (partitioning-independent). Each group
+    packs locally in one Arrow batch; the unique bin key is the
+    (group, bin_id) PAIR. Tail waste: ≤ one under-full bin per group.
+
+    Output: (group, id, tokens, bin_id, oversize). Rows-only in the
+    oracle gate (sequential bin state is not ANSI-SQL-replayable);
+    the invariants — no bin over budget, determinism, waste bound —
+    are pinned by tests.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if group_col is None and not (1 <= num_groups <= 1_000_000):
+        raise ValueError(f"num_groups out of range: {num_groups}")
+    _forbidden = {"group", "bin_id", "oversize"}
+    clash = [c for c in (id_col, token_col) if c.lower() in _forbidden]
+    if clash:
+        raise ValueError(f"rename columns {clash}: reserved output names")
+
+    if group_col is None:
+        grp = (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % num_groups
+        ).cast("string")
+    else:
+        grp = F.col(group_col).cast("string")
+    base = df.select(
+        grp.alias("group"),
+        F.col(id_col).alias("id"),
+        F.col(token_col).cast("long").alias("tokens"),
+    )
+
+    schema = (
+        "group string, id long, tokens long, bin_id long, oversize boolean"
+    )
+
+    def pack(pdf):
+        import bisect
+
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["tokens", "id"], ascending=[False, True], kind="mergesort"
+        )
+        # open bins sorted by (remaining, bin_id) for true best-fit
+        open_bins: list[tuple[int, int]] = []
+        bins, flags = [], []
+        next_bin = 0
+        for tok in pdf.itertuples(index=False):
+            size = int(tok.tokens)
+            if size > max_tokens:
+                bins.append(next_bin)
+                flags.append(True)
+                next_bin += 1  # oversize: own (closed) bin
+                continue
+            i = bisect.bisect_left(open_bins, (size, -1))
+            if i < len(open_bins):
+                rem, b = open_bins.pop(i)
+                left = rem - size
+                if left > 0:
+                    open_bins.insert(
+                        bisect.bisect_left(open_bins, (left, b)), (left, b)
+                    )
+                bins.append(b)
+                flags.append(False)
+            else:
+                bins.append(next_bin)
+                flags.append(False)
+                rem = max_tokens - size
+                if rem > 0:
+                    open_bins.insert(
+                        bisect.bisect_left(open_bins, (rem, next_bin)),
+                        (rem, next_bin),
+                    )
+                next_bin += 1
+        out = pdf.copy()
+        out["bin_id"] = pd.Series(bins, index=pdf.index, dtype="int64")
+        out["oversize"] = pd.Series(flags, index=pdf.index, dtype="bool")
+        return out
+
+    return base.groupBy("group").applyInPandas(pack, schema)
+
+
 # A no-lookaround approximation of the GPT-2/BPE pre-tokenizer split:
 # letter runs, digit runs, punctuation runs (RE2-safe, so the same
 # pattern is reusable in SQL engines for oracle parity).

@@ -490,3 +490,76 @@ def test_dedup_lines_metacharacter_separator_is_literal(spark):
     ]
     assert got[0][0] == "a|b|c"     # '|' is literal, not regex alternation
     assert got[1][1] == "x.y"       # '.' is literal, not any-char
+
+
+def test_pack_bestfit_invariants_and_determinism(spark):
+    """Best-fit-decreasing sample packing: no bin exceeds the budget
+    (except single-oversize bins, flagged), every doc lands in exactly
+    one bin, the assignment is identical under repartitioning, and BFD
+    beats naive id-order first-next-fit on a crafted adversarial mix."""
+    import random
+
+    from animaltrackingetls_spark.operators.textstats import (
+        pack_documents_bestfit,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, rng.choice([60, 270, 331, 950, 1200])) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_documents_bestfit(df, 1000, group_col=None, num_groups=4)
+    got = [(r.group, r.id, r.tokens, r.bin_id, r.oversize) for r in out.collect()]
+    assert len(got) == 400 and len({(g, i) for g, i, *_ in got}) == 400
+    fills: dict = {}
+    for g, _i, t, b, over in got:
+        if over:
+            assert t > 1000
+            continue
+        fills[(g, b)] = fills.get((g, b), 0) + t
+    assert fills and all(v <= 1000 for v in fills.values())
+    # oversize bins hold exactly one doc
+    oversize_bins = [(g, b) for g, _i, t, b, over in got if over]
+    assert len(oversize_bins) == len(set(oversize_bins))
+    assert all((g, b) not in fills for g, b in oversize_bins)
+    # determinism across partitionings
+    again = {
+        (r.group, r.id): (r.bin_id, r.oversize)
+        for r in pack_documents_bestfit(
+            df.repartition(13), 1000, group_col=None, num_groups=4
+        ).collect()
+    }
+    assert again == {(g, i): (b, o) for g, i, _t, b, o in got}
+
+    # crafted: sizes 600,500,500,400 with budget 1000 — BFD packs 2 bins
+    # (600+400, 500+500); id-order next-fit would need 3
+    one = spark.createDataFrame(
+        [(1, 600), (2, 500), (3, 500), (4, 400)], "doc_id long, n_tokens long"
+    ).withColumn("src", F.lit("s"))
+    packed = pack_documents_bestfit(one, 1000, group_col="src")
+    by_bin: dict = {}
+    for r in packed.collect():
+        by_bin.setdefault(r.bin_id, []).append(r.tokens)
+    assert len(by_bin) == 2
+    assert sorted(sorted(v) for v in by_bin.values()) == [[400, 600], [500, 500]]
+
+
+def test_pack_bestfit_natural_group_and_guards(spark):
+    import pytest
+
+    from animaltrackingetls_spark.operators.textstats import (
+        pack_documents_bestfit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 995, "a")],
+        "doc_id long, n_tokens long, src string",
+    )
+    out = {
+        (r.group, r.id): r.bin_id
+        for r in pack_documents_bestfit(df, 1000, group_col="src").collect()
+    }
+    # groups pack independently: doc 2 in its own group's bin 0
+    assert out[("b", 2)] == 0
+    # 995 packs first (bin 0, remaining 5); 10 does not fit -> bin 1
+    assert out[("a", 3)] == 0 and out[("a", 1)] == 1
+    with pytest.raises(ValueError, match="max_tokens"):
+        pack_documents_bestfit(df, 0, group_col="src")
