@@ -30,6 +30,7 @@ def build_pretraining_corpus(
     min_lm_logprob: float = -3.45,
     max_tokens: int = 2048,
     partition_col: str = "source",
+    packing: str = "offset",
     reference_snapshot: DataFrame | None = None,
     drift_columns: list[str] | None = None,
     null_ratio_tolerance: float = 0.05,
@@ -45,9 +46,14 @@ def build_pretraining_corpus(
        engines;
     3. exact dedup on the md5 text fingerprint (min-id canonical);
     4. token-budget sequence packing, partition-parallel per
-       ``partition_col``.
+       ``partition_col``. ``packing="offset"`` (default) streams token
+       ranges into bins and lets a boundary document straddle (the
+       pretokenized-shard shape); ``packing="bestfit"`` packs each
+       document WHOLE via best-fit-decreasing
+       (:func:`~.operators.textstats.pack_documents_bestfit` — the
+       sample-packing shape, adds an ``oversize`` flag column).
 
-    Returns (doc_id, n_tokens, ``partition_col``, bin_id).
+    Returns (doc_id, n_tokens, ``partition_col``, bin_id[, oversize]).
 
     ``reference_snapshot`` arms the DRIFT GATE (step 0): the incoming
     ``docs`` batch is profiled against the snapshot
@@ -83,7 +89,19 @@ def build_pretraining_corpus(
         .filter(F.round("lm_logprob", 6) >= min_lm_logprob)
         .withColumn("md5_fp", F.md5("text"))
     )
+    if packing not in ("offset", "bestfit"):
+        raise ValueError(f"packing must be offset|bestfit, got {packing!r}")
     deduped = dedup.drop_exact_duplicates(kept, ["md5_fp"], "doc_id")
+    if packing == "bestfit":
+        return textstats.pack_documents_bestfit(
+            deduped, max_tokens, token_col="n_tokens", group_col=partition_col
+        ).select(
+            F.col("id").alias("doc_id"),
+            F.col("tokens").alias("n_tokens"),
+            F.col("group").alias(partition_col),
+            "bin_id",
+            "oversize",
+        )
     return textstats.pack_documents(
         deduped, max_tokens=max_tokens, partition_col=partition_col
     )

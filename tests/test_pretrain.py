@@ -52,3 +52,27 @@ def test_threshold_knobs_change_selectivity(spark):
     docs = load_table(spark, SF, "documents")
     strict = build_pretraining_corpus(docs, min_tokens=100000)
     assert strict.count() == 0
+
+
+def test_build_with_bestfit_packing(spark):
+    """packing='bestfit': same gates and dedup, but documents pack
+    whole — NO bin exceeds the budget (oversize docs are flagged
+    single-doc bins), and the kept doc set matches the offset build."""
+    docs = load_table(spark, SF, "documents")
+    out = build_pretraining_corpus(docs, packing="bestfit")
+    rows = out.collect()
+    assert rows
+    assert set(out.columns) == {"doc_id", "n_tokens", "source", "bin_id", "oversize"}
+    per_bin = (
+        out.filter(~F.col("oversize"))
+        .groupBy("source", "bin_id")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    )
+    assert per_bin and all(b.t <= 2048 for b in per_bin)
+    offset_ids = {
+        r.doc_id for r in build_pretraining_corpus(docs).collect()
+    }
+    assert {r.doc_id for r in rows} == offset_ids
+    with pytest.raises(ValueError, match="packing"):
+        build_pretraining_corpus(docs, packing="magic")
