@@ -563,3 +563,59 @@ def test_pack_bestfit_natural_group_and_guards(spark):
     assert out[("a", 3)] == 0 and out[("a", 1)] == 1
     with pytest.raises(ValueError, match="max_tokens"):
         pack_documents_bestfit(df, 0, group_col="src")
+
+
+def test_pack_bestfit_matches_reference_bfd_on_random_inputs(spark):
+    """Exact bin-assignment parity with an independent Python BFD
+    (same order and tie rules) over seeded random groups, sizes up to
+    1.4x budget (exercising oversize), through a repartitioned input."""
+    import bisect
+    import random
+
+    from animaltrackingetls_spark.operators.textstats import (
+        pack_documents_bestfit,
+    )
+
+    def ref_bfd(items, budget):
+        items = sorted(items, key=lambda t: (-t[1], t[0]))
+        open_bins, out, nxt = [], {}, 0
+        for i, s in items:
+            if s > budget:
+                out[i] = (nxt, True)
+                nxt += 1
+                continue
+            j = bisect.bisect_left(open_bins, (s, -1))
+            if j < len(open_bins):
+                rem, b = open_bins.pop(j)
+                if rem - s > 0:
+                    bisect.insort(open_bins, (rem - s, b))
+                out[i] = (b, False)
+            else:
+                if budget - s > 0:
+                    bisect.insort(open_bins, (budget - s, nxt))
+                out[i] = (nxt, False)
+                nxt += 1
+        return out
+
+    rng = random.Random(41)
+    for _ in range(5):
+        budget = rng.choice([7, 100, 1000])
+        rows, expected = [], {}
+        for g in range(rng.randint(1, 3)):
+            items = [
+                (g * 10000 + i, rng.randint(1, int(budget * 1.4)))
+                for i in range(rng.randint(0, 120))
+            ]
+            rows += [(f"g{g}", i, s) for i, s in items]
+            for i, bo in ref_bfd(items, budget).items():
+                expected[(f"g{g}", i)] = bo
+        if not rows:
+            continue
+        df = spark.createDataFrame(rows, "src string, doc_id long, n_tokens long")
+        got = {
+            (r.group, r.id): (r.bin_id, r.oversize)
+            for r in pack_documents_bestfit(
+                df.repartition(7), budget, group_col="src"
+            ).collect()
+        }
+        assert got == expected
