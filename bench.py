@@ -84,6 +84,9 @@ HEADLINE = [
     # cold run, so the reported median is probe-bound, proving the
     # index-once/search-many claim next to train-bound ivf_topk.
     "ivf_serve",
+    # round-8: whole-document best-fit packing (BFD per source group
+    # via applyInPandas; 99.3% fill at 1M docs, SCALING.md).
+    "pack_bestfit",
 ]
 
 
