@@ -2558,11 +2558,16 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample-level best-fit-decreasing packing (rows-only: sequential
-    per-group bin state is not ANSI-SQL-replayable; no-overflow,
-    determinism, and waste-bound invariants pinned in
-    test_textstats.py). Documents pack whole into (source, bin_id)
-    bins of 30k chars; oversize docs are flagged in their own bins."""
+    """Sample-level best-fit-decreasing packing, HASH-CHECKED: the
+    sequential per-group bin state IS replayable in SQL — a DuckDB
+    recursive CTE iterates one document per step per group carrying
+    the open-bin list as sorted STRUCT(rem, b)[] state, reproducing
+    BFD's exact placement and tie rules (smallest sufficient
+    remaining, lowest bin id) — the same recursion-replay trick used
+    for connected components. Documents pack whole into
+    (source, bin_id) bins of 30k chars; oversize docs are flagged in
+    their own bins. Invariants additionally pinned in
+    test_textstats.py."""
     from animaltrackingetls_spark.operators.textstats import (
         pack_documents_bestfit,
     )
@@ -2665,6 +2670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_shuffle": _q_quota_shuffle,
         "proximity_pairs": _q_proximity_pairs,
         "semantic_dedup": _q_semantic_dedup,
+        "pack_bestfit": _q_pack_bestfit,
         # rows-only (hash-based / approximate / Python-batch operators)
         "winnow_fingerprints": _q_winnow_fingerprints,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -2676,7 +2682,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "approx_users_per_type": _q_approx_users_per_type,
         "running_user_totals": _q_running_user_totals,
-        "pack_bestfit": _q_pack_bestfit,
         "hll_user_rollup": _q_hll_user_rollup,
         "bpe_tokenize": _q_bpe_tokenize,
     }
@@ -3240,6 +3245,56 @@ def oracle_sql() -> dict[str, str]:
              AND abs(a.n_chars - b.n_chars) <= 60
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        """,
+        "pack_bestfit": """
+            WITH RECURSIVE ordered AS (
+              SELECT source AS grp, doc_id, n_chars AS toks,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents
+            ),
+            pack AS (
+              SELECT grp, 0 AS rn, CAST(NULL AS BIGINT) AS id,
+                     CAST(NULL AS BIGINT) AS toks,
+                     CAST(NULL AS BIGINT) AS bin_id,
+                     CAST(NULL AS BOOLEAN) AS oversize,
+                     CAST([] AS STRUCT(rem BIGINT, b BIGINT)[]) AS open_bins,
+                     0::BIGINT AS next_bin
+              FROM (SELECT DISTINCT grp FROM ordered)
+              UNION ALL
+              SELECT o.grp, o.rn, o.doc_id, o.toks,
+                     CASE WHEN o.toks > 30000 THEN p.next_bin
+                          WHEN best.b IS NULL THEN p.next_bin
+                          ELSE best.b END,
+                     o.toks > 30000,
+                     CASE
+                       WHEN o.toks > 30000 THEN p.open_bins
+                       WHEN best.b IS NULL THEN
+                         CASE WHEN 30000 - o.toks > 0
+                              THEN list_sort(list_append(p.open_bins,
+                                     {'rem': 30000 - o.toks, 'b': p.next_bin}))
+                              ELSE p.open_bins END
+                       ELSE
+                         CASE WHEN best.rem - o.toks > 0
+                              THEN list_sort(list_append(
+                                     list_filter(p.open_bins,
+                                       x -> NOT (x.rem = best.rem AND x.b = best.b)),
+                                     {'rem': best.rem - o.toks, 'b': best.b}))
+                              ELSE list_filter(p.open_bins,
+                                     x -> NOT (x.rem = best.rem AND x.b = best.b)) END
+                     END,
+                     CASE WHEN o.toks > 30000 OR best.b IS NULL
+                          THEN p.next_bin + 1 ELSE p.next_bin END
+              FROM pack p
+              JOIN ordered o ON o.grp = p.grp AND o.rn = p.rn + 1
+              LEFT JOIN LATERAL (
+                SELECT f[1].rem AS rem, f[1].b AS b
+                FROM (SELECT list_filter(p.open_bins, x -> x.rem >= o.toks) AS f)
+                WHERE len(f) > 0
+              ) best ON TRUE
+            )
+            SELECT grp AS "group", id, toks AS tokens, bin_id, oversize
+            FROM pack WHERE rn > 0
         """,
         "semantic_dedup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
