@@ -1963,11 +1963,16 @@ def _q_approx_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator (applyInPandasWithState):
-    per-user lifetime (count, value-total) state carried across
-    micro-batches. Rows-only here (update-mode emissions depend on
-    batch boundaries); the exact batch-parity identity — final state ==
-    groupBy aggregate — is pinned in test_streaming.py."""
+    """Custom stateful streaming operator (applyInPandasWithState),
+    HASH-CHECKED since round 8: update-mode emissions depend on batch
+    boundaries, but per user they are monotone snapshots of the
+    running (count, total) state — so folding to the LAST emission
+    (max n_events; max_by for the total) yields the final state
+    regardless of how AvailableNow split the input, and the final
+    state has an exact batch twin: GROUP BY user_id count/sum, both
+    sides rounded to 6 digits so accumulation order cannot flip a
+    float. The stateful operator still runs end to end; the projection
+    just makes its result batch-deterministic."""
     from animaltrackingetls_spark.streaming import (
         read_event_stream,
         run_available_now_to_memory,
@@ -1980,7 +1985,14 @@ def _q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = running_user_totals(stream)
     run_available_now_to_memory(totals, "q_stream_totals", output_mode="update")
-    return spark.table("q_stream_totals")
+    return (
+        spark.table("q_stream_totals")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max_by("total_value", "n_events"), 6).alias("total_value"),
+        )
+    )
 
 
 def _q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2671,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_pairs": _q_proximity_pairs,
         "semantic_dedup": _q_semantic_dedup,
         "pack_bestfit": _q_pack_bestfit,
+        "running_user_totals": _q_running_user_totals,
         # rows-only (hash-based / approximate / Python-batch operators)
         "winnow_fingerprints": _q_winnow_fingerprints,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -2681,7 +2694,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_serve": _q_ivf_serve,
         "multimodal_features": _q_multimodal_features,
         "approx_users_per_type": _q_approx_users_per_type,
-        "running_user_totals": _q_running_user_totals,
         "hll_user_rollup": _q_hll_user_rollup,
         "bpe_tokenize": _q_bpe_tokenize,
     }
@@ -3245,6 +3257,11 @@ def oracle_sql() -> dict[str, str]:
              AND abs(a.n_chars - b.n_chars) <= 60
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        """,
+        "running_user_totals": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY user_id
         """,
         "pack_bestfit": """
             WITH RECURSIVE ordered AS (
