@@ -1929,7 +1929,16 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction ('doc' rows, stub codec) plus video-style evenly-spaced
     frame sampling → per-frame decode ('frame' rows: k = frame_idx,
     synthetic n_frames/fps metadata derived from payload size — the
-    JVM Generate plan bounds output to n_samples rows per payload)."""
+    JVM Generate plan bounds output to n_samples rows per payload).
+
+    HASH-CHECKED since round 8: the stub codec's 8-bin byte histogram
+    over a UTF-8 text payload is pure arithmetic DuckDB can replay —
+    per-bucket char-class counts divided by the window length (IEEE
+    double division of exact ints is bitwise-identical across
+    engines), the frame window a substr at (frame_idx*64) % n_bytes.
+    The Arrow plumbing (mapInPandas batches, Generate-bounded frame
+    explode) still runs for real; only the FEATURE math is what the
+    oracle replays."""
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.to_media_table(
         docs, "doc_id", F.encode(F.col("text"), "utf-8"), "text/plain"
@@ -2684,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "pack_bestfit": _q_pack_bestfit,
         "running_user_totals": _q_running_user_totals,
+        "multimodal_features": _q_multimodal_features,
         # rows-only (hash-based / approximate / Python-batch operators)
         "winnow_fingerprints": _q_winnow_fingerprints,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -2692,7 +2702,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "ivf_serve": _q_ivf_serve,
-        "multimodal_features": _q_multimodal_features,
         "approx_users_per_type": _q_approx_users_per_type,
         "hll_user_rollup": _q_hll_user_rollup,
         "bpe_tokenize": _q_bpe_tokenize,
@@ -3257,6 +3266,50 @@ def oracle_sql() -> dict[str, str]:
              AND abs(a.n_chars - b.n_chars) <= 60
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        """,
+        "multimodal_features": """
+            WITH d AS (
+              SELECT doc_id AS media_id, text,
+                     strlen(text)::BIGINT AS n_bytes
+              FROM documents
+            ),
+            b AS (SELECT media_id, n_bytes, text AS s,
+                         strlen(text)::BIGINT AS t FROM d),
+            doc AS (
+              SELECT 'doc' AS kind, media_id, n_bytes AS k,
+                     [ (strlen(s) - strlen(regexp_replace(s, '[\\x00-\\x1f]', '', 'g'))) / t,
+                   (strlen(s) - strlen(regexp_replace(s, '[\\x20-\\x3f]', '', 'g'))) / t,
+                   (strlen(s) - strlen(regexp_replace(s, '[\\x40-\\x5f]', '', 'g'))) / t,
+                   (strlen(s) - strlen(regexp_replace(s, '[\\x60-\\x7f]', '', 'g'))) / t,
+                       0.0, 0.0, 0.0, 0.0 ] AS feature
+              FROM b WHERE t > 0
+            ),
+            fr0 AS (
+              SELECT media_id, text, n_bytes,
+                     CAST(floor(n_bytes / 16.0) AS BIGINT) AS nf
+              FROM d WHERE CAST(floor(n_bytes / 16.0) AS BIGINT) > 0
+            ),
+            fidx AS (
+              SELECT DISTINCT media_id, text, n_bytes,
+                     CAST(floor(i * nf / 4.0) AS BIGINT) AS frame_idx
+              FROM fr0, UNNEST(range(4)) AS u(i)
+            ),
+            fwin AS (
+              SELECT media_id, frame_idx,
+                     substr(text, ((frame_idx * 64) % n_bytes)::BIGINT + 1,
+                            4096) AS s
+              FROM fidx
+            ),
+            frame AS (
+              SELECT 'frame' AS kind, media_id, frame_idx AS k,
+                     [ (strlen(s) - strlen(regexp_replace(s, '[\\x00-\\x1f]', '', 'g'))) / strlen(s),
+                   (strlen(s) - strlen(regexp_replace(s, '[\\x20-\\x3f]', '', 'g'))) / strlen(s),
+                   (strlen(s) - strlen(regexp_replace(s, '[\\x40-\\x5f]', '', 'g'))) / strlen(s),
+                   (strlen(s) - strlen(regexp_replace(s, '[\\x60-\\x7f]', '', 'g'))) / strlen(s),
+                       0.0, 0.0, 0.0, 0.0 ] AS feature
+              FROM fwin
+            )
+            SELECT * FROM doc UNION ALL SELECT * FROM frame
         """,
         "running_user_totals": """
             SELECT user_id, count(*) AS n_events,
