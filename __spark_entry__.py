@@ -2632,8 +2632,9 @@ def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver verifies the oracle-backed prefix
-    # against oracle_sql() (51 entries since round 8 — semantic_dedup
-    # moved up when its portable-cell oracle landed), so
+    # against oracle_sql() (54 entries since round 8: semantic_dedup,
+    # pack_bestfit, running_user_totals, and multimodal_features all
+    # gained oracles this round), so
     # every oracle-backed query sits in the leading positions; rows-only
     # (hash-seeded / approximate) queries follow. Operator pairs with
     # compatible output shapes are folded into single tagged-union
