@@ -1931,14 +1931,16 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic n_frames/fps metadata derived from payload size — the
     JVM Generate plan bounds output to n_samples rows per payload).
 
-    HASH-CHECKED since round 8: the stub codec's 8-bin byte histogram
-    over a UTF-8 text payload is pure arithmetic DuckDB can replay —
-    per-bucket char-class counts divided by the window length (IEEE
-    double division of exact ints is bitwise-identical across
-    engines), the frame window a substr at (frame_idx*64) % n_bytes.
-    The Arrow plumbing (mapInPandas batches, Generate-bounded frame
-    explode) still runs for real; only the FEATURE math is what the
-    oracle replays."""
+    HASH-CHECKED since round 8 (oracle made byte-accurate in round 9):
+    the stub codec's 8-bin byte histogram is pure arithmetic DuckDB
+    replays in BYTE space — hex(encode(text)) turns every UTF-8 byte
+    into a hex pair whose first nibble is the bucket, so the 4096-byte
+    cap, the high buckets (bytes >= 0x80), and the all-zero feature of
+    an empty payload all reproduce exactly (IEEE double division of
+    exact ints is bitwise-identical across engines). The Arrow
+    plumbing (mapInPandas batches, Generate-bounded frame explode)
+    still runs for real; only the FEATURE math is what the oracle
+    replays."""
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.to_media_table(
         docs, "doc_id", F.encode(F.col("text"), "utf-8"), "text/plain"
@@ -3268,46 +3270,76 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         """,
+        # Byte-ACCURATE replay of decode_stub's 8-bin histogram (r9,
+        # closing the ADVICE divergences): the stub buckets UTF-8 BYTES
+        # (bucket = byte >> 5) over payload[:4096] with
+        # total = max(1, min(len, 4096)), so the oracle works in byte
+        # space via hex(encode(text)) — each byte is one hex PAIR whose
+        # FIRST nibble is the bucket's top 3 bits ('0'/'1' -> bucket 0,
+        # ..., 'E'/'F' -> bucket 7). This reproduces the 4096-byte cap,
+        # the high buckets (non-ASCII bytes >= 0x80), and the all-zero
+        # feature row for empty payloads (pairs = [], t = 1) — no
+        # ASCII-only or short-text precondition remains. Pinned against
+        # decode_stub on adversarial fixtures (multibyte UTF-8, >4096
+        # bytes, empty) in test_multimodal.py.
         "multimodal_features": """
             WITH d AS (
-              SELECT doc_id AS media_id, text,
-                     strlen(text)::BIGINT AS n_bytes
+              SELECT doc_id AS media_id,
+                     octet_length(encode(text))::BIGINT AS n_bytes,
+                     hex(encode(text)) AS hxf
               FROM documents
             ),
-            b AS (SELECT media_id, n_bytes, text AS s,
-                         strlen(text)::BIGINT AS t FROM d),
+            docp AS (
+              SELECT media_id, n_bytes,
+                     regexp_extract_all(substr(hxf, 1, 8192), '..') AS pairs,
+                     CAST(greatest(least(n_bytes, 4096), 1) AS DOUBLE) AS t
+              FROM d
+            ),
             doc AS (
               SELECT 'doc' AS kind, media_id, n_bytes AS k,
-                     [ (strlen(s) - strlen(regexp_replace(s, '[\\x00-\\x1f]', '', 'g'))) / t,
-                   (strlen(s) - strlen(regexp_replace(s, '[\\x20-\\x3f]', '', 'g'))) / t,
-                   (strlen(s) - strlen(regexp_replace(s, '[\\x40-\\x5f]', '', 'g'))) / t,
-                   (strlen(s) - strlen(regexp_replace(s, '[\\x60-\\x7f]', '', 'g'))) / t,
-                       0.0, 0.0, 0.0, 0.0 ] AS feature
-              FROM b WHERE t > 0
+                     [ len(list_filter(pairs, x -> x[1] IN ('0','1'))) / t,
+                       len(list_filter(pairs, x -> x[1] IN ('2','3'))) / t,
+                       len(list_filter(pairs, x -> x[1] IN ('4','5'))) / t,
+                       len(list_filter(pairs, x -> x[1] IN ('6','7'))) / t,
+                       len(list_filter(pairs, x -> x[1] IN ('8','9'))) / t,
+                       len(list_filter(pairs, x -> x[1] IN ('A','B'))) / t,
+                       len(list_filter(pairs, x -> x[1] IN ('C','D'))) / t,
+                       len(list_filter(pairs, x -> x[1] IN ('E','F'))) / t
+                     ] AS feature
+              FROM docp
             ),
             fr0 AS (
-              SELECT media_id, text, n_bytes,
+              SELECT media_id, n_bytes, hxf,
                      CAST(floor(n_bytes / 16.0) AS BIGINT) AS nf
               FROM d WHERE CAST(floor(n_bytes / 16.0) AS BIGINT) > 0
             ),
             fidx AS (
-              SELECT DISTINCT media_id, text, n_bytes,
+              SELECT DISTINCT media_id, n_bytes, hxf,
                      CAST(floor(i * nf / 4.0) AS BIGINT) AS frame_idx
               FROM fr0, UNNEST(range(4)) AS u(i)
             ),
             fwin AS (
               SELECT media_id, frame_idx,
-                     substr(text, ((frame_idx * 64) % n_bytes)::BIGINT + 1,
-                            4096) AS s
+                     regexp_extract_all(
+                       substr(hxf,
+                              ((frame_idx * 64) % n_bytes)::BIGINT * 2 + 1,
+                              8192),
+                       '..') AS pairs,
+                     CAST(greatest(least(n_bytes - (frame_idx * 64) % n_bytes,
+                                         4096), 1) AS DOUBLE) AS t
               FROM fidx
             ),
             frame AS (
               SELECT 'frame' AS kind, media_id, frame_idx AS k,
-                     [ (strlen(s) - strlen(regexp_replace(s, '[\\x00-\\x1f]', '', 'g'))) / strlen(s),
-                   (strlen(s) - strlen(regexp_replace(s, '[\\x20-\\x3f]', '', 'g'))) / strlen(s),
-                   (strlen(s) - strlen(regexp_replace(s, '[\\x40-\\x5f]', '', 'g'))) / strlen(s),
-                   (strlen(s) - strlen(regexp_replace(s, '[\\x60-\\x7f]', '', 'g'))) / strlen(s),
-                       0.0, 0.0, 0.0, 0.0 ] AS feature
+                     [ len(list_filter(pairs, x -> x[1] IN ('0','1'))) / t,
+                       len(list_filter(pairs, x -> x[1] IN ('2','3'))) / t,
+                       len(list_filter(pairs, x -> x[1] IN ('4','5'))) / t,
+                       len(list_filter(pairs, x -> x[1] IN ('6','7'))) / t,
+                       len(list_filter(pairs, x -> x[1] IN ('8','9'))) / t,
+                       len(list_filter(pairs, x -> x[1] IN ('A','B'))) / t,
+                       len(list_filter(pairs, x -> x[1] IN ('C','D'))) / t,
+                       len(list_filter(pairs, x -> x[1] IN ('E','F'))) / t
+                     ] AS feature
               FROM fwin
             )
             SELECT * FROM doc UNION ALL SELECT * FROM frame

@@ -277,7 +277,7 @@ def cap_per_key_random(
             df.withColumn("_pri", pri)
             .withColumn("_rank_in_key", F.row_number().over(w_plain))
             .filter(F.col("_rank_in_key") <= n)
-            .drop("_pri", "_rank_in_key")
+            .select(*df.columns)
         )
     # pass 2: the prefilter. counts is one row per key — orders of
     # magnitude smaller than the data — but the planner CANNOT know
@@ -342,7 +342,12 @@ def cap_per_key_random(
             .filter(F.col("_rank_in_key") <= n)
         )
         out = safe_kept.unionByName(fallback_kept)
-    return out.drop("_pri", "_kn", "_rank_in_key")
+    # identical column ORDER on every physical form: the prefilter's
+    # counts join moves the key column first, so without this
+    # projection mode="auto" would return a data-dependent schema
+    # order and break positional consumers (union/insertInto) the day
+    # a dataset crosses the skew threshold
+    return out.select(*df.columns)
 
 
 def sharded_shuffle(
@@ -571,7 +576,7 @@ def token_budget_sample(
             df.withColumn("_pri", pri)
             .withColumn("_before", before)
             .filter(F.col("_before") < budget)
-            .drop("_pri", "_before")
+            .select(*df.columns)
         )
     if sums is None:
         sums = df.groupBy(group_col).agg(F.sum(token_col).alias("_tsum"))
@@ -626,4 +631,6 @@ def token_budget_sample(
     out = kept(safe)
     for part in out_parts:
         out = out.unionByName(part)
-    return out
+    # same column-order pin as cap_per_key_random: the sums join moves
+    # the group column first on the prefilter path only
+    return out.select(*df.columns)

@@ -359,6 +359,14 @@ def ivf_search(
 
     corpus_side = c_cells
     if prune_cells:
+        # the probe pipeline is executed twice on this path — once for
+        # the IN-list collect below, once in the candidate join — so pin
+        # ONE materialization first (bounded: |queries| × n_probe rows):
+        # a nondeterministically-rebuilt queries frame (sample()/rand())
+        # could otherwise probe cells the collected set missed, silently
+        # dropping candidates. This also makes the eager plan-time job
+        # explicit rather than hidden inside the collect.
+        probes = probes.localCheckpoint(eager=True)
         # bounded collect: distinct probed cells ≤ n_centroids (a
         # serving index has tens-to-thousands of cells, never corpus
         # cardinality). The static IN-list becomes PartitionFilters on

@@ -586,3 +586,52 @@ def test_tiff_ifd_both_endians_pointer_read_and_twin(spark):
     assert M.decode_tiff_header(full[:86]) is None  # BPS pointer past end
     assert M.decode_tiff_header(b"") is None
     assert M.decode_tiff_header(b"II+\x00\x08\x00\x00\x00") is None
+
+
+def test_multimodal_features_oracle_is_byte_accurate():
+    """The multimodal_features DuckDB oracle replays decode_stub's byte
+    histogram EXACTLY — including the three divergences the round-8
+    oracle had (4096-byte cap ignored, high buckets hardcoded 0, empty
+    docs dropped): multibyte UTF-8 pushes bytes into buckets 4-7,
+    >4096-byte payloads exercise the cap, and the empty doc must emit
+    an all-zero feature row, not vanish."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from animaltrackingetls_spark.operators.multimodal import decode_stub
+
+    rows = [
+        (0, "hello world \x01\x02 ABC abc"),
+        (1, "café naïve 中文 text " * 10),  # 2- and 3-byte UTF-8
+        (2, "x" * 5000),  # past the 4096-byte cap
+        (3, ""),  # empty payload -> all-zero features
+        (4, "ÿ" * 100),  # 0xC3 0xBF bytes -> buckets 6 and 5
+        (5, "Z" * 16),  # exactly one frame group
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = con.execute(
+        entry.oracle_sql()["multimodal_features"]
+    ).fetchall()
+
+    # expected, straight from the Python implementation
+    exp = []
+    for doc_id, text in rows:
+        p = text.encode("utf-8")
+        exp.append(("doc", doc_id, len(p), decode_stub(p, "text/plain")))
+        nf = len(p) // 16
+        if nf > 0:
+            for idx in sorted({i * nf // 4 for i in range(4)}):
+                start = idx * 64 % max(1, len(p))
+                window = p[start : start + 4096] or p[:4096]
+                buckets = [0] * 8
+                for b in window:
+                    buckets[b >> 5] += 1
+                total = max(1, len(window))
+                exp.append(
+                    ("frame", doc_id, idx, [b / total for b in buckets])
+                )
+    key = lambda r: (r[0], r[1], r[2])
+    got_norm = sorted(((k, m, kk, list(f)) for k, m, kk, f in got), key=key)
+    assert got_norm == sorted(exp, key=key)

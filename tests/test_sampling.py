@@ -577,9 +577,9 @@ def test_token_budget_sample_guards(spark):
     # pass) — it surfaces as a Spark runtime error at first contact
     # with the data, i.e. when the plan executes (the window form is
     # fully lazy; the prefilter form hits it in its internal audit)
-    with pytest.raises(Exception, match="NULL or\s+negative"):
+    with pytest.raises(Exception, match=r"NULL or\s+negative"):
         token_budget_sample(nulls, "src", "toks", 5, "doc_id").collect()
-    with pytest.raises(Exception, match="NULL or\s+negative"):
+    with pytest.raises(Exception, match=r"NULL or\s+negative"):
         token_budget_sample(
             nulls, "src", "toks", 5, "doc_id", mode="prefilter"
         ).collect()
