@@ -1520,7 +1520,14 @@ def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 of the doc_id-ordered newline-joined packed sequence, so the
     physical shard construction — order, membership, separator — is
     digest-verified, not just the bin arithmetic. Unique bin key =
-    (source, bin_id)."""
+    (source, bin_id).
+
+    Round 9 folds the best-fit-decreasing WHOLE-document packer in as
+    'bfd' / 'bfd_oversize' rows (formerly the standalone pack_bestfit
+    query): documents pack whole into (source, bin_id) bins of 30k
+    chars via per-group applyInPandas, and the DuckDB oracle replays
+    BFD's sequential bin state with a recursive CTE — exact placement
+    and tie rules, not just invariants."""
     raw = _t(spark, sf_dir, "documents")
     docs = textstats.quality_columns(raw)
     packed = textstats.pack_documents(docs, max_tokens=2048, partition_col="source")
@@ -1556,7 +1563,23 @@ def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "packed_md5",
         )
     )
-    return doc_rows.unionByName(assembled)
+    from animaltrackingetls_spark.operators.textstats import (
+        pack_documents_bestfit,
+    )
+
+    bfd = pack_documents_bestfit(
+        raw, 30_000, token_col="n_chars", group_col="source"
+    ).select(
+        F.when(F.col("oversize"), F.lit("bfd_oversize"))
+        .otherwise(F.lit("bfd"))
+        .alias("kind"),
+        F.col("id").alias("doc_id"),
+        F.col("tokens").alias("n_tokens"),
+        F.col("group").alias("source"),
+        "bin_id",
+        F.lit(None).cast("string").alias("packed_md5"),
+    )
+    return doc_rows.unionByName(assembled).unionByName(bfd)
 
 
 _MIXTURE_RATES = {"src0": 2.3, "src1": 0.4, "src2": 1.0, "src3": 1.75}
@@ -2602,6 +2625,80 @@ def _q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-9 folds: the repo carried 54 oracle-backed queries but the
+# driver's correctness window verifies the first 50 queries() entries,
+# leaving the four round-8 promotions (semantic_dedup, pack_bestfit,
+# running_user_totals, multimodal_features) visible only to manual
+# check_oracles.py runs. Four same-shape query PAIRS are folded into
+# tagged unions so every oracle-backed operator fits the window with
+# zero coverage loss:
+#   geocode_broadcast + enrich_batched  -> enrichment_panel
+#   winnow_portable + simhash_portable  -> portable_fingerprints
+#   batch_sessions + sessionized_stream -> sessions_panel
+#   pack_bestfit                        -> pack_documents ('bfd' rows)
+# The original single-query functions remain as the implementations
+# the folds call (and as plan-audit probes).
+# ---------------------------------------------------------------------------
+
+
+def _q_enrichment_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + J2 folded: the broadcast geocode dimension join and the
+    Arrow-batched service enrichment produce the same
+    (event_id, county, cityOrTown) shape over the same points frame —
+    tagged by mode so both paths stay independently hash-checked."""
+    b = _q_geocode_broadcast(spark, sf_dir).select(
+        F.lit("broadcast").alias("mode"), "*"
+    )
+    a = _q_enrich_batched(spark, sf_dir).select(
+        F.lit("batched").alias("mode"), "*"
+    )
+    return b.unionByName(a)
+
+
+def _q_portable_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing + SimHash md5-portable fingerprints folded: both emit
+    (doc_id, 60-bit BIGINT) rows over the doc_id%5 oracle subset (the
+    subset bounds DUCKDB's per-gram md5 cost, not Spark's). The xx64
+    fast paths stay registered rows-only as winnow_fingerprints /
+    simhash_docs."""
+    w = _q_winnow_portable(spark, sf_dir).select(
+        F.lit("winnow").alias("mode"), "doc_id", "fp"
+    )
+    s = _q_simhash_portable(spark, sf_dir).select(
+        F.lit("simhash").alias("mode"), "doc_id", F.col("simhash").alias("fp")
+    )
+    return w.unionByName(s)
+
+
+def _q_sessions_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch and Structured-Streaming sessionization folded: the same
+    30-minute-gap semantics computed by the window/lag batch plan
+    ('batch' rows, with per-session value sums) and by
+    session_window + AvailableNow drain ('stream' rows, session_end =
+    last event + gap per session_window's definition). One oracle now
+    pins BOTH engines' session algebra against each other."""
+    b = _q_batch_sessions(spark, sf_dir).select(
+        F.lit("batch").alias("mode"),
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "sum_value",
+    )
+    s = _q_sessionized_stream(spark, sf_dir).select(
+        F.lit("stream").alias("mode"),
+        "user_id",
+        F.lit(None).cast("long").alias("session_idx"),
+        "session_start",
+        "session_end",
+        "n_events",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return b.unionByName(s)
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -2634,25 +2731,29 @@ def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver verifies the oracle-backed prefix
-    # against oracle_sql() (54 entries since round 8: semantic_dedup,
-    # pack_bestfit, running_user_totals, and multimodal_features all
-    # gained oracles this round), so
-    # every oracle-backed query sits in the leading positions; rows-only
-    # (hash-seeded / approximate) queries follow. Operator pairs with
-    # compatible output shapes are folded into single tagged-union
-    # queries (_q_scalar_metrics .. _q_catalog_profile) so the whole
-    # oracle surface fits the window without dropping any coverage.
+    # against oracle_sql() — EXACTLY 50 entries since round 9, sized to
+    # the driver's 50-entry correctness window, so every oracle-backed
+    # operator is continuously machine-verified (round 8 carried 54 and
+    # the last four rested on manual check_oracles.py runs). The fit
+    # came from folding four same-shape query pairs into tagged unions
+    # (zero operator-coverage loss; see the fold block above
+    # `entry()`): enrichment_panel (= geocode_broadcast +
+    # enrich_batched), portable_fingerprints (= winnow_portable +
+    # simhash_portable), sessions_panel (= batch_sessions +
+    # sessionized_stream), and pack_documents now carrying the former
+    # pack_bestfit as its 'bfd' rows. Rows-only (hash-seeded /
+    # approximate) queries follow the window.
     return {
         "flagship_day_scan": _q_flagship_day_scan,
         "temporal_rescue_derive": _q_temporal_rescue_derive,
         "clean_summary": _q_clean_summary,
         "clean_aligned_sample": _q_clean_aligned_sample,
         "serving_day_filter": _q_serving_day_filter,
-        "winnow_portable": _q_winnow_portable,
+        "portable_fingerprints": _q_portable_fingerprints,
         "inventory_calendar": _q_inventory_calendar,
         "validate_orders": _q_validate_orders,
-        "geocode_broadcast": _q_geocode_broadcast,
-        "enrich_batched": _q_enrich_batched,
+        "enrichment_panel": _q_enrichment_panel,
+        "semantic_dedup": _q_semantic_dedup,
         "dup_groups": _q_dup_groups,
         "text_quality": _q_text_quality,
         "retrieval_rank": _q_retrieval_rank,
@@ -2665,7 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": _q_topk_cosine,
         "embedding_neardup": _q_embedding_neardup,
         "interval_joins": _q_interval_joins,
-        "simhash_portable": _q_simhash_portable,
+        "running_user_totals": _q_running_user_totals,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "q3_shipping_priority": _q_q3_shipping_priority,
         "dim_revenue": _q_dim_revenue,
@@ -2684,19 +2785,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": _q_q7_nation_volume,
         "scalar_metrics": _q_scalar_metrics,
         "bloom_new_docs": _q_bloom_new_docs,
-        "batch_sessions": _q_batch_sessions,
+        "multimodal_features": _q_multimodal_features,
         "pretrain_pipeline": _q_pretrain_pipeline,
         "pack_documents": _q_pack_documents,
         "sample_audit": _q_sample_audit,
-        "sessionized_stream": _q_sessionized_stream,
+        "sessions_panel": _q_sessions_panel,
         "stream_dedup_keys": _q_stream_dedup_keys,
         "segments_chunks": _q_segments_chunks,
         "quota_shuffle": _q_quota_shuffle,
         "proximity_pairs": _q_proximity_pairs,
-        "semantic_dedup": _q_semantic_dedup,
-        "pack_bestfit": _q_pack_bestfit,
-        "running_user_totals": _q_running_user_totals,
-        "multimodal_features": _q_multimodal_features,
         # rows-only (hash-based / approximate / Python-batch operators)
         "winnow_fingerprints": _q_winnow_fingerprints,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -2830,7 +2927,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 15
         """,
-        "winnow_portable": """
+        "portable_fingerprints": """
             WITH t AS (
               SELECT doc_id, lower(text) AS s FROM documents
               WHERE doc_id % 5 = 0
@@ -2851,11 +2948,37 @@ def oracle_sql() -> dict[str, str]:
                        AS m,
                      c.n_g
               FROM g JOIN c USING (doc_id)
+            ),
+            stok AS (
+              SELECT doc_id, unnest(
+                       CASE WHEN len(toks) = 0
+                            THEN [CAST(NULL AS VARCHAR)] ELSE toks END) AS tok
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '\\S+') AS toks
+                    FROM documents WHERE doc_id % 5 = 0)
+            ),
+            sh AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+              FROM stok
+            ),
+            svotes AS (
+              SELECT doc_id, b.b,
+                     sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM sh CROSS JOIN (SELECT unnest(range(0, 60)) AS b) b
+              GROUP BY doc_id, b.b
             )
-            SELECT DISTINCT doc_id, m AS fp FROM wm WHERE i <= n_g - 3
+            SELECT 'winnow' AS mode, doc_id, fp FROM (
+              SELECT DISTINCT doc_id, m AS fp FROM wm WHERE i <= n_g - 3
+              UNION ALL
+              SELECT DISTINCT g.doc_id, g.kh AS fp
+              FROM g JOIN c USING (doc_id) WHERE c.n_g < 4
+            )
             UNION ALL
-            SELECT DISTINCT g.doc_id, g.kh AS fp
-            FROM g JOIN c USING (doc_id) WHERE c.n_g < 4
+            SELECT 'simhash' AS mode, doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                                 ELSE 0 END) AS BIGINT) AS fp
+            FROM svotes GROUP BY doc_id
         """,
         "inventory_calendar": """
             WITH e AS (SELECT CAST(ts AS DATE) AS d, event_id FROM events),
@@ -2958,9 +3081,9 @@ def oracle_sql() -> dict[str, str]:
                     FROM orders)
             ) iqr
         """,
-        "geocode_broadcast": f"""
+        "enrichment_panel": f"""
             WITH {_POINTS_SQL}
-            SELECT event_id,
+            SELECT 'broadcast' AS mode, event_id,
               CASE WHEN lat IS NULL OR lon IS NULL THEN NULL
                    ELSE 'county_' || CAST(CAST(round(lat, 0) AS BIGINT) AS VARCHAR)
                         || '_' || CAST(CAST(round(lon, 0) AS BIGINT) AS VARCHAR)
@@ -2970,10 +3093,8 @@ def oracle_sql() -> dict[str, str]:
                         || '_' || CAST(CAST(round(lon, 0) AS BIGINT) AS VARCHAR)
               END AS cityOrTown
             FROM p
-        """,
-        "enrich_batched": f"""
-            WITH {_POINTS_SQL}
-            SELECT event_id,
+            UNION ALL
+            SELECT 'batched' AS mode, event_id,
               CASE WHEN lat IS NULL OR lon IS NULL THEN NULL
                    ELSE 'county_' || CAST(CAST(floor(lat) AS BIGINT) AS VARCHAR)
                         || '_' || CAST(CAST(floor(lon) AS BIGINT) AS VARCHAR)
@@ -3349,56 +3470,6 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY user_id
         """,
-        "pack_bestfit": """
-            WITH RECURSIVE ordered AS (
-              SELECT source AS grp, doc_id, n_chars AS toks,
-                     row_number() OVER (PARTITION BY source
-                                        ORDER BY n_chars DESC, doc_id) AS rn
-              FROM documents
-            ),
-            pack AS (
-              SELECT grp, 0 AS rn, CAST(NULL AS BIGINT) AS id,
-                     CAST(NULL AS BIGINT) AS toks,
-                     CAST(NULL AS BIGINT) AS bin_id,
-                     CAST(NULL AS BOOLEAN) AS oversize,
-                     CAST([] AS STRUCT(rem BIGINT, b BIGINT)[]) AS open_bins,
-                     0::BIGINT AS next_bin
-              FROM (SELECT DISTINCT grp FROM ordered)
-              UNION ALL
-              SELECT o.grp, o.rn, o.doc_id, o.toks,
-                     CASE WHEN o.toks > 30000 THEN p.next_bin
-                          WHEN best.b IS NULL THEN p.next_bin
-                          ELSE best.b END,
-                     o.toks > 30000,
-                     CASE
-                       WHEN o.toks > 30000 THEN p.open_bins
-                       WHEN best.b IS NULL THEN
-                         CASE WHEN 30000 - o.toks > 0
-                              THEN list_sort(list_append(p.open_bins,
-                                     {'rem': 30000 - o.toks, 'b': p.next_bin}))
-                              ELSE p.open_bins END
-                       ELSE
-                         CASE WHEN best.rem - o.toks > 0
-                              THEN list_sort(list_append(
-                                     list_filter(p.open_bins,
-                                       x -> NOT (x.rem = best.rem AND x.b = best.b)),
-                                     {'rem': best.rem - o.toks, 'b': best.b}))
-                              ELSE list_filter(p.open_bins,
-                                     x -> NOT (x.rem = best.rem AND x.b = best.b)) END
-                     END,
-                     CASE WHEN o.toks > 30000 OR best.b IS NULL
-                          THEN p.next_bin + 1 ELSE p.next_bin END
-              FROM pack p
-              JOIN ordered o ON o.grp = p.grp AND o.rn = p.rn + 1
-              LEFT JOIN LATERAL (
-                SELECT f[1].rem AS rem, f[1].b AS b
-                FROM (SELECT list_filter(p.open_bins, x -> x.rem >= o.toks) AS f)
-                WHERE len(f) > 0
-              ) best ON TRUE
-            )
-            SELECT grp AS "group", id, toks AS tokens, bin_id, oversize
-            FROM pack WHERE rn > 0
-        """,
         "semantic_dedup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             c AS (SELECT vec_id, v,
@@ -3483,35 +3554,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN events e
               ON CAST(e.ts AS DATE) BETWEEN iv.ws AND iv.ws + 6
             GROUP BY iv.ws
-        """,
-        "simhash_portable": """
-            WITH t AS (
-              SELECT doc_id,
-                     regexp_extract_all(lower(text), '\\S+') AS toks
-              FROM documents WHERE doc_id % 5 = 0
-            ),
-            tok AS (
-              SELECT doc_id,
-                     unnest(CASE WHEN len(toks) = 0
-                                 THEN [CAST(NULL AS VARCHAR)]
-                                 ELSE toks END) AS tok
-              FROM t
-            ),
-            h AS (
-              SELECT doc_id,
-                     ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
-              FROM tok
-            ),
-            votes AS (
-              SELECT doc_id, b.b,
-                     sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-              FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) b
-              GROUP BY doc_id, b.b
-            )
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
-                                 ELSE 0 END) AS BIGINT) AS simhash
-            FROM votes GROUP BY doc_id
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -3984,7 +4026,7 @@ def oracle_sql() -> dict[str, str]:
                             AND l.l_shipdate > o.o_orderdate)
             GROUP BY o_orderpriority
         """,
-        "batch_sessions": """
+        "sessions_panel": """
             WITH flagged AS (
               SELECT user_id, event_id, ts, value,
                      CASE WHEN lag(ts) OVER w IS NULL
@@ -3999,13 +4041,37 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS session_idx
               FROM flagged
+            ),
+            sflag AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            ssess AS (
+              SELECT *, sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS session_idx
+              FROM sflag
             )
-            SELECT user_id, session_idx,
+            SELECT 'batch' AS mode, user_id, session_idx,
                    min(ts) AS session_start,
                    max(ts) AS session_end,
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM sessioned
+            GROUP BY user_id, session_idx
+            UNION ALL
+            SELECT 'stream' AS mode, user_id,
+                   CAST(NULL AS BIGINT) AS session_idx,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   CAST(NULL AS DOUBLE) AS sum_value
+            FROM ssess
             GROUP BY user_id, session_idx
         """,
         "pretrain_pipeline": f"""
@@ -4080,7 +4146,7 @@ def oracle_sql() -> dict[str, str]:
             FROM deduped
         """,
         "pack_documents": """
-            WITH t AS (
+            WITH RECURSIVE t AS (
               SELECT doc_id, source, text,
                      CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
               FROM documents
@@ -4093,6 +4159,52 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                        / 2048.0) AS BIGINT) AS bin_id
               FROM t
+            ),
+            ordered AS (
+              SELECT source AS grp, doc_id, n_chars AS toks,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents
+            ),
+            pack AS (
+              SELECT grp, 0 AS rn, CAST(NULL AS BIGINT) AS id,
+                     CAST(NULL AS BIGINT) AS toks,
+                     CAST(NULL AS BIGINT) AS bin_id,
+                     CAST(NULL AS BOOLEAN) AS oversize,
+                     CAST([] AS STRUCT(rem BIGINT, b BIGINT)[]) AS open_bins,
+                     0::BIGINT AS next_bin
+              FROM (SELECT DISTINCT grp FROM ordered)
+              UNION ALL
+              SELECT o.grp, o.rn, o.doc_id, o.toks,
+                     CASE WHEN o.toks > 30000 THEN p.next_bin
+                          WHEN best.b IS NULL THEN p.next_bin
+                          ELSE best.b END,
+                     o.toks > 30000,
+                     CASE
+                       WHEN o.toks > 30000 THEN p.open_bins
+                       WHEN best.b IS NULL THEN
+                         CASE WHEN 30000 - o.toks > 0
+                              THEN list_sort(list_append(p.open_bins,
+                                     {'rem': 30000 - o.toks, 'b': p.next_bin}))
+                              ELSE p.open_bins END
+                       ELSE
+                         CASE WHEN best.rem - o.toks > 0
+                              THEN list_sort(list_append(
+                                     list_filter(p.open_bins,
+                                       x -> NOT (x.rem = best.rem AND x.b = best.b)),
+                                     {'rem': best.rem - o.toks, 'b': best.b}))
+                              ELSE list_filter(p.open_bins,
+                                     x -> NOT (x.rem = best.rem AND x.b = best.b)) END
+                     END,
+                     CASE WHEN o.toks > 30000 OR best.b IS NULL
+                          THEN p.next_bin + 1 ELSE p.next_bin END
+              FROM pack p
+              JOIN ordered o ON o.grp = p.grp AND o.rn = p.rn + 1
+              LEFT JOIN LATERAL (
+                SELECT f[1].rem AS rem, f[1].b AS b
+                FROM (SELECT list_filter(p.open_bins, x -> x.rem >= o.toks) AS f)
+                WHERE len(f) > 0
+              ) best ON TRUE
             )
             SELECT 'doc' AS kind, doc_id, n_tokens, source, bin_id,
                    CAST(NULL AS VARCHAR) AS packed_md5
@@ -4102,6 +4214,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS n_tokens, source, bin_id,
                    md5(string_agg(text, chr(10) ORDER BY doc_id)) AS packed_md5
             FROM packed GROUP BY source, bin_id
+            UNION ALL
+            SELECT CASE WHEN oversize THEN 'bfd_oversize' ELSE 'bfd' END AS kind,
+                   id AS doc_id, toks AS n_tokens, grp AS source, bin_id,
+                   CAST(NULL AS VARCHAR) AS packed_md5
+            FROM pack WHERE rn > 0
         """,
         "sample_audit": f"""
             SELECT 'uniform' AS kind, CAST(doc_id AS VARCHAR) AS "key",
@@ -4126,29 +4243,6 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT)
             FROM documents
             QUALIFY doc_id % 97 = 0
-        """,
-        "sessionized_stream": """
-            WITH flagged AS (
-              SELECT user_id, ts,
-                     CASE WHEN lag(ts) OVER w IS NULL
-                            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-                          THEN 1 ELSE 0 END AS new_session
-              FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-            ),
-            sessioned AS (
-              SELECT *, sum(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS session_idx
-              FROM flagged
-            )
-            SELECT min(ts) AS session_start,
-                   max(ts) + INTERVAL 30 MINUTE AS session_end,
-                   user_id,
-                   count(*) AS n_events
-            FROM sessioned
-            GROUP BY user_id, session_idx
         """,
         "stream_dedup_keys": """
             SELECT 'dedup' AS kind, user_id, event_type AS k,

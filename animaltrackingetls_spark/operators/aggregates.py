@@ -104,6 +104,33 @@ def make_cell_assigner(centers):
     return assign
 
 
+def make_cell_assigner_with_dist(centers):
+    """Nearest-centroid assignment PLUS the L2 distance to it, one
+    numpy GEMM per Arrow batch: struct(cell int, dist double) — the
+    quantization error that similarity.ivf_append's staleness metric
+    reads. Same argmin/tie semantics as :func:`make_cell_assigner`
+    (squared-L2, ties → lowest index). Lives here, not in
+    similarity.py, for the evaluated-annotations reason above."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centers, dtype=np.float64)
+    c2 = np.einsum("ij,ij->i", C, C)
+
+    @pandas_udf("cell int, dist double")
+    def assign(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cell": [], "dist": []})
+        V = np.asarray(v.tolist(), dtype=np.float64)
+        v2 = np.einsum("ij,ij->i", V, V)
+        d = v2[:, None] + c2[None, :] - 2.0 * (V @ C.T)
+        cell = d.argmin(axis=1)
+        dist = np.sqrt(np.clip(d[np.arange(len(V)), cell], 0.0, None))
+        return pd.DataFrame({"cell": cell.astype("int32"), "dist": dist})
+
+    return assign
+
+
 def make_cell_ranker(centers, n_probe: int):
     """Top-``n_probe`` nearest centroids per vector: the query-side
     probe selection of IVF search, one numpy GEMM per Arrow batch —

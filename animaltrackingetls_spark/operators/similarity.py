@@ -277,7 +277,12 @@ def save_ivf_index(
     ``n_probe`` cells READS only those directories — the IVF promise
     made physical) and the centroid table as a tiny sidecar parquet.
     This is the index-once/search-many shape: training and assignment
-    are paid at build time; every later search is probe-bound."""
+    are paid at build time; every later search is probe-bound.
+
+    Also writes a ``stats`` sidecar — per-cell row count and mean L2
+    quantization error at BUILD time (one extra aggregation over the
+    assignment, paid once) — so :func:`ivf_append` can report index
+    staleness in O(batch) without rescanning the corpus."""
     assignment, centers = index
     assignment.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/assignment"
@@ -288,6 +293,167 @@ def save_ivf_index(
         "cell int, cv array<double>",
     )
     cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    _write_ivf_stats(
+        spark.read.parquet(f"{path}/assignment"), centers, path
+    )
+
+
+def _write_ivf_stats(assignment: DataFrame, centers, path: str) -> None:
+    """(Re)compute and overwrite the per-cell staleness baseline:
+    (cell, n, mean_dist) over the given assignment frame."""
+    from .aggregates import make_cell_assigner_with_dist
+
+    ad = make_cell_assigner_with_dist(centers)
+    stats = (
+        assignment.select(ad(F.col("n_vec")).alias("a"))
+        .groupBy(F.col("a.cell").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("a.dist").alias("mean_dist"),
+        )
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def ivf_append(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_staleness_ratio: float | None = None,
+) -> dict:
+    """Incremental IVF maintenance: append a batch of new vectors to a
+    :func:`save_ivf_index` layout WITHOUT retraining — each new row is
+    assigned to its nearest EXISTING centroid and appended to that
+    cell's partition directory (``mode("append")`` on the
+    ``partitionBy("cell")`` layout adds files to the probed
+    directories; no existing file is rewritten). This is the serving
+    shape for a growing corpus: train once, append per ingest batch,
+    retrain only when the index goes stale.
+
+    Staleness is measured, not guessed: the returned dict carries the
+    batch's mean L2 quantization error against the BUILD-time baseline
+    from the ``stats`` sidecar —
+    ``staleness_ratio = mean_dist_new / mean_dist_train``. A ratio
+    near 1 means the new data still matches the trained cell geometry;
+    a climbing ratio means the centroids no longer describe the data
+    and recall at a fixed probe budget is degrading — time to rebuild.
+    If ``max_staleness_ratio`` is set, the append RAISES above it
+    (ingest-pipeline guard) instead of silently degrading the index.
+    The sidecar is then updated by count-weighted merge (O(cells), no
+    corpus rescan); a pre-stats index (round-8 layout) gets its
+    baseline computed from the existing assignment once, on first
+    append.
+
+    The caller owns id uniqueness (appending an id already indexed
+    would duplicate it in search results — the same contract as any
+    append-only sink); dimensions must match the trained centroids.
+
+    Cost shape: one Arrow-batched GEMM + one partitioned write over
+    the BATCH only; the existing index is never read (except the
+    one-time stats backfill). Returns
+    ``{"n_appended", "mean_dist_new", "mean_dist_train",
+    "staleness_ratio"}``.
+    """
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    )
+    if [r["cell"] for r in cent_rows] != list(range(len(cent_rows))):
+        raise ValueError(
+            f"corrupt IVF index at {path!r}: centroid cells not contiguous"
+        )
+    centers = [list(r["cv"]) for r in cent_rows]
+    dim = len(centers[0])
+
+    batch = new_vectors.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
+    ).withColumn("n_nrm", norm_expr(F.col("n_vec")))
+    # dim probe BEFORE the assigner runs: a mismatched batch would blow
+    # up inside the GEMM with a numpy shape error instead of a message
+    _check_dim(batch, "n_vec", dim, "ivf_append")
+    from .aggregates import make_cell_assigner_with_dist
+
+    ad = make_cell_assigner_with_dist(centers)
+    assigned = batch.withColumn("a", ad(F.col("n_vec"))).select(
+        "n_id",
+        "n_vec",
+        "n_nrm",
+        F.col("a.cell").alias("cell"),
+        F.col("a.dist").alias("dist"),
+    ).localCheckpoint(eager=True)  # one materialization: stats + write
+
+    batch_stats = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("bn"), F.avg("dist").alias("bmean")
+    )
+    try:
+        train_stats = spark.read.parquet(f"{path}/stats")
+    except Exception:
+        # round-8 layout without the sidecar: backfill the baseline
+        # from the current assignment (one scan, once)
+        _write_ivf_stats(
+            spark.read.parquet(f"{path}/assignment"), centers, path
+        )
+        train_stats = spark.read.parquet(f"{path}/stats")
+    # both sides are <= n_cells rows — driver math, no join planning
+    t = {r["cell"]: (r["n"], r["mean_dist"]) for r in train_stats.collect()}
+    b = {r["cell"]: (r["bn"], r["bmean"]) for r in batch_stats.collect()}
+    n_new = sum(n for n, _ in b.values())
+    if n_new == 0:
+        return {
+            "n_appended": 0,
+            "mean_dist_new": None,
+            "mean_dist_train": None,
+            "staleness_ratio": None,
+        }
+    mean_new = sum(n * m for n, m in b.values()) / n_new
+    n_train = sum(n for n, _ in t.values())
+    mean_train = (
+        sum(n * m for n, m in t.values()) / n_train if n_train else None
+    )
+    if mean_train is None:
+        ratio = None
+    elif mean_train > 0:
+        ratio = mean_new / mean_train
+    else:
+        # a zero baseline means the centroids reproduced the training
+        # data exactly; ANY new quantization error is then maximal
+        # staleness signal, not an undefined one
+        ratio = float("inf") if mean_new > 0 else 1.0
+    if (
+        max_staleness_ratio is not None
+        and ratio is not None
+        and ratio > max_staleness_ratio
+    ):
+        raise RuntimeError(
+            f"ivf_append: batch staleness ratio {ratio:.3f} exceeds "
+            f"max_staleness_ratio={max_staleness_ratio} — the trained "
+            "centroids no longer describe the incoming data; rebuild the "
+            "index (ivf_index + save_ivf_index) before appending further."
+        )
+
+    assigned.drop("dist").write.mode("append").partitionBy("cell").parquet(
+        f"{path}/assignment"
+    )
+    # count-weighted merge of the baseline sidecar (keeps later appends'
+    # ratios anchored to the blended population the index now holds)
+    merged = []
+    for cell in sorted(set(t) | set(b)):
+        tn, tm = t.get(cell, (0, 0.0))
+        bn, bm = b.get(cell, (0, 0.0))
+        n = tn + bn
+        merged.append(
+            (int(cell), int(n), (tn * tm + bn * bm) / n if n else 0.0)
+        )
+    spark.createDataFrame(
+        merged, "cell int, n long, mean_dist double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    return {
+        "n_appended": int(n_new),
+        "mean_dist_new": float(mean_new),
+        "mean_dist_train": float(mean_train) if mean_train else None,
+        "staleness_ratio": float(ratio) if ratio is not None else None,
+    }
 
 
 def load_ivf_index(

@@ -24,6 +24,22 @@ so a per-name uptick can be added coverage, not regression. Round-6
 folds: `topk_cosine` now also runs the int8-quantized top-k branch
 (~2× the work of r5's exact-only entry); `streaming_window_counts` now
 drains a second (sliding-window) streaming query alongside tumbling.
+Round-9 folds (the driver-window reorder): `enrichment_panel` =
+geocode_broadcast + enrich_batched, `portable_fingerprints` =
+winnow_portable + simhash_portable (~2x each), `pack_documents` now
+also runs the BFD packer formerly benched as `pack_bestfit`.
+
+NOISE FLOOR (round 9): whole-invocation medians drift ±10-20% between
+otherwise-identical exclusive runs hours apart (machine state), which
+is how a query can "move" 0.7 s without a code cause. Each invocation
+now measures its own drift: the canary query (flagship_day_scan) is
+re-timed at the START (right after warm-up) and again at the END of
+the invocation, and the JSON carries
+  "noise": {"canary": ..., "start_min": s, "end_min": e,
+            "rel_drift": |e-s|/min(e,s)}
+A cross-round delta claim for any query is trustworthy only if it
+exceeds BOTH that round's rel_drift and the query's own kept-run
+spread.
 """
 
 from __future__ import annotations
@@ -53,7 +69,7 @@ HEADLINE = [
     "topk_cosine",
     "interval_joins",
     "serving_day_filter",
-    "geocode_broadcast",
+    "enrichment_panel",
     "inventory_calendar",
     "streaming_window_counts",
     "embedding_neardup",
@@ -67,7 +83,7 @@ HEADLINE = [
     "quality_scores",
     "validate_orders",
     "bloom_new_docs",
-    "winnow_portable",
+    "portable_fingerprints",
     "segments_chunks",
     # round-6: the blocked Jaccard verify, benchable since the
     # inverted-index rework (55 s -> ~3 s warm at sf0.1);
@@ -85,8 +101,10 @@ HEADLINE = [
     # index-once/search-many claim next to train-bound ivf_topk.
     "ivf_serve",
     # round-8: whole-document best-fit packing (BFD per source group
-    # via applyInPandas; 99.3% fill at 1M docs, SCALING.md).
-    "pack_bestfit",
+    # via applyInPandas; 99.3% fill at 1M docs, SCALING.md). Round-9:
+    # folded into pack_documents ('bfd' rows) for the driver's
+    # correctness window, so the bench entry follows the fold.
+    "pack_documents",
 ]
 
 
@@ -118,6 +136,28 @@ def main() -> None:
     # the r7 3-run medians carried 5x spreads that could hide a 30%
     # regression), report the median + min/max of the kept runs
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+
+    def time_query(name: str, k: int) -> list[float]:
+        out = []
+        for _ in range(k):
+            t0 = time.monotonic()
+            qs[name](spark, SF_DIR).count()
+            out.append(time.monotonic() - t0)
+        return out
+
+    # canary leg 1: the invocation's own noise floor. Timed right
+    # after warm-up and again after the last headline query; the
+    # relative gap between the two legs is the drift this machine
+    # showed DURING the invocation — the floor below which any
+    # cross-round per-query delta is noise, not signal. Each leg is
+    # the MIN of the last 3 of 5 runs: min is the classic
+    # microbenchmark statistic (GC pauses only ever ADD time), and
+    # discarding 2 keeps leg 1 from reading residual JIT warm-up as
+    # machine drift (a sf0.001 smoke showed median-of-2 after one
+    # discard still carried 2x warm-up slope).
+    canary = "flagship_day_scan"
+    canary_start = min(time_query(canary, 5)[2:])
+
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     total = 0.0
@@ -129,7 +169,11 @@ def main() -> None:
             df = qs[name](spark, SF_DIR)
             n = df.count()
             samples.append(time.monotonic() - t0)
-        kept = samples[1:] if runs > 2 else samples
+        # discard the cold first run on ANY multi-run invocation (a
+        # runs=2 invocation previously kept it, contradicting the
+        # documented policy — and for ivf_serve the kept run would
+        # have included the index build)
+        kept = samples[1:] if runs > 1 else samples
         med = statistics.median(kept)
         timings[name] = round(med, 3)
         spread[name] = [round(min(kept), 3), round(max(kept), 3)]
@@ -140,6 +184,13 @@ def main() -> None:
             f"max {max(kept):.3f})",
             flush=True,
         )
+
+    # canary leg 2: same query, end of invocation
+    canary_end = min(time_query(canary, 5)[2:])
+    rel_drift = round(
+        abs(canary_end - canary_start) / max(min(canary_end, canary_start), 1e-9),
+        4,
+    )
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -161,6 +212,12 @@ def main() -> None:
                 "runs": runs,
                 "sf": sf,
                 "loadavg1m": loadavg,
+                "noise": {
+                    "canary": canary,
+                    "start_min": round(canary_start, 3),
+                    "end_min": round(canary_end, 3),
+                    "rel_drift": rel_drift,
+                },
             }
         ),
         flush=True,

@@ -1,0 +1,183 @@
+"""Round-9 measurements.
+
+1. ``widecap`` — the ``broadcast_counts=False`` escape hatch at
+   corpus-scale KEY CARDINALITY (the round-8 fix made broadcasting the
+   per-key counts the prefilter default; this measures where that
+   stops winning): fixed total row count, distinct-key count swept
+   over decades, prefilter arm with the broadcast hint vs the escape
+   hatch (shuffle join + AQE). Kept counts asserted identical.
+
+2. ``dedupanat`` — anatomy of the most expensive bench query,
+   ``dedup_clusters`` (LSH candidates -> connected components ->
+   size join), at sf0.1: per-stage wall clock so the expensive stage
+   is named, not guessed. Stages are pinned with localCheckpoint so
+   each timing covers exactly one stage's work.
+
+3. ``bpecurve`` — growth of the BPE trainer's driver-side merge loop
+   (the one sequential loop left in the repo): fixed 1M-doc corpus,
+   merges swept 500/2k/8k, the distributed word-count pass timed
+   separately from the driver loop — the claim under test is that
+   driver work scales with merges x alphabet (vocab-table-local), not
+   with the corpus.
+
+Run: python r9_experiments.py widecap|dedupanat|bpecurve [sizes...]
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+from animaltrackingetls_spark.session import get_spark
+from pyspark.sql import functions as F
+
+
+def widecap(spark, sizes):
+    from animaltrackingetls_spark.operators.sampling import cap_per_key_random
+
+    def arm(df, broadcast):
+        t0 = time.time()
+        n = cap_per_key_random(
+            df, "dom", 5, "id", seed=0, mode="prefilter",
+            broadcast_counts=broadcast,
+        ).count()
+        return n, time.time() - t0
+
+    # JVM/codegen warm-up outside the timed region
+    warm = spark.range(1_000_000).select(
+        F.concat(F.lit("k"), (F.col("id") % 1000).cast("string")).alias("dom"),
+        "id",
+    )
+    arm(warm, True)
+    arm(warm, False)
+
+    total = 40_000_000
+    for n_keys in sizes:
+        rows_per_key = max(total // n_keys, 1)
+        df = spark.range(n_keys * rows_per_key).select(
+            F.concat(
+                F.lit("k"), (F.col("id") % n_keys).cast("string")
+            ).alias("dom"),
+            "id",
+        )
+        # interleave the arms (B,E,B,E) and keep each arm's MIN so a
+        # one-off GC pause or compile burst can't flip the comparison
+        res: dict[bool, list[float]] = {True: [], False: []}
+        kept = set()
+        for _ in range(2):
+            for bc in (True, False):
+                n, dt = arm(df, bc)
+                res[bc].append(dt)
+                kept.add(n)
+        assert len(kept) == 1, kept
+        print(
+            f"widecap keys={n_keys:>11,} rows/key={rows_per_key}: "
+            f"broadcast {min(res[True]):7.2f}s  "
+            f"escape-hatch {min(res[False]):7.2f}s  "
+            f"(kept {kept.pop():,})",
+            flush=True,
+        )
+
+
+def dedupanat(spark, sizes):
+    import __spark_entry__ as entry
+    from animaltrackingetls_spark.operators import dedup
+
+    sf_dir = "/root/testdata/sf0.1"
+    for _ in range(max(1, sizes[0] if sizes else 1)):
+        d = entry._docs_with_dups(spark, sf_dir).localCheckpoint(eager=True)
+        t0 = time.time()
+        edges = dedup.minhash_candidate_pairs_portable(
+            d, n=2, bands=2, rows_per_band=3, threshold=0.6
+        ).localCheckpoint(eager=True)
+        n_edges = edges.count()
+        t1 = time.time()
+        stats: dict = {}
+        cc = dedup.connected_components(edges, stats=stats).localCheckpoint(
+            eager=True
+        )
+        n_nodes = cc.count()
+        t2 = time.time()
+        sizes_df = cc.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        n_out = cc.join(sizes_df, "cluster_id").count()
+        t3 = time.time()
+        print(
+            f"dedupanat sf0.1: candidates {t1-t0:6.2f}s ({n_edges:,} edges)  "
+            f"cc[{stats.get('mode')},{stats.get('rounds')}r] {t2-t1:6.2f}s "
+            f"({n_nodes:,} nodes)  size-join {t3-t2:6.2f}s ({n_out:,} rows)  "
+            f"total {t3-t0:6.2f}s",
+            flush=True,
+        )
+
+
+def bpecurve(spark, sizes):
+    from animaltrackingetls_spark.operators.textstats import (
+        _bpe_merges_from_vocab,
+        tokens,
+    )
+
+    n_docs = 1_000_000
+    # deterministic synthetic corpus: ~12 hash-mixed pseudo-words per
+    # doc over a ~40k-form vocabulary with Zipf-ish repetition
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(11)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64(F.col("id"), i)
+                        % (F.pmod(F.xxhash64(i), F.lit(39)) * 1000 + 1000),
+                        F.lit(40_000),
+                    ).cast("string"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    t0 = time.time()
+    wc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(100_000)
+    )
+    vocab = {r["w"]: int(r["n"]) for r in wc.collect()}
+    t1 = time.time()
+    print(
+        f"bpecurve corpus=1M docs: word-count pass {t1-t0:6.2f}s "
+        f"({len(vocab):,} vocab rows) — paid ONCE for any merge count",
+        flush=True,
+    )
+    for merges in sizes:
+        t2 = time.time()
+        out = _bpe_merges_from_vocab(vocab, merges, min_pair_count=2)
+        t3 = time.time()
+        print(
+            f"bpecurve merges={merges:>6,}: driver loop {t3-t2:6.2f}s "
+            f"({len(out):,} merges learned)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "widecap"
+    sizes = [int(x) for x in sys.argv[2:]] or {
+        "widecap": [100_000, 1_000_000, 10_000_000],
+        "dedupanat": [1],
+        "bpecurve": [500, 2_000, 8_000],
+    }[which]
+    s = get_spark(
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": "48g",
+        }
+    )
+    {
+        "widecap": widecap,
+        "dedupanat": dedupanat,
+        "bpecurve": bpecurve,
+    }[which](s, sizes)

@@ -456,3 +456,90 @@ def test_quantize_int8_all_zero_corpus_fails_loud(spark):
 
     with _pytest.raises(SparkRuntimeException, match="computed scale"):
         quantize_embeddings_int8(df).collect()
+
+
+def test_ivf_append_parity_with_rebuilt_index_and_staleness(spark, tmp_path):
+    """Incremental maintenance: append a same-distribution batch to a
+    saved index; searching the appended index (probing all cells, where
+    IVF is exact over the indexed set) must equal searching a REBUILT
+    index over the union — and the staleness ratio must read ~1 for
+    in-distribution data. Stats sidecar merges counts."""
+    import random
+
+    rng = random.Random(31)
+
+    def cluster_rows(ids, base):
+        return [
+            (i, [x + rng.gauss(0, 0.02) for x in base]) for i in ids
+        ]
+
+    a_rows = cluster_rows(range(30), [1.0, 0.0, 0.0, 0.0]) + cluster_rows(
+        range(30, 60), [0.0, 0.0, 0.0, 1.0]
+    )
+    b_rows = cluster_rows(range(100, 110), [1.0, 0.0, 0.0, 0.0]) + (
+        cluster_rows(range(110, 120), [0.0, 0.0, 0.0, 1.0])
+    )
+    schema = "vec_id long, embedding array<double>"
+    dfa = spark.createDataFrame(a_rows, schema)
+    dfb = spark.createDataFrame(b_rows, schema)
+
+    path = str(tmp_path / "ivf_grow")
+    similarity.save_ivf_index(similarity.ivf_index(dfa, n_centroids=4), path)
+
+    out = similarity.ivf_append(spark, path, dfb)
+    assert out["n_appended"] == 20
+    assert 0.5 < out["staleness_ratio"] < 2.0  # in-distribution
+
+    q = dfa.filter(F.col("vec_id") < 3)
+    loaded = similarity.load_ivf_index(spark, path)
+    got = {
+        (r.q_id, r.n_id, r.rank)
+        for r in similarity.ivf_search(
+            loaded, q, k=5, n_probe=4, prune_cells=True
+        ).collect()
+    }
+    # rebuilt-from-scratch index over the union, same probe budget
+    rebuilt = similarity.ivf_index(dfa.unionByName(dfb), n_centroids=4)
+    want = {
+        (r.q_id, r.n_id, r.rank)
+        for r in similarity.ivf_search(rebuilt, q, k=5, n_probe=4).collect()
+    }
+    assert got == want
+
+    stats = spark.read.parquet(f"{path}/stats")
+    assert stats.agg(F.sum("n")).first()[0] == 80
+
+
+def test_ivf_append_staleness_guard_dim_check_and_stats_backfill(
+    spark, tmp_path
+):
+    """Out-of-distribution batches trip the max_staleness_ratio guard
+    BEFORE anything is written; dimension mismatches raise; a round-8
+    layout without the stats sidecar gets its baseline backfilled from
+    the existing assignment on first append."""
+    import shutil
+
+    rows = [(i, [float(i % 2), 1.0 - (i % 2), 0.0, 0.0]) for i in range(40)]
+    schema = "vec_id long, embedding array<double>"
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "ivf_guard")
+    similarity.save_ivf_index(similarity.ivf_index(df, n_centroids=2), path)
+    n0 = spark.read.parquet(f"{path}/assignment").count()
+
+    far = spark.createDataFrame(
+        [(200 + i, [100.0, -100.0, 100.0, -100.0]) for i in range(5)], schema
+    )
+    with pytest.raises(RuntimeError, match="staleness ratio"):
+        similarity.ivf_append(spark, path, far, max_staleness_ratio=3.0)
+    assert spark.read.parquet(f"{path}/assignment").count() == n0  # no write
+
+    wrong_dim = spark.createDataFrame([(300, [1.0, 2.0])], schema)
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ivf_append(spark, path, wrong_dim)
+
+    # stats backfill: blow away the sidecar, append, sidecar restored
+    shutil.rmtree(f"{path}/stats")
+    batch = spark.createDataFrame([(400, [1.0, 0.0, 0.0, 0.0])], schema)
+    out = similarity.ivf_append(spark, path, batch)
+    assert out["n_appended"] == 1 and out["staleness_ratio"] is not None
+    assert spark.read.parquet(f"{path}/stats").agg(F.sum("n")).first()[0] == 41
