@@ -192,6 +192,32 @@ _CAP_SKEW_THRESHOLD = 30_000_000
 # key, the forms tie around 1M, prefilter wins 1.7x at 3M and 1.6x
 # at 30M
 _TOK_SKEW_THRESHOLD = 1_000_000
+# auto switch point for broadcast_counts=None: broadcast the per-key
+# counts join-back while the counts table is SHIPPABLE, fall back to
+# the shuffle join (AQE) past it. A transfer-size robustness bound,
+# not a wall-clock crossover: locally the shuffle join already wins
+# from ~100k UNIFORM keys (SCALING.md round-9 widecap: -12% at 100k,
+# -37% at 1M, -31% at 10M), but wrongly shuffling a SKEWED key costs
+# 4-10x (round-8 capcurve: 300M hot key 109.8 s vs 27.6 s) while
+# wrongly broadcasting a uniform counts table costs ~1.4x — so auto
+# keeps the skew insurance until the counts relation itself becomes
+# cluster-hostile (5M keys ≈ 200-400 MB serialized, per executor).
+_COUNTS_BROADCAST_MAX_KEYS = 5_000_000
+
+
+def _counts_join_back(
+    df: DataFrame, counts: DataFrame, key_col: str, broadcast: bool
+) -> DataFrame:
+    """The prefilter samplers' counts join-back. ``broadcast=True``
+    pins the <=1-row-per-key aggregate map-side — without the hint the
+    planner sizes the aggregate like its INPUT and plans sort-merge on
+    the (skewed) key, the exact single-task funnel the prefilter form
+    exists to avoid (round-8: 300M-row hot key 109.8 s -> 27.6 s).
+    ``broadcast=False`` is the corpus-cardinality escape hatch: a
+    shuffle join AQE can split, for when the counts relation itself is
+    too big to ship (round-9 widecap curve, SCALING.md). One seam so
+    both samplers share the rule and tests can observe the decision."""
+    return df.join(F.broadcast(counts) if broadcast else counts, key_col)
 
 
 def cap_per_key_random(
@@ -203,7 +229,7 @@ def cap_per_key_random(
     oversample: float = 4.0,
     mode: str = "auto",
     skew_threshold: int = _CAP_SKEW_THRESHOLD,
-    broadcast_counts: bool = True,
+    broadcast_counts: bool | None = None,
 ) -> DataFrame:
     """Skew-safe EXACT per-key random cap: keep the ``n`` rows with the
     smallest ``md5(seed:id)`` per key — the deterministic "at most N
@@ -256,6 +282,15 @@ def cap_per_key_random(
     * ``"prefilter"`` — always the skew-safe two-phase plan. Right
       when any key can dominate and the extra passes are acceptable
       insurance (or the auto probe's eager count job is unwanted).
+
+    ``broadcast_counts`` picks the physical form of the counts
+    join-back (the kept set is identical): ``None`` (default) decides
+    from the same auto probe — broadcast while the counts table is
+    shippable (≤ ``_COUNTS_BROADCAST_MAX_KEYS`` distinct keys, see the
+    constant's comment for the measured asymmetry), shuffle join + AQE
+    past it. Outside auto mode ``None`` means broadcast (the skew
+    insurance; no probe job is run on your behalf) — corpus-cardinality
+    callers on explicit ``mode="prefilter"`` should pass ``False``.
     """
     if n < 1:
         raise ValueError(f"cap must be >= 1, got {n}")
@@ -270,8 +305,14 @@ def cap_per_key_random(
         # pass 1: per-key counts — partial-agg'd, no priority hash needed
         counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_kn"))
     if mode == "auto":
-        hottest = counts.agg(F.max("_kn")).first()[0] or 0
-        mode = "prefilter" if hottest >= skew_threshold else "window"
+        hottest, n_keys = counts.agg(
+            F.max("_kn"), F.count(F.lit(1))
+        ).first()
+        mode = "prefilter" if (hottest or 0) >= skew_threshold else "window"
+        if broadcast_counts is None:
+            broadcast_counts = n_keys <= _COUNTS_BROADCAST_MAX_KEYS
+    if broadcast_counts is None:
+        broadcast_counts = True
     if mode == "window":
         return (
             df.withColumn("_pri", pri)
@@ -292,8 +333,9 @@ def cap_per_key_random(
     # the shuffle. Priority is a 32-hex string; its leading 15 hex
     # digits (60 bits) compare numerically against tau scaled to the
     # same space.
-    counts_side = F.broadcast(counts) if broadcast_counts else counts
-    joined = df.withColumn("_pri", pri).join(counts_side, key_col)
+    joined = _counts_join_back(
+        df.withColumn("_pri", pri), counts, key_col, broadcast_counts
+    )
     frac = F.conv(F.substring(F.col("_pri"), 1, 15), 16, 10).cast("double") / F.lit(
         float(1 << 60)
     )
@@ -491,7 +533,7 @@ def token_budget_sample(
     oversample: float = 4.0,
     mode: str = "auto",
     skew_threshold: int = _TOK_SKEW_THRESHOLD,
-    broadcast_counts: bool = True,
+    broadcast_counts: bool | None = None,
 ) -> DataFrame:
     """Per-group TOKEN-budget sampling — the data-mixture primitive
     ("take ~10M tokens per source"): walk each group's rows in
@@ -562,8 +604,12 @@ def token_budget_sample(
         both = df.groupBy(group_col).agg(
             F.sum(token_col).alias("_tsum"), F.count(F.lit(1)).alias("_gn")
         )
-        hottest = both.agg(F.max("_gn")).first()[0] or 0
-        mode = "prefilter" if hottest >= skew_threshold else "window"
+        hottest, n_groups = both.agg(
+            F.max("_gn"), F.count(F.lit(1))
+        ).first()
+        mode = "prefilter" if (hottest or 0) >= skew_threshold else "window"
+        if broadcast_counts is None:
+            broadcast_counts = n_groups <= _COUNTS_BROADCAST_MAX_KEYS
         sums = both.drop("_gn")
     if mode == "window":
         before = (
@@ -580,11 +626,15 @@ def token_budget_sample(
         )
     if sums is None:
         sums = df.groupBy(group_col).agg(F.sum(token_col).alias("_tsum"))
+    if broadcast_counts is None:
+        broadcast_counts = True
     # broadcast for the same reason as cap_per_key_random: the planner
     # sizes the aggregate like its input and would sort-merge the
-    # corpus on the skewed group key
-    sums_side = F.broadcast(sums) if broadcast_counts else sums
-    joined = df.withColumn("_pri", pri).join(sums_side, group_col)
+    # corpus on the skewed group key; broadcast_counts=None resolves
+    # from the auto probe's distinct-group count (shippable -> ship)
+    joined = _counts_join_back(
+        df.withColumn("_pri", pri), sums, group_col, broadcast_counts
+    )
     frac = F.conv(F.substring(F.col("_pri"), 1, 15), 16, 10).cast("double") / F.lit(
         float(1 << 60)
     )

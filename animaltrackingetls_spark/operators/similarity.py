@@ -456,6 +456,75 @@ def ivf_append(
     }
 
 
+def ivf_compact(
+    spark: SparkSession, path: str, max_files_per_cell: int = 4
+) -> dict:
+    """Compact the small files :func:`ivf_append` accumulates: each
+    append adds one file per written cell directory, so a cell that
+    has seen N ingest batches holds N files and every probe of it pays
+    N footer reads + N tiny row groups — the classic small-files tax,
+    and the reason real ANN services run background segment merges.
+
+    Cells are listed through the Hadoop FileSystem API (portable to
+    HDFS/S3A; O(files) driver metadata, never a data scan). Only cells
+    whose file count exceeds ``max_files_per_cell`` are touched: their
+    rows are read back partition-pruned (static ``cell IN (...)`` →
+    PartitionFilters), repartitioned one-task-per-cell, and rewritten
+    via DYNAMIC partition overwrite — untouched cells' files are not
+    rewritten, relisted, or read. Search results are unchanged (same
+    rows, fewer files); the ``stats`` sidecar is row-count-based and
+    unaffected.
+
+    Maintenance ops serialize with each other (an append racing a
+    compact of the same cell would be lost to the overwrite) — the
+    usual contract for file-layout tables without a transaction log.
+
+    Returns ``{"cells_compacted", "files_before", "files_after"}``
+    (file counts over the compacted cells only)."""
+    jvm = spark._jvm
+    apath = f"{path}/assignment"
+    hpath = jvm.org.apache.hadoop.fs.Path(apath)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _n_data_files(d) -> int:
+        n = 0
+        for st in fs.listStatus(d):
+            nm = st.getPath().getName()
+            if st.isFile() and not nm.startswith(("_", ".")):
+                n += 1
+        return n
+
+    frag: dict[int, int] = {}
+    for st in fs.listStatus(hpath):
+        nm = st.getPath().getName()
+        if st.isDirectory() and nm.startswith("cell="):
+            n = _n_data_files(st.getPath())
+            if n > max_files_per_cell:
+                frag[int(nm.split("=", 1)[1])] = n
+    if not frag:
+        return {"cells_compacted": 0, "files_before": 0, "files_after": 0}
+
+    cells = sorted(frag)
+    (
+        spark.read.parquet(apath)
+        .filter(F.col("cell").isin(cells))
+        .repartition(len(cells), "cell")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(apath)
+    )
+    after = sum(
+        _n_data_files(jvm.org.apache.hadoop.fs.Path(f"{apath}/cell={c}"))
+        for c in cells
+    )
+    return {
+        "cells_compacted": len(cells),
+        "files_before": sum(frag.values()),
+        "files_after": after,
+    }
+
+
 def load_ivf_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, list[list[float]]]:

@@ -648,3 +648,66 @@ def test_samplers_match_window_oracles_on_random_inputs(spark, sizes, budget, ca
         ).collect()
     }
     assert cap_got == cap_expected
+
+
+def test_auto_broadcast_counts_follows_key_cardinality(spark, monkeypatch):
+    """broadcast_counts=None resolves from the auto probe: the counts
+    join-back gets the broadcast hint (BroadcastHashJoin in the join's
+    plan) while distinct keys fit the shippable bound, and becomes a
+    plain shuffle join past it — same kept set either way (the round-9
+    widecap curve is the bound's evidence). The join-back is observed
+    at the _counts_join_back seam because the prefilter pins survivors
+    with an eager localCheckpoint, so the returned frame's plan starts
+    at a Scan ExistingRDD and cannot show the join."""
+    import random
+
+    from animaltrackingetls_spark.operators import sampling
+
+    random.seed(4)
+    rows = [(f"k{i % 10}", i, random.randint(1, 9)) for i in range(400)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, toks long")
+
+    seen: list = []
+    real = sampling._counts_join_back
+
+    def spy(d, counts, key, broadcast):
+        out = real(d, counts, key, broadcast)
+        seen.append((broadcast, out))
+        return out
+
+    monkeypatch.setattr(sampling, "_counts_join_back", spy)
+
+    def run(fn, patched_max, **kw):
+        monkeypatch.setattr(
+            sampling, "_COUNTS_BROADCAST_MAX_KEYS", patched_max
+        )
+        seen.clear()
+        out = fn(mode="auto", skew_threshold=1, **kw)
+        kept = {(r.src, r.doc_id) for r in out.collect()}
+        assert len(seen) == 1
+        flag, joined = seen[0]
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        return kept, flag, plan
+
+    def cap(**kw):
+        return sampling.cap_per_key_random(df, "src", 2, "doc_id", seed=1, **kw)
+
+    kept_b, flag_b, plan_b = run(cap, patched_max=1000)  # 10 keys <= 1000
+    kept_s, flag_s, plan_s = run(cap, patched_max=5)     # 10 keys  >  5
+    assert kept_b == kept_s
+    assert flag_b is True and "BroadcastHashJoin" in plan_b
+    assert flag_s is False and "BroadcastHashJoin" not in plan_s
+    # explicit override beats the bound
+    kept_f, flag_f, _ = run(cap, patched_max=1000, broadcast_counts=False)
+    assert kept_f == kept_b and flag_f is False
+
+    def tok(**kw):
+        return sampling.token_budget_sample(
+            df, "src", "toks", 40, "doc_id", seed=1, **kw
+        )
+
+    tkept_b, tflag_b, tplan_b = run(tok, patched_max=1000)
+    tkept_s, tflag_s, tplan_s = run(tok, patched_max=5)
+    assert tkept_b == tkept_s
+    assert tflag_b is True and "BroadcastHashJoin" in tplan_b
+    assert tflag_s is False and "BroadcastHashJoin" not in tplan_s

@@ -543,3 +543,71 @@ def test_ivf_append_staleness_guard_dim_check_and_stats_backfill(
     out = similarity.ivf_append(spark, path, batch)
     assert out["n_appended"] == 1 and out["staleness_ratio"] is not None
     assert spark.read.parquet(f"{path}/stats").agg(F.sum("n")).first()[0] == 41
+
+
+def test_ivf_compact_merges_small_files_without_changing_results(
+    spark, tmp_path
+):
+    """Three appends leave 1+3 files in each written cell; compaction
+    rewrites ONLY fragmented cells down to one file each, leaves
+    below-threshold cells' files untouched (same physical file names),
+    and search results are identical before and after."""
+    import os
+
+    schema = "vec_id long, embedding array<double>"
+
+    def mk(ids, base):
+        return spark.createDataFrame(
+            [(i, [base, 1.0 - base, 0.0, 0.0]) for i in ids], schema
+        )
+
+    path = str(tmp_path / "ivf_frag")
+    # two clear clusters -> 2 cells; all appends hit both cells
+    build = mk(range(20), 1.0).unionByName(mk(range(20, 40), 0.0))
+    similarity.save_ivf_index(similarity.ivf_index(build, n_centroids=2), path)
+    for j in range(3):
+        batch = mk([100 + j], 1.0).unionByName(mk([200 + j], 0.0))
+        similarity.ivf_append(spark, path, batch)
+
+    def files_per_cell():
+        out = {}
+        for d in os.listdir(f"{path}/assignment"):
+            if d.startswith("cell="):
+                out[d] = sorted(
+                    f
+                    for f in os.listdir(f"{path}/assignment/{d}")
+                    if not f.startswith(("_", "."))
+                )
+        return out
+
+    before = files_per_cell()
+    # build + 3 appends: every cell is fragmented (file count per cell
+    # is task-layout-dependent, but each append adds at least one)
+    assert all(len(v) >= 4 for v in before.values())
+    n_before = sum(len(v) for v in before.values())
+
+    q = mk([0], 1.0).unionByName(mk([20], 0.0))
+    def run_search():
+        idx = similarity.load_ivf_index(spark, path)
+        return {
+            (r.q_id, r.n_id, r.rank)
+            for r in similarity.ivf_search(
+                idx, q, k=5, n_probe=2, prune_cells=True
+            ).collect()
+        }
+
+    want = run_search()
+
+    # a high threshold: nothing fragmented enough -> no-op, no files touched
+    out0 = similarity.ivf_compact(spark, path, max_files_per_cell=n_before)
+    assert out0 == {"cells_compacted": 0, "files_before": 0, "files_after": 0}
+    assert files_per_cell() == before
+
+    out = similarity.ivf_compact(spark, path, max_files_per_cell=2)
+    assert out["cells_compacted"] == 2
+    assert out["files_before"] == n_before and out["files_after"] == 2
+    after = files_per_cell()
+    assert all(len(v) == 1 for v in after.values())
+    assert run_search() == want
+    # appended index still holds every row
+    assert spark.read.parquet(f"{path}/assignment").count() == 46
