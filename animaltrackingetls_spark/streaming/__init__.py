@@ -22,6 +22,7 @@ from .jobs import (  # noqa: F401
     read_event_stream,
     run_available_now_to_memory,
     run_available_now_to_memory_many,
+    run_available_now_index_vectors,
     run_available_now_ingest_dedup,
     run_available_now_register_inventory,
     run_available_now_to_parquet,

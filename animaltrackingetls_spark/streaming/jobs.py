@@ -863,3 +863,84 @@ def run_available_now_ingest_dedup(
             f"ingest-dedup into {corpus_path!r} did not drain within "
             f"{timeout_seconds}s"
         )
+
+
+def run_available_now_index_vectors(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_staleness_ratio: float | None = None,
+    compact_when_files_exceed: int | None = None,
+    timeout_seconds: int = 120,
+) -> list[dict]:
+    """Streaming ANN-index maintenance: drain a vector stream into a
+    :func:`~..operators.similarity.save_ivf_index` layout, one
+    :func:`~..operators.similarity.ivf_append` per micro-batch — the
+    serving loop of a growing embedding corpus (train once, ingest
+    forever, rebuild when the measured staleness says so).
+
+    Replay safety the same way ``run_available_now_ingest_dedup`` gets
+    it: foreachBatch is at-least-once, so each batch first anti-joins
+    its ids against the ids ALREADY in the index and appends only the
+    novel remainder — a replayed batch comes back empty and the sink is
+    idempotent by construction. The probe is one column-pruned scan of
+    the assignment's id column per batch; at corpora where that scan
+    bites, cache a per-epoch bloom of the id set exactly as the
+    ingest-dedup job reasons (the dedup state IS the index).
+
+    ``max_staleness_ratio`` arms :func:`ivf_append`'s guard: a batch
+    whose quantization error says the trained centroids no longer
+    describe the data FAILS the stream (before writing) instead of
+    silently degrading recall — the operational signal to retrain.
+    ``compact_when_files_exceed`` runs
+    :func:`~..operators.similarity.ivf_compact` with that threshold
+    after every append — a no-op while cells stay tidy, a bounded
+    rewrite of only the fragmented cells once per-batch files pile up
+    (the background segment-merge of a real ANN service, inline here
+    because AvailableNow drains are discrete).
+
+    Returns the per-batch :func:`ivf_append` stats dicts in drain
+    order — ``staleness_ratio`` over batches is the monitoring curve.
+    """
+    from animaltrackingetls_spark.operators import similarity
+
+    batch_stats: list[dict] = []
+
+    def _index(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        existing = spark.read.parquet(f"{index_path}/assignment").select(
+            F.col("n_id").alias(id_col)
+        )
+        novel = batch_df.join(existing, id_col, "left_anti")
+        out = similarity.ivf_append(
+            spark,
+            index_path,
+            novel,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_staleness_ratio=max_staleness_ratio,
+        )
+        if compact_when_files_exceed is not None and out["n_appended"]:
+            out["compact"] = similarity.ivf_compact(
+                spark, index_path, compact_when_files_exceed
+            )
+        batch_stats.append(out)
+
+    q = (
+        stream.writeStream.foreachBatch(_index)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_seconds)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"vector indexing into {index_path!r} did not drain within "
+            f"{timeout_seconds}s"
+        )
+    return batch_stats

@@ -31,15 +31,22 @@ also runs the BFD packer formerly benched as `pack_bestfit`.
 
 NOISE FLOOR (round 9): whole-invocation medians drift ±10-20% between
 otherwise-identical exclusive runs hours apart (machine state), which
-is how a query can "move" 0.7 s without a code cause. Each invocation
-now measures its own drift: the canary query (flagship_day_scan) is
-re-timed at the START (right after warm-up) and again at the END of
-the invocation, and the JSON carries
-  "noise": {"canary": ..., "start_min": s, "end_min": e,
-            "rel_drift": |e-s|/min(e,s)}
-A cross-round delta claim for any query is trustworthy only if it
-exceeds BOTH that round's rel_drift and the query's own kept-run
-spread.
+is how a query can "move" 0.7 s without a code cause. Two instruments
+ride along in the JSON "noise" block:
+
+* "calib": CODE-INDEPENDENT calibration measured warm at the END of
+  the invocation — a fixed numpy GEMM (pure CPU speed) and a fixed
+  spark.range groupBy (JVM/shuffle machinery), neither touching repo
+  code or testdata, so their round-over-round movement is machine
+  state by construction. A cross-round per-query delta claim must
+  exceed the query's own kept-run spread AND the calibration shift
+  between the two rounds' JSON lines (or be normalized by it).
+* "rel_drift": the canary query (flagship_day_scan) timed right after
+  warm-up and again at the end. Measured fact: the JVM keeps getting
+  faster through the whole invocation (first measurement ~2x the
+  last), so this is the WARM-UP SLOPE the fixed query order bakes
+  into every round identically — context for why early-positioned
+  queries read high, not a between-round noise floor.
 """
 
 from __future__ import annotations
@@ -187,6 +194,29 @@ def main() -> None:
 
     # canary leg 2: same query, end of invocation
     canary_end = min(time_query(canary, 5)[2:])
+
+    # code-independent calibration (see module docstring): numpy GEMM
+    # for raw CPU, spark.range groupBy for JVM/shuffle machinery.
+    # min-of-kept, measured here at the warm end of the invocation.
+    import numpy as _np
+
+    A = _np.ones((1024, 1024)); B = _np.ones((1024, 1024))
+    gemm = []
+    for _ in range(7):
+        g0 = time.monotonic(); A @ B; gemm.append(time.monotonic() - g0)
+    from pyspark.sql import functions as _F
+
+    rng = []
+    for _ in range(5):
+        r0 = time.monotonic()
+        spark.range(20_000_000).groupBy((_F.col("id") % 1000).alias("k")).agg(
+            _F.sum("id")
+        ).agg(_F.sum("sum(id)")).collect()
+        rng.append(time.monotonic() - r0)
+    calib = {
+        "gemm_1024_s": round(min(gemm[2:]), 4),
+        "range_agg_20m_s": round(min(rng[1:]), 3),
+    }
     rel_drift = round(
         abs(canary_end - canary_start) / max(min(canary_end, canary_start), 1e-9),
         4,
@@ -213,6 +243,7 @@ def main() -> None:
                 "sf": sf,
                 "loadavg1m": loadavg,
                 "noise": {
+                    "calib": calib,
                     "canary": canary,
                     "start_min": round(canary_start, 3),
                     "end_min": round(canary_end, 3),

@@ -20,7 +20,11 @@
    driver work scales with merges x alphabet (vocab-table-local), not
    with the corpus.
 
-Run: python r9_experiments.py widecap|dedupanat|bpecurve [sizes...]
+4. ``ivfgrow`` — incremental IVF maintenance at 1M vectors: per-batch
+   ivf_append cost vs the full rebuild it avoids, staleness ratios on
+   in-distribution batches, and ivf_compact after 5 appends.
+
+Run: python r9_experiments.py widecap|dedupanat|bpecurve|ivfgrow [sizes...]
 """
 from __future__ import annotations
 
@@ -163,12 +167,84 @@ def bpecurve(spark, sizes):
         )
 
 
+def ivfgrow(spark, sizes):
+    """Incremental IVF maintenance at serving scale: build a 1M-vector
+    index once, then time (a) ivf_append of a 10k in-distribution
+    batch — the per-ingest cost, claimed O(batch) — against (b) a full
+    rebuild over the grown corpus — the cost append avoids; then (c)
+    ivf_compact after 5 appends. Staleness ratio printed for the
+    in-distribution batch (should sit near 1). Same synthetic vector
+    family as r8's ivfserve."""
+    import tempfile
+
+    from animaltrackingetls_spark.operators import similarity
+
+    n_cells = 64
+
+    def vecs_between(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: (
+                    F.pmod(F.xxhash64(F.col("id"), i), F.lit(2000)) - 1000.0
+                ) / 1000.0,
+            ).alias("embedding"),
+        )
+
+    for n in sizes:
+        base = vecs_between(0, n)
+        path = tempfile.mkdtemp(prefix="ivfgrow_") + "/idx"
+        t0 = time.time()
+        similarity.save_ivf_index(
+            similarity.ivf_index(
+                base, n_centroids=n_cells, fit_impl="driver",
+                max_train_rows=20_000,
+            ),
+            path,
+        )
+        t1 = time.time()
+        batch = 10_000
+        ratios = []
+        t_app = []
+        for j in range(5):
+            lo = n + j * batch
+            ta = time.time()
+            out = similarity.ivf_append(spark, path, vecs_between(lo, lo + batch))
+            t_app.append(time.time() - ta)
+            ratios.append(out["staleness_ratio"])
+        t2 = time.time()
+        comp = similarity.ivf_compact(spark, path, max_files_per_cell=2)
+        t3 = time.time()
+        grown = vecs_between(0, n + 5 * batch)
+        t4 = time.time()
+        similarity.save_ivf_index(
+            similarity.ivf_index(
+                grown, n_centroids=n_cells, fit_impl="driver",
+                max_train_rows=20_000,
+            ),
+            tempfile.mkdtemp(prefix="ivfgrow_rb_") + "/idx",
+        )
+        t5 = time.time()
+        print(
+            f"ivfgrow n={n:,} cells={n_cells}: build+save {t1-t0:6.1f}s  "
+            f"append 10k x5 {min(t_app):.2f}-{max(t_app):.2f}s/batch "
+            f"(staleness {min(ratios):.3f}-{max(ratios):.3f})  "
+            f"compact {t3-t2:5.2f}s "
+            f"({comp['files_before']}->{comp['files_after']} files, "
+            f"{comp['cells_compacted']} cells)  "
+            f"REBUILD over grown corpus {t5-t4:6.1f}s",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "widecap"
     sizes = [int(x) for x in sys.argv[2:]] or {
         "widecap": [100_000, 1_000_000, 10_000_000],
         "dedupanat": [1],
         "bpecurve": [500, 2_000, 8_000],
+        "ivfgrow": [1_000_000],
     }[which]
     s = get_spark(
         extra_conf={
@@ -180,4 +256,5 @@ if __name__ == "__main__":
         "widecap": widecap,
         "dedupanat": dedupanat,
         "bpecurve": bpecurve,
+        "ivfgrow": ivfgrow,
     }[which](s, sizes)

@@ -778,3 +778,82 @@ def test_remove_duplicate_spans_rejects_spans_with_keep_first(spark):
     spans = spark.createDataFrame([(2, 0, 5)], "id long, start long, end long")
     with pytest.raises(ValueError, match="keep_first"):
         dedup.remove_duplicate_spans(docs, spans=spans)
+
+
+def test_streaming_vector_indexing_appends_novel_and_compacts(spark, tmp_path):
+    """Streaming IVF maintenance: a vector stream drains into a saved
+    index via per-batch ivf_append; ids already indexed are skipped
+    (replay/resubmission idempotence — the anti-join makes the sink
+    safe under foreachBatch's at-least-once), staleness is reported per
+    batch, inline compaction keeps cells at one file, and searching the
+    grown index equals searching one rebuilt from scratch at a
+    full-probe budget."""
+    import pyspark.sql.functions as F
+
+    from animaltrackingetls_spark.operators import similarity
+    from animaltrackingetls_spark.streaming import (
+        run_available_now_index_vectors,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+
+    def mk(ids, base):
+        return spark.createDataFrame(
+            [(i, [base, 1.0 - base, 0.0, 0.0]) for i in ids], schema
+        )
+
+    index_path = str(tmp_path / "idx")
+    build = mk(range(20), 1.0).unionByName(mk(range(20, 40), 0.0))
+    similarity.save_ivf_index(
+        similarity.ivf_index(build, n_centroids=2), index_path
+    )
+
+    src = str(tmp_path / "vec_in")
+    ck = str(tmp_path / "ck_vec")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        return run_available_now_index_vectors(
+            stream, index_path, ck, compact_when_files_exceed=1
+        )
+
+    # batch 1: two novel vectors + a resubmission of an indexed id
+    mk([100], 1.0).unionByName(mk([200, 5], 0.0)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stats1 = drain()
+    assert [s["n_appended"] for s in stats1] == [2]
+    assert 0.0 <= stats1[0]["staleness_ratio"] < 3.0
+    assert stats1[0]["compact"]["cells_compacted"] >= 1
+
+    # batch 2: pure replay of batch-1 content under a FRESH checkpoint
+    # (forces reprocessing) -> nothing appended, no compact entry
+    import shutil
+
+    shutil.rmtree(ck)
+    stats2 = drain()
+    assert [s["n_appended"] for s in stats2] == [0]
+    assert "compact" not in stats2[0]
+
+    assignment = spark.read.parquet(f"{index_path}/assignment")
+    assert assignment.count() == 42
+    assert assignment.select("n_id").distinct().count() == 42
+
+    # grown index == rebuilt index at full probe budget
+    q = mk([0], 1.0).unionByName(mk([20], 0.0))
+    got = {
+        (r.q_id, r.n_id, r.rank)
+        for r in similarity.ivf_search(
+            similarity.load_ivf_index(spark, index_path),
+            q, k=5, n_probe=2, prune_cells=True,
+        ).collect()
+    }
+    rebuilt = similarity.ivf_index(
+        build.unionByName(mk([100], 1.0)).unionByName(mk([200], 0.0)),
+        n_centroids=2,
+    )
+    want = {
+        (r.q_id, r.n_id, r.rank)
+        for r in similarity.ivf_search(rebuilt, q, k=5, n_probe=2).collect()
+    }
+    assert got == want
