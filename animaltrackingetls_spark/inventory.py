@@ -25,6 +25,8 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .io import local_df_single_partition
+
 INVENTORY_COLUMNS = ["available_date", "table_name", "record_count", "processed_at"]
 
 
@@ -146,8 +148,8 @@ def upsert_parquet(
         merged = merge_upsert(existing, updates, key_cols)
     # Materialize before overwriting the path we just read.
     rows = merged.collect()
-    out = spark.createDataFrame(rows, merged.schema)
-    out.coalesce(1).write.mode("overwrite").parquet(path)
+    out = local_df_single_partition(spark, rows, merged.schema)
+    out.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -259,8 +261,8 @@ def upsert_parquet_versioned(
     # reads the directory we must not be mid-rewrite of — though here the
     # target dir is fresh, collect also keeps the write single-file).
     rows = merged.collect()
-    out = spark.createDataFrame(rows, merged.schema)
-    out.coalesce(1).write.mode("error").parquet(os.path.join(table_dir, version))
+    out = local_df_single_partition(spark, rows, merged.schema)
+    out.write.mode("error").parquet(os.path.join(table_dir, version))
 
     tmp = os.path.join(table_dir, f"._CURRENT.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as f:

@@ -13,6 +13,21 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession  # noqa: F401 — Column is referenced by annotations
 from pyspark.sql import functions as F
 
+
+def local_df_single_partition(spark: SparkSession, rows, schema) -> DataFrame:
+    """Driver-local rows as a ONE-partition DataFrame.
+
+    The default ``createDataFrame`` parallelizes even a tiny row list
+    across ``defaultParallelism`` slices; a later single-task action on
+    it (``coalesce(1)`` write of a sidecar/catalog file is the common
+    shape) then pays every slice's Python-serving handshake SERIALLY in
+    that one task — measured ~3.5 s for a 64-row frame on local[32]
+    versus ~0.15 s this way (SCALING.md round 9). One slice from the
+    start: one handshake, one output file, no shuffle and no coalesce."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

@@ -284,15 +284,26 @@ def save_ivf_index(
     assignment, paid once) — so :func:`ivf_append` can report index
     staleness in O(batch) without rescanning the corpus."""
     assignment, centers = index
-    assignment.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/assignment"
+    # cluster rows by cell before the partitioned write (same reasoning
+    # as ivf_append's write, measured there): unclustered, every task
+    # writes one file into every cell directory it holds — tasks×cells
+    # files; clustered it is one file per cell. Parquet files split on
+    # row groups, so a big cell is still read in parallel.
+    (
+        assignment.repartition(len(centers), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/assignment")
     )
     spark = assignment.sparkSession
-    cent = spark.createDataFrame(
+    from ..io import local_df_single_partition
+
+    cent = local_df_single_partition(
+        spark,
         [(i, [float(x) for x in v]) for i, v in enumerate(centers)],
         "cell int, cv array<double>",
     )
-    cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
     _write_ivf_stats(
         spark.read.parquet(f"{path}/assignment"), centers, path
     )
@@ -432,8 +443,19 @@ def ivf_append(
             "index (ivf_index + save_ivf_index) before appending further."
         )
 
-    assigned.drop("dist").write.mode("append").partitionBy("cell").parquet(
-        f"{path}/assignment"
+    # one task per cell before the partitioned write: without it every
+    # task writes a file into every cell directory it holds rows for —
+    # measured at 1M vectors / 64 cells: a 10k-row append emitted
+    # ~2,400 files and took 9-10 s, nearly the cost of a full rebuild;
+    # repartitioned it adds at most ONE file per touched cell and the
+    # append is seconds-per-batch O(batch) as claimed (SCALING.md r9
+    # ivfgrow). The 10k-row shuffle this inserts is noise.
+    (
+        assigned.drop("dist")
+        .repartition(len(centers), "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/assignment")
     )
     # count-weighted merge of the baseline sidecar (keeps later appends'
     # ratios anchored to the blended population the index now holds)
@@ -445,9 +467,11 @@ def ivf_append(
         merged.append(
             (int(cell), int(n), (tn * tm + bn * bm) / n if n else 0.0)
         )
-    spark.createDataFrame(
-        merged, "cell int, n long, mean_dist double"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    from ..io import local_df_single_partition
+
+    local_df_single_partition(
+        spark, merged, "cell int, n long, mean_dist double"
+    ).write.mode("overwrite").parquet(f"{path}/stats")
     return {
         "n_appended": int(n_new),
         "mean_dist_new": float(mean_new),
