@@ -2414,7 +2414,11 @@ def _q_retrieval_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leak (the r7 persist bug), no checkpoint blocks to store, and
     # the corpus scan+aggregation runs exactly once
     bm_lazy = retrieval.bm25_topk(docs, _BM25_QUERY_TERMS, _BM25_K)
-    bm_full = spark.createDataFrame(bm_lazy.collect(), bm_lazy.schema)
+    from animaltrackingetls_spark.io import local_df_single_partition
+
+    bm_full = local_df_single_partition(
+        spark, bm_lazy.collect(), bm_lazy.schema
+    )
     bm = bm_full.select(
         F.lit("bm25").alias("kind"),
         "doc_id",
