@@ -41,6 +41,7 @@ from animaltrackingetls_spark.operators import (
     aggregates,
     dedup,
     joins,
+    layout,
     multimodal,
     privacy,
     retrieval,
@@ -2733,6 +2734,90 @@ def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The driver's correctness gate compares the leading DRIVER_WINDOW
+# entries of queries() against oracle_sql() (CORRECTNESS_r08: exactly
+# 50 rows). The first DRIVER_WINDOW entries below are all oracle-backed
+# so no slot is wasted; oracle-backed queries PAST the window are
+# hash-compared every suite run by tests/test_entry_oracles.py instead.
+DRIVER_WINDOW = 50
+
+
+def _q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over the derived event
+    coordinates (operators/layout.py:zvalue_expr): quantize each
+    coordinate to 16-bit cells, interleave the bits with the shift/mask
+    spread, return the top-200 events along the curve. Pure JVM
+    shift/and/or arithmetic — the oracle replays it bit-for-bit in
+    DuckDB with `<< | &`. At 100 TB the z value is a WRITE-TIME sort
+    key (layout.write_zordered): range-sorting by it tightens parquet
+    row-group min/max stats in BOTH coordinates at once, so box
+    predicates prune row-groups the scan never reads (measured in
+    SCALING.md round 9). HASH-CHECKED via DuckDB in
+    tests/test_entry_oracles.py (past the driver's 50-entry window)."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        (F.col("value") % 90).alias("x"),
+        ((F.col("value") * 2) % 180 - 90).alias("y"),
+    )
+    z = layout.zvalue_expr(
+        F.col("x"), F.col("y"), (0.0, 90.0), (-90.0, 90.0), bits=16
+    )
+    return (
+        pts.select("event_id", z.alias("zval"))
+        .orderBy(F.col("zval").desc(), F.col("event_id"))
+        .limit(200)
+    )
+
+
+def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-layout co-located join (operators/layout.py): customer
+    and orders are written ``bucketBy(8, c_custkey)`` ONCE (one file per
+    bucket — the write repartitions to the bucket hash first), then the
+    join AND the per-customer aggregate plan with ZERO Exchange —
+    asserted on the live plan inside the query, so every correctness
+    run re-certifies the shuffle-free property, not just a unit test.
+    Only the final ≤customer-cardinality segment rollup shuffles. At
+    100 TB this is the amortization lever: one write-time shuffle buys
+    every later join/agg on the key. Layout never changes values — the
+    oracle is the plain SQL join. HASH-CHECKED via DuckDB in
+    tests/test_entry_oracles.py (past the driver's 50-entry window)."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="spark_graft_bucketed_")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    )
+    layout.write_bucketed(
+        cust, "bj_customer", f"{base}/customer", "c_custkey", 8
+    )
+    layout.write_bucketed(
+        orders, "bj_orders", f"{base}/orders", "c_custkey", 8
+    )
+    per_cust = (
+        spark.table("bj_customer")
+        .join(spark.table("bj_orders"), "c_custkey")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("rev"))
+    )
+    # Certify the claim on the real plan: with broadcast disabled (the
+    # small side would otherwise BHJ and hide the property), the
+    # co-bucketed SMJ and the per-customer agg need no Exchange.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        layout.assert_exchange_free(per_cust, require="SortMergeJoin")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return per_cust.groupBy("c_mktsegment").agg(
+        F.sum("n").alias("n_orders"),
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver verifies the oracle-backed prefix
     # against oracle_sql() — EXACTLY 50 entries since round 9, sized to
@@ -2809,6 +2894,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_users_per_type": _q_approx_users_per_type,
         "hll_user_rollup": _q_hll_user_rollup,
         "bpe_tokenize": _q_bpe_tokenize,
+        # oracle-backed but past the driver's 50-entry window: the
+        # DuckDB hash compare runs in tests/test_entry_oracles.py
+        # every suite run instead
+        "zorder_curve": _q_zorder_curve,
+        "bucketed_join": _q_bucketed_join,
     }
 
 
@@ -4575,6 +4665,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, distance_km
             FROM pairs WHERE distance_km <= 100.0
+        """,
+        # --- past the driver's 50-entry window; hash-compared every
+        # --- suite run by tests/test_entry_oracles.py
+        "zorder_curve": """
+            WITH pts AS (
+              SELECT event_id,
+                     value % 90 AS x,
+                     (value * 2) % 180 - 90 AS y
+              FROM events WHERE value IS NOT NULL),
+            q AS (
+              SELECT event_id,
+                     least(greatest(CAST(floor((x - 0.0) / 90.0 * 65536.0) AS BIGINT), 0), 65535) AS qx,
+                     least(greatest(CAST(floor((y - (-90.0)) / 180.0 * 65536.0) AS BIGINT), 0), 65535) AS qy
+              FROM pts),
+            s1 AS (SELECT event_id,
+                          (qx | (qx << 8)) & 16711935 AS x1,
+                          (qy | (qy << 8)) & 16711935 AS y1 FROM q),
+            s2 AS (SELECT event_id,
+                          (x1 | (x1 << 4)) & 252645135 AS x2,
+                          (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+            s3 AS (SELECT event_id,
+                          (x2 | (x2 << 2)) & 858993459 AS x3,
+                          (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+            s4 AS (SELECT event_id,
+                          (x3 | (x3 << 1)) & 1431655765 AS x4,
+                          (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
+            SELECT event_id, x4 | (y4 << 1) AS zval FROM s4
+            ORDER BY zval DESC, event_id
+            LIMIT 200
+        """,
+        "bucketed_join": """
+            SELECT c.c_mktsegment,
+                   count(*) AS n_orders,
+                   count(DISTINCT c.c_custkey) AS n_customers,
+                   round(sum(o.o_totalprice), 2) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment
         """,
     }
     return {k: _portable_ws(v) for k, v in oracles.items()}

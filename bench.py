@@ -112,6 +112,14 @@ HEADLINE = [
     # folded into pack_documents ('bfd' rows) for the driver's
     # correctness window, so the bench entry follows the fold.
     "pack_documents",
+    # round-9: Morton/Z-order clustering key over 16-bit quantized
+    # coordinates — pure whole-stage-codegen shift/mask arithmetic plus
+    # a top-k, a cost class (expression-dense scan, no shuffle) nothing
+    # else in the list isolates. The write-side twin (bucketed_join)
+    # stays out: it is write-bound by design and its Exchange-free
+    # property is asserted inside the query itself on every
+    # correctness run.
+    "zorder_curve",
 ]
 
 

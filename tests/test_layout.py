@@ -1,0 +1,266 @@
+"""Physical layout: bucketed tables (Exchange-free joins/aggs) and
+Z-order clustering (multi-dim row-group pruning)."""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from animaltrackingetls_spark.operators.layout import (
+    assert_exchange_free,
+    write_bucketed,
+    write_zordered,
+    zvalue_expr,
+)
+
+
+# --------------------------------------------------------------------------
+# Pure-Python Morton reference (independent of the Spark expression)
+# --------------------------------------------------------------------------
+
+def _py_spread(v: int) -> int:
+    v &= 0xFFFF
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+def _py_quant(c: float, lo: float, hi: float, bits: int) -> int:
+    n = (1 << bits) - 1
+    s = math.floor((c - lo) / (hi - lo) * (n + 1))
+    return min(max(s, 0), n)
+
+
+def _py_z(x, y, xr, yr, bits):
+    qx = _py_quant(x, xr[0], xr[1], bits)
+    qy = _py_quant(y, yr[0], yr[1], bits)
+    return _py_spread(qx) | (_py_spread(qy) << 1)
+
+
+# --------------------------------------------------------------------------
+# Bucketed tables
+# --------------------------------------------------------------------------
+
+@pytest.fixture
+def no_broadcast(spark):
+    """Force SMJ so the Exchange-free claim is about bucketing, not BHJ."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _drop(spark, *tables):
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_is_exchange_free_and_correct(spark, tmp_path, no_broadcast):
+    left = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.range(0, 500).select(
+        (F.col("id") % 97).alias("k"), (F.col("id") * 2).alias("rv")
+    )
+    try:
+        write_bucketed(left, "t_lay_left", str(tmp_path / "l"), "k", 8)
+        write_bucketed(right, "t_lay_right", str(tmp_path / "r"), "k", 8)
+        bl, br = spark.table("t_lay_left"), spark.table("t_lay_right")
+        joined = bl.join(br, "k").groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("rv").alias("s")
+        )
+        assert_exchange_free(joined, require="SortMergeJoin")
+        expect = {
+            (r["k"], r["n"], r["s"])
+            for r in left.join(right, "k")
+            .groupBy("k")
+            .agg(F.count("*").alias("n"), F.sum("rv").alias("s"))
+            .collect()
+        }
+        got = {(r["k"], r["n"], r["s"]) for r in joined.collect()}
+        assert got == expect and len(got) == 97
+    finally:
+        _drop(spark, "t_lay_left", "t_lay_right")
+
+
+def test_bucketed_agg_is_exchange_free(spark, tmp_path):
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 31).alias("k"), F.col("id").alias("v")
+    )
+    try:
+        write_bucketed(df, "t_lay_agg", str(tmp_path / "a"), "k", 4)
+        agg = spark.table("t_lay_agg").groupBy("k").agg(F.sum("v").alias("s"))
+        assert_exchange_free(agg)
+        assert agg.count() == 31
+    finally:
+        _drop(spark, "t_lay_agg")
+
+
+def test_bucketed_write_one_file_per_bucket(spark, tmp_path):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 13).alias("k"), F.col("id").alias("v")
+    )
+    try:
+        write_bucketed(df, "t_lay_files", str(tmp_path / "f"), "k", 8)
+        files = glob.glob(str(tmp_path / "f" / "*.parquet"))
+        # one file per NON-EMPTY bucket, never tasks x buckets
+        assert 0 < len(files) <= 8
+    finally:
+        _drop(spark, "t_lay_files")
+
+
+def test_assert_exchange_free_raises_on_shuffle(spark):
+    df = spark.range(0, 100).groupBy((F.col("id") % 5).alias("k")).count()
+    with pytest.raises(AssertionError, match="Exchange"):
+        assert_exchange_free(df)
+
+
+def test_write_bucketed_validates(spark, tmp_path):
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="n_buckets"):
+        write_bucketed(df, "t_bad", str(tmp_path / "b"), "k", 0)
+
+
+# --------------------------------------------------------------------------
+# Z-order
+# --------------------------------------------------------------------------
+
+def test_zvalue_matches_python_reference(spark):
+    pts = [(i, x / 7.0, -90.0 + (i * 37 % 181)) for i, x in enumerate(range(0, 70, 3))]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    xr, yr = (0.0, 10.0), (-90.0, 90.0)
+    got = {
+        r["id"]: r["z"]
+        for r in df.select(
+            "id", zvalue_expr(F.col("x"), F.col("y"), xr, yr, bits=16).alias("z")
+        ).collect()
+    }
+    for i, x, y in pts:
+        assert got[i] == _py_z(x, y, xr, yr, 16), (i, x, y)
+
+
+def test_zvalue_duckdb_parity(spark):
+    """The exact `<< | &` SQL the zorder_curve oracle uses replays the
+    Spark expression bit for bit."""
+    pts = [(i, (i * 13 % 90) + i / 97.0, (i * 29 % 180) - 90 + i / 53.0)
+           for i in range(200)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    xr, yr = (0.0, 90.0), (-90.0, 90.0)
+    spark_z = {
+        r["id"]: r["z"]
+        for r in df.select(
+            "id", zvalue_expr(F.col("x"), F.col("y"), xr, yr, bits=16).alias("z")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts (id BIGINT, x DOUBLE, y DOUBLE)")
+    con.executemany("INSERT INTO pts VALUES (?, ?, ?)", pts)
+    duck = con.execute(
+        """
+        WITH q AS (
+          SELECT id,
+                 least(greatest(CAST(floor((x - 0.0) / 90.0 * 65536.0) AS BIGINT), 0), 65535) AS qx,
+                 least(greatest(CAST(floor((y - (-90.0)) / 180.0 * 65536.0) AS BIGINT), 0), 65535) AS qy
+          FROM pts),
+        s AS (
+          SELECT id, qx, qy,
+                 (qx | (qx << 8)) & 16711935 AS x1, (qy | (qy << 8)) & 16711935 AS y1
+          FROM q),
+        s2 AS (
+          SELECT id, (x1 | (x1 << 4)) & 252645135 AS x2, (y1 | (y1 << 4)) & 252645135 AS y2 FROM s),
+        s3 AS (
+          SELECT id, (x2 | (x2 << 2)) & 858993459 AS x3, (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+        s4 AS (
+          SELECT id, (x3 | (x3 << 1)) & 1431655765 AS x4, (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
+        SELECT id, x4 | (y4 << 1) AS z FROM s4
+        """
+    ).fetchall()
+    assert {i: z for i, z in duck} == spark_z
+
+
+def test_zvalue_nulls_and_clamp(spark):
+    df = spark.createDataFrame(
+        [(0, None, 5.0), (1, -999.0, 5.0), (2, 999.0, 5.0)],
+        "id long, x double, y double",
+    )
+    rows = {
+        r["id"]: r["z"]
+        for r in df.select(
+            "id",
+            zvalue_expr(F.col("x"), F.col("y"), (0.0, 10.0), (0.0, 10.0), bits=4).alias("z"),
+        ).collect()
+    }
+    assert rows[0] is None
+    assert rows[1] == _py_z(-999.0, 5.0, (0.0, 10.0), (0.0, 10.0), 4)  # clamps low
+    assert rows[2] == _py_z(999.0, 5.0, (0.0, 10.0), (0.0, 10.0), 4)   # clamps high
+
+
+def test_zvalue_validates(spark):
+    c = F.col("x")
+    with pytest.raises(ValueError, match="bits"):
+        zvalue_expr(c, c, (0.0, 1.0), (0.0, 1.0), bits=17)
+    with pytest.raises(ValueError, match="x_range"):
+        zvalue_expr(c, c, (1.0, 1.0), (0.0, 1.0))
+
+
+def _row_group_hits(path: str, x_col: str, y_col: str, box) -> tuple[int, int]:
+    """(row groups whose [min,max] intersect the box, total row groups)."""
+    import pyarrow.parquet as pq
+
+    x0, x1, y0, y1 = box
+    hit = total = 0
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        xi, yi = names.index(x_col), names.index(y_col)
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            sx, sy = rg.column(xi).statistics, rg.column(yi).statistics
+            total += 1
+            if sx.min <= x1 and sx.max >= x0 and sy.min <= y1 and sy.max >= y0:
+                hit += 1
+    return hit, total
+
+
+def test_zorder_write_prunes_row_groups(spark, tmp_path):
+    n = 200_000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.rand(seed=7).alias("x"),
+        F.rand(seed=11).alias("y"),
+    ).localCheckpoint()
+    zdir, pdir = str(tmp_path / "z"), str(tmp_path / "plain")
+    write_zordered(
+        df, zdir, "x", "y", (0.0, 1.0), (0.0, 1.0),
+        n_files=4, row_group_bytes=64 * 1024,
+    )
+    df.repartition(4).write.option("parquet.block.size", str(64 * 1024)).parquet(pdir)
+    box = (0.40, 0.50, 0.40, 0.50)  # 1% of the unit square
+    z_hit, z_total = _row_group_hits(zdir, "x", "y", box)
+    p_hit, p_total = _row_group_hits(pdir, "x", "y", box)
+    assert z_total >= 16 and p_total >= 16  # the layout actually split
+    # unsorted row groups all span ~the full square -> nearly all hit;
+    # z-ordered ones tile the curve -> only tiles near the box hit
+    assert p_hit / p_total > 0.9
+    assert z_hit / z_total < 0.35
+    # and the data is identical either way
+    assert spark.read.parquet(zdir).count() == n
+
+
+def test_zorder_range_probe_and_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, float(i % 10), float(i % 7)) for i in range(100)],
+        "id long, x double, y double",
+    )
+    out = str(tmp_path / "probe")
+    write_zordered(df, out, "x", "y", n_files=2)  # ranges probed
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert {r["id"] for r in back.collect()} == set(range(100))

@@ -95,20 +95,20 @@ def test_rollup_cube_single_pass_and_rollup_operator_identity(spark):
     assert derived == native
 
 
-def test_every_oracle_backed_query_is_inside_driver_window():
-    # The driver verifies the oracle-backed PREFIX of queries() against
-    # oracle_sql() (CORRECTNESS_r02-r07 each covered exactly the
-    # then-current oracle count). Every oracle-backed query must sit in
-    # the leading len(oracles) positions or its correctness claim has
-    # no hard signal; rows-only queries follow after.
+def test_driver_window_is_fully_oracle_backed():
+    # The driver verifies the leading DRIVER_WINDOW entries of
+    # queries() against oracle_sql() (CORRECTNESS_r08 covered exactly
+    # 50). Since round 9 the window must be FULLY oracle-backed (no
+    # slot wasted on a rows-only query), and any oracle-backed query
+    # past the window must instead be hash-compared every suite run by
+    # tests/test_entry_oracles.py — which derives its target list from
+    # the same position arithmetic, so nothing can fall between the
+    # two gates.
     names = list(entry.queries())
     oracles = set(entry.oracle_sql())
-    window = names[: len(oracles)]
-    assert all(n in oracles for n in window), [
-        n for n in window if n not in oracles
-    ]
-    outside = [n for n in oracles if n not in window]
-    assert outside == [], f"oracle-backed queries outside window: {outside}"
+    window = names[: entry.DRIVER_WINDOW]
+    missing = [n for n in window if n not in oracles]
+    assert missing == [], f"window slots without oracle: {missing}"
     dangling = [n for n in oracles if n not in names]
     assert dangling == [], f"oracles without queries: {dangling}"
 
