@@ -24,7 +24,16 @@
    ivf_append cost vs the full rebuild it avoids, staleness ratios on
    in-distribution batches, and ivf_compact after 5 appends.
 
-Run: python r9_experiments.py widecap|dedupanat|bpecurve|ivfgrow [sizes...]
+5. ``zorder`` — Z-order layout vs single-column sort vs unsorted at
+   20M points: parquet row-group hit fraction and warm box-filter
+   wall clock for the same 1%-area predicate over each layout.
+
+6. ``bucketed`` — bucketed-table amortization at 5M x 20M rows: one
+   write-time shuffle (bucketBy) vs re-shuffling both join sides on
+   every query; per-query join+agg cost with the Exchange-free plan
+   asserted.
+
+Run: python r9_experiments.py widecap|dedupanat|bpecurve|ivfgrow|zorder|bucketed [sizes...]
 """
 from __future__ import annotations
 
@@ -238,6 +247,163 @@ def ivfgrow(spark, sizes):
         )
 
 
+def zorder(spark, sizes):
+    """Z-order layout vs plain layout at scale: write N uniform (x, y)
+    points both ways (same file count, same row-group size), then run
+    the SAME 1%-area box-filter count over each and read the scan-level
+    effect from parquet row-group statistics plus wall clock. The claim
+    under test: the z-sorted layout's row-group min/max stats prune in
+    BOTH dimensions, so the scan reads a small fraction of row groups
+    while the plain layout reads ~all of them."""
+    import glob as g
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from animaltrackingetls_spark.operators.layout import write_zordered
+
+    def rg_hits(path, box):
+        x0, x1, y0, y1 = box
+        hit = total = rows_hit = rows = 0
+        for f in sorted(g.glob(path + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            xi, yi = names.index("x"), names.index("y")
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                sx, sy = rg.column(xi).statistics, rg.column(yi).statistics
+                total += 1
+                rows += rg.num_rows
+                if sx.min <= x1 and sx.max >= x0 and sy.min <= y1 and sy.max >= y0:
+                    hit += 1
+                    rows_hit += rg.num_rows
+        return hit, total, rows_hit, rows
+
+    box = (0.40, 0.50, 0.40, 0.50)
+    pred = "x >= 0.40 AND x <= 0.50 AND y >= 0.40 AND y <= 0.50"
+    for n in sizes:
+        base = tempfile.mkdtemp(prefix=f"zorder_{n}_")
+        df = spark.range(n).select(
+            "id", F.rand(seed=7).alias("x"), F.rand(seed=11).alias("y")
+        ).localCheckpoint()
+        n_files = max(n // 2_000_000, 4)
+        rg_bytes = 8 * 1024 * 1024  # ~6 row groups per file at 20M rows
+        t0 = time.time()
+        write_zordered(
+            df, base + "/z", "x", "y", (0.0, 1.0), (0.0, 1.0),
+            n_files=n_files, row_group_bytes=rg_bytes,
+        )
+        t1 = time.time()
+        (
+            df.repartition(n_files)
+            .sortWithinPartitions("x")  # best SINGLE-column rival layout
+            .write.option("parquet.block.size", str(rg_bytes))
+            .parquet(base + "/x")
+        )
+        (
+            df.repartition(n_files)
+            .write.option("parquet.block.size", str(rg_bytes))
+            .parquet(base + "/plain")
+        )
+        t2 = time.time()
+
+        timings = {}
+        for label in ("z", "x", "plain"):
+            # warm then time the box-filter count over each layout
+            path = f"{base}/{label}"
+            spark.read.parquet(path).where(pred).count()
+            tq = time.time()
+            cnt = spark.read.parquet(path).where(pred).count()
+            timings[label] = (time.time() - tq, cnt)
+        zh, zt, zr, ztot = rg_hits(base + "/z", box)
+        xh, xt, xr, _ = rg_hits(base + "/x", box)
+        ph, pt, pr, _ = rg_hits(base + "/plain", box)
+        print(
+            f"zorder n={n:,} files={n_files}: zwrite {t1-t0:5.1f}s "
+            f"plainwrite(2x) {t2-t1:5.1f}s | row-groups hit "
+            f"z {zh}/{zt} ({zr/ztot:5.1%} rows)  "
+            f"xsort {xh}/{xt} ({xr/ztot:5.1%})  "
+            f"plain {ph}/{pt} ({pr/ztot:5.1%}) | box-count warm "
+            f"z {timings['z'][0]:5.2f}s  xsort {timings['x'][0]:5.2f}s  "
+            f"plain {timings['plain'][0]:5.2f}s  "
+            f"(counts equal: {len({v[1] for v in timings.values()}) == 1})",
+            flush=True,
+        )
+
+
+def bucketed(spark, sizes):
+    """Bucketed-layout amortization at scale: orders(N) join
+    lineitem-like(4N) on the key, (a) plain parquet (shuffle both
+    sides every query) vs (b) bucketed tables (one write-time shuffle,
+    then Exchange-free SMJ). Reports write cost and per-query join
+    cost, warm runs — the ratio times queries-per-day is the
+    amortization argument."""
+    import tempfile
+
+    from animaltrackingetls_spark.operators.layout import (
+        assert_exchange_free,
+        write_bucketed,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for n in sizes:
+            base = tempfile.mkdtemp(prefix=f"bucketed_{n}_")
+            n_buckets = 32
+            dim = spark.range(n).select(
+                F.col("id").alias("k"), (F.col("id") % 1000).alias("attr")
+            )
+            fact = spark.range(4 * n).select(
+                (F.col("id") % n).alias("k"), F.col("id").alias("v")
+            )
+            t0 = time.time()
+            dim.write.mode("overwrite").parquet(base + "/dim_p")
+            fact.write.mode("overwrite").parquet(base + "/fact_p")
+            t1 = time.time()
+            write_bucketed(dim, "bx_dim", base + "/dim_b", "k", n_buckets)
+            write_bucketed(fact, "bx_fact", base + "/fact_b", "k", n_buckets)
+            t2 = time.time()
+
+            def join_cost(left, right):
+                q = (
+                    left.join(right, "k")
+                    .groupBy("k", "attr")
+                    .agg(F.count("*").alias("c"), F.sum("v").alias("s"))
+                    .groupBy("attr")
+                    .agg(F.sum("c").alias("n"), F.sum("s").alias("sv"))
+                )
+                q.count()  # warm
+                tq = time.time()
+                q.count()
+                return time.time() - tq, q
+
+            tp, _ = join_cost(
+                spark.read.parquet(base + "/dim_p"),
+                spark.read.parquet(base + "/fact_p"),
+            )
+            tb, qb = join_cost(spark.table("bx_dim"), spark.table("bx_fact"))
+            # certify the bucketed per-key stage is Exchange-free
+            assert_exchange_free(
+                spark.table("bx_dim").join(spark.table("bx_fact"), "k")
+                .groupBy("k", "attr")
+                .agg(F.count("*").alias("c")),
+                require="SortMergeJoin",
+            )
+            print(
+                f"bucketed n={n:,} x4 buckets={n_buckets}: "
+                f"plain write {t1-t0:5.1f}s  bucketed write {t2-t1:5.1f}s "
+                f"(+{(t2-t1)/max(t1-t0,1e-9)-1:+.0%}) | join+agg warm: "
+                f"plain {tp:5.2f}s  bucketed {tb:5.2f}s "
+                f"({tp/max(tb,1e-9):.2f}x)",
+                flush=True,
+            )
+            spark.sql("DROP TABLE IF EXISTS bx_dim")
+            spark.sql("DROP TABLE IF EXISTS bx_fact")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "widecap"
     sizes = [int(x) for x in sys.argv[2:]] or {
@@ -245,6 +411,8 @@ if __name__ == "__main__":
         "dedupanat": [1],
         "bpecurve": [500, 2_000, 8_000],
         "ivfgrow": [1_000_000],
+        "zorder": [20_000_000],
+        "bucketed": [5_000_000],
     }[which]
     s = get_spark(
         extra_conf={
@@ -257,4 +425,6 @@ if __name__ == "__main__":
         "dedupanat": dedupanat,
         "bpecurve": bpecurve,
         "ivfgrow": ivfgrow,
+        "zorder": zorder,
+        "bucketed": bucketed,
     }[which](s, sizes)
