@@ -2818,6 +2818,77 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): train per-subspace
+    codebooks on a bounded sample (m=8 × k=64 on ≤8k rows — driver
+    work independent of corpus size), encode the corpus to 8-byte
+    codes (one Arrow pass, no shuffle; 64x smaller than the float64
+    vectors), then serve one query BOTH ways: 'adc' = pure
+    lookup-table ranking over the codes, 'rerank' = ADC shortlist →
+    exact L2 on the ≤50 candidates only (the production shape —
+    recall measured and pinned in tests/test_pq.py: shortlist
+    coverage ≥0.85 even at nbits=4 on PQ's worst case). Rows-only by
+    nature (k-means codebooks aren't SQL-replayable), same class as
+    ivf_topk/lsh_topk."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    from animaltrackingetls_spark.operators import pq as pqm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # train + encode ONCE per (file, mtime) — the pq serving shape is
+    # encode-once/search-many, same cache pattern as _q_ivf_serve; the
+    # serving table carries (vec_id, embedding, pq_code) so the ADC
+    # branch column-prunes to (vec_id, pq_code) and only the rerank's
+    # broadcast-joined candidates ever read the float column
+    emb_file = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb_file)
+    key = hashlib.md5(
+        f"{emb_file}:{st.st_mtime_ns}:{st.st_size}:pq1".encode()
+    ).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(), f"spark_graft_pq_{key}")
+    books_file = os.path.join(cache, "books.json")
+    codes_dir = os.path.join(cache, "codes")
+    if not os.path.exists(books_file):
+        books = pqm.pq_train(
+            emb, dim=64, m=8, nbits=6, seed=42, max_train_rows=8192
+        )
+        pqm.pq_encode(emb, books).write.mode("overwrite").parquet(codes_dir)
+        os.makedirs(cache, exist_ok=True)
+        tmp = books_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"m": books.m, "k": books.k, "dim": books.dim,
+                 "metric": books.metric, "books": books.books},
+                f,
+            )
+        os.replace(tmp, books_file)
+    with open(books_file) as f:
+        spec = json.load(f)
+    books = pqm.PQCodebooks(
+        m=spec["m"], k=spec["k"], dim=spec["dim"],
+        metric=spec["metric"], books=spec["books"],
+    )
+    enc = spark.read.parquet(codes_dir)
+    q_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    ]
+    adc = pqm.pq_topk(enc, books, q_vec, k=10).select(
+        F.lit("adc").alias("mode"),
+        "vec_id",
+        F.round(F.col("pq_score"), 6).alias("score"),
+    )
+    rr = pqm.pq_topk_rerank(enc, books, q_vec, k=10, oversample=5).select(
+        F.lit("rerank").alias("mode"),
+        "vec_id",
+        F.round(F.col("exact_score"), 6).alias("score"),
+    )
+    return adc.unionByName(rr)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver verifies the oracle-backed prefix
     # against oracle_sql() — EXACTLY 50 entries since round 9, sized to
@@ -2899,6 +2970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every suite run instead
         "zorder_curve": _q_zorder_curve,
         "bucketed_join": _q_bucketed_join,
+        # rows-only: PQ codebooks are k-means products, not SQL-replayable
+        "pq_topk": _q_pq_topk,
     }
 
 
