@@ -41,7 +41,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, DoubleType
+from pyspark.sql.types import BinaryType, DoubleType, LongType
 
 from .similarity import _as_double, _check_dim, _kmeanspp_lloyd
 
@@ -142,19 +142,38 @@ def pq_encode(
     codebooks: PQCodebooks,
     vec_col: str = "embedding",
     out_col: str = "pq_code",
+    layout: str = "long",
 ) -> DataFrame:
-    """Append the ``m``-byte PQ code of ``vec_col`` as a binary column.
+    """Append the PQ code of ``vec_col``.
 
-    One vectorized Arrow pass: each batch argmin-assigns every subvector
-    to its nearest subspace centroid (||v_j − c||² via the expanded
-    form, one small GEMM per subspace per batch). No shuffle; the
-    output column is what a serving layout persists so the raw floats
-    never need to be scanned again.
+    ``layout="long"`` (default when ``m * nbits <= 64``) packs the
+    ``m`` centroid ids big-endian into ONE BIGINT — byte j is
+    ``(code >> 8*(m-1-j)) & 255``, extractable by pure integer
+    arithmetic under every scorer impl, and the faster layout under
+    both (1M×64d measured, SCALING.md round 9: arrow 0.56 s vs 0.68 s
+    binary, expr 1.43 s vs 1.76 s binary; on-disk 12.1 MB vs the
+    520 MB float corpus, 43×). ``layout="binary"`` stores the raw
+    ``m`` bytes — required when ``m * nbits > 64`` and the
+    wire-compatible form for external consumers of standard PQ codes.
+
+    One vectorized Arrow pass either way: each batch argmin-assigns
+    every subvector to its nearest subspace centroid (||v_j − c||² via
+    the expanded form, one small GEMM per subspace per batch). No
+    shuffle; the output column is what a serving layout persists so the
+    raw floats never need to be scanned again.
     """
+    if layout not in ("long", "binary"):
+        raise ValueError(f"pq_encode: layout must be long|binary, got {layout!r}")
+    if layout == "long" and codebooks.m * 8 > 64:
+        raise ValueError(
+            f"pq_encode: layout='long' packs m bytes into 64 bits; "
+            f"m={codebooks.m} needs layout='binary'"
+        )
     cb = codebooks
     books = None  # lazily materialized numpy views inside the worker
+    as_long = layout == "long"
 
-    @F.pandas_udf(BinaryType())
+    @F.pandas_udf(LongType() if as_long else BinaryType())
     def _encode(vecs: pd.Series) -> pd.Series:
         nonlocal books
         if books is None:
@@ -175,8 +194,21 @@ def pq_encode(
             d = sub @ B.T  # (b, k)
             d = (B * B).sum(axis=1)[None, :] - 2.0 * d
             codes[:, j] = d.argmin(axis=1).astype(np.uint8)
-        for row, i in enumerate(live):
-            out[i] = codes[row].tobytes()
+        if as_long:
+            packed = np.zeros(len(V), dtype=np.uint64)
+            for j in range(cb.m):
+                packed = (packed << np.uint64(8)) | codes[:, j].astype(
+                    np.uint64
+                )
+            # two's-complement reinterpretation: m=8 codes with a high
+            # first byte exceed Long.MAX as unsigned — the scorer's
+            # shiftrightunsigned reads the bit pattern, not the sign
+            signed = packed.view(np.int64)
+            for row, i in enumerate(live):
+                out[i] = int(signed[row])
+        else:
+            for row, i in enumerate(live):
+                out[i] = codes[row].tobytes()
         return pd.Series(out, dtype=object)
 
     return df.withColumn(out_col, _encode(_as_double(F.col(vec_col))))
@@ -206,14 +238,75 @@ def _adc_lut(codebooks: PQCodebooks, query: list[float]):
 
 
 def pq_adc_score_expr(
-    codebooks: PQCodebooks, query: list[float], code_col: Column
+    codebooks: PQCodebooks,
+    query: list[float],
+    code_col: Column,
+    impl: str = "arrow",
+    layout: str = "long",
 ) -> Column:
-    """ADC score of a PQ code column against one full-precision query:
-    ``m`` lookups summed per row, vectorized over Arrow batches. L2
-    returns a distance (smaller = closer); ip returns a score (larger =
-    closer)."""
+    """ADC score of a PQ code column against one full-precision query.
+    L2 returns a distance (smaller = closer); ip returns a score
+    (larger = closer); a NULL code yields a NULL score under every
+    impl × layout combination.
+
+    ``impl="arrow"`` (default) scores each Arrow batch with one numpy
+    fancy-gather over the (m, k) lookup table — the measured fast path
+    (1M×64d codes, SCALING.md round 9: 0.56 s vs 1.43 s for expr over
+    long codes; numpy's vectorized gather beats per-row codegen
+    lookups even though the expr plan is fully whole-stage-compiled).
+    ``impl="expr"`` embeds the lookup table as ``m`` constant-folded
+    array literals and scores with ``m`` byte-extract + element_at
+    lookups summed — ~2.5× slower, but zero Python workers in the
+    plan: use it where the score must stay inside a single codegen
+    stage or Python workers are unavailable. Over ``layout="long"``
+    codes the byte extract is ``shiftrightunsigned & 255`` (pure
+    integer arithmetic); over ``layout="binary"`` it round-trips hex
+    strings per row (1.76 s measured) — prefer long codes for expr.
+    """
+    if impl not in ("expr", "arrow"):
+        raise ValueError(f"pq_adc_score_expr: impl must be expr|arrow, got {impl!r}")
+    if layout not in ("long", "binary"):
+        raise ValueError(
+            f"pq_adc_score_expr: layout must be long|binary, got {layout!r}"
+        )
     cb = codebooks
     lut = _adc_lut(codebooks, query)
+    if impl == "expr":
+        total = None
+        for j in range(cb.m):
+            if layout == "long":
+                # big-endian pack: byte j sits at bit offset 8*(m-1-j);
+                # unsigned shift reads the bit pattern even when m=8
+                # codes went negative under two's complement
+                shift = 8 * (cb.m - 1 - j)
+                byte_j = (
+                    F.shiftrightunsigned(code_col, shift)
+                    .bitwiseAND(F.lit(255))
+                    .cast("int")
+                )
+            else:
+                # byte j of the code as an int 0..255: substring is
+                # 1-based on binary, hex → 2-char string, conv → long
+                byte_j = F.conv(
+                    F.hex(F.substring(code_col, j + 1, 1)), 16, 10
+                ).cast("int")
+            arr = F.array(*[F.lit(float(x)) for x in lut[j]])
+            term = F.element_at(arr, byte_j + F.lit(1))
+            total = term if total is None else total + term
+        # the isNotNull guard is LOAD-BEARING: element_at with a NULL
+        # index does not return NULL — it resolves like index -1 and
+        # returns the LAST element (observed on Spark 4.1), so without
+        # the guard a NULL code would score as the k-1 centroid sum
+        return F.when(code_col.isNotNull(), total)
+
+    if layout == "long":
+        # do NOT ship the long into Python: Arrow→pandas renders a
+        # nullable int64 column as float64, which NaNs the nulls and —
+        # worse — silently rounds packed codes above 2^53. Re-expand to
+        # the m raw bytes JVM-side (hex drops leading zeros; lpad
+        # restores them; negative m=8 codes hex to the full 16 chars)
+        # and reuse the binary scorer.
+        code_col = F.unhex(F.lpad(F.hex(code_col), 2 * cb.m, "0"))
 
     @F.pandas_udf(DoubleType())
     def _score(codes: pd.Series) -> pd.Series:
@@ -240,6 +333,7 @@ def pq_topk(
     k: int = 10,
     id_col: str = "vec_id",
     code_col: str = "pq_code",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Top-k by ADC over an encoded corpus → (id, pq_score).
 
@@ -251,9 +345,16 @@ def pq_topk(
     """
     if k < 1:
         raise ValueError(f"pq_topk: k must be >= 1, got {k}")
+    layout = (
+        "long"
+        if isinstance(encoded.schema[code_col].dataType, LongType)
+        else "binary"
+    )
     scored = encoded.select(
         F.col(id_col),
-        pq_adc_score_expr(codebooks, query, F.col(code_col)).alias("pq_score"),
+        pq_adc_score_expr(
+            codebooks, query, F.col(code_col), impl=impl, layout=layout
+        ).alias("pq_score"),
     )
     order = (
         [F.col("pq_score").asc_nulls_last(), F.col(id_col).asc()]
@@ -272,6 +373,8 @@ def pq_topk_rerank(
     id_col: str = "vec_id",
     code_col: str = "pq_code",
     vec_col: str = "embedding",
+    impl: str = "arrow",
+    fetch: str = "pushdown",
 ) -> DataFrame:
     """PQ shortlist → exact rerank: the production serving shape.
 
@@ -282,19 +385,34 @@ def pq_topk_rerank(
     the time, and 100% at nbits=8 — tests/test_pq.py). So serve in two
     stages: (1) ADC over the m-byte codes picks ``k * oversample``
     candidates — the corpus-wide pass touches only id + code bytes;
-    (2) the true metric is computed on the candidates ONLY, via a
-    broadcast semi-join of the ≤ k·oversample candidate ids against
-    the vector column, then exact top-k. The expensive full-precision
-    read is bounded by the shortlist size, not the corpus: at 100 TB
-    the code scan is the only corpus-wide cost, and with the codes
-    stored alongside an id-partitioned / bucketed vector layout the
-    rerank fetch is a pruned point-read, not a second full scan.
+    (2) the true metric is computed on the candidates ONLY, then exact
+    top-k. How the candidates' float vectors are fetched is the whole
+    game at scale:
+
+    ``fetch="pushdown"`` (default) collects the ≤ k·oversample
+    shortlist ids driver-side (a bounded eager action at plan-
+    construction time — same documented precedent as
+    ivf_search(prune_cells=True)) and filters the corpus with an
+    ``isin`` IN-list that parquet receives as a pushed filter, so
+    row-group statistics skip everything but the shortlist's groups
+    when the layout is id-sorted. ``fetch="join"`` keeps the
+    fully-lazy broadcast semi-join — correct everywhere but must READ
+    the whole float column on sources without dynamic pruning (1M×64d
+    measured, SCALING.md round 9: pushdown 1.59 s vs join 1.75 s on
+    local NVMe where the extra read is cheap; end-to-end either form
+    beats the 14.1 s full-precision brute-force scan ~9× because the
+    corpus-wide work is the 12 MB code scan, not the 520 MB float
+    scan).
     """
     if oversample < 1:
         raise ValueError(f"pq_topk_rerank: oversample must be >= 1, got {oversample}")
+    if fetch not in ("pushdown", "join"):
+        raise ValueError(
+            f"pq_topk_rerank: fetch must be pushdown|join, got {fetch!r}"
+        )
     shortlist = pq_topk(
         encoded, codebooks, query, k=k * oversample,
-        id_col=id_col, code_col=code_col,
+        id_col=id_col, code_col=code_col, impl=impl,
     ).select(id_col)
     qlit = F.array(*[F.lit(float(x)) for x in query])
     vec = _as_double(F.col(vec_col))
@@ -306,9 +424,16 @@ def pq_topk_rerank(
         prod = F.zip_with(vec, qlit, lambda a, b: a * b)
         exact = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
         order = [F.col("exact_score").desc_nulls_last(), F.col(id_col).asc()]
+    if fetch == "pushdown":
+        ids = [r[id_col] for r in shortlist.collect()]
+        if not ids:
+            candidates = encoded.filter(F.lit(False))
+        else:
+            candidates = encoded.filter(F.col(id_col).isin(ids))
+    else:
+        candidates = encoded.join(F.broadcast(shortlist), id_col)
     return (
-        encoded.join(F.broadcast(shortlist), id_col)
-        .select(F.col(id_col), exact.alias("exact_score"))
+        candidates.select(F.col(id_col), exact.alias("exact_score"))
         .orderBy(*order)
         .limit(k)
     )

@@ -404,6 +404,108 @@ def bucketed(spark, sizes):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def pqscale(spark, sizes):
+    """PQ at 1M vectors: encode throughput, on-disk bytes vs the float
+    corpus, and warm search cost — ADC over 8-byte codes and ADC+exact
+    rerank vs a full-precision brute-force scan of the float vectors.
+    The claim under test: the corpus-wide cost of serving drops to a
+    code-bytes scan; full-precision work is bounded by the shortlist."""
+    import tempfile
+
+    from animaltrackingetls_spark.operators.pq import (
+        pq_encode, pq_topk, pq_topk_rerank, pq_train,
+    )
+
+    def du(path):
+        import os
+        total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    dim = 64
+    for n in sizes:
+        base = tempfile.mkdtemp(prefix=f"pqscale_{n}_")
+        # clustered corpus: 256 centers + noise, built JVM-side
+        centers = F.array(*[
+            F.element_at(
+                F.array(*[F.lit(float(((c * 37 + d * 11) % 100) / 100.0))
+                          for c in range(8)]),
+                (F.col("id") % 8 + 1).cast("int"),
+            )
+            for d in range(dim)
+        ])
+        df = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                centers,
+                lambda x, i: x + F.rand(seed=13) * 0.1,
+            ).alias("embedding"),
+        ).localCheckpoint()
+        df.write.mode("overwrite").parquet(base + "/raw")
+
+        t0 = time.time()
+        books = pq_train(df, dim=dim, m=8, nbits=8, seed=42,
+                         max_train_rows=16384)
+        t1 = time.time()
+        # sortWithinPartitions(vec_id) gives each row group a tight
+        # vec_id min/max band -> the rerank IN-list prunes row groups
+        pq_encode(df, books).sortWithinPartitions("vec_id").write.mode(
+            "overwrite"
+        ).parquet(base + "/enc")
+        t2 = time.time()
+        enc = spark.read.parquet(base + "/enc")
+        enc.select("vec_id", "pq_code").write.mode("overwrite").parquet(
+            base + "/codes"
+        )
+        pq_encode(df, books, layout="binary").select(
+            "vec_id", "pq_code"
+        ).write.mode("overwrite").parquet(base + "/codes_b")
+
+        q = [float(x) for x in df.first()["embedding"]]
+
+        def warm(fn):
+            fn()
+            tq = time.time()
+            fn()
+            return time.time() - tq
+
+        codes_l = spark.read.parquet(base + "/codes")
+        codes_b = spark.read.parquet(base + "/codes_b")
+        enc_disk = spark.read.parquet(base + "/enc")
+        raw_disk = spark.read.parquet(base + "/raw")
+        t_el = warm(lambda: pq_topk(codes_l, books, q, k=10,
+                                    impl="expr").collect())
+        t_al = warm(lambda: pq_topk(codes_l, books, q, k=10,
+                                    impl="arrow").collect())
+        t_eb = warm(lambda: pq_topk(codes_b, books, q, k=10,
+                                    impl="expr").collect())
+        t_ab = warm(lambda: pq_topk(codes_b, books, q, k=10,
+                                    impl="arrow").collect())
+        t_rp = warm(lambda: pq_topk_rerank(enc_disk, books, q, k=10,
+                                           oversample=5).collect())
+        t_rj = warm(lambda: pq_topk_rerank(enc_disk, books, q, k=10,
+                                           oversample=5,
+                                           fetch="join").collect())
+        from animaltrackingetls_spark.operators.similarity import (
+            brute_force_topk,
+        )
+        qdf = df.limit(1)
+        t_bf = warm(lambda: brute_force_topk(raw_disk, qdf, k=10).collect())
+        print(
+            f"pqscale n={n:,} dim={dim} m=8 nbits=8: train {t1-t0:5.1f}s  "
+            f"encode+write {t2-t1:5.1f}s | bytes raw {du(base+'/raw')/1e6:,.0f}MB "
+            f"codes(long) {du(base+'/codes')/1e6:,.1f}MB "
+            f"({du(base+'/raw')/max(du(base+'/codes'),1):.0f}x) | warm "
+            f"disk-read search: adc expr/long {t_el:5.2f}s  "
+            f"arrow/long {t_al:5.2f}s  expr/binary {t_eb:5.2f}s  "
+            f"arrow/binary {t_ab:5.2f}s | rerank pushdown {t_rp:5.2f}s  "
+            f"join {t_rj:5.2f}s | float brute-force {t_bf:5.2f}s",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "widecap"
     sizes = [int(x) for x in sys.argv[2:]] or {
@@ -413,6 +515,7 @@ if __name__ == "__main__":
         "ivfgrow": [1_000_000],
         "zorder": [20_000_000],
         "bucketed": [5_000_000],
+        "pqscale": [1_000_000],
     }[which]
     s = get_spark(
         extra_conf={
@@ -427,4 +530,5 @@ if __name__ == "__main__":
         "ivfgrow": ivfgrow,
         "zorder": zorder,
         "bucketed": bucketed,
+        "pqscale": pqscale,
     }[which](s, sizes)

@@ -63,27 +63,89 @@ def test_train_validates(corpus):
         pq_train(corpus.limit(5), dim=DIM, m=4, nbits=8, max_train_rows=5)
 
 
-def test_encode_emits_m_bytes_and_propagates_null(spark, corpus, books):
-    enc = pq_encode(corpus, books)
-    row = enc.select(F.length("pq_code").alias("n")).distinct().collect()
+def test_encode_emits_code_and_propagates_null(spark, corpus, books):
+    enc_b = pq_encode(corpus, books, layout="binary")
+    row = enc_b.select(F.length("pq_code").alias("n")).distinct().collect()
     assert [r["n"] for r in row] == [4]
+    assert dict(pq_encode(corpus, books).dtypes)["pq_code"] == "bigint"
     nulls = spark.createDataFrame(
         [(1, None)], "vec_id long, embedding array<double>"
     )
-    out = pq_encode(nulls, books).collect()[0]
-    assert out["pq_code"] is None
+    for layout in ("long", "binary"):
+        out = pq_encode(nulls, books, layout=layout).collect()[0]
+        assert out["pq_code"] is None
+    with pytest.raises(ValueError, match="layout"):
+        pq_encode(corpus, books, layout="short")
+    big = PQCodebooks(m=9, k=2, dim=18, metric="l2",
+                      books=[[[0.0, 0.0]] * 2] * 9)
+    with pytest.raises(ValueError, match="64 bits"):
+        pq_encode(corpus, big, layout="long")
 
 
 def test_encode_centroid_roundtrip(spark, books):
     """A vector assembled FROM subspace centroids encodes to exactly
-    those centroid ids (zero quantization error)."""
+    those centroid ids (zero quantization error) — and the packed-long
+    layout holds the same bytes big-endian."""
     codes = [3, 0, 7, 12]
     vec = []
     for j, c in enumerate(codes):
         vec.extend(books.books[j][c])
     df = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<double>")
-    got = pq_encode(df, books).collect()[0]["pq_code"]
+    got = pq_encode(df, books, layout="binary").collect()[0]["pq_code"]
     assert list(got) == codes
+    packed = pq_encode(df, books, layout="long").collect()[0]["pq_code"]
+    assert packed == int.from_bytes(bytes(codes), "big", signed=True)
+
+
+def test_long_layout_high_bit_roundtrip(spark):
+    """m=8 codes whose FIRST byte has the high bit set exceed Long.MAX
+    unsigned — the two's-complement pack plus unsigned-shift unpack
+    must still round-trip and score identically to the binary layout."""
+    from animaltrackingetls_spark.operators.pq import pq_adc_score_expr
+
+    dim, m, k = 16, 8, 2
+    # book j, centroid 1 is far from origin so a big vector picks id 1
+    books = PQCodebooks(
+        m=m, k=k, dim=dim, metric="l2",
+        books=[[[0.0, 0.0], [10.0 + j, 10.0 + j]] for j in range(m)],
+    )
+    df = spark.createDataFrame(
+        [(0, [10.0] * dim), (1, [0.0] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    packed = {r["vec_id"]: r["pq_code"]
+              for r in pq_encode(df, books, layout="long").collect()}
+    assert packed[0] == int.from_bytes(bytes([1] * m), "big", signed=True)
+    assert packed[1] == 0
+    # byte 0 >= 0x80 -> negative packed long; with full k=256 books the
+    # scores must match the binary layout bit for bit (expr AND arrow)
+    rng = random.Random(9)
+    books256 = PQCodebooks(
+        m=m, k=256, dim=dim, metric="l2",
+        books=[
+            [[rng.uniform(-1, 1), rng.uniform(-1, 1)] for _ in range(256)]
+            for _ in range(m)
+        ],
+    )
+    bpat = bytes([0x81, 0, 255, 3, 128, 1, 0, 77])
+    lval = int.from_bytes(bpat, "big", signed=True)
+    assert lval < 0
+    q = [0.5] * dim
+    got = spark.createDataFrame(
+        [(lval, bytearray(bpat))], "code_l long, code_b binary"
+    ).select(
+        *[
+            pq_adc_score_expr(
+                books256, q, F.col(c), impl=i, layout=lay
+            ).alias(f"{i}_{lay}")
+            for c, lay in (("code_l", "long"), ("code_b", "binary"))
+            for i in ("expr", "arrow")
+        ]
+    ).collect()[0]
+    vals = [got[f"{i}_{lay}"] for lay in ("long", "binary")
+            for i in ("expr", "arrow")]
+    for v in vals[1:]:
+        assert v == pytest.approx(vals[0], abs=1e-12), got
 
 
 def test_adc_exact_when_error_is_zero(spark, books):
@@ -163,6 +225,81 @@ def test_rerank_recovers_exact_quality(spark, corpus, books):
     # rerank recall == shortlist coverage by construction (exact metric
     # on candidates); measured 0.93 on this fixture
     assert hits / 80 >= 0.85, f"rerank recall@10 = {hits/80:.2f}"
+
+
+def test_adc_impl_layout_parity(spark, corpus, books):
+    """All four scorer paths (expr|arrow × long|binary) are the same
+    function: identical scores on every row, NULL code -> NULL score
+    everywhere."""
+    from animaltrackingetls_spark.operators.pq import pq_adc_score_expr
+
+    encl = pq_encode(corpus, books, layout="long")
+    encb = pq_encode(corpus, books, layout="binary",
+                     out_col="pq_code_b")
+    enc = encl.join(encb.select("vec_id", "pq_code_b"), "vec_id")
+    enc = enc.localCheckpoint()
+    q = [0.5] * DIM
+    rows = enc.select(
+        "vec_id",
+        *[
+            pq_adc_score_expr(
+                books, q, F.col(c), impl=i, layout=lay
+            ).alias(f"{i}_{lay}")
+            for c, lay in (("pq_code", "long"), ("pq_code_b", "binary"))
+            for i in ("expr", "arrow")
+        ],
+    ).collect()
+    for r in rows:
+        ref = r["expr_long"]
+        for name in ("arrow_long", "expr_binary", "arrow_binary"):
+            assert r[name] == pytest.approx(ref, abs=1e-12), r
+    nulls = spark.createDataFrame(
+        [(1, None, None)], "vec_id long, code_l long, code_b binary"
+    ).select(
+        *[
+            pq_adc_score_expr(
+                books, q, F.col(c), impl=i, layout=lay
+            ).alias(f"{i}_{lay}")
+            for c, lay in (("code_l", "long"), ("code_b", "binary"))
+            for i in ("expr", "arrow")
+        ]
+    ).collect()[0]
+    assert all(v is None for v in nulls.asDict().values())
+    with pytest.raises(ValueError, match="impl"):
+        pq_adc_score_expr(books, q, F.col("pq_code"), impl="nope")
+    with pytest.raises(ValueError, match="layout"):
+        pq_adc_score_expr(books, q, F.col("pq_code"), layout="short")
+
+
+def test_topk_infers_layout_from_schema(spark, corpus, books):
+    """pq_topk reads the code column's type, so long- and binary-coded
+    corpora return the SAME ranking through the same call."""
+    ql = pq_encode(corpus, books, layout="long").localCheckpoint()
+    qb = pq_encode(corpus, books, layout="binary").localCheckpoint()
+    q = [0.4] * DIM
+    top_l = [(r["vec_id"], r["pq_score"]) for r in pq_topk(ql, books, q, k=7).collect()]
+    top_b = [(r["vec_id"], r["pq_score"]) for r in pq_topk(qb, books, q, k=7).collect()]
+    assert [i for i, _ in top_l] == [i for i, _ in top_b]
+    for (_, a), (_, b) in zip(top_l, top_b):
+        assert a == pytest.approx(b, abs=1e-12)
+
+
+def test_rerank_fetch_modes_agree(spark, corpus, books):
+    """fetch='pushdown' (IN-list point-read) and fetch='join'
+    (broadcast semi-join) return identical rows."""
+    enc = pq_encode(corpus, books).localCheckpoint()
+    data = {r["vec_id"]: r["embedding"] for r in corpus.collect()}
+    q = data[42]
+    push = pq_topk_rerank(enc, books, q, k=10, oversample=5).collect()
+    join = pq_topk_rerank(
+        enc, books, q, k=10, oversample=5, fetch="join"
+    ).collect()
+    assert [(r["vec_id"], r["exact_score"]) for r in push] == [
+        (r["vec_id"], r["exact_score"]) for r in join
+    ]
+    assert push[0]["vec_id"] == 42
+    with pytest.raises(ValueError, match="fetch"):
+        pq_topk_rerank(enc, books, q, k=3, fetch="scan")
 
 
 def test_rerank_validates(corpus, books):
