@@ -506,6 +506,97 @@ def pqscale(spark, sizes):
         )
 
 
+def ivfpqscale(spark, sizes):
+    """IVF-PQ at 1M vectors vs its two parents: build cost once, then
+    warm disk-read search where the corpus-wide read is n_probe cells
+    of 8-byte codes — vs full-scan ADC over all codes (pq) and vs the
+    float-reading partition-pruned ivf serving path."""
+    import tempfile
+
+    from animaltrackingetls_spark.operators.ivfpq import (
+        ivfpq_build, ivfpq_search,
+    )
+    from animaltrackingetls_spark.operators.pq import (
+        pq_encode, pq_topk, pq_train,
+    )
+    from animaltrackingetls_spark.operators import similarity as sim
+
+    def du(path):
+        import os
+        total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    dim = 64
+    for n in sizes:
+        base = tempfile.mkdtemp(prefix=f"ivfpqscale_{n}_")
+        centers = F.array(*[
+            F.element_at(
+                F.array(*[F.lit(float(((c * 37 + d * 11) % 100) / 100.0))
+                          for c in range(8)]),
+                (F.col("id") % 8 + 1).cast("int"),
+            )
+            for d in range(dim)
+        ])
+        df = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                centers,
+                lambda x, i: x + F.rand(seed=13) * 0.1,
+            ).alias("embedding"),
+        ).localCheckpoint()
+        q = [float(x) for x in df.first()["embedding"]]
+
+        t0 = time.time()
+        ivfpq_build(df, base + "/ivfpq", dim=dim, n_cells=64, m=8,
+                    nbits=8, seed=42, max_train_rows=16384)
+        t1 = time.time()
+        books = pq_train(df, dim=dim, m=8, nbits=8, seed=42,
+                         max_train_rows=16384)
+        pq_encode(df, books).select("vec_id", "pq_code").write.mode(
+            "overwrite"
+        ).parquet(base + "/codes")
+        t2 = time.time()
+        with_float_ivf = n <= 2_000_000  # 5+ GB float write at 10M
+        if with_float_ivf:
+            idx = sim.ivf_index(df, n_centroids=64, seed=42,
+                                fit_impl="driver", max_train_rows=16384)
+            sim.save_ivf_index(idx, base + "/ivf")
+        t3 = time.time()
+
+        def warm(fn):
+            fn()
+            tq = time.time()
+            fn()
+            return time.time() - tq
+
+        codes = spark.read.parquet(base + "/codes")
+        t_ivfpq = warm(lambda: ivfpq_search(
+            spark, base + "/ivfpq", q, k=10, n_probe=4).collect())
+        t_pq = warm(lambda: pq_topk(codes, books, q, k=10).collect())
+        if with_float_ivf:
+            qdf = df.limit(1).localCheckpoint()
+            ivf_loaded = sim.load_ivf_index(spark, base + "/ivf")
+            t_ivf = warm(lambda: sim.ivf_search(
+                ivf_loaded, qdf, k=10, n_probe=4,
+                prune_cells=True).collect())
+            ivf_part = (f"ivf {t3-t2:5.1f}s | ivf(float) "
+                        f"{du(base+'/ivf')/1e6:,.0f}MB | ivf-float "
+                        f"{t_ivf:5.2f}s")
+        else:
+            ivf_part = "ivf-float skipped (>2M)"
+        print(
+            f"ivfpqscale n={n:,} dim={dim} cells=64 m=8 nbits=8 probe=4: "
+            f"build ivfpq {t1-t0:5.1f}s  pq {t2-t1:5.1f}s | "
+            f"bytes ivfpq {du(base+'/ivfpq')/1e6:,.1f}MB  "
+            f"pq-codes {du(base+'/codes')/1e6:,.1f}MB | warm search: "
+            f"ivfpq {t_ivfpq:5.2f}s  pq-fullscan {t_pq:5.2f}s | {ivf_part}",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "widecap"
     sizes = [int(x) for x in sys.argv[2:]] or {
@@ -516,6 +607,7 @@ if __name__ == "__main__":
         "zorder": [20_000_000],
         "bucketed": [5_000_000],
         "pqscale": [1_000_000],
+        "ivfpqscale": [1_000_000],
     }[which]
     s = get_spark(
         extra_conf={
@@ -531,4 +623,5 @@ if __name__ == "__main__":
         "zorder": zorder,
         "bucketed": bucketed,
         "pqscale": pqscale,
+        "ivfpqscale": ivfpqscale,
     }[which](s, sizes)
