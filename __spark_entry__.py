@@ -2825,9 +2825,10 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes (one Arrow pass, no shuffle; 64x smaller than the float64
     vectors), then serve one query BOTH ways: 'adc' = pure
     lookup-table ranking over the codes, 'rerank' = ADC shortlist →
-    exact L2 on the ≤50 candidates only (the production shape —
-    recall measured and pinned in tests/test_pq.py: shortlist
-    coverage ≥0.85 even at nbits=4 on PQ's worst case). Rows-only by
+    exact L2 on the ≤50 candidates only, fetched via the pushdown
+    IN-list (the production shape — recall measured and pinned in
+    tests/test_pq.py: shortlist coverage ≥0.85 even at nbits=4 on
+    PQ's worst case). Rows-only by
     nature (k-means codebooks aren't SQL-replayable), same class as
     ivf_topk/lsh_topk."""
     import hashlib
@@ -2842,7 +2843,7 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encode-once/search-many, same cache pattern as _q_ivf_serve; the
     # serving table carries (vec_id, embedding, pq_code) so the ADC
     # branch column-prunes to (vec_id, pq_code) and only the rerank's
-    # broadcast-joined candidates ever read the float column
+    # pushdown-fetched candidates ever read the float column
     emb_file = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(emb_file)
     key = hashlib.md5(
@@ -2887,6 +2888,46 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("exact_score"), 6).alias("score"),
     )
     return adc.unionByName(rr)
+
+
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN serving (operators/ivfpq.py): coarse
+    k-means cells × PQ codes of the cell RESIDUALS, persisted
+    partitionBy(cell) with NO float column — build once per corpus
+    file (cached like _q_pq_topk/_q_ivf_serve, so the measured run is
+    search-only), then one query probes its 3 nearest cells: the scan
+    lists only those cell directories (PartitionFilters) and reads
+    8-byte codes, per-cell ADC lookup tables are built driver-side
+    from the query's cell-relative residuals, and the only shuffle is
+    the final top-k. Residual encoding recall dominance over raw
+    vectors is measured and pinned in tests/test_ivfpq.py (0.61 vs
+    0.41 at nbits=4). Rows-only by nature (two k-means fits aren't
+    SQL-replayable), same class as ivf_topk/pq_topk."""
+    import hashlib
+    import os
+    import tempfile
+
+    from animaltrackingetls_spark.operators import ivfpq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_file = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb_file)
+    key = hashlib.md5(
+        f"{emb_file}:{st.st_mtime_ns}:{st.st_size}:ivfpq1".encode()
+    ).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{key}")
+    if not os.path.exists(os.path.join(cache, "meta.json")):
+        ivfpq.ivfpq_build(
+            emb, cache, dim=64, n_cells=8, m=8, nbits=8, seed=42,
+            max_train_rows=8192,
+        )
+    q_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    ]
+    return ivfpq.ivfpq_search(spark, cache, q_vec, k=10, n_probe=3).select(
+        "vec_id", F.round(F.col("pq_score"), 6).alias("score")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2972,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": _q_bucketed_join,
         # rows-only: PQ codebooks are k-means products, not SQL-replayable
         "pq_topk": _q_pq_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
     }
 
 

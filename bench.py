@@ -125,6 +125,11 @@ HEADLINE = [
     # is the discarded warm-up, same convention as ivf_serve), so the
     # median is the code-scan + rerank cost: the memory-scale ANN path.
     "pq_topk",
+    # round-9: the IVF-PQ composition — partition-pruned probe cells x
+    # residual PQ codes, the only entry whose corpus read is BOTH
+    # row-pruned (n_probe/n_cells directories) and byte-pruned (8-byte
+    # codes); cached build, so the median is the composed serving cost.
+    "ivfpq_topk",
 ]
 
 
