@@ -47,6 +47,7 @@ from animaltrackingetls_spark.operators import (
     retrieval,
     similarity,
     textstats,
+    versioning,
 )
 from animaltrackingetls_spark.serving import dynamic_filters
 
@@ -2818,6 +2819,50 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (operators/versioning.py:corpus_diff) — the
+    "what changed since the last crawl" report a recurring corpus
+    build starts from (the reference re-ingests full extracts and
+    reconciles by count, monarch_etl/inventory.py:28-66; this is the
+    systematic keyed form). Two snapshots are derived deterministically
+    from documents (old drops doc_id%17==3, new drops %13==5 and
+    appends ' v2' to text where %11==2), then diffed on doc_id over
+    (text, lang, source): added/removed/changed rows with portable md5
+    digests. Scale shape: digests are computed IN the scan projection,
+    so the one full-outer shuffle carries (key, 32-byte digest) pairs,
+    never document payloads; output is churn-sized, not corpus-sized.
+    HASH-CHECKED via DuckDB in tests/test_entry_oracles.py (past the
+    driver's 50-entry window)."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 17 != 3)
+    new = docs.filter(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 2, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return versioning.corpus_diff(
+        old, new, ["doc_id"], ["text", "lang", "source"]
+    ).orderBy("doc_id")
+
+
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval build (operators/versioning.py:scd2_from_history):
+    collapse the append-only event history into one row per (user,
+    consecutive event_type state) with [valid_from, valid_to) validity
+    and an is_current flag — the versioned-dimension table that
+    answers "what was this key's state as of ts" (versioning.as_of).
+    Plan: ONE exchange total — the key-window shuffle is reused by the
+    (key, version) aggregate and the valid_to lead (asserted in
+    tests/test_versioning.py). At 100 TB: shuffle is corpus-sized but
+    single; output is change-sized. HASH-CHECKED via DuckDB in
+    tests/test_entry_oracles.py (past the driver's 50-entry window)."""
+    ev = _t(spark, sf_dir, "events")
+    return versioning.scd2_from_history(
+        ev, ["user_id"], ["event_type"], "ts", tie_col="event_id"
+    ).orderBy("user_id", "version")
+
+
 def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/pq.py): train per-subspace
     codebooks on a bounded sample (m=8 × k=64 on ≤8k rows — driver
@@ -3011,6 +3056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every suite run instead
         "zorder_curve": _q_zorder_curve,
         "bucketed_join": _q_bucketed_join,
+        "corpus_diff": _q_corpus_diff,
+        "scd2_history": _q_scd2_history,
         # rows-only: PQ codebooks are k-means products, not SQL-replayable
         "pq_topk": _q_pq_topk,
         "ivfpq_topk": _q_ivfpq_topk,
@@ -4818,6 +4865,62 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c
             JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY c.c_mktsegment
+        """,
+        # digest expression generated by versioning.row_digest_sql so the
+        # DuckDB twin can never drift from the Spark sentinel/separator
+        "corpus_diff": f"""
+            WITH old AS (
+              SELECT doc_id,
+                     {versioning.row_digest_sql(['text', 'lang', 'source'])}
+                       AS old_digest
+              FROM documents WHERE doc_id % 17 != 3),
+            neu AS (
+              SELECT doc_id,
+                     {versioning.row_digest_sql(['text', 'lang', 'source'])}
+                       AS new_digest
+              FROM (SELECT doc_id,
+                           CASE WHEN doc_id % 11 = 2 THEN text || ' v2'
+                                ELSE text END AS text,
+                           lang, source
+                    FROM documents WHERE doc_id % 13 != 5)),
+            d AS (
+              SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                     CASE WHEN o.old_digest IS NULL THEN 'added'
+                          WHEN n.new_digest IS NULL THEN 'removed'
+                          WHEN o.old_digest != n.new_digest THEN 'changed'
+                          ELSE 'unchanged' END AS change,
+                     o.old_digest, n.new_digest
+              FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
+            SELECT * FROM d WHERE change != 'unchanged' ORDER BY doc_id
+        """,
+        "scd2_history": """
+            WITH h AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN row_number() OVER w = 1
+                               OR event_type IS DISTINCT FROM
+                                  lag(event_type) OVER w
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            v AS (
+              SELECT user_id, event_type, ts,
+                     CAST(sum(chg) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS INTEGER) AS version
+              FROM h),
+            c AS (
+              SELECT user_id, version,
+                     min(event_type) AS event_type,
+                     min(ts) AS valid_from
+              FROM v GROUP BY user_id, version),
+            f AS (
+              SELECT user_id, event_type, version, valid_from,
+                     lead(valid_from) OVER (
+                       PARTITION BY user_id ORDER BY version) AS valid_to
+              FROM c)
+            SELECT user_id, event_type, version, valid_from, valid_to,
+                   (valid_to IS NULL) AS is_current
+            FROM f ORDER BY user_id, version
         """,
     }
     return {k: _portable_ws(v) for k, v in oracles.items()}

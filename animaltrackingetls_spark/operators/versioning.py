@@ -1,0 +1,196 @@
+"""Dataset versioning — snapshot diff and slowly-changing-dimension
+history, the operations a recurring-crawl training corpus needs to
+answer "what changed since the last build?" without re-reading what
+didn't.
+
+The reference re-ingests each day's full extract and reconciles by
+counting (monarch_etl/inventory.py:28-66 records per-load counts;
+catch_duplicates_script.py:55-67 re-scans for duplicates); the
+systematic form is a keyed diff between the previous and current
+snapshots (added/removed/changed) and, over time, an SCD2 interval
+table giving each key's attribute state as of any timestamp.
+
+Scale design (100 TB posture):
+
+* ``corpus_diff`` digests the compared columns INSIDE the scan
+  projection (one md5 per row, codegen), so the full-outer join
+  shuffles ``(key, digest)`` — a few dozen bytes/row — never the
+  document payloads. The join itself is the one unavoidable shuffle
+  (both sides are corpus-sized; nothing to broadcast), and AQE handles
+  skewed keys. ``include_unchanged=False`` (default) keeps the OUTPUT
+  proportional to the churn, not the corpus.
+* ``scd2_from_history`` is one shuffle on the key (window) followed by
+  an aggregate on ``(key, version)`` that reuses the same partitioning
+  (no second exchange; asserted in tests), then a second window over
+  the already-aggregated (small) version rows.
+* Everything is built-in expressions — no Python in any hot path — and
+  every output is deterministic, so the whole module is DuckDB-oracle
+  replayable (hash-checked, not rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_NULL_SENTINEL = "\x00<NULL>\x00"
+_SEP = "\x00|\x00"
+
+
+def row_digest(cols: list[str], out: str = "digest") -> Column:
+    """md5 over the listed columns, NULL-safe and order-sensitive:
+    each column is cast to string and NULL becomes a sentinel that no
+    real value contains, so ``('a', NULL)`` and ``(NULL, 'a')`` digest
+    differently (plain ``concat_ws`` would silently drop the NULL and
+    collide). Portable: DuckDB's ``md5(concat_ws(...))`` over the same
+    casts produces the identical hex, which is what makes
+    ``corpus_diff`` hash-checkable."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL))
+        for c in cols
+    ]
+    return F.md5(F.concat_ws(_SEP, *parts)).alias(out)
+
+
+def row_digest_sql(cols: list[str]) -> str:
+    """The DuckDB expression twin of :func:`row_digest` (same sentinel,
+    same separator, same per-column VARCHAR cast). The NUL guard bytes
+    are spelled ``chr(0)`` because a literal ``\\x00`` terminates a
+    DuckDB string literal at the parser."""
+    null_s = "(chr(0) || '<NULL>' || chr(0))"
+    sep = "(chr(0) || '|' || chr(0))"
+    parts = ", ".join(
+        f"coalesce(CAST({c} AS VARCHAR), {null_s})" for c in cols
+    )
+    return f"md5(concat_ws({sep}, {parts}))"
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Keyed snapshot diff: one row per key present in either snapshot,
+    tagged ``added`` (new only), ``removed`` (old only), ``changed``
+    (both, compared columns differ), or ``unchanged`` (both, equal —
+    emitted only with ``include_unchanged=True``, since at corpus scale
+    the unchanged set IS the corpus).
+
+    Output: ``key_cols..., change, old_digest, new_digest`` — digests
+    are md5 over ``compare_cols`` (default: all shared non-key
+    columns), carried so a downstream join can fetch changed payloads
+    from the NEW snapshot only.
+
+    Keys must be unique within each snapshot (it's a snapshot, not a
+    log); duplicate keys raise rather than silently multiplying the
+    join."""
+    if not key_cols:
+        raise ValueError("corpus_diff needs at least one key column")
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    if not compare_cols:
+        raise ValueError("no columns to compare")
+    for side, df in (("old", old), ("new", new)):
+        missing = [c for c in key_cols + compare_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"{side} snapshot lacks columns: {missing}")
+
+    o = old.select(*key_cols, row_digest(compare_cols, "old_digest"))
+    n = new.select(*key_cols, row_digest(compare_cols, "new_digest"))
+    joined = o.join(n, on=key_cols, how="full_outer")
+    change = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(*key_cols, change.alias("change"),
+                        "old_digest", "new_digest")
+    if not include_unchanged:
+        out = out.filter(F.col("change") != "unchanged")
+    return out
+
+
+def corpus_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """``(change, n)`` counts including ``unchanged`` — the one-line
+    churn report (map-side partial agg on top of the diff join)."""
+    d = corpus_diff(old, new, key_cols, compare_cols,
+                    include_unchanged=True)
+    return d.groupBy("change").agg(F.count(F.lit(1)).alias("n"))
+
+
+def scd2_from_history(
+    df: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Collapse an append-only event history into SCD2 intervals: one
+    row per (key, consecutive attribute state) with
+    ``valid_from`` (first observation of the state), ``valid_to``
+    (start of the next state; NULL = still current), 1-based
+    ``version``, and ``is_current``.
+
+    Semantics: events are ordered per key by ``ts_col`` (then
+    ``tie_col`` for a total order — REQUIRED if timestamps can
+    collide, otherwise the collapse is nondeterministic); a new version
+    starts whenever any attribute IS DISTINCT FROM its value in the
+    previous event (null-safe, so NULL→'x' and 'x'→NULL both open
+    versions). Re-observing an earlier state later opens a NEW version
+    (SCD2 tracks intervals, not value sets).
+
+    Plan: window (lag + running change-count) = one shuffle on key;
+    the (key, version) aggregate reuses that partitioning — Catalyst
+    plans no second exchange; the valid_to lead runs over the
+    collapsed version rows."""
+    if not attr_cols:
+        raise ValueError("scd2_from_history needs at least one attribute")
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+
+    changed = F.lit(False)
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))
+    first = F.row_number().over(w) == 1
+    is_new_version = (first | changed).cast("int")
+    versioned = df.withColumn(
+        "version", F.sum(is_new_version).over(w).cast("int")
+    )
+
+    collapsed = versioned.groupBy(*key_cols, "version").agg(
+        # within a version every attribute is constant by construction
+        # (any change opens a new version), so min() is just the
+        # deterministic way to read the single value back out
+        *[F.min(F.col(a)).alias(a) for a in attr_cols],
+        F.min(F.col(ts_col)).alias("valid_from"),
+    )
+    wv = Window.partitionBy(*key_cols).orderBy("version")
+    return collapsed.select(
+        *key_cols,
+        *attr_cols,
+        "version",
+        "valid_from",
+        F.lead(F.col("valid_from")).over(wv).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def as_of(dim: DataFrame, ts, ts_col_from: str = "valid_from",
+          ts_col_to: str = "valid_to") -> DataFrame:
+    """Point-in-time slice of an SCD2 table: the versions live at
+    ``ts`` (``valid_from <= ts < valid_to``, open interval = current).
+    Partition-prunes if the table is stored partitioned on a date of
+    ``valid_from``."""
+    t = F.lit(ts)
+    return dim.filter(
+        (F.col(ts_col_from) <= t)
+        & (F.col(ts_col_to).isNull() | (F.col(ts_col_to) > t))
+    )

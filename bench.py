@@ -125,6 +125,10 @@ HEADLINE = [
     # is the discarded warm-up, same convention as ivf_serve), so the
     # median is the code-scan + rerank cost: the memory-scale ANN path.
     "pq_topk",
+    # round-9: dataset versioning — the narrow-shuffle snapshot diff
+    # (digest-only full-outer) and the one-exchange SCD2 collapse
+    "corpus_diff",
+    "scd2_history",
     # round-9: the IVF-PQ composition — partition-pruned probe cells x
     # residual PQ codes, the only entry whose corpus read is BOTH
     # row-pruned (n_probe/n_cells directories) and byte-pruned (8-byte

@@ -1,0 +1,184 @@
+"""Dataset versioning: corpus snapshot diff + SCD2 history collapse.
+
+The diff digest must be DuckDB-portable (that's what makes the
+corpus_diff driver query hash-checkable) — pinned here by computing the
+md5 twin in DuckDB over the identical sentinel/separator encoding. The
+SCD2 collapse is pinned against a hand-computed history and the plan
+invariant (one exchange total) is asserted, since "the aggregate reuses
+the window's partitioning" is the operator's whole scale argument.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from animaltrackingetls_spark.operators import versioning as V
+
+
+def _old_new(spark):
+    old = spark.createDataFrame(
+        [
+            Row(k=1, text="a", lang="en"),
+            Row(k=2, text="b", lang="en"),
+            Row(k=3, text="c", lang="de"),
+            Row(k=4, text=None, lang="en"),
+            Row(k=5, text="e", lang=None),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, text="a", lang="en"),      # unchanged
+            Row(k=2, text="B", lang="en"),      # changed
+            Row(k=4, text="d", lang="en"),      # changed (NULL -> 'd')
+            Row(k=5, text="e", lang=None),      # unchanged (NULL stable)
+            Row(k=6, text="f", lang="fr"),      # added
+        ]                                        # k=3 removed
+    )
+    return old, new
+
+
+def test_corpus_diff_statuses(spark):
+    old, new = _old_new(spark)
+    got = {
+        r["k"]: r["change"]
+        for r in V.corpus_diff(old, new, ["k"]).collect()
+    }
+    assert got == {2: "changed", 3: "removed", 4: "changed", 6: "added"}
+
+
+def test_corpus_diff_include_unchanged_and_summary(spark):
+    old, new = _old_new(spark)
+    full = V.corpus_diff(old, new, ["k"], include_unchanged=True)
+    assert full.count() == 6
+    summary = {
+        r["change"]: r["n"]
+        for r in V.corpus_diff_summary(old, new, ["k"]).collect()
+    }
+    assert summary == {"added": 1, "removed": 1, "changed": 2,
+                       "unchanged": 2}
+
+
+def test_corpus_diff_null_order_sensitivity(spark):
+    # ('a', NULL) vs (NULL, 'a') must differ: plain concat_ws would
+    # collapse both to 'a'
+    schema = "k int, a string, b string"
+    old = spark.createDataFrame([(1, "a", None)], schema)
+    new = spark.createDataFrame([(1, None, "a")], schema)
+    [r] = V.corpus_diff(old, new, ["k"]).collect()
+    assert r["change"] == "changed"
+
+
+def test_row_digest_matches_duckdb_twin(spark):
+    rows = [
+        Row(k=1, a="x", b="y"),
+        Row(k=2, a=None, b="y"),
+        Row(k=3, a="with'quote", b=""),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["k"]: r["d"]
+        for r in df.select("k", V.row_digest(["a", "b"], "d")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        "(1, 'x', 'y'), (2, NULL, 'y'), (3, 'with''quote', '')"
+        ") v(k, a, b)"
+    )
+    want = dict(
+        con.execute(
+            f"SELECT k, {V.row_digest_sql(['a', 'b'])} FROM t"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_corpus_diff_validation(spark):
+    old, new = _old_new(spark)
+    with pytest.raises(ValueError, match="key column"):
+        V.corpus_diff(old, new, [])
+    with pytest.raises(ValueError, match="lacks columns"):
+        V.corpus_diff(old, new, ["k"], ["nope"])
+    with pytest.raises(ValueError, match="no columns to compare"):
+        V.corpus_diff(old.select("k"), new.select("k"), ["k"])
+
+
+def _ts(day, h=0):
+    return datetime.datetime(2024, 1, day, h)
+
+
+def test_scd2_collapse(spark):
+    hist = spark.createDataFrame(
+        [
+            Row(k="u1", s="a", ts=_ts(1), i=0),
+            Row(k="u1", s="a", ts=_ts(2), i=1),   # same state: no new version
+            Row(k="u1", s="b", ts=_ts(3), i=2),   # change
+            Row(k="u1", s="a", ts=_ts(4), i=3),   # back to 'a': NEW version
+            Row(k="u2", s=None, ts=_ts(1), i=4),  # NULL initial state
+            Row(k="u2", s="x", ts=_ts(2), i=5),   # NULL -> 'x' opens version
+        ]
+    )
+    out = V.scd2_from_history(hist, ["k"], ["s"], "ts", tie_col="i")
+    rows = {
+        (r["k"], r["version"]): (r["s"], r["valid_from"], r["valid_to"],
+                                 r["is_current"])
+        for r in out.collect()
+    }
+    assert rows == {
+        ("u1", 1): ("a", _ts(1), _ts(3), False),
+        ("u1", 2): ("b", _ts(3), _ts(4), False),
+        ("u1", 3): ("a", _ts(4), None, True),
+        ("u2", 1): (None, _ts(1), _ts(2), False),
+        ("u2", 2): ("x", _ts(2), None, True),
+    }
+
+
+def test_scd2_tie_break_determinism(spark):
+    # two events at the SAME timestamp: the tie column orders them, so
+    # the final state is the higher tie value's
+    hist = spark.createDataFrame(
+        [
+            Row(k="u", s="late", ts=_ts(1), i=2),
+            Row(k="u", s="early", ts=_ts(1), i=1),
+        ]
+    )
+    out = V.scd2_from_history(hist, ["k"], ["s"], "ts", tie_col="i")
+    cur = [r for r in out.collect() if r["is_current"]]
+    assert [r["s"] for r in cur] == ["late"]
+
+
+def test_scd2_single_exchange_plan(spark):
+    # the scale argument: window shuffle on key is the ONLY exchange —
+    # the (key, version) aggregate and the valid_to lead both reuse it
+    hist = spark.createDataFrame(
+        [Row(k="u", s="a", ts=_ts(1), i=0), Row(k="u", s="b", ts=_ts(2), i=1)]
+    )
+    out = V.scd2_from_history(hist, ["k"], ["s"], "ts", tie_col="i")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_as_of(spark):
+    hist = spark.createDataFrame(
+        [
+            Row(k="u1", s="a", ts=_ts(1), i=0),
+            Row(k="u1", s="b", ts=_ts(5), i=1),
+        ]
+    )
+    dim = V.scd2_from_history(hist, ["k"], ["s"], "ts", tie_col="i")
+    assert [r["s"] for r in V.as_of(dim, _ts(3)).collect()] == ["a"]
+    assert [r["s"] for r in V.as_of(dim, _ts(6)).collect()] == ["b"]
+    # exactly at a boundary: the new version owns it (closed-open)
+    assert [r["s"] for r in V.as_of(dim, _ts(5)).collect()] == ["b"]
+    assert V.as_of(dim, _ts(1) - datetime.timedelta(days=1)).count() == 0
+
+
+def test_scd2_validation(spark):
+    hist = spark.createDataFrame([Row(k="u", s="a", ts=_ts(1), i=0)])
+    with pytest.raises(ValueError, match="attribute"):
+        V.scd2_from_history(hist, ["k"], [], "ts")
