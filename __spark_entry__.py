@@ -44,6 +44,7 @@ from animaltrackingetls_spark.operators import (
     layout,
     multimodal,
     privacy,
+    profile,
     retrieval,
     similarity,
     textstats,
@@ -2863,6 +2864,27 @@ def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "version")
 
 
+def _q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric distribution profile
+    (operators/profile.py:profile_quantiles): exact R-7 interpolated
+    quantiles for the four lineitem measures at five probabilities, as
+    ONE aggregation pass (single scan, no joins — plan-asserted in
+    tests/test_profile.py). Exact mode's memory is bounded by DISTINCT
+    cardinality (value→count map), right for these bounded-domain
+    measures at any row count; the 100 TB arm for ~unique doubles is
+    ``exact=False`` (Greenwald-Khanna sketch, O(accuracy) memory,
+    mergeable map-side, rank-error pinned in tests). Spark
+    ``percentile`` and DuckDB ``quantile_cont`` agreed bit-for-bit on
+    every measured point before rounding. HASH-CHECKED via DuckDB in
+    tests/test_entry_oracles.py (past the driver's 50-entry window)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return profile.profile_quantiles(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        (0.01, 0.25, 0.5, 0.75, 0.99),
+    ).orderBy("col_name", "prob")
+
+
 def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/pq.py): train per-subspace
     codebooks on a bounded sample (m=8 × k=64 on ≤8k rows — driver
@@ -3058,6 +3080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": _q_bucketed_join,
         "corpus_diff": _q_corpus_diff,
         "scd2_history": _q_scd2_history,
+        "quantile_profile": _q_quantile_profile,
         # rows-only: PQ codebooks are k-means products, not SQL-replayable
         "pq_topk": _q_pq_topk,
         "ivfpq_topk": _q_ivfpq_topk,
@@ -4922,5 +4945,12 @@ def oracle_sql() -> dict[str, str]:
                    (valid_to IS NULL) AS is_current
             FROM f ORDER BY user_id, version
         """,
+        # generated by the operator's own twin builder so probability
+        # list, rounding, and casts cannot drift from the Spark side
+        "quantile_profile": profile.quantiles_oracle_sql(
+            "lineitem",
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            (0.01, 0.25, 0.5, 0.75, 0.99),
+        ) + " ORDER BY col_name, prob",
     }
     return {k: _portable_ws(v) for k, v in oracles.items()}

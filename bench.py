@@ -129,6 +129,9 @@ HEADLINE = [
     # (digest-only full-outer) and the one-exchange SCD2 collapse
     "corpus_diff",
     "scd2_history",
+    # round-9: one-pass exact quantile profile (4 cols x 5 probs, single
+    # aggregate); the approx/GK arm is the 100 TB path
+    "quantile_profile",
     # round-9: the IVF-PQ composition — partition-pruned probe cells x
     # residual PQ codes, the only entry whose corpus read is BOTH
     # row-pruned (n_probe/n_cells directories) and byte-pruned (8-byte

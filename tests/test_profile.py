@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from animaltrackingetls_spark.operators.profile import profile_columns
+from animaltrackingetls_spark.operators import profile
 
 
 def _frame(spark):
@@ -195,3 +196,81 @@ def test_drift_gate_blocks_corpus_build_and_load(spark, tmp_path):
             drifted.drop("lang").withColumn("lang", F.lit("en")).drop("n_chars"),
             reference_snapshot=ref,
         )
+
+
+def test_profile_quantiles_exact_known_values(spark):
+    # 1..100: R-7 interpolation gives exact textbook values
+    df = spark.range(1, 101).select(F.col("id").cast("double").alias("v"))
+    out = {
+        (r["col_name"], r["prob"]): r["q"]
+        for r in profile.profile_quantiles(df, ["v"], (0.0, 0.25, 0.5, 1.0))
+        .collect()
+    }
+    assert out == {
+        ("v", 0.0): 1.0,
+        ("v", 0.25): 25.75,
+        ("v", 0.5): 50.5,
+        ("v", 1.0): 100.0,
+    }
+
+
+def test_profile_quantiles_matches_duckdb_twin(spark):
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(float(x),) for x in [3, 1, 4, 1, 5, 9, 2, 6]] + [(None,)],
+        "v double",
+    )
+    got = sorted(
+        (r["col_name"], r["prob"], r["q"])
+        for r in profile.profile_quantiles(df, ["v"], (0.1, 0.5, 0.9))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (3.0),(1.0),(4.0),(1.0),"
+        "(5.0),(9.0),(2.0),(6.0),(NULL)) v(v)"
+    )
+    want = sorted(
+        map(tuple,
+            con.execute(
+                profile.quantiles_oracle_sql("t", ["v"], (0.1, 0.5, 0.9))
+            ).fetchall())
+    )
+    assert got == want
+
+
+def test_profile_quantiles_approx_rank_error(spark):
+    # GK sketch guarantee: rank error <= n/accuracy. With n=10_000 and
+    # accuracy=1000 the reported quantile's true rank is within 1% of
+    # the target rank.
+    n, acc = 10_000, 1000
+    df = spark.range(n).select(F.col("id").cast("double").alias("v"))
+    rows = profile.profile_quantiles(
+        df, ["v"], (0.25, 0.5, 0.75), exact=False, accuracy=acc
+    ).collect()
+    for r in rows:
+        true_rank = r["q"] / (n - 1)
+        assert abs(true_rank - r["prob"]) <= 1.0 / acc * 10 + 0.01
+
+
+def test_profile_quantiles_validation(spark):
+    df = spark.range(3).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="at least one column"):
+        profile.profile_quantiles(df, [])
+    with pytest.raises(ValueError, match="not in frame"):
+        profile.profile_quantiles(df, ["nope"])
+    with pytest.raises(ValueError, match="within"):
+        profile.profile_quantiles(df, ["v"], (1.5,))
+
+
+def test_profile_quantiles_single_aggregate_plan(spark):
+    # the scale claim: k columns x p probs is ONE aggregation pass —
+    # exactly one scan of the input, no joins
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("a"),
+        (F.col("id") * 2).cast("double").alias("b"),
+    )
+    out = profile.profile_quantiles(df, ["a", "b"], (0.5, 0.9))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range") == 1 and "Join" not in plan
