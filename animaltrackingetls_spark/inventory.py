@@ -210,12 +210,36 @@ def read_versioned(
     return spark.read.parquet(os.path.join(table_dir, version))
 
 
+_TXN_SIDECAR = "_txn.json"
+
+
+def txn_watermarks(table_dir: str) -> dict[str, int]:
+    """Per-writer transaction watermarks of the CURRENT snapshot:
+    ``{app_id: last_applied_version}``. Lives in a ``_txn.json``
+    sidecar INSIDE the version directory, so it commits in the same
+    atomic pointer swap as the data it describes (Spark's parquet
+    reader ignores ``_``-prefixed files, like ``_SUCCESS``)."""
+    import json
+    import os
+
+    current = _current_version(table_dir)
+    if current is None:
+        return {}
+    try:
+        with open(os.path.join(table_dir, current, _TXN_SIDECAR)) as f:
+            return {str(k): int(v) for k, v in json.load(f).items()}
+    except FileNotFoundError:
+        return {}
+
+
 def upsert_parquet_versioned(
     spark: SparkSession,
     table_dir: str,
     updates: DataFrame,
     key_cols: list[str],
     keep_versions: int = 2,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> DataFrame:
     """Keyed upsert with SNAPSHOT-ATOMIC publish — closes the
     `upsert_parquet` transactionality gap without a lake format.
@@ -241,12 +265,37 @@ def upsert_parquet_versioned(
     matters. Old versions beyond ``keep_versions`` are pruned AFTER
     publish (in-flight readers of the previous snapshot keep a valid
     directory).
+
+    **Idempotent replay** (``txn_app_id`` + ``txn_version``, the
+    txnAppId/txnVersion pattern lake formats expose for streaming
+    sinks): when both are given, the upsert is a NO-OP if the current
+    snapshot already records ``txn_version`` (or later) for this
+    ``txn_app_id`` — so an at-least-once caller (foreachBatch replaying
+    a micro-batch after a crash between sink and checkpoint commit)
+    cannot double-apply. The watermark map rides in the version
+    directory itself (see :func:`txn_watermarks`), so data and
+    watermark publish in one atomic pointer swap — there is no state
+    in which one is visible without the other. Watermarks are
+    per-app-id: independent writers (two streams upserting different
+    keys) don't clobber each other's replay protection.
     """
+    import json
     import os
     import shutil
     import uuid
 
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be given together")
+
     os.makedirs(table_dir, exist_ok=True)
+    marks = txn_watermarks(table_dir)
+    if (
+        txn_app_id is not None
+        and txn_app_id in marks
+        and marks[txn_app_id] >= txn_version
+    ):
+        return read_versioned(spark, table_dir)
+
     current = _current_version(table_dir)
     if current is None:
         merged = updates
@@ -263,6 +312,16 @@ def upsert_parquet_versioned(
     rows = merged.collect()
     out = local_df_single_partition(spark, rows, merged.schema)
     out.write.mode("error").parquet(os.path.join(table_dir, version))
+
+    if txn_app_id is not None:
+        marks[txn_app_id] = int(txn_version)
+    if marks:
+        # non-transactional writers CARRY existing watermarks forward —
+        # dropping them would silently re-open already-applied replays
+        with open(os.path.join(table_dir, version, _TXN_SIDECAR), "w") as f:
+            json.dump(marks, f)
+            f.flush()
+            os.fsync(f.fileno())
 
     tmp = os.path.join(table_dir, f"._CURRENT.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as f:

@@ -512,9 +512,10 @@ def run_available_now_register_inventory(
 
     Exactly-once accounting comes from the checkpoint: a replayed batch
     after crash-before-commit would double-count, which is the known
-    foreachBatch at-least-once edge — production pairs this with a
-    batch-id high-watermark column or the reconcile_inventory backfill
-    (which recomputes truth from the data and repairs any drift).
+    foreachBatch at-least-once edge — pair this with the batch-id
+    high-watermark sink :func:`run_available_now_upsert_versioned`
+    (transactional, replay is a no-op) or the reconcile_inventory
+    backfill (which recomputes truth from the data and repairs drift).
     """
     from animaltrackingetls_spark.inventory import (
         INVENTORY_COLUMNS,
@@ -944,3 +945,68 @@ def run_available_now_index_vectors(
             f"{timeout_seconds}s"
         )
     return batch_stats
+
+
+def run_available_now_upsert_versioned(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    app_id: str,
+    transform=None,
+    keep_versions: int = 2,
+    timeout_seconds: int = 120,
+) -> None:
+    """Exactly-once streaming upsert into a versioned parquet table —
+    the transactional sibling of the anti-join idempotence
+    ``run_available_now_ingest_dedup`` / ``_index_vectors`` use.
+
+    Each micro-batch (optionally reduced by ``transform``, e.g. a
+    per-key aggregate) is MERGE-upserted via
+    :func:`~..inventory.upsert_parquet_versioned` with
+    ``txn_app_id=app_id, txn_version=batch_id`` — the sidecar watermark
+    commits in the same atomic pointer swap as the data, so a replayed
+    batch (foreachBatch's at-least-once edge: crash AFTER the sink ran
+    but BEFORE the checkpoint committed) is detected by batch id and
+    becomes a no-op. This is the pattern that makes NON-idempotent
+    updates safe — additive counts, latest-wins merges — where value
+    anti-joins can't distinguish a replay from new data. Closes the
+    double-count edge ``run_available_now_register_inventory``
+    documents.
+
+    Scale: state per batch is one catalog-sized merge (the versioned
+    table is a dimension/rollup, not the corpus); the stream side can
+    be any watermarked aggregation. ``app_id`` must be unique per
+    logical stream (two streams sharing one table keep independent
+    watermarks)."""
+
+    from animaltrackingetls_spark.inventory import upsert_parquet_versioned
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        updates = transform(batch_df) if transform is not None else batch_df
+        upsert_parquet_versioned(
+            batch_df.sparkSession,
+            table_dir,
+            updates,
+            key_cols,
+            keep_versions=keep_versions,
+            txn_app_id=app_id,
+            txn_version=batch_id,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_seconds)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"versioned upsert into {table_dir!r} did not drain within "
+            f"{timeout_seconds}s"
+        )

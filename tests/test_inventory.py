@@ -271,3 +271,98 @@ def test_versioned_time_travel_reads_retained_snapshot(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_versioned(spark, table, version="v-999999-deadbeef")
+
+
+def test_versioned_upsert_txn_idempotent_replay(spark, tmp_path):
+    """The txnAppId/txnVersion watermark: a replayed (app, version)
+    upsert is a no-op — same data, no new snapshot — while a later
+    version applies; independent app ids don't share watermarks."""
+    from animaltrackingetls_spark.inventory import (
+        list_versions,
+        txn_watermarks,
+        upsert_parquet_versioned,
+    )
+
+    t = str(tmp_path / "txn_table")
+    b = spark.createDataFrame([("k1", 10)], "k string, n int")
+
+    out = upsert_parquet_versioned(
+        spark, t, b, ["k"], txn_app_id="app", txn_version=0
+    )
+    assert [(r["k"], r["n"]) for r in out.collect()] == [("k1", 10)]
+    v_after_first = list_versions(t)
+    assert txn_watermarks(t) == {"app": 0}
+
+    # replay of batch 0 with DIFFERENT (doubled) data: must not apply
+    b_replay = spark.createDataFrame([("k1", 20)], "k string, n int")
+    out2 = upsert_parquet_versioned(
+        spark, t, b_replay, ["k"], txn_app_id="app", txn_version=0
+    )
+    assert [(r["k"], r["n"]) for r in out2.collect()] == [("k1", 10)]
+    assert list_versions(t) == v_after_first  # no new snapshot published
+
+    # an EARLIER version replaying late is also a no-op
+    out3 = upsert_parquet_versioned(
+        spark,
+        t,
+        spark.createDataFrame([("k1", 99)], "k string, n int"),
+        ["k"],
+        txn_app_id="app",
+        txn_version=-1,
+    )
+    assert [(r["k"], r["n"]) for r in out3.collect()] == [("k1", 10)]
+
+    # the NEXT version applies and advances the watermark
+    b1 = spark.createDataFrame([("k1", 11), ("k2", 2)], "k string, n int")
+    out4 = upsert_parquet_versioned(
+        spark, t, b1, ["k"], txn_app_id="app", txn_version=1
+    )
+    assert sorted((r["k"], r["n"]) for r in out4.collect()) == [
+        ("k1", 11), ("k2", 2)]
+    assert txn_watermarks(t) == {"app": 1}
+
+    # a different app id has its own watermark line
+    other = spark.createDataFrame([("k3", 3)], "k string, n int")
+    upsert_parquet_versioned(
+        spark, t, other, ["k"], txn_app_id="other", txn_version=0
+    )
+    assert txn_watermarks(t) == {"app": 1, "other": 0}
+
+
+def test_versioned_upsert_txn_watermark_survives_plain_writer(spark, tmp_path):
+    from animaltrackingetls_spark.inventory import (
+        txn_watermarks,
+        upsert_parquet_versioned,
+    )
+
+    t = str(tmp_path / "txn_carry")
+    df = spark.createDataFrame([("a", 1)], "k string, n int")
+    upsert_parquet_versioned(spark, t, df, ["k"], txn_app_id="s", txn_version=5)
+    # a non-transactional (batch/backfill) writer interleaves
+    upsert_parquet_versioned(
+        spark, t, spark.createDataFrame([("b", 2)], "k string, n int"), ["k"]
+    )
+    # the stream's replay protection must still hold
+    assert txn_watermarks(t) == {"s": 5}
+    out = upsert_parquet_versioned(
+        spark,
+        t,
+        spark.createDataFrame([("a", 999)], "k string, n int"),
+        ["k"],
+        txn_app_id="s",
+        txn_version=5,
+    )
+    assert sorted((r["k"], r["n"]) for r in out.collect()) == [
+        ("a", 1), ("b", 2)]
+
+
+def test_versioned_upsert_txn_args_validated(spark, tmp_path):
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.inventory import upsert_parquet_versioned
+
+    df = spark.createDataFrame([("a", 1)], "k string, n int")
+    with _pytest.raises(ValueError, match="together"):
+        upsert_parquet_versioned(
+            spark, str(tmp_path / "x"), df, ["k"], txn_app_id="s"
+        )

@@ -857,3 +857,82 @@ def test_streaming_vector_indexing_appends_novel_and_compacts(spark, tmp_path):
         for r in similarity.ivf_search(rebuilt, q, k=5, n_probe=2).collect()
     }
     assert got == want
+
+
+def test_streaming_versioned_upsert_exactly_once_replay(spark, tmp_path):
+    """The transactional foreachBatch sink: an ADDITIVE per-key rollup
+    (the shape value-level anti-join idempotence cannot protect) drains
+    into a versioned table; a simulated micro-batch replay — calling
+    the merge again with the same batch id and doubled data — must be a
+    watermark no-op, and the next batch id must apply."""
+    from animaltrackingetls_spark.inventory import (
+        read_versioned,
+        txn_watermarks,
+        upsert_parquet_versioned,
+    )
+    from animaltrackingetls_spark.streaming.jobs import (
+        run_available_now_upsert_versioned,
+    )
+
+    src = tmp_path / "ev_txn"
+    table = str(tmp_path / "txn_rollup")
+    ckpt = str(tmp_path / "ckpt_txn")
+    rows = [
+        (i, datetime.datetime(2024, 5, 1, 9, i), i % 2, "click", 1.0, "{}")
+        for i in range(6)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    def per_user_counts(batch):
+        agg = batch.groupBy("user_id").agg(F.count("*").alias("n"))
+        try:
+            prior = read_versioned(batch.sparkSession, table).select(
+                "user_id", F.col("n").alias("prior")
+            )
+            agg = (
+                agg.join(prior, "user_id", "left")
+                .select(
+                    "user_id",
+                    (F.col("n") + F.coalesce("prior", F.lit(0))).alias("n"),
+                )
+            )
+        except FileNotFoundError:
+            pass
+        return agg
+
+    stream = read_event_stream(spark, str(src))
+    run_available_now_upsert_versioned(
+        stream, table, ckpt, ["user_id"], app_id="rollup",
+        transform=per_user_counts,
+    )
+    got = {r["user_id"]: r["n"] for r in read_versioned(spark, table).collect()}
+    assert got == {0: 3, 1: 3}
+    marks = txn_watermarks(table)
+    assert marks["rollup"] == 0
+
+    # crash-replay simulation: the same batch id re-applies the same
+    # ADDITIVE transform — without the watermark this would double to 6
+    replay = per_user_counts(spark.createDataFrame(rows, schema))
+    upsert_parquet_versioned(
+        spark, table, replay, ["user_id"],
+        txn_app_id="rollup", txn_version=0,
+    )
+    got = {r["user_id"]: r["n"] for r in read_versioned(spark, table).collect()}
+    assert got == {0: 3, 1: 3}  # replay was a no-op
+
+    # the genuinely NEXT batch applies
+    nxt = per_user_counts(
+        spark.createDataFrame(rows[:2], schema)
+    )
+    upsert_parquet_versioned(
+        spark, table, nxt, ["user_id"],
+        txn_app_id="rollup", txn_version=1,
+    )
+    got = {r["user_id"]: r["n"] for r in read_versioned(spark, table).collect()}
+    assert got == {0: 4, 1: 4}
