@@ -33,7 +33,22 @@
    every query; per-query join+agg cost with the Exchange-free plan
    asserted.
 
-Run: python r9_experiments.py widecap|dedupanat|bpecurve|ivfgrow|zorder|bucketed [sizes...]
+7. ``diffscale`` — corpus_diff digest form vs a naive payload-carrying
+   full outer join at 5M/20M rows per side: proves the shuffle carries
+   (key, digest), not documents.
+
+8. ``scd2scale`` — SCD2 history collapse at 10M/50M events: wall clock
+   plus an executed-plan Exchange count pinning the one-shuffle claim.
+
+9. ``quantscale`` — profile_quantiles exact vs GK at 10M/100M rows on
+   bounded-cardinality and ~unique columns: measures the documented
+   exact-mode hazard instead of asserting it.
+
+10. ``upsertscale`` — versioned exactly-once upsert at a 10M-row base:
+    merge+publish cost, and the transactional replay no-op which must
+    stay ~0 s regardless of table size.
+
+Run: python r9_experiments.py widecap|dedupanat|bpecurve|ivfgrow|zorder|bucketed|pqscale|ivfpqscale|diffscale|scd2scale|quantscale|upsertscale [sizes...]
 """
 from __future__ import annotations
 
@@ -597,6 +612,228 @@ def ivfpqscale(spark, sizes):
         )
 
 
+def diffscale(spark, sizes):
+    """corpus_diff at snapshot scale: the claim under test is that
+    digesting the compared columns INSIDE the scan projection makes the
+    full-outer join shuffle (key, 32-hex digest) rows instead of the
+    document payloads. Arms, interleaved: the digest form vs a naive
+    full outer join that carries the ~192-byte payload through the
+    shuffle and compares it post-join. Change-tag counts asserted
+    identical; fixed churn = 1% changed + 0.5% added + 0.5% removed."""
+    import shutil
+    import tempfile
+
+    def snapshots(n, base_dir):
+        shift = n // 200  # 0.5% of keys enter/leave between snapshots
+        # high-entropy 192B payload (6 distinct md5 blocks) so shuffle
+        # compression can't hide the width difference between the arms
+        payload = F.concat(*[
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f"#{i}")))
+            for i in range(6)
+        ])
+        spark.range(n).select(
+            F.col("id").alias("k"), payload.alias("payload"),
+        ).write.mode("overwrite").parquet(base_dir + "/old")
+        spark.range(shift, n + shift).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 100 == 0,
+                   F.concat(payload, F.lit("X")))
+            .otherwise(payload).alias("payload"),
+        ).write.mode("overwrite").parquet(base_dir + "/new")
+        return (spark.read.parquet(base_dir + "/old"),
+                spark.read.parquet(base_dir + "/new"))
+
+    from animaltrackingetls_spark.operators.versioning import corpus_diff
+    from animaltrackingetls_spark.plans.metrics import execution_metrics
+
+    def digest_arm(old, new):
+        return (corpus_diff(old, new, ["k"], ["payload"])
+                .groupBy("change").count())
+
+    def naive_arm(old, new):
+        o = old.select("k", F.col("payload").alias("old_p"))
+        nn = new.select("k", F.col("payload").alias("new_p"))
+        j = o.join(nn, on="k", how="full_outer")
+        change = (
+            F.when(F.col("old_p").isNull(), F.lit("added"))
+            .when(F.col("new_p").isNull(), F.lit("removed"))
+            .when(F.col("old_p") != F.col("new_p"), F.lit("changed"))
+        )
+        return (j.select(change.alias("change"))
+                .filter(F.col("change").isNotNull())
+                .groupBy("change").count())
+
+    wdir = tempfile.mkdtemp(prefix="diffscale_warm_")
+    w_old, w_new = snapshots(200_000, wdir)  # warm-up, untimed
+    digest_arm(w_old, w_new).collect()
+    naive_arm(w_old, w_new).collect()
+    shutil.rmtree(wdir, ignore_errors=True)
+
+    for n in sizes:
+        ndir = tempfile.mkdtemp(prefix=f"diffscale_{n}_")
+        old, new = snapshots(n, ndir)
+        for side in (old, new):  # pull the parquet into page cache
+            side.agg(F.sum(F.length("payload"))).collect()
+        res: dict[str, list[float]] = {"digest": [], "naive": []}
+        tags: dict[str, dict] = {}
+        shuf: dict[str, int] = {}
+        for _ in range(3):
+            for name, fn in (("digest", digest_arm), ("naive", naive_arm)):
+                out = fn(old, new)
+                t0 = time.time()
+                rows = out.collect()
+                res[name].append(time.time() - t0)
+                tags[name] = {r["change"]: r["count"] for r in rows}
+                shuf[name] = execution_metrics(out)["shuffle_bytes_written"]
+        assert tags["digest"] == tags["naive"], tags
+        print(
+            f"diffscale n={n:>11,}/side (~192B payload): "
+            f"digest {min(res['digest']):6.2f}s "
+            f"({shuf['digest'] / 1e6:,.0f}MB shuffled)  "
+            f"naive-payload-shuffle {min(res['naive']):6.2f}s "
+            f"({shuf['naive'] / 1e6:,.0f}MB shuffled)  "
+            f"churn {tags['digest']}",
+            flush=True,
+        )
+        shutil.rmtree(ndir, ignore_errors=True)
+
+
+def scd2scale(spark, sizes):
+    """scd2_from_history at history scale: n events over n/10 keys,
+    10 observations per key collapsing to 4 versions. The plan claim
+    (one exchange on the key; the (key, version) aggregate and the
+    valid_to lead both reuse that partitioning) is asserted by counting
+    Exchange nodes in the executed plan, not just read off a comment."""
+    from animaltrackingetls_spark.operators.versioning import (
+        scd2_from_history,
+    )
+
+    def build(n):
+        n_keys = max(n // 10, 1)
+        return spark.range(n).select(
+            (F.col("id") % n_keys).alias("k"),
+            (F.col("id") / n_keys).cast("int").alias("ts"),
+            # 10 observations -> states 0,0,0,1,1,1,2,2,2,3 = 4 versions
+            ((F.col("id") / n_keys) / 3).cast("int").alias("attr"),
+        )
+
+    scd2_from_history(build(100_000), ["k"], ["attr"], "ts").count()  # warm
+
+    for n in sizes:
+        df = build(n)
+        out = scd2_from_history(df, ["k"], ["attr"], "ts")
+        times = []
+        rows = set()
+        for _ in range(3):
+            t0 = time.time()
+            rows.add(out.count())
+            times.append(time.time() - t0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n_exch = plan.count("Exchange hashpartitioning")
+        assert len(rows) == 1
+        print(
+            f"scd2scale events={n:>12,} keys={n // 10:,}: "
+            f"collapse {min(times):6.2f}s -> {rows.pop():,} versions  "
+            f"exchanges={n_exch}",
+            flush=True,
+        )
+
+
+def quantscale(spark, sizes):
+    """profile_quantiles' honest scale split, measured: exact
+    ``percentile`` buffers value->count maps (memory ~ DISTINCT
+    cardinality), GK ``approx_percentile`` buffers O(accuracy). Two
+    column shapes per size: bounded cardinality (10k distinct) where
+    exact is safe at any row count, and ~unique doubles where exact
+    degrades with n (the documented 100 TB-wrong case; measured here,
+    capped at 20M rows so the hazard is shown without an OOM)."""
+    from animaltrackingetls_spark.operators.profile import (
+        profile_quantiles,
+    )
+
+    def build(n):
+        return spark.range(n).select(
+            ((F.col("id") % 10_000).cast("double") / 7.0).alias("bounded"),
+            F.rand(seed=7).alias("uniq"),
+        )
+
+    for exact in (True, False):
+        profile_quantiles(build(100_000), ["bounded", "uniq"],
+                          exact=exact).collect()  # warm
+
+    probs = (0.01, 0.25, 0.5, 0.75, 0.99)
+    for n in sizes:
+        df = build(n)
+        line = [f"quantscale n={n:>12,}:"]
+        for label, cols, exact in (
+            ("exact/bounded", ["bounded"], True),
+            ("gk/bounded", ["bounded"], False),
+            ("gk/uniq", ["uniq"], False),
+            ("exact/uniq", ["uniq"], True),
+        ):
+            if label == "exact/uniq" and n > 20_000_000:
+                line.append("exact/uniq SKIPPED(map~n rows)")
+                continue
+            times = []
+            for _ in range(2):
+                t0 = time.time()
+                profile_quantiles(df, cols, probs=probs,
+                                  exact=exact).collect()
+                times.append(time.time() - t0)
+            line.append(f"{label} {min(times):6.2f}s")
+        print("  ".join(line), flush=True)
+
+
+def upsertscale(spark, sizes):
+    """Versioned exactly-once upsert at table scale: base of n keyed
+    rows, batch = 10% of n (half updates to existing keys, half new
+    keys). Timed: initial publish, the merge+publish, the transactional
+    REPLAY of the same (app, version) — which must cost ~0 regardless
+    of table size because the watermark check short-circuits before
+    any Spark job — and the pointer-resolved read."""
+    import shutil
+    import tempfile
+
+    from animaltrackingetls_spark.inventory import (
+        read_versioned, upsert_parquet_versioned,
+    )
+
+    for n in sizes:
+        base_dir = tempfile.mkdtemp(prefix=f"upsertscale_{n}_")
+        tdir = base_dir + "/t"
+        base = spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("val"))
+        b = n // 10
+        batch = spark.range(b).select(
+            # half hit existing keys (fresh val), half are brand-new
+            F.when(F.col("id") % 2 == 0, F.col("id"))
+            .otherwise(n + F.col("id")).alias("k"),
+            F.lit(-1).cast("bigint").alias("val"),
+        )
+        t0 = time.time()
+        upsert_parquet_versioned(spark, tdir, base, ["k"],
+                                 txn_app_id="app", txn_version=1)
+        t1 = time.time()
+        upsert_parquet_versioned(spark, tdir, batch, ["k"],
+                                 txn_app_id="app", txn_version=2)
+        t2 = time.time()
+        out = upsert_parquet_versioned(  # replay: must be a no-op
+            spark, tdir, batch, ["k"], txn_app_id="app", txn_version=2)
+        t3 = time.time()
+        cnt = read_versioned(spark, tdir).count()
+        t4 = time.time()
+        assert cnt == n + b // 2, (cnt, n + b // 2)
+        assert out.count() == cnt  # replay returned current, unchanged
+        print(
+            f"upsertscale base={n:>11,} batch={b:,}: "
+            f"init {t1-t0:5.1f}s  merge+publish {t2-t1:5.1f}s  "
+            f"replay-noop {t3-t2:6.3f}s  read {t4-t3:5.2f}s  "
+            f"rows {cnt:,}",
+            flush=True,
+        )
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "widecap"
     sizes = [int(x) for x in sys.argv[2:]] or {
@@ -608,6 +845,10 @@ if __name__ == "__main__":
         "bucketed": [5_000_000],
         "pqscale": [1_000_000],
         "ivfpqscale": [1_000_000],
+        "diffscale": [5_000_000, 20_000_000],
+        "scd2scale": [10_000_000, 50_000_000],
+        "quantscale": [10_000_000, 100_000_000],
+        "upsertscale": [10_000_000],
     }[which]
     s = get_spark(
         extra_conf={
@@ -624,4 +865,8 @@ if __name__ == "__main__":
         "bucketed": bucketed,
         "pqscale": pqscale,
         "ivfpqscale": ivfpqscale,
+        "diffscale": diffscale,
+        "scd2scale": scd2scale,
+        "quantscale": quantscale,
+        "upsertscale": upsertscale,
     }[which](s, sizes)

@@ -273,6 +273,37 @@ def test_versioned_time_travel_reads_retained_snapshot(spark, tmp_path):
         read_versioned(spark, table, version="v-999999-deadbeef")
 
 
+def test_versioned_upsert_target_files_pins_layout(spark, tmp_path):
+    """target_files=1 publishes a single-part snapshot (catalog layout
+    contract); the default writes the merge plan distributed — no
+    driver-side collect of the table (the 92 s/10M-row ceiling
+    r9_experiments.py upsertscale caught; SCALING.md round 9) — and
+    both layouts read back identically."""
+    import glob
+    import os
+
+    from animaltrackingetls_spark.inventory import (
+        list_versions,
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+
+    df = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+
+    t1 = str(tmp_path / "pinned")
+    upsert_parquet_versioned(spark, t1, df, ["k"], target_files=1)
+    v = list_versions(t1)[-1]
+    parts = glob.glob(os.path.join(t1, v, "part-*"))
+    assert len(parts) == 1
+
+    t2 = str(tmp_path / "auto")
+    upsert_parquet_versioned(spark, t2, df, ["k"])
+    assert (
+        read_versioned(spark, t2).orderBy("k").collect()
+        == read_versioned(spark, t1).orderBy("k").collect()
+    )
+
+
 def test_versioned_upsert_txn_idempotent_replay(spark, tmp_path):
     """The txnAppId/txnVersion watermark: a replayed (app, version)
     upsert is a no-op — same data, no new snapshot — while a later
