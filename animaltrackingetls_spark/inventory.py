@@ -329,6 +329,22 @@ def upsert_parquet_versioned(
 
     if txn_app_id is not None:
         marks[txn_app_id] = int(txn_version)
+    _publish_version(table_dir, version, marks, keep_versions)
+    return read_versioned(spark, table_dir)
+
+
+def _publish_version(
+    table_dir: str, version: str, marks: dict[str, int], keep_versions: int
+) -> None:
+    """Commit an already-written version directory: persist the txn
+    watermark sidecar INSIDE it, swap the ``_CURRENT`` pointer (the
+    atomic commit point), then prune history. Shared by every versioned
+    writer (upsert, compaction) so the publish protocol cannot fork."""
+    import json
+    import os
+    import shutil
+    import uuid
+
     if marks:
         # non-transactional writers CARRY existing watermarks forward —
         # dropping them would silently re-open already-applied replays
@@ -357,7 +373,86 @@ def upsert_parquet_versioned(
     )
     for stale in older[: max(0, len(older) - (max(1, keep_versions) - 1))]:
         shutil.rmtree(os.path.join(table_dir, stale), ignore_errors=True)
-    return read_versioned(spark, table_dir)
+
+
+def compact_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    keep_versions: int = 2,
+) -> dict:
+    """Small-file compaction for a versioned table, published through
+    the same atomic pointer swap as the upserts it cleans up after.
+
+    Every incremental writer accumulates files — a streaming
+    foreachBatch upsert publishes a version per micro-batch, and at
+    parallelism p each may carry up to p part files. Reads then pay
+    per-file costs (open, footer decode, scheduler task per split) that
+    dwarf the data: the classic small-files problem. This rewrites the
+    CURRENT snapshot into ``ceil(total_bytes / target_bytes)`` files of
+    ~``target_bytes`` each (the row-group-friendly size parquet scanners
+    want) and publishes it as a new version: readers see the old or the
+    new snapshot, never a mixture, and txn watermarks are carried
+    forward so replay protection survives compaction.
+
+    A no-op (returns without writing) when the current layout already
+    has ≤ the target file count — safe to run on a schedule. Returns a
+    report dict: files/bytes before and after, and whether it acted.
+
+    Scale: the rewrite is one ``repartition`` shuffle of the snapshot —
+    the price of re-coalescing — and the decision is made from the file
+    listing alone (no data read). At object-store scale the same
+    listing comes from the FileIndex/catalog instead of os.walk.
+    """
+    import math
+    import os
+    import uuid
+
+    current = _current_version(table_dir)
+    if current is None:
+        raise FileNotFoundError(f"no published snapshot under {table_dir}")
+    cdir = os.path.join(table_dir, current)
+    files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(cdir)
+        for f in fs
+        if f.endswith(".parquet") or f.startswith("part-")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / max(1, target_bytes)))
+    report = {
+        "files_before": len(files),
+        "bytes_before": total,
+        "target_files": n_out,
+        "compacted": False,
+    }
+    if len(files) <= n_out:
+        return report
+
+    marks = txn_watermarks(table_dir)
+    seq = int(current.split("-")[1]) + 1
+    version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
+    (
+        spark.read.parquet(cdir)
+        .repartition(n_out)
+        .write.mode("error")
+        .parquet(os.path.join(table_dir, version))
+    )
+    _publish_version(table_dir, version, marks, keep_versions)
+    ndir = os.path.join(table_dir, version)
+    new_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(ndir)
+        for f in fs
+        if f.endswith(".parquet") or f.startswith("part-")
+    ]
+    report.update(
+        files_after=len(new_files),
+        bytes_after=sum(os.path.getsize(f) for f in new_files),
+        compacted=True,
+        version=version,
+    )
+    return report
 
 
 def upsert_dbapi(

@@ -215,3 +215,39 @@ def write_zordered(
     if row_group_bytes is not None:
         writer = writer.option("parquet.block.size", str(row_group_bytes))
     writer.parquet(path)
+
+
+def file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file layout profile of a parquet directory: ``(file, bytes,
+    row_groups, rows)`` — the observability half of compaction (see
+    ``inventory.compact_versioned``). A table whose median file is far
+    below the row-group target (128 MB) is paying per-file open/footer/
+    task costs on every read; this makes that visible as a frame you
+    can aggregate, join to read timings, or threshold in a maintenance
+    job.
+
+    Footer decodes are metadata-scale (KB per file, no data pages
+    read). Listing and footer reads run driver-side, which is right for
+    the maintenance cadence this serves; at object-store scale the same
+    numbers come from the catalog/FileIndex manifest instead of os.walk.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for root, _, fs in os.walk(path):
+        for f in sorted(fs):
+            if not (f.endswith(".parquet") or f.startswith("part-")):
+                continue
+            full = os.path.join(root, f)
+            meta = pq.ParquetFile(full).metadata
+            rows.append((
+                os.path.relpath(full, path),
+                os.path.getsize(full),
+                meta.num_row_groups,
+                meta.num_rows,
+            ))
+    return spark.createDataFrame(
+        rows, "file string, bytes long, row_groups int, rows long"
+    )

@@ -834,6 +834,57 @@ def upsertscale(spark, sizes):
         shutil.rmtree(base_dir, ignore_errors=True)
 
 
+def compactscale(spark, sizes):
+    """Small-file compaction payoff, swept over FILE COUNT at a fixed
+    10M-row table (the accumulation shape of per-micro-batch upserts:
+    p part files per batch, forever). Warm full-scan agg cost before vs
+    after ``compact_versioned``, plus the compaction cost itself. The
+    claim: per-file overheads (open, footer decode, one scheduler task
+    per file) grow linearly in file count while the data cost is
+    constant — and a single repartition rewrite buys them back
+    permanently. Local NVMe + warm page cache is the FLOOR of the
+    effect; object-store per-file latency multiplies it ~100x."""
+    import shutil
+    import tempfile
+
+    from animaltrackingetls_spark.inventory import (
+        compact_versioned, read_versioned, upsert_parquet_versioned,
+    )
+
+    n = 10_000_000
+
+    def scan_cost(t):
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            read_versioned(spark, t).agg(
+                F.sum("v"), F.count(F.lit(1))).collect()
+            times.append(time.time() - t0)
+        return min(times)
+
+    for nfiles in sizes:
+        base = tempfile.mkdtemp(prefix=f"compactscale_{nfiles}_")
+        t = base + "/t"
+        df = spark.range(n).selectExpr("id AS k", "id * 3 AS v")
+        upsert_parquet_versioned(
+            spark, t, df.repartition(nfiles), ["k"],
+            txn_app_id="a", txn_version=1,
+        )
+        before = scan_cost(t)
+        t0 = time.time()
+        rep = compact_versioned(spark, t, target_bytes=128 * 1024 * 1024)
+        dt = time.time() - t0
+        after = scan_cost(t)
+        print(
+            f"compactscale rows={n:,} files={nfiles:>6,}: "
+            f"scan before {before:5.2f}s  after {after:5.2f}s "
+            f"(-> {rep['files_after']} files, "
+            f"{rep['bytes_before']/1e6:,.0f}MB, compact {dt:5.1f}s)",
+            flush=True,
+        )
+        shutil.rmtree(base, ignore_errors=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "widecap"
     sizes = [int(x) for x in sys.argv[2:]] or {
@@ -849,6 +900,7 @@ if __name__ == "__main__":
         "scd2scale": [10_000_000, 50_000_000],
         "quantscale": [10_000_000, 100_000_000],
         "upsertscale": [10_000_000],
+        "compactscale": [512, 2_048, 8_192],
     }[which]
     s = get_spark(
         extra_conf={
@@ -869,4 +921,5 @@ if __name__ == "__main__":
         "scd2scale": scd2scale,
         "quantscale": quantscale,
         "upsertscale": upsertscale,
+        "compactscale": compactscale,
     }[which](s, sizes)

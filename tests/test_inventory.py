@@ -397,3 +397,58 @@ def test_versioned_upsert_txn_args_validated(spark, tmp_path):
         upsert_parquet_versioned(
             spark, str(tmp_path / "x"), df, ["k"], txn_app_id="s"
         )
+
+
+def test_compact_versioned_rewrites_small_files(spark, tmp_path):
+    """Many-small-file snapshot (the streaming-upsert accumulation
+    shape) compacts to the byte-target file count, data-identical,
+    with the txn watermark carried so replay protection survives;
+    already-compact layouts are a reported no-op."""
+    from animaltrackingetls_spark.inventory import (
+        compact_versioned,
+        list_versions,
+        read_versioned,
+        txn_watermarks,
+        upsert_parquet_versioned,
+    )
+
+    t = str(tmp_path / "ct")
+    df = spark.range(2000).selectExpr("id AS k", "id * 3 AS v")
+    # 32 tiny files via an explicit pre-shuffle
+    upsert_parquet_versioned(
+        spark, t, df.repartition(32), ["k"],
+        txn_app_id="app", txn_version=7,
+    )
+    before = read_versioned(spark, t).orderBy("k").collect()
+
+    # target sized so everything fits in one file
+    rep = compact_versioned(spark, t, target_bytes=1 << 30)
+    assert rep["compacted"] and rep["files_before"] == 32
+    assert rep["files_after"] == 1
+    assert read_versioned(spark, t).orderBy("k").collect() == before
+    # replay protection survived the rewrite
+    assert txn_watermarks(t) == {"app": 7}
+    # a replayed batch is still a no-op after compaction
+    n_versions = len(list_versions(t))
+    upsert_parquet_versioned(
+        spark, t, df.limit(1), ["k"], txn_app_id="app", txn_version=7,
+    )
+    assert len(list_versions(t)) == n_versions
+
+    # second pass: nothing to do
+    rep2 = compact_versioned(spark, t, target_bytes=1 << 30)
+    assert rep2 == {
+        "files_before": 1,
+        "bytes_before": rep["bytes_after"],
+        "target_files": 1,
+        "compacted": False,
+    }
+
+
+def test_compact_versioned_requires_published_table(spark, tmp_path):
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.inventory import compact_versioned
+
+    with _pytest.raises(FileNotFoundError):
+        compact_versioned(spark, str(tmp_path / "nope"))

@@ -264,3 +264,22 @@ def test_zorder_range_probe_and_roundtrip(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 100
     assert {r["id"] for r in back.collect()} == set(range(100))
+
+
+def test_file_stats_reads_footers(spark, tmp_path):
+    from animaltrackingetls_spark.operators.layout import file_stats
+
+    p = str(tmp_path / "fs")
+    spark.range(1000).repartition(4).write.parquet(p)
+    stats = file_stats(spark, p).collect()
+    assert len(stats) == 4
+    assert sum(r["rows"] for r in stats) == 1000
+    assert all(r["bytes"] > 0 and r["row_groups"] >= 1 for r in stats)
+
+
+def test_file_stats_empty_dir(spark, tmp_path):
+    from animaltrackingetls_spark.operators.layout import file_stats
+
+    p = tmp_path / "empty"
+    p.mkdir()
+    assert file_stats(spark, str(p)).count() == 0
