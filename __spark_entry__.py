@@ -1966,7 +1966,16 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact ints is bitwise-identical across engines). The Arrow
     plumbing (mapInPandas batches, Generate-bounded frame explode)
     still runs for real; only the FEATURE math is what the oracle
-    replays."""
+    replays.
+
+    Round 10: the feature vector is POSEXPLODED to (bucket, value)
+    scalar rows — the driver's canonicalizer sorts raw column values
+    and cannot sort ArrayType cells (the single red row of
+    CORRECTNESS_r09: 'unhashable type: list'); scalars also keep the
+    hash compare elementwise instead of whole-array. The values are
+    the same IEEE doubles, just one per row. A window-wide invariant
+    test (tests/test_entry_oracles.py) now bans Array/Map/Struct
+    columns from every in-window query schema."""
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.to_media_table(
         docs, "doc_id", F.encode(F.col("text"), "utf-8"), "text/plain"
@@ -1988,7 +1997,16 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").alias("k"),
         "feature",
     )
-    return whole.unionByName(frames)
+    panel = whole.unionByName(frames)
+    return panel.select(
+        "kind", "media_id", "k", F.posexplode("feature")
+    ).select(
+        "kind",
+        "media_id",
+        "k",
+        F.col("pos").cast("long").alias("bucket"),
+        F.col("col").alias("value"),
+    )
 
 
 def _q_approx_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2153,7 +2171,13 @@ def _q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/validate.py). The range and regex rules are deliberately
     tighter than the data (high-price orders and '5-LOW' priorities
     violate), so the report exercises nonzero counts, not just a wall
-    of zeros."""
+    of zeros.
+
+    Round 10: also carries the scalar-metric rows formerly registered
+    as scalar_metrics (TPC-H Q14 promo share, Q6 revenue forecast,
+    behavioral funnel — rule=metric name, value=the metric, counts
+    NULL), freeing a driver-window slot with no coverage loss; the
+    validation rows gain a NULL value column."""
     from animaltrackingetls_spark.operators import validate as V
 
     o = _t(spark, sf_dir, "orders")
@@ -2168,9 +2192,16 @@ def _q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         unique_keys=[["o_orderkey"]],
     )
-    return report.unionByName(
+    full = report.unionByName(
         V.iqr_outliers(o, "o_totalprice", k=1.5, round_bounds=6)
+    ).withColumn("value", F.lit(None).cast("double"))
+    scalars = _q_scalar_metrics(spark, sf_dir).select(
+        F.col("metric").alias("rule"),
+        F.lit(None).cast("long").alias("n_violations"),
+        F.lit(None).cast("long").alias("n_rows"),
+        "value",
     )
+    return full.unionByName(scalars)
 
 
 def _q_scalar_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2706,6 +2737,105 @@ def _q_sessions_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-10 folds: the round-9 flagship operators (zorder_curve,
+# bucketed_join, corpus_diff, scd2_history, quantile_profile) were
+# oracle-backed but sat PAST the 50-entry driver window, so they never
+# produced a driver-green row. Folding frees five window slots with
+# zero operator-coverage loss:
+#   q1_pricing_summary + q3_shipping_priority
+#     + q4_order_priority + q7_nation_volume  -> tpch_panel
+#   window_latest_event + large_orders        -> window_topn
+#   scalar_metrics                            -> validate_orders rows
+# The original single-query functions remain as the implementations
+# the folds call (and as plan-audit probes).
+# ---------------------------------------------------------------------------
+
+
+def _q_tpch_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H quartet folded into one (panel, k1, k2, metric, value)
+    report: Q1 pricing summary (8 metrics stacked per returnflag ×
+    linestatus group), Q3 top-10 shipping priority, Q4 order-priority
+    EXISTS counts, and Q7 supplier/customer nation volume. Each branch
+    is the unchanged single-query plan — the fold is a tagged union of
+    projections, so Q3 keeps its TakeOrderedAndProject and Q4 its
+    left-semi inside their branches. Counts ride the value column as
+    exact doubles (< 2^53)."""
+    q1 = _q_q1_pricing_summary(spark, sf_dir).selectExpr(
+        "'q1' AS panel",
+        "l_returnflag AS k1",
+        "l_linestatus AS k2",
+        "stack(8, 'sum_qty', sum_qty, 'sum_base_price', sum_base_price,"
+        " 'sum_disc_price', sum_disc_price, 'sum_charge', sum_charge,"
+        " 'avg_qty', avg_qty, 'avg_price', avg_price, 'avg_disc', avg_disc,"
+        " 'count_order', CAST(count_order AS DOUBLE)) AS (metric, value)",
+    )
+    q3 = _q_q3_shipping_priority(spark, sf_dir).select(
+        F.lit("q3").alias("panel"),
+        F.col("o_orderkey").cast("string").alias("k1"),
+        F.concat_ws(
+            "|",
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.col("o_orderpriority"),
+        ).alias("k2"),
+        F.lit("revenue").alias("metric"),
+        F.col("revenue").cast("double").alias("value"),
+    )
+    q4 = _q_q4_order_priority(spark, sf_dir).select(
+        F.lit("q4").alias("panel"),
+        F.col("o_orderpriority").alias("k1"),
+        F.lit("").alias("k2"),
+        F.lit("order_count").alias("metric"),
+        F.col("order_count").cast("double").alias("value"),
+    )
+    q7 = _q_q7_nation_volume(spark, sf_dir).select(
+        F.lit("q7").alias("panel"),
+        F.col("supp_nation").alias("k1"),
+        F.concat_ws(
+            "|", F.col("cust_nation"), F.col("l_year").cast("string")
+        ).alias("k2"),
+        F.lit("volume").alias("metric"),
+        F.col("volume").cast("double").alias("value"),
+    )
+    return q1.unionByName(q3).unionByName(q4).unionByName(q7)
+
+
+def _q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window + ranking pair folded: the dual-family event window
+    ('latest' rows — ranking window + ROWS-frame trailing average on
+    one shuffle) and the order-ranking pair ('topk' rows = deterministic
+    top-20 TakeOrderedAndProject, 'q18' rows = TPC-H Q18 HAVING-subquery
+    large orders with customer detail)."""
+    latest = _q_window_latest_event(spark, sf_dir).select(
+        F.lit("latest").alias("kind"),
+        F.col("user_id").cast("long").alias("id1"),
+        F.col("event_id").cast("long").alias("id2"),
+        F.col("event_type").alias("label"),
+        "ts",
+        F.col("avg_last3").cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    topk = _q_topk_orders(spark, sf_dir).select(
+        F.lit("topk").alias("kind"),
+        F.col("o_orderkey").cast("long").alias("id1"),
+        F.lit(None).cast("long").alias("id2"),
+        F.lit(None).cast("string").alias("label"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("o_totalprice").cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    q18 = _q_q18_large_orders(spark, sf_dir).select(
+        F.lit("q18").alias("kind"),
+        F.col("o_orderkey").cast("long").alias("id1"),
+        F.col("c_custkey").cast("long").alias("id2"),
+        F.col("c_name").alias("label"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("o_totalprice").cast("double").alias("v1"),
+        F.col("total_qty").cast("double").alias("v2"),
+    )
+    return latest.unionByName(topk).unionByName(q18)
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -2754,8 +2884,8 @@ def _q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (layout.write_zordered): range-sorting by it tightens parquet
     row-group min/max stats in BOTH coordinates at once, so box
     predicates prune row-groups the scan never reads (measured in
-    SCALING.md round 9). HASH-CHECKED via DuckDB in
-    tests/test_entry_oracles.py (past the driver's 50-entry window)."""
+    SCALING.md round 9). HASH-CHECKED: in the driver's
+    correctness window since round 10."""
     ev = _t(spark, sf_dir, "events")
     pts = ev.filter(F.col("value").isNotNull()).select(
         "event_id",
@@ -2782,25 +2912,62 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only the final ≤customer-cardinality segment rollup shuffles. At
     100 TB this is the amortization lever: one write-time shuffle buys
     every later join/agg on the key. Layout never changes values — the
-    oracle is the plain SQL join. HASH-CHECKED via DuckDB in
-    tests/test_entry_oracles.py (past the driver's 50-entry window)."""
+    oracle is the plain SQL join. HASH-CHECKED: in the driver's
+    correctness window since round 10.
+
+    The bucketed layout is written ONCE per (file, mtime, size) — the
+    same cache pattern as _q_pq_topk/_q_ivfpq_topk — so repeat
+    invocations are write-free and temp dirs stop accumulating (the
+    round-9 mkdtemp-per-call leak). Table names are key-suffixed so
+    sessions sharing a metastore cannot collide; a fresh session
+    re-registers the cached files with CLUSTERED BY DDL instead of
+    rewriting them (bucket metadata lives in the catalog, not the
+    parquet footers)."""
+    import hashlib
+    import os
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="spark_graft_bucketed_")
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    orders = (
-        _t(spark, sf_dir, "orders")
-        .select(F.col("o_custkey").alias("c_custkey"), "o_totalprice")
-    )
-    layout.write_bucketed(
-        cust, "bj_customer", f"{base}/customer", "c_custkey", 8
-    )
-    layout.write_bucketed(
-        orders, "bj_orders", f"{base}/orders", "c_custkey", 8
-    )
+    cust_file = os.path.join(sf_dir, "customer.parquet")
+    ord_file = os.path.join(sf_dir, "orders.parquet")
+    st_c, st_o = os.stat(cust_file), os.stat(ord_file)
+    key = hashlib.md5(
+        f"{cust_file}:{st_c.st_mtime_ns}:{st_c.st_size}:"
+        f"{ord_file}:{st_o.st_mtime_ns}:{st_o.st_size}:bj2".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{key}")
+    t_cust, t_ord = f"bj_customer_{key}", f"bj_orders_{key}"
+    done = os.path.join(base, "done")
+    if not os.path.exists(done):
+        cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        orders = (
+            _t(spark, sf_dir, "orders")
+            .select(F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+        )
+        layout.write_bucketed(cust, t_cust, f"{base}/customer", "c_custkey", 8)
+        layout.write_bucketed(orders, t_ord, f"{base}/orders", "c_custkey", 8)
+        with open(done, "w") as f:
+            f.write(key)
+    elif not spark.catalog.tableExists(t_cust) or not spark.catalog.tableExists(
+        t_ord
+    ):
+        # files survive from an earlier session but the (in-memory)
+        # catalog doesn't: register the existing layout without
+        # rewriting a byte
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {t_cust} "
+            "(c_custkey BIGINT, c_mktsegment STRING) USING parquet "
+            "CLUSTERED BY (c_custkey) SORTED BY (c_custkey) INTO 8 BUCKETS "
+            f"LOCATION '{base}/customer'"
+        )
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {t_ord} "
+            "(c_custkey BIGINT, o_totalprice DOUBLE) USING parquet "
+            "CLUSTERED BY (c_custkey) SORTED BY (c_custkey) INTO 8 BUCKETS "
+            f"LOCATION '{base}/orders'"
+        )
     per_cust = (
-        spark.table("bj_customer")
-        .join(spark.table("bj_orders"), "c_custkey")
+        spark.table(t_cust)
+        .join(spark.table(t_ord), "c_custkey")
         .groupBy("c_custkey", "c_mktsegment")
         .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("rev"))
     )
@@ -2832,8 +2999,7 @@ def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests. Scale shape: digests are computed IN the scan projection,
     so the one full-outer shuffle carries (key, 32-byte digest) pairs,
     never document payloads; output is churn-sized, not corpus-sized.
-    HASH-CHECKED via DuckDB in tests/test_entry_oracles.py (past the
-    driver's 50-entry window)."""
+    HASH-CHECKED: in the driver's correctness window since round 10."""
     docs = _t(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 17 != 3)
     new = docs.filter(F.col("doc_id") % 13 != 5).withColumn(
@@ -2856,8 +3022,8 @@ def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE exchange total — the key-window shuffle is reused by the
     (key, version) aggregate and the valid_to lead (asserted in
     tests/test_versioning.py). At 100 TB: shuffle is corpus-sized but
-    single; output is change-sized. HASH-CHECKED via DuckDB in
-    tests/test_entry_oracles.py (past the driver's 50-entry window)."""
+    single; output is change-sized. HASH-CHECKED: in the driver's
+    correctness window since round 10."""
     ev = _t(spark, sf_dir, "events")
     return versioning.scd2_from_history(
         ev, ["user_id"], ["event_type"], "ts", tie_col="event_id"
@@ -2875,8 +3041,8 @@ def _q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``exact=False`` (Greenwald-Khanna sketch, O(accuracy) memory,
     mergeable map-side, rank-error pinned in tests). Spark
     ``percentile`` and DuckDB ``quantile_cont`` agreed bit-for-bit on
-    every measured point before rounding. HASH-CHECKED via DuckDB in
-    tests/test_entry_oracles.py (past the driver's 50-entry window)."""
+    every measured point before rounding. HASH-CHECKED: in the driver's
+    correctness window since round 10."""
     li = _t(spark, sf_dir, "lineitem")
     return profile.profile_quantiles(
         li,
@@ -3003,14 +3169,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the driver's 50-entry correctness window, so every oracle-backed
     # operator is continuously machine-verified (round 8 carried 54 and
     # the last four rested on manual check_oracles.py runs). The fit
-    # came from folding four same-shape query pairs into tagged unions
-    # (zero operator-coverage loss; see the fold block above
-    # `entry()`): enrichment_panel (= geocode_broadcast +
+    # comes from folding same-shape queries into tagged unions (zero
+    # operator-coverage loss; see the fold blocks above `entry()`):
+    # round 9 made enrichment_panel (= geocode_broadcast +
     # enrich_batched), portable_fingerprints (= winnow_portable +
     # simhash_portable), sessions_panel (= batch_sessions +
-    # sessionized_stream), and pack_documents now carrying the former
-    # pack_bestfit as its 'bfd' rows. Rows-only (hash-seeded /
-    # approximate) queries follow the window.
+    # sessionized_stream), pack_documents ('bfd' rows = pack_bestfit);
+    # round 10 made tpch_panel (= q1 + q3 + q4 + q7), window_topn
+    # (= window_latest_event + large_orders) and moved scalar_metrics
+    # into validate_orders — freeing the five slots the round-9
+    # flagship operators (zorder_curve, bucketed_join, corpus_diff,
+    # scd2_history, quantile_profile) now occupy, so every oracle-backed
+    # operator gets a driver-produced green row. Rows-only (hash-seeded
+    # / approximate) queries follow the window.
     return {
         "flagship_day_scan": _q_flagship_day_scan,
         "temporal_rescue_derive": _q_temporal_rescue_derive,
@@ -3035,12 +3206,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "interval_joins": _q_interval_joins,
         "running_user_totals": _q_running_user_totals,
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "q3_shipping_priority": _q_q3_shipping_priority,
+        "tpch_panel": _q_tpch_panel,
         "dim_revenue": _q_dim_revenue,
         "semi_anti_join": _q_semi_anti_join,
-        "window_latest_event": _q_window_latest_event,
-        "large_orders": _q_large_orders,
+        "window_topn": _q_window_topn,
         "rollup_cube_orders": _q_rollup_cube_orders,
         "mask_union_counts": _q_mask_union_counts,
         "media_metadata": _q_media_metadata,
@@ -3049,9 +3218,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": _q_top_bigrams,
         "streaming_window_counts": _q_streaming_window_counts,
         "salted_join_check": _q_salted_join_check,
-        "q4_order_priority": _q_q4_order_priority,
-        "q7_nation_volume": _q_q7_nation_volume,
-        "scalar_metrics": _q_scalar_metrics,
+        "zorder_curve": _q_zorder_curve,
+        "bucketed_join": _q_bucketed_join,
+        "corpus_diff": _q_corpus_diff,
+        "scd2_history": _q_scd2_history,
+        "quantile_profile": _q_quantile_profile,
         "bloom_new_docs": _q_bloom_new_docs,
         "multimodal_features": _q_multimodal_features,
         "pretrain_pipeline": _q_pretrain_pipeline,
@@ -3073,15 +3244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_users_per_type": _q_approx_users_per_type,
         "hll_user_rollup": _q_hll_user_rollup,
         "bpe_tokenize": _q_bpe_tokenize,
-        # oracle-backed but past the driver's 50-entry window: the
-        # DuckDB hash compare runs in tests/test_entry_oracles.py
-        # every suite run instead
-        "zorder_curve": _q_zorder_curve,
-        "bucketed_join": _q_bucketed_join,
-        "corpus_diff": _q_corpus_diff,
-        "scd2_history": _q_scd2_history,
-        "quantile_profile": _q_quantile_profile,
         # rows-only: PQ codebooks are k-means products, not SQL-replayable
+        # (their ADC scorers ARE hash-pinned against DuckDB on frozen
+        # codebooks in test_pq.py / test_ivfpq.py)
         "pq_topk": _q_pq_topk,
         "ivfpq_topk": _q_ivfpq_topk,
     }
@@ -3333,25 +3498,68 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) AS n_violations,
                      CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows
               FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+            ),
+            q14 AS (
+              SELECT round(100.0
+                       * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0.0 END)
+                       / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                       AS promo_share_pct,
+                     count(*) AS n_rows
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+                AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+            ),
+            q6 AS (
+              SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+                     count(*) AS n_rows
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                AND l_discount BETWEEN 0.03 AND 0.07
+                AND l_quantity < 25
+            ),
+            stage AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                     min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+              FROM events GROUP BY user_id
+            ),
+            fun AS (
+              SELECT count(*) AS n_users,
+                     sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_signup,
+                     sum(CASE WHEN t_signup IS NOT NULL
+                               AND t_click > t_signup THEN 1 ELSE 0 END)
+                       AS n_click_after_signup,
+                     sum(CASE WHEN t_signup IS NOT NULL
+                               AND t_click > t_signup
+                               AND t_purchase > t_click THEN 1 ELSE 0 END)
+                       AS n_full_funnel
+              FROM stage
             )
             SELECT 'o_orderkey:not_null' AS rule, CAST(r1 AS BIGINT)
-                     AS n_violations, CAST(n_rows AS BIGINT) AS n_rows FROM agg
+                     AS n_violations, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(NULL AS DOUBLE) AS value FROM agg
             UNION ALL SELECT 'o_custkey:not_null', CAST(r2 AS BIGINT),
-                      CAST(n_rows AS BIGINT) FROM agg
+                      CAST(n_rows AS BIGINT), NULL FROM agg
             UNION ALL SELECT 'o_totalprice:in_range', CAST(r3 AS BIGINT),
-                      CAST(n_rows AS BIGINT) FROM agg
+                      CAST(n_rows AS BIGINT), NULL FROM agg
             UNION ALL SELECT 'o_orderstatus:in_set', CAST(r4 AS BIGINT),
-                      CAST(n_rows AS BIGINT) FROM agg
+                      CAST(n_rows AS BIGINT), NULL FROM agg
             UNION ALL SELECT 'o_orderpriority:matches', CAST(r5 AS BIGINT),
-                      CAST(n_rows AS BIGINT) FROM agg
-            UNION ALL SELECT 'o_orderkey:unique', n_violations, n_rows FROM uniq
+                      CAST(n_rows AS BIGINT), NULL FROM agg
+            UNION ALL SELECT 'o_orderkey:unique', n_violations, n_rows, NULL
+                      FROM uniq
             UNION ALL
             SELECT 'o_totalprice:iqr_outliers',
                    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
                                   AND (o_totalprice < iqr.lo
                                        OR o_totalprice > iqr.hi)
                             THEN 1 ELSE 0 END) AS BIGINT),
-                   CAST(count(*) AS BIGINT)
+                   CAST(count(*) AS BIGINT), NULL
             FROM orders CROSS JOIN (
               SELECT round(q1 - 1.5 * (q3 - q1), 6) AS lo,
                      round(q3 + 1.5 * (q3 - q1), 6) AS hi
@@ -3359,6 +3567,21 @@ def oracle_sql() -> dict[str, str]:
                            quantile_cont(o_totalprice, 0.75) AS q3
                     FROM orders)
             ) iqr
+            UNION ALL SELECT 'promo_share_pct', NULL, NULL,
+                             promo_share_pct FROM q14
+            UNION ALL SELECT 'promo_n_rows', NULL, NULL,
+                             CAST(n_rows AS DOUBLE) FROM q14
+            UNION ALL SELECT 'q6_revenue', NULL, NULL, revenue FROM q6
+            UNION ALL SELECT 'q6_n_rows', NULL, NULL,
+                             CAST(n_rows AS DOUBLE) FROM q6
+            UNION ALL SELECT 'funnel_n_users', NULL, NULL,
+                             CAST(n_users AS DOUBLE) FROM fun
+            UNION ALL SELECT 'funnel_n_signup', NULL, NULL,
+                             CAST(n_signup AS DOUBLE) FROM fun
+            UNION ALL SELECT 'funnel_n_click_after_signup', NULL, NULL,
+                             CAST(n_click_after_signup AS DOUBLE) FROM fun
+            UNION ALL SELECT 'funnel_n_full_funnel', NULL, NULL,
+                             CAST(n_full_funnel AS DOUBLE) FROM fun
         """,
         "enrichment_panel": f"""
             WITH {_POINTS_SQL}
@@ -3742,7 +3965,10 @@ def oracle_sql() -> dict[str, str]:
                      ] AS feature
               FROM fwin
             )
-            SELECT * FROM doc UNION ALL SELECT * FROM frame
+            SELECT kind, media_id, k,
+                   unnest(range(8)) AS bucket,
+                   unnest(feature) AS value
+            FROM (SELECT * FROM doc UNION ALL SELECT * FROM frame)
         """,
         "running_user_totals": """
             SELECT user_id, count(*) AS n_events,
@@ -3834,33 +4060,84 @@ def oracle_sql() -> dict[str, str]:
               ON CAST(e.ts AS DATE) BETWEEN iv.ws AND iv.ws + 6
             GROUP BY iv.ws
         """,
-        "q1_pricing_summary": """
-            SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
-                     AS sum_charge,
-                   round(avg(l_quantity), 6) AS avg_qty,
-                   round(avg(l_extendedprice), 6) AS avg_price,
-                   round(avg(l_discount), 6) AS avg_disc,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-            GROUP BY l_returnflag, l_linestatus
-        """,
-        "q3_shipping_priority": """
-            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
-            FROM customer c
-            JOIN orders o ON c.c_custkey = o.o_custkey
-            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-            WHERE c.c_mktsegment = 'BUILDING'
-              AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
-              AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
-            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
-            ORDER BY revenue DESC, o.o_orderkey
-            LIMIT 10
+        "tpch_panel": """
+            WITH q1 AS (
+              SELECT l_returnflag, l_linestatus,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     round(sum(l_extendedprice), 2) AS sum_base_price,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS sum_disc_price,
+                     round(sum(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax)), 6) AS sum_charge,
+                     round(avg(l_quantity), 6) AS avg_qty,
+                     round(avg(l_extendedprice), 6) AS avg_price,
+                     round(avg(l_discount), 6) AS avg_disc,
+                     count(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              GROUP BY l_returnflag, l_linestatus
+            ),
+            q3 AS (
+              SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                     round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS revenue
+              FROM customer c
+              JOIN orders o ON c.c_custkey = o.o_custkey
+              JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+              WHERE c.c_mktsegment = 'BUILDING'
+                AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+                AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+              GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+              ORDER BY revenue DESC, o.o_orderkey
+              LIMIT 10
+            ),
+            q4 AS (
+              SELECT o_orderpriority, count(*) AS order_count
+              FROM orders o
+              WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+                AND EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_orderkey = o.o_orderkey
+                              AND l.l_shipdate > o.o_orderdate)
+              GROUP BY o_orderpriority
+            ),
+            q7 AS (
+              SELECT sn.n_name AS supp_nation,
+                     cn.n_name AS cust_nation,
+                     CAST(year(l.l_shipdate) AS INT) AS l_year,
+                     round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS volume
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+              JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+              WHERE sn.n_name < cn.n_name
+              GROUP BY 1, 2, 3
+            )
+            SELECT 'q1' AS panel, l_returnflag AS k1, l_linestatus AS k2,
+                   unnest(['sum_qty', 'sum_base_price', 'sum_disc_price',
+                           'sum_charge', 'avg_qty', 'avg_price', 'avg_disc',
+                           'count_order']) AS metric,
+                   unnest([sum_qty, sum_base_price, sum_disc_price,
+                           sum_charge, avg_qty, avg_price, avg_disc,
+                           CAST(count_order AS DOUBLE)]) AS value
+            FROM q1
+            UNION ALL
+            SELECT 'q3', CAST(o_orderkey AS VARCHAR),
+                   strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority,
+                   'revenue', revenue
+            FROM q3
+            UNION ALL
+            SELECT 'q4', o_orderpriority, '', 'order_count',
+                   CAST(order_count AS DOUBLE)
+            FROM q4
+            UNION ALL
+            SELECT 'q7', supp_nation,
+                   cust_nation || '|' || CAST(l_year AS VARCHAR),
+                   'volume', volume
+            FROM q7
         """,
         "dim_revenue": """
             SELECT 'q5_asia_revenue' AS kind, n.n_name AS name,
@@ -3909,7 +4186,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT c_custkey FROM customer WHERE c_acctbal < 0
             )
         """,
-        "window_latest_event": """
+        "window_topn": """
             WITH r AS (
               SELECT user_id, event_id, event_type, ts,
                      round(avg(value) OVER (PARTITION BY user_id
@@ -3920,19 +4197,19 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
             )
-            SELECT user_id, event_id, event_type, ts, avg_last3
+            SELECT 'latest' AS kind, user_id AS id1, event_id AS id2,
+                   event_type AS label, ts, avg_last3 AS v1,
+                   CAST(NULL AS DOUBLE) AS v2
             FROM r WHERE rn = 1
-        """,
-        "large_orders": """
-            SELECT 'topk' AS kind, o_orderkey, o_totalprice,
-                   CAST(NULL AS BIGINT) AS c_custkey,
-                   CAST(NULL AS VARCHAR) AS c_name,
-                   CAST(NULL AS DOUBLE) AS total_qty
+            UNION ALL
+            SELECT 'topk', o_orderkey, CAST(NULL AS BIGINT),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP),
+                   o_totalprice, CAST(NULL AS DOUBLE)
             FROM (SELECT o_orderkey, o_totalprice FROM orders
                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 20)
             UNION ALL
-            SELECT 'q18' AS kind, o.o_orderkey, o.o_totalprice,
-                   c.c_custkey, c.c_name, b.total_qty
+            SELECT 'q18', o.o_orderkey, c.c_custkey, c.c_name,
+                   CAST(NULL AS TIMESTAMP), o.o_totalprice, b.total_qty
             FROM (
               SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
               FROM lineitem GROUP BY l_orderkey
@@ -4227,83 +4504,6 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o.o_totalprice), 2) AS sum_price
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
-        """,
-        "q7_nation_volume": """
-            SELECT sn.n_name AS supp_nation,
-                   cn.n_name AS cust_nation,
-                   CAST(year(l.l_shipdate) AS INT) AS l_year,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
-            FROM lineitem l
-            JOIN orders o ON l.l_orderkey = o.o_orderkey
-            JOIN customer c ON o.o_custkey = c.c_custkey
-            JOIN supplier s ON l.l_suppkey = s.s_suppkey
-            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
-            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
-            WHERE sn.n_name < cn.n_name
-            GROUP BY 1, 2, 3
-        """,
-        "scalar_metrics": """
-            WITH q14 AS (
-              SELECT round(100.0
-                       * sum(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0.0 END)
-                       / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
-                       AS promo_share_pct,
-                     count(*) AS n_rows
-              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-              WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
-                AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
-            ),
-            q6 AS (
-              SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
-                     count(*) AS n_rows
-              FROM lineitem
-              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-                AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-                AND l_discount BETWEEN 0.03 AND 0.07
-                AND l_quantity < 25
-            ),
-            stage AS (
-              SELECT user_id,
-                     min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
-                     min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-                     min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
-              FROM events GROUP BY user_id
-            ),
-            fun AS (
-              SELECT count(*) AS n_users,
-                     sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
-                       AS n_signup,
-                     sum(CASE WHEN t_signup IS NOT NULL
-                               AND t_click > t_signup THEN 1 ELSE 0 END)
-                       AS n_click_after_signup,
-                     sum(CASE WHEN t_signup IS NOT NULL
-                               AND t_click > t_signup
-                               AND t_purchase > t_click THEN 1 ELSE 0 END)
-                       AS n_full_funnel
-              FROM stage
-            )
-            SELECT 'promo_share_pct' AS metric, promo_share_pct AS value FROM q14
-            UNION ALL SELECT 'promo_n_rows', CAST(n_rows AS DOUBLE) FROM q14
-            UNION ALL SELECT 'q6_revenue', revenue FROM q6
-            UNION ALL SELECT 'q6_n_rows', CAST(n_rows AS DOUBLE) FROM q6
-            UNION ALL SELECT 'funnel_n_users', CAST(n_users AS DOUBLE) FROM fun
-            UNION ALL SELECT 'funnel_n_signup', CAST(n_signup AS DOUBLE) FROM fun
-            UNION ALL SELECT 'funnel_n_click_after_signup',
-                             CAST(n_click_after_signup AS DOUBLE) FROM fun
-            UNION ALL SELECT 'funnel_n_full_funnel',
-                             CAST(n_full_funnel AS DOUBLE) FROM fun
-        """,
-        "q4_order_priority": """
-            SELECT o_orderpriority, count(*) AS order_count
-            FROM orders o
-            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-              AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
-              AND EXISTS (SELECT 1 FROM lineitem l
-                          WHERE l.l_orderkey = o.o_orderkey
-                            AND l.l_shipdate > o.o_orderdate)
-            GROUP BY o_orderpriority
         """,
         "sessions_panel": """
             WITH flagged AS (
@@ -4851,8 +5051,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, distance_km
             FROM pairs WHERE distance_km <= 100.0
         """,
-        # --- past the driver's 50-entry window; hash-compared every
-        # --- suite run by tests/test_entry_oracles.py
+        # --- round-9 flagships, in the driver window since round 10
         "zorder_curve": """
             WITH pts AS (
               SELECT event_id,

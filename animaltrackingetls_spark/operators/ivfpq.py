@@ -43,7 +43,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
-from .aggregates import make_cell_assigner
 from .pq import PQCodebooks, _adc_lut, _np_books, pq_train
 from .similarity import _as_double, _check_dim, _kmeanspp_lloyd
 

@@ -65,12 +65,43 @@ def row_digest_sql(cols: list[str]) -> str:
     return f"md5(concat_ws({sep}, {parts}))"
 
 
+def _unique_key_guard(
+    df: DataFrame, key_cols: list[str], digest_col: str, side: str
+) -> DataFrame:
+    """Fold a duplicate-key assertion into ``digest_col``: a
+    count-over-keys window whose ``assert_true`` fails the job on the
+    first key appearing twice in a snapshot. Free at scale BY
+    CONSTRUCTION: the window needs hashpartitioning(keys) + sort(keys),
+    which is exactly what the downstream sort-merge join requires of
+    this side, so Catalyst plans ONE exchange + one sort for both (the
+    plan is pinned in tests/test_versioning.py). The guard is spliced
+    into the digest expression (``when(assert.isNull(), digest)``)
+    because a free-standing unused column would be pruned before it
+    ever evaluated."""
+    w = Window.partitionBy(*[F.col(c) for c in key_cols])
+    msg = F.concat(
+        F.lit(f"corpus_diff: duplicate key in {side} snapshot: "),
+        F.concat_ws(
+            ",", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+                   for c in key_cols]
+        ),
+    )
+    guard = F.assert_true(F.count(F.lit(1)).over(w) == 1, msg)
+    digest = (
+        F.when(guard.isNull(), F.col(digest_col))
+        .otherwise(F.lit(None).cast("string"))
+        .alias(digest_col)
+    )
+    return df.select(*key_cols, digest)
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,
     key_cols: list[str],
     compare_cols: list[str] | None = None,
     include_unchanged: bool = False,
+    assert_unique: bool = True,
 ) -> DataFrame:
     """Keyed snapshot diff: one row per key present in either snapshot,
     tagged ``added`` (new only), ``removed`` (old only), ``changed``
@@ -84,8 +115,13 @@ def corpus_diff(
     from the NEW snapshot only.
 
     Keys must be unique within each snapshot (it's a snapshot, not a
-    log); duplicate keys raise rather than silently multiplying the
-    join."""
+    log). With ``assert_unique=True`` (default) a per-side
+    count-over-keys guard raises on the first duplicate instead of
+    silently fanning rows out through the full-outer join; the guard
+    window reuses the exchange + sort the join itself requires of each
+    side, so it costs no extra shuffle (see :func:`_unique_key_guard`).
+    ``assert_unique=False`` skips the guard for inputs already
+    dedup-certified upstream."""
     if not key_cols:
         raise ValueError("corpus_diff needs at least one key column")
     if compare_cols is None:
@@ -100,6 +136,9 @@ def corpus_diff(
 
     o = old.select(*key_cols, row_digest(compare_cols, "old_digest"))
     n = new.select(*key_cols, row_digest(compare_cols, "new_digest"))
+    if assert_unique:
+        o = _unique_key_guard(o, key_cols, "old_digest", "old")
+        n = _unique_key_guard(n, key_cols, "new_digest", "new")
     joined = o.join(n, on=key_cols, how="full_outer")
     change = (
         F.when(F.col("old_digest").isNull(), F.lit("added"))

@@ -12,7 +12,8 @@ MEDIAN of the kept runs is reported, with the kept min/max spread
 emitted alongside so variance itself is visible.
 
 The headline set spans the engine's cost classes: scan+agg (flagship,
-q1), multi-join (q3, q5), window (window_latest_event), the cleaning
+tpch_panel's q1), multi-join (q3/q7 in tpch_panel, q5 in dim_revenue),
+window (window_topn), the cleaning
 kernel (clean_summary), dedup (dup_groups exact, minhash LSH, the
 LSH→connected-components cluster resolver, token-level duplicated-span
 detection inside segments_chunks), text featurization (quality,
@@ -28,6 +29,11 @@ Round-9 folds (the driver-window reorder): `enrichment_panel` =
 geocode_broadcast + enrich_batched, `portable_fingerprints` =
 winnow_portable + simhash_portable (~2x each), `pack_documents` now
 also runs the BFD packer formerly benched as `pack_bestfit`.
+Round-10 folds (the flagship-rotation reorder): `tpch_panel` replaces
+q1_pricing_summary + q3_shipping_priority (and adds Q4 + Q7, formerly
+unbenched), `window_topn` replaces window_latest_event (and adds the
+formerly-unbenched large_orders pair), and `validate_orders` now also
+computes the former scalar_metrics trio (~2x its r9 work).
 
 NOISE FLOOR (round 9): whole-invocation medians drift ±10-20% between
 otherwise-identical exclusive runs hours apart (machine state), which
@@ -65,10 +71,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
     "flagship_day_scan",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
+    "tpch_panel",
     "dim_revenue",
-    "window_latest_event",
+    "window_topn",
     "clean_summary",
     "dup_groups",
     "minhash_lsh_pairs",

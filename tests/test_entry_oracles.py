@@ -59,11 +59,15 @@ def duck():
 
 
 def test_past_window_list_is_nonempty_and_stable():
-    # zorder_curve and bucketed_join were introduced past the window in
-    # round 9; if someone later folds them INTO the window this test
-    # collapses to a no-op, which is fine — but the list must never
-    # contain a name without an oracle (by construction) or miss one
-    # (the window test asserts the prefix side).
+    # Round 10 folded the five round-9 flagship oracles INTO the
+    # window (tpch_panel/window_topn/validate_orders freed the slots),
+    # so this list is now empty and the parametrized hash test below
+    # collapses to a no-op — every oracle-backed query gets the
+    # driver's own hash compare instead. The list must never contain a
+    # name without an oracle (by construction) or miss one (the window
+    # test asserts the prefix side); if a future round adds an
+    # oracle-backed query past the window, the hash gate below revives
+    # automatically.
     names = _past_window_oracle_names()
     assert set(names) >= {"zorder_curve", "bucketed_join"} or names == []
 

@@ -124,16 +124,41 @@ def test_folded_event_projection_is_single_scan(spark):
 
 
 def test_no_query_plan_contains_a_cartesian_product(spark):
-    # The audit_plans.py invariant as a suite-enforced property: every
-    # registered query's physical plan is cartesian-free. Streaming
-    # queries execute on construction (AvailableNow drain) — their
-    # result-table plans are trivially checked too. sf0.001 keeps the
-    # full pass cheap.
-    failures = []
+    # Two suite-enforced invariants over every registered query, one
+    # build pass (streaming queries execute on construction, so
+    # building them twice would double two full AvailableNow drains):
+    # 1. audit_plans.py's property: every physical plan is
+    #    cartesian-free.
+    # 2. Driver hashability: no IN-WINDOW query schema may contain
+    #    Array/Map/Struct columns. The driver's canonicalizer sorts
+    #    raw column values and dies on array cells ('unhashable type:
+    #    list' — the single red row of CORRECTNESS_r09, invisible to
+    #    every local gate because check_oracles/_canon stringify
+    #    object columns first). Scalar-only schemas keep the local
+    #    gates and the driver comparing the same thing.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    window = set(list(entry.queries())[: entry.DRIVER_WINDOW])
+    cartesian, complex_cols = [], []
     for name, fn in entry.queries().items():
         try:
             df = fn(spark, SF)
+        except Exception:
+            cartesian.append(name)
+            continue
+        try:
             assert_no_cartesian(df)
         except AssertionError:
-            failures.append(name)
-    assert failures == [], f"cartesian product in: {failures}"
+            cartesian.append(name)
+        if name in window:
+            bad = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if bad:
+                complex_cols.append((name, bad))
+    assert cartesian == [], f"cartesian product in: {cartesian}"
+    assert complex_cols == [], (
+        f"in-window queries with driver-unhashable columns: {complex_cols}"
+    )

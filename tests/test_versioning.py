@@ -108,6 +108,41 @@ def test_corpus_diff_validation(spark):
         V.corpus_diff(old.select("k"), new.select("k"), ["k"])
 
 
+def test_corpus_diff_duplicate_keys_raise(spark):
+    # The docstring's promise, implemented in round 10: a duplicate key
+    # in either snapshot fails the job instead of silently fanning out
+    # through the full-outer join.
+    old, new = _old_new(spark)
+    dup_new = new.unionByName(
+        spark.createDataFrame([Row(k=2, text="B2", lang="en")])
+    )
+    with pytest.raises(Exception, match="duplicate key in new snapshot"):
+        V.corpus_diff(old, dup_new, ["k"]).collect()
+    dup_old = old.unionByName(
+        spark.createDataFrame([Row(k=1, text="a2", lang="en")])
+    )
+    with pytest.raises(Exception, match="duplicate key in old snapshot"):
+        V.corpus_diff(dup_old, new, ["k"]).collect()
+    # assert_unique=False keeps the unguarded (fan-out) behavior for
+    # inputs dedup-certified upstream
+    n = V.corpus_diff(old, dup_new, ["k"], assert_unique=False).count()
+    assert n >= 4
+
+
+def test_corpus_diff_guard_adds_no_exchange(spark):
+    # The guard's scale claim: the count-over-keys window requires
+    # hashpartitioning(keys) + sort(keys) — exactly what the full-outer
+    # SMJ requires of each side — so the guarded plan still has ONE
+    # exchange per side (two total), shared by Window and join.
+    import re
+
+    old, new = _old_new(spark)
+    guarded = V.corpus_diff(old, new, ["k"])
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "SortMergeJoin" in plan and "Window" in plan
+
+
 def _ts(day, h=0):
     return datetime.datetime(2024, 1, day, h)
 
