@@ -159,6 +159,17 @@ def upsert_parquet(
 # ---------------------------------------------------------------------------
 
 _CURRENT_POINTER = "_CURRENT"
+_COMMIT_LOCK = "._COMMIT_LOCK"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A concurrent writer published between this writer's merge and
+    its publish: the snapshot this writer merged against is no longer
+    CURRENT, so swapping the pointer would silently drop the other
+    writer's commit (lost update). The failed writer's version
+    directory is removed; re-merging against the new CURRENT and
+    re-publishing is always safe (upsert_parquet_versioned does this
+    itself up to ``retries`` times)."""
 
 
 def _current_version(table_dir: str) -> str | None:
@@ -241,6 +252,7 @@ def upsert_parquet_versioned(
     txn_app_id: str | None = None,
     txn_version: int | None = None,
     target_files: int | None = None,
+    retries: int = 2,
 ) -> DataFrame:
     """Keyed upsert with SNAPSHOT-ATOMIC publish — closes the
     `upsert_parquet` transactionality gap without a lake format.
@@ -260,12 +272,22 @@ def upsert_parquet_versioned(
     in full, never a half-written directory (unlike ``upsert_parquet``'s
     overwrite-in-place, which has a visible empty window). A writer crash
     before publish leaves only an unreferenced directory; readers are
-    unaffected. Concurrent writers both publish consistent snapshots but
-    the last pointer swap wins (lost update) — same caveat as any
-    optimistic log-less scheme; serialize writers externally when that
-    matters. Old versions beyond ``keep_versions`` are pruned AFTER
+    unaffected. Old versions beyond ``keep_versions`` are pruned AFTER
     publish (in-flight readers of the previous snapshot keep a valid
     directory).
+
+    **Optimistic concurrency** (round 10; previously last-swap-wins):
+    publish verifies under a commit lock that the snapshot this writer
+    merged against is STILL the current one — the compare-and-swap
+    Delta's optimistic protocol does against its log. On conflict the
+    stale version directory is removed and the merge is retried from
+    the new CURRENT (up to ``retries`` times, then
+    :class:`ConcurrentWriteError` propagates). Two interleaved upserts
+    therefore serialize: both commits land, neither is lost. The lock
+    is an ``flock`` held only around read-pointer/compare/rename
+    (microseconds, auto-released if the holder dies); single-host
+    scope — on a shared object store the same check runs against a
+    conditional-put / log-append primitive.
 
     **Idempotent replay** (``txn_app_id`` + ``txn_version``, the
     txnAppId/txnVersion pattern lake formats expose for streaming
@@ -298,48 +320,81 @@ def upsert_parquet_versioned(
         raise ValueError("txn_app_id and txn_version must be given together")
 
     os.makedirs(table_dir, exist_ok=True)
-    marks = txn_watermarks(table_dir)
-    if (
-        txn_app_id is not None
-        and txn_app_id in marks
-        and marks[txn_app_id] >= txn_version
-    ):
-        return read_versioned(spark, table_dir)
+    last_err: ConcurrentWriteError | None = None
+    for _attempt in range(max(0, retries) + 1):
+        # (Re-)read the commit state each attempt: a retry must merge
+        # against the snapshot the CONFLICTING writer published, and
+        # re-check the replay watermark it may have advanced.
+        marks = txn_watermarks(table_dir)
+        if (
+            txn_app_id is not None
+            and txn_app_id in marks
+            and marks[txn_app_id] >= txn_version
+        ):
+            return read_versioned(spark, table_dir)
 
-    current = _current_version(table_dir)
-    if current is None:
-        merged = updates
-        seq = 1
-    else:
-        existing = spark.read.parquet(os.path.join(table_dir, current))
-        merged = merge_upsert(existing, updates, key_cols)
-        seq = int(current.split("-")[1]) + 1
+        current = _current_version(table_dir)
+        if current is None:
+            merged = updates
+            seq = 1
+        else:
+            existing = spark.read.parquet(os.path.join(table_dir, current))
+            merged = merge_upsert(existing, updates, key_cols)
+            seq = int(current.split("-")[1]) + 1
 
-    version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
-    # Distributed write: the merge plan reads the CURRENT version
-    # directory, which this write never touches (the target directory is
-    # brand-new), so no materialization barrier is needed. AQE coalesces
-    # a catalog-sized merge to one post-shuffle partition on its own;
-    # target_files pins the file count explicitly when a layout contract
-    # requires it. (An earlier form collected the table through the
-    # driver — measured at 92 s for a 10M-row base, it was the scale
-    # ceiling of the whole sink; see SCALING.md round 9.)
-    out = merged.coalesce(target_files) if target_files else merged
-    out.write.mode("error").parquet(os.path.join(table_dir, version))
+        version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
+        # Distributed write: the merge plan reads the CURRENT version
+        # directory, which this write never touches (the target directory
+        # is brand-new), so no materialization barrier is needed. AQE
+        # coalesces a catalog-sized merge to one post-shuffle partition on
+        # its own; target_files pins the file count explicitly when a
+        # layout contract requires it. (An earlier form collected the
+        # table through the driver — measured at 92 s for a 10M-row base,
+        # it was the scale ceiling of the whole sink; see SCALING.md
+        # round 9.)
+        out = merged.coalesce(target_files) if target_files else merged
+        out.write.mode("error").parquet(os.path.join(table_dir, version))
 
-    if txn_app_id is not None:
-        marks[txn_app_id] = int(txn_version)
-    _publish_version(table_dir, version, marks, keep_versions)
-    return read_versioned(spark, table_dir)
+        if txn_app_id is not None:
+            marks[txn_app_id] = int(txn_version)
+        try:
+            _publish_version(
+                table_dir, version, marks, keep_versions,
+                expected_base=current,
+            )
+            return read_versioned(spark, table_dir)
+        except ConcurrentWriteError as err:
+            # our snapshot merged a stale base — drop it and re-merge
+            shutil.rmtree(os.path.join(table_dir, version),
+                          ignore_errors=True)
+            last_err = err
+    raise last_err
+
+
+_UNCHECKED = object()  # sentinel: publish without a base-version check
 
 
 def _publish_version(
-    table_dir: str, version: str, marks: dict[str, int], keep_versions: int
+    table_dir: str,
+    version: str,
+    marks: dict[str, int],
+    keep_versions: int,
+    expected_base: str | None | object = _UNCHECKED,
 ) -> None:
     """Commit an already-written version directory: persist the txn
-    watermark sidecar INSIDE it, swap the ``_CURRENT`` pointer (the
-    atomic commit point), then prune history. Shared by every versioned
-    writer (upsert, compaction) so the publish protocol cannot fork."""
+    watermark sidecar INSIDE it, then — under the commit lock — verify
+    ``expected_base`` still names the CURRENT snapshot (compare), swap
+    the ``_CURRENT`` pointer (the atomic commit point), and prune
+    history. Shared by every versioned writer (upsert, compaction) so
+    the publish protocol cannot fork.
+
+    ``expected_base`` is the version the writer merged against
+    (``None`` = the writer saw an unpublished table); if another writer
+    committed in between, :class:`ConcurrentWriteError` is raised and
+    NOTHING is swapped — the caller re-merges. The flock critical
+    section is read+compare+rename only; it is auto-released if the
+    process dies inside it."""
+    import fcntl
     import json
     import os
     import shutil
@@ -358,21 +413,38 @@ def _publish_version(
         f.write(version)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(table_dir, _CURRENT_POINTER))  # the commit point
 
-    # Prune only snapshots strictly OLDER than the one just published —
-    # dirs sorting after it may be a concurrent writer's in-flight
-    # publish (or crash debris), and deleting those would corrupt a
-    # commit we never observed. keep_versions counts published history
-    # including the new current.
-    older = sorted(
-        d for d in os.listdir(table_dir)
-        if d.startswith("v-")
-        and d < version
-        and os.path.isdir(os.path.join(table_dir, d))
-    )
-    for stale in older[: max(0, len(older) - (max(1, keep_versions) - 1))]:
-        shutil.rmtree(os.path.join(table_dir, stale), ignore_errors=True)
+    lock_fd = os.open(os.path.join(table_dir, _COMMIT_LOCK),
+                      os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        if expected_base is not _UNCHECKED:
+            now_current = _current_version(table_dir)
+            if now_current != expected_base:
+                os.unlink(tmp)
+                raise ConcurrentWriteError(
+                    f"{table_dir}: merged against "
+                    f"{expected_base or '<empty>'} but CURRENT is now "
+                    f"{now_current or '<empty>'} — a concurrent writer "
+                    "committed; re-merge and retry"
+                )
+        os.replace(tmp, os.path.join(table_dir, _CURRENT_POINTER))  # commit
+
+        # Prune only snapshots strictly OLDER than the one just
+        # published — dirs sorting after it may be a concurrent writer's
+        # in-flight publish (or crash debris), and deleting those would
+        # corrupt a commit we never observed. keep_versions counts
+        # published history including the new current.
+        older = sorted(
+            d for d in os.listdir(table_dir)
+            if d.startswith("v-")
+            and d < version
+            and os.path.isdir(os.path.join(table_dir, d))
+        )
+        for stale in older[: max(0, len(older) - (max(1, keep_versions) - 1))]:
+            shutil.rmtree(os.path.join(table_dir, stale), ignore_errors=True)
+    finally:
+        os.close(lock_fd)
 
 
 def compact_versioned(
@@ -438,7 +510,19 @@ def compact_versioned(
         .write.mode("error")
         .parquet(os.path.join(table_dir, version))
     )
-    _publish_version(table_dir, version, marks, keep_versions)
+    try:
+        _publish_version(table_dir, version, marks, keep_versions,
+                         expected_base=current)
+    except ConcurrentWriteError:
+        # an upsert committed while we rewrote: our layout is stale.
+        # Compaction is best-effort housekeeping — back off (the next
+        # scheduled run compacts the new snapshot) instead of retrying
+        # a corpus-sized rewrite under contention.
+        import shutil
+
+        shutil.rmtree(os.path.join(table_dir, version), ignore_errors=True)
+        report["conflict"] = True
+        return report
     ndir = os.path.join(table_dir, version)
     new_files = [
         os.path.join(r, f)

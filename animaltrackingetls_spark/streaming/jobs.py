@@ -977,8 +977,14 @@ def run_available_now_upsert_versioned(
     Scale: state per batch is one catalog-sized merge (the versioned
     table is a dimension/rollup, not the corpus); the stream side can
     be any watermarked aggregation. ``app_id`` must be unique per
-    logical stream (two streams sharing one table keep independent
-    watermarks)."""
+    logical stream: each app_id's replay watermark is tracked
+    independently in the snapshot sidecar. Two streams MAY share one
+    ``table_dir`` — since round 10 the versioned publish is
+    compare-and-swap (a concurrent commit makes the loser re-merge and
+    re-publish, see ``inventory.ConcurrentWriteError``), so interleaved
+    writers serialize instead of silently dropping each other's
+    snapshot; watermark maps are carried forward through every commit,
+    so neither stream can regress the other's replay protection."""
 
     from animaltrackingetls_spark.inventory import upsert_parquet_versioned
 

@@ -452,3 +452,181 @@ def test_compact_versioned_requires_published_table(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         compact_versioned(spark, str(tmp_path / "nope"))
+
+
+def test_versioned_upsert_concurrent_writer_detected_and_retried(
+    spark, tmp_path, monkeypatch
+):
+    # Deterministic interleave: writer A's merge runs, then — before A
+    # publishes — writer B commits a whole upsert. A's publish must see
+    # the base moved (ConcurrentWriteError), drop its stale snapshot,
+    # and re-merge against B's commit, so BOTH writers' rows land.
+    import animaltrackingetls_spark.inventory as inv
+    from animaltrackingetls_spark.inventory import (
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+
+    t = str(tmp_path / "race")
+    upsert_parquet_versioned(
+        spark, t, spark.createDataFrame([("k1", 1)], "k string, v int"), ["k"]
+    )
+
+    real_merge = inv.merge_upsert
+    fired = {"done": False}
+
+    def racing_merge(existing, updates, key_cols):
+        if not fired["done"]:
+            fired["done"] = True
+            # writer B commits between A's base read and A's publish
+            upsert_parquet_versioned(
+                spark, t,
+                spark.createDataFrame([("k3", 3)], "k string, v int"),
+                ["k"],
+            )
+        return real_merge(existing, updates, key_cols)
+
+    monkeypatch.setattr(inv, "merge_upsert", racing_merge)
+    upsert_parquet_versioned(
+        spark, t, spark.createDataFrame([("k2", 2)], "k string, v int"), ["k"]
+    )
+    got = {(r.k, r.v) for r in read_versioned(spark, t).collect()}
+    assert got == {("k1", 1), ("k2", 2), ("k3", 3)}, "a commit was lost"
+
+
+def test_versioned_upsert_conflict_raises_with_retries_exhausted(
+    spark, tmp_path, monkeypatch
+):
+    import pytest as _pytest
+
+    import animaltrackingetls_spark.inventory as inv
+    from animaltrackingetls_spark.inventory import (
+        ConcurrentWriteError,
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+
+    t = str(tmp_path / "race0")
+    upsert_parquet_versioned(
+        spark, t, spark.createDataFrame([("k1", 1)], "k string, v int"), ["k"]
+    )
+
+    real_merge = inv.merge_upsert
+    in_race = {"active": False}
+
+    def always_racing_merge(existing, updates, key_cols):
+        if not in_race["active"]:
+            in_race["active"] = True
+            try:
+                upsert_parquet_versioned(
+                    spark, t,
+                    spark.createDataFrame([("kx", 9)], "k string, v int"),
+                    ["k"],
+                )
+            finally:
+                in_race["active"] = False
+        return real_merge(existing, updates, key_cols)
+
+    monkeypatch.setattr(inv, "merge_upsert", always_racing_merge)
+    with _pytest.raises(ConcurrentWriteError, match="concurrent writer"):
+        upsert_parquet_versioned(
+            spark, t,
+            spark.createDataFrame([("k2", 2)], "k string, v int"),
+            ["k"], retries=0,
+        )
+    # the loser's stale snapshot directory was cleaned up and the
+    # winner's commit is intact
+    got = {(r.k, r.v) for r in read_versioned(spark, t).collect()}
+    assert ("kx", 9) in got and ("k1", 1) in got
+
+
+def test_versioned_upsert_threaded_writers_lose_nothing(spark, tmp_path):
+    # Liveness smoke over the flock+CAS path: two threads interleave
+    # real upserts on disjoint keys; every row must be present at the
+    # end (pre-round-10 last-swap-wins semantics lost merges here).
+    import threading
+
+    from animaltrackingetls_spark.inventory import (
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+
+    t = str(tmp_path / "threads")
+    errs = []
+
+    def writer(tag: str):
+        try:
+            for i in range(3):
+                upsert_parquet_versioned(
+                    spark, t,
+                    spark.createDataFrame(
+                        [(f"{tag}{i}", i)], "k string, v int"
+                    ),
+                    ["k"], retries=8,
+                )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(tag,)) for tag in "ab"]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    got = {r.k for r in read_versioned(spark, t).collect()}
+    assert got == {"a0", "a1", "a2", "b0", "b1", "b2"}
+
+
+def test_compact_versioned_backs_off_on_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    # A writer committing between the compactor's read and publish must
+    # make compaction a clean no-op (conflict report), never clobber
+    # the new snapshot with the stale rewrite.
+    import animaltrackingetls_spark.inventory as inv
+    from animaltrackingetls_spark.inventory import (
+        compact_versioned,
+        list_versions,
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+
+    t = str(tmp_path / "compact_race")
+    # current snapshot must have >1 file or compaction no-ops before it
+    # ever publishes; AQE's partition coalescing would fold a tiny merge
+    # to one file, so pin it off for the setup writes
+    coalesce_conf = "spark.sql.adaptive.coalescePartitions.enabled"
+    old_conf = spark.conf.get(coalesce_conf)
+    try:
+        spark.conf.set(coalesce_conf, "false")
+        for i in range(3):
+            upsert_parquet_versioned(
+                spark, t,
+                spark.createDataFrame(
+                    [(f"k{i}_{j}", j) for j in range(10)], "k string, v int"
+                ),
+                ["k"], target_files=2,
+            )
+    finally:
+        spark.conf.set(coalesce_conf, old_conf)
+
+    real_publish = inv._publish_version
+
+    def racing_publish(table_dir, version, marks, keep_versions, **kw):
+        # first publish attempt comes from the compactor: sneak a real
+        # upsert in before it, then let it proceed (and conflict)
+        monkeypatch.setattr(inv, "_publish_version", real_publish)
+        upsert_parquet_versioned(
+            spark, t,
+            spark.createDataFrame([("new", 99)], "k string, v int"), ["k"],
+        )
+        return real_publish(table_dir, version, marks, keep_versions, **kw)
+
+    monkeypatch.setattr(inv, "_publish_version", racing_publish)
+    rep = compact_versioned(spark, t, target_bytes=1 << 30)
+    assert rep["files_before"] > 1, "setup failed to produce a multi-file layout"
+    assert rep.get("conflict") is True and rep["compacted"] is False
+    got = {r.k for r in read_versioned(spark, t).collect()}
+    assert "new" in got and {"k0_0", "k1_0", "k2_0"} <= got
+    # the compactor's stale version dir is gone
+    assert len(list_versions(t)) <= 4
