@@ -207,3 +207,120 @@ def test_null_vectors_dropped_at_build(spark, tmp_path):
     codes = spark.read.parquet(f"{path}/codes")
     assert codes.count() == 120
     assert codes.filter(F.col("n_id") == 999).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Frozen-index DuckDB oracle: the two k-means fits keep the ivfpq_topk
+# driver query rows-only, but SEARCH over a fixed index — coarse-cell
+# ranking, n_probe pruning, per-cell residual LUTs, packed-byte
+# extraction, LUT-sum ranking — is pure arithmetic. A hand-written
+# index (literal centers, literal books, literal codes partitioned by
+# cell) pins ivfpq_search against a DuckDB replay of the same math.
+# ---------------------------------------------------------------------------
+
+_FZI_CENTERS = [
+    [0.0, 0.0, 0.0, 0.0],
+    [1.0, 1.0, -1.0, 0.5],
+    [-1.0, 0.5, 1.0, -0.5],
+]
+_FZI_BOOKS = [
+    [[0.10, 0.25], [0.90, -0.40], [-0.35, 0.55], [0.70, 0.70]],
+    [[-0.20, 0.15], [0.45, 0.80], [0.05, -0.65], [-0.90, -0.10]],
+]
+# (n_id, cell, b0, b1) — codes chosen to cover every byte value and to
+# spread ids across all three cells (cell 1 is the pruned one below)
+_FZI_CODES = [
+    (0, 0, 0, 1), (1, 0, 1, 2), (2, 0, 2, 3), (3, 0, 3, 0),
+    (4, 1, 0, 0), (5, 1, 2, 1),
+    (6, 2, 1, 3), (7, 2, 3, 2), (8, 2, 0, 2), (9, 2, 2, 0),
+]
+_FZI_Q = [-0.40, 0.30, 0.45, -0.20]  # nearest cells: 0 and 2 (prunes 1)
+
+
+def _frozen_index(spark, tmp_path) -> str:
+    import json
+    import os
+
+    path = str(tmp_path / "fzi")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as f:
+        json.dump({
+            "dim": 4, "n_cells": 3, "m": 2, "nbits": 2, "seed": 0,
+            "residual": True, "metric": "l2",
+            "centers": _FZI_CENTERS, "books": _FZI_BOOKS,
+        }, f)
+    rows = [(nid, cell, b0 * 256 + b1) for nid, cell, b0, b1 in _FZI_CODES]
+    spark.createDataFrame(
+        rows, "n_id long, cell int, pq_code long"
+    ).repartition(3, "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/codes")
+    return path
+
+
+def _fzi_duck_sql(k: int) -> str:
+    """DuckDB replay from the same literals: rank cells by
+    ||c||² − 2 c·q (stable argsort), keep the 2 nearest, score each
+    surviving code with the LUT of its cell's query residual."""
+    code_rows = ", ".join(
+        f"({nid}, {cell}, {b0}, {b1})" for nid, cell, b0, b1 in _FZI_CODES
+    )
+
+    def cell_d2(c):
+        cc = " + ".join(f"{x!r}*{x!r}" for x in c)
+        dot = " + ".join(f"{x!r}*{q!r}" for x, q in zip(c, _FZI_Q))
+        return f"(({cc}) - 2.0*({dot}))"
+
+    cells_ranked = ", ".join(
+        f"({i}, {cell_d2(c)})" for i, c in enumerate(_FZI_CENTERS)
+    )
+
+    def lut(cell_idx, j):
+        # residual LUT: plain PQ table of (q - center) for this cell
+        vals = []
+        for c in _FZI_BOOKS[j]:
+            r0 = f"({_FZI_Q[2 * j]!r} - {_FZI_CENTERS[cell_idx][2 * j]!r})"
+            r1 = f"({_FZI_Q[2 * j + 1]!r} - {_FZI_CENTERS[cell_idx][2 * j + 1]!r})"
+            vals.append(
+                f"(({c[0]!r} - {r0})*({c[0]!r} - {r0})"
+                f" + ({c[1]!r} - {r1})*({c[1]!r} - {r1}))"
+            )
+        return f"[{', '.join(vals)}]"
+
+    score_cases = " ".join(
+        f"WHEN cell = {ci} THEN ({lut(ci, 0)}[b0 + 1] + {lut(ci, 1)}[b1 + 1])"
+        for ci in range(len(_FZI_CENTERS))
+    )
+    return f"""
+        WITH ranked AS (
+          SELECT cell FROM (VALUES {cells_ranked}) AS t(cell, d2)
+          ORDER BY d2, cell LIMIT 2
+        ),
+        codes(n_id, cell, b0, b1) AS (VALUES {code_rows})
+        SELECT n_id AS vec_id,
+               CASE {score_cases} END AS pq_score
+        FROM codes WHERE cell IN (SELECT cell FROM ranked)
+        ORDER BY pq_score, vec_id
+        LIMIT {k}
+    """
+
+
+def test_frozen_index_search_matches_duckdb(spark, tmp_path):
+    import duckdb
+
+    path = _frozen_index(spark, tmp_path)
+    got = [
+        (r["vec_id"], r["pq_score"])
+        for r in ivfpq_search(spark, path, _FZI_Q, k=6, n_probe=2).collect()
+    ]
+    want = [
+        (int(r[0]), float(r[1]))
+        for r in duckdb.sql(_fzi_duck_sql(k=6)).fetchall()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12, abs=1e-15)
+    # the pruned cell's ids (cell 1 = farthest from the query) never
+    # appear even when k exceeds the surviving candidate count
+    pruned = {nid for nid, cell, _, _ in _FZI_CODES if cell == 1}
+    assert pruned.isdisjoint({g[0] for g in got})

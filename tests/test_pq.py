@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from animaltrackingetls_spark.operators.pq import (
     pq_topk_rerank,
     PQCodebooks,
+    pq_adc_score_expr,
     pq_encode,
     pq_topk,
     pq_train,
@@ -332,3 +333,132 @@ def test_compression_ratio_claim(books):
     m-byte code vs dim float64s."""
     raw = DIM * 8
     assert raw / books.m == 32.0
+
+
+# ---------------------------------------------------------------------------
+# Frozen-codebook DuckDB oracle: the k-means FIT is not SQL-replayable
+# (which keeps the pq_topk driver query rows-only), but encode + ADC
+# GIVEN fixed codebooks is pure arithmetic. Freezing a tiny literal
+# codebook lets DuckDB replay the packed-code extraction, the LUT build,
+# and the LUT-sum ranking — the same move that promoted semantic_dedup
+# to hash-checked in round 8. Scores are compared to 1e-12 relative
+# (numpy's dgemm may fuse multiply-adds the SQL engine evaluates as
+# separate mul+add; codes and ranking must match EXACTLY).
+# ---------------------------------------------------------------------------
+
+_FZ_BOOKS = [
+    # book 0: 4 centroids over dims (0, 1)
+    [[0.10, 0.25], [0.90, -0.40], [-0.35, 0.55], [0.70, 0.70]],
+    # book 1: 4 centroids over dims (2, 3)
+    [[-0.20, 0.15], [0.45, 0.80], [0.05, -0.65], [-0.90, -0.10]],
+]
+_FZ_VECS = [
+    (0, [0.12, 0.22, -0.18, 0.12]),
+    (1, [0.88, -0.35, 0.40, 0.85]),
+    (2, [-0.30, 0.60, 0.10, -0.70]),
+    (3, [0.65, 0.72, -0.85, -0.05]),
+    (4, [0.05, 0.30, 0.50, 0.75]),
+    (5, [0.95, -0.45, -0.25, 0.20]),
+    (6, [-0.40, 0.50, 0.00, -0.60]),
+    (7, [0.75, 0.65, -0.95, -0.15]),
+    (8, [0.20, 0.10, 0.40, 0.90]),
+    (9, [-0.25, 0.45, -0.15, 0.05]),
+]
+_FZ_Q = [0.30, 0.20, 0.10, -0.10]
+
+
+def _frozen_books():
+    return PQCodebooks(m=2, k=4, dim=4, metric="l2", books=_FZ_BOOKS)
+
+
+def _fz_duck_sql(k: int | None = None) -> str:
+    """Generate the DuckDB replay from the SAME literals: per-subspace
+    argmin encode (first-minimum tie rule, matching numpy argmin),
+    big-endian byte pack, query LUT, LUT-sum score, (score, id) order."""
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in v)}])" for i, v in _FZ_VECS
+    )
+
+    def dists(j):
+        exprs = []
+        for c in _FZ_BOOKS[j]:
+            v0, v1 = f"emb[{2 * j + 1}]", f"emb[{2 * j + 2}]"
+            cc = f"({c[0]!r}*{c[0]!r} + {c[1]!r}*{c[1]!r})"
+            dot = f"({v0}*{c[0]!r} + {v1}*{c[1]!r})"
+            exprs.append(f"({cc} - 2.0*{dot})")
+        return f"[{', '.join(exprs)}]"
+
+    def lut(j):
+        vals = []
+        for c in _FZ_BOOKS[j]:
+            q0, q1 = _FZ_Q[2 * j], _FZ_Q[2 * j + 1]
+            vals.append(
+                f"(({c[0]!r} - {q0!r})*({c[0]!r} - {q0!r})"
+                f" + ({c[1]!r} - {q1!r})*({c[1]!r} - {q1!r}))"
+            )
+        return f"[{', '.join(vals)}]"
+
+    limit = f"LIMIT {k}" if k else ""
+    return f"""
+        WITH v(vec_id, emb) AS (VALUES {rows}),
+        d AS (
+          SELECT vec_id, {dists(0)} AS d0, {dists(1)} AS d1 FROM v
+        ),
+        enc AS (
+          SELECT vec_id,
+                 (list_position(d0, list_min(d0)) - 1) AS b0,
+                 (list_position(d1, list_min(d1)) - 1) AS b1
+          FROM d
+        )
+        SELECT vec_id,
+               (b0 * 256 + b1)::BIGINT AS pq_code,
+               ({lut(0)}[b0 + 1] + {lut(1)}[b1 + 1]) AS score
+        FROM enc
+        ORDER BY score, vec_id
+        {limit}
+    """
+
+
+def test_frozen_codebook_encode_matches_duckdb(spark):
+    import duckdb
+
+    books = _frozen_books()
+    df = spark.createDataFrame(_FZ_VECS, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["pq_code"]
+        for r in pq_encode(df, books).select("vec_id", "pq_code").collect()
+    }
+    oracle = duckdb.sql(_fz_duck_sql()).fetchall()
+    want = {int(r[0]): int(r[1]) for r in oracle}
+    assert got == want  # packed codes match bit-for-bit
+
+
+@pytest.mark.parametrize("impl", ["arrow", "expr"])
+def test_frozen_codebook_adc_ranking_matches_duckdb(spark, impl):
+    import duckdb
+
+    books = _frozen_books()
+    df = spark.createDataFrame(_FZ_VECS, "vec_id long, embedding array<double>")
+    enc = pq_encode(df, books)
+    scored = enc.select(
+        "vec_id",
+        pq_adc_score_expr(books, _FZ_Q, F.col("pq_code"), impl=impl).alias(
+            "score"
+        ),
+    ).orderBy("score", "vec_id")
+    got = [(r["vec_id"], r["score"]) for r in scored.collect()]
+    want = [(int(r[0]), float(r[2])) for r in duckdb.sql(_fz_duck_sql()).fetchall()]
+    assert [g[0] for g in got] == [w[0] for w in want]  # exact rank order
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12, abs=1e-15)
+
+
+def test_frozen_codebook_topk_matches_duckdb(spark):
+    import duckdb
+
+    books = _frozen_books()
+    df = spark.createDataFrame(_FZ_VECS, "vec_id long, embedding array<double>")
+    enc = pq_encode(df, books)
+    got = [r["vec_id"] for r in pq_topk(enc, books, _FZ_Q, k=5).collect()]
+    want = [int(r[0]) for r in duckdb.sql(_fz_duck_sql(k=5)).fetchall()]
+    assert got == want
