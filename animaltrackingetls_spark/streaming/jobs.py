@@ -731,13 +731,15 @@ def running_user_totals_tws(
     classic form: one cumulative (n_events, total_value) row per seen
     user per batch.
 
-    Runtime requirements (environment-bound, like the JDBC driver jar):
-    the TWS Python state server needs the ``protobuf`` package (absent
-    in this container — the parity test skips with that reason) and the
-    RocksDB state store provider
-    (``spark.sql.streaming.stateStore.providerClass`` =
-    ``...state.RocksDBStateStoreProvider``). The classic
-    ``running_user_totals`` has no such dependencies and is the
+    Runtime requirement (environment-bound, like the JDBC driver jar):
+    the TWS Python state server needs the ``protobuf`` wheel, absent in
+    this container (pip offline) — the parity test skips with that
+    reason. Re-attempted round 10: the RocksDB side is NOT a blocker
+    anymore (rocksdbjni-9.8.4 ships in pyspark/jars and the
+    RocksDBStateStoreProvider conf is accepted); the drain still dies
+    with 'TransformWithStateInPySpark driver worker exited unexpectedly'
+    because that worker imports google.protobuf at startup. The classic
+    ``running_user_totals`` has no such dependency and is the
     registered form.
     """
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle

@@ -1,0 +1,254 @@
+"""Round-10 measurements.
+
+1. ``streamupsert`` — the exactly-once streaming upsert sink
+   (``run_available_now_upsert_versioned``) exercised END TO END at
+   scale: a multi-batch AvailableNow stream of keyed aggregates is
+   upserted into a versioned base table of 1M/3M/10M rows
+   (append -> merge-upsert per micro-batch -> compaction), with an
+   injected duplicate-batch replay after the drain. Measured claims:
+
+   * per-batch merge+publish cost is FLAT ACROSS THE BATCH SEQUENCE
+     (no per-version accumulation pathology — keep_versions prunes and
+     each merge reads exactly one snapshot), and scales with the BASE
+     table (the merge must rewrite the snapshot, same as a lake-format
+     MERGE without partition pruning) — both curves printed;
+   * the replayed batch is a watermark no-op at every base size
+     (~0.1 s, never re-merging);
+   * compaction bounds the file count after the batch sequence and
+     carries the txn watermarks forward (replay STILL no-ops after
+     compaction — the end-to-end exactly-once property).
+
+2. ``benchdrift`` — the round-9 verdict's adjudication protocol for
+   the +20.7% r8->r9 bench drift, runnable once BENCH_r10.json exists:
+   reads two bench JSON lines, normalizes every shared per-query delta
+   by the calibration-block shift (gemm + range-agg mean ratio), and
+   prints the queries whose NORMALIZED delta still exceeds their own
+   kept-run spread. Pure JSON arithmetic — no Spark session.
+
+Run: python r10_experiments.py streamupsert [sizes...]
+     python r10_experiments.py benchdrift BENCH_r09.json BENCH_r10.json
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _mk_events_files(spark, path: str, n_rows: int, n_files: int) -> None:
+    """n_files parquet files of keyed values — one file per micro-batch
+    under maxFilesPerTrigger=1."""
+    from pyspark.sql import functions as F
+
+    for i in range(n_files):
+        (
+            spark.range(n_rows // n_files)
+            .select(
+                (F.col("id") % 50_000).alias("user_id"),
+                (F.col("id") % 997).cast("double").alias("value"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/f{i:03d}")
+        )
+
+
+def streamupsert(sizes: list[int]) -> None:
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.inventory import (
+        compact_versioned,
+        list_versions,
+        read_versioned,
+        txn_watermarks,
+        upsert_parquet_versioned,
+    )
+    from animaltrackingetls_spark.session import get_spark
+
+    spark = get_spark(extra_conf={"spark.ui.showConsoleProgress": "false"})
+    n_batches = 8
+    batch_rows = 400_000  # 50k updates per batch after the rollup
+
+    for base_n in sizes:
+        work = tempfile.mkdtemp(prefix="r10_streamupsert_")
+        table = os.path.join(work, "table")
+        src = os.path.join(work, "src")
+        ckpt = os.path.join(work, "ckpt")
+        try:
+            # base versioned table: base_n keyed rows
+            base = spark.range(base_n).select(
+                F.col("id").alias("user_id"),
+                F.lit(1).cast("long").alias("n_events"),
+                (F.col("id") % 13).cast("double").alias("total_value"),
+            )
+            t0 = time.monotonic()
+            upsert_parquet_versioned(spark, table, base, ["user_id"])
+            t_base = time.monotonic() - t0
+
+            _mk_events_files(spark, src, n_batches * batch_rows, n_batches)
+
+            # drive the sink by hand (one foreachBatch call per file via
+            # maxFilesPerTrigger=1) so each batch's wall is measured;
+            # the semantics are exactly run_available_now_upsert_versioned's
+            stream = (
+                spark.readStream.schema("user_id long, value double")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src + "/*")
+            )
+            per_batch: list[float] = []
+
+            def _sink(batch_df, batch_id):
+                t = time.monotonic()
+                updates = batch_df.groupBy("user_id").agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum("value").alias("total_value"),
+                )
+                upsert_parquet_versioned(
+                    batch_df.sparkSession, table, updates, ["user_id"],
+                    txn_app_id="r10stream", txn_version=batch_id,
+                )
+                per_batch.append(time.monotonic() - t)
+
+            q = (
+                stream.writeStream.foreachBatch(_sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(1800), "stream did not drain"
+            assert len(per_batch) == n_batches, per_batch
+
+            rows_after = read_versioned(spark, table).count()
+            marks = txn_watermarks(table)
+            assert marks.get("r10stream") == n_batches - 1, marks
+
+            # injected duplicate-batch replay (foreachBatch's
+            # at-least-once edge): same app id, LAST batch id, garbage
+            # values — must be a watermark no-op
+            garbage = spark.range(10).select(
+                F.col("id").alias("user_id"),
+                F.lit(-999).cast("long").alias("n_events"),
+                F.lit(-999.0).alias("total_value"),
+            )
+            t0 = time.monotonic()
+            upsert_parquet_versioned(
+                spark, table, garbage, ["user_id"],
+                txn_app_id="r10stream", txn_version=n_batches - 1,
+            )
+            t_replay = time.monotonic() - t0
+            assert read_versioned(spark, table).count() == rows_after
+            assert (
+                read_versioned(spark, table)
+                .filter(F.col("n_events") == -999).count() == 0
+            ), "replayed batch was re-applied"
+
+            # compaction bounds the file count; watermarks carried
+            t0 = time.monotonic()
+            rep = compact_versioned(spark, table, target_bytes=256 << 20)
+            t_compact = time.monotonic() - t0
+            cur_files = rep["files_after"] if rep["compacted"] else rep[
+                "files_before"
+            ]
+            assert cur_files <= rep["target_files"], rep
+            assert txn_watermarks(table).get("r10stream") == n_batches - 1
+            # and the replay must STILL no-op post-compaction
+            upsert_parquet_versioned(
+                spark, table, garbage, ["user_id"],
+                txn_app_id="r10stream", txn_version=n_batches - 1,
+            )
+            assert read_versioned(spark, table).count() == rows_after
+            assert len(list_versions(table)) <= 2
+
+            print(
+                json.dumps(
+                    {
+                        "exp": "streamupsert",
+                        "base_rows": base_n,
+                        "rows_after": rows_after,
+                        "n_batches": n_batches,
+                        "batch_rows": batch_rows,
+                        "t_base_load_s": round(t_base, 2),
+                        "per_batch_s": [round(x, 2) for x in per_batch],
+                        "batch_first_vs_last": round(
+                            per_batch[-1] / per_batch[1], 2
+                        ),
+                        "t_replay_noop_s": round(t_replay, 3),
+                        "t_compact_s": round(t_compact, 2),
+                        "compact": rep,
+                    }
+                ),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
+def benchdrift(old_path: str, new_path: str) -> None:
+    def _load(p: str) -> dict:
+        with open(p) as f:
+            txt = f.read()
+        # driver files wrap the JSON line in {"tail": "..."}; bare
+        # bench output is the line itself
+        try:
+            d = json.loads(txt)
+            if isinstance(d, dict) and "queries" in d:
+                return d
+            if isinstance(d, dict) and "tail" in d:
+                tail = d["tail"]
+                start = tail.find('{"metric"')
+                if start < 0:
+                    # tail may be truncated mid-line: reconstruct from
+                    # the last '{'-balanced region containing "queries"
+                    start = tail.rfind("{\"")
+                return json.loads(tail[start:].strip())
+        except json.JSONDecodeError:
+            pass
+        for line in reversed(txt.splitlines()):
+            if line.startswith('{"metric"'):
+                return json.loads(line)
+        raise ValueError(f"no bench JSON found in {p}")
+
+    old, new = _load(old_path), _load(new_path)
+    calib_ratio = 1.0
+    if "noise" in old and "noise" in new:
+        co, cn = old["noise"]["calib"], new["noise"]["calib"]
+        rg = cn["gemm_1024_s"] / co["gemm_1024_s"]
+        rr = cn["range_agg_20m_s"] / co["range_agg_20m_s"]
+        calib_ratio = (rg + rr) / 2.0
+    print(f"# calibration shift new/old: {calib_ratio:.4f} "
+          f"(normalize old by this before comparing)")
+    shared = sorted(set(old["queries"]) & set(new["queries"]))
+    rows = []
+    for name in shared:
+        o, n = old["queries"][name], new["queries"][name]
+        expected = o * calib_ratio
+        delta = (n - expected) / expected
+        sp = new.get("spread", {}).get(name)
+        spread_frac = (sp[1] - sp[0]) / n if sp and n else None
+        signal = (
+            spread_frac is not None and abs(delta) > max(spread_frac, 0.05)
+        )
+        rows.append((name, o, n, delta, spread_frac, signal))
+    rows.sort(key=lambda r: -abs(r[3]))
+    print(f"# {len(shared)} shared queries; sum old {sum(r[1] for r in rows):.2f}s"
+          f" -> new {sum(r[2] for r in rows):.2f}s")
+    for name, o, n, delta, spread_frac, signal in rows:
+        flag = "SIGNAL" if signal else "noise"
+        sf = f"{spread_frac:.0%}" if spread_frac is not None else "?"
+        print(f"{flag:6s} {name:28s} {o:7.3f} -> {n:7.3f}  "
+              f"norm-delta {delta:+.1%}  own-spread {sf}")
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "streamupsert"
+    if cmd == "streamupsert":
+        sizes = [int(x) for x in sys.argv[2:]] or [1_000_000, 3_000_000,
+                                                   10_000_000]
+        streamupsert(sizes)
+    elif cmd == "benchdrift":
+        benchdrift(sys.argv[2], sys.argv[3])
+    else:
+        raise SystemExit(f"unknown experiment {cmd!r}")
