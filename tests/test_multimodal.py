@@ -632,6 +632,12 @@ def test_multimodal_features_oracle_is_byte_accurate():
                 exp.append(
                     ("frame", doc_id, idx, [b / total for b in buckets])
                 )
-    key = lambda r: (r[0], r[1], r[2])
-    got_norm = sorted(((k, m, kk, list(f)) for k, m, kk, f in got), key=key)
-    assert got_norm == sorted(exp, key=key)
+    # round 10: the oracle emits exploded (kind, media_id, k, bucket,
+    # value) scalar rows (the driver's canonicalizer cannot sort array
+    # cells) — explode the expected features the same way
+    exp_rows = [
+        (kind, mid, k, b, v)
+        for kind, mid, k, feature in exp
+        for b, v in enumerate(feature)
+    ]
+    assert sorted(got) == sorted(exp_rows)
