@@ -2553,29 +2553,6 @@ def _q_catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.unionByName(prof).unionByName(hist).unionByName(pgm)
 
 
-def _q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-ranking pair folded: deterministic top-20 by price ('topk'
-    rows — still TakeOrderedAndProject inside its branch) and TPC-H
-    Q18-shaped large-quantity orders with customer detail ('q18' rows)."""
-    topk = _q_topk_orders(spark, sf_dir).select(
-        F.lit("topk").alias("kind"),
-        "o_orderkey",
-        "o_totalprice",
-        F.lit(None).cast("long").alias("c_custkey"),
-        F.lit(None).cast("string").alias("c_name"),
-        F.lit(None).cast("double").alias("total_qty"),
-    )
-    q18 = _q_q18_large_orders(spark, sf_dir).select(
-        F.lit("q18").alias("kind"),
-        "o_orderkey",
-        "o_totalprice",
-        F.col("c_custkey").cast("long"),
-        "c_name",
-        F.col("total_qty").cast("double"),
-    )
-    return topk.unionByName(q18)
-
-
 def _q_bloom_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-bitmap incremental ingest classification: corpus =
     documents with doc_id%3==0, batch = the rest; every batch doc is

@@ -187,29 +187,45 @@ def streamupsert(sizes: list[int]) -> None:
 
 
 def benchdrift(old_path: str, new_path: str) -> None:
+    import re
+
     def _load(p: str) -> dict:
         with open(p) as f:
             txt = f.read()
-        # driver files wrap the JSON line in {"tail": "..."}; bare
-        # bench output is the line itself
+        # driver files wrap the JSON line in {"tail": "..."} and may
+        # TRUNCATE its head; bare bench output is the line itself
         try:
             d = json.loads(txt)
-            if isinstance(d, dict) and "queries" in d:
-                return d
-            if isinstance(d, dict) and "tail" in d:
-                tail = d["tail"]
-                start = tail.find('{"metric"')
-                if start < 0:
-                    # tail may be truncated mid-line: reconstruct from
-                    # the last '{'-balanced region containing "queries"
-                    start = tail.rfind("{\"")
-                return json.loads(tail[start:].strip())
         except json.JSONDecodeError:
-            pass
-        for line in reversed(txt.splitlines()):
-            if line.startswith('{"metric"'):
-                return json.loads(line)
-        raise ValueError(f"no bench JSON found in {p}")
+            for line in reversed(txt.splitlines()):
+                if line.startswith('{"metric"'):
+                    return json.loads(line)
+            raise
+        if isinstance(d, dict) and "queries" in d:
+            return d
+        tail = d.get("tail", "")
+        start = tail.find('{"metric"')
+        if start >= 0:
+            return json.loads(tail[start:].strip())
+        # truncated head: recover the complete trailing dicts by name
+        # and whatever per-query medians survive in the fragment
+        out: dict = {"queries": {}}
+        for key in ("spread", "noise"):
+            m = re.search(rf'"{key}": ', tail)
+            if m:
+                dec = json.JSONDecoder()
+                out[key], _ = dec.raw_decode(tail[m.end():])
+        frag = tail[: re.search(r'"spread": ', tail).start()
+                    ] if '"spread": ' in tail else tail
+        for name, val in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)[,}]', frag):
+            out["queries"][name] = float(val)
+        # medians lost to truncation: fall back to the kept-run spread
+        # midpoint (the median lies inside the spread by construction)
+        for name, (lo, hi) in out.get("spread", {}).items():
+            out["queries"].setdefault(name, (lo + hi) / 2.0)
+        if not out["queries"]:
+            raise ValueError(f"no bench JSON found in {p}")
+        return out
 
     old, new = _load(old_path), _load(new_path)
     calib_ratio = 1.0
