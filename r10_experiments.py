@@ -18,7 +18,25 @@
      carries the txn watermarks forward (replay STILL no-ops after
      compaction — the end-to-end exactly-once property).
 
-2. ``benchdrift`` — the round-9 verdict's adjudication protocol for
+2. ``partupsert`` — the partition-pruned versioned upsert
+   (``upsert_parquet_versioned_partitioned``) against the plain sink
+   at 1M/10M/30M-row bases: 6 batches of 1,000 KEY-LOCALIZED keys each
+   (drawn from the top 2% of key space — the dimension-maintenance
+   norm: recent/active entities cluster in key order). Three arms:
+
+   * plain — full merge per batch (cost grows with base);
+   * hash-bucketed — measured FIRST CUT, kept as the negative result:
+     1k keys hash into ~all 64 buckets, nothing prunes, and the sink
+     pays full merge + partitioned-write overhead (slower than plain
+     at every size). Hash prunes only when batch DISTINCT keys ≪
+     n_buckets;
+   * range-bucketed (the fix the hash measurement forced) — localized
+     batches touch ~1-2 of 64 range buckets, the rest hardlink:
+     per-batch cost measured FLAT in base size.
+
+   All three final tables asserted row-identical.
+
+3. ``benchdrift`` — the round-9 verdict's adjudication protocol for
    the +20.7% r8->r9 bench drift, runnable once BENCH_r10.json exists:
    reads two bench JSON lines, normalizes every shared per-query delta
    by the calibration-block shift (gemm + range-agg mean ratio), and
@@ -26,6 +44,7 @@
    kept-run spread. Pure JSON arithmetic — no Spark session.
 
 Run: python r10_experiments.py streamupsert [sizes...]
+     python r10_experiments.py partupsert [sizes...]
      python r10_experiments.py benchdrift BENCH_r09.json BENCH_r10.json
 """
 from __future__ import annotations
@@ -186,6 +205,74 @@ def streamupsert(sizes: list[int]) -> None:
             shutil.rmtree(work, ignore_errors=True)
 
 
+def partupsert(sizes: list[int]) -> None:
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.inventory import (
+        read_versioned,
+        upsert_parquet_versioned,
+        upsert_parquet_versioned_partitioned,
+    )
+    from animaltrackingetls_spark.session import get_spark
+
+    spark = get_spark(extra_conf={"spark.ui.showConsoleProgress": "false"})
+    n_batches, batch_keys = 6, 1_000
+
+    for base_n in sizes:
+        work = tempfile.mkdtemp(prefix="r10_partupsert_")
+        try:
+            base = spark.range(base_n).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 13).cast("double").alias("v"),
+            )
+            results = {}
+            hot_lo = int(base_n * 0.98)  # the "active entities" key band
+            for mode in ("plain", "hash", "range"):
+                table = os.path.join(work, mode)
+
+                def sink(updates, txn):
+                    if mode == "plain":
+                        upsert_parquet_versioned(
+                            spark, table, updates, ["k"],
+                            txn_app_id="p", txn_version=txn,
+                        )
+                    else:
+                        upsert_parquet_versioned_partitioned(
+                            spark, table, updates, ["k"], n_buckets=64,
+                            txn_app_id="p", txn_version=txn, scheme=mode,
+                        )
+
+                t0 = time.monotonic()
+                sink(base, -1)
+                t_load = time.monotonic() - t0
+                per_batch = []
+                for b in range(n_batches):
+                    # deterministic KEY-LOCALIZED working set: 1k keys
+                    # per batch inside the top-2% key band
+                    upd = spark.range(batch_keys).select(
+                        (hot_lo + (F.col("id") * 7919 + b * 104729)
+                         % (base_n - hot_lo)).alias("k"),
+                        F.lit(float(100 + b)).alias("v"),
+                    ).dropDuplicates(["k"])
+                    t0 = time.monotonic()
+                    sink(upd, b)
+                    per_batch.append(time.monotonic() - t0)
+                results[mode] = {
+                    "t_load_s": round(t_load, 2),
+                    "per_batch_s": [round(x, 2) for x in per_batch],
+                }
+            a = read_versioned(spark, os.path.join(work, "plain"))
+            for mode in ("hash", "range"):
+                b_ = read_versioned(spark, os.path.join(work, mode))
+                assert a.count() == b_.count(), mode
+                assert a.exceptAll(b_).count() == 0, f"{mode} diverges"
+            print(json.dumps({"exp": "partupsert", "base_rows": base_n,
+                              "batch_keys": batch_keys, **results}),
+                  flush=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
 def benchdrift(old_path: str, new_path: str) -> None:
     import re
 
@@ -264,6 +351,10 @@ if __name__ == "__main__":
         sizes = [int(x) for x in sys.argv[2:]] or [1_000_000, 3_000_000,
                                                    10_000_000]
         streamupsert(sizes)
+    elif cmd == "partupsert":
+        sizes = [int(x) for x in sys.argv[2:]] or [1_000_000, 10_000_000,
+                                                   30_000_000]
+        partupsert(sizes)
     elif cmd == "benchdrift":
         benchdrift(sys.argv[2], sys.argv[3])
     else:

@@ -630,3 +630,188 @@ def test_compact_versioned_backs_off_on_concurrent_commit(
     assert "new" in got and {"k0_0", "k1_0", "k2_0"} <= got
     # the compactor's stale version dir is gone
     assert len(list_versions(t)) <= 4
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned versioned upsert (round 10)
+# ---------------------------------------------------------------------------
+
+
+def _pv(spark, n, keyshift=0):
+    return spark.createDataFrame(
+        [(i + keyshift, float(i % 5)) for i in range(n)], "k long, v double"
+    )
+
+
+def test_partitioned_upsert_parity_with_plain(spark, tmp_path):
+    from animaltrackingetls_spark.inventory import (
+        read_versioned,
+        upsert_parquet_versioned,
+        upsert_parquet_versioned_partitioned,
+    )
+
+    tp, tq = str(tmp_path / "part"), str(tmp_path / "plain")
+    steps = [
+        (_pv(spark, 500), None),
+        (_pv(spark, 50, keyshift=100), 0),   # overlap: update
+        (_pv(spark, 20, keyshift=1000), 1),  # disjoint: insert
+        (_pv(spark, 20, keyshift=1000), 1),  # replay: must no-op
+    ]
+    for df, txn in steps:
+        kw = {} if txn is None else {"txn_app_id": "s", "txn_version": txn}
+        upsert_parquet_versioned_partitioned(
+            spark, tp, df, ["k"], n_buckets=8, **kw
+        )
+        upsert_parquet_versioned(spark, tq, df, ["k"], **kw)
+    a, b = read_versioned(spark, tp), read_versioned(spark, tq)
+    assert a.columns == ["k", "v"]  # internal bucket column dropped
+    assert a.count() == b.count() == 520
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_partitioned_upsert_prunes_and_hardlinks(spark, tmp_path):
+    import os
+
+    from animaltrackingetls_spark.inventory import (
+        list_versions,
+        read_versioned,
+        upsert_parquet_versioned_partitioned as up,
+    )
+
+    t = str(tmp_path / "pp")
+    up(spark, t, _pv(spark, 2000), ["k"], n_buckets=8)
+    v1 = list_versions(t)[-1]
+    # inode census of v1's bucket files
+    v1_files = {
+        os.path.join(d, f): os.stat(os.path.join(t, v1, d, f)).st_ino
+        for d in os.listdir(os.path.join(t, v1))
+        if d.startswith("upsert_bucket=")
+        for f in os.listdir(os.path.join(t, v1, d))
+        if not f.startswith((".", "_"))
+    }
+    assert len(v1_files) == 8  # one file per bucket by construction
+
+    # one-key batch touches exactly one bucket
+    up(spark, t, _pv(spark, 1, keyshift=17), ["k"], n_buckets=8)
+    v2 = list_versions(t)[-1]
+    shared = rewritten = 0
+    for rel, ino in v1_files.items():
+        p2 = os.path.join(t, v2, rel)
+        if os.path.exists(p2) and os.stat(p2).st_ino == ino:
+            shared += 1
+    rewritten = 8 - shared
+    assert shared == 7 and rewritten == 1, (
+        f"expected 7 hardlinked + 1 rewritten bucket, got {shared} shared"
+    )
+    # prune v1 (keep_versions=2 retains v1+v2 -> force a third commit)
+    up(spark, t, _pv(spark, 1, keyshift=18), ["k"], n_buckets=8,
+       keep_versions=2)
+    assert list_versions(t)[0] != v1  # v1 pruned
+    # hardlinked data still readable after its source dir was deleted
+    assert read_versioned(spark, t).count() == 2000
+
+
+def test_partitioned_upsert_scan_prunes_partitions(spark, tmp_path):
+    import os
+    import re
+
+    from animaltrackingetls_spark.inventory import (
+        list_versions,
+        upsert_parquet_versioned_partitioned as up,
+    )
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "prune")
+    up(spark, t, _pv(spark, 2000), ["k"], n_buckets=8)
+    cur = list_versions(t)[-1]
+    df = spark.read.parquet(os.path.join(t, cur)).filter(
+        F.col("upsert_bucket").isin([1, 3])
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*IN \(1,3\)", plan)
+    assert m, f"bucket IN-list did not reach PartitionFilters:\n{plan[:800]}"
+
+
+def test_partitioned_upsert_layout_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.inventory import (
+        upsert_parquet_versioned,
+        upsert_parquet_versioned_partitioned as up,
+    )
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "guards")
+    up(spark, t, _pv(spark, 100), ["k"], n_buckets=8)
+    with _pytest.raises(ValueError, match="layout mismatch"):
+        up(spark, t, _pv(spark, 10), ["k"], n_buckets=4)
+    with _pytest.raises(ValueError, match="layout mismatch"):
+        up(spark, t, _pv(spark, 10).withColumnRenamed("k", "k2"), ["k2"],
+           n_buckets=8)
+    tq = str(tmp_path / "plainx")
+    upsert_parquet_versioned(spark, tq, _pv(spark, 100), ["k"])
+    with _pytest.raises(ValueError, match="unpartitioned writer"):
+        up(spark, tq, _pv(spark, 10), ["k"], n_buckets=8)
+    with _pytest.raises(ValueError, match="internal column"):
+        up(spark, t, _pv(spark, 10).withColumn(
+            "upsert_bucket", F.lit(1)), ["k"], n_buckets=8)
+    with _pytest.raises(ValueError, match="key columns"):
+        up(spark, t, _pv(spark, 10).drop("k"), ["k"], n_buckets=8)
+
+
+def test_partitioned_upsert_compaction_noop(spark, tmp_path):
+    from animaltrackingetls_spark.inventory import (
+        compact_versioned,
+        upsert_parquet_versioned_partitioned as up,
+    )
+
+    t = str(tmp_path / "cn")
+    up(spark, t, _pv(spark, 500), ["k"], n_buckets=8)
+    rep = compact_versioned(spark, t)
+    assert rep["compacted"] is False and "bucket-partitioned" in rep["reason"]
+
+
+def test_partitioned_upsert_schemes(spark, tmp_path):
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.inventory import (
+        read_versioned,
+        upsert_parquet_versioned_partitioned as up,
+    )
+    from pyspark.sql import functions as F
+
+    # hash scheme: composite keys allowed, still prunes + merges right
+    th = str(tmp_path / "hash")
+    df2k = spark.createDataFrame(
+        [(i, f"s{i % 3}", float(i)) for i in range(300)],
+        "k long, s string, v double",
+    )
+    up(spark, th, df2k, ["k", "s"], n_buckets=8, scheme="hash")
+    upd = spark.createDataFrame([(5, "s2", 99.0)], "k long, s string, v double")
+    up(spark, th, upd, ["k", "s"], n_buckets=8, scheme="hash")
+    got = read_versioned(spark, th).filter("k = 5 AND s = 's2'").collect()
+    assert [r.v for r in got] == [99.0]
+
+    # range rejects composite keys up front
+    with _pytest.raises(ValueError, match="ONE numeric"):
+        up(spark, str(tmp_path / "r2"), df2k, ["k", "s"], scheme="range")
+    # range rejects a key that casts to all-NULL doubles
+    sdf = spark.createDataFrame([("abc", 1.0), ("def", 2.0)],
+                                "k string, v double")
+    with _pytest.raises(ValueError, match="numeric-castable"):
+        up(spark, str(tmp_path / "r3"), sdf, ["k"], scheme="range")
+
+    # range scheme: out-of-creation-range inserts clamp to edge buckets
+    tr = str(tmp_path / "rng")
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("v"))
+    up(spark, tr, base, ["k"], n_buckets=4, scheme="range")
+    outliers = spark.createDataFrame(
+        [(-50, 1.0), (10_000, 2.0)], "k long, v double")
+    up(spark, tr, outliers, ["k"], n_buckets=4, scheme="range")
+    rows = {r.k: r.v for r in read_versioned(spark, tr)
+            .filter(F.col("k").isin([-50, 10_000])).collect()}
+    assert rows == {-50: 1.0, 10_000: 2.0}
+    # scheme mismatch on an existing table raises
+    with _pytest.raises(ValueError, match="layout mismatch"):
+        up(spark, tr, outliers, ["k"], n_buckets=4, scheme="hash")
