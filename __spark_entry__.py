@@ -3140,6 +3140,41 @@ def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVFADC serving shape (r10): the residual-ADC shortlist over
+    the cached partition-pruned code index, exact-L2 reranked via the
+    pushdown IN-list fetch of ONLY the shortlist's float rows
+    (operators/ivfpq.py:ivfpq_search_rerank). Rows-only like its ADC
+    sibling (two k-means fits); the rerank arithmetic itself is
+    codegen zip_with/aggregate, recall dominance pinned in
+    tests/test_ivfpq.py."""
+    import hashlib
+    import os
+    import tempfile
+
+    from animaltrackingetls_spark.operators import ivfpq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_file = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb_file)
+    key = hashlib.md5(
+        f"{emb_file}:{st.st_mtime_ns}:{st.st_size}:ivfpq1".encode()
+    ).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{key}")
+    if not os.path.exists(os.path.join(cache, "meta.json")):
+        ivfpq.ivfpq_build(
+            emb, cache, dim=64, n_cells=8, m=8, nbits=8, seed=42,
+            max_train_rows=8192,
+        )
+    q_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    ]
+    return ivfpq.ivfpq_search_rerank(
+        spark, cache, emb, q_vec, k=10, n_probe=3, oversample=5
+    ).select("vec_id", F.round(F.col("exact_score"), 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver verifies the oracle-backed prefix
     # against oracle_sql() — EXACTLY 50 entries since round 9, sized to
@@ -3226,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codebooks in test_pq.py / test_ivfpq.py)
         "pq_topk": _q_pq_topk,
         "ivfpq_topk": _q_ivfpq_topk,
+        "ivfpq_rerank": _q_ivfpq_rerank,
     }
 
 

@@ -46,7 +46,7 @@ from pyspark.sql.types import DoubleType
 from .pq import PQCodebooks, _adc_lut, _np_books, pq_train
 from .similarity import _as_double, _check_dim, _kmeanspp_lloyd
 
-__all__ = ["ivfpq_build", "ivfpq_search", "load_ivfpq_meta"]
+__all__ = ["ivfpq_build", "ivfpq_search", "ivfpq_search_rerank", "load_ivfpq_meta"]
 
 
 def _md5_thin(df: DataFrame, id_col: str, n: int, cap: int) -> DataFrame:
@@ -293,3 +293,61 @@ def ivfpq_search(
     return scored.orderBy(
         F.col("pq_score").asc_nulls_last(), F.col("vec_id").asc()
     ).limit(k)
+
+
+def ivfpq_search_rerank(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    oversample: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ shortlist → exact rerank — the full IVFADC serving shape
+    (coarse cells prune rows, residual codes prune bytes, exact math
+    only on the shortlist).
+
+    Stage 1 is :func:`ivfpq_search` with ``k * oversample``: the
+    corpus-wide work reads only the probed cells' 8-byte codes. Stage 2
+    collects the ≤ k·oversample shortlist ids (bounded driver action,
+    the pq_topk_rerank precedent) and fetches ONLY those rows' float
+    vectors from ``corpus`` via an ``isin`` IN-list parquet receives as
+    a pushed filter — on an id-sorted layout that is a row-group point
+    read, so the float column is never scanned corpus-wide. Exact L2
+    is computed with codegen ``zip_with``/``aggregate`` (no Python),
+    ties break on id.
+
+    Residual-ADC ranks well but its distances are approximations; the
+    rerank restores exact ordering among near-ties at the cost of
+    reading k·oversample float rows — recall@k of the reranked result
+    can only improve over raw ADC (pinned in tests/test_ivfpq.py).
+    """
+    if oversample < 1:
+        raise ValueError(
+            f"ivfpq_search_rerank: oversample must be >= 1, got {oversample}"
+        )
+    missing = [c for c in (id_col, vec_col) if c not in corpus.columns]
+    if missing:
+        raise ValueError(f"ivfpq_search_rerank: corpus lacks {missing}")
+    shortlist = ivfpq_search(
+        spark, path, query, k=k * oversample, n_probe=n_probe
+    )
+    ids = [r["vec_id"] for r in shortlist.select("vec_id").collect()]
+    if not ids:
+        candidates = corpus.filter(F.lit(False))
+    else:
+        candidates = corpus.filter(F.col(id_col).isin(ids))
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    vec = F.col(vec_col).cast("array<double>")
+    diff = F.zip_with(vec, qlit, lambda a, b: (a - b) * (a - b))
+    exact = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        candidates.select(
+            F.col(id_col).alias("vec_id"), exact.alias("exact_score")
+        )
+        .orderBy(F.col("exact_score").asc_nulls_last(), F.col("vec_id").asc())
+        .limit(k)
+    )

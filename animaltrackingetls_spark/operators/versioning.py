@@ -233,3 +233,41 @@ def as_of(dim: DataFrame, ts, ts_col_from: str = "valid_from",
         (F.col(ts_col_from) <= t)
         & (F.col(ts_col_to).isNull() | (F.col(ts_col_to) > t))
     )
+
+
+def table_changes(
+    spark,
+    table_dir: str,
+    key_cols: list[str],
+    from_version: str | None = None,
+    to_version: str | None = None,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change data feed over a versioned table
+    (inventory.upsert_parquet_versioned[_partitioned] layouts): the
+    added/removed/changed rows between two RETAINED snapshots —
+    Delta's ``table_changes`` shape, derived instead of logged.
+
+    Defaults compare the oldest retained snapshot to CURRENT. Output is
+    :func:`corpus_diff`'s (keys..., change, old_digest, new_digest),
+    churn-sized. Because both snapshots came through the keyed upsert
+    (keys unique by construction), the diff runs with its duplicate-key
+    guard ON — a violated invariant fails loudly rather than fanning
+    out. Retention bounds what is answerable: versions beyond
+    ``keep_versions`` are gone (FileNotFoundError via read_versioned),
+    the same contract as VACUUM'd CDF.
+
+    Scale: two snapshot scans + the digest diff's one shuffle per side;
+    on the bucket-partitioned layout the scans stay pruned if a caller
+    filters buckets, and digests ride the scan projection as always.
+    """
+    from ..inventory import list_versions, read_versioned
+
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions under {table_dir}")
+    if from_version is None:
+        from_version = versions[0]
+    old = read_versioned(spark, table_dir, from_version)
+    new = read_versioned(spark, table_dir, to_version)
+    return corpus_diff(old, new, key_cols, compare_cols)

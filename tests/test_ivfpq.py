@@ -324,3 +324,41 @@ def test_frozen_index_search_matches_duckdb(spark, tmp_path):
     # appear even when k exceeds the surviving candidate count
     pruned = {nid for nid, cell, _, _ in _FZI_CODES if cell == 1}
     assert pruned.isdisjoint({g[0] for g in got})
+
+
+def test_search_rerank_restores_exact_order(spark, corpus, rows, index_path):
+    from animaltrackingetls_spark.operators.ivfpq import ivfpq_search_rerank
+
+    q = rows[3][1]
+    exact = _exact_topk(rows, q, 10)
+    adc = [
+        r["vec_id"]
+        for r in ivfpq_search(spark, index_path, q, k=10, n_probe=4).collect()
+    ]
+    rr = ivfpq_search_rerank(
+        spark, index_path, corpus, q, k=10, n_probe=4, oversample=5
+    ).collect()
+    rr_ids = [r["vec_id"] for r in rr]
+    # rerank recall can only match-or-beat raw ADC recall
+    r_adc = len(set(adc) & set(exact)) / 10
+    r_rr = len(set(rr_ids) & set(exact)) / 10
+    assert r_rr >= r_adc
+    # scores are EXACT L2 and ascending
+    import numpy as np
+
+    vec = {i: v for i, v in rows}
+    for r in rr:
+        want = float(np.sum((np.asarray(vec[r["vec_id"]]) - np.asarray(q)) ** 2))
+        assert abs(r["exact_score"] - want) < 1e-9
+    assert [r["exact_score"] for r in rr] == sorted(
+        r["exact_score"] for r in rr
+    )
+    # guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="oversample"):
+        ivfpq_search_rerank(spark, index_path, corpus, q, oversample=0)
+    with _pytest.raises(ValueError, match="corpus lacks"):
+        ivfpq_search_rerank(
+            spark, index_path, corpus.withColumnRenamed("embedding", "e"), q
+        )

@@ -217,3 +217,53 @@ def test_scd2_validation(spark):
     hist = spark.createDataFrame([Row(k="u", s="a", ts=_ts(1), i=0)])
     with pytest.raises(ValueError, match="attribute"):
         V.scd2_from_history(hist, ["k"], [], "ts")
+
+
+def test_table_changes_between_retained_versions(spark, tmp_path):
+    from animaltrackingetls_spark.inventory import (
+        list_versions,
+        upsert_parquet_versioned,
+        upsert_parquet_versioned_partitioned,
+    )
+
+    # plain layout
+    t = str(tmp_path / "cdf")
+    upsert_parquet_versioned(
+        spark, t,
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                              "k long, txt string"),
+        ["k"], keep_versions=3,
+    )
+    upsert_parquet_versioned(
+        spark, t,
+        spark.createDataFrame([(2, "B"), (4, "d")], "k long, txt string"),
+        ["k"], keep_versions=3,
+    )
+    got = {
+        r.k: r.change
+        for r in V.table_changes(spark, t, ["k"]).collect()
+    }
+    assert got == {2: "changed", 4: "added"}
+    # explicit endpoints: v2 -> v2 is empty churn
+    v2 = list_versions(t)[-1]
+    assert V.table_changes(spark, t, ["k"], from_version=v2,
+                           to_version=v2).count() == 0
+
+    # bucket-partitioned layout: internal column dropped before diff
+    tp = str(tmp_path / "cdfp")
+    upsert_parquet_versioned_partitioned(
+        spark, tp,
+        spark.createDataFrame([(i, float(i)) for i in range(100)],
+                              "k long, v double"),
+        ["k"], n_buckets=4, keep_versions=3,
+    )
+    upsert_parquet_versioned_partitioned(
+        spark, tp,
+        spark.createDataFrame([(5, -1.0), (200, 1.0)], "k long, v double"),
+        ["k"], n_buckets=4, keep_versions=3,
+    )
+    got = {r.k: r.change for r in V.table_changes(spark, tp, ["k"]).collect()}
+    assert got == {5: "changed", 200: "added"}
+
+    with pytest.raises(FileNotFoundError):
+        V.table_changes(spark, str(tmp_path / "missing"), ["k"])
