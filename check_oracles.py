@@ -23,6 +23,19 @@ SF_DIR = "/root/testdata/sf0.01"
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # DRIVER-PARITY PROBE (r10): the driver sorts RAW column values —
+    # no object stringify — and r9's one red row was a frame every
+    # local gate passed because _canon stringified the unsortable
+    # array column first. Probe the raw sort so the local gate fails
+    # exactly where the driver would.
+    try:
+        df.sort_values(by=list(df.columns), kind="mergesort")
+    except TypeError as err:
+        raise TypeError(
+            f"driver-canonicalizer hazard: raw sort_values failed ({err}) "
+            "— a column holds values the driver cannot sort (arrays/maps/"
+            "structs?); project them to scalars in query AND oracle"
+        ) from err
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
