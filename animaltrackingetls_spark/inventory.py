@@ -598,6 +598,125 @@ def upsert_parquet_versioned_partitioned(
     raise last_err
 
 
+def delete_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    keep_versions: int = 2,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+    retries: int = 2,
+) -> DataFrame:
+    """Keyed DELETE from a versioned table — the right-to-be-forgotten
+    operation (GDPR/erasure requests) every long-lived training-data
+    store eventually runs; publishes a new snapshot through the same
+    CAS commit (replay watermarks, conflict retry) as the upserts.
+
+    ``keys`` is a DataFrame carrying ``key_cols``; matching rows are
+    removed with a LEFT ANTI join (small deletion lists broadcast —
+    Catalyst picks BHJ under the threshold). Time travel caveat stated
+    plainly: erased rows remain readable in RETAINED older versions
+    until retention prunes them — for a hard erasure run with
+    ``keep_versions=1`` so the publish prunes history in the same
+    commit.
+
+    Layout-aware like the upsert: on a bucket-partitioned table only
+    the buckets the deletion keys map into are read (PartitionFilters)
+    and rewritten; every untouched bucket hardlinks into the new
+    snapshot. On a plain table the snapshot is rewritten through the
+    anti join (the honest full-merge cost model).
+    """
+    import os
+    import shutil
+    import uuid
+
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be given together")
+    missing = [c for c in key_cols if c not in keys.columns]
+    if missing:
+        raise ValueError(f"keys frame lacks key columns: {missing}")
+
+    layout = _table_layout(table_dir)
+    if layout is not None and layout.get("key_cols") != list(key_cols):
+        raise ValueError(
+            f"layout mismatch for {table_dir}: table is bucketed on "
+            f"{layout.get('key_cols')}, delete asked {key_cols}"
+        )
+
+    kdf = keys.select(*key_cols).dropDuplicates(key_cols)
+    last_err: ConcurrentWriteError | None = None
+    for _attempt in range(max(0, retries) + 1):
+        marks = txn_watermarks(table_dir)
+        if (
+            txn_app_id is not None
+            and txn_app_id in marks
+            and marks[txn_app_id] >= txn_version
+        ):
+            return read_versioned(spark, table_dir)
+
+        current = _current_version(table_dir)
+        if current is None:
+            raise FileNotFoundError(f"no published snapshot under {table_dir}")
+        cdir = os.path.join(table_dir, current)
+        seq = int(current.split("-")[1]) + 1
+        version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
+        vdir = os.path.join(table_dir, version)
+
+        if layout is None:
+            existing = spark.read.parquet(cdir)
+            remaining = existing.join(
+                F.broadcast(kdf), on=key_cols, how="left_anti"
+            )
+            remaining.write.mode("error").parquet(vdir)
+            untouched: list[str] = []
+        else:
+            n_buckets = layout["n_buckets"]
+            if layout.get("scheme", "hash") == "range":
+                bucket = _bucket_expr_range(key_cols[0], layout["bounds"])
+            else:
+                bucket = _bucket_expr(key_cols, n_buckets)
+            kb = kdf.withColumn(_BUCKET_COL, bucket)
+            touched = sorted(
+                r[0] for r in kb.select(_BUCKET_COL).distinct().collect()
+            )
+            existing = spark.read.parquet(cdir).filter(
+                F.col(_BUCKET_COL).isin(touched)
+            )
+            remaining = existing.join(
+                F.broadcast(kb.drop(_BUCKET_COL)), on=key_cols, how="left_anti"
+            )
+            (
+                remaining.repartition(max(1, len(touched)), F.col(_BUCKET_COL))
+                .write.mode("error")
+                .partitionBy(_BUCKET_COL)
+                .parquet(vdir)
+            )
+            untouched = [
+                d for d in os.listdir(cdir)
+                if d.startswith(f"{_BUCKET_COL}=")
+                and int(d.split("=", 1)[1]) not in set(touched)
+            ]
+        for d in untouched:
+            src, dst = os.path.join(cdir, d), os.path.join(vdir, d)
+            os.makedirs(dst, exist_ok=True)
+            for fname in os.listdir(src):
+                if fname.startswith((".", "_")):
+                    continue
+                os.link(os.path.join(src, fname), os.path.join(dst, fname))
+
+        if txn_app_id is not None:
+            marks[txn_app_id] = int(txn_version)
+        try:
+            _publish_version(table_dir, version, marks, keep_versions,
+                             expected_base=current)
+            return read_versioned(spark, table_dir)
+        except ConcurrentWriteError as err:
+            shutil.rmtree(vdir, ignore_errors=True)
+            last_err = err
+    raise last_err
+
+
 _UNCHECKED = object()  # sentinel: publish without a base-version check
 
 

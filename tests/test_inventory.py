@@ -815,3 +815,78 @@ def test_partitioned_upsert_schemes(spark, tmp_path):
     # scheme mismatch on an existing table raises
     with _pytest.raises(ValueError, match="layout mismatch"):
         up(spark, tr, outliers, ["k"], n_buckets=4, scheme="hash")
+
+
+def test_delete_versioned_both_layouts(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.inventory import (
+        delete_versioned,
+        list_versions,
+        read_versioned,
+        txn_watermarks,
+        upsert_parquet_versioned,
+        upsert_parquet_versioned_partitioned,
+    )
+    from pyspark.sql import functions as F
+
+    kdf = spark.createDataFrame([(3,), (5,), (999_999,)], "k long")
+
+    # plain layout: anti-join rewrite; missing keys are a no-op
+    t = str(tmp_path / "del_plain")
+    upsert_parquet_versioned(spark, t, _pv(spark, 100), ["k"])
+    out = delete_versioned(spark, t, kdf, ["k"])
+    assert out.count() == 98
+    assert out.filter(F.col("k").isin([3, 5])).count() == 0
+
+    # partitioned layout: only touched buckets rewritten, rest hardlink
+    tp = str(tmp_path / "del_part")
+    upsert_parquet_versioned_partitioned(
+        spark, tp, _pv(spark, 2000), ["k"], n_buckets=8, scheme="range"
+    )
+    v1 = list_versions(tp)[-1]
+    inos = {
+        d: {f: os.stat(os.path.join(tp, v1, d, f)).st_ino
+            for f in os.listdir(os.path.join(tp, v1, d))
+            if not f.startswith((".", "_"))}
+        for d in os.listdir(os.path.join(tp, v1))
+        if d.startswith("upsert_bucket=")
+    }
+    out = delete_versioned(spark, tp, spark.createDataFrame([(10,)], "k long"),
+                           ["k"])
+    assert out.count() == 1999 and out.filter("k = 10").count() == 0
+    v2 = list_versions(tp)[-1]
+    shared = sum(
+        1 for d, files in inos.items()
+        for f, ino in files.items()
+        if os.path.exists(os.path.join(tp, v2, d, f))
+        and os.stat(os.path.join(tp, v2, d, f)).st_ino == ino
+    )
+    assert shared == 7  # 7 of 8 buckets hardlinked, 1 rewritten
+
+    # exactly-once: a replayed delete batch is a watermark no-op
+    delete_versioned(spark, tp, spark.createDataFrame([(20,)], "k long"),
+                     ["k"], txn_app_id="d", txn_version=0)
+    n_after = read_versioned(spark, tp).count()
+    delete_versioned(spark, tp, spark.createDataFrame([(30,)], "k long"),
+                     ["k"], txn_app_id="d", txn_version=0)  # replay
+    assert read_versioned(spark, tp).count() == n_after
+    assert read_versioned(spark, tp).filter("k = 30").count() == 1
+    assert txn_watermarks(tp)["d"] == 0
+
+    # hard-erasure: keep_versions=1 leaves no older snapshot retaining
+    # the deleted rows
+    delete_versioned(spark, tp, spark.createDataFrame([(40,)], "k long"),
+                     ["k"], keep_versions=1)
+    assert len(list_versions(tp)) == 1
+    assert read_versioned(spark, tp).filter("k = 40").count() == 0
+
+    # guards
+    with _pytest.raises(ValueError, match="lacks key columns"):
+        delete_versioned(spark, tp, spark.range(3), ["k"])
+    with _pytest.raises(ValueError, match="layout mismatch"):
+        delete_versioned(spark, tp, kdf.withColumnRenamed("k", "z"), ["z"])
+    with _pytest.raises(FileNotFoundError):
+        delete_versioned(spark, str(tmp_path / "nope"), kdf, ["k"])
