@@ -958,6 +958,8 @@ def run_available_now_upsert_versioned(
     transform=None,
     keep_versions: int = 2,
     timeout_seconds: int = 120,
+    n_buckets: int | None = None,
+    bucket_scheme: str = "range",
 ) -> None:
     """Exactly-once streaming upsert into a versioned parquet table —
     the transactional sibling of the anti-join idempotence
@@ -986,23 +988,48 @@ def run_available_now_upsert_versioned(
     re-publish, see ``inventory.ConcurrentWriteError``), so interleaved
     writers serialize instead of silently dropping each other's
     snapshot; watermark maps are carried forward through every commit,
-    so neither stream can regress the other's replay protection."""
+    so neither stream can regress the other's replay protection.
 
-    from animaltrackingetls_spark.inventory import upsert_parquet_versioned
+    ``n_buckets`` (r10) routes every batch through
+    :func:`~..inventory.upsert_parquet_versioned_partitioned` instead:
+    the table is laid out ``partitionBy(upsert_bucket)`` (``scheme``
+    per ``bucket_scheme``; range needs one numeric key) and each
+    micro-batch merges ONLY its touched buckets, hardlinking the rest —
+    the measured per-batch-flat-in-base-size sink (SCALING.md round
+    10), which is what a long-running stream maintaining a large keyed
+    table needs. Default (None) keeps the plain full-merge layout."""
+
+    from animaltrackingetls_spark.inventory import (
+        upsert_parquet_versioned,
+        upsert_parquet_versioned_partitioned,
+    )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         updates = transform(batch_df) if transform is not None else batch_df
-        upsert_parquet_versioned(
-            batch_df.sparkSession,
-            table_dir,
-            updates,
-            key_cols,
-            keep_versions=keep_versions,
-            txn_app_id=app_id,
-            txn_version=batch_id,
-        )
+        if n_buckets is None:
+            upsert_parquet_versioned(
+                batch_df.sparkSession,
+                table_dir,
+                updates,
+                key_cols,
+                keep_versions=keep_versions,
+                txn_app_id=app_id,
+                txn_version=batch_id,
+            )
+        else:
+            upsert_parquet_versioned_partitioned(
+                batch_df.sparkSession,
+                table_dir,
+                updates,
+                key_cols,
+                n_buckets=n_buckets,
+                keep_versions=keep_versions,
+                txn_app_id=app_id,
+                txn_version=batch_id,
+                scheme=bucket_scheme,
+            )
 
     q = (
         stream.writeStream.foreachBatch(_sink)

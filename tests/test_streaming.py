@@ -936,3 +936,61 @@ def test_streaming_versioned_upsert_exactly_once_replay(spark, tmp_path):
     )
     got = {r["user_id"]: r["n"] for r in read_versioned(spark, table).collect()}
     assert got == {0: 4, 1: 4}
+
+
+def test_streaming_versioned_upsert_partitioned_layout(spark, tmp_path):
+    """n_buckets routes the exactly-once sink through the
+    partition-pruned layout: bucket dirs on disk, replay still a
+    watermark no-op, final counts identical to the plain sink's."""
+    import os
+
+    from animaltrackingetls_spark.inventory import (
+        list_versions,
+        read_versioned,
+        txn_watermarks,
+        upsert_parquet_versioned_partitioned,
+    )
+    from animaltrackingetls_spark.streaming.jobs import (
+        run_available_now_upsert_versioned,
+    )
+
+    src = tmp_path / "ev_part"
+    table = str(tmp_path / "part_rollup")
+    ckpt = str(tmp_path / "ckpt_part")
+    rows = [
+        (i, datetime.datetime(2024, 5, 1, 9, i), i % 4, "click", 1.0, "{}")
+        for i in range(8)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    def per_user_counts(batch):
+        return batch.groupBy("user_id").agg(F.count("*").alias("n"))
+
+    stream = read_event_stream(spark, str(src))
+    run_available_now_upsert_versioned(
+        stream, table, ckpt, ["user_id"], app_id="pr",
+        transform=per_user_counts, n_buckets=4,
+    )
+    got = {r["user_id"]: r["n"] for r in read_versioned(spark, table).collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 3: 2}
+    # bucketed layout on disk
+    cur = list_versions(table)[-1]
+    assert any(
+        d.startswith("upsert_bucket=")
+        for d in os.listdir(os.path.join(table, cur))
+    )
+    # replay of batch 0 through the partitioned writer: watermark no-op
+    upsert_parquet_versioned_partitioned(
+        spark, table,
+        per_user_counts(spark.createDataFrame(rows, schema)),
+        ["user_id"], n_buckets=4, txn_app_id="pr", txn_version=0,
+    )
+    got = {r["user_id"]: r["n"] for r in read_versioned(spark, table).collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 3: 2}
+    assert txn_watermarks(table)["pr"] == 0
