@@ -88,7 +88,12 @@ def empty_inventory(spark: SparkSession) -> DataFrame:
     )
 
 
-def merge_upsert(existing: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+def merge_upsert(
+    existing: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    merge_schema: bool = False,
+) -> DataFrame:
     """Keyed upsert as a DataFrame op: updates win over existing rows on
     the same key; keys only in one side pass through.
 
@@ -98,10 +103,25 @@ def merge_upsert(existing: DataFrame, updates: DataFrame, key_cols: list[str]) -
     update rows for the same key in one run) break on the row's full
     rendered value, never shuffle arrival order — a catalog value must
     not vary run-to-run.
+
+    ``merge_schema=True`` is Delta's mergeSchema posture: a column
+    present on only one side is NULL-filled on the other (new columns
+    evolve in, old columns survive an update batch that stopped
+    carrying them). Default False keeps the strict contract — a
+    mismatched batch fails loudly, the right default for a catalog
+    whose schema should never drift silently.
     """
     e = existing.withColumn("_prio", F.lit(0))
     u = updates.withColumn("_prio", F.lit(1))
-    all_rows = e.unionByName(u)
+    if merge_schema:
+        missing_keys = [c for c in key_cols if c not in updates.columns]
+        if missing_keys:
+            raise ValueError(
+                f"merge_schema cannot NULL-fill key columns: {missing_keys}"
+            )
+        all_rows = e.unionByName(u, allowMissingColumns=True)
+    else:
+        all_rows = e.unionByName(u)
     value_cols = [c for c in all_rows.columns if c not in (*key_cols, "_prio")]
     tiebreak = (
         [F.desc(F.to_json(F.struct(*value_cols)))] if value_cols else []
@@ -258,6 +278,7 @@ def upsert_parquet_versioned(
     txn_version: int | None = None,
     target_files: int | None = None,
     retries: int = 2,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Keyed upsert with SNAPSHOT-ATOMIC publish — closes the
     `upsert_parquet` transactionality gap without a lake format.
@@ -344,7 +365,8 @@ def upsert_parquet_versioned(
             seq = 1
         else:
             existing = spark.read.parquet(os.path.join(table_dir, current))
-            merged = merge_upsert(existing, updates, key_cols)
+            merged = merge_upsert(existing, updates, key_cols,
+                                  merge_schema=merge_schema)
             seq = int(current.split("-")[1]) + 1
 
         version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
@@ -428,6 +450,7 @@ def upsert_parquet_versioned_partitioned(
     txn_version: int | None = None,
     retries: int = 2,
     scheme: str = "range",
+    merge_schema: bool = False,
 ) -> DataFrame:
     """:func:`upsert_parquet_versioned` with a PARTITION-PRUNED merge —
     the lever that makes per-batch cost proportional to the batch, not
@@ -559,7 +582,8 @@ def upsert_parquet_versioned_partitioned(
             existing = spark.read.parquet(cdir).filter(
                 F.col(_BUCKET_COL).isin(touched)
             )
-            merged = merge_upsert(existing, u, key_cols)
+            merged = merge_upsert(existing, u, key_cols,
+                                  merge_schema=merge_schema)
             seq = int(current.split("-")[1]) + 1
             untouched = [
                 d for d in os.listdir(cdir)

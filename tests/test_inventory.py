@@ -475,7 +475,7 @@ def test_versioned_upsert_concurrent_writer_detected_and_retried(
     real_merge = inv.merge_upsert
     fired = {"done": False}
 
-    def racing_merge(existing, updates, key_cols):
+    def racing_merge(existing, updates, key_cols, **kw):
         if not fired["done"]:
             fired["done"] = True
             # writer B commits between A's base read and A's publish
@@ -484,7 +484,7 @@ def test_versioned_upsert_concurrent_writer_detected_and_retried(
                 spark.createDataFrame([("k3", 3)], "k string, v int"),
                 ["k"],
             )
-        return real_merge(existing, updates, key_cols)
+        return real_merge(existing, updates, key_cols, **kw)
 
     monkeypatch.setattr(inv, "merge_upsert", racing_merge)
     upsert_parquet_versioned(
@@ -514,7 +514,7 @@ def test_versioned_upsert_conflict_raises_with_retries_exhausted(
     real_merge = inv.merge_upsert
     in_race = {"active": False}
 
-    def always_racing_merge(existing, updates, key_cols):
+    def always_racing_merge(existing, updates, key_cols, **kw):
         if not in_race["active"]:
             in_race["active"] = True
             try:
@@ -525,7 +525,7 @@ def test_versioned_upsert_conflict_raises_with_retries_exhausted(
                 )
             finally:
                 in_race["active"] = False
-        return real_merge(existing, updates, key_cols)
+        return real_merge(existing, updates, key_cols, **kw)
 
     monkeypatch.setattr(inv, "merge_upsert", always_racing_merge)
     with _pytest.raises(ConcurrentWriteError, match="concurrent writer"):
@@ -890,3 +890,59 @@ def test_delete_versioned_both_layouts(spark, tmp_path):
         delete_versioned(spark, tp, kdf.withColumnRenamed("k", "z"), ["z"])
     with _pytest.raises(FileNotFoundError):
         delete_versioned(spark, str(tmp_path / "nope"), kdf, ["k"])
+
+
+def test_versioned_upsert_schema_evolution(spark, tmp_path):
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.inventory import (
+        merge_upsert,
+        read_versioned,
+        upsert_parquet_versioned,
+        upsert_parquet_versioned_partitioned,
+    )
+
+    # strict default: a mismatched batch fails loudly
+    t = str(tmp_path / "evo")
+    upsert_parquet_versioned(
+        spark, t, spark.createDataFrame([(1, "a")], "k long, v string"), ["k"]
+    )
+    widened = spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, v string, score double"
+    )
+    with _pytest.raises(Exception):
+        upsert_parquet_versioned(spark, t, widened, ["k"])
+
+    # merge_schema=True: new column evolves in, old rows NULL-filled
+    out = upsert_parquet_versioned(spark, t, widened, ["k"],
+                                   merge_schema=True)
+    rows = {r.k: (r.v, r.score) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+    # a later NARROW batch (stopped carrying score) keeps the column
+    narrow = spark.createDataFrame([(1, "a2")], "k long, v string")
+    out = upsert_parquet_versioned(spark, t, narrow, ["k"],
+                                   merge_schema=True)
+    rows = {r.k: (r.v, r.score) for r in out.collect()}
+    assert rows == {1: ("a2", None), 2: ("b", 9.5)}
+
+    # key columns can never be NULL-filled in
+    with _pytest.raises(ValueError, match="key columns"):
+        merge_upsert(
+            spark.createDataFrame([(1, "a")], "k long, v string"),
+            spark.createDataFrame([("x",)], "v string"),
+            ["k"], merge_schema=True,
+        )
+
+    # partitioned layout evolves too (bucket column is key-derived,
+    # unaffected by value-column drift)
+    tp = str(tmp_path / "evop")
+    upsert_parquet_versioned_partitioned(
+        spark, tp, spark.createDataFrame([(1, "a")], "k long, v string"),
+        ["k"], n_buckets=4,
+    )
+    out = upsert_parquet_versioned_partitioned(
+        spark, tp, widened, ["k"], n_buckets=4, merge_schema=True
+    )
+    rows = {r.k: (r.v, r.score) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
