@@ -741,6 +741,108 @@ def delete_versioned(
     raise last_err
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Hardlink every data file of a snapshot directory into ``dst``,
+    preserving the (bucket) subdirectory structure. Zero bytes copied;
+    link targets are immutable by the versioned-table convention."""
+    import os
+
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        for fname in files:
+            if fname.startswith((".", "_")):
+                continue
+            os.link(os.path.join(root, fname), os.path.join(out, fname))
+
+
+def clone_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    dest_dir: str,
+    version: str | None = None,
+) -> DataFrame:
+    """Zero-copy CLONE of a versioned table (Delta's shallow CLONE made
+    durable by hardlinks): the chosen snapshot (CURRENT by default, or
+    any retained version) becomes version 1 of a NEW table at
+    ``dest_dir`` without copying a byte — every data file is a
+    hardlink, safe because snapshots are immutable and writers only
+    ever create new version directories. The clone then evolves
+    independently: upserts/deletes on either table never touch shared
+    inodes in place. Layout sidecars (bucket scheme) carry over;
+    replay watermarks do NOT (a clone is a new logical stream target —
+    carrying them would silently no-op the first replayed batches of
+    whatever pipeline adopts the clone).
+
+    Single-filesystem scope like the rest of the hardlink machinery;
+    the object-store equivalent is manifest-reference copying."""
+    import json
+    import os
+    import uuid
+
+    if version is None:
+        version = _current_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no published snapshot under {table_dir}")
+    elif version not in list_versions(table_dir):
+        raise FileNotFoundError(
+            f"version {version!r} not retained under {table_dir}"
+        )
+    if _current_version(dest_dir) is not None or list_versions(dest_dir):
+        raise ValueError(f"clone target {dest_dir} already holds a table")
+    os.makedirs(dest_dir, exist_ok=True)
+    layout = _table_layout(table_dir)
+    if layout is not None:
+        with open(os.path.join(dest_dir, _LAYOUT_SIDECAR), "w") as f:
+            json.dump(layout, f)
+    new_version = f"v-{1:06d}-{uuid.uuid4().hex[:8]}"
+    _link_tree(os.path.join(table_dir, version),
+               os.path.join(dest_dir, new_version))
+    # drop the source's txn sidecar if the walk brought structure over
+    # (it skips _-prefixed files, so nothing to remove — publish with
+    # EMPTY marks by design)
+    _publish_version(dest_dir, new_version, {}, keep_versions=1,
+                     expected_base=None)
+    return read_versioned(spark, dest_dir)
+
+
+def restore_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    version: str,
+    keep_versions: int = 2,
+) -> DataFrame:
+    """RESTORE: make a retained older snapshot the CURRENT one again
+    (Delta's RESTORE TO VERSION), as a roll-forward — the restored data
+    is hardlinked into a brand-new version directory and published
+    through the same CAS commit, so history stays append-only and
+    in-flight readers are never yanked.
+
+    Replay watermarks are CARRIED FORWARD from the current snapshot,
+    not reset to the restored one's: a restore undoes DATA, not replay
+    protection — resetting the watermark would let an at-least-once
+    stream re-apply batches it already applied (double-count), which is
+    never what a rollback means."""
+    import os
+    import uuid
+
+    if version not in list_versions(table_dir):
+        raise FileNotFoundError(
+            f"version {version!r} not retained under {table_dir} "
+            f"(have: {list_versions(table_dir)})"
+        )
+    current = _current_version(table_dir)
+    marks = txn_watermarks(table_dir)
+    seq = int(current.split("-")[1]) + 1 if current else 1
+    new_version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
+    _link_tree(os.path.join(table_dir, version),
+               os.path.join(table_dir, new_version))
+    _publish_version(table_dir, new_version, marks, keep_versions,
+                     expected_base=current)
+    return read_versioned(spark, table_dir)
+
+
 _UNCHECKED = object()  # sentinel: publish without a base-version check
 
 

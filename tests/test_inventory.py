@@ -946,3 +946,93 @@ def test_versioned_upsert_schema_evolution(spark, tmp_path):
     )
     rows = {r.k: (r.v, r.score) for r in out.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_clone_and_restore_versioned(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.inventory import (
+        clone_versioned,
+        list_versions,
+        read_versioned,
+        restore_versioned,
+        txn_watermarks,
+        upsert_parquet_versioned,
+        upsert_parquet_versioned_partitioned,
+    )
+
+    # --- clone: zero-copy, independent evolution
+    src = str(tmp_path / "src")
+    upsert_parquet_versioned(
+        spark, src, _pv(spark, 100), ["k"],
+        txn_app_id="s", txn_version=7, keep_versions=3,
+    )
+    dst = str(tmp_path / "dst")
+    out = clone_versioned(spark, src, dst)
+    assert out.count() == 100
+    # hardlinked, not copied: shared inodes
+    sv = list_versions(src)[-1]
+    dv = list_versions(dst)[-1]
+    src_inos = {
+        f: os.stat(os.path.join(src, sv, f)).st_ino
+        for f in os.listdir(os.path.join(src, sv))
+        if not f.startswith((".", "_"))
+    }
+    dst_inos = {
+        f: os.stat(os.path.join(dst, dv, f)).st_ino
+        for f in os.listdir(os.path.join(dst, dv))
+        if not f.startswith((".", "_"))
+    }
+    assert set(src_inos.values()) == set(dst_inos.values())
+    # watermarks do NOT carry (a clone is a new logical stream target)
+    assert txn_watermarks(dst) == {} and txn_watermarks(src) == {"s": 7}
+    # independent evolution: upsert into the clone, source unchanged
+    upsert_parquet_versioned(
+        spark, dst, _pv(spark, 5, keyshift=1000), ["k"]
+    )
+    assert read_versioned(spark, dst).count() == 105
+    assert read_versioned(spark, src).count() == 100
+    with _pytest.raises(ValueError, match="already holds"):
+        clone_versioned(spark, src, dst)
+    with _pytest.raises(FileNotFoundError):
+        clone_versioned(spark, src, str(tmp_path / "d2"), version="v-9-x")
+
+    # clone of a bucketed table keeps the layout sidecar + bucket dirs
+    bsrc = str(tmp_path / "bsrc")
+    upsert_parquet_versioned_partitioned(
+        spark, bsrc, _pv(spark, 200), ["k"], n_buckets=4
+    )
+    bdst = str(tmp_path / "bdst")
+    clone_versioned(spark, bsrc, bdst)
+    assert read_versioned(spark, bdst).count() == 200
+    # next upsert into the clone still prunes on the carried layout
+    upsert_parquet_versioned_partitioned(
+        spark, bdst, _pv(spark, 1, keyshift=3), ["k"], n_buckets=4
+    )
+    assert read_versioned(spark, bdst).count() == 200
+
+    # --- restore: roll data back, keep replay protection
+    t = str(tmp_path / "rst")
+    upsert_parquet_versioned(
+        spark, t, _pv(spark, 10), ["k"], keep_versions=3,
+        txn_app_id="s", txn_version=0,
+    )
+    v1 = list_versions(t)[-1]
+    upsert_parquet_versioned(
+        spark, t, _pv(spark, 5, keyshift=100), ["k"], keep_versions=3,
+        txn_app_id="s", txn_version=1,
+    )
+    assert read_versioned(spark, t).count() == 15
+    out = restore_versioned(spark, t, v1, keep_versions=3)
+    assert out.count() == 10  # data rolled back
+    # watermark NOT rolled back: the replayed batch 1 stays a no-op
+    assert txn_watermarks(t)["s"] == 1
+    upsert_parquet_versioned(
+        spark, t, _pv(spark, 5, keyshift=100), ["k"], keep_versions=3,
+        txn_app_id="s", txn_version=1,
+    )
+    assert read_versioned(spark, t).count() == 10
+    with _pytest.raises(FileNotFoundError):
+        restore_versioned(spark, t, "v-000099-nope")
