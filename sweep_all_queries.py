@@ -1,5 +1,5 @@
 """Run EVERY registered query at a given scale factor — the robustness
-sweep behind "all 62 queries run clean at sf0.1" (the driver's
+sweep behind "all 63 queries run clean at sf0.1" (the driver's
 correctness gate runs sf0.01; bench covers 30 entries at sf0.1; this
 covers the rest at any SF).
 
