@@ -41,6 +41,7 @@ __all__ = [
     "write_bucketed",
     "assert_exchange_free",
     "zvalue_expr",
+    "zvalue_expr_nd",
     "write_zordered",
 ]
 
@@ -168,6 +169,55 @@ def zvalue_expr(
     qx = _quantize(x, x_range[0], x_range[1], bits)
     qy = _quantize(y, y_range[0], y_range[1], bits)
     return _spread_bits(qx).bitwiseOR(F.shiftleft(_spread_bits(qy), 1))
+
+
+def zvalue_expr_nd(
+    cols: list[Column],
+    ranges: list[tuple[float, float]],
+    bits: int | None = None,
+) -> Column:
+    """N-dimensional Morton code — the spatiotemporal layout key
+    ((lat, lon, time) is the classic 3-D case the 2-D form can't
+    serve: sorting 2-D z then time gives time no row-group locality).
+
+    Each of the N coordinates quantizes to ``bits`` cells (default
+    ``63 // N`` — 21 bits/dim at N=3, 15 at N=4 — keeping the code in
+    a non-negative long); bit b of dimension d lands at position
+    ``b*N + d`` (dimension 0 in the lowest lane, matching
+    :func:`zvalue_expr`'s x-even convention at N=2). The interleave is
+    an OR-fold of ``bits × N`` shift/and terms — bigger codegen than
+    the 2-D magic-mask spread but still pure JVM integer arithmetic,
+    evaluated once per row at WRITE time; keep :func:`zvalue_expr` for
+    the 2-D hot path. Exactly replayable in ANSI SQL with ``<< | &``
+    (pinned against DuckDB in tests/test_layout.py). NULL in any
+    coordinate -> NULL code (sorts last under ``asc_nulls_last``),
+    matching the 2-D form's contract.
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError(f"zvalue_expr_nd needs >= 2 dims, got {n}")
+    if len(ranges) != n:
+        raise ValueError(f"{n} cols but {len(ranges)} ranges")
+    if bits is None:
+        bits = 63 // n
+    if not 1 <= bits <= 63 // n:
+        raise ValueError(
+            f"bits must be in [1, {63 // n}] for {n} dims, got {bits}"
+        )
+    for d, (lo, hi) in enumerate(ranges):
+        if not hi > lo:
+            raise ValueError(f"ranges[{d}] must satisfy hi > lo, got ({lo}, {hi})")
+    qs = [
+        _quantize(c, lo, hi, bits) for c, (lo, hi) in zip(cols, ranges)
+    ]
+    z: Column | None = None
+    for b in range(bits):
+        for d, q in enumerate(qs):
+            term = F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)), b * n + d
+            )
+            z = term if z is None else z.bitwiseOR(term)
+    return z
 
 
 def write_zordered(

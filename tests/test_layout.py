@@ -283,3 +283,108 @@ def test_file_stats_empty_dir(spark, tmp_path):
     p = tmp_path / "empty"
     p.mkdir()
     assert file_stats(spark, str(p)).count() == 0
+
+
+def test_zvalue_nd_matches_python_and_duckdb_and_2d(spark):
+    """The N-D Morton code: (a) N=2 agrees bit-for-bit with the
+    magic-mask 2-D fast path, (b) N=3 matches a literal Python
+    interleave AND a generated DuckDB << | & replay, (c) NULL in any
+    dim -> NULL, (d) guards."""
+    import duckdb
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.operators.layout import (
+        zvalue_expr,
+        zvalue_expr_nd,
+    )
+
+    pts = [
+        (0, 1.0, 2.0, 3.0),
+        (1, 89.9, -89.9, 0.0),
+        (2, 0.0, 90.0, 100.0),
+        (3, 45.5, 12.25, 99.99),
+        (4, None, 5.0, 5.0),
+    ]
+    df = spark.createDataFrame(pts, "i long, x double, y double, t double")
+    RX, RY, RT = (0.0, 90.0), (-90.0, 90.0), (0.0, 100.0)
+
+    # (a) N=2 parity with the fast path
+    both = df.select(
+        "i",
+        zvalue_expr(F.col("x"), F.col("y"), RX, RY, bits=16).alias("z2"),
+        zvalue_expr_nd([F.col("x"), F.col("y")], [RX, RY], bits=16).alias(
+            "znd"
+        ),
+    ).collect()
+    for r in both:
+        assert r["z2"] == r["znd"], f"row {r['i']}"
+
+    # (b) N=3 vs Python reference and DuckDB replay
+    bits = 21
+    got = {
+        r["i"]: r["z"]
+        for r in df.select(
+            "i",
+            zvalue_expr_nd(
+                [F.col("x"), F.col("y"), F.col("t")], [RX, RY, RT], bits=bits
+            ).alias("z"),
+        ).collect()
+    }
+
+    def quant(v, lo, hi):
+        if v is None:
+            return None
+        cells = (1 << bits) - 1
+        import math
+
+        return min(max(int(math.floor((v - lo) / (hi - lo) * (cells + 1))), 0),
+                   cells)
+
+    def py_z(x, y, t):
+        q = [quant(x, *RX), quant(y, *RY), quant(t, *RT)]
+        if any(v is None for v in q):
+            return None
+        z = 0
+        for b in range(bits):
+            for d, v in enumerate(q):
+                z |= ((v >> b) & 1) << (b * 3 + d)
+        return z
+
+    for i, x, y, t in pts:
+        assert got[i] == py_z(x, y, t), f"row {i}"
+
+    # DuckDB replay of the same arithmetic (floor-quantize + interleave)
+    con = duckdb.connect()
+    rows = ", ".join(
+        f"({i}, {x}, {y}, {t})" for i, x, y, t in pts if x is not None
+    )
+    cells = (1 << bits) - 1
+
+    def qsql(col, lo, hi):
+        return (f"least(greatest(CAST(floor(({col} - {lo}) / {hi - lo} "
+                f"* {float(cells + 1)}) AS BIGINT), 0), {cells})")
+
+    terms = " | ".join(
+        f"(((q{d} >> {b}) & 1) << {b * 3 + d})"
+        for b in range(bits) for d in range(3)
+    )
+    want = dict(con.execute(f"""
+        WITH v(i, x, y, t) AS (VALUES {rows}),
+        q AS (SELECT i, {qsql('x', *RX)} AS q0, {qsql('y', *RY)} AS q1,
+                     {qsql('t', *RT)} AS q2 FROM v)
+        SELECT i, {terms} FROM q
+    """).fetchall())
+    for i in want:
+        assert got[i] == want[i], f"duckdb row {i}"
+    assert got[4] is None  # NULL coordinate -> NULL code
+
+    # (d) guards
+    with _pytest.raises(ValueError, match=">= 2 dims"):
+        zvalue_expr_nd([F.col("x")], [RX])
+    with _pytest.raises(ValueError, match="ranges"):
+        zvalue_expr_nd([F.col("x"), F.col("y")], [RX])
+    with _pytest.raises(ValueError, match="bits"):
+        zvalue_expr_nd([F.col("x"), F.col("y"), F.col("t")],
+                       [RX, RY, RT], bits=22)
+    with _pytest.raises(ValueError, match="hi > lo"):
+        zvalue_expr_nd([F.col("x"), F.col("y")], [RX, (5.0, 5.0)])
