@@ -192,6 +192,14 @@ def zvalue_expr_nd(
     (pinned against DuckDB in tests/test_layout.py). NULL in any
     coordinate -> NULL code (sorts last under ``asc_nulls_last``),
     matching the 2-D form's contract.
+
+    Measured guidance (SCALING.md round 10): N-D locality costs
+    interleave bits — effective resolution is (log2 #row-groups)/N per
+    dimension, so on SMALL tables (few row groups) 3-D z can READ MORE
+    than 2-D z (9.1% vs 5.7% of rows at ~75 groups); the crossover
+    arrives with group count (1.0% vs 1.8% at ~640 groups), and 100 TB
+    tables sit far past it. Pick N by the table's row-group budget,
+    not by how many columns have predicates.
     """
     n = len(cols)
     if n < 2:

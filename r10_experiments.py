@@ -36,7 +36,23 @@
 
    All three final tables asserted row-identical.
 
-3. ``benchdrift`` — the round-9 verdict's adjudication protocol for
+3. ``zorder3d`` — the N-D Morton code (``zvalue_expr_nd``) measured
+   the way r9 measured 2-D: N uniform (x, y, t) points written four
+   ways (3-D z-sorted; 2-D z(x,y)-sorted — what you'd do without the
+   N-D form; single-column x-sorted; unsorted), then the SAME
+   10%-per-dim box predicate over each, reading row-group min/max hit
+   fractions from the footers plus warm wall clock. Finding (both
+   sides measured): the N-D curve pays off only when the ROW-GROUP
+   COUNT grants enough interleave bits per dimension — at ~75 groups
+   (8 MB groups) 3-D READS MORE than 2-D (9.1% vs 5.7% of rows: each
+   group spans ~23% of every dim, so the third dim's pruning gain is
+   smaller than the resolution the first two lose); at ~640 groups
+   (1 MB) 3-D wins 1.0% vs 1.8%. At 100 TB with 128 MB groups the
+   group count is ~10^6 (≈20 interleave bits), far past the
+   crossover — but the small-group regime is the honest caveat for
+   modest tables, documented in zvalue_expr_nd's guidance.
+
+4. ``benchdrift`` — the round-9 verdict's adjudication protocol for
    the +20.7% r8->r9 bench drift, runnable once BENCH_r10.json exists:
    reads two bench JSON lines, normalizes every shared per-query delta
    by the calibration-block shift (gemm + range-agg mean ratio), and
@@ -273,6 +289,109 @@ def partupsert(sizes: list[int]) -> None:
             shutil.rmtree(work, ignore_errors=True)
 
 
+def zorder3d(sizes: list[int]) -> None:
+    import glob as g
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.operators.layout import zvalue_expr_nd
+    from animaltrackingetls_spark.session import get_spark
+
+    spark = get_spark(extra_conf={"spark.ui.showConsoleProgress": "false"})
+    R = (0.0, 1.0)
+    box = {c: (0.40, 0.50) for c in ("x", "y", "t")}
+    pred = " AND ".join(
+        f"{c} >= {lo} AND {c} <= {hi}" for c, (lo, hi) in box.items()
+    )
+
+    def rg_hits(path):
+        hit = total = rows_hit = rows = 0
+        for f in sorted(g.glob(path + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            idx = {c: names.index(c) for c in box}
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                total += 1
+                rows += rg.num_rows
+                ok = all(
+                    rg.column(idx[c]).statistics.min <= hi
+                    and rg.column(idx[c]).statistics.max >= lo
+                    for c, (lo, hi) in box.items()
+                )
+                if ok:
+                    hit += 1
+                    rows_hit += rg.num_rows
+        return hit, total, rows_hit, rows
+
+    rg_mb = float(os.environ.get("ZORDER3D_RG_MB", "8"))
+    for n in sizes:
+        base = tempfile.mkdtemp(prefix=f"zorder3d_{n}_")
+        try:
+            df = spark.range(n).select(
+                "id",
+                F.rand(seed=7).alias("x"),
+                F.rand(seed=11).alias("y"),
+                F.rand(seed=13).alias("t"),
+            ).localCheckpoint()
+            n_files = max(n // 2_000_000, 4) * max(1, int(8 / rg_mb))
+            rg_bytes = int(rg_mb * 1024 * 1024)
+
+            def write_sorted(path, sort_col):
+                (
+                    df.withColumn("_k", sort_col)
+                    .repartitionByRange(n_files, F.col("_k").asc_nulls_last())
+                    .sortWithinPartitions(F.col("_k").asc_nulls_last())
+                    .drop("_k")
+                    .write.option("parquet.block.size", str(rg_bytes))
+                    .parquet(path)
+                )
+
+            write_sorted(
+                base + "/z3",
+                zvalue_expr_nd(
+                    [F.col("x"), F.col("y"), F.col("t")], [R, R, R]
+                ),
+            )
+            from animaltrackingetls_spark.operators.layout import zvalue_expr
+
+            write_sorted(
+                base + "/z2", zvalue_expr(F.col("x"), F.col("y"), R, R)
+            )
+            write_sorted(base + "/x", F.col("x"))
+            (
+                df.repartition(n_files)
+                .write.option("parquet.block.size", str(rg_bytes))
+                .parquet(base + "/plain")
+            )
+
+            report = {"exp": "zorder3d", "rows": n, "rg_mb": rg_mb,
+                      "layouts": {}}
+            expect = None
+            for name in ("z3", "z2", "x", "plain"):
+                path = f"{base}/{name}"
+                hit, total, rows_hit, rows = rg_hits(path)
+                # warm wall: min of 3 counts after one discard
+                ts = []
+                for _ in range(4):
+                    t0 = time.monotonic()
+                    c = spark.read.parquet(path).where(pred).count()
+                    ts.append(time.monotonic() - t0)
+                if expect is None:
+                    expect = c
+                assert c == expect, f"layout {name} changed the answer"
+                report["layouts"][name] = {
+                    "rg_hit_frac": round(hit / total, 4),
+                    "rows_read_frac": round(rows_hit / rows, 4),
+                    "warm_s": round(min(ts[1:]), 3),
+                }
+            report["matched_rows"] = expect
+            print(json.dumps(report), flush=True)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+
 def benchdrift(old_path: str, new_path: str) -> None:
     import re
 
@@ -355,6 +474,9 @@ if __name__ == "__main__":
         sizes = [int(x) for x in sys.argv[2:]] or [1_000_000, 10_000_000,
                                                    30_000_000]
         partupsert(sizes)
+    elif cmd == "zorder3d":
+        sizes = [int(x) for x in sys.argv[2:]] or [20_000_000]
+        zorder3d(sizes)
     elif cmd == "benchdrift":
         benchdrift(sys.argv[2], sys.argv[3])
     else:
