@@ -43,6 +43,7 @@ __all__ = [
     "zvalue_expr",
     "zvalue_expr_nd",
     "write_zordered",
+    "write_zordered_nd",
 ]
 
 
@@ -260,6 +261,50 @@ def write_zordered(
         x_range = x_range or (float(probe["x0"]), float(probe["x1"]))
         y_range = y_range or (float(probe["y0"]), float(probe["y1"]))
     z = zvalue_expr(F.col(x_col), F.col(y_col), x_range, y_range, bits)
+    out = df.withColumn("_z", z)
+    if n_files:
+        out = out.repartitionByRange(n_files, F.col("_z").asc_nulls_last())
+    else:
+        out = out.repartitionByRange(F.col("_z").asc_nulls_last())
+    writer = (
+        out.sortWithinPartitions(F.col("_z").asc_nulls_last())
+        .drop("_z")
+        .write.mode(mode)
+    )
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    writer.parquet(path)
+
+
+def write_zordered_nd(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    ranges: list[tuple[float, float]] | None = None,
+    bits: int | None = None,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+    row_group_bytes: int | None = None,
+) -> None:
+    """N-dimensional :func:`write_zordered` — cluster along the
+    :func:`zvalue_expr_nd` curve so ALL listed coordinate columns get
+    row-group min/max locality. Ranges default to one min/max probe
+    (2·N scalars on the driver). Before reaching for N > 2, read the
+    measured guidance on :func:`zvalue_expr_nd`: the per-dimension
+    resolution is (log2 #row-groups)/N, so small tables can prune
+    BETTER with fewer dimensions — size ``row_group_bytes``/``n_files``
+    so the group count grants ≥4-5 bits per dimension."""
+    if len(cols) < 2:
+        raise ValueError(f"write_zordered_nd needs >= 2 cols, got {cols}")
+    if ranges is None:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"{c}__lo"), F.max(c).alias(f"{c}__hi")]
+        probe = df.agg(*aggs).first()
+        ranges = [
+            (float(probe[f"{c}__lo"]), float(probe[f"{c}__hi"])) for c in cols
+        ]
+    z = zvalue_expr_nd([F.col(c) for c in cols], ranges, bits)
     out = df.withColumn("_z", z)
     if n_files:
         out = out.repartitionByRange(n_files, F.col("_z").asc_nulls_last())

@@ -388,3 +388,56 @@ def test_zvalue_nd_matches_python_and_duckdb_and_2d(spark):
                        [RX, RY, RT], bits=22)
     with _pytest.raises(ValueError, match="hi > lo"):
         zvalue_expr_nd([F.col("x"), F.col("y")], [RX, (5.0, 5.0)])
+
+
+def test_write_zordered_nd_clusters_all_dims(spark, tmp_path):
+    """The N-D writer: row-group stats are tight in EVERY listed dim
+    (each group's per-dim span far below the full range), values
+    survive the layout unchanged, and the auto range probe works."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from animaltrackingetls_spark.operators.layout import write_zordered_nd
+
+    n = 120_000
+    df = spark.range(n).select(
+        "id",
+        F.rand(seed=3).alias("x"),
+        F.rand(seed=5).alias("y"),
+        F.rand(seed=9).alias("t"),
+    ).localCheckpoint()
+    path = str(tmp_path / "z3")
+    write_zordered_nd(
+        df, path, ["x", "y", "t"], n_files=8,
+        row_group_bytes=64 * 1024,
+    )
+    spans = {c: [] for c in ("x", "y", "t")}
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for c in spans:
+                st = rg.column(names.index(c)).statistics
+                spans[c].append(st.max - st.min)
+    n_groups = len(spans["x"])
+    assert n_groups >= 48, f"need many row groups to test spans, got {n_groups}"
+    for c, sp in spans.items():
+        # uniform data over [0,1]: random groups would span ~1.0 in
+        # every dim; the 3-D curve must tighten ALL of them (the
+        # threshold follows the measured resolution model:
+        # log2(n_groups)/3 bits/dim -> span ~2^-bits plus curve
+        # boundary effects; see SCALING.md r10 crossover)
+        avg = sum(sp) / len(sp)
+        assert avg < 0.5, f"dim {c} not clustered: avg row-group span {avg:.2f}"
+    # values unchanged by layout
+    got = spark.read.parquet(path)
+    assert got.count() == n
+    assert got.agg(F.round(F.sum("x"), 3)).first()[0] == \
+        df.agg(F.round(F.sum("x"), 3)).first()[0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 2 cols"):
+        write_zordered_nd(df, str(tmp_path / "bad"), ["x"])
