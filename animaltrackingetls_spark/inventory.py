@@ -741,6 +741,143 @@ def delete_versioned(
     raise last_err
 
 
+def delete_versioned_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+    keep_versions: int = 2,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+    retries: int = 2,
+) -> DataFrame:
+    """Predicate DELETE (``DELETE WHERE <condition>``) from a versioned
+    table — rows matching ``condition`` (a Column or SQL string) are
+    removed, published through the same CAS commit as every other
+    writer.
+
+    Honest cost model: a value predicate does not map to key buckets,
+    so BOTH layouts pay a full snapshot rewrite (the bucket-partitioned
+    layout is rewritten bucket-preserving — one file per bucket — so
+    later keyed merges keep pruning). Key-list erasure should use
+    :func:`delete_versioned`, which prunes to touched buckets. On a
+    cluster with a predicate on the RANGE-bucket key column, a
+    bucket-mapping optimization is possible (intersect the predicate's
+    range with the split bounds) — documented, not implemented.
+    """
+    import os
+    import shutil
+    import uuid
+
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be given together")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    layout = _table_layout(table_dir)
+
+    last_err: ConcurrentWriteError | None = None
+    for _attempt in range(max(0, retries) + 1):
+        marks = txn_watermarks(table_dir)
+        if (
+            txn_app_id is not None
+            and txn_app_id in marks
+            and marks[txn_app_id] >= txn_version
+        ):
+            return read_versioned(spark, table_dir)
+
+        current = _current_version(table_dir)
+        if current is None:
+            raise FileNotFoundError(f"no published snapshot under {table_dir}")
+        cdir = os.path.join(table_dir, current)
+        seq = int(current.split("-")[1]) + 1
+        version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
+        vdir = os.path.join(table_dir, version)
+
+        existing = spark.read.parquet(cdir)
+        # NULL-safe NOT: rows where the predicate is NULL are KEPT (SQL
+        # DELETE semantics — only TRUE deletes)
+        remaining = existing.filter(~F.coalesce(cond, F.lit(False)))
+        if layout is None:
+            remaining.write.mode("error").parquet(vdir)
+        else:
+            n_buckets = layout["n_buckets"]
+            (
+                remaining.repartition(n_buckets, F.col(_BUCKET_COL))
+                .write.mode("error")
+                .partitionBy(_BUCKET_COL)
+                .parquet(vdir)
+            )
+
+        if txn_app_id is not None:
+            marks[txn_app_id] = int(txn_version)
+        try:
+            _publish_version(table_dir, version, marks, keep_versions,
+                             expected_base=current)
+            return read_versioned(spark, table_dir)
+        except ConcurrentWriteError as err:
+            shutil.rmtree(vdir, ignore_errors=True)
+            last_err = err
+    raise last_err
+
+
+def vacuum_versioned(
+    table_dir: str,
+    grace_seconds: float = 24 * 3600,
+    keep_versions: int | None = None,
+) -> dict:
+    """Remove unreferenced version directories — the VACUUM the
+    pointer-swap layout needs for CRASH DEBRIS: a writer that died (or
+    lost a CAS race before the r10 cleanup) leaves a ``v-*`` directory
+    sorting AFTER the published one, which the publish-time pruner
+    deliberately never touches (it cannot tell debris from a concurrent
+    writer's in-flight commit). This sweeps, under the same commit
+    lock so no publish can race it:
+
+    * non-current dirs NEWER in sort order than CURRENT whose mtime is
+      older than ``grace_seconds`` — stale debris (the grace window is
+      what protects a live writer's in-flight directory; size it above
+      the longest plausible write);
+    * optionally (``keep_versions``) retained HISTORY beyond that
+      count, the same trim publish applies, for tables whose retention
+      policy tightened after the fact.
+
+    Returns ``{"removed": [...], "kept": n}``. Never touches CURRENT.
+    """
+    import fcntl
+    import os
+    import shutil
+    import time as _time
+
+    current = _current_version(table_dir)
+    if current is None:
+        raise FileNotFoundError(f"no published snapshot under {table_dir}")
+    removed: list[str] = []
+    lock_fd = os.open(os.path.join(table_dir, _COMMIT_LOCK),
+                      os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        current = _current_version(table_dir)  # re-read under the lock
+        now = _time.time()
+        dirs = sorted(
+            d for d in os.listdir(table_dir)
+            if d.startswith("v-") and os.path.isdir(os.path.join(table_dir, d))
+        )
+        for d in dirs:
+            if d == current or d < current:
+                continue
+            full = os.path.join(table_dir, d)
+            if now - os.stat(full).st_mtime >= grace_seconds:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(d)
+        if keep_versions is not None:
+            older = [d for d in dirs if d < current and d not in removed]
+            excess = len(older) + 1 - max(1, keep_versions)
+            for d in older[:max(0, excess)]:
+                shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+                removed.append(d)
+    finally:
+        os.close(lock_fd)
+    return {"removed": removed, "kept": len(list_versions(table_dir))}
+
+
 def _link_tree(src: str, dst: str) -> None:
     """Hardlink every data file of a snapshot directory into ``dst``,
     preserving the (bucket) subdirectory structure. Zero bytes copied;

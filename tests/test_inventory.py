@@ -1036,3 +1036,70 @@ def test_clone_and_restore_versioned(spark, tmp_path):
     assert read_versioned(spark, t).count() == 10
     with _pytest.raises(FileNotFoundError):
         restore_versioned(spark, t, "v-000099-nope")
+
+
+def test_delete_versioned_where_and_vacuum(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.inventory import (
+        delete_versioned_where,
+        list_versions,
+        read_versioned,
+        upsert_parquet_versioned,
+        upsert_parquet_versioned_partitioned,
+        vacuum_versioned,
+    )
+    from pyspark.sql import functions as F
+
+    # predicate delete, plain layout; NULL predicate rows are KEPT
+    t = str(tmp_path / "dw")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)], "k long, v double"
+    )
+    upsert_parquet_versioned(spark, t, df, ["k"])
+    out = delete_versioned_where(spark, t, "v > 25")
+    got = {r.k for r in out.collect()}
+    assert got == {1, 2}  # 3,4 deleted; NULL v kept (SQL DELETE semantics)
+
+    # bucketed layout: rewrite preserves bucket dirs so later merges prune
+    tp = str(tmp_path / "dwp")
+    upsert_parquet_versioned_partitioned(
+        spark, tp, _pv(spark, 200), ["k"], n_buckets=4
+    )
+    out = delete_versioned_where(spark, tp, F.col("v") == 0.0)
+    assert out.filter("v = 0.0").count() == 0
+    cur = list_versions(tp)[-1]
+    assert any(d.startswith("upsert_bucket=")
+               for d in os.listdir(os.path.join(tp, cur)))
+    # replay protection works for predicate deletes too
+    n = read_versioned(spark, tp).count()
+    delete_versioned_where(spark, tp, "v = 1.0",
+                           txn_app_id="w", txn_version=0)
+    n2 = read_versioned(spark, tp).count()
+    delete_versioned_where(spark, tp, "v = 2.0",
+                           txn_app_id="w", txn_version=0)  # replayed id
+    assert read_versioned(spark, tp).count() == n2 < n
+    assert read_versioned(spark, tp).filter("v = 2.0").count() > 0
+
+    # vacuum: crash debris (a v-dir sorting after CURRENT) is swept
+    # after the grace window, CURRENT and retained history survive
+    debris = os.path.join(t, "v-000099-deadbeef")
+    os.makedirs(debris, exist_ok=True)
+    rep = vacuum_versioned(t, grace_seconds=3600)  # too fresh: kept
+    assert rep["removed"] == []
+    rep = vacuum_versioned(t, grace_seconds=0)
+    assert rep["removed"] == ["v-000099-deadbeef"]
+    assert read_versioned(spark, t).count() == 2  # table intact
+    # history trim via keep_versions
+    upsert_parquet_versioned(
+        spark, t, spark.createDataFrame([(9, 9.0)], "k long, v double"),
+        ["k"], keep_versions=5,
+    )
+    assert len(list_versions(t)) >= 2
+    rep = vacuum_versioned(t, grace_seconds=0, keep_versions=1)
+    assert len(list_versions(t)) == 1
+    assert read_versioned(spark, t).count() == 3
+    with _pytest.raises(FileNotFoundError):
+        vacuum_versioned(str(tmp_path / "none"))
