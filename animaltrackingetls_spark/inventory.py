@@ -749,6 +749,7 @@ def delete_versioned_where(
     txn_app_id: str | None = None,
     txn_version: int | None = None,
     retries: int = 2,
+    key_range: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Predicate DELETE (``DELETE WHERE <condition>``) from a versioned
     table — rows matching ``condition`` (a Column or SQL string) are
@@ -756,14 +757,23 @@ def delete_versioned_where(
     writer.
 
     Honest cost model: a value predicate does not map to key buckets,
-    so BOTH layouts pay a full snapshot rewrite (the bucket-partitioned
-    layout is rewritten bucket-preserving — one file per bucket — so
-    later keyed merges keep pruning). Key-list erasure should use
-    :func:`delete_versioned`, which prunes to touched buckets. On a
-    cluster with a predicate on the RANGE-bucket key column, a
-    bucket-mapping optimization is possible (intersect the predicate's
-    range with the split bounds) — documented, not implemented.
+    so by default BOTH layouts pay a full snapshot rewrite (the
+    bucket-partitioned layout is rewritten bucket-preserving — one file
+    per bucket — so later keyed merges keep pruning). Key-list erasure
+    should use :func:`delete_versioned`, which prunes to touched
+    buckets.
+
+    ``key_range=(lo, hi)`` is the replaceWhere-style hint for
+    RANGE-bucketed tables — the retention workload
+    (``DELETE WHERE ts < cutoff`` with ``key_range=(-inf, cutoff)``):
+    the caller PROMISES every row the condition matches has its bucket
+    key in [lo, hi], so only the buckets whose split range intersects
+    it are read (PartitionFilters) and rewritten; every other bucket
+    hardlinks into the new snapshot unread. The promise is the same
+    contract as Delta's ``replaceWhere`` — rows outside the hinted
+    range are untouched even if the condition would match them.
     """
+    import math
     import os
     import shutil
     import uuid
@@ -772,6 +782,24 @@ def delete_versioned_where(
         raise ValueError("txn_app_id and txn_version must be given together")
     cond = F.expr(condition) if isinstance(condition, str) else condition
     layout = _table_layout(table_dir)
+    hint_buckets: list[int] | None = None
+    if key_range is not None:
+        if layout is None or layout.get("scheme") != "range":
+            raise ValueError(
+                "key_range pruning needs a range-bucketed table "
+                f"(layout: {layout})"
+            )
+        lo, hi = key_range
+        if not hi >= lo:
+            raise ValueError(f"key_range must satisfy hi >= lo, got {key_range}")
+        bounds = layout["bounds"]
+
+        def _bucket_of(v: float) -> int:
+            if math.isinf(v):
+                return 0 if v < 0 else len(bounds)
+            return sum(1 for b in bounds if v >= b)
+
+        hint_buckets = list(range(_bucket_of(lo), _bucket_of(hi) + 1))
 
     last_err: ConcurrentWriteError | None = None
     for _attempt in range(max(0, retries) + 1):
@@ -792,19 +820,37 @@ def delete_versioned_where(
         vdir = os.path.join(table_dir, version)
 
         existing = spark.read.parquet(cdir)
+        untouched: list[str] = []
+        if hint_buckets is not None:
+            existing = existing.filter(F.col(_BUCKET_COL).isin(hint_buckets))
+            untouched = [
+                d for d in os.listdir(cdir)
+                if d.startswith(f"{_BUCKET_COL}=")
+                and int(d.split("=", 1)[1]) not in set(hint_buckets)
+            ]
         # NULL-safe NOT: rows where the predicate is NULL are KEPT (SQL
         # DELETE semantics — only TRUE deletes)
         remaining = existing.filter(~F.coalesce(cond, F.lit(False)))
         if layout is None:
             remaining.write.mode("error").parquet(vdir)
         else:
-            n_buckets = layout["n_buckets"]
+            n_parts = (
+                max(1, len(hint_buckets)) if hint_buckets is not None
+                else layout["n_buckets"]
+            )
             (
-                remaining.repartition(n_buckets, F.col(_BUCKET_COL))
+                remaining.repartition(n_parts, F.col(_BUCKET_COL))
                 .write.mode("error")
                 .partitionBy(_BUCKET_COL)
                 .parquet(vdir)
             )
+        for d in untouched:
+            src_d, dst_d = os.path.join(cdir, d), os.path.join(vdir, d)
+            os.makedirs(dst_d, exist_ok=True)
+            for fname in os.listdir(src_d):
+                if fname.startswith((".", "_")):
+                    continue
+                os.link(os.path.join(src_d, fname), os.path.join(dst_d, fname))
 
         if txn_app_id is not None:
             marks[txn_app_id] = int(txn_version)

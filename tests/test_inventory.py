@@ -1103,3 +1103,63 @@ def test_delete_versioned_where_and_vacuum(spark, tmp_path):
     assert read_versioned(spark, t).count() == 3
     with _pytest.raises(FileNotFoundError):
         vacuum_versioned(str(tmp_path / "none"))
+
+
+def test_delete_where_key_range_hint_prunes(spark, tmp_path):
+    """The retention workload: DELETE WHERE k < cutoff with
+    key_range=(-inf, cutoff) on a range-bucketed table must read and
+    rewrite ONLY the intersecting buckets (rest hardlinked), and the
+    hint's replaceWhere contract holds (rows outside the range are
+    untouched even when the condition matches them)."""
+    import math
+    import os
+
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.inventory import (
+        delete_versioned_where,
+        list_versions,
+        read_versioned,
+        upsert_parquet_versioned,
+        upsert_parquet_versioned_partitioned as up,
+    )
+
+    t = str(tmp_path / "ret")
+    up(spark, t, _pv(spark, 2000), ["k"], n_buckets=8)
+    v1 = list_versions(t)[-1]
+    inos = {
+        (d, f): os.stat(os.path.join(t, v1, d, f)).st_ino
+        for d in os.listdir(os.path.join(t, v1))
+        if d.startswith("upsert_bucket=")
+        for f in os.listdir(os.path.join(t, v1, d))
+        if not f.startswith((".", "_"))
+    }
+    # cutoff at ~12.5% of key space -> intersects bucket 0 (and maybe 1)
+    out = delete_versioned_where(
+        spark, t, "k < 250", key_range=(-math.inf, 250.0)
+    )
+    assert out.count() == 1750
+    assert out.filter("k < 250").count() == 0
+    v2 = list_versions(t)[-1]
+    shared = sum(
+        1 for (d, f), ino in inos.items()
+        if os.path.exists(os.path.join(t, v2, d, f))
+        and os.stat(os.path.join(t, v2, d, f)).st_ino == ino
+    )
+    assert shared >= 6, f"expected >=6 of 8 buckets hardlinked, got {shared}"
+
+    # replaceWhere contract: condition matching OUTSIDE the hinted
+    # range leaves those rows untouched
+    before = read_versioned(spark, t).count()
+    delete_versioned_where(spark, t, "k >= 0", key_range=(300.0, 310.0))
+    after = read_versioned(spark, t)
+    assert after.filter("k >= 1000").count() > 0  # far-range rows survive
+    assert after.count() < before  # in-range rows went
+
+    # guards: hint needs a range layout
+    tq = str(tmp_path / "plain")
+    upsert_parquet_versioned(spark, tq, _pv(spark, 10), ["k"])
+    with _pytest.raises(ValueError, match="range-bucketed"):
+        delete_versioned_where(spark, tq, "k < 5", key_range=(0.0, 5.0))
+    with _pytest.raises(ValueError, match="hi >= lo"):
+        delete_versioned_where(spark, t, "k < 5", key_range=(5.0, 0.0))
