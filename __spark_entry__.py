@@ -2088,6 +2088,61 @@ def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.chunk_documents(docs, chunk_tokens=16, stride=12)
 
 
+def _q_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned-table layer exercised END TO END through the
+    driver gate: a REAL table under tempdir is built with two
+    exactly-once upserts (base = documents minus doc_id%7==1; update
+    batch = doc_id%5==0 rows with ' u2' appended), then
+    versioning.table_changes diffs the two RETAINED snapshots — the
+    change-data-feed read (inventory.upsert_parquet_versioned +
+    operators/versioning.py:table_changes).
+
+    Deterministic and ORACLE-BACKED: both snapshots are pure functions
+    of documents, so DuckDB replays the diff from the same derivations
+    with the portable md5 digest — the hash compare covers the
+    upsert merge, snapshot retention, and CDF classification in one
+    row set (added = %7==1 and %5==0; changed = %7!=1 and %5==0;
+    removed = none). The table is cached per (file, mtime) and the
+    upserts carry fixed txn ids, so repeat invocations are watermark
+    no-ops against the same snapshots — the cache cannot drift."""
+    import hashlib
+    import os
+    import tempfile
+
+    from animaltrackingetls_spark.inventory import (
+        list_versions,
+        upsert_parquet_versioned,
+    )
+
+    docs_file = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(docs_file)
+    key = hashlib.md5(
+        f"{docs_file}:{st.st_mtime_ns}:{st.st_size}:cdf1".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(tempfile.gettempdir(), f"spark_graft_cdf_{key}")
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    base = docs.filter(F.col("doc_id") % 7 != 1)
+    updates = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" u2"))
+    )
+    upsert_parquet_versioned(
+        spark, table, base, ["doc_id"], keep_versions=3,
+        txn_app_id="cdf", txn_version=0,
+    )
+    upsert_parquet_versioned(
+        spark, table, updates, ["doc_id"], keep_versions=3,
+        txn_app_id="cdf", txn_version=1,
+    )
+    versions = list_versions(table)
+    return versioning.table_changes(
+        spark, table, ["doc_id"],
+        from_version=versions[-2], to_version=versions[-1],
+    ).orderBy("doc_id")
+
+
 def _q_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius self-join over the derived sighting points: all pairs
     within 100 km via 3D chord-grid blocking (pole-safe ±1-cell
@@ -3262,6 +3317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _q_pq_topk,
         "ivfpq_topk": _q_ivfpq_topk,
         "ivfpq_rerank": _q_ivfpq_rerank,
+        # oracle-backed but past the window (window is full at 50):
+        # tests/test_entry_oracles.py hash-compares it every suite run
+        "versioned_cdf": _q_versioned_cdf,
     }
 
 
@@ -5118,6 +5176,38 @@ def oracle_sql() -> dict[str, str]:
                                 ELSE text END AS text,
                            lang, source
                     FROM documents WHERE doc_id % 13 != 5)),
+            d AS (
+              SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                     CASE WHEN o.old_digest IS NULL THEN 'added'
+                          WHEN n.new_digest IS NULL THEN 'removed'
+                          WHEN o.old_digest != n.new_digest THEN 'changed'
+                          ELSE 'unchanged' END AS change,
+                     o.old_digest, n.new_digest
+              FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
+            SELECT * FROM d WHERE change != 'unchanged' ORDER BY doc_id
+        """,
+        # versioned_cdf: both snapshots are pure functions of documents
+        # (base = %7!=1; merged state = base with %5==0 rows updated to
+        # text||' u2' PLUS the %7==1 && %5==0 rows the update batch
+        # inserted), so the CDF of the two RETAINED table versions is
+        # replayable without reading the table itself — the hash compare
+        # therefore certifies the upsert merge + retention + CDF math.
+        "versioned_cdf": f"""
+            WITH old AS (
+              SELECT doc_id,
+                     {versioning.row_digest_sql(['text', 'lang', 'source'])}
+                       AS old_digest
+              FROM documents WHERE doc_id % 7 != 1),
+            neu AS (
+              SELECT doc_id,
+                     {versioning.row_digest_sql(['text', 'lang', 'source'])}
+                       AS new_digest
+              FROM (SELECT doc_id,
+                           CASE WHEN doc_id % 5 = 0 THEN text || ' u2'
+                                ELSE text END AS text,
+                           lang, source
+                    FROM documents
+                    WHERE doc_id % 7 != 1 OR doc_id % 5 = 0)),
             d AS (
               SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
                      CASE WHEN o.old_digest IS NULL THEN 'added'

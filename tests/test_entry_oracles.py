@@ -60,16 +60,16 @@ def duck():
 
 def test_past_window_list_is_nonempty_and_stable():
     # Round 10 folded the five round-9 flagship oracles INTO the
-    # window (tpch_panel/window_topn/validate_orders freed the slots),
-    # so this list is now empty and the parametrized hash test below
-    # collapses to a no-op — every oracle-backed query gets the
-    # driver's own hash compare instead. The list must never contain a
-    # name without an oracle (by construction) or miss one (the window
-    # test asserts the prefix side); if a future round adds an
-    # oracle-backed query past the window, the hash gate below revives
-    # automatically.
+    # window (tpch_panel/window_topn/validate_orders freed the slots)
+    # and then added versioned_cdf — oracle-backed but past the full
+    # window — which revives the parametrized hash gate below exactly
+    # as designed: every oracle-backed query is continuously verified,
+    # by the driver inside the window or by this suite past it. The
+    # list must never contain a name without an oracle (by
+    # construction) or miss one (the window test asserts the prefix
+    # side).
     names = _past_window_oracle_names()
-    assert set(names) >= {"zorder_curve", "bucketed_join"} or names == []
+    assert names == ["versioned_cdf"]
 
 
 @pytest.mark.parametrize("name", _past_window_oracle_names())
