@@ -271,3 +271,68 @@ def table_changes(
     old = read_versioned(spark, table_dir, from_version)
     new = read_versioned(spark, table_dir, to_version)
     return corpus_diff(old, new, key_cols, compare_cols)
+
+
+def table_changes_since(
+    spark,
+    table_dir: str,
+    cursor_file: str,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+):
+    """Incremental change-data-feed read — the polling half of a CDC
+    pump over a versioned table: returns ``(changes_df | None,
+    to_version, advance)`` where ``changes_df`` is
+    :func:`table_changes` from the cursor's last-seen version to
+    CURRENT (None when nothing new), and ``advance()`` durably commits
+    the cursor (atomic tempfile + rename) AFTER the caller has sunk the
+    changes.
+
+    Exactly-once composition: crash BEFORE ``advance()`` replays the
+    same (from, to) window next poll — so sink the changes with the
+    versioned writers' ``txn_app_id``/``txn_version`` keyed on the
+    monotonically increasing ``to_version`` sequence number and the
+    replay becomes a watermark no-op; crash AFTER ``advance()`` skips
+    nothing because the data was already committed. The same pairing
+    the streaming upsert sink uses for foreachBatch.
+
+    First poll (no cursor yet) diffs from the OLDEST retained snapshot.
+    Retention bounds resumability: a cursor older than retention raises
+    FileNotFoundError (re-bootstrap from a full snapshot read), the
+    VACUUM'd-CDF contract stated on :func:`table_changes`.
+    """
+    import os
+
+    from ..inventory import _current_version, list_versions
+
+    current = _current_version(table_dir)
+    if current is None:
+        raise FileNotFoundError(f"no published snapshot under {table_dir}")
+    try:
+        with open(cursor_file) as f:
+            seen = f.read().strip() or None
+    except FileNotFoundError:
+        seen = None
+    if seen == current:
+        return None, current, lambda: None
+    if seen is not None and seen not in list_versions(table_dir):
+        raise FileNotFoundError(
+            f"cursor version {seen!r} is no longer retained under "
+            f"{table_dir} — retention outran the consumer; re-bootstrap "
+            "from a full snapshot read"
+        )
+    changes = table_changes(
+        spark, table_dir, key_cols,
+        from_version=seen, to_version=current,
+        compare_cols=compare_cols,
+    )
+
+    def advance() -> None:
+        tmp = cursor_file + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(current)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, cursor_file)
+
+    return changes, current, advance

@@ -267,3 +267,73 @@ def test_table_changes_between_retained_versions(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         V.table_changes(spark, str(tmp_path / "missing"), ["k"])
+
+
+def test_table_changes_since_cdc_pump(spark, tmp_path):
+    """The incremental CDF pump end to end, including the exactly-once
+    composition: poll -> sink with txn ids -> advance; a crash BEFORE
+    advance replays the window and the sink's watermark absorbs it."""
+    from animaltrackingetls_spark.inventory import (
+        list_versions,
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    cursor = str(tmp_path / "cursor")
+
+    def poll_and_sink():
+        changes, to_v, advance = V.table_changes_since(
+            spark, src, cursor, ["k"]
+        )
+        if changes is None:
+            return None
+        seq = int(to_v.split("-")[1])
+        out = changes.select("k", "change")
+        upsert_parquet_versioned(
+            spark, sink, out, ["k"],
+            txn_app_id="pump", txn_version=seq,
+        )
+        return changes, advance
+
+    upsert_parquet_versioned(
+        spark, src,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        ["k"], keep_versions=4,
+    )
+    # first poll bootstraps from the oldest retained snapshot: v1 vs v1
+    # is empty... there is only ONE version, cursor unset -> from oldest
+    # (== current) -> table_changes(v1, v1) = no churn, advance moves on
+    changes, to_v, advance = V.table_changes_since(spark, src, cursor, ["k"])
+    assert changes.count() == 0
+    advance()
+    assert open(cursor).read() == list_versions(src)[-1]
+
+    # a new commit -> the pump sees exactly its churn
+    upsert_parquet_versioned(
+        spark, src,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+        ["k"], keep_versions=4,
+    )
+    changes, advance = poll_and_sink()
+    got = {r.k: r.change for r in changes.collect()}
+    assert got == {2: "changed", 3: "added"}
+
+    # CRASH before advance: the next poll replays the SAME window, the
+    # sink's txn watermark absorbs the duplicate, then advance commits
+    changes2, advance2 = poll_and_sink()
+    assert {r.k: r.change for r in changes2.collect()} == got
+    assert read_versioned(spark, sink).count() == 2  # no duplicates
+    advance2()
+    # fully caught up -> None
+    res = V.table_changes_since(spark, src, cursor, ["k"])
+    assert res[0] is None
+
+    # retention outruns the consumer -> explicit re-bootstrap error
+    import pytest as _pytest
+
+    with open(cursor, "w") as f:
+        f.write("v-000000-gone")
+    with _pytest.raises(FileNotFoundError, match="re-bootstrap"):
+        V.table_changes_since(spark, src, cursor, ["k"])
