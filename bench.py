@@ -142,6 +142,12 @@ HEADLINE = [
     # row-pruned (n_probe/n_cells directories) and byte-pruned (8-byte
     # codes); cached build, so the median is the composed serving cost.
     "ivfpq_topk",
+    # round-10: the versioned-table layer's read path — two exactly-once
+    # upserts (watermark no-ops once the cold run builds the cached
+    # table) + the change-data-feed diff of the retained snapshots; the
+    # only entry whose input is a TABLE the engine itself published,
+    # so snapshot-read + CDF cost gets a per-round signal.
+    "versioned_cdf",
 ]
 
 
