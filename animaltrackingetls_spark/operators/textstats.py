@@ -168,13 +168,47 @@ def normalize_nfc(c: Column) -> Column:
 
     @pandas_udf(StringType())
     def _nfc(s):  # pd.Series -> pd.Series
-        import unicodedata
-
-        return s.map(
-            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
-        )
+        # pandas' vectorized .str.normalize is unicodedata.normalize
+        # under the hood (identical UCD mapping), NULL-propagating
+        return s.str.normalize("NFC")
 
     return _nfc(c)
+
+
+def normalize_for_matching(
+    c: Column, form: str = "NFKC", casefold: bool = True
+) -> Column:
+    """Tokenizer-prep / matching normalization: Unicode COMPATIBILITY
+    normalization plus full casefolding — the standard text-pipeline
+    step before dedup keys, BPE training, or contamination n-grams.
+
+    NFKC goes beyond :func:`normalize_nfc`'s canonical form: ligatures
+    (ﬁ→fi), full-width forms (Ａ→A), superscripts (²→2) and other
+    compatibility variants fold to one representation, so visually-
+    interchangeable spellings stop defeating digest-keyed dedup.
+    ``casefold=True`` applies Unicode case FOLDING (stronger than
+    lower(): ß→ss, ﬅ→st), the correct case-insensitive matching form.
+
+    Arrow-batched like normalize_nfc (vectorized pandas
+    .str.normalize/.str.casefold, NULL-propagating) — the documented
+    Python exception; everything downstream of it stays codegen. Keep
+    the ORIGINAL text column alongside for display — this form is for
+    KEYS, not for humans."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(
+            f"form must be NFC|NFD|NFKC|NFKD, got {form!r}"
+        )
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _norm(s):  # pd.Series -> pd.Series
+        out = s.str.normalize(form)
+        if casefold:
+            out = out.str.casefold()
+        return out
+
+    return _norm(c)
 
 
 def pack_documents(

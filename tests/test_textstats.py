@@ -619,3 +619,48 @@ def test_pack_bestfit_matches_reference_bfd_on_random_inputs(spark):
             ).collect()
         }
         assert got == expected
+
+
+def test_normalize_for_matching(spark):
+    """NFKC + casefold: the tokenizer-prep form — compatibility
+    variants and case fold to ONE matching key; NFC alone must NOT
+    fold them (the two functions serve different stages)."""
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.operators.textstats import (
+        normalize_for_matching,
+        normalize_nfc,
+    )
+
+    rows = [
+        (0, "ﬁle"),          # ﬁle -> file (ligature, NFKC-only)
+        (1, "ＡBC"),          # Ａ (full-width) -> abc after casefold
+        (2, "straße"),       # ß -> ss under casefold
+        (3, "café"),        # decomposed é -> composed, casefolded
+        (4, None),
+        (5, "x²"),           # superscript ² -> x2
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r.i: r.m
+        for r in df.select(
+            "i", normalize_for_matching(F.col("t")).alias("m")
+        ).collect()
+    }
+    assert got == {
+        0: "file", 1: "abc", 2: "strasse", 3: "café", 4: None, 5: "x2",
+    }
+    # NFC preserves compatibility variants (ligature survives) but
+    # composes the accent — the canonical-vs-compat split
+    nfc = {
+        r.i: r.m
+        for r in df.select("i", normalize_nfc(F.col("t")).alias("m")).collect()
+    }
+    assert nfc[0] == "ﬁle" and nfc[3] == "café"
+    # matching keys now collide where they should: composed == decomposed
+    both = spark.createDataFrame(
+        [(0, "café"), (1, "café")], "i long, t string"
+    ).select(normalize_for_matching(F.col("t")).alias("m"))
+    assert both.distinct().count() == 1
+    with _pytest.raises(ValueError, match="NFC\\|NFD"):
+        normalize_for_matching(F.col("t"), form="bogus")
