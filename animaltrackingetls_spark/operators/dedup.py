@@ -1810,3 +1810,172 @@ def pair_metrics(
         [(tp, fp, fn, round(precision, 6), round(recall, 6), round(f1, 6))],
         "tp long, fp long, fn long, precision double, recall double, f1 double",
     )
+
+
+def dedup_index_ingest(
+    spark,
+    new_docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    bands: int = 2,
+    rows_per_band: int = 3,
+    num_sig_hashes: int = 24,
+    sig_agree: float = 0.5,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> DataFrame:
+    """Classify a batch against a PERSISTED dedup index and append its
+    novel documents — the production form of :func:`incremental_dedup`,
+    whose docstring promises "in production: the persisted digest/bands
+    table" and which until round 10 recomputed the corpus side on every
+    call. Here the corpus side IS two versioned tables under
+    ``index_dir`` (created on first ingest):
+
+    * ``docs``  — ``(id, digest, hs)``: md5 content digest + the
+      portable-MinHash signature (``max(num_sig_hashes, bands·rows)``
+      md5-minhash strings; at 100 TB store 8-byte xxhash64 minhashes —
+      same plan, 4× narrower rows);
+    * ``bands`` — ``(id, bk)``: the SAME band-key family as
+      ``minhash_candidate_pairs_portable`` (shared definition,
+      ``_portable_band_keys``' contract), so either pipeline's bands
+      table is joinable by the other.
+
+    Per batch: O(batch) hashing + two index equi-joins (digest; band
+    key) + a signature-agreement verify on the banded candidates ONLY —
+    ``agree = |{i: hs_a[i]=hs_b[i]}| / k`` is the unbiased MinHash
+    estimate of Jaccard, so ``sig_agree`` plays the threshold role
+    WITHOUT the index storing any text (the precision/recall knob is
+    ``num_sig_hashes``; the exact-Jaccard verify stays available in
+    :func:`incremental_dedup` where text is at hand). Novel documents'
+    rows append to both tables through the versioned writers.
+
+    **Exactly-once**: pass ``txn_app_id``/``txn_version`` (e.g. a
+    foreachBatch id) — both appends carry the watermark, so a replayed
+    batch is a no-op on both tables. ``docs`` commits FIRST: a crash
+    between the two commits can only leave signatures without band
+    keys, which under-detects near-dups for that one batch until the
+    replay heals it — never a false dup. Batch ids must be globally
+    unique and batch-internal exact dups should be dropped upstream
+    (:func:`drop_exact_duplicates`), same contract as the transient
+    form. Returns ``(id, status in {exact_dup, near_dup, kept},
+    matched_id)``.
+    """
+    import os
+
+    from ..inventory import read_versioned, upsert_parquet_versioned
+
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be given together")
+    num_hashes = max(num_sig_hashes, bands * rows_per_band)
+    docs_tbl = os.path.join(index_dir, "docs")
+    bands_tbl = os.path.join(index_dir, "bands")
+
+    bound = shingle_frame(new_docs, id_col, text_col, n)
+    hashes = [
+        F.array_min(F.transform(F.col("sh"), _portable_seeded_md5(i)))
+        for i in range(num_hashes)
+    ]
+    band_keys = [
+        F.concat(
+            F.lit(str(b)),
+            *[hashes[b * rows_per_band + r] for r in range(rows_per_band)],
+        )
+        for b in range(bands)
+    ]
+    prep = (
+        new_docs.select(
+            F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("digest")
+        )
+        .join(
+            bound.select(
+                "id",
+                F.array(*hashes).alias("hs"),
+                F.array(*band_keys).alias("bks"),
+            ),
+            "id",
+        )
+        .localCheckpoint()  # hashing runs ONCE; 4 plan branches read it
+    )
+
+    try:
+        idx_docs = read_versioned(spark, docs_tbl)
+        idx_bands = read_versioned(spark, bands_tbl)
+    except FileNotFoundError:
+        idx_docs = None
+        idx_bands = None
+
+    if idx_docs is None:
+        statuses = prep.select(
+            "id",
+            F.lit("kept").alias("status"),
+            F.lit(None).cast(prep.schema["id"].dataType).alias("matched_id"),
+        )
+    else:
+        exact = (
+            prep.join(
+                idx_docs.select("digest", F.col("id").alias("cid")), "digest"
+            )
+            .groupBy("id")
+            .agg(F.min("cid").alias("matched_id"))
+            .select("id", F.lit("exact_dup").alias("status"), "matched_id")
+        )
+        novel = prep.join(exact.select("id"), "id", "left_anti")
+        cand = (
+            novel.select("id", F.explode("bks").alias("bk"))
+            .join(idx_bands.select(F.col("id").alias("cid"), "bk"), "bk")
+            .select("id", "cid")
+            .dropDuplicates(["id", "cid"])
+        )
+        agree = (
+            F.size(
+                F.filter(
+                    F.zip_with("hs", "chs", lambda a, b: a == b),
+                    lambda x: x,
+                )
+            ).cast("double")
+            / F.lit(float(num_hashes))
+        )
+        near = (
+            cand.join(novel.select("id", "hs"), "id")
+            .join(
+                idx_docs.select(F.col("id").alias("cid"),
+                                F.col("hs").alias("chs")),
+                "cid",
+            )
+            .filter(agree >= sig_agree)
+            .groupBy("id")
+            .agg(F.min("cid").alias("matched_id"))
+            .select("id", F.lit("near_dup").alias("status"), "matched_id")
+        )
+        kept = (
+            novel.join(near.select("id"), "id", "left_anti")
+            .select(
+                "id",
+                F.lit("kept").alias("status"),
+                F.lit(None).cast(prep.schema["id"].dataType)
+                .alias("matched_id"),
+            )
+        )
+        statuses = exact.unionByName(near).unionByName(kept)
+
+    statuses = statuses.localCheckpoint()  # stable across the two appends
+    kept_rows = prep.join(
+        statuses.filter(F.col("status") == "kept").select("id"), "id"
+    )
+    txn = (
+        {"txn_app_id": txn_app_id, "txn_version": txn_version}
+        if txn_app_id is not None
+        else {}
+    )
+    upsert_parquet_versioned(
+        spark, docs_tbl, kept_rows.select("id", "digest", "hs"),
+        ["id"], **txn,
+    )
+    upsert_parquet_versioned(
+        spark, bands_tbl,
+        kept_rows.select("id", F.explode("bks").alias("bk")),
+        ["id", "bk"], **txn,
+    )
+    return statuses.withColumnRenamed("id", id_col)

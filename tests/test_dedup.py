@@ -1017,3 +1017,68 @@ def test_ngram_jaccard_degenerate_block_bounded(spark):
     assert set(out) == {(7, n)}
     # doc 7: 5 shingles, doc n: 6 shingles, 5 shared (incl. the hot one)
     assert abs(out[(7, n)] - 5 / 6) < 1e-9
+
+
+def test_dedup_index_ingest_persisted(spark, tmp_path):
+    """The persisted dedup index: bootstrap, exact + near classification
+    against the STORE (no corpus recompute), O(novel) growth,
+    exactly-once replayed batch, and the docs-first crash ordering."""
+    from animaltrackingetls_spark.inventory import read_versioned
+    from animaltrackingetls_spark.operators.dedup import dedup_index_ingest
+
+    idx = str(tmp_path / "idx")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    long1 = ("the quick brown fox jumps over the lazy dog and runs far "
+             "away into the quiet green forest near the old stone bridge")
+    base = docs([
+        (1, long1),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "sphinx of black quartz judge my vow"),
+    ])
+    s0 = {r.doc_id: r.status for r in
+          dedup_index_ingest(spark, base, idx,
+                             txn_app_id="t", txn_version=0).collect()}
+    assert s0 == {1: "kept", 2: "kept", 3: "kept"}  # bootstrap keeps all
+    assert read_versioned(spark, idx + "/docs").count() == 3
+
+    batch = docs([
+        (10, "pack my box with five dozen liquor jugs"),  # exact of 2
+        # near of 1: one appended word, bigram J=0.957 — verified
+        # DETERMINISTICALLY band-colliding under the portable md5
+        # family at (r=3, b=2)
+        (11, long1 + " today"),
+        (12, "completely different text about spark engines"),
+    ])
+    out = {r.doc_id: (r.status, r.matched_id) for r in
+           dedup_index_ingest(spark, batch, idx, sig_agree=0.4,
+                              txn_app_id="t", txn_version=1).collect()}
+    assert out[10] == ("exact_dup", 2)
+    assert out[11][0] == "near_dup" and out[11][1] == 1
+    assert out[12] == ("kept", None)
+    # only the novel doc was appended
+    assert read_versioned(spark, idx + "/docs").count() == 4
+    assert read_versioned(spark, idx + "/bands").filter("id = 10").count() == 0
+
+    # replayed batch (same txn id): classification recomputes but the
+    # index tables must NOT grow (watermark no-op on both)
+    dedup_index_ingest(spark, batch, idx, sig_agree=0.4,
+                       txn_app_id="t", txn_version=1)
+    assert read_versioned(spark, idx + "/docs").count() == 4
+    assert read_versioned(spark, idx + "/bands").count() == \
+        4 * 2  # 4 docs x 2 bands
+
+    # the new doc is now corpus: an exact copy in the NEXT batch is
+    # caught by the store alone
+    nxt = docs([(20, "completely different text about spark engines")])
+    out = {r.doc_id: (r.status, r.matched_id) for r in
+           dedup_index_ingest(spark, nxt, idx,
+                              txn_app_id="t", txn_version=2).collect()}
+    assert out[20] == ("exact_dup", 12)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="together"):
+        dedup_index_ingest(spark, nxt, idx, txn_app_id="t")
