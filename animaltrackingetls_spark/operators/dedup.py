@@ -1825,6 +1825,8 @@ def dedup_index_ingest(
     sig_agree: float = 0.5,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    use_bloom: bool = True,
+    m_bits: int = 1 << 26,
 ) -> DataFrame:
     """Classify a batch against a PERSISTED dedup index and append its
     novel documents — the production form of :func:`incremental_dedup`,
@@ -1861,6 +1863,22 @@ def dedup_index_ingest(
     (:func:`drop_exact_duplicates`), same contract as the transient
     form. Returns ``(id, status in {exact_dup, near_dup, kept},
     matched_id)``.
+
+    ``use_bloom`` (default) maintains a THIRD versioned table,
+    ``bloom`` — the :func:`digest_bitmap` (≤ ``m_bits/64`` rows, ≤8 MiB
+    broadcast at 2^26 bits) of every indexed digest, OR-merged per
+    ingest — and probes it before the exact join: clear-bit batch rows
+    are PROVABLY absent from the index (bloom has no false negatives)
+    and never reach the docs table; only set-bit rows (dups + ~n/m
+    false positives) enter the confirm join, so the classification
+    stays EXACT while a mostly-novel batch's confirm input collapses
+    toward empty (AQE's empty-relation propagation then elides the
+    index scan). Commit order makes crashes safe BY ALGEBRA: bloom
+    commits FIRST, so a crash can only leave bits set for digests the
+    docs table lacks — false positives the confirm join already
+    resolves — never a clear bit over an indexed digest (which would
+    mint a false 'kept'); OR-merge also makes the replayed commit a
+    no-op even without its watermark.
     """
     import os
 
@@ -1871,6 +1889,7 @@ def dedup_index_ingest(
     num_hashes = max(num_sig_hashes, bands * rows_per_band)
     docs_tbl = os.path.join(index_dir, "docs")
     bands_tbl = os.path.join(index_dir, "bands")
+    bloom_tbl = os.path.join(index_dir, "bloom")
 
     bound = shingle_frame(new_docs, id_col, text_col, n)
     hashes = [
@@ -1905,6 +1924,12 @@ def dedup_index_ingest(
     except FileNotFoundError:
         idx_docs = None
         idx_bands = None
+    bitmap = None
+    if use_bloom and idx_docs is not None:
+        try:
+            bitmap = read_versioned(spark, bloom_tbl)
+        except FileNotFoundError:
+            bitmap = None  # pre-bloom index: fall back to the full join
 
     if idx_docs is None:
         statuses = prep.select(
@@ -1913,8 +1938,25 @@ def dedup_index_ingest(
             F.lit(None).cast(prep.schema["id"].dataType).alias("matched_id"),
         )
     else:
+        exact_input = prep
+        if bitmap is not None:
+            probe = (
+                prep.withColumn(
+                    "b", F.pmod(F.xxhash64("digest"), F.lit(m_bits))
+                )
+                .withColumn("w_idx", F.floor(F.col("b") / 64).cast("long"))
+                .withColumn(
+                    "bit", F.expr("shiftleft(1L, cast(b % 64 AS int))")
+                )
+                .join(F.broadcast(bitmap), "w_idx", "left")
+            )
+            maybe = F.col("word").isNotNull() & (
+                F.col("word").bitwiseAND(F.col("bit")) != 0
+            )
+            # clear bit => PROVABLY not in the index: skip the docs join
+            exact_input = probe.filter(maybe).select(*prep.columns)
         exact = (
-            prep.join(
+            exact_input.join(
                 idx_docs.select("digest", F.col("id").alias("cid")), "digest"
             )
             .groupBy("id")
@@ -1960,7 +2002,7 @@ def dedup_index_ingest(
         )
         statuses = exact.unionByName(near).unionByName(kept)
 
-    statuses = statuses.localCheckpoint()  # stable across the two appends
+    statuses = statuses.localCheckpoint()  # stable across the appends
     kept_rows = prep.join(
         statuses.filter(F.col("status") == "kept").select("id"), "id"
     )
@@ -1969,6 +2011,27 @@ def dedup_index_ingest(
         if txn_app_id is not None
         else {}
     )
+    if use_bloom:
+        # OR-merge the kept digests' bitmap into the persisted bloom;
+        # the update frame carries the FULL merged bitmap, so the
+        # last-wins keyed upsert publishes exactly the OR. Commits
+        # FIRST (see docstring: a crash may only over-set bits).
+        new_fps = kept_rows.select(F.col("digest").alias("fp"))
+        if bitmap is None and idx_docs is not None:
+            # pre-bloom index (or lost bloom): bootstrap from the FULL
+            # docs table — seeding from this batch alone would leave
+            # earlier digests clear-bit and mint FALSE 'kept' later
+            new_fps = new_fps.unionByName(
+                idx_docs.select(F.col("digest").alias("fp"))
+            )
+        batch_bits = digest_bitmap(new_fps, "fp", m_bits)
+        merged_bits = (
+            bitmap.unionByName(batch_bits) if bitmap is not None
+            else batch_bits
+        ).groupBy("w_idx").agg(F.expr("bit_or(word)").alias("word"))
+        upsert_parquet_versioned(
+            spark, bloom_tbl, merged_bits, ["w_idx"], **txn,
+        )
     upsert_parquet_versioned(
         spark, docs_tbl, kept_rows.select("id", "digest", "hs"),
         ["id"], **txn,

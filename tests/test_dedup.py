@@ -1082,3 +1082,59 @@ def test_dedup_index_ingest_persisted(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="together"):
         dedup_index_ingest(spark, nxt, idx, txn_app_id="t")
+
+
+def test_dedup_index_bloom_sidecar(spark, tmp_path):
+    """The persisted bloom: exactness preserved (same statuses with and
+    without it), the bloom table exists and is OR-maintained, a
+    pre-bloom index bootstraps its bloom from the FULL docs table, and
+    clear-bit skipping can never mint a false 'kept'."""
+    from animaltrackingetls_spark.inventory import read_versioned
+    from animaltrackingetls_spark.operators.dedup import dedup_index_ingest
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    long1 = ("the quick brown fox jumps over the lazy dog and runs far "
+             "away into the quiet green forest near the old stone bridge")
+    base = docs([(1, long1), (2, "pack my box with five dozen liquor jugs")])
+    batch = docs([
+        (10, "pack my box with five dozen liquor jugs"),  # exact of 2
+        (11, long1 + " today"),                            # near of 1
+        (12, "completely different text about spark engines"),
+    ])
+
+    # two parallel indexes, bloom on/off: classifications must be equal
+    results = {}
+    for flag in (True, False):
+        idx = str(tmp_path / f"idx_{flag}")
+        dedup_index_ingest(spark, base, idx, use_bloom=flag)
+        out = dedup_index_ingest(spark, batch, idx, sig_agree=0.4,
+                                 use_bloom=flag)
+        results[flag] = {
+            r.doc_id: (r.status, r.matched_id) for r in out.collect()
+        }
+    assert results[True] == results[False]
+    assert results[True][10] == ("exact_dup", 2)
+    assert results[True][12] == ("kept", None)
+    assert read_versioned(
+        spark, str(tmp_path / "idx_True") + "/bloom"
+    ).count() > 0
+
+    # pre-bloom index (built with use_bloom=False) gains a bloom on the
+    # next bloom-enabled ingest, BOOTSTRAPPED from the whole docs table:
+    # an exact dup of a FIRST-batch doc must still be caught afterwards
+    idx = str(tmp_path / "idx_False")
+    dedup_index_ingest(
+        spark, docs([(20, "some new unrelated content here")]), idx,
+        use_bloom=True,
+    )
+    out = {
+        r.doc_id: r.status
+        for r in dedup_index_ingest(
+            spark, docs([(30, long1)]), idx, use_bloom=True
+        ).collect()
+    }
+    assert out == {30: "exact_dup"}, (
+        "bloom bootstrap missed a pre-bloom digest - false kept"
+    )
