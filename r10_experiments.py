@@ -52,7 +52,16 @@
    crossover — but the small-group regime is the honest caveat for
    modest tables, documented in zvalue_expr_nd's guidance.
 
-4. ``benchdrift`` — the round-9 verdict's adjudication protocol for
+4. ``dedupindex`` — the persisted dedup index
+   (``dedup.dedup_index_ingest``) at 100k/300k/1M-doc index sizes: a
+   10k-doc batch (80% novel, 10% exact dups, 10% near dups) ingests
+   with the bloom sidecar on vs off; per-ingest wall and the
+   classification counts (identical across arms — exactness) printed.
+   Claim: the bloom collapses the exact-confirm join input for the
+   mostly-novel stream, so the on-arm's cost grows slower with index
+   size.
+
+5. ``benchdrift`` — the round-9 verdict's adjudication protocol for
    the +20.7% r8->r9 bench drift, runnable once BENCH_r10.json exists:
    reads two bench JSON lines, normalizes every shared per-query delta
    by the calibration-block shift (gemm + range-agg mean ratio), and
@@ -392,6 +401,85 @@ def zorder3d(sizes: list[int]) -> None:
             shutil.rmtree(base, ignore_errors=True)
 
 
+def dedupindex(sizes: list[int]) -> None:
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.operators.dedup import dedup_index_ingest
+    from animaltrackingetls_spark.session import get_spark
+
+    spark = get_spark(extra_conf={"spark.ui.showConsoleProgress": "false"})
+
+    def text_of(idc):
+        # 12 deterministic pseudo-words per doc; the first word carries
+        # the FULL id so text_of is injective (distinct ids -> distinct
+        # texts), the rest draw from a small shared vocabulary so
+        # shingles still collide across docs like real text
+        return F.concat_ws(
+            " ",
+            F.concat(F.lit("u"), idc.cast("string")),
+            *[
+                F.concat(F.lit("w"), ((idc * p) % 95_819).cast("string"))
+                for p in (3, 7, 11, 17, 23, 31, 41, 47, 59, 67, 73)
+            ],
+        )
+
+    batch_n = 10_000
+    for n in sizes:
+        corpus = spark.range(n).select(
+            F.col("id").alias("doc_id"), text_of(F.col("id")).alias("text")
+        )
+        # novel docs draw from a DISJOINT vocabulary ('x' prefix): the
+        # w-words are a function of id mod 95,819, so any same-generator
+        # id collides wholesale with some corpus id
+        novel = spark.range(int(batch_n * 0.8)).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.regexp_replace(
+                text_of(F.col("id") + 10_000_000), "w", "x"
+            ).alias("text"),
+        )
+        exact = spark.range(int(batch_n * 0.1)).select(
+            (F.col("id") + 20_000_000).alias("doc_id"),
+            text_of(F.col("id") % n).alias("text"),
+        )
+        near = spark.range(int(batch_n * 0.1)).select(
+            (F.col("id") + 30_000_000).alias("doc_id"),
+            F.concat(
+                text_of((F.col("id") * 7) % n), F.lit(" extraword")
+            ).alias("text"),
+        )
+        batch = novel.unionByName(exact).unionByName(near).localCheckpoint()
+
+        report = {"exp": "dedupindex", "index_docs": n, "batch": batch_n}
+        for flag in (True, False):
+            work = tempfile.mkdtemp(prefix=f"dedupidx_{n}_{flag}_")
+            try:
+                t0 = time.monotonic()
+                dedup_index_ingest(spark, corpus, work, use_bloom=flag)
+                t_boot = time.monotonic() - t0
+                t0 = time.monotonic()
+                out = dedup_index_ingest(
+                    spark, batch, work, sig_agree=0.4, use_bloom=flag
+                )
+                counts = {
+                    r["status"]: r["n"]
+                    for r in out.groupBy("status").agg(
+                        F.count(F.lit(1)).alias("n")
+                    ).collect()
+                }
+                t_ingest = time.monotonic() - t0
+                report[f"bloom_{flag}"] = {
+                    "t_bootstrap_s": round(t_boot, 2),
+                    "t_ingest_s": round(t_ingest, 2),
+                    "counts": counts,
+                }
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+        assert (
+            report["bloom_True"]["counts"] == report["bloom_False"]["counts"]
+        ), "bloom changed the classification"
+        print(json.dumps(report), flush=True)
+
+
 def benchdrift(old_path: str, new_path: str) -> None:
     import re
 
@@ -477,6 +565,10 @@ if __name__ == "__main__":
     elif cmd == "zorder3d":
         sizes = [int(x) for x in sys.argv[2:]] or [20_000_000]
         zorder3d(sizes)
+    elif cmd == "dedupindex":
+        sizes = [int(x) for x in sys.argv[2:]] or [100_000, 300_000,
+                                                   1_000_000]
+        dedupindex(sizes)
     elif cmd == "benchdrift":
         benchdrift(sys.argv[2], sys.argv[3])
     else:

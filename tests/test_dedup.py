@@ -1043,6 +1043,9 @@ def test_dedup_index_ingest_persisted(spark, tmp_path):
                              txn_app_id="t", txn_version=0).collect()}
     assert s0 == {1: "kept", 2: "kept", 3: "kept"}  # bootstrap keeps all
     assert read_versioned(spark, idx + "/docs").count() == 3
+    import os
+
+    assert not os.path.exists(idx + "/bloom")  # default-off (measured)
 
     batch = docs([
         (10, "pack my box with five dozen liquor jugs"),  # exact of 2
