@@ -1045,3 +1045,53 @@ def run_available_now_upsert_versioned(
             f"versioned upsert into {table_dir!r} did not drain within "
             f"{timeout_seconds}s"
         )
+
+
+def run_available_now_ingest_index(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    app_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_seconds: int = 300,
+    **ingest_kwargs,
+) -> None:
+    """Exactly-once streaming ingest through the PERSISTED dedup index
+    (operators/dedup.py:dedup_index_ingest): each micro-batch is
+    classified against the stored corpus state (digests + band keys)
+    and its novel documents append to the index tables with
+    ``txn_app_id=app_id, txn_version=batch_id`` — a replayed batch
+    (foreachBatch's at-least-once edge) is a watermark no-op on every
+    index table, the same pattern as run_available_now_upsert_versioned.
+    ``ingest_kwargs`` pass through (bands, sig_agree, use_bloom, ...).
+
+    The batch's (id, status, matched_id) classification is computed but
+    not sunk here — a caller needing it routes the KEPT ids onward by
+    composing its own foreachBatch around dedup_index_ingest; this
+    runner is the plain build-the-index shape."""
+    from animaltrackingetls_spark.operators.dedup import dedup_index_ingest
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dedup_index_ingest(
+            batch_df.sparkSession, batch_df, index_dir,
+            id_col=id_col, text_col=text_col,
+            txn_app_id=app_id, txn_version=batch_id,
+            **ingest_kwargs,
+        ).count()  # drive the classification + appends
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_seconds)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"index ingest into {index_dir!r} did not drain within "
+            f"{timeout_seconds}s"
+        )

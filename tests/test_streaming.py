@@ -994,3 +994,47 @@ def test_streaming_versioned_upsert_partitioned_layout(spark, tmp_path):
     got = {r["user_id"]: r["n"] for r in read_versioned(spark, table).collect()}
     assert got == {0: 2, 1: 2, 2: 2, 3: 2}
     assert txn_watermarks(table)["pr"] == 0
+
+
+def test_streaming_ingest_through_persisted_index(spark, tmp_path):
+    """Micro-batched document ingest through the persisted dedup index:
+    batch boundaries don't change outcomes (cross-batch exact dup is
+    caught by the STORE), and a second drain of the same source is a
+    checkpoint no-op leaving the index unchanged."""
+    from animaltrackingetls_spark.inventory import read_versioned
+    from animaltrackingetls_spark.streaming.jobs import (
+        run_available_now_ingest_index,
+    )
+
+    src = tmp_path / "docs_src"
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    # two files -> two micro-batches under maxFilesPerTrigger=1;
+    # file B repeats a file-A text exactly (cross-batch dup)
+    a = [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")]
+    b = [(3, "alpha beta gamma delta epsilon zeta"),  # dup of 1
+         (4, "totally new content never seen before")]
+    spark.createDataFrame(a, "doc_id long, text string").coalesce(1)\
+        .write.parquet(str(src / "f0"))
+    spark.createDataFrame(b, "doc_id long, text string").coalesce(1)\
+        .write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    run_available_now_ingest_index(stream, idx, ckpt, app_id="ing")
+    docs = read_versioned(spark, idx + "/docs")
+    # 1, 2, 4 kept; 3 was an exact dup of batch-A's doc 1
+    assert {r.id for r in docs.collect()} == {1, 2, 4}
+
+    # re-drain with the same checkpoint: no new batches, index unchanged
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    run_available_now_ingest_index(stream2, idx, ckpt, app_id="ing")
+    assert read_versioned(spark, idx + "/docs").count() == 3
