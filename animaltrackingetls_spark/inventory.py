@@ -111,6 +111,12 @@ def merge_upsert(
     mismatched batch fails loudly, the right default for a catalog
     whose schema should never drift silently.
     """
+    reserved = {"_prio", "_rn"} & (set(existing.columns) | set(updates.columns))
+    if reserved:
+        raise ValueError(
+            f"merge_upsert reserves columns {sorted(reserved)} for its "
+            "window bookkeeping; rename them in the input"
+        )
     e = existing.withColumn("_prio", F.lit(0))
     u = updates.withColumn("_prio", F.lit(1))
     if merge_schema:
@@ -163,7 +169,9 @@ def upsert_parquet(
             pass
         if "PATH_NOT_FOUND" not in cond and "PATH_NOT_FOUND" not in str(err):
             raise
-        merged = updates
+        # first write: dedupe WITHIN the batch through the same window
+        # later merges apply — one row per key from the start
+        merged = merge_upsert(updates.limit(0), updates, key_cols)
     else:
         merged = merge_upsert(existing, updates, key_cols)
     # Materialize before overwriting the path we just read.
@@ -204,18 +212,40 @@ def _current_version(table_dir: str) -> str | None:
         return None
 
 
-def list_versions(table_dir: str) -> list[str]:
-    """Retained snapshot directory names, oldest first, with the
-    published one identifiable via ``_current_version``. The ``v-<seq>-``
-    prefix sorts lexicographically in publish order, so this doubles as
-    the time-travel index (retention is ``keep_versions`` at upsert
-    time — older snapshots are gone by design, same as VACUUM)."""
+_HISTORY = "_HISTORY"
+
+
+def _read_history(table_dir: str) -> list[str] | None:
+    """The publish ledger: version names in commit order, one per
+    line, rewritten atomically under the commit lock on every publish.
+    ``None`` for tables created before the ledger existed (round 10) —
+    callers fall back to the directory listing."""
     import os
 
     try:
-        entries = os.listdir(table_dir)
+        with open(os.path.join(table_dir, _HISTORY)) as f:
+            return [ln.strip() for ln in f if ln.strip()]
+    except FileNotFoundError:
+        return None
+
+
+def list_versions(table_dir: str) -> list[str]:
+    """RETAINED snapshot names in publish order. Reads the publish
+    ledger (``_HISTORY``) intersected with the directories that still
+    exist, so crash debris — a CAS-losing or crashed writer's
+    unreferenced ``v-*`` directory — is never offered as a time-travel
+    target (round-10 review finding; pre-ledger tables fall back to the
+    raw directory listing). Retention is ``keep_versions`` at publish
+    time — older snapshots are gone by design, same as VACUUM."""
+    import os
+
+    hist = _read_history(table_dir)
+    try:
+        entries = set(os.listdir(table_dir))
     except FileNotFoundError:
         return []
+    if hist is not None:
+        return [v for v in hist if v in entries]
     return sorted(d for d in entries if d.startswith("v-"))
 
 
@@ -249,23 +279,63 @@ def read_versioned(
 _TXN_SIDECAR = "_txn.json"
 
 
+def _txn_marks_of(table_dir: str, version: str) -> dict[str, int]:
+    """Watermark map of one SPECIFIC version directory. Distinguishes
+    the two absences (review round 10): a missing sidecar inside an
+    EXISTING version dir means "no transactional writer yet" ({});
+    the version DIR itself gone means a concurrent publish pruned it
+    between our pointer read and this read — surfacing that as
+    :class:`ConcurrentWriteError` lets writer retry loops re-read the
+    pointer instead of proceeding with a vacuously-empty map that
+    would drop every app's replay protection."""
+    import json
+    import os
+
+    vdir = os.path.join(table_dir, version)
+    try:
+        with open(os.path.join(vdir, _TXN_SIDECAR)) as f:
+            return {str(k): int(v) for k, v in json.load(f).items()}
+    except FileNotFoundError:
+        if not os.path.isdir(vdir):
+            raise ConcurrentWriteError(
+                f"{table_dir}: version {version} vanished while reading "
+                "its watermarks — a concurrent publish pruned it; re-read "
+                "the pointer and retry"
+            ) from None
+        return {}
+
+
 def txn_watermarks(table_dir: str) -> dict[str, int]:
     """Per-writer transaction watermarks of the CURRENT snapshot:
     ``{app_id: last_applied_version}``. Lives in a ``_txn.json``
     sidecar INSIDE the version directory, so it commits in the same
     atomic pointer swap as the data it describes (Spark's parquet
     reader ignores ``_``-prefixed files, like ``_SUCCESS``)."""
-    import json
-    import os
-
     current = _current_version(table_dir)
     if current is None:
         return {}
     try:
-        with open(os.path.join(table_dir, current, _TXN_SIDECAR)) as f:
-            return {str(k): int(v) for k, v in json.load(f).items()}
-    except FileNotFoundError:
-        return {}
+        return _txn_marks_of(table_dir, current)
+    except ConcurrentWriteError:
+        # read-only probe: the pointer moved mid-read; follow it once
+        current = _current_version(table_dir)
+        return _txn_marks_of(table_dir, current) if current else {}
+
+
+def _read_commit_state(table_dir: str) -> tuple[str | None, dict[str, int]]:
+    """(current_version, its watermark map) read CONSISTENTLY — the
+    marks come from the same version directory the caller will pass as
+    the CAS ``expected_base``. The round-9 form read the marks through
+    the pointer and the base through a second pointer read: a commit
+    landing between the two handed the writer STALE marks that CAS
+    (pinned to the newer base) could not catch, silently regressing
+    another app's replay watermark (round-10 review finding). Raises
+    ConcurrentWriteError if the version is pruned mid-read — callers'
+    retry loops already handle it."""
+    current = _current_version(table_dir)
+    if current is None:
+        return None, {}
+    return current, _txn_marks_of(table_dir, current)
 
 
 def upsert_parquet_versioned(
@@ -350,8 +420,14 @@ def upsert_parquet_versioned(
     for _attempt in range(max(0, retries) + 1):
         # (Re-)read the commit state each attempt: a retry must merge
         # against the snapshot the CONFLICTING writer published, and
-        # re-check the replay watermark it may have advanced.
-        marks = txn_watermarks(table_dir)
+        # re-check the replay watermark it may have advanced. The pair
+        # is read CONSISTENTLY (marks from the same version used as the
+        # CAS base) — see _read_commit_state.
+        try:
+            current, marks = _read_commit_state(table_dir)
+        except ConcurrentWriteError as err:
+            last_err = err
+            continue
         if (
             txn_app_id is not None
             and txn_app_id in marks
@@ -359,9 +435,14 @@ def upsert_parquet_versioned(
         ):
             return read_versioned(spark, table_dir)
 
-        current = _current_version(table_dir)
         if current is None:
-            merged = updates
+            # first write: dedupe WITHIN the batch through the same
+            # window later merges apply — the one-row-per-key contract
+            # must hold from version 1 (round-10 review finding)
+            merged = merge_upsert(
+                updates.limit(0), updates, key_cols,
+                merge_schema=merge_schema,
+            )
             seq = 1
         else:
             existing = spark.read.parquet(os.path.join(table_dir, current))
@@ -559,7 +640,11 @@ def upsert_parquet_versioned_partitioned(
     u = updates.withColumn(_BUCKET_COL, bucket)
     last_err: ConcurrentWriteError | None = None
     for _attempt in range(max(0, retries) + 1):
-        marks = txn_watermarks(table_dir)
+        try:
+            current, marks = _read_commit_state(table_dir)
+        except ConcurrentWriteError as err:
+            last_err = err
+            continue
         if (
             txn_app_id is not None
             and txn_app_id in marks
@@ -567,25 +652,49 @@ def upsert_parquet_versioned_partitioned(
         ):
             return read_versioned(spark, table_dir)
 
-        current = _current_version(table_dir)
         if current is None:
             touched = sorted(
                 r[0] for r in u.select(_BUCKET_COL).distinct().collect()
             )
-            merged, seq, untouched = u, 1, []
+            # first write: same in-batch dedup contract as the plain
+            # writer (bucket col is key-derived, unaffected)
+            merged = merge_upsert(u.limit(0), u, key_cols,
+                                  merge_schema=merge_schema)
+            seq, untouched = 1, []
         else:
             cdir = os.path.join(table_dir, current)
-            # O(n_buckets) driver values — bounded by layout, not data
-            touched = sorted(
-                r[0] for r in u.select(_BUCKET_COL).distinct().collect()
+            existing_all = spark.read.parquet(cdir)
+            evolving = merge_schema and (
+                set(u.columns) != set(existing_all.columns)
             )
-            existing = spark.read.parquet(cdir).filter(
-                F.col(_BUCKET_COL).isin(touched)
-            )
+            if evolving:
+                # schema evolution CANNOT hardlink: untouched buckets
+                # would keep the old schema and the snapshot would be
+                # mixed — spark.read then infers from one file and the
+                # evolved column silently vanishes (or NULL-fills on
+                # the next merge, destroying just-written values).
+                # Review finding, round 10: evolution pays one full
+                # rewrite; hardlinking resumes on the uniform snapshot.
+                touched = sorted(
+                    r[0]
+                    for r in existing_all.select(_BUCKET_COL)
+                    .unionByName(u.select(_BUCKET_COL))
+                    .distinct()
+                    .collect()
+                )
+                existing = existing_all
+            else:
+                # O(n_buckets) driver values — bounded by layout, not data
+                touched = sorted(
+                    r[0] for r in u.select(_BUCKET_COL).distinct().collect()
+                )
+                existing = existing_all.filter(
+                    F.col(_BUCKET_COL).isin(touched)
+                )
             merged = merge_upsert(existing, u, key_cols,
                                   merge_schema=merge_schema)
             seq = int(current.split("-")[1]) + 1
-            untouched = [
+            untouched = [] if evolving else [
                 d for d in os.listdir(cdir)
                 if d.startswith(f"{_BUCKET_COL}=")
                 and int(d.split("=", 1)[1]) not in set(touched)
@@ -671,7 +780,11 @@ def delete_versioned(
     kdf = keys.select(*key_cols).dropDuplicates(key_cols)
     last_err: ConcurrentWriteError | None = None
     for _attempt in range(max(0, retries) + 1):
-        marks = txn_watermarks(table_dir)
+        try:
+            current, marks = _read_commit_state(table_dir)
+        except ConcurrentWriteError as err:
+            last_err = err
+            continue
         if (
             txn_app_id is not None
             and txn_app_id in marks
@@ -679,7 +792,6 @@ def delete_versioned(
         ):
             return read_versioned(spark, table_dir)
 
-        current = _current_version(table_dir)
         if current is None:
             raise FileNotFoundError(f"no published snapshot under {table_dir}")
         cdir = os.path.join(table_dir, current)
@@ -710,6 +822,24 @@ def delete_versioned(
             remaining = existing.join(
                 F.broadcast(kb.drop(_BUCKET_COL)), on=key_cols, how="left_anti"
             )
+            untouched_pre = [
+                d for d in os.listdir(cdir)
+                if d.startswith(f"{_BUCKET_COL}=")
+                and int(d.split("=", 1)[1]) not in set(touched)
+            ]
+            if not untouched_pre and remaining.isEmpty():
+                # a partitioned write of an empty frame emits NO data
+                # files (unlike the unpartitioned schema-carrying empty
+                # file): publishing it would brick the table — every
+                # later read/merge fails schema inference (round-10
+                # review finding). Full truncation is a table-drop, not
+                # a delete.
+                raise ValueError(
+                    f"delete_versioned would remove EVERY row of the "
+                    f"bucketed table {table_dir}; refusing to publish an "
+                    "unreadable empty snapshot — drop the table directory "
+                    "instead"
+                )
             (
                 remaining.repartition(max(1, len(touched)), F.col(_BUCKET_COL))
                 .write.mode("error")
@@ -803,7 +933,11 @@ def delete_versioned_where(
 
     last_err: ConcurrentWriteError | None = None
     for _attempt in range(max(0, retries) + 1):
-        marks = txn_watermarks(table_dir)
+        try:
+            current, marks = _read_commit_state(table_dir)
+        except ConcurrentWriteError as err:
+            last_err = err
+            continue
         if (
             txn_app_id is not None
             and txn_app_id in marks
@@ -811,7 +945,6 @@ def delete_versioned_where(
         ):
             return read_versioned(spark, table_dir)
 
-        current = _current_version(table_dir)
         if current is None:
             raise FileNotFoundError(f"no published snapshot under {table_dir}")
         cdir = os.path.join(table_dir, current)
@@ -834,6 +967,15 @@ def delete_versioned_where(
         if layout is None:
             remaining.write.mode("error").parquet(vdir)
         else:
+            if not untouched and remaining.isEmpty():
+                # same brick guard as delete_versioned: an empty
+                # partitioned snapshot has no data files and no schema
+                raise ValueError(
+                    f"delete_versioned_where would remove EVERY row of "
+                    f"the bucketed table {table_dir}; refusing to publish "
+                    "an unreadable empty snapshot — drop the table "
+                    "directory instead"
+                )
             n_parts = (
                 max(1, len(hint_buckets)) if hint_buckets is not None
                 else layout["n_buckets"]
@@ -877,13 +1019,14 @@ def vacuum_versioned(
     writer's in-flight commit). This sweeps, under the same commit
     lock so no publish can race it:
 
-    * non-current dirs NEWER in sort order than CURRENT whose mtime is
-      older than ``grace_seconds`` — stale debris (the grace window is
-      what protects a live writer's in-flight directory; size it above
-      the longest plausible write);
+    * any ``v-*`` directory NOT in the publish ledger (``_HISTORY``)
+      whose mtime is older than ``grace_seconds`` — debris by
+      definition (the grace window protects a live writer's in-flight
+      directory; size it above the longest plausible write). Ledgerless
+      pre-r10 tables fall back to the sort-after-CURRENT heuristic;
     * optionally (``keep_versions``) retained HISTORY beyond that
-      count, the same trim publish applies, for tables whose retention
-      policy tightened after the fact.
+      count, the same ledger trim publish applies, for tables whose
+      retention policy tightened after the fact.
 
     Returns ``{"removed": [...], "kept": n}``. Never touches CURRENT.
     """
@@ -891,6 +1034,7 @@ def vacuum_versioned(
     import os
     import shutil
     import time as _time
+    import uuid
 
     current = _current_version(table_dir)
     if current is None:
@@ -901,24 +1045,43 @@ def vacuum_versioned(
     try:
         fcntl.flock(lock_fd, fcntl.LOCK_EX)
         current = _current_version(table_dir)  # re-read under the lock
+        hist = _read_history(table_dir)
         now = _time.time()
         dirs = sorted(
             d for d in os.listdir(table_dir)
             if d.startswith("v-") and os.path.isdir(os.path.join(table_dir, d))
         )
         for d in dirs:
-            if d == current or d < current:
+            if d == current:
+                continue
+            is_debris = (d not in hist) if hist is not None else (d > current)
+            if not is_debris:
                 continue
             full = os.path.join(table_dir, d)
             if now - os.stat(full).st_mtime >= grace_seconds:
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(d)
         if keep_versions is not None:
-            older = [d for d in dirs if d < current and d not in removed]
-            excess = len(older) + 1 - max(1, keep_versions)
-            for d in older[:max(0, excess)]:
+            retained = (
+                [v for v in hist if v in set(dirs) and v not in removed]
+                if hist is not None
+                else [d for d in dirs if d <= current and d not in removed]
+            )
+            excess = len(retained) - max(1, keep_versions)
+            trimmed = [d for d in retained[: max(0, excess)] if d != current]
+            for d in trimmed:
                 shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
                 removed.append(d)
+            if hist is not None and (trimmed or removed):
+                keep = [v for v in hist if v not in set(removed)]
+                htmp = os.path.join(
+                    table_dir, f".{_HISTORY}.{uuid.uuid4().hex[:8]}.tmp"
+                )
+                with open(htmp, "w") as f:
+                    f.write("\n".join(keep) + "\n")
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(htmp, os.path.join(table_dir, _HISTORY))
     finally:
         os.close(lock_fd)
     return {"removed": removed, "kept": len(list_versions(table_dir))}
@@ -1010,20 +1173,36 @@ def restore_versioned(
     import os
     import uuid
 
-    if version not in list_versions(table_dir):
-        raise FileNotFoundError(
-            f"version {version!r} not retained under {table_dir} "
-            f"(have: {list_versions(table_dir)})"
-        )
-    current = _current_version(table_dir)
-    marks = txn_watermarks(table_dir)
-    seq = int(current.split("-")[1]) + 1 if current else 1
-    new_version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
-    _link_tree(os.path.join(table_dir, version),
-               os.path.join(table_dir, new_version))
-    _publish_version(table_dir, new_version, marks, keep_versions,
-                     expected_base=current)
-    return read_versioned(spark, table_dir)
+    import shutil
+
+    last_err: ConcurrentWriteError | None = None
+    for _attempt in range(3):
+        if version not in list_versions(table_dir):
+            raise FileNotFoundError(
+                f"version {version!r} not retained under {table_dir} "
+                f"(have: {list_versions(table_dir)})"
+            )
+        try:
+            current, marks = _read_commit_state(table_dir)
+        except ConcurrentWriteError as err:
+            last_err = err
+            continue
+        seq = int(current.split("-")[1]) + 1 if current else 1
+        new_version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
+        _link_tree(os.path.join(table_dir, version),
+                   os.path.join(table_dir, new_version))
+        try:
+            _publish_version(table_dir, new_version, marks, keep_versions,
+                             expected_base=current)
+            return read_versioned(spark, table_dir)
+        except ConcurrentWriteError as err:
+            # same contract as every other writer: drop the stale link
+            # tree (leaving it would be exactly the debris vacuum exists
+            # for) and retry against the new CURRENT
+            shutil.rmtree(os.path.join(table_dir, new_version),
+                          ignore_errors=True)
+            last_err = err
+    raise last_err
 
 
 _UNCHECKED = object()  # sentinel: publish without a base-version check
@@ -1085,18 +1264,29 @@ def _publish_version(
                 )
         os.replace(tmp, os.path.join(table_dir, _CURRENT_POINTER))  # commit
 
-        # Prune only snapshots strictly OLDER than the one just
-        # published — dirs sorting after it may be a concurrent writer's
-        # in-flight publish (or crash debris), and deleting those would
-        # corrupt a commit we never observed. keep_versions counts
-        # published history including the new current.
-        older = sorted(
-            d for d in os.listdir(table_dir)
-            if d.startswith("v-")
-            and d < version
-            and os.path.isdir(os.path.join(table_dir, d))
-        )
-        for stale in older[: max(0, len(older) - (max(1, keep_versions) - 1))]:
+        # Retention prunes from the PUBLISH LEDGER, never the directory
+        # listing: a raw listing cannot tell retained history from a
+        # crashed writer's debris, and the round-9 form could delete a
+        # real previous snapshot while keeping half-written debris
+        # (round-10 review finding). Debris is vacuum_versioned's job.
+        hist = _read_history(table_dir)
+        if hist is None:
+            # pre-ledger table: seed from the snapshot we replaced (the
+            # only name KNOWN to be published); older siblings are left
+            # for vacuum rather than guessed at
+            hist = [expected_base] if (
+                expected_base is not _UNCHECKED and expected_base
+            ) else []
+        hist = [v for v in hist if v != version] + [version]
+        keep = hist[max(0, len(hist) - max(1, keep_versions)):]
+        pruned = hist[: len(hist) - len(keep)]
+        htmp = os.path.join(table_dir, f".{_HISTORY}.{uuid.uuid4().hex[:8]}.tmp")
+        with open(htmp, "w") as f:
+            f.write("\n".join(keep) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(htmp, os.path.join(table_dir, _HISTORY))
+        for stale in pruned:
             shutil.rmtree(os.path.join(table_dir, stale), ignore_errors=True)
     finally:
         os.close(lock_fd)
@@ -1208,6 +1398,7 @@ def upsert_dbapi(
     table: str,
     key_cols: list[str],
     batch_size: int = 500,
+    paramstyle: str = "qmark",
 ) -> None:
     """K3's database form: per-partition keyed upsert through any DB-API
     connection (the reference's ``INSERT ... ON CONFLICT DO UPDATE``,
@@ -1215,15 +1406,31 @@ def upsert_dbapi(
 
     ``conn_factory`` is a zero-arg picklable callable returning a DB-API
     connection — each partition opens its own connection on the executor
-    (never serialize a connection). Statements use the portable
-    ``ON CONFLICT (keys) DO UPDATE`` form (PostgreSQL/SQLite/DuckDB);
-    rows are executemany'd in ``batch_size`` chunks and committed per
-    partition — a failed partition retries idempotently because the
-    upsert converges.
+    (never serialize a connection). The ``ON CONFLICT (keys) DO UPDATE``
+    statement form is shared by PostgreSQL/SQLite/DuckDB, but the
+    PLACEHOLDER style is driver-specific (round-10 review finding: the
+    qmark-only form failed on psycopg2): pass ``paramstyle`` matching
+    the driver module's declared one — ``'qmark'`` (default;
+    sqlite3/duckdb), ``'pyformat'`` or ``'format'`` (psycopg2 et al.),
+    ``'numeric'`` (some Oracle-ish drivers). Rows are executemany'd in
+    ``batch_size`` chunks and committed per partition — a failed
+    partition retries idempotently because the upsert converges.
     """
+    _PLACEHOLDER = {
+        "qmark": lambda i: "?",
+        "format": lambda i: "%s",
+        "pyformat": lambda i: "%s",
+        "numeric": lambda i: f":{i + 1}",
+    }
+    if paramstyle not in _PLACEHOLDER:
+        raise ValueError(
+            f"unsupported paramstyle {paramstyle!r}; "
+            f"one of {sorted(_PLACEHOLDER)}"
+        )
     cols = list(df.columns)
     non_keys = [c for c in cols if c not in key_cols]
-    placeholders = ", ".join(["?"] * len(cols))
+    ph = _PLACEHOLDER[paramstyle]
+    placeholders = ", ".join(ph(i) for i in range(len(cols)))
     updates = ", ".join(f"{c} = excluded.{c}" for c in non_keys)
     sql = (
         f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders}) "

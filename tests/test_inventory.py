@@ -414,11 +414,21 @@ def test_compact_versioned_rewrites_small_files(spark, tmp_path):
 
     t = str(tmp_path / "ct")
     df = spark.range(2000).selectExpr("id AS k", "id * 3 AS v")
-    # 32 tiny files via an explicit pre-shuffle
-    upsert_parquet_versioned(
-        spark, t, df.repartition(32), ["k"],
-        txn_app_id="app", txn_version=7,
-    )
+    # 32 tiny files: the first write now dedups through the key window
+    # (r10 contract fix), so the file count follows the shuffle
+    # partitioning, not the input's repartition
+    sp, aqe = (spark.conf.get("spark.sql.shuffle.partitions"),
+               spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled"))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        upsert_parquet_versioned(
+            spark, t, df.repartition(32), ["k"],
+            txn_app_id="app", txn_version=7,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sp)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", aqe)
     before = read_versioned(spark, t).orderBy("k").collect()
 
     # target sized so everything fits in one file
@@ -1163,3 +1173,238 @@ def test_delete_where_key_range_hint_prunes(spark, tmp_path):
         delete_versioned_where(spark, tq, "k < 5", key_range=(0.0, 5.0))
     with _pytest.raises(ValueError, match="hi >= lo"):
         delete_versioned_where(spark, t, "k < 5", key_range=(5.0, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Round-10 review fixes (code-review findings on inventory.py)
+# ---------------------------------------------------------------------------
+
+
+def test_first_write_dedupes_within_batch(spark, tmp_path):
+    from animaltrackingetls_spark.inventory import (
+        read_versioned,
+        upsert_parquet,
+        upsert_parquet_versioned,
+        upsert_parquet_versioned_partitioned,
+    )
+
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k long, v string"
+    )
+    t = str(tmp_path / "fw")
+    out = upsert_parquet_versioned(spark, t, dup, ["k"])
+    assert out.count() == 2  # one row per key from version 1
+    tp = str(tmp_path / "fwp")
+    out = upsert_parquet_versioned_partitioned(spark, tp, dup, ["k"],
+                                               n_buckets=4)
+    assert out.count() == 2
+    td = str(tmp_path / "fwd")
+    out = upsert_parquet(spark, td, dup, ["k"])
+    assert out.count() == 2
+
+
+def test_merge_upsert_reserved_columns_raise(spark):
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.inventory import merge_upsert
+
+    a = spark.createDataFrame([(1, 2)], "k long, _prio long")
+    b = spark.createDataFrame([(1, 3)], "k long, _prio long")
+    with _pytest.raises(ValueError, match="reserves columns"):
+        merge_upsert(a, b, ["k"])
+
+
+def test_watermarks_read_consistently_with_cas_base(spark, tmp_path):
+    """A transactional writer's watermark must survive a concurrent
+    non-transactional writer's conflicted-and-retried commit: the
+    retry re-reads (base, marks) as one consistent pair."""
+    import animaltrackingetls_spark.inventory as inv
+    from animaltrackingetls_spark.inventory import (
+        _read_commit_state,
+        _txn_marks_of,
+        read_versioned,
+        txn_watermarks,
+        upsert_parquet_versioned,
+    )
+
+    t = str(tmp_path / "wm")
+    upsert_parquet_versioned(
+        spark, t, _pv(spark, 5), ["k"], txn_app_id="s2", txn_version=3,
+    )
+    # direct helper contracts
+    cur, marks = _read_commit_state(t)
+    assert marks == {"s2": 3} and cur is not None
+    import pytest as _pytest
+
+    with _pytest.raises(inv.ConcurrentWriteError, match="vanished"):
+        _txn_marks_of(t, "v-000099-gone")
+
+    # interleave: writer A (non-txn) starts; before its publish, writer
+    # B advances s2's watermark to 4. A must conflict, retry, and carry
+    # B's NEW watermark forward - never regress it to 3.
+    real_merge = inv.merge_upsert
+    fired = {"done": False}
+
+    def racing_merge(existing, updates, key_cols, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            upsert_parquet_versioned(
+                spark, t,
+                spark.createDataFrame([(100, 1.0)], "k long, v double"),
+                ["k"], txn_app_id="s2", txn_version=4,
+            )
+        return real_merge(existing, updates, key_cols, **kw)
+
+    import pytest as _p
+    mp = _p.MonkeyPatch()
+    try:
+        mp.setattr(inv, "merge_upsert", racing_merge)
+        upsert_parquet_versioned(
+            spark, t, spark.createDataFrame([(7, 9.0)], "k long, v double"),
+            ["k"],
+        )
+    finally:
+        mp.undo()
+    assert txn_watermarks(t) == {"s2": 4}, "concurrent watermark regressed"
+    got = {r.k for r in read_versioned(spark, t).collect()}
+    assert {7, 100} <= got
+
+
+def test_bucketed_schema_evolution_rewrites_all_buckets(spark, tmp_path):
+    import os
+
+    from animaltrackingetls_spark.inventory import (
+        list_versions,
+        read_versioned,
+        upsert_parquet_versioned_partitioned as up,
+    )
+
+    t = str(tmp_path / "evob")
+    up(spark, t, _pv(spark, 800), ["k"], n_buckets=4)
+    v1 = list_versions(t)[-1]
+    inos = {
+        (d, f): os.stat(os.path.join(t, v1, d, f)).st_ino
+        for d in os.listdir(os.path.join(t, v1))
+        if d.startswith("upsert_bucket=")
+        for f in os.listdir(os.path.join(t, v1, d))
+        if not f.startswith((".", "_"))
+    }
+    widened = spark.createDataFrame([(3, 1.0, "x")],
+                                    "k long, v double, tag string")
+    out = up(spark, t, widened, ["k"], n_buckets=4, merge_schema=True)
+    # evolved column visible EVERYWHERE, including rows whose bucket the
+    # batch didn't touch
+    assert out.filter("k = 700").select("tag").first()[0] is None
+    assert out.filter("k = 3").select("tag").first()[0] == "x"
+    # NO bucket was hardlinked: a mixed-schema snapshot is unreadable
+    v2 = list_versions(t)[-1]
+    shared = sum(
+        1 for (d, f), ino in inos.items()
+        if os.path.exists(os.path.join(t, v2, d, f))
+        and os.stat(os.path.join(t, v2, d, f)).st_ino == ino
+    )
+    assert shared == 0, "schema evolution hardlinked old-schema buckets"
+    # and a later NON-evolving one-key upsert hardlinks again
+    up(spark, t, spark.createDataFrame([(3, 2.0, "y")],
+                                       "k long, v double, tag string"),
+       ["k"], n_buckets=4, merge_schema=True)
+    v3 = list_versions(t)[-1]
+    n_linked = sum(
+        1
+        for d in os.listdir(os.path.join(t, v3))
+        if d.startswith("upsert_bucket=")
+        for f in os.listdir(os.path.join(t, v3, d))
+        if not f.startswith((".", "_"))
+        and os.path.exists(os.path.join(t, v2, d, f))
+        and os.stat(os.path.join(t, v3, d, f)).st_ino
+        == os.stat(os.path.join(t, v2, d, f)).st_ino
+    )
+    assert n_linked >= 3
+
+
+def test_delete_all_of_bucketed_table_refused(spark, tmp_path):
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.inventory import (
+        delete_versioned,
+        delete_versioned_where,
+        read_versioned,
+        upsert_parquet_versioned_partitioned as up,
+    )
+
+    t = str(tmp_path / "brick")
+    up(spark, t, _pv(spark, 50), ["k"], n_buckets=4)
+    with _pytest.raises(ValueError, match="EVERY row"):
+        delete_versioned(
+            spark, t, spark.range(50).selectExpr("id AS k"), ["k"]
+        )
+    with _pytest.raises(ValueError, match="EVERY row"):
+        delete_versioned_where(spark, t, "k >= 0")
+    # the table is still healthy after the refusals
+    assert read_versioned(spark, t).count() == 50
+
+
+def test_retention_prune_ignores_crash_debris(spark, tmp_path):
+    import os
+
+    from animaltrackingetls_spark.inventory import (
+        list_versions,
+        read_versioned,
+        upsert_parquet_versioned,
+        vacuum_versioned,
+    )
+
+    t = str(tmp_path / "ledger")
+    upsert_parquet_versioned(spark, t, _pv(spark, 5), ["k"],
+                             keep_versions=2)
+    upsert_parquet_versioned(spark, t, _pv(spark, 1, keyshift=50), ["k"],
+                             keep_versions=2)
+    v_prev = list_versions(t)[-1]
+    # half-written crash debris sorting BETWEEN retained versions
+    os.makedirs(os.path.join(t, "v-000003-deadbeef"), exist_ok=True)
+    upsert_parquet_versioned(spark, t, _pv(spark, 1, keyshift=60), ["k"],
+                             keep_versions=2)
+    # the REAL previous snapshot survived retention; debris is excluded
+    # from the retained list (not a time-travel target) but left on
+    # disk for vacuum
+    assert v_prev in list_versions(t)
+    assert "v-000003-deadbeef" not in list_versions(t)
+    assert os.path.isdir(os.path.join(t, "v-000003-deadbeef"))
+    assert read_versioned(spark, t, v_prev).count() == 6
+    # vacuum sweeps the not-in-ledger debris even though it sorts BELOW
+    # the current version
+    rep = vacuum_versioned(t, grace_seconds=0)
+    assert "v-000003-deadbeef" in rep["removed"]
+    assert read_versioned(spark, t).count() == 7
+
+
+def test_upsert_dbapi_paramstyles(spark, tmp_path):
+    import os
+    import sqlite3
+
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.inventory import upsert_dbapi
+
+    db = os.path.join(str(tmp_path), "ps.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE t (k TEXT PRIMARY KEY, v INTEGER)"
+        )
+
+    def factory(path=db):
+        import sqlite3 as _s
+
+        return _s.connect(path, timeout=30)
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")\
+        .coalesce(1)
+    # sqlite accepts both qmark (default) and numeric styles
+    upsert_dbapi(df, factory, "t", ["k"])
+    upsert_dbapi(df.withColumn("v", F.col("v") + 10), factory, "t", ["k"],
+                 paramstyle="numeric")
+    with sqlite3.connect(db) as conn:
+        rows = dict(conn.execute("SELECT k, v FROM t ORDER BY k").fetchall())
+    assert rows == {"a": 11, "b": 12}
+    with _pytest.raises(ValueError, match="paramstyle"):
+        upsert_dbapi(df, factory, "t", ["k"], paramstyle="bogus")
