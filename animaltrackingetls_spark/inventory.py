@@ -710,14 +710,8 @@ def upsert_parquet_versioned_partitioned(
             .partitionBy(_BUCKET_COL)
             .parquet(vdir)
         )
-        for d in untouched:
-            src = os.path.join(table_dir, current, d)
-            dst = os.path.join(vdir, d)
-            os.makedirs(dst, exist_ok=True)
-            for fname in os.listdir(src):
-                if fname.startswith((".", "_")):
-                    continue
-                os.link(os.path.join(src, fname), os.path.join(dst, fname))
+        _link_buckets(os.path.join(table_dir, current) if current else "",
+                      vdir, untouched)
 
         if txn_app_id is not None:
             marks[txn_app_id] = int(txn_version)
@@ -851,13 +845,7 @@ def delete_versioned(
                 if d.startswith(f"{_BUCKET_COL}=")
                 and int(d.split("=", 1)[1]) not in set(touched)
             ]
-        for d in untouched:
-            src, dst = os.path.join(cdir, d), os.path.join(vdir, d)
-            os.makedirs(dst, exist_ok=True)
-            for fname in os.listdir(src):
-                if fname.startswith((".", "_")):
-                    continue
-                os.link(os.path.join(src, fname), os.path.join(dst, fname))
+        _link_buckets(cdir, vdir, untouched)
 
         if txn_app_id is not None:
             marks[txn_app_id] = int(txn_version)
@@ -986,13 +974,7 @@ def delete_versioned_where(
                 .partitionBy(_BUCKET_COL)
                 .parquet(vdir)
             )
-        for d in untouched:
-            src_d, dst_d = os.path.join(cdir, d), os.path.join(vdir, d)
-            os.makedirs(dst_d, exist_ok=True)
-            for fname in os.listdir(src_d):
-                if fname.startswith((".", "_")):
-                    continue
-                os.link(os.path.join(src_d, fname), os.path.join(dst_d, fname))
+        _link_buckets(cdir, vdir, untouched)
 
         if txn_app_id is not None:
             marks[txn_app_id] = int(txn_version)
@@ -1085,6 +1067,21 @@ def vacuum_versioned(
     finally:
         os.close(lock_fd)
     return {"removed": removed, "kept": len(list_versions(table_dir))}
+
+
+def _link_buckets(cdir: str, vdir: str, dirs: list[str]) -> None:
+    """Hardlink the named bucket subdirectories of the current snapshot
+    into a new version directory — the untouched-bucket fast path every
+    bucketed writer shares (upsert, keyed delete, range-hinted delete)."""
+    import os
+
+    for d in dirs:
+        src_d, dst_d = os.path.join(cdir, d), os.path.join(vdir, d)
+        os.makedirs(dst_d, exist_ok=True)
+        for fname in os.listdir(src_d):
+            if fname.startswith((".", "_")):
+                continue
+            os.link(os.path.join(src_d, fname), os.path.join(dst_d, fname))
 
 
 def _link_tree(src: str, dst: str) -> None:
