@@ -38,29 +38,53 @@ _SEP = "\x00|\x00"
 
 
 def row_digest(cols: list[str], out: str = "digest") -> Column:
-    """md5 over the listed columns, NULL-safe and order-sensitive:
-    each column is cast to string and NULL becomes a sentinel that no
-    real value contains, so ``('a', NULL)`` and ``(NULL, 'a')`` digest
-    differently (plain ``concat_ws`` would silently drop the NULL and
-    collide). Portable: DuckDB's ``md5(concat_ws(...))`` over the same
-    casts produces the identical hex, which is what makes
-    ``corpus_diff`` hash-checkable."""
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL))
-        for c in cols
-    ]
-    return F.md5(F.concat_ws(_SEP, *parts)).alias(out)
+    """md5 over the listed columns, NULL-safe, order-sensitive, and
+    UNAMBIGUOUS: each column renders as ``<length>:<value>`` (NULL
+    becomes a sentinel no real rendering matches), so neither a NULL
+    swap (``('a', NULL)`` vs ``(NULL, 'a')``) nor separator bytes
+    EMBEDDED IN VALUES can make distinct rows digest identically — a
+    plain separator join collided on values containing the separator
+    (round-10 review finding; raw crawled text can carry NUL bytes).
+
+    Portability contract (MEASURED, round 10): the DuckDB twin
+    (:func:`row_digest_sql`) is byte-identical for string, integral,
+    boolean, date, and timestamp columns. It is NOT for float/double —
+    Java renders the shortest round-trip decimal while C-family
+    formatting renders the exact binary expansion, and neither engine
+    can produce the other's form — so the diff itself stays correct
+    for float columns (both sides digest in Spark) but a DuckDB oracle
+    over them will mismatch; keep float columns out of hash-checked
+    compare sets or pre-round them to a fixed scale."""
+    return F.md5(
+        F.concat_ws(_SEP, *[_rendered(c) for c in cols])
+    ).alias(out)
+
+
+def _rendered(c: str) -> Column:
+    """One column's unambiguous digest part: ``<length>:<value>`` with
+    NULL -> sentinel; never NULL itself. Shared by :func:`row_digest`
+    and corpus_diff's join-key rendering."""
+    s = F.col(c).cast("string")
+    return F.coalesce(
+        F.concat(F.length(s).cast("string"), F.lit(":"), s),
+        F.lit(_NULL_SENTINEL),
+    )
 
 
 def row_digest_sql(cols: list[str]) -> str:
     """The DuckDB expression twin of :func:`row_digest` (same sentinel,
-    same separator, same per-column VARCHAR cast). The NUL guard bytes
-    are spelled ``chr(0)`` because a literal ``\\x00`` terminates a
-    DuckDB string literal at the parser."""
+    separator, and length-prefixed rendering; see that docstring for
+    the measured type-portability contract). ``||`` rather than
+    ``concat`` because DuckDB's concat SKIPS NULLs while Spark's
+    propagates them — the NULL path must reach the sentinel. The NUL
+    guard bytes are spelled ``chr(0)`` because a literal ``\\x00``
+    terminates a DuckDB string literal at the parser."""
     null_s = "(chr(0) || '<NULL>' || chr(0))"
     sep = "(chr(0) || '|' || chr(0))"
     parts = ", ".join(
-        f"coalesce(CAST({c} AS VARCHAR), {null_s})" for c in cols
+        f"coalesce((CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR)"
+        f" || ':' || CAST({c} AS VARCHAR)), {null_s})"
+        for c in cols
     )
     return f"md5(concat_ws({sep}, {parts}))"
 
@@ -78,7 +102,7 @@ def _unique_key_guard(
     into the digest expression (``when(assert.isNull(), digest)``)
     because a free-standing unused column would be pruned before it
     ever evaluated."""
-    w = Window.partitionBy(*[F.col(c) for c in key_cols])
+    w = Window.partitionBy(F.col("_jk"))
     msg = F.concat(
         F.lit(f"corpus_diff: duplicate key in {side} snapshot: "),
         F.concat_ws(
@@ -92,7 +116,7 @@ def _unique_key_guard(
         .otherwise(F.lit(None).cast("string"))
         .alias(digest_col)
     )
-    return df.select(*key_cols, digest)
+    return df.select(*key_cols, "_jk", digest)
 
 
 def corpus_diff(
@@ -124,6 +148,12 @@ def corpus_diff(
     dedup-certified upstream."""
     if not key_cols:
         raise ValueError("corpus_diff needs at least one key column")
+    reserved = {"change", "old_digest", "new_digest"} & set(key_cols)
+    if reserved:
+        raise ValueError(
+            f"corpus_diff reserves output columns {sorted(reserved)}; "
+            "rename the key columns"
+        )
     if compare_cols is None:
         shared = [c for c in old.columns if c in set(new.columns)]
         compare_cols = [c for c in shared if c not in set(key_cols)]
@@ -134,19 +164,36 @@ def corpus_diff(
         if missing:
             raise ValueError(f"{side} snapshot lacks columns: {missing}")
 
-    o = old.select(*key_cols, row_digest(compare_cols, "old_digest"))
-    n = new.select(*key_cols, row_digest(compare_cols, "new_digest"))
+    # NULL-SAFE key matching (round-10 review finding): a plain equi
+    # join never matches NULL keys, so an identical NULL-keyed row in
+    # both snapshots misreported as added+removed (and churned on every
+    # CDC poll). Joining on the RENDERED key string — the same
+    # length-prefixed NULL-sentinel form the digest uses, injective and
+    # never NULL — gives exact null-safe semantics while staying a
+    # plain equi-join, so the uniqueness guard's window (partitioned by
+    # the same rendering) still shares ONE exchange per side with the
+    # join (plan-pinned); Spark's native <=> join would rewrite the
+    # keys internally and forfeit that reuse.
+    jk = F.concat_ws(_SEP, *[_rendered(k) for k in key_cols]).alias("_jk")
+    o = old.select(*key_cols, jk,
+                   row_digest(compare_cols, "old_digest")).alias("o")
+    n = new.select(*key_cols, jk,
+                   row_digest(compare_cols, "new_digest")).alias("n")
     if assert_unique:
-        o = _unique_key_guard(o, key_cols, "old_digest", "old")
-        n = _unique_key_guard(n, key_cols, "new_digest", "new")
-    joined = o.join(n, on=key_cols, how="full_outer")
+        o = _unique_key_guard(o, key_cols, "old_digest", "old").alias("o")
+        n = _unique_key_guard(n, key_cols, "new_digest", "new").alias("n")
+    joined = o.join(n, F.col("o._jk") == F.col("n._jk"), "full_outer")
+    key_out = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k)
+        for k in key_cols
+    ]
     change = (
         F.when(F.col("old_digest").isNull(), F.lit("added"))
         .when(F.col("new_digest").isNull(), F.lit("removed"))
         .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
-    out = joined.select(*key_cols, change.alias("change"),
+    out = joined.select(*key_out, change.alias("change"),
                         "old_digest", "new_digest")
     if not include_unchanged:
         out = out.filter(F.col("change") != "unchanged")
@@ -193,6 +240,19 @@ def scd2_from_history(
     collapsed version rows."""
     if not attr_cols:
         raise ValueError("scd2_from_history needs at least one attribute")
+    if not key_cols:
+        # an unpartitioned window would funnel the WHOLE history into
+        # one partition AND silently treat the table as a single key —
+        # the loud error corpus_diff gives for the same mistake
+        raise ValueError("scd2_from_history needs at least one key column")
+    reserved = {"version", "valid_from", "valid_to", "is_current"} & set(
+        df.columns
+    )
+    if reserved:
+        raise ValueError(
+            f"scd2_from_history reserves output columns {sorted(reserved)}; "
+            "rename them in the input"
+        )
     order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
     w = Window.partitionBy(*key_cols).orderBy(*order)
 
@@ -270,6 +330,17 @@ def table_changes(
         from_version = versions[0]
     old = read_versioned(spark, table_dir, from_version)
     new = read_versioned(spark, table_dir, to_version)
+    # schema evolution between the snapshots (round-10 review finding):
+    # corpus_diff's shared-columns default would silently EXCLUDE a
+    # newly added column, so its backfill never churns. Snapshots of
+    # the SAME table compare over the UNION of columns, the missing
+    # side NULL-filled — exactly how the evolved merge saw it.
+    for col, typ in new.dtypes:
+        if col not in old.columns:
+            old = old.withColumn(col, F.lit(None).cast(typ))
+    for col, typ in old.dtypes:
+        if col not in new.columns:
+            new = new.withColumn(col, F.lit(None).cast(typ))
     return corpus_diff(old, new, key_cols, compare_cols)
 
 
@@ -328,7 +399,11 @@ def table_changes_since(
     )
 
     def advance() -> None:
-        tmp = cursor_file + ".tmp"
+        import uuid
+
+        # uuid-suffixed like every atomic write in this repo: a fixed
+        # tmp name lets two pollers clobber each other's staged cursor
+        tmp = f"{cursor_file}.{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
             f.write(current)
             f.flush()

@@ -337,3 +337,116 @@ def test_table_changes_since_cdc_pump(spark, tmp_path):
         f.write("v-000000-gone")
     with _pytest.raises(FileNotFoundError, match="re-bootstrap"):
         V.table_changes_since(spark, src, cursor, ["k"])
+
+
+# ---------------------------------------------------------------------------
+# Round-10 review fixes (code-review findings on versioning.py)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_diff_null_keys_match_null_safe(spark):
+    """An identical NULL-keyed row in both snapshots is UNCHANGED (not
+    added+removed churn), a changed NULL-keyed row reports 'changed',
+    and duplicate NULL keys in one side trip the uniqueness guard —
+    join and guard now share one NULL semantics."""
+    schema = "k string, v string"
+    old = spark.createDataFrame([(None, "same"), ("a", "x")], schema)
+    new = spark.createDataFrame([(None, "same"), ("a", "y")], schema)
+    got = {r["k"]: r["change"] for r in V.corpus_diff(old, new, ["k"]).collect()}
+    assert got == {"a": "changed"}  # the NULL-key row is unchanged
+
+    new2 = spark.createDataFrame([(None, "DIFFERENT"), ("a", "x")], schema)
+    got = {r["k"]: r["change"]
+           for r in V.corpus_diff(old, new2, ["k"]).collect()}
+    assert got == {None: "changed"}
+
+    dup_null = spark.createDataFrame(
+        [(None, "p"), (None, "q")], schema
+    )
+    with pytest.raises(Exception, match="duplicate key"):
+        V.corpus_diff(old, dup_null, ["k"]).collect()
+
+
+def test_row_digest_separator_injection_resistant(spark):
+    """Values embedding the field separator (or shifting content across
+    the boundary) must digest DIFFERENTLY — the length prefix makes the
+    concatenation unambiguous."""
+    sep = "\x00|\x00"
+    a = spark.createDataFrame([(1, "a" + sep + "b", "c")],
+                              "k int, x string, y string")
+    b = spark.createDataFrame([(1, "a", "b" + sep + "c")],
+                              "k int, x string, y string")
+    [r] = V.corpus_diff(a, b, ["k"]).collect()
+    assert r["change"] == "changed"
+
+
+def test_row_digest_type_portability_contract(spark):
+    """The measured contract: DuckDB twin is byte-identical for
+    string/long/bool/date/timestamp digests; float/double are
+    DOCUMENTED non-portable (Java shortest-repr vs C exact expansion)
+    — this test pins the split so a silent regression in either
+    direction is caught."""
+    import datetime
+
+    rows = [Row(k=1, s="x", n=1234567890123, b=True,
+                d=datetime.date(2024, 2, 29),
+                t=datetime.datetime(2024, 2, 29, 13, 5, 7, 500000),
+                f=1e10)]
+    df = spark.createDataFrame(rows)
+    portable = ["s", "n", "b", "d", "t"]
+    got = df.select(V.row_digest(portable, "dg")).first()["dg"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT 'x' AS s, 1234567890123 AS n, "
+        "true AS b, DATE '2024-02-29' AS d, "
+        "TIMESTAMP '2024-02-29 13:05:07.5' AS t, 1e10 AS f"
+    )
+    want = con.execute(
+        f"SELECT {V.row_digest_sql(portable)} FROM t"
+    ).fetchone()[0]
+    assert got == want
+    # the documented divergence: doubles render differently per engine
+    got_f = df.select(V.row_digest(["f"], "dg")).first()["dg"]
+    want_f = con.execute(
+        f"SELECT {V.row_digest_sql(['f'])} FROM t"
+    ).fetchone()[0]
+    assert got_f != want_f, (
+        "double rendering now matches across engines — update the "
+        "portability contract in row_digest's docstring"
+    )
+
+
+def test_scd2_rejects_empty_keys_and_reserved_columns(spark):
+    hist = spark.createDataFrame(
+        [Row(k="u", s="a", ts=_ts(1), i=0)]
+    )
+    with pytest.raises(ValueError, match="key column"):
+        V.scd2_from_history(hist, [], ["s"], "ts")
+    bad = hist.withColumnRenamed("i", "version")
+    with pytest.raises(ValueError, match="reserves output"):
+        V.scd2_from_history(bad, ["k"], ["s"], "ts")
+    with pytest.raises(ValueError, match="reserves output"):
+        V.corpus_diff(hist, hist, ["change"], ["s"])
+
+
+def test_table_changes_sees_evolved_column_backfill(spark, tmp_path):
+    """A column added between snapshots must CHURN for existing keys
+    whose backfill gave it values — the shared-columns default would
+    silently exclude it (review finding)."""
+    from animaltrackingetls_spark.inventory import upsert_parquet_versioned
+
+    t = str(tmp_path / "cdfe")
+    upsert_parquet_versioned(
+        spark, t,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, txt string"),
+        ["k"], keep_versions=3,
+    )
+    widened = spark.createDataFrame(
+        [(1, "a", 0.9)], "k long, txt string, score double"
+    )
+    upsert_parquet_versioned(spark, t, widened, ["k"], keep_versions=3,
+                             merge_schema=True)
+    got = {r.k: r.change for r in V.table_changes(spark, t, ["k"]).collect()}
+    # key 1 gained a score value -> changed; key 2's score is NULL on
+    # both aligned sides -> unchanged
+    assert got == {1: "changed"}
