@@ -2784,14 +2784,17 @@ def _q_sessions_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_tpch_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H quartet folded into one (panel, k1, k2, metric, value)
-    report: Q1 pricing summary (8 metrics stacked per returnflag ×
-    linestatus group), Q3 top-10 shipping priority, Q4 order-priority
-    EXISTS counts, and Q7 supplier/customer nation volume. Each branch
-    is the unchanged single-query plan — the fold is a tagged union of
-    projections, so Q3 keeps its TakeOrderedAndProject and Q4 its
-    left-semi inside their branches. Counts ride the value column as
-    exact doubles (< 2^53)."""
+    """TPC-H quartet + membership algebra folded into one (panel, k1,
+    k2, metric, value) report: Q1 pricing summary (8 metrics stacked
+    per returnflag × linestatus group), Q3 top-10 shipping priority,
+    Q4 order-priority EXISTS counts, Q7 supplier/customer nation
+    volume, and (round 11, freeing a window slot for versioned_cdf)
+    the 'setops' panel = the former semi_anti_join quartet (left-semi
+    / left-anti / INTERSECT / EXCEPT over customer keys, k1 = side).
+    Each branch is the unchanged single-query plan — the fold is a
+    tagged union of projections, so Q3 keeps its TakeOrderedAndProject
+    and Q4 its left-semi inside their branches. Counts and keys ride
+    the value column as exact doubles (< 2^53)."""
     q1 = _q_q1_pricing_summary(spark, sf_dir).selectExpr(
         "'q1' AS panel",
         "l_returnflag AS k1",
@@ -2828,7 +2831,17 @@ def _q_tpch_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("volume").alias("metric"),
         F.col("volume").cast("double").alias("value"),
     )
-    return q1.unionByName(q3).unionByName(q4).unionByName(q7)
+    setops = _q_semi_anti_join(spark, sf_dir).select(
+        F.lit("setops").alias("panel"),
+        F.col("side").alias("k1"),
+        F.lit("").alias("k2"),
+        F.lit("c_custkey").alias("metric"),
+        F.col("c_custkey").cast("double").alias("value"),
+    )
+    return (
+        q1.unionByName(q3).unionByName(q4).unionByName(q7)
+        .unionByName(setops)
+    )
 
 
 def _q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3275,7 +3288,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_user_totals": _q_running_user_totals,
         "tpch_panel": _q_tpch_panel,
         "dim_revenue": _q_dim_revenue,
-        "semi_anti_join": _q_semi_anti_join,
+        # round 11: semi_anti_join folded into tpch_panel ('setops'
+        # panel), freeing this slot for versioned_cdf — the round-10
+        # versioned-table layer's end-to-end oracle query.
+        "versioned_cdf": _q_versioned_cdf,
         "window_topn": _q_window_topn,
         "rollup_cube_orders": _q_rollup_cube_orders,
         "mask_union_counts": _q_mask_union_counts,
@@ -3318,8 +3334,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": _q_ivfpq_topk,
         "ivfpq_rerank": _q_ivfpq_rerank,
         # oracle-backed but past the window (window is full at 50):
-        # tests/test_entry_oracles.py hash-compares it every suite run
-        "versioned_cdf": _q_versioned_cdf,
+        # tests/test_entry_oracles.py hash-compares it every suite run.
+        # semi_anti_join's operators also stay in-window via the
+        # tpch_panel 'setops' fold; this standalone form is kept so the
+        # bare semi/anti/intersect/except plans remain pinned.
+        "semi_anti_join": _q_semi_anti_join,
     }
 
 
@@ -4209,6 +4228,32 @@ def oracle_sql() -> dict[str, str]:
                    cust_nation || '|' || CAST(l_year AS VARCHAR),
                    'volume', volume
             FROM q7
+            UNION ALL
+            SELECT 'setops', side, '', 'c_custkey',
+                   CAST(c_custkey AS DOUBLE)
+            FROM (
+              SELECT 'semi' AS side, c_custkey FROM customer c
+              WHERE EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_totalprice > 300000)
+              UNION ALL
+              SELECT 'anti' AS side, c_custkey FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_totalprice > 350000)
+              UNION ALL
+              SELECT 'intersect' AS side, c_custkey FROM (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                INTERSECT
+                SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+              )
+              UNION ALL
+              SELECT 'except' AS side, c_custkey FROM (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                EXCEPT
+                SELECT c_custkey FROM customer WHERE c_acctbal < 0
+              )
+            )
         """,
         "dim_revenue": """
             SELECT 'q5_asia_revenue' AS kind, n.n_name AS name,

@@ -59,17 +59,17 @@ def duck():
 
 
 def test_past_window_list_is_nonempty_and_stable():
-    # Round 10 folded the five round-9 flagship oracles INTO the
-    # window (tpch_panel/window_topn/validate_orders freed the slots)
-    # and then added versioned_cdf — oracle-backed but past the full
-    # window — which revives the parametrized hash gate below exactly
-    # as designed: every oracle-backed query is continuously verified,
-    # by the driver inside the window or by this suite past it. The
-    # list must never contain a name without an oracle (by
-    # construction) or miss one (the window test asserts the prefix
-    # side).
+    # Round 11 rotated versioned_cdf INTO the window (the round-10
+    # flagship layer's end-to-end oracle now gets a driver-green row)
+    # by folding semi_anti_join into tpch_panel's 'setops' panel; the
+    # standalone semi_anti_join stays registered past the window so
+    # its bare plans remain pinned — every oracle-backed query is
+    # continuously verified, by the driver inside the window or by
+    # this suite past it. The list must never contain a name without
+    # an oracle (by construction) or miss one (the window test asserts
+    # the prefix side).
     names = _past_window_oracle_names()
-    assert names == ["versioned_cdf"]
+    assert names == ["semi_anti_join"]
 
 
 @pytest.mark.parametrize("name", _past_window_oracle_names())
