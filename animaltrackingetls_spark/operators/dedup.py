@@ -1812,6 +1812,35 @@ def pair_metrics(
     )
 
 
+_BLOOM_SIDECAR = "_bloom_meta.json"
+
+
+def _bloom_meta(bloom_tbl: str) -> int | None:
+    """Stored ``m_bits`` for a persisted bloom table, None if unset."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(bloom_tbl, _BLOOM_SIDECAR)) as f:
+            return int(json.load(f)["m_bits"])
+    except FileNotFoundError:
+        return None
+
+
+def _write_bloom_meta(bloom_tbl: str, m_bits: int) -> None:
+    """Atomically pin ``m_bits`` next to the bloom table (tmp+rename,
+    same posture as the versioned layer's pointer writes)."""
+    import json
+    import os
+
+    os.makedirs(bloom_tbl, exist_ok=True)
+    path = os.path.join(bloom_tbl, _BLOOM_SIDECAR)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"m_bits": m_bits}, f)
+    os.replace(tmp, path)
+
+
 def dedup_index_ingest(
     spark,
     new_docs: DataFrame,
@@ -1858,7 +1887,12 @@ def dedup_index_ingest(
     batch is a no-op on both tables. ``docs`` commits FIRST: a crash
     between the two commits can only leave signatures without band
     keys, which under-detects near-dups for that one batch until the
-    replay heals it — never a false dup. Batch ids must be globally
+    replay heals it — never a false dup. The heal works because both
+    index joins EXCLUDE self-matches (``cid != id``): a replayed
+    batch whose digests already sit in ``docs`` re-derives the same
+    kept set (its own rows never classify it as a dup of itself), the
+    docs upsert no-ops via the watermark, and the bands append lands
+    the missing band keys. Batch ids must be globally
     unique and batch-internal exact dups should be dropped upstream
     (:func:`drop_exact_duplicates`), same contract as the transient
     form. Returns ``(id, status in {exact_dup, near_dup, kept},
@@ -1939,6 +1973,27 @@ def dedup_index_ingest(
             bitmap = read_versioned(spark, bloom_tbl)
         except FileNotFoundError:
             bitmap = None  # pre-bloom index: fall back to the full join
+        if bitmap is not None:
+            # m_bits is part of the bitmap's geometry: probing a stored
+            # bitmap with a different m_bits reads wrong positions, and
+            # a false CLEAR bit skips the confirm join — minting false
+            # 'kept' rows. The value is pinned in a sidecar at commit
+            # (like the bucketed writer's _layout.json) and validated
+            # here; a bloom without a sidecar predates the pin and must
+            # be rebuilt (drop the bloom table; next ingest bootstraps
+            # it from the full docs table).
+            stored = _bloom_meta(bloom_tbl)
+            if stored is None:
+                raise ValueError(
+                    f"bloom table {bloom_tbl} has no {_BLOOM_SIDECAR} "
+                    "sidecar; cannot validate m_bits — delete the bloom "
+                    "table and re-ingest to rebuild it"
+                )
+            if stored != m_bits:
+                raise ValueError(
+                    f"m_bits mismatch for {bloom_tbl}: stored {stored}, "
+                    f"called with {m_bits}"
+                )
 
     if idx_docs is None:
         statuses = prep.select(
@@ -1968,6 +2023,14 @@ def dedup_index_ingest(
             exact_input.join(
                 idx_docs.select("digest", F.col("id").alias("cid")), "digest"
             )
+            # cid != id: ids are globally unique, so a self-match can
+            # only be this batch's own rows already indexed by a prior
+            # (possibly partial) run of the SAME batch — a replay.
+            # Without the exclusion a replay classifies every
+            # previously-kept row as exact_dup of itself, kept_rows is
+            # empty, and the bands commit the crash window owes never
+            # heals (the round-10 advisory's finding).
+            .filter(F.col("cid") != F.col("id"))
             .groupBy("id")
             .agg(F.min("cid").alias("matched_id"))
             .select("id", F.lit("exact_dup").alias("status"), "matched_id")
@@ -1976,6 +2039,7 @@ def dedup_index_ingest(
         cand = (
             novel.select("id", F.explode("bks").alias("bk"))
             .join(idx_bands.select(F.col("id").alias("cid"), "bk"), "bk")
+            .filter(F.col("cid") != F.col("id"))  # replay self-match
             .select("id", "cid")
             .dropDuplicates(["id", "cid"])
         )
@@ -2038,6 +2102,10 @@ def dedup_index_ingest(
             bitmap.unionByName(batch_bits) if bitmap is not None
             else batch_bits
         ).groupBy("w_idx").agg(F.expr("bit_or(word)").alias("word"))
+        # Sidecar BEFORE the bitmap commit: a crash between them leaves
+        # a sidecar without a bloom (harmless — next ingest bootstraps
+        # and overwrites it), never a bloom without its m_bits pin.
+        _write_bloom_meta(bloom_tbl, m_bits)
         upsert_parquet_versioned(
             spark, bloom_tbl, merged_bits, ["w_idx"], **txn,
         )

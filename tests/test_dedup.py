@@ -1141,3 +1141,119 @@ def test_dedup_index_bloom_sidecar(spark, tmp_path):
     assert out == {30: "exact_dup"}, (
         "bloom bootstrap missed a pre-bloom digest - false kept"
     )
+
+
+def test_dedup_index_replay_heals_bands_crash_window(spark, tmp_path,
+                                                     monkeypatch):
+    """The round-10 advisory's medium finding: a crash between the docs
+    and bands commits must be HEALED by the replay, not poisoned by it.
+    Kill the bands commit for one batch, replay with the same txn id:
+    statuses must match the original run (no self-exact-dup), the docs
+    table must not grow, and the bands table must gain the batch's band
+    keys (the heal)."""
+    from animaltrackingetls_spark import inventory
+    from animaltrackingetls_spark.inventory import read_versioned
+    from animaltrackingetls_spark.operators.dedup import dedup_index_ingest
+
+    idx = str(tmp_path / "idx")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = docs([
+        (1, "pack my box with five dozen liquor jugs"),
+        (2, "sphinx of black quartz judge my vow"),
+    ])
+    dedup_index_ingest(spark, base, idx, txn_app_id="t", txn_version=0)
+
+    long1 = ("the quick brown fox jumps over the lazy dog and runs far "
+             "away into the quiet green forest near the old stone bridge")
+    batch = docs([
+        (10, "pack my box with five dozen liquor jugs"),  # exact of 1
+        (11, long1),                                      # kept (novel)
+    ])
+
+    real_upsert = inventory.upsert_parquet_versioned
+
+    def dying_upsert(spark_, table_dir, *a, **kw):
+        if table_dir.endswith("/bands"):
+            raise RuntimeError("injected crash before the bands commit")
+        return real_upsert(spark_, table_dir, *a, **kw)
+
+    monkeypatch.setattr(inventory, "upsert_parquet_versioned", dying_upsert)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        dedup_index_ingest(spark, batch, idx, sig_agree=0.4,
+                           txn_app_id="t", txn_version=1)
+    monkeypatch.undo()
+
+    # crash window state: doc 11's digest is in docs, its band keys are
+    # NOT in bands
+    assert read_versioned(spark, idx + "/docs").filter("id = 11").count() == 1
+    assert read_versioned(spark, idx + "/bands").filter("id = 11").count() == 0
+
+    # replay with the SAME txn: classification must be the original
+    # batch's (self-matches excluded), docs no-ops, bands heals
+    out = {r.doc_id: (r.status, r.matched_id) for r in
+           dedup_index_ingest(spark, batch, idx, sig_agree=0.4,
+                              txn_app_id="t", txn_version=1).collect()}
+    assert out[10] == ("exact_dup", 1)
+    assert out[11] == ("kept", None), (
+        "replay classified a previously-kept doc as a dup of itself"
+    )
+    assert read_versioned(spark, idx + "/docs").count() == 3
+    assert read_versioned(spark, idx + "/bands").filter("id = 11").count() == 2
+
+    # and a LATER near-dup of doc 11 is now detectable (the heal's
+    # point) - long1 vs long1+" today" is the deterministically
+    # band-colliding pair the bootstrap test pins
+    nxt = docs([(20, long1 + " today")])
+    out = {r.doc_id: (r.status, r.matched_id) for r in
+           dedup_index_ingest(spark, nxt, idx, sig_agree=0.4,
+                              txn_app_id="t", txn_version=2).collect()}
+    assert out[20] == ("near_dup", 11)
+
+
+def test_dedup_index_bloom_m_bits_pinned(spark, tmp_path):
+    """The bloom's m_bits is pinned in a sidecar at commit and validated
+    at read: probing with a different m_bits (wrong bit positions ->
+    possible false 'kept') must RAISE, and a bloom whose sidecar is
+    missing must refuse to be probed rather than trusted."""
+    import os
+
+    from animaltrackingetls_spark.operators.dedup import (
+        _BLOOM_SIDECAR,
+        dedup_index_ingest,
+    )
+
+    idx = str(tmp_path / "idx")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    dedup_index_ingest(
+        spark, docs([(1, "pack my box with five dozen liquor jugs")]),
+        idx, use_bloom=True, m_bits=1 << 20,
+    )
+    sidecar = os.path.join(idx, "bloom", _BLOOM_SIDECAR)
+    assert os.path.exists(sidecar)
+
+    batch = docs([(2, "sphinx of black quartz judge my vow")])
+    with pytest.raises(ValueError, match="m_bits mismatch"):
+        dedup_index_ingest(spark, batch, idx, use_bloom=True,
+                           m_bits=1 << 22)
+
+    os.remove(sidecar)
+    with pytest.raises(ValueError, match=_BLOOM_SIDECAR):
+        dedup_index_ingest(spark, batch, idx, use_bloom=True,
+                           m_bits=1 << 20)
+
+    # matching m_bits still works (restore the sidecar via a fresh
+    # bootstrap: drop the bloom table entirely)
+    import shutil
+
+    shutil.rmtree(os.path.join(idx, "bloom"))
+    out = {r.doc_id: r.status for r in
+           dedup_index_ingest(spark, batch, idx, use_bloom=True,
+                              m_bits=1 << 20).collect()}
+    assert out == {2: "kept"}
+    assert os.path.exists(sidecar)
