@@ -104,12 +104,17 @@ def merge_upsert(
     rendered value, never shuffle arrival order — a catalog value must
     not vary run-to-run.
 
-    ``merge_schema=True`` is Delta's mergeSchema posture: a column
-    present on only one side is NULL-filled on the other (new columns
-    evolve in, old columns survive an update batch that stopped
-    carrying them). Default False keeps the strict contract — a
-    mismatched batch fails loudly, the right default for a catalog
-    whose schema should never drift silently.
+    ``merge_schema=True`` is Delta's mergeSchema posture: new columns
+    evolve in (existing rows read NULL for them), and old columns
+    SURVIVE an update batch that stopped carrying them — per Delta
+    MERGE-with-evolution semantics the matched key keeps the TARGET's
+    value for every column absent from the source, so the winning
+    update row is back-filled per-column from the existing row it
+    displaced (not NULLed wholesale; round-10 advisory). A column the
+    update batch carries but sets to NULL still writes NULL — only
+    column ABSENCE triggers the fallback. Default False keeps the
+    strict contract — a mismatched batch fails loudly, the right
+    default for a catalog whose schema should never drift silently.
     """
     reserved = {"_prio", "_rn"} & (set(existing.columns) | set(updates.columns))
     if reserved:
@@ -119,12 +124,17 @@ def merge_upsert(
         )
     e = existing.withColumn("_prio", F.lit(0))
     u = updates.withColumn("_prio", F.lit(1))
+    fill_cols: list[str] = []
     if merge_schema:
         missing_keys = [c for c in key_cols if c not in updates.columns]
         if missing_keys:
             raise ValueError(
                 f"merge_schema cannot NULL-fill key columns: {missing_keys}"
             )
+        fill_cols = [
+            c for c in existing.columns
+            if c not in updates.columns and c not in key_cols
+        ]
         all_rows = e.unionByName(u, allowMissingColumns=True)
     else:
         all_rows = e.unionByName(u)
@@ -133,11 +143,28 @@ def merge_upsert(
         [F.desc(F.to_json(F.struct(*value_cols)))] if value_cols else []
     )
     w = Window.partitionBy(*key_cols).orderBy(F.desc("_prio"), *tiebreak)
-    return (
-        all_rows.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_prio", "_rn")
-    )
+    out = all_rows.withColumn("_rn", F.row_number().over(w))
+    if fill_cols:
+        # Delta-style evolution back-fill: a winning update row takes
+        # the displaced existing row's value for every column the batch
+        # stopped carrying. The struct wrapper makes first(ignorenulls)
+        # see every existing row as non-null, so an existing value that
+        # is legitimately NULL is preserved as NULL rather than skipped
+        # for a later row's value. Same partitioning + ordering as the
+        # ranking window — one sort, one WindowExec group.
+        w_all = w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        for c in fill_cols:
+            surviving = F.first(
+                F.when(F.col("_prio") == 0, F.struct(F.col(c).alias("v"))),
+                ignorenulls=True,
+            ).over(w_all)["v"]
+            out = out.withColumn(
+                c,
+                F.when(F.col("_prio") == 1, surviving).otherwise(F.col(c)),
+            )
+    return out.filter(F.col("_rn") == 1).drop("_prio", "_rn")
 
 
 def upsert_parquet(
@@ -188,6 +215,28 @@ def upsert_parquet(
 
 _CURRENT_POINTER = "_CURRENT"
 _COMMIT_LOCK = "._COMMIT_LOCK"
+
+
+def _base_pruned_error(err: Exception) -> bool:
+    """True when a Spark action (or a directory listing) failed because
+    the base snapshot it was reading was PRUNED mid-scan — a concurrent
+    winner published and retention deleted the directory this writer
+    merged against (only reachable at ``keep_versions=1``, where the
+    losing base is removed immediately). The CAS retry loops convert
+    this into a ConcurrentWriteError and re-merge from the new CURRENT.
+    Matched by error class/exception name, not message prose: Python's
+    FileNotFoundError (os.listdir on the pruned dir), the JVM
+    FileNotFoundException, and Spark 4's scan/plan-time error classes
+    for a vanished path."""
+    if isinstance(err, FileNotFoundError):
+        return True
+    s = str(err)
+    return (
+        "FileNotFoundException" in s
+        or "PATH_NOT_FOUND" in s
+        or "FILE_NOT_FOUND" in s
+        or "FAILED_READ_FILE" in s
+    )
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -370,7 +419,12 @@ def upsert_parquet_versioned(
     before publish leaves only an unreferenced directory; readers are
     unaffected. Old versions beyond ``keep_versions`` are pruned AFTER
     publish (in-flight readers of the previous snapshot keep a valid
-    directory).
+    directory — for at least ``keep_versions - 1`` further commits;
+    with ``keep_versions=1`` the pruning is immediate, and a CONCURRENT
+    WRITER still scanning that base mid-merge hits a scan-time
+    file-not-found, which the retry loop treats as a conflict and
+    re-merges from the new CURRENT rather than surfacing a raw
+    FileNotFoundError; round-10 advisory).
 
     **Optimistic concurrency** (round 10; previously last-swap-wins):
     publish verifies under a commit lock that the snapshot this writer
@@ -435,33 +489,51 @@ def upsert_parquet_versioned(
         ):
             return read_versioned(spark, table_dir)
 
-        if current is None:
-            # first write: dedupe WITHIN the batch through the same
-            # window later merges apply — the one-row-per-key contract
-            # must hold from version 1 (round-10 review finding)
-            merged = merge_upsert(
-                updates.limit(0), updates, key_cols,
-                merge_schema=merge_schema,
-            )
-            seq = 1
-        else:
-            existing = spark.read.parquet(os.path.join(table_dir, current))
-            merged = merge_upsert(existing, updates, key_cols,
-                                  merge_schema=merge_schema)
-            seq = int(current.split("-")[1]) + 1
+        version: str | None = None
+        try:
+            if current is None:
+                # first write: dedupe WITHIN the batch through the same
+                # window later merges apply — the one-row-per-key contract
+                # must hold from version 1 (round-10 review finding)
+                merged = merge_upsert(
+                    updates.limit(0), updates, key_cols,
+                    merge_schema=merge_schema,
+                )
+                seq = 1
+            else:
+                existing = spark.read.parquet(
+                    os.path.join(table_dir, current)
+                )
+                merged = merge_upsert(existing, updates, key_cols,
+                                      merge_schema=merge_schema)
+                seq = int(current.split("-")[1]) + 1
 
-        version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
-        # Distributed write: the merge plan reads the CURRENT version
-        # directory, which this write never touches (the target directory
-        # is brand-new), so no materialization barrier is needed. AQE
-        # coalesces a catalog-sized merge to one post-shuffle partition on
-        # its own; target_files pins the file count explicitly when a
-        # layout contract requires it. (An earlier form collected the
-        # table through the driver — measured at 92 s for a 10M-row base,
-        # it was the scale ceiling of the whole sink; see SCALING.md
-        # round 9.)
-        out = merged.coalesce(target_files) if target_files else merged
-        out.write.mode("error").parquet(os.path.join(table_dir, version))
+            version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
+            # Distributed write: the merge plan reads the CURRENT version
+            # directory, which this write never touches (the target
+            # directory is brand-new), so no materialization barrier is
+            # needed. AQE coalesces a catalog-sized merge to one
+            # post-shuffle partition on its own; target_files pins the
+            # file count explicitly when a layout contract requires it.
+            # (An earlier form collected the table through the driver —
+            # measured at 92 s for a 10M-row base, it was the scale
+            # ceiling of the whole sink; see SCALING.md round 9.)
+            out = merged.coalesce(target_files) if target_files else merged
+            out.write.mode("error").parquet(os.path.join(table_dir, version))
+        except Exception as err:
+            # base pruned mid-scan by a concurrent winner's retention
+            # (keep_versions=1): a conflict, not an IO failure
+            if current is not None and _base_pruned_error(err):
+                if version is not None:
+                    shutil.rmtree(os.path.join(table_dir, version),
+                                  ignore_errors=True)
+                last_err = ConcurrentWriteError(
+                    f"{table_dir}: base {current} was pruned mid-merge "
+                    f"by a concurrent winner's retention ({err}); "
+                    "re-merging from the new CURRENT"
+                )
+                continue
+            raise
 
         if txn_app_id is not None:
             marks[txn_app_id] = int(txn_version)
@@ -481,6 +553,19 @@ def upsert_parquet_versioned(
 
 _BUCKET_COL = "upsert_bucket"
 _LAYOUT_SIDECAR = "_layout.json"
+
+
+def _null_safe_cond(left: DataFrame, right: DataFrame, key_cols: list[str]):
+    """NULL-safe multi-column equi-join condition (``<=>`` per key).
+    Used where a keyed lookup must treat NULL as a matchable key value
+    — the versioned layer's upserts do (rendered-key join), so its
+    deletes must too. EqualNullSafe remains a hash-joinable key."""
+    from functools import reduce
+
+    return reduce(
+        lambda a, b: a & b,
+        [left[c].eqNullSafe(right[c]) for c in key_cols],
+    )
 
 
 def _bucket_expr(key_cols: list[str], n_buckets: int):
@@ -652,66 +737,83 @@ def upsert_parquet_versioned_partitioned(
         ):
             return read_versioned(spark, table_dir)
 
-        if current is None:
-            touched = sorted(
-                r[0] for r in u.select(_BUCKET_COL).distinct().collect()
-            )
-            # first write: same in-batch dedup contract as the plain
-            # writer (bucket col is key-derived, unaffected)
-            merged = merge_upsert(u.limit(0), u, key_cols,
-                                  merge_schema=merge_schema)
-            seq, untouched = 1, []
-        else:
-            cdir = os.path.join(table_dir, current)
-            existing_all = spark.read.parquet(cdir)
-            evolving = merge_schema and (
-                set(u.columns) != set(existing_all.columns)
-            )
-            if evolving:
-                # schema evolution CANNOT hardlink: untouched buckets
-                # would keep the old schema and the snapshot would be
-                # mixed — spark.read then infers from one file and the
-                # evolved column silently vanishes (or NULL-fills on
-                # the next merge, destroying just-written values).
-                # Review finding, round 10: evolution pays one full
-                # rewrite; hardlinking resumes on the uniform snapshot.
-                touched = sorted(
-                    r[0]
-                    for r in existing_all.select(_BUCKET_COL)
-                    .unionByName(u.select(_BUCKET_COL))
-                    .distinct()
-                    .collect()
-                )
-                existing = existing_all
-            else:
-                # O(n_buckets) driver values — bounded by layout, not data
+        vdir = None
+        try:
+            if current is None:
                 touched = sorted(
                     r[0] for r in u.select(_BUCKET_COL).distinct().collect()
                 )
-                existing = existing_all.filter(
-                    F.col(_BUCKET_COL).isin(touched)
+                # first write: same in-batch dedup contract as the plain
+                # writer (bucket col is key-derived, unaffected)
+                merged = merge_upsert(u.limit(0), u, key_cols,
+                                      merge_schema=merge_schema)
+                seq, untouched = 1, []
+            else:
+                cdir = os.path.join(table_dir, current)
+                existing_all = spark.read.parquet(cdir)
+                evolving = merge_schema and (
+                    set(u.columns) != set(existing_all.columns)
                 )
-            merged = merge_upsert(existing, u, key_cols,
-                                  merge_schema=merge_schema)
-            seq = int(current.split("-")[1]) + 1
-            untouched = [] if evolving else [
-                d for d in os.listdir(cdir)
-                if d.startswith(f"{_BUCKET_COL}=")
-                and int(d.split("=", 1)[1]) not in set(touched)
-            ]
+                if evolving:
+                    # schema evolution CANNOT hardlink: untouched buckets
+                    # would keep the old schema and the snapshot would be
+                    # mixed — spark.read then infers from one file and the
+                    # evolved column silently vanishes (or NULL-fills on
+                    # the next merge, destroying just-written values).
+                    # Review finding, round 10: evolution pays one full
+                    # rewrite; hardlinking resumes on the uniform snapshot.
+                    touched = sorted(
+                        r[0]
+                        for r in existing_all.select(_BUCKET_COL)
+                        .unionByName(u.select(_BUCKET_COL))
+                        .distinct()
+                        .collect()
+                    )
+                    existing = existing_all
+                else:
+                    # O(n_buckets) driver values — bounded by layout,
+                    # not data
+                    touched = sorted(
+                        r[0]
+                        for r in u.select(_BUCKET_COL).distinct().collect()
+                    )
+                    existing = existing_all.filter(
+                        F.col(_BUCKET_COL).isin(touched)
+                    )
+                merged = merge_upsert(existing, u, key_cols,
+                                      merge_schema=merge_schema)
+                seq = int(current.split("-")[1]) + 1
+                untouched = [] if evolving else [
+                    d for d in os.listdir(cdir)
+                    if d.startswith(f"{_BUCKET_COL}=")
+                    and int(d.split("=", 1)[1]) not in set(touched)
+                ]
 
-        version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
-        vdir = os.path.join(table_dir, version)
-        # one file per touched bucket: the layout's file count stays
-        # ~n_buckets forever, so this sink never needs compaction
-        (
-            merged.repartition(max(1, len(touched)), F.col(_BUCKET_COL))
-            .write.mode("error")
-            .partitionBy(_BUCKET_COL)
-            .parquet(vdir)
-        )
-        _link_buckets(os.path.join(table_dir, current) if current else "",
-                      vdir, untouched)
+            version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
+            vdir = os.path.join(table_dir, version)
+            # one file per touched bucket: the layout's file count stays
+            # ~n_buckets forever, so this sink never needs compaction
+            (
+                merged.repartition(max(1, len(touched)), F.col(_BUCKET_COL))
+                .write.mode("error")
+                .partitionBy(_BUCKET_COL)
+                .parquet(vdir)
+            )
+            _link_buckets(os.path.join(table_dir, current) if current else "",
+                          vdir, untouched)
+        except Exception as err:
+            # base pruned mid-scan/link by a concurrent winner's
+            # retention (keep_versions=1): a conflict, not an IO failure
+            if current is not None and _base_pruned_error(err):
+                if vdir is not None:
+                    shutil.rmtree(vdir, ignore_errors=True)
+                last_err = ConcurrentWriteError(
+                    f"{table_dir}: base {current} was pruned mid-merge "
+                    f"by a concurrent winner's retention ({err}); "
+                    "re-merging from the new CURRENT"
+                )
+                continue
+            raise
 
         if txn_app_id is not None:
             marks[txn_app_id] = int(txn_version)
@@ -742,7 +844,14 @@ def delete_versioned(
 
     ``keys`` is a DataFrame carrying ``key_cols``; matching rows are
     removed with a LEFT ANTI join (small deletion lists broadcast —
-    Catalyst picks BHJ under the threshold). Time travel caveat stated
+    Catalyst picks BHJ under the threshold). The join is NULL-SAFE
+    (``eqNullSafe`` per key column): the upsert path treats NULL as a
+    valid key value (null-safe window / rendered-key join), so a
+    NULL-keyed row that was upserted must also be deletable — a plain
+    equi anti-join would silently no-op the erasure request (round-10
+    advisory). ``eqNullSafe`` keys still hash-join; there is no
+    exchange-reuse concern here because the build side broadcasts.
+    Time travel caveat stated
     plainly: erased rows remain readable in RETAINED older versions
     until retention prunes them — for a hard erasure run with
     ``keep_versions=1`` so the publish prunes history in the same
@@ -793,59 +902,78 @@ def delete_versioned(
         version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
         vdir = os.path.join(table_dir, version)
 
-        if layout is None:
-            existing = spark.read.parquet(cdir)
-            remaining = existing.join(
-                F.broadcast(kdf), on=key_cols, how="left_anti"
-            )
-            remaining.write.mode("error").parquet(vdir)
-            untouched: list[str] = []
-        else:
-            n_buckets = layout["n_buckets"]
-            if layout.get("scheme", "hash") == "range":
-                bucket = _bucket_expr_range(key_cols[0], layout["bounds"])
-            else:
-                bucket = _bucket_expr(key_cols, n_buckets)
-            kb = kdf.withColumn(_BUCKET_COL, bucket)
-            touched = sorted(
-                r[0] for r in kb.select(_BUCKET_COL).distinct().collect()
-            )
-            existing = spark.read.parquet(cdir).filter(
-                F.col(_BUCKET_COL).isin(touched)
-            )
-            remaining = existing.join(
-                F.broadcast(kb.drop(_BUCKET_COL)), on=key_cols, how="left_anti"
-            )
-            untouched_pre = [
-                d for d in os.listdir(cdir)
-                if d.startswith(f"{_BUCKET_COL}=")
-                and int(d.split("=", 1)[1]) not in set(touched)
-            ]
-            if not untouched_pre and remaining.isEmpty():
-                # a partitioned write of an empty frame emits NO data
-                # files (unlike the unpartitioned schema-carrying empty
-                # file): publishing it would brick the table — every
-                # later read/merge fails schema inference (round-10
-                # review finding). Full truncation is a table-drop, not
-                # a delete.
-                raise ValueError(
-                    f"delete_versioned would remove EVERY row of the "
-                    f"bucketed table {table_dir}; refusing to publish an "
-                    "unreadable empty snapshot — drop the table directory "
-                    "instead"
+        try:
+            if layout is None:
+                existing = spark.read.parquet(cdir)
+                remaining = existing.join(
+                    F.broadcast(kdf), on=_null_safe_cond(existing, kdf, key_cols),
+                    how="left_anti",
                 )
-            (
-                remaining.repartition(max(1, len(touched)), F.col(_BUCKET_COL))
-                .write.mode("error")
-                .partitionBy(_BUCKET_COL)
-                .parquet(vdir)
-            )
-            untouched = [
-                d for d in os.listdir(cdir)
-                if d.startswith(f"{_BUCKET_COL}=")
-                and int(d.split("=", 1)[1]) not in set(touched)
-            ]
-        _link_buckets(cdir, vdir, untouched)
+                remaining.write.mode("error").parquet(vdir)
+                untouched: list[str] = []
+            else:
+                n_buckets = layout["n_buckets"]
+                if layout.get("scheme", "hash") == "range":
+                    bucket = _bucket_expr_range(key_cols[0], layout["bounds"])
+                else:
+                    bucket = _bucket_expr(key_cols, n_buckets)
+                kb = kdf.withColumn(_BUCKET_COL, bucket)
+                touched = sorted(
+                    r[0] for r in kb.select(_BUCKET_COL).distinct().collect()
+                )
+                existing = spark.read.parquet(cdir).filter(
+                    F.col(_BUCKET_COL).isin(touched)
+                )
+                kno = kb.drop(_BUCKET_COL)
+                remaining = existing.join(
+                    F.broadcast(kno),
+                    on=_null_safe_cond(existing, kno, key_cols),
+                    how="left_anti",
+                )
+                untouched_pre = [
+                    d for d in os.listdir(cdir)
+                    if d.startswith(f"{_BUCKET_COL}=")
+                    and int(d.split("=", 1)[1]) not in set(touched)
+                ]
+                if not untouched_pre and remaining.isEmpty():
+                    # a partitioned write of an empty frame emits NO data
+                    # files (unlike the unpartitioned schema-carrying empty
+                    # file): publishing it would brick the table — every
+                    # later read/merge fails schema inference (round-10
+                    # review finding). Full truncation is a table-drop, not
+                    # a delete.
+                    raise ValueError(
+                        f"delete_versioned would remove EVERY row of the "
+                        f"bucketed table {table_dir}; refusing to publish an "
+                        "unreadable empty snapshot — drop the table directory "
+                        "instead"
+                    )
+                (
+                    remaining.repartition(max(1, len(touched)), F.col(_BUCKET_COL))
+                    .write.mode("error")
+                    .partitionBy(_BUCKET_COL)
+                    .parquet(vdir)
+                )
+                untouched = [
+                    d for d in os.listdir(cdir)
+                    if d.startswith(f"{_BUCKET_COL}=")
+                    and int(d.split("=", 1)[1]) not in set(touched)
+                ]
+            _link_buckets(cdir, vdir, untouched)
+        except ValueError:
+            raise  # the empty-snapshot brick guard, not a scan failure
+        except Exception as err:
+            # base pruned mid-scan/link by a concurrent winner's
+            # retention (keep_versions=1): a conflict, not an IO failure
+            if _base_pruned_error(err):
+                shutil.rmtree(vdir, ignore_errors=True)
+                last_err = ConcurrentWriteError(
+                    f"{table_dir}: base {current} was pruned mid-merge "
+                    f"by a concurrent winner's retention ({err}); "
+                    "re-merging from the new CURRENT"
+                )
+                continue
+            raise
 
         if txn_app_id is not None:
             marks[txn_app_id] = int(txn_version)
@@ -940,41 +1068,56 @@ def delete_versioned_where(
         version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
         vdir = os.path.join(table_dir, version)
 
-        existing = spark.read.parquet(cdir)
-        untouched: list[str] = []
-        if hint_buckets is not None:
-            existing = existing.filter(F.col(_BUCKET_COL).isin(hint_buckets))
-            untouched = [
-                d for d in os.listdir(cdir)
-                if d.startswith(f"{_BUCKET_COL}=")
-                and int(d.split("=", 1)[1]) not in set(hint_buckets)
-            ]
-        # NULL-safe NOT: rows where the predicate is NULL are KEPT (SQL
-        # DELETE semantics — only TRUE deletes)
-        remaining = existing.filter(~F.coalesce(cond, F.lit(False)))
-        if layout is None:
-            remaining.write.mode("error").parquet(vdir)
-        else:
-            if not untouched and remaining.isEmpty():
-                # same brick guard as delete_versioned: an empty
-                # partitioned snapshot has no data files and no schema
-                raise ValueError(
-                    f"delete_versioned_where would remove EVERY row of "
-                    f"the bucketed table {table_dir}; refusing to publish "
-                    "an unreadable empty snapshot — drop the table "
-                    "directory instead"
+        try:
+            existing = spark.read.parquet(cdir)
+            untouched: list[str] = []
+            if hint_buckets is not None:
+                existing = existing.filter(F.col(_BUCKET_COL).isin(hint_buckets))
+                untouched = [
+                    d for d in os.listdir(cdir)
+                    if d.startswith(f"{_BUCKET_COL}=")
+                    and int(d.split("=", 1)[1]) not in set(hint_buckets)
+                ]
+            # NULL-safe NOT: rows where the predicate is NULL are KEPT (SQL
+            # DELETE semantics — only TRUE deletes)
+            remaining = existing.filter(~F.coalesce(cond, F.lit(False)))
+            if layout is None:
+                remaining.write.mode("error").parquet(vdir)
+            else:
+                if not untouched and remaining.isEmpty():
+                    # same brick guard as delete_versioned: an empty
+                    # partitioned snapshot has no data files and no schema
+                    raise ValueError(
+                        f"delete_versioned_where would remove EVERY row of "
+                        f"the bucketed table {table_dir}; refusing to publish "
+                        "an unreadable empty snapshot — drop the table "
+                        "directory instead"
+                    )
+                n_parts = (
+                    max(1, len(hint_buckets)) if hint_buckets is not None
+                    else layout["n_buckets"]
                 )
-            n_parts = (
-                max(1, len(hint_buckets)) if hint_buckets is not None
-                else layout["n_buckets"]
-            )
-            (
-                remaining.repartition(n_parts, F.col(_BUCKET_COL))
-                .write.mode("error")
-                .partitionBy(_BUCKET_COL)
-                .parquet(vdir)
-            )
-        _link_buckets(cdir, vdir, untouched)
+                (
+                    remaining.repartition(n_parts, F.col(_BUCKET_COL))
+                    .write.mode("error")
+                    .partitionBy(_BUCKET_COL)
+                    .parquet(vdir)
+                )
+            _link_buckets(cdir, vdir, untouched)
+        except ValueError:
+            raise  # the empty-snapshot brick guard, not a scan failure
+        except Exception as err:
+            # base pruned mid-scan/link by a concurrent winner's
+            # retention (keep_versions=1): a conflict, not an IO failure
+            if _base_pruned_error(err):
+                shutil.rmtree(vdir, ignore_errors=True)
+                last_err = ConcurrentWriteError(
+                    f"{table_dir}: base {current} was pruned mid-merge "
+                    f"by a concurrent winner's retention ({err}); "
+                    "re-merging from the new CURRENT"
+                )
+                continue
+            raise
 
         if txn_app_id is not None:
             marks[txn_app_id] = int(txn_version)

@@ -929,12 +929,16 @@ def test_versioned_upsert_schema_evolution(spark, tmp_path):
     rows = {r.k: (r.v, r.score) for r in out.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
 
-    # a later NARROW batch (stopped carrying score) keeps the column
-    narrow = spark.createDataFrame([(1, "a2")], "k long, v string")
+    # a later NARROW batch (stopped carrying score) keeps the column,
+    # and a MATCHED key keeps its existing value for the dropped column
+    # (Delta MERGE-with-evolution semantics: column absence -> target
+    # value survives; round-10 advisory)
+    narrow = spark.createDataFrame([(1, "a2"), (2, "b2")],
+                                   "k long, v string")
     out = upsert_parquet_versioned(spark, t, narrow, ["k"],
                                    merge_schema=True)
     rows = {r.k: (r.v, r.score) for r in out.collect()}
-    assert rows == {1: ("a2", None), 2: ("b", 9.5)}
+    assert rows == {1: ("a2", None), 2: ("b2", 9.5)}
 
     # key columns can never be NULL-filled in
     with _pytest.raises(ValueError, match="key columns"):
@@ -1408,3 +1412,108 @@ def test_upsert_dbapi_paramstyles(spark, tmp_path):
     assert rows == {"a": 11, "b": 12}
     with _pytest.raises(ValueError, match="paramstyle"):
         upsert_dbapi(df, factory, "t", ["k"], paramstyle="bogus")
+
+
+def test_merge_schema_backfill_preserves_legit_null(spark):
+    """The evolution back-fill must distinguish 'column absent from the
+    batch' (existing value survives, even a NULL one) from 'column
+    present with NULL' (NULL writes). The struct-wrapped first() makes
+    an existing NULL survive as NULL rather than being skipped."""
+    existing = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", None), (3, "c", 7.0)],
+        "k long, v string, score double",
+    )
+    updates = spark.createDataFrame([(1, "a2"), (2, "b2")],
+                                    "k long, v string")
+    out = merge_upsert(existing, updates, ["k"], merge_schema=True)
+    rows = {r.k: (r.v, r.score) for r in out.collect()}
+    # 1: non-null survives; 2: legit NULL survives as NULL (not 7.0 or
+    # some other row's value); 3: untouched
+    assert rows == {1: ("a2", 5.0), 2: ("b2", None), 3: ("c", 7.0)}
+
+    # column PRESENT but NULL-valued still writes NULL (no back-fill)
+    updates2 = spark.createDataFrame([(1, "a3", None)],
+                                     "k long, v string, score double")
+    out = merge_upsert(existing, updates2, ["k"], merge_schema=True)
+    rows = {r.k: (r.v, r.score) for r in out.collect()}
+    assert rows[1] == ("a3", None)
+
+
+def test_delete_versioned_null_keyed_rows(spark, tmp_path):
+    """A NULL-keyed row can be upserted (null-safe merge), so it must be
+    deletable: the delete's anti-join is eqNullSafe per key column —
+    a plain equi join would silently no-op the erasure (round-10
+    advisory). Covers both the plain and bucketed layouts."""
+    from animaltrackingetls_spark.inventory import (
+        delete_versioned,
+        read_versioned,
+        upsert_parquet_versioned,
+        upsert_parquet_versioned_partitioned,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (None, "nullkey"), (3, "c")], "k long, v string"
+    )
+    kill = spark.createDataFrame([(None,)], "k long")
+
+    t = str(tmp_path / "plain")
+    upsert_parquet_versioned(spark, t, base, ["k"])
+    out = delete_versioned(spark, t, kill, ["k"])
+    assert {r.v for r in out.collect()} == {"a", "c"}
+
+    tp = str(tmp_path / "bucketed")
+    upsert_parquet_versioned_partitioned(spark, tp, base, ["k"],
+                                         n_buckets=4, scheme="hash")
+    out = delete_versioned(spark, tp, kill, ["k"])
+    assert {r.v for r in out.collect()} == {"a", "c"}
+    # non-NULL keys still delete fine through the same condition
+    out = delete_versioned(
+        spark, tp, spark.createDataFrame([(1,)], "k long"), ["k"]
+    )
+    assert {r.v for r in out.collect()} == {"c"}
+
+
+def test_upsert_retries_when_base_pruned_mid_merge(spark, tmp_path):
+    """keep_versions=1 prunes the losing base IMMEDIATELY on publish, so
+    a concurrent writer still scanning it mid-merge hits a scan-time
+    file-not-found. The CAS retry loop must treat that as a conflict
+    (re-merge from the new CURRENT), not surface a raw error — the
+    round-10 advisory's liveness gap. Simulated deterministically: a
+    'concurrent' winner publishes (and prunes) between this writer's
+    commit-state read and its scan."""
+    from animaltrackingetls_spark import inventory as inv
+
+    t = str(tmp_path / "t")
+    inv.upsert_parquet_versioned(
+        spark, t, spark.createDataFrame([(1, "a")], "k long, v string"),
+        ["k"], keep_versions=1,
+    )
+
+    real = inv._read_commit_state
+    state = {"fired": False}
+
+    def hijack(table_dir):
+        out = real(table_dir)
+        if not state["fired"]:
+            state["fired"] = True
+            # the concurrent winner: publishes v2, retention prunes v1
+            inv.upsert_parquet_versioned(
+                spark, t,
+                spark.createDataFrame([(2, "b")], "k long, v string"),
+                ["k"], keep_versions=1,
+            )
+            return out  # STALE: names the just-pruned snapshot
+        return out
+
+    inv._read_commit_state = hijack
+    try:
+        out = inv.upsert_parquet_versioned(
+            spark, t,
+            spark.createDataFrame([(3, "c")], "k long, v string"),
+            ["k"], keep_versions=1,
+        )
+    finally:
+        inv._read_commit_state = real
+    # liveness: the loser retried and BOTH commits landed
+    rows = {r.k: r.v for r in out.collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}
