@@ -1517,3 +1517,27 @@ def test_upsert_retries_when_base_pruned_mid_merge(spark, tmp_path):
     # liveness: the loser retried and BOTH commits landed
     rows = {r.k: r.v for r in out.collect()}
     assert rows == {1: "a", 2: "b", 3: "c"}
+
+
+def test_upsert_parquet_is_collect_free_and_staged(spark, tmp_path):
+    """The plain upsert must not funnel the merged table through the
+    driver (round-10 verdict task #5): a merge bigger than the driver
+    allows still succeeds, the swap leaves a single parquet file, and
+    no tmp debris survives a successful run."""
+    import os
+
+    path = str(tmp_path / "cat")
+    n = 50_000  # >> any sane driver-collect catalog, cheap to shuffle
+    base = spark.range(n).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    upd = spark.range(0, n, 2).selectExpr(
+        "id AS k", "concat('u', CAST(id AS STRING)) AS v"
+    )
+    upsert_parquet(spark, path, base, ["k"])
+    out = upsert_parquet(spark, path, upd, ["k"])
+    assert out.count() == n
+    got = {r.k: r.v for r in out.filter("k < 4").collect()}
+    assert got == {0: "u0", 1: "1", 2: "u2", 3: "3"}
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 1, files
+    debris = [d for d in os.listdir(tmp_path) if ".tmp-" in d]
+    assert debris == []
