@@ -1677,3 +1677,238 @@ def reconcile_inventory(
         .select(*INVENTORY_COLUMNS)
     )
     return upsert_parquet(spark, inventory_path, counts, ["available_date"])
+
+
+# ---------------------------------------------------------------------------
+# Multi-table group commit: N versioned tables published by ONE atomic
+# pointer swap — the transaction primitive for stores whose invariant
+# spans tables (the dedup index's docs/bands/bloom). Round-11 verdict
+# task: the per-table commits left a crash window (docs advanced, bands
+# not) whose replay-heal algebra needed careful reasoning; a group
+# commit collapses it to all-or-nothing.
+# ---------------------------------------------------------------------------
+
+_GROUP_POINTER = "_CURRENT_GROUP"
+_GROUP_LOCK = "._GROUP_LOCK"
+
+
+def group_state(group_dir: str) -> dict | None:
+    """The committed state of a table group: ``{"versions": {table:
+    version}, "marks": {app_id: txn_version}, "history": {table:
+    [versions...]}}`` — ONE JSON document, swapped atomically, so every
+    field is from the same commit. ``None`` when nothing is published."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(group_dir, _GROUP_POINTER)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def read_versioned_group(
+    spark: SparkSession, group_dir: str, table: str,
+    version: str | None = None,
+) -> DataFrame:
+    """Read one member table of a group at its group-committed version
+    (or a retained older version by name). Raises FileNotFoundError if
+    the group, the table, or the requested version is not published —
+    same contract as :func:`read_versioned`."""
+    import os
+
+    state = group_state(group_dir)
+    if state is None or table not in state.get("versions", {}):
+        raise FileNotFoundError(
+            f"no published snapshot for table {table!r} under {group_dir}"
+        )
+    name = version if version is not None else state["versions"][table]
+    if name not in state.get("history", {}).get(table, [name]):
+        raise FileNotFoundError(
+            f"version {name} of {table!r} is not retained under {group_dir}"
+        )
+    path = os.path.join(group_dir, table, name)
+    if not os.path.isdir(path):
+        # the pointer dangles — the member directory was dropped out of
+        # band (e.g. "delete the bloom table and re-ingest"); treat as
+        # unpublished, same contract as list_versions' existence filter
+        raise FileNotFoundError(
+            f"snapshot directory {path} is missing for table {table!r}"
+        )
+    return spark.read.parquet(path)
+
+
+def group_txn_watermarks(group_dir: str) -> dict[str, int]:
+    """Replay watermarks of the group's CURRENT commit (one map for the
+    whole group — a batch either landed in every member table or in
+    none, so one watermark is the correct granularity)."""
+    state = group_state(group_dir)
+    return dict(state.get("marks", {})) if state else {}
+
+
+def _publish_group(
+    group_dir: str,
+    new_versions: dict[str, str],
+    marks: dict[str, int],
+    keep_versions: int,
+    expected_versions: dict[str, str] | None,
+) -> None:
+    """Commit already-written version directories for N member tables
+    with ONE atomic pointer swap. Under the group lock: verify the
+    stored versions map still equals ``expected_versions`` (the CAS —
+    ``None`` means the writer saw an unpublished group), merge the new
+    versions over the carried-forward ones, rewrite histories, swap the
+    group pointer, then prune retention. A crash anywhere before the
+    ``os.replace`` leaves every member table at its previous version
+    (debris only); after it, every member is advanced — there is no
+    state in which some tables moved and others did not."""
+    import fcntl
+    import json
+    import os
+    import shutil
+    import uuid
+
+    prior = group_state(group_dir) or {}
+    lock_fd = os.open(os.path.join(group_dir, _GROUP_LOCK),
+                      os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        now = group_state(group_dir)
+        now_versions = now.get("versions") if now else None
+        if now_versions != expected_versions:
+            raise ConcurrentWriteError(
+                f"{group_dir}: merged against {expected_versions} but "
+                f"group CURRENT is now {now_versions} — a concurrent "
+                "writer committed; re-merge and retry"
+            )
+        versions = dict(expected_versions or {})
+        versions.update(new_versions)
+        history = dict((now or prior).get("history", {}))
+        pruned: list[tuple[str, str]] = []
+        for t, v in new_versions.items():
+            hist = [x for x in history.get(t, []) if x != v] + [v]
+            keep = hist[max(0, len(hist) - max(1, keep_versions)):]
+            pruned += [(t, x) for x in hist[: len(hist) - len(keep)]]
+            history[t] = keep
+        state = {"versions": versions, "marks": marks, "history": history}
+        tmp = os.path.join(group_dir,
+                           f".{_GROUP_POINTER}.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(group_dir, _GROUP_POINTER))  # commit
+        for t, stale in pruned:
+            shutil.rmtree(os.path.join(group_dir, t, stale),
+                          ignore_errors=True)
+    finally:
+        os.close(lock_fd)
+
+
+def upsert_group_versioned(
+    spark: SparkSession,
+    group_dir: str,
+    batches: dict[str, tuple[DataFrame, list[str]]],
+    keep_versions: int = 2,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+    retries: int = 2,
+    merge_schema: bool = False,
+) -> dict[str, str]:
+    """Keyed upsert into N member tables of a group, committed
+    ATOMICALLY: every table's new snapshot becomes visible in one
+    pointer swap, or none does. ``batches`` maps table name to
+    ``(updates, key_cols)``; each table gets the same
+    :func:`merge_upsert` semantics as :func:`upsert_parquet_versioned`.
+    Tables not named in ``batches`` keep their current version in the
+    new commit (a group commit may touch a subset).
+
+    Exactly-once replay is per GROUP: one ``txn_app_id``/``txn_version``
+    watermark covers all member tables, because a batch lands in all of
+    them or in none — the property the dedup index's separate per-table
+    watermarks could not give (docs-committed/bands-crashed left the
+    two tables' watermarks disagreeing and the batch half-applied).
+
+    CAS + retry as in the single-table writer: on conflict the written
+    version directories are removed and every table re-merges from the
+    new group state. A base snapshot pruned mid-merge by a concurrent
+    winner (keep_versions=1) converts to a conflict the same way.
+    Returns the committed ``{table: version}`` map.
+    """
+    import os
+    import shutil
+    import uuid
+
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be given together")
+    if not batches:
+        raise ValueError("upsert_group_versioned needs at least one table")
+
+    os.makedirs(group_dir, exist_ok=True)
+    last_err: ConcurrentWriteError | None = None
+    for _attempt in range(max(0, retries) + 1):
+        state = group_state(group_dir)
+        versions = dict(state["versions"]) if state else {}
+        marks = dict(state.get("marks", {})) if state else {}
+        if (
+            txn_app_id is not None
+            and txn_app_id in marks
+            and marks[txn_app_id] >= txn_version
+        ):
+            return versions
+
+        new_versions: dict[str, str] = {}
+        written: list[str] = []
+        try:
+            for t, (updates, key_cols) in batches.items():
+                tdir = os.path.join(group_dir, t)
+                cur = versions.get(t)
+                if cur is not None and not os.path.isdir(
+                    os.path.join(tdir, cur)
+                ):
+                    # dangling member (directory dropped out of band,
+                    # e.g. a bloom rebuild): rewrite from scratch, same
+                    # posture as read_versioned_group's existence check
+                    cur = None
+                if cur is None:
+                    merged = merge_upsert(updates.limit(0), updates,
+                                          key_cols,
+                                          merge_schema=merge_schema)
+                    seq = 1
+                else:
+                    existing = spark.read.parquet(os.path.join(tdir, cur))
+                    merged = merge_upsert(existing, updates, key_cols,
+                                          merge_schema=merge_schema)
+                    seq = int(cur.split("-")[1]) + 1
+                vname = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
+                vdir = os.path.join(tdir, vname)
+                merged.write.mode("error").parquet(vdir)
+                new_versions[t] = vname
+                written.append(vdir)
+        except Exception as err:
+            if versions and _base_pruned_error(err):
+                for d in written:
+                    shutil.rmtree(d, ignore_errors=True)
+                last_err = ConcurrentWriteError(
+                    f"{group_dir}: a member base was pruned mid-merge by "
+                    f"a concurrent winner's retention ({err}); re-merging "
+                    "from the new group CURRENT"
+                )
+                continue
+            raise
+
+        if txn_app_id is not None:
+            marks[txn_app_id] = int(txn_version)
+        try:
+            _publish_group(
+                group_dir, new_versions, marks, keep_versions,
+                expected_versions=state["versions"] if state else None,
+            )
+            committed = dict(versions)
+            committed.update(new_versions)
+            return committed
+        except ConcurrentWriteError as err:
+            for d in written:
+                shutil.rmtree(d, ignore_errors=True)
+            last_err = err
+    raise last_err

@@ -1812,6 +1812,68 @@ def pair_metrics(
     )
 
 
+def _adopt_legacy_index(index_dir: str) -> None:
+    """One-time migration of a pre-round-11 dedup index (independent
+    per-table versioned tables, each with its own ``_CURRENT``) into
+    the group-commit layout (ONE ``_CURRENT_GROUP`` JSON naming every
+    member's version). Watermarks adopt the per-app MINIMUM across the
+    member tables: if a legacy crash left docs' watermark ahead of
+    bands', the min keeps the replay OPEN so it heals the bands gap —
+    adopting docs' (higher) mark would watermark-no-op the replay and
+    freeze the under-detection forever. The legacy per-table pointers
+    are left in place as frozen relics; the group pointer is the only
+    authority afterwards. No-op when the group pointer already exists
+    or no legacy layout is present."""
+    import os
+
+    from ..inventory import (
+        _GROUP_POINTER,
+        _current_version,
+        _publish_group,
+        _read_history,
+        group_state,
+        txn_watermarks,
+    )
+
+    if group_state(index_dir) is not None:
+        return
+    members = [
+        t for t in ("docs", "bands", "bloom")
+        if _current_version(os.path.join(index_dir, t)) is not None
+    ]
+    if not members:
+        return
+    versions = {
+        t: _current_version(os.path.join(index_dir, t)) for t in members
+    }
+    history = {
+        t: (_read_history(os.path.join(index_dir, t)) or [versions[t]])
+        for t in members
+    }
+    marks: dict[str, int] = {}
+    for t in members:
+        for app, ver in txn_watermarks(os.path.join(index_dir, t)).items():
+            marks[app] = min(marks.get(app, ver), ver)
+    # keep_versions high enough to not prune anything during adoption
+    keep = max(len(h) for h in history.values())
+    state_history = dict(history)
+    _publish_group(index_dir, versions, marks, keep, expected_versions=None)
+    # _publish_group rebuilt history from new_versions only; rewrite it
+    # with the full legacy ledgers through a second (idempotent) swap
+    import json
+
+    ptr = os.path.join(index_dir, _GROUP_POINTER)
+    with open(ptr) as f:
+        state = json.load(f)
+    state["history"] = state_history
+    tmp = ptr + ".adopt.tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, ptr)
+
+
 _BLOOM_SIDECAR = "_bloom_meta.json"
 
 
@@ -1882,21 +1944,27 @@ def dedup_index_ingest(
     :func:`incremental_dedup` where text is at hand). Novel documents'
     rows append to both tables through the versioned writers.
 
-    **Exactly-once**: pass ``txn_app_id``/``txn_version`` (e.g. a
-    foreachBatch id) — both appends carry the watermark, so a replayed
-    batch is a no-op on both tables. ``docs`` commits FIRST: a crash
-    between the two commits can only leave signatures without band
-    keys, which under-detects near-dups for that one batch until the
-    replay heals it — never a false dup. The heal works because both
-    index joins EXCLUDE self-matches (``cid != id``): a replayed
-    batch whose digests already sit in ``docs`` re-derives the same
-    kept set (its own rows never classify it as a dup of itself), the
-    docs upsert no-ops via the watermark, and the bands append lands
-    the missing band keys. Batch ids must be globally
-    unique and batch-internal exact dups should be dropped upstream
-    (:func:`drop_exact_duplicates`), same contract as the transient
-    form. Returns ``(id, status in {exact_dup, near_dup, kept},
-    matched_id)``.
+    **Exactly-once, atomically across tables** (round 11; the tables
+    live under ONE :func:`~animaltrackingetls_spark.inventory.
+    upsert_group_versioned` group commit): docs, bands and the
+    optional bloom advance together in a single pointer swap, so a
+    crash can never leave signatures without band keys — the batch
+    either landed whole or not at all, and one group watermark makes
+    the replay a no-op for the whole batch. Pass ``txn_app_id``/
+    ``txn_version`` (e.g. a foreachBatch id) for that replay
+    protection. Both index joins still EXCLUDE self-matches
+    (``cid != id``): a replay AFTER a successful commit (at-least-once
+    caller whose checkpoint lagged the sink) finds its own digests in
+    the index, and without the exclusion would classify every
+    previously-kept row as exact_dup of itself — the statuses it
+    returns must match the original run's. Pre-round-11 per-table
+    indexes are adopted into the group layout on first touch
+    (:func:`_adopt_legacy_index`; watermarks take the per-app MIN so a
+    legacy half-applied batch stays replayable and heals). Batch ids
+    must be globally unique and batch-internal exact dups should be
+    dropped upstream (:func:`drop_exact_duplicates`), same contract as
+    the transient form. Returns ``(id, status in {exact_dup, near_dup,
+    kept}, matched_id)``.
 
     ``use_bloom`` maintains a THIRD versioned table,
     ``bloom`` — the :func:`digest_bitmap` (≤ ``m_bits/64`` rows, ≤8 MiB
@@ -1907,12 +1975,11 @@ def dedup_index_ingest(
     false positives) enter the confirm join, so the classification
     stays EXACT while a mostly-novel batch's confirm input collapses
     toward empty (AQE's empty-relation propagation then elides the
-    index scan). Commit order makes crashes safe BY ALGEBRA: bloom
-    commits FIRST, so a crash can only leave bits set for digests the
-    docs table lacks — false positives the confirm join already
-    resolves — never a clear bit over an indexed digest (which would
-    mint a false 'kept'); OR-merge also makes the replayed commit a
-    no-op even without its watermark.
+    index scan). The bloom commits in the SAME group swap as docs and
+    bands, so bits-set-without-docs (or the dangerous inverse, a clear
+    bit over an indexed digest, which would mint a false 'kept') cannot
+    arise from a crash at all; OR-merge additionally makes a replayed
+    commit idempotent even without its watermark.
 
     MEASURED DEFAULT-OFF (r10 sweep, 100k/300k/1M-doc indexes, 10k
     batches): per-ingest cost is dominated by the batch's own hashing,
@@ -1925,7 +1992,7 @@ def dedup_index_ingest(
     """
     import os
 
-    from ..inventory import read_versioned, upsert_parquet_versioned
+    from ..inventory import read_versioned_group, upsert_group_versioned
 
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version must be given together")
@@ -1961,16 +2028,17 @@ def dedup_index_ingest(
         .localCheckpoint()  # hashing runs ONCE; 4 plan branches read it
     )
 
+    _adopt_legacy_index(index_dir)
     try:
-        idx_docs = read_versioned(spark, docs_tbl)
-        idx_bands = read_versioned(spark, bands_tbl)
+        idx_docs = read_versioned_group(spark, index_dir, "docs")
+        idx_bands = read_versioned_group(spark, index_dir, "bands")
     except FileNotFoundError:
         idx_docs = None
         idx_bands = None
     bitmap = None
     if use_bloom and idx_docs is not None:
         try:
-            bitmap = read_versioned(spark, bloom_tbl)
+            bitmap = read_versioned_group(spark, index_dir, "bloom")
         except FileNotFoundError:
             bitmap = None  # pre-bloom index: fall back to the full join
         if bitmap is not None:
@@ -2084,11 +2152,17 @@ def dedup_index_ingest(
         if txn_app_id is not None
         else {}
     )
+    batches = {
+        "docs": (kept_rows.select("id", "digest", "hs"), ["id"]),
+        "bands": (
+            kept_rows.select("id", F.explode("bks").alias("bk")),
+            ["id", "bk"],
+        ),
+    }
     if use_bloom:
         # OR-merge the kept digests' bitmap into the persisted bloom;
         # the update frame carries the FULL merged bitmap, so the
-        # last-wins keyed upsert publishes exactly the OR. Commits
-        # FIRST (see docstring: a crash may only over-set bits).
+        # last-wins keyed upsert publishes exactly the OR.
         new_fps = kept_rows.select(F.col("digest").alias("fp"))
         if bitmap is None and idx_docs is not None:
             # pre-bloom index (or lost bloom): bootstrap from the FULL
@@ -2102,20 +2176,15 @@ def dedup_index_ingest(
             bitmap.unionByName(batch_bits) if bitmap is not None
             else batch_bits
         ).groupBy("w_idx").agg(F.expr("bit_or(word)").alias("word"))
-        # Sidecar BEFORE the bitmap commit: a crash between them leaves
+        # Sidecar BEFORE the group commit: a crash between them leaves
         # a sidecar without a bloom (harmless — next ingest bootstraps
         # and overwrites it), never a bloom without its m_bits pin.
         _write_bloom_meta(bloom_tbl, m_bits)
-        upsert_parquet_versioned(
-            spark, bloom_tbl, merged_bits, ["w_idx"], **txn,
-        )
-    upsert_parquet_versioned(
-        spark, docs_tbl, kept_rows.select("id", "digest", "hs"),
-        ["id"], **txn,
-    )
-    upsert_parquet_versioned(
-        spark, bands_tbl,
-        kept_rows.select("id", F.explode("bks").alias("bk")),
-        ["id", "bk"], **txn,
-    )
+        batches["bloom"] = (merged_bits, ["w_idx"])
+    # ONE atomic commit across docs/bands(/bloom): all member tables
+    # advance together or not at all (round-11 verdict task #4), so
+    # the old docs-first/bloom-first commit-ordering algebra and its
+    # one-batch under-detection crash window are gone. The group
+    # watermark also makes replay exactly-once for the WHOLE batch.
+    upsert_group_versioned(spark, index_dir, batches, **txn)
     return statuses.withColumnRenamed("id", id_col)

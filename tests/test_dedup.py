@@ -1023,7 +1023,7 @@ def test_dedup_index_ingest_persisted(spark, tmp_path):
     """The persisted dedup index: bootstrap, exact + near classification
     against the STORE (no corpus recompute), O(novel) growth,
     exactly-once replayed batch, and the docs-first crash ordering."""
-    from animaltrackingetls_spark.inventory import read_versioned
+    from animaltrackingetls_spark.inventory import read_versioned_group
     from animaltrackingetls_spark.operators.dedup import dedup_index_ingest
 
     idx = str(tmp_path / "idx")
@@ -1042,7 +1042,7 @@ def test_dedup_index_ingest_persisted(spark, tmp_path):
           dedup_index_ingest(spark, base, idx,
                              txn_app_id="t", txn_version=0).collect()}
     assert s0 == {1: "kept", 2: "kept", 3: "kept"}  # bootstrap keeps all
-    assert read_versioned(spark, idx + "/docs").count() == 3
+    assert read_versioned_group(spark, idx, "docs").count() == 3
     import os
 
     assert not os.path.exists(idx + "/bloom")  # default-off (measured)
@@ -1062,15 +1062,15 @@ def test_dedup_index_ingest_persisted(spark, tmp_path):
     assert out[11][0] == "near_dup" and out[11][1] == 1
     assert out[12] == ("kept", None)
     # only the novel doc was appended
-    assert read_versioned(spark, idx + "/docs").count() == 4
-    assert read_versioned(spark, idx + "/bands").filter("id = 10").count() == 0
+    assert read_versioned_group(spark, idx, "docs").count() == 4
+    assert read_versioned_group(spark, idx, "bands").filter("id = 10").count() == 0
 
     # replayed batch (same txn id): classification recomputes but the
     # index tables must NOT grow (watermark no-op on both)
     dedup_index_ingest(spark, batch, idx, sig_agree=0.4,
                        txn_app_id="t", txn_version=1)
-    assert read_versioned(spark, idx + "/docs").count() == 4
-    assert read_versioned(spark, idx + "/bands").count() == \
+    assert read_versioned_group(spark, idx, "docs").count() == 4
+    assert read_versioned_group(spark, idx, "bands").count() == \
         4 * 2  # 4 docs x 2 bands
 
     # the new doc is now corpus: an exact copy in the NEXT batch is
@@ -1092,7 +1092,7 @@ def test_dedup_index_bloom_sidecar(spark, tmp_path):
     without it), the bloom table exists and is OR-maintained, a
     pre-bloom index bootstraps its bloom from the FULL docs table, and
     clear-bit skipping can never mint a false 'kept'."""
-    from animaltrackingetls_spark.inventory import read_versioned
+    from animaltrackingetls_spark.inventory import read_versioned_group
     from animaltrackingetls_spark.operators.dedup import dedup_index_ingest
 
     def docs(rows):
@@ -1120,8 +1120,8 @@ def test_dedup_index_bloom_sidecar(spark, tmp_path):
     assert results[True] == results[False]
     assert results[True][10] == ("exact_dup", 2)
     assert results[True][12] == ("kept", None)
-    assert read_versioned(
-        spark, str(tmp_path / "idx_True") + "/bloom"
+    assert read_versioned_group(
+        spark, str(tmp_path / "idx_True"), "bloom"
     ).count() > 0
 
     # pre-bloom index (built with use_bloom=False) gains a bloom on the
@@ -1143,16 +1143,19 @@ def test_dedup_index_bloom_sidecar(spark, tmp_path):
     )
 
 
-def test_dedup_index_replay_heals_bands_crash_window(spark, tmp_path,
-                                                     monkeypatch):
-    """The round-10 advisory's medium finding: a crash between the docs
-    and bands commits must be HEALED by the replay, not poisoned by it.
-    Kill the bands commit for one batch, replay with the same txn id:
-    statuses must match the original run (no self-exact-dup), the docs
-    table must not grow, and the bands table must gain the batch's band
-    keys (the heal)."""
+def test_dedup_index_group_commit_all_or_nothing(spark, tmp_path,
+                                                 monkeypatch):
+    """Round-11 verdict task #4: the index's tables commit ATOMICALLY.
+    Kill the publish between the version-dir writes and the group
+    pointer swap: NEITHER docs nor bands may advance. Replay with the
+    same txn id lands the whole batch, and a replay AFTER a successful
+    commit (self-digests in the index) returns the ORIGINAL statuses —
+    the self-match exclusion's job."""
     from animaltrackingetls_spark import inventory
-    from animaltrackingetls_spark.inventory import read_versioned
+    from animaltrackingetls_spark.inventory import (
+        group_state,
+        read_versioned_group,
+    )
     from animaltrackingetls_spark.operators.dedup import dedup_index_ingest
 
     idx = str(tmp_path / "idx")
@@ -1165,6 +1168,7 @@ def test_dedup_index_replay_heals_bands_crash_window(spark, tmp_path,
         (2, "sphinx of black quartz judge my vow"),
     ])
     dedup_index_ingest(spark, base, idx, txn_app_id="t", txn_version=0)
+    state0 = group_state(idx)
 
     long1 = ("the quick brown fox jumps over the lazy dog and runs far "
              "away into the quiet green forest near the old stone bridge")
@@ -1173,44 +1177,125 @@ def test_dedup_index_replay_heals_bands_crash_window(spark, tmp_path,
         (11, long1),                                      # kept (novel)
     ])
 
-    real_upsert = inventory.upsert_parquet_versioned
+    real_publish = inventory._publish_group
 
-    def dying_upsert(spark_, table_dir, *a, **kw):
-        if table_dir.endswith("/bands"):
-            raise RuntimeError("injected crash before the bands commit")
-        return real_upsert(spark_, table_dir, *a, **kw)
+    def dying_publish(*a, **kw):
+        raise RuntimeError("injected crash before the group pointer swap")
 
-    monkeypatch.setattr(inventory, "upsert_parquet_versioned", dying_upsert)
+    monkeypatch.setattr(inventory, "_publish_group", dying_publish)
     with pytest.raises(RuntimeError, match="injected crash"):
         dedup_index_ingest(spark, batch, idx, sig_agree=0.4,
                            txn_app_id="t", txn_version=1)
-    monkeypatch.undo()
+    monkeypatch.setattr(inventory, "_publish_group", real_publish)
 
-    # crash window state: doc 11's digest is in docs, its band keys are
-    # NOT in bands
-    assert read_versioned(spark, idx + "/docs").filter("id = 11").count() == 1
-    assert read_versioned(spark, idx + "/bands").filter("id = 11").count() == 0
+    # all-or-nothing: NOTHING advanced — the group pointer is
+    # byte-identical, so docs and bands both still show only the base
+    assert group_state(idx) == state0
+    assert read_versioned_group(spark, idx, "docs").count() == 2
+    assert read_versioned_group(spark, idx, "bands").filter(
+        "id in (10, 11)").count() == 0
 
-    # replay with the SAME txn: classification must be the original
-    # batch's (self-matches excluded), docs no-ops, bands heals
+    # replay with the SAME txn: the whole batch lands in one commit
     out = {r.doc_id: (r.status, r.matched_id) for r in
            dedup_index_ingest(spark, batch, idx, sig_agree=0.4,
                               txn_app_id="t", txn_version=1).collect()}
     assert out[10] == ("exact_dup", 1)
-    assert out[11] == ("kept", None), (
-        "replay classified a previously-kept doc as a dup of itself"
-    )
-    assert read_versioned(spark, idx + "/docs").count() == 3
-    assert read_versioned(spark, idx + "/bands").filter("id = 11").count() == 2
+    assert out[11] == ("kept", None)
+    assert read_versioned_group(spark, idx, "docs").count() == 3
+    assert read_versioned_group(spark, idx, "bands").filter(
+        "id = 11").count() == 2
 
-    # and a LATER near-dup of doc 11 is now detectable (the heal's
-    # point) - long1 vs long1+" today" is the deterministically
-    # band-colliding pair the bootstrap test pins
+    # replay AFTER the successful commit (at-least-once caller whose
+    # checkpoint lagged): statuses must equal the original run's — the
+    # self-match exclusion prevents kept->exact_dup-of-self — and the
+    # group watermark makes the writes a no-op
+    state1 = group_state(idx)
+    out2 = {r.doc_id: (r.status, r.matched_id) for r in
+            dedup_index_ingest(spark, batch, idx, sig_agree=0.4,
+                               txn_app_id="t", txn_version=1).collect()}
+    assert out2 == out, (
+        "post-commit replay changed statuses (self-match leak?)"
+    )
+    assert group_state(idx) == state1  # watermark no-op
+
+    # and a LATER near-dup of doc 11 is detectable — long1 vs
+    # long1+" today" is the deterministically band-colliding pair
     nxt = docs([(20, long1 + " today")])
     out = {r.doc_id: (r.status, r.matched_id) for r in
            dedup_index_ingest(spark, nxt, idx, sig_agree=0.4,
                               txn_app_id="t", txn_version=2).collect()}
     assert out[20] == ("near_dup", 11)
+
+
+def test_dedup_index_legacy_layout_adopted(spark, tmp_path):
+    """A pre-round-11 index (independent per-table versioned tables) is
+    adopted into the group layout on first touch. Watermark adoption
+    takes the per-app MIN across tables, so a legacy half-applied batch
+    (docs committed at v1, bands crashed at v0) stays REPLAYABLE and the
+    replay heals the bands gap."""
+    from animaltrackingetls_spark.inventory import (
+        group_state,
+        read_versioned_group,
+        upsert_parquet_versioned,
+    )
+    from animaltrackingetls_spark.operators.dedup import dedup_index_ingest
+
+    idx = str(tmp_path / "idx")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = docs([(1, "pack my box with five dozen liquor jugs")])
+    batch = docs([(2, "sphinx of black quartz judge my vow")])
+
+    # build the LEGACY layout by hand: a bootstrap batch in both tables
+    # (txn v0), then a half-applied batch — docs advanced to v1, bands
+    # crashed before its commit (the exact legacy crash window)
+    import os
+
+    from animaltrackingetls_spark.operators.dedup import (
+        dedup_index_ingest as _unused,
+    )
+
+    def hash_rows(frame):
+        # reuse the real ingest's prep by running it into a SCRATCH
+        # group index, then lifting the rows out
+        scratch = str(tmp_path / "scratch")
+        dedup_index_ingest(spark, frame, scratch)
+        d = read_versioned_group(spark, scratch, "docs")
+        b = read_versioned_group(spark, scratch, "bands")
+        ids = [r.doc_id for r in frame.select("doc_id").collect()]
+        import shutil
+
+        out = (d.filter(F.col("id").isin(ids)).collect(),
+               b.filter(F.col("id").isin(ids)).collect())
+        shutil.rmtree(scratch)
+        return out
+
+    d0, b0 = hash_rows(base)
+    d1, b1 = hash_rows(batch)
+    upsert_parquet_versioned(
+        spark, idx + "/docs", spark.createDataFrame(d0), ["id"],
+        txn_app_id="t", txn_version=0)
+    upsert_parquet_versioned(
+        spark, idx + "/bands", spark.createDataFrame(b0), ["id", "bk"],
+        txn_app_id="t", txn_version=0)
+    upsert_parquet_versioned(
+        spark, idx + "/docs", spark.createDataFrame(d1), ["id"],
+        txn_app_id="t", txn_version=1)
+    # bands NEVER got txn 1 — the legacy crash window
+    assert group_state(idx) is None
+
+    # first group-aware touch adopts; replaying txn 1 must NOT be a
+    # watermark no-op (marks = min(docs=1, bands=0) = 0) and must heal
+    out = {r.doc_id: (r.status, r.matched_id) for r in
+           dedup_index_ingest(spark, batch, idx,
+                              txn_app_id="t", txn_version=1).collect()}
+    state = group_state(idx)
+    assert state is not None and state["marks"] == {"t": 1}
+    assert out[2] == ("kept", None)  # self-match excluded on replay
+    assert read_versioned_group(spark, idx, "bands").filter(
+        "id = 2").count() == 2  # healed
 
 
 def test_dedup_index_bloom_m_bits_pinned(spark, tmp_path):

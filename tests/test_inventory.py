@@ -1541,3 +1541,96 @@ def test_upsert_parquet_is_collect_free_and_staged(spark, tmp_path):
     assert len(files) == 1, files
     debris = [d for d in os.listdir(tmp_path) if ".tmp-" in d]
     assert debris == []
+
+
+def test_upsert_group_versioned_atomic_subset_and_replay(spark, tmp_path):
+    """The group commit primitive directly: one pointer state covers
+    all member tables; a subset commit carries the untouched member's
+    version forward; the group watermark no-ops a replay for the whole
+    group; time travel reads retained member versions."""
+    from animaltrackingetls_spark.inventory import (
+        group_state,
+        group_txn_watermarks,
+        read_versioned_group,
+        upsert_group_versioned,
+    )
+
+    g = str(tmp_path / "grp")
+    a1 = spark.createDataFrame([(1, "x")], "k long, v string")
+    b1 = spark.createDataFrame([(10, 1.0)], "id long, s double")
+    v1 = upsert_group_versioned(
+        spark, g, {"a": (a1, ["k"]), "b": (b1, ["id"])},
+        txn_app_id="w", txn_version=0,
+    )
+    assert set(v1) == {"a", "b"}
+    assert group_txn_watermarks(g) == {"w": 0}
+
+    # subset commit: only table a advances; b's version carries forward
+    a2 = spark.createDataFrame([(2, "y")], "k long, v string")
+    v2 = upsert_group_versioned(
+        spark, g, {"a": (a2, ["k"])}, txn_app_id="w", txn_version=1,
+    )
+    assert v2["b"] == v1["b"] and v2["a"] != v1["a"]
+    assert read_versioned_group(spark, g, "a").count() == 2
+    assert read_versioned_group(spark, g, "b").count() == 1
+
+    # replay of txn 1: watermark no-op, state byte-identical
+    s2 = group_state(g)
+    upsert_group_versioned(
+        spark, g, {"a": (a2, ["k"])}, txn_app_id="w", txn_version=1,
+    )
+    assert group_state(g) == s2
+
+    # time travel: a's v1 snapshot is retained (keep_versions=2)
+    old = read_versioned_group(spark, g, "a", version=v1["a"])
+    assert old.count() == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_versioned_group(spark, g, "nope")
+    with _pytest.raises(ValueError, match="at least one table"):
+        upsert_group_versioned(spark, g, {})
+
+
+def test_upsert_group_versioned_cas_conflict_retries(spark, tmp_path):
+    """Two interleaved group writers serialize: the loser's CAS fails
+    under the group lock, it re-merges from the winner's state, and
+    BOTH commits land (no lost update across the group)."""
+    from animaltrackingetls_spark import inventory as inv
+
+    g = str(tmp_path / "grp")
+    inv.upsert_group_versioned(
+        spark, g,
+        {"a": (spark.createDataFrame([(1, "x")], "k long, v string"),
+               ["k"])},
+    )
+
+    real = inv.group_state
+    state = {"fired": False}
+
+    def hijack(group_dir):
+        out = real(group_dir)
+        if not state["fired"] and group_dir == g:
+            state["fired"] = True
+            # concurrent winner commits between this writer's state
+            # read and its publish
+            inv.upsert_group_versioned(
+                spark, g,
+                {"a": (spark.createDataFrame([(2, "y")],
+                                             "k long, v string"), ["k"])},
+            )
+        return out
+
+    inv.group_state = hijack
+    try:
+        inv.upsert_group_versioned(
+            spark, g,
+            {"a": (spark.createDataFrame([(3, "z")],
+                                         "k long, v string"), ["k"])},
+        )
+    finally:
+        inv.group_state = real
+    rows = {r.k: r.v for r in
+            inv.read_versioned_group(spark, g, "a").collect()}
+    assert rows == {1: "x", 2: "y", 3: "z"}

@@ -1001,7 +1001,7 @@ def test_streaming_ingest_through_persisted_index(spark, tmp_path):
     batch boundaries don't change outcomes (cross-batch exact dup is
     caught by the STORE), and a second drain of the same source is a
     checkpoint no-op leaving the index unchanged."""
-    from animaltrackingetls_spark.inventory import read_versioned
+    from animaltrackingetls_spark.inventory import read_versioned_group
     from animaltrackingetls_spark.streaming.jobs import (
         run_available_now_ingest_index,
     )
@@ -1026,7 +1026,7 @@ def test_streaming_ingest_through_persisted_index(spark, tmp_path):
         .parquet(str(src) + "/*")
     )
     run_available_now_ingest_index(stream, idx, ckpt, app_id="ing")
-    docs = read_versioned(spark, idx + "/docs")
+    docs = read_versioned_group(spark, idx, "docs")
     # 1, 2, 4 kept; 3 was an exact dup of batch-A's doc 1
     assert {r.id for r in docs.collect()} == {1, 2, 4}
 
@@ -1037,4 +1037,4 @@ def test_streaming_ingest_through_persisted_index(spark, tmp_path):
         .parquet(str(src) + "/*")
     )
     run_available_now_ingest_index(stream2, idx, ckpt, app_id="ing")
-    assert read_versioned(spark, idx + "/docs").count() == 3
+    assert read_versioned_group(spark, idx, "docs").count() == 3
