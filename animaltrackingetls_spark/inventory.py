@@ -336,7 +336,7 @@ def read_versioned(
             f"version {version!r} not retained under {table_dir} "
             f"(have: {list_versions(table_dir)})"
         )
-    df = spark.read.parquet(os.path.join(table_dir, version))
+    df = _snapshot_df(spark, table_dir, version)
     # the partition-pruned layout's bucket column is internal plumbing
     # (functionally dependent on the keys), never user data
     if _BUCKET_COL in df.columns:
@@ -636,6 +636,7 @@ def upsert_parquet_versioned_partitioned(
     retries: int = 2,
     scheme: str = "range",
     merge_schema: bool = False,
+    link_mode: str | None = None,
 ) -> DataFrame:
     """:func:`upsert_parquet_versioned` with a PARTITION-PRUNED merge —
     the lever that makes per-batch cost proportional to the batch, not
@@ -674,6 +675,19 @@ def upsert_parquet_versioned_partitioned(
     later inserts all clamp into an edge bucket (re-splitting is the
     scheduled catalog operation real systems run; out of scope).
 
+    ``link_mode`` picks how untouched buckets are shared into new
+    snapshots, pinned in the layout sidecar at creation (round-11
+    verdict task #3): ``"hardlink"`` (default) uses POSIX hardlinks —
+    the local fast path; ``"manifest"`` writes a per-version
+    ``_manifest.json`` mapping every bucket dir to the version that
+    physically holds its files — the object-store posture (S3/GCS have
+    no hardlinks; this is the Delta/Iceberg move at bucket-dir
+    granularity). Readers resolve through the manifest and retention /
+    VACUUM count references before reclaiming (a pruned version's
+    still-referenced bucket dirs survive until unreferenced). Semantics
+    are identical in both modes — the versioned-model property test
+    runs all three layouts.
+
     The bucket column is internal: :func:`read_versioned` drops it.
     """
     import json
@@ -687,6 +701,10 @@ def upsert_parquet_versioned_partitioned(
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if scheme not in ("hash", "range"):
         raise ValueError(f"scheme must be hash|range, got {scheme!r}")
+    if link_mode not in (None, "hardlink", "manifest"):
+        raise ValueError(
+            f"link_mode must be hardlink|manifest, got {link_mode!r}"
+        )
     missing = [c for c in key_cols if c not in updates.columns]
     if missing:
         raise ValueError(f"updates lack key columns: {missing}")
@@ -708,7 +726,8 @@ def upsert_parquet_versioned_partitioned(
                 "bucketed and plain snapshots cannot mix"
             )
         layout = {"scheme": scheme, "n_buckets": int(n_buckets),
-                  "key_cols": list(key_cols)}
+                  "key_cols": list(key_cols),
+                  "link_mode": link_mode or "hardlink"}
         if scheme == "range":
             # boundary split points from the creation batch: n_buckets-1
             # internal approx quantiles of the key (distributed sketch,
@@ -730,7 +749,9 @@ def upsert_parquet_versioned_partitioned(
         os.replace(tmp, os.path.join(table_dir, _LAYOUT_SIDECAR))
     elif (layout.get("n_buckets") != n_buckets
           or layout.get("key_cols") != list(key_cols)
-          or layout.get("scheme", "hash") != scheme):
+          or layout.get("scheme", "hash") != scheme
+          or (link_mode is not None
+              and layout.get("link_mode", "hardlink") != link_mode)):
         raise ValueError(
             f"layout mismatch for {table_dir}: table is bucketed as "
             f"{layout}, caller asked scheme={scheme!r}, "
@@ -769,7 +790,7 @@ def upsert_parquet_versioned_partitioned(
                 seq, untouched = 1, []
             else:
                 cdir = os.path.join(table_dir, current)
-                existing_all = spark.read.parquet(cdir)
+                existing_all = _snapshot_df(spark, table_dir, current)
                 evolving = merge_schema and (
                     set(u.columns) != set(existing_all.columns)
                 )
@@ -803,9 +824,8 @@ def upsert_parquet_versioned_partitioned(
                                       merge_schema=merge_schema)
                 seq = int(current.split("-")[1]) + 1
                 untouched = [] if evolving else [
-                    d for d in os.listdir(cdir)
-                    if d.startswith(f"{_BUCKET_COL}=")
-                    and int(d.split("=", 1)[1]) not in set(touched)
+                    d for d in _snapshot_buckets(table_dir, current)
+                    if int(d.split("=", 1)[1]) not in set(touched)
                 ]
 
             version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
@@ -818,8 +838,7 @@ def upsert_parquet_versioned_partitioned(
                 .partitionBy(_BUCKET_COL)
                 .parquet(vdir)
             )
-            _link_buckets(os.path.join(table_dir, current) if current else "",
-                          vdir, untouched)
+            _emit_untouched(table_dir, current, vdir, untouched, layout)
         except Exception as err:
             # base pruned mid-scan/link by a concurrent winner's
             # retention (keep_versions=1): a conflict, not an IO failure
@@ -940,7 +959,7 @@ def delete_versioned(
                 touched = sorted(
                     r[0] for r in kb.select(_BUCKET_COL).distinct().collect()
                 )
-                existing = spark.read.parquet(cdir).filter(
+                existing = _snapshot_df(spark, table_dir, current).filter(
                     F.col(_BUCKET_COL).isin(touched)
                 )
                 kno = kb.drop(_BUCKET_COL)
@@ -950,9 +969,8 @@ def delete_versioned(
                     how="left_anti",
                 )
                 untouched_pre = [
-                    d for d in os.listdir(cdir)
-                    if d.startswith(f"{_BUCKET_COL}=")
-                    and int(d.split("=", 1)[1]) not in set(touched)
+                    d for d in _snapshot_buckets(table_dir, current)
+                    if int(d.split("=", 1)[1]) not in set(touched)
                 ]
                 if not untouched_pre and remaining.isEmpty():
                     # a partitioned write of an empty frame emits NO data
@@ -973,12 +991,8 @@ def delete_versioned(
                     .partitionBy(_BUCKET_COL)
                     .parquet(vdir)
                 )
-                untouched = [
-                    d for d in os.listdir(cdir)
-                    if d.startswith(f"{_BUCKET_COL}=")
-                    and int(d.split("=", 1)[1]) not in set(touched)
-                ]
-            _link_buckets(cdir, vdir, untouched)
+                untouched = untouched_pre
+            _emit_untouched(table_dir, current, vdir, untouched, layout)
         except ValueError:
             raise  # the empty-snapshot brick guard, not a scan failure
         except Exception as err:
@@ -1088,14 +1102,13 @@ def delete_versioned_where(
         vdir = os.path.join(table_dir, version)
 
         try:
-            existing = spark.read.parquet(cdir)
+            existing = _snapshot_df(spark, table_dir, current)
             untouched: list[str] = []
             if hint_buckets is not None:
                 existing = existing.filter(F.col(_BUCKET_COL).isin(hint_buckets))
                 untouched = [
-                    d for d in os.listdir(cdir)
-                    if d.startswith(f"{_BUCKET_COL}=")
-                    and int(d.split("=", 1)[1]) not in set(hint_buckets)
+                    d for d in _snapshot_buckets(table_dir, current)
+                    if int(d.split("=", 1)[1]) not in set(hint_buckets)
                 ]
             # NULL-safe NOT: rows where the predicate is NULL are KEPT (SQL
             # DELETE semantics — only TRUE deletes)
@@ -1122,7 +1135,7 @@ def delete_versioned_where(
                     .partitionBy(_BUCKET_COL)
                     .parquet(vdir)
                 )
-            _link_buckets(cdir, vdir, untouched)
+            _emit_untouched(table_dir, current, vdir, untouched, layout)
         except ValueError:
             raise  # the empty-snapshot brick guard, not a scan failure
         except Exception as err:
@@ -1195,6 +1208,10 @@ def vacuum_versioned(
             d for d in os.listdir(table_dir)
             if d.startswith("v-") and os.path.isdir(os.path.join(table_dir, d))
         )
+        retained = (
+            [v for v in hist if v in set(dirs)] if hist is not None
+            else [d for d in dirs if d <= current]
+        )
         for d in dirs:
             if d == current:
                 continue
@@ -1203,7 +1220,10 @@ def vacuum_versioned(
                 continue
             full = os.path.join(table_dir, d)
             if now - os.stat(full).st_mtime >= grace_seconds:
-                shutil.rmtree(full, ignore_errors=True)
+                # reference-counted: a manifest table's history-pruned
+                # version may still physically back retained snapshots'
+                # bucket dirs — _gc_version keeps exactly those
+                _gc_version(table_dir, d, retained)
                 removed.append(d)
         if keep_versions is not None:
             retained = (
@@ -1213,8 +1233,9 @@ def vacuum_versioned(
             )
             excess = len(retained) - max(1, keep_versions)
             trimmed = [d for d in retained[: max(0, excess)] if d != current]
+            still = [d for d in retained if d not in set(trimmed)]
             for d in trimmed:
-                shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+                _gc_version(table_dir, d, still)
                 removed.append(d)
             if hist is not None and (trimmed or removed):
                 keep = [v for v in hist if v not in set(removed)]
@@ -1244,6 +1265,158 @@ def _link_buckets(cdir: str, vdir: str, dirs: list[str]) -> None:
             if fname.startswith((".", "_")):
                 continue
             os.link(os.path.join(src_d, fname), os.path.join(dst_d, fname))
+
+
+_MANIFEST = "_manifest.json"
+
+
+def _read_manifest(table_dir: str, version: str) -> dict[str, str] | None:
+    """A manifest-layout snapshot's ``{bucket_dir: origin_version}``
+    map, or None when the version directory is fully materialized
+    (hardlink/plain layouts, or a manifest table's first/evolution
+    full-rewrite snapshots)."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(table_dir, version, _MANIFEST)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _snapshot_buckets(table_dir: str, version: str) -> dict[str, str]:
+    """Resolve a snapshot's buckets to their PHYSICAL homes:
+    ``{bucket_dir_name: version_dir_holding_its_files}``. Manifest
+    layouts read their sidecar; materialized layouts map every
+    physically-present bucket dir to the version itself. Writers use
+    this instead of ``os.listdir`` so 'which buckets exist' is answered
+    identically in both link modes."""
+    import os
+
+    m = _read_manifest(table_dir, version)
+    if m is not None:
+        return dict(m)
+    vdir = os.path.join(table_dir, version)
+    return {
+        d: version
+        for d in os.listdir(vdir)
+        if d.startswith(f"{_BUCKET_COL}=")
+    }
+
+
+def _snapshot_df(spark: SparkSession, table_dir: str, version: str) -> DataFrame:
+    """Assemble a snapshot DataFrame, resolving the manifest when the
+    version is manifest-laid-out: one parquet scan per bucket with the
+    bucket id attached as a LITERAL column, unioned. A caller's
+    ``filter(upsert_bucket.isin(touched))`` then constant-folds each
+    non-matching branch to an empty relation — bucket pruning happens
+    in the OPTIMIZER rather than via PartitionFilters, same files
+    skipped. Materialized snapshots read as one partitioned scan, as
+    before."""
+    import os
+    from functools import reduce
+
+    m = _read_manifest(table_dir, version)
+    if m is None:
+        return spark.read.parquet(os.path.join(table_dir, version))
+    if not m:
+        raise FileNotFoundError(
+            f"manifest of {version} under {table_dir} is empty"
+        )
+    parts = []
+    for d, origin in sorted(m.items()):
+        b = int(d.split("=", 1)[1])
+        parts.append(
+            spark.read.parquet(os.path.join(table_dir, origin, d))
+            .withColumn(_BUCKET_COL, F.lit(b).cast("int"))
+        )
+    return reduce(lambda a, c: a.unionByName(c), parts)
+
+
+def _emit_untouched(
+    table_dir: str,
+    current: str | None,
+    vdir: str,
+    untouched: list[str],
+    layout: dict | None,
+) -> None:
+    """Share the base snapshot's untouched buckets into a new version
+    directory, by the table's link mode:
+
+    * ``hardlink`` (default) — POSIX hardlinks, the local fast path;
+    * ``manifest`` — the object-store posture (S3/GCS have no links):
+      a ``_manifest.json`` sidecar maps EVERY bucket dir of the new
+      snapshot to the version directory physically holding its files —
+      rewritten buckets to this version, untouched buckets to wherever
+      the base's manifest already resolved them (references are always
+      one hop to a physical home, never chains). Readers assemble
+      through the manifest; retention/VACUUM count references before
+      deleting (see :func:`_gc_version`).
+    """
+    import json
+    import os
+    import uuid
+
+    mode = (layout or {}).get("link_mode", "hardlink")
+    if mode != "manifest":
+        _link_buckets(
+            os.path.join(table_dir, current) if current else "",
+            vdir, untouched,
+        )
+        return
+    version = os.path.basename(vdir)
+    os.makedirs(vdir, exist_ok=True)
+    manifest = {
+        d: version
+        for d in os.listdir(vdir)
+        if d.startswith(f"{_BUCKET_COL}=")
+    }
+    if current is not None and untouched:
+        base = _snapshot_buckets(table_dir, current)
+        for d in untouched:
+            manifest[d] = base.get(d, current)
+    tmp = os.path.join(vdir, f".{_MANIFEST}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(vdir, _MANIFEST))
+
+
+def _gc_version(table_dir: str, stale: str, retained: list[str]) -> None:
+    """Physically reclaim a history-pruned (or debris) version directory
+    UNDER REFERENCE COUNTING: bucket dirs that a retained version's
+    manifest still resolves into survive; everything else — including
+    the stale version's own sidecars — goes, and the directory goes
+    entirely when nothing references it. Hardlink/plain tables have no
+    manifests, so nothing is referenced and this degrades to rmtree
+    (the pre-manifest behavior)."""
+    import os
+    import shutil
+
+    sdir = os.path.join(table_dir, stale)
+    if not os.path.isdir(sdir):
+        return
+    referenced: set[str] = set()
+    for v in retained:
+        m = _read_manifest(table_dir, v)
+        if m:
+            referenced |= {d for d, o in m.items() if o == stale}
+    if not referenced:
+        shutil.rmtree(sdir, ignore_errors=True)
+        return
+    for entry in os.listdir(sdir):
+        if entry in referenced:
+            continue
+        p = os.path.join(sdir, entry)
+        try:
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                os.unlink(p)
+        except OSError:
+            pass
 
 
 def _link_tree(src: str, dst: str) -> None:
@@ -1302,8 +1475,18 @@ def clone_versioned(
         with open(os.path.join(dest_dir, _LAYOUT_SIDECAR), "w") as f:
             json.dump(layout, f)
     new_version = f"v-{1:06d}-{uuid.uuid4().hex[:8]}"
-    _link_tree(os.path.join(table_dir, version),
-               os.path.join(dest_dir, new_version))
+    m = _read_manifest(table_dir, version)
+    if m is None:
+        _link_tree(os.path.join(table_dir, version),
+                   os.path.join(dest_dir, new_version))
+    else:
+        # manifest layout: resolve every bucket to its physical home and
+        # link from there — the clone's v1 is fully materialized (its
+        # manifest references would otherwise dangle across tables);
+        # subsequent upserts on the clone write manifests again
+        for d, origin in sorted(m.items()):
+            _link_tree(os.path.join(table_dir, origin, d),
+                       os.path.join(dest_dir, new_version, d))
     # drop the source's txn sidecar if the walk brought structure over
     # (it skips _-prefixed files, so nothing to remove — publish with
     # EMPTY marks by design)
@@ -1348,8 +1531,25 @@ def restore_versioned(
             continue
         seq = int(current.split("-")[1]) + 1 if current else 1
         new_version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
-        _link_tree(os.path.join(table_dir, version),
-                   os.path.join(table_dir, new_version))
+        layout = _table_layout(table_dir)
+        if (layout or {}).get("link_mode") == "manifest":
+            # zero-copy RESTORE in the object-store posture: the new
+            # version is just a manifest resolving every bucket to the
+            # restored snapshot's physical homes (one hop preserved)
+            import json as _json
+
+            resolved = _snapshot_buckets(table_dir, version)
+            nvdir = os.path.join(table_dir, new_version)
+            os.makedirs(nvdir, exist_ok=True)
+            mtmp = os.path.join(nvdir, f".{_MANIFEST}.{uuid.uuid4().hex[:8]}.tmp")
+            with open(mtmp, "w") as f:
+                _json.dump(resolved, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(mtmp, os.path.join(nvdir, _MANIFEST))
+        else:
+            _link_tree(os.path.join(table_dir, version),
+                       os.path.join(table_dir, new_version))
         try:
             _publish_version(table_dir, new_version, marks, keep_versions,
                              expected_base=current)
@@ -1446,7 +1646,10 @@ def _publish_version(
             os.fsync(f.fileno())
         os.replace(htmp, os.path.join(table_dir, _HISTORY))
         for stale in pruned:
-            shutil.rmtree(os.path.join(table_dir, stale), ignore_errors=True)
+            # reference-counted reclaim: a manifest-layout table's
+            # retained versions may still resolve bucket dirs into the
+            # pruned version; those dirs survive until unreferenced
+            _gc_version(table_dir, stale, keep)
     finally:
         os.close(lock_fd)
 

@@ -1634,3 +1634,142 @@ def test_upsert_group_versioned_cas_conflict_retries(spark, tmp_path):
     rows = {r.k: r.v for r in
             inv.read_versioned_group(spark, g, "a").collect()}
     assert rows == {1: "x", 2: "y", 3: "z"}
+
+
+def test_manifest_layout_end_to_end(spark, tmp_path):
+    """layout='manifest' (round-11 verdict task #3): untouched buckets
+    are MANIFEST REFERENCES, not hardlinks — no physical duplication of
+    directories — readers resolve through the manifest, retention
+    keeps a pruned version's still-referenced bucket dirs alive, and
+    VACUUM reclaims them once unreferenced."""
+    import json
+    import os
+
+    from animaltrackingetls_spark.inventory import (
+        delete_versioned,
+        list_versions,
+        read_versioned,
+        upsert_parquet_versioned_partitioned,
+        vacuum_versioned,
+    )
+
+    t = str(tmp_path / "t")
+    base = spark.range(80).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    upsert_parquet_versioned_partitioned(
+        spark, t, base, ["k"], n_buckets=8, scheme="range",
+        keep_versions=2, link_mode="manifest",
+    )
+    v1 = list_versions(t)[-1]
+    assert os.path.exists(os.path.join(t, v1, "_manifest.json"))
+
+    # localized batch touches ~1 bucket; the new version dir must hold
+    # ONLY the rewritten bucket physically, the rest by reference
+    upd = spark.createDataFrame([(1, "u1"), (2, "u2")], "k long, v string")
+    upsert_parquet_versioned_partitioned(
+        spark, t, upd, ["k"], n_buckets=8, scheme="range", keep_versions=2,
+    )
+    v2 = list_versions(t)[-1]
+    v2_physical = [d for d in os.listdir(os.path.join(t, v2))
+                   if d.startswith("upsert_bucket=")]
+    assert len(v2_physical) <= 2, v2_physical  # rewritten buckets only
+    with open(os.path.join(t, v2, "_manifest.json")) as f:
+        m2 = json.load(f)
+    assert len(m2) == 8
+    assert sorted(set(m2.values())) == sorted({v1, v2})
+
+    # reads resolve through the manifest
+    rows = {r.k: r.v for r in read_versioned(spark, t).collect()}
+    assert rows[1] == "u1" and rows[5] == "5" and len(rows) == 80
+
+    # third upsert prunes v1 from history (keep_versions=2) — but v2's
+    # (and v3's) manifests still reference v1's bucket dirs, so they
+    # SURVIVE the prune and reads stay whole
+    upd3 = spark.createDataFrame([(3, "u3")], "k long, v string")
+    upsert_parquet_versioned_partitioned(
+        spark, t, upd3, ["k"], n_buckets=8, scheme="range", keep_versions=2,
+    )
+    v3 = list_versions(t)[-1]
+    assert list_versions(t) == [v2, v3]  # v1 out of history
+    assert os.path.isdir(os.path.join(t, v1))  # ...but still backing refs
+    assert not os.path.exists(os.path.join(t, v1, "_manifest.json"))
+    rows = {r.k: r.v for r in read_versioned(spark, t).collect()}
+    assert rows[3] == "u3" and rows[70] == "70" and len(rows) == 80
+
+    # keyed delete keeps the manifest posture
+    delete_versioned(
+        spark, t, spark.createDataFrame([(70,)], "k long"), ["k"],
+        keep_versions=2,
+    )
+    rows = {r.k: r.v for r in read_versioned(spark, t).collect()}
+    assert 70 not in rows and len(rows) == 79
+
+    # rewrite EVERY bucket -> nothing references v1 anymore; vacuum
+    # reclaims the orphaned physical home (publish-time GC only visits
+    # the version being pruned, so orphans are vacuum's job, like
+    # Delta's VACUUM for unreferenced files)
+    allrows = spark.range(80).selectExpr(
+        "id AS k", "concat('w', CAST(id AS STRING)) AS v"
+    )
+    upsert_parquet_versioned_partitioned(
+        spark, t, allrows, ["k"], n_buckets=8, scheme="range",
+        keep_versions=1,
+    )
+    vacuum_versioned(t, grace_seconds=0.0)
+    assert not os.path.exists(os.path.join(t, v1)), "orphan not reclaimed"
+    rows = {r.k: r.v for r in read_versioned(spark, t).collect()}
+    # the full rewrite re-inserted every key, including the deleted 70
+    assert rows[0] == "w0" and rows[70] == "w70" and len(rows) == 80
+
+    # link_mode is pinned: asking for the other mode on this table fails
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="layout mismatch"):
+        upsert_parquet_versioned_partitioned(
+            spark, t, upd, ["k"], n_buckets=8, scheme="range",
+            link_mode="hardlink",
+        )
+
+
+def test_manifest_layout_clone_restore(spark, tmp_path):
+    """CLONE of a manifest table materializes (cross-table references
+    would dangle) and the clone evolves independently; RESTORE publishes
+    a manifest-only version (zero data copied) whose reads equal the
+    restored snapshot."""
+    import os
+
+    from animaltrackingetls_spark.inventory import (
+        clone_versioned,
+        list_versions,
+        read_versioned,
+        restore_versioned,
+        upsert_parquet_versioned_partitioned,
+    )
+
+    t = str(tmp_path / "t")
+    base = spark.range(40).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    upsert_parquet_versioned_partitioned(
+        spark, t, base, ["k"], n_buckets=4, scheme="range",
+        keep_versions=3, link_mode="manifest",
+    )
+    upsert_parquet_versioned_partitioned(
+        spark, t, spark.createDataFrame([(1, "u1")], "k long, v string"),
+        ["k"], n_buckets=4, scheme="range", keep_versions=3,
+    )
+    v1, v2 = list_versions(t)
+
+    c = str(tmp_path / "clone")
+    out = clone_versioned(spark, t, c)
+    assert {r.k: r.v for r in out.collect()}[1] == "u1"
+    # clone's v1 is materialized: no manifest, all buckets physical
+    cv = list_versions(c)[0]
+    assert not os.path.exists(os.path.join(c, cv, "_manifest.json"))
+
+    # restore t to v1: manifest-only version, data equals the snapshot
+    restore_versioned(spark, t, v1, keep_versions=3)
+    v3 = list_versions(t)[-1]
+    assert os.path.exists(os.path.join(t, v3, "_manifest.json"))
+    phys = [d for d in os.listdir(os.path.join(t, v3))
+            if d.startswith("upsert_bucket=")]
+    assert phys == []  # zero data copied
+    rows = {r.k: r.v for r in read_versioned(spark, t).collect()}
+    assert rows[1] == "1" and len(rows) == 40

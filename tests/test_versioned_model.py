@@ -49,7 +49,7 @@ def _table_state(spark, table_dir) -> dict[int, int]:
     }
 
 
-@pytest.mark.parametrize("partitioned", [False, True])
+@pytest.mark.parametrize("layout", ["plain", "hardlink", "manifest"])
 @settings(
     max_examples=6,
     deadline=None,
@@ -57,7 +57,7 @@ def _table_state(spark, table_dir) -> dict[int, int]:
 )
 @given(ops=st.lists(_op, min_size=1, max_size=6), data=st.data())
 def test_versioned_table_matches_dict_model(
-    spark, tmp_path_factory, partitioned, ops, data
+    spark, tmp_path_factory, layout, ops, data
 ):
     table = str(tmp_path_factory.mktemp("model") / "t")
     model: dict[int, int] = {0: 0, 1: 1, 7: 7}
@@ -70,10 +70,10 @@ def test_versioned_table_matches_dict_model(
         kw = {}
         if txn_id is not None:
             kw = {"txn_app_id": "m", "txn_version": txn_id}
-        if partitioned:
+        if layout != "plain":
             upsert_parquet_versioned_partitioned(
                 spark, table, df, ["k"], n_buckets=4, scheme="range",
-                keep_versions=3, **kw,
+                keep_versions=3, link_mode=layout, **kw,
             )
         else:
             upsert_parquet_versioned(
@@ -133,5 +133,5 @@ def test_versioned_table_matches_dict_model(
             model = dict(history[len(history) - len(versions) + idx])
             history.append(dict(model))
         assert _table_state(spark, table) == model, (
-            f"diverged after {op} (partitioned={partitioned})"
+            f"diverged after {op} (layout={layout})"
         )
