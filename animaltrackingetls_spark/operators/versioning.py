@@ -411,3 +411,160 @@ def table_changes_since(
         os.replace(tmp, cursor_file)
 
     return changes, current, advance
+
+
+def pump_changes_once(
+    spark,
+    source_dir: str,
+    dest_dir: str,
+    cursor_file: str,
+    key_cols: list[str],
+    app_id: str = "cdc",
+) -> dict:
+    """One poll of the CDC pump: read the source's changes since the
+    cursor (:func:`table_changes_since`), apply them to a DOWNSTREAM
+    versioned table exactly-once, then durably advance the cursor —
+    the consumer half the round-10 pump documented but never drove.
+
+    Apply protocol (the foreachBatch recipe, batch id = the source's
+    to-version sequence number): added/changed keys fetch their
+    payloads from the source snapshot the diff ran against (left-semi
+    join, NULL-safe keys like the diff itself), upserted with
+    ``txn_app_id=f"{app_id}#up"``; removed keys delete with
+    ``txn_app_id=f"{app_id}#del"``. Two app ids because one watermark
+    can't cover two writer calls at the same version; both are keyed on
+    the SAME monotonically increasing sequence, so a crash anywhere
+    before ``advance()`` replays the window and each half no-ops or
+    applies as needed — the destination converges, never double-applies
+    (added/changed and removed key sets are disjoint, so apply order
+    is irrelevant).
+
+    A consumer with NO CURSOR yet bootstraps (full snapshot copy via
+    :func:`bootstrap_cdc_dest`) instead of diffing: the oldest retained
+    version's own content predates any diff window, so "initial
+    snapshot + incremental tail" — the standard CDC shape — is the only
+    protocol that converges from scratch.
+
+    Retention contract: a cursor older than the source's retention
+    raises FileNotFoundError (:func:`table_changes_since`'s
+    re-bootstrap error) — recover with :func:`bootstrap_cdc_dest`.
+    Single-consumer per cursor file by design (the cursor write is
+    atomic but last-writer-wins).
+
+    Returns ``{"applied": bool, "to_version": str, "added": n,
+    "changed": n, "removed": n}`` (a bootstrap reports every copied
+    row as "added").
+    """
+    import os
+
+    from ..inventory import (
+        _null_safe_cond,
+        delete_versioned,
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+
+    if not os.path.exists(cursor_file):
+        boot = bootstrap_cdc_dest(
+            spark, source_dir, dest_dir, cursor_file, key_cols,
+            app_id=app_id,
+        )
+        n = read_versioned(spark, dest_dir).count()
+        return {"applied": True, "to_version": boot["to_version"],
+                "added": n, "changed": 0, "removed": 0}
+
+    changes, to_version, advance = table_changes_since(
+        spark, source_dir, cursor_file, key_cols
+    )
+    if changes is None:
+        return {"applied": False, "to_version": to_version,
+                "added": 0, "changed": 0, "removed": 0}
+    seq = int(to_version.split("-")[1])
+    changes = changes.localCheckpoint()  # one diff, three consumers
+    counts = {r["change"]: r["count"] for r in
+              changes.groupBy("change").count().collect()}
+    n_up = counts.get("added", 0) + counts.get("changed", 0)
+    n_del = counts.get("removed", 0)
+    if n_up:
+        src_now = read_versioned(spark, source_dir, to_version)
+        ups_keys = changes.filter(
+            F.col("change").isin("added", "changed")
+        ).select(*key_cols)
+        payload = src_now.join(
+            ups_keys, on=_null_safe_cond(src_now, ups_keys, key_cols),
+            how="left_semi",
+        )
+        upsert_parquet_versioned(
+            spark, dest_dir, payload, key_cols,
+            txn_app_id=f"{app_id}#up", txn_version=seq,
+        )
+    if n_del:
+        removed = changes.filter(F.col("change") == "removed").select(
+            *key_cols
+        )
+        delete_versioned(
+            spark, dest_dir, removed, key_cols,
+            txn_app_id=f"{app_id}#del", txn_version=seq,
+        )
+    advance()
+    return {"applied": True, "to_version": to_version,
+            "added": counts.get("added", 0),
+            "changed": counts.get("changed", 0), "removed": n_del}
+
+
+def bootstrap_cdc_dest(
+    spark,
+    source_dir: str,
+    dest_dir: str,
+    cursor_file: str,
+    key_cols: list[str],
+    app_id: str = "cdc",
+) -> dict:
+    """(Re-)bootstrap the CDC destination from a FULL source snapshot —
+    the documented recovery when retention outran the consumer (the
+    cursor's version is pruned, incremental diffing impossible). Brings
+    the destination to exact equality with the source's CURRENT
+    snapshot: every source row upserts, and destination keys the source
+    no longer has are deleted (they were removed while the consumer was
+    down). Both writes carry the current version's sequence watermark,
+    so a crashed bootstrap replays exactly-once; the cursor commits
+    LAST, after the data."""
+    import os
+
+    from ..inventory import (
+        _current_version,
+        _null_safe_cond,
+        delete_versioned,
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+
+    current = _current_version(source_dir)
+    if current is None:
+        raise FileNotFoundError(f"no published snapshot under {source_dir}")
+    seq = int(current.split("-")[1])
+    src = read_versioned(spark, source_dir, current)
+    upsert_parquet_versioned(
+        spark, dest_dir, src, key_cols,
+        txn_app_id=f"{app_id}#up", txn_version=seq,
+    )
+    dst = read_versioned(spark, dest_dir)
+    stale = dst.select(*key_cols).join(
+        src.select(*key_cols),
+        on=_null_safe_cond(dst, src, key_cols),
+        how="left_anti",
+    )
+    if not stale.isEmpty():
+        delete_versioned(
+            spark, dest_dir, stale, key_cols,
+            txn_app_id=f"{app_id}#del", txn_version=seq,
+        )
+    import uuid
+
+    tmp = f"{cursor_file}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        f.write(current)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, cursor_file)
+    return {"bootstrapped": True, "to_version": current}
