@@ -1324,12 +1324,31 @@ def _snapshot_df(spark: SparkSession, table_dir: str, version: str) -> DataFrame
         raise FileNotFoundError(
             f"manifest of {version} under {table_dir} is empty"
         )
+    entries = sorted(m.items())
+    # ONE scan per ORIGIN VERSION, not per bucket: all bucket dirs that
+    # physically live in the same version directory read as one
+    # multi-path scan with basePath = that version dir, so the
+    # key=value bucket dirs are REAL partition directories again
+    # (PartitionFilters prune them natively) and the branch count is
+    # the handful of distinct origins, not n_buckets. The schema is
+    # inferred ONCE and pinned everywhere — each bare
+    # spark.read.parquet() runs an eager footer-inference job, and 64
+    # of them made the first cut of this read 13x the partitioned scan
+    # (r11_experiments.py vreads). Uniform schema across buckets holds
+    # by construction — evolution rewrites every bucket.
+    first_path = os.path.join(table_dir, entries[0][1], entries[0][0])
+    data_schema = spark.read.parquet(first_path).schema
+    full_schema = data_schema.add(_BUCKET_COL, "integer")
+    by_origin: dict[str, list[str]] = {}
+    for d, origin in entries:
+        by_origin.setdefault(origin, []).append(d)
     parts = []
-    for d, origin in sorted(m.items()):
-        b = int(d.split("=", 1)[1])
+    for origin, dirs in sorted(by_origin.items()):
+        odir = os.path.join(table_dir, origin)
         parts.append(
-            spark.read.parquet(os.path.join(table_dir, origin, d))
-            .withColumn(_BUCKET_COL, F.lit(b).cast("int"))
+            spark.read.option("basePath", odir)
+            .schema(full_schema)
+            .parquet(*[os.path.join(odir, d) for d in sorted(dirs)])
         )
     return reduce(lambda a, c: a.unionByName(c), parts)
 

@@ -734,7 +734,9 @@ def running_user_totals_tws(
     Runtime requirement (environment-bound, like the JDBC driver jar):
     the TWS Python state server needs the ``protobuf`` wheel, absent in
     this container (pip offline) — the parity test skips with that
-    reason. Re-attempted round 10: the RocksDB side is NOT a blocker
+    reason. Re-verified round 11 (``import google.protobuf`` still
+    ModuleNotFoundError; rocksdbjni-9.8.4 still present). Re-attempted
+    round 10: the RocksDB side is NOT a blocker
     anymore (rocksdbjni-9.8.4 ships in pyspark/jars and the
     RocksDBStateStoreProvider conf is accepted); the drain still dies
     with 'TransformWithStateInPySpark driver worker exited unexpectedly'
