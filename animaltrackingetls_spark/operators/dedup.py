@@ -1857,7 +1857,13 @@ def _adopt_legacy_index(index_dir: str) -> None:
     # keep_versions high enough to not prune anything during adoption
     keep = max(len(h) for h in history.values())
     state_history = dict(history)
-    _publish_group(index_dir, versions, marks, keep, expected_versions=None)
+    from ..inventory import ConcurrentWriteError
+
+    try:
+        _publish_group(index_dir, versions, marks, keep,
+                       expected_versions=None)
+    except ConcurrentWriteError:
+        return  # a concurrent toucher adopted first — already done
     # _publish_group rebuilt history from new_versions only; rewrite it
     # with the full legacy ledgers through a second (idempotent) swap
     import json

@@ -548,10 +548,11 @@ def bootstrap_cdc_dest(
         spark, dest_dir, src, key_cols,
         txn_app_id=f"{app_id}#up", txn_version=seq,
     )
-    dst = read_versioned(spark, dest_dir)
-    stale = dst.select(*key_cols).join(
-        src.select(*key_cols),
-        on=_null_safe_cond(dst, src, key_cols),
+    dst_keys = read_versioned(spark, dest_dir).select(*key_cols)
+    src_keys = src.select(*key_cols)
+    stale = dst_keys.join(
+        src_keys,
+        on=_null_safe_cond(dst_keys, src_keys, key_cols),
         how="left_anti",
     )
     if not stale.isEmpty():
