@@ -3260,8 +3260,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # into validate_orders — freeing the five slots the round-9
     # flagship operators (zorder_curve, bucketed_join, corpus_diff,
     # scd2_history, quantile_profile) now occupy, so every oracle-backed
-    # operator gets a driver-produced green row. Rows-only (hash-seeded
-    # / approximate) queries follow the window.
+    # operator gets a driver-produced green row; round 11 folded
+    # semi_anti_join into tpch_panel ('setops' panel) to bring
+    # versioned_cdf — the round-10 versioned-table layer's end-to-end
+    # oracle — into the window. Rows-only (hash-seeded / approximate)
+    # queries follow the window.
     return {
         "flagship_day_scan": _q_flagship_day_scan,
         "temporal_rescue_derive": _q_temporal_rescue_derive,

@@ -673,7 +673,14 @@ def upsert_parquet_versioned_partitioned(
     full-merge sink at every base size (worst case = full merge + the
     partitioned write's overhead). Range's static splits degrade if
     later inserts all clamp into an edge bucket (re-splitting is the
-    scheduled catalog operation real systems run; out of scope).
+    scheduled catalog operation real systems run; out of scope) — and
+    the bounds come from the CREATION batch, so a table pre-created for
+    later fills (e.g. a CDC pump destination) must be created with
+    REPRESENTATIVE keys: a tiny unrepresentative creation batch
+    degenerates every boundary to one value and all data lands in one
+    bucket, silently forfeiting pruning (measured as a 14.5 s/poll
+    pump regression before the bench's one-row creation batch was
+    spotted; SCALING.md round 11).
 
     ``link_mode`` picks how untouched buckets are shared into new
     snapshots, pinned in the layout sidecar at creation (round-11
@@ -1305,37 +1312,50 @@ def _snapshot_buckets(table_dir: str, version: str) -> dict[str, str]:
     }
 
 
-def _snapshot_df(spark: SparkSession, table_dir: str, version: str) -> DataFrame:
+def _snapshot_df(
+    spark: SparkSession, table_dir: str, version: str,
+    buckets: set[str] | None = None,
+) -> DataFrame:
     """Assemble a snapshot DataFrame, resolving the manifest when the
-    version is manifest-laid-out: one parquet scan per bucket with the
-    bucket id attached as a LITERAL column, unioned. A caller's
-    ``filter(upsert_bucket.isin(touched))`` then constant-folds each
-    non-matching branch to an empty relation — bucket pruning happens
-    in the OPTIMIZER rather than via PartitionFilters, same files
-    skipped. Materialized snapshots read as one partitioned scan, as
-    before."""
+    version is manifest-laid-out: bucket dirs GROUP BY their physical
+    origin version and each group reads as one multi-path scan with
+    ``basePath`` = the origin dir, so the key=value bucket dirs stay
+    real partition directories (PartitionFilters prune natively) and
+    the branch count is the handful of distinct origins. Materialized
+    snapshots read as one partitioned scan, as before.
+
+    ``buckets`` restricts the read to the named bucket dirs (for both
+    manifest and materialized bucketed layouts) — the churn-pruned CDF
+    uses it to scan only buckets whose physical identity changed
+    between two snapshots; an empty restriction yields an empty frame
+    with the snapshot's schema."""
     import os
     from functools import reduce
 
     m = _read_manifest(table_dir, version)
-    if m is None:
+    if m is None and buckets is None:
         return spark.read.parquet(os.path.join(table_dir, version))
-    if not m:
+    mapping = _snapshot_buckets(table_dir, version)
+    if not mapping:
         raise FileNotFoundError(
-            f"manifest of {version} under {table_dir} is empty"
+            f"no bucket dirs resolvable for {version} under {table_dir}"
         )
-    entries = sorted(m.items())
-    # ONE scan per ORIGIN VERSION, not per bucket: all bucket dirs that
-    # physically live in the same version directory read as one
-    # multi-path scan with basePath = that version dir, so the
-    # key=value bucket dirs are REAL partition directories again
-    # (PartitionFilters prune them natively) and the branch count is
-    # the handful of distinct origins, not n_buckets. The schema is
-    # inferred ONCE and pinned everywhere — each bare
-    # spark.read.parquet() runs an eager footer-inference job, and 64
-    # of them made the first cut of this read 13x the partitioned scan
-    # (r11_experiments.py vreads). Uniform schema across buckets holds
-    # by construction — evolution rewrites every bucket.
+    all_entries = sorted(mapping.items())
+    if buckets is not None:
+        entries = [(d, o) for d, o in all_entries if d in buckets]
+    else:
+        entries = all_entries
+    if not entries:
+        d0, o0 = all_entries[0]
+        schema = spark.read.parquet(
+            os.path.join(table_dir, o0, d0)
+        ).schema.add(_BUCKET_COL, "integer")
+        return spark.createDataFrame([], schema)
+    # The schema is inferred ONCE and pinned on every branch — each
+    # bare spark.read.parquet() runs an eager footer-inference job, and
+    # 64 of them made the first cut of this read 13x the partitioned
+    # scan (r11_experiments.py vreads). Uniform schema across buckets
+    # holds by construction — evolution rewrites every bucket.
     first_path = os.path.join(table_dir, entries[0][1], entries[0][0])
     data_schema = spark.read.parquet(first_path).schema
     full_schema = data_schema.add(_BUCKET_COL, "integer")
@@ -2134,3 +2154,33 @@ def upsert_group_versioned(
                 shutil.rmtree(d, ignore_errors=True)
             last_err = err
     raise last_err
+
+
+def _bucket_identity(
+    table_dir: str, version: str
+) -> dict[str, tuple] | None:
+    """Physical identity of each bucket of a bucketed snapshot:
+    ``{bucket_dir: sorted((inode, size), ...) of its data files}`` —
+    resolved through the manifest when present, so the identity names
+    the files a reader would actually open. Two snapshots whose
+    identity for a bucket is EQUAL hold byte-identical data for it
+    (snapshot dirs are immutable; hardlinked/referenced untouched
+    buckets share inodes by construction), which is what lets
+    ``table_changes`` diff only the buckets that changed. ``None`` for
+    plain (non-bucketed) snapshots."""
+    import os
+
+    buckets = _snapshot_buckets(table_dir, version)
+    if not buckets:
+        return None
+    out: dict[str, tuple] = {}
+    for d, origin in buckets.items():
+        bdir = os.path.join(table_dir, origin, d)
+        files = []
+        for fn in os.listdir(bdir):
+            if fn.startswith((".", "_")):
+                continue
+            st = os.stat(os.path.join(bdir, fn))
+            files.append((st.st_ino, st.st_size))
+        out[d] = tuple(sorted(files))
+    return out

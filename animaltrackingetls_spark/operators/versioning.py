@@ -317,19 +317,61 @@ def table_changes(
     ``keep_versions`` are gone (FileNotFoundError via read_versioned),
     the same contract as VACUUM'd CDF.
 
-    Scale: two snapshot scans + the digest diff's one shuffle per side;
-    on the bucket-partitioned layout the scans stay pruned if a caller
-    filters buckets, and digests ride the scan projection as always.
+    Scale — CHURN-PRUNED on bucketed layouts (round 11): bucket
+    assignment is a pure function of the key and the pinned layout, so
+    a key's rows sit in the same bucket dir in both snapshots — and a
+    bucket whose PHYSICAL IDENTITY (resolved manifest origin /
+    hardlinked inodes+sizes) is equal across the two versions is
+    byte-identical and can contribute NO diff rows. The diff therefore
+    scans only the buckets whose identity changed: a localized churn
+    batch costs O(churn buckets), not O(table) — measured 3.1x wall
+    (1.27 vs 3.87 s) on a 10M-row x 64-bucket table with 1-bucket
+    churn, fixed-cost-dominated locally; the 64x scan-volume ratio is
+    what scales (r11 SCALING.md). Plain layouts pay the honest
+    two full scans + the digest diff's one shuffle per side; digests
+    ride the scan projection as always. Schema evolution rewrites every
+    bucket, so evolved spans degrade to the full diff automatically —
+    pruning can never hide a change.
     """
-    from ..inventory import list_versions, read_versioned
+    from ..inventory import (
+        _BUCKET_COL,
+        _bucket_identity,
+        _snapshot_df,
+        list_versions,
+        read_versioned,
+    )
 
     versions = list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions under {table_dir}")
     if from_version is None:
         from_version = versions[0]
-    old = read_versioned(spark, table_dir, from_version)
-    new = read_versioned(spark, table_dir, to_version)
+    if to_version is None:
+        to_version = versions[-1]
+    if from_version not in versions or to_version not in versions:
+        # preserve read_versioned's retention contract before pruning
+        missing = [v for v in (from_version, to_version)
+                   if v not in versions]
+        raise FileNotFoundError(
+            f"version(s) {missing} not retained under {table_dir} "
+            f"(have: {versions})"
+        )
+    id_old = _bucket_identity(table_dir, from_version)
+    id_new = _bucket_identity(table_dir, to_version)
+    if id_old is not None and id_new is not None:
+        changed = {
+            d for d in set(id_old) | set(id_new)
+            if id_old.get(d) != id_new.get(d)
+        }
+        old = _snapshot_df(
+            spark, table_dir, from_version, buckets=changed
+        ).drop(_BUCKET_COL)
+        new = _snapshot_df(
+            spark, table_dir, to_version, buckets=changed
+        ).drop(_BUCKET_COL)
+    else:
+        old = read_versioned(spark, table_dir, from_version)
+        new = read_versioned(spark, table_dir, to_version)
     # schema evolution between the snapshots (round-10 review finding):
     # corpus_diff's shared-columns default would silently EXCLUDE a
     # newly added column, so its backfill never churns. Snapshots of
@@ -413,6 +455,61 @@ def table_changes_since(
     return changes, current, advance
 
 
+def _changed_bucket_read(spark, table_dir, from_version, to_version):
+    """The new-side snapshot restricted to buckets whose physical
+    identity changed across the window — exact for key-complete reads
+    of added/changed rows because bucket assignment is key-determined
+    (same argument as :func:`table_changes`' pruning). Falls back to
+    the full snapshot on plain layouts or when either endpoint has no
+    bucket identity."""
+    from ..inventory import (
+        _BUCKET_COL,
+        _bucket_identity,
+        _snapshot_df,
+        read_versioned,
+    )
+
+    id_old = (
+        _bucket_identity(table_dir, from_version)
+        if from_version is not None else None
+    )
+    id_new = _bucket_identity(table_dir, to_version)
+    if id_old is None or id_new is None:
+        return read_versioned(spark, table_dir, to_version)
+    changed = {
+        d for d in set(id_old) | set(id_new)
+        if id_old.get(d) != id_new.get(d)
+    }
+    return _snapshot_df(
+        spark, table_dir, to_version, buckets=changed
+    ).drop(_BUCKET_COL)
+
+
+def _dest_upsert(spark, dest_dir, payload, key_cols, **txn) -> None:
+    """Route a pump write through the destination's own layout: a
+    bucket-partitioned destination (created beforehand with
+    upsert_parquet_versioned_partitioned) keeps its pruned merge —
+    per-poll cost proportional to the churn's buckets — while a plain
+    destination uses the full-merge writer. delete_versioned is
+    layout-aware on its own."""
+    from ..inventory import (
+        _table_layout,
+        upsert_parquet_versioned,
+        upsert_parquet_versioned_partitioned,
+    )
+
+    layout = _table_layout(dest_dir)
+    if layout is None:
+        upsert_parquet_versioned(spark, dest_dir, payload, key_cols, **txn)
+    else:
+        upsert_parquet_versioned_partitioned(
+            spark, dest_dir, payload, key_cols,
+            n_buckets=layout["n_buckets"],
+            scheme=layout.get("scheme", "hash"),
+            **txn,
+        )
+
+
 def pump_changes_once(
     spark,
     source_dir: str,
@@ -486,15 +583,28 @@ def pump_changes_once(
     n_up = counts.get("added", 0) + counts.get("changed", 0)
     n_del = counts.get("removed", 0)
     if n_up:
-        src_now = read_versioned(spark, source_dir, to_version)
+        # payload fetch rides the SAME churn pruning as the diff: every
+        # added/changed key lives in a bucket whose physical identity
+        # differs between the window's endpoints, so on a bucketed
+        # source only those buckets are scanned (first cut read the
+        # full 10M-row snapshot here and the 1k-churn poll cost 23 s;
+        # pruned + broadcast + a layout-routed dest write it is 4.5 s -
+        # SCALING.md round 11)
+        with open(cursor_file) as f:
+            seen = f.read().strip() or None
+        src_now = _changed_bucket_read(
+            spark, source_dir, seen, to_version
+        )
         ups_keys = changes.filter(
             F.col("change").isin("added", "changed")
         ).select(*key_cols)
+        if n_up <= 500_000:
+            ups_keys = F.broadcast(ups_keys)  # churn-sized key list
         payload = src_now.join(
             ups_keys, on=_null_safe_cond(src_now, ups_keys, key_cols),
             how="left_semi",
         )
-        upsert_parquet_versioned(
+        _dest_upsert(
             spark, dest_dir, payload, key_cols,
             txn_app_id=f"{app_id}#up", txn_version=seq,
         )
@@ -544,7 +654,7 @@ def bootstrap_cdc_dest(
         raise FileNotFoundError(f"no published snapshot under {source_dir}")
     seq = int(current.split("-")[1])
     src = read_versioned(spark, source_dir, current)
-    upsert_parquet_versioned(
+    _dest_upsert(
         spark, dest_dir, src, key_cols,
         txn_app_id=f"{app_id}#up", txn_version=seq,
     )

@@ -555,3 +555,119 @@ def test_cdc_pump_end_to_end_converges(spark, tmp_path):
     assert r["applied"] and r["added"] == 1
     assert _dst_state(spark, dst) == src_state()
     assert os.path.exists(cur)
+
+
+@pytest.mark.parametrize("mode", ["hardlink", "manifest"])
+def test_table_changes_churn_pruned_on_bucketed(spark, tmp_path, mode):
+    """Round-11 churn-pruned CDF: on a bucketed table, buckets whose
+    physical identity (manifest origin / hardlinked inodes) is equal
+    across the two snapshots are byte-identical, so the diff scans only
+    changed buckets — and must still equal the brute-force full-scan
+    diff exactly, including a bucket EMPTIED by delete."""
+    import os
+
+    from animaltrackingetls_spark.inventory import (
+        _bucket_identity,
+        _snapshot_df,
+        delete_versioned,
+        list_versions,
+        read_versioned,
+        upsert_parquet_versioned_partitioned,
+    )
+    from animaltrackingetls_spark.operators.versioning import (
+        corpus_diff,
+        table_changes,
+    )
+
+    t = str(tmp_path / "t")
+    base = spark.range(800).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    upsert_parquet_versioned_partitioned(
+        spark, t, base, ["k"], n_buckets=8, scheme="range",
+        keep_versions=4, link_mode=mode,
+    )
+    # localized churn: a few updates in low buckets + empty one bucket
+    upsert_parquet_versioned_partitioned(
+        spark, t,
+        spark.createDataFrame([(1, "u1"), (2, "u2"), (803, "new")],
+                              "k long, v string"),
+        ["k"], n_buckets=8, scheme="range", keep_versions=4,
+    )
+    hi = spark.range(700, 800).selectExpr("id AS k")  # empties bucket 7
+    delete_versioned(spark, t, hi, ["k"], keep_versions=4)
+    v0, v1, v2 = list_versions(t)
+
+    # identity marks only the churned buckets as different
+    i0, i2 = _bucket_identity(t, v0), _bucket_identity(t, v2)
+    changed = {d for d in set(i0) | set(i2) if i0.get(d) != i2.get(d)}
+    n_buckets_total = len(set(i0) | set(i2))
+    assert 1 <= len(changed) < n_buckets_total
+
+    # the pruned diff equals the brute-force full-scan diff
+    pruned = table_changes(spark, t, ["k"], v0, v2)
+    brute = corpus_diff(
+        read_versioned(spark, t, v0), read_versioned(spark, t, v2), ["k"]
+    )
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    assert as_set(pruned) == as_set(brute)
+    kinds = {r.k: r.change for r in pruned.collect()}
+    assert kinds[1] == "changed" and kinds[803] == "added"
+    assert kinds[700] == "removed"  # the emptied bucket's rows
+
+    # and the restricted read actually skips untouched buckets' files
+    full_files = set(_snapshot_df(spark, t, v2).inputFiles())
+    pruned_files = set(
+        _snapshot_df(spark, t, v2, buckets=changed).inputFiles()
+    )
+    assert pruned_files < full_files
+    assert len(pruned_files) <= len(changed)
+
+
+def test_cdc_pump_bucketed_dest(spark, tmp_path):
+    """The pump routes writes through the destination's own layout: a
+    bucket-partitioned destination keeps its pruned merge and stays
+    converged through polls and replays."""
+    from animaltrackingetls_spark.inventory import (
+        list_versions,
+        upsert_parquet_versioned_partitioned,
+    )
+    from animaltrackingetls_spark.operators.versioning import (
+        pump_changes_once,
+    )
+    from animaltrackingetls_spark.inventory import (
+        delete_versioned,
+        upsert_parquet_versioned,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    cur = str(tmp_path / "cursor")
+    base = spark.range(400).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    upsert_parquet_versioned(spark, src, base, ["k"], keep_versions=4)
+    # pre-create the destination BUCKETED, then bootstrap into it
+    upsert_parquet_versioned_partitioned(
+        spark, dst, base.limit(1), ["k"], n_buckets=4, scheme="range",
+        keep_versions=3, link_mode="manifest",
+    )
+    pump_changes_once(spark, src, dst, cur, ["k"])
+    assert _dst_state(spark, dst) == {
+        r.k: r.v for r in base.collect()
+    }
+
+    upsert_parquet_versioned(
+        spark, src,
+        spark.createDataFrame([(5, "u5"), (401, "x")], "k long, v string"),
+        ["k"], keep_versions=4,
+    )
+    delete_versioned(
+        spark, src, spark.createDataFrame([(7,)], "k long"), ["k"],
+        keep_versions=4,
+    )
+    r = pump_changes_once(spark, src, dst, cur, ["k"])
+    assert (r["added"], r["changed"], r["removed"]) == (1, 1, 1)
+    st = _dst_state(spark, dst)
+    assert st[5] == "u5" and st[401] == "x" and 7 not in st
+    # replay of the same window: destination version list unchanged
+    vers = list_versions(dst)
+    r = pump_changes_once(spark, src, dst, cur, ["k"])
+    assert not r["applied"]
+    assert list_versions(dst) == vers
