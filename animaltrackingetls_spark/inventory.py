@@ -2184,3 +2184,135 @@ def _bucket_identity(
             files.append((st.st_ino, st.st_size))
         out[d] = tuple(sorted(files))
     return out
+
+
+def optimize_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    zorder_cols: list[str],
+    target_bytes: int = 128 * 1024 * 1024,
+    keep_versions: int = 2,
+    bits: int | None = None,
+) -> dict:
+    """Delta's ``OPTIMIZE ... ZORDER BY`` for the versioned layer:
+    rewrite the CURRENT snapshot CLUSTERED along the N-dimensional
+    Z-curve of ``zorder_cols`` and publish it through the same CAS
+    commit as every other writer (watermarks carried forward, readers
+    see old-or-new never a mixture). Complements
+    :func:`compact_versioned` (file-count maintenance, no reorder):
+    use this when read patterns filter on the listed columns and the
+    snapshot's row groups have no locality for them — the measured
+    effect of the clustering itself is operators/layout.py's
+    (SCALING.md rounds 9-10: 15x fewer rows decoded than unsorted at
+    20M points, crossover guidance for N>2).
+
+    Layout-aware: a PLAIN table rewrites into ``ceil(bytes/target)``
+    z-range-partitioned files (disjoint z ranges across files, sorted
+    within — :func:`~.operators.layout.write_zordered_nd`); a BUCKETED
+    table keeps its bucket dirs (pruning contract intact) and z-orders
+    WITHIN each bucket (one file per bucket, rows z-sorted, so
+    row-group min/max stats gain locality for the z columns while the
+    key->bucket mapping is untouched); manifest-mode tables publish a
+    fully-materialized snapshot (references re-accumulate on later
+    upserts). Always rewrites — clustering is the caller's explicit
+    request, unlike compaction's file-count no-op. On a CAS conflict
+    (an upsert landed mid-rewrite) it backs off like the compactor:
+    housekeeping retries on the next schedule, never contends.
+
+    Scale: one range (or bucket) shuffle + a sort — the price of any
+    clustered rewrite; the z computation is pure codegen arithmetic
+    evaluated once per row at write time.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    from .operators.layout import write_zordered_nd, zvalue_expr_nd
+
+    if len(zorder_cols) < 2:
+        raise ValueError(
+            f"optimize_versioned z-orders >= 2 columns, got {zorder_cols}"
+        )
+    current = _current_version(table_dir)
+    if current is None:
+        raise FileNotFoundError(f"no published snapshot under {table_dir}")
+    layout = _table_layout(table_dir)
+    marks = txn_watermarks(table_dir)
+    seq = int(current.split("-")[1]) + 1
+    version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
+    vdir = os.path.join(table_dir, version)
+
+    # physical size of the current snapshot, manifest-resolved
+    buckets = _snapshot_buckets(table_dir, current)
+    if buckets:
+        dirs = [os.path.join(table_dir, o, d) for d, o in buckets.items()]
+    else:
+        dirs = [os.path.join(table_dir, current)]
+    files = [
+        os.path.join(r, f)
+        for d in dirs
+        for r, _, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".parquet") or f.startswith("part-")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    report = {
+        "files_before": len(files),
+        "bytes_before": total,
+        "zorder_cols": list(zorder_cols),
+        "optimized": False,
+    }
+
+    df = _snapshot_df(spark, table_dir, current)
+    missing = [c for c in zorder_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"table lacks z-order columns: {missing}")
+    if layout is None:
+        n_out = max(1, math.ceil(total / max(1, target_bytes)))
+        write_zordered_nd(df, vdir, list(zorder_cols), bits=bits,
+                          n_files=n_out, mode="error")
+    else:
+        cast = [F.col(c).try_cast("double") for c in zorder_cols]
+        aggs = []
+        for c, x in zip(zorder_cols, cast):
+            aggs += [F.min(x).alias(f"{c}__lo"), F.max(x).alias(f"{c}__hi")]
+        probe = df.agg(*aggs).first()
+        ranges = [
+            (float(probe[f"{c}__lo"]), float(probe[f"{c}__hi"]))
+            for c in zorder_cols
+        ]
+        z = zvalue_expr_nd(cast, ranges, bits)
+        (
+            df.withColumn("_z", z)
+            .repartition(layout["n_buckets"], F.col(_BUCKET_COL))
+            .sortWithinPartitions(
+                F.col(_BUCKET_COL), F.col("_z").asc_nulls_last()
+            )
+            .drop("_z")
+            .write.mode("error")
+            .partitionBy(_BUCKET_COL)
+            .parquet(vdir)
+        )
+        _emit_untouched(table_dir, current, vdir, [], layout)
+
+    try:
+        _publish_version(table_dir, version, marks, keep_versions,
+                         expected_base=current)
+    except ConcurrentWriteError:
+        shutil.rmtree(vdir, ignore_errors=True)
+        report["conflict"] = True
+        return report
+    new_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(vdir)
+        for f in fs
+        if f.endswith(".parquet") or f.startswith("part-")
+    ]
+    report.update(
+        files_after=len(new_files),
+        bytes_after=sum(os.path.getsize(f) for f in new_files),
+        optimized=True,
+        version=version,
+    )
+    return report

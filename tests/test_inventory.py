@@ -1773,3 +1773,89 @@ def test_manifest_layout_clone_restore(spark, tmp_path):
     assert phys == []  # zero data copied
     rows = {r.k: r.v for r in read_versioned(spark, t).collect()}
     assert rows[1] == "1" and len(rows) == 40
+
+
+def test_optimize_versioned_zorder_both_layouts(spark, tmp_path):
+    """OPTIMIZE ZORDER for versioned tables: data identical, watermarks
+    carried (replay still no-ops), plain tables produce DISJOINT z
+    ranges across files (repartitionByRange contract), bucketed tables
+    keep their bucket dirs with rows z-sorted within each."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.inventory import (
+        list_versions,
+        optimize_versioned,
+        read_versioned,
+        txn_watermarks,
+        upsert_parquet_versioned,
+        upsert_parquet_versioned_partitioned,
+    )
+    from animaltrackingetls_spark.operators.layout import zvalue_expr_nd
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 173).cast("double").alias("x"),
+        ((F.col("id") * 7) % 311).cast("double").alias("y"),
+    )
+
+    # plain table
+    t = str(tmp_path / "plain")
+    upsert_parquet_versioned(spark, t, df, ["k"],
+                             txn_app_id="w", txn_version=3)
+    rep = optimize_versioned(spark, t, ["x", "y"],
+                             target_bytes=64 * 1024)
+    assert rep["optimized"] and rep["files_after"] > 1
+    out = read_versioned(spark, t)
+    assert out.count() == n
+    assert txn_watermarks(t) == {"w": 3}  # carried through the rewrite
+    # per-file z intervals are pairwise disjoint
+    vdir = os.path.join(t, list_versions(t)[-1])
+    ranges = [(0.0, 172.0), (0.0, 310.0)]
+    z = zvalue_expr_nd([F.col("x"), F.col("y")], ranges)
+    intervals = []
+    for f in sorted(os.listdir(vdir)):
+        if not f.endswith(".parquet"):
+            continue
+        r = (spark.read.parquet(os.path.join(vdir, f))
+             .agg(F.min(z).alias("lo"), F.max(z).alias("hi")).first())
+        intervals.append((r.lo, r.hi))
+    intervals.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(intervals, intervals[1:]):
+        assert hi1 <= lo2, f"overlapping z ranges: {intervals}"
+
+    # bucketed (manifest) table: bucket dirs preserved, z-sorted within
+    tb = str(tmp_path / "bucketed")
+    upsert_parquet_versioned_partitioned(
+        spark, tb, df, ["k"], n_buckets=4, scheme="range",
+        link_mode="manifest",
+    )
+    rep = optimize_versioned(spark, tb, ["x", "y"])
+    assert rep["optimized"]
+    out = read_versioned(spark, tb)
+    assert out.count() == n
+    vdir = os.path.join(tb, list_versions(tb)[-1])
+    bdirs = [d for d in os.listdir(vdir) if d.startswith("upsert_bucket=")]
+    assert len(bdirs) == 4  # bucket layout intact
+    one = os.path.join(vdir, bdirs[0])
+    zvals = [
+        r[0]
+        for r in spark.read.parquet(one).select(z.alias("z")).collect()
+    ]
+    assert zvals == sorted(zvals), "rows not z-sorted within the bucket"
+    # the bucketed table still reads/merges correctly afterwards
+    upsert_parquet_versioned_partitioned(
+        spark, tb, spark.createDataFrame([(1, -1.0, -1.0)],
+                                         "k long, x double, y double"),
+        ["k"], n_buckets=4, scheme="range",
+    )
+    assert read_versioned(spark, tb).filter("k = 1").first().x == -1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 2"):
+        optimize_versioned(spark, t, ["x"])
+    with _pytest.raises(ValueError, match="lacks"):
+        optimize_versioned(spark, t, ["x", "nope"])
