@@ -281,6 +281,7 @@ def _current_version(table_dir: str) -> str | None:
 
 
 _HISTORY = "_HISTORY"
+_COMMITTED_AT = "_committed_at"
 
 
 def _read_history(table_dir: str) -> list[str] | None:
@@ -1660,6 +1661,21 @@ def _publish_version(
                     f"{now_current or '<empty>'} — a concurrent writer "
                     "committed; re-merge and retry"
                 )
+        # commit timestamp sidecar BEFORE the swap (still under the
+        # lock): readers time-travel by TIMESTAMP AS OF against it, and
+        # writing it pre-swap means a published version always carries
+        # one (a crash between sidecar and swap leaves only debris).
+        # Monotonic along history because publishes serialize on this
+        # lock. Spark ignores _-prefixed files.
+        import time as _time
+
+        ts_tmp = os.path.join(table_dir, version,
+                              f".{_COMMITTED_AT}.{uuid.uuid4().hex[:8]}.tmp")
+        with open(ts_tmp, "w") as f:
+            f.write(repr(_time.time()))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ts_tmp, os.path.join(table_dir, version, _COMMITTED_AT))
         os.replace(tmp, os.path.join(table_dir, _CURRENT_POINTER))  # commit
 
         # Retention prunes from the PUBLISH LEDGER, never the directory
@@ -2316,3 +2332,56 @@ def optimize_versioned(
         version=version,
     )
     return report
+
+
+def commit_timestamps(table_dir: str) -> dict[str, float]:
+    """Publish time (epoch seconds) of every RETAINED version, from the
+    ``_committed_at`` sidecar each publish writes under the commit lock
+    (monotonic along history by construction). Pre-r11 versions without
+    a sidecar fall back to the version directory's mtime — approximate
+    (the write time, not the commit time) but ordered the same way in
+    the absence of CAS retries."""
+    import os
+
+    out: dict[str, float] = {}
+    for v in list_versions(table_dir):
+        path = os.path.join(table_dir, v, _COMMITTED_AT)
+        try:
+            with open(path) as f:
+                out[v] = float(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            out[v] = os.stat(os.path.join(table_dir, v)).st_mtime
+    return out
+
+
+def read_versioned_as_of(
+    spark: SparkSession, table_dir: str, ts
+) -> DataFrame:
+    """TIMESTAMP AS OF time travel: read the snapshot that was CURRENT
+    at ``ts`` (epoch seconds, a datetime, or an ISO-8601 string —
+    naive forms are taken as UTC, matching the sidecar's epoch clock).
+    Retention bounds what is answerable, same as version-name time
+    travel: a timestamp older than the earliest retained commit raises
+    FileNotFoundError (the snapshot is pruned), and a future timestamp
+    reads CURRENT."""
+    import datetime as _dt
+
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        ts = ts.timestamp()
+    ts = float(ts)
+    stamps = commit_timestamps(table_dir)
+    if not stamps:
+        raise FileNotFoundError(f"no published snapshot under {table_dir}")
+    eligible = [v for v in list_versions(table_dir) if stamps[v] <= ts]
+    if not eligible:
+        earliest = min(stamps.values())
+        raise FileNotFoundError(
+            f"no retained version of {table_dir} is as old as {ts} "
+            f"(earliest retained commit: {earliest}); retention pruned "
+            "the requested history"
+        )
+    return read_versioned(spark, table_dir, eligible[-1])

@@ -679,3 +679,34 @@ def bootstrap_cdc_dest(
         os.fsync(f.fileno())
     os.replace(tmp, cursor_file)
     return {"bootstrapped": True, "to_version": current}
+
+
+def run_cdc_pump(
+    spark,
+    source_dir: str,
+    dest_dir: str,
+    cursor_file: str,
+    key_cols: list[str],
+    app_id: str = "cdc",
+    max_polls: int | None = None,
+) -> dict:
+    """Drain the CDC pump until the destination has caught up (the
+    AvailableNow shape): repeated :func:`pump_changes_once` polls until
+    an idle poll (nothing new) or ``max_polls``. Each poll is its own
+    exactly-once window, so a crash anywhere resumes mid-drain.
+    Returns totals: ``{"polls": n, "added": n, "changed": n,
+    "removed": n, "to_version": last}``."""
+    totals = {"polls": 0, "added": 0, "changed": 0, "removed": 0,
+              "to_version": None}
+    while max_polls is None or totals["polls"] < max_polls:
+        r = pump_changes_once(
+            spark, source_dir, dest_dir, cursor_file, key_cols,
+            app_id=app_id,
+        )
+        totals["to_version"] = r["to_version"]
+        if not r["applied"]:
+            break
+        totals["polls"] += 1
+        for k in ("added", "changed", "removed"):
+            totals[k] += r[k]
+    return totals

@@ -1859,3 +1859,79 @@ def test_optimize_versioned_zorder_both_layouts(spark, tmp_path):
         optimize_versioned(spark, t, ["x"])
     with _pytest.raises(ValueError, match="lacks"):
         optimize_versioned(spark, t, ["x", "nope"])
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: each publish stamps a _committed_at sidecar
+    under the commit lock; reads resolve the snapshot that was CURRENT
+    at the asked time, retention bounds the past, the future reads
+    CURRENT, and datetime/ISO forms are accepted."""
+    import datetime
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.inventory import (
+        commit_timestamps,
+        list_versions,
+        read_versioned_as_of,
+        upsert_parquet_versioned,
+    )
+
+    t = str(tmp_path / "t")
+
+    def up(rows):
+        upsert_parquet_versioned(
+            spark, t, spark.createDataFrame(rows, "k long, v string"),
+            ["k"], keep_versions=3,
+        )
+
+    t_before = time.time()
+    time.sleep(0.02)
+    up([(1, "a")])
+    time.sleep(0.02)
+    t_mid = time.time()
+    time.sleep(0.02)
+    up([(1, "b")])
+
+    stamps = commit_timestamps(t)
+    v1, v2 = list_versions(t)
+    assert stamps[v1] < stamps[v2]  # monotonic along history
+    assert os.path.exists(os.path.join(t, v2, "_committed_at"))
+
+    assert read_versioned_as_of(spark, t, t_mid).first().v == "a"
+    assert read_versioned_as_of(spark, t, time.time() + 60).first().v == "b"
+    # datetime and ISO forms (UTC) resolve identically
+    dt = datetime.datetime.fromtimestamp(t_mid, datetime.timezone.utc)
+    assert read_versioned_as_of(spark, t, dt).first().v == "a"
+    assert read_versioned_as_of(spark, t, dt.isoformat()).first().v == "a"
+    with _pytest.raises(FileNotFoundError, match="retention"):
+        read_versioned_as_of(spark, t, t_before)
+
+
+def test_run_cdc_pump_drains(spark, tmp_path):
+    from animaltrackingetls_spark.inventory import (
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+    from animaltrackingetls_spark.operators.versioning import run_cdc_pump
+
+    src, dst, cur = (str(tmp_path / x) for x in ("s", "d", "c"))
+    upsert_parquet_versioned(
+        spark, src,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        ["k"],
+    )
+    r = run_cdc_pump(spark, src, dst, cur, ["k"])
+    assert r["polls"] == 1 and r["added"] == 2
+    upsert_parquet_versioned(
+        spark, src, spark.createDataFrame([(3, "c")], "k long, v string"),
+        ["k"],
+    )
+    r = run_cdc_pump(spark, src, dst, cur, ["k"])
+    assert r["polls"] == 1 and r["added"] == 1
+    assert {x.k for x in read_versioned(spark, dst).collect()} == {1, 2, 3}
+    # caught up: zero-poll drain
+    r = run_cdc_pump(spark, src, dst, cur, ["k"])
+    assert r["polls"] == 0
