@@ -141,3 +141,128 @@ def iqr_outliers(
     ).select(
         F.lit(f"{col}:iqr_outliers").alias("rule"), "n_violations", "n_rows"
     )
+
+
+FAILED_RULE = "_failure_reason"
+
+
+@dataclass(frozen=True)
+class ExpectationSplit:
+    """One tagged pass over the batch (the cleaning kernel's shape):
+    ``passed`` rows violate no rule; ``failed`` rows carry the FIRST
+    violated rule's name in ``_failure_reason``. Both are filters over
+    the same tagged plan, so a writer consuming both shares the scan."""
+
+    passed: DataFrame
+    failed: DataFrame
+    tagged: DataFrame
+
+
+def split_expectations(df: DataFrame, rules: list[Rule]) -> ExpectationSplit:
+    """Split a batch on a rule suite — the row-routing half of the
+    write gate (:func:`validate` is the counting half). First-violated
+    rule wins the tag, rule order = caller's priority."""
+    if not rules:
+        raise ValueError("split_expectations needs at least one rule")
+    if FAILED_RULE in df.columns:
+        raise ValueError(f"input already carries {FAILED_RULE!r}")
+    tag = F.coalesce(
+        *[F.when(r.violation, F.lit(r.name)) for r in rules],
+        F.lit(None).cast("string"),
+    )
+    tagged = df.withColumn(FAILED_RULE, tag)
+    return ExpectationSplit(
+        passed=tagged.filter(F.col(FAILED_RULE).isNull()).drop(FAILED_RULE),
+        failed=tagged.filter(F.col(FAILED_RULE).isNotNull()),
+        tagged=tagged,
+    )
+
+
+def upsert_versioned_with_expectations(
+    spark,
+    table_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    rules: list[Rule],
+    on_violation: str = "fail",
+    quarantine_dir: str | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+    **upsert_kwargs,
+):
+    """Expectation-gated exactly-once upsert — Delta Live Tables'
+    three expectation modes composed onto the versioned writer (and the
+    reference's reject-sink pattern, cleaning.py's split, made a WRITE
+    GATE):
+
+    * ``on_violation="fail"`` (expect_or_fail): ONE validation
+      aggregate over the batch; any violation raises with per-rule
+      counts and NOTHING publishes (the snapshot commit is atomic, so
+      there is no partial state to clean).
+    * ``"drop"`` (expect_or_drop): violating rows are dropped, passing
+      rows upsert; the report carries per-rule drop counts.
+    * ``"quarantine"``: passing rows upsert to the table, violating
+      rows (tagged with the first violated rule) upsert KEYED into
+      ``quarantine_dir`` — one diagnostic row per key, latest failure
+      wins, exactly-once under ``txn_app_id + "#q"``. Quarantine
+      commits FIRST: a crash between the two commits can only leave
+      diagnostic rows whose main-table write never landed — benign
+      over-capture a replay converges (the main table's watermark
+      still no-ops duplicates).
+
+    Returns ``(result_df, report)`` where report =
+    ``{"n_input", "n_passed", "n_failed", "by_rule": {...},
+    "action": ...}``.
+    """
+    from ..inventory import upsert_parquet_versioned
+
+    if on_violation not in ("fail", "drop", "quarantine"):
+        raise ValueError(
+            f"on_violation must be fail|drop|quarantine, got {on_violation!r}"
+        )
+    if on_violation == "quarantine" and not quarantine_dir:
+        raise ValueError("on_violation='quarantine' needs quarantine_dir")
+    txn = (
+        {"txn_app_id": txn_app_id, "txn_version": txn_version}
+        if txn_app_id is not None
+        else {}
+    )
+    counts = {
+        r["rule"]: r["n_violations"]
+        for r in validate(updates, rules).collect()
+    }
+    n_input = updates.count()
+    n_failed_rows = None
+    report = {"n_input": n_input, "by_rule": counts, "action": on_violation}
+
+    if on_violation == "fail":
+        bad = {k: v for k, v in counts.items() if v}
+        if bad:
+            raise ValueError(
+                f"expectations failed for {table_dir}: {bad} "
+                f"(of {n_input} rows); nothing was written"
+            )
+        out = upsert_parquet_versioned(
+            spark, table_dir, updates, key_cols, **txn, **upsert_kwargs
+        )
+        report.update(n_passed=n_input, n_failed=0)
+        return out, report
+
+    split = split_expectations(updates, rules)
+    n_failed_rows = split.failed.count()
+    if on_violation == "quarantine" and n_failed_rows:
+        qtxn = (
+            {"txn_app_id": f"{txn_app_id}#q", "txn_version": txn_version}
+            if txn_app_id is not None
+            else {}
+        )
+        upsert_parquet_versioned(
+            spark, quarantine_dir, split.failed, key_cols, **qtxn,
+        )
+    out = upsert_parquet_versioned(
+        spark, table_dir, split.passed, key_cols, **txn, **upsert_kwargs
+    )
+    report.update(
+        n_passed=n_input - n_failed_rows, n_failed=n_failed_rows
+    )
+    return out, report

@@ -91,3 +91,84 @@ def test_iqr_outliers_flags_tails_only(spark):
 
     with _pytest.raises(ValueError):
         iqr_outliers(df, "v", k=-1)
+
+
+def test_expectation_gated_upsert_three_modes(spark, tmp_path):
+    """The DLT expectation modes on the versioned writer: fail aborts
+    atomically with per-rule counts, drop filters, quarantine routes
+    tagged rows to a keyed diagnostic table exactly-once — and a
+    replayed quarantine batch is a no-op on BOTH tables."""
+    import pytest as _pytest
+
+    from animaltrackingetls_spark.inventory import (
+        list_versions,
+        read_versioned,
+    )
+    from animaltrackingetls_spark.operators.validate import (
+        in_range,
+        not_null,
+        split_expectations,
+        upsert_versioned_with_expectations,
+    )
+
+    rules = [not_null("v"), in_range("score", 0.0, 1.0)]
+    good = [(1, "a", 0.5), (2, "b", 0.9)]
+    bad = [(3, None, 0.5), (4, "d", 7.0)]
+    df = spark.createDataFrame(good + bad, "k long, v string, score double")
+
+    # split: first violated rule wins the tag
+    sp = split_expectations(df, rules)
+    tags = {r.k: r._failure_reason for r in sp.failed.collect()}
+    assert tags == {3: "v:not_null", 4: "score:in_range"}
+    assert {r.k for r in sp.passed.collect()} == {1, 2}
+
+    # fail: nothing published
+    t = str(tmp_path / "t_fail")
+    with _pytest.raises(ValueError, match="nothing was written"):
+        upsert_versioned_with_expectations(
+            spark, t, df, ["k"], rules, on_violation="fail",
+        )
+    import os
+
+    assert not os.path.exists(os.path.join(t, "_CURRENT"))
+    out, rep = upsert_versioned_with_expectations(
+        spark, t, spark.createDataFrame(good, "k long, v string, score double"),
+        ["k"], rules, on_violation="fail",
+    )
+    assert out.count() == 2 and rep["n_failed"] == 0
+
+    # drop
+    t2 = str(tmp_path / "t_drop")
+    out, rep = upsert_versioned_with_expectations(
+        spark, t2, df, ["k"], rules, on_violation="drop",
+    )
+    assert {r.k for r in out.collect()} == {1, 2}
+    assert rep["n_passed"] == 2 and rep["n_failed"] == 2
+    assert rep["by_rule"]["v:not_null"] == 1
+
+    # quarantine, exactly-once
+    t3, q = str(tmp_path / "t_q"), str(tmp_path / "quarantine")
+    out, rep = upsert_versioned_with_expectations(
+        spark, t3, df, ["k"], rules, on_violation="quarantine",
+        quarantine_dir=q, txn_app_id="g", txn_version=1,
+    )
+    assert {r.k for r in out.collect()} == {1, 2}
+    qrows = {r.k: r._failure_reason
+             for r in read_versioned(spark, q).collect()}
+    assert set(qrows) == {3, 4}
+    v_main, v_q = list_versions(t3), list_versions(q)
+    # replay: both tables' watermarks no-op (no new versions)
+    upsert_versioned_with_expectations(
+        spark, t3, df, ["k"], rules, on_violation="quarantine",
+        quarantine_dir=q, txn_app_id="g", txn_version=1,
+    )
+    assert list_versions(t3) == v_main and list_versions(q) == v_q
+
+    with _pytest.raises(ValueError, match="quarantine_dir"):
+        upsert_versioned_with_expectations(
+            spark, t3, df, ["k"], rules, on_violation="quarantine",
+        )
+    with _pytest.raises(ValueError, match="fail|drop|quarantine"):
+        upsert_versioned_with_expectations(
+            spark, t3, df, ["k"], rules, on_violation="explode",
+        )
