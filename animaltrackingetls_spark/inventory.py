@@ -2039,6 +2039,8 @@ def _publish_group(
                 f"group CURRENT is now {now_versions} — a concurrent "
                 "writer committed; re-merge and retry"
             )
+        import time as _time
+
         versions = dict(expected_versions or {})
         versions.update(new_versions)
         history = dict((now or prior).get("history", {}))
@@ -2048,7 +2050,8 @@ def _publish_group(
             keep = hist[max(0, len(hist) - max(1, keep_versions)):]
             pruned += [(t, x) for x in hist[: len(hist) - len(keep)]]
             history[t] = keep
-        state = {"versions": versions, "marks": marks, "history": history}
+        state = {"versions": versions, "marks": marks,
+                 "history": history, "committed_at": _time.time()}
         tmp = os.path.join(group_dir,
                            f".{_GROUP_POINTER}.{uuid.uuid4().hex[:8]}.tmp")
         with open(tmp, "w") as f:
