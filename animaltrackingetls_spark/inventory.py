@@ -236,6 +236,20 @@ _CURRENT_POINTER = "_CURRENT"
 _COMMIT_LOCK = "._COMMIT_LOCK"
 
 
+def _base_gone(table_dir: str, current: str | None) -> bool:
+    """The conversion gate for :func:`_base_pruned_error`: a scan-time
+    file-not-found is only a CONFLICT if the base snapshot directory is
+    actually gone — a same-class failure from some OTHER input (e.g.
+    the caller's updates frame reading a staging dir deleted from under
+    it) must surface as itself, not burn re-merge retries under a
+    misleading conflict message (round-11 self-review finding #5)."""
+    import os
+
+    return current is not None and not os.path.isdir(
+        os.path.join(table_dir, current)
+    )
+
+
 def _base_pruned_error(err: Exception) -> bool:
     """True when a Spark action (or a directory listing) failed because
     the base snapshot it was reading was PRUNED mid-scan — a concurrent
@@ -542,8 +556,9 @@ def upsert_parquet_versioned(
             out.write.mode("error").parquet(os.path.join(table_dir, version))
         except Exception as err:
             # base pruned mid-scan by a concurrent winner's retention
-            # (keep_versions=1): a conflict, not an IO failure
-            if current is not None and _base_pruned_error(err):
+            # (keep_versions=1): a conflict, not an IO failure — but
+            # ONLY if the base is really gone (_base_gone)
+            if _base_pruned_error(err) and _base_gone(table_dir, current):
                 if version is not None:
                     shutil.rmtree(os.path.join(table_dir, version),
                                   ignore_errors=True)
@@ -849,8 +864,9 @@ def upsert_parquet_versioned_partitioned(
             _emit_untouched(table_dir, current, vdir, untouched, layout)
         except Exception as err:
             # base pruned mid-scan/link by a concurrent winner's
-            # retention (keep_versions=1): a conflict, not an IO failure
-            if current is not None and _base_pruned_error(err):
+            # retention (keep_versions=1): a conflict, not an IO
+            # failure — but ONLY if the base is really gone
+            if _base_pruned_error(err) and _base_gone(table_dir, current):
                 if vdir is not None:
                     shutil.rmtree(vdir, ignore_errors=True)
                 last_err = ConcurrentWriteError(
@@ -1006,7 +1022,7 @@ def delete_versioned(
         except Exception as err:
             # base pruned mid-scan/link by a concurrent winner's
             # retention (keep_versions=1): a conflict, not an IO failure
-            if _base_pruned_error(err):
+            if _base_pruned_error(err) and _base_gone(table_dir, current):
                 shutil.rmtree(vdir, ignore_errors=True)
                 last_err = ConcurrentWriteError(
                     f"{table_dir}: base {current} was pruned mid-merge "
@@ -1149,7 +1165,7 @@ def delete_versioned_where(
         except Exception as err:
             # base pruned mid-scan/link by a concurrent winner's
             # retention (keep_versions=1): a conflict, not an IO failure
-            if _base_pruned_error(err):
+            if _base_pruned_error(err) and _base_gone(table_dir, current):
                 shutil.rmtree(vdir, ignore_errors=True)
                 last_err = ConcurrentWriteError(
                     f"{table_dir}: base {current} was pruned mid-merge "
@@ -2010,6 +2026,7 @@ def _publish_group(
     marks: dict[str, int],
     keep_versions: int,
     expected_versions: dict[str, str] | None,
+    seed_history: dict[str, list[str]] | None = None,
 ) -> None:
     """Commit already-written version directories for N member tables
     with ONE atomic pointer swap. Under the group lock: verify the
@@ -2043,7 +2060,14 @@ def _publish_group(
 
         versions = dict(expected_versions or {})
         versions.update(new_versions)
-        history = dict((now or prior).get("history", {}))
+        # seed_history: a first publish adopting a pre-group layout
+        # carries the legacy per-table ledgers in the SAME swap (a
+        # post-publish fix-up could clobber a commit that landed in
+        # between; round-11 self-review finding)
+        if seed_history is not None and now is None:
+            history = dict(seed_history)
+        else:
+            history = dict((now or prior).get("history", {}))
         pruned: list[tuple[str, str]] = []
         for t, v in new_versions.items():
             hist = [x for x in history.get(t, []) if x != v] + [v]
@@ -2147,7 +2171,14 @@ def upsert_group_versioned(
                 new_versions[t] = vname
                 written.append(vdir)
         except Exception as err:
-            if versions and _base_pruned_error(err):
+            member_gone = any(
+                versions.get(t) is not None
+                and not os.path.isdir(
+                    os.path.join(group_dir, t, versions[t])
+                )
+                for t in batches
+            )
+            if _base_pruned_error(err) and member_gone:
                 for d in written:
                     shutil.rmtree(d, ignore_errors=True)
                 last_err = ConcurrentWriteError(
@@ -2173,6 +2204,24 @@ def upsert_group_versioned(
                 shutil.rmtree(d, ignore_errors=True)
             last_err = err
     raise last_err
+
+
+def identity_changed_buckets(
+    table_dir: str, from_version: str, to_version: str
+) -> set[str] | None:
+    """Bucket dirs whose PHYSICAL identity differs between two
+    snapshots — the one definition of "changed" both the churn-pruned
+    CDF and the pump's payload fetch share (duplicating the comparison
+    would let the two drift; round-11 self-review finding #7). ``None``
+    when either endpoint has no bucket identity (plain layout)."""
+    id_old = _bucket_identity(table_dir, from_version)
+    id_new = _bucket_identity(table_dir, to_version)
+    if id_old is None or id_new is None:
+        return None
+    return {
+        d for d in set(id_old) | set(id_new)
+        if id_old.get(d) != id_new.get(d)
+    }
 
 
 def _bucket_identity(
@@ -2287,20 +2336,30 @@ def optimize_versioned(
     missing = [c for c in zorder_cols if c not in df.columns]
     if missing:
         raise ValueError(f"table lacks z-order columns: {missing}")
+    # guarded range probe (round-11 self-review finding #3): an
+    # all-NULL / non-numeric column raises a NAMED error instead of
+    # float(None); a constant column widens to a unit range (every row
+    # quantizes to cell 0 on that axis — harmless, never a crash)
+    cast = [F.col(c).try_cast("double") for c in zorder_cols]
+    aggs = []
+    for c, x in zip(zorder_cols, cast):
+        aggs += [F.min(x).alias(f"{c}__lo"), F.max(x).alias(f"{c}__hi")]
+    probe = df.agg(*aggs).first()
+    ranges = []
+    for c in zorder_cols:
+        lo, hi = probe[f"{c}__lo"], probe[f"{c}__hi"]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"z-order column {c!r} is all-NULL or not numeric-"
+                "castable; cannot derive a quantization range"
+            )
+        lo, hi = float(lo), float(hi)
+        ranges.append((lo, hi if hi > lo else lo + 1.0))
     if layout is None:
         n_out = max(1, math.ceil(total / max(1, target_bytes)))
-        write_zordered_nd(df, vdir, list(zorder_cols), bits=bits,
-                          n_files=n_out, mode="error")
+        write_zordered_nd(df, vdir, list(zorder_cols), ranges=ranges,
+                          bits=bits, n_files=n_out, mode="error")
     else:
-        cast = [F.col(c).try_cast("double") for c in zorder_cols]
-        aggs = []
-        for c, x in zip(zorder_cols, cast):
-            aggs += [F.min(x).alias(f"{c}__lo"), F.max(x).alias(f"{c}__hi")]
-        probe = df.agg(*aggs).first()
-        ranges = [
-            (float(probe[f"{c}__lo"]), float(probe[f"{c}__hi"]))
-            for c in zorder_cols
-        ]
         z = zvalue_expr_nd(cast, ranges, bits)
         (
             df.withColumn("_z", z)

@@ -1816,18 +1816,32 @@ def _adopt_legacy_index(index_dir: str) -> None:
     """One-time migration of a pre-round-11 dedup index (independent
     per-table versioned tables, each with its own ``_CURRENT``) into
     the group-commit layout (ONE ``_CURRENT_GROUP`` JSON naming every
-    member's version). Watermarks adopt the per-app MINIMUM across the
-    member tables: if a legacy crash left docs' watermark ahead of
-    bands', the min keeps the replay OPEN so it heals the bands gap —
-    adopting docs' (higher) mark would watermark-no-op the replay and
-    freeze the under-detection forever. The legacy per-table pointers
-    are left in place as frozen relics; the group pointer is the only
-    authority afterwards. No-op when the group pointer already exists
-    or no legacy layout is present."""
+    member's version).
+
+    Watermark adoption must keep a legacy half-applied batch
+    REPLAYABLE: an app's mark carries over only when BOTH core tables
+    (docs AND bands) exist and carry it, and then as their MINIMUM — a
+    member that lacks the mark (or is missing entirely, e.g. a crash
+    before bands' first-ever commit) means the batch never fully
+    landed, so the app adopts NO mark and the replay applies
+    everywhere (keyed last-wins merges make re-applying to the ahead
+    table idempotent). Adopting the ahead table's mark instead would
+    watermark-no-op the replay and freeze the under-detection forever
+    (round-11 self-review finding #1; the bloom is excluded from the
+    requirement — its OR-merge is idempotent without a watermark).
+
+    The whole adoption commits in ONE ``_publish_group`` swap (legacy
+    ledgers seeded via ``seed_history``) under the group lock, so a
+    concurrent first toucher either wins wholesale or loses the CAS —
+    there is no post-publish fix-up that could clobber a commit that
+    landed in between (round-11 self-review finding #2). The legacy
+    per-table pointers are left in place as frozen relics; the group
+    pointer is the only authority afterwards. No-op when the group
+    pointer already exists or no legacy layout is present."""
     import os
 
     from ..inventory import (
-        _GROUP_POINTER,
+        ConcurrentWriteError,
         _current_version,
         _publish_group,
         _read_history,
@@ -1851,33 +1865,20 @@ def _adopt_legacy_index(index_dir: str) -> None:
         for t in members
     }
     marks: dict[str, int] = {}
-    for t in members:
-        for app, ver in txn_watermarks(os.path.join(index_dir, t)).items():
-            marks[app] = min(marks.get(app, ver), ver)
+    if "docs" in members and "bands" in members:
+        per_table = [
+            txn_watermarks(os.path.join(index_dir, t))
+            for t in ("docs", "bands")
+        ]
+        for app in set(per_table[0]) & set(per_table[1]):
+            marks[app] = min(m[app] for m in per_table)
     # keep_versions high enough to not prune anything during adoption
     keep = max(len(h) for h in history.values())
-    state_history = dict(history)
-    from ..inventory import ConcurrentWriteError
-
     try:
         _publish_group(index_dir, versions, marks, keep,
-                       expected_versions=None)
+                       expected_versions=None, seed_history=history)
     except ConcurrentWriteError:
         return  # a concurrent toucher adopted first — already done
-    # _publish_group rebuilt history from new_versions only; rewrite it
-    # with the full legacy ledgers through a second (idempotent) swap
-    import json
-
-    ptr = os.path.join(index_dir, _GROUP_POINTER)
-    with open(ptr) as f:
-        state = json.load(f)
-    state["history"] = state_history
-    tmp = ptr + ".adopt.tmp"
-    with open(tmp, "w") as f:
-        json.dump(state, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, ptr)
 
 
 _BLOOM_SIDECAR = "_bloom_meta.json"

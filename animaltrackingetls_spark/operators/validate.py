@@ -227,15 +227,18 @@ def upsert_versioned_with_expectations(
         if txn_app_id is not None
         else {}
     )
-    counts = {
-        r["rule"]: r["n_violations"]
-        for r in validate(updates, rules).collect()
-    }
-    n_input = updates.count()
-    n_failed_rows = None
-    report = {"n_input": n_input, "by_rule": counts, "action": on_violation}
 
+    # ONE aggregation pass per mode (round-11 self-review finding #6):
+    # fail uses validate()'s single conditional-sum scan (n_rows rides
+    # every output row, so no separate count); drop/quarantine use one
+    # groupBy(first-violated tag) over the tagged plan — by_rule there
+    # is FIRST-VIOLATED attribution (a row violating two rules counts
+    # once, under the higher-priority rule), matching what quarantine
+    # actually records.
     if on_violation == "fail":
+        rows = validate(updates, rules).collect()
+        counts = {r["rule"]: r["n_violations"] for r in rows}
+        n_input = rows[0]["n_rows"] if rows else 0
         bad = {k: v for k, v in counts.items() if v}
         if bad:
             raise ValueError(
@@ -245,11 +248,20 @@ def upsert_versioned_with_expectations(
         out = upsert_parquet_versioned(
             spark, table_dir, updates, key_cols, **txn, **upsert_kwargs
         )
-        report.update(n_passed=n_input, n_failed=0)
-        return out, report
+        return out, {"n_input": n_input, "by_rule": counts,
+                     "action": on_violation, "n_passed": n_input,
+                     "n_failed": 0}
 
     split = split_expectations(updates, rules)
-    n_failed_rows = split.failed.count()
+    tag_counts = {
+        r[FAILED_RULE]: r["count"]
+        for r in split.tagged.groupBy(FAILED_RULE).count().collect()
+    }
+    n_passed = tag_counts.pop(None, 0)
+    n_failed_rows = sum(tag_counts.values())
+    report = {"n_input": n_passed + n_failed_rows, "by_rule": tag_counts,
+              "action": on_violation, "n_passed": n_passed,
+              "n_failed": n_failed_rows}
     if on_violation == "quarantine" and n_failed_rows:
         qtxn = (
             {"txn_app_id": f"{txn_app_id}#q", "txn_version": txn_version}
@@ -261,8 +273,5 @@ def upsert_versioned_with_expectations(
         )
     out = upsert_parquet_versioned(
         spark, table_dir, split.passed, key_cols, **txn, **upsert_kwargs
-    )
-    report.update(
-        n_passed=n_input - n_failed_rows, n_failed=n_failed_rows
     )
     return out, report

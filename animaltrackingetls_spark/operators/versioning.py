@@ -335,8 +335,8 @@ def table_changes(
     """
     from ..inventory import (
         _BUCKET_COL,
-        _bucket_identity,
         _snapshot_df,
+        identity_changed_buckets,
         list_versions,
         read_versioned,
     )
@@ -356,13 +356,10 @@ def table_changes(
             f"version(s) {missing} not retained under {table_dir} "
             f"(have: {versions})"
         )
-    id_old = _bucket_identity(table_dir, from_version)
-    id_new = _bucket_identity(table_dir, to_version)
-    if id_old is not None and id_new is not None:
-        changed = {
-            d for d in set(id_old) | set(id_new)
-            if id_old.get(d) != id_new.get(d)
-        }
+    changed = identity_changed_buckets(
+        table_dir, from_version, to_version
+    )
+    if changed is not None:
         old = _snapshot_df(
             spark, table_dir, from_version, buckets=changed
         ).drop(_BUCKET_COL)
@@ -464,28 +461,24 @@ def _changed_bucket_read(spark, table_dir, from_version, to_version):
     bucket identity."""
     from ..inventory import (
         _BUCKET_COL,
-        _bucket_identity,
         _snapshot_df,
+        identity_changed_buckets,
         read_versioned,
     )
 
-    id_old = (
-        _bucket_identity(table_dir, from_version)
+    changed = (
+        identity_changed_buckets(table_dir, from_version, to_version)
         if from_version is not None else None
     )
-    id_new = _bucket_identity(table_dir, to_version)
-    if id_old is None or id_new is None:
+    if changed is None:
         return read_versioned(spark, table_dir, to_version)
-    changed = {
-        d for d in set(id_old) | set(id_new)
-        if id_old.get(d) != id_new.get(d)
-    }
     return _snapshot_df(
         spark, table_dir, to_version, buckets=changed
     ).drop(_BUCKET_COL)
 
 
-def _dest_upsert(spark, dest_dir, payload, key_cols, **txn) -> None:
+def _dest_upsert(spark, dest_dir, payload, key_cols, keep_versions=2,
+                 **txn) -> None:
     """Route a pump write through the destination's own layout: a
     bucket-partitioned destination (created beforehand with
     upsert_parquet_versioned_partitioned) keeps its pruned merge —
@@ -500,12 +493,14 @@ def _dest_upsert(spark, dest_dir, payload, key_cols, **txn) -> None:
 
     layout = _table_layout(dest_dir)
     if layout is None:
-        upsert_parquet_versioned(spark, dest_dir, payload, key_cols, **txn)
+        upsert_parquet_versioned(spark, dest_dir, payload, key_cols,
+                                 keep_versions=keep_versions, **txn)
     else:
         upsert_parquet_versioned_partitioned(
             spark, dest_dir, payload, key_cols,
             n_buckets=layout["n_buckets"],
             scheme=layout.get("scheme", "hash"),
+            keep_versions=keep_versions,
             **txn,
         )
 
@@ -517,6 +512,7 @@ def pump_changes_once(
     cursor_file: str,
     key_cols: list[str],
     app_id: str = "cdc",
+    dest_keep_versions: int = 2,
 ) -> dict:
     """One poll of the CDC pump: read the source's changes since the
     cursor (:func:`table_changes_since`), apply them to a DOWNSTREAM
@@ -546,7 +542,11 @@ def pump_changes_once(
     raises FileNotFoundError (:func:`table_changes_since`'s
     re-bootstrap error) — recover with :func:`bootstrap_cdc_dest`.
     Single-consumer per cursor file by design (the cursor write is
-    atomic but last-writer-wins).
+    atomic but last-writer-wins). ``dest_keep_versions`` forwards to
+    every destination write — the destination's retention is the
+    PUMP's setting, stated here because the writers' per-call default
+    (2) would otherwise silently trim a deeper ledger on the first
+    poll (round-11 self-review finding #4).
 
     Returns ``{"applied": bool, "to_version": str, "added": n,
     "changed": n, "removed": n}`` (a bootstrap reports every copied
@@ -564,7 +564,7 @@ def pump_changes_once(
     if not os.path.exists(cursor_file):
         boot = bootstrap_cdc_dest(
             spark, source_dir, dest_dir, cursor_file, key_cols,
-            app_id=app_id,
+            app_id=app_id, dest_keep_versions=dest_keep_versions,
         )
         n = read_versioned(spark, dest_dir).count()
         return {"applied": True, "to_version": boot["to_version"],
@@ -606,6 +606,7 @@ def pump_changes_once(
         )
         _dest_upsert(
             spark, dest_dir, payload, key_cols,
+            keep_versions=dest_keep_versions,
             txn_app_id=f"{app_id}#up", txn_version=seq,
         )
     if n_del:
@@ -614,6 +615,7 @@ def pump_changes_once(
         )
         delete_versioned(
             spark, dest_dir, removed, key_cols,
+            keep_versions=dest_keep_versions,
             txn_app_id=f"{app_id}#del", txn_version=seq,
         )
     advance()
@@ -629,6 +631,7 @@ def bootstrap_cdc_dest(
     cursor_file: str,
     key_cols: list[str],
     app_id: str = "cdc",
+    dest_keep_versions: int = 2,
 ) -> dict:
     """(Re-)bootstrap the CDC destination from a FULL source snapshot —
     the documented recovery when retention outran the consumer (the
@@ -656,6 +659,7 @@ def bootstrap_cdc_dest(
     src = read_versioned(spark, source_dir, current)
     _dest_upsert(
         spark, dest_dir, src, key_cols,
+        keep_versions=dest_keep_versions,
         txn_app_id=f"{app_id}#up", txn_version=seq,
     )
     dst_keys = read_versioned(spark, dest_dir).select(*key_cols)
@@ -668,6 +672,7 @@ def bootstrap_cdc_dest(
     if not stale.isEmpty():
         delete_versioned(
             spark, dest_dir, stale, key_cols,
+            keep_versions=dest_keep_versions,
             txn_app_id=f"{app_id}#del", txn_version=seq,
         )
     import uuid
@@ -689,6 +694,7 @@ def run_cdc_pump(
     key_cols: list[str],
     app_id: str = "cdc",
     max_polls: int | None = None,
+    dest_keep_versions: int = 2,
 ) -> dict:
     """Drain the CDC pump until the destination has caught up (the
     AvailableNow shape): repeated :func:`pump_changes_once` polls until
@@ -701,7 +707,7 @@ def run_cdc_pump(
     while max_polls is None or totals["polls"] < max_polls:
         r = pump_changes_once(
             spark, source_dir, dest_dir, cursor_file, key_cols,
-            app_id=app_id,
+            app_id=app_id, dest_keep_versions=dest_keep_versions,
         )
         totals["to_version"] = r["to_version"]
         if not r["applied"]:

@@ -1342,3 +1342,49 @@ def test_dedup_index_bloom_m_bits_pinned(spark, tmp_path):
                               m_bits=1 << 20).collect()}
     assert out == {2: "kept"}
     assert os.path.exists(sidecar)
+
+
+def test_legacy_adoption_missing_bands_stays_replayable(spark, tmp_path):
+    """Round-11 self-review finding #1: a legacy crash BEFORE bands'
+    first-ever commit leaves docs carrying the app's watermark and no
+    bands table at all. Adoption must NOT carry the mark (the batch
+    never fully landed), so the replay applies — recreating bands —
+    instead of watermark-no-opping into a permanently half-born index."""
+    from animaltrackingetls_spark.inventory import (
+        group_state,
+        read_versioned_group,
+        upsert_parquet_versioned,
+    )
+    from animaltrackingetls_spark.operators.dedup import dedup_index_ingest
+
+    idx = str(tmp_path / "idx")
+    batch = spark.createDataFrame(
+        [(1, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string",
+    )
+    # legacy half-born state: docs committed at txn 0, bands NEVER
+    scratch = str(tmp_path / "scratch")
+    dedup_index_ingest(spark, batch, scratch)
+    d = read_versioned_group(spark, scratch, "docs").collect()
+    upsert_parquet_versioned(
+        spark, idx + "/docs", spark.createDataFrame(d), ["id"],
+        txn_app_id="t", txn_version=0,
+    )
+
+    out = {r.doc_id: r.status for r in
+           dedup_index_ingest(spark, batch, idx,
+                              txn_app_id="t", txn_version=0).collect()}
+    state = group_state(idx)
+    assert state["marks"] == {"t": 0}
+    # the replay landed bands (index fully born), doc kept not self-dup
+    assert out == {1: "kept"}
+    assert read_versioned_group(spark, idx, "bands").count() == 2
+    # and the index now detects an exact dup through the store
+    out = {r.doc_id: r.status for r in
+           dedup_index_ingest(
+               spark,
+               spark.createDataFrame(
+                   [(2, "pack my box with five dozen liquor jugs")],
+                   "doc_id long, text string"),
+               idx, txn_app_id="t", txn_version=1).collect()}
+    assert out == {2: "exact_dup"}
