@@ -191,9 +191,12 @@ def upsert_versioned_with_expectations(
     **upsert_kwargs,
 ):
     """Expectation-gated exactly-once upsert — Delta Live Tables'
-    three expectation modes composed onto the versioned writer (and the
-    reference's reject-sink pattern, cleaning.py's split, made a WRITE
-    GATE):
+    three expectation modes composed onto the versioned writers (and
+    the reference's reject-sink pattern, cleaning.py's split, made a
+    WRITE GATE). Layout-aware like the CDC pump (via the same
+    ``_dest_upsert`` routing): a bucket-partitioned destination keeps
+    its pruned merge; extra ``upsert_kwargs`` must match the
+    destination's writer (e.g. ``target_files`` is plain-only).
 
     * ``on_violation="fail"`` (expect_or_fail): ONE validation
       aggregate over the batch; any violation raises with per-rule
@@ -214,7 +217,8 @@ def upsert_versioned_with_expectations(
     ``{"n_input", "n_passed", "n_failed", "by_rule": {...},
     "action": ...}``.
     """
-    from ..inventory import upsert_parquet_versioned
+    from ..inventory import read_versioned
+    from .versioning import _dest_upsert
 
     if on_violation not in ("fail", "drop", "quarantine"):
         raise ValueError(
@@ -245,9 +249,9 @@ def upsert_versioned_with_expectations(
                 f"expectations failed for {table_dir}: {bad} "
                 f"(of {n_input} rows); nothing was written"
             )
-        out = upsert_parquet_versioned(
-            spark, table_dir, updates, key_cols, **txn, **upsert_kwargs
-        )
+        _dest_upsert(spark, table_dir, updates, key_cols,
+                     **txn, **upsert_kwargs)
+        out = read_versioned(spark, table_dir)
         return out, {"n_input": n_input, "by_rule": counts,
                      "action": on_violation, "n_passed": n_input,
                      "n_failed": 0}
@@ -268,10 +272,9 @@ def upsert_versioned_with_expectations(
             if txn_app_id is not None
             else {}
         )
-        upsert_parquet_versioned(
-            spark, quarantine_dir, split.failed, key_cols, **qtxn,
-        )
-    out = upsert_parquet_versioned(
-        spark, table_dir, split.passed, key_cols, **txn, **upsert_kwargs
-    )
+        _dest_upsert(spark, quarantine_dir, split.failed, key_cols,
+                     **qtxn)
+    _dest_upsert(spark, table_dir, split.passed, key_cols,
+                 **txn, **upsert_kwargs)
+    out = read_versioned(spark, table_dir)
     return out, report
