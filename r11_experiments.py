@@ -9,8 +9,11 @@ Subcommands:
   worktrees of the r10 (45a4e18) and r9 (4e1ba7d) binaries — with a
   numpy-GEMM calibration in the same process, so code effects separate
   from machine state by construction.
-* ``cdcpoll`` — CDC pump poll cost vs churn size at a 1M-row source
-  (verdict task #6's measurement half).
+* ``cdcpoll`` — CDC pump poll cost vs churn size: phase 1 = 1M-row
+  plain source (verdict task #6's measurement half, the honest
+  table-sized-scan shape); phase 2 = 10M-row x 64-bucket manifest
+  source+dest, where the churn-pruned CDF + layout-routed dest write
+  make polls churn-bucket-sized (~4.5 s at any churn).
 * ``vreads`` — the versioned READ path at scale: snapshot read +
   table_changes over many retained versions x 64 buckets at 10M rows,
   hardlink vs manifest layouts (verdict task #7).
@@ -135,6 +138,48 @@ def cdcpoll() -> None:
     pump_changes_once(spark, src, dst, cur, ["k"])
     print(f"cdc pump idle poll:              {time.monotonic()-t0:6.2f}s",
           flush=True)
+    shutil.rmtree(base, ignore_errors=True)
+
+    # phase 2: the churn-pruned configuration — 10M-row x 64-bucket
+    # manifest source AND dest (dest pre-created with REPRESENTATIVE
+    # bounds; a tiny creation batch degenerates the range layout, the
+    # trap documented on the writer). Expect ~4.5 s polls regardless of
+    # churn — cost tracks the churn's buckets, not the table.
+    from animaltrackingetls_spark.inventory import (
+        upsert_parquet_versioned_partitioned,
+    )
+
+    base = tempfile.mkdtemp(prefix="cdcpoll_bucketed_")
+    src, dst, cur = f"{base}/src", f"{base}/dst", f"{base}/cursor"
+    n10 = 10_000_000
+    big = spark.range(n10).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    for d in (src, dst):
+        upsert_parquet_versioned_partitioned(
+            spark, d, big, ["k"], n_buckets=64,
+            scheme="range", keep_versions=4, link_mode="manifest",
+        )
+    t0 = time.monotonic()
+    pump_changes_once(spark, src, dst, cur, ["k"],
+                      dest_keep_versions=4)
+    print(f"bucketed 10M bootstrap-into-prebuilt: {time.monotonic()-t0:5.1f}s",
+          flush=True)
+    for churn, lo in ((1_000, 20_000), (100_000, 3_000_000)):
+        upd = spark.range(lo, lo + churn).select(
+            F.col("id").alias("k"), F.lit(-2.0).alias("v"),
+        )
+        upsert_parquet_versioned_partitioned(
+            spark, src, upd, ["k"], n_buckets=64, scheme="range",
+            keep_versions=4,
+        )
+        t0 = time.monotonic()
+        r = pump_changes_once(spark, src, dst, cur, ["k"],
+                              dest_keep_versions=4)
+        print(f"bucketed 10M poll, churn {churn:>7,}: "
+              f"{time.monotonic()-t0:5.2f}s (changed {r['changed']:,})",
+              flush=True)
     shutil.rmtree(base, ignore_errors=True)
 
 
