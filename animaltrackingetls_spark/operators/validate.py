@@ -240,6 +240,17 @@ def upsert_versioned_with_expectations(
     # once, under the higher-priority rule), matching what quarantine
     # actually records.
     if on_violation == "fail":
+        # Pin the batch before gating (round-11 ADVICE #3): the gate
+        # aggregate and the publish are separate actions over the same
+        # plan, so a NON-DETERMINISTIC updates plan (rand(), unstable
+        # sampling, a re-read mutable source) could pass the gate yet
+        # write rows that violate the rules. localCheckpoint
+        # materializes the batch once (lineage truncated — a lost block
+        # fails rather than silently recomputing different rows); both
+        # actions then read the same physical rows. Drop/quarantine
+        # don't need this: their writes re-apply the violation filter,
+        # so a violating row can never reach the main table.
+        updates = updates.localCheckpoint(eager=True)
         rows = validate(updates, rules).collect()
         counts = {r["rule"]: r["n_violations"] for r in rows}
         n_input = rows[0]["n_rows"] if rows else 0

@@ -30,6 +30,8 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -383,20 +385,34 @@ def table_changes(
     return corpus_diff(old, new, key_cols, compare_cols)
 
 
+class ChangesSince(NamedTuple):
+    """:func:`table_changes_since`'s result. Iterates as the historical
+    3-tuple ``(changes, to_version, advance)`` plus ``from_version`` —
+    the EXACT version the diff ran from (None = bootstrap-from-oldest),
+    threaded so consumers never re-derive the window's start by
+    re-reading the cursor file (round-11 ADVICE #4: duplicated state
+    that can silently drift)."""
+
+    changes: DataFrame | None
+    to_version: str
+    advance: object
+    from_version: str | None
+
+
 def table_changes_since(
     spark,
     table_dir: str,
     cursor_file: str,
     key_cols: list[str],
     compare_cols: list[str] | None = None,
-):
+) -> "ChangesSince":
     """Incremental change-data-feed read — the polling half of a CDC
-    pump over a versioned table: returns ``(changes_df | None,
-    to_version, advance)`` where ``changes_df`` is
-    :func:`table_changes` from the cursor's last-seen version to
-    CURRENT (None when nothing new), and ``advance()`` durably commits
-    the cursor (atomic tempfile + rename) AFTER the caller has sunk the
-    changes.
+    pump over a versioned table: returns :class:`ChangesSince`
+    ``(changes_df | None, to_version, advance, from_version)`` where
+    ``changes_df`` is :func:`table_changes` from the cursor's last-seen
+    version to CURRENT (None when nothing new), and ``advance()``
+    durably commits the cursor (atomic tempfile + rename) AFTER the
+    caller has sunk the changes.
 
     Exactly-once composition: crash BEFORE ``advance()`` replays the
     same (from, to) window next poll — so sink the changes with the
@@ -424,7 +440,7 @@ def table_changes_since(
     except FileNotFoundError:
         seen = None
     if seen == current:
-        return None, current, lambda: None
+        return ChangesSince(None, current, lambda: None, seen)
     if seen is not None and seen not in list_versions(table_dir):
         raise FileNotFoundError(
             f"cursor version {seen!r} is no longer retained under "
@@ -449,7 +465,7 @@ def table_changes_since(
             os.fsync(f.fileno())
         os.replace(tmp, cursor_file)
 
-    return changes, current, advance
+    return ChangesSince(changes, current, advance, seen)
 
 
 def _changed_bucket_read(spark, table_dir, from_version, to_version):
@@ -570,7 +586,7 @@ def pump_changes_once(
         return {"applied": True, "to_version": boot["to_version"],
                 "added": n, "changed": 0, "removed": 0}
 
-    changes, to_version, advance = table_changes_since(
+    changes, to_version, advance, from_version = table_changes_since(
         spark, source_dir, cursor_file, key_cols
     )
     if changes is None:
@@ -588,18 +604,20 @@ def pump_changes_once(
         # differs between the window's endpoints, so on a bucketed
         # source only those buckets are scanned (first cut read the
         # full 10M-row snapshot here and the 1k-churn poll cost 23 s;
-        # pruned + broadcast + a layout-routed dest write it is 4.5 s -
-        # SCALING.md round 11)
-        with open(cursor_file) as f:
-            seen = f.read().strip() or None
+        # pruned + a layout-routed dest write it is 4.5 s - SCALING.md
+        # round 11). from_version is the EXACT window start the diff
+        # used, threaded from table_changes_since rather than re-read
+        # from the cursor file (round-11 ADVICE #4 — one source of
+        # truth). The key list is localCheckpoint-backed, so AQE sees
+        # its true byte size and broadcasts exactly when it fits —
+        # no row-count heuristic forcing a broadcast of 500k wide
+        # string keys past the size threshold.
         src_now = _changed_bucket_read(
-            spark, source_dir, seen, to_version
+            spark, source_dir, from_version, to_version
         )
         ups_keys = changes.filter(
             F.col("change").isin("added", "changed")
         ).select(*key_cols)
-        if n_up <= 500_000:
-            ups_keys = F.broadcast(ups_keys)  # churn-sized key list
         payload = src_now.join(
             ups_keys, on=_null_safe_cond(src_now, ups_keys, key_cols),
             how="left_semi",

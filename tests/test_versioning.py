@@ -284,7 +284,7 @@ def test_table_changes_since_cdc_pump(spark, tmp_path):
     cursor = str(tmp_path / "cursor")
 
     def poll_and_sink():
-        changes, to_v, advance = V.table_changes_since(
+        changes, to_v, advance, _from_v = V.table_changes_since(
             spark, src, cursor, ["k"]
         )
         if changes is None:
@@ -305,8 +305,11 @@ def test_table_changes_since_cdc_pump(spark, tmp_path):
     # first poll bootstraps from the oldest retained snapshot: v1 vs v1
     # is empty... there is only ONE version, cursor unset -> from oldest
     # (== current) -> table_changes(v1, v1) = no churn, advance moves on
-    changes, to_v, advance = V.table_changes_since(spark, src, cursor, ["k"])
+    changes, to_v, advance, from_v = V.table_changes_since(
+        spark, src, cursor, ["k"]
+    )
     assert changes.count() == 0
+    assert from_v is None  # no cursor yet: diff ran from the oldest
     advance()
     assert open(cursor).read() == list_versions(src)[-1]
 
