@@ -1,0 +1,311 @@
+"""Per-file column statistics for the versioned-table layer — the
+Delta/Iceberg data-skipping analog (Delta's per-AddFile minValues /
+maxValues / nullCount; Iceberg's manifest column bounds).
+
+Round 11 measured OPTIMIZE ZORDER's clustering paying off only at
+parquet ROW-GROUP level inside each file: a selective reader still
+opened every file of a snapshot. This module records min/max/null-count
+per column per data file AT PUBLISH TIME (from parquet footers — no
+data scan) into a ``_stats.json`` sidecar inside the version directory,
+and lets the read path prove files irrelevant to a predicate BEFORE the
+scan is built. File skipping composes with (does not replace) parquet's
+own row-group pruning: skipped files cost zero opens, zero scheduler
+tasks.
+
+The sidecar also records each file's physical identity (inode + size),
+which retires the driver-side ``os.listdir``/``os.stat`` re-walk the
+CDC pump's bucket-identity check paid per poll (round-11 verdict,
+"minor #4"): identity becomes a write-time fact read back as one JSON
+file per snapshot, and plain (non-bucketed) snapshots gain the same
+changed-file pruning buckets already had.
+
+Safety contract — pruning is an OPTIMIZATION, never a semantics gate:
+
+* a missing sidecar (pre-round-12 table, or a failed collection) means
+  "prune nothing";
+* a column absent from a file's stats entry means "this file may
+  contain anything for that column" — never pruned on it;
+* the reader ALWAYS re-applies the predicate as a DataFrame filter, so
+  results are exact even if a sidecar were stale or wrong;
+* float/double columns never prune on the max side: Spark orders NaN
+  LARGER than every value while parquet writers exclude NaN from
+  min/max, so ``col >= v`` could wrongly skip a file whose only
+  matching rows are NaN. Min-side pruning is NaN-safe (NaN never
+  satisfies ``<``/``<=``) and equality against a non-NaN literal is
+  safe on both sides (NaN rows could not match it anyway);
+* string stats longer than ``_MAX_STR_STAT`` are dropped at collection
+  (parquet writers may truncate or omit oversized binary bounds, and a
+  truncated max is not an upper bound).
+
+Reference parity note: the reference engine has no versioned tables at
+all (its tables live in Postgres, monarch_etl/db_loader.py); this layer
+and its statistics are part of the 100 TB surface the Spark build adds.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+from typing import Any
+
+STATS_SIDECAR = "_stats.json"
+_MAX_STR_STAT = 256
+_MAX_STAT_COLS = 32
+
+#: predicate operators understood by :func:`keep_file` / the readers.
+SUPPORTED_OPS = ("=", "==", "<", "<=", ">", ">=", "in")
+
+# type tags in the sidecar: int / float / string / date / timestamp /
+# boolean. Decimal, binary, and nested types are not statted (their
+# entries are simply absent, i.e. never pruned on).
+_TAGS = ("i", "f", "s", "d", "t", "b")
+
+
+def _encode(v: Any) -> tuple[str, Any] | None:
+    """(type_tag, json_value) for a footer min/max value, or None when
+    the type is not supported for pruning."""
+    if isinstance(v, bool):
+        return "b", bool(v)
+    if isinstance(v, int):
+        return "i", int(v)
+    if isinstance(v, float):
+        if v != v:  # NaN bound: writer-dependent, never trustworthy
+            return None
+        return "f", float(v)
+    if isinstance(v, str):
+        if len(v) > _MAX_STR_STAT:
+            return None
+        return "s", v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return "t", v.isoformat()
+    if isinstance(v, _dt.date):
+        return "d", v.isoformat()
+    return None
+
+
+def _decode(tag: str, v: Any) -> Any:
+    if tag == "t":
+        return _dt.datetime.fromisoformat(v)
+    if tag == "d":
+        return _dt.date.fromisoformat(v)
+    return v
+
+
+def _coerce_literal(tag: str, value: Any) -> Any | None:
+    """The predicate literal in the stat column's comparison domain, or
+    None when the two are incomparable (no pruning then)."""
+    if tag in ("i", "f"):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return None
+        if isinstance(value, float) and value != value:
+            return None  # NaN literal: Spark's total order, don't prune
+        return value
+    if tag == "b":
+        return value if isinstance(value, bool) else None
+    if tag == "s":
+        return value if isinstance(value, str) else None
+    if tag == "d":
+        if isinstance(value, _dt.datetime):
+            return None
+        if isinstance(value, _dt.date):
+            return value
+        if isinstance(value, str):
+            try:
+                return _dt.date.fromisoformat(value)
+            except ValueError:
+                return None
+        return None
+    if tag == "t":
+        if isinstance(value, _dt.datetime):
+            if value.tzinfo is not None:
+                value = value.astimezone(
+                    _dt.timezone.utc
+                ).replace(tzinfo=None)
+            return value
+        if isinstance(value, str):
+            try:
+                return _coerce_literal("t", _dt.datetime.fromisoformat(value))
+            except ValueError:
+                return None
+        return None
+    return None
+
+
+def file_entry(path: str) -> dict:
+    """One data file's sidecar entry, from its parquet FOOTER only:
+    ``{"rows", "size", "ino", "cols": {col: {"t", "lo", "hi",
+    "nulls"}}}``. Row-group stats aggregate to file level (min of mins,
+    max of maxes, summed null counts); a column loses its entry the
+    moment any row group lacks trustworthy bounds for it. Only the
+    first ``_MAX_STAT_COLS`` supported top-level columns are statted
+    (Delta's dataSkippingNumIndexedCols shape)."""
+    import pyarrow.parquet as pq
+
+    st = os.stat(path)
+    md = pq.ParquetFile(path).metadata
+    n_cols = md.num_columns
+    schema = md.schema
+    cols: dict[str, dict] = {}
+    order: list[str] = []
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(n_cols):
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            if "." in name:  # nested leaf: not a top-level column
+                continue
+            if rg_i == 0:
+                order.append(name)
+                if len(order) > _MAX_STAT_COLS:
+                    cols[name] = None  # over the cap: disqualified
+                    continue
+            stats = col.statistics
+            if name in cols and cols[name] is None:
+                continue
+            if (
+                stats is None
+                or not stats.has_min_max
+                or stats.null_count is None
+            ):
+                cols[name] = None
+                continue
+            lo, hi = _encode(stats.min), _encode(stats.max)
+            if lo is None or hi is None or lo[0] != hi[0]:
+                cols[name] = None
+                continue
+            entry = cols.get(name)
+            if entry is None and name not in cols:
+                cols[name] = {
+                    "t": lo[0], "lo": lo[1], "hi": hi[1],
+                    "nulls": int(stats.null_count),
+                }
+            elif entry is not None:
+                if entry["t"] != lo[0]:
+                    cols[name] = None
+                    continue
+                a, b = _decode(entry["t"], entry["lo"]), _decode(lo[0], lo[1])
+                entry["lo"] = entry["lo"] if a <= b else lo[1]
+                a, b = _decode(entry["t"], entry["hi"]), _decode(hi[0], hi[1])
+                entry["hi"] = entry["hi"] if a >= b else hi[1]
+                entry["nulls"] += int(stats.null_count)
+    keep = [n for n in order[:_MAX_STAT_COLS] if cols.get(n) is not None]
+    return {
+        "rows": int(md.num_rows),
+        "size": int(st.st_size),
+        "ino": int(st.st_ino),
+        "cols": {n: cols[n] for n in keep},
+    }
+
+
+def _check_predicates(predicates) -> list[tuple[str, str, Any]]:
+    out = []
+    for p in predicates:
+        if len(p) != 3:
+            raise ValueError(f"predicate must be (col, op, value): {p!r}")
+        col, op, value = p
+        if op not in SUPPORTED_OPS:
+            raise ValueError(
+                f"unsupported predicate op {op!r} (have {SUPPORTED_OPS})"
+            )
+        if op == "in" and not isinstance(value, (list, tuple, set)):
+            raise ValueError(f"'in' predicate needs a list of values: {p!r}")
+        out.append((col, "=" if op == "==" else op, value))
+    return out
+
+
+def keep_file(entry: dict, predicates) -> bool:
+    """Can this file contain a row satisfying ALL predicates (ANDed)?
+    True = must scan; False = provably irrelevant, skip. Missing column
+    stats keep the file; float max-side comparisons keep the file (the
+    NaN contract in the module docstring); NULLs never satisfy a
+    comparison, so null counts don't block pruning."""
+    for col, op, value in predicates:
+        cs = entry.get("cols", {}).get(col)
+        if cs is None:
+            continue
+        tag = cs["t"]
+        lo, hi = _decode(tag, cs["lo"]), _decode(tag, cs["hi"])
+        if op == "in":
+            # equality against non-NaN literals is NaN-safe on both
+            # sides (a NaN row can never equal the literal)
+            vals = [_coerce_literal(tag, v) for v in value]
+            if any(v is None for v in vals):
+                continue
+            if all(v < lo or v > hi for v in vals):
+                return False
+            continue
+        v = _coerce_literal(tag, value)
+        if v is None:
+            continue
+        if op == "=":
+            if v < lo or v > hi:
+                return False
+        elif op in ("<", "<="):
+            if lo > v or (lo == v and op == "<"):
+                return False
+        elif op in (">", ">="):
+            if tag == "f":
+                continue  # NaN may be present and is larger than hi
+            if hi < v or (hi == v and op == ">"):
+                return False
+    return True
+
+
+def prune_files(stats: dict, predicates) -> tuple[set[str], int]:
+    """(keys of files that must be scanned, total file count)."""
+    preds = _check_predicates(predicates)
+    files = stats.get("files", {})
+    kept = {k for k, e in files.items() if keep_file(e, preds)}
+    return kept, len(files)
+
+
+def residual_filter(predicates):
+    """The exact Spark filter for the predicate list — ALWAYS applied
+    after pruning, so the result is correct whether or not any file was
+    skipped (and on tables with no sidecar at all)."""
+    from pyspark.sql import functions as F
+
+    preds = _check_predicates(predicates)
+    cond = F.lit(True)
+    for col, op, value in preds:
+        c = F.col(col)
+        if op == "in":
+            cond = cond & c.isin(list(value))
+        elif op == "=":
+            cond = cond & (c == F.lit(value))
+        elif op == "<":
+            cond = cond & (c < F.lit(value))
+        elif op == "<=":
+            cond = cond & (c <= F.lit(value))
+        elif op == ">":
+            cond = cond & (c > F.lit(value))
+        elif op == ">=":
+            cond = cond & (c >= F.lit(value))
+    return cond
+
+
+def read_stats(table_dir: str, version: str) -> dict | None:
+    """The version's stats sidecar, or None (pre-stats table, failed
+    collection — both mean "no pruning", never an error)."""
+    try:
+        with open(os.path.join(table_dir, version, STATS_SIDECAR)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def write_stats(table_dir: str, version: str, stats: dict) -> None:
+    import uuid
+
+    vdir = os.path.join(table_dir, version)
+    tmp = os.path.join(
+        vdir, f".{STATS_SIDECAR}.{uuid.uuid4().hex[:8]}.tmp"
+    )
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(vdir, STATS_SIDECAR))

@@ -345,15 +345,27 @@ def list_versions(table_dir: str) -> list[str]:
 
 
 def read_versioned(
-    spark: SparkSession, table_dir: str, version: str | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: str | None = None,
+    predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a published snapshot of a versioned table — the CURRENT one
     by default, or any retained version name from :func:`list_versions`
     (time travel: audit what a pipeline consumed before the latest
     upsert). Raises FileNotFoundError if nothing is published or the
-    requested version is not retained."""
-    import os
+    requested version is not retained.
 
+    ``predicates`` — a list of ``(col, op, value)`` tuples, ANDed (ops:
+    ``= == < <= > >= in``) — turns the read into a DATA-SKIPPING scan:
+    files whose sidecar min/max statistics (:mod:`..filestats`,
+    collected at publish) prove they cannot match are never opened —
+    whole-file skipping on top of parquet's row-group pruning, the
+    Delta/Iceberg stats-pruning analog and what makes OPTIMIZE ZORDER's
+    clustering pay at the FILE level. The predicate is always
+    re-applied as an exact DataFrame filter, so results are identical
+    with or without a stats sidecar (pre-stats versions simply scan
+    everything); use :func:`files_scanned` to observe the skip rate."""
     if version is None:
         version = _current_version(table_dir)
         if version is None:
@@ -363,12 +375,46 @@ def read_versioned(
             f"version {version!r} not retained under {table_dir} "
             f"(have: {list_versions(table_dir)})"
         )
-    df = _snapshot_df(spark, table_dir, version)
+    if predicates:
+        from . import filestats
+
+        stats = filestats.read_stats(table_dir, version)
+        if stats is not None:
+            kept, _total = filestats.prune_files(stats, predicates)
+            df = _snapshot_df_files(spark, table_dir, version, kept)
+        else:
+            df = _snapshot_df(spark, table_dir, version)
+        df = df.filter(filestats.residual_filter(predicates))
+    else:
+        df = _snapshot_df(spark, table_dir, version)
     # the partition-pruned layout's bucket column is internal plumbing
     # (functionally dependent on the keys), never user data
     if _BUCKET_COL in df.columns:
         df = df.drop(_BUCKET_COL)
     return df
+
+
+def files_scanned(
+    table_dir: str, version: str | None = None,
+    predicates: list[tuple] | None = None,
+) -> tuple[int, int]:
+    """(files a predicated read would open, total files in the
+    snapshot) — the data-skipping observability hook tests and benches
+    pin. No sidecar = no skipping = (total, total)."""
+    from . import filestats
+
+    if version is None:
+        version = _current_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no published snapshot under {table_dir}")
+    total = len(_snapshot_files(table_dir, version))
+    if not predicates:
+        return total, total
+    stats = filestats.read_stats(table_dir, version)
+    if stats is None:
+        return total, total
+    kept, _ = filestats.prune_files(stats, predicates)
+    return len(kept), total
 
 
 _TXN_SIDECAR = "_txn.json"
@@ -1341,6 +1387,143 @@ def _snapshot_buckets(table_dir: str, version: str) -> dict[str, str]:
     }
 
 
+def _snapshot_files(table_dir: str, version: str) -> dict[str, str]:
+    """Every data file of a snapshot, manifest-resolved:
+    ``{"<origin_version>/<relative_path>": absolute_path}``. The key
+    names the file's PHYSICAL home (the version directory that owns the
+    bytes), so an untouched manifest-referenced bucket's keys are
+    identical across the snapshots that share it — which is what lets
+    stats collection carry entries forward without touching the files."""
+    import os
+
+    buckets = _snapshot_buckets(table_dir, version)
+    out: dict[str, str] = {}
+    if buckets:
+        for d, origin in sorted(buckets.items()):
+            bdir = os.path.join(table_dir, origin, d)
+            for fn in sorted(os.listdir(bdir)):
+                if fn.startswith((".", "_")):
+                    continue
+                out[f"{origin}/{d}/{fn}"] = os.path.join(bdir, fn)
+        return out
+    vdir = os.path.join(table_dir, version)
+    for root, _dirs, files in os.walk(vdir):
+        rel = os.path.relpath(root, vdir)
+        for fn in sorted(files):
+            if fn.startswith((".", "_")):
+                continue
+            key = (
+                f"{version}/{fn}" if rel == "."
+                else f"{version}/{rel}/{fn}"
+            )
+            out[key] = os.path.join(root, fn)
+    return out
+
+
+def _collect_stats(
+    table_dir: str, version: str, base_version: str | None = None
+) -> None:
+    """Write the version's per-file column-statistics sidecar (see
+    :mod:`..filestats`) — called by :func:`_publish_version` for every
+    versioned writer, so stats exist uniformly across plain, bucketed,
+    hardlink, and manifest layouts, and across upsert / delete /
+    compact / OPTIMIZE / CLONE / RESTORE.
+
+    Cost model: parquet FOOTER reads only, and only for files the base
+    snapshot's sidecar cannot vouch for — an untouched
+    manifest-referenced bucket carries by key equality (zero syscalls),
+    an untouched hardlinked file carries by (inode, size) equality (one
+    ``os.stat``), so a churn-localized commit pays O(new files) footer
+    reads, not O(table). Collection failure is a warning, never a
+    publish failure: stats are an optimization and every consumer
+    treats a missing sidecar as "prune nothing"."""
+    import os
+    import warnings
+
+    from . import filestats
+
+    try:
+        files = _snapshot_files(table_dir, version)
+        base = (
+            filestats.read_stats(table_dir, base_version)
+            if base_version else None
+        )
+        by_key = (base or {}).get("files", {})
+        by_ident = {
+            (e.get("ino"), e.get("size")): e for e in by_key.values()
+        }
+        out: dict[str, dict] = {}
+        for key, path in files.items():
+            carried = by_key.get(key)
+            if carried is None:
+                st = os.stat(path)
+                carried = by_ident.get((st.st_ino, st.st_size))
+            out[key] = (
+                carried if carried is not None
+                else filestats.file_entry(path)
+            )
+        filestats.write_stats(table_dir, version, {"v": 1, "files": out})
+    except Exception as err:  # noqa: BLE001 — stats must never block a commit
+        warnings.warn(
+            f"file-stats collection failed for {table_dir}/{version}: "
+            f"{err!r}; publishing without a stats sidecar (reads stay "
+            "correct, file skipping disabled for this version)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+
+def _snapshot_df_files(
+    spark: SparkSession, table_dir: str, version: str, keys: set[str]
+) -> DataFrame:
+    """Assemble a snapshot DataFrame from an EXPLICIT file set (sidecar
+    keys, ``<origin>/<rel>``) — the scan the stats-pruned read path and
+    the file-level CDF pruning build: skipped files cost zero opens and
+    zero scheduler tasks. Schema is pinned from one file (same
+    eager-inference trap as :func:`_snapshot_df`); bucketed files keep
+    their partition column via ``basePath``. An empty set yields an
+    empty frame with the snapshot's schema."""
+    import os
+    from functools import reduce
+
+    all_files = _snapshot_files(table_dir, version)
+    unknown = keys - set(all_files)
+    if unknown:
+        raise ValueError(
+            f"file keys not in snapshot {version}: {sorted(unknown)[:3]}"
+        )
+    bucket_prefix = f"{_BUCKET_COL}="
+    bucketed = any(
+        k.split("/")[-2].startswith(bucket_prefix)
+        for k in all_files if len(k.split("/")) >= 3
+    ) if all_files else False
+    some = next(iter(sorted(all_files.values())), None)
+    if some is None:
+        raise FileNotFoundError(
+            f"snapshot {version} under {table_dir} has no data files"
+        )
+    data_schema = spark.read.parquet(some).schema
+    schema = (
+        data_schema.add(_BUCKET_COL, "integer") if bucketed else data_schema
+    )
+    chosen = sorted(keys)
+    if not chosen:
+        return spark.createDataFrame([], schema)
+    by_origin: dict[str, list[str]] = {}
+    for k in chosen:
+        origin = k.split("/", 1)[0]
+        by_origin.setdefault(origin, []).append(all_files[k])
+    parts = []
+    for origin, paths in sorted(by_origin.items()):
+        odir = os.path.join(table_dir, origin)
+        parts.append(
+            spark.read.option("basePath", odir)
+            .schema(schema)
+            .parquet(*sorted(paths))
+        )
+    return reduce(lambda a, c: a.unionByName(c), parts)
+
+
 def _snapshot_df(
     spark: SparkSession, table_dir: str, version: str,
     buckets: set[str] | None = None,
@@ -1661,6 +1844,16 @@ def _publish_version(
     import shutil
     import uuid
 
+    # Per-file column stats sidecar, BEFORE the lock (footer IO has no
+    # business inside the flock critical section). expected_base gives
+    # the carry-forward source; _UNCHECKED/None publishes sweep every
+    # footer (first writes, clones).
+    _collect_stats(
+        table_dir, version,
+        base_version=(
+            expected_base if isinstance(expected_base, str) else None
+        ),
+    )
     if marks:
         # non-transactional writers CARRY existing watermarks forward —
         # dropping them would silently re-open already-applied replays
@@ -2236,6 +2429,54 @@ def identity_changed_buckets(
     }
 
 
+def identity_changed_files(
+    table_dir: str, from_version: str, to_version: str
+) -> tuple[set[str], set[str]] | None:
+    """File-level churn pruning for the CDF — the plain-layout analog
+    of :func:`identity_changed_buckets` (round-11 verdict task #6):
+    ``(old_side_keys, new_side_keys)`` of the files NOT physically
+    shared between the two snapshots, or ``None`` when either lacks a
+    stats sidecar (pre-round-12 versions: callers fall back to the full
+    diff).
+
+    Why excluding shared files from BOTH diff sides is EXACT for keyed
+    snapshots: a physically shared file (same inode + size — hardlinked
+    or manifest-referenced carry-forward) holds byte-identical rows in
+    both snapshots. Each snapshot holds every key EXACTLY ONCE (the
+    upsert writers' one-row-per-key contract, enforced by
+    corpus_diff's duplicate guard), so a key living in a shared file
+    occupies that file in BOTH snapshots and can occupy no other file
+    in either — it is provably ``unchanged`` and contributes nothing to
+    the added/removed/changed output. Conversely a key NOT in any
+    shared file appears, on each side where it exists, only in that
+    side's non-shared files — so diffing the non-shared remainders
+    reports exactly the same rows as the full diff (pinned equal in
+    tests).
+
+    Steady-state PLAIN upserts rewrite every file (the merge is a full
+    shuffle), so their intersection is empty and this degrades to the
+    full diff — the honest shape. It pays when snapshots genuinely
+    share files: copy-on-write merges, RESTORE/CLONE lineage, compact
+    no-ops, and every bucketed layout's untouched buckets."""
+    from . import filestats
+
+    s_old = filestats.read_stats(table_dir, from_version)
+    s_new = filestats.read_stats(table_dir, to_version)
+    if s_old is None or s_new is None:
+        return None
+    ident_old = {
+        (e["ino"], e["size"]): k for k, e in s_old["files"].items()
+    }
+    ident_new = {
+        (e["ino"], e["size"]): k for k, e in s_new["files"].items()
+    }
+    shared = set(ident_old) & set(ident_new)
+    return (
+        {k for i, k in ident_old.items() if i not in shared},
+        {k for i, k in ident_new.items() if i not in shared},
+    )
+
+
 def _bucket_identity(
     table_dir: str, version: str
 ) -> dict[str, tuple] | None:
@@ -2247,13 +2488,32 @@ def _bucket_identity(
     (snapshot dirs are immutable; hardlinked/referenced untouched
     buckets share inodes by construction), which is what lets
     ``table_changes`` diff only the buckets that changed. ``None`` for
-    plain (non-bucketed) snapshots."""
+    plain (non-bucketed) snapshots.
+
+    Read from the version's stats sidecar when present (identity was
+    recorded at WRITE time — one JSON read per snapshot instead of the
+    O(buckets × files) ``listdir``/``stat`` fan-out the round-11 form
+    paid per poll; at object-store scale those were real LIST/HEAD
+    round-trips). Pre-stats snapshots fall back to the walk."""
     import os
+
+    from . import filestats
+
+    stats = filestats.read_stats(table_dir, version)
+    if stats is not None and stats.get("files"):
+        prefix = f"{_BUCKET_COL}="
+        out: dict[str, list] = {}
+        for key, e in stats["files"].items():
+            parts = key.split("/")
+            if len(parts) < 3 or not parts[-2].startswith(prefix):
+                return None  # plain layout: no bucket identity
+            out.setdefault(parts[-2], []).append((e["ino"], e["size"]))
+        return {d: tuple(sorted(v)) for d, v in out.items()}
 
     buckets = _snapshot_buckets(table_dir, version)
     if not buckets:
         return None
-    out: dict[str, tuple] = {}
+    walked: dict[str, tuple] = {}
     for d, origin in buckets.items():
         bdir = os.path.join(table_dir, origin, d)
         files = []
@@ -2262,8 +2522,8 @@ def _bucket_identity(
                 continue
             st = os.stat(os.path.join(bdir, fn))
             files.append((st.st_ino, st.st_size))
-        out[d] = tuple(sorted(files))
-    return out
+        walked[d] = tuple(sorted(files))
+    return walked
 
 
 def optimize_versioned(

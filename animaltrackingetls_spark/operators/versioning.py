@@ -338,7 +338,9 @@ def table_changes(
     from ..inventory import (
         _BUCKET_COL,
         _snapshot_df,
+        _snapshot_df_files,
         identity_changed_buckets,
+        identity_changed_files,
         list_versions,
         read_versioned,
     )
@@ -369,8 +371,22 @@ def table_changes(
             spark, table_dir, to_version, buckets=changed
         ).drop(_BUCKET_COL)
     else:
-        old = read_versioned(spark, table_dir, from_version)
-        new = read_versioned(spark, table_dir, to_version)
+        # plain layout: FILE-level churn pruning from the stats
+        # sidecars' physical identity (round-12) — shared files are
+        # byte-identical and key-complete on both sides, so diffing
+        # only the non-shared remainders is exact (proof on
+        # identity_changed_files). Pre-stats versions fall back to the
+        # honest two-full-snapshot diff.
+        cf = identity_changed_files(table_dir, from_version, to_version)
+        if cf is not None:
+            old = _snapshot_df_files(spark, table_dir, from_version, cf[0])
+            new = _snapshot_df_files(spark, table_dir, to_version, cf[1])
+            for col in (_BUCKET_COL,):
+                if col in old.columns:
+                    old, new = old.drop(col), new.drop(col)
+        else:
+            old = read_versioned(spark, table_dir, from_version)
+            new = read_versioned(spark, table_dir, to_version)
     # schema evolution between the snapshots (round-10 review finding):
     # corpus_diff's shared-columns default would silently EXCLUDE a
     # newly added column, so its backfill never churns. Snapshots of
@@ -472,25 +488,33 @@ def _changed_bucket_read(spark, table_dir, from_version, to_version):
     """The new-side snapshot restricted to buckets whose physical
     identity changed across the window — exact for key-complete reads
     of added/changed rows because bucket assignment is key-determined
-    (same argument as :func:`table_changes`' pruning). Falls back to
-    the full snapshot on plain layouts or when either endpoint has no
-    bucket identity."""
+    (same argument as :func:`table_changes`' pruning). Plain layouts
+    restrict to the new side's non-shared FILES instead (round-12): an
+    added/changed key cannot live in a file shared with the old
+    snapshot (shared files are byte-identical and key-complete), so
+    the non-shared files hold every payload row the pump fetches.
+    Falls back to the full snapshot when no identity is recorded."""
     from ..inventory import (
         _BUCKET_COL,
         _snapshot_df,
+        _snapshot_df_files,
         identity_changed_buckets,
+        identity_changed_files,
         read_versioned,
     )
 
-    changed = (
-        identity_changed_buckets(table_dir, from_version, to_version)
-        if from_version is not None else None
-    )
-    if changed is None:
+    if from_version is None:
         return read_versioned(spark, table_dir, to_version)
-    return _snapshot_df(
-        spark, table_dir, to_version, buckets=changed
-    ).drop(_BUCKET_COL)
+    changed = identity_changed_buckets(table_dir, from_version, to_version)
+    if changed is not None:
+        return _snapshot_df(
+            spark, table_dir, to_version, buckets=changed
+        ).drop(_BUCKET_COL)
+    cf = identity_changed_files(table_dir, from_version, to_version)
+    if cf is not None:
+        df = _snapshot_df_files(spark, table_dir, to_version, cf[1])
+        return df.drop(_BUCKET_COL) if _BUCKET_COL in df.columns else df
+    return read_versioned(spark, table_dir, to_version)
 
 
 def _dest_upsert(spark, dest_dir, payload, key_cols, keep_versions=2,

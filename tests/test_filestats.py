@@ -1,0 +1,288 @@
+"""Per-file column statistics + data skipping (round 12).
+
+The Delta/Iceberg data-skipping analog over the versioned layer:
+publish-time footer stats (`filestats.py`), whole-file pruning in
+`read_versioned(predicates=...)`, sidecar-backed physical identity for
+the CDF's churn pruning, and file-level diff pruning on plain layouts.
+Every pruned result is pinned EQUAL to its unpruned twin — pruning is
+an optimization, never a semantics change.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from animaltrackingetls_spark import filestats as fs
+from animaltrackingetls_spark import inventory as inv
+from animaltrackingetls_spark.operators import versioning as V
+
+
+def _table(spark, tmp_path, name, n=20_000, target_files=6):
+    t = str(tmp_path / name)
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("g"),
+        F.col("id").cast("double").alias("x"),
+        F.concat(F.lit("s"), F.lpad(F.col("id").cast("string"), 7, "0"))
+        .alias("s"),
+    )
+    inv.upsert_parquet_versioned(spark, t, df, ["k"],
+                                 target_files=target_files)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# footer collection
+# ---------------------------------------------------------------------------
+
+
+def test_file_entry_types_and_nulls(spark, tmp_path):
+    p = str(tmp_path / "one")
+    rows = [
+        (1, 2.5, "aa", dt.date(2024, 1, 3),
+         dt.datetime(2024, 1, 3, 12, 0, 0), True),
+        (9, None, "zz", dt.date(2024, 6, 1), None, False),
+    ]
+    spark.createDataFrame(
+        rows, "i long, f double, s string, d date, t timestamp, b boolean"
+    ).coalesce(1).write.parquet(p)
+    f = [os.path.join(p, x) for x in os.listdir(p)
+         if x.endswith(".parquet") or x.startswith("part-")][0]
+    e = fs.file_entry(f)
+    assert e["rows"] == 2
+    c = e["cols"]
+    assert c["i"] == {"t": "i", "lo": 1, "hi": 9, "nulls": 0}
+    assert c["f"]["lo"] == 2.5 and c["f"]["hi"] == 2.5 and c["f"]["nulls"] == 1
+    assert c["s"] == {"t": "s", "lo": "aa", "hi": "zz", "nulls": 0}
+    assert c["d"]["t"] == "d" and c["d"]["lo"] == "2024-01-03"
+    # Spark's default INT96 timestamp encoding carries NO parquet
+    # statistics (legacy type) — the column is honestly un-statted,
+    # never wrongly bounded
+    assert "t" not in c
+    assert c["b"] == {"t": "b", "lo": False, "hi": True, "nulls": 0}
+
+
+def test_file_entry_timestamp_micros(spark, tmp_path):
+    """With the modern TIMESTAMP_MICROS encoding, timestamp bounds ARE
+    collected (pyarrow hands back tz-aware UTC datetimes; the sidecar
+    stores naive-UTC ISO strings)."""
+    p = str(tmp_path / "tsmicros")
+    key = "spark.sql.parquet.outputTimestampType"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        spark.createDataFrame(
+            [(dt.datetime(2024, 1, 3, 12, 0, 0),),
+             (dt.datetime(2024, 2, 1, 0, 0, 0),)], "t timestamp"
+        ).coalesce(1).write.parquet(p)
+    finally:
+        spark.conf.set(key, old)
+    f = [os.path.join(p, x) for x in os.listdir(p)
+         if x.startswith("part-")][0]
+    c = fs.file_entry(f)["cols"]["t"]
+    assert c["t"] == "t"
+    assert c["lo"] == "2024-01-03T12:00:00"
+    assert c["hi"] == "2024-02-01T00:00:00"
+    # pruning compares in naive-UTC datetime space
+    e = {"cols": {"t": c}}
+    assert not fs.keep_file(
+        e, fs._check_predicates([("t", "<", dt.datetime(2024, 1, 1))]))
+    assert fs.keep_file(
+        e, fs._check_predicates([("t", "<", dt.datetime(2024, 1, 10))]))
+
+
+def test_keep_file_semantics():
+    e = {"cols": {
+        "k": {"t": "i", "lo": 100, "hi": 200, "nulls": 0},
+        "x": {"t": "f", "lo": 1.0, "hi": 2.0, "nulls": 3},
+        "s": {"t": "s", "lo": "bb", "hi": "dd", "nulls": 0},
+    }}
+    keep = lambda *preds: fs.keep_file(e, fs._check_predicates(list(preds)))
+    # int: full two-sided pruning
+    assert not keep(("k", "<", 100))
+    assert keep(("k", "<=", 100))
+    assert not keep(("k", ">", 200))
+    assert keep(("k", ">=", 200))
+    assert not keep(("k", "=", 99)) and not keep(("k", "=", 201))
+    assert keep(("k", "=", 150))
+    assert not keep(("k", "in", [1, 2, 300])) and keep(("k", "in", [1, 150]))
+    # conjunctions: any failing predicate prunes
+    assert not keep(("k", "=", 150), ("s", "=", "zz"))
+    # strings
+    assert not keep(("s", "<", "bb")) and keep(("s", "<=", "bb"))
+    # floats: min-side + equality prune, max-side NEVER (Spark NaN order)
+    assert not keep(("x", "<", 1.0))
+    assert not keep(("x", "=", 0.5))
+    assert keep(("x", ">", 2.0))       # NaN could be present and match
+    assert keep(("x", ">=", 99.0))
+    assert not keep(("x", "<=", 0.5))
+    # NaN literal never prunes
+    assert keep(("x", "=", float("nan")))
+    # missing column / incomparable literal never prunes
+    assert keep(("missing", "=", 1)) and keep(("k", "=", "not-an-int"))
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        keep(("k", "!=", 1))
+
+
+# ---------------------------------------------------------------------------
+# publish-time sidecars + pruned reads
+# ---------------------------------------------------------------------------
+
+
+def test_sidecar_written_and_pruned_read_exact(spark, tmp_path):
+    t = _table(spark, tmp_path, "t1", n=60_000)
+    v = inv._current_version(t)
+    stats = fs.read_stats(t, v)
+    assert stats is not None and len(stats["files"]) >= 2
+    for e in stats["files"].values():
+        assert {"rows", "size", "ino", "cols"} <= set(e)
+
+    # cluster on (k, g) so the k predicate localizes to few files
+    inv.optimize_versioned(spark, t, ["k", "g"], target_bytes=120_000)
+    preds = [("k", "<", 500)]
+    kept, total = inv.files_scanned(t, predicates=preds)
+    assert total >= 4 and kept < total  # real whole-file skipping
+    pruned = inv.read_versioned(spark, t, predicates=preds)
+    full = inv.read_versioned(spark, t).filter(F.col("k") < 500)
+    assert pruned.exceptAll(full).isEmpty()
+    assert full.exceptAll(pruned).isEmpty()
+    assert pruned.count() == 500
+
+
+def test_missing_sidecar_is_never_an_error(spark, tmp_path):
+    t = _table(spark, tmp_path, "t2", n=2_000, target_files=2)
+    v = inv._current_version(t)
+    os.unlink(os.path.join(t, v, fs.STATS_SIDECAR))
+    kept, total = inv.files_scanned(t, predicates=[("k", "<", 10)])
+    assert (kept, total) == (total, total)  # no stats -> no skipping
+    got = inv.read_versioned(spark, t, predicates=[("k", "<", 10)])
+    assert got.count() == 10  # residual filter keeps results exact
+
+
+def test_float_nan_rows_survive_pruned_reads(spark, tmp_path):
+    t = str(tmp_path / "nan")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 7, F.lit(float("nan")))
+        .otherwise(F.col("id").cast("double")).alias("x"),
+    )
+    inv.upsert_parquet_versioned(spark, t, df, ["k"], target_files=4)
+    # Spark orders NaN above every double: x >= 1e9 matches ONLY the
+    # NaN row. Max-side float pruning would skip its file; ours must not.
+    got = inv.read_versioned(spark, t, predicates=[("x", ">=", 1e9)])
+    assert [r["k"] for r in got.collect()] == [7]
+
+
+def test_empty_prune_result_keeps_schema(spark, tmp_path):
+    t = _table(spark, tmp_path, "t3", n=1_000, target_files=2)
+    got = inv.read_versioned(spark, t, predicates=[("k", ">", 10**9)])
+    assert got.count() == 0
+    assert set(got.columns) == {"k", "g", "x", "s"}
+
+
+# ---------------------------------------------------------------------------
+# carry-forward + identity
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("link_mode", ["hardlink", "manifest"])
+def test_bucketed_carry_forward_and_identity(spark, tmp_path, link_mode):
+    t = str(tmp_path / f"b_{link_mode}")
+    df = spark.range(0, 8_000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("x"))
+    kw = dict(n_buckets=8, keep_versions=4, link_mode=link_mode)
+    inv.upsert_parquet_versioned_partitioned(spark, t, df, ["k"], **kw)
+    upd = df.filter(F.col("k") == 0).withColumn("x", F.col("x") + 0.5)
+    inv.upsert_parquet_versioned_partitioned(spark, t, upd, ["k"], **kw)
+    v1, v2 = inv.list_versions(t)
+    s1, s2 = fs.read_stats(t, v1), fs.read_stats(t, v2)
+    # a one-key upsert rewrites exactly one bucket: every v1 file NOT
+    # physically shared with v2 lives in that single bucket dir
+    ident = lambda s: {
+        (e["ino"], e["size"]) for e in s["files"].values()
+    }
+    shared = ident(s1) & ident(s2)
+    stale_buckets = {
+        k.split("/")[-2]
+        for k, e in s1["files"].items()
+        if (e["ino"], e["size"]) not in shared
+    }
+    assert len(stale_buckets) == 1
+
+    # sidecar-backed identity == the walk's answer
+    from_stats = inv._bucket_identity(t, v2)
+    os.unlink(os.path.join(t, v2, fs.STATS_SIDECAR))
+    walked = inv._bucket_identity(t, v2)
+    assert from_stats == walked
+
+    changed = inv.identity_changed_buckets(t, v1, v2)
+    assert changed is not None and len(changed) == 1
+
+
+def test_stats_roundtrip_clone_restore_optimize(spark, tmp_path):
+    t = _table(spark, tmp_path, "rt", n=4_000, target_files=3)
+    # CLONE: fresh sidecar under the clone's own version names
+    c = str(tmp_path / "rt_clone")
+    inv.clone_versioned(spark, t, c)
+    cv = inv._current_version(c)
+    cs = fs.read_stats(c, cv)
+    assert cs is not None
+    assert all(k.startswith(cv + "/") for k in cs["files"])
+    got = inv.read_versioned(spark, c, predicates=[("k", "<", 100)])
+    assert got.count() == 100
+
+    # RESTORE: hardlinked files carry identity; zero-churn CDF proves it
+    inv.upsert_parquet_versioned(
+        spark, t,
+        inv.read_versioned(spark, t).limit(0), ["k"], keep_versions=4)
+    vs = inv.list_versions(t)
+    inv.restore_versioned(spark, t, vs[0], keep_versions=4)
+    vs = inv.list_versions(t)
+    cf = inv.identity_changed_files(t, vs[0], vs[-1])
+    assert cf == (set(), set())  # restore shares every file
+    d = V.table_changes(spark, t, ["k"],
+                        from_version=vs[0], to_version=vs[-1])
+    assert d.count() == 0
+
+    # OPTIMIZE: new files, fresh stats, pruned read exact
+    inv.optimize_versioned(spark, t, ["k", "g"], target_bytes=100_000,
+                           keep_versions=4)
+    ov = inv._current_version(t)
+    assert fs.read_stats(t, ov) is not None
+    got = inv.read_versioned(spark, t, predicates=[("g", "=", 11)])
+    full = inv.read_versioned(spark, t).filter(F.col("g") == 11)
+    assert got.exceptAll(full).isEmpty() and full.exceptAll(got).isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# file-level CDF pruning (plain layout)
+# ---------------------------------------------------------------------------
+
+
+def test_plain_file_pruned_diff_equals_full_diff(spark, tmp_path):
+    """The exactness pin: table_changes through identity_changed_files
+    equals the brute-force corpus_diff over full snapshot reads, on a
+    lineage where snapshots genuinely share files (restore + upsert)."""
+    t = _table(spark, tmp_path, "cdfp", n=6_000, target_files=4)
+    inv.restore_versioned(spark, t, inv._current_version(t),
+                          keep_versions=6)
+    upd = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("g"),
+        F.lit(-1.0).alias("x"), F.lit("upd").alias("s"))
+    inv.upsert_parquet_versioned(spark, t, upd, ["k"], keep_versions=6)
+    vs = inv.list_versions(t)
+    v_old, v_new = vs[0], vs[-1]
+
+    pruned = V.table_changes(spark, t, ["k"],
+                             from_version=v_old, to_version=v_new)
+    brute = V.corpus_diff(
+        inv.read_versioned(spark, t, v_old),
+        inv.read_versioned(spark, t, v_new), ["k"])
+    assert pruned.exceptAll(brute).isEmpty()
+    assert brute.exceptAll(pruned).isEmpty()
+    assert pruned.filter(F.col("change") == "changed").count() == 20
