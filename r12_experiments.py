@@ -1,0 +1,208 @@
+"""Round-12 measurement harnesses (SCALING.md rows come from here).
+
+Subcommands:
+
+* ``skipping`` — the round-11 verdict's top task, measured: per-file
+  column stats + whole-file skipping on a 10M-row z-ordered plain
+  table under a selective predicate. Reports files-opened and
+  wall-time for (a) the stats-pruned read, (b) the same predicate as a
+  plain filter over the full scan (row-group pruning only), and (c)
+  the pre-stats fallback (sidecar removed). Also the bucketed-table
+  variant, and the plain-layout CDF's file-identity pruning cost.
+* ``packbisect`` — the isolated 6-run-floor protocol on
+  ``pack_documents`` (+24% raw in the r11 bench at 8% own spread,
+  ``pretrain.py`` untouched — r11 verdict "what's wrong" #1): fresh
+  process per tree (current, r11 = 8566e97, r10 = 45a4e18), numpy-GEMM
+  calibration in the same process, so code effects separate from
+  machine state by construction.
+
+Run on a settled machine; each prints its SCALING.md-ready lines.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+
+
+_PACK_FLOOR_SNIPPET = r'''
+import json, time
+import numpy as np
+import sys
+sys.path.insert(0, ".")
+from animaltrackingetls_spark.session import get_spark
+import __spark_entry__ as entry
+
+spark = get_spark(master="local[32]",
+                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+SF = "/root/testdata/sf0.1"
+entry._t(spark, SF, "documents").count()
+q = entry.queries()["pack_documents"]
+times = []
+for _ in range(7):
+    t0 = time.monotonic(); q(spark, SF).count()
+    times.append(time.monotonic() - t0)
+gemm = []
+A = np.random.default_rng(7).random((1024, 1024)); B = A.T.copy()
+for _ in range(5):
+    g0 = time.monotonic(); A @ B; gemm.append(time.monotonic() - g0)
+print("FLOOR_JSON " + json.dumps({
+    "floor": round(min(times[1:]), 3),
+    "runs": [round(t, 3) for t in times],
+    "gemm": round(min(gemm[2:]), 4),
+}))
+'''
+
+
+def packbisect() -> None:
+    import os
+
+    trees = [("current", "/root/repo")]
+    for label, ref in (("r11-8566e97", "8566e97"), ("r10-45a4e18", "45a4e18")):
+        wt = f"/tmp/r12_bisect_{ref}"
+        if not os.path.isdir(wt):
+            subprocess.run(
+                ["git", "worktree", "add", "--detach", wt, ref],
+                cwd="/root/repo", check=True, capture_output=True,
+            )
+        trees.append((label, wt))
+    results = {}
+    for label, cwd in trees:
+        out = subprocess.run(
+            [sys.executable, "-c", _PACK_FLOOR_SNIPPET], cwd=cwd,
+            capture_output=True, text=True, timeout=900,
+        )
+        line = [l for l in out.stdout.splitlines()
+                if l.startswith("FLOOR_JSON ")]
+        if not line:
+            print(f"{label}: FAILED\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+            continue
+        results[label] = json.loads(line[0][len("FLOOR_JSON "):])
+        r = results[label]
+        print(f"pack_documents isolated floor [{label}]: "
+              f"{r['floor']:.3f}s (runs {r['runs']}, gemm {r['gemm']:.4f}s)",
+              flush=True)
+    if len(results) >= 2:
+        print("\nattribution: floors within ~10% of each other across "
+              "trees at matching gemm = the r11 bench delta was machine "
+              "state / bench-list position, not code; a tree whose floor "
+              "stands apart names the commit.")
+
+
+def skipping() -> None:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark import filestats as fstats
+    from animaltrackingetls_spark import inventory as inv
+    from animaltrackingetls_spark.session import get_spark
+
+    spark = get_spark(master="local[32]",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    tmp = tempfile.mkdtemp(prefix="r12skip_")
+    N = 10_000_000
+
+    def build(table, **kw):
+        df = spark.range(0, N).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 9973).alias("g"),
+            (F.hash(F.col("id")) % 100_000).cast("double").alias("x"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        if kw:
+            inv.upsert_parquet_versioned_partitioned(
+                spark, table, df, ["k"], **kw)
+        else:
+            inv.upsert_parquet_versioned(spark, table, df, ["k"])
+        return table
+
+    def timed(df):
+        t0 = time.monotonic()
+        n = df.count()
+        return n, time.monotonic() - t0
+
+    # --- plain table, z-ordered, many files -----------------------------
+    # 2 MiB targets force ~220 files so per-file costs (open, footer
+    # decode, scheduler task) are visible locally — the stand-in for an
+    # object store where every file is a GET round-trip.
+    t = build(os.path.join(tmp, "plain"))
+    inv.optimize_versioned(spark, t, ["k", "g"],
+                           target_bytes=2 * 1024 * 1024)
+
+    def measure(label, preds, cond, expect):
+        kept, total = inv.files_scanned(t, predicates=preds)
+        runs = {"pruned": [], "full": [], "nostats": []}
+        v = inv._current_version(t)
+        sidecar = os.path.join(t, v, fstats.STATS_SIDECAR)
+        saved = sidecar + ".saved"
+        for _ in range(4):
+            n1, s1 = timed(inv.read_versioned(spark, t, predicates=preds))
+            runs["pruned"].append(s1)
+            n2, s2 = timed(inv.read_versioned(spark, t).filter(cond))
+            runs["full"].append(s2)
+            os.replace(sidecar, saved)
+            try:
+                n3, s3 = timed(
+                    inv.read_versioned(spark, t, predicates=preds))
+            finally:
+                os.replace(saved, sidecar)
+            runs["nostats"].append(s3)
+            assert n1 == n2 == n3, (n1, n2, n3)
+            if expect is not None:
+                assert n1 == expect, (n1, expect)
+        floor = {k: min(v[1:]) for k, v in runs.items()}
+        print(f"[skipping/{label}] 10M rows, predicate selects {n1}: "
+              f"files {kept}/{total} opened; wall "
+              f"pruned={floor['pruned']:.3f}s "
+              f"full-scan+filter={floor['full']:.3f}s "
+              f"no-sidecar-fallback={floor['nostats']:.3f}s (floors of 3 "
+              "after warm-up; all three row-identical)", flush=True)
+
+    # 1-D predicate over a 2-D z-order: partial file pruning (the
+    # curve's interleaving spreads one dimension across files)
+    measure(
+        "plain-zorder-1d",
+        [("k", ">=", 1_000_000), ("k", "<", 1_050_000)],
+        (F.col("k") >= 1_000_000) & (F.col("k") < 1_050_000),
+        50_000,
+    )
+    # both z dimensions bounded: the clustering's design case
+    measure(
+        "plain-zorder-2d",
+        [("k", ">=", 1_000_000), ("k", "<", 2_000_000),
+         ("g", ">=", 100), ("g", "<", 200)],
+        (F.col("k") >= 1_000_000) & (F.col("k") < 2_000_000)
+        & (F.col("g") >= 100) & (F.col("g") < 200),
+        None,
+    )
+
+    # --- bucketed table: skipping composes with bucket layout ----------
+    preds = [("k", ">=", 1_000_000), ("k", "<", 1_050_000)]
+    cond = (F.col("k") >= 1_000_000) & (F.col("k") < 1_050_000)
+    b = build(os.path.join(tmp, "bucket"), n_buckets=64, keep_versions=2)
+    inv.optimize_versioned(spark, b, ["k", "g"],
+                           target_bytes=24 * 1024 * 1024)
+    kept_b, total_b = inv.files_scanned(b, predicates=preds)
+    n1, s1 = timed(inv.read_versioned(spark, b, predicates=preds))
+    n2, s2 = timed(inv.read_versioned(spark, b).filter(cond))
+    print(f"[skipping/bucketed-zorder] 64 buckets: files {kept_b}/{total_b} "
+          f"opened; wall pruned={s1:.3f}s full={s2:.3f}s "
+          f"(rows {n1}=={n2})", flush=True)
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else ""
+    if cmd == "skipping":
+        skipping()
+    elif cmd == "packbisect":
+        packbisect()
+    else:
+        print("usage: r12_experiments.py {skipping|packbisect}")
+        sys.exit(2)
