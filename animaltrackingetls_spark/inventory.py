@@ -479,6 +479,95 @@ def _read_commit_state(table_dir: str) -> tuple[str | None, dict[str, int]]:
     return current, _txn_marks_of(table_dir, current)
 
 
+def _cow_touched_files(
+    spark: SparkSession,
+    table_dir: str,
+    current: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> tuple[set[str], set[str], dict[str, str]] | None:
+    """The copy-on-write planning pass: which data files of the CURRENT
+    snapshot contain at least one updated key? Returns ``(touched_keys,
+    untouched_keys, {key: abspath})`` in stats-sidecar key space, or
+    ``None`` when CoW cannot be planned (no/stale sidecar — the caller
+    falls back to the full-rewrite merge, which is always correct).
+
+    Two phases, Delta MERGE's shape:
+
+    1. **Stats candidates** — one tiny aggregate derives the batch's
+       per-key-column min/max; files whose sidecar bounds exclude that
+       range cannot contain any updated key (our own write-time stats,
+       trusted as bounds; a file missing key stats stays a candidate).
+       On a key-clustered base (OPTIMIZE ZORDER / range layout) this
+       collapses candidates to the churn's neighborhood WITHOUT reading
+       anything. A batch carrying a NULL key skips this phase —
+       min/max ignore NULLs, so range pruning could miss the file
+       holding the NULL-keyed row (and the merge would duplicate it).
+    2. **Exact probe** — scan ONLY the candidates' key columns (column-
+       pruned), tag rows with ``input_file_name()``, left-semi join the
+       batch's keys (NULL-safe, AQE broadcasts the churn-sized side):
+       the distinct file list is exactly the files whose rows the merge
+       must rewrite. The collect is bounded by the snapshot's file
+       count, never its rows.
+    """
+    import os
+    from urllib.parse import unquote, urlparse
+
+    from . import filestats
+
+    stats = filestats.read_stats(table_dir, current)
+    if stats is None or not stats.get("files"):
+        return None
+    all_files = _snapshot_files(table_dir, current)
+    if set(all_files) != set(stats["files"]):
+        return None  # sidecar out of sync with the directory: distrust
+
+    null_checks = [
+        F.max(F.col(k).isNull().cast("int")).alias(f"_n_{k}")
+        for k in key_cols
+    ]
+    aggs = []
+    for k in key_cols:
+        aggs += [F.min(k).alias(f"_lo_{k}"), F.max(k).alias(f"_hi_{k}")]
+    row = updates.agg(*aggs, *null_checks).first()
+    has_null_key = any(row[f"_n_{k}"] for k in key_cols)
+    preds: list[tuple] = []
+    if not has_null_key:
+        for k in key_cols:
+            lo, hi = row[f"_lo_{k}"], row[f"_hi_{k}"]
+            if lo is None or hi is None:
+                return (set(), set(all_files), all_files)  # empty batch
+            preds += [(k, ">=", lo), (k, "<=", hi)]
+    try:
+        cand, _total = (
+            filestats.prune_files(stats, preds)
+            if preds else (set(all_files), len(all_files))
+        )
+    except ValueError:
+        cand = set(all_files)  # unprunable key type: probe everything
+    if not cand:
+        return set(), set(all_files), all_files
+
+    cdf = _snapshot_df_files(spark, table_dir, current, cand).select(
+        *key_cols
+    ).withColumn("_f", F.input_file_name())
+    upd_keys = updates.select(*key_cols)
+    touched_uris = [
+        r["_f"]
+        for r in cdf.join(
+            upd_keys,
+            on=_null_safe_cond(cdf, upd_keys, key_cols),
+            how="left_semi",
+        ).select("_f").distinct().collect()
+    ]
+    path_to_key = {os.path.abspath(p): k for k, p in all_files.items()}
+    touched: set[str] = set()
+    for uri in touched_uris:
+        p = unquote(urlparse(uri).path)
+        touched.add(path_to_key[os.path.abspath(p)])
+    return touched, set(all_files) - touched, all_files
+
+
 def upsert_parquet_versioned(
     spark: SparkSession,
     table_dir: str,
@@ -490,6 +579,7 @@ def upsert_parquet_versioned(
     target_files: int | None = None,
     retries: int = 2,
     merge_schema: bool = False,
+    cow: bool = False,
 ) -> DataFrame:
     """Keyed upsert with SNAPSHOT-ATOMIC publish — closes the
     `upsert_parquet` transactionality gap without a lake format.
@@ -552,6 +642,24 @@ def upsert_parquet_versioned(
     single-file (or n-file) snapshot layout is wanted; default lets
     AQE pick — one file for catalog-sized tables, parallel files at
     scale.
+
+    **Copy-on-write merge** (``cow=True``, round 12 — Delta MERGE's
+    file-granular rewrite): instead of rewriting the whole table, the
+    planner (:func:`_cow_touched_files`) finds the files that contain
+    at least one updated key (stats-sidecar range pruning, then an
+    exact key-column probe), rewrites ONLY their rows merged with the
+    batch, and hardlinks every untouched file into the new version —
+    per-commit cost tracks the churn's file neighborhood, not the
+    table, and successive versions physically SHARE files, which is
+    what turns on file-identity churn pruning for plain-layout CDF
+    diffs and pump polls (:func:`identity_changed_files`). Exact same
+    merge semantics as the default (pinned equal in tests); falls back
+    to the full rewrite when no stats sidecar exists or the batch
+    evolves the schema (mixed per-file schemas would break the
+    pinned-schema snapshot read). Trade-off vs the bucketed layout:
+    no layout sidecar or bucket count to choose, but the probe pays a
+    key-column scan of candidate files per commit, and file counts
+    grow with churn spread until ``compact_versioned`` runs.
     """
     import json
     import os
@@ -583,6 +691,7 @@ def upsert_parquet_versioned(
 
         version: str | None = None
         try:
+            carry: dict[str, str] = {}
             if current is None:
                 # first write: dedupe WITHIN the batch through the same
                 # window later merges apply — the one-row-per-key contract
@@ -593,12 +702,48 @@ def upsert_parquet_versioned(
                 )
                 seq = 1
             else:
-                existing = spark.read.parquet(
-                    os.path.join(table_dir, current)
-                )
-                merged = merge_upsert(existing, updates, key_cols,
-                                      merge_schema=merge_schema)
                 seq = int(current.split("-")[1]) + 1
+                cow_plan = (
+                    _cow_touched_files(
+                        spark, table_dir, current, updates, key_cols
+                    )
+                    if cow else None
+                )
+                if cow_plan is not None:
+                    touched, untouched, all_files = cow_plan
+                    old_rows = _snapshot_df_files(
+                        spark, table_dir, current, touched
+                    )
+                    if set(updates.columns) != set(old_rows.columns):
+                        # schema evolution rewrites every file (mixed
+                        # per-file schemas would break the pinned-schema
+                        # snapshot read) — same posture as the bucketed
+                        # writer's evolution full-rewrite
+                        cow_plan = None
+                    else:
+                        merged = merge_upsert(old_rows, updates, key_cols)
+                        if target_files is None:
+                            # like-for-like file count: the rewrite
+                            # REPLACES the touched files, so emit about
+                            # that many (AQE's parallelismFirst default
+                            # would otherwise leave one tiny file per
+                            # shuffle partition and the snapshot's file
+                            # count would grow by n_shuffle per commit).
+                            # repartition, NOT coalesce: coalesce would
+                            # pull the merge window itself into the few
+                            # output tasks (measured 2.8 s single-task
+                            # for one file's rows); the extra exchange
+                            # moves only the rewritten rows.
+                            merged = merged.repartition(
+                                max(1, len(touched))
+                            )
+                        carry = {k: all_files[k] for k in untouched}
+                if cow_plan is None:
+                    existing = spark.read.parquet(
+                        os.path.join(table_dir, current)
+                    )
+                    merged = merge_upsert(existing, updates, key_cols,
+                                          merge_schema=merge_schema)
 
             version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
             # Distributed write: the merge plan reads the CURRENT version
@@ -612,6 +757,22 @@ def upsert_parquet_versioned(
             # ceiling of the whole sink; see SCALING.md round 9.)
             out = merged.coalesce(target_files) if target_files else merged
             out.write.mode("error").parquet(os.path.join(table_dir, version))
+            # copy-on-write carry: untouched files hardlink into the new
+            # version AFTER the rewrite lands (zero bytes copied; link
+            # targets are immutable snapshot files). Spark part names
+            # carry a per-job UUID, so collisions are vanishing — the
+            # rename guard keeps even that case safe.
+            vdir = os.path.join(table_dir, version)
+            for key in sorted(carry):
+                src = carry[key]
+                dst = os.path.join(vdir, os.path.basename(src))
+                if os.path.exists(dst):
+                    dst = os.path.join(
+                        vdir,
+                        f"cow-{uuid.uuid4().hex[:8]}-"
+                        f"{os.path.basename(src)}",
+                    )
+                os.link(src, dst)
         except Exception as err:
             # base pruned mid-scan by a concurrent winner's retention
             # (keep_versions=1): a conflict, not an IO failure — but
@@ -956,6 +1117,7 @@ def delete_versioned(
     txn_app_id: str | None = None,
     txn_version: int | None = None,
     retries: int = 2,
+    cow: bool = False,
 ) -> DataFrame:
     """Keyed DELETE from a versioned table — the right-to-be-forgotten
     operation (GDPR/erasure requests) every long-lived training-data
@@ -981,7 +1143,13 @@ def delete_versioned(
     the buckets the deletion keys map into are read (PartitionFilters)
     and rewritten; every untouched bucket hardlinks into the new
     snapshot. On a plain table the snapshot is rewritten through the
-    anti join (the honest full-merge cost model).
+    anti join (the honest full-merge cost model) — unless ``cow=True``
+    (round 12), which plans the files containing doomed keys via the
+    same two-phase pass as the CoW upsert (:func:`_cow_touched_files`),
+    anti-joins ONLY their rows, and hardlinks every untouched file:
+    delete cost tracks the churn, and surviving versions share files
+    (churn-pruned CDF). Falls back to the full rewrite when no stats
+    sidecar exists.
     """
     import os
     import shutil
@@ -1024,12 +1192,42 @@ def delete_versioned(
 
         try:
             if layout is None:
-                existing = spark.read.parquet(cdir)
+                carry: dict[str, str] = {}
+                cow_plan = (
+                    _cow_touched_files(
+                        spark, table_dir, current, kdf, key_cols
+                    )
+                    if cow else None
+                )
+                if cow_plan is not None:
+                    touched_f, untouched_f, all_files = cow_plan
+                    existing = _snapshot_df_files(
+                        spark, table_dir, current, touched_f
+                    )
+                    carry = {k: all_files[k] for k in untouched_f}
+                else:
+                    existing = spark.read.parquet(cdir)
                 remaining = existing.join(
                     F.broadcast(kdf), on=_null_safe_cond(existing, kdf, key_cols),
                     how="left_anti",
                 )
+                if cow_plan is not None:
+                    # like-for-like file count, parallel anti-join (see
+                    # the CoW upsert's repartition-not-coalesce note)
+                    remaining = remaining.repartition(
+                        max(1, len(touched_f))
+                    )
                 remaining.write.mode("error").parquet(vdir)
+                for key in sorted(carry):
+                    src = carry[key]
+                    dst = os.path.join(vdir, os.path.basename(src))
+                    if os.path.exists(dst):
+                        dst = os.path.join(
+                            vdir,
+                            f"cow-{uuid.uuid4().hex[:8]}-"
+                            f"{os.path.basename(src)}",
+                        )
+                    os.link(src, dst)
                 untouched: list[str] = []
             else:
                 n_buckets = layout["n_buckets"]
@@ -2554,7 +2752,11 @@ def optimize_versioned(
     row-group min/max stats gain locality for the z columns while the
     key->bucket mapping is untouched); manifest-mode tables publish a
     fully-materialized snapshot (references re-accumulate on later
-    upserts). Always rewrites — clustering is the caller's explicit
+    upserts). A SINGLE column (round 12) degenerates the curve to a
+    plain range-sort — any orderable type, no numeric quantization —
+    the strongest layout for one-column predicates and for
+    copy-on-write merges keyed on that column (a key-local churn
+    collapses into few files; see ``upsert_parquet_versioned(cow=)``). Always rewrites — clustering is the caller's explicit
     request, unlike compaction's file-count no-op. On a CAS conflict
     (an upsert landed mid-rewrite) it backs off like the compactor:
     housekeeping retries on the next schedule, never contends.
@@ -2570,10 +2772,8 @@ def optimize_versioned(
 
     from .operators.layout import write_zordered_nd, zvalue_expr_nd
 
-    if len(zorder_cols) < 2:
-        raise ValueError(
-            f"optimize_versioned z-orders >= 2 columns, got {zorder_cols}"
-        )
+    if not zorder_cols:
+        raise ValueError("optimize_versioned needs at least one column")
     current = _current_version(table_dir)
     if current is None:
         raise FileNotFoundError(f"no published snapshot under {table_dir}")
@@ -2608,25 +2808,27 @@ def optimize_versioned(
     missing = [c for c in zorder_cols if c not in df.columns]
     if missing:
         raise ValueError(f"table lacks z-order columns: {missing}")
-    # guarded range probe (round-11 self-review finding #3): an
-    # all-NULL / non-numeric column raises a NAMED error instead of
-    # float(None); a constant column widens to a unit range (every row
-    # quantizes to cell 0 on that axis — harmless, never a crash)
-    cast = [F.col(c).try_cast("double") for c in zorder_cols]
-    aggs = []
-    for c, x in zip(zorder_cols, cast):
-        aggs += [F.min(x).alias(f"{c}__lo"), F.max(x).alias(f"{c}__hi")]
-    probe = df.agg(*aggs).first()
-    ranges = []
-    for c in zorder_cols:
-        lo, hi = probe[f"{c}__lo"], probe[f"{c}__hi"]
-        if lo is None or hi is None:
-            raise ValueError(
-                f"z-order column {c!r} is all-NULL or not numeric-"
-                "castable; cannot derive a quantization range"
-            )
-        lo, hi = float(lo), float(hi)
-        ranges.append((lo, hi if hi > lo else lo + 1.0))
+    if len(zorder_cols) > 1:
+        # guarded range probe (round-11 self-review finding #3): an
+        # all-NULL / non-numeric column raises a NAMED error instead of
+        # float(None); a constant column widens to a unit range (every
+        # row quantizes to cell 0 on that axis — harmless, never a
+        # crash)
+        cast = [F.col(c).try_cast("double") for c in zorder_cols]
+        aggs = []
+        for c, x in zip(zorder_cols, cast):
+            aggs += [F.min(x).alias(f"{c}__lo"), F.max(x).alias(f"{c}__hi")]
+        probe = df.agg(*aggs).first()
+        ranges = []
+        for c in zorder_cols:
+            lo, hi = probe[f"{c}__lo"], probe[f"{c}__hi"]
+            if lo is None or hi is None:
+                raise ValueError(
+                    f"z-order column {c!r} is all-NULL or not numeric-"
+                    "castable; cannot derive a quantization range"
+                )
+            lo, hi = float(lo), float(hi)
+            ranges.append((lo, hi if hi > lo else lo + 1.0))
     # The full-snapshot rewrite reads the base it is clustering; at
     # keep_versions=1 a concurrent upsert can prune that base mid-scan.
     # Same conversion every other writer applies (round-11 ADVICE #2):
@@ -2634,7 +2836,33 @@ def optimize_versioned(
     # the compactor-style conflict back-off instead of a raw
     # FileNotFoundError leaving a half-written version directory.
     try:
-        if layout is None:
+        if len(zorder_cols) == 1:
+            # 1-D clustering IS a sort (no curve to interleave): plain
+            # tables range-partition + sort on the column — disjoint
+            # per-file value ranges, the strongest layout for
+            # single-column predicates AND for copy-on-write merges
+            # keyed on it (the churn's keys collapse into few files) —
+            # works for ANY orderable type, no numeric quantization;
+            # bucketed tables sort within each bucket.
+            c = F.col(zorder_cols[0]).asc_nulls_last()
+            if layout is None:
+                n_out = max(1, math.ceil(total / max(1, target_bytes)))
+                (
+                    df.repartitionByRange(n_out, c)
+                    .sortWithinPartitions(c)
+                    .write.mode("error")
+                    .parquet(vdir)
+                )
+            else:
+                (
+                    df.repartition(layout["n_buckets"], F.col(_BUCKET_COL))
+                    .sortWithinPartitions(F.col(_BUCKET_COL), c)
+                    .write.mode("error")
+                    .partitionBy(_BUCKET_COL)
+                    .parquet(vdir)
+                )
+                _emit_untouched(table_dir, current, vdir, [], layout)
+        elif layout is None:
             n_out = max(1, math.ceil(total / max(1, target_bytes)))
             write_zordered_nd(df, vdir, list(zorder_cols), ranges=ranges,
                               bits=bits, n_files=n_out, mode="error")

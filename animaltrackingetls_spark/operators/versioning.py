@@ -523,8 +523,12 @@ def _dest_upsert(spark, dest_dir, payload, key_cols, keep_versions=2,
     bucket-partitioned destination (created beforehand with
     upsert_parquet_versioned_partitioned) keeps its pruned merge —
     per-poll cost proportional to the churn's buckets — while a plain
-    destination uses the full-merge writer. delete_versioned is
-    layout-aware on its own."""
+    destination merges COPY-ON-WRITE (round 12): only the files holding
+    updated keys rewrite, untouched files hardlink forward, so a plain
+    pump destination's per-poll cost also tracks the churn (and its
+    versions share files, keeping ITS downstream CDF churn-pruned).
+    CoW falls back to the full merge when no stats sidecar exists.
+    delete_versioned is layout-aware on its own."""
     from ..inventory import (
         _table_layout,
         upsert_parquet_versioned,
@@ -534,7 +538,8 @@ def _dest_upsert(spark, dest_dir, payload, key_cols, keep_versions=2,
     layout = _table_layout(dest_dir)
     if layout is None:
         upsert_parquet_versioned(spark, dest_dir, payload, key_cols,
-                                 keep_versions=keep_versions, **txn)
+                                 keep_versions=keep_versions, cow=True,
+                                 **txn)
     else:
         upsert_parquet_versioned_partitioned(
             spark, dest_dir, payload, key_cols,
@@ -645,7 +650,9 @@ def pump_changes_once(
         payload = src_now.join(
             ups_keys, on=_null_safe_cond(src_now, ups_keys, key_cols),
             how="left_semi",
-        )
+        ).localCheckpoint()  # churn-sized; the dest's CoW writer reads
+        # it three times (planning agg, key probe, merge) — pin the
+        # join once instead of re-scanning the changed source files
         _dest_upsert(
             spark, dest_dir, payload, key_cols,
             keep_versions=dest_keep_versions,
@@ -657,7 +664,7 @@ def pump_changes_once(
         )
         delete_versioned(
             spark, dest_dir, removed, key_cols,
-            keep_versions=dest_keep_versions,
+            keep_versions=dest_keep_versions, cow=True,
             txn_app_id=f"{app_id}#del", txn_version=seq,
         )
     advance()
@@ -714,7 +721,7 @@ def bootstrap_cdc_dest(
     if not stale.isEmpty():
         delete_versioned(
             spark, dest_dir, stale, key_cols,
-            keep_versions=dest_keep_versions,
+            keep_versions=dest_keep_versions, cow=True,
             txn_app_id=f"{app_id}#del", txn_version=seq,
         )
     import uuid

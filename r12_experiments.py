@@ -197,12 +197,111 @@ def skipping() -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def cowmerge() -> None:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark import filestats as fstats
+    from animaltrackingetls_spark import inventory as inv
+    from animaltrackingetls_spark.operators.versioning import (
+        pump_changes_once,
+    )
+    from animaltrackingetls_spark.session import get_spark
+
+    spark = get_spark(master="local[32]",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    tmp = tempfile.mkdtemp(prefix="r12cow_")
+    N = 10_000_000
+
+    def base_df():
+        return spark.range(0, N).select(
+            F.col("id").alias("k"),
+            (F.hash(F.col("id")) % 100_000).cast("double").alias("x"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+
+    def churn(n):
+        return spark.range(0, n).select(
+            F.col("id").alias("k"), F.lit(-1.0).alias("x"),
+            F.lit("updated").alias("payload"),
+        )
+
+    def build(table):
+        inv.upsert_parquet_versioned(spark, table, base_df(), ["k"],
+                                     keep_versions=3)
+        # key-SORTED files (1-col OPTIMIZE): the maintenance layout a
+        # key-churned CoW table runs — a key-local batch then touches
+        # few files. The (k, x-random) z-order tried first scattered
+        # every key range across all files (x's bits interleave) and
+        # CoW honestly carried 0 — the layout, not the planner.
+        inv.optimize_versioned(spark, table, ["k"],
+                               target_bytes=24 * 1024 * 1024,
+                               keep_versions=3)
+        return table
+
+    # --- merge cost: full rewrite vs CoW over the SAME clustered base
+    # (a full rewrite destroys the clustering, so sequential
+    # measurement on one table would hand CoW a spoiled layout)
+    t_full = build(os.path.join(tmp, "t_full"))
+    t_cow = build(os.path.join(tmp, "t_cow"))
+    for n in (1_000, 100_000):
+        u = churn(n)
+        t0 = time.monotonic()
+        inv.upsert_parquet_versioned(spark, t_full, u, ["k"],
+                                     keep_versions=3)
+        full_s = time.monotonic() - t0
+        t0 = time.monotonic()
+        inv.upsert_parquet_versioned(spark, t_cow, u, ["k"],
+                                     keep_versions=3, cow=True)
+        cow_s = time.monotonic() - t0
+        vs = inv.list_versions(t_cow)
+        s_prev = fstats.read_stats(t_cow, vs[-2])
+        s_now = fstats.read_stats(t_cow, vs[-1])
+        ident = lambda s: {(e["ino"], e["size"])
+                           for e in s["files"].values()}
+        carried = len(ident(s_prev) & ident(s_now))
+        print(f"[cowmerge/upsert] 10M rows, churn {n}: full-rewrite "
+              f"{full_s:.2f}s vs CoW {cow_s:.2f}s; CoW carried "
+              f"{carried}/{len(s_now['files'])} files", flush=True)
+
+    # --- plain-dest pump poll cost (the r11 task-6 measurement) --------
+    src = build(os.path.join(tmp, "src"))
+    dst, cur = os.path.join(tmp, "dst"), os.path.join(tmp, "cur")
+    t0 = time.monotonic()
+    pump_changes_once(spark, src, dst, cur, ["k"], dest_keep_versions=3)
+    boot_s = time.monotonic() - t0
+    # the dest bootstraps as one big write; optimize it so its CoW has
+    # a clustered layout to carry (the steady-state maintenance posture)
+    inv.optimize_versioned(spark, dst, ["k"],
+                           target_bytes=24 * 1024 * 1024, keep_versions=3)
+    for n in (1_000,):
+        inv.upsert_parquet_versioned(spark, src, churn(n), ["k"],
+                                     keep_versions=3, cow=True)
+        t0 = time.monotonic()
+        r = pump_changes_once(spark, src, dst, cur, ["k"],
+                              dest_keep_versions=3)
+        poll_s = time.monotonic() - t0
+        dvs = inv.list_versions(dst)
+        cf = inv.identity_changed_files(dst, dvs[-2], dvs[-1])
+        print(f"[cowmerge/pump] 10M PLAIN src+dst, churn {n}: poll "
+              f"{poll_s:.2f}s (bootstrap was {boot_s:.1f}s); applied "
+              f"{r['changed'] + r['added']} rows; dest rewrote "
+              f"{len(cf[1]) if cf else '?'} files", flush=True)
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else ""
     if cmd == "skipping":
         skipping()
     elif cmd == "packbisect":
         packbisect()
+    elif cmd == "cowmerge":
+        cowmerge()
     else:
-        print("usage: r12_experiments.py {skipping|packbisect}")
+        print("usage: r12_experiments.py {skipping|packbisect|cowmerge}")
         sys.exit(2)

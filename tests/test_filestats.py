@@ -286,3 +286,141 @@ def test_plain_file_pruned_diff_equals_full_diff(spark, tmp_path):
     assert pruned.exceptAll(brute).isEmpty()
     assert brute.exceptAll(pruned).isEmpty()
     assert pruned.filter(F.col("change") == "changed").count() == 20
+
+
+# ---------------------------------------------------------------------------
+# copy-on-write merge (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _cow_table(spark, tmp_path, name, n=100_000, files=8):
+    t = str(tmp_path / name)
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("x"),
+        F.md5(F.col("id").cast("string")).alias("p"),
+    )
+    inv.upsert_parquet_versioned(spark, t, df, ["k"],
+                                 target_files=files, keep_versions=6)
+    # key-clustered files so the CoW planner's stats phase localizes
+    inv.optimize_versioned(spark, t, ["k", "x"],
+                           target_bytes=700_000, keep_versions=6)
+    return t
+
+
+def test_cow_upsert_semantics_and_sharing(spark, tmp_path):
+    t = _cow_table(spark, tmp_path, "cow1")
+    v1 = inv._current_version(t)
+    upd = spark.range(0, 40).select(
+        F.col("id").alias("k"), F.lit(-1.0).alias("x"),
+        F.lit("u").alias("p"))
+    new_keys = spark.range(200_000, 200_010).select(
+        F.col("id").alias("k"), F.lit(9.0).alias("x"),
+        F.lit("n").alias("p"))
+    batch = upd.unionByName(new_keys)
+    inv.upsert_parquet_versioned(spark, t, batch, ["k"],
+                                 keep_versions=6, cow=True)
+    v2 = inv._current_version(t)
+
+    # exact merge semantics: pinned equal to the brute full merge
+    got = inv.read_versioned(spark, t)
+    brute = inv.merge_upsert(
+        inv.read_versioned(spark, t, v1), batch, ["k"])
+    assert got.exceptAll(brute).isEmpty()
+    assert brute.exceptAll(got).isEmpty()
+    assert got.count() == 100_010
+
+    # physical sharing: only the churn's file neighborhood rewrote
+    s1, s2 = fs.read_stats(t, v1), fs.read_stats(t, v2)
+    ident = lambda s: {(e["ino"], e["size"]) for e in s["files"].values()}
+    shared = ident(s1) & ident(s2)
+    assert len(shared) >= len(s1["files"]) - 2  # 40 clustered keys ~ 1 file
+
+    # which turns on plain-layout CDF churn pruning end to end
+    cf = inv.identity_changed_files(t, v1, v2)
+    assert cf is not None and len(cf[0]) <= 2
+    d = V.table_changes(spark, t, ["k"], from_version=v1, to_version=v2)
+    counts = {r["change"]: r["count"]
+              for r in d.groupBy("change").count().collect()}
+    assert counts == {"changed": 40, "added": 10}
+
+
+def test_cow_upsert_null_key_not_lost(spark, tmp_path):
+    t = str(tmp_path / "cownull")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "nul")], "k long, v string")
+    inv.upsert_parquet_versioned(spark, t, base, ["k"], keep_versions=4)
+    upd = spark.createDataFrame([(None, "NUL2")], "k long, v string")
+    inv.upsert_parquet_versioned(spark, t, upd, ["k"],
+                                 keep_versions=4, cow=True)
+    rows = {r["v"] for r in inv.read_versioned(spark, t).collect()}
+    assert rows == {"a", "b", "NUL2"}  # one NULL-keyed row, updated
+
+
+def test_cow_schema_evolution_falls_back(spark, tmp_path):
+    t = str(tmp_path / "cowevo")
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    inv.upsert_parquet_versioned(spark, t, base, ["k"], keep_versions=4)
+    upd = spark.createDataFrame([(2, "b", 7.5)],
+                                "k long, v string, w double")
+    inv.upsert_parquet_versioned(spark, t, upd, ["k"], keep_versions=4,
+                                 cow=True, merge_schema=True)
+    got = inv.read_versioned(spark, t)
+    assert set(got.columns) == {"k", "v", "w"}
+    assert got.count() == 2  # evolution full-rewrite, nothing lost
+
+
+def test_cow_delete_semantics_and_sharing(spark, tmp_path):
+    t = _cow_table(spark, tmp_path, "cowdel")
+    v1 = inv._current_version(t)
+    doomed = spark.range(10, 30).select(F.col("id").alias("k"))
+    inv.delete_versioned(spark, t, doomed, ["k"],
+                         keep_versions=6, cow=True)
+    v2 = inv._current_version(t)
+    got = inv.read_versioned(spark, t)
+    assert got.count() == 100_000 - 20
+    assert got.filter((F.col("k") >= 10) & (F.col("k") < 30)).count() == 0
+    s1, s2 = fs.read_stats(t, v1), fs.read_stats(t, v2)
+    ident = lambda s: {(e["ino"], e["size"]) for e in s["files"].values()}
+    assert len(ident(s1) & ident(s2)) >= len(s1["files"]) - 2
+
+
+def test_cow_pump_plain_dest_shares_files(spark, tmp_path):
+    """The chain the round-11 verdict asked for (task #6): CoW pump
+    writes => plain dest versions share files => the dest's own CDF is
+    churn-pruned — while the pump stays exactly-once through a replay."""
+    src = str(tmp_path / "psrc")
+    dst = str(tmp_path / "pdst")
+    cur = str(tmp_path / "pcur")
+    df = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("x"))
+    inv.upsert_parquet_versioned(spark, src, df, ["k"],
+                                 target_files=6, keep_versions=6)
+    # multi-file dest (AQE would otherwise coalesce 50k rows into one
+    # file, leaving CoW nothing to carry)
+    key = "spark.sql.files.maxRecordsPerFile"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "20000")
+    try:
+        r1 = V.pump_changes_once(spark, src, dst, cur, ["k"],
+                                 dest_keep_versions=6)
+        assert r1["added"] == 50_000
+        upd = spark.range(0, 25).select(
+            F.col("id").alias("k"), F.lit(-5.0).alias("x"))
+        inv.upsert_parquet_versioned(spark, src, upd, ["k"],
+                                     keep_versions=6, cow=True)
+        r2 = V.pump_changes_once(spark, src, dst, cur, ["k"],
+                                 dest_keep_versions=6)
+        assert r2["changed"] == 25
+    finally:
+        spark.conf.set(key, old)
+    # dest == source exactly
+    s = inv.read_versioned(spark, src)
+    d = inv.read_versioned(spark, dst)
+    assert s.exceptAll(d).isEmpty() and d.exceptAll(s).isEmpty()
+    # and the dest's two versions physically share most files
+    dvs = inv.list_versions(dst)
+    cf = inv.identity_changed_files(dst, dvs[-2], dvs[-1])
+    assert cf is not None
+    total = len(fs.read_stats(dst, dvs[-1])["files"])
+    assert len(cf[1]) < total  # some files carried, not a full rewrite

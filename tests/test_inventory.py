@@ -1855,8 +1855,21 @@ def test_optimize_versioned_zorder_both_layouts(spark, tmp_path):
 
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match=">= 2"):
-        optimize_versioned(spark, t, ["x"])
+    # a single column is VALID since round 12 (degenerates to a range
+    # sort — disjoint per-file value ranges, strongest 1-D clustering)
+    rep1 = optimize_versioned(spark, t, ["x"])
+    assert rep1["optimized"]
+    from animaltrackingetls_spark.filestats import read_stats
+    from animaltrackingetls_spark.inventory import _current_version
+    stats = read_stats(t, _current_version(t))
+    spans = sorted(
+        (e["cols"]["x"]["lo"], e["cols"]["x"]["hi"])
+        for e in stats["files"].values() if "x" in e["cols"]
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "1-col optimize must leave disjoint file ranges"
+    with _pytest.raises(ValueError, match="at least one"):
+        optimize_versioned(spark, t, [])
     with _pytest.raises(ValueError, match="lacks"):
         optimize_versioned(spark, t, ["x", "nope"])
 
