@@ -2502,6 +2502,7 @@ def upsert_group_versioned(
     txn_version: int | None = None,
     retries: int = 2,
     merge_schema: bool = False,
+    deletes: dict[str, DataFrame] | None = None,
 ) -> dict[str, str]:
     """Keyed upsert into N member tables of a group, committed
     ATOMICALLY: every table's new snapshot becomes visible in one
@@ -2522,6 +2523,15 @@ def upsert_group_versioned(
     new group state. A base snapshot pruned mid-merge by a concurrent
     winner (keep_versions=1) converts to a conflict the same way.
     Returns the committed ``{table: version}`` map.
+
+    ``deletes`` (round 12, for the group-consistent CDC pump) maps a
+    table name to a frame of keys to REMOVE in the same atomic commit:
+    the member's existing rows anti-join the doomed keys (NULL-safe)
+    before the batch merges in, so an upsert+delete pair against one
+    table — or upserts in one member and deletes in another — land
+    together or not at all. A table named only in ``deletes`` gets an
+    empty update batch of its own schema; its ``key_cols`` are the
+    delete frame's columns.
     """
     import os
     import shutil
@@ -2529,7 +2539,8 @@ def upsert_group_versioned(
 
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version must be given together")
-    if not batches:
+    deletes = dict(deletes or {})
+    if not batches and not deletes:
         raise ValueError("upsert_group_versioned needs at least one table")
 
     os.makedirs(group_dir, exist_ok=True)
@@ -2548,7 +2559,12 @@ def upsert_group_versioned(
         new_versions: dict[str, str] = {}
         written: list[str] = []
         try:
-            for t, (updates, key_cols) in batches.items():
+            work: dict[str, tuple[DataFrame | None, list[str] | None]] = {
+                t: (u, k) for t, (u, k) in batches.items()
+            }
+            for t in deletes:
+                work.setdefault(t, (None, None))
+            for t, (updates, key_cols) in work.items():
                 tdir = os.path.join(group_dir, t)
                 cur = versions.get(t)
                 if cur is not None and not os.path.isdir(
@@ -2558,6 +2574,13 @@ def upsert_group_versioned(
                     # e.g. a bloom rebuild): rewrite from scratch, same
                     # posture as read_versioned_group's existence check
                     cur = None
+                if updates is None:
+                    # delete-only member: empty batch of its own schema
+                    if cur is None:
+                        continue  # nothing exists, nothing to delete
+                    existing = spark.read.parquet(os.path.join(tdir, cur))
+                    key_cols = list(deletes[t].columns)
+                    updates = existing.limit(0)
                 if cur is None:
                     merged = merge_upsert(updates.limit(0), updates,
                                           key_cols,
@@ -2565,12 +2588,27 @@ def upsert_group_versioned(
                     seq = 1
                 else:
                     existing = spark.read.parquet(os.path.join(tdir, cur))
+                    if t in deletes:
+                        # atomic upsert+delete: doomed keys leave in the
+                        # SAME commit the batch lands in (NULL-safe,
+                        # like delete_versioned)
+                        kdf = deletes[t].dropDuplicates()
+                        existing = existing.join(
+                            F.broadcast(kdf),
+                            on=_null_safe_cond(existing, kdf,
+                                               list(kdf.columns)),
+                            how="left_anti",
+                        )
                     merged = merge_upsert(existing, updates, key_cols,
                                           merge_schema=merge_schema)
                     seq = int(cur.split("-")[1]) + 1
                 vname = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
                 vdir = os.path.join(tdir, vname)
                 merged.write.mode("error").parquet(vdir)
+                # member stats sidecar (round 12): same per-file column
+                # stats every single-table publish gets — group members
+                # are diffable/file-prunable by the group CDC pump
+                _collect_stats(tdir, vname, base_version=cur)
                 new_versions[t] = vname
                 written.append(vdir)
         except Exception as err:
@@ -2579,7 +2617,7 @@ def upsert_group_versioned(
                 and not os.path.isdir(
                     os.path.join(group_dir, t, versions[t])
                 )
-                for t in batches
+                for t in set(batches) | set(deletes)
             )
             if _base_pruned_error(err) and member_gone:
                 for d in written:

@@ -159,8 +159,11 @@ def corpus_diff(
     if compare_cols is None:
         shared = [c for c in old.columns if c in set(new.columns)]
         compare_cols = [c for c in shared if c not in set(key_cols)]
-    if not compare_cols:
-        raise ValueError("no columns to compare")
+    # KEY-ONLY snapshots (every column is a key — membership tables like
+    # a dedup index's bands) degenerate to a PRESENCE diff: rows are
+    # added/removed/unchanged, 'changed' is impossible by construction,
+    # digests are a constant (round 12; formerly a hard error, which
+    # made key-only group members un-pumpable).
     for side, df in (("old", old), ("new", new)):
         missing = [c for c in key_cols + compare_cols if c not in df.columns]
         if missing:
@@ -177,10 +180,14 @@ def corpus_diff(
     # join (plan-pinned); Spark's native <=> join would rewrite the
     # keys internally and forfeit that reuse.
     jk = F.concat_ws(_SEP, *[_rendered(k) for k in key_cols]).alias("_jk")
-    o = old.select(*key_cols, jk,
-                   row_digest(compare_cols, "old_digest")).alias("o")
-    n = new.select(*key_cols, jk,
-                   row_digest(compare_cols, "new_digest")).alias("n")
+    if compare_cols:
+        old_digest = row_digest(compare_cols, "old_digest")
+        new_digest = row_digest(compare_cols, "new_digest")
+    else:  # presence diff: constant digests, never unequal
+        old_digest = F.lit("-").alias("old_digest")
+        new_digest = F.lit("-").alias("new_digest")
+    o = old.select(*key_cols, jk, old_digest).alias("o")
+    n = new.select(*key_cols, jk, new_digest).alias("n")
     if assert_unique:
         o = _unique_key_guard(o, key_cols, "old_digest", "old").alias("o")
         n = _unique_key_guard(n, key_cols, "new_digest", "new").alias("n")
@@ -733,6 +740,209 @@ def bootstrap_cdc_dest(
         os.fsync(f.fileno())
     os.replace(tmp, cursor_file)
     return {"bootstrapped": True, "to_version": current}
+
+
+def _group_seq(versions: dict[str, str]) -> int:
+    """A monotonically increasing scalar for a group commit, derived
+    from the versions map itself (every commit bumps >= 1 member's
+    sequence and never lowers one), so a replayed window recomputes the
+    SAME watermark value — no extra state to persist."""
+    return sum(int(v.split("-")[1]) for v in versions.values())
+
+
+def _member_changes(spark, group_dir, table, key_cols, v_old, v_new):
+    """One member table's diff between two group-committed versions —
+    file-identity-pruned like the single-table CDF (group member
+    versions carry stats sidecars since round 12), with the same
+    schema-evolution column union as table_changes."""
+    import os
+
+    from ..inventory import _snapshot_df_files, identity_changed_files
+
+    tdir = os.path.join(group_dir, table)
+    cf = identity_changed_files(tdir, v_old, v_new)
+    if cf is not None:
+        old = _snapshot_df_files(spark, tdir, v_old, cf[0])
+        new = _snapshot_df_files(spark, tdir, v_new, cf[1])
+    else:
+        old = spark.read.parquet(os.path.join(tdir, v_old))
+        new = spark.read.parquet(os.path.join(tdir, v_new))
+    for col, typ in new.dtypes:
+        if col not in old.columns:
+            old = old.withColumn(col, F.lit(None).cast(typ))
+    for col, typ in old.dtypes:
+        if col not in new.columns:
+            new = new.withColumn(col, F.lit(None).cast(typ))
+    return corpus_diff(old, new, key_cols)
+
+
+def pump_group_changes_once(
+    spark,
+    source_group: str,
+    dest_group: str,
+    cursor_file: str,
+    keys: dict[str, list[str]],
+    app_id: str = "gcdc",
+    dest_keep_versions: int = 2,
+) -> dict:
+    """One poll of the GROUP-consistent CDC pump (round-11 verdict task
+    #4): read every member table's changes since the cursor's last-seen
+    GROUP commit, apply them to a downstream group in ONE atomic group
+    commit, then durably advance the cursor. The single-table pump run
+    per member would tear group invariants between polls (docs advanced,
+    bands not — exactly the crash algebra group commits exist to kill);
+    here the downstream group only ever exposes states the source group
+    actually committed.
+
+    Protocol per poll:
+
+    * the cursor stores the full ``{table: version}`` map of the last
+      APPLIED source commit (not a scalar — the map IS the snapshot
+      identity);
+    * members whose version is unchanged are skipped without reading a
+      byte (the group-level analog of bucket pruning — a commit that
+      touched only ``docs`` never re-diffs ``bands``/``bloom``);
+    * changed members diff file-pruned (:func:`_member_changes`);
+      added/changed keys fetch payloads from the member's NEW snapshot,
+      removed keys go to the group writer's atomic ``deletes``;
+    * ALL member writes land in one ``upsert_group_versioned`` call
+      under one group watermark keyed on the source commit's derived
+      sequence (:func:`_group_seq`) — a crash before ``advance()``
+      replays the window and the whole group no-ops; there is no state
+      in which some members applied and others did not;
+    * a member present in the source but never pumped (added to the
+      group after bootstrap) full-copies as all-added.
+
+    First poll (no cursor) bootstraps every member from the source's
+    CURRENT group state. Retention bounds resumability: a cursor
+    naming a version a member's group history no longer retains raises
+    FileNotFoundError — delete the cursor to re-bootstrap (the dest
+    group's watermark makes the re-copy converge, not duplicate).
+
+    ``keys`` maps every member table to its key columns; a member in
+    the source state but absent from ``keys`` raises (a silently
+    unpumped member would tear the group downstream).
+    """
+    import json
+    import os
+    import uuid
+
+    from ..inventory import (
+        _null_safe_cond,
+        group_state,
+        read_versioned_group,
+        upsert_group_versioned,
+    )
+
+    state = group_state(source_group)
+    if state is None:
+        raise FileNotFoundError(f"no published group under {source_group}")
+    now: dict[str, str] = dict(state["versions"])
+    unkeyed = sorted(set(now) - set(keys))
+    if unkeyed:
+        raise ValueError(
+            f"group pump has no key columns for member table(s) "
+            f"{unkeyed}; pass them in `keys` — pumping a subset would "
+            "tear the group downstream"
+        )
+    seq = _group_seq(now)
+
+    try:
+        with open(cursor_file) as f:
+            seen: dict[str, str] | None = json.load(f)
+    except FileNotFoundError:
+        seen = None
+
+    def advance() -> None:
+        tmp = f"{cursor_file}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(now, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, cursor_file)
+
+    if seen == now:
+        return {"applied": False, "tables": {}, "seq": seq}
+
+    history = state.get("history", {})
+    batches: dict[str, tuple] = {}
+    deletes: dict[str, object] = {}
+    report: dict[str, dict] = {}
+    for t, v_new in sorted(now.items()):
+        v_old = (seen or {}).get(t)
+        if v_old == v_new:
+            continue  # untouched member: zero reads
+        if v_old is None:
+            # bootstrap this member: full snapshot copy — PLUS removal
+            # of any dest keys the source no longer has (re-bootstrap
+            # after a prune: rows deleted while the consumer was down
+            # must leave, or the dest would expose a member state the
+            # source never committed), all in the same group commit
+            payload = read_versioned_group(spark, source_group, t)
+            batches[t] = (payload, keys[t])
+            try:
+                dst_keys = read_versioned_group(
+                    spark, dest_group, t
+                ).select(*keys[t])
+            except FileNotFoundError:
+                dst_keys = None
+            n_stale = 0
+            if dst_keys is not None:
+                src_keys = payload.select(*keys[t])
+                stale = dst_keys.join(
+                    src_keys,
+                    on=_null_safe_cond(dst_keys, src_keys, keys[t]),
+                    how="left_anti",
+                )
+                if not stale.isEmpty():
+                    deletes[t] = stale
+                    n_stale = stale.count()
+            report[t] = {"added": payload.count(), "changed": 0,
+                         "removed": n_stale, "bootstrapped": True}
+            continue
+        if v_old not in history.get(t, []):
+            raise FileNotFoundError(
+                f"cursor version {v_old!r} of member {t!r} is no longer "
+                f"retained under {source_group} — retention outran the "
+                "consumer; delete the cursor to re-bootstrap"
+            )
+        changes = _member_changes(
+            spark, source_group, t, keys[t], v_old, v_new
+        ).localCheckpoint()
+        counts = {r["change"]: r["count"] for r in
+                  changes.groupBy("change").count().collect()}
+        n_up = counts.get("added", 0) + counts.get("changed", 0)
+        n_del = counts.get("removed", 0)
+        report[t] = {"added": counts.get("added", 0),
+                     "changed": counts.get("changed", 0),
+                     "removed": n_del, "bootstrapped": False}
+        if n_up:
+            src_now = read_versioned_group(spark, source_group, t)
+            ups_keys = changes.filter(
+                F.col("change").isin("added", "changed")
+            ).select(*keys[t])
+            batches[t] = (
+                src_now.join(
+                    ups_keys,
+                    on=_null_safe_cond(src_now, ups_keys, keys[t]),
+                    how="left_semi",
+                ).localCheckpoint(),
+                keys[t],
+            )
+        if n_del:
+            deletes[t] = changes.filter(
+                F.col("change") == "removed"
+            ).select(*keys[t])
+
+    if batches or deletes:
+        upsert_group_versioned(
+            spark, dest_group, batches,
+            keep_versions=dest_keep_versions,
+            txn_app_id=app_id, txn_version=seq,
+            deletes=deletes or None,
+        )
+    advance()
+    return {"applied": True, "tables": report, "seq": seq}
 
 
 def run_cdc_pump(

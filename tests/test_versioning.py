@@ -104,8 +104,22 @@ def test_corpus_diff_validation(spark):
         V.corpus_diff(old, new, [])
     with pytest.raises(ValueError, match="lacks columns"):
         V.corpus_diff(old, new, ["k"], ["nope"])
-    with pytest.raises(ValueError, match="no columns to compare"):
-        V.corpus_diff(old.select("k"), new.select("k"), ["k"])
+    # key-only snapshots are a PRESENCE diff since round 12 (membership
+    # tables): added/removed only, 'changed' impossible by construction
+    got = {
+        (r["k"], r["change"])
+        for r in V.corpus_diff(
+            old.select("k"), new.select("k"), ["k"]
+        ).collect()
+    }
+    assert all(c in ("added", "removed") for _, c in got)
+    only_old = {r["k"] for r in old.select("k").exceptAll(
+        new.select("k")).collect()}
+    only_new = {r["k"] for r in new.select("k").exceptAll(
+        old.select("k")).collect()}
+    assert got == (
+        {(k, "removed") for k in only_old} | {(k, "added") for k in only_new}
+    )
 
 
 def test_corpus_diff_duplicate_keys_raise(spark):
