@@ -289,3 +289,82 @@ def upsert_versioned_with_expectations(
                  **txn, **upsert_kwargs)
     out = read_versioned(spark, table_dir)
     return out, report
+
+
+def quarantine_summary(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    max_sample_keys: int = 3,
+) -> DataFrame:
+    """Compact inspection of a quarantine table (round 12, r11 verdict
+    task #7): ``(rule[, day], n, sample_keys)`` — violation counts by
+    first-violated rule (× calendar day when ``ts_col`` is given) plus
+    up to ``max_sample_keys`` example keys per group, enough to open an
+    incident without scanning the table by hand.
+
+    One hash aggregation; the sample rides the same pass as a sliced
+    ``collect_list`` over the rendered key (bounded output per group —
+    never a per-group scan). Keys render NULL-safely so a NULL-keyed
+    quarantined row is visible, not blank.
+
+    Retention guidance (the quarantine is a versioned table like any
+    other, so it grows one version per gated batch AND one row per
+    distinct failing key): run
+    ``delete_versioned_where(spark, quarantine_dir,
+    f"{ts_col} < '<cutoff>'", keep_versions=1)`` on the same schedule as
+    the main table's compaction — or :func:`prune_quarantine`, which is
+    exactly that call — and keep ``keep_versions`` low; the diagnostic
+    value of a quarantined row decays with age, and every key that
+    matters re-enters on its next failing batch."""
+    if FAILED_RULE not in df.columns:
+        raise ValueError(
+            f"not a quarantine table: no {FAILED_RULE!r} column"
+        )
+    key_render = F.concat_ws(
+        ",",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+          for c in key_cols],
+    )
+    groups = [F.col(FAILED_RULE).alias("rule")]
+    if ts_col is not None:
+        groups.append(F.to_date(F.col(ts_col)).alias("day"))
+    out = (
+        df.withColumn("_key", key_render)
+        .groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.slice(
+                F.sort_array(F.collect_list("_key")),
+                1, max_sample_keys,
+            ).alias("sample_keys"),
+        )
+    )
+    order = ["rule"] + (["day"] if ts_col is not None else [])
+    return out.orderBy(*order)
+
+
+def prune_quarantine(
+    spark,
+    quarantine_dir: str,
+    ts_col: str,
+    older_than_days: int = 30,
+    keep_versions: int = 1,
+):
+    """Retention for the quarantine table: drop rows whose ``ts_col`` is
+    older than ``older_than_days`` (driver-clock cutoff) and prune the
+    version history down to ``keep_versions`` in the same commit —
+    :func:`~..inventory.delete_versioned_where` with the arithmetic done
+    for you. Returns the surviving DataFrame."""
+    import datetime as _dt
+
+    from ..inventory import delete_versioned_where
+
+    cutoff = (
+        _dt.datetime.now(_dt.timezone.utc) - _dt.timedelta(days=older_than_days)
+    ).strftime("%Y-%m-%d %H:%M:%S")
+    return delete_versioned_where(
+        spark, quarantine_dir,
+        F.col(ts_col) < F.lit(cutoff).cast("timestamp"),
+        keep_versions=keep_versions,
+    )

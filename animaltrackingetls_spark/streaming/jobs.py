@@ -1097,3 +1097,77 @@ def run_available_now_ingest_index(
             f"index ingest into {index_dir!r} did not drain within "
             f"{timeout_seconds}s"
         )
+
+
+def run_available_now_upsert_with_expectations(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    app_id: str,
+    rules,
+    on_violation: str = "quarantine",
+    quarantine_dir: str | None = None,
+    transform=None,
+    keep_versions: int = 2,
+    timeout_seconds: int = 120,
+) -> dict:
+    """Expectation-GATED exactly-once streaming upsert (round 12, r11
+    verdict task #5): Delta Live Tables' expectation modes applied per
+    micro-batch. Each batch routes through
+    :func:`~..operators.validate.upsert_versioned_with_expectations`
+    under ``txn_app_id=app_id, txn_version=batch_id`` — so a replayed
+    batch (foreachBatch's at-least-once edge) is a watermark no-op on
+    the MAIN table and, in quarantine mode, on the QUARANTINE table too
+    (its writes carry ``app_id + "#q"`` at the same batch id; quarantine
+    commits first, so a crash between the two commits only over-captures
+    diagnostics a replay converges).
+
+    ``on_violation``: ``"quarantine"`` (default here — a stream should
+    keep flowing while bad rows divert), ``"drop"``, or ``"fail"``
+    (stops the stream on the first violating batch; the batch publishes
+    nothing). Returns aggregated gate counts across the drained batches:
+    ``{"n_batches", "n_input", "n_passed", "n_failed", "by_rule"}``.
+    Counts are driver-side observability; the tables themselves are the
+    exactly-once record."""
+    from animaltrackingetls_spark.operators.validate import (
+        upsert_versioned_with_expectations,
+    )
+
+    totals = {"n_batches": 0, "n_input": 0, "n_passed": 0,
+              "n_failed": 0, "by_rule": {}}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        updates = transform(batch_df) if transform is not None else batch_df
+        _out, rep = upsert_versioned_with_expectations(
+            batch_df.sparkSession, table_dir, updates, key_cols,
+            rules, on_violation=on_violation,
+            quarantine_dir=quarantine_dir,
+            txn_app_id=app_id, txn_version=batch_id,
+            keep_versions=keep_versions,
+        )
+        totals["n_batches"] += 1
+        totals["n_input"] += rep["n_input"]
+        totals["n_passed"] += rep["n_passed"]
+        totals["n_failed"] += rep["n_failed"]
+        for rule, n in rep["by_rule"].items():
+            if n:
+                totals["by_rule"][rule] = totals["by_rule"].get(rule, 0) + n
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_seconds)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"gated upsert into {table_dir!r} did not drain within "
+            f"{timeout_seconds}s"
+        )
+    return totals

@@ -1038,3 +1038,116 @@ def test_streaming_ingest_through_persisted_index(spark, tmp_path):
     )
     run_available_now_ingest_index(stream2, idx, ckpt, app_id="ing")
     assert read_versioned_group(spark, idx, "docs").count() == 3
+
+
+def test_streaming_expectation_gate_quarantine_replay(spark, tmp_path):
+    """Round-12 (r11 verdict task #5): the DLT-style expectation gate in
+    the streaming path. A mixed batch drains through the gated runner:
+    passing rows land in the main table, violating rows land TAGGED in
+    the quarantine table, per-rule counts are right — and a simulated
+    crash-replay of the same batch id no-ops BOTH tables (the quarantine
+    write carries app_id#q at the same batch id)."""
+    from animaltrackingetls_spark.inventory import (
+        read_versioned,
+        txn_watermarks,
+    )
+    from animaltrackingetls_spark.operators.validate import (
+        FAILED_RULE,
+        in_range,
+        not_null,
+        upsert_versioned_with_expectations,
+    )
+    from animaltrackingetls_spark.streaming.jobs import (
+        run_available_now_upsert_with_expectations,
+    )
+
+    src = tmp_path / "ev_gate"
+    table = str(tmp_path / "gated")
+    quarantine = str(tmp_path / "gated_q")
+    ckpt = str(tmp_path / "ckpt_gate")
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (0, datetime.datetime(2024, 5, 1, 9, 0), 1, "click", 1.0, "{}"),
+        (1, datetime.datetime(2024, 5, 1, 9, 1), 2, "click", -3.0, "{}"),
+        (2, datetime.datetime(2024, 5, 1, 9, 2), None, "view", 2.0, "{}"),
+        (3, datetime.datetime(2024, 5, 1, 9, 3), 4, "view", 0.5, "{}"),
+        (4, datetime.datetime(2024, 5, 1, 9, 4), None, "buy", -1.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+
+    rules = [not_null("user_id"), in_range("value", 0.0, 100.0)]
+    stream = read_event_stream(spark, str(src))
+    totals = run_available_now_upsert_with_expectations(
+        stream, table, ckpt, ["event_id"], app_id="gate", rules=rules,
+        on_violation="quarantine", quarantine_dir=quarantine,
+    )
+    assert totals["n_batches"] == 1
+    assert totals["n_passed"] == 2 and totals["n_failed"] == 3
+    # first-violated-rule attribution: rows 2 and 4 fail not_null (rule
+    # order = priority, row 4 violates both), row 1 fails in_range
+    assert totals["by_rule"] == {
+        "user_id:not_null": 2, "value:in_range": 1,
+    }
+
+    main = read_versioned(spark, table)
+    assert {r["event_id"] for r in main.collect()} == {0, 3}
+    q = read_versioned(spark, quarantine)
+    got_q = {r["event_id"]: r[FAILED_RULE] for r in q.collect()}
+    assert got_q == {
+        1: "value:in_range", 2: "user_id:not_null", 4: "user_id:not_null",
+    }
+    assert txn_watermarks(table)["gate"] == 0
+    assert txn_watermarks(quarantine)["gate#q"] == 0
+
+    # crash-replay: the same batch id re-applies the same mixed batch
+    # directly (foreachBatch's at-least-once edge) — both tables no-op
+    replay = spark.createDataFrame(rows, schema)
+    upsert_versioned_with_expectations(
+        spark, table, replay, ["event_id"], rules,
+        on_violation="quarantine", quarantine_dir=quarantine,
+        txn_app_id="gate", txn_version=0,
+    )
+    assert {r["event_id"] for r in read_versioned(spark, table).collect()} \
+        == {0, 3}
+    assert read_versioned(spark, quarantine).count() == 3
+    # versions did not advance: the replay published nothing
+    assert txn_watermarks(table)["gate"] == 0
+    assert txn_watermarks(quarantine)["gate#q"] == 0
+
+
+def test_streaming_expectation_gate_fail_mode_stops_stream(spark, tmp_path):
+    """on_violation='fail': the first violating batch publishes NOTHING
+    and the stream surfaces the error."""
+    from animaltrackingetls_spark.operators.validate import not_null
+    from animaltrackingetls_spark.streaming.jobs import (
+        run_available_now_upsert_with_expectations,
+    )
+
+    src = tmp_path / "ev_gate_fail"
+    table = str(tmp_path / "gated_fail")
+    ckpt = str(tmp_path / "ckpt_gate_fail")
+    rows = [
+        (0, datetime.datetime(2024, 5, 1, 9, 0), 1, "click", 1.0, "{}"),
+        (1, datetime.datetime(2024, 5, 1, 9, 1), None, "view", 2.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+
+    stream = read_event_stream(spark, str(src))
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="expectations failed"):
+        run_available_now_upsert_with_expectations(
+            stream, table, ckpt, ["event_id"], app_id="gf",
+            rules=[not_null("user_id")], on_violation="fail",
+        )
+    import os
+    assert not os.path.exists(os.path.join(table, "_CURRENT"))

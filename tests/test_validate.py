@@ -172,3 +172,53 @@ def test_expectation_gated_upsert_three_modes(spark, tmp_path):
         upsert_versioned_with_expectations(
             spark, t3, df, ["k"], rules, on_violation="explode",
         )
+
+
+def test_quarantine_summary_and_prune(spark, tmp_path):
+    """Round-12 quarantine ergonomics: counts by rule x day with sample
+    keys, NULL keys visible; retention drops aged rows."""
+    import datetime as dt
+
+    from animaltrackingetls_spark.inventory import (
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+    from animaltrackingetls_spark.operators.validate import (
+        FAILED_RULE,
+        prune_quarantine,
+        quarantine_summary,
+    )
+
+    q = str(tmp_path / "q")
+    old_ts = dt.datetime(2020, 1, 2, 3, 0, 0)
+    new_ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    rows = [
+        (1, "v:in_range", old_ts),
+        (2, "v:in_range", old_ts),
+        (None, "k:not_null", old_ts),
+        (4, "v:in_range", new_ts),
+    ]
+    df = spark.createDataFrame(
+        rows, f"k long, {FAILED_RULE} string, ts timestamp")
+    upsert_parquet_versioned(spark, q, df, ["k"], keep_versions=2)
+
+    got = quarantine_summary(
+        read_versioned(spark, q), ["k"], ts_col="ts").collect()
+    by = {(r["rule"], str(r["day"])): (r["n"], list(r["sample_keys"]))
+          for r in got}
+    assert by[("v:in_range", "2020-01-02")] == (2, ["1", "2"])
+    assert by[("k:not_null", "2020-01-02")] == (1, ["NULL"])
+    assert by[("v:in_range", str(new_ts.date()))][0] == 1
+
+    # no-ts variant + not-a-quarantine guard
+    flat = {r["rule"]: r["n"] for r in quarantine_summary(
+        read_versioned(spark, q), ["k"]).collect()}
+    assert flat == {"v:in_range": 3, "k:not_null": 1}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not a quarantine table"):
+        quarantine_summary(df.drop(FAILED_RULE), ["k"])
+
+    # retention: the 2020 rows age out, today's row survives
+    prune_quarantine(spark, q, "ts", older_than_days=30)
+    left = read_versioned(spark, q)
+    assert {r["k"] for r in left.collect()} == {4}
