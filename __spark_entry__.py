@@ -2104,20 +2104,33 @@ def _q_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     row set (added = %7==1 and %5==0; changed = %7!=1 and %5==0;
     removed = none). The table is cached per (file, mtime) and the
     upserts carry fixed txn ids, so repeat invocations are watermark
-    no-ops against the same snapshots — the cache cannot drift."""
+    no-ops against the same snapshots — the cache cannot drift.
+
+    Round 12 widens what the one hash row certifies, same slot, same
+    diff shape: the base snapshot is OPTIMIZE'd on doc_id (1-col range
+    sort, guarded to the first build so replays can't fork history),
+    the update batch merges COPY-ON-WRITE (stats-sidecar planning,
+    untouched files hardlinked), the diff between the two retained
+    versions therefore runs through identity_changed_files' file-level
+    churn pruning — and a second 'read' row-kind returns a STATS-PRUNED
+    ``read_versioned(predicates=[("doc_id","<",100)])`` over the final
+    state (lang + the text tail, which shows ' u2' exactly on updated
+    rows), replayed in SQL from the same derivation."""
     import hashlib
     import os
     import tempfile
 
     from animaltrackingetls_spark.inventory import (
         list_versions,
+        optimize_versioned,
+        read_versioned,
         upsert_parquet_versioned,
     )
 
     docs_file = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(docs_file)
     key = hashlib.md5(
-        f"{docs_file}:{st.st_mtime_ns}:{st.st_size}:cdf1".encode()
+        f"{docs_file}:{st.st_mtime_ns}:{st.st_size}:cdf2".encode()
     ).hexdigest()[:16]
     table = os.path.join(tempfile.gettempdir(), f"spark_graft_cdf_{key}")
 
@@ -2132,15 +2145,29 @@ def _q_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, table, base, ["doc_id"], keep_versions=3,
         txn_app_id="cdf", txn_version=0,
     )
+    if len(list_versions(table)) == 1:
+        # first build only: a replayed invocation must not append
+        # another optimize version and shift the diff window
+        optimize_versioned(spark, table, ["doc_id"],
+                           target_bytes=64 * 1024, keep_versions=3)
     upsert_parquet_versioned(
         spark, table, updates, ["doc_id"], keep_versions=3,
-        txn_app_id="cdf", txn_version=1,
+        txn_app_id="cdf", txn_version=1, cow=True,
     )
     versions = list_versions(table)
-    return versioning.table_changes(
+    diff = versioning.table_changes(
         spark, table, ["doc_id"],
         from_version=versions[-2], to_version=versions[-1],
-    ).orderBy("doc_id")
+    )
+    readout = read_versioned(
+        spark, table, predicates=[("doc_id", "<", 100)]
+    ).select(
+        "doc_id",
+        F.lit("read").alias("change"),
+        F.col("lang").alias("old_digest"),
+        F.expr("right(text, 3)").alias("new_digest"),
+    )
+    return diff.unionByName(readout).orderBy("change", "doc_id")
 
 
 def _q_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5240,22 +5267,29 @@ def oracle_sql() -> dict[str, str]:
         # inserted), so the CDF of the two RETAINED table versions is
         # replayable without reading the table itself — the hash compare
         # therefore certifies the upsert merge + retention + CDF math.
+        # Round 12: the Spark side builds the table with a 1-col
+        # OPTIMIZE + a copy-on-write merge and diffs through file-level
+        # churn pruning; the 'read' row-kind replays a STATS-PRUNED
+        # read_versioned(predicates=...) of the final state — so the
+        # same hash row now certifies CoW semantics + data skipping.
         "versioned_cdf": f"""
             WITH old AS (
               SELECT doc_id,
                      {versioning.row_digest_sql(['text', 'lang', 'source'])}
                        AS old_digest
               FROM documents WHERE doc_id % 7 != 1),
+            final AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' u2'
+                          ELSE text END AS text,
+                     lang, source
+              FROM documents
+              WHERE doc_id % 7 != 1 OR doc_id % 5 = 0),
             neu AS (
               SELECT doc_id,
                      {versioning.row_digest_sql(['text', 'lang', 'source'])}
                        AS new_digest
-              FROM (SELECT doc_id,
-                           CASE WHEN doc_id % 5 = 0 THEN text || ' u2'
-                                ELSE text END AS text,
-                           lang, source
-                    FROM documents
-                    WHERE doc_id % 7 != 1 OR doc_id % 5 = 0)),
+              FROM final),
             d AS (
               SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
                      CASE WHEN o.old_digest IS NULL THEN 'added'
@@ -5264,7 +5298,12 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'unchanged' END AS change,
                      o.old_digest, n.new_digest
               FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
-            SELECT * FROM d WHERE change != 'unchanged' ORDER BY doc_id
+            SELECT * FROM d WHERE change != 'unchanged'
+            UNION ALL
+            SELECT doc_id, 'read' AS change, lang AS old_digest,
+                   right(text, 3) AS new_digest
+            FROM final WHERE doc_id < 100
+            ORDER BY change, doc_id
         """,
         "scd2_history": """
             WITH h AS (
