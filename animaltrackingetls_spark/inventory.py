@@ -560,11 +560,19 @@ def _cow_touched_files(
             how="left_semi",
         ).select("_f").distinct().collect()
     ]
-    path_to_key = {os.path.abspath(p): k for k, p in all_files.items()}
+    # realpath on BOTH sides: Spark reports canonicalized paths, while
+    # table_dir may be reached through a symlink (round-12 self-review
+    # finding #5 — a bare dict hit raised KeyError and crashed the
+    # upsert). Any URI that still doesn't map means our path model is
+    # wrong for this filesystem: plan None, caller full-rewrites.
+    path_to_key = {os.path.realpath(p): k for k, p in all_files.items()}
     touched: set[str] = set()
     for uri in touched_uris:
         p = unquote(urlparse(uri).path)
-        touched.add(path_to_key[os.path.abspath(p)])
+        key = path_to_key.get(os.path.realpath(p))
+        if key is None:
+            return None
+        touched.add(key)
     return touched, set(all_files) - touched, all_files
 
 
@@ -714,11 +722,14 @@ def upsert_parquet_versioned(
                     old_rows = _snapshot_df_files(
                         spark, table_dir, current, touched
                     )
-                    if set(updates.columns) != set(old_rows.columns):
-                        # schema evolution rewrites every file (mixed
-                        # per-file schemas would break the pinned-schema
-                        # snapshot read) — same posture as the bucketed
-                        # writer's evolution full-rewrite
+                    if set(updates.dtypes) != set(old_rows.dtypes):
+                        # schema evolution — names OR types (round-12
+                        # self-review finding #4: a same-named column
+                        # arriving widened, float->double, would have
+                        # hardlinked old-typed files next to new-typed
+                        # rewrites and bricked the pinned-schema
+                        # snapshot read) — rewrites every file, same
+                        # posture as the bucketed writer
                         cow_plan = None
                     else:
                         merged = merge_upsert(old_rows, updates, key_cols)
@@ -2477,8 +2488,24 @@ def _publish_group(
             keep = hist[max(0, len(hist) - max(1, keep_versions)):]
             pruned += [(t, x) for x in hist[: len(hist) - len(keep)]]
             history[t] = keep
+        # Monotonic commit counter (round-12): the group CDC pump keys
+        # its replay watermark on this, because the sum-of-member-
+        # sequences heuristic breaks when a dangling member's rebuild
+        # restarts its numbering. Legacy states (no counter) seed ABOVE
+        # both the heuristic and any watermark already recorded, so
+        # adoption can never regress below a value a consumer has used.
+        prior_state = now or prior
+        if prior_state and "seq" in prior_state:
+            seq = int(prior_state["seq"]) + 1
+        else:
+            legacy = sum(
+                int(v.split("-")[1]) for v in versions.values()
+            )
+            used = [int(m) for m in marks.values()] if marks else [0]
+            seq = max(legacy, max(used)) + 1
         state = {"versions": versions, "marks": marks,
-                 "history": history, "committed_at": _time.time()}
+                 "history": history, "seq": seq,
+                 "committed_at": _time.time()}
         tmp = os.path.join(group_dir,
                            f".{_GROUP_POINTER}.{uuid.uuid4().hex[:8]}.tmp")
         with open(tmp, "w") as f:
@@ -2575,12 +2602,31 @@ def upsert_group_versioned(
                     # posture as read_versioned_group's existence check
                     cur = None
                 if updates is None:
-                    # delete-only member: empty batch of its own schema
+                    # delete-only member: the anti-join survivors ARE
+                    # the new snapshot — no merge window. Running
+                    # merge_upsert keyed on the DELETE frame's columns
+                    # would silently collapse surviving rows whenever
+                    # those columns are not the member's unique key
+                    # (round-12 self-review finding #2: delete-by-
+                    # band-id on a (band, key) table lost rows).
                     if cur is None:
                         continue  # nothing exists, nothing to delete
                     existing = spark.read.parquet(os.path.join(tdir, cur))
-                    key_cols = list(deletes[t].columns)
-                    updates = existing.limit(0)
+                    kdf = deletes[t].dropDuplicates()
+                    merged = existing.join(
+                        F.broadcast(kdf),
+                        on=_null_safe_cond(existing, kdf,
+                                           list(kdf.columns)),
+                        how="left_anti",
+                    )
+                    seq = int(cur.split("-")[1]) + 1
+                    vname = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
+                    vdir = os.path.join(tdir, vname)
+                    merged.write.mode("error").parquet(vdir)
+                    _collect_stats(tdir, vname, base_version=cur)
+                    new_versions[t] = vname
+                    written.append(vdir)
+                    continue
                 if cur is None:
                     merged = merge_upsert(updates.limit(0), updates,
                                           key_cols,

@@ -303,10 +303,15 @@ def quarantine_summary(
     up to ``max_sample_keys`` example keys per group, enough to open an
     incident without scanning the table by hand.
 
-    One hash aggregation; the sample rides the same pass as a sliced
-    ``collect_list`` over the rendered key (bounded output per group —
-    never a per-group scan). Keys render NULL-safely so a NULL-keyed
-    quarantined row is visible, not blank.
+    One shuffle: a per-group ``row_number`` window ranks the rendered
+    keys first, so the aggregation's ``collect_list`` only ever sees
+    the first ``max_sample_keys`` keys of each group — the sample
+    buffer is bounded at k entries per group regardless of group size
+    (a plain sliced collect_list would materialize EVERY key of a
+    million-row incident group before slicing; round-12 self-review
+    finding #6). The window's partitioning is the groupBy's, so
+    Catalyst plans one exchange for both. Keys render NULL-safely so a
+    NULL-keyed quarantined row is visible, not blank.
 
     Retention guidance (the quarantine is a versioned table like any
     other, so it grows one version per gated batch AND one row per
@@ -321,22 +326,30 @@ def quarantine_summary(
         raise ValueError(
             f"not a quarantine table: no {FAILED_RULE!r} column"
         )
+    from pyspark.sql import Window
+
     key_render = F.concat_ws(
         ",",
         *[F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
           for c in key_cols],
     )
-    groups = [F.col(FAILED_RULE).alias("rule")]
+    group_cols = ["rule"] + (["day"] if ts_col is not None else [])
+    tagged = df.withColumn("_key", key_render).withColumn(
+        "rule", F.col(FAILED_RULE)
+    )
     if ts_col is not None:
-        groups.append(F.to_date(F.col(ts_col)).alias("day"))
+        tagged = tagged.withColumn("day", F.to_date(F.col(ts_col)))
+    w = Window.partitionBy(*group_cols).orderBy("_key")
     out = (
-        df.withColumn("_key", key_render)
-        .groupBy(*groups)
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.slice(
-                F.sort_array(F.collect_list("_key")),
-                1, max_sample_keys,
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= max_sample_keys,
+                           F.col("_key"))
+                )
             ).alias("sample_keys"),
         )
     )

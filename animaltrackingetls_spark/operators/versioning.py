@@ -742,12 +742,21 @@ def bootstrap_cdc_dest(
     return {"bootstrapped": True, "to_version": current}
 
 
-def _group_seq(versions: dict[str, str]) -> int:
-    """A monotonically increasing scalar for a group commit, derived
-    from the versions map itself (every commit bumps >= 1 member's
-    sequence and never lowers one), so a replayed window recomputes the
-    SAME watermark value — no extra state to persist."""
-    return sum(int(v.split("-")[1]) for v in versions.values())
+def _group_seq(state: dict) -> int:
+    """The group commit's monotonically increasing sequence for the
+    pump's replay watermark. Prefers the commit counter
+    ``_publish_group`` stamps into the state (round-12 self-review
+    finding #3: the old sum-of-member-sequences heuristic was NOT
+    monotonic — a dangling member rebuilt out-of-band restarts its
+    version numbering at 1, the sum drops below the dest's stored
+    watermark, and every later window is silently swallowed while the
+    cursor advances). Pre-counter states fall back to the sum, which
+    the counter is seeded above at adoption."""
+    if "seq" in state:
+        return int(state["seq"])
+    return sum(
+        int(v.split("-")[1]) for v in state.get("versions", {}).values()
+    )
 
 
 def _member_changes(spark, group_dir, table, key_cols, v_old, v_new):
@@ -845,7 +854,7 @@ def pump_group_changes_once(
             f"{unkeyed}; pass them in `keys` — pumping a subset would "
             "tear the group downstream"
         )
-    seq = _group_seq(now)
+    seq = _group_seq(state)
 
     try:
         with open(cursor_file) as f:
@@ -872,13 +881,37 @@ def pump_group_changes_once(
         v_old = (seen or {}).get(t)
         if v_old == v_new:
             continue  # untouched member: zero reads
+        if v_old is not None:
+            if v_old not in history.get(t, []):
+                # retention outran the consumer: an EXPLICIT error (the
+                # recovery is a full member copy — that cost should be
+                # an operator's decision, not a silent per-poll surprise)
+                raise FileNotFoundError(
+                    f"cursor version {v_old!r} of member {t!r} is no "
+                    f"longer retained under {source_group} — retention "
+                    "outran the consumer; delete the cursor to "
+                    "re-bootstrap"
+                )
+            if not os.path.isdir(os.path.join(source_group, t, v_old)):
+                # the ledger still lists the version but its directory
+                # is GONE: the member was dropped and rebuilt
+                # out-of-band (upsert_group_versioned's dangling-member
+                # posture). Incremental diffing is impossible;
+                # re-bootstrap just this member — the bootstrap branch
+                # also removes stale dest keys, so it converges exactly.
+                v_old = None
         if v_old is None:
             # bootstrap this member: full snapshot copy — PLUS removal
             # of any dest keys the source no longer has (re-bootstrap
             # after a prune: rows deleted while the consumer was down
             # must leave, or the dest would expose a member state the
-            # source never committed), all in the same group commit
-            payload = read_versioned_group(spark, source_group, t)
+            # source never committed), all in the same group commit.
+            # Version PINNED to the state this poll read (round-12
+            # self-review finding #1: reading CURRENT instead would let
+            # a concurrent source commit tear the poll across members).
+            payload = read_versioned_group(
+                spark, source_group, t, version=v_new
+            )
             batches[t] = (payload, keys[t])
             try:
                 dst_keys = read_versioned_group(
@@ -900,12 +933,6 @@ def pump_group_changes_once(
             report[t] = {"added": payload.count(), "changed": 0,
                          "removed": n_stale, "bootstrapped": True}
             continue
-        if v_old not in history.get(t, []):
-            raise FileNotFoundError(
-                f"cursor version {v_old!r} of member {t!r} is no longer "
-                f"retained under {source_group} — retention outran the "
-                "consumer; delete the cursor to re-bootstrap"
-            )
         changes = _member_changes(
             spark, source_group, t, keys[t], v_old, v_new
         ).localCheckpoint()
@@ -917,7 +944,11 @@ def pump_group_changes_once(
                      "changed": counts.get("changed", 0),
                      "removed": n_del, "bootstrapped": False}
         if n_up:
-            src_now = read_versioned_group(spark, source_group, t)
+            # pinned to v_new, not CURRENT — same tear argument as the
+            # bootstrap branch (self-review finding #1)
+            src_now = read_versioned_group(
+                spark, source_group, t, version=v_new
+            )
             ups_keys = changes.filter(
                 F.col("change").isin("added", "changed")
             ).select(*keys[t])

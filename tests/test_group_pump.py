@@ -191,3 +191,54 @@ def test_group_pump_never_exposes_torn_state(spark, tmp_path):
             f"committed: {got}"
         )
     assert _snapshot_all(spark, dst, keys) == committed_states[-1]
+
+
+def test_group_delete_only_by_non_key_columns_keeps_survivors(spark, tmp_path):
+    """Round-12 self-review finding #2: a delete-only member keyed by a
+    SUBSET of its unique key (delete all rows of band 11) must keep
+    every surviving row — the old path re-windowed on the delete frame's
+    columns and silently collapsed (10,1)/(10,2) to one row."""
+    g = str(tmp_path / "gdel")
+    upsert_group_versioned(spark, g, {
+        "bands": (_df(spark, [(10, 1), (10, 2), (11, 1)],
+                      "b long, k long"), ["b", "k"]),
+    }, keep_versions=3)
+    upsert_group_versioned(
+        spark, g, {}, keep_versions=3,
+        deletes={"bands": _df(spark, [(11,)], "b long")})
+    assert _member_rows(spark, g, "bands") == {(10, 1), (10, 2)}
+
+
+def test_group_pump_survives_dangling_member_rebuild(spark, tmp_path):
+    """Round-12 self-review finding #3: a member directory rebuilt
+    out-of-band restarts its version numbering at 1; the pump's replay
+    watermark must stay monotonic (the group commit counter), so later
+    windows still apply downstream instead of being silently swallowed."""
+    import shutil
+
+    src = str(tmp_path / "sdang")
+    dst = str(tmp_path / "ddang")
+    cur = str(tmp_path / "cdang")
+    keys = {"a": ["k"], "b": ["k"]}
+    # several commits push member sequences (and the legacy sum) up
+    for i in range(4):
+        upsert_group_versioned(spark, src, {
+            "a": (_df(spark, [(i, f"a{i}")], "k long, v string"), ["k"]),
+            "b": (_df(spark, [(i, i * 10)], "k long, w long"), ["k"]),
+        }, keep_versions=6)
+    V.pump_group_changes_once(spark, src, dst, cur, keys,
+                              dest_keep_versions=6)
+
+    # member 'b' is dropped out-of-band and rebuilt from scratch
+    shutil.rmtree(os.path.join(src, "b"))
+    upsert_group_versioned(spark, src, {
+        "b": (_df(spark, [(99, 990)], "k long, w long"), ["k"]),
+    }, keep_versions=6)
+    r = V.pump_group_changes_once(spark, src, dst, cur, keys,
+                                  dest_keep_versions=6)
+    assert r["applied"]
+    got = _member_rows(spark, dst, "b")
+    assert (99, 990) in got, (
+        "window swallowed: the rebuilt member's commit never reached "
+        f"the destination (dest rows: {got})"
+    )
