@@ -588,6 +588,7 @@ def upsert_parquet_versioned(
     retries: int = 2,
     merge_schema: bool = False,
     cow: bool = False,
+    link_mode: str | None = None,
 ) -> DataFrame:
     """Keyed upsert with SNAPSHOT-ATOMIC publish — closes the
     `upsert_parquet` transactionality gap without a lake format.
@@ -668,6 +669,14 @@ def upsert_parquet_versioned(
     no layout sidecar or bucket count to choose, but the probe pays a
     key-column scan of candidate files per commit, and file counts
     grow with churn spread until ``compact_versioned`` runs.
+
+    ``link_mode`` (round 12) pins HOW CoW carries untouched files:
+    ``"hardlink"`` (default — local fast path) or ``"manifest"`` (the
+    object-store posture: untouched files stay in their origin version
+    directories and the new version publishes a file manifest
+    referencing them, one hop; retention/VACUUM reference-count exactly
+    like the bucketed manifests). First caller pins; later calls
+    inherit with None or must match.
     """
     import json
     import os
@@ -678,6 +687,7 @@ def upsert_parquet_versioned(
         raise ValueError("txn_app_id and txn_version must be given together")
 
     os.makedirs(table_dir, exist_ok=True)
+    mode = _pin_plain_link_mode(table_dir, link_mode)
     last_err: ConcurrentWriteError | None = None
     for _attempt in range(max(0, retries) + 1):
         # (Re-)read the commit state each attempt: a retry must merge
@@ -750,9 +760,10 @@ def upsert_parquet_versioned(
                             )
                         carry = {k: all_files[k] for k in untouched}
                 if cow_plan is None:
-                    existing = spark.read.parquet(
-                        os.path.join(table_dir, current)
-                    )
+                    # manifest-aware: a CoW file-manifest snapshot's
+                    # files live across version dirs; plain
+                    # materialized snapshots read the dir as before
+                    existing = _snapshot_df(spark, table_dir, current)
                     merged = merge_upsert(existing, updates, key_cols,
                                           merge_schema=merge_schema)
 
@@ -768,22 +779,29 @@ def upsert_parquet_versioned(
             # ceiling of the whole sink; see SCALING.md round 9.)
             out = merged.coalesce(target_files) if target_files else merged
             out.write.mode("error").parquet(os.path.join(table_dir, version))
-            # copy-on-write carry: untouched files hardlink into the new
-            # version AFTER the rewrite lands (zero bytes copied; link
-            # targets are immutable snapshot files). Spark part names
-            # carry a per-job UUID, so collisions are vanishing — the
-            # rename guard keeps even that case safe.
+            # copy-on-write carry, by the table's pinned link mode:
+            # hardlink — untouched files link into the new version
+            # AFTER the rewrite lands (zero bytes copied; link targets
+            # are immutable snapshot files; Spark part names carry a
+            # per-job UUID, so collisions are vanishing — the rename
+            # guard keeps even that case safe); manifest — the new
+            # version publishes a file manifest referencing untouched
+            # files in their origin dirs (object-store posture, no
+            # links needed).
             vdir = os.path.join(table_dir, version)
-            for key in sorted(carry):
-                src = carry[key]
-                dst = os.path.join(vdir, os.path.basename(src))
-                if os.path.exists(dst):
-                    dst = os.path.join(
-                        vdir,
-                        f"cow-{uuid.uuid4().hex[:8]}-"
-                        f"{os.path.basename(src)}",
-                    )
-                os.link(src, dst)
+            if mode == "manifest" and cow:
+                _emit_file_manifest(table_dir, version, carry)
+            else:
+                for key in sorted(carry):
+                    src = carry[key]
+                    dst = os.path.join(vdir, os.path.basename(src))
+                    if os.path.exists(dst):
+                        dst = os.path.join(
+                            vdir,
+                            f"cow-{uuid.uuid4().hex[:8]}-"
+                            f"{os.path.basename(src)}",
+                        )
+                    os.link(src, dst)
         except Exception as err:
             # base pruned mid-scan by a concurrent winner's retention
             # (keep_versions=1): a conflict, not an IO failure — but
@@ -1217,7 +1235,7 @@ def delete_versioned(
                     )
                     carry = {k: all_files[k] for k in untouched_f}
                 else:
-                    existing = spark.read.parquet(cdir)
+                    existing = _snapshot_df(spark, table_dir, current)
                 remaining = existing.join(
                     F.broadcast(kdf), on=_null_safe_cond(existing, kdf, key_cols),
                     how="left_anti",
@@ -1229,16 +1247,19 @@ def delete_versioned(
                         max(1, len(touched_f))
                     )
                 remaining.write.mode("error").parquet(vdir)
-                for key in sorted(carry):
-                    src = carry[key]
-                    dst = os.path.join(vdir, os.path.basename(src))
-                    if os.path.exists(dst):
-                        dst = os.path.join(
-                            vdir,
-                            f"cow-{uuid.uuid4().hex[:8]}-"
-                            f"{os.path.basename(src)}",
-                        )
-                    os.link(src, dst)
+                if _plain_link_mode(table_dir) == "manifest" and cow:
+                    _emit_file_manifest(table_dir, version, carry)
+                else:
+                    for key in sorted(carry):
+                        src = carry[key]
+                        dst = os.path.join(vdir, os.path.basename(src))
+                        if os.path.exists(dst):
+                            dst = os.path.join(
+                                vdir,
+                                f"cow-{uuid.uuid4().hex[:8]}-"
+                                f"{os.path.basename(src)}",
+                            )
+                        os.link(src, dst)
                 untouched: list[str] = []
             else:
                 n_buckets = layout["n_buckets"]
@@ -1559,13 +1580,22 @@ def _link_buckets(cdir: str, vdir: str, dirs: list[str]) -> None:
 
 
 _MANIFEST = "_manifest.json"
+_PLAIN_LAYOUT = "_plain_layout.json"
 
 
 def _read_manifest(table_dir: str, version: str) -> dict[str, str] | None:
-    """A manifest-layout snapshot's ``{bucket_dir: origin_version}``
-    map, or None when the version directory is fully materialized
-    (hardlink/plain layouts, or a manifest table's first/evolution
-    full-rewrite snapshots)."""
+    """A manifest-layout snapshot's reference map, or None when the
+    version directory is fully materialized (hardlink/plain layouts, or
+    a manifest table's first/evolution full-rewrite snapshots). Two key
+    shapes share the format ``{name: origin_version}``:
+
+    * bucketed: ``{bucket_dir: origin}`` (round 11) — names are
+      ``upsert_bucket=N`` directories;
+    * plain FILE manifests (round 12, the object-store posture for
+      copy-on-write tables): ``{"<origin>/<filename>": origin}`` — the
+      key doubles as the resolved path relative to ``table_dir`` and is
+      distinguishable by the ``/`` (bucket dir names never contain one).
+    """
     import json
     import os
 
@@ -1574,6 +1604,84 @@ def _read_manifest(table_dir: str, version: str) -> dict[str, str] | None:
             return json.load(f)
     except FileNotFoundError:
         return None
+
+
+def _is_file_manifest(m: dict | None) -> bool:
+    return bool(m) and any("/" in k for k in m)
+
+
+def _plain_link_mode(table_dir: str) -> str:
+    """How a PLAIN table's copy-on-write carries untouched files:
+    ``hardlink`` (default — the local fast path) or ``manifest`` (the
+    object-store posture: S3/GCS have no links, so untouched files stay
+    in their origin version directories and the new version publishes a
+    file manifest referencing them, one hop, reference-counted by
+    retention/VACUUM exactly like the bucketed manifests). Pinned in a
+    ``_plain_layout.json`` sidecar by the first write that chooses."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(table_dir, _PLAIN_LAYOUT)) as f:
+            return json.load(f).get("link_mode", "hardlink")
+    except FileNotFoundError:
+        return "hardlink"
+
+
+def _pin_plain_link_mode(table_dir: str, link_mode: str | None) -> str:
+    """Validate-and-pin, mirroring the bucketed writers' layout pin:
+    the first caller that passes ``link_mode`` writes the sidecar;
+    later calls must match (or pass None to inherit)."""
+    import json
+    import os
+
+    pinned = _plain_link_mode(table_dir)
+    if link_mode is None:
+        return pinned
+    if link_mode not in ("hardlink", "manifest"):
+        raise ValueError(
+            f"link_mode must be hardlink|manifest, got {link_mode!r}"
+        )
+    sidecar = os.path.join(table_dir, _PLAIN_LAYOUT)
+    if os.path.exists(sidecar):
+        if pinned != link_mode:
+            raise ValueError(
+                f"layout mismatch for {table_dir}: plain link_mode is "
+                f"pinned {pinned!r}, caller asked {link_mode!r}"
+            )
+        return pinned
+    os.makedirs(table_dir, exist_ok=True)
+    with open(sidecar, "w") as f:
+        json.dump({"link_mode": link_mode}, f)
+    return link_mode
+
+
+def _emit_file_manifest(
+    table_dir: str, version: str, carried: dict[str, str]
+) -> None:
+    """Publish a plain CoW version's file manifest: every data file
+    physically WRITTEN into the version dir maps to the version itself;
+    every carried file keeps its resolved ``<origin>/<fname>`` key."""
+    import json
+    import os
+    import uuid
+
+    vdir = os.path.join(table_dir, version)
+    manifest = {
+        f"{version}/{fn}": version
+        for fn in sorted(os.listdir(vdir))
+        if not fn.startswith((".", "_")) and os.path.isfile(
+            os.path.join(vdir, fn)
+        )
+    }
+    for key in carried:
+        manifest[key] = key.split("/", 1)[0]
+    tmp = os.path.join(vdir, f".{_MANIFEST}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(vdir, _MANIFEST))
 
 
 def _snapshot_buckets(table_dir: str, version: str) -> dict[str, str]:
@@ -1587,7 +1695,9 @@ def _snapshot_buckets(table_dir: str, version: str) -> dict[str, str]:
 
     m = _read_manifest(table_dir, version)
     if m is not None:
-        return dict(m)
+        # plain FILE manifests (CoW object-store posture) have no
+        # buckets — their entries are files, not partition dirs
+        return {} if _is_file_manifest(m) else dict(m)
     vdir = os.path.join(table_dir, version)
     return {
         d: version
@@ -1605,6 +1715,10 @@ def _snapshot_files(table_dir: str, version: str) -> dict[str, str]:
     stats collection carry entries forward without touching the files."""
     import os
 
+    m = _read_manifest(table_dir, version)
+    if _is_file_manifest(m):
+        # plain file manifest: the key IS the table-relative path
+        return {k: os.path.join(table_dir, k) for k in sorted(m)}
     buckets = _snapshot_buckets(table_dir, version)
     out: dict[str, str] = {}
     if buckets:
@@ -1754,6 +1868,10 @@ def _snapshot_df(
     from functools import reduce
 
     m = _read_manifest(table_dir, version)
+    if _is_file_manifest(m):
+        # plain CoW file manifest: the snapshot is the referenced file
+        # set (bucket restriction is meaningless — no buckets exist)
+        return _snapshot_df_files(spark, table_dir, version, set(m))
     if m is None and buckets is None:
         return spark.read.parquet(os.path.join(table_dir, version))
     mapping = _snapshot_buckets(table_dir, version)
@@ -1862,7 +1980,13 @@ def _gc_version(table_dir: str, stale: str, retained: list[str]) -> None:
     for v in retained:
         m = _read_manifest(table_dir, v)
         if m:
-            referenced |= {d for d, o in m.items() if o == stale}
+            # bucket keys name dirs inside the stale version; plain
+            # FILE keys are "<origin>/<fname>" — the referenced entry
+            # is the file name within the origin dir
+            referenced |= {
+                (d.split("/", 1)[1] if "/" in d else d)
+                for d, o in m.items() if o == stale
+            }
     if not referenced:
         shutil.rmtree(sdir, ignore_errors=True)
         return
@@ -1934,11 +2058,23 @@ def clone_versioned(
     if layout is not None:
         with open(os.path.join(dest_dir, _LAYOUT_SIDECAR), "w") as f:
             json.dump(layout, f)
+    if _plain_link_mode(table_dir) != "hardlink":
+        with open(os.path.join(dest_dir, _PLAIN_LAYOUT), "w") as f:
+            json.dump({"link_mode": _plain_link_mode(table_dir)}, f)
     new_version = f"v-{1:06d}-{uuid.uuid4().hex[:8]}"
     m = _read_manifest(table_dir, version)
     if m is None:
         _link_tree(os.path.join(table_dir, version),
                    os.path.join(dest_dir, new_version))
+    elif _is_file_manifest(m):
+        # plain CoW file manifest: resolve each referenced file and
+        # link it flat — the clone's v1 is fully materialized (its
+        # references would otherwise dangle across tables)
+        nvdir = os.path.join(dest_dir, new_version)
+        os.makedirs(nvdir, exist_ok=True)
+        for key in sorted(m):
+            src = os.path.join(table_dir, key)
+            os.link(src, os.path.join(nvdir, os.path.basename(src)))
     else:
         # manifest layout: resolve every bucket to its physical home and
         # link from there — the clone's v1 is fully materialized (its
@@ -1992,7 +2128,32 @@ def restore_versioned(
         seq = int(current.split("-")[1]) + 1 if current else 1
         new_version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
         layout = _table_layout(table_dir)
-        if (layout or {}).get("link_mode") == "manifest":
+        if layout is None and _plain_link_mode(table_dir) == "manifest":
+            # plain CoW manifest table: zero-copy RESTORE — the new
+            # version is a file manifest resolving every file of the
+            # restored snapshot to its physical home (one hop kept)
+            import json as _json
+
+            rm = _read_manifest(table_dir, version)
+            if rm is None:
+                vdir_r = os.path.join(table_dir, version)
+                rm = {
+                    f"{version}/{fn}": version
+                    for fn in sorted(os.listdir(vdir_r))
+                    if not fn.startswith((".", "_"))
+                    and os.path.isfile(os.path.join(vdir_r, fn))
+                }
+            nvdir = os.path.join(table_dir, new_version)
+            os.makedirs(nvdir, exist_ok=True)
+            mtmp = os.path.join(
+                nvdir, f".{_MANIFEST}.{uuid.uuid4().hex[:8]}.tmp"
+            )
+            with open(mtmp, "w") as f:
+                _json.dump(rm, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(mtmp, os.path.join(nvdir, _MANIFEST))
+        elif (layout or {}).get("link_mode") == "manifest":
             # zero-copy RESTORE in the object-store posture: the new
             # version is just a manifest resolving every bucket to the
             # restored snapshot's physical homes (one hop preserved)
@@ -2183,13 +2344,10 @@ def compact_versioned(
         # pruning layout for zero file-count gain
         return {"compacted": False, "reason": "bucket-partitioned layout "
                 "is single-file-per-bucket by construction"}
-    cdir = os.path.join(table_dir, current)
-    files = [
-        os.path.join(r, f)
-        for r, _, fs in os.walk(cdir)
-        for f in fs
-        if f.endswith(".parquet") or f.startswith("part-")
-    ]
+    # manifest-resolved: a CoW file-manifest snapshot's files live
+    # across version dirs; compaction is in fact the maintenance that
+    # RE-MATERIALIZES such a snapshot (the rewrite carries nothing)
+    files = list(_snapshot_files(table_dir, current).values())
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / max(1, target_bytes)))
     report = {
@@ -2205,7 +2363,7 @@ def compact_versioned(
     seq = int(current.split("-")[1]) + 1
     version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
     (
-        spark.read.parquet(cdir)
+        _snapshot_df(spark, table_dir, current)
         .repartition(n_out)
         .write.mode("error")
         .parquet(os.path.join(table_dir, version))
@@ -2867,19 +3025,9 @@ def optimize_versioned(
     version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
     vdir = os.path.join(table_dir, version)
 
-    # physical size of the current snapshot, manifest-resolved
-    buckets = _snapshot_buckets(table_dir, current)
-    if buckets:
-        dirs = [os.path.join(table_dir, o, d) for d, o in buckets.items()]
-    else:
-        dirs = [os.path.join(table_dir, current)]
-    files = [
-        os.path.join(r, f)
-        for d in dirs
-        for r, _, fs in os.walk(d)
-        for f in fs
-        if f.endswith(".parquet") or f.startswith("part-")
-    ]
+    # physical size of the current snapshot, manifest-resolved (bucket
+    # manifests AND plain CoW file manifests)
+    files = list(_snapshot_files(table_dir, current).values())
     total = sum(os.path.getsize(f) for f in files)
     report = {
         "files_before": len(files),

@@ -424,3 +424,119 @@ def test_cow_pump_plain_dest_shares_files(spark, tmp_path):
     assert cf is not None
     total = len(fs.read_stats(dst, dvs[-1])["files"])
     assert len(cf[1]) < total  # some files carried, not a full rewrite
+
+
+def test_cow_manifest_mode_object_store_posture(spark, tmp_path):
+    """Round-12: plain-table CoW without hardlinks — the new version
+    publishes a FILE manifest referencing untouched files in their
+    origin version dirs (what S3/GCS need). Covers: reads resolve
+    across version dirs, retention reference-counts carried files,
+    RESTORE is manifest-only, CLONE materializes, compaction
+    re-materializes, and the mode pin rejects a mismatch."""
+    import shutil
+
+    t = str(tmp_path / "cowm")
+    df = spark.range(0, 40_000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("x"))
+    inv.upsert_parquet_versioned(spark, t, df, ["k"], target_files=6,
+                                 keep_versions=2, link_mode="manifest")
+    inv.optimize_versioned(spark, t, ["k"], target_bytes=200_000,
+                           keep_versions=2)
+    v_base = inv._current_version(t)
+
+    upd = spark.range(0, 30).select(
+        F.col("id").alias("k"), F.lit(-1.0).alias("x"))
+    inv.upsert_parquet_versioned(spark, t, upd, ["k"],
+                                 keep_versions=2, cow=True)
+    v_cow = inv._current_version(t)
+
+    # the CoW version dir holds ONLY the rewritten files + the manifest
+    vdir = os.path.join(t, v_cow)
+    data_files = [f for f in os.listdir(vdir)
+                  if not f.startswith((".", "_"))]
+    m = inv._read_manifest(t, v_cow)
+    assert m is not None and inv._is_file_manifest(m)
+    carried = {k for k, o in m.items() if o != v_cow}
+    assert carried and len(data_files) < len(m)
+    # physically, carried files are NOT in the new dir (no links)
+    assert all(os.path.basename(k) not in data_files for k in carried)
+
+    # reads resolve across version dirs and match the brute merge
+    got = inv.read_versioned(spark, t)
+    brute = inv.merge_upsert(
+        inv.read_versioned(spark, t, v_base), upd, ["k"])
+    assert got.exceptAll(brute).isEmpty()
+    assert brute.exceptAll(got).isEmpty()
+
+    # predicates / data skipping work through the manifest
+    assert inv.read_versioned(
+        spark, t, predicates=[("k", "<", 10)]).count() == 10
+
+    # retention reference-counting: another CoW commit prunes v_base
+    # from history (keep_versions=2), but its files are still
+    # referenced by manifests — reads must keep working
+    upd2 = spark.range(30, 60).select(
+        F.col("id").alias("k"), F.lit(-2.0).alias("x"))
+    inv.upsert_parquet_versioned(spark, t, upd2, ["k"],
+                                 keep_versions=2, cow=True)
+    assert v_base not in inv.list_versions(t)
+    assert inv.read_versioned(spark, t).count() == 40_000
+    assert inv.read_versioned(spark, t).filter(
+        F.col("x") == -2.0).count() == 30
+
+    # zero-copy RESTORE on the manifest table: new version is
+    # manifest-only and byte-equal to the restored snapshot
+    vs = inv.list_versions(t)
+    inv.restore_versioned(spark, t, vs[0], keep_versions=3)
+    rv = inv._current_version(t)
+    assert inv._is_file_manifest(inv._read_manifest(t, rv))
+    a = inv.read_versioned(spark, t, vs[0])
+    b = inv.read_versioned(spark, t)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    # CLONE materializes (no cross-table dangling references)
+    c = str(tmp_path / "cowm_clone")
+    inv.clone_versioned(spark, t, c)
+    cv = inv._current_version(c)
+    assert inv._read_manifest(c, cv) is None  # fully materialized
+    assert inv.read_versioned(spark, c).count() == 40_000
+
+    # compaction re-materializes the snapshot (rewrite carries nothing)
+    rep = inv.compact_versioned(spark, t, target_bytes=10**9,
+                                keep_versions=2)
+    assert rep["compacted"]
+    assert inv._read_manifest(t, inv._current_version(t)) is None
+    assert inv.read_versioned(spark, t).count() == 40_000
+
+    # the pin is enforced
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pinned 'manifest'"):
+        inv.upsert_parquet_versioned(spark, t, upd, ["k"],
+                                     link_mode="hardlink")
+
+
+def test_cow_manifest_vacuum_reference_counting(spark, tmp_path):
+    """VACUUM keeps files a retained manifest still references and
+    reclaims genuinely orphaned ones, same contract as the bucketed
+    manifests."""
+    t = str(tmp_path / "cowv")
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("x"))
+    inv.upsert_parquet_versioned(spark, t, df, ["k"], target_files=4,
+                                 keep_versions=1, link_mode="manifest")
+    inv.optimize_versioned(spark, t, ["k"], target_bytes=100_000,
+                           keep_versions=2)
+    v_base = inv._current_version(t)
+    upd = spark.range(0, 5).select(
+        F.col("id").alias("k"), F.lit(-1.0).alias("x"))
+    inv.upsert_parquet_versioned(spark, t, upd, ["k"],
+                                 keep_versions=1, cow=True)
+    # keep_versions=1 pruned v_base from history, but the CoW manifest
+    # still references most of its files: the prune's _gc_version kept
+    # them (dir survives partially) and reads stay whole
+    assert v_base not in inv.list_versions(t)
+    assert os.path.isdir(os.path.join(t, v_base))
+    assert inv.read_versioned(spark, t).count() == 20_000
+    # vacuum with history trim to 1 must ALSO keep referenced files
+    inv.vacuum_versioned(t, grace_seconds=0, keep_versions=1)
+    assert inv.read_versioned(spark, t).count() == 20_000
