@@ -589,6 +589,7 @@ def upsert_parquet_versioned(
     merge_schema: bool = False,
     cow: bool = False,
     link_mode: str | None = None,
+    write_change_data: bool | None = None,
 ) -> DataFrame:
     """Keyed upsert with SNAPSHOT-ATOMIC publish — closes the
     `upsert_parquet` transactionality gap without a lake format.
@@ -677,6 +678,16 @@ def upsert_parquet_versioned(
     referencing them, one hop; retention/VACUUM reference-count exactly
     like the bucketed manifests). First caller pins; later calls
     inherit with None or must match.
+
+    ``write_change_data=True`` (round 12) pins the table to WRITE-TIME
+    change-data capture — Delta's ``enableChangeDataFeed``: every
+    commit also materializes its Delta-shaped change rows
+    (insert/update_preimage/update_postimage, no-op rows logged as
+    nothing) under the version directory, published and pruned
+    atomically with it. See :mod:`.cdc` for the cost model (churn-sized
+    by construction — under CoW the preimages come from the exact files
+    being rewritten) and the readers (:func:`.cdc.read_change_data`,
+    the streaming source). ``None`` inherits the table pin.
     """
     import json
     import os
@@ -686,8 +697,11 @@ def upsert_parquet_versioned(
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version must be given together")
 
+    from .cdc import resolve_cdc, upsert_change_rows, write_change_log
+
     os.makedirs(table_dir, exist_ok=True)
     mode = _pin_plain_link_mode(table_dir, link_mode)
+    cdc_log = resolve_cdc(table_dir, write_change_data)
     last_err: ConcurrentWriteError | None = None
     for _attempt in range(max(0, retries) + 1):
         # (Re-)read the commit state each attempt: a retry must merge
@@ -710,6 +724,7 @@ def upsert_parquet_versioned(
         version: str | None = None
         try:
             carry: dict[str, str] = {}
+            base_scope: DataFrame | None = None  # CDC preimage source
             if current is None:
                 # first write: dedupe WITHIN the batch through the same
                 # window later merges apply — the one-row-per-key contract
@@ -742,6 +757,7 @@ def upsert_parquet_versioned(
                         # posture as the bucketed writer
                         cow_plan = None
                     else:
+                        base_scope = old_rows
                         merged = merge_upsert(old_rows, updates, key_cols)
                         if target_files is None:
                             # like-for-like file count: the rewrite
@@ -764,6 +780,7 @@ def upsert_parquet_versioned(
                     # files live across version dirs; plain
                     # materialized snapshots read the dir as before
                     existing = _snapshot_df(spark, table_dir, current)
+                    base_scope = existing
                     merged = merge_upsert(existing, updates, key_cols,
                                           merge_schema=merge_schema)
 
@@ -779,6 +796,19 @@ def upsert_parquet_versioned(
             # ceiling of the whole sink; see SCALING.md round 9.)
             out = merged.coalesce(target_files) if target_files else merged
             out.write.mode("error").parquet(os.path.join(table_dir, version))
+            if cdc_log:
+                # change log BEFORE the carry links: the version dir
+                # holds exactly the freshly-WRITTEN files right now, so
+                # reading it back gives the postimage scope (churn-sized
+                # under CoW) without filtering out carried files
+                write_change_log(
+                    table_dir, version,
+                    upsert_change_rows(
+                        spark, base_scope,
+                        spark.read.parquet(os.path.join(table_dir, version)),
+                        updates, key_cols,
+                    ),
+                )
             # copy-on-write carry, by the table's pinned link mode:
             # hardlink — untouched files link into the new version
             # AFTER the rewrite lands (zero bytes copied; link targets
@@ -901,6 +931,7 @@ def upsert_parquet_versioned_partitioned(
     scheme: str = "range",
     merge_schema: bool = False,
     link_mode: str | None = None,
+    write_change_data: bool | None = None,
 ) -> DataFrame:
     """:func:`upsert_parquet_versioned` with a PARTITION-PRUNED merge —
     the lever that makes per-batch cost proportional to the batch, not
@@ -960,6 +991,11 @@ def upsert_parquet_versioned_partitioned(
     runs all three layouts.
 
     The bucket column is internal: :func:`read_versioned` drops it.
+
+    ``write_change_data``: write-time CDC exactly as on the plain
+    writer (see that docstring / :mod:`.cdc`); here the preimage scope
+    is the TOUCHED-BUCKET slice, so logging cost rides the same
+    partition pruning as the merge itself.
     """
     import json
     import os
@@ -988,7 +1024,10 @@ def upsert_parquet_versioned_partitioned(
             f"got {key_cols} (use scheme='hash' for composite keys)"
         )
 
+    from .cdc import resolve_cdc, upsert_change_rows, write_change_log
+
     os.makedirs(table_dir, exist_ok=True)
+    cdc_log = resolve_cdc(table_dir, write_change_data)
     layout = _table_layout(table_dir)
     if layout is None:
         if _current_version(table_dir) is not None:
@@ -1050,6 +1089,7 @@ def upsert_parquet_versioned_partitioned(
 
         vdir = None
         try:
+            base_scope: DataFrame | None = None  # CDC preimage source
             if current is None:
                 touched = sorted(
                     r[0] for r in u.select(_BUCKET_COL).distinct().collect()
@@ -1091,6 +1131,7 @@ def upsert_parquet_versioned_partitioned(
                     existing = existing_all.filter(
                         F.col(_BUCKET_COL).isin(touched)
                     )
+                base_scope = existing.drop(_BUCKET_COL)
                 merged = merge_upsert(existing, u, key_cols,
                                       merge_schema=merge_schema)
                 seq = int(current.split("-")[1]) + 1
@@ -1109,6 +1150,18 @@ def upsert_parquet_versioned_partitioned(
                 .partitionBy(_BUCKET_COL)
                 .parquet(vdir)
             )
+            if cdc_log:
+                # before the untouched-bucket links: the version dir
+                # holds exactly the rewritten buckets, so reading it
+                # back is the touched-scope postimage
+                write_change_log(
+                    table_dir, version,
+                    upsert_change_rows(
+                        spark, base_scope,
+                        spark.read.parquet(vdir).drop(_BUCKET_COL),
+                        updates, key_cols,
+                    ),
+                )
             _emit_untouched(table_dir, current, vdir, untouched, layout)
         except Exception as err:
             # base pruned mid-scan/link by a concurrent winner's
@@ -1147,6 +1200,7 @@ def delete_versioned(
     txn_version: int | None = None,
     retries: int = 2,
     cow: bool = False,
+    write_change_data: bool | None = None,
 ) -> DataFrame:
     """Keyed DELETE from a versioned table — the right-to-be-forgotten
     operation (GDPR/erasure requests) every long-lived training-data
@@ -1179,6 +1233,13 @@ def delete_versioned(
     delete cost tracks the churn, and surviving versions share files
     (churn-pruned CDF). Falls back to the full rewrite when no stats
     sidecar exists.
+
+    ``write_change_data``: write-time CDC (see :mod:`.cdc`) — the
+    DOOMED rows log as ``_change_type='delete'`` preimages, computed
+    from the same scoped slice the anti-join reads. Erasure caveat: a
+    CDC-pinned hard-delete's change log itself carries the deleted
+    rows until retention prunes that version — the identical window the
+    retained older snapshots already expose.
     """
     import os
     import shutil
@@ -1197,6 +1258,9 @@ def delete_versioned(
             f"{layout.get('key_cols')}, delete asked {key_cols}"
         )
 
+    from .cdc import delete_change_rows, resolve_cdc, write_change_log
+
+    cdc_log = resolve_cdc(table_dir, write_change_data)
     kdf = keys.select(*key_cols).dropDuplicates(key_cols)
     last_err: ConcurrentWriteError | None = None
     for _attempt in range(max(0, retries) + 1):
@@ -1247,6 +1311,14 @@ def delete_versioned(
                         max(1, len(touched_f))
                     )
                 remaining.write.mode("error").parquet(vdir)
+                if cdc_log:
+                    doomed = existing.join(
+                        F.broadcast(kdf),
+                        on=_null_safe_cond(existing, kdf, key_cols),
+                        how="left_semi",
+                    )
+                    write_change_log(table_dir, version,
+                                     delete_change_rows(doomed))
                 if _plain_link_mode(table_dir) == "manifest" and cow:
                     _emit_file_manifest(table_dir, version, carry)
                 else:
@@ -1303,6 +1375,14 @@ def delete_versioned(
                     .partitionBy(_BUCKET_COL)
                     .parquet(vdir)
                 )
+                if cdc_log:
+                    doomed = existing.join(
+                        F.broadcast(kno),
+                        on=_null_safe_cond(existing, kno, key_cols),
+                        how="left_semi",
+                    ).drop(_BUCKET_COL)
+                    write_change_log(table_dir, version,
+                                     delete_change_rows(doomed))
                 untouched = untouched_pre
             _emit_untouched(table_dir, current, vdir, untouched, layout)
         except ValueError:
@@ -1341,6 +1421,7 @@ def delete_versioned_where(
     txn_version: int | None = None,
     retries: int = 2,
     key_range: tuple[float, float] | None = None,
+    write_change_data: bool | None = None,
 ) -> DataFrame:
     """Predicate DELETE (``DELETE WHERE <condition>``) from a versioned
     table — rows matching ``condition`` (a Column or SQL string) are
@@ -1369,8 +1450,11 @@ def delete_versioned_where(
     import shutil
     import uuid
 
+    from .cdc import delete_change_rows, resolve_cdc, write_change_log
+
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version must be given together")
+    cdc_log = resolve_cdc(table_dir, write_change_data)
     cond = F.expr(condition) if isinstance(condition, str) else condition
     layout = _table_layout(table_dir)
     hint_buckets: list[int] | None = None
@@ -1447,6 +1531,15 @@ def delete_versioned_where(
                     .partitionBy(_BUCKET_COL)
                     .parquet(vdir)
                 )
+            if cdc_log:
+                # the doomed rows are the predicate's TRUE matches over
+                # the same (possibly bucket-hinted) slice the rewrite
+                # read — replaceWhere semantics carry into the feed
+                doomed = existing.filter(F.coalesce(cond, F.lit(False)))
+                if _BUCKET_COL in doomed.columns:
+                    doomed = doomed.drop(_BUCKET_COL)
+                write_change_log(table_dir, version,
+                                 delete_change_rows(doomed))
             _emit_untouched(table_dir, current, vdir, untouched, layout)
         except ValueError:
             raise  # the empty-snapshot brick guard, not a scan failure
@@ -1731,6 +1824,8 @@ def _snapshot_files(table_dir: str, version: str) -> dict[str, str]:
         return out
     vdir = os.path.join(table_dir, version)
     for root, _dirs, files in os.walk(vdir):
+        # sidecar directories (_changes CDC logs) are not data files
+        _dirs[:] = [d for d in _dirs if not d.startswith((".", "_"))]
         rel = os.path.relpath(root, vdir)
         for fn in sorted(files):
             if fn.startswith((".", "_")):
@@ -2010,6 +2105,12 @@ def _link_tree(src: str, dst: str) -> None:
     import os
 
     for root, _dirs, files in os.walk(src):
+        # never carry sidecar dirs (_changes CDC logs): a RESTORE/CLONE
+        # is a NEW commit whose change set is NOT the source commit's —
+        # linking the old log under the new version would corrupt the
+        # feed (the marker is _-prefixed and already skipped; the new
+        # version is an honest unlogged hole instead)
+        _dirs[:] = [d for d in _dirs if not d.startswith((".", "_"))]
         rel = os.path.relpath(root, src)
         out = dst if rel == "." else os.path.join(dst, rel)
         os.makedirs(out, exist_ok=True)
@@ -2061,6 +2162,14 @@ def clone_versioned(
     if _plain_link_mode(table_dir) != "hardlink":
         with open(os.path.join(dest_dir, _PLAIN_LAYOUT), "w") as f:
             json.dump({"link_mode": _plain_link_mode(table_dir)}, f)
+    from .cdc import cdc_enabled, resolve_cdc
+
+    if cdc_enabled(table_dir):
+        # the pin carries to the clone (its v1 is an unlogged hole —
+        # creation "changes" are the whole snapshot and consumers of a
+        # NEW table bootstrap from the snapshot, not the feed; every
+        # later commit on the clone logs normally)
+        resolve_cdc(dest_dir, True)
     new_version = f"v-{1:06d}-{uuid.uuid4().hex[:8]}"
     m = _read_manifest(table_dir, version)
     if m is None:
@@ -2107,7 +2216,14 @@ def restore_versioned(
     not reset to the restored one's: a restore undoes DATA, not replay
     protection — resetting the watermark would let an at-least-once
     stream re-apply batches it already applied (double-count), which is
-    never what a rollback means."""
+    never what a rollback means.
+
+    CDC-pinned tables: a RESTORE commit changes data but knows no key
+    columns, so it logs NO change data — an honest HOLE in the feed
+    (readers fail on it by default, or skip with
+    ``on_missing='skip'``; Delta's ``skipChangeCommits`` posture).
+    Derived :func:`..operators.versioning.table_changes` still answers
+    across the restore while both endpoints are retained."""
     import os
     import uuid
 
@@ -2368,6 +2484,12 @@ def compact_versioned(
         .write.mode("error")
         .parquet(os.path.join(table_dir, version))
     )
+    from .cdc import cdc_enabled, write_change_log
+
+    if cdc_enabled(table_dir):
+        # compaction provably changes no data: log an EMPTY commit so
+        # the feed stays hole-free (consumers skip it for free)
+        write_change_log(table_dir, version, None)
     try:
         _publish_version(table_dir, version, marks, keep_versions,
                          expected_base=current)
@@ -3119,6 +3241,11 @@ def optimize_versioned(
             return report
         raise
 
+    from .cdc import cdc_enabled, write_change_log
+
+    if cdc_enabled(table_dir):
+        # OPTIMIZE changes layout, never data: an EMPTY logged commit
+        write_change_log(table_dir, version, None)
     try:
         _publish_version(table_dir, version, marks, keep_versions,
                          expected_base=current)

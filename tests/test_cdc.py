@@ -1,0 +1,485 @@
+"""Write-time change-data capture (cdc.py) — the Delta
+``enableChangeDataFeed`` analog: logged-at-commit change rows, pinned
+EQUAL to the derived snapshot-diff feed, plus the native Structured
+Streaming source over them."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from animaltrackingetls_spark.cdc import (
+    CHANGE_TYPE_COL,
+    COMMIT_SEQ_COL,
+    cdc_enabled,
+    change_log,
+    read_change_data,
+    read_changes_stream,
+    resolve_cdc,
+    write_change_log,
+)
+from animaltrackingetls_spark.inventory import (
+    clone_versioned,
+    compact_versioned,
+    delete_versioned,
+    delete_versioned_where,
+    list_versions,
+    optimize_versioned,
+    read_versioned,
+    restore_versioned,
+    upsert_parquet_versioned,
+    upsert_parquet_versioned_partitioned,
+)
+from animaltrackingetls_spark.operators.versioning import table_changes
+
+# logged _change_type -> derived corpus_diff change tag
+_TO_DERIVED = {
+    "insert": "added",
+    "update_postimage": "changed",
+    "delete": "removed",
+}
+
+
+def _rows(df, *cols):
+    # repr-keyed: NULL keys sort stably (None < int is a TypeError)
+    return sorted(
+        (tuple(r) for r in df.select(*cols).collect()), key=repr
+    )
+
+
+def _logged_vs_derived(spark, tdir, key_cols, from_v, to_v):
+    """Pin the LOGGED feed's classification equal to the DERIVED diff
+    over the same commit window: same keys, same change tags (pre-images
+    excluded — the derived feed has no pre-image concept)."""
+    logged = read_change_data(spark, tdir, from_v, to_v)
+    derived = table_changes(spark, tdir, key_cols, from_v, to_v)
+    got = sorted(
+        (
+            (tuple(r[k] for k in key_cols),
+             _TO_DERIVED[r[CHANGE_TYPE_COL]])
+            for r in logged.filter(
+                F.col(CHANGE_TYPE_COL) != "update_preimage"
+            ).collect()
+        ),
+        key=repr,
+    )
+    want = sorted(
+        (
+            (tuple(r[k] for k in key_cols), r["change"])
+            for r in derived.collect()
+        ),
+        key=repr,
+    )
+    assert got == want
+    return logged
+
+
+@pytest.fixture()
+def base_batches(spark):
+    b1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (None, "n", 0.0)],
+        "k int, v string, x double",
+    )
+    # update k=2, NO-OP k=3, insert k=4, update the NULL key
+    b2 = spark.createDataFrame(
+        [(2, "B", 20.0), (3, "c", 30.0), (4, "d", 40.0), (None, "N", 0.0)],
+        "k int, v string, x double",
+    )
+    return b1, b2
+
+
+def _writer_variants():
+    def plain(spark, tdir, df, key_cols, **kw):
+        return upsert_parquet_versioned(spark, tdir, df, key_cols,
+                                        keep_versions=10, **kw)
+
+    def cow(spark, tdir, df, key_cols, **kw):
+        return upsert_parquet_versioned(spark, tdir, df, key_cols,
+                                        keep_versions=10, cow=True, **kw)
+
+    def cow_manifest(spark, tdir, df, key_cols, **kw):
+        return upsert_parquet_versioned(
+            spark, tdir, df, key_cols, keep_versions=10, cow=True,
+            link_mode="manifest", **kw,
+        )
+
+    def bucketed(spark, tdir, df, key_cols, **kw):
+        return upsert_parquet_versioned_partitioned(
+            spark, tdir, df, key_cols, n_buckets=4, scheme="hash",
+            keep_versions=10, **kw,
+        )
+
+    return [("plain", plain), ("cow", cow),
+            ("cow_manifest", cow_manifest), ("bucketed", bucketed)]
+
+
+@pytest.mark.parametrize("name,writer", _writer_variants())
+def test_upsert_logging_matches_derived_feed(
+    spark, tmp_path, base_batches, name, writer
+):
+    tdir = str(tmp_path / name)
+    b1, b2 = base_batches
+    writer(spark, tdir, b1, ["k"], write_change_data=True)
+    v1 = list_versions(tdir)[-1]
+    writer(spark, tdir, b2, ["k"])  # pin inherited
+    v2 = list_versions(tdir)[-1]
+
+    # creation commit: every row logs as insert (the derived feed can
+    # never reconstruct this once the empty pre-image is gone)
+    creation = read_change_data(spark, tdir, to_version=v1)
+    assert _rows(creation, CHANGE_TYPE_COL) == [("insert",)] * 4
+
+    logged = _logged_vs_derived(spark, tdir, ["k"], v1, v2)
+    by_type = {
+        r[0]: r[1]
+        for r in logged.groupBy(CHANGE_TYPE_COL).count().collect()
+    }
+    # k=2 and NULL-key update (pre+post each), k=4 insert, k=3 silent
+    assert by_type == {
+        "insert": 1, "update_preimage": 2, "update_postimage": 2,
+    }
+    pre = logged.filter(F.col(CHANGE_TYPE_COL) == "update_preimage")
+    assert _rows(pre, "k", "v") == [(2, "b"), (None, "n")]
+    post = logged.filter(F.col(CHANGE_TYPE_COL) == "update_postimage")
+    assert _rows(post, "k", "v") == [(2, "B"), (None, "N")]
+    # table data itself is untouched by logging
+    assert _rows(read_versioned(spark, tdir), "k", "v") == [
+        (1, "a"), (2, "B"), (3, "c"), (4, "d"), (None, "N"),
+    ]
+
+
+@pytest.mark.parametrize(
+    "cow,kwargs", [(False, {}), (True, {}), (True, {"link_mode": "manifest"})]
+)
+def test_delete_logging(spark, tmp_path, base_batches, cow, kwargs):
+    tdir = str(tmp_path / "t")
+    b1, _ = base_batches
+    upsert_parquet_versioned(spark, tdir, b1, ["k"], keep_versions=10,
+                             write_change_data=True, cow=cow, **kwargs)
+    v1 = list_versions(tdir)[-1]
+    doomed = spark.createDataFrame([(1,), (None,), (99,)], "k int")
+    delete_versioned(spark, tdir, doomed, ["k"], keep_versions=10, cow=cow)
+    v2 = list_versions(tdir)[-1]
+    logged = _logged_vs_derived(spark, tdir, ["k"], v1, v2)
+    # full pre-image rows, NULL key included, absent key (99) no-ops
+    assert _rows(logged, "k", "v", CHANGE_TYPE_COL) == [
+        (1, "a", "delete"), (None, "n", "delete"),
+    ]
+
+
+def test_delete_where_logging_bucketed(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    rows = [(i, float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "k int, x double")
+    upsert_parquet_versioned_partitioned(
+        spark, tdir, df, ["k"], n_buckets=4, scheme="range",
+        keep_versions=10, write_change_data=True,
+    )
+    v1 = list_versions(tdir)[-1]
+    delete_versioned_where(spark, tdir, "x >= 35.0", keep_versions=10)
+    v2 = list_versions(tdir)[-1]
+    logged = _logged_vs_derived(spark, tdir, ["k"], v1, v2)
+    assert _rows(logged, "k", CHANGE_TYPE_COL) == [
+        (k, "delete") for k in range(35, 40)
+    ]
+
+
+def test_maintenance_logs_empty_and_restore_is_a_hole(
+    spark, tmp_path, base_batches
+):
+    tdir = str(tmp_path / "t")
+    b1, _ = base_batches
+    upsert_parquet_versioned(spark, tdir, b1, ["k"], keep_versions=10,
+                             write_change_data=True, cow=True)
+    v1 = list_versions(tdir)[-1]
+    # pure-insert CoW commits ACCRETE files (rewrite one, carry the
+    # rest) — the exact state compaction exists for
+    for lo in (10, 20):
+        ins = spark.createDataFrame(
+            [(lo + i, "z", 1.0) for i in range(3)],
+            "k int, v string, x double",
+        )
+        upsert_parquet_versioned(spark, tdir, ins, ["k"],
+                                 keep_versions=10, cow=True)
+    rep = compact_versioned(spark, tdir, keep_versions=10)
+    assert rep["compacted"]
+    v_compact = list_versions(tdir)[-1]
+    assert change_log(tdir, v_compact) == []  # logged, provably empty
+    optimize_versioned(spark, tdir, ["k"], keep_versions=10)
+    v_opt = list_versions(tdir)[-1]
+    assert change_log(tdir, v_opt) == []
+    # the whole window (seq 2..5) reads through maintenance commits
+    # without holes; only the data commits (seq 2,3) contribute rows
+    feed = read_change_data(spark, tdir, from_version=v1)
+    assert sorted(
+        r[0] for r in feed.select(COMMIT_SEQ_COL).distinct().collect()
+    ) == [2, 3]
+
+    restore_versioned(spark, tdir, v1, keep_versions=10)
+    v_restore = list_versions(tdir)[-1]
+    # RESTORE is an honest hole: no marker, and no stale _changes files
+    # dragged along from the restored version's own log
+    assert change_log(tdir, v_restore) is None
+    assert not os.path.exists(
+        os.path.join(tdir, v_restore, "_changes")
+    )
+    with pytest.raises(FileNotFoundError, match="hole"):
+        read_change_data(spark, tdir, from_version=v1)
+    skipped = read_change_data(spark, tdir, from_version=v1,
+                               on_missing="skip")
+    assert sorted(
+        r[0] for r in skipped.select(COMMIT_SEQ_COL).distinct().collect()
+    ) == [2, 3]
+
+
+def test_pin_semantics(spark, tmp_path, base_batches):
+    tdir = str(tmp_path / "t")
+    b1, b2 = base_batches
+    upsert_parquet_versioned(spark, tdir, b1, ["k"], keep_versions=10)
+    v1 = list_versions(tdir)[-1]
+    assert not cdc_enabled(tdir)
+    assert change_log(tdir, v1) is None
+    # pin mid-life: later commits log, the pre-pin commit is a hole
+    upsert_parquet_versioned(spark, tdir, b2, ["k"], keep_versions=10,
+                             write_change_data=True)
+    assert cdc_enabled(tdir)
+    assert change_log(tdir, list_versions(tdir)[-1]) is not None
+    with pytest.raises(FileNotFoundError, match="hole"):
+        read_change_data(spark, tdir)
+    # explicit off on a pinned table refuses (a silent feed hole)
+    with pytest.raises(ValueError, match="pinned"):
+        upsert_parquet_versioned(spark, tdir, b2, ["k"], keep_versions=10,
+                                 write_change_data=False)
+    # resolve is idempotent
+    assert resolve_cdc(tdir, True) and resolve_cdc(tdir, None)
+
+
+def test_schema_evolution_pads_nulls(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    b1 = spark.createDataFrame([(1, "a")], "k int, v string")
+    upsert_parquet_versioned(spark, tdir, b1, ["k"], keep_versions=10,
+                             write_change_data=True)
+    b2 = spark.createDataFrame([(1, "a", 5), (2, "b", 7)],
+                               "k int, v string, extra int")
+    upsert_parquet_versioned(spark, tdir, b2, ["k"], keep_versions=10,
+                             merge_schema=True)
+    feed = read_change_data(spark, tdir)
+    assert "extra" in feed.columns
+    # the evolved batch: k=1 CHANGES (extra back-fills NULL->5, same
+    # semantics as the derived feed's union-schema diff), k=2 inserts;
+    # the creation commit's row pads extra as NULL
+    assert _rows(feed, COMMIT_SEQ_COL, "k", "extra", CHANGE_TYPE_COL) == [
+        (1, 1, None, "insert"),
+        (2, 1, 5, "update_postimage"),
+        (2, 1, None, "update_preimage"),
+        (2, 2, 7, "insert"),
+    ]
+
+
+def test_read_window_and_retention(spark, tmp_path, base_batches):
+    tdir = str(tmp_path / "t")
+    b1, b2 = base_batches
+    upsert_parquet_versioned(spark, tdir, b1, ["k"], keep_versions=2,
+                             write_change_data=True)
+    upsert_parquet_versioned(spark, tdir, b2, ["k"], keep_versions=2)
+    upsert_parquet_versioned(
+        spark, tdir,
+        spark.createDataFrame([(5, "e", 1.0)], "k int, v string, x double"),
+        ["k"], keep_versions=2,
+    )  # prunes v1
+    versions = list_versions(tdir)
+    assert len(versions) == 2
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        read_change_data(spark, tdir, from_version="v-000001-deadbeef")
+    # defaults cover every RETAINED commit
+    feed = read_change_data(spark, tdir)
+    assert sorted(
+        r[0] for r in feed.select(COMMIT_SEQ_COL).distinct().collect()
+    ) == [2, 3]
+    # empty window returns a typed empty frame
+    empty = read_change_data(spark, tdir, versions[-1], versions[-1])
+    assert empty.count() == 0
+    assert CHANGE_TYPE_COL in empty.columns
+
+
+def test_clone_carries_pin_not_logs(spark, tmp_path, base_batches):
+    tdir, cdir = str(tmp_path / "t"), str(tmp_path / "c")
+    b1, b2 = base_batches
+    upsert_parquet_versioned(spark, tdir, b1, ["k"], keep_versions=10,
+                             write_change_data=True)
+    clone_versioned(spark, tdir, cdir)
+    assert cdc_enabled(cdir)
+    cv1 = list_versions(cdir)[0]
+    assert change_log(cdir, cv1) is None  # clone v1 is a hole
+    assert not os.path.exists(os.path.join(cdir, cv1, "_changes"))
+    upsert_parquet_versioned(spark, cdir, b2, ["k"], keep_versions=10)
+    logged = read_change_data(spark, cdir, from_version=cv1)
+    assert logged.count() > 0
+
+
+def test_changes_invisible_to_snapshot_machinery(spark, tmp_path,
+                                                 base_batches):
+    """The _changes sidecar dir must never surface as data: snapshot
+    reads, file stats, CoW planning, and compaction sizing all ignore
+    it."""
+    from animaltrackingetls_spark import filestats
+    from animaltrackingetls_spark.inventory import _snapshot_files
+
+    tdir = str(tmp_path / "t")
+    b1, b2 = base_batches
+    upsert_parquet_versioned(spark, tdir, b1, ["k"], keep_versions=10,
+                             write_change_data=True, cow=True)
+    upsert_parquet_versioned(spark, tdir, b2, ["k"], keep_versions=10,
+                             cow=True)
+    v2 = list_versions(tdir)[-1]
+    files = _snapshot_files(tdir, v2)
+    assert all("_changes" not in k for k in files)
+    stats = filestats.read_stats(tdir, v2)
+    assert stats and all("_changes" not in k for k in stats["files"])
+    assert _rows(read_versioned(spark, tdir), "k", "v") == [
+        (1, "a"), (2, "B"), (3, "c"), (4, "d"), (None, "N"),
+    ]
+
+
+def test_marker_lists_real_files(spark, tmp_path, base_batches):
+    tdir = str(tmp_path / "t")
+    b1, _ = base_batches
+    upsert_parquet_versioned(spark, tdir, b1, ["k"], keep_versions=10,
+                             write_change_data=True)
+    v1 = list_versions(tdir)[-1]
+    with open(os.path.join(tdir, v1, "_changes.json")) as f:
+        marker = json.load(f)
+    assert marker["files"]
+    for p in change_log(tdir, v1):
+        assert os.path.isfile(p)
+
+
+# ----------------------------------------------------- streaming source
+
+
+def test_stream_availablenow_and_exactly_once_restart(
+    spark, tmp_path, base_batches
+):
+    tdir = str(tmp_path / "t")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    b1, b2 = base_batches
+    upsert_parquet_versioned(spark, tdir, b1, ["k"], keep_versions=10,
+                             write_change_data=True)
+    upsert_parquet_versioned(spark, tdir, b2, ["k"], keep_versions=10)
+
+    def drain():
+        q = (
+            read_changes_stream(spark, tdir, starting="earliest")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 4 + 5  # 4 creation inserts + (1 ins, 2x2 upd)
+    # new commits land; the restart reads ONLY them (offset checkpoint)
+    delete_versioned(spark, tdir, spark.createDataFrame([(1,)], "k int"),
+                     ["k"], keep_versions=10)
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 10
+    assert _rows(
+        got.filter(F.col(CHANGE_TYPE_COL) == "delete"), "k", "v"
+    ) == [(1, "a")]
+    # exactly once: no commit seq appears with duplicated rows
+    per_seq = _rows(got.groupBy(COMMIT_SEQ_COL).count(), COMMIT_SEQ_COL,
+                    "count")
+    assert per_seq == [(1, 4), (2, 5), (3, 1)]
+
+
+def test_stream_starting_latest_sees_only_new(spark, tmp_path,
+                                              base_batches):
+    tdir = str(tmp_path / "t")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    b1, b2 = base_batches
+    upsert_parquet_versioned(spark, tdir, b1, ["k"], keep_versions=10,
+                             write_change_data=True)
+    upsert_parquet_versioned(spark, tdir, b2, ["k"], keep_versions=10)
+
+    def drain():
+        q = (
+            read_changes_stream(spark, tdir)  # latest (resolved at start)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+
+    # first start: offset = current seq (2) -> NOTHING replayed
+    drain()
+    assert spark.read.parquet(out).count() == 0  # empty sink batch only
+    # a commit after the checkpoint exists IS seen (latest only skips
+    # history before the FIRST start)
+    delete_versioned(spark, tdir, spark.createDataFrame([(1,)], "k int"),
+                     ["k"], keep_versions=10)
+    drain()
+    got = spark.read.parquet(out)
+    assert sorted(
+        r[0] for r in got.select(COMMIT_SEQ_COL).distinct().collect()
+    ) == [3]
+
+
+def test_stream_hole_fails_and_skip_reads_past(spark, tmp_path,
+                                               base_batches):
+    tdir = str(tmp_path / "t")
+    b1, b2 = base_batches
+    # v1 unlogged (pre-pin), v2 logged
+    upsert_parquet_versioned(spark, tdir, b1, ["k"], keep_versions=10)
+    upsert_parquet_versioned(spark, tdir, b2, ["k"], keep_versions=10,
+                             write_change_data=True)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        read_changes_stream(spark, tdir, starting="earliest")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="no change data"):
+        q.awaitTermination(120)
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    q = (
+        read_changes_stream(spark, tdir, starting="earliest",
+                            on_missing="skip")
+        .writeStream.format("parquet").option("path", out2)
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(out2)
+    assert sorted(
+        r[0] for r in got.select(COMMIT_SEQ_COL).distinct().collect()
+    ) == [2]
+
+
+def test_stream_starting_explicit_seq(spark, tmp_path, base_batches):
+    tdir = str(tmp_path / "t")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    b1, b2 = base_batches
+    upsert_parquet_versioned(spark, tdir, b1, ["k"], keep_versions=10,
+                             write_change_data=True)
+    upsert_parquet_versioned(spark, tdir, b2, ["k"], keep_versions=10)
+    q = (
+        read_changes_stream(spark, tdir, starting=2)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert sorted(
+        r[0] for r in got.select(COMMIT_SEQ_COL).distinct().collect()
+    ) == [2]
