@@ -2115,7 +2115,15 @@ def _q_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     churn pruning — and a second 'read' row-kind returns a STATS-PRUNED
     ``read_versioned(predicates=[("doc_id","<",100)])`` over the final
     state (lang + the text tail, which shows ' u2' exactly on updated
-    rows), replayed in SQL from the same derivation."""
+    rows), replayed in SQL from the same derivation.
+
+    Round 12b: the table is CDC-PINNED (write_change_data=True), so the
+    CoW merge also LOGS its change rows at commit time (cdc.py), and
+    three 'log:*' row-kinds read them back through read_change_data —
+    the oracle replays insert/update_preimage/update_postimage from the
+    same pure derivations, putting the write-time change-data capture
+    (classification + payload content) under the driver's hash gate in
+    the same slot."""
     import hashlib
     import os
     import tempfile
@@ -2130,7 +2138,7 @@ def _q_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_file = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(docs_file)
     key = hashlib.md5(
-        f"{docs_file}:{st.st_mtime_ns}:{st.st_size}:cdf2".encode()
+        f"{docs_file}:{st.st_mtime_ns}:{st.st_size}:cdf3".encode()
     ).hexdigest()[:16]
     table = os.path.join(tempfile.gettempdir(), f"spark_graft_cdf_{key}")
 
@@ -2143,7 +2151,7 @@ def _q_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     upsert_parquet_versioned(
         spark, table, base, ["doc_id"], keep_versions=3,
-        txn_app_id="cdf", txn_version=0,
+        txn_app_id="cdf", txn_version=0, write_change_data=True,
     )
     if len(list_versions(table)) == 1:
         # first build only: a replayed invocation must not append
@@ -2167,7 +2175,20 @@ def _q_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("old_digest"),
         F.expr("right(text, 3)").alias("new_digest"),
     )
-    return diff.unionByName(readout).orderBy("change", "doc_id")
+    from animaltrackingetls_spark.cdc import read_change_data
+
+    logged = read_change_data(
+        spark, table, versions[-2], versions[-1]
+    ).select(
+        "doc_id",
+        F.concat(F.lit("log:"), F.col("_change_type")).alias("change"),
+        F.col("lang").alias("old_digest"),
+        F.expr("right(text, 3)").alias("new_digest"),
+    )
+    return (
+        diff.unionByName(readout).unionByName(logged)
+        .orderBy("change", "doc_id")
+    )
 
 
 def _q_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5303,6 +5324,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'read' AS change, lang AS old_digest,
                    right(text, 3) AS new_digest
             FROM final WHERE doc_id < 100
+            UNION ALL
+            -- the LOGGED feed of the CoW commit, replayed: the update
+            -- batch inserted %7==1 && %5==0 rows and updated
+            -- %7!=1 && %5==0 rows (text||' u2' always differs, so no
+            -- row nets to a silent no-op)
+            SELECT doc_id, 'log:insert' AS change, lang AS old_digest,
+                   right(text || ' u2', 3) AS new_digest
+            FROM documents WHERE doc_id % 7 = 1 AND doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id, 'log:update_postimage' AS change,
+                   lang AS old_digest,
+                   right(text || ' u2', 3) AS new_digest
+            FROM documents WHERE doc_id % 7 != 1 AND doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id, 'log:update_preimage' AS change,
+                   lang AS old_digest, right(text, 3) AS new_digest
+            FROM documents WHERE doc_id % 7 != 1 AND doc_id % 5 = 0
             ORDER BY change, doc_id
         """,
         "scd2_history": """

@@ -2421,6 +2421,8 @@ def compact_versioned(
     table_dir: str,
     target_bytes: int = 128 * 1024 * 1024,
     keep_versions: int = 2,
+    incremental: bool = False,
+    min_bytes: int | None = None,
 ) -> dict:
     """Small-file compaction for a versioned table, published through
     the same atomic pointer swap as the upserts it cleans up after.
@@ -2439,6 +2441,23 @@ def compact_versioned(
     A no-op (returns without writing) when the current layout already
     has ≤ the target file count — safe to run on a schedule. Returns a
     report dict: files/bytes before and after, and whether it acted.
+
+    ``incremental=True`` (round 12) is Delta's OPTIMIZE bin-packing
+    instead of the full re-layout: only files SMALLER than
+    ``min_bytes`` (default ``target_bytes // 2``) rewrite — packed
+    into ~``target_bytes`` outputs — and every already-right-sized
+    file carries into the new version untouched (hardlink, or manifest
+    reference on manifest-pinned tables). This is the steady-state
+    maintenance a COPY-ON-WRITE table needs: each CoW commit accretes
+    a churn-sized file, and the full rewrite is a non-option at scale
+    precisely because the table is big — incremental compaction's cost
+    tracks the accreted debris, not the table. Carried files keep
+    their physical identity, so CLUSTERING SURVIVES: a range-sorted
+    file from an earlier OPTIMIZE stays sorted (only the packed debris
+    file spans mixed ranges), stats-sidecar entries carry forward
+    without footer reads, and file-identity churn pruning
+    (CDF/pump) sees only the debris as changed. No-op when packing
+    the small set wouldn't reduce the file count.
 
     Scale: the rewrite is one ``repartition`` shuffle of the snapshot —
     the price of re-coalescing — and the decision is made from the file
@@ -2463,27 +2482,55 @@ def compact_versioned(
     # manifest-resolved: a CoW file-manifest snapshot's files live
     # across version dirs; compaction is in fact the maintenance that
     # RE-MATERIALIZES such a snapshot (the rewrite carries nothing)
-    files = list(_snapshot_files(table_dir, current).values())
-    total = sum(os.path.getsize(f) for f in files)
-    n_out = max(1, math.ceil(total / max(1, target_bytes)))
+    snap = _snapshot_files(table_dir, current)
+    sizes = {k: os.path.getsize(p) for k, p in snap.items()}
+    total = sum(sizes.values())
     report = {
-        "files_before": len(files),
+        "files_before": len(snap),
         "bytes_before": total,
-        "target_files": n_out,
         "compacted": False,
     }
-    if len(files) <= n_out:
-        return report
+    carry: dict[str, str] = {}
+    if incremental:
+        min_b = min_bytes if min_bytes is not None else target_bytes // 2
+        small = {k for k, s in sizes.items() if s < min_b}
+        small_bytes = sum(sizes[k] for k in small)
+        n_out = max(1, math.ceil(small_bytes / max(1, target_bytes)))
+        report.update(target_files=n_out, small_files=len(small))
+        if len(small) <= n_out:
+            return report  # packing wouldn't reduce the file count
+        report["bytes_rewritten"] = small_bytes
+        to_rewrite = _snapshot_df_files(spark, table_dir, current, small)
+        if _BUCKET_COL in to_rewrite.columns:
+            to_rewrite = to_rewrite.drop(_BUCKET_COL)
+        carry = {k: snap[k] for k in snap if k not in small}
+    else:
+        n_out = max(1, math.ceil(total / max(1, target_bytes)))
+        report.update(target_files=n_out)
+        if len(snap) <= n_out:
+            return report
+        report["bytes_rewritten"] = total
+        to_rewrite = _snapshot_df(spark, table_dir, current)
 
     marks = txn_watermarks(table_dir)
     seq = int(current.split("-")[1]) + 1
     version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
-    (
-        _snapshot_df(spark, table_dir, current)
-        .repartition(n_out)
-        .write.mode("error")
-        .parquet(os.path.join(table_dir, version))
-    )
+    vdir = os.path.join(table_dir, version)
+    to_rewrite.repartition(n_out).write.mode("error").parquet(vdir)
+    if carry:
+        if _plain_link_mode(table_dir) == "manifest":
+            _emit_file_manifest(table_dir, version, carry)
+        else:
+            for key in sorted(carry):
+                src = carry[key]
+                dst = os.path.join(vdir, os.path.basename(src))
+                if os.path.exists(dst):
+                    dst = os.path.join(
+                        vdir,
+                        f"pack-{uuid.uuid4().hex[:8]}-"
+                        f"{os.path.basename(src)}",
+                    )
+                os.link(src, dst)
     from .cdc import cdc_enabled, write_change_log
 
     if cdc_enabled(table_dir):
@@ -2500,19 +2547,13 @@ def compact_versioned(
         # a corpus-sized rewrite under contention.
         import shutil
 
-        shutil.rmtree(os.path.join(table_dir, version), ignore_errors=True)
+        shutil.rmtree(vdir, ignore_errors=True)
         report["conflict"] = True
         return report
-    ndir = os.path.join(table_dir, version)
-    new_files = [
-        os.path.join(r, f)
-        for r, _, fs in os.walk(ndir)
-        for f in fs
-        if f.endswith(".parquet") or f.startswith("part-")
-    ]
+    new_files = _snapshot_files(table_dir, version)
     report.update(
         files_after=len(new_files),
-        bytes_after=sum(os.path.getsize(f) for f in new_files),
+        bytes_after=sum(os.path.getsize(f) for f in new_files.values()),
         compacted=True,
         version=version,
     )
@@ -2839,10 +2880,24 @@ def upsert_group_versioned(
     together or not at all. A table named only in ``deletes`` gets an
     empty update batch of its own schema; its ``key_cols`` are the
     delete frame's columns.
+
+    Write-time CDC: a member whose table dir is CDC-PINNED (see
+    :mod:`.cdc`; pin with the single-table writer's
+    ``write_change_data=True`` or :func:`.cdc.resolve_cdc`) logs its
+    change rows exactly like the single-table writers — upsert
+    classification against the post-delete base plus ``delete``
+    preimages for the doomed keys, in ONE log per member version — so
+    group-committed members feed the same logged readers without
+    holes. Unpinned members log nothing, as everywhere.
     """
     import os
     import shutil
     import uuid
+
+    from .cdc import cdc_enabled as _cdc_enabled
+    from .cdc import delete_change_rows as _delete_change_rows
+    from .cdc import upsert_change_rows as _upsert_change_rows
+    from .cdc import write_change_log as _write_change_log
 
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version must be given together")
@@ -2881,6 +2936,7 @@ def upsert_group_versioned(
                     # e.g. a bloom rebuild): rewrite from scratch, same
                     # posture as read_versioned_group's existence check
                     cur = None
+                cdc_log = _cdc_enabled(tdir)
                 if updates is None:
                     # delete-only member: the anti-join survivors ARE
                     # the new snapshot — no merge window. Running
@@ -2903,11 +2959,22 @@ def upsert_group_versioned(
                     vname = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
                     vdir = os.path.join(tdir, vname)
                     merged.write.mode("error").parquet(vdir)
+                    if cdc_log:
+                        doomed = existing.join(
+                            F.broadcast(kdf),
+                            on=_null_safe_cond(existing, kdf,
+                                               list(kdf.columns)),
+                            how="left_semi",
+                        )
+                        _write_change_log(tdir, vname,
+                                          _delete_change_rows(doomed))
                     _collect_stats(tdir, vname, base_version=cur)
                     new_versions[t] = vname
                     written.append(vdir)
                     continue
+                doomed = None
                 if cur is None:
+                    existing = None
                     merged = merge_upsert(updates.limit(0), updates,
                                           key_cols,
                                           merge_schema=merge_schema)
@@ -2919,6 +2986,13 @@ def upsert_group_versioned(
                         # SAME commit the batch lands in (NULL-safe,
                         # like delete_versioned)
                         kdf = deletes[t].dropDuplicates()
+                        if cdc_log:
+                            doomed = existing.join(
+                                F.broadcast(kdf),
+                                on=_null_safe_cond(existing, kdf,
+                                                   list(kdf.columns)),
+                                how="left_semi",
+                            )
                         existing = existing.join(
                             F.broadcast(kdf),
                             on=_null_safe_cond(existing, kdf,
@@ -2931,6 +3005,21 @@ def upsert_group_versioned(
                 vname = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
                 vdir = os.path.join(tdir, vname)
                 merged.write.mode("error").parquet(vdir)
+                if cdc_log:
+                    # upsert classification against the POST-DELETE
+                    # base (a deleted-and-reinserted key logs delete +
+                    # insert, the truth of what the commit did), plus
+                    # the doomed preimages, one log per member version
+                    changes = _upsert_change_rows(
+                        spark, existing, spark.read.parquet(vdir),
+                        updates, key_cols,
+                    )
+                    if doomed is not None:
+                        changes = changes.unionByName(
+                            _delete_change_rows(doomed),
+                            allowMissingColumns=True,
+                        )
+                    _write_change_log(tdir, vname, changes)
                 # member stats sidecar (round 12): same per-file column
                 # stats every single-table publish gets — group members
                 # are diffable/file-prunable by the group CDC pump

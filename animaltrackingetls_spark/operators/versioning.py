@@ -450,6 +450,23 @@ def table_changes_since(
     FileNotFoundError (re-bootstrap from a full snapshot read), the
     VACUUM'd-CDF contract stated on :func:`table_changes`.
     """
+    seen, current, advance = _cursor_state(table_dir, cursor_file)
+    if seen == current:
+        return ChangesSince(None, current, lambda: None, seen)
+    changes = table_changes(
+        spark, table_dir, key_cols,
+        from_version=seen, to_version=current,
+        compare_cols=compare_cols,
+    )
+    return ChangesSince(changes, current, advance, seen)
+
+
+def _cursor_state(table_dir: str, cursor_file: str):
+    """The polling handshake shared by the derived and logged pump
+    paths — ONE place reads the cursor, validates retention, and builds
+    the durable ``advance`` (atomic tempfile + rename), so the two
+    paths cannot drift on window arithmetic (the round-11 ADVICE #4
+    class of bug). Returns ``(seen | None, current, advance)``."""
     import os
 
     from ..inventory import _current_version, list_versions
@@ -462,19 +479,14 @@ def table_changes_since(
             seen = f.read().strip() or None
     except FileNotFoundError:
         seen = None
-    if seen == current:
-        return ChangesSince(None, current, lambda: None, seen)
-    if seen is not None and seen not in list_versions(table_dir):
+    if seen is not None and seen != current and (
+        seen not in list_versions(table_dir)
+    ):
         raise FileNotFoundError(
             f"cursor version {seen!r} is no longer retained under "
             f"{table_dir} — retention outran the consumer; re-bootstrap "
             "from a full snapshot read"
         )
-    changes = table_changes(
-        spark, table_dir, key_cols,
-        from_version=seen, to_version=current,
-        compare_cols=compare_cols,
-    )
 
     def advance() -> None:
         import uuid
@@ -488,7 +500,7 @@ def table_changes_since(
             os.fsync(f.fileno())
         os.replace(tmp, cursor_file)
 
-    return ChangesSince(changes, current, advance, seen)
+    return seen, current, advance
 
 
 def _changed_bucket_read(spark, table_dir, from_version, to_version):
@@ -557,6 +569,52 @@ def _dest_upsert(spark, dest_dir, payload, key_cols, keep_versions=2,
         )
 
 
+def _window_fully_logged(
+    table_dir: str, from_version: str, to_version: str
+) -> bool:
+    """True when every commit in ``(from, to]`` is retained AND carries
+    a write-time change log (:mod:`..cdc` marker) — the precondition
+    for the pump's logged fast path. Marker/ledger reads only, no
+    Spark. The derived diff needs only the ENDPOINTS retained, so a
+    pruned intermediate falls back to deriving rather than failing."""
+    from ..cdc import change_log
+    from ..inventory import list_versions
+
+    by_seq = {int(v.split("-")[1]): v for v in list_versions(table_dir)}
+    lo = int(from_version.split("-")[1])
+    hi = int(to_version.split("-")[1])
+    for seq in range(lo + 1, hi + 1):
+        v = by_seq.get(seq)
+        if v is None or change_log(table_dir, v) is None:
+            return False
+    return True
+
+
+def _netted_logged_changes(spark, source_dir, from_version, to_version,
+                           key_cols):
+    """The logged feed over ``(from, to]`` NETTED to one row per key —
+    each key's LATEST post-state (insert / update_postimage / delete)
+    wins by commit sequence. Applying the netted set converges the
+    destination to the source's ``to`` snapshot exactly like the
+    derived endpoint diff does: a key updated and later reverted nets
+    to an upsert of its original value (no-op at the destination), an
+    insert-then-delete nets to a delete of an absent key (no-op).
+    One churn-sized window shuffle over CHANGE ROWS ONLY — no snapshot
+    scan, no diff join, no digest computation; payloads ride in the
+    change files so there is no fetch step either."""
+    from ..cdc import CHANGE_TYPE_COL, COMMIT_SEQ_COL, read_change_data
+
+    feed = read_change_data(spark, source_dir, from_version, to_version)
+    post = feed.filter(F.col(CHANGE_TYPE_COL) != "update_preimage")
+    jk = F.concat_ws(_SEP, *[_rendered(k) for k in key_cols])
+    w = Window.partitionBy(jk).orderBy(F.desc(COMMIT_SEQ_COL))
+    return (
+        post.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def pump_changes_once(
     spark,
     source_dir: str,
@@ -565,6 +623,7 @@ def pump_changes_once(
     key_cols: list[str],
     app_id: str = "cdc",
     dest_keep_versions: int = 2,
+    prefer_logged: bool = True,
 ) -> dict:
     """One poll of the CDC pump: read the source's changes since the
     cursor (:func:`table_changes_since`), apply them to a DOWNSTREAM
@@ -600,9 +659,24 @@ def pump_changes_once(
     (2) would otherwise silently trim a deeper ledger on the first
     poll (round-11 self-review finding #4).
 
+    **Logged fast path** (``prefer_logged=True``, round 12): when the
+    source is CDC-pinned (:mod:`..cdc`) and every commit in the window
+    carries a change log, the poll skips the derived diff ENTIRELY —
+    no snapshot read, no identity pruning, no diff join, no payload
+    fetch: the change files already hold the full rows, so the poll is
+    one churn-sized scan + a per-key netting window
+    (:func:`_netted_logged_changes`), applied through the same
+    two-app-id exactly-once protocol. Windows with an unlogged commit
+    (pre-pin, RESTORE) or a pruned intermediate version fall back to
+    deriving automatically — the logged path needs every intermediate
+    retained, the derived path only the endpoints.
+
     Returns ``{"applied": bool, "to_version": str, "added": n,
-    "changed": n, "removed": n}`` (a bootstrap reports every copied
-    row as "added").
+    "changed": n, "removed": n, "source": "logged"|"derived"}``
+    (a bootstrap reports every copied row as "added"; the logged
+    path's counts are NETTED per key — e.g. an insert-then-delete
+    within one window reports under "removed" and no-ops at the
+    destination).
     """
     import os
 
@@ -620,14 +694,61 @@ def pump_changes_once(
         )
         n = read_versioned(spark, dest_dir).count()
         return {"applied": True, "to_version": boot["to_version"],
-                "added": n, "changed": 0, "removed": 0}
+                "added": n, "changed": 0, "removed": 0,
+                "source": "bootstrap"}
+
+    if prefer_logged:
+        seen, current, advance = _cursor_state(source_dir, cursor_file)
+        if seen == current:
+            return {"applied": False, "to_version": current,
+                    "added": 0, "changed": 0, "removed": 0,
+                    "source": "logged"}
+        if seen is not None and _window_fully_logged(
+            source_dir, seen, current
+        ):
+            from ..cdc import CHANGE_TYPE_COL, COMMIT_SEQ_COL, \
+                COMMIT_VERSION_COL
+
+            seq = int(current.split("-")[1])
+            netted = _netted_logged_changes(
+                spark, source_dir, seen, current, key_cols
+            ).localCheckpoint()  # churn-sized; read by counts + writers
+            counts = {
+                r[0]: r[1]
+                for r in netted.groupBy(CHANGE_TYPE_COL).count().collect()
+            }
+            if counts.get("insert", 0) or counts.get("update_postimage", 0):
+                ups = netted.filter(
+                    F.col(CHANGE_TYPE_COL) != "delete"
+                ).drop(CHANGE_TYPE_COL, COMMIT_SEQ_COL, COMMIT_VERSION_COL)
+                _dest_upsert(
+                    spark, dest_dir, ups, key_cols,
+                    keep_versions=dest_keep_versions,
+                    txn_app_id=f"{app_id}#up", txn_version=seq,
+                )
+            if counts.get("delete", 0):
+                dels = netted.filter(
+                    F.col(CHANGE_TYPE_COL) == "delete"
+                ).select(*key_cols)
+                delete_versioned(
+                    spark, dest_dir, dels, key_cols,
+                    keep_versions=dest_keep_versions, cow=True,
+                    txn_app_id=f"{app_id}#del", txn_version=seq,
+                )
+            advance()
+            return {"applied": True, "to_version": current,
+                    "added": counts.get("insert", 0),
+                    "changed": counts.get("update_postimage", 0),
+                    "removed": counts.get("delete", 0),
+                    "source": "logged"}
 
     changes, to_version, advance, from_version = table_changes_since(
         spark, source_dir, cursor_file, key_cols
     )
     if changes is None:
         return {"applied": False, "to_version": to_version,
-                "added": 0, "changed": 0, "removed": 0}
+                "added": 0, "changed": 0, "removed": 0,
+                "source": "derived"}
     seq = int(to_version.split("-")[1])
     changes = changes.localCheckpoint()  # one diff, three consumers
     counts = {r["change"]: r["count"] for r in
@@ -677,7 +798,8 @@ def pump_changes_once(
     advance()
     return {"applied": True, "to_version": to_version,
             "added": counts.get("added", 0),
-            "changed": counts.get("changed", 0), "removed": n_del}
+            "changed": counts.get("changed", 0), "removed": n_del,
+            "source": "derived"}
 
 
 def bootstrap_cdc_dest(

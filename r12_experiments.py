@@ -294,6 +294,175 @@ def cowmerge() -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def cdclog() -> None:
+    """Write-time CDC, measured twice: (a) what LOGGING costs the
+    commit (CoW upsert on a pinned vs unpinned 10M table), and (b)
+    what it buys the POLL (pump with the logged fast path vs the
+    derived diff over the same churn)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark import inventory as inv
+    from animaltrackingetls_spark.operators.versioning import (
+        pump_changes_once,
+    )
+    from animaltrackingetls_spark.session import get_spark
+
+    spark = get_spark(master="local[32]",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    tmp = tempfile.mkdtemp(prefix="r12cdclog_")
+    N = 10_000_000
+
+    def base_df():
+        return spark.range(0, N).select(
+            F.col("id").alias("k"),
+            (F.hash(F.col("id")) % 100_000).cast("double").alias("x"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+
+    def churn(n, tag):
+        return spark.range(0, n).select(
+            F.col("id").alias("k"), F.lit(-1.0).alias("x"),
+            F.lit(tag).alias("payload"),
+        )
+
+    def build(table, cdc):
+        inv.upsert_parquet_versioned(
+            spark, table, base_df(), ["k"], keep_versions=4,
+            write_change_data=cdc,
+        )
+        inv.optimize_versioned(spark, table, ["k"],
+                               target_bytes=24 * 1024 * 1024,
+                               keep_versions=4)
+        return table
+
+    # --- (a) commit overhead of logging, CoW 1k-churn upserts ---------
+    t_plain = build(os.path.join(tmp, "nolog"), cdc=False)
+    t_cdc = build(os.path.join(tmp, "log"), cdc=True)
+    for i in range(3):
+        u = churn(1_000, f"u{i}")
+        t0 = time.monotonic()
+        inv.upsert_parquet_versioned(spark, t_plain, u, ["k"],
+                                     keep_versions=4, cow=True)
+        off_s = time.monotonic() - t0
+        t0 = time.monotonic()
+        inv.upsert_parquet_versioned(spark, t_cdc, u, ["k"],
+                                     keep_versions=4, cow=True)
+        on_s = time.monotonic() - t0
+        print(f"[cdclog/commit] 10M CoW upsert, 1k churn, round {i}: "
+              f"unlogged {off_s:.2f}s vs logged {on_s:.2f}s "
+              f"(+{on_s - off_s:.2f}s)", flush=True)
+
+    # --- (b) poll cost: logged fast path vs derived diff --------------
+    src = t_cdc
+    d_log = os.path.join(tmp, "d_log")
+    d_der = os.path.join(tmp, "d_der")
+    c_log, c_der = os.path.join(tmp, "c_log"), os.path.join(tmp, "c_der")
+    for dst, cur in ((d_log, c_log), (d_der, c_der)):
+        pump_changes_once(spark, src, dst, cur, ["k"],
+                          dest_keep_versions=3)
+        inv.optimize_versioned(spark, dst, ["k"],
+                               target_bytes=24 * 1024 * 1024,
+                               keep_versions=3)
+    for i in range(3):
+        inv.upsert_parquet_versioned(
+            spark, src, churn(1_000, f"p{i}"), ["k"],
+            keep_versions=4, cow=True,
+        )
+        t0 = time.monotonic()
+        r1 = pump_changes_once(spark, src, d_log, c_log, ["k"],
+                               dest_keep_versions=3)
+        log_s = time.monotonic() - t0
+        t0 = time.monotonic()
+        r2 = pump_changes_once(spark, src, d_der, c_der, ["k"],
+                               dest_keep_versions=3,
+                               prefer_logged=False)
+        der_s = time.monotonic() - t0
+        assert r1["source"] == "logged" and r2["source"] == "derived"
+        print(f"[cdclog/poll] 10M PLAIN src, 1k churn, round {i}: "
+              f"logged {log_s:.2f}s vs derived {der_s:.2f}s", flush=True)
+    same = (
+        inv.read_versioned(spark, d_log)
+        .exceptAll(inv.read_versioned(spark, d_der)).isEmpty()
+        and inv.read_versioned(spark, d_der)
+        .exceptAll(inv.read_versioned(spark, d_log)).isEmpty()
+    )
+    print(f"[cdclog/poll] both dests identical: {same}", flush=True)
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def inccompact() -> None:
+    """Incremental (bin-packing) compaction vs the full rewrite on a
+    10M CoW table that accreted insert debris — the steady-state
+    maintenance cost question: does compaction track the DEBRIS or the
+    TABLE?"""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark import inventory as inv
+    from animaltrackingetls_spark.session import get_spark
+
+    spark = get_spark(master="local[32]",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    tmp = tempfile.mkdtemp(prefix="r12inc_")
+    N = 10_000_000
+
+    def build(table):
+        base = spark.range(0, N).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        inv.upsert_parquet_versioned(spark, table, base, ["k"],
+                                     keep_versions=3)
+        inv.optimize_versioned(spark, table, ["k"],
+                               target_bytes=24 * 1024 * 1024,
+                               keep_versions=3)
+        # 12 pure-INSERT CoW commits: each accretes one churn-sized
+        # file (rewrite of zero touched files) and carries the rest
+        for i in range(12):
+            ins = spark.range(N + i * 1000, N + (i + 1) * 1000).select(
+                F.col("id").alias("k"), F.lit(f"ins{i}").alias("payload"),
+            )
+            inv.upsert_parquet_versioned(spark, table, ins, ["k"],
+                                         keep_versions=3, cow=True)
+        return table
+
+    t_inc = build(os.path.join(tmp, "t_inc"))
+    t_full = build(os.path.join(tmp, "t_full"))
+    n_before = len(inv._snapshot_files(
+        t_inc, inv.list_versions(t_inc)[-1]
+    ))
+    t0 = time.monotonic()
+    r_inc = inv.compact_versioned(spark, t_inc, keep_versions=3,
+                                  target_bytes=24 * 1024 * 1024,
+                                  incremental=True)
+    inc_s = time.monotonic() - t0
+    t0 = time.monotonic()
+    r_full = inv.compact_versioned(spark, t_full, keep_versions=3,
+                                   target_bytes=24 * 1024 * 1024)
+    full_s = time.monotonic() - t0
+    same = (
+        inv.read_versioned(spark, t_inc)
+        .exceptAll(inv.read_versioned(spark, t_full)).isEmpty()
+    )
+    print(f"[inccompact] 10M + 12 insert-debris files "
+          f"({n_before} files): incremental {inc_s:.2f}s rewrote "
+          f"{r_inc['bytes_rewritten'] >> 20} MiB -> "
+          f"{r_inc['files_after']} files (packed "
+          f"{r_inc['small_files']}); full {full_s:.2f}s rewrote "
+          f"{r_full['bytes_rewritten'] >> 20} MiB -> "
+          f"{r_full['files_after']} files; data identical: {same}",
+          flush=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else ""
     if cmd == "skipping":
@@ -302,6 +471,11 @@ if __name__ == "__main__":
         packbisect()
     elif cmd == "cowmerge":
         cowmerge()
+    elif cmd == "cdclog":
+        cdclog()
+    elif cmd == "inccompact":
+        inccompact()
     else:
-        print("usage: r12_experiments.py {skipping|packbisect|cowmerge}")
+        print("usage: r12_experiments.py "
+              "{skipping|packbisect|cowmerge|cdclog|inccompact}")
         sys.exit(2)

@@ -357,6 +357,140 @@ def test_marker_lists_real_files(spark, tmp_path, base_batches):
         assert os.path.isfile(p)
 
 
+def test_group_commit_logs_pinned_members(spark, tmp_path):
+    """Group-committed members log change data when their table dir is
+    CDC-pinned: upsert classification + delete preimages in one log;
+    unpinned members stay silent."""
+    from animaltrackingetls_spark.inventory import upsert_group_versioned
+
+    g = str(tmp_path / "grp")
+    docs, bands = os.path.join(g, "docs"), os.path.join(g, "bands")
+    resolve_cdc(docs, True)  # pin ONE member before its first commit
+    b1 = {
+        "docs": (spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string"), ["k"]),
+        "bands": (spark.createDataFrame(
+            [(10, 1), (11, 2)], "band int, k int"), ["band", "k"]),
+    }
+    upsert_group_versioned(spark, g, b1, keep_versions=10)
+    # batch 2: update k=2, insert k=3, delete k=1 — atomically
+    b2 = {
+        "docs": (spark.createDataFrame(
+            [(2, "B"), (3, "c")], "k int, v string"), ["k"]),
+    }
+    dels = {"docs": spark.createDataFrame([(1,)], "k int")}
+    upsert_group_versioned(spark, g, b2, keep_versions=10, deletes=dels)
+
+    v1, v2 = list_versions(docs)
+    assert change_log(docs, v1) is not None
+    logged = read_change_data(spark, docs, v1, v2)
+    assert _rows(logged, "k", CHANGE_TYPE_COL) == [
+        (1, "delete"), (2, "update_postimage"), (2, "update_preimage"),
+        (3, "insert"),
+    ]
+    # classification equals the derived feed over the same window
+    _logged_vs_derived(spark, docs, ["k"], v1, v2)
+    # the unpinned member logged nothing
+    assert change_log(bands, list_versions(bands)[-1]) is None
+
+
+# ------------------------------------------------- logged pump fast path
+
+
+def _dst_state(spark, dst):
+    return {r.k: r.v for r in read_versioned(spark, dst).collect()}
+
+
+def test_pump_logged_fast_path_converges(spark, tmp_path):
+    from animaltrackingetls_spark.operators.versioning import (
+        pump_changes_once,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    cur = str(tmp_path / "cursor")
+
+    def up(rows, keep=10):
+        upsert_parquet_versioned(
+            spark, src, spark.createDataFrame(rows, "k long, v string"),
+            ["k"], keep_versions=keep, write_change_data=True, cow=True,
+        )
+
+    up([(1, "a"), (2, "b"), (3, "c")])
+    r = pump_changes_once(spark, src, dst, cur, ["k"])
+    assert r["source"] == "bootstrap" and r["added"] == 3
+
+    # idle poll takes the logged path and applies nothing
+    r = pump_changes_once(spark, src, dst, cur, ["k"])
+    assert r == {"applied": False, "to_version": r["to_version"],
+                 "added": 0, "changed": 0, "removed": 0,
+                 "source": "logged"}
+
+    # a MULTI-COMMIT window with an insert-then-delete (nets to a
+    # no-op delete), an update chain (nets to the last value), and a
+    # fresh insert — the netting window's whole casuistry in one poll
+    up([(2, "b2"), (4, "d"), (9, "ghost")])
+    up([(2, "b3")])
+    delete_versioned(spark, src, spark.createDataFrame([(9,)], "k long"),
+                     ["k"], keep_versions=10)
+    r = pump_changes_once(spark, src, dst, cur, ["k"])
+    assert r["source"] == "logged" and r["applied"]
+    assert _dst_state(spark, dst) == {1: "a", 2: "b3", 3: "c", 4: "d"}
+    assert r["removed"] == 1  # ghost nets to a (no-op) delete
+
+    # crash-before-advance replay: logged path is exactly-once via the
+    # same per-app-id watermarks
+    with open(cur) as f:
+        cursor_before = f.read()
+    up([(5, "e")])
+    pump_changes_once(spark, src, dst, cur, ["k"])
+    vers_after = list_versions(dst)
+    with open(cur, "w") as f:
+        f.write(cursor_before)
+    r = pump_changes_once(spark, src, dst, cur, ["k"])
+    assert r["applied"] and r["source"] == "logged"
+    assert list_versions(dst) == vers_after  # pure watermark no-op
+    assert _dst_state(spark, dst) == {
+        1: "a", 2: "b3", 3: "c", 4: "d", 5: "e",
+    }
+
+    # a RESTORE punches a hole -> the poll FALLS BACK to deriving and
+    # still converges (endpoints retained)
+    v_now = list_versions(src)[-1]
+    up([(6, "f")])
+    restore_versioned(spark, src, v_now, keep_versions=10)
+    r = pump_changes_once(spark, src, dst, cur, ["k"])
+    assert r["source"] == "derived"
+    assert _dst_state(spark, dst) == {
+        1: "a", 2: "b3", 3: "c", 4: "d", 5: "e",
+    }
+    # post-restore commits log again -> the fast path resumes
+    up([(7, "g")])
+    r = pump_changes_once(spark, src, dst, cur, ["k"])
+    assert r["source"] == "logged"
+    assert _dst_state(spark, dst)[7] == "g"
+
+
+def test_pump_prefer_logged_off_derives(spark, tmp_path):
+    from animaltrackingetls_spark.operators.versioning import (
+        pump_changes_once,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    cur = str(tmp_path / "cursor")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    upsert_parquet_versioned(spark, src, df, ["k"], keep_versions=10,
+                             write_change_data=True)
+    pump_changes_once(spark, src, dst, cur, ["k"])
+    upsert_parquet_versioned(
+        spark, src, spark.createDataFrame([(2, "b")], "k long, v string"),
+        ["k"], keep_versions=10,
+    )
+    r = pump_changes_once(spark, src, dst, cur, ["k"],
+                          prefer_logged=False)
+    assert r["source"] == "derived" and r["added"] == 1
+    assert _dst_state(spark, dst) == {1: "a", 2: "b"}
+
+
 # ----------------------------------------------------- streaming source
 
 

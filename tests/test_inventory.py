@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from animaltrackingetls_spark.inventory import (
@@ -453,6 +454,109 @@ def test_compact_versioned_rewrites_small_files(spark, tmp_path):
         "target_files": 1,
         "compacted": False,
     }
+
+
+def _cow_accreted_table(spark, tmp_path, link_mode=None):
+    """A CoW table in its steady-state debris shape: a few right-sized
+    range-sorted files from OPTIMIZE, plus one tiny file per
+    pure-insert CoW commit."""
+    from animaltrackingetls_spark.inventory import (
+        optimize_versioned,
+        upsert_parquet_versioned,
+    )
+
+    t = str(tmp_path / "cowt")
+    base = spark.range(50_000).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS v"
+    )
+    upsert_parquet_versioned(spark, t, base, ["k"], keep_versions=3,
+                             cow=True, link_mode=link_mode)
+    optimize_versioned(spark, t, ["k"], target_bytes=150_000,
+                       keep_versions=3)
+    for i in range(5):
+        ins = spark.range(1_000_000 + i, 1_000_001 + i).selectExpr(
+            "id AS k", "'new' AS v"
+        )
+        upsert_parquet_versioned(spark, t, ins, ["k"], keep_versions=3,
+                                 cow=True)
+    return t
+
+
+@pytest.mark.parametrize("link_mode", [None, "manifest"])
+def test_compact_incremental_packs_only_debris(spark, tmp_path,
+                                               link_mode):
+    """incremental=True rewrites ONLY the sub-min_bytes debris files
+    and carries every right-sized file with its physical identity
+    intact — clustering, stats entries, and file-identity churn
+    pruning all survive; a second pass is a no-op."""
+    import os
+
+    from animaltrackingetls_spark import filestats
+    from animaltrackingetls_spark.inventory import (
+        _snapshot_files,
+        compact_versioned,
+        list_versions,
+        read_versioned,
+    )
+
+    t = _cow_accreted_table(spark, tmp_path, link_mode)
+    v_before = list_versions(t)[-1]
+    snap = _snapshot_files(t, v_before)
+    sizes = {k: os.path.getsize(p) for k, p in snap.items()}
+    # pick the threshold between the 1-row debris and the sorted files
+    min_b = sorted(sizes.values())[-1] // 2
+    debris = {k for k, s in sizes.items() if s < min_b}
+    big = set(snap) - debris
+    assert len(debris) >= 5 and big
+    before = read_versioned(spark, t).orderBy("k").collect()
+
+    rep = compact_versioned(spark, t, target_bytes=1 << 30,
+                            incremental=True, min_bytes=min_b)
+    assert rep["compacted"] and rep["small_files"] == len(debris)
+    assert rep["files_after"] == len(big) + 1  # debris packed into one
+    assert rep["bytes_rewritten"] == sum(sizes[k] for k in debris)
+    assert read_versioned(spark, t).orderBy("k").collect() == before
+
+    v_after = list_versions(t)[-1]
+    snap2 = _snapshot_files(t, v_after)
+    ident = lambda s, ks: {  # noqa: E731
+        (os.stat(s[k]).st_ino, os.path.getsize(s[k])) for k in ks
+    }
+    # every right-sized file carried with IDENTICAL physical identity
+    assert ident(snap, big) <= ident(snap2, set(snap2))
+    # stats sidecar carried those entries without re-reading footers
+    st = filestats.read_stats(t, v_after)
+    assert st and len(st["files"]) == len(snap2)
+    if link_mode == "manifest":
+        # carried by REFERENCE: origins point at older versions
+        from animaltrackingetls_spark.inventory import _read_manifest
+
+        m = _read_manifest(t, v_after)
+        assert m and any(origin != v_after for origin in m.values())
+
+    # steady state: nothing left to pack
+    rep2 = compact_versioned(spark, t, target_bytes=1 << 30,
+                             incremental=True, min_bytes=min_b)
+    assert not rep2["compacted"] and rep2["small_files"] <= 1
+
+
+def test_compact_incremental_full_equivalence_when_all_small(
+    spark, tmp_path
+):
+    """With every file under min_bytes, incremental degrades to the
+    full rewrite (carry empty) — same file count as compact's target
+    math, data identical."""
+    from animaltrackingetls_spark.inventory import (
+        compact_versioned,
+        read_versioned,
+    )
+
+    t = _cow_accreted_table(spark, tmp_path)
+    before = read_versioned(spark, t).orderBy("k").collect()
+    rep = compact_versioned(spark, t, target_bytes=1 << 30,
+                            incremental=True, min_bytes=1 << 30)
+    assert rep["compacted"] and rep["files_after"] == 1
+    assert read_versioned(spark, t).orderBy("k").collect() == before
 
 
 def test_compact_versioned_requires_published_table(spark, tmp_path):
