@@ -319,6 +319,7 @@ def read_change_data(
     from_version: str | None = None,
     to_version: str | None = None,
     on_missing: str = "fail",
+    versions: list[str] | None = None,
 ) -> DataFrame:
     """Batch-read the LOGGED change feed over the retained window
     ``(from_version, to_version]`` — ``from`` EXCLUSIVE to match
@@ -331,12 +332,18 @@ def read_change_data(
     Plain JVM parquet scans of churn-sized files — no join, no digest
     shuffle, no snapshot read; the window is retention-bounded so the
     per-version union stays a handful of children.
+
+    ``versions`` overrides the retained-version list (publish order) —
+    GROUP MEMBER tables have no per-table ``_HISTORY`` ledger, so their
+    caller passes the group state's member history instead of letting
+    the raw directory fallback offer crash debris as committed history.
     """
     from .inventory import list_versions
 
     if on_missing not in ("fail", "skip"):
         raise ValueError(f"on_missing must be fail|skip, got {on_missing!r}")
-    versions = list_versions(table_dir)
+    if versions is None:
+        versions = list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions under {table_dir}")
     named = [v for v in (from_version, to_version) if v is not None]

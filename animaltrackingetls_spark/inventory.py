@@ -308,6 +308,7 @@ def _current_version(table_dir: str) -> str | None:
 
 _HISTORY = "_HISTORY"
 _COMMITTED_AT = "_committed_at"
+_OP_SIDECAR = "_op.json"
 
 
 def _read_history(table_dir: str) -> list[str] | None:
@@ -854,6 +855,7 @@ def upsert_parquet_versioned(
             _publish_version(
                 table_dir, version, marks, keep_versions,
                 expected_base=current,
+                operation="MERGE (cow)" if carry else "MERGE",
             )
             return read_versioned(spark, table_dir)
         except ConcurrentWriteError as err:
@@ -1182,7 +1184,8 @@ def upsert_parquet_versioned_partitioned(
             marks[txn_app_id] = int(txn_version)
         try:
             _publish_version(table_dir, version, marks, keep_versions,
-                             expected_base=current)
+                             expected_base=current,
+                             operation="MERGE (bucketed)")
             return read_versioned(spark, table_dir)
         except ConcurrentWriteError as err:
             shutil.rmtree(vdir, ignore_errors=True)
@@ -1404,7 +1407,8 @@ def delete_versioned(
             marks[txn_app_id] = int(txn_version)
         try:
             _publish_version(table_dir, version, marks, keep_versions,
-                             expected_base=current)
+                             expected_base=current,
+                             operation="DELETE")
             return read_versioned(spark, table_dir)
         except ConcurrentWriteError as err:
             shutil.rmtree(vdir, ignore_errors=True)
@@ -1560,7 +1564,8 @@ def delete_versioned_where(
             marks[txn_app_id] = int(txn_version)
         try:
             _publish_version(table_dir, version, marks, keep_versions,
-                             expected_base=current)
+                             expected_base=current,
+                             operation="DELETE WHERE")
             return read_versioned(spark, table_dir)
         except ConcurrentWriteError as err:
             shutil.rmtree(vdir, ignore_errors=True)
@@ -2196,7 +2201,8 @@ def clone_versioned(
     # (it skips _-prefixed files, so nothing to remove — publish with
     # EMPTY marks by design)
     _publish_version(dest_dir, new_version, {}, keep_versions=1,
-                     expected_base=None)
+                     expected_base=None,
+                     operation=f"CLONE {table_dir}@{version}")
     return read_versioned(spark, dest_dir)
 
 
@@ -2289,7 +2295,8 @@ def restore_versioned(
                        os.path.join(table_dir, new_version))
         try:
             _publish_version(table_dir, new_version, marks, keep_versions,
-                             expected_base=current)
+                             expected_base=current,
+                             operation=f"RESTORE {version}")
             return read_versioned(spark, table_dir)
         except ConcurrentWriteError as err:
             # same contract as every other writer: drop the stale link
@@ -2301,6 +2308,22 @@ def restore_versioned(
     raise last_err
 
 
+def _stamp_op(table_dir: str, version: str, operation: str) -> None:
+    """Write a version's operation-name sidecar (atomic tmp+rename) —
+    the ``DESCRIBE HISTORY`` 'operation' column. Shared by
+    :func:`_publish_version` and the group writer (whose member
+    versions publish through the group pointer instead)."""
+    import json
+    import os
+    import uuid
+
+    tmp = os.path.join(table_dir, version,
+                       f".{_OP_SIDECAR}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"operation": operation}, f)
+    os.replace(tmp, os.path.join(table_dir, version, _OP_SIDECAR))
+
+
 _UNCHECKED = object()  # sentinel: publish without a base-version check
 
 
@@ -2310,6 +2333,7 @@ def _publish_version(
     marks: dict[str, int],
     keep_versions: int,
     expected_base: str | None | object = _UNCHECKED,
+    operation: str = "WRITE",
 ) -> None:
     """Commit an already-written version directory: persist the txn
     watermark sidecar INSIDE it, then — under the commit lock — verify
@@ -2330,6 +2354,10 @@ def _publish_version(
     import shutil
     import uuid
 
+    # operation-name sidecar (DESCRIBE HISTORY's 'operation' column) —
+    # best-effort diagnostics like the commit timestamp, never a
+    # publish gate
+    _stamp_op(table_dir, version, operation)
     # Per-file column stats sidecar, BEFORE the lock (footer IO has no
     # business inside the flock critical section). expected_base gives
     # the carry-forward source; _UNCHECKED/None publishes sweep every
@@ -2539,7 +2567,8 @@ def compact_versioned(
         write_change_log(table_dir, version, None)
     try:
         _publish_version(table_dir, version, marks, keep_versions,
-                         expected_base=current)
+                         expected_base=current,
+                         operation="COMPACT (incremental)" if incremental else "COMPACT")
     except ConcurrentWriteError:
         # an upsert committed while we rewrote: our layout is stale.
         # Compaction is best-effort housekeeping — back off (the next
@@ -2968,6 +2997,7 @@ def upsert_group_versioned(
                         )
                         _write_change_log(tdir, vname,
                                           _delete_change_rows(doomed))
+                    _stamp_op(tdir, vname, "GROUP DELETE")
                     _collect_stats(tdir, vname, base_version=cur)
                     new_versions[t] = vname
                     written.append(vdir)
@@ -3020,6 +3050,9 @@ def upsert_group_versioned(
                             allowMissingColumns=True,
                         )
                     _write_change_log(tdir, vname, changes)
+                _stamp_op(tdir, vname,
+                          "GROUP MERGE + DELETE" if t in deletes
+                          else "GROUP MERGE")
                 # member stats sidecar (round 12): same per-file column
                 # stats every single-table publish gets — group members
                 # are diffable/file-prunable by the group CDC pump
@@ -3337,7 +3370,8 @@ def optimize_versioned(
         write_change_log(table_dir, version, None)
     try:
         _publish_version(table_dir, version, marks, keep_versions,
-                         expected_base=current)
+                         expected_base=current,
+                         operation="OPTIMIZE (" + ", ".join(zorder_cols) + ")")
     except ConcurrentWriteError:
         shutil.rmtree(vdir, ignore_errors=True)
         report["conflict"] = True
@@ -3375,6 +3409,58 @@ def commit_timestamps(table_dir: str) -> dict[str, float]:
         except (FileNotFoundError, ValueError):
             out[v] = os.stat(os.path.join(table_dir, v)).st_mtime
     return out
+
+
+def describe_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """``DESCRIBE HISTORY`` for a versioned table: one row per RETAINED
+    version, newest first — version name, sequence, the OPERATION that
+    published it (stamped by every writer: MERGE / MERGE (cow) /
+    MERGE (bucketed) / DELETE / DELETE WHERE / COMPACT[ (incremental)] /
+    OPTIMIZE (cols) / RESTORE v / CLONE src / GROUP *), the commit
+    timestamp, physical file count and bytes (manifest-resolved),
+    the number of logged CDC change files (NULL = unlogged commit),
+    the replay-watermark map as JSON, and whether the row is CURRENT.
+
+    Driver-side by design: history depth is bounded by
+    ``keep_versions`` (a handful of rows), every column comes from
+    sidecar/ledger reads plus one ``os.path.getsize`` pass per
+    version — no Spark job runs to ANSWER the question, Spark only
+    hosts the result frame. Pre-stamp versions (or group-member
+    versions written before round 12) read operation ``NULL``."""
+    import json
+    import os
+
+    from .cdc import change_log as _change_log
+
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions under {table_dir}")
+    current = _current_version(table_dir)
+    ts = commit_timestamps(table_dir)
+    rows = []
+    for v in versions:
+        try:
+            with open(os.path.join(table_dir, v, _OP_SIDECAR)) as f:
+                op = json.load(f).get("operation")
+        except (FileNotFoundError, ValueError):
+            op = None
+        files = _snapshot_files(table_dir, v)
+        logged = _change_log(table_dir, v)
+        rows.append((
+            v, int(v.split("-")[1]), op, float(ts[v]),
+            len(files),
+            sum(os.path.getsize(p) for p in files.values()),
+            None if logged is None else len(logged),
+            json.dumps(_txn_marks_of(table_dir, v), sort_keys=True),
+            v == current,
+        ))
+    return spark.createDataFrame(
+        rows[::-1],
+        "version string, seq long, operation string, "
+        "committed_at double, n_files long, size_bytes long, "
+        "cdc_change_files long, txn_watermarks string, "
+        "is_current boolean",
+    )
 
 
 def read_versioned_as_of(

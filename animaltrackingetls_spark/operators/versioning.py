@@ -570,17 +570,23 @@ def _dest_upsert(spark, dest_dir, payload, key_cols, keep_versions=2,
 
 
 def _window_fully_logged(
-    table_dir: str, from_version: str, to_version: str
+    table_dir: str, from_version: str, to_version: str,
+    versions: list[str] | None = None,
 ) -> bool:
     """True when every commit in ``(from, to]`` is retained AND carries
     a write-time change log (:mod:`..cdc` marker) — the precondition
     for the pump's logged fast path. Marker/ledger reads only, no
     Spark. The derived diff needs only the ENDPOINTS retained, so a
-    pruned intermediate falls back to deriving rather than failing."""
+    pruned intermediate falls back to deriving rather than failing.
+    ``versions`` overrides the ledger (group members: pass the group
+    state's member history — they have no per-table ledger and the raw
+    directory fallback could offer crash debris)."""
     from ..cdc import change_log
     from ..inventory import list_versions
 
-    by_seq = {int(v.split("-")[1]): v for v in list_versions(table_dir)}
+    if versions is None:
+        versions = list_versions(table_dir)
+    by_seq = {int(v.split("-")[1]): v for v in versions}
     lo = int(from_version.split("-")[1])
     hi = int(to_version.split("-")[1])
     for seq in range(lo + 1, hi + 1):
@@ -591,7 +597,7 @@ def _window_fully_logged(
 
 
 def _netted_logged_changes(spark, source_dir, from_version, to_version,
-                           key_cols):
+                           key_cols, versions=None):
     """The logged feed over ``(from, to]`` NETTED to one row per key —
     each key's LATEST post-state (insert / update_postimage / delete)
     wins by commit sequence. Applying the netted set converges the
@@ -604,7 +610,8 @@ def _netted_logged_changes(spark, source_dir, from_version, to_version,
     change files so there is no fetch step either."""
     from ..cdc import CHANGE_TYPE_COL, COMMIT_SEQ_COL, read_change_data
 
-    feed = read_change_data(spark, source_dir, from_version, to_version)
+    feed = read_change_data(spark, source_dir, from_version, to_version,
+                            versions=versions)
     post = feed.filter(F.col(CHANGE_TYPE_COL) != "update_preimage")
     jk = F.concat_ws(_SEP, *[_rendered(k) for k in key_cols])
     w = Window.partitionBy(jk).orderBy(F.desc(COMMIT_SEQ_COL))
@@ -915,6 +922,7 @@ def pump_group_changes_once(
     keys: dict[str, list[str]],
     app_id: str = "gcdc",
     dest_keep_versions: int = 2,
+    prefer_logged: bool = True,
 ) -> dict:
     """One poll of the GROUP-consistent CDC pump (round-11 verdict task
     #4): read every member table's changes since the cursor's last-seen
@@ -953,6 +961,15 @@ def pump_group_changes_once(
     ``keys`` maps every member table to its key columns; a member in
     the source state but absent from ``keys`` raises (a silently
     unpumped member would tear the group downstream).
+
+    **Logged fast path** (``prefer_logged=True``): a CDC-pinned member
+    whose window is fully logged (group commits log pinned members
+    since round 12) skips the diff AND the payload fetch — its
+    upserts/deletes come from the netted change files, exactly like the
+    single-table pump; version validity comes from the GROUP state's
+    member history (members have no per-table ledger). Per-member
+    decision: logged and derived members mix freely in one poll, all
+    still landing in the single atomic group commit.
     """
     import json
     import os
@@ -1055,6 +1072,40 @@ def pump_group_changes_once(
             report[t] = {"added": payload.count(), "changed": 0,
                          "removed": n_stale, "bootstrapped": True}
             continue
+        tdir = os.path.join(source_group, t)
+        hist_t = history.get(t, [])
+        if prefer_logged and v_new in hist_t and _window_fully_logged(
+            tdir, v_old, v_new, versions=hist_t
+        ):
+            from ..cdc import CHANGE_TYPE_COL, COMMIT_SEQ_COL, \
+                COMMIT_VERSION_COL
+
+            netted = _netted_logged_changes(
+                spark, tdir, v_old, v_new, keys[t], versions=hist_t
+            ).localCheckpoint()
+            lcounts = {
+                r[0]: r[1]
+                for r in netted.groupBy(CHANGE_TYPE_COL).count().collect()
+            }
+            report[t] = {"added": lcounts.get("insert", 0),
+                         "changed": lcounts.get("update_postimage", 0),
+                         "removed": lcounts.get("delete", 0),
+                         "bootstrapped": False, "source": "logged"}
+            if lcounts.get("insert", 0) or lcounts.get(
+                "update_postimage", 0
+            ):
+                batches[t] = (
+                    netted.filter(
+                        F.col(CHANGE_TYPE_COL) != "delete"
+                    ).drop(CHANGE_TYPE_COL, COMMIT_SEQ_COL,
+                           COMMIT_VERSION_COL),
+                    keys[t],
+                )
+            if lcounts.get("delete", 0):
+                deletes[t] = netted.filter(
+                    F.col(CHANGE_TYPE_COL) == "delete"
+                ).select(*keys[t])
+            continue
         changes = _member_changes(
             spark, source_group, t, keys[t], v_old, v_new
         ).localCheckpoint()
@@ -1064,7 +1115,8 @@ def pump_group_changes_once(
         n_del = counts.get("removed", 0)
         report[t] = {"added": counts.get("added", 0),
                      "changed": counts.get("changed", 0),
-                     "removed": n_del, "bootstrapped": False}
+                     "removed": n_del, "bootstrapped": False,
+                     "source": "derived"}
         if n_up:
             # pinned to v_new, not CURRENT — same tear argument as the
             # bootstrap branch (self-review finding #1)

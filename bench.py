@@ -147,6 +147,12 @@ HEADLINE = [
     # table) + the change-data-feed diff of the retained snapshots; the
     # only entry whose input is a TABLE the engine itself published,
     # so snapshot-read + CDF cost gets a per-round signal.
+    # Round-12 folds: the cached build is OPTIMIZE'd + merges CoW with
+    # stats-sidecar planning, the diff runs file-identity-pruned, a
+    # stats-pruned 'read' row-kind was added (r12a), and the table is
+    # CDC-pinned with three 'log:*' row-kinds reading the write-time
+    # change log back (r12b) — ~2x the r11 entry's output rows, so a
+    # per-name uptick here is added coverage, not regression.
     "versioned_cdf",
 ]
 

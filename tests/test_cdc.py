@@ -470,6 +470,77 @@ def test_pump_logged_fast_path_converges(spark, tmp_path):
     assert _dst_state(spark, dst)[7] == "g"
 
 
+def test_group_pump_logged_members(spark, tmp_path):
+    """The group pump's per-member logged fast path: a pinned member's
+    window applies from its netted change files (no diff, no payload
+    fetch), an unpinned member derives — mixed in ONE atomic group
+    commit; the dest group converges and replays no-op."""
+    from animaltrackingetls_spark.inventory import (
+        read_versioned_group,
+        upsert_group_versioned,
+    )
+    from animaltrackingetls_spark.operators.versioning import (
+        pump_group_changes_once,
+    )
+
+    sg, dg = str(tmp_path / "sg"), str(tmp_path / "dg")
+    cur = str(tmp_path / "cur")
+    resolve_cdc(os.path.join(sg, "docs"), True)  # pin docs only
+    keys = {"docs": ["k"], "bands": ["band", "k"]}
+    upsert_group_versioned(spark, sg, {
+        "docs": (spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string"), ["k"]),
+        "bands": (spark.createDataFrame(
+            [(10, 1), (11, 2)], "band int, k int"), ["band", "k"]),
+    }, keep_versions=10)
+    r = pump_group_changes_once(spark, sg, dg, cur, keys)
+    assert r["tables"]["docs"]["bootstrapped"]
+
+    upsert_group_versioned(spark, sg, {
+        "docs": (spark.createDataFrame(
+            [(2, "B"), (3, "c")], "k int, v string"), ["k"]),
+        "bands": (spark.createDataFrame(
+            [(12, 3)], "band int, k int"), ["band", "k"]),
+    }, keep_versions=10,
+        deletes={"docs": spark.createDataFrame([(1,)], "k int")})
+    r = pump_group_changes_once(spark, sg, dg, cur, keys)
+    assert r["tables"]["docs"]["source"] == "logged"
+    assert r["tables"]["bands"]["source"] == "derived"
+    assert (r["tables"]["docs"]["added"],
+            r["tables"]["docs"]["changed"],
+            r["tables"]["docs"]["removed"]) == (1, 1, 1)
+    got = {
+        (row.k, row.v)
+        for row in read_versioned_group(spark, dg, "docs").collect()
+    }
+    assert got == {(2, "B"), (3, "c")}
+    assert read_versioned_group(spark, dg, "bands").count() == 3
+
+    # crash-before-advance replay: the logged member's group window
+    # no-ops under the group watermark
+    import json as _json
+
+    with open(cur) as f:
+        cursor_before = f.read()
+    upsert_group_versioned(spark, sg, {
+        "docs": (spark.createDataFrame(
+            [(4, "d")], "k int, v string"), ["k"]),
+    }, keep_versions=10)
+    pump_group_changes_once(spark, sg, dg, cur, keys)
+    state_after = _json.dumps(
+        sorted((row.k, row.v) for row in
+               read_versioned_group(spark, dg, "docs").collect())
+    )
+    with open(cur, "w") as f:
+        f.write(cursor_before)
+    r = pump_group_changes_once(spark, sg, dg, cur, keys)
+    assert r["applied"] and r["tables"]["docs"]["source"] == "logged"
+    assert _json.dumps(
+        sorted((row.k, row.v) for row in
+               read_versioned_group(spark, dg, "docs").collect())
+    ) == state_after
+
+
 def test_pump_prefer_logged_off_derives(spark, tmp_path):
     from animaltrackingetls_spark.operators.versioning import (
         pump_changes_once,

@@ -559,6 +559,60 @@ def test_compact_incremental_full_equivalence_when_all_small(
     assert read_versioned(spark, t).orderBy("k").collect() == before
 
 
+def test_describe_history_operations(spark, tmp_path):
+    """DESCRIBE HISTORY: every writer stamps its operation; rows come
+    newest-first with commit time, physical size, CDC log presence,
+    and the replay-watermark map."""
+    import json
+
+    from animaltrackingetls_spark.inventory import (
+        delete_versioned,
+        describe_history,
+        list_versions,
+        optimize_versioned,
+        restore_versioned,
+        upsert_parquet_versioned,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    upsert_parquet_versioned(spark, t, df, ["k"], keep_versions=10,
+                             write_change_data=True,
+                             txn_app_id="app", txn_version=3)
+    upsert_parquet_versioned(
+        spark, t, spark.createDataFrame([(3, "c")], "k int, v string"),
+        ["k"], keep_versions=10, cow=True,
+    )
+    optimize_versioned(spark, t, ["k"], keep_versions=10)
+    delete_versioned(spark, t, spark.createDataFrame([(1,)], "k int"),
+                     ["k"], keep_versions=10)
+    restored = list_versions(t)[-2]
+    restore_versioned(spark, t, restored, keep_versions=10)
+
+    hist = describe_history(spark, t).collect()
+    assert [r["operation"] for r in hist] == [
+        f"RESTORE {restored}", "DELETE", "OPTIMIZE (k)",
+        "MERGE (cow)", "MERGE",
+    ]
+    assert [r["seq"] for r in hist] == [5, 4, 3, 2, 1]
+    assert hist[0]["is_current"] and not any(
+        r["is_current"] for r in hist[1:]
+    )
+    # commit timestamps are monotone along history (newest first here)
+    stamps = [r["committed_at"] for r in hist]
+    assert stamps == sorted(stamps, reverse=True)
+    # CDC: data commits logged files, OPTIMIZE logged an empty commit
+    # (0 files), the RESTORE is an unlogged hole (NULL)
+    by_op = {r["operation"]: r for r in hist}
+    assert by_op["MERGE"]["cdc_change_files"] >= 1
+    assert by_op["OPTIMIZE (k)"]["cdc_change_files"] == 0
+    assert hist[0]["cdc_change_files"] is None
+    # the watermark map rides every row it was carried into
+    assert json.loads(by_op["MERGE"]["txn_watermarks"]) == {"app": 3}
+    assert json.loads(hist[0]["txn_watermarks"]) == {"app": 3}
+    assert all(r["n_files"] >= 1 and r["size_bytes"] > 0 for r in hist)
+
+
 def test_compact_versioned_requires_published_table(spark, tmp_path):
     import pytest as _pytest
 
