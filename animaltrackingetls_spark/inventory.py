@@ -591,6 +591,7 @@ def upsert_parquet_versioned(
     cow: bool = False,
     link_mode: str | None = None,
     write_change_data: bool | None = None,
+    auto_compact: int | None = None,
 ) -> DataFrame:
     """Keyed upsert with SNAPSHOT-ATOMIC publish — closes the
     `upsert_parquet` transactionality gap without a lake format.
@@ -689,6 +690,16 @@ def upsert_parquet_versioned(
     by construction — under CoW the preimages come from the exact files
     being rewritten) and the readers (:func:`.cdc.read_change_data`,
     the streaming source). ``None`` inherits the table pin.
+
+    ``auto_compact=N`` (round 12, Delta's autoOptimize analog): after a
+    successful publish, if the new snapshot holds ≥ N debris files
+    (smaller than half the 128 MiB default target), run
+    :func:`compact_versioned` ``incremental=True`` in the same call —
+    best-effort (a CAS conflict backs off, exactly like scheduled
+    compaction), debris-sized by construction, CDC-clean (logs an
+    empty commit). With CoW this bounds the table's file count forever
+    without an external maintenance scheduler: each commit accretes at
+    most a few files and every Nth commit packs them.
     """
     import json
     import os
@@ -857,6 +868,9 @@ def upsert_parquet_versioned(
                 expected_base=current,
                 operation="MERGE (cow)" if carry else "MERGE",
             )
+            if auto_compact:
+                _maybe_auto_compact(spark, table_dir, version,
+                                    auto_compact, keep_versions)
             return read_versioned(spark, table_dir)
         except ConcurrentWriteError as err:
             # our snapshot merged a stale base — drop it and re-merge
@@ -2306,6 +2320,34 @@ def restore_versioned(
                           ignore_errors=True)
             last_err = err
     raise last_err
+
+
+def _maybe_auto_compact(
+    spark: SparkSession,
+    table_dir: str,
+    version: str,
+    min_files: int,
+    keep_versions: int,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> None:
+    """Post-publish auto-compaction trigger: count the just-published
+    snapshot's sub-``target/2`` debris files (one listing + getsize
+    pass, no data read) and run the incremental bin-pack when they
+    reach ``min_files``. Best-effort by contract — a concurrent
+    commit's CAS conflict is a silent back-off (the next trigger
+    packs), and the published upsert is already durable either way."""
+    import os
+
+    sizes = [
+        os.path.getsize(p)
+        for p in _snapshot_files(table_dir, version).values()
+    ]
+    n_small = sum(1 for s in sizes if s < target_bytes // 2)
+    if n_small >= max(2, min_files):
+        compact_versioned(
+            spark, table_dir, target_bytes=target_bytes,
+            keep_versions=keep_versions, incremental=True,
+        )
 
 
 def _stamp_op(table_dir: str, version: str, operation: str) -> None:

@@ -1171,3 +1171,107 @@ def run_available_now_upsert_with_expectations(
             f"{timeout_seconds}s"
         )
     return totals
+
+
+def run_changes_replication(
+    spark: SparkSession,
+    source_dir: str,
+    dest_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    app_id: str = "cdcrepl",
+    starting: str | int = "earliest",
+    dest_keep_versions: int = 2,
+    timeout_seconds: int = 180,
+) -> None:
+    """Continuous table replication as ONE Structured Streaming query
+    (round 12): the CDC-pinned source's logged change feed streams in
+    through the native ``versioned_changes`` source (offsets = commit
+    sequence) and each micro-batch applies to a downstream versioned
+    table exactly-once — the streaming twin of the polling
+    :func:`~..operators.versioning.pump_changes_once`, with Spark's
+    offset log replacing the cursor file.
+
+    Per batch (which may span several source commits): the change rows
+    NET to each key's latest post-state (same convergence argument as
+    the pump's ``_netted_logged_changes`` — reverted updates no-op,
+    insert-then-delete nets to a no-op delete), then upserts land via
+    the destination's own layout (bucket-pruned or CoW) under
+    ``txn_app_id=f"{app_id}#up", txn_version=batch_id`` and deletes via
+    ``#del`` at the same id — a replayed batch is a watermark no-op on
+    both halves. Exactly-once end to end: source offsets in the stream
+    checkpoint, destination effects behind the snapshot watermarks.
+
+    ``starting="earliest"`` replays every retained logged commit — a
+    table CDC-pinned from creation therefore replicates FROM SCRATCH
+    through nothing but its own change log (the creation commit logs
+    all-inserts, which the derived feed can never reconstruct).
+    Retention bounds lag exactly like the pump cursor: a checkpoint
+    older than ``keep_versions`` commits fails the stream (re-bootstrap
+    with a fresh checkpoint + snapshot copy). Uses AvailableNow (drain
+    and stop); drive it on a schedule for continuous replication, or
+    swap the trigger for a long-lived stream."""
+    from pyspark.sql import Window
+
+    from animaltrackingetls_spark.cdc import (
+        CHANGE_TYPE_COL,
+        COMMIT_SEQ_COL,
+        COMMIT_VERSION_COL,
+        read_changes_stream,
+    )
+    from animaltrackingetls_spark.inventory import delete_versioned
+    from animaltrackingetls_spark.operators.versioning import (
+        _SEP,
+        _dest_upsert,
+        _rendered,
+    )
+
+    stream = read_changes_stream(spark, source_dir, starting=starting)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        post = batch_df.filter(F.col(CHANGE_TYPE_COL) != "update_preimage")
+        jk = F.concat_ws(_SEP, *[_rendered(k) for k in key_cols])
+        w = Window.partitionBy(jk).orderBy(F.desc(COMMIT_SEQ_COL))
+        netted = (
+            post.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        ).localCheckpoint()
+        counts = {
+            r[0]: r[1]
+            for r in netted.groupBy(CHANGE_TYPE_COL).count().collect()
+        }
+        if counts.get("insert", 0) or counts.get("update_postimage", 0):
+            ups = netted.filter(
+                F.col(CHANGE_TYPE_COL) != "delete"
+            ).drop(CHANGE_TYPE_COL, COMMIT_SEQ_COL, COMMIT_VERSION_COL)
+            _dest_upsert(
+                s, dest_dir, ups, key_cols,
+                keep_versions=dest_keep_versions,
+                txn_app_id=f"{app_id}#up", txn_version=batch_id,
+            )
+        if counts.get("delete", 0):
+            dels = netted.filter(
+                F.col(CHANGE_TYPE_COL) == "delete"
+            ).select(*key_cols)
+            delete_versioned(
+                s, dest_dir, dels, key_cols,
+                keep_versions=dest_keep_versions, cow=True,
+                txn_app_id=f"{app_id}#del", txn_version=batch_id,
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_seconds)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"change replication into {dest_dir!r} did not drain within "
+            f"{timeout_seconds}s"
+        )

@@ -562,6 +562,44 @@ def test_pump_prefer_logged_off_derives(spark, tmp_path):
     assert _dst_state(spark, dst) == {1: "a", 2: "b"}
 
 
+def test_streaming_replication_end_to_end(spark, tmp_path):
+    """run_changes_replication: a CDC-pinned table replicates from
+    scratch through nothing but its own change log, stays converged
+    across later commits (restarting from the stream checkpoint), and
+    handles deletes."""
+    from animaltrackingetls_spark.streaming.jobs import (
+        run_changes_replication,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+
+    def up(rows):
+        upsert_parquet_versioned(
+            spark, src, spark.createDataFrame(rows, "k long, v string"),
+            ["k"], keep_versions=10, write_change_data=True, cow=True,
+        )
+
+    up([(1, "a"), (2, "b"), (3, "c")])
+    up([(2, "b2"), (4, "d")])
+    run_changes_replication(spark, src, dst, ck, ["k"])
+    assert {r.k: r.v for r in read_versioned(spark, dst).collect()} == {
+        1: "a", 2: "b2", 3: "c", 4: "d",
+    }
+    # later commits, incl. a delete: the restart drains only new offsets
+    up([(5, "e")])
+    delete_versioned(spark, src, spark.createDataFrame([(1,)], "k long"),
+                     ["k"], keep_versions=10)
+    run_changes_replication(spark, src, dst, ck, ["k"])
+    assert {r.k: r.v for r in read_versioned(spark, dst).collect()} == {
+        2: "b2", 3: "c", 4: "d", 5: "e",
+    }
+    # idle restart: nothing new, dest gains no versions
+    n = len(list_versions(dst))
+    run_changes_replication(spark, src, dst, ck, ["k"])
+    assert len(list_versions(dst)) == n
+
+
 # ----------------------------------------------------- streaming source
 
 

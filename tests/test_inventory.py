@@ -613,6 +613,33 @@ def test_describe_history_operations(spark, tmp_path):
     assert all(r["n_files"] >= 1 and r["size_bytes"] > 0 for r in hist)
 
 
+def test_auto_compact_bounds_file_count(spark, tmp_path):
+    """auto_compact=N on the CoW writer: every commit that leaves >= N
+    debris files triggers the incremental bin-pack in the same call —
+    the file count stays bounded across many insert commits with no
+    external scheduler, and history shows the COMPACT commits."""
+    from animaltrackingetls_spark.inventory import (
+        _snapshot_files,
+        describe_history,
+        list_versions,
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(9):
+        ins = spark.range(i * 10, i * 10 + 10).selectExpr(
+            "id AS k", "CAST(id AS STRING) AS v"
+        )
+        upsert_parquet_versioned(spark, t, ins, ["k"], keep_versions=3,
+                                 cow=True, auto_compact=4)
+    n_files = len(_snapshot_files(t, list_versions(t)[-1]))
+    assert n_files <= 4  # never reaches the 9 files blind CoW accretes
+    ops = [r["operation"] for r in describe_history(spark, t).collect()]
+    assert "COMPACT (incremental)" in ops
+    assert read_versioned(spark, t).count() == 90
+
+
 def test_compact_versioned_requires_published_table(spark, tmp_path):
     import pytest as _pytest
 
