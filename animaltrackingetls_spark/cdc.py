@@ -230,17 +230,24 @@ def upsert_change_rows(
     distinct keys before the classifying join, so every input to that
     join is churn-sized. ``updates`` is re-evaluated for its key set —
     same determinism contract the writer's retry loop already imposes.
+
+    No forced broadcast on the key list: it is BATCH-sized, not
+    erasure-list-sized — a bulk ingest batch can carry millions of
+    keys, and a broadcast hint would ship them through the driver
+    regardless of Spark's size threshold (the round-11 advisory's
+    exact failure mode on the pump's key lists). AQE picks BHJ when
+    the keys genuinely fit.
     """
     upd_keys = updates.select(*key_cols).dropDuplicates(key_cols)
     post = new_files_df.join(
-        F.broadcast(upd_keys),
+        upd_keys,
         on=_keys_cond(new_files_df, upd_keys, key_cols),
         how="left_semi",
     )
     pre = None
     if base_scope is not None:
         pre = base_scope.join(
-            F.broadcast(upd_keys),
+            upd_keys,
             on=_keys_cond(base_scope, upd_keys, key_cols),
             how="left_semi",
         )
@@ -582,7 +589,13 @@ def _stream_reader_cls():
         Streaming source (the Delta CDF streaming-source analog).
         Options: ``path`` (table dir, required), ``startingVersion``
         (``latest`` default | ``earliest`` | an integer commit seq,
-        inclusive), ``onMissing`` (``fail`` default | ``skip``)."""
+        inclusive), ``onMissing`` (``fail`` default | ``skip``).
+
+        Schema is resolved at STREAM START (the most-evolved logged
+        schema); change files from after a later evolution NULL-pad /
+        cast to it, and columns added after the start are not surfaced
+        until the stream restarts — restart to pick up evolution (the
+        non-failing variant of Delta's stop-on-schema-change)."""
 
         @classmethod
         def name(cls) -> str:
