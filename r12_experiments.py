@@ -15,6 +15,12 @@ Subcommands:
   process per tree (current, r11 = 8566e97, r10 = 45a4e18), numpy-GEMM
   calibration in the same process, so code effects separate from
   machine state by construction.
+* ``cowmerge`` — copy-on-write merge/delete vs the full rewrite at
+  10M rows (write volume tracks churn), plus the plain-dest pump poll.
+* ``cdclog`` — write-time CDC: logging's commit-side cost and the
+  logged pump poll vs the derived diff at 10M/1k churn.
+* ``inccompact`` — incremental bin-packing compaction vs the full
+  rewrite on a debris-accreted 10M CoW table.
 
 Run on a settled machine; each prints its SCALING.md-ready lines.
 """
@@ -39,7 +45,7 @@ spark = get_spark(master="local[32]",
                   extra_conf={"spark.ui.showConsoleProgress": "false"})
 SF = "/root/testdata/sf0.1"
 entry._t(spark, SF, "documents").count()
-q = entry.queries()["pack_documents"]
+q = entry.queries()[__import__("os").environ.get("BISECT_QUERY", "pack_documents")]
 times = []
 for _ in range(7):
     t0 = time.monotonic(); q(spark, SF).count()
@@ -81,7 +87,8 @@ def packbisect() -> None:
             continue
         results[label] = json.loads(line[0][len("FLOOR_JSON "):])
         r = results[label]
-        print(f"pack_documents isolated floor [{label}]: "
+        qname = __import__("os").environ.get("BISECT_QUERY", "pack_documents")
+        print(f"{qname} isolated floor [{label}]: "
               f"{r['floor']:.3f}s (runs {r['runs']}, gemm {r['gemm']:.4f}s)",
               flush=True)
     if len(results) >= 2:

@@ -357,6 +357,48 @@ def test_marker_lists_real_files(spark, tmp_path, base_batches):
         assert os.path.isfile(p)
 
 
+def test_cdc_log_reclassifies_on_cas_retry(spark, tmp_path, monkeypatch):
+    """A CAS-losing writer's retry must RE-LOG against the new base:
+    the winning concurrent commit's value is the preimage, not the
+    stale base the first attempt merged — and the losing attempt's
+    change log dies with its version directory."""
+    import animaltrackingetls_spark.inventory as inv
+
+    t = str(tmp_path / "race")
+    upsert_parquet_versioned(
+        spark, t, spark.createDataFrame([(1, "a")], "k int, v string"),
+        ["k"], keep_versions=10, write_change_data=True,
+    )
+    real_publish = inv._publish_version
+
+    def racing_publish(table_dir, version, marks, keep_versions, **kw):
+        monkeypatch.setattr(inv, "_publish_version", real_publish)
+        upsert_parquet_versioned(
+            spark, t,
+            spark.createDataFrame([(1, "bee")], "k int, v string"), ["k"],
+            keep_versions=10,
+        )
+        return real_publish(table_dir, version, marks, keep_versions, **kw)
+
+    monkeypatch.setattr(inv, "_publish_version", racing_publish)
+    upsert_parquet_versioned(
+        spark, t, spark.createDataFrame([(1, "ay")], "k int, v string"),
+        ["k"], keep_versions=10, retries=2,
+    )
+    vs = list_versions(t)
+    assert len(vs) == 3  # base, interleaved winner, retried commit
+    final = read_change_data(spark, t, vs[-2], vs[-1])
+    pre = {r.v for r in final.filter(
+        F.col(CHANGE_TYPE_COL) == "update_preimage").collect()}
+    post = {r.v for r in final.filter(
+        F.col(CHANGE_TYPE_COL) == "update_postimage").collect()}
+    assert pre == {"bee"} and post == {"ay"}  # reclassified, not stale
+    # every retained version's log is consistent with its own commit
+    mid = read_change_data(spark, t, vs[0], vs[-2])
+    assert {r.v for r in mid.filter(
+        F.col(CHANGE_TYPE_COL) == "update_preimage").collect()} == {"a"}
+
+
 def test_group_commit_logs_pinned_members(spark, tmp_path):
     """Group-committed members log change data when their table dir is
     CDC-pinned: upsert classification + delete preimages in one log;
