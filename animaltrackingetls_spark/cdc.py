@@ -481,6 +481,21 @@ def _stream_reader_cls():
                     f"onMissing must be fail|skip, got {self._on_missing!r}"
                 )
             self._starting = options.get("startingversion", "latest")
+            limit = options.get("maxcommitspertrigger")
+            self._max_commits = int(limit) if limit else None
+            if self._max_commits is not None and self._max_commits < 1:
+                raise ValueError(
+                    "maxCommitsPerTrigger must be >= 1, got "
+                    f"{self._max_commits}"
+                )
+            # rate-limit bookkeeping: the end offset of the last range
+            # partitions() planned. latestOffset() has no start
+            # argument in this API, so the cap anchors here; the first
+            # batch after a restart is uncapped (the anchor is unknown
+            # until partitions() runs), every later batch advances at
+            # most max_commits — the same first-batch caveat Delta's
+            # option docs carry for restored streams.
+            self._last_planned_end: int | None = None
             self._schema = spark_schema
 
         def initialOffset(self) -> dict:
@@ -512,12 +527,19 @@ def _stream_reader_cls():
                 raise FileNotFoundError(
                     f"no published snapshot under {self._table_dir}"
                 )
-            return {"seq": _seq_of(cur)}
+            seq = _seq_of(cur)
+            if (
+                self._max_commits is not None
+                and self._last_planned_end is not None
+            ):
+                seq = min(seq, self._last_planned_end + self._max_commits)
+            return {"seq": seq}
 
         def partitions(self, start: dict, end: dict):
             from .inventory import list_versions
 
             lo, hi = int(start["seq"]), int(end["seq"])
+            self._last_planned_end = hi  # rate-limit anchor
             if hi <= lo:
                 return []
             by_seq = {
@@ -589,7 +611,15 @@ def _stream_reader_cls():
         Streaming source (the Delta CDF streaming-source analog).
         Options: ``path`` (table dir, required), ``startingVersion``
         (``latest`` default | ``earliest`` | an integer commit seq,
-        inclusive), ``onMissing`` (``fail`` default | ``skip``).
+        inclusive), ``onMissing`` (``fail`` default | ``skip``),
+        ``maxCommitsPerTrigger`` (bound each micro-batch to N source
+        commits on a LONG-RUNNING trigger — a stream falling far behind
+        must not plan one giant catch-up batch. The anchor is the last
+        planned range, so the first batch after any (re)start is
+        uncapped — the Python offset API gives latestOffset no start to
+        cap against — which also means the AvailableNow single-batch
+        fallback is always uncapped; use processingTime triggers when
+        the limit matters).
 
         Schema is resolved at STREAM START (the most-evolved logged
         schema); change files from after a later evolution NULL-pad /
@@ -636,6 +666,7 @@ def read_changes_stream(
     table_dir: str,
     starting: str | int = "latest",
     on_missing: str = "fail",
+    max_commits_per_trigger: int | None = None,
 ) -> DataFrame:
     """The logged change feed as a streaming DataFrame: registers the
     source and returns ``spark.readStream.format("versioned_changes")``
@@ -650,10 +681,14 @@ def read_changes_stream(
     offset checkpoint and exactly-once restart semantics are unchanged
     (pinned in tests)."""
     register_change_source(spark)
-    return (
+    reader = (
         spark.readStream.format("versioned_changes")
         .option("path", table_dir)
         .option("startingVersion", str(starting))
         .option("onMissing", on_missing)
-        .load()
     )
+    if max_commits_per_trigger is not None:
+        reader = reader.option(
+            "maxCommitsPerTrigger", str(max_commits_per_trigger)
+        )
+    return reader.load()

@@ -750,6 +750,39 @@ def test_stream_hole_fails_and_skip_reads_past(spark, tmp_path,
     ) == [2]
 
 
+def test_stream_rate_limit_offsets(spark, tmp_path, base_batches):
+    """maxCommitsPerTrigger caps latestOffset at (last planned range's
+    end + N) once an anchor exists; the first range after a (re)start
+    is uncapped by API construction (latestOffset receives no start)."""
+    from animaltrackingetls_spark.cdc import _stream_reader_cls
+
+    tdir = str(tmp_path / "t")
+    b1, b2 = base_batches
+    upsert_parquet_versioned(spark, tdir, b1, ["k"], keep_versions=10,
+                             write_change_data=True)
+    for _ in range(4):
+        upsert_parquet_versioned(spark, tdir, b2, ["k"], keep_versions=10)
+    ds_cls = _stream_reader_cls()
+    ds = ds_cls(options={"path": tdir, "startingversion": "earliest",
+                         "maxcommitspertrigger": "1"})
+    reader = ds.streamReader(ds.schema())
+    assert reader.initialOffset() == {"seq": 0}
+    # no anchor yet: uncapped (current seq = 5)
+    assert reader.latestOffset() == {"seq": 5}
+    # plan a range; the next latestOffset caps at its end + 1
+    parts = reader.partitions({"seq": 0}, {"seq": 1})
+    assert parts  # the creation commit's change files
+    assert reader.latestOffset() == {"seq": 2}
+    reader.partitions({"seq": 1}, {"seq": 2})
+    assert reader.latestOffset() == {"seq": 3}
+    # never beyond CURRENT
+    reader.partitions({"seq": 2}, {"seq": 5})
+    assert reader.latestOffset() == {"seq": 5}
+    with pytest.raises(ValueError, match="maxCommitsPerTrigger"):
+        bad = ds_cls(options={"path": tdir, "maxcommitspertrigger": "0"})
+        bad.streamReader(bad.schema())
+
+
 def test_stream_starting_explicit_seq(spark, tmp_path, base_batches):
     tdir = str(tmp_path / "t")
     out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
