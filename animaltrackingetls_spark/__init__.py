@@ -18,6 +18,9 @@ Layout:
     inventory    Load-catalog upsert (MERGE-style), table naming, date helpers.
     serving      Dynamic serving filters, date match, JSON edge sink.
     io           Parquet/JDBC/CSV readers and writers (incl. nanos rescue).
+    cdc          Write-time change-data capture for versioned tables
+                 (logged Delta-shaped change rows, batch reader, the
+                 `versioned_changes` streaming source).
     operators/   Relational + LLM-data-pipeline operators (dedup,
                  similarity search, text analysis, as-of/range joins,
                  multimodal plumbing).

@@ -572,35 +572,47 @@ def _stream_reader_cls():
 
         def read(self, partition):
             import pyarrow as pa
+            import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
             from pyspark.sql.pandas.types import to_arrow_schema
 
             target = to_arrow_schema(self._schema)
-            tbl = pq.read_table(partition.path)
-            n = tbl.num_rows
-            arrays = []
-            for field in target:
-                if field.name == COMMIT_SEQ_COL:
-                    arrays.append(
-                        pa.array([partition.seq] * n, pa.int64())
-                    )
-                elif field.name == COMMIT_VERSION_COL:
-                    arrays.append(
-                        pa.array([partition.version] * n, pa.string())
-                    )
-                elif field.name in tbl.column_names:
-                    col = tbl.column(field.name)
-                    if col.type != field.type:
-                        # evolution widened a type / INT96 read as ns:
-                        # values originated in Spark, so the cast down
-                        # to Spark's own unit cannot truncate
-                        col = col.cast(field.type, safe=False)
-                    arrays.append(col.combine_chunks())
-                else:
-                    arrays.append(pa.nulls(n, field.type))
-            out = pa.table(arrays, schema=target)
-            yield from out.to_batches()
+            pf = pq.ParquetFile(partition.path)
+            names = set(pf.schema_arrow.names)
+            read_cols = [f.name for f in target if f.name in names]
+            # stream row-group-sized batches instead of materializing
+            # the file; constant columns build via fill_null over a
+            # null array (C speed — the first cut's [value] * n Python
+            # list measured 0.2M rows/s end to end, see SCALING.md)
+            for batch in pf.iter_batches(columns=read_cols,
+                                         batch_size=1 << 18):
+                n = batch.num_rows
+                by_name = {
+                    name: batch.column(i)
+                    for i, name in enumerate(batch.schema.names)
+                }
+                arrays = []
+                for field in target:
+                    if field.name == COMMIT_SEQ_COL:
+                        arrays.append(pc.fill_null(
+                            pa.nulls(n, pa.int64()), partition.seq
+                        ))
+                    elif field.name == COMMIT_VERSION_COL:
+                        arrays.append(pc.fill_null(
+                            pa.nulls(n, pa.string()), partition.version
+                        ))
+                    elif field.name in by_name:
+                        col = by_name[field.name]
+                        if col.type != field.type:
+                            # evolution widened a type / INT96 read as
+                            # ns: values originated in Spark, so the
+                            # cast to Spark's own unit cannot truncate
+                            col = col.cast(field.type, safe=False)
+                        arrays.append(col)
+                    else:
+                        arrays.append(pa.nulls(n, field.type))
+                yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
         def commit(self, end: dict) -> None:
             pass  # retention, not the consumer, reclaims change logs

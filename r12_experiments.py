@@ -470,6 +470,72 @@ def inccompact() -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def cdcstream() -> None:
+    """Throughput of the `versioned_changes` Python streaming source:
+    drain a 5M-row logged creation commit to parquet and compare the
+    same rows read through the batch path (JVM parquet scan) — the
+    price of the Python-source hop (driver offset planning + per-file
+    executor Arrow reads) in rows/s."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark import inventory as inv
+    from animaltrackingetls_spark.cdc import (
+        read_change_data,
+        read_changes_stream,
+    )
+    from animaltrackingetls_spark.session import get_spark
+
+    spark = get_spark(master="local[32]",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    tmp = tempfile.mkdtemp(prefix="r12cdcs_")
+    t = os.path.join(tmp, "t")
+    N = 5_000_000
+    df = spark.range(0, N).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    inv.upsert_parquet_versioned(spark, t, df, ["k"], keep_versions=3,
+                                 write_change_data=True)
+    # batch path (warm + floor of 3)
+    b = []
+    for _ in range(4):
+        t0 = time.monotonic()
+        n_batch = read_change_data(spark, t).count()
+        b.append(time.monotonic() - t0)
+    batch_s = min(b[1:])
+    # JVM twin of the drain: same files, same parquet sink, no Python
+    from animaltrackingetls_spark.cdc import change_log
+
+    files = change_log(t, inv.list_versions(t)[-1])
+    jvm_out = os.path.join(tmp, "jvm")
+    t0 = time.monotonic()
+    spark.read.parquet(*files).write.parquet(jvm_out)
+    jvm_s = time.monotonic() - t0
+    # streaming drain to parquet (one availableNow invocation)
+    out, ck = os.path.join(tmp, "out"), os.path.join(tmp, "ck")
+    t0 = time.monotonic()
+    q = (
+        read_changes_stream(spark, t, starting="earliest")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(600)
+    stream_s = time.monotonic() - t0
+    n_stream = spark.read.parquet(out).count()
+    assert n_stream == n_batch == N, (n_stream, n_batch, N)
+    print(f"[cdcstream] {N} logged change rows ({len(files)} files): "
+          f"batch count floor {batch_s:.2f}s; JVM read+sink twin "
+          f"{jvm_s:.2f}s; streaming drain {stream_s:.2f}s "
+          f"({N/stream_s/1e6:.2f}M rows/s incl. query startup)",
+          flush=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else ""
     if cmd == "skipping":
@@ -482,7 +548,9 @@ if __name__ == "__main__":
         cdclog()
     elif cmd == "inccompact":
         inccompact()
+    elif cmd == "cdcstream":
+        cdcstream()
     else:
         print("usage: r12_experiments.py "
-              "{skipping|packbisect|cowmerge|cdclog|inccompact}")
+              "{skipping|packbisect|cowmerge|cdclog|inccompact|cdcstream}")
         sys.exit(2)
