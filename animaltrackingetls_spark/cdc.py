@@ -62,7 +62,6 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -19,7 +19,6 @@ from animaltrackingetls_spark.cdc import (
     read_change_data,
     read_changes_stream,
     resolve_cdc,
-    write_change_log,
 )
 from animaltrackingetls_spark.inventory import (
     clone_versioned,
