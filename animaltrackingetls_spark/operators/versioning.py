@@ -1150,6 +1150,223 @@ def pump_group_changes_once(
     return {"applied": True, "tables": report, "seq": seq}
 
 
+def maintain_aggregate_once(
+    spark,
+    source_dir: str,
+    dest_dir: str,
+    cursor_file: str,
+    group_cols: list[str],
+    sum_cols: list[str] | None = None,
+    app_id: str = "ivm",
+    dest_keep_versions: int = 2,
+) -> dict:
+    """Incremental MATERIALIZED-VIEW maintenance over the logged change
+    feed (round 12): keep ``dest_dir`` equal to
+    ``source.groupBy(group_cols).agg(count(*), sum(c)...)`` by applying
+    SIGNED DELTAS from the CDC log instead of recomputing the
+    aggregate — the classic IVM identity for self-inverting aggregates
+    (count/sum, and avg = sum/count downstream):
+
+        insert / update_postimage rows contribute +1 (+value),
+        delete / update_preimage rows contribute −1 (−value),
+
+    so one churn-sized pass — change files → per-group delta agg →
+    merge with the affected groups' current values — converges the view
+    exactly, and a group whose count reaches zero is DELETED (it no
+    longer exists in the full aggregate). Per poll the cost is
+    O(changes + affected groups), never O(source): this is what makes a
+    100 TB fact table's rollup maintainable per-commit.
+
+    Exactly-once with the same machinery as the pump: the upsert and
+    the zero-group delete carry ``{app_id}#up`` / ``{app_id}#del``
+    watermarks keyed on the source commit sequence; the cursor advances
+    last, so a crash anywhere replays the window into watermark no-ops.
+    First poll (no cursor) BOOTSTRAPS with one full aggregate of the
+    current snapshot. A window that is not fully logged (pre-pin hole,
+    RESTORE, pruned intermediate) falls back to a full recompute of the
+    view — correct at recompute cost, reported as ``source:
+    "recomputed"``.
+
+    Output schema: ``group_cols..., n_rows (count(*)), n_<c>
+    (count(c)), sum_<c>`` per sum_col. The non-null counter is not
+    decoration — it is what makes incremental ``sum`` NULL-exact: a
+    group whose values are all NULL sums to NULL in the full
+    aggregate, which pure delta arithmetic cannot distinguish from
+    zero; ``sum_<c>`` is NULLed exactly when ``n_<c>`` hits 0. NULL
+    group keys form their own group, exactly like groupBy.
+
+    Returns ``{"applied": bool, "to_version": str, "groups_touched":
+    n, "groups_deleted": n, "source": "bootstrap"|"logged"|
+    "recomputed"}``.
+    """
+    import os
+
+    from ..cdc import CHANGE_TYPE_COL, read_change_data
+    from ..inventory import (
+        delete_versioned,
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+
+    sum_cols = list(sum_cols or [])
+    agg_exprs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in sum_cols:
+        agg_exprs += [F.count(c).alias(f"n_{c}"),
+                      F.sum(c).alias(f"sum_{c}")]
+
+    def _full_view(version=None):
+        return (
+            read_versioned(spark, source_dir, version)
+            .groupBy(*group_cols).agg(*agg_exprs)
+        )
+
+    seen, current, advance = _cursor_state(source_dir, cursor_file)
+    seq = int(current.split("-")[1])
+    if seen == current:
+        return {"applied": False, "to_version": current,
+                "groups_touched": 0, "groups_deleted": 0,
+                "source": "logged"}
+
+    if seen is None or not _window_fully_logged(source_dir, seen, current):
+        # bootstrap / hole fallback: one full aggregate of the CURRENT
+        # snapshot replaces the view (stale groups must leave too — an
+        # anti-join delete of dest keys absent from the recompute, in
+        # the same exactly-once pair)
+        view = _full_view(current).localCheckpoint()
+        upsert_parquet_versioned(
+            spark, dest_dir, view, group_cols,
+            keep_versions=dest_keep_versions,
+            txn_app_id=f"{app_id}#up", txn_version=seq,
+        )
+        n_deleted = 0
+        try:
+            dst_keys = read_versioned(spark, dest_dir).select(*group_cols)
+        except FileNotFoundError:
+            dst_keys = None
+        if dst_keys is not None and seen is not None:
+            from ..inventory import _null_safe_cond
+
+            stale = dst_keys.join(
+                view.select(*group_cols),
+                on=_null_safe_cond(dst_keys, view, group_cols),
+                how="left_anti",
+            )
+            if not stale.isEmpty():
+                n_deleted = stale.count()
+                delete_versioned(
+                    spark, dest_dir, stale, group_cols,
+                    keep_versions=dest_keep_versions, cow=True,
+                    txn_app_id=f"{app_id}#del", txn_version=seq,
+                )
+        advance()
+        return {"applied": True, "to_version": current,
+                "groups_touched": view.count(),
+                "groups_deleted": n_deleted,
+                "source": "bootstrap" if seen is None else "recomputed"}
+
+    feed = read_change_data(spark, source_dir, seen, current)
+    sign = F.when(
+        F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    signed = feed.select(
+        *group_cols, sign.alias("_sign"),
+        *[F.col(c).alias(f"_v_{c}") for c in sum_cols],
+    )
+    delta_aggs = [F.sum("_sign").alias("_d_n")]
+    for c in sum_cols:
+        delta_aggs += [
+            F.sum(
+                F.when(F.col(f"_v_{c}").isNotNull(), F.col("_sign"))
+                .otherwise(F.lit(0))
+            ).alias(f"_d_n_{c}"),
+            F.sum(F.col("_sign") * F.col(f"_v_{c}")).alias(f"_d_{c}"),
+        ]
+    delta = signed.groupBy(*group_cols).agg(
+        *delta_aggs
+    ).localCheckpoint()  # churn-sized; read by the merge + counts
+    if delta.isEmpty():
+        advance()
+        return {"applied": True, "to_version": current,
+                "groups_touched": 0, "groups_deleted": 0,
+                "source": "logged"}
+
+    from ..inventory import _null_safe_cond
+
+    try:
+        cur_view = read_versioned(spark, dest_dir)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no materialized view under {dest_dir} — bootstrap first "
+            "(delete the cursor file)"
+        )
+    affected = cur_view.join(
+        delta.select(*group_cols),
+        on=_null_safe_cond(cur_view, delta, group_cols),
+        how="left_semi",
+    )
+    # merge old values with deltas: full outer over the affected slice
+    # (a delta group absent from the view is brand-new)
+    jd = delta.alias("d")
+    ja = affected.alias("a")
+    merged = ja.join(jd, on=_null_safe_cond(ja, jd, group_cols),
+                     how="full_outer")
+    key_out = [
+        F.coalesce(F.col(f"a.{k}"), F.col(f"d.{k}")).alias(k)
+        for k in group_cols
+    ]
+    new_n = (
+        F.coalesce(F.col("a.n_rows"), F.lit(0))
+        + F.coalesce(F.col("d._d_n"), F.lit(0))
+    ).alias("n_rows")
+    new_sums = []
+    for c in sum_cols:
+        nn = (
+            F.coalesce(F.col(f"a.n_{c}"), F.lit(0))
+            + F.coalesce(F.col(f"d._d_n_{c}"), F.lit(0))
+        )
+        total = (
+            F.coalesce(F.col(f"a.sum_{c}"), F.lit(0))
+            + F.coalesce(F.col(f"d._d_{c}"), F.lit(0))
+        )
+        new_sums += [
+            nn.alias(f"n_{c}"),
+            # sum over zero non-null values is NULL, as in the full agg
+            F.when(nn > 0, total).otherwise(F.lit(None)).alias(f"sum_{c}"),
+        ]
+    out = merged.select(*key_out, new_n, *new_sums).localCheckpoint()
+    survivors = out.filter(F.col("n_rows") > 0)
+    doomed = out.filter(F.col("n_rows") <= 0).select(*group_cols)
+    n_del = doomed.count()
+    if not survivors.isEmpty():
+        # cast sums back to the view's types (coalesce(… , lit(0))
+        # can widen); the bootstrap aggregate defines the contract
+        tgt = {f.name: f.dataType.simpleString()
+               for f in cur_view.schema.fields}
+        casts = [F.col("n_rows").cast(tgt["n_rows"]).alias("n_rows")]
+        for c in sum_cols:
+            casts += [
+                F.col(f"n_{c}").cast(tgt[f"n_{c}"]).alias(f"n_{c}"),
+                F.col(f"sum_{c}").cast(tgt[f"sum_{c}"]).alias(f"sum_{c}"),
+            ]
+        survivors = survivors.select(*group_cols, *casts)
+        upsert_parquet_versioned(
+            spark, dest_dir, survivors, group_cols,
+            keep_versions=dest_keep_versions, cow=True,
+            txn_app_id=f"{app_id}#up", txn_version=seq,
+        )
+    if n_del:
+        delete_versioned(
+            spark, dest_dir, doomed, group_cols,
+            keep_versions=dest_keep_versions, cow=True,
+            txn_app_id=f"{app_id}#del", txn_version=seq,
+        )
+    advance()
+    return {"applied": True, "to_version": current,
+            "groups_touched": out.count(), "groups_deleted": n_del,
+            "source": "logged"}
+
+
 def run_cdc_pump(
     spark,
     source_dir: str,

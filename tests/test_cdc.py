@@ -582,6 +582,95 @@ def test_group_pump_logged_members(spark, tmp_path):
     ) == state_after
 
 
+def test_maintain_aggregate_incremental_view(spark, tmp_path):
+    """Incremental materialized-view maintenance over the logged feed:
+    the view equals the full groupBy recompute after every poll —
+    through inserts, value updates, GROUP MOVES (a key changing its
+    group contributes -1 to the old and +1 to the new), NULL groups,
+    NULL sum values (all-NULL groups sum to NULL, not 0), group
+    deletion at count 0, crash replay, and a RESTORE-hole recompute."""
+    from animaltrackingetls_spark.operators.versioning import (
+        maintain_aggregate_once,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    cur = str(tmp_path / "cursor")
+    schema = "k long, g string, x double"
+
+    def up(rows):
+        upsert_parquet_versioned(
+            spark, src, spark.createDataFrame(rows, schema), ["k"],
+            keep_versions=10, write_change_data=True, cow=True,
+        )
+
+    def full():
+        return _rows(
+            read_versioned(spark, src).groupBy("g").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("x").alias("n_x"),
+                F.sum("x").alias("sum_x"),
+            ), "g", "n_rows", "n_x", "sum_x",
+        )
+
+    def materialized():
+        return _rows(read_versioned(spark, view),
+                     "g", "n_rows", "n_x", "sum_x")
+
+    def poll():
+        return maintain_aggregate_once(
+            spark, src, view, cur, ["g"], sum_cols=["x"],
+        )
+
+    # bootstrap: NULL group key, an all-NULL-x group ('z'), plain groups
+    up([(1, "a", 1.0), (2, "a", 2.0), (3, "b", 4.0),
+        (4, None, 8.0), (5, "z", None), (6, "z", None)])
+    assert poll()["source"] == "bootstrap"
+    assert materialized() == full()
+
+    # one multi-commit window: insert, value update, a group MOVE
+    # (k=3 b->a), a NULL-x insert into a live group
+    up([(3, "a", 4.0), (7, "b", 16.0)])
+    up([(1, "a", 1.5), (8, "a", None)])
+    r = poll()
+    assert r["source"] == "logged" and r["applied"]
+    assert materialized() == full()
+
+    # deletes: empty group 'b' entirely (count 0 -> row leaves the
+    # view), and thin group 'a'
+    delete_versioned(spark, src, spark.createDataFrame(
+        [(7,), (2,)], "k long"), ["k"], keep_versions=10, cow=True)
+    r = poll()
+    assert r["source"] == "logged" and r["groups_deleted"] == 1
+    assert materialized() == full()
+    assert ("b",) not in {(row.g,) for row in
+                          read_versioned(spark, view).collect()}
+
+    # crash replay: roll the cursor back, re-poll -> watermark no-op
+    with open(cur) as f:
+        before = f.read()
+    up([(9, "a", 32.0)])
+    poll()
+    n_vers = len(list_versions(view))
+    with open(cur, "w") as f:
+        f.write(before)
+    r = poll()
+    assert r["applied"] and list_versions(view)[-1:] and \
+        len(list_versions(view)) == n_vers
+    assert materialized() == full()
+
+    # a RESTORE hole flips the poll to a full recompute, still exact
+    v_keep = list_versions(src)[-1]
+    up([(10, "c", 64.0)])
+    restore_versioned(spark, src, v_keep, keep_versions=10)
+    r = poll()
+    assert r["source"] == "recomputed"
+    assert materialized() == full()
+    # and the logged fast path resumes after the hole
+    up([(11, "d", 128.0)])
+    assert poll()["source"] == "logged"
+    assert materialized() == full()
+
+
 def test_pump_prefer_logged_off_derives(spark, tmp_path):
     from animaltrackingetls_spark.operators.versioning import (
         pump_changes_once,
