@@ -1337,8 +1337,15 @@ def maintain_aggregate_once(
     out = merged.select(*key_out, new_n, *new_sums).localCheckpoint()
     survivors = out.filter(F.col("n_rows") > 0)
     doomed = out.filter(F.col("n_rows") <= 0).select(*group_cols)
-    n_del = doomed.count()
-    if not survivors.isEmpty():
+    # one counting job for the whole poll (touched + doomed together);
+    # the poll should stay a handful of Spark jobs — its value is
+    # bytes-read, its local wall is fixed-cost-bound (SCALING.md)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum((F.col("n_rows") <= 0).cast("int")).alias("d"),
+    ).first()
+    touched, n_del = int(stats["t"]), int(stats["d"] or 0)
+    if touched - n_del > 0:
         # cast sums back to the view's types (coalesce(… , lit(0))
         # can widen); the bootstrap aggregate defines the contract
         tgt = {f.name: f.dataType.simpleString()
@@ -1363,7 +1370,7 @@ def maintain_aggregate_once(
         )
     advance()
     return {"applied": True, "to_version": current,
-            "groups_touched": out.count(), "groups_deleted": n_del,
+            "groups_touched": touched, "groups_deleted": n_del,
             "source": "logged"}
 
 
