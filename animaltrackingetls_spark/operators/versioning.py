@@ -1265,6 +1265,43 @@ def maintain_aggregate_once(
                 "source": "bootstrap" if seen is None else "recomputed"}
 
     feed = read_change_data(spark, source_dir, seen, current)
+    touched, n_del = _apply_aggregate_delta(
+        spark, dest_dir, feed, group_cols, sum_cols,
+        app_id=app_id, seq=seq, keep_versions=dest_keep_versions,
+    )
+    advance()
+    return {"applied": True, "to_version": current,
+            "groups_touched": touched, "groups_deleted": n_del,
+            "source": "logged"}
+
+
+def _apply_aggregate_delta(
+    spark,
+    dest_dir: str,
+    feed,
+    group_cols: list[str],
+    sum_cols: list[str],
+    app_id: str,
+    seq: int,
+    keep_versions: int,
+) -> tuple[int, int]:
+    """Apply one window of change rows to the materialized aggregate
+    as SIGNED DELTAS (see :func:`maintain_aggregate_once` for the
+    algebra and NULL contract) — exactly-once under
+    ``{app_id}#up/#del`` at ``seq``. Shared by the polling form and
+    the streaming runner (foreachBatch, seq = batch id). A missing
+    view table means "build from the deltas alone": a stream from
+    ``earliest`` constructs the view out of nothing but the creation
+    commit's logged inserts. Returns ``(groups_touched,
+    groups_deleted)``."""
+    from ..cdc import CHANGE_TYPE_COL
+    from ..inventory import (
+        _null_safe_cond,
+        delete_versioned,
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+
     sign = F.when(
         F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"),
         F.lit(1),
@@ -1286,19 +1323,23 @@ def maintain_aggregate_once(
         *delta_aggs
     ).localCheckpoint()  # churn-sized; read by the merge + counts
     if delta.isEmpty():
-        advance()
-        return {"applied": True, "to_version": current,
-                "groups_touched": 0, "groups_deleted": 0,
-                "source": "logged"}
-
-    from ..inventory import _null_safe_cond
+        return 0, 0
 
     try:
         cur_view = read_versioned(spark, dest_dir)
     except FileNotFoundError:
-        raise FileNotFoundError(
-            f"no materialized view under {dest_dir} — bootstrap first "
-            "(delete the cursor file)"
+        # no view yet: an empty frame with the EXACT aggregate schema
+        # (a zero-row groupBy gives the true count/sum result types)
+        agg_exprs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in sum_cols:
+            agg_exprs += [F.count(f"_v_{c}").alias(f"n_{c}"),
+                          F.sum(f"_v_{c}").alias(f"sum_{c}")]
+        renamed = signed.select(
+            *group_cols, *[F.col(f"_v_{c}") for c in sum_cols]
+        )
+        cur_view = spark.createDataFrame(
+            [], renamed.limit(0).groupBy(*group_cols).agg(*agg_exprs)
+            .schema,
         )
     affected = cur_view.join(
         delta.select(*group_cols),
@@ -1359,19 +1400,16 @@ def maintain_aggregate_once(
         survivors = survivors.select(*group_cols, *casts)
         upsert_parquet_versioned(
             spark, dest_dir, survivors, group_cols,
-            keep_versions=dest_keep_versions, cow=True,
+            keep_versions=keep_versions, cow=True,
             txn_app_id=f"{app_id}#up", txn_version=seq,
         )
     if n_del:
         delete_versioned(
             spark, dest_dir, doomed, group_cols,
-            keep_versions=dest_keep_versions, cow=True,
+            keep_versions=keep_versions, cow=True,
             txn_app_id=f"{app_id}#del", txn_version=seq,
         )
-    advance()
-    return {"applied": True, "to_version": current,
-            "groups_touched": touched, "groups_deleted": n_del,
-            "source": "logged"}
+    return touched, n_del
 
 
 def run_cdc_pump(

@@ -1275,3 +1275,63 @@ def run_changes_replication(
             f"change replication into {dest_dir!r} did not drain within "
             f"{timeout_seconds}s"
         )
+
+
+def run_aggregate_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    view_dir: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    sum_cols: list[str] | None = None,
+    app_id: str = "ivmstream",
+    starting: str | int = "earliest",
+    dest_keep_versions: int = 2,
+    timeout_seconds: int = 180,
+) -> None:
+    """Materialized-view maintenance as ONE Structured Streaming query
+    (round 12): the CDC-pinned source's change feed streams in through
+    ``versioned_changes`` and every micro-batch applies SIGNED DELTAS
+    to the grouped count/sum view — the streaming twin of the polling
+    :func:`~..operators.versioning.maintain_aggregate_once`, sharing
+    its apply kernel (:func:`~..operators.versioning._apply_aggregate_delta`:
+    group moves from pre/post pairs, NULL-exact sums via non-null
+    counters, count-0 groups deleted) under ``txn_version=batch_id``.
+
+    With ``starting="earliest"`` on a table CDC-pinned from creation,
+    the view builds FROM NOTHING — the creation commit's logged inserts
+    are the first deltas — so there is no separate bootstrap step at
+    all; exactly-once end to end as in
+    :func:`run_changes_replication`. Holes (RESTORE, pre-pin commits)
+    fail the stream by default — views cannot skip deltas; fall back to
+    the polling form, whose hole path is a full recompute. AvailableNow
+    drain semantics as everywhere."""
+    from animaltrackingetls_spark.cdc import read_changes_stream
+    from animaltrackingetls_spark.operators.versioning import (
+        _apply_aggregate_delta,
+    )
+
+    scols = list(sum_cols or [])
+    stream = read_changes_stream(spark, source_dir, starting=starting)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        _apply_aggregate_delta(
+            batch_df.sparkSession, view_dir, batch_df, group_cols,
+            scols, app_id=app_id, seq=batch_id,
+            keep_versions=dest_keep_versions,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_seconds)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"view maintenance into {view_dir!r} did not drain within "
+            f"{timeout_seconds}s"
+        )

@@ -671,6 +671,54 @@ def test_maintain_aggregate_incremental_view(spark, tmp_path):
     assert materialized() == full()
 
 
+def test_streaming_view_maintenance(spark, tmp_path):
+    """run_aggregate_maintenance: the view builds FROM NOTHING out of
+    the creation commit's logged inserts, tracks later commits across
+    checkpoint restarts (group move + delete included), and equals the
+    full recompute after every drain."""
+    from animaltrackingetls_spark.streaming.jobs import (
+        run_aggregate_maintenance,
+    )
+
+    src, vw = str(tmp_path / "src"), str(tmp_path / "vw")
+    ck = str(tmp_path / "ck")
+    schema = "k long, g string, x double"
+
+    def up(rows):
+        upsert_parquet_versioned(
+            spark, src, spark.createDataFrame(rows, schema), ["k"],
+            keep_versions=10, write_change_data=True, cow=True,
+        )
+
+    def full():
+        return _rows(
+            read_versioned(spark, src).groupBy("g").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("x").alias("n_x"),
+                F.sum("x").alias("sum_x"),
+            ), "g", "n_rows", "n_x", "sum_x",
+        )
+
+    def drain():
+        run_aggregate_maintenance(spark, src, vw, ck, ["g"],
+                                  sum_cols=["x"])
+        return _rows(read_versioned(spark, vw),
+                     "g", "n_rows", "n_x", "sum_x")
+
+    up([(1, "a", 1.0), (2, "a", 2.0), (3, "b", 4.0)])
+    assert drain() == full()  # built from deltas alone, no bootstrap
+    up([(3, "a", 4.0), (4, "c", None)])  # group move + NULL-sum group
+    delete_versioned(spark, src, spark.createDataFrame([(1,)], "k long"),
+                     ["k"], keep_versions=10, cow=True)
+    assert drain() == full()
+    assert ("b",) not in {(r.g,) for r in
+                          read_versioned(spark, vw).collect()}
+    # idle drain: no new commits, view gains no versions
+    n = len(list_versions(vw))
+    assert drain() == full()
+    assert len(list_versions(vw)) == n
+
+
 def test_pump_prefer_logged_off_derives(spark, tmp_path):
     from animaltrackingetls_spark.operators.versioning import (
         pump_changes_once,
