@@ -2185,9 +2185,100 @@ def _q_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("old_digest"),
         F.expr("right(text, 3)").alias("new_digest"),
     )
+    ivm = _ivm_view_rows(spark, sf_dir)
     return (
-        diff.unionByName(readout).unionByName(logged)
+        diff.unionByName(readout).unionByName(logged).unionByName(ivm)
         .orderBy("change", "doc_id")
+    )
+
+
+def _ivm_view_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13 (r12 verdict task #2): the incremental materialized
+    view under the DRIVER'S oracle. A second versioned table
+    (orders-derived: key=o_orderkey, g=o_custkey%503,
+    x=o_totalprice) is CDC-pinned and maintained through
+    ``maintain_aggregate_once`` polls — bootstrap aggregate, then one
+    logged window spanning an insert+update commit AND a 10%-delete
+    commit, which exercises the min/max AFFECTED-GROUP RESCAN (the
+    deletes remove group extrema). The final view (count / non-null
+    count / sum / min / max per group) is encoded into versioned_cdf's
+    4-column row shape as 'ivm' rows; DuckDB recomputes the same
+    aggregate over the final snapshot derivation (base = %10<8, plus
+    %10==8 inserts, %100==0 updated to x+100, minus %10==7 deletes) —
+    so the hash row certifies the IVM delta algebra + rescan against a
+    full independent recompute. Decimal(18,2) string casts keep the
+    float rendering cross-engine-exact (o_totalprice is 2-decimal).
+    Fixed txn ids + a cursor alongside the cached table make replays
+    watermark/idle no-ops, exactly like the cdf table itself."""
+    import hashlib
+    import os
+    import tempfile
+
+    from animaltrackingetls_spark.inventory import (
+        delete_versioned,
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+    from animaltrackingetls_spark.operators.versioning import (
+        maintain_aggregate_once,
+    )
+
+    orders_file = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(orders_file)
+    key = hashlib.md5(
+        f"{orders_file}:{st.st_mtime_ns}:{st.st_size}:ivm1".encode()
+    ).hexdigest()[:16]
+    src = os.path.join(tempfile.gettempdir(), f"spark_graft_ivm_{key}")
+    view, cursor = src + "_view", src + "_cursor"
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_custkey") % 503).cast("long").alias("g"),
+        F.col("o_totalprice").alias("x"),
+    )
+
+    def poll():
+        return maintain_aggregate_once(
+            spark, src, view, cursor, ["g"], sum_cols=["x"],
+            minmax_cols=["x"], dest_keep_versions=3,
+        )
+
+    upsert_parquet_versioned(
+        spark, src, orders.filter(F.col("k") % 10 < 8), ["k"],
+        keep_versions=5, txn_app_id="ivmsrc", txn_version=0,
+        write_change_data=True,
+    )
+    poll()  # bootstrap on first build; idle no-op on replays
+    batch = orders.filter(
+        (F.col("k") % 10 == 8) | (F.col("k") % 100 == 0)
+    ).withColumn(
+        "x",
+        F.when(F.col("k") % 100 == 0, F.col("x") + 100)
+        .otherwise(F.col("x")),
+    )
+    upsert_parquet_versioned(
+        spark, src, batch, ["k"], keep_versions=5,
+        txn_app_id="ivmsrc", txn_version=1, cow=True,
+    )
+    delete_versioned(
+        spark, src, orders.filter(F.col("k") % 10 == 7).select("k"),
+        ["k"], keep_versions=5, cow=True,
+        txn_app_id="ivmsrc#d", txn_version=2,
+    )
+    poll()  # one logged window over both commits (rescan path)
+
+    dec = lambda c: F.col(c).cast("decimal(18,2)").cast("string")  # noqa: E731
+    return read_versioned(spark, view).select(
+        F.col("g").alias("doc_id"),
+        F.lit("ivm").alias("change"),
+        F.concat_ws(
+            "|", F.col("n_rows").cast("string"),
+            F.col("n_x").cast("string"),
+        ).alias("old_digest"),
+        F.concat_ws(
+            "|", F.round(F.col("sum_x"), 2).cast("decimal(18,2)")
+            .cast("string"), dec("min_x"), dec("max_x"),
+        ).alias("new_digest"),
     )
 
 
@@ -5341,6 +5432,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'log:update_preimage' AS change,
                    lang AS old_digest, right(text, 3) AS new_digest
             FROM documents WHERE doc_id % 7 != 1 AND doc_id % 5 = 0
+            UNION ALL
+            -- round 13: the INCREMENTALLY MAINTAINED view (count /
+            -- non-null count / sum / min / max per g), recomputed here
+            -- as a full aggregate over the final snapshot derivation:
+            -- base %10<8, + %10==8 inserts, %100==0 updated to x+100,
+            -- - %10==7 deletes. Matching this hash certifies the
+            -- signed-delta algebra AND the min/max affected-group
+            -- rescan (the delete commit removes group extrema).
+            SELECT g AS doc_id, 'ivm' AS change,
+                   CAST(n_rows AS VARCHAR) || '|'
+                     || CAST(n_x AS VARCHAR) AS old_digest,
+                   CAST(CAST(ROUND(sum_x, 2) AS DECIMAL(18,2)) AS VARCHAR)
+                     || '|'
+                     || CAST(CAST(min_x AS DECIMAL(18,2)) AS VARCHAR)
+                     || '|'
+                     || CAST(CAST(max_x AS DECIMAL(18,2)) AS VARCHAR)
+                     AS new_digest
+            FROM (
+              SELECT CAST(o_custkey % 503 AS BIGINT) AS g,
+                     COUNT(*) AS n_rows, COUNT(x) AS n_x,
+                     SUM(x) AS sum_x, MIN(x) AS min_x, MAX(x) AS max_x
+              FROM (
+                SELECT o_custkey,
+                       CASE WHEN o_orderkey % 100 = 0
+                            THEN o_totalprice + 100
+                            ELSE o_totalprice END AS x
+                FROM orders
+                WHERE o_orderkey % 10 <= 8 AND o_orderkey % 10 != 7
+              ) GROUP BY 1)
             ORDER BY change, doc_id
         """,
         "scd2_history": """

@@ -386,15 +386,31 @@ def read_change_data(
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
-    # empty window: a stable, correctly-typed empty frame
-    from .inventory import read_versioned
+    # empty window: a stable, correctly-typed empty frame. Typed from
+    # the newest logged change file, else the newest snapshot resolved
+    # through the PASSED version list — never read_versioned, whose
+    # _CURRENT lookup group-member table dirs don't have (they publish
+    # through the group pointer; round-12 ADVICE #3).
+    from .inventory import _snapshot_files
 
-    snap = read_versioned(spark, table_dir).limit(0)
+    for v in reversed(versions):
+        files = change_log(table_dir, v)
+        if files:
+            return (
+                spark.read.parquet(files[-1]).limit(0)
+                .withColumn(COMMIT_SEQ_COL, F.lit(None).cast("long"))
+                .withColumn(COMMIT_VERSION_COL, F.lit(None).cast("string"))
+            )
+    snap_files = _snapshot_files(table_dir, versions[-1])
+    if not snap_files:
+        raise FileNotFoundError(
+            f"no data files in {table_dir}/{versions[-1]}"
+        )
     return (
-        snap.withColumn(CHANGE_TYPE_COL, F.lit(None).cast("string"))
+        spark.read.parquet(sorted(snap_files.values())[0]).limit(0)
+        .withColumn(CHANGE_TYPE_COL, F.lit(None).cast("string"))
         .withColumn(COMMIT_SEQ_COL, F.lit(None).cast("long"))
         .withColumn(COMMIT_VERSION_COL, F.lit(None).cast("string"))
-        .limit(0)
     )
 
 

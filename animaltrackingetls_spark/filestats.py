@@ -54,7 +54,14 @@ _MAX_STR_STAT = 256
 _MAX_STAT_COLS = 32
 
 #: predicate operators understood by :func:`keep_file` / the readers.
-SUPPORTED_OPS = ("=", "==", "<", "<=", ">", ">=", "in")
+#: ``is_null`` / ``is_not_null`` take a ``None`` value slot and prune
+#: on the sidecar's null counts (round-12 verdict task #4): ``IS
+#: NULL`` skips files with zero nulls, ``IS NOT NULL`` skips all-NULL
+#: files, and every comparison op also skips an all-NULL file (NULL
+#: satisfies no comparison; an all-NULL float column holds no NaN
+#: either, so the NaN caveat doesn't apply).
+SUPPORTED_OPS = ("=", "==", "<", "<=", ">", ">=", "in",
+                 "is_null", "is_not_null")
 
 # type tags in the sidecar: int / float / string / date / timestamp /
 # boolean. Decimal, binary, and nested types are not statted (their
@@ -165,12 +172,24 @@ def file_entry(path: str) -> dict:
             stats = col.statistics
             if name in cols and cols[name] is None:
                 continue
-            if (
-                stats is None
-                or not stats.has_min_max
-                or stats.null_count is None
-            ):
+            if stats is None or stats.null_count is None:
                 cols[name] = None
+                continue
+            if not stats.has_min_max:
+                # an ALL-NULL row group legitimately has no min/max —
+                # keep the entry bound-less ("t": None) so null-count
+                # pruning still works on sparse columns (the exact
+                # files IS NOT NULL most wants to skip); anything else
+                # without bounds disqualifies the column
+                if int(stats.null_count) != int(rg.num_rows):
+                    cols[name] = None
+                    continue
+                entry = cols.get(name)
+                if entry is None and name not in cols:
+                    cols[name] = {"t": None, "lo": None, "hi": None,
+                                  "nulls": int(stats.null_count)}
+                elif entry is not None:
+                    entry["nulls"] += int(stats.null_count)
                 continue
             lo, hi = _encode(stats.min), _encode(stats.max)
             if lo is None or hi is None or lo[0] != hi[0]:
@@ -183,6 +202,12 @@ def file_entry(path: str) -> dict:
                     "nulls": int(stats.null_count),
                 }
             elif entry is not None:
+                if entry["t"] is None:
+                    # earlier row groups were all-NULL: adopt these
+                    # bounds, keep the accumulated null count
+                    entry.update(t=lo[0], lo=lo[1], hi=hi[1])
+                    entry["nulls"] += int(stats.null_count)
+                    continue
                 if entry["t"] != lo[0]:
                     cols[name] = None
                     continue
@@ -212,6 +237,10 @@ def _check_predicates(predicates) -> list[tuple[str, str, Any]]:
             )
         if op == "in" and not isinstance(value, (list, tuple, set)):
             raise ValueError(f"'in' predicate needs a list of values: {p!r}")
+        if op in ("is_null", "is_not_null") and value is not None:
+            raise ValueError(
+                f"{op!r} predicate takes value=None: {p!r}"
+            )
         out.append((col, "=" if op == "==" else op, value))
     return out
 
@@ -220,13 +249,31 @@ def keep_file(entry: dict, predicates) -> bool:
     """Can this file contain a row satisfying ALL predicates (ANDed)?
     True = must scan; False = provably irrelevant, skip. Missing column
     stats keep the file; float max-side comparisons keep the file (the
-    NaN contract in the module docstring); NULLs never satisfy a
-    comparison, so null counts don't block pruning."""
+    NaN contract in the module docstring). Null counts prune three
+    ways: ``is_null`` skips zero-null files, ``is_not_null`` skips
+    all-NULL files, and comparisons skip all-NULL files (NULL
+    satisfies no comparison)."""
     for col, op, value in predicates:
         cs = entry.get("cols", {}).get(col)
         if cs is None:
             continue
+        nulls = cs.get("nulls")
+        rows = entry.get("rows")
+        if op == "is_null":
+            if nulls == 0:
+                return False
+            continue
+        if op == "is_not_null":
+            if rows is not None and nulls == rows:
+                return False
+            continue
+        # comparisons: an all-NULL file satisfies none of them (and
+        # holds no NaN, so the float max-side caveat doesn't apply)
+        if rows is not None and nulls == rows:
+            return False
         tag = cs["t"]
+        if tag is None:
+            continue  # bound-less entry, rows unknown: can't prune
         lo, hi = _decode(tag, cs["lo"]), _decode(tag, cs["hi"])
         if op == "in":
             # equality against non-NaN literals is NaN-safe on both
@@ -272,7 +319,11 @@ def residual_filter(predicates):
     cond = F.lit(True)
     for col, op, value in preds:
         c = F.col(col)
-        if op == "in":
+        if op == "is_null":
+            cond = cond & c.isNull()
+        elif op == "is_not_null":
+            cond = cond & c.isNotNull()
+        elif op == "in":
             cond = cond & c.isin(list(value))
         elif op == "=":
             cond = cond & (c == F.lit(value))

@@ -358,7 +358,9 @@ def read_versioned(
     requested version is not retained.
 
     ``predicates`` — a list of ``(col, op, value)`` tuples, ANDed (ops:
-    ``= == < <= > >= in``) — turns the read into a DATA-SKIPPING scan:
+    ``= == < <= > >= in``, plus ``is_null`` / ``is_not_null`` with
+    ``value=None``, which prune on the sidecar's per-file null
+    counts) — turns the read into a DATA-SKIPPING scan:
     files whose sidecar min/max statistics (:mod:`..filestats`,
     collected at publish) prove they cannot match are never opened —
     whole-file skipping on top of parquet's row-group pruning, the

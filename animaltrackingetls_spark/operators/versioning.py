@@ -607,14 +607,26 @@ def _netted_logged_changes(spark, source_dir, from_version, to_version,
     insert-then-delete nets to a delete of an absent key (no-op).
     One churn-sized window shuffle over CHANGE ROWS ONLY — no snapshot
     scan, no diff join, no digest computation; payloads ride in the
-    change files so there is no fetch step either."""
+    change files so there is no fetch step either.
+
+    Within ONE commit, a deleted-and-reinserted key logs BOTH a delete
+    and an insert at the same ``_commit_seq`` (group commits classify
+    upserts against the post-delete base — ``inventory.py``'s GROUP
+    MERGE + DELETE path documents exactly this); the insert is the
+    key's final state, so the netting tie-break orders delete rows
+    LAST within a commit — commit sequence alone would break the tie
+    nondeterministically and could drop a live key (round-12 ADVICE
+    #1)."""
     from ..cdc import CHANGE_TYPE_COL, COMMIT_SEQ_COL, read_change_data
 
     feed = read_change_data(spark, source_dir, from_version, to_version,
                             versions=versions)
     post = feed.filter(F.col(CHANGE_TYPE_COL) != "update_preimage")
     jk = F.concat_ws(_SEP, *[_rendered(k) for k in key_cols])
-    w = Window.partitionBy(jk).orderBy(F.desc(COMMIT_SEQ_COL))
+    w = Window.partitionBy(jk).orderBy(
+        F.desc(COMMIT_SEQ_COL),
+        (F.col(CHANGE_TYPE_COL) == "delete").asc(),
+    )
     return (
         post.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -1159,6 +1171,7 @@ def maintain_aggregate_once(
     sum_cols: list[str] | None = None,
     app_id: str = "ivm",
     dest_keep_versions: int = 2,
+    minmax_cols: list[str] | None = None,
 ) -> dict:
     """Incremental MATERIALIZED-VIEW maintenance over the logged change
     feed (round 12): keep ``dest_dir`` equal to
@@ -1181,6 +1194,16 @@ def maintain_aggregate_once(
     the zero-group delete carry ``{app_id}#up`` / ``{app_id}#del``
     watermarks keyed on the source commit sequence; the cursor advances
     last, so a crash anywhere replays the window into watermark no-ops.
+    Unlike the pump's value-idempotent upserts, signed deltas are NOT
+    idempotent across DIFFERENT windows, so the poll persists its
+    planned ``to_version`` (``<cursor>.pending``, fsync'd) BEFORE
+    applying and a crashed poll's retry CLAMPS to that plan — without
+    the clamp, a source commit landing between crash and retry would
+    widen the window under a NEW (higher) txn_version, sail past the
+    watermark, and double-count the already-applied deltas (round-12
+    ADVICE #2). A plan whose endpoint was pruned before the retry
+    falls back to the full recompute (absolute values — correct no
+    matter what the crashed attempt applied).
     First poll (no cursor) BOOTSTRAPS with one full aggregate of the
     current snapshot. A window that is not fully logged (pre-pin hole,
     RESTORE, pruned intermediate) falls back to a full recompute of the
@@ -1194,6 +1217,25 @@ def maintain_aggregate_once(
     aggregate, which pure delta arithmetic cannot distinguish from
     zero; ``sum_<c>`` is NULLed exactly when ``n_<c>`` hits 0. NULL
     group keys form their own group, exactly like groupBy.
+
+    **min/max maintenance** (``minmax_cols``, round 13): min/max are
+    NOT delta-maintainable under deletes — removing the extremum
+    cannot be undone arithmetically (multiplicity is unknown). The
+    standard compromise: inserts tighten monotonically
+    (``least(old_min, batch_min)`` / ``greatest``), and a
+    delete/update_preimage that TOUCHES a group's current extremum
+    (or lands in a group the view doesn't hold yet) marks the group
+    for an AFFECTED-GROUP RESCAN — the source snapshot at the window's
+    end version, semi-joined to the rescan keys, re-aggregated.
+    Aggregation cost is O(affected groups' rows), never O(source);
+    with a single group column and a small rescan set, the read itself
+    is stats-pruned (``in``-predicate whole-file skipping), so the
+    scan cost drops with clustering too. Rescan rows are ABSOLUTE
+    (replay-safe by construction); delta rows stay behind the
+    watermark. Adds ``min_<c>, max_<c>`` per col to the view schema;
+    a view whose schema predates a newly requested aggregate column
+    falls back to one full recompute (``merge_schema``) and is
+    incremental again from the next poll.
 
     Returns ``{"applied": bool, "to_version": str, "groups_touched":
     n, "groups_deleted": n, "source": "bootstrap"|"logged"|
@@ -1209,10 +1251,14 @@ def maintain_aggregate_once(
     )
 
     sum_cols = list(sum_cols or [])
+    minmax_cols = list(minmax_cols or [])
     agg_exprs = [F.count(F.lit(1)).alias("n_rows")]
     for c in sum_cols:
         agg_exprs += [F.count(c).alias(f"n_{c}"),
                       F.sum(c).alias(f"sum_{c}")]
+    for c in minmax_cols:
+        agg_exprs += [F.min(c).alias(f"min_{c}"),
+                      F.max(c).alias(f"max_{c}")]
 
     def _full_view(version=None):
         return (
@@ -1220,23 +1266,96 @@ def maintain_aggregate_once(
             .groupBy(*group_cols).agg(*agg_exprs)
         )
 
-    seen, current, advance = _cursor_state(source_dir, cursor_file)
-    seq = int(current.split("-")[1])
-    if seen == current:
-        return {"applied": False, "to_version": current,
+    seen, current, _ = _cursor_state(source_dir, cursor_file)
+
+    # replay alignment (see docstring): a pending plan from a crashed
+    # poll pins THIS poll's window to what that poll already applied
+    import json
+    import uuid
+
+    from ..inventory import list_versions
+
+    pending_file = cursor_file + ".pending"
+    target = current
+    force_recompute = False
+    try:
+        with open(pending_file) as f:
+            pend = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        pend = None
+    if pend is not None and pend.get("seen") != seen:
+        # stale plan: some prior poll completed and advanced past it
+        try:
+            os.remove(pending_file)
+        except FileNotFoundError:
+            pass
+        pend = None
+    if pend is not None:
+        planned = pend.get("to")
+        if planned != current:
+            if planned in list_versions(source_dir):
+                target = planned
+            else:
+                # the planned endpoint was pruned between crash and
+                # retry: that exact window is unreplayable — recompute
+                force_recompute = True
+    seq = int(target.split("-")[1])
+
+    def plan() -> None:
+        tmp = f"{pending_file}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"seen": seen, "to": target}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, pending_file)
+
+    def advance() -> None:
+        tmp = f"{cursor_file}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            f.write(target)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, cursor_file)
+        try:
+            os.remove(pending_file)
+        except FileNotFoundError:
+            pass
+
+    if seen == target:
+        return {"applied": False, "to_version": target,
                 "groups_touched": 0, "groups_deleted": 0,
                 "source": "logged"}
 
-    if seen is None or not _window_fully_logged(source_dir, seen, current):
-        # bootstrap / hole fallback: one full aggregate of the CURRENT
+    if not force_recompute and seen is not None:
+        # view-schema evolution: a newly requested aggregate column
+        # has no maintained state — one recompute re-bases the view
+        expected = {"n_rows"}
+        expected |= {f"n_{c}" for c in sum_cols}
+        expected |= {f"sum_{c}" for c in sum_cols}
+        expected |= {f"min_{c}" for c in minmax_cols}
+        expected |= {f"max_{c}" for c in minmax_cols}
+        try:
+            vcols = set(read_versioned(spark, dest_dir).columns)
+            if not expected <= vcols:
+                force_recompute = True
+        except FileNotFoundError:
+            pass
+
+    if seen is None or force_recompute or not _window_fully_logged(
+        source_dir, seen, target
+    ):
+        # bootstrap / hole fallback: one full aggregate of the TARGET
         # snapshot replaces the view (stale groups must leave too — an
         # anti-join delete of dest keys absent from the recompute, in
-        # the same exactly-once pair)
-        view = _full_view(current).localCheckpoint()
+        # the same exactly-once pair). Planned first so a crashed
+        # bootstrap's retry recomputes the SAME pinned snapshot.
+        plan()
+        view = _full_view(target).localCheckpoint()
         upsert_parquet_versioned(
             spark, dest_dir, view, group_cols,
             keep_versions=dest_keep_versions,
             txn_app_id=f"{app_id}#up", txn_version=seq,
+            merge_schema=True,
         )
         n_deleted = 0
         try:
@@ -1259,18 +1378,21 @@ def maintain_aggregate_once(
                     txn_app_id=f"{app_id}#del", txn_version=seq,
                 )
         advance()
-        return {"applied": True, "to_version": current,
+        return {"applied": True, "to_version": target,
                 "groups_touched": view.count(),
                 "groups_deleted": n_deleted,
                 "source": "bootstrap" if seen is None else "recomputed"}
 
-    feed = read_change_data(spark, source_dir, seen, current)
+    plan()  # pin the window BEFORE the non-idempotent delta apply
+    feed = read_change_data(spark, source_dir, seen, target)
     touched, n_del = _apply_aggregate_delta(
         spark, dest_dir, feed, group_cols, sum_cols,
         app_id=app_id, seq=seq, keep_versions=dest_keep_versions,
+        minmax_cols=minmax_cols, source_dir=source_dir,
+        source_version=target,
     )
     advance()
-    return {"applied": True, "to_version": current,
+    return {"applied": True, "to_version": target,
             "groups_touched": touched, "groups_deleted": n_del,
             "source": "logged"}
 
@@ -1284,6 +1406,9 @@ def _apply_aggregate_delta(
     app_id: str,
     seq: int,
     keep_versions: int,
+    minmax_cols: list[str] | None = None,
+    source_dir: str | None = None,
+    source_version: str | None = None,
 ) -> tuple[int, int]:
     """Apply one window of change rows to the materialized aggregate
     as SIGNED DELTAS (see :func:`maintain_aggregate_once` for the
@@ -1292,8 +1417,17 @@ def _apply_aggregate_delta(
     the streaming runner (foreachBatch, seq = batch id). A missing
     view table means "build from the deltas alone": a stream from
     ``earliest`` constructs the view out of nothing but the creation
-    commit's logged inserts. Returns ``(groups_touched,
-    groups_deleted)``."""
+    commit's logged inserts.
+
+    ``minmax_cols`` (round 13): inserts tighten ``min_<c>/max_<c>``
+    monotonically; a delete whose value touches the group's current
+    extremum (or hits a group with no maintained state) flags the
+    group for an affected-group rescan against
+    ``read_versioned(source_dir, source_version)`` — the window-end
+    snapshot, so rescanned rows are absolute and replay-safe. With one
+    group column and ≤``_RESCAN_IN_MAX`` flagged groups the rescan
+    read pushes an ``in`` predicate for stats-based whole-file
+    skipping. Returns ``(groups_touched, groups_deleted)``."""
     from ..cdc import CHANGE_TYPE_COL
     from ..inventory import (
         _null_safe_cond,
@@ -1302,13 +1436,15 @@ def _apply_aggregate_delta(
         upsert_parquet_versioned,
     )
 
+    minmax_cols = list(minmax_cols or [])
     sign = F.when(
         F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"),
         F.lit(1),
     ).otherwise(F.lit(-1))
+    val_cols = list(dict.fromkeys([*sum_cols, *minmax_cols]))
     signed = feed.select(
         *group_cols, sign.alias("_sign"),
-        *[F.col(c).alias(f"_v_{c}") for c in sum_cols],
+        *[F.col(c).alias(f"_v_{c}") for c in val_cols],
     )
     delta_aggs = [F.sum("_sign").alias("_d_n")]
     for c in sum_cols:
@@ -1319,6 +1455,20 @@ def _apply_aggregate_delta(
             ).alias(f"_d_n_{c}"),
             F.sum(F.col("_sign") * F.col(f"_v_{c}")).alias(f"_d_{c}"),
         ]
+    ins_v = lambda c: F.when(F.col("_sign") == 1, F.col(f"_v_{c}"))  # noqa: E731
+    del_v = lambda c: F.when(F.col("_sign") == -1, F.col(f"_v_{c}"))  # noqa: E731
+    for c in minmax_cols:
+        delta_aggs += [
+            F.min(ins_v(c)).alias(f"_i_min_{c}"),
+            F.max(ins_v(c)).alias(f"_i_max_{c}"),
+            F.min(del_v(c)).alias(f"_x_min_{c}"),
+            F.max(del_v(c)).alias(f"_x_max_{c}"),
+        ]
+    if minmax_cols:
+        delta_aggs.append(
+            F.sum(F.when(F.col("_sign") == -1, 1).otherwise(0))
+            .alias("_n_del")
+        )
     delta = signed.groupBy(*group_cols).agg(
         *delta_aggs
     ).localCheckpoint()  # churn-sized; read by the merge + counts
@@ -1334,8 +1484,11 @@ def _apply_aggregate_delta(
         for c in sum_cols:
             agg_exprs += [F.count(f"_v_{c}").alias(f"n_{c}"),
                           F.sum(f"_v_{c}").alias(f"sum_{c}")]
+        for c in minmax_cols:
+            agg_exprs += [F.min(f"_v_{c}").alias(f"min_{c}"),
+                          F.max(f"_v_{c}").alias(f"max_{c}")]
         renamed = signed.select(
-            *group_cols, *[F.col(f"_v_{c}") for c in sum_cols]
+            *group_cols, *[F.col(f"_v_{c}") for c in val_cols]
         )
         cur_view = spark.createDataFrame(
             [], renamed.limit(0).groupBy(*group_cols).agg(*agg_exprs)
@@ -1375,10 +1528,56 @@ def _apply_aggregate_delta(
             # sum over zero non-null values is NULL, as in the full agg
             F.when(nn > 0, total).otherwise(F.lit(None)).alias(f"sum_{c}"),
         ]
-    out = merged.select(*key_out, new_n, *new_sums).localCheckpoint()
-    survivors = out.filter(F.col("n_rows") > 0)
-    doomed = out.filter(F.col("n_rows") <= 0).select(*group_cols)
-    # one counting job for the whole poll (touched + doomed together);
+    new_mm = []
+    rescan_cond = F.lit(False)
+    for c in minmax_cols:
+        # inserts only tighten (least/greatest skip NULLs in Spark)
+        new_mm += [
+            F.least(F.col(f"a.min_{c}"), F.col(f"d._i_min_{c}"))
+            .alias(f"min_{c}"),
+            F.greatest(F.col(f"a.max_{c}"), F.col(f"d._i_max_{c}"))
+            .alias(f"max_{c}"),
+        ]
+        xmin, xmax = F.col(f"d._x_min_{c}"), F.col(f"d._x_max_{c}")
+        # a delete of a non-NULL value forces a rescan when it may
+        # carry the extremum: at/below min, at/above max, or the view
+        # holds no bound for the column (prior all-NULL group, or an
+        # in-window insert-then-delete the tighten path can't undo)
+        rescan_cond = rescan_cond | (
+            xmin.isNotNull() & (
+                F.col(f"a.min_{c}").isNull()
+                | (xmin <= F.col(f"a.min_{c}"))
+                | (xmax >= F.col(f"a.max_{c}"))
+            )
+        )
+    if minmax_cols:
+        # brand-new group (no view row) whose window already contains
+        # deletes: the tighten path can't tell which inserts survived
+        rescan_cond = rescan_cond | (
+            F.col("a.n_rows").isNull() & (F.col("d._n_del") > 0)
+        )
+    out = merged.select(
+        *key_out, new_n, *new_sums, *new_mm,
+        rescan_cond.alias("_rescan"),
+    ).localCheckpoint()
+
+    rescan_keys = None
+    rescanned = None
+    if minmax_cols:
+        rescan_keys = out.filter(F.col("_rescan")).select(*group_cols)
+        if rescan_keys.isEmpty():
+            rescan_keys = None
+        else:
+            rescanned = _rescan_groups(
+                spark, source_dir, source_version, rescan_keys,
+                group_cols, sum_cols, minmax_cols,
+            ).localCheckpoint()
+    if rescan_keys is None:
+        out = out.drop("_rescan")
+    else:
+        out = out.filter(~F.col("_rescan")).drop("_rescan")
+
+    # one counting job for the delta side (touched + doomed together);
     # the poll should stay a handful of Spark jobs — its value is
     # bytes-read, its local wall is fixed-cost-bound (SCALING.md)
     stats = out.agg(
@@ -1386,18 +1585,48 @@ def _apply_aggregate_delta(
         F.sum((F.col("n_rows") <= 0).cast("int")).alias("d"),
     ).first()
     touched, n_del = int(stats["t"]), int(stats["d"] or 0)
+    survivors = out.filter(F.col("n_rows") > 0)
+    doomed = out.filter(F.col("n_rows") <= 0).select(*group_cols)
+    # cast back to the view's types (coalesce(…, lit(0)) can widen);
+    # the bootstrap aggregate defines the contract
+    tgt = {f.name: f.dataType.simpleString()
+           for f in cur_view.schema.fields}
+    wanted = [f"min_{c}" for c in minmax_cols] + \
+        [f"max_{c}" for c in minmax_cols]
+    if any(w not in tgt for w in wanted):
+        raise ValueError(
+            f"view {dest_dir!r} predates minmax_cols={minmax_cols} — "
+            "rebuild it (the polling maintain_aggregate_once recomputes "
+            "automatically; a stream needs a fresh view + checkpoint)"
+        )
+    casts = [F.col("n_rows").cast(tgt["n_rows"]).alias("n_rows")]
+    for c in sum_cols:
+        casts += [
+            F.col(f"n_{c}").cast(tgt[f"n_{c}"]).alias(f"n_{c}"),
+            F.col(f"sum_{c}").cast(tgt[f"sum_{c}"]).alias(f"sum_{c}"),
+        ]
+    for c in minmax_cols:
+        casts += [
+            F.col(f"min_{c}").cast(tgt[f"min_{c}"]).alias(f"min_{c}"),
+            F.col(f"max_{c}").cast(tgt[f"max_{c}"]).alias(f"max_{c}"),
+        ]
+    survivors = survivors.select(*group_cols, *casts)
+    if rescanned is not None:
+        # rescan rows are absolute truth at the window end; a flagged
+        # group with zero surviving rows is simply absent — delete it
+        survivors = survivors.unionByName(
+            rescanned.select(*group_cols, *casts)
+        )
+        gone = rescan_keys.join(
+            rescanned.select(*group_cols),
+            on=_null_safe_cond(rescan_keys, rescanned, group_cols),
+            how="left_anti",
+        )
+        doomed = doomed.unionByName(gone)
+        r_stats = rescanned.count(), gone.count()
+        touched += int(r_stats[0]) + int(r_stats[1])
+        n_del += int(r_stats[1])
     if touched - n_del > 0:
-        # cast sums back to the view's types (coalesce(… , lit(0))
-        # can widen); the bootstrap aggregate defines the contract
-        tgt = {f.name: f.dataType.simpleString()
-               for f in cur_view.schema.fields}
-        casts = [F.col("n_rows").cast(tgt["n_rows"]).alias("n_rows")]
-        for c in sum_cols:
-            casts += [
-                F.col(f"n_{c}").cast(tgt[f"n_{c}"]).alias(f"n_{c}"),
-                F.col(f"sum_{c}").cast(tgt[f"sum_{c}"]).alias(f"sum_{c}"),
-            ]
-        survivors = survivors.select(*group_cols, *casts)
         upsert_parquet_versioned(
             spark, dest_dir, survivors, group_cols,
             keep_versions=keep_versions, cow=True,
@@ -1410,6 +1639,51 @@ def _apply_aggregate_delta(
             txn_app_id=f"{app_id}#del", txn_version=seq,
         )
     return touched, n_del
+
+
+#: rescan sets at or under this size push an ``in`` predicate into the
+#: snapshot read (whole-file stats skipping); larger sets semi-join.
+_RESCAN_IN_MAX = 256
+
+
+def _rescan_groups(spark, source_dir, source_version, rescan_keys,
+                   group_cols, sum_cols, minmax_cols):
+    """Recompute the FULL aggregate row for the flagged groups from
+    the window-end snapshot: O(affected groups' rows) aggregation, a
+    stats-pruned read when the flagged set is small and single-column.
+    Requires ``source_dir``/``source_version`` (the polling form pins
+    the poll target; the streaming form pins the batch's last commit
+    version)."""
+    from ..inventory import _null_safe_cond, read_versioned
+
+    if source_dir is None or source_version is None:
+        raise ValueError(
+            "minmax_cols maintenance needs source_dir/source_version "
+            "for the affected-group rescan"
+        )
+    preds = None
+    if len(group_cols) == 1:
+        vals = [r[0] for r in rescan_keys.limit(_RESCAN_IN_MAX + 1)
+                .collect()]
+        if len(vals) <= _RESCAN_IN_MAX and all(
+            v is not None for v in vals
+        ):
+            preds = [(group_cols[0], "in", vals)]
+    snap = read_versioned(spark, source_dir, source_version,
+                          predicates=preds)
+    rows = snap.join(
+        F.broadcast(rescan_keys),
+        on=_null_safe_cond(snap, rescan_keys, group_cols),
+        how="left_semi",
+    )
+    agg_exprs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in sum_cols:
+        agg_exprs += [F.count(c).alias(f"n_{c}"),
+                      F.sum(c).alias(f"sum_{c}")]
+    for c in minmax_cols:
+        agg_exprs += [F.min(c).alias(f"min_{c}"),
+                      F.max(c).alias(f"max_{c}")]
+    return rows.groupBy(*group_cols).agg(*agg_exprs)
 
 
 def run_cdc_pump(

@@ -734,7 +734,7 @@ def running_user_totals_tws(
     Runtime requirement (environment-bound, like the JDBC driver jar):
     the TWS Python state server needs the ``protobuf`` wheel, absent in
     this container (pip offline) — the parity test skips with that
-    reason. Re-verified round 11 (``import google.protobuf`` still
+    reason. Re-verified round 13 (``import google.protobuf`` still
     ModuleNotFoundError; rocksdbjni-9.8.4 still present). Re-attempted
     round 10: the RocksDB side is NOT a blocker
     anymore (rocksdbjni-9.8.4 ships in pyspark/jars and the
@@ -1232,7 +1232,14 @@ def run_changes_replication(
         s = batch_df.sparkSession
         post = batch_df.filter(F.col(CHANGE_TYPE_COL) != "update_preimage")
         jk = F.concat_ws(_SEP, *[_rendered(k) for k in key_cols])
-        w = Window.partitionBy(jk).orderBy(F.desc(COMMIT_SEQ_COL))
+        # delete rows lose a same-commit tie: a deleted-and-reinserted
+        # key logs delete + insert at one _commit_seq and the insert is
+        # its final state (same tie-break as _netted_logged_changes;
+        # round-12 ADVICE #1)
+        w = Window.partitionBy(jk).orderBy(
+            F.desc(COMMIT_SEQ_COL),
+            (F.col(CHANGE_TYPE_COL) == "delete").asc(),
+        )
         netted = (
             post.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -1288,6 +1295,7 @@ def run_aggregate_maintenance(
     starting: str | int = "earliest",
     dest_keep_versions: int = 2,
     timeout_seconds: int = 180,
+    minmax_cols: list[str] | None = None,
 ) -> None:
     """Materialized-view maintenance as ONE Structured Streaming query
     (round 12): the CDC-pinned source's change feed streams in through
@@ -1305,20 +1313,39 @@ def run_aggregate_maintenance(
     :func:`run_changes_replication`. Holes (RESTORE, pre-pin commits)
     fail the stream by default — views cannot skip deltas; fall back to
     the polling form, whose hole path is a full recompute. AvailableNow
-    drain semantics as everywhere."""
-    from animaltrackingetls_spark.cdc import read_changes_stream
+    drain semantics as everywhere.
+
+    ``minmax_cols`` (round 13): same tighten-or-rescan protocol as the
+    polling form; the affected-group rescan pins the snapshot at the
+    BATCH'S LAST COMMIT VERSION (read off the batch's
+    ``_commit_version`` rows — rescanning CURRENT would leak future
+    commits into the view and double-count when their deltas arrive),
+    so source retention must cover the stream's lag."""
+    from animaltrackingetls_spark.cdc import (
+        COMMIT_SEQ_COL,
+        COMMIT_VERSION_COL,
+        read_changes_stream,
+    )
     from animaltrackingetls_spark.operators.versioning import (
         _apply_aggregate_delta,
     )
 
     scols = list(sum_cols or [])
+    mmcols = list(minmax_cols or [])
     stream = read_changes_stream(spark, source_dir, starting=starting)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        src_version = None
+        if mmcols:
+            src_version = batch_df.agg(
+                F.max_by(COMMIT_VERSION_COL, COMMIT_SEQ_COL)
+            ).first()[0]
         _apply_aggregate_delta(
             batch_df.sparkSession, view_dir, batch_df, group_cols,
             scols, app_id=app_id, seq=batch_id,
             keep_versions=dest_keep_versions,
+            minmax_cols=mmcols, source_dir=source_dir,
+            source_version=src_version,
         )
 
     q = (

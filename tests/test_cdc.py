@@ -937,3 +937,363 @@ def test_stream_starting_explicit_seq(spark, tmp_path, base_batches):
     assert sorted(
         r[0] for r in got.select(COMMIT_SEQ_COL).distinct().collect()
     ) == [2]
+
+
+def test_netting_delete_reinsert_same_commit(spark, tmp_path):
+    """Round-12 ADVICE #1: a group commit logs BOTH a delete and an
+    insert for a deleted-and-reinserted key at ONE _commit_seq (upsert
+    classification runs against the post-delete base). The netting
+    tie-break must pick the INSERT as the key's final state — commit
+    sequence alone breaks the tie nondeterministically and can drop a
+    live key at the destination."""
+    from animaltrackingetls_spark.inventory import (
+        read_versioned_group,
+        upsert_group_versioned,
+    )
+    from animaltrackingetls_spark.operators.versioning import (
+        _netted_logged_changes,
+        pump_group_changes_once,
+    )
+
+    sg, dg = str(tmp_path / "sg"), str(tmp_path / "dg")
+    cur = str(tmp_path / "cur")
+    resolve_cdc(os.path.join(sg, "docs"), True)
+    keys = {"docs": ["k"]}
+    # many keys so a lucky nondeterministic tie can't mask the bug
+    ks = list(range(8))
+    upsert_group_versioned(spark, sg, {
+        "docs": (spark.createDataFrame(
+            [(k, "old") for k in ks], "k int, v string"), ["k"]),
+    }, keep_versions=10)
+    r = pump_group_changes_once(spark, sg, dg, cur, keys)
+    assert r["tables"]["docs"]["bootstrapped"]
+
+    # ONE group commit: delete every key AND reinsert it with a new
+    # value -> the change log holds delete + insert per key, same seq
+    upsert_group_versioned(spark, sg, {
+        "docs": (spark.createDataFrame(
+            [(k, "new") for k in ks], "k int, v string"), ["k"]),
+    }, keep_versions=10,
+        deletes={"docs": spark.createDataFrame(
+            [(k,) for k in ks], "k int")})
+
+    # the netted feed itself: every key's final state is the insert
+    import json as _json
+
+    with open(os.path.join(sg, "_CURRENT_GROUP")) as f:
+        hist = _json.load(f)["history"]["docs"]
+    netted = _netted_logged_changes(
+        spark, os.path.join(sg, "docs"), hist[-2], hist[-1], ["k"],
+        versions=hist,
+    )
+    got = {(r.k, r[CHANGE_TYPE_COL]) for r in netted.collect()}
+    assert got == {(k, "insert") for k in ks}
+
+    # and end to end through the group pump's logged fast path
+    r = pump_group_changes_once(spark, sg, dg, cur, keys)
+    assert r["tables"]["docs"]["source"] == "logged"
+    dest = {(row.k, row.v)
+            for row in read_versioned_group(spark, dg, "docs").collect()}
+    assert dest == {(k, "new") for k in ks}
+
+
+def test_ivm_replay_after_crash_with_new_commit(spark, tmp_path,
+                                                monkeypatch):
+    """Round-12 ADVICE #2: signed deltas are not idempotent across
+    DIFFERENT windows. A poll that crashes after applying but before
+    advancing, followed by a NEW source commit, must NOT widen the
+    retry window past what was applied (that would re-apply the old
+    deltas under a higher txn_version and double-count). The pending
+    plan clamps the retry to the crashed poll's exact window."""
+    from animaltrackingetls_spark.operators import versioning as V
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    cur = str(tmp_path / "cursor")
+
+    def up(rows):
+        upsert_parquet_versioned(
+            spark, src, spark.createDataFrame(rows, "k long, g string, x double"),
+            ["k"], keep_versions=10, write_change_data=True, cow=True,
+        )
+
+    def full():
+        return _rows(
+            read_versioned(spark, src).groupBy("g").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("x").alias("n_x"),
+                F.sum("x").alias("sum_x"),
+            ), "g", "n_rows", "n_x", "sum_x")
+
+    def materialized():
+        return _rows(read_versioned(spark, view),
+                     "g", "n_rows", "n_x", "sum_x")
+
+    up([(1, "a", 1.0), (2, "a", 2.0), (3, "b", 4.0)])
+    assert V.maintain_aggregate_once(
+        spark, src, view, cur, ["g"], sum_cols=["x"],
+    )["source"] == "bootstrap"
+
+    # a delta commit, then a poll that CRASHES after applying it
+    up([(4, "a", 8.0)])
+    real_apply = V._apply_aggregate_delta
+
+    def crash_after_apply(*a, **kw):
+        out = real_apply(*a, **kw)
+        raise RuntimeError("simulated crash before advance()")
+
+    monkeypatch.setattr(V, "_apply_aggregate_delta", crash_after_apply)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        V.maintain_aggregate_once(spark, src, view, cur, ["g"],
+                                  sum_cols=["x"])
+    monkeypatch.setattr(V, "_apply_aggregate_delta", real_apply)
+    assert os.path.exists(cur + ".pending")
+
+    # the source moves on BEFORE the retry
+    up([(5, "b", 16.0)])
+
+    # retry: clamped to the crashed poll's window (watermark no-op),
+    # then a second poll applies the genuinely-new commit
+    r1 = V.maintain_aggregate_once(spark, src, view, cur, ["g"],
+                                   sum_cols=["x"])
+    assert r1["applied"] and r1["source"] == "logged"
+    r2 = V.maintain_aggregate_once(spark, src, view, cur, ["g"],
+                                   sum_cols=["x"])
+    assert r2["applied"] and r2["source"] == "logged"
+    assert not os.path.exists(cur + ".pending")
+    assert materialized() == full()  # no double-counted sum_a
+
+    # idle poll stays idle
+    assert not V.maintain_aggregate_once(
+        spark, src, view, cur, ["g"], sum_cols=["x"])["applied"]
+
+
+def test_read_change_data_empty_window_without_current(spark, tmp_path):
+    """Round-12 ADVICE #3: the empty-window typed fallback must not
+    need a _CURRENT pointer — group-member dirs publish through the
+    group pointer and have none. A window whose commits all logged
+    empty change sets returns an empty, correctly-typed frame."""
+    tdir = str(tmp_path / "t")
+    for k in (1, 2, 3):
+        upsert_parquet_versioned(
+            spark, tdir,
+            spark.createDataFrame([(k, "a", 1.0)],
+                                  "k int, v string, x double"),
+            ["k"], keep_versions=10, write_change_data=True, cow=True,
+        )
+    v1 = list_versions(tdir)[-1]
+    rep = compact_versioned(spark, tdir, keep_versions=10)
+    assert rep["compacted"]
+    v2 = list_versions(tdir)[-1]
+    assert change_log(tdir, v2) == []  # provably-empty logged commit
+    vs = list_versions(tdir)
+    os.remove(os.path.join(tdir, "_CURRENT"))  # now a member-like dir
+
+    feed = read_change_data(spark, tdir, v1, v2, versions=vs)
+    assert feed.count() == 0
+    cols = set(feed.columns)
+    assert {"k", "v", "x", CHANGE_TYPE_COL, COMMIT_SEQ_COL,
+            "_commit_version"} <= cols
+
+
+def test_ivm_minmax_maintenance(spark, tmp_path):
+    """Round-13: min/max in the maintained view. Inserts tighten
+    monotonically; a delete touching a group's extremum triggers the
+    affected-group rescan. The view is pinned EQUAL to the full
+    groupBy recompute through: extremum deletion, DUPLICATE extrema
+    (deleting one copy must keep the other), interior deletes (no
+    rescan needed), group moves, all-NULL columns, in-window
+    insert-then-delete on a brand-new group, crash replay, and
+    view-schema evolution (minmax added to an existing view)."""
+    from animaltrackingetls_spark.operators.versioning import (
+        maintain_aggregate_once,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    cur = str(tmp_path / "cursor")
+    schema = "k long, g string, x double"
+
+    def up(rows):
+        upsert_parquet_versioned(
+            spark, src, spark.createDataFrame(rows, schema), ["k"],
+            keep_versions=20, write_change_data=True, cow=True,
+        )
+
+    def dele(ks):
+        delete_versioned(spark, src, spark.createDataFrame(
+            [(k,) for k in ks], "k long"), ["k"], keep_versions=20,
+            cow=True)
+
+    def full():
+        return _rows(
+            read_versioned(spark, src).groupBy("g").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("x").alias("n_x"),
+                F.sum("x").alias("sum_x"),
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+            ), "g", "n_rows", "n_x", "sum_x", "min_x", "max_x")
+
+    def materialized():
+        return _rows(read_versioned(spark, view),
+                     "g", "n_rows", "n_x", "sum_x", "min_x", "max_x")
+
+    def poll():
+        return maintain_aggregate_once(
+            spark, src, view, cur, ["g"], sum_cols=["x"],
+            minmax_cols=["x"],
+        )
+
+    # bootstrap: duplicates at the extremum (k=1,2 both x=1.0),
+    # all-NULL group 'z', NULL group key
+    up([(1, "a", 1.0), (2, "a", 1.0), (3, "a", 5.0), (4, "b", 7.0),
+        (5, None, 3.0), (6, "z", None)])
+    assert poll()["source"] == "bootstrap"
+    assert materialized() == full()
+
+    # pure-insert tighten: new max for 'a', new min for 'b'
+    up([(7, "a", 9.0), (8, "b", 2.0)])
+    r = poll()
+    assert r["source"] == "logged" and r["applied"]
+    assert materialized() == full()
+
+    # delete ONE duplicate of the min (k=1): rescan keeps min=1.0
+    dele([1])
+    poll()
+    assert materialized() == full()
+    got = {row.g: (row.min_x, row.max_x)
+           for row in read_versioned(spark, view).collect()
+           if row.g == "a"}
+    assert got["a"] == (1.0, 9.0)
+
+    # delete the true max of 'a' (k=7, x=9.0): rescan finds 5.0
+    dele([7])
+    poll()
+    assert materialized() == full()
+
+    # interior delete (k=3, x=5.0 is now the max — so delete k=2
+    # first to get an interior value...): delete x=1.0 when min is
+    # also 1.0 -> extremum touch; then insert interior and delete it
+    up([(9, "a", 3.0)])
+    poll()
+    dele([9])  # 3.0 interior? min=1.0 max=5.0 -> interior, no rescan
+    poll()
+    assert materialized() == full()
+
+    # group move: k=4 moves b->a (delete pre, insert post)
+    up([(4, "a", 7.0)])
+    poll()
+    assert materialized() == full()
+    # 'b' now holds only k=8 (x=2.0)
+
+    # in-window insert-then-delete on a BRAND-NEW group: two commits
+    # in one poll window
+    up([(20, "q", 11.0), (21, "q", 13.0)])
+    dele([21])
+    poll()
+    assert materialized() == full()
+
+    # empty a group entirely -> its row leaves the view
+    dele([8])
+    r = poll()
+    assert materialized() == full()
+    assert "b" not in {row.g for row in
+                       read_versioned(spark, view).collect()}
+
+    # crash replay: cursor rolled back, re-poll converges identically
+    with open(cur) as f:
+        before = f.read()
+    up([(30, "a", 0.5)])  # new min via insert
+    poll()
+    with open(cur, "w") as f:
+        f.write(before)
+    poll()
+    assert materialized() == full()
+
+    # NULL-valued deletes never rescan or disturb min/max
+    up([(31, "z", None)])
+    poll()
+    dele([31])
+    poll()
+    assert materialized() == full()
+
+
+def test_ivm_minmax_view_schema_evolution(spark, tmp_path):
+    """A count/sum-only view later polled with minmax_cols: one
+    recompute re-bases the schema, then incremental again."""
+    from animaltrackingetls_spark.operators.versioning import (
+        maintain_aggregate_once,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    cur = str(tmp_path / "cursor")
+
+    def up(rows):
+        upsert_parquet_versioned(
+            spark, src, spark.createDataFrame(rows, "k long, g string, x double"),
+            ["k"], keep_versions=10, write_change_data=True, cow=True,
+        )
+
+    up([(1, "a", 1.0), (2, "b", 2.0)])
+    maintain_aggregate_once(spark, src, view, cur, ["g"], sum_cols=["x"])
+    assert "min_x" not in read_versioned(spark, view).columns
+
+    up([(3, "a", 3.0)])
+    r = maintain_aggregate_once(spark, src, view, cur, ["g"],
+                                sum_cols=["x"], minmax_cols=["x"])
+    assert r["source"] == "recomputed"
+    got = _rows(read_versioned(spark, view),
+                "g", "n_rows", "n_x", "sum_x", "min_x", "max_x")
+    want = _rows(
+        read_versioned(spark, src).groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("x").alias("n_x"),
+            F.sum("x").alias("sum_x"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+        ), "g", "n_rows", "n_x", "sum_x", "min_x", "max_x")
+    assert got == want
+
+    # and the NEXT poll is logged-incremental again
+    up([(4, "c", 4.0)])
+    r = maintain_aggregate_once(spark, src, view, cur, ["g"],
+                                sum_cols=["x"], minmax_cols=["x"])
+    assert r["source"] == "logged"
+
+
+def test_streaming_view_maintenance_minmax(spark, tmp_path):
+    """The streaming runner with minmax_cols: rescans pin at the
+    batch's last commit version; the drained view equals the full
+    recompute including an extremum deletion."""
+    from animaltrackingetls_spark.streaming.jobs import (
+        run_aggregate_maintenance,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    ck = str(tmp_path / "ck")
+    resolve_cdc(src, True)
+
+    def up(rows):
+        upsert_parquet_versioned(
+            spark, src, spark.createDataFrame(rows, "k long, g string, x double"),
+            ["k"], keep_versions=20, cow=True,
+        )
+
+    up([(1, "a", 1.0), (2, "a", 9.0), (3, "b", 4.0)])
+    up([(4, "a", 5.0)])
+    delete_versioned(spark, src, spark.createDataFrame(
+        [(2,)], "k long"), ["k"], keep_versions=20, cow=True)  # max gone
+    run_aggregate_maintenance(
+        spark, src, view, ck, ["g"], sum_cols=["x"],
+        minmax_cols=["x"],
+    )
+    got = _rows(read_versioned(spark, view),
+                "g", "n_rows", "n_x", "sum_x", "min_x", "max_x")
+    want = _rows(
+        read_versioned(spark, src).groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("x").alias("n_x"),
+            F.sum("x").alias("sum_x"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+        ), "g", "n_rows", "n_x", "sum_x", "min_x", "max_x")
+    assert got == want

@@ -540,3 +540,89 @@ def test_cow_manifest_vacuum_reference_counting(spark, tmp_path):
     # vacuum with history trim to 1 must ALSO keep referenced files
     inv.vacuum_versioned(t, grace_seconds=0, keep_versions=1)
     assert inv.read_versioned(spark, t).count() == 20_000
+
+
+# ---------------------------------------------------------------------------
+# null-count pruning (round-13: IS NULL / IS NOT NULL / all-NULL files)
+# ---------------------------------------------------------------------------
+
+
+def test_keep_file_null_count_semantics():
+    e = {"rows": 100, "cols": {
+        "full": {"t": "i", "lo": 1, "hi": 9, "nulls": 0},
+        "some": {"t": "i", "lo": 1, "hi": 9, "nulls": 40},
+        "all_null": {"t": None, "lo": None, "hi": None, "nulls": 100},
+    }}
+    keep = lambda *p: fs.keep_file(e, fs._check_predicates(list(p)))
+    # IS NULL: zero-null file is provably irrelevant
+    assert not keep(("full", "is_null", None))
+    assert keep(("some", "is_null", None))
+    assert keep(("all_null", "is_null", None))
+    # IS NOT NULL: all-NULL file is provably irrelevant
+    assert keep(("full", "is_not_null", None))
+    assert keep(("some", "is_not_null", None))
+    assert not keep(("all_null", "is_not_null", None))
+    # comparisons skip an all-NULL file outright
+    assert not keep(("all_null", "=", 5))
+    assert not keep(("all_null", "<", 5))
+    assert not keep(("all_null", "in", [1, 2]))
+    # missing column stats never prune
+    assert keep(("missing", "is_null", None))
+    assert keep(("missing", "is_not_null", None))
+    # legacy sidecars without a rows field: null ops fall back safely
+    legacy = {"cols": {"c": {"t": "i", "lo": 1, "hi": 2, "nulls": 2}}}
+    assert fs.keep_file(legacy, fs._check_predicates(
+        [("c", "is_not_null", None)]))
+    with pytest.raises(ValueError, match="takes value=None"):
+        keep(("full", "is_null", 1))
+
+
+def test_file_entry_all_null_column(spark, tmp_path):
+    p = str(tmp_path / "allnull")
+    spark.createDataFrame(
+        [(1, None), (2, None)], "k long, v string"
+    ).coalesce(1).write.parquet(p)
+    f = [os.path.join(p, x) for x in os.listdir(p)
+         if x.startswith("part-")][0]
+    e = fs.file_entry(f)
+    # the all-NULL column keeps a bound-less entry with its null count
+    assert e["cols"]["v"] == {"t": None, "lo": None, "hi": None,
+                              "nulls": 2}
+    assert e["cols"]["k"]["nulls"] == 0
+
+
+def test_null_pruned_reads_exact_and_fewer_files(spark, tmp_path):
+    """A sparse column (non-NULL only in a narrow key range) after
+    clustering: IS NOT NULL opens a fraction of the files, IS NULL
+    skips the dense files, and both pruned reads equal their unpruned
+    twins exactly."""
+    t = str(tmp_path / "sparse")
+    df = spark.range(0, 60_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 20_000, F.col("id").cast("double"))
+        .alias("x"),  # non-NULL in the low third only
+    )
+    inv.upsert_parquet_versioned(spark, t, df, ["k"], target_files=6)
+    inv.optimize_versioned(spark, t, ["k"], target_bytes=60_000)
+
+    kept_nn, total = inv.files_scanned(
+        t, predicates=[("x", "is_not_null", None)])
+    assert total >= 4 and kept_nn < total  # all-NULL files skipped
+
+    pruned = inv.read_versioned(
+        spark, t, predicates=[("x", "is_not_null", None)])
+    full = inv.read_versioned(spark, t).filter(F.col("x").isNotNull())
+    assert pruned.exceptAll(full).isEmpty()
+    assert full.exceptAll(pruned).isEmpty()
+    assert pruned.count() == 20_000
+
+    kept_n, _ = inv.files_scanned(t, predicates=[("x", "is_null", None)])
+    assert kept_n < total  # zero-null (fully populated) files skipped
+    got_null = inv.read_versioned(
+        spark, t, predicates=[("x", "is_null", None)])
+    assert got_null.count() == 40_000
+
+    # conjunction with a comparison still exact
+    both = inv.read_versioned(
+        spark, t, predicates=[("x", "is_not_null", None), ("k", "<", 100)])
+    assert both.count() == 100
