@@ -74,6 +74,7 @@ _PIN = "_cdc_enabled.json"
 CHANGE_TYPE_COL = "_change_type"
 COMMIT_SEQ_COL = "_commit_seq"
 COMMIT_VERSION_COL = "_commit_version"
+CHANGE_PATH_COL = "_cf_path"  # paths-transport stream: file per row
 
 INSERT = "insert"
 UPDATE_PRE = "update_preimage"
@@ -386,11 +387,18 @@ def read_change_data(
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
-    # empty window: a stable, correctly-typed empty frame. Typed from
-    # the newest logged change file, else the newest snapshot resolved
-    # through the PASSED version list — never read_versioned, whose
-    # _CURRENT lookup group-member table dirs don't have (they publish
-    # through the group pointer; round-12 ADVICE #3).
+    # empty window: a stable, correctly-typed empty frame
+    return _empty_changes_frame(spark, table_dir, versions)
+
+
+def _empty_changes_frame(
+    spark: SparkSession, table_dir: str, versions: list[str]
+) -> DataFrame:
+    """A zero-row frame with the logged feed's schema. Typed from the
+    newest logged change file, else the newest snapshot resolved
+    through the PASSED version list — never read_versioned, whose
+    _CURRENT lookup group-member table dirs don't have (they publish
+    through the group pointer; round-12 ADVICE #3)."""
     from .inventory import _snapshot_files
 
     for v in reversed(versions):
@@ -496,6 +504,11 @@ def _stream_reader_cls():
                     f"onMissing must be fail|skip, got {self._on_missing!r}"
                 )
             self._starting = options.get("startingversion", "latest")
+            self._mode = options.get("mode", "rows")
+            if self._mode not in ("rows", "paths"):
+                raise ValueError(
+                    f"mode must be rows|paths, got {self._mode!r}"
+                )
             limit = options.get("maxcommitspertrigger")
             self._max_commits = int(limit) if limit else None
             if self._max_commits is not None and self._max_commits < 1:
@@ -592,6 +605,23 @@ def _stream_reader_cls():
 
             from pyspark.sql.pandas.types import to_arrow_schema
 
+            if self._mode == "paths":
+                # paths transport (round 13): one row per change FILE
+                # — the Python data phase carries only metadata; the
+                # consumer JVM-scans the named files (see
+                # expand_change_paths), retiring the 5-10× Python
+                # batch-transfer tax SCALING.md r12 measured
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([partition.path], pa.string()),
+                        pa.array([partition.seq], pa.int64()),
+                        pa.array([partition.version], pa.string()),
+                    ],
+                    names=[CHANGE_PATH_COL, COMMIT_SEQ_COL,
+                           COMMIT_VERSION_COL],
+                )
+                return
+
             target = to_arrow_schema(self._schema)
             pf = pq.ParquetFile(partition.path)
             names = set(pf.schema_arrow.names)
@@ -663,7 +693,7 @@ def _stream_reader_cls():
 
             from pyspark.sql.pandas.types import from_arrow_schema
             from pyspark.sql.types import (
-                LongType, StringType, StructField,
+                LongType, StringType, StructField, StructType,
             )
 
             table_dir = self.options.get("path")
@@ -671,6 +701,12 @@ def _stream_reader_cls():
                 raise ValueError(
                     "versioned_changes needs .option('path', table_dir)"
                 )
+            if self.options.get("mode", "rows") == "paths":
+                return StructType([
+                    StructField(CHANGE_PATH_COL, StringType()),
+                    StructField(COMMIT_SEQ_COL, LongType()),
+                    StructField(COMMIT_VERSION_COL, StringType()),
+                ])
             base = from_arrow_schema(_changes_arrow_schema(table_dir))
             return base.add(
                 StructField(COMMIT_SEQ_COL, LongType())
@@ -694,6 +730,7 @@ def read_changes_stream(
     starting: str | int = "latest",
     on_missing: str = "fail",
     max_commits_per_trigger: int | None = None,
+    transport: str = "rows",
 ) -> DataFrame:
     """The logged change feed as a streaming DataFrame: registers the
     source and returns ``spark.readStream.format("versioned_changes")``
@@ -706,16 +743,76 @@ def read_changes_stream(
     capability, so Spark falls back to ONE batch spanning
     initial→latest — same data, one batch instead of several; the
     offset checkpoint and exactly-once restart semantics are unchanged
-    (pinned in tests)."""
+    (pinned in tests).
+
+    ``transport`` (round 13): ``"rows"`` (default) streams the change
+    ROWS through the Python source's Arrow batches — fully
+    self-contained, any sink works. ``"paths"`` streams ONE ROW PER
+    CHANGE FILE (``_cf_path, _commit_seq, _commit_version``) and the
+    consumer expands them to rows with :func:`expand_change_paths`
+    inside foreachBatch — the data phase becomes native JVM parquet
+    scans, retiring the Python batch-transfer tax (SCALING.md r12
+    measured the rows transport at 5-10× the JVM twin; the offset
+    protocol, checkpointing and exactly-once semantics are identical
+    because the file list per offset range is immutable)."""
+    if transport not in ("rows", "paths"):
+        raise ValueError(f"transport must be rows|paths, got {transport!r}")
     register_change_source(spark)
     reader = (
         spark.readStream.format("versioned_changes")
         .option("path", table_dir)
         .option("startingVersion", str(starting))
         .option("onMissing", on_missing)
+        .option("mode", transport)
     )
     if max_commits_per_trigger is not None:
         reader = reader.option(
             "maxCommitsPerTrigger", str(max_commits_per_trigger)
         )
     return reader.load()
+
+
+def expand_change_paths(
+    spark: SparkSession, batch_df: DataFrame, table_dir: str
+) -> DataFrame:
+    """Turn a ``transport="paths"`` micro-batch into its change ROWS
+    via native JVM parquet scans — call inside foreachBatch. The
+    driver collects only the file list (churn-sized by construction:
+    one row per logged change file in the batch's offset range), then
+    plans one ``spark.read.parquet`` per source commit so each file's
+    ``_commit_seq``/``_commit_version`` attach as literals;
+    schema-evolved commits NULL-pad through unionByName. An empty
+    batch returns the typed empty frame."""
+    from .inventory import list_versions
+
+    rows = batch_df.select(
+        CHANGE_PATH_COL, COMMIT_SEQ_COL, COMMIT_VERSION_COL
+    ).collect()
+    if not rows:
+        return _empty_changes_frame(
+            spark, table_dir, list_versions(table_dir)
+        )
+    by_commit: dict[tuple[int, str], list[str]] = {}
+    for r in rows:
+        by_commit.setdefault((int(r[1]), r[2]), []).append(r[0])
+    parts = []
+    for (seq, version), paths in sorted(by_commit.items()):
+        parts.append(
+            spark.read.parquet(*paths)
+            .withColumn(COMMIT_SEQ_COL, F.lit(seq).cast("long"))
+            .withColumn(COMMIT_VERSION_COL, F.lit(version))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    # pad to the table's most-evolved LOGGED schema, like the rows
+    # transport does (its stream schema is resolved at start): a batch
+    # whose files all predate an evolution must still expose the later
+    # columns as NULL, or downstream expressions on them would fail
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    target = from_arrow_schema(_changes_arrow_schema(table_dir))
+    for f in target.fields:
+        if f.name not in out.columns:
+            out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return out

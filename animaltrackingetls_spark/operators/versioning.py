@@ -547,7 +547,13 @@ def _dest_upsert(spark, dest_dir, payload, key_cols, keep_versions=2,
     pump destination's per-poll cost also tracks the churn (and its
     versions share files, keeping ITS downstream CDF churn-pruned).
     CoW falls back to the full merge when no stats sidecar exists.
-    delete_versioned is layout-aware on its own."""
+    delete_versioned is layout-aware on its own.
+
+    ``merge_schema=True`` always (round 13): the payload carries the
+    SOURCE's schema, and a replication/pump destination follows source
+    evolution — a column added upstream NULL-pads the dest's old rows
+    on its first replicated appearance (Delta's mergeSchema-on-apply
+    posture) instead of failing the poll."""
     from ..inventory import (
         _table_layout,
         upsert_parquet_versioned,
@@ -558,13 +564,14 @@ def _dest_upsert(spark, dest_dir, payload, key_cols, keep_versions=2,
     if layout is None:
         upsert_parquet_versioned(spark, dest_dir, payload, key_cols,
                                  keep_versions=keep_versions, cow=True,
-                                 **txn)
+                                 merge_schema=True, **txn)
     else:
         upsert_parquet_versioned_partitioned(
             spark, dest_dir, payload, key_cols,
             n_buckets=layout["n_buckets"],
             scheme=layout.get("scheme", "hash"),
             keep_versions=keep_versions,
+            merge_schema=True,
             **txn,
         )
 

@@ -1183,6 +1183,7 @@ def run_changes_replication(
     starting: str | int = "earliest",
     dest_keep_versions: int = 2,
     timeout_seconds: int = 180,
+    transport: str = "paths",
 ) -> None:
     """Continuous table replication as ONE Structured Streaming query
     (round 12): the CDC-pinned source's logged change feed streams in
@@ -1210,13 +1211,20 @@ def run_changes_replication(
     older than ``keep_versions`` commits fails the stream (re-bootstrap
     with a fresh checkpoint + snapshot copy). Uses AvailableNow (drain
     and stop); drive it on a schedule for continuous replication, or
-    swap the trigger for a long-lived stream."""
+    swap the trigger for a long-lived stream.
+
+    ``transport="paths"`` (default, round 13): the stream carries FILE
+    PATHS and each batch expands them through native JVM parquet scans
+    (:func:`~..cdc.expand_change_paths`) — the Python source handles
+    only the offset protocol, retiring its 5-10× data-phase tax;
+    ``"rows"`` keeps the self-contained Python-Arrow feed."""
     from pyspark.sql import Window
 
     from animaltrackingetls_spark.cdc import (
         CHANGE_TYPE_COL,
         COMMIT_SEQ_COL,
         COMMIT_VERSION_COL,
+        expand_change_paths,
         read_changes_stream,
     )
     from animaltrackingetls_spark.inventory import delete_versioned
@@ -1226,10 +1234,13 @@ def run_changes_replication(
         _rendered,
     )
 
-    stream = read_changes_stream(spark, source_dir, starting=starting)
+    stream = read_changes_stream(spark, source_dir, starting=starting,
+                                 transport=transport)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        if transport == "paths":
+            batch_df = expand_change_paths(s, batch_df, source_dir)
         post = batch_df.filter(F.col(CHANGE_TYPE_COL) != "update_preimage")
         jk = F.concat_ws(_SEP, *[_rendered(k) for k in key_cols])
         # delete rows lose a same-commit tie: a deleted-and-reinserted
@@ -1296,6 +1307,7 @@ def run_aggregate_maintenance(
     dest_keep_versions: int = 2,
     timeout_seconds: int = 180,
     minmax_cols: list[str] | None = None,
+    transport: str = "paths",
 ) -> None:
     """Materialized-view maintenance as ONE Structured Streaming query
     (round 12): the CDC-pinned source's change feed streams in through
@@ -1320,10 +1332,14 @@ def run_aggregate_maintenance(
     BATCH'S LAST COMMIT VERSION (read off the batch's
     ``_commit_version`` rows — rescanning CURRENT would leak future
     commits into the view and double-count when their deltas arrive),
-    so source retention must cover the stream's lag."""
+    so source retention must cover the stream's lag.
+
+    ``transport="paths"`` (default, round 13): JVM data phase, Python
+    offsets only — see :func:`run_changes_replication`."""
     from animaltrackingetls_spark.cdc import (
         COMMIT_SEQ_COL,
         COMMIT_VERSION_COL,
+        expand_change_paths,
         read_changes_stream,
     )
     from animaltrackingetls_spark.operators.versioning import (
@@ -1332,16 +1348,24 @@ def run_aggregate_maintenance(
 
     scols = list(sum_cols or [])
     mmcols = list(minmax_cols or [])
-    stream = read_changes_stream(spark, source_dir, starting=starting)
+    stream = read_changes_stream(spark, source_dir, starting=starting,
+                                 transport=transport)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
         src_version = None
         if mmcols:
+            # both transports carry the commit columns, so the pin
+            # reads the (tiny, pre-expansion) batch directly
             src_version = batch_df.agg(
                 F.max_by(COMMIT_VERSION_COL, COMMIT_SEQ_COL)
             ).first()[0]
+        rows_df = (
+            expand_change_paths(s, batch_df, source_dir)
+            if transport == "paths" else batch_df
+        )
         _apply_aggregate_delta(
-            batch_df.sparkSession, view_dir, batch_df, group_cols,
+            s, view_dir, rows_df, group_cols,
             scols, app_id=app_id, seq=batch_id,
             keep_versions=dest_keep_versions,
             minmax_cols=mmcols, source_dir=source_dir,

@@ -34,6 +34,13 @@ q1_pricing_summary + q3_shipping_priority (and adds Q4 + Q7, formerly
 unbenched), `window_topn` replaces window_latest_event (and adds the
 formerly-unbenched large_orders pair), and `validate_orders` now also
 computes the former scalar_metrics trio (~2x its r9 work).
+Round-12 fold: `versioned_cdf` adds the CoW merge build, a
+stats-pruned read and three logged-CDC row kinds (~2x its r11 work).
+Round-13 fold: `versioned_cdf` additionally builds and polls a SECOND
+versioned table (the orders-derived incremental materialized view with
+min/max rescan) under the same hash row — its wall includes two
+maintenance polls plus three upsert/delete commits on first build, and
+their watermark/idle no-op replays after.
 
 NOISE FLOOR (round 9): whole-invocation medians drift ±10-20% between
 otherwise-identical exclusive runs hours apart (machine state), which

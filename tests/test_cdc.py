@@ -1297,3 +1297,171 @@ def test_streaming_view_maintenance_minmax(spark, tmp_path):
             F.max("x").alias("max_x"),
         ), "g", "n_rows", "n_x", "sum_x", "min_x", "max_x")
     assert got == want
+
+
+def test_changes_stream_paths_transport(spark, tmp_path, base_batches):
+    """transport='paths': the stream carries one row per change FILE;
+    expand_change_paths turns a batch into the exact change rows via
+    JVM parquet scans — equal to the batch read_change_data feed."""
+    from animaltrackingetls_spark.cdc import (
+        CHANGE_PATH_COL,
+        expand_change_paths,
+    )
+
+    tdir = str(tmp_path / "t")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    b1, b2 = base_batches
+    upsert_parquet_versioned(spark, tdir, b1, ["k"], keep_versions=10,
+                             write_change_data=True)
+    upsert_parquet_versioned(spark, tdir, b2, ["k"], keep_versions=10)
+
+    raw_cols = {}
+
+    def sink(bdf, bid):
+        raw_cols["cols"] = bdf.columns
+        rows = expand_change_paths(bdf.sparkSession, bdf, tdir)
+        rows.write.mode("append").parquet(out)
+
+    q = (
+        read_changes_stream(spark, tdir, starting="earliest",
+                            transport="paths")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    # the raw stream is metadata-only (no data columns crossed Python)
+    assert set(raw_cols["cols"]) == {
+        CHANGE_PATH_COL, COMMIT_SEQ_COL, "_commit_version",
+    }
+    got = _rows(spark.read.parquet(out),
+                "k", "v", "x", CHANGE_TYPE_COL, COMMIT_SEQ_COL)
+    want = _rows(read_change_data(spark, tdir),
+                 "k", "v", "x", CHANGE_TYPE_COL, COMMIT_SEQ_COL)
+    assert got == want
+
+
+def test_expand_change_paths_empty_batch(spark, tmp_path, base_batches):
+    from animaltrackingetls_spark.cdc import expand_change_paths
+
+    tdir = str(tmp_path / "t")
+    b1, _ = base_batches
+    upsert_parquet_versioned(spark, tdir, b1, ["k"], keep_versions=10,
+                             write_change_data=True)
+    empty = spark.createDataFrame(
+        [], "_cf_path string, _commit_seq long, _commit_version string")
+    got = expand_change_paths(spark, empty, tdir)
+    assert got.count() == 0
+    assert {CHANGE_TYPE_COL, COMMIT_SEQ_COL} <= set(got.columns)
+
+
+def test_replication_rows_transport_still_converges(spark, tmp_path):
+    """The pre-round-13 rows transport stays a supported path."""
+    from animaltrackingetls_spark.streaming.jobs import (
+        run_changes_replication,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    resolve_cdc(src, True)
+    upsert_parquet_versioned(
+        spark, src,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        ["k"], keep_versions=10, cow=True)
+    delete_versioned(spark, src, spark.createDataFrame(
+        [(1,)], "k int"), ["k"], keep_versions=10, cow=True)
+    run_changes_replication(spark, src, dst, ck, ["k"],
+                            transport="rows")
+    assert _rows(read_versioned(spark, dst), "k", "v") == [(2, "b")]
+
+
+def test_ivm_schema_evolution_through_logged_feed(spark, tmp_path):
+    """Round-13 (r12 verdict task #7a): a sum_col that APPEARS
+    mid-history. A view maintained without it recomputes once when the
+    caller starts requesting it (schema re-base), then the logged feed
+    maintains it incrementally — pre-evolution change rows NULL-pad
+    the column, so they contribute nothing to n_<c>/sum_<c>, exactly
+    the full-aggregate semantics."""
+    from animaltrackingetls_spark.operators.versioning import (
+        maintain_aggregate_once,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    cur = str(tmp_path / "cursor")
+
+    upsert_parquet_versioned(
+        spark, src,
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)],
+                              "k long, g string, x double"),
+        ["k"], keep_versions=10, write_change_data=True, cow=True,
+    )
+    maintain_aggregate_once(spark, src, view, cur, ["g"], sum_cols=["x"])
+
+    # evolution: x2 appears; old rows NULL-pad
+    upsert_parquet_versioned(
+        spark, src,
+        spark.createDataFrame([(3, "a", 3.0, 30.0)],
+                              "k long, g string, x double, x2 double"),
+        ["k"], keep_versions=10, cow=True, merge_schema=True,
+    )
+    r = maintain_aggregate_once(spark, src, view, cur, ["g"],
+                                sum_cols=["x", "x2"])
+    assert r["source"] == "recomputed"  # view schema re-base
+
+    # post-evolution commits maintain x2 incrementally: the update of
+    # pre-evolution key k=1 logs a preimage whose x2 is NULL (padded),
+    # so its -1 delta touches n_x2/sum_x2 not at all — NULL
+    # contributions fall out of the count-non-null algebra
+    upsert_parquet_versioned(
+        spark, src,
+        spark.createDataFrame([(1, "a", 1.5, None), (4, "b", 4.0, 40.0)],
+                              "k long, g string, x double, x2 double"),
+        ["k"], keep_versions=10, cow=True,
+    )
+    r = maintain_aggregate_once(spark, src, view, cur, ["g"],
+                                sum_cols=["x", "x2"])
+    assert r["source"] == "logged"
+    got = _rows(read_versioned(spark, view),
+                "g", "n_rows", "n_x", "sum_x", "n_x2", "sum_x2")
+    want = _rows(
+        read_versioned(spark, src).groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("x").alias("n_x"), F.sum("x").alias("sum_x"),
+            F.count("x2").alias("n_x2"), F.sum("x2").alias("sum_x2"),
+        ), "g", "n_rows", "n_x", "sum_x", "n_x2", "sum_x2")
+    assert got == want
+    # the all-NULL-x2 group ('a' has x2 NULL everywhere? no — k=3 has
+    # 30.0; assert the NULL-exact corner explicitly on group 'b')
+    b = {row.g: (row.n_x2, row.sum_x2)
+         for row in read_versioned(spark, view).collect()}
+    assert b["b"] == (1, 40.0)
+
+
+def test_replication_evolves_dest_schema(spark, tmp_path):
+    """Round-13 (r12 verdict task #7b): a replication destination that
+    PREDATES a source column gains it (NULL-padded old rows) on the
+    first drained post-evolution batch, instead of failing."""
+    from animaltrackingetls_spark.streaming.jobs import (
+        run_changes_replication,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    resolve_cdc(src, True)
+    upsert_parquet_versioned(
+        spark, src,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        ["k"], keep_versions=10, cow=True)
+    run_changes_replication(spark, src, dst, ck, ["k"])
+    assert "v2" not in read_versioned(spark, dst).columns
+
+    upsert_parquet_versioned(
+        spark, src,
+        spark.createDataFrame([(2, "B", 20.0), (3, "c", 30.0)],
+                              "k int, v string, v2 double"),
+        ["k"], keep_versions=10, cow=True, merge_schema=True)
+    run_changes_replication(spark, src, dst, ck, ["k"])
+    got = _rows(read_versioned(spark, dst), "k", "v", "v2")
+    want = _rows(read_versioned(spark, src), "k", "v", "v2")
+    assert got == want
+    assert got == [(1, "a", None), (2, "B", 20.0), (3, "c", 30.0)]
