@@ -2260,9 +2260,14 @@ def _ivm_view_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, batch, ["k"], keep_versions=5,
         txn_app_id="ivmsrc", txn_version=1, cow=True,
     )
+    # the delete is MERGE-ON-READ (round-13 deletion vectors): no data
+    # file rewrites — the commit publishes a .dv sidecar the readers
+    # anti-join, so this one hash row also certifies DV delete
+    # semantics end-to-end (the CDC log of the DV commit feeds the
+    # poll; the min/max rescan reads the DV-filtered pinned snapshot)
     delete_versioned(
         spark, src, orders.filter(F.col("k") % 10 == 7).select("k"),
-        ["k"], keep_versions=5, cow=True,
+        ["k"], keep_versions=5, dv=True,
         txn_app_id="ivmsrc#d", txn_version=2,
     )
     poll()  # one logged window over both commits (rescan path)

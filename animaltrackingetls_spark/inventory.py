@@ -247,6 +247,180 @@ def upsert_parquet(
 _CURRENT_POINTER = "_CURRENT"
 _COMMIT_LOCK = "._COMMIT_LOCK"
 
+# ---- deletion vectors (round 13) — merge-on-read deletes -----------------
+# Delta's deletion-vector analog: a `_dv.parquet` sidecar inside the
+# version directory marks (file identity, row index) pairs as deleted;
+# readers anti-join it, writers carry it forward filtered to surviving
+# file identities. File identity is (inode, size) — the same physical
+# identity the stats sidecar and churn pruning already use, stable
+# across hardlink/manifest carries and invalidated by any rewrite. The
+# sidecar lives in a dot-prefixed SUBDIRECTORY (`.dv/`) of the version
+# dir: hidden-path filtering keeps it out of Spark's data scans and
+# `_snapshot_files`' walks, while its normally-named parquet files stay
+# readable when the directory is addressed explicitly (a leading
+# underscore on the file itself would make Spark ignore it even then).
+_DV_DIR = ".dv"
+_DV_FP_COL = "_dv_fp"  # per-row file basename (from _metadata.file_path)
+_DV_RI_COL = "_dv_ri"  # per-row physical row index
+
+
+def _dv_path(table_dir: str, version: str) -> str:
+    import os
+
+    return os.path.join(table_dir, version, _DV_DIR)
+
+
+def _dv_files(table_dir: str, version: str) -> list[str]:
+    import os
+
+    d = _dv_path(table_dir, version)
+    if not os.path.isdir(d):
+        return []
+    return [
+        os.path.join(d, f) for f in sorted(os.listdir(d))
+        if not f.startswith((".", "_"))
+    ]
+
+
+def _dv_ident_rows(table_dir: str, version: str) -> list[tuple]:
+    """``(file_basename, inode, size)`` per data file of the snapshot —
+    the driver-side map that resolves DV identities to the paths a scan
+    actually reports. Basenames are unique within a snapshot (part-file
+    names embed the writer job's uuid); asserted because the DV join
+    keys on them."""
+    import os
+
+    rows = []
+    for path in _snapshot_files(table_dir, version).values():
+        st = os.stat(path)
+        rows.append((os.path.basename(path), int(st.st_ino),
+                     int(st.st_size)))
+    names = [r[0] for r in rows]
+    if len(names) != len(set(names)):
+        raise RuntimeError(
+            f"duplicate data-file basenames in {table_dir}/{version}; "
+            "deletion vectors cannot address files unambiguously"
+        )
+    return rows
+
+
+def _dv_entries(table_dir: str, version: str) -> dict[tuple, frozenset]:
+    """Driver-side DV content: ``{(ino, size): frozenset(row_idx)}``,
+    empty when the version has no DV. Used by identity-based churn
+    pruning — a physically shared file is only provably-unchanged when
+    its DV entries are IDENTICAL on both sides."""
+    files = _dv_files(table_dir, version)
+    if not files:
+        return {}
+    import pyarrow.parquet as pq
+
+    out: dict[tuple, set] = {}
+    for p in files:
+        t = pq.read_table(p)
+        for ino, size, ri in zip(
+            t.column("ino").to_pylist(), t.column("size").to_pylist(),
+            t.column("row_index").to_pylist(),
+        ):
+            out.setdefault((ino, size), set()).add(ri)
+    return {k: frozenset(v) for k, v in out.items()}
+
+
+def _with_scan_identity(scan):
+    """Append the per-row physical identity columns to a SINGLE file
+    scan: ``_metadata`` only resolves directly on a file-source
+    relation (it does NOT survive a union), so every union branch
+    captures it before assembly."""
+    from pyspark.sql import functions as F
+
+    return scan.withColumn(
+        _DV_FP_COL,
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+    ).withColumn(_DV_RI_COL, F.col("_metadata.row_index"))
+
+
+def _apply_dv(spark, df, table_dir: str, version: str):
+    """Anti-join the version's deletion vector (requires the identity
+    columns on ``df``). The DV and the file-identity map both broadcast
+    — churn-sized and file-count-sized respectively."""
+    from pyspark.sql import functions as F
+
+    ident = _dv_ident_rows(table_dir, version)
+    map_df = spark.createDataFrame(
+        ident, f"{_DV_FP_COL} string, _i long, _s long"
+    )
+    dv = spark.read.parquet(*_dv_files(table_dir, version))
+    doomed = dv.join(
+        F.broadcast(map_df),
+        on=[dv["ino"] == map_df["_i"], dv["size"] == map_df["_s"]],
+        how="inner",
+    ).select(
+        map_df[_DV_FP_COL],
+        dv["row_index"].alias(_DV_RI_COL),
+    )
+    return df.join(
+        F.broadcast(doomed), on=[_DV_FP_COL, _DV_RI_COL], how="left_anti"
+    )
+
+
+def _write_dv(spark, dv_df, vdir: str) -> None:
+    """Materialize a DV frame (``ino, size, row_index``) as the single
+    ``_dv.parquet`` sidecar file inside a (not yet published) version
+    directory — written by Spark to a staging dir, then the one part
+    file renamed in (the sidecar is churn-sized by construction)."""
+    import os
+    import shutil
+    import uuid
+
+    stage = os.path.join(vdir, f".dv_stage.{uuid.uuid4().hex[:8]}")
+    dv_df.coalesce(1).write.mode("error").parquet(stage)
+    for extra in os.listdir(stage):
+        if extra.startswith((".", "_")):  # _SUCCESS and friends
+            os.unlink(os.path.join(stage, extra))
+    os.replace(stage, os.path.join(vdir, _DV_DIR))
+
+
+def _carry_dv(table_dir: str, version: str, base_version: str | None) -> None:
+    """Carry the base snapshot's deletion vector into a new version,
+    FILTERED to file identities still present there — rewritten files'
+    entries drop (their rows were read DV-filtered during the merge),
+    carried files keep theirs. A version that wrote its own DV (the dv
+    delete) is left alone. Called by :func:`_publish_version` for every
+    writer, so no publish path can silently resurrect deleted rows.
+    Driver-side pyarrow (the DV is churn-sized); a full-rewrite commit
+    (plain upsert, compaction, OPTIMIZE) shares no identities and drops
+    the DV entirely — the REORG PURGE analog."""
+    import os
+
+    vdir = os.path.join(table_dir, version)
+    if os.path.isdir(os.path.join(vdir, _DV_DIR)):
+        return
+    if base_version is None:
+        return
+    base_files = _dv_files(table_dir, base_version)
+    if not base_files:
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    live = {
+        (ino, size) for _bn, ino, size in _dv_ident_rows(table_dir, version)
+    }
+    tables = [pq.read_table(p) for p in base_files]
+    t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    mask = pa.array(
+        [(i, s) in live for i, s in
+         zip(t.column("ino").to_pylist(), t.column("size").to_pylist())]
+    )
+    kept = t.filter(mask)
+    if kept.num_rows == 0:
+        return
+    import uuid
+
+    stage = os.path.join(vdir, f".{_DV_DIR}.{uuid.uuid4().hex[:8]}.tmp")
+    os.makedirs(stage, exist_ok=True)
+    pq.write_table(kept, os.path.join(stage, "dv-carried.parquet"))
+    os.replace(stage, os.path.join(vdir, _DV_DIR))
+
 
 def _base_gone(table_dir: str, current: str | None) -> bool:
     """The conversion gate for :func:`_base_pruned_error`: a scan-time
@@ -488,6 +662,7 @@ def _cow_touched_files(
     current: str,
     updates: DataFrame,
     key_cols: list[str],
+    probe: bool = True,
 ) -> tuple[set[str], set[str], dict[str, str]] | None:
     """The copy-on-write planning pass: which data files of the CURRENT
     snapshot contain at least one updated key? Returns ``(touched_keys,
@@ -507,14 +682,15 @@ def _cow_touched_files(
        min/max ignore NULLs, so range pruning could miss the file
        holding the NULL-keyed row (and the merge would duplicate it).
     2. **Exact probe** — scan ONLY the candidates' key columns (column-
-       pruned), tag rows with ``input_file_name()``, left-semi join the
+       pruned), tag rows with their file basename (the reader's
+       identity column — ``input_file_name()`` cannot resolve on a
+       deletion-vector table's multi-source plan), left-semi join the
        batch's keys (NULL-safe, AQE broadcasts the churn-sized side):
        the distinct file list is exactly the files whose rows the merge
        must rewrite. The collect is bounded by the snapshot's file
        count, never its rows.
     """
     import os
-    from urllib.parse import unquote, urlparse
 
     from . import filestats
 
@@ -550,12 +726,21 @@ def _cow_touched_files(
         cand = set(all_files)  # unprunable key type: probe everything
     if not cand:
         return set(), set(all_files), all_files
+    if not probe:
+        # stats candidates only (phase 1): callers that re-scan the
+        # result anyway (the DV position probe) skip the exact pass
+        return set(cand), set(all_files) - set(cand), all_files
 
-    cdf = _snapshot_df_files(spark, table_dir, current, cand).select(
-        *key_cols
-    ).withColumn("_f", F.input_file_name())
+    # identity=True: the reader's per-scan basename column replaces
+    # input_file_name(), which cannot resolve on multi-source plans —
+    # exactly what a deletion-vector table's anti-joined read is
+    # (round 13); it also keeps the probe honest there (DV-deleted
+    # rows can no longer mark a file as touched)
+    cdf = _snapshot_df_files(
+        spark, table_dir, current, cand, identity=True
+    ).select(*key_cols, F.col(_DV_FP_COL).alias("_f"))
     upd_keys = updates.select(*key_cols)
-    touched_uris = [
+    touched_names = [
         r["_f"]
         for r in cdf.join(
             upd_keys,
@@ -563,16 +748,15 @@ def _cow_touched_files(
             how="left_semi",
         ).select("_f").distinct().collect()
     ]
-    # realpath on BOTH sides: Spark reports canonicalized paths, while
-    # table_dir may be reached through a symlink (round-12 self-review
-    # finding #5 — a bare dict hit raised KeyError and crashed the
-    # upsert). Any URI that still doesn't map means our path model is
+    # basenames are unique within a snapshot (part names embed the
+    # writer job's uuid); an unmapped name means our path model is
     # wrong for this filesystem: plan None, caller full-rewrites.
-    path_to_key = {os.path.realpath(p): k for k, p in all_files.items()}
+    name_to_key = {os.path.basename(p): k for k, p in all_files.items()}
+    if len(name_to_key) != len(all_files):
+        return None  # colliding basenames: cannot attribute, full-rewrite
     touched: set[str] = set()
-    for uri in touched_uris:
-        p = unquote(urlparse(uri).path)
-        key = path_to_key.get(os.path.realpath(p))
+    for name in touched_names:
+        key = name_to_key.get(name)
         if key is None:
             return None
         touched.add(key)
@@ -1220,6 +1404,7 @@ def delete_versioned(
     retries: int = 2,
     cow: bool = False,
     write_change_data: bool | None = None,
+    dv: bool = False,
 ) -> DataFrame:
     """Keyed DELETE from a versioned table — the right-to-be-forgotten
     operation (GDPR/erasure requests) every long-lived training-data
@@ -1259,6 +1444,24 @@ def delete_versioned(
     CDC-pinned hard-delete's change log itself carries the deleted
     rows until retention prunes that version — the identical window the
     retained older snapshots already expose.
+
+    ``dv=True`` (round 13, plain tables): MERGE-ON-READ delete —
+    Delta's deletion-vector mode. NO data file is rewritten or even
+    read-beyond-the-probe: the commit carries every file forward
+    (hardlink/manifest) and publishes a ``_dv.parquet`` sidecar naming
+    the doomed (file identity, row index) pairs, which every reader
+    anti-joins. Write cost is O(deleted rows) regardless of file
+    sizes — at real scale, a 10-row erasure on a multi-TB table writes
+    kilobytes where even CoW rewrites whole files. Readers pay the
+    broadcast anti-join until a rewriting commit (full compaction /
+    OPTIMIZE — the REORG PURGE analog) materializes the deletes away;
+    every non-rewriting commit carries surviving entries forward
+    automatically (:func:`_carry_dv`). DV deletes require a plain
+    layout (bucketed tables already rewrite only the touched buckets)
+    and compose with CDC logging; erasure caveat: the doomed bytes
+    remain INSIDE the carried data files until a rewriting commit —
+    for hard erasure use ``cow=True``/plain delete, or follow the DV
+    delete with ``compact_versioned``.
     """
     import os
     import shutil
@@ -1266,6 +1469,8 @@ def delete_versioned(
 
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version must be given together")
+    if dv and cow:
+        raise ValueError("dv=True and cow=True are mutually exclusive")
     missing = [c for c in key_cols if c not in keys.columns]
     if missing:
         raise ValueError(f"keys frame lacks key columns: {missing}")
@@ -1275,6 +1480,11 @@ def delete_versioned(
         raise ValueError(
             f"layout mismatch for {table_dir}: table is bucketed on "
             f"{layout.get('key_cols')}, delete asked {key_cols}"
+        )
+    if dv and layout is not None:
+        raise ValueError(
+            "dv=True supports plain tables only; bucketed tables "
+            "already rewrite only the touched buckets"
         )
 
     from .cdc import delete_change_rows, resolve_cdc, write_change_log
@@ -1303,7 +1513,68 @@ def delete_versioned(
         vdir = os.path.join(table_dir, version)
 
         try:
-            if layout is None:
+            if dv:
+                # merge-on-read: carry every data file, publish only a
+                # deletion-vector sidecar naming the doomed positions.
+                # The position probe reuses the CoW planner: stats
+                # candidates first, so the scan is bounded by the files
+                # that can possibly hold a doomed key, not the table
+                dv_plan = _cow_touched_files(
+                    spark, table_dir, current, kdf, key_cols,
+                    probe=False,
+                )
+                if dv_plan is not None:
+                    snap = _snapshot_df_files(
+                        spark, table_dir, current, dv_plan[0],
+                        identity=True,
+                    )
+                else:
+                    snap = _snapshot_df(spark, table_dir, current,
+                                        identity=True)
+                doomed = snap.join(
+                    F.broadcast(kdf),
+                    on=_null_safe_cond(snap, kdf, key_cols),
+                    how="left_semi",
+                ).localCheckpoint()  # churn-sized: feeds CDC + the DV
+                os.makedirs(vdir, exist_ok=True)
+                if cdc_log:
+                    write_change_log(
+                        table_dir, version,
+                        delete_change_rows(
+                            doomed.drop(_DV_FP_COL, _DV_RI_COL)
+                        ),
+                    )
+                ident = _dv_ident_rows(table_dir, current)
+                map_df = spark.createDataFrame(
+                    ident, f"{_DV_FP_COL} string, ino long, size long"
+                )
+                new_dv = doomed.select(
+                    _DV_FP_COL, F.col(_DV_RI_COL).alias("row_index")
+                ).join(F.broadcast(map_df), on=_DV_FP_COL).select(
+                    "ino", "size", "row_index"
+                )
+                old_dv = _dv_files(table_dir, current)
+                if old_dv:
+                    new_dv = spark.read.parquet(*old_dv).unionByName(
+                        new_dv
+                    ).dropDuplicates(["ino", "size", "row_index"])
+                if not new_dv.isEmpty():
+                    _write_dv(spark, new_dv, vdir)
+                all_files = _snapshot_files(table_dir, current)
+                if _plain_link_mode(table_dir) == "manifest":
+                    _emit_file_manifest(table_dir, version, all_files)
+                else:
+                    for key in sorted(all_files):
+                        src = all_files[key]
+                        dst = os.path.join(vdir, os.path.basename(src))
+                        if os.path.exists(dst):
+                            dst = os.path.join(
+                                vdir,
+                                f"dv-{uuid.uuid4().hex[:8]}-"
+                                f"{os.path.basename(src)}",
+                            )
+                        os.link(src, dst)
+            elif layout is None:
                 carry: dict[str, str] = {}
                 cow_plan = (
                     _cow_touched_files(
@@ -1403,7 +1674,8 @@ def delete_versioned(
                     write_change_log(table_dir, version,
                                      delete_change_rows(doomed))
                 untouched = untouched_pre
-            _emit_untouched(table_dir, current, vdir, untouched, layout)
+            if not dv:
+                _emit_untouched(table_dir, current, vdir, untouched, layout)
         except ValueError:
             raise  # the empty-snapshot brick guard, not a scan failure
         except Exception as err:
@@ -1424,7 +1696,7 @@ def delete_versioned(
         try:
             _publish_version(table_dir, version, marks, keep_versions,
                              expected_base=current,
-                             operation="DELETE")
+                             operation="DELETE (dv)" if dv else "DELETE")
             return read_versioned(spark, table_dir)
         except ConcurrentWriteError as err:
             shutil.rmtree(vdir, ignore_errors=True)
@@ -1913,7 +2185,8 @@ def _collect_stats(
 
 
 def _snapshot_df_files(
-    spark: SparkSession, table_dir: str, version: str, keys: set[str]
+    spark: SparkSession, table_dir: str, version: str, keys: set[str],
+    identity: bool = False,
 ) -> DataFrame:
     """Assemble a snapshot DataFrame from an EXPLICIT file set (sidecar
     keys, ``<origin>/<rel>``) — the scan the stats-pruned read path and
@@ -1921,10 +2194,18 @@ def _snapshot_df_files(
     zero scheduler tasks. Schema is pinned from one file (same
     eager-inference trap as :func:`_snapshot_df`); bucketed files keep
     their partition column via ``basePath``. An empty set yields an
-    empty frame with the snapshot's schema."""
+    empty frame with the snapshot's schema.
+
+    ``identity=True`` keeps the per-row physical identity columns
+    (``_dv_fp``/``_dv_ri``) on the result. A snapshot carrying a
+    deletion vector is ALWAYS read through its anti-join (captured
+    per-branch — ``_metadata`` does not survive a union), whether or
+    not the caller asked for identity."""
     import os
     from functools import reduce
 
+    has_dv = bool(_dv_files(table_dir, version))
+    want_ident = identity or has_dv
     all_files = _snapshot_files(table_dir, version)
     unknown = keys - set(all_files)
     if unknown:
@@ -1947,7 +2228,13 @@ def _snapshot_df_files(
     )
     chosen = sorted(keys)
     if not chosen:
-        return spark.createDataFrame([], schema)
+        empty_schema = schema
+        if want_ident:
+            empty_schema = empty_schema.add(_DV_FP_COL, "string").add(
+                _DV_RI_COL, "long"
+            )
+        out = spark.createDataFrame([], empty_schema)
+        return out if identity else out.drop(_DV_FP_COL, _DV_RI_COL)
     by_origin: dict[str, list[str]] = {}
     for k in chosen:
         origin = k.split("/", 1)[0]
@@ -1955,17 +2242,24 @@ def _snapshot_df_files(
     parts = []
     for origin, paths in sorted(by_origin.items()):
         odir = os.path.join(table_dir, origin)
-        parts.append(
+        scan = (
             spark.read.option("basePath", odir)
             .schema(schema)
             .parquet(*sorted(paths))
         )
-    return reduce(lambda a, c: a.unionByName(c), parts)
+        parts.append(_with_scan_identity(scan) if want_ident else scan)
+    out = reduce(lambda a, c: a.unionByName(c), parts)
+    if has_dv:
+        out = _apply_dv(spark, out, table_dir, version)
+    if want_ident and not identity:
+        out = out.drop(_DV_FP_COL, _DV_RI_COL)
+    return out
 
 
 def _snapshot_df(
     spark: SparkSession, table_dir: str, version: str,
     buckets: set[str] | None = None,
+    identity: bool = False,
 ) -> DataFrame:
     """Assemble a snapshot DataFrame, resolving the manifest when the
     version is manifest-laid-out: bucket dirs GROUP BY their physical
@@ -1979,17 +2273,34 @@ def _snapshot_df(
     manifest and materialized bucketed layouts) — the churn-pruned CDF
     uses it to scan only buckets whose physical identity changed
     between two snapshots; an empty restriction yields an empty frame
-    with the snapshot's schema."""
+    with the snapshot's schema.
+
+    ``identity=True`` keeps the per-row physical identity columns; a
+    deletion-vector-carrying snapshot is always read through its
+    anti-join (see :func:`_snapshot_df_files`)."""
     import os
     from functools import reduce
+
+    has_dv = bool(_dv_files(table_dir, version))
+    want_ident = identity or has_dv
+
+    def _finish(df):
+        if has_dv:
+            df = _apply_dv(spark, df, table_dir, version)
+        if want_ident and not identity:
+            df = df.drop(_DV_FP_COL, _DV_RI_COL)
+        return df
 
     m = _read_manifest(table_dir, version)
     if _is_file_manifest(m):
         # plain CoW file manifest: the snapshot is the referenced file
-        # set (bucket restriction is meaningless — no buckets exist)
-        return _snapshot_df_files(spark, table_dir, version, set(m))
+        # set (bucket restriction is meaningless — no buckets exist);
+        # the file reader owns the DV application
+        return _snapshot_df_files(spark, table_dir, version, set(m),
+                                  identity=identity)
     if m is None and buckets is None:
-        return spark.read.parquet(os.path.join(table_dir, version))
+        scan = spark.read.parquet(os.path.join(table_dir, version))
+        return _finish(_with_scan_identity(scan) if want_ident else scan)
     mapping = _snapshot_buckets(table_dir, version)
     if not mapping:
         raise FileNotFoundError(
@@ -2005,7 +2316,12 @@ def _snapshot_df(
         schema = spark.read.parquet(
             os.path.join(table_dir, o0, d0)
         ).schema.add(_BUCKET_COL, "integer")
-        return spark.createDataFrame([], schema)
+        if want_ident:
+            schema = schema.add(_DV_FP_COL, "string").add(
+                _DV_RI_COL, "long"
+            )
+        out = spark.createDataFrame([], schema)
+        return out if identity else out.drop(_DV_FP_COL, _DV_RI_COL)
     # The schema is inferred ONCE and pinned on every branch — each
     # bare spark.read.parquet() runs an eager footer-inference job, and
     # 64 of them made the first cut of this read 13x the partitioned
@@ -2020,12 +2336,13 @@ def _snapshot_df(
     parts = []
     for origin, dirs in sorted(by_origin.items()):
         odir = os.path.join(table_dir, origin)
-        parts.append(
+        scan = (
             spark.read.option("basePath", odir)
             .schema(full_schema)
             .parquet(*[os.path.join(odir, d) for d in sorted(dirs)])
         )
-    return reduce(lambda a, c: a.unionByName(c), parts)
+        parts.append(_with_scan_identity(scan) if want_ident else scan)
+    return _finish(reduce(lambda a, c: a.unionByName(c), parts))
 
 
 def _emit_untouched(
@@ -2216,6 +2533,15 @@ def clone_versioned(
     # drop the source's txn sidecar if the walk brought structure over
     # (it skips _-prefixed files, so nothing to remove — publish with
     # EMPTY marks by design)
+    src_dv = _dv_files(table_dir, version)
+    if src_dv:
+        # the cloned snapshot's deletion vector is part of its content:
+        # hardlinked files share inodes, so the DV's identities resolve
+        # in the clone exactly as in the source
+        ddir = _dv_path(dest_dir, new_version)
+        os.makedirs(ddir, exist_ok=True)
+        for p in src_dv:
+            os.link(p, os.path.join(ddir, os.path.basename(p)))
     _publish_version(dest_dir, new_version, {}, keep_versions=1,
                      expected_base=None,
                      operation=f"CLONE {table_dir}@{version}")
@@ -2312,7 +2638,8 @@ def restore_versioned(
         try:
             _publish_version(table_dir, new_version, marks, keep_versions,
                              expected_base=current,
-                             operation=f"RESTORE {version}")
+                             operation=f"RESTORE {version}",
+                             dv_base=version)
             return read_versioned(spark, table_dir)
         except ConcurrentWriteError as err:
             # same contract as every other writer: drop the stale link
@@ -2378,6 +2705,7 @@ def _publish_version(
     keep_versions: int,
     expected_base: str | None | object = _UNCHECKED,
     operation: str = "WRITE",
+    dv_base: str | None | object = _UNCHECKED,
 ) -> None:
     """Commit an already-written version directory: persist the txn
     watermark sidecar INSIDE it, then — under the commit lock — verify
@@ -2402,6 +2730,18 @@ def _publish_version(
     # best-effort diagnostics like the commit timestamp, never a
     # publish gate
     _stamp_op(table_dir, version, operation)
+    # Deletion-vector carry, BEFORE publish and NOT best-effort: a
+    # writer that carried files from a DV-bearing base must keep their
+    # deletion entries or deleted rows resurrect. ``dv_base`` defaults
+    # to the merge base; RESTORE overrides it with the restored
+    # version (a rollback adopts THAT snapshot's DV, never CURRENT's).
+    _carry_dv(
+        table_dir, version,
+        base_version=(
+            (expected_base if isinstance(expected_base, str) else None)
+            if dv_base is _UNCHECKED else dv_base
+        ),
+    )
     # Per-file column stats sidecar, BEFORE the lock (footer IO has no
     # business inside the flock critical section). expected_base gives
     # the carry-forward source; _UNCHECKED/None publishes sweep every
@@ -3185,7 +3525,14 @@ def identity_changed_files(
     shuffle), so their intersection is empty and this degrades to the
     full diff — the honest shape. It pays when snapshots genuinely
     share files: copy-on-write merges, RESTORE/CLONE lineage, compact
-    no-ops, and every bucketed layout's untouched buckets."""
+    no-ops, and every bucketed layout's untouched buckets.
+
+    Deletion vectors (round 13) amend the proof's premise: a DV delete
+    carries files with IDENTICAL physical identity while changing
+    their VISIBLE rows, so a shared file counts as unchanged only when
+    its DV entry set is also identical on both sides — otherwise
+    pure-identity pruning would report an empty diff for a commit that
+    deleted rows."""
     from . import filestats
 
     s_old = filestats.read_stats(table_dir, from_version)
@@ -3199,6 +3546,14 @@ def identity_changed_files(
         (e["ino"], e["size"]): k for k, e in s_new["files"].items()
     }
     shared = set(ident_old) & set(ident_new)
+    dv_old = _dv_entries(table_dir, from_version)
+    dv_new = _dv_entries(table_dir, to_version)
+    if dv_old or dv_new:
+        none = frozenset()
+        shared = {
+            i for i in shared
+            if dv_old.get(i, none) == dv_new.get(i, none)
+        }
     return (
         {k for i, k in ident_old.items() if i not in shared},
         {k for i, k in ident_new.items() if i not in shared},

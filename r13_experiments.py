@@ -249,6 +249,69 @@ def streamdrain() -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def dvdelete() -> None:
+    """Deletion-vector delete vs copy-on-write delete at 10M rows,
+    100-key churn: commit wall, bytes written by the commit, and the
+    read-side tax the DV's anti-join adds."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark import inventory as inv
+    from animaltrackingetls_spark.session import get_spark
+
+    spark = get_spark(master="local[32]",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    tmp = tempfile.mkdtemp(prefix="r13dv_")
+
+    def du(version_dir):
+        total = 0
+        for root, _d, files in os.walk(version_dir):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                if st.st_nlink > 1:
+                    continue  # hardlink-carried: not new bytes
+                total += st.st_size
+        return total
+
+    def build(name):
+        t = os.path.join(tmp, name)
+        df = spark.range(0, 10_000_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 9973).alias("g"),
+            F.col("id").cast("double").alias("x"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        inv.upsert_parquet_versioned(spark, t, df, ["k"], keep_versions=4,
+                                     cow=True)
+        inv.optimize_versioned(spark, t, ["k"], keep_versions=4)
+        return t
+
+    doomed = [(k,) for k in range(0, 10_000_000, 100_000)]  # 100 keys
+    for mode, kw in (("cow", {"cow": True}), ("dv", {"dv": True})):
+        t = build(mode)
+        kdf = spark.createDataFrame(doomed, "k long")
+        t0 = time.monotonic()
+        inv.delete_versioned(spark, t, kdf, ["k"], keep_versions=4, **kw)
+        wall = time.monotonic() - t0
+        v = inv.list_versions(t)[-1]
+        new_bytes = du(os.path.join(t, v))
+        t0 = time.monotonic()
+        n = inv.read_versioned(spark, t).count()
+        read_wall = time.monotonic() - t0
+        t0 = time.monotonic()
+        inv.read_versioned(spark, t).filter("g = 123").count()
+        sel_wall = time.monotonic() - t0
+        print(f"{mode} delete (100 keys / 10M): commit {wall:.2f}s, "
+              f"new bytes {new_bytes/1e6:.1f} MB; full count ({n}) "
+              f"{read_wall:.2f}s, selective read {sel_wall:.2f}s")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else ""
     if cmd == "movers":
@@ -257,6 +320,9 @@ if __name__ == "__main__":
         ivmrescan()
     elif cmd == "streamdrain":
         streamdrain()
+    elif cmd == "dvdelete":
+        dvdelete()
     else:
-        print("usage: r13_experiments.py {movers|ivmrescan|streamdrain}")
+        print("usage: r13_experiments.py "
+              "{movers|ivmrescan|streamdrain|dvdelete}")
         sys.exit(2)

@@ -1,0 +1,236 @@
+"""Deletion vectors (round 13) — merge-on-read deletes, the Delta
+deletion-vector analog: ``delete_versioned(dv=True)`` publishes a
+``.dv/`` sidecar of (file identity, row index) pairs instead of
+rewriting data files; every reader anti-joins it, every writer carries
+surviving entries forward, and rewriting maintenance purges it.
+
+Reference parity note: the reference engine deletes via Postgres
+DELETE (monarch_etl/inventory.py); this mode is part of the 100 TB
+surface the Spark build adds — a small erasure writes kilobytes where
+even copy-on-write rewrites whole files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from animaltrackingetls_spark import inventory as inv
+from animaltrackingetls_spark.inventory import (
+    clone_versioned,
+    compact_versioned,
+    delete_versioned,
+    list_versions,
+    optimize_versioned,
+    read_versioned,
+    restore_versioned,
+    upsert_parquet_versioned,
+)
+
+
+def _rows(df, *cols):
+    return sorted((tuple(r) for r in df.select(*cols).collect()), key=repr)
+
+
+def _mk(spark, tmp_path, name="t", n=1000, files=4, **kw):
+    t = str(tmp_path / name)
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("g"),
+        F.col("id").cast("double").alias("x"),
+    )
+    upsert_parquet_versioned(spark, t, df, ["k"], keep_versions=10,
+                             target_files=files, **kw)
+    return t
+
+
+def _dele(spark, t, ks, **kw):
+    return delete_versioned(
+        spark, t, spark.createDataFrame([(k,) for k in ks], "k long"),
+        ["k"], keep_versions=10, **kw)
+
+
+def test_dv_delete_semantics_and_zero_rewrite(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v1 = list_versions(t)[-1]
+    files_before = set(inv._snapshot_files(t, v1).values())
+    idents_before = {(os.stat(p).st_ino, os.stat(p).st_size)
+                     for p in files_before}
+
+    _dele(spark, t, range(0, 100, 10), dv=True)
+    v2 = list_versions(t)[-1]
+    got = read_versioned(spark, t)
+    assert got.count() == 990
+    assert got.filter(F.col("k").isin(list(range(0, 100, 10)))).count() == 0
+    # zero data-file rewrites: every file of v2 shares physical
+    # identity with v1 (the whole point of merge-on-read)
+    idents_after = {
+        (os.stat(p).st_ino, os.stat(p).st_size)
+        for p in inv._snapshot_files(t, v2).values()
+    }
+    assert idents_after == idents_before
+    assert inv._dv_files(t, v2)  # the sidecar is the only new content
+    # time travel: the pre-delete snapshot still reads in full
+    assert read_versioned(spark, t, v1).count() == 1000
+    # equality with the rewrite-based delete on a twin table
+    t2 = _mk(spark, tmp_path, "twin")
+    _dele(spark, t2, range(0, 100, 10))
+    assert _rows(read_versioned(spark, t), "k", "g", "x") == \
+        _rows(read_versioned(spark, t2), "k", "g", "x")
+
+
+def test_dv_accumulates_and_writers_carry(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _dele(spark, t, [1, 2], dv=True)
+    _dele(spark, t, [3], dv=True)  # second DV unions with the first
+    assert read_versioned(spark, t).count() == 997
+
+    # a CoW upsert on a DV table: rewritten file loses its entries
+    # (rows merged DV-filtered), carried files keep theirs — deleted
+    # rows never resurrect
+    upsert_parquet_versioned(
+        spark, t,
+        spark.createDataFrame([(10, 0, 10.5), (2000, 1, 1.0)],
+                              "k long, g long, x double"),
+        ["k"], keep_versions=10, cow=True)
+    r = read_versioned(spark, t)
+    assert r.count() == 998  # 997 + 1 insert, update in place
+    assert r.filter("k in (1, 2, 3)").count() == 0
+    assert r.filter("k = 10").first().x == 10.5
+
+    # plain full-rewrite upsert drops the DV entirely (nothing carries)
+    upsert_parquet_versioned(
+        spark, t,
+        spark.createDataFrame([(2001, 1, 1.0)], "k long, g long, x double"),
+        ["k"], keep_versions=10)
+    v = list_versions(t)[-1]
+    assert not inv._dv_files(t, v)
+    assert read_versioned(spark, t).filter("k in (1,2,3)").count() == 0
+
+
+def test_dv_cdc_and_derived_diff_see_the_delete(spark, tmp_path):
+    from animaltrackingetls_spark.cdc import read_change_data
+    from animaltrackingetls_spark.operators.versioning import table_changes
+
+    t = _mk(spark, tmp_path, write_change_data=True, cow=True)
+    v1 = list_versions(t)[-1]
+    _dele(spark, t, [5, 6], dv=True)
+    v2 = list_versions(t)[-1]
+    # the derived diff runs through identity churn pruning — which must
+    # NOT treat the identically-shared files as unchanged (their DV
+    # entry sets differ)
+    d = table_changes(spark, t, ["k"], v1, v2)
+    assert _rows(d, "k", "change") == [(5, "removed"), (6, "removed")]
+    # the logged feed carries the doomed preimages
+    feed = read_change_data(spark, t, v1, v2)
+    assert _rows(feed, "k", "_change_type") == [(5, "delete"),
+                                                (6, "delete")]
+
+
+def test_dv_purged_by_rewriting_maintenance(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _dele(spark, t, [7, 8], dv=True)
+    compact_versioned(spark, t, keep_versions=10)
+    v = list_versions(t)[-1]
+    assert not inv._dv_files(t, v)  # REORG PURGE: deletes materialized
+    assert read_versioned(spark, t).count() == 998
+    _dele(spark, t, [9], dv=True)
+    optimize_versioned(spark, t, ["k"], keep_versions=10)
+    v = list_versions(t)[-1]
+    assert not inv._dv_files(t, v)
+    assert read_versioned(spark, t).count() == 997
+
+
+def test_dv_restore_and_clone_adopt_the_right_dv(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _dele(spark, t, [1], dv=True)
+    v_dv = list_versions(t)[-1]
+    _dele(spark, t, [2], dv=True)
+
+    # RESTORE to the one-delete version: exactly k=1 missing (CURRENT's
+    # larger DV must not leak into the restored snapshot)
+    restore_versioned(spark, t, v_dv, keep_versions=10)
+    r = read_versioned(spark, t)
+    assert r.count() == 999
+    assert r.filter("k = 2").count() == 1 and r.filter("k = 1").count() == 0
+
+    # CLONE of a DV-bearing snapshot carries its deletions
+    c = str(tmp_path / "clone")
+    clone_versioned(spark, t, c)
+    assert read_versioned(spark, c).count() == 999
+    assert read_versioned(spark, c).filter("k = 1").count() == 0
+
+
+def test_dv_stats_pruned_read_applies_dv(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=60_000, files=6)
+    optimize_versioned(spark, t, ["k"], target_bytes=60_000,
+                       keep_versions=10)
+    _dele(spark, t, [5, 100_000_000], dv=True)  # absent key no-ops
+    pruned = read_versioned(spark, t, predicates=[("k", "<", 100)])
+    assert pruned.count() == 99  # k=5 deleted, stats-pruned path too
+    kept, total = inv.files_scanned(t, predicates=[("k", "<", 100)])
+    assert kept < total  # skipping still works on a DV table
+
+
+def test_dv_guards(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _dele(spark, t, [1], dv=True, cow=True)
+    # bucketed tables refuse dv
+    tb = str(tmp_path / "b")
+    df = spark.range(0, 100).select(F.col("id").alias("k"),
+                                    F.col("id").cast("double").alias("x"))
+    inv.upsert_parquet_versioned_partitioned(
+        spark, tb, df, ["k"], n_buckets=4, keep_versions=10)
+    with pytest.raises(ValueError, match="plain tables only"):
+        _dele(spark, tb, [1], dv=True)
+
+
+def test_dv_null_keys_deletable(spark, tmp_path):
+    t = str(tmp_path / "t")
+    upsert_parquet_versioned(
+        spark, t,
+        spark.createDataFrame([(1, "a"), (None, "n"), (2, "b")],
+                              "k int, v string"),
+        ["k"], keep_versions=10)
+    delete_versioned(
+        spark, t, spark.createDataFrame([(None,)], "k int"), ["k"],
+        keep_versions=10, dv=True)
+    assert _rows(read_versioned(spark, t), "k", "v") == [
+        (1, "a"), (2, "b")]
+
+
+def test_dv_watermark_replay_no_op(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _dele(spark, t, [1], dv=True, txn_app_id="er", txn_version=1)
+    n_vers = len(list_versions(t))
+    _dele(spark, t, [2], dv=True, txn_app_id="er", txn_version=1)  # replay
+    assert len(list_versions(t)) == n_vers
+    assert read_versioned(spark, t).count() == 999  # k=2 NOT deleted
+
+
+def test_dv_describe_history_stamp(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _dele(spark, t, [1], dv=True)
+    ops = [r["operation"] for r in
+           inv.describe_history(spark, t).collect()]
+    assert "DELETE (dv)" in ops
+
+
+def test_dv_manifest_mode(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("x"))
+    upsert_parquet_versioned(spark, t, df, ["k"], keep_versions=10,
+                             target_files=4, cow=True,
+                             link_mode="manifest")
+    _dele(spark, t, [1, 2], dv=True)
+    assert read_versioned(spark, t).count() == 998
+    # another manifest-carried commit keeps the DV
+    upsert_parquet_versioned(
+        spark, t, spark.createDataFrame([(5000, 5.0)], "k long, x double"),
+        ["k"], keep_versions=10, cow=True)
+    r = read_versioned(spark, t)
+    assert r.count() == 999 and r.filter("k in (1,2)").count() == 0
