@@ -422,6 +422,52 @@ def _carry_dv(table_dir: str, version: str, base_version: str | None) -> None:
     os.replace(stage, os.path.join(vdir, _DV_DIR))
 
 
+def _emit_dv_version(spark, table_dir: str, current: str, vdir: str,
+                     doomed) -> None:
+    """Materialize a merge-on-read DELETE version: union the doomed
+    rows' positions (``doomed`` carries the reader's identity columns)
+    with the base's existing deletion vector, write the ``.dv/``
+    sidecar, and carry EVERY data file of ``current`` forward
+    (hardlink, or file manifest on manifest-pinned plain tables).
+    Shared by the keyed and the predicate DV deletes."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    version = os.path.basename(vdir)
+    os.makedirs(vdir, exist_ok=True)
+    ident = _dv_ident_rows(table_dir, current)
+    map_df = spark.createDataFrame(
+        ident, f"{_DV_FP_COL} string, ino long, size long"
+    )
+    new_dv = doomed.select(
+        _DV_FP_COL, F.col(_DV_RI_COL).alias("row_index")
+    ).join(F.broadcast(map_df), on=_DV_FP_COL).select(
+        "ino", "size", "row_index"
+    )
+    old_dv = _dv_files(table_dir, current)
+    if old_dv:
+        new_dv = spark.read.parquet(*old_dv).unionByName(
+            new_dv
+        ).dropDuplicates(["ino", "size", "row_index"])
+    if not new_dv.isEmpty():
+        _write_dv(spark, new_dv, vdir)
+    all_files = _snapshot_files(table_dir, current)
+    if _plain_link_mode(table_dir) == "manifest":
+        _emit_file_manifest(table_dir, version, all_files)
+    else:
+        for key in sorted(all_files):
+            src = all_files[key]
+            dst = os.path.join(vdir, os.path.basename(src))
+            if os.path.exists(dst):
+                dst = os.path.join(
+                    vdir,
+                    f"dv-{uuid.uuid4().hex[:8]}-{os.path.basename(src)}",
+                )
+            os.link(src, dst)
+
+
 def _base_gone(table_dir: str, current: str | None) -> bool:
     """The conversion gate for :func:`_base_pruned_error`: a scan-time
     file-not-found is only a CONFLICT if the base snapshot directory is
@@ -1544,36 +1590,7 @@ def delete_versioned(
                             doomed.drop(_DV_FP_COL, _DV_RI_COL)
                         ),
                     )
-                ident = _dv_ident_rows(table_dir, current)
-                map_df = spark.createDataFrame(
-                    ident, f"{_DV_FP_COL} string, ino long, size long"
-                )
-                new_dv = doomed.select(
-                    _DV_FP_COL, F.col(_DV_RI_COL).alias("row_index")
-                ).join(F.broadcast(map_df), on=_DV_FP_COL).select(
-                    "ino", "size", "row_index"
-                )
-                old_dv = _dv_files(table_dir, current)
-                if old_dv:
-                    new_dv = spark.read.parquet(*old_dv).unionByName(
-                        new_dv
-                    ).dropDuplicates(["ino", "size", "row_index"])
-                if not new_dv.isEmpty():
-                    _write_dv(spark, new_dv, vdir)
-                all_files = _snapshot_files(table_dir, current)
-                if _plain_link_mode(table_dir) == "manifest":
-                    _emit_file_manifest(table_dir, version, all_files)
-                else:
-                    for key in sorted(all_files):
-                        src = all_files[key]
-                        dst = os.path.join(vdir, os.path.basename(src))
-                        if os.path.exists(dst):
-                            dst = os.path.join(
-                                vdir,
-                                f"dv-{uuid.uuid4().hex[:8]}-"
-                                f"{os.path.basename(src)}",
-                            )
-                        os.link(src, dst)
+                _emit_dv_version(spark, table_dir, current, vdir, doomed)
             elif layout is None:
                 carry: dict[str, str] = {}
                 cow_plan = (
@@ -1714,6 +1731,7 @@ def delete_versioned_where(
     retries: int = 2,
     key_range: tuple[float, float] | None = None,
     write_change_data: bool | None = None,
+    dv: bool = False,
 ) -> DataFrame:
     """Predicate DELETE (``DELETE WHERE <condition>``) from a versioned
     table — rows matching ``condition`` (a Column or SQL string) are
@@ -1736,6 +1754,11 @@ def delete_versioned_where(
     hardlinks into the new snapshot unread. The promise is the same
     contract as Delta's ``replaceWhere`` — rows outside the hinted
     range are untouched even if the condition would match them.
+
+    ``dv=True`` (round 13, plain tables): merge-on-read — the doomed
+    positions go into the ``.dv/`` sidecar and every data file carries
+    forward unrewritten (see :func:`delete_versioned`); the probe is
+    one predicate scan of the snapshot, the write is O(deleted rows).
     """
     import math
     import os
@@ -1749,6 +1772,13 @@ def delete_versioned_where(
     cdc_log = resolve_cdc(table_dir, write_change_data)
     cond = F.expr(condition) if isinstance(condition, str) else condition
     layout = _table_layout(table_dir)
+    if dv and layout is not None:
+        raise ValueError(
+            "dv=True supports plain tables only; use key_range pruning "
+            "on bucketed tables"
+        )
+    if dv and key_range is not None:
+        raise ValueError("dv=True and key_range are mutually exclusive")
     hint_buckets: list[int] | None = None
     if key_range is not None:
         if layout is None or layout.get("scheme") != "range":
@@ -1790,49 +1820,72 @@ def delete_versioned_where(
         vdir = os.path.join(table_dir, version)
 
         try:
-            existing = _snapshot_df(spark, table_dir, current)
-            untouched: list[str] = []
-            if hint_buckets is not None:
-                existing = existing.filter(F.col(_BUCKET_COL).isin(hint_buckets))
-                untouched = [
-                    d for d in _snapshot_buckets(table_dir, current)
-                    if int(d.split("=", 1)[1]) not in set(hint_buckets)
-                ]
-            # NULL-safe NOT: rows where the predicate is NULL are KEPT (SQL
-            # DELETE semantics — only TRUE deletes)
-            remaining = existing.filter(~F.coalesce(cond, F.lit(False)))
-            if layout is None:
-                remaining.write.mode("error").parquet(vdir)
-            else:
-                if not untouched and remaining.isEmpty():
-                    # same brick guard as delete_versioned: an empty
-                    # partitioned snapshot has no data files and no schema
-                    raise ValueError(
-                        f"delete_versioned_where would remove EVERY row of "
-                        f"the bucketed table {table_dir}; refusing to publish "
-                        "an unreadable empty snapshot — drop the table "
-                        "directory instead"
+            if dv:
+                snap = _snapshot_df(spark, table_dir, current,
+                                    identity=True)
+                doomed = snap.filter(
+                    F.coalesce(cond, F.lit(False))
+                ).localCheckpoint()
+                os.makedirs(vdir, exist_ok=True)
+                if cdc_log:
+                    write_change_log(
+                        table_dir, version,
+                        delete_change_rows(
+                            doomed.drop(_DV_FP_COL, _DV_RI_COL)
+                        ),
                     )
-                n_parts = (
-                    max(1, len(hint_buckets)) if hint_buckets is not None
-                    else layout["n_buckets"]
-                )
-                (
-                    remaining.repartition(n_parts, F.col(_BUCKET_COL))
-                    .write.mode("error")
-                    .partitionBy(_BUCKET_COL)
-                    .parquet(vdir)
-                )
-            if cdc_log:
-                # the doomed rows are the predicate's TRUE matches over
-                # the same (possibly bucket-hinted) slice the rewrite
-                # read — replaceWhere semantics carry into the feed
-                doomed = existing.filter(F.coalesce(cond, F.lit(False)))
-                if _BUCKET_COL in doomed.columns:
-                    doomed = doomed.drop(_BUCKET_COL)
-                write_change_log(table_dir, version,
-                                 delete_change_rows(doomed))
-            _emit_untouched(table_dir, current, vdir, untouched, layout)
+                _emit_dv_version(spark, table_dir, current, vdir, doomed)
+            else:
+                existing = _snapshot_df(spark, table_dir, current)
+                untouched: list[str] = []
+                if hint_buckets is not None:
+                    existing = existing.filter(
+                        F.col(_BUCKET_COL).isin(hint_buckets)
+                    )
+                    untouched = [
+                        d for d in _snapshot_buckets(table_dir, current)
+                        if int(d.split("=", 1)[1]) not in set(hint_buckets)
+                    ]
+                # NULL-safe NOT: rows where the predicate is NULL are
+                # KEPT (SQL DELETE semantics — only TRUE deletes)
+                remaining = existing.filter(~F.coalesce(cond, F.lit(False)))
+                if layout is None:
+                    remaining.write.mode("error").parquet(vdir)
+                else:
+                    if not untouched and remaining.isEmpty():
+                        # same brick guard as delete_versioned: an empty
+                        # partitioned snapshot has no data files and no
+                        # schema
+                        raise ValueError(
+                            f"delete_versioned_where would remove EVERY "
+                            f"row of the bucketed table {table_dir}; "
+                            "refusing to publish an unreadable empty "
+                            "snapshot — drop the table directory instead"
+                        )
+                    n_parts = (
+                        max(1, len(hint_buckets))
+                        if hint_buckets is not None
+                        else layout["n_buckets"]
+                    )
+                    (
+                        remaining.repartition(
+                            n_parts, F.col(_BUCKET_COL)
+                        )
+                        .write.mode("error")
+                        .partitionBy(_BUCKET_COL)
+                        .parquet(vdir)
+                    )
+                if cdc_log:
+                    # the doomed rows are the predicate's TRUE matches
+                    # over the same (possibly bucket-hinted) slice the
+                    # rewrite read — replaceWhere semantics carry into
+                    # the feed
+                    doomed = existing.filter(F.coalesce(cond, F.lit(False)))
+                    if _BUCKET_COL in doomed.columns:
+                        doomed = doomed.drop(_BUCKET_COL)
+                    write_change_log(table_dir, version,
+                                     delete_change_rows(doomed))
+                _emit_untouched(table_dir, current, vdir, untouched, layout)
         except ValueError:
             raise  # the empty-snapshot brick guard, not a scan failure
         except Exception as err:
@@ -1853,7 +1906,8 @@ def delete_versioned_where(
         try:
             _publish_version(table_dir, version, marks, keep_versions,
                              expected_base=current,
-                             operation="DELETE WHERE")
+                             operation="DELETE WHERE (dv)" if dv
+                             else "DELETE WHERE")
             return read_versioned(spark, table_dir)
         except ConcurrentWriteError as err:
             shutil.rmtree(vdir, ignore_errors=True)

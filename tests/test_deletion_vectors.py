@@ -234,3 +234,55 @@ def test_dv_manifest_mode(spark, tmp_path):
         ["k"], keep_versions=10, cow=True)
     r = read_versioned(spark, t)
     assert r.count() == 999 and r.filter("k in (1,2)").count() == 0
+
+
+def test_dv_delete_where(spark, tmp_path):
+    """Predicate DV delete: SQL DELETE semantics (NULL predicate rows
+    kept), equality with the rewrite form, CDC visibility, retention
+    shape (DELETE WHERE ts < cutoff as a zero-rewrite commit)."""
+    from animaltrackingetls_spark.cdc import read_change_data
+    from animaltrackingetls_spark.inventory import delete_versioned_where
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id").cast("double")).alias("x"),
+    )
+    upsert_parquet_versioned(spark, t, df, ["k"], keep_versions=10,
+                             target_files=4, write_change_data=True)
+    v1 = list_versions(t)[-1]
+    files_before = {
+        (os.stat(p).st_ino, os.stat(p).st_size)
+        for p in inv._snapshot_files(t, v1).values()
+    }
+    delete_versioned_where(spark, t, "x < 100", keep_versions=10, dv=True)
+    v2 = list_versions(t)[-1]
+    got = read_versioned(spark, t)
+    # x < 100 is NULL for the NULL-x rows -> they are KEPT
+    assert got.count() == 1000 - 90  # 99 matched minus 9 NULL-skipped
+    assert got.filter("x < 100").count() == 0
+    assert got.filter("x is null").count() == 100
+    # zero rewrites
+    assert {
+        (os.stat(p).st_ino, os.stat(p).st_size)
+        for p in inv._snapshot_files(t, v2).values()
+    } == files_before
+    # CDC logged the doomed preimages
+    feed = read_change_data(spark, t, v1, v2)
+    assert feed.count() == 90
+    assert set(r[0] for r in feed.select("_change_type").distinct()
+               .collect()) == {"delete"}
+    # equality with the rewrite form on a twin
+    t2 = str(tmp_path / "t2")
+    upsert_parquet_versioned(spark, t2, df, ["k"], keep_versions=10,
+                             target_files=4)
+    delete_versioned_where(spark, t2, "x < 100", keep_versions=10)
+    assert _rows(read_versioned(spark, t), "k", "x") == \
+        _rows(read_versioned(spark, t2), "k", "x")
+    # guards
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        delete_versioned_where(spark, t, "x < 0", dv=True,
+                               key_range=(0, 1))
+    ops = [r["operation"] for r in inv.describe_history(spark, t).collect()]
+    assert "DELETE WHERE (dv)" in ops
