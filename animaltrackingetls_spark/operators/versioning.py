@@ -1179,6 +1179,7 @@ def maintain_aggregate_once(
     app_id: str = "ivm",
     dest_keep_versions: int = 2,
     minmax_cols: list[str] | None = None,
+    var_cols: list[str] | None = None,
 ) -> dict:
     """Incremental MATERIALIZED-VIEW maintenance over the logged change
     feed (round 12): keep ``dest_dir`` equal to
@@ -1244,6 +1245,15 @@ def maintain_aggregate_once(
     falls back to one full recompute (``merge_schema``) and is
     incremental again from the next poll.
 
+    **Variance columns** (``var_cols``, round 13): maintain
+    ``n_<c>, sum_<c>, sumsq_<c>`` — sum of squares is as
+    delta-maintainable as sum (+v² on insert, −v² on delete), so
+    variance/stddev derive downstream as
+    ``(sumsq − sum²/n) / (n−1)`` with zero rescan cost. The classic
+    sum-of-squares numerical caveat applies (catastrophic cancellation
+    when the mean dwarfs the spread); for ill-conditioned data
+    recompute variance from a snapshot scan instead.
+
     Returns ``{"applied": bool, "to_version": str, "groups_touched":
     n, "groups_deleted": n, "source": "bootstrap"|"logged"|
     "recomputed"}``.
@@ -1259,10 +1269,18 @@ def maintain_aggregate_once(
 
     sum_cols = list(sum_cols or [])
     minmax_cols = list(minmax_cols or [])
+    var_cols = list(var_cols or [])
+    # a variance column needs the sum machinery too: fold var_cols
+    # into the summed set (deduped, order preserved)
+    sum_cols = list(dict.fromkeys([*sum_cols, *var_cols]))
     agg_exprs = [F.count(F.lit(1)).alias("n_rows")]
     for c in sum_cols:
         agg_exprs += [F.count(c).alias(f"n_{c}"),
                       F.sum(c).alias(f"sum_{c}")]
+    for c in var_cols:
+        agg_exprs.append(
+            F.sum(F.col(c) * F.col(c)).alias(f"sumsq_{c}")
+        )
     for c in minmax_cols:
         agg_exprs += [F.min(c).alias(f"min_{c}"),
                       F.max(c).alias(f"max_{c}")]
@@ -1339,6 +1357,7 @@ def maintain_aggregate_once(
         expected = {"n_rows"}
         expected |= {f"n_{c}" for c in sum_cols}
         expected |= {f"sum_{c}" for c in sum_cols}
+        expected |= {f"sumsq_{c}" for c in var_cols}
         expected |= {f"min_{c}" for c in minmax_cols}
         expected |= {f"max_{c}" for c in minmax_cols}
         try:
@@ -1396,7 +1415,7 @@ def maintain_aggregate_once(
         spark, dest_dir, feed, group_cols, sum_cols,
         app_id=app_id, seq=seq, keep_versions=dest_keep_versions,
         minmax_cols=minmax_cols, source_dir=source_dir,
-        source_version=target,
+        source_version=target, var_cols=var_cols,
     )
     advance()
     return {"applied": True, "to_version": target,
@@ -1416,6 +1435,7 @@ def _apply_aggregate_delta(
     minmax_cols: list[str] | None = None,
     source_dir: str | None = None,
     source_version: str | None = None,
+    var_cols: list[str] | None = None,
 ) -> tuple[int, int]:
     """Apply one window of change rows to the materialized aggregate
     as SIGNED DELTAS (see :func:`maintain_aggregate_once` for the
@@ -1444,11 +1464,13 @@ def _apply_aggregate_delta(
     )
 
     minmax_cols = list(minmax_cols or [])
+    var_cols = list(var_cols or [])
+    sum_cols = list(dict.fromkeys([*sum_cols, *var_cols]))
     sign = F.when(
         F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"),
         F.lit(1),
     ).otherwise(F.lit(-1))
-    val_cols = list(dict.fromkeys([*sum_cols, *minmax_cols]))
+    val_cols = list(dict.fromkeys([*sum_cols, *minmax_cols, *var_cols]))
     signed = feed.select(
         *group_cols, sign.alias("_sign"),
         *[F.col(c).alias(f"_v_{c}") for c in val_cols],
@@ -1462,6 +1484,12 @@ def _apply_aggregate_delta(
             ).alias(f"_d_n_{c}"),
             F.sum(F.col("_sign") * F.col(f"_v_{c}")).alias(f"_d_{c}"),
         ]
+    for c in var_cols:
+        delta_aggs.append(
+            F.sum(
+                F.col("_sign") * F.col(f"_v_{c}") * F.col(f"_v_{c}")
+            ).alias(f"_d_sq_{c}")
+        )
     ins_v = lambda c: F.when(F.col("_sign") == 1, F.col(f"_v_{c}"))  # noqa: E731
     del_v = lambda c: F.when(F.col("_sign") == -1, F.col(f"_v_{c}"))  # noqa: E731
     for c in minmax_cols:
@@ -1491,6 +1519,11 @@ def _apply_aggregate_delta(
         for c in sum_cols:
             agg_exprs += [F.count(f"_v_{c}").alias(f"n_{c}"),
                           F.sum(f"_v_{c}").alias(f"sum_{c}")]
+        for c in var_cols:
+            agg_exprs.append(
+                F.sum(F.col(f"_v_{c}") * F.col(f"_v_{c}"))
+                .alias(f"sumsq_{c}")
+            )
         for c in minmax_cols:
             agg_exprs += [F.min(f"_v_{c}").alias(f"min_{c}"),
                           F.max(f"_v_{c}").alias(f"max_{c}")]
@@ -1535,6 +1568,18 @@ def _apply_aggregate_delta(
             # sum over zero non-null values is NULL, as in the full agg
             F.when(nn > 0, total).otherwise(F.lit(None)).alias(f"sum_{c}"),
         ]
+    for c in var_cols:
+        nn = (
+            F.coalesce(F.col(f"a.n_{c}"), F.lit(0))
+            + F.coalesce(F.col(f"d._d_n_{c}"), F.lit(0))
+        )
+        sq = (
+            F.coalesce(F.col(f"a.sumsq_{c}"), F.lit(0))
+            + F.coalesce(F.col(f"d._d_sq_{c}"), F.lit(0))
+        )
+        new_sums.append(
+            F.when(nn > 0, sq).otherwise(F.lit(None)).alias(f"sumsq_{c}")
+        )
     new_mm = []
     rescan_cond = F.lit(False)
     for c in minmax_cols:
@@ -1577,7 +1622,7 @@ def _apply_aggregate_delta(
         else:
             rescanned = _rescan_groups(
                 spark, source_dir, source_version, rescan_keys,
-                group_cols, sum_cols, minmax_cols,
+                group_cols, sum_cols, minmax_cols, var_cols,
             ).localCheckpoint()
     if rescan_keys is None:
         out = out.drop("_rescan")
@@ -1599,7 +1644,8 @@ def _apply_aggregate_delta(
     tgt = {f.name: f.dataType.simpleString()
            for f in cur_view.schema.fields}
     wanted = [f"min_{c}" for c in minmax_cols] + \
-        [f"max_{c}" for c in minmax_cols]
+        [f"max_{c}" for c in minmax_cols] + \
+        [f"sumsq_{c}" for c in var_cols]
     if any(w not in tgt for w in wanted):
         raise ValueError(
             f"view {dest_dir!r} predates minmax_cols={minmax_cols} — "
@@ -1612,6 +1658,11 @@ def _apply_aggregate_delta(
             F.col(f"n_{c}").cast(tgt[f"n_{c}"]).alias(f"n_{c}"),
             F.col(f"sum_{c}").cast(tgt[f"sum_{c}"]).alias(f"sum_{c}"),
         ]
+    for c in var_cols:
+        casts.append(
+            F.col(f"sumsq_{c}").cast(tgt[f"sumsq_{c}"])
+            .alias(f"sumsq_{c}")
+        )
     for c in minmax_cols:
         casts += [
             F.col(f"min_{c}").cast(tgt[f"min_{c}"]).alias(f"min_{c}"),
@@ -1654,7 +1705,7 @@ _RESCAN_IN_MAX = 256
 
 
 def _rescan_groups(spark, source_dir, source_version, rescan_keys,
-                   group_cols, sum_cols, minmax_cols):
+                   group_cols, sum_cols, minmax_cols, var_cols=()):
     """Recompute the FULL aggregate row for the flagged groups from
     the window-end snapshot: O(affected groups' rows) aggregation, a
     stats-pruned read when the flagged set is small and single-column.
@@ -1687,6 +1738,10 @@ def _rescan_groups(spark, source_dir, source_version, rescan_keys,
     for c in sum_cols:
         agg_exprs += [F.count(c).alias(f"n_{c}"),
                       F.sum(c).alias(f"sum_{c}")]
+    for c in var_cols:
+        agg_exprs.append(
+            F.sum(F.col(c) * F.col(c)).alias(f"sumsq_{c}")
+        )
     for c in minmax_cols:
         agg_exprs += [F.min(c).alias(f"min_{c}"),
                       F.max(c).alias(f"max_{c}")]

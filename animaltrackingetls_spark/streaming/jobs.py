@@ -1308,6 +1308,7 @@ def run_aggregate_maintenance(
     timeout_seconds: int = 180,
     minmax_cols: list[str] | None = None,
     transport: str = "paths",
+    var_cols: list[str] | None = None,
 ) -> None:
     """Materialized-view maintenance as ONE Structured Streaming query
     (round 12): the CDC-pinned source's change feed streams in through
@@ -1348,6 +1349,7 @@ def run_aggregate_maintenance(
 
     scols = list(sum_cols or [])
     mmcols = list(minmax_cols or [])
+    vcols = list(var_cols or [])
     stream = read_changes_stream(spark, source_dir, starting=starting,
                                  transport=transport)
 
@@ -1369,7 +1371,7 @@ def run_aggregate_maintenance(
             scols, app_id=app_id, seq=batch_id,
             keep_versions=dest_keep_versions,
             minmax_cols=mmcols, source_dir=source_dir,
-            source_version=src_version,
+            source_version=src_version, var_cols=vcols,
         )
 
     q = (

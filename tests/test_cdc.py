@@ -1465,3 +1465,85 @@ def test_replication_evolves_dest_schema(spark, tmp_path):
     want = _rows(read_versioned(spark, src), "k", "v", "v2")
     assert got == want
     assert got == [(1, "a", None), (2, "B", 20.0), (3, "c", 30.0)]
+
+
+def test_ivm_variance_maintenance(spark, tmp_path):
+    """Round-13 var_cols: sum of squares is delta-maintainable, so the
+    view carries n/sum/sumsq per variance column and stddev derives
+    downstream with no rescan. Pinned equal to the full recompute
+    through updates, deletes, NULL values, group emptying, and a
+    min/max-triggered rescan (which recomputes sumsq absolutely)."""
+    from animaltrackingetls_spark.operators.versioning import (
+        maintain_aggregate_once,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    cur = str(tmp_path / "cursor")
+
+    def up(rows):
+        upsert_parquet_versioned(
+            spark, src, spark.createDataFrame(rows, "k long, g string, x double"),
+            ["k"], keep_versions=20, write_change_data=True, cow=True,
+        )
+
+    def dele(ks):
+        delete_versioned(spark, src, spark.createDataFrame(
+            [(k,) for k in ks], "k long"), ["k"], keep_versions=20,
+            cow=True)
+
+    def full():
+        return _rows(
+            read_versioned(spark, src).groupBy("g").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("x").alias("n_x"),
+                F.sum("x").alias("sum_x"),
+                F.sum(F.col("x") * F.col("x")).alias("sumsq_x"),
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+            ), "g", "n_rows", "n_x", "sum_x", "sumsq_x",
+            "min_x", "max_x")
+
+    def materialized():
+        return _rows(read_versioned(spark, view),
+                     "g", "n_rows", "n_x", "sum_x", "sumsq_x",
+                     "min_x", "max_x")
+
+    def poll():
+        return maintain_aggregate_once(
+            spark, src, view, cur, ["g"], var_cols=["x"],
+            minmax_cols=["x"],
+        )
+
+    up([(1, "a", 1.0), (2, "a", 3.0), (3, "b", 2.0), (4, "z", None)])
+    assert poll()["source"] == "bootstrap"
+    assert materialized() == full()
+
+    up([(5, "a", 5.0), (1, "a", 2.0)])  # insert + interior update
+    r = poll()
+    assert r["source"] == "logged"
+    assert materialized() == full()
+
+    dele([2])  # interior delete: -v, -v^2, no rescan needed for sumsq
+    poll()
+    assert materialized() == full()
+
+    dele([5])  # extremum delete -> rescan; sumsq recomputed absolutely
+    poll()
+    assert materialized() == full()
+
+    dele([3])  # group 'b' empties
+    poll()
+    assert materialized() == full()
+    assert "b" not in {row.g for row in read_versioned(spark, view).collect()}
+
+    # variance derives: sample stddev of group 'a' matches Spark's
+    import math
+
+    up([(10, "a", 4.0), (11, "a", 7.0)])  # n back above 1
+    poll()
+    assert materialized() == full()
+    row = {r.g: r for r in read_versioned(spark, view).collect()}["a"]
+    var = (row.sumsq_x - row.sum_x ** 2 / row.n_x) / (row.n_x - 1)
+    want = read_versioned(spark, src).filter("g = 'a'").agg(
+        F.stddev("x")).first()[0]
+    assert abs(math.sqrt(var) - want) < 1e-9
