@@ -329,3 +329,43 @@ def test_dv_source_drives_cdc_pump_and_replication(spark, tmp_path):
     run_changes_replication(spark, src, dst2, ck, ["k"])
     assert _rows(read_versioned(spark, dst2), "k", "v") == \
         _rows(read_versioned(spark, src), "k", "v")
+
+
+def test_row_index_stable_under_rowgroup_skipping(spark, tmp_path):
+    """The DV foundation: ``_metadata.row_index`` must report the same
+    per-file physical position whether or not predicate pushdown skips
+    row groups — otherwise a selective read over a DV table would
+    anti-join the wrong rows. Pinned on a many-row-group file with a
+    filter that provably skips the leading groups."""
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "f")
+    (
+        spark.range(0, 200_000)
+        .select(F.col("id"), F.md5(F.col("id").cast("string")).alias("pad"))
+        .coalesce(1).write.option("parquet.block.size", 64 * 1024)
+        .parquet(p)
+    )
+    f = [os.path.join(p, x) for x in os.listdir(p)
+         if x.startswith("part-")][0]
+    assert pq.ParquetFile(f).metadata.num_row_groups > 10
+    full = {
+        r.id: r.ri for r in spark.read.parquet(p)
+        .select("id", F.col("_metadata.row_index").alias("ri")).collect()
+    }
+    sel = (
+        spark.read.parquet(p).filter("id >= 190000")
+        .select("id", F.col("_metadata.row_index").alias("ri")).collect()
+    )
+    assert len(sel) == 10_000
+    assert all(full[r.id] == r.ri for r in sel)
+
+    # and end to end: a DV delete stays exact under a selective read
+    t = str(tmp_path / "t")
+    df = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("x"))
+    upsert_parquet_versioned(spark, t, df, ["k"], keep_versions=5,
+                             target_files=3)
+    _dele(spark, t, [49_999, 49_998], dv=True)
+    got = read_versioned(spark, t).filter("k >= 49990")
+    assert got.count() == 8
