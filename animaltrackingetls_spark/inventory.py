@@ -3872,7 +3872,9 @@ def describe_history(spark: SparkSession, table_dir: str) -> DataFrame:
     OPTIMIZE (cols) / RESTORE v / CLONE src / GROUP *), the commit
     timestamp, physical file count and bytes (manifest-resolved),
     the number of logged CDC change files (NULL = unlogged commit),
-    the replay-watermark map as JSON, and whether the row is CURRENT.
+    the snapshot's DELETION-VECTOR row count (0 = no DV; from the
+    sidecar footers, round 13), the replay-watermark map as JSON, and
+    whether the row is CURRENT.
 
     Driver-side by design: history depth is bounded by
     ``keep_versions`` (a handful of rows), every column comes from
@@ -3899,11 +3901,19 @@ def describe_history(spark: SparkSession, table_dir: str) -> DataFrame:
             op = None
         files = _snapshot_files(table_dir, v)
         logged = _change_log(table_dir, v)
+        dv_rows = 0
+        dvf = _dv_files(table_dir, v)
+        if dvf:
+            import pyarrow.parquet as _pq
+
+            dv_rows = sum(_pq.ParquetFile(p).metadata.num_rows
+                          for p in dvf)
         rows.append((
             v, int(v.split("-")[1]), op, float(ts[v]),
             len(files),
             sum(os.path.getsize(p) for p in files.values()),
             None if logged is None else len(logged),
+            dv_rows,
             json.dumps(_txn_marks_of(table_dir, v), sort_keys=True),
             v == current,
         ))
@@ -3911,7 +3921,7 @@ def describe_history(spark: SparkSession, table_dir: str) -> DataFrame:
         rows[::-1],
         "version string, seq long, operation string, "
         "committed_at double, n_files long, size_bytes long, "
-        "cdc_change_files long, txn_watermarks string, "
+        "cdc_change_files long, dv_rows long, txn_watermarks string, "
         "is_current boolean",
     )
 

@@ -213,10 +213,13 @@ def test_dv_watermark_replay_no_op(spark, tmp_path):
 
 def test_dv_describe_history_stamp(spark, tmp_path):
     t = _mk(spark, tmp_path)
-    _dele(spark, t, [1], dv=True)
-    ops = [r["operation"] for r in
-           inv.describe_history(spark, t).collect()]
+    _dele(spark, t, [1, 2, 3], dv=True)
+    hist = inv.describe_history(spark, t).collect()
+    ops = [r["operation"] for r in hist]
     assert "DELETE (dv)" in ops
+    by_op = {r["operation"]: r for r in hist}
+    assert by_op["DELETE (dv)"]["dv_rows"] == 3
+    assert by_op["MERGE"]["dv_rows"] == 0
 
 
 def test_dv_manifest_mode(spark, tmp_path):
