@@ -2123,7 +2123,13 @@ def _q_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays insert/update_preimage/update_postimage from the
     same pure derivations, putting the write-time change-data capture
     (classification + payload content) under the driver's hash gate in
-    the same slot."""
+    the same slot.
+
+    Round 14 (r13 verdict #6): the round-13 IVM fold moved OUT to its
+    own ``ivm_view`` entry — this query is frozen at its r12 scope so
+    its bench median is round-over-round comparable again; new
+    versioned-layer certification lands as new entries
+    (ivm_view, dv_delete), each with its own CORRECTNESS row."""
     import hashlib
     import os
     import tempfile
@@ -2185,31 +2191,34 @@ def _q_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("old_digest"),
         F.expr("right(text, 3)").alias("new_digest"),
     )
-    ivm = _ivm_view_rows(spark, sf_dir)
     return (
-        diff.unionByName(readout).unionByName(logged).unionByName(ivm)
+        diff.unionByName(readout).unionByName(logged)
         .orderBy("change", "doc_id")
     )
 
 
-def _ivm_view_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round 13 (r12 verdict task #2): the incremental materialized
-    view under the DRIVER'S oracle. A second versioned table
-    (orders-derived: key=o_orderkey, g=o_custkey%503,
-    x=o_totalprice) is CDC-pinned and maintained through
+def _q_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incrementally maintained materialized view under the
+    driver's oracle as its OWN entry (round 14, r13 verdict #6: the
+    r13 form was folded into versioned_cdf, which made that bench
+    entry structurally incomparable round over round). A versioned
+    source table (orders-derived: key=o_orderkey, g=o_custkey%503,
+    x=o_totalprice%1000) is CDC-pinned and maintained through
     ``maintain_aggregate_once`` polls — bootstrap aggregate, then one
     logged window spanning an insert+update commit AND a 10%-delete
-    commit, which exercises the min/max AFFECTED-GROUP RESCAN (the
-    deletes remove group extrema). The final view (count / non-null
-    count / sum / min / max per group) is encoded into versioned_cdf's
-    4-column row shape as 'ivm' rows; DuckDB recomputes the same
-    aggregate over the final snapshot derivation (base = %10<8, plus
-    %10==8 inserts, %100==0 updated to x+100, minus %10==7 deletes) —
-    so the hash row certifies the IVM delta algebra + rescan against a
-    full independent recompute. Decimal(18,2) string casts keep the
-    float rendering cross-engine-exact (o_totalprice is 2-decimal).
-    Fixed txn ids + a cursor alongside the cached table make replays
-    watermark/idle no-ops, exactly like the cdf table itself."""
+    commit (merge-on-read, deletion vectors), which exercises the
+    min/max AFFECTED-GROUP RESCAN (the deletes remove group extrema).
+    Round 14 adds ``var_cols``: the view now also maintains
+    ``sumsq_x`` by signed x² deltas, and the oracle recomputes
+    SUM(x*x) independently — closing r13 verdict #5 (variance was
+    pytest-only). x is folded mod 1000 so the sumsq magnitudes leave
+    ~7 digits of float headroom above the 2-decimal rendering (a
+    delta-maintained double and a single-pass recompute differ by
+    accumulation order). DuckDB recomputes the whole view from the
+    final snapshot derivation: base = %10<8, plus %10==8 inserts,
+    %100==0 updated to x+100, minus %10==7 deletes. Fixed txn ids +
+    the cursor make replays watermark/idle no-ops, so the cached
+    table cannot drift."""
     import hashlib
     import os
     import tempfile
@@ -2226,7 +2235,7 @@ def _ivm_view_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders_file = os.path.join(sf_dir, "orders.parquet")
     st = os.stat(orders_file)
     key = hashlib.md5(
-        f"{orders_file}:{st.st_mtime_ns}:{st.st_size}:ivm1".encode()
+        f"{orders_file}:{st.st_mtime_ns}:{st.st_size}:ivm2".encode()
     ).hexdigest()[:16]
     src = os.path.join(tempfile.gettempdir(), f"spark_graft_ivm_{key}")
     view, cursor = src + "_view", src + "_cursor"
@@ -2234,13 +2243,13 @@ def _ivm_view_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         (F.col("o_custkey") % 503).cast("long").alias("g"),
-        F.col("o_totalprice").alias("x"),
+        (F.col("o_totalprice") % 1000).alias("x"),
     )
 
     def poll():
         return maintain_aggregate_once(
             spark, src, view, cursor, ["g"], sum_cols=["x"],
-            minmax_cols=["x"], dest_keep_versions=3,
+            minmax_cols=["x"], var_cols=["x"], dest_keep_versions=3,
         )
 
     upsert_parquet_versioned(
@@ -2260,11 +2269,6 @@ def _ivm_view_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, batch, ["k"], keep_versions=5,
         txn_app_id="ivmsrc", txn_version=1, cow=True,
     )
-    # the delete is MERGE-ON-READ (round-13 deletion vectors): no data
-    # file rewrites — the commit publishes a .dv sidecar the readers
-    # anti-join, so this one hash row also certifies DV delete
-    # semantics end-to-end (the CDC log of the DV commit feeds the
-    # poll; the min/max rescan reads the DV-filtered pinned snapshot)
     delete_versioned(
         spark, src, orders.filter(F.col("k") % 10 == 7).select("k"),
         ["k"], keep_versions=5, dv=True,
@@ -2274,17 +2278,87 @@ def _ivm_view_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dec = lambda c: F.col(c).cast("decimal(18,2)").cast("string")  # noqa: E731
     return read_versioned(spark, view).select(
-        F.col("g").alias("doc_id"),
-        F.lit("ivm").alias("change"),
-        F.concat_ws(
-            "|", F.col("n_rows").cast("string"),
-            F.col("n_x").cast("string"),
-        ).alias("old_digest"),
-        F.concat_ws(
-            "|", F.round(F.col("sum_x"), 2).cast("decimal(18,2)")
-            .cast("string"), dec("min_x"), dec("max_x"),
-        ).alias("new_digest"),
+        "g",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_x").cast("long").alias("n_x"),
+        F.round(F.col("sum_x"), 2).cast("decimal(18,2)").cast("string")
+        .alias("sum_x_s"),
+        dec("min_x").alias("min_x_s"),
+        dec("max_x").alias("max_x_s"),
+        F.round(F.col("sumsq_x"), 2).cast("decimal(18,2)").cast("string")
+        .alias("sumsq_x_s"),
+    ).orderBy("g")
+
+
+def _q_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors under the driver's oracle as their OWN entry
+    (round 14): a versioned documents-derived table takes a
+    merge-on-read DELETE (doc_id%11==3 — a .dv sidecar, zero data-file
+    rewrites), then a merge-on-read UPDATE (``dv=True`` upsert:
+    doc_id%13==1 gets text||' m14'; keys that were DV-deleted AND
+    match %13==1 RE-INSERT through the union'd DV — the scoped
+    anti-join must show only the new row), then a REORG PURGE
+    materializes the deletes away. Two row-kinds read the same final
+    state before ('mor') and after ('purged') the purge, so one hash
+    row certifies: DV delete semantics, MoR update semantics,
+    re-insert-after-DV-delete, the file-scoped anti-join read, and
+    purge content-neutrality. DuckDB replays the final state from the
+    pure derivation. Fixed txn ids make replays no-ops; the purge
+    no-ops once no DV remains, so the cached table is stable."""
+    import hashlib
+    import os
+    import tempfile
+
+    from animaltrackingetls_spark.inventory import (
+        delete_versioned,
+        read_versioned,
+        reorg_purge_versioned,
+        upsert_parquet_versioned,
     )
+
+    docs_file = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(docs_file)
+    key = hashlib.md5(
+        f"{docs_file}:{st.st_mtime_ns}:{st.st_size}:dv1".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(tempfile.gettempdir(), f"spark_graft_dv_{key}")
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    upsert_parquet_versioned(
+        spark, table, docs, ["doc_id"], keep_versions=4,
+        txn_app_id="dvq", txn_version=0, target_files=4,
+    )
+    delete_versioned(
+        spark, table, docs.filter(F.col("doc_id") % 11 == 3)
+        .select("doc_id"), ["doc_id"], keep_versions=4, dv=True,
+        txn_app_id="dvq#d", txn_version=1,
+    )
+    upsert_parquet_versioned(
+        spark, table,
+        docs.filter(F.col("doc_id") % 13 == 1).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" m14"))
+        ),
+        ["doc_id"], keep_versions=4, dv=True,
+        txn_app_id="dvq", txn_version=2,
+    )
+
+    def kind(tag):
+        return read_versioned(spark, table).select(
+            "doc_id",
+            F.lit(tag).alias("kind"),
+            "lang",
+            F.expr("right(text, 4)").alias("tail"),
+        )
+
+    mor = kind("mor")
+    # force the pre-purge read to materialize BEFORE the purge commit
+    # lands (DataFrames are lazy; both kinds must not read the same
+    # final version)
+    mor = mor.localCheckpoint()
+    reorg_purge_versioned(spark, table, keep_versions=4)
+    return mor.unionByName(kind("purged")).orderBy("kind", "doc_id")
 
 
 def _q_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3056,10 +3130,18 @@ def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness gate compares the leading DRIVER_WINDOW
-# entries of queries() against oracle_sql() (CORRECTNESS_r08: exactly
-# 50 rows). The first DRIVER_WINDOW entries below are all oracle-backed
-# so no slot is wasted; oracle-backed queries PAST the window are
-# hash-compared every suite run by tests/test_entry_oracles.py instead.
+# entries of queries() against oracle_sql(), HARD-CAPPED at 50: round
+# 8's tree registered a 54-entry contiguous oracle-backed prefix and
+# CORRECTNESS_r08 recorded exactly the first 50. The first
+# DRIVER_WINDOW entries below are all oracle-backed so no slot is
+# wasted; oracle-backed queries PAST the window are hash-compared
+# every suite run by tests/test_entry_oracles.py instead (same
+# compare, sf0.001). Round 14: ivm_view + dv_delete joined the window
+# per the r13 verdict (#6 — new certification gets its own rows),
+# displacing quota_shuffle + proximity_pairs to the pytest gate; the
+# verdict's literal ">=52 CORRECTNESS rows" is unreachable under the
+# driver's cap, so the intent (own rows for the new versioned-layer
+# entries, versioned_cdf comparable again) is what landed.
 DRIVER_WINDOW = 50
 
 
@@ -3439,6 +3521,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # panel), freeing this slot for versioned_cdf — the round-10
         # versioned-table layer's end-to-end oracle query.
         "versioned_cdf": _q_versioned_cdf,
+        # round 14 (r13 verdict #6): versioned-layer certification now
+        # lands as its OWN entries instead of folding into
+        # versioned_cdf — the window grows instead of one bench entry
+        # absorbing unbounded scope.
+        "ivm_view": _q_ivm_view,
+        "dv_delete": _q_dv_delete,
         "window_topn": _q_window_topn,
         "rollup_cube_orders": _q_rollup_cube_orders,
         "mask_union_counts": _q_mask_union_counts,
@@ -5437,36 +5525,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'log:update_preimage' AS change,
                    lang AS old_digest, right(text, 3) AS new_digest
             FROM documents WHERE doc_id % 7 != 1 AND doc_id % 5 = 0
-            UNION ALL
-            -- round 13: the INCREMENTALLY MAINTAINED view (count /
-            -- non-null count / sum / min / max per g), recomputed here
-            -- as a full aggregate over the final snapshot derivation:
-            -- base %10<8, + %10==8 inserts, %100==0 updated to x+100,
-            -- - %10==7 deletes. Matching this hash certifies the
-            -- signed-delta algebra AND the min/max affected-group
-            -- rescan (the delete commit removes group extrema).
-            SELECT g AS doc_id, 'ivm' AS change,
-                   CAST(n_rows AS VARCHAR) || '|'
-                     || CAST(n_x AS VARCHAR) AS old_digest,
+            ORDER BY change, doc_id
+        """,
+        # ivm_view (round 14): the incrementally maintained view
+        # (count / non-null count / sum / min / max / sumsq per g),
+        # recomputed as ONE full aggregate over the final snapshot
+        # derivation: base %10<8, + %10==8 inserts, %100==0 updated to
+        # x+100, - %10==7 deletes (merge-on-read). Matching this hash
+        # certifies the signed-delta algebra, the min/max
+        # affected-group rescan (the delete removes group extrema),
+        # AND the sumsq (variance) delta algebra — r13 verdict #5.
+        # x = o_totalprice % 1000 keeps SUM(x*x) small enough that the
+        # 2-decimal rendering is safe across accumulation orders.
+        "ivm_view": """
+            SELECT g, n_rows, n_x,
                    CAST(CAST(ROUND(sum_x, 2) AS DECIMAL(18,2)) AS VARCHAR)
-                     || '|'
-                     || CAST(CAST(min_x AS DECIMAL(18,2)) AS VARCHAR)
-                     || '|'
-                     || CAST(CAST(max_x AS DECIMAL(18,2)) AS VARCHAR)
-                     AS new_digest
+                     AS sum_x_s,
+                   CAST(CAST(min_x AS DECIMAL(18,2)) AS VARCHAR)
+                     AS min_x_s,
+                   CAST(CAST(max_x AS DECIMAL(18,2)) AS VARCHAR)
+                     AS max_x_s,
+                   CAST(CAST(ROUND(sumsq_x, 2) AS DECIMAL(18,2)) AS VARCHAR)
+                     AS sumsq_x_s
             FROM (
               SELECT CAST(o_custkey % 503 AS BIGINT) AS g,
                      COUNT(*) AS n_rows, COUNT(x) AS n_x,
-                     SUM(x) AS sum_x, MIN(x) AS min_x, MAX(x) AS max_x
+                     SUM(x) AS sum_x, MIN(x) AS min_x, MAX(x) AS max_x,
+                     SUM(x * x) AS sumsq_x
               FROM (
                 SELECT o_custkey,
                        CASE WHEN o_orderkey % 100 = 0
-                            THEN o_totalprice + 100
-                            ELSE o_totalprice END AS x
+                            THEN (o_totalprice % 1000) + 100
+                            ELSE o_totalprice % 1000 END AS x
                 FROM orders
                 WHERE o_orderkey % 10 <= 8 AND o_orderkey % 10 != 7
               ) GROUP BY 1)
-            ORDER BY change, doc_id
+            ORDER BY g
+        """,
+        # dv_delete (round 14): final state after a DV delete
+        # (%11==3), a merge-on-read update (%13==1 -> text||' m14' —
+        # which RE-INSERTS any key the delete had DV'd), and a REORG
+        # PURGE. 'mor' reads before the purge, 'purged' after; both
+        # must equal the pure derivation (purge is content-neutral).
+        "dv_delete": """
+            WITH final AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 1 THEN text || ' m14'
+                          ELSE text END AS text,
+                     lang
+              FROM documents
+              WHERE doc_id % 11 != 3 OR doc_id % 13 = 1)
+            SELECT doc_id, 'mor' AS kind, lang, right(text, 4) AS tail
+            FROM final
+            UNION ALL
+            SELECT doc_id, 'purged' AS kind, lang, right(text, 4) AS tail
+            FROM final
+            ORDER BY kind, doc_id
         """,
         "scd2_history": """
             WITH h AS (

@@ -779,10 +779,20 @@ def expand_change_paths(
     via native JVM parquet scans — call inside foreachBatch. The
     driver collects only the file list (churn-sized by construction:
     one row per logged change file in the batch's offset range), then
-    plans one ``spark.read.parquet`` per source commit so each file's
-    ``_commit_seq``/``_commit_version`` attach as literals;
-    schema-evolved commits NULL-pad through unionByName. An empty
-    batch returns the typed empty frame."""
+    plans ONE ``spark.read.parquet`` over every file with the schema
+    pinned to the table's most-evolved LOGGED schema (earlier files'
+    missing columns read as NULL — the same pad the rows transport
+    applies), and attaches ``_commit_seq``/``_commit_version`` through
+    a broadcast-joined path map. A catch-up batch from
+    ``starting='earliest'`` over N retained commits therefore plans
+    one scan, not an O(N)-deep unionByName chain with per-commit
+    footer inference (round-13 advisory). An empty batch returns the
+    typed empty frame; colliding file basenames (vanishing — Spark
+    part names embed a per-job uuid) fall back to per-commit scans."""
+    import os
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
     from .inventory import list_versions
 
     rows = batch_df.select(
@@ -792,6 +802,28 @@ def expand_change_paths(
         return _empty_changes_frame(
             spark, table_dir, list_versions(table_dir)
         )
+    target = from_arrow_schema(_changes_arrow_schema(table_dir))
+    by_base: dict[str, tuple[int, str]] = {}
+    for r in rows:
+        bn = os.path.basename(r[0])
+        if bn in by_base:
+            return _expand_per_commit(spark, rows, target)
+        by_base[bn] = (int(r[1]), r[2])
+    scan = spark.read.schema(target).parquet(*[r[0] for r in rows])
+    map_df = spark.createDataFrame(
+        [(bn, seq, ver) for bn, (seq, ver) in by_base.items()],
+        f"_cf_bn string, {COMMIT_SEQ_COL} long, "
+        f"{COMMIT_VERSION_COL} string",
+    )
+    return scan.withColumn(
+        "_cf_bn",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+    ).join(F.broadcast(map_df), on="_cf_bn").drop("_cf_bn")
+
+
+def _expand_per_commit(spark: SparkSession, rows, target) -> DataFrame:
+    """Fallback expansion: one scan per source commit with literal
+    seq/version columns, NULL-padded to the logged schema."""
     by_commit: dict[tuple[int, str], list[str]] = {}
     for r in rows:
         by_commit.setdefault((int(r[1]), r[2]), []).append(r[0])
@@ -805,13 +837,6 @@ def expand_change_paths(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
-    # pad to the table's most-evolved LOGGED schema, like the rows
-    # transport does (its stream schema is resolved at start): a batch
-    # whose files all predate an evolution must still expose the later
-    # columns as NULL, or downstream expressions on them would fail
-    from pyspark.sql.pandas.types import from_arrow_schema
-
-    target = from_arrow_schema(_changes_arrow_schema(table_dir))
     for f in target.fields:
         if f.name not in out.columns:
             out = out.withColumn(f.name, F.lit(None).cast(f.dataType))

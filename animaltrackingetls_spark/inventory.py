@@ -304,25 +304,100 @@ def _dv_ident_rows(table_dir: str, version: str) -> list[tuple]:
     return rows
 
 
-def _dv_entries(table_dir: str, version: str) -> dict[tuple, frozenset]:
-    """Driver-side DV content: ``{(ino, size): frozenset(row_idx)}``,
-    empty when the version has no DV. Used by identity-based churn
-    pruning — a physically shared file is only provably-unchanged when
-    its DV entries are IDENTICAL on both sides."""
+_DV_SUMMARY = "_summary.json"
+
+
+def _dv_summary_of(t) -> dict:
+    """Per-file-identity summary of a DV pyarrow table: row count plus
+    a content digest of the sorted, deduplicated row-index list. Every
+    DV writer publishes it alongside the parquet, so churn pruning and
+    read planning compare O(files) digests instead of materializing
+    row-index sets on the driver — at 100 TB a table's DV can be
+    billions of rows, but its distinct file identities are bounded by
+    the file count (round-13 verdict #3/#5)."""
+    import hashlib
+
+    by_id: dict[tuple, set] = {}
+    for ino, size, ri in zip(
+        t.column("ino").to_pylist(), t.column("size").to_pylist(),
+        t.column("row_index").to_pylist(),
+    ):
+        by_id.setdefault((int(ino), int(size)), set()).add(int(ri))
+    entries = {}
+    for (ino, size), idxs in by_id.items():
+        ordered = sorted(idxs)
+        h = hashlib.sha256(
+            ",".join(map(str, ordered)).encode()
+        ).hexdigest()[:16]
+        entries[f"{ino}:{size}"] = {"rows": len(ordered), "digest": h}
+    return {"v": 1, "entries": entries}
+
+
+def _dv_write_summary(ddir: str, summary: dict) -> None:
+    import json
+    import os
+
+    with open(os.path.join(ddir, _DV_SUMMARY), "w") as f:
+        json.dump(summary, f)
+
+
+def _dv_summary(table_dir: str, version: str) -> dict[tuple, dict]:
+    """The version's DV summary: ``{(ino, size): {"rows", "digest"}}``,
+    empty when the version has no DV. Read from the ``_summary.json``
+    sidecar (O(1) IO); a pre-summary sidecar (older table) falls back
+    to recomputing it from the parquet."""
+    import json
+    import os
+
     files = _dv_files(table_dir, version)
     if not files:
         return {}
-    import pyarrow.parquet as pq
+    path = os.path.join(_dv_path(table_dir, version), _DV_SUMMARY)
+    try:
+        with open(path) as f:
+            s = json.load(f)
+    except (FileNotFoundError, ValueError):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
-    out: dict[tuple, set] = {}
-    for p in files:
-        t = pq.read_table(p)
-        for ino, size, ri in zip(
-            t.column("ino").to_pylist(), t.column("size").to_pylist(),
-            t.column("row_index").to_pylist(),
-        ):
-            out.setdefault((ino, size), set()).add(ri)
-    return {k: frozenset(v) for k, v in out.items()}
+        tabs = [pq.read_table(p) for p in files]
+        s = _dv_summary_of(
+            pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
+        )
+    return {
+        tuple(int(x) for x in k.split(":")): v
+        for k, v in s["entries"].items()
+    }
+
+
+def _dv_resolved(table_dir: str, version: str) -> tuple[list, set]:
+    """Resolve the version's DV identities against its own file map and
+    FAIL CLOSED on any entry that names no live data file: file
+    identity is (inode, size), so an inode-changing but
+    content-preserving operation on the table directory (cp/rsync
+    restore, cross-filesystem move) orphans every DV entry — and a read
+    that silently dropped orphans would RESURRECT deleted rows (round-13
+    advisory, medium). Returns ``(ident_rows, affected_basenames)``:
+    the snapshot's (basename, ino, size) map and the basenames of the
+    files that actually carry DV entries — the only files a scan must
+    pay the identity projection and anti-join for."""
+    ident = _dv_ident_rows(table_dir, version)
+    by_id = {(i, s): bn for bn, i, s in ident}
+    summary = _dv_summary(table_dir, version)
+    unresolved = [k for k in summary if k not in by_id]
+    if unresolved:
+        raise RuntimeError(
+            f"{table_dir}/{version}: {len(unresolved)} deletion-vector "
+            "file identities resolve to no data file of the snapshot "
+            f"(e.g. (ino, size)={sorted(unresolved)[:3]}). The table "
+            "directory was likely copied without preserving inodes "
+            "(cp/rsync/cross-filesystem move); reading past the orphaned "
+            "entries would resurrect deleted rows, so this read fails "
+            "closed. Recover from the original directory, or rebuild "
+            "from a trusted lineage (RESTORE to a pre-DV version, or a "
+            "rewriting commit on the original table)."
+        )
+    return ident, {by_id[k] for k in summary}
 
 
 def _with_scan_identity(scan):
@@ -338,13 +413,16 @@ def _with_scan_identity(scan):
     ).withColumn(_DV_RI_COL, F.col("_metadata.row_index"))
 
 
-def _apply_dv(spark, df, table_dir: str, version: str):
+def _apply_dv(spark, df, table_dir: str, version: str, ident=None):
     """Anti-join the version's deletion vector (requires the identity
     columns on ``df``). The DV and the file-identity map both broadcast
-    — churn-sized and file-count-sized respectively."""
+    — churn-sized and file-count-sized respectively. ``ident`` accepts
+    the precomputed (basename, ino, size) rows so the scoped read path
+    resolves identities once."""
     from pyspark.sql import functions as F
 
-    ident = _dv_ident_rows(table_dir, version)
+    if ident is None:
+        ident = _dv_ident_rows(table_dir, version)
     map_df = spark.createDataFrame(
         ident, f"{_DV_FP_COL} string, _i long, _s long"
     )
@@ -376,6 +454,15 @@ def _write_dv(spark, dv_df, vdir: str) -> None:
     for extra in os.listdir(stage):
         if extra.startswith((".", "_")):  # _SUCCESS and friends
             os.unlink(os.path.join(stage, extra))
+    # summary sidecar (per-identity rows + digest) rides the same
+    # atomic rename — no published .dv/ can lack it
+    import pyarrow.parquet as pq
+
+    part = next(
+        os.path.join(stage, f) for f in os.listdir(stage)
+        if not f.startswith((".", "_"))
+    )
+    _dv_write_summary(stage, _dv_summary_of(pq.read_table(part)))
     os.replace(stage, os.path.join(vdir, _DV_DIR))
 
 
@@ -419,6 +506,7 @@ def _carry_dv(table_dir: str, version: str, base_version: str | None) -> None:
     stage = os.path.join(vdir, f".{_DV_DIR}.{uuid.uuid4().hex[:8]}.tmp")
     os.makedirs(stage, exist_ok=True)
     pq.write_table(kept, os.path.join(stage, "dv-carried.parquet"))
+    _dv_write_summary(stage, _dv_summary_of(kept))
     os.replace(stage, os.path.join(vdir, _DV_DIR))
 
 
@@ -824,6 +912,8 @@ def upsert_parquet_versioned(
     link_mode: str | None = None,
     write_change_data: bool | None = None,
     auto_compact: int | None = None,
+    dv: bool = False,
+    delete_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Keyed upsert with SNAPSHOT-ATOMIC publish — closes the
     `upsert_parquet` transactionality gap without a lake format.
@@ -931,7 +1021,40 @@ def upsert_parquet_versioned(
     compaction), debris-sized by construction, CDC-clean (logs an
     empty commit). With CoW this bounds the table's file count forever
     without an external maintenance scheduler: each commit accretes at
-    most a few files and every Nth commit packs them.
+    most a few files and every Nth commit packs them. The same hook
+    REORG-purges files whose deletion-vector density crossed
+    ``_DV_PURGE_DENSITY`` (round 14), so DV tables self-heal their
+    read tax.
+
+    ``dv=True`` (round 14, plain tables): MERGE-ON-READ update — the
+    second half of Delta's deletion-vector posture. Matched keys' OLD
+    rows are marked deleted in the DV sidecar (their files carry
+    forward physically untouched) and the batch appends as NEW files,
+    so update write volume is O(churn) ALWAYS — where ``cow=True``
+    still rewrites every file that holds a matched key, dv writes only
+    the batch plus a kilobyte-scale sidecar. Exact same merge
+    semantics (pinned equal to the CoW merge in tests), same CDC
+    classification (insert/update_preimage/update_postimage), and the
+    probe that finds the doomed positions is the same stats-candidate
+    pass CoW plans with. Falls back to the full-rewrite merge when the
+    batch evolves the schema (appended new-schema files next to
+    carried old-schema files would brick the pinned-schema read).
+    Readers pay the scoped anti-join until REORG/OPTIMIZE/compaction
+    purges — bounded by auto_compact's density trigger. Mutually
+    exclusive with ``cow``.
+
+    ``delete_keys`` (round 14, r13 verdict #8): Delta's ``MERGE ...
+    WHEN MATCHED THEN DELETE`` — the same commit that upserts
+    ``updates`` also REMOVES the rows matching these keys, under ONE
+    CAS publish, one watermark, one CDC log (the doomed preimages log
+    as ``delete`` alongside the upsert's change rows). A key in both
+    frames takes the upsert (deletes apply first, then the merge).
+    This is what lets the IVM poll apply its survivors + zero-groups
+    as a single commit instead of two — half the commit overhead per
+    poll. Composes with ``cow`` (files holding EITHER key set rewrite,
+    everything else carries) and with ``dv`` (doomed rows join the
+    deletion vector; only the batch appends). First write ignores it
+    (nothing exists to delete).
     """
     import json
     import os
@@ -940,12 +1063,34 @@ def upsert_parquet_versioned(
 
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version must be given together")
+    if dv and cow:
+        raise ValueError("dv=True and cow=True are mutually exclusive")
+    if dv and _table_layout(table_dir) is not None:
+        raise ValueError(
+            "dv=True supports plain tables only; bucketed tables "
+            "already rewrite only the touched buckets"
+        )
 
-    from .cdc import resolve_cdc, upsert_change_rows, write_change_log
+    from .cdc import (
+        delete_change_rows,
+        resolve_cdc,
+        upsert_change_rows,
+        write_change_log,
+    )
 
     os.makedirs(table_dir, exist_ok=True)
     mode = _pin_plain_link_mode(table_dir, link_mode)
     cdc_log = resolve_cdc(table_dir, write_change_data)
+    dk = (
+        delete_keys.select(*key_cols).dropDuplicates(key_cols)
+        if delete_keys is not None else None
+    )
+    if dk is not None:
+        missing_k = [c for c in key_cols if c not in delete_keys.columns]
+        if missing_k:
+            raise ValueError(
+                f"delete_keys frame lacks key columns: {missing_k}"
+            )
     last_err: ConcurrentWriteError | None = None
     for _attempt in range(max(0, retries) + 1):
         # (Re-)read the commit state each attempt: a retry must merge
@@ -969,6 +1114,7 @@ def upsert_parquet_versioned(
         try:
             carry: dict[str, str] = {}
             base_scope: DataFrame | None = None  # CDC preimage source
+            mor_done = False  # merge-on-read update path taken
             if current is None:
                 # first write: dedupe WITHIN the batch through the same
                 # window later merges apply — the one-row-per-key contract
@@ -980,11 +1126,90 @@ def upsert_parquet_versioned(
                 seq = 1
             else:
                 seq = int(current.split("-")[1]) + 1
+                mor = dv
+                if mor and set(updates.dtypes) != set(
+                    _snapshot_df(spark, table_dir, current).dtypes
+                ):
+                    # schema evolution: appended new-schema files beside
+                    # carried old-schema files would brick the
+                    # pinned-schema snapshot read — full rewrite instead
+                    mor = False
+                if mor:
+                    # merge-on-read UPDATE (round 14): DV the matched
+                    # preimages in place, append the deduped batch as
+                    # new files — write volume is O(churn) always
+                    version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
+                    vdir = os.path.join(table_dir, version)
+                    batch = merge_upsert(
+                        updates.limit(0), updates, key_cols
+                    )
+                    kdf = batch.select(*key_cols).dropDuplicates(key_cols)
+                    probe_keys = (
+                        kdf.unionByName(dk).dropDuplicates(key_cols)
+                        if dk is not None else kdf
+                    )
+                    mor_plan = _cow_touched_files(
+                        spark, table_dir, current, probe_keys, key_cols,
+                        probe=False,
+                    )
+                    probe = (
+                        _snapshot_df_files(
+                            spark, table_dir, current, mor_plan[0],
+                            identity=True,
+                        )
+                        if mor_plan is not None
+                        else _snapshot_df(spark, table_dir, current,
+                                          identity=True)
+                    )
+                    doomed = probe.join(
+                        F.broadcast(probe_keys),
+                        on=_null_safe_cond(probe, probe_keys, key_cols),
+                        how="left_semi",
+                    ).localCheckpoint()  # churn-sized: feeds CDC + DV
+                    out = (
+                        batch.coalesce(target_files) if target_files
+                        else batch
+                    )
+                    out.write.mode("error").parquet(vdir)
+                    if cdc_log:
+                        # postimages are exactly the freshly-written
+                        # files (carried files hold no batch keys);
+                        # preimages are the doomed positions. A doomed
+                        # row matching a delete key but NOT a batch key
+                        # logs as a plain delete.
+                        pre = doomed.drop(_DV_FP_COL, _DV_RI_COL)
+                        changes = upsert_change_rows(
+                            spark,
+                            pre.join(
+                                kdf,
+                                on=_null_safe_cond(pre, kdf, key_cols),
+                                how="left_semi",
+                            ),
+                            spark.read.parquet(vdir),
+                            updates, key_cols,
+                        )
+                        if dk is not None:
+                            pure_del = pre.join(
+                                kdf,
+                                on=_null_safe_cond(pre, kdf, key_cols),
+                                how="left_anti",
+                            )
+                            changes = changes.unionByName(
+                                delete_change_rows(pure_del)
+                            )
+                        write_change_log(table_dir, version, changes)
+                    _emit_dv_version(spark, table_dir, current, vdir,
+                                     doomed)
+                    mor_done = True
+                plan_probe = updates
+                if dk is not None:
+                    # files holding a doomed key must rewrite too
+                    plan_probe = updates.select(*key_cols).unionByName(dk)
                 cow_plan = (
                     _cow_touched_files(
-                        spark, table_dir, current, updates, key_cols
+                        spark, table_dir, current, plan_probe, key_cols
                     )
-                    if cow else None
+                    if (cow and not mor_done) else None
                 )
                 if cow_plan is not None:
                     touched, untouched, all_files = cow_plan
@@ -1002,7 +1227,16 @@ def upsert_parquet_versioned(
                         cow_plan = None
                     else:
                         base_scope = old_rows
-                        merged = merge_upsert(old_rows, updates, key_cols)
+                        survivors = old_rows
+                        if dk is not None:
+                            # deletes apply first, then the merge — a
+                            # key in both frames takes the upsert row
+                            survivors = old_rows.join(
+                                dk,
+                                on=_null_safe_cond(old_rows, dk, key_cols),
+                                how="left_anti",
+                            )
+                        merged = merge_upsert(survivors, updates, key_cols)
                         if target_files is None:
                             # like-for-like file count: the rewrite
                             # REPLACES the touched files, so emit about
@@ -1019,63 +1253,99 @@ def upsert_parquet_versioned(
                                 max(1, len(touched))
                             )
                         carry = {k: all_files[k] for k in untouched}
-                if cow_plan is None:
+                if cow_plan is None and not mor_done:
                     # manifest-aware: a CoW file-manifest snapshot's
                     # files live across version dirs; plain
                     # materialized snapshots read the dir as before
                     existing = _snapshot_df(spark, table_dir, current)
                     base_scope = existing
-                    merged = merge_upsert(existing, updates, key_cols,
+                    survivors = existing
+                    if dk is not None:
+                        survivors = existing.join(
+                            dk,
+                            on=_null_safe_cond(existing, dk, key_cols),
+                            how="left_anti",
+                        )
+                    merged = merge_upsert(survivors, updates, key_cols,
                                           merge_schema=merge_schema)
 
-            version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
-            # Distributed write: the merge plan reads the CURRENT version
-            # directory, which this write never touches (the target
-            # directory is brand-new), so no materialization barrier is
-            # needed. AQE coalesces a catalog-sized merge to one
-            # post-shuffle partition on its own; target_files pins the
-            # file count explicitly when a layout contract requires it.
-            # (An earlier form collected the table through the driver —
-            # measured at 92 s for a 10M-row base, it was the scale
-            # ceiling of the whole sink; see SCALING.md round 9.)
-            out = merged.coalesce(target_files) if target_files else merged
-            out.write.mode("error").parquet(os.path.join(table_dir, version))
-            if cdc_log:
-                # change log BEFORE the carry links: the version dir
-                # holds exactly the freshly-WRITTEN files right now, so
-                # reading it back gives the postimage scope (churn-sized
-                # under CoW) without filtering out carried files
-                write_change_log(
-                    table_dir, version,
-                    upsert_change_rows(
-                        spark, base_scope,
-                        spark.read.parquet(os.path.join(table_dir, version)),
-                        updates, key_cols,
-                    ),
+            if not mor_done:
+                version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
+                # Distributed write: the merge plan reads the CURRENT
+                # version directory, which this write never touches (the
+                # target directory is brand-new), so no materialization
+                # barrier is needed. AQE coalesces a catalog-sized merge
+                # to one post-shuffle partition on its own; target_files
+                # pins the file count explicitly when a layout contract
+                # requires it. (An earlier form collected the table
+                # through the driver — measured at 92 s for a 10M-row
+                # base, it was the scale ceiling of the whole sink; see
+                # SCALING.md round 9.)
+                out = (
+                    merged.coalesce(target_files) if target_files
+                    else merged
                 )
-            # copy-on-write carry, by the table's pinned link mode:
-            # hardlink — untouched files link into the new version
-            # AFTER the rewrite lands (zero bytes copied; link targets
-            # are immutable snapshot files; Spark part names carry a
-            # per-job UUID, so collisions are vanishing — the rename
-            # guard keeps even that case safe); manifest — the new
-            # version publishes a file manifest referencing untouched
-            # files in their origin dirs (object-store posture, no
-            # links needed).
-            vdir = os.path.join(table_dir, version)
-            if mode == "manifest" and cow:
-                _emit_file_manifest(table_dir, version, carry)
-            else:
-                for key in sorted(carry):
-                    src = carry[key]
-                    dst = os.path.join(vdir, os.path.basename(src))
-                    if os.path.exists(dst):
-                        dst = os.path.join(
-                            vdir,
-                            f"cow-{uuid.uuid4().hex[:8]}-"
-                            f"{os.path.basename(src)}",
+                out.write.mode("error").parquet(
+                    os.path.join(table_dir, version)
+                )
+                if cdc_log:
+                    # change log BEFORE the carry links: the version dir
+                    # holds exactly the freshly-WRITTEN files right now,
+                    # so reading it back gives the postimage scope
+                    # (churn-sized under CoW) without filtering out
+                    # carried files
+                    changes = upsert_change_rows(
+                        spark, base_scope,
+                        spark.read.parquet(
+                            os.path.join(table_dir, version)
+                        ),
+                        updates, key_cols,
+                    )
+                    if dk is not None and base_scope is not None:
+                        # matched-delete preimages: doomed keys not
+                        # re-upserted in the same commit log as deletes
+                        upd_keys = updates.select(
+                            *key_cols
+                        ).dropDuplicates(key_cols)
+                        doomed_pre = base_scope.join(
+                            dk,
+                            on=_null_safe_cond(base_scope, dk, key_cols),
+                            how="left_semi",
                         )
-                    os.link(src, dst)
+                        pure_del = doomed_pre.join(
+                            upd_keys,
+                            on=_null_safe_cond(
+                                doomed_pre, upd_keys, key_cols
+                            ),
+                            how="left_anti",
+                        )
+                        changes = changes.unionByName(
+                            delete_change_rows(pure_del)
+                        )
+                    write_change_log(table_dir, version, changes)
+                # copy-on-write carry, by the table's pinned link mode:
+                # hardlink — untouched files link into the new version
+                # AFTER the rewrite lands (zero bytes copied; link
+                # targets are immutable snapshot files; Spark part names
+                # carry a per-job UUID, so collisions are vanishing —
+                # the rename guard keeps even that case safe); manifest —
+                # the new version publishes a file manifest referencing
+                # untouched files in their origin dirs (object-store
+                # posture, no links needed).
+                vdir = os.path.join(table_dir, version)
+                if mode == "manifest" and cow:
+                    _emit_file_manifest(table_dir, version, carry)
+                else:
+                    for key in sorted(carry):
+                        src = carry[key]
+                        dst = os.path.join(vdir, os.path.basename(src))
+                        if os.path.exists(dst):
+                            dst = os.path.join(
+                                vdir,
+                                f"cow-{uuid.uuid4().hex[:8]}-"
+                                f"{os.path.basename(src)}",
+                            )
+                        os.link(src, dst)
         except Exception as err:
             # base pruned mid-scan by a concurrent winner's retention
             # (keep_versions=1): a conflict, not an IO failure — but
@@ -1098,7 +1368,10 @@ def upsert_parquet_versioned(
             _publish_version(
                 table_dir, version, marks, keep_versions,
                 expected_base=current,
-                operation="MERGE (cow)" if carry else "MERGE",
+                operation=(
+                    "MERGE (dv)" if mor_done
+                    else "MERGE (cow)" if carry else "MERGE"
+                ),
             )
             if auto_compact:
                 _maybe_auto_compact(spark, table_dir, version,
@@ -2252,14 +2525,20 @@ def _snapshot_df_files(
 
     ``identity=True`` keeps the per-row physical identity columns
     (``_dv_fp``/``_dv_ri``) on the result. A snapshot carrying a
-    deletion vector is ALWAYS read through its anti-join (captured
-    per-branch — ``_metadata`` does not survive a union), whether or
-    not the caller asked for identity."""
+    deletion vector is read through its anti-join, SCOPED to the files
+    that actually carry DV entries (round-14): clean files scan plain —
+    no identity projection, no join — so the DV read tax is O(affected
+    files), not O(table); identity resolution fails closed on orphaned
+    entries (see :func:`_dv_resolved`). Identity capture is per-branch
+    because ``_metadata`` does not survive a union."""
     import os
     from functools import reduce
 
     has_dv = bool(_dv_files(table_dir, version))
-    want_ident = identity or has_dv
+    ident_rows: list = []
+    affected: set = set()
+    if has_dv:
+        ident_rows, affected = _dv_resolved(table_dir, version)
     all_files = _snapshot_files(table_dir, version)
     unknown = keys - set(all_files)
     if unknown:
@@ -2283,31 +2562,47 @@ def _snapshot_df_files(
     chosen = sorted(keys)
     if not chosen:
         empty_schema = schema
-        if want_ident:
+        if identity:
             empty_schema = empty_schema.add(_DV_FP_COL, "string").add(
                 _DV_RI_COL, "long"
             )
-        out = spark.createDataFrame([], empty_schema)
-        return out if identity else out.drop(_DV_FP_COL, _DV_RI_COL)
-    by_origin: dict[str, list[str]] = {}
-    for k in chosen:
-        origin = k.split("/", 1)[0]
-        by_origin.setdefault(origin, []).append(all_files[k])
-    parts = []
-    for origin, paths in sorted(by_origin.items()):
-        odir = os.path.join(table_dir, origin)
-        scan = (
-            spark.read.option("basePath", odir)
-            .schema(schema)
-            .parquet(*sorted(paths))
+        return spark.createDataFrame([], empty_schema)
+
+    def _branches(subset: list[str], with_ident: bool) -> list:
+        by_origin: dict[str, list[str]] = {}
+        for k in subset:
+            by_origin.setdefault(k.split("/", 1)[0], []).append(
+                all_files[k]
+            )
+        out = []
+        for origin, paths in sorted(by_origin.items()):
+            odir = os.path.join(table_dir, origin)
+            scan = (
+                spark.read.option("basePath", odir)
+                .schema(schema)
+                .parquet(*sorted(paths))
+            )
+            out.append(_with_scan_identity(scan) if with_ident else scan)
+        return out
+
+    if not has_dv:
+        return reduce(
+            lambda a, c: a.unionByName(c), _branches(chosen, identity)
         )
-        parts.append(_with_scan_identity(scan) if want_ident else scan)
-    out = reduce(lambda a, c: a.unionByName(c), parts)
-    if has_dv:
-        out = _apply_dv(spark, out, table_dir, version)
-    if want_ident and not identity:
-        out = out.drop(_DV_FP_COL, _DV_RI_COL)
-    return out
+    aff = [k for k in chosen
+           if os.path.basename(all_files[k]) in affected]
+    clean = [k for k in chosen
+             if os.path.basename(all_files[k]) not in affected]
+    parts = _branches(clean, identity)
+    if aff:
+        sub = reduce(
+            lambda a, c: a.unionByName(c), _branches(aff, True)
+        )
+        sub = _apply_dv(spark, sub, table_dir, version, ident=ident_rows)
+        if not identity:
+            sub = sub.drop(_DV_FP_COL, _DV_RI_COL)
+        parts.append(sub)
+    return reduce(lambda a, c: a.unionByName(c), parts)
 
 
 def _snapshot_df(
@@ -2330,20 +2625,13 @@ def _snapshot_df(
     with the snapshot's schema.
 
     ``identity=True`` keeps the per-row physical identity columns; a
-    deletion-vector-carrying snapshot is always read through its
-    anti-join (see :func:`_snapshot_df_files`)."""
+    deletion-vector-carrying snapshot always assembles at FILE
+    granularity through :func:`_snapshot_df_files`, which scopes the
+    anti-join tax to the DV-affected files only."""
     import os
     from functools import reduce
 
     has_dv = bool(_dv_files(table_dir, version))
-    want_ident = identity or has_dv
-
-    def _finish(df):
-        if has_dv:
-            df = _apply_dv(spark, df, table_dir, version)
-        if want_ident and not identity:
-            df = df.drop(_DV_FP_COL, _DV_RI_COL)
-        return df
 
     m = _read_manifest(table_dir, version)
     if _is_file_manifest(m):
@@ -2352,9 +2640,22 @@ def _snapshot_df(
         # the file reader owns the DV application
         return _snapshot_df_files(spark, table_dir, version, set(m),
                                   identity=identity)
+    if has_dv:
+        # DV tables are plain-layout by contract (delete_versioned
+        # refuses dv=True on bucketed tables), so the bucket
+        # restriction cannot co-occur; the filter below keeps the
+        # invariant honest if that ever changes
+        keys = set(_snapshot_files(table_dir, version))
+        if buckets is not None:
+            keys = {
+                k for k in keys
+                if len(k.split("/")) >= 3 and k.split("/")[-2] in buckets
+            }
+        return _snapshot_df_files(spark, table_dir, version, keys,
+                                  identity=identity)
     if m is None and buckets is None:
         scan = spark.read.parquet(os.path.join(table_dir, version))
-        return _finish(_with_scan_identity(scan) if want_ident else scan)
+        return _with_scan_identity(scan) if identity else scan
     mapping = _snapshot_buckets(table_dir, version)
     if not mapping:
         raise FileNotFoundError(
@@ -2370,12 +2671,11 @@ def _snapshot_df(
         schema = spark.read.parquet(
             os.path.join(table_dir, o0, d0)
         ).schema.add(_BUCKET_COL, "integer")
-        if want_ident:
+        if identity:
             schema = schema.add(_DV_FP_COL, "string").add(
                 _DV_RI_COL, "long"
             )
-        out = spark.createDataFrame([], schema)
-        return out if identity else out.drop(_DV_FP_COL, _DV_RI_COL)
+        return spark.createDataFrame([], schema)
     # The schema is inferred ONCE and pinned on every branch — each
     # bare spark.read.parquet() runs an eager footer-inference job, and
     # 64 of them made the first cut of this read 13x the partitioned
@@ -2395,8 +2695,8 @@ def _snapshot_df(
             .schema(full_schema)
             .parquet(*[os.path.join(odir, d) for d in sorted(dirs)])
         )
-        parts.append(_with_scan_identity(scan) if want_ident else scan)
-    return _finish(reduce(lambda a, c: a.unionByName(c), parts))
+        parts.append(_with_scan_identity(scan) if identity else scan)
+    return reduce(lambda a, c: a.unionByName(c), parts)
 
 
 def _emit_untouched(
@@ -2596,6 +2896,9 @@ def clone_versioned(
         os.makedirs(ddir, exist_ok=True)
         for p in src_dv:
             os.link(p, os.path.join(ddir, os.path.basename(p)))
+        sp = os.path.join(_dv_path(table_dir, version), _DV_SUMMARY)
+        if os.path.exists(sp):
+            os.link(sp, os.path.join(ddir, _DV_SUMMARY))
     _publish_version(dest_dir, new_version, {}, keep_versions=1,
                      expected_base=None,
                      operation=f"CLONE {table_dir}@{version}")
@@ -2730,6 +3033,16 @@ def _maybe_auto_compact(
         compact_versioned(
             spark, table_dir, target_bytes=target_bytes,
             keep_versions=keep_versions, incremental=True,
+        )
+    # deletion-vector self-healing (round 14): once deletes accrete
+    # past _DV_PURGE_DENSITY of a file's rows, rewrite that file —
+    # otherwise the anti-join read tax grows without bound on
+    # delete-heavy tables. Same best-effort contract as the bin-pack.
+    cur = _current_version(table_dir)
+    if cur is not None and _dv_summary(table_dir, cur):
+        reorg_purge_versioned(
+            spark, table_dir, min_density=_DV_PURGE_DENSITY,
+            keep_versions=keep_versions,
         )
 
 
@@ -3024,6 +3337,121 @@ def compact_versioned(
         compacted=True,
         version=version,
     )
+    return report
+
+
+# density at which auto-compaction rewrites a DV-affected file: once
+# half a file's rows are deleted, every read of it wastes more scan
+# than the rewrite costs, and the anti-join tax never self-heals
+# otherwise (round-13 verdict #6: no auto-purge policy)
+_DV_PURGE_DENSITY = 0.5
+
+
+def reorg_purge_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    min_density: float = 0.0,
+    keep_versions: int = 2,
+) -> dict:
+    """Delta's ``REORG TABLE ... APPLY (PURGE)``: rewrite exactly the
+    data files whose deletion-vector density (DV rows / file rows) is
+    ``>= min_density``, materializing their deletes away; every other
+    file — clean files AND DV files below the threshold — carries into
+    the new version untouched (hardlink/manifest), keeping its physical
+    identity so clustering, stats carry-forward, and churn pruning
+    survive. The default threshold 0.0 purges every DV-carrying file.
+
+    Cost tracks the purged files, never the table: planning reads the
+    O(files) DV summary + stats sidecar (no data IO), the rewrite scans
+    only the target files (DV-filtered by the scoped read), and the
+    commit is CDC-clean (a purge provably changes no visible rows, so a
+    pinned feed logs an EMPTY commit). Partial purges are exact:
+    below-threshold files' DV entries carry forward automatically
+    (:func:`_carry_dv`). Best-effort under contention like compaction —
+    a CAS conflict backs off with ``{"conflict": True}``."""
+    import math  # noqa: F401  (parity with compact's imports)
+    import os
+    import uuid
+
+    current = _current_version(table_dir)
+    if current is None:
+        raise FileNotFoundError(f"no published snapshot under {table_dir}")
+    report: dict = {"purged": False, "purged_files": 0, "dv_rows_purged": 0}
+    dvsum = _dv_summary(table_dir, current)
+    if not dvsum:
+        return report
+    # fail-closed identity resolution (shared with the read path): a
+    # purge planned over orphaned identities would silently RESURRECT
+    # deleted rows by carrying their files while dropping the DV
+    _dv_resolved(table_dir, current)
+    snap = _snapshot_files(table_dir, current)
+    from . import filestats
+
+    stats = filestats.read_stats(table_dir, current)
+    ident_to_key: dict[tuple, str] = {}
+    rows_of: dict[tuple, int | None] = {}
+    for k, p in snap.items():
+        st = os.stat(p)
+        ident_to_key[(st.st_ino, st.st_size)] = k
+    if stats is not None and set(stats.get("files", {})) == set(snap):
+        for k, e in stats["files"].items():
+            rows_of[(e.get("ino"), e.get("size"))] = e.get("rows")
+    targets: set[str] = set()
+    for ident, e in dvsum.items():
+        n = rows_of.get(ident)
+        # unknown row count (no sidecar): treat as fully dense — the
+        # purge is always correct, only possibly over-eager
+        density = (e["rows"] / n) if n else 1.0
+        if density >= min_density:
+            targets.add(ident_to_key[ident])
+            report["dv_rows_purged"] += e["rows"]
+    report["purged_files"] = len(targets)
+    if not targets:
+        report["dv_rows_purged"] = 0
+        return report
+
+    to_rewrite = _snapshot_df_files(spark, table_dir, current, targets)
+    if _BUCKET_COL in to_rewrite.columns:
+        to_rewrite = to_rewrite.drop(_BUCKET_COL)
+    carry = {k: snap[k] for k in snap if k not in targets}
+    marks = txn_watermarks(table_dir)
+    seq = int(current.split("-")[1]) + 1
+    version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
+    vdir = os.path.join(table_dir, version)
+    # like-for-like file count for the purged region (see the CoW
+    # upsert's repartition-not-coalesce note)
+    to_rewrite.repartition(max(1, len(targets))).write.mode(
+        "error"
+    ).parquet(vdir)
+    if carry:
+        if _plain_link_mode(table_dir) == "manifest":
+            _emit_file_manifest(table_dir, version, carry)
+        else:
+            for key in sorted(carry):
+                src = carry[key]
+                dst = os.path.join(vdir, os.path.basename(src))
+                if os.path.exists(dst):
+                    dst = os.path.join(
+                        vdir,
+                        f"purge-{uuid.uuid4().hex[:8]}-"
+                        f"{os.path.basename(src)}",
+                    )
+                os.link(src, dst)
+    from .cdc import cdc_enabled, write_change_log
+
+    if cdc_enabled(table_dir):
+        write_change_log(table_dir, version, None)
+    try:
+        _publish_version(table_dir, version, marks, keep_versions,
+                         expected_base=current,
+                         operation="REORG (purge)")
+    except ConcurrentWriteError:
+        import shutil
+
+        shutil.rmtree(vdir, ignore_errors=True)
+        report["conflict"] = True
+        return report
+    report.update(purged=True, version=version)
     return report
 
 
@@ -3600,13 +4028,20 @@ def identity_changed_files(
         (e["ino"], e["size"]): k for k, e in s_new["files"].items()
     }
     shared = set(ident_old) & set(ident_new)
-    dv_old = _dv_entries(table_dir, from_version)
-    dv_new = _dv_entries(table_dir, to_version)
+    dv_old = _dv_summary(table_dir, from_version)
+    dv_new = _dv_summary(table_dir, to_version)
     if dv_old or dv_new:
-        none = frozenset()
+        # content digests stand in for the row-index sets: equal digest
+        # == equal deleted-row set (the summary is computed from the
+        # sorted deduplicated indices), at O(files) driver cost instead
+        # of materializing churn-sized sets (round-13 verdict #5)
+        def _dg(m, i):
+            e = m.get(i)
+            return None if e is None else e["digest"]
+
         shared = {
             i for i in shared
-            if dv_old.get(i, none) == dv_new.get(i, none)
+            if _dg(dv_old, i) == _dg(dv_new, i)
         }
     return (
         {k for i, k in ident_old.items() if i not in shared},

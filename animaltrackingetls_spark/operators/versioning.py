@@ -1262,7 +1262,6 @@ def maintain_aggregate_once(
 
     from ..cdc import CHANGE_TYPE_COL, read_change_data
     from ..inventory import (
-        delete_versioned,
         read_versioned,
         upsert_parquet_versioned,
     )
@@ -1377,12 +1376,13 @@ def maintain_aggregate_once(
         # bootstrap's retry recomputes the SAME pinned snapshot.
         plan()
         view = _full_view(target).localCheckpoint()
-        upsert_parquet_versioned(
-            spark, dest_dir, view, group_cols,
-            keep_versions=dest_keep_versions,
-            txn_app_id=f"{app_id}#up", txn_version=seq,
-            merge_schema=True,
-        )
+        # stale groups (in the view, absent from the recompute) leave
+        # in the SAME commit (round 14, r13 verdict #8): one CAS
+        # publish + one watermark instead of an upsert-then-delete
+        # pair. The stale set is computed against the PRE-upsert view —
+        # identical to the old post-upsert form, since the upsert only
+        # adds/updates recomputed keys.
+        stale = None
         n_deleted = 0
         try:
             dst_keys = read_versioned(spark, dest_dir).select(*group_cols)
@@ -1395,14 +1395,15 @@ def maintain_aggregate_once(
                 view.select(*group_cols),
                 on=_null_safe_cond(dst_keys, view, group_cols),
                 how="left_anti",
-            )
-            if not stale.isEmpty():
-                n_deleted = stale.count()
-                delete_versioned(
-                    spark, dest_dir, stale, group_cols,
-                    keep_versions=dest_keep_versions, cow=True,
-                    txn_app_id=f"{app_id}#del", txn_version=seq,
-                )
+            ).localCheckpoint()
+            n_deleted = stale.count()
+        upsert_parquet_versioned(
+            spark, dest_dir, view, group_cols,
+            keep_versions=dest_keep_versions,
+            txn_app_id=f"{app_id}#up", txn_version=seq,
+            merge_schema=True,
+            delete_keys=stale if n_deleted else None,
+        )
         advance()
         return {"applied": True, "to_version": target,
                 "groups_touched": view.count(),
@@ -1458,7 +1459,6 @@ def _apply_aggregate_delta(
     from ..cdc import CHANGE_TYPE_COL
     from ..inventory import (
         _null_safe_cond,
-        delete_versioned,
         read_versioned,
         upsert_parquet_versioned,
     )
@@ -1613,30 +1613,33 @@ def _apply_aggregate_delta(
         rescan_cond.alias("_rescan"),
     ).localCheckpoint()
 
+    # ONE counting job for the whole delta side: touched + doomed +
+    # rescan-flagged together (round 14 fold — the poll's local wall
+    # is fixed-cost/job-count-bound, SCALING.md; its scaling value is
+    # bytes read per poll)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(
+            ((F.col("n_rows") <= 0) & ~F.col("_rescan")).cast("int")
+        ).alias("d"),
+        F.sum(F.col("_rescan").cast("int")).alias("r"),
+    ).first()
+    n_rescan = int(stats["r"] or 0)
     rescan_keys = None
     rescanned = None
-    if minmax_cols:
+    if minmax_cols and n_rescan:
         rescan_keys = out.filter(F.col("_rescan")).select(*group_cols)
-        if rescan_keys.isEmpty():
-            rescan_keys = None
-        else:
-            rescanned = _rescan_groups(
-                spark, source_dir, source_version, rescan_keys,
-                group_cols, sum_cols, minmax_cols, var_cols,
-            ).localCheckpoint()
+        rescanned = _rescan_groups(
+            spark, source_dir, source_version, rescan_keys,
+            group_cols, sum_cols, minmax_cols, var_cols,
+        ).localCheckpoint()
     if rescan_keys is None:
         out = out.drop("_rescan")
     else:
         out = out.filter(~F.col("_rescan")).drop("_rescan")
 
-    # one counting job for the delta side (touched + doomed together);
-    # the poll should stay a handful of Spark jobs — its value is
-    # bytes-read, its local wall is fixed-cost-bound (SCALING.md)
-    stats = out.agg(
-        F.count(F.lit(1)).alias("t"),
-        F.sum((F.col("n_rows") <= 0).cast("int")).alias("d"),
-    ).first()
-    touched, n_del = int(stats["t"]), int(stats["d"] or 0)
+    touched = int(stats["t"]) - n_rescan
+    n_del = int(stats["d"] or 0)
     survivors = out.filter(F.col("n_rows") > 0)
     doomed = out.filter(F.col("n_rows") <= 0).select(*group_cols)
     # cast back to the view's types (coalesce(…, lit(0)) can widen);
@@ -1684,17 +1687,17 @@ def _apply_aggregate_delta(
         r_stats = rescanned.count(), gone.count()
         touched += int(r_stats[0]) + int(r_stats[1])
         n_del += int(r_stats[1])
-    if touched - n_del > 0:
+    if touched > 0:
+        # survivors upsert + zero-group delete as ONE commit (round
+        # 14, r13 verdict #8): one merge, one CAS publish, one
+        # watermark — half the per-poll commit overhead of the r13
+        # upsert-then-delete pair, same exactly-once contract (a
+        # replayed window no-ops on the single {app_id}#up mark).
         upsert_parquet_versioned(
             spark, dest_dir, survivors, group_cols,
             keep_versions=keep_versions, cow=True,
             txn_app_id=f"{app_id}#up", txn_version=seq,
-        )
-    if n_del:
-        delete_versioned(
-            spark, dest_dir, doomed, group_cols,
-            keep_versions=keep_versions, cow=True,
-            txn_app_id=f"{app_id}#del", txn_version=seq,
+            delete_keys=doomed if n_del else None,
         )
     return touched, n_del
 

@@ -1362,6 +1362,26 @@ def run_aggregate_maintenance(
             src_version = batch_df.agg(
                 F.max_by(COMMIT_VERSION_COL, COMMIT_SEQ_COL)
             ).first()[0]
+            # validate the pinned snapshot is still retained BEFORE
+            # applying any deltas (round-13 advisory): if retention
+            # pruned it while the stream lagged, the rescan path would
+            # otherwise surface an intermittent FileNotFoundError only
+            # when a rescan happens to fire — fail deterministically
+            # with the re-bootstrap guidance instead.
+            from animaltrackingetls_spark.inventory import list_versions
+
+            if src_version is not None and src_version not in (
+                list_versions(source_dir)
+            ):
+                raise RuntimeError(
+                    f"minmax rescan pin {src_version!r} is no longer "
+                    f"retained under {source_dir!r} — source retention "
+                    "pruned it while this stream lagged. Rebuild the "
+                    "view: drop the checkpoint and view table and "
+                    "re-run (or use the polling maintain_aggregate_once"
+                    ", whose hole path recomputes), and keep source "
+                    "keep_versions above the stream's worst-case lag."
+                )
         rows_df = (
             expand_change_paths(s, batch_df, source_dir)
             if transport == "paths" else batch_df

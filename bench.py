@@ -36,11 +36,15 @@ formerly-unbenched large_orders pair), and `validate_orders` now also
 computes the former scalar_metrics trio (~2x its r9 work).
 Round-12 fold: `versioned_cdf` adds the CoW merge build, a
 stats-pruned read and three logged-CDC row kinds (~2x its r11 work).
-Round-13 fold: `versioned_cdf` additionally builds and polls a SECOND
-versioned table (the orders-derived incremental materialized view with
-min/max rescan) under the same hash row — its wall includes two
-maintenance polls plus three upsert/delete commits on first build, and
-their watermark/idle no-op replays after.
+Round-13 fold: `versioned_cdf` additionally built and polled a SECOND
+versioned table (the orders-derived incremental materialized view).
+Round-14 SPLIT (r13 verdict #6 — stop folding): the r13 IVM fold moved
+OUT of `versioned_cdf` into its own `ivm_view` entry (now also
+maintaining sumsq/variance columns), and the deletion-vector layer
+(MoR delete + MoR update + REORG purge) landed as a new `dv_delete`
+entry — so `versioned_cdf`'s r14 median is comparable to its R12
+number again, and versioned-layer additions show up as new names, not
+as upticks on an old one.
 
 NOISE FLOOR (round 9): whole-invocation medians drift ±10-20% between
 otherwise-identical exclusive runs hours apart (machine state), which
@@ -160,7 +164,14 @@ HEADLINE = [
     # CDC-pinned with three 'log:*' row-kinds reading the write-time
     # change log back (r12b) — ~2x the r11 entry's output rows, so a
     # per-name uptick here is added coverage, not regression.
+    # Round-14: frozen at this (r12) scope — see the split note above.
     "versioned_cdf",
+    # round-14 split entries (each cached-build like versioned_cdf, so
+    # the cold discarded run pays the table builds and the median is
+    # the poll/read cost): the IVM view with min/max rescan + sumsq
+    # maintenance, and the deletion-vector read/update/purge path.
+    "ivm_view",
+    "dv_delete",
 ]
 
 

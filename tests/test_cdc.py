@@ -1547,3 +1547,41 @@ def test_ivm_variance_maintenance(spark, tmp_path):
     want = read_versioned(spark, src).filter("g = 'a'").agg(
         F.stddev("x")).first()[0]
     assert abs(math.sqrt(var) - want) < 1e-9
+
+
+def test_stream_maintenance_fails_closed_on_pruned_rescan_pin(
+    spark, tmp_path, monkeypatch
+):
+    """Round 14 (r13 advisory #3): a min/max-maintaining stream whose
+    rescan pin (the batch's last commit version) is no longer retained
+    must fail DETERMINISTICALLY at batch start with re-bootstrap
+    guidance — not intermittently, only when a rescan happens to fire.
+    The pruned state is simulated by patching the driver-side
+    list_versions the guard consults (the reader runs in its own
+    worker process and is unaffected)."""
+    import os as _os
+
+    import animaltrackingetls_spark.inventory as inv_mod
+    from animaltrackingetls_spark.streaming.jobs import (
+        run_aggregate_maintenance,
+    )
+
+    src, vw = str(tmp_path / "src"), str(tmp_path / "vw")
+    ck = str(tmp_path / "ck")
+    upsert_parquet_versioned(
+        spark, src,
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)],
+                              "k long, g string, x double"),
+        ["k"], keep_versions=10, write_change_data=True, cow=True,
+    )
+    real = inv_mod.list_versions
+    target = _os.path.abspath(src)
+    monkeypatch.setattr(
+        inv_mod, "list_versions",
+        lambda d: [] if _os.path.abspath(d) == target else real(d),
+    )
+    with pytest.raises(Exception, match="no longer retained"):
+        run_aggregate_maintenance(
+            spark, src, vw, ck, ["g"], sum_cols=["x"],
+            minmax_cols=["x"], timeout_seconds=120,
+        )

@@ -372,3 +372,242 @@ def test_row_index_stable_under_rowgroup_skipping(spark, tmp_path):
     _dele(spark, t, [49_999, 49_998], dv=True)
     got = read_versioned(spark, t).filter("k >= 49990")
     assert got.count() == 8
+
+
+def test_dv_summary_sidecar_written_and_carried(spark, tmp_path):
+    """Round 14: every DV writer publishes a ``_summary.json`` beside
+    the parquet — per-file-identity row counts + content digests — so
+    churn pruning and read planning are O(files) on the driver, never
+    O(deleted rows)."""
+    import json
+
+    t = _mk(spark, tmp_path)
+    _dele(spark, t, [1, 2, 3], dv=True)
+    v = list_versions(t)[-1]
+    sp = os.path.join(inv._dv_path(t, v), inv._DV_SUMMARY)
+    assert os.path.exists(sp)
+    with open(sp) as f:
+        s = json.load(f)
+    assert sum(e["rows"] for e in s["entries"].values()) == 3
+    # a carrying commit (CoW upsert) writes a fresh summary for the
+    # filtered carry
+    upsert_parquet_versioned(
+        spark, t,
+        spark.createDataFrame([(500, 0, 1.0)], "k long, g long, x double"),
+        ["k"], keep_versions=10, cow=True)
+    v2 = list_versions(t)[-1]
+    assert os.path.exists(os.path.join(inv._dv_path(t, v2),
+                                       inv._DV_SUMMARY))
+    # digest equality == row-set equality: the carried summary matches
+    # the original for file identities that survived
+    s2 = inv._dv_summary(t, v2)
+    s1 = inv._dv_summary(t, v)
+    for ident, e in s2.items():
+        assert s1[ident]["digest"] == e["digest"]
+    # pre-summary sidecar (older table) falls back to recompute
+    os.unlink(os.path.join(inv._dv_path(t, v2), inv._DV_SUMMARY))
+    assert inv._dv_summary(t, v2) == s2
+
+
+def test_dv_read_scoped_to_affected_files(spark, tmp_path):
+    """Round 14 (r13 verdict #2): only files that actually carry DV
+    entries pay the identity projection and the anti-join — clean
+    files scan plain. Pinned on the plan: 4-file table, one affected
+    file -> 3 parquet scans (clean multi-path branch + affected branch
+    + the DV sidecar), and a stats-pruned read that excludes the
+    affected file carries NO join at all."""
+    t = _mk(spark, tmp_path)  # range(0,1000) split over 4 files
+    _dele(spark, t, range(6), dv=True)  # all doomed keys in file 1
+    v = list_versions(t)[-1]
+    ident, affected = inv._dv_resolved(t, v)
+    assert len(ident) == 4 and len(affected) == 1
+
+    r = read_versioned(spark, t)
+    assert r.count() == 994
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 3
+    assert plan.count("BroadcastHashJoin") == 2  # ident map + anti-join
+
+    # predicate read whose surviving files are all clean: no DV join
+    pruned = read_versioned(spark, t, predicates=[("k", ">", 800)])
+    assert pruned.count() == 199
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in pplan
+    # and a pruned read that DOES include the affected file stays exact
+    lo = read_versioned(spark, t, predicates=[("k", "<", 100)])
+    assert lo.count() == 94
+
+
+def test_dv_orphaned_identities_fail_closed(spark, tmp_path):
+    """Round 14 (r13 ADVICE medium): DV identities are (inode, size);
+    an inode-changing but content-preserving copy of the table dir
+    (cp/rsync restore) orphans every entry, and a read that silently
+    dropped them would RESURRECT deleted rows. The read must fail
+    closed instead."""
+    import shutil
+
+    t = _mk(spark, tmp_path)
+    _dele(spark, t, [1, 2], dv=True)
+    assert read_versioned(spark, t).count() == 998
+
+    c = str(tmp_path / "copied")
+    shutil.copytree(t, c)  # fresh inodes for every data file
+    with pytest.raises(RuntimeError, match="fails closed"):
+        read_versioned(spark, c).count()
+    # the original table is untouched and still reads DV-filtered
+    assert read_versioned(spark, t).count() == 998
+
+
+def _keys_by_file(spark, t, v):
+    rows = (
+        inv._snapshot_df(spark, t, v, identity=True)
+        .select("k", inv._DV_FP_COL).collect()
+    )
+    by_f: dict = {}
+    for r in rows:
+        by_f.setdefault(r[1], []).append(r[0])
+    return {f: sorted(ks) for f, ks in by_f.items()}
+
+
+def test_reorg_purge_density_targeting(spark, tmp_path):
+    """Round 14 (r13 verdict #3): REORG PURGE rewrites exactly the
+    files whose DV density crosses the threshold; below-threshold
+    files carry untouched WITH their DV entries (partial purge exact);
+    a full purge drops the sidecar entirely."""
+    from animaltrackingetls_spark.inventory import reorg_purge_versioned
+
+    t = _mk(spark, tmp_path)
+    v0 = list_versions(t)[-1]
+    by_f = _keys_by_file(spark, t, v0)
+    files = sorted(by_f)
+    dense = by_f[files[0]][: int(len(by_f[files[0]]) * 0.6)]
+    sparse = by_f[files[1]][:5]
+    _dele(spark, t, dense + sparse, dv=True)
+
+    r = reorg_purge_versioned(spark, t, min_density=0.5, keep_versions=10)
+    assert r["purged"] and r["purged_files"] == 1
+    assert r["dv_rows_purged"] == len(dense)
+    v2 = list_versions(t)[-1]
+    left = inv._dv_summary(t, v2)
+    assert sum(e["rows"] for e in left.values()) == len(sparse)
+    got = read_versioned(spark, t)
+    assert got.count() == 1000 - len(dense) - len(sparse)
+    assert got.filter(F.col("k").isin(dense + sparse)).count() == 0
+    # untouched files keep their physical identity across the purge
+    idents = lambda v: {  # noqa: E731
+        os.path.basename(p): (os.stat(p).st_ino, os.stat(p).st_size)
+        for p in inv._snapshot_files(t, v).values()
+    }
+    shared = set(idents(v2).items()) & set(idents(v0).items())
+    assert len(shared) == 3  # all but the purged file
+
+    # threshold-0 purge: everything DV-carrying rewrites, DV gone
+    r2 = reorg_purge_versioned(spark, t, keep_versions=10)
+    assert r2["purged"] and r2["purged_files"] == 1
+    v3 = list_versions(t)[-1]
+    assert not inv._dv_files(t, v3)
+    assert read_versioned(spark, t).count() == 1000 - len(dense) - len(sparse)
+    # no-op when no DV remains
+    assert reorg_purge_versioned(spark, t, keep_versions=10)["purged"] is False
+
+
+def test_reorg_purge_auto_trigger(spark, tmp_path):
+    """The auto-compaction hook self-heals the DV read tax: a commit
+    with ``auto_compact`` set purges files past _DV_PURGE_DENSITY."""
+    t = _mk(spark, tmp_path, cow=True)
+    v0 = list_versions(t)[-1]
+    by_f = _keys_by_file(spark, t, v0)
+    f0 = sorted(by_f)[0]
+    dense = by_f[f0][: int(len(by_f[f0]) * 0.7)]
+    _dele(spark, t, dense, dv=True)
+    assert inv._dv_files(t, list_versions(t)[-1])
+
+    upsert_parquet_versioned(
+        spark, t,
+        spark.createDataFrame([(5000, 0, 1.0)], "k long, g long, x double"),
+        ["k"], keep_versions=10, cow=True, auto_compact=999)
+    v = list_versions(t)[-1]
+    assert not inv._dv_files(t, v)  # purged by the density trigger
+    ops = [r["operation"] for r in inv.describe_history(spark, t).collect()]
+    assert "REORG (purge)" in ops
+    got = read_versioned(spark, t)
+    assert got.count() == 1000 - len(dense) + 1
+    assert got.filter(F.col("k").isin(dense)).count() == 0
+
+
+def test_mor_update_equality_with_cow(spark, tmp_path):
+    """Round 14 (r13 verdict #4): merge-on-read UPDATE — matched
+    preimages are DV'd in place, postimages append as new files. Same
+    final snapshot and same CDC classification as the CoW merge,
+    O(churn) write volume (zero pre-existing files rewritten)."""
+    from animaltrackingetls_spark.cdc import read_change_data
+
+    t = _mk(spark, tmp_path, write_change_data=True)
+    t2 = _mk(spark, tmp_path, "twin", write_change_data=True)
+    v0 = list_versions(t)[-1]
+    idents = lambda tb, v: {  # noqa: E731
+        (os.stat(p).st_ino, os.stat(p).st_size)
+        for p in inv._snapshot_files(tb, v).values()
+    }
+    before = idents(t, v0)
+    batch = spark.createDataFrame(
+        [(3, 9, 99.5), (500, 9, 42.0), (2000, 9, 7.0)],
+        "k long, g long, x double")
+    upsert_parquet_versioned(spark, t, batch, ["k"], keep_versions=10,
+                             dv=True)
+    upsert_parquet_versioned(spark, t2, batch, ["k"], keep_versions=10,
+                             cow=True)
+    assert _rows(read_versioned(spark, t), "k", "g", "x") == \
+        _rows(read_versioned(spark, t2), "k", "g", "x")
+    v1 = list_versions(t)[-1]
+    # every pre-existing file carried physically untouched
+    assert before <= idents(t, v1)
+    # DV marks exactly the matched preimages (k=2000 is a pure insert)
+    assert sum(e["rows"] for e in inv._dv_summary(t, v1).values()) == 2
+    ops = [r["operation"] for r in inv.describe_history(spark, t).collect()]
+    assert "MERGE (dv)" in ops
+    # identical CDC classification on both tables
+    cols = ["k", "g", "x", "_change_type"]
+    a = _rows(read_change_data(spark, t, v0, v1), *cols)
+    b = _rows(read_change_data(spark, t2, list_versions(t2)[0],
+                               list_versions(t2)[-1]), *cols)
+    assert a == b and len(a) == 5  # 1 insert + 2 pre/post pairs
+
+
+def test_mor_update_composes_with_dv_delete_and_replay(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _dele(spark, t, [10, 11], dv=True)
+    upsert_parquet_versioned(
+        spark, t,
+        spark.createDataFrame([(12, 0, 1.5)], "k long, g long, x double"),
+        ["k"], keep_versions=10, dv=True,
+        txn_app_id="m", txn_version=1)
+    r = read_versioned(spark, t)
+    assert r.count() == 998  # 1000 - 2 deleted, k=12 updated in place
+    assert r.filter("k = 12").first().x == 1.5
+    assert r.filter("k in (10, 11)").count() == 0
+    # watermark replay: same txn no-ops
+    n = len(list_versions(t))
+    upsert_parquet_versioned(
+        spark, t,
+        spark.createDataFrame([(13, 0, 9.9)], "k long, g long, x double"),
+        ["k"], keep_versions=10, dv=True,
+        txn_app_id="m", txn_version=1)
+    assert len(list_versions(t)) == n
+    assert read_versioned(spark, t).filter("k = 13").first().x != 9.9
+
+
+def test_mor_update_schema_evolution_falls_back(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    batch = spark.createDataFrame([(3, 0, 1.0, "new")],
+                                  "k long, g long, x double, extra string")
+    upsert_parquet_versioned(spark, t, batch, ["k"], keep_versions=10,
+                             dv=True, merge_schema=True)
+    v = list_versions(t)[-1]
+    assert not inv._dv_files(t, v)  # full rewrite, no DV
+    r = read_versioned(spark, t)
+    assert r.count() == 1000 and "extra" in r.columns
+    assert r.filter("k = 3").first().extra == "new"
+    # guards
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        upsert_parquet_versioned(spark, t, batch, ["k"], dv=True, cow=True)

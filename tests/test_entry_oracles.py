@@ -68,8 +68,13 @@ def test_past_window_list_is_nonempty_and_stable():
     # this suite past it. The list must never contain a name without
     # an oracle (by construction) or miss one (the window test asserts
     # the prefix side).
+    # Round 14: ivm_view + dv_delete joined the window (r13 verdict
+    # #6), displacing quota_shuffle + proximity_pairs here — the
+    # driver's gate is hard-capped at 50 rows (observed r8: a 54-entry
+    # prefix recorded exactly 50), so displaced oracle-backed queries
+    # keep their hard signal through this suite-run compare instead.
     names = _past_window_oracle_names()
-    assert names == ["semi_anti_join"]
+    assert names == ["quota_shuffle", "proximity_pairs", "semi_anti_join"]
 
 
 @pytest.mark.parametrize("name", _past_window_oracle_names())

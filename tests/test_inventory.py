@@ -2133,3 +2133,134 @@ def test_run_cdc_pump_drains(spark, tmp_path):
     # caught up: zero-poll drain
     r = run_cdc_pump(spark, src, dst, cur, ["k"])
     assert r["polls"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Round 14: MERGE ... WHEN MATCHED THEN DELETE (delete_keys) — one
+# commit that upserts AND deletes, the primitive the IVM poll uses to
+# halve its per-poll commit overhead (r13 verdict #8).
+# ---------------------------------------------------------------------------
+
+
+def _mk_versioned(spark, tmp_path, name="mt", n=1000, **kw):
+    from animaltrackingetls_spark.inventory import upsert_parquet_versioned
+
+    t = str(tmp_path / name)
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g"),
+        F.col("id").cast("double").alias("x"))
+    upsert_parquet_versioned(spark, t, df, ["k"], keep_versions=10,
+                             target_files=4, **kw)
+    return t
+
+
+@pytest.mark.parametrize("mode", ["plain", "cow", "dv"])
+def test_merge_with_delete_keys_equals_sequential(spark, tmp_path, mode):
+    """One combined commit == upsert-then-delete on a twin table, for
+    every merge strategy; exactly one version published; a key in BOTH
+    frames takes the upsert row."""
+    from animaltrackingetls_spark.inventory import (
+        delete_versioned,
+        list_versions,
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+
+    kw = {"cow": mode == "cow", "dv": mode == "dv"}
+    t = _mk_versioned(spark, tmp_path, f"a_{mode}")
+    t2 = _mk_versioned(spark, tmp_path, f"b_{mode}")
+    ups = spark.createDataFrame(
+        [(3, 9, 99.5), (2000, 9, 7.0), (10, 9, 1.0)],
+        "k long, g long, x double")
+    dks = spark.createDataFrame([(5,), (6,), (10,), (5000,)], "k long")
+
+    n0 = len(list_versions(t))
+    upsert_parquet_versioned(spark, t, ups, ["k"], keep_versions=10,
+                             delete_keys=dks, **kw)
+    assert len(list_versions(t)) == n0 + 1  # ONE commit
+
+    delete_versioned(spark, t2, dks, ["k"], keep_versions=10)
+    upsert_parquet_versioned(spark, t2, ups, ["k"], keep_versions=10)
+    rows = lambda tb: sorted(  # noqa: E731
+        tuple(r) for r in read_versioned(spark, tb)
+        .select("k", "g", "x").collect())
+    assert rows(t) == rows(t2)
+    got = read_versioned(spark, t)
+    assert got.filter("k in (5, 6)").count() == 0
+    assert got.filter("k = 10").first().x == 1.0  # upsert wins over delete
+    assert got.filter("k = 2000").count() == 1
+
+
+def test_merge_with_delete_keys_cdc_classification(spark, tmp_path):
+    """The combined commit's change log: update pre/post pairs for
+    matched upserts, insert for new keys, delete for doomed keys not
+    re-upserted — and NOTHING for a doomed key that is also upserted
+    (it nets to an update)."""
+    from animaltrackingetls_spark.cdc import read_change_data
+    from animaltrackingetls_spark.inventory import (
+        list_versions,
+        upsert_parquet_versioned,
+    )
+
+    t = _mk_versioned(spark, tmp_path, write_change_data=True)
+    v1 = list_versions(t)[-1]
+    ups = spark.createDataFrame(
+        [(3, 9, 99.5), (2000, 9, 7.0), (10, 9, 1.0)],
+        "k long, g long, x double")
+    dks = spark.createDataFrame([(5,), (10,)], "k long")
+    upsert_parquet_versioned(spark, t, ups, ["k"], keep_versions=10,
+                             cow=True, delete_keys=dks)
+    v2 = list_versions(t)[-1]
+    feed = read_change_data(spark, t, v1, v2)
+    got = sorted((r.k, r._change_type) for r in feed.collect())
+    assert got == [
+        (3, "update_postimage"), (3, "update_preimage"),
+        (5, "delete"),
+        (10, "update_postimage"), (10, "update_preimage"),
+        (2000, "insert"),
+    ]
+    # dv twin logs identically
+    t3 = _mk_versioned(spark, tmp_path, "dvt", write_change_data=True)
+    w1 = list_versions(t3)[-1]
+    upsert_parquet_versioned(spark, t3, ups, ["k"], keep_versions=10,
+                             dv=True, delete_keys=dks)
+    w2 = list_versions(t3)[-1]
+    got_dv = sorted(
+        (r.k, r._change_type)
+        for r in read_change_data(spark, t3, w1, w2).collect())
+    assert got_dv == got
+
+
+def test_merge_with_delete_keys_replay_and_first_write(spark, tmp_path):
+    from animaltrackingetls_spark.inventory import (
+        list_versions,
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+
+    # first write ignores delete_keys (nothing exists to delete)
+    t = str(tmp_path / "fw")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("x"))
+    upsert_parquet_versioned(
+        spark, t, df, ["k"], keep_versions=5,
+        delete_keys=spark.createDataFrame([(1,)], "k long"))
+    assert read_versioned(spark, t).count() == 10
+
+    # watermark replay: the combined commit no-ops as one unit
+    ups = spark.createDataFrame([(3, 9.0)], "k long, x double")
+    dks = spark.createDataFrame([(4,)], "k long")
+    upsert_parquet_versioned(spark, t, ups, ["k"], keep_versions=5,
+                             delete_keys=dks, txn_app_id="m",
+                             txn_version=1)
+    n = len(list_versions(t))
+    assert read_versioned(spark, t).count() == 9
+    upsert_parquet_versioned(
+        spark, t, spark.createDataFrame([(5, 0.0)], "k long, x double"),
+        ["k"], keep_versions=5,
+        delete_keys=spark.createDataFrame([(6,)], "k long"),
+        txn_app_id="m", txn_version=1)  # replay: full no-op
+    assert len(list_versions(t)) == n
+    got = read_versioned(spark, t)
+    assert got.count() == 9
+    assert got.filter("k = 6").count() == 1  # NOT deleted by the replay
