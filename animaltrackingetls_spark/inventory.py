@@ -370,6 +370,35 @@ def _dv_summary(table_dir: str, version: str) -> dict[tuple, dict]:
     }
 
 
+# Above this many TOTAL deletion-vector rows, readers apply the DV as
+# a broadcast anti-join; at or below it, the row indices inline into
+# per-file `NOT row_index IN (...)` filters — pure codegen, no
+# broadcast jobs, no join (measured: the join form cost 1.38 s on a
+# single-file 312k-row branch where the whole 31-file clean scan cost
+# 0.40 s — the tax was the exchange/job machinery, not the data).
+# The driver-side read backing the inline path is bounded by this cap.
+_DV_INLINE_MAX = 65536
+
+
+def _dv_inline_indices(
+    table_dir: str, version: str
+) -> dict[tuple, list[int]]:
+    """Driver-side per-identity row-index lists for a SMALL DV (caller
+    checks the summary's total against ``_DV_INLINE_MAX`` first — the
+    read is churn-sized and bounded by the cap)."""
+    import pyarrow.parquet as pq
+
+    out: dict[tuple, set] = {}
+    for p in _dv_files(table_dir, version):
+        t = pq.read_table(p, columns=["ino", "size", "row_index"])
+        for ino, size, ri in zip(
+            t.column("ino").to_pylist(), t.column("size").to_pylist(),
+            t.column("row_index").to_pylist(),
+        ):
+            out.setdefault((int(ino), int(size)), set()).add(int(ri))
+    return {k: sorted(v) for k, v in out.items()}
+
+
 def _dv_resolved(table_dir: str, version: str) -> tuple[list, set]:
     """Resolve the version's DV identities against its own file map and
     FAIL CLOSED on any entry that names no live data file: file
@@ -2595,13 +2624,47 @@ def _snapshot_df_files(
              if os.path.basename(all_files[k]) not in affected]
     parts = _branches(clean, identity)
     if aff:
-        sub = reduce(
-            lambda a, c: a.unionByName(c), _branches(aff, True)
+        from pyspark.sql import functions as F
+
+        total_dv = sum(
+            e["rows"] for e in _dv_summary(table_dir, version).values()
         )
-        sub = _apply_dv(spark, sub, table_dir, version, ident=ident_rows)
-        if not identity:
-            sub = sub.drop(_DV_FP_COL, _DV_RI_COL)
-        parts.append(sub)
+        if total_dv <= _DV_INLINE_MAX:
+            # small DV: inline the doomed row indices as per-file
+            # NOT-IN filters — whole-stage-codegen InSet probes, zero
+            # joins, zero broadcast jobs (see _DV_INLINE_MAX)
+            by_ident = _dv_inline_indices(table_dir, version)
+            ident_of = {bn: (i, s) for bn, i, s in ident_rows}
+            for k in aff:
+                path = all_files[k]
+                idxs = by_ident.get(
+                    ident_of[os.path.basename(path)], []
+                )
+                odir = os.path.join(table_dir, k.split("/", 1)[0])
+                scan = (
+                    spark.read.option("basePath", odir)
+                    .schema(schema).parquet(path)
+                )
+                if identity:
+                    scan = _with_scan_identity(scan)
+                    if idxs:
+                        scan = scan.filter(
+                            ~F.col(_DV_RI_COL).isin(idxs)
+                        )
+                elif idxs:
+                    scan = scan.filter(
+                        ~F.col("_metadata.row_index").isin(idxs)
+                    )
+                parts.append(scan)
+        else:
+            sub = reduce(
+                lambda a, c: a.unionByName(c), _branches(aff, True)
+            )
+            sub = _apply_dv(spark, sub, table_dir, version,
+                            ident=ident_rows)
+            if not identity:
+                sub = sub.drop(_DV_FP_COL, _DV_RI_COL)
+            parts.append(sub)
     return reduce(lambda a, c: a.unionByName(c), parts)
 
 

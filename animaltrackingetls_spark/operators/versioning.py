@@ -1693,9 +1693,21 @@ def _apply_aggregate_delta(
         # watermark — half the per-poll commit overhead of the r13
         # upsert-then-delete pair, same exactly-once contract (a
         # replayed window no-ops on the single {app_id}#up mark).
+        # CoW only pays on a multi-file view: on a 1-2 file dest the
+        # planner's probe scan is pure overhead (profiled 1.44 s CoW
+        # vs 0.67 s plain for a 9973-group single-file view) and the
+        # rewrite touches every file anyway.
+        from ..inventory import _current_version, _snapshot_files
+
+        use_cow = True
+        cur_dest = _current_version(dest_dir)
+        if cur_dest is not None and len(
+            _snapshot_files(dest_dir, cur_dest)
+        ) <= 2:
+            use_cow = False
         upsert_parquet_versioned(
             spark, dest_dir, survivors, group_cols,
-            keep_versions=keep_versions, cow=True,
+            keep_versions=keep_versions, cow=use_cow,
             txn_app_id=f"{app_id}#up", txn_version=seq,
             delete_keys=doomed if n_del else None,
         )

@@ -409,13 +409,14 @@ def test_dv_summary_sidecar_written_and_carried(spark, tmp_path):
     assert inv._dv_summary(t, v2) == s2
 
 
-def test_dv_read_scoped_to_affected_files(spark, tmp_path):
+def test_dv_read_scoped_to_affected_files(spark, tmp_path, monkeypatch):
     """Round 14 (r13 verdict #2): only files that actually carry DV
-    entries pay the identity projection and the anti-join — clean
-    files scan plain. Pinned on the plan: 4-file table, one affected
-    file -> 3 parquet scans (clean multi-path branch + affected branch
-    + the DV sidecar), and a stats-pruned read that excludes the
-    affected file carries NO join at all."""
+    entries pay the DV tax — clean files scan plain. A small DV
+    (total rows <= _DV_INLINE_MAX) inlines per-file NOT-IN row-index
+    filters: 2 parquet scans, ZERO joins; a large DV falls back to
+    the scoped broadcast anti-join (pinned by forcing the cap to 0).
+    A stats-pruned read that excludes the affected file carries no DV
+    machinery at all."""
     t = _mk(spark, tmp_path)  # range(0,1000) split over 4 files
     _dele(spark, t, range(6), dv=True)  # all doomed keys in file 1
     v = list_versions(t)[-1]
@@ -425,10 +426,19 @@ def test_dv_read_scoped_to_affected_files(spark, tmp_path):
     r = read_versioned(spark, t)
     assert r.count() == 994
     plan = r._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") == 3
-    assert plan.count("BroadcastHashJoin") == 2  # ident map + anti-join
+    assert plan.count("Scan parquet") == 2  # clean branch + affected
+    assert "BroadcastHashJoin" not in plan  # inlined InSet filter
 
-    # predicate read whose surviving files are all clean: no DV join
+    # the join fallback (DV too big to inline) stays scoped and exact
+    monkeypatch.setattr(inv, "_DV_INLINE_MAX", 0)
+    rj = read_versioned(spark, t)
+    assert rj.count() == 994
+    jplan = rj._jdf.queryExecution().executedPlan().toString()
+    assert jplan.count("Scan parquet") == 3  # + the DV sidecar scan
+    assert jplan.count("BroadcastHashJoin") == 2  # ident map + anti
+    monkeypatch.undo()
+
+    # predicate read whose surviving files are all clean: no DV filter
     pruned = read_versioned(spark, t, predicates=[("k", ">", 800)])
     assert pruned.count() == 199
     pplan = pruned._jdf.queryExecution().executedPlan().toString()
