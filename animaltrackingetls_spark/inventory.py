@@ -376,8 +376,13 @@ def _dv_summary(table_dir: str, version: str) -> dict[tuple, dict]:
 # broadcast jobs, no join (measured: the join form cost 1.38 s on a
 # single-file 312k-row branch where the whole 31-file clean scan cost
 # 0.40 s — the tax was the exchange/job machinery, not the data).
-# The driver-side read backing the inline path is bounded by this cap.
-_DV_INLINE_MAX = 65536
+# The predicate is built as ONE SQL string (`F.expr`), never
+# `Column.isin(list)` — isin round-trips every literal through py4j
+# (measured 27 s of pure plan construction for a 12k list; the SQL
+# form parses the same list in 0.2-0.6 s). The cap sits below the
+# parser/codegen cliff (65k literals: 6.7 s build + 9.2 s eval;
+# 16k: 0.6 s + 0.5 s) and bounds the driver-side read behind it.
+_DV_INLINE_MAX = 16384
 
 
 def _dv_inline_indices(
@@ -2645,15 +2650,18 @@ def _snapshot_df_files(
                     spark.read.option("basePath", odir)
                     .schema(schema).parquet(path)
                 )
+                lst = ",".join(map(str, idxs))
                 if identity:
                     scan = _with_scan_identity(scan)
                     if idxs:
                         scan = scan.filter(
-                            ~F.col(_DV_RI_COL).isin(idxs)
+                            F.expr(f"{_DV_RI_COL} NOT IN ({lst})")
                         )
                 elif idxs:
                     scan = scan.filter(
-                        ~F.col("_metadata.row_index").isin(idxs)
+                        F.expr(
+                            f"_metadata.row_index NOT IN ({lst})"
+                        )
                     )
                 parts.append(scan)
         else:
