@@ -1180,6 +1180,7 @@ def maintain_aggregate_once(
     dest_keep_versions: int = 2,
     minmax_cols: list[str] | None = None,
     var_cols: list[str] | None = None,
+    sketch_cols: list[str] | None = None,
 ) -> dict:
     """Incremental MATERIALIZED-VIEW maintenance over the logged change
     feed (round 12): keep ``dest_dir`` equal to
@@ -1254,6 +1255,20 @@ def maintain_aggregate_once(
     when the mean dwarfs the spread); for ill-conditioned data
     recompute variance from a snapshot scan instead.
 
+    **Sketch columns** (``sketch_cols``, round 14): maintain an
+    ``hll_<c>`` Apache DataSketches HLL sketch per group (estimate
+    with ``F.hll_sketch_estimate``) — the approx-distinct the
+    reference's COUNT(DISTINCT)-style audits want at 100 TB. HLL
+    registers are max-merge state, so INSERTS tighten exactly like
+    min/max (``hll_union`` of the group's sketch with the window's
+    insert sketch — order-insensitive: same value set, same
+    registers); a DELETE of a non-NULL value is not invertible
+    (distinct may or may not shrink), so any group with an in-window
+    removal takes the same affected-group rescan as min/max —
+    distinct-count maintenance is O(insert-only groups' churn +
+    delete-touched groups' rows). No DuckDB oracle (engine sketch
+    impls differ); view == full Spark recompute is pinned in tests.
+
     Returns ``{"applied": bool, "to_version": str, "groups_touched":
     n, "groups_deleted": n, "source": "bootstrap"|"logged"|
     "recomputed"}``.
@@ -1269,6 +1284,7 @@ def maintain_aggregate_once(
     sum_cols = list(sum_cols or [])
     minmax_cols = list(minmax_cols or [])
     var_cols = list(var_cols or [])
+    sketch_cols = list(sketch_cols or [])
     # a variance column needs the sum machinery too: fold var_cols
     # into the summed set (deduped, order preserved)
     sum_cols = list(dict.fromkeys([*sum_cols, *var_cols]))
@@ -1283,6 +1299,13 @@ def maintain_aggregate_once(
     for c in minmax_cols:
         agg_exprs += [F.min(c).alias(f"min_{c}"),
                       F.max(c).alias(f"max_{c}")]
+    for c in sketch_cols:
+        # hll_sketch_agg accepts int/bigint/string/binary only: encode
+        # every sketch input as its string form — type-agnostic and
+        # deterministic per value, so distinct counts are unchanged
+        agg_exprs.append(
+            F.hll_sketch_agg(F.col(c).cast("string")).alias(f"hll_{c}")
+        )
 
     def _full_view(version=None):
         return (
@@ -1359,6 +1382,7 @@ def maintain_aggregate_once(
         expected |= {f"sumsq_{c}" for c in var_cols}
         expected |= {f"min_{c}" for c in minmax_cols}
         expected |= {f"max_{c}" for c in minmax_cols}
+        expected |= {f"hll_{c}" for c in sketch_cols}
         try:
             vcols = set(read_versioned(spark, dest_dir).columns)
             if not expected <= vcols:
@@ -1417,6 +1441,7 @@ def maintain_aggregate_once(
         app_id=app_id, seq=seq, keep_versions=dest_keep_versions,
         minmax_cols=minmax_cols, source_dir=source_dir,
         source_version=target, var_cols=var_cols,
+        sketch_cols=sketch_cols,
     )
     advance()
     return {"applied": True, "to_version": target,
@@ -1437,6 +1462,7 @@ def _apply_aggregate_delta(
     source_dir: str | None = None,
     source_version: str | None = None,
     var_cols: list[str] | None = None,
+    sketch_cols: list[str] | None = None,
 ) -> tuple[int, int]:
     """Apply one window of change rows to the materialized aggregate
     as SIGNED DELTAS (see :func:`maintain_aggregate_once` for the
@@ -1465,12 +1491,15 @@ def _apply_aggregate_delta(
 
     minmax_cols = list(minmax_cols or [])
     var_cols = list(var_cols or [])
+    sketch_cols = list(sketch_cols or [])
     sum_cols = list(dict.fromkeys([*sum_cols, *var_cols]))
     sign = F.when(
         F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"),
         F.lit(1),
     ).otherwise(F.lit(-1))
-    val_cols = list(dict.fromkeys([*sum_cols, *minmax_cols, *var_cols]))
+    val_cols = list(dict.fromkeys(
+        [*sum_cols, *minmax_cols, *var_cols, *sketch_cols]
+    ))
     signed = feed.select(
         *group_cols, sign.alias("_sign"),
         *[F.col(c).alias(f"_v_{c}") for c in val_cols],
@@ -1498,6 +1527,23 @@ def _apply_aggregate_delta(
             F.max(ins_v(c)).alias(f"_i_max_{c}"),
             F.min(del_v(c)).alias(f"_x_min_{c}"),
             F.max(del_v(c)).alias(f"_x_max_{c}"),
+        ]
+    for c in sketch_cols:
+        delta_aggs += [
+            # insert-side HLL (hll_sketch_agg skips the NULLs ins_v
+            # leaves on non-insert rows) — max-merge state, tightened
+            # into the view exactly like min/max
+            F.hll_sketch_agg(ins_v(c).cast("string"))
+            .alias(f"_i_hll_{c}"),
+            # removal of a non-NULL value is not invertible for
+            # distinct counts: flag the group for the rescan
+            F.max(
+                F.when(
+                    (F.col("_sign") == -1)
+                    & F.col(f"_v_{c}").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).alias(f"_x_any_{c}"),
         ]
     if minmax_cols:
         delta_aggs.append(
@@ -1527,6 +1573,11 @@ def _apply_aggregate_delta(
         for c in minmax_cols:
             agg_exprs += [F.min(f"_v_{c}").alias(f"min_{c}"),
                           F.max(f"_v_{c}").alias(f"max_{c}")]
+        for c in sketch_cols:
+            agg_exprs.append(
+                F.hll_sketch_agg(F.col(f"_v_{c}").cast("string"))
+                .alias(f"hll_{c}")
+            )
         renamed = signed.select(
             *group_cols, *[F.col(f"_v_{c}") for c in val_cols]
         )
@@ -1608,6 +1659,16 @@ def _apply_aggregate_delta(
         rescan_cond = rescan_cond | (
             F.col("a.n_rows").isNull() & (F.col("d._n_del") > 0)
         )
+    for c in sketch_cols:
+        a_s, d_s = F.col(f"a.hll_{c}"), F.col(f"d._i_hll_{c}")
+        new_mm.append(
+            F.when(a_s.isNull(), d_s).when(d_s.isNull(), a_s)
+            .otherwise(F.hll_union(a_s, d_s)).alias(f"hll_{c}")
+        )
+        # any in-window removal of a non-NULL value (including a
+        # brand-new group's insert-then-delete) is not invertible for
+        # distinct counts — rescan the group absolutely
+        rescan_cond = rescan_cond | (F.col(f"d._x_any_{c}") == 1)
     out = merged.select(
         *key_out, new_n, *new_sums, *new_mm,
         rescan_cond.alias("_rescan"),
@@ -1627,11 +1688,11 @@ def _apply_aggregate_delta(
     n_rescan = int(stats["r"] or 0)
     rescan_keys = None
     rescanned = None
-    if minmax_cols and n_rescan:
+    if (minmax_cols or sketch_cols) and n_rescan:
         rescan_keys = out.filter(F.col("_rescan")).select(*group_cols)
         rescanned = _rescan_groups(
             spark, source_dir, source_version, rescan_keys,
-            group_cols, sum_cols, minmax_cols, var_cols,
+            group_cols, sum_cols, minmax_cols, var_cols, sketch_cols,
         ).localCheckpoint()
     if rescan_keys is None:
         out = out.drop("_rescan")
@@ -1648,12 +1709,15 @@ def _apply_aggregate_delta(
            for f in cur_view.schema.fields}
     wanted = [f"min_{c}" for c in minmax_cols] + \
         [f"max_{c}" for c in minmax_cols] + \
-        [f"sumsq_{c}" for c in var_cols]
+        [f"sumsq_{c}" for c in var_cols] + \
+        [f"hll_{c}" for c in sketch_cols]
     if any(w not in tgt for w in wanted):
         raise ValueError(
-            f"view {dest_dir!r} predates minmax_cols={minmax_cols} — "
-            "rebuild it (the polling maintain_aggregate_once recomputes "
-            "automatically; a stream needs a fresh view + checkpoint)"
+            f"view {dest_dir!r} predates one of minmax_cols="
+            f"{minmax_cols} / var_cols={var_cols} / sketch_cols="
+            f"{sketch_cols} — rebuild it (the polling "
+            "maintain_aggregate_once recomputes automatically; a "
+            "stream needs a fresh view + checkpoint)"
         )
     casts = [F.col("n_rows").cast(tgt["n_rows"]).alias("n_rows")]
     for c in sum_cols:
@@ -1671,6 +1735,10 @@ def _apply_aggregate_delta(
             F.col(f"min_{c}").cast(tgt[f"min_{c}"]).alias(f"min_{c}"),
             F.col(f"max_{c}").cast(tgt[f"max_{c}"]).alias(f"max_{c}"),
         ]
+    for c in sketch_cols:
+        casts.append(
+            F.col(f"hll_{c}").cast(tgt[f"hll_{c}"]).alias(f"hll_{c}")
+        )
     survivors = survivors.select(*group_cols, *casts)
     if rescanned is not None:
         # rescan rows are absolute truth at the window end; a flagged
@@ -1720,7 +1788,8 @@ _RESCAN_IN_MAX = 256
 
 
 def _rescan_groups(spark, source_dir, source_version, rescan_keys,
-                   group_cols, sum_cols, minmax_cols, var_cols=()):
+                   group_cols, sum_cols, minmax_cols, var_cols=(),
+                   sketch_cols=()):
     """Recompute the FULL aggregate row for the flagged groups from
     the window-end snapshot: O(affected groups' rows) aggregation, a
     stats-pruned read when the flagged set is small and single-column.
@@ -1731,8 +1800,8 @@ def _rescan_groups(spark, source_dir, source_version, rescan_keys,
 
     if source_dir is None or source_version is None:
         raise ValueError(
-            "minmax_cols maintenance needs source_dir/source_version "
-            "for the affected-group rescan"
+            "minmax_cols/sketch_cols maintenance needs "
+            "source_dir/source_version for the affected-group rescan"
         )
     preds = None
     if len(group_cols) == 1:
@@ -1760,6 +1829,10 @@ def _rescan_groups(spark, source_dir, source_version, rescan_keys,
     for c in minmax_cols:
         agg_exprs += [F.min(c).alias(f"min_{c}"),
                       F.max(c).alias(f"max_{c}")]
+    for c in sketch_cols:
+        agg_exprs.append(
+            F.hll_sketch_agg(F.col(c).cast("string")).alias(f"hll_{c}")
+        )
     return rows.groupBy(*group_cols).agg(*agg_exprs)
 
 

@@ -1309,6 +1309,7 @@ def run_aggregate_maintenance(
     minmax_cols: list[str] | None = None,
     transport: str = "paths",
     var_cols: list[str] | None = None,
+    sketch_cols: list[str] | None = None,
 ) -> None:
     """Materialized-view maintenance as ONE Structured Streaming query
     (round 12): the CDC-pinned source's change feed streams in through
@@ -1336,7 +1337,12 @@ def run_aggregate_maintenance(
     so source retention must cover the stream's lag.
 
     ``transport="paths"`` (default, round 13): JVM data phase, Python
-    offsets only — see :func:`run_changes_replication`."""
+    offsets only — see :func:`run_changes_replication`.
+
+    ``sketch_cols`` (round 14): per-group HLL distinct sketches — the
+    same tighten-or-rescan protocol as min/max (inserts hll_union
+    monotonically; any removal of a non-NULL value rescans the group
+    at the batch pin). See the polling form's docstring."""
     from animaltrackingetls_spark.cdc import (
         COMMIT_SEQ_COL,
         COMMIT_VERSION_COL,
@@ -1350,13 +1356,14 @@ def run_aggregate_maintenance(
     scols = list(sum_cols or [])
     mmcols = list(minmax_cols or [])
     vcols = list(var_cols or [])
+    skcols = list(sketch_cols or [])
     stream = read_changes_stream(spark, source_dir, starting=starting,
                                  transport=transport)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         src_version = None
-        if mmcols:
+        if mmcols or skcols:
             # both transports carry the commit columns, so the pin
             # reads the (tiny, pre-expansion) batch directly
             src_version = batch_df.agg(
@@ -1392,6 +1399,7 @@ def run_aggregate_maintenance(
             keep_versions=dest_keep_versions,
             minmax_cols=mmcols, source_dir=source_dir,
             source_version=src_version, var_cols=vcols,
+            sketch_cols=skcols,
         )
 
     q = (

@@ -1585,3 +1585,132 @@ def test_stream_maintenance_fails_closed_on_pruned_rescan_pin(
             spark, src, vw, ck, ["g"], sum_cols=["x"],
             minmax_cols=["x"], timeout_seconds=120,
         )
+
+
+def test_ivm_sketch_maintenance(spark, tmp_path):
+    """Round-14 sketch_cols: per-group HLL distinct sketches maintained
+    like min/max — inserts hll_union monotonically (order-insensitive:
+    same value set => same registers), any removal of a non-NULL value
+    rescans the group absolutely. Pinned equal (on the ESTIMATE) to the
+    full recompute through duplicate inserts, updates, deletes, NULL
+    values, group emptying, and a brand-new-group insert-then-delete
+    window."""
+    from animaltrackingetls_spark.operators.versioning import (
+        maintain_aggregate_once,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    cur = str(tmp_path / "cursor")
+
+    def up(rows):
+        upsert_parquet_versioned(
+            spark, src,
+            spark.createDataFrame(rows, "k long, g string, x double"),
+            ["k"], keep_versions=20, write_change_data=True, cow=True,
+        )
+
+    def dele(ks):
+        delete_versioned(spark, src, spark.createDataFrame(
+            [(k,) for k in ks], "k long"), ["k"], keep_versions=20,
+            cow=True)
+
+    def full():
+        return _rows(
+            read_versioned(spark, src).groupBy("g").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg(F.col("x").cast("string"))).alias("nd_x"),
+            ), "g", "n_rows", "nd_x")
+
+    def materialized():
+        return _rows(
+            read_versioned(spark, view).select(
+                "g", "n_rows",
+                F.hll_sketch_estimate("hll_x").alias("nd_x"),
+            ), "g", "n_rows", "nd_x")
+
+    def poll():
+        return maintain_aggregate_once(
+            spark, src, view, cur, ["g"], sketch_cols=["x"],
+        )
+
+    # duplicates within a group (distinct 2 of 3 rows) + NULL value
+    up([(1, "a", 1.0), (2, "a", 1.0), (3, "a", 2.0), (4, "z", None)])
+    assert poll()["source"] == "bootstrap"
+    assert materialized() == full()
+
+    # insert-only window: pure hll_union tighten, no rescan
+    up([(5, "a", 9.0), (6, "b", 4.0)])
+    assert poll()["source"] == "logged"
+    assert materialized() == full()
+
+    # duplicate-value delete: distinct must NOT shrink (k=1 leaves,
+    # k=2 still holds x=1.0) — only the rescan can know that
+    dele([1])
+    poll()
+    assert materialized() == full()
+
+    # last-copy delete: distinct shrinks
+    dele([3])
+    poll()
+    assert materialized() == full()
+
+    # update changes a value: old value removal + new value insert
+    up([(5, "a", 10.0)])
+    poll()
+    assert materialized() == full()
+
+    # group empties entirely
+    dele([6])
+    poll()
+    assert materialized() == full()
+    assert "b" not in {r.g for r in read_versioned(spark, view).collect()}
+
+    # brand-new group whose FIRST window already contains a delete
+    up([(20, "c", 1.0), (21, "c", 2.0)])
+    dele([21])
+    poll()
+    assert materialized() == full()
+
+    # schema evolution: a view predating sketch_cols re-bases once
+    cur2, view2 = str(tmp_path / "cur2"), str(tmp_path / "view2")
+    maintain_aggregate_once(spark, src, view2, cur2, ["g"])
+    up([(30, "d", 3.0)])
+    r = maintain_aggregate_once(spark, src, view2, cur2, ["g"],
+                                sketch_cols=["x"])
+    assert r["source"] == "recomputed"
+    assert "hll_x" in read_versioned(spark, view2).columns
+
+
+def test_streaming_sketch_maintenance(spark, tmp_path):
+    """The streaming twin maintains sketch columns through the same
+    apply kernel; the delete-bearing batch takes the rescan at the
+    batch pin."""
+    from animaltrackingetls_spark.streaming.jobs import (
+        run_aggregate_maintenance,
+    )
+
+    src, vw = str(tmp_path / "src"), str(tmp_path / "vw")
+    ck = str(tmp_path / "ck")
+    upsert_parquet_versioned(
+        spark, src,
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 1.0), (3, "b", 2.0)],
+            "k long, g string, x double"),
+        ["k"], keep_versions=10, write_change_data=True, cow=True)
+    delete_versioned(spark, src, spark.createDataFrame(
+        [(1,)], "k long"), ["k"], keep_versions=10, cow=True)
+
+    run_aggregate_maintenance(spark, src, vw, ck, ["g"],
+                              sketch_cols=["x"])
+    got = _rows(
+        read_versioned(spark, vw).select(
+            "g", "n_rows",
+            F.hll_sketch_estimate("hll_x").alias("nd_x")),
+        "g", "n_rows", "nd_x")
+    want = _rows(
+        read_versioned(spark, src).groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.hll_sketch_estimate(F.hll_sketch_agg(F.col("x").cast("string"))).alias("nd_x")),
+        "g", "n_rows", "nd_x")
+    assert got == want
