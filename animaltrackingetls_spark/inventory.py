@@ -3526,6 +3526,133 @@ def reorg_purge_versioned(
     return report
 
 
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key_cols: list[str],
+    when_matched: str | None = "update",
+    when_not_matched: str | None = "insert",
+    matched_condition: str | None = None,
+    keep_versions: int = 2,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+    cow: bool = False,
+    dv: bool = False,
+    write_change_data: bool | None = None,
+) -> DataFrame:
+    """Delta's ``MERGE INTO`` surface over the versioned primitives
+    (round 14): classify every source row as MATCHED (its key exists
+    in the current snapshot) or NOT MATCHED, then apply
+
+    * ``when_matched="update"`` — matched rows replace their target
+      row; ``"delete"`` — matched rows REMOVE their target row (via
+      the single-commit ``delete_keys`` path); ``None`` — matched
+      rows are ignored;
+    * ``matched_condition`` — SQL predicate over the SOURCE row
+      restricting the matched action (``WHEN MATCHED AND <cond>``);
+      matched rows failing it take no action;
+    * ``when_not_matched="insert"`` — unmatched rows insert; ``None``
+      — they are ignored.
+
+    Everything lands in ONE snapshot commit (one CAS publish, one
+    watermark, one CDC log) through :func:`upsert_parquet_versioned`,
+    so the merge strategies compose: ``cow=True`` rewrites only the
+    files holding affected keys, ``dv=True`` marks matched preimages
+    in the deletion vector and appends the rest. The unconditional
+    update+insert form needs NO classification probe (it is exactly
+    the keyed upsert); every other form pays one column-pruned
+    key-column scan of the current snapshot to split matched from
+    unmatched — bounded by the key columns' bytes, never the row
+    payload. First write: everything is NOT MATCHED.
+
+    Concurrency note: classification is computed against the snapshot
+    CURRENT at call time and materialized (localCheckpoint) before the
+    commit; the commit itself retries under the usual CAS. A writer
+    that lands in between can flip a row's matched status after
+    classification — the plain update+insert form is immune (pure
+    keyed upsert); for the conditional/delete forms the result equals
+    the two-call sequence (classify, then act). Serialize externally
+    if a merge must classify against its own commit base.
+    """
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"when_matched must be update|delete|None, "
+                         f"got {when_matched!r}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"when_not_matched must be insert|None, "
+                         f"got {when_not_matched!r}")
+    if when_matched is None and when_not_matched is None:
+        raise ValueError("merge with no clauses is a no-op by "
+                         "construction — refuse loudly")
+    if matched_condition is not None and when_matched is None:
+        raise ValueError("matched_condition without a when_matched "
+                         "clause has no effect")
+
+    kw = dict(keep_versions=keep_versions, txn_app_id=txn_app_id,
+              txn_version=txn_version, cow=cow, dv=dv,
+              write_change_data=write_change_data)
+    plain_upsert = (
+        when_matched == "update" and matched_condition is None
+        and when_not_matched == "insert"
+    )
+    if plain_upsert:
+        return upsert_parquet_versioned(
+            spark, table_dir, source, key_cols, **kw)
+
+    current = _current_version(table_dir)
+    if current is None:
+        # first write: every source row is NOT MATCHED
+        if when_not_matched is None:
+            raise FileNotFoundError(
+                f"no published snapshot under {table_dir} and the "
+                "merge has no NOT MATCHED clause"
+            )
+        return upsert_parquet_versioned(
+            spark, table_dir, source, key_cols, **kw)
+
+    tgt_keys = _snapshot_df(spark, table_dir, current).select(
+        *key_cols).dropDuplicates(key_cols)
+    matched = source.join(
+        tgt_keys, on=_null_safe_cond(source, tgt_keys, key_cols),
+        how="left_semi",
+    )
+    unmatched = source.join(
+        tgt_keys, on=_null_safe_cond(source, tgt_keys, key_cols),
+        how="left_anti",
+    )
+    acting = (
+        matched.filter(matched_condition)
+        if matched_condition is not None else matched
+    )
+    parts = []
+    delete_keys = None
+    if when_matched == "update":
+        parts.append(acting)
+    elif when_matched == "delete":
+        delete_keys = acting.select(*key_cols)
+    if when_not_matched == "insert":
+        parts.append(unmatched)
+    if parts:
+        updates = parts[0]
+        for p in parts[1:]:
+            updates = updates.unionByName(p)
+    else:
+        updates = source.limit(0)
+    # materialize the classified frames once: they feed the planner's
+    # probe, the merge, and the CDC classification, and must not
+    # re-classify against a snapshot a concurrent writer replaced
+    updates = updates.localCheckpoint()
+    if delete_keys is not None:
+        delete_keys = delete_keys.localCheckpoint()
+        if delete_keys.isEmpty():
+            delete_keys = None
+    if delete_keys is None and updates.isEmpty():
+        return read_versioned(spark, table_dir)  # provable no-op
+    return upsert_parquet_versioned(
+        spark, table_dir, updates, key_cols,
+        delete_keys=delete_keys, **kw)
+
+
 def upsert_dbapi(
     df: DataFrame,
     conn_factory,

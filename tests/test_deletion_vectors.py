@@ -621,3 +621,39 @@ def test_mor_update_schema_evolution_falls_back(spark, tmp_path):
     # guards
     with pytest.raises(ValueError, match="mutually exclusive"):
         upsert_parquet_versioned(spark, t, batch, ["k"], dv=True, cow=True)
+
+
+def test_dv_manifest_mode_mor_update_and_purge(spark, tmp_path):
+    """Manifest link mode (object-store posture) through the round-14
+    additions: a MoR update appends into the manifest snapshot, the
+    REORG purge rewrites only the DV-affected files and re-references
+    the rest."""
+    from animaltrackingetls_spark.inventory import reorg_purge_versioned
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("x"))
+    upsert_parquet_versioned(spark, t, df, ["k"], keep_versions=10,
+                             target_files=4, cow=True,
+                             link_mode="manifest")
+    _dele_keys = spark.createDataFrame([(1,), (2,)], "k long")
+    delete_versioned(spark, t, _dele_keys, ["k"], keep_versions=10,
+                     dv=True)
+    upsert_parquet_versioned(
+        spark, t,
+        spark.createDataFrame([(3, 33.0), (2, 2.5), (5000, 1.0)],
+                              "k long, x double"),
+        ["k"], keep_versions=10, dv=True)
+    r = read_versioned(spark, t)
+    # 1000 - {1,2} deleted + k=2 re-inserted (2.5) + k=5000 new
+    assert r.count() == 1000
+    assert r.filter("k = 1").count() == 0
+    assert r.filter("k = 2").first().x == 2.5
+    assert r.filter("k = 3").first().x == 33.0
+
+    rep = reorg_purge_versioned(spark, t, keep_versions=10)
+    assert rep["purged"]
+    v = list_versions(t)[-1]
+    assert not inv._dv_files(t, v)
+    r2 = read_versioned(spark, t)
+    assert _rows(r2, "k", "x") == _rows(r, "k", "x")
