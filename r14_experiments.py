@@ -280,7 +280,63 @@ def ivmpoll() -> None:
           f"{time.monotonic() - t0:.2f}s", flush=True)
 
 
+def sketch10m() -> None:
+    """HLL sketch-column maintenance at 10M rows: bootstrap, an
+    insert-only window (pure hll_union tighten, no rescan), and a
+    delete-bearing window (every touched group rescans)."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.cdc import resolve_cdc
+    from animaltrackingetls_spark.inventory import (
+        delete_versioned,
+        upsert_parquet_versioned,
+    )
+    from animaltrackingetls_spark.operators.versioning import (
+        maintain_aggregate_once,
+    )
+    from animaltrackingetls_spark.session import get_spark
+
+    spark = get_spark(master="local[32]",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    tmp = tempfile.mkdtemp(prefix="r14sk")
+    src = f"{tmp}/src"
+    resolve_cdc(src, True)
+    df = spark.range(0, 10_000_000).select(
+        F.col("id").alias("k"), (F.col("id") % 9973).alias("g"),
+        (F.col("id") % 100_000).cast("double").alias("x"),
+    )
+    upsert_parquet_versioned(spark, src, df, ["k"], keep_versions=10,
+                             target_files=32, cow=True)
+    view, cur = f"{tmp}/view", f"{tmp}/cur"
+
+    def poll(tag):
+        t0 = time.monotonic()
+        r = maintain_aggregate_once(
+            spark, src, view, cur, ["g"], sum_cols=["x"],
+            sketch_cols=["x"], dest_keep_versions=3)
+        print(f"  poll[{tag}]: {time.monotonic() - t0:.2f}s "
+              f"touched={r['groups_touched']} src={r['source']}",
+              flush=True)
+
+    poll("bootstrap (full 10M sketch agg)")
+    ins = spark.createDataFrame(
+        [(10_000_000 + i, i % 9973, 7.5) for i in range(1000)],
+        "k long, g long, x double")
+    upsert_parquet_versioned(spark, src, ins, ["k"], keep_versions=10,
+                             cow=True)
+    poll("insert-only window (hll_union tighten, no rescan)")
+    delete_versioned(
+        spark, src,
+        spark.createDataFrame([(k,) for k in range(7, 3_200_000, 32_000)],
+                              "k long"),
+        ["k"], keep_versions=10, cow=True)
+    poll("delete window (100 keys -> ~100 groups rescanned)")
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "movers"
     {"movers": movers, "dvtax": dvtax, "morvolume": morvolume,
-     "ivmpoll": ivmpoll}[cmd]()
+     "ivmpoll": ivmpoll, "sketch10m": sketch10m}[cmd]()
