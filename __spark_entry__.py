@@ -2211,10 +2211,11 @@ def _q_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round 14 adds ``var_cols``: the view now also maintains
     ``sumsq_x`` by signed x² deltas, and the oracle recomputes
     SUM(x*x) independently — closing r13 verdict #5 (variance was
-    pytest-only). x is folded mod 1000 so the sumsq magnitudes leave
-    ~7 digits of float headroom above the 2-decimal rendering (a
-    delta-maintained double and a single-pass recompute differ by
-    accumulation order). DuckDB recomputes the whole view from the
+    pytest-only). x is folded mod 1000 and sumsq renders at INTEGER
+    precision: a delta-maintained double and a single-pass recompute
+    differ by accumulation order (~sqrt(n)*ulp), which sits ~8 orders
+    below the 0.5 rounding boundary at these magnitudes — no
+    intermittent hash flips. DuckDB recomputes the whole view from the
     final snapshot derivation: base = %10<8, plus %10==8 inserts,
     %100==0 updated to x+100, minus %10==7 deletes. Fixed txn ids +
     the cursor make replays watermark/idle no-ops, so the cached
@@ -2285,8 +2286,12 @@ def _q_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_x_s"),
         dec("min_x").alias("min_x_s"),
         dec("max_x").alias("max_x_s"),
-        F.round(F.col("sumsq_x"), 2).cast("decimal(18,2)").cast("string")
-        .alias("sumsq_x_s"),
+        # integer precision: sumsq is a delta-maintained double vs the
+        # oracle's single-pass recompute — accumulation-order error
+        # (~sqrt(n)*ulp) sits ~8 orders below 0.5, where a 2-decimal
+        # rendering would leave only ~2 orders of boundary headroom
+        F.round(F.col("sumsq_x"), 0).cast("decimal(18,0)")
+        .cast("string").alias("sumsq_x_s"),
     ).orderBy("g")
 
 
@@ -5535,8 +5540,9 @@ def oracle_sql() -> dict[str, str]:
         # certifies the signed-delta algebra, the min/max
         # affected-group rescan (the delete removes group extrema),
         # AND the sumsq (variance) delta algebra — r13 verdict #5.
-        # x = o_totalprice % 1000 keeps SUM(x*x) small enough that the
-        # 2-decimal rendering is safe across accumulation orders.
+        # x = o_totalprice % 1000 + INTEGER-precision sumsq rendering
+        # keep accumulation-order float error ~8 orders below the
+        # rounding boundary (2 decimals left only ~2).
         "ivm_view": """
             SELECT g, n_rows, n_x,
                    CAST(CAST(ROUND(sum_x, 2) AS DECIMAL(18,2)) AS VARCHAR)
@@ -5545,7 +5551,7 @@ def oracle_sql() -> dict[str, str]:
                      AS min_x_s,
                    CAST(CAST(max_x AS DECIMAL(18,2)) AS VARCHAR)
                      AS max_x_s,
-                   CAST(CAST(ROUND(sumsq_x, 2) AS DECIMAL(18,2)) AS VARCHAR)
+                   CAST(CAST(ROUND(sumsq_x, 0) AS DECIMAL(18,0)) AS VARCHAR)
                      AS sumsq_x_s
             FROM (
               SELECT CAST(o_custkey % 503 AS BIGINT) AS g,

@@ -404,17 +404,19 @@ def _dv_inline_indices(
     return {k: sorted(v) for k, v in out.items()}
 
 
-def _dv_resolved(table_dir: str, version: str) -> tuple[list, set]:
+def _dv_resolved(table_dir: str, version: str) -> tuple[list, set, dict]:
     """Resolve the version's DV identities against its own file map and
     FAIL CLOSED on any entry that names no live data file: file
     identity is (inode, size), so an inode-changing but
     content-preserving operation on the table directory (cp/rsync
     restore, cross-filesystem move) orphans every DV entry — and a read
     that silently dropped orphans would RESURRECT deleted rows (round-13
-    advisory, medium). Returns ``(ident_rows, affected_basenames)``:
-    the snapshot's (basename, ino, size) map and the basenames of the
-    files that actually carry DV entries — the only files a scan must
-    pay the identity projection and anti-join for."""
+    advisory, medium). Returns ``(ident_rows, affected_basenames,
+    summary)``: the snapshot's (basename, ino, size) map, the
+    basenames of the files that actually carry DV entries — the only
+    files a scan must pay the identity projection and anti-join for —
+    and the loaded summary, so callers never re-read it (a pre-r14
+    table without the sidecar pays the parquet re-digest ONCE)."""
     ident = _dv_ident_rows(table_dir, version)
     by_id = {(i, s): bn for bn, i, s in ident}
     summary = _dv_summary(table_dir, version)
@@ -431,7 +433,7 @@ def _dv_resolved(table_dir: str, version: str) -> tuple[list, set]:
             "from a trusted lineage (RESTORE to a pre-DV version, or a "
             "rewriting commit on the original table)."
         )
-    return ident, {by_id[k] for k in summary}
+    return ident, {by_id[k] for k in summary}, summary
 
 
 def _with_scan_identity(scan):
@@ -489,14 +491,40 @@ def _write_dv(spark, dv_df, vdir: str) -> None:
         if extra.startswith((".", "_")):  # _SUCCESS and friends
             os.unlink(os.path.join(stage, extra))
     # summary sidecar (per-identity rows + digest) rides the same
-    # atomic rename — no published .dv/ can lack it
-    import pyarrow.parquet as pq
+    # atomic rename — no published .dv/ can lack it. Computed with ONE
+    # distributed aggregation: the driver receives a row per file
+    # identity (O(files)); a long-lived MoR table's cumulative DV can
+    # be millions of rows, and re-digesting it driver-side per commit
+    # would make commit cost O(total deleted rows) (round-14 review).
+    # Digest = sha256 of the comma-joined sorted index list, byte-for-
+    # byte the _dv_summary_of convention (cross-impl equality pinned
+    # in tests via the carry path).
+    from pyspark.sql import functions as F
 
-    part = next(
-        os.path.join(stage, f) for f in os.listdir(stage)
-        if not f.startswith((".", "_"))
+    rows = (
+        dv_df.groupBy("ino", "size")
+        .agg(F.sort_array(F.collect_set("row_index")).alias("idx"))
+        .select(
+            "ino", "size", F.size("idx").alias("n"),
+            F.substring(
+                F.sha2(
+                    F.concat_ws(
+                        ",", F.col("idx").cast("array<string>")
+                    ),
+                    256,
+                ),
+                1, 16,
+            ).alias("h"),
+        ).collect()
     )
-    _dv_write_summary(stage, _dv_summary_of(pq.read_table(part)))
+    _dv_write_summary(stage, {
+        "v": 1,
+        "entries": {
+            f"{int(r['ino'])}:{int(r['size'])}": {
+                "rows": int(r["n"]), "digest": r["h"],
+            } for r in rows
+        },
+    })
     os.replace(stage, os.path.join(vdir, _DV_DIR))
 
 
@@ -1115,16 +1143,16 @@ def upsert_parquet_versioned(
     os.makedirs(table_dir, exist_ok=True)
     mode = _pin_plain_link_mode(table_dir, link_mode)
     cdc_log = resolve_cdc(table_dir, write_change_data)
-    dk = (
-        delete_keys.select(*key_cols).dropDuplicates(key_cols)
-        if delete_keys is not None else None
-    )
-    if dk is not None:
+    dk = None
+    if delete_keys is not None:
+        # validate BEFORE the select — the select's own analysis error
+        # would otherwise preempt this message
         missing_k = [c for c in key_cols if c not in delete_keys.columns]
         if missing_k:
             raise ValueError(
                 f"delete_keys frame lacks key columns: {missing_k}"
             )
+        dk = delete_keys.select(*key_cols).dropDuplicates(key_cols)
     last_err: ConcurrentWriteError | None = None
     for _attempt in range(max(0, retries) + 1):
         # (Re-)read the commit state each attempt: a retry must merge
@@ -1228,8 +1256,15 @@ def upsert_parquet_versioned(
                                 on=_null_safe_cond(pre, kdf, key_cols),
                                 how="left_anti",
                             )
+                            # allowMissingColumns: a schema-evolving
+                            # batch pads the upsert change rows to the
+                            # union schema, but the delete preimages
+                            # come from the OLD-schema base — the new
+                            # columns must NULL-pad, not fail the
+                            # commit (same posture as the group twin)
                             changes = changes.unionByName(
-                                delete_change_rows(pure_del)
+                                delete_change_rows(pure_del),
+                                allowMissingColumns=True,
                             )
                         write_change_log(table_dir, version, changes)
                     _emit_dv_version(spark, table_dir, current, vdir,
@@ -1353,8 +1388,12 @@ def upsert_parquet_versioned(
                             ),
                             how="left_anti",
                         )
+                        # allowMissingColumns: see the MoR twin — a
+                        # merge_schema batch widens the change rows,
+                        # the delete preimages keep the old schema
                         changes = changes.unionByName(
-                            delete_change_rows(pure_del)
+                            delete_change_rows(pure_del),
+                            allowMissingColumns=True,
                         )
                     write_change_log(table_dir, version, changes)
                 # copy-on-write carry, by the table's pinned link mode:
@@ -2571,8 +2610,9 @@ def _snapshot_df_files(
     has_dv = bool(_dv_files(table_dir, version))
     ident_rows: list = []
     affected: set = set()
+    dv_sum: dict = {}
     if has_dv:
-        ident_rows, affected = _dv_resolved(table_dir, version)
+        ident_rows, affected, dv_sum = _dv_resolved(table_dir, version)
     all_files = _snapshot_files(table_dir, version)
     unknown = keys - set(all_files)
     if unknown:
@@ -2631,9 +2671,7 @@ def _snapshot_df_files(
     if aff:
         from pyspark.sql import functions as F
 
-        total_dv = sum(
-            e["rows"] for e in _dv_summary(table_dir, version).values()
-        )
+        total_dv = sum(e["rows"] for e in dv_sum.values())
         if total_dv <= _DV_INLINE_MAX:
             # small DV: inline the doomed row indices as per-file
             # NOT-IN filters — whole-stage-codegen InSet probes, zero
@@ -3448,13 +3486,14 @@ def reorg_purge_versioned(
     if current is None:
         raise FileNotFoundError(f"no published snapshot under {table_dir}")
     report: dict = {"purged": False, "purged_files": 0, "dv_rows_purged": 0}
-    dvsum = _dv_summary(table_dir, current)
-    if not dvsum:
+    if not _dv_files(table_dir, current):
         return report
     # fail-closed identity resolution (shared with the read path): a
     # purge planned over orphaned identities would silently RESURRECT
     # deleted rows by carrying their files while dropping the DV
-    _dv_resolved(table_dir, current)
+    _ident, _aff, dvsum = _dv_resolved(table_dir, current)
+    if not dvsum:
+        return report
     snap = _snapshot_files(table_dir, current)
     from . import filestats
 

@@ -420,8 +420,9 @@ def test_dv_read_scoped_to_affected_files(spark, tmp_path, monkeypatch):
     t = _mk(spark, tmp_path)  # range(0,1000) split over 4 files
     _dele(spark, t, range(6), dv=True)  # all doomed keys in file 1
     v = list_versions(t)[-1]
-    ident, affected = inv._dv_resolved(t, v)
+    ident, affected, dvsum = inv._dv_resolved(t, v)
     assert len(ident) == 4 and len(affected) == 1
+    assert sum(e["rows"] for e in dvsum.values()) == 6
 
     r = read_versioned(spark, t)
     assert r.count() == 994

@@ -2375,3 +2375,42 @@ def test_merge_into_first_write_and_dv(spark, tmp_path):
     assert idents <= {
         (os.stat(p).st_ino, os.stat(p).st_size)
         for p in _inv._snapshot_files(t2, v2).values()}
+
+
+@pytest.mark.parametrize("mode", ["plain", "dv"])
+def test_merge_with_delete_keys_schema_evolution_cdc(spark, tmp_path, mode):
+    """Round-14 review #1: a schema-evolving batch (merge_schema) in
+    the same commit as delete_keys on a CDC-pinned table — the upsert
+    change rows carry the union schema while the delete preimages keep
+    the old one; the log must NULL-pad, not fail the commit. (The dv
+    mode falls back to the full rewrite on evolution, exercising the
+    generic CDC site.)"""
+    from animaltrackingetls_spark.cdc import read_change_data
+    from animaltrackingetls_spark.inventory import (
+        list_versions,
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+
+    t = _mk_versioned(spark, tmp_path, f"se_{mode}",
+                      write_change_data=True)
+    v1 = list_versions(t)[-1]
+    ups = spark.createDataFrame([(3, 9, 1.0, "new")],
+                                "k long, g long, x double, extra string")
+    dks = spark.createDataFrame([(5,)], "k long")
+    upsert_parquet_versioned(
+        spark, t, ups, ["k"], keep_versions=10, merge_schema=True,
+        delete_keys=dks, dv=(mode == "dv"))
+    v2 = list_versions(t)[-1]
+    r = read_versioned(spark, t)
+    assert r.count() == 999 and "extra" in r.columns
+    assert r.filter("k = 5").count() == 0
+    assert r.filter("k = 3").first().extra == "new"
+    feed = read_change_data(spark, t, v1, v2)
+    got = sorted((row.k, row._change_type, row.extra)
+                 for row in feed.collect())
+    assert got == [
+        (3, "update_postimage", "new"),
+        (3, "update_preimage", None),
+        (5, "delete", None),  # NULL-padded old-schema preimage
+    ]
