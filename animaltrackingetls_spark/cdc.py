@@ -788,7 +788,14 @@ def expand_change_paths(
     one scan, not an O(N)-deep unionByName chain with per-commit
     footer inference (round-13 advisory). An empty batch returns the
     typed empty frame; colliding file basenames (vanishing — Spark
-    part names embed a per-job uuid) fall back to per-commit scans."""
+    part names embed a per-job uuid) fall back to per-commit scans, as
+    do batches whose files carry a PHYSICAL type narrower than the
+    pinned schema (a type-widening merge_schema commit, e.g.
+    float→double: older change files keep the narrow footer type and
+    the single pinned scan would depend on the parquet reader's upcast
+    support — the per-commit path infers each file's own type and
+    coerces; round-14 advisory). The footer probe is metadata-only and
+    churn-sized, same as the file-list collect."""
     import os
 
     from pyspark.sql.pandas.types import from_arrow_schema
@@ -802,13 +809,18 @@ def expand_change_paths(
         return _empty_changes_frame(
             spark, table_dir, list_versions(table_dir)
         )
-    target = from_arrow_schema(_changes_arrow_schema(table_dir))
+    arrow_target = _changes_arrow_schema(table_dir)
+    target = from_arrow_schema(arrow_target)
     by_base: dict[str, tuple[int, str]] = {}
     for r in rows:
         bn = os.path.basename(r[0])
         if bn in by_base:
             return _expand_per_commit(spark, rows, target)
         by_base[bn] = (int(r[1]), r[2])
+    if any(
+        _footer_type_drift(r[0], arrow_target) for r in rows
+    ):
+        return _expand_per_commit(spark, rows, target)
     scan = spark.read.schema(target).parquet(*[r[0] for r in rows])
     map_df = spark.createDataFrame(
         [(bn, seq, ver) for bn, (seq, ver) in by_base.items()],
@@ -821,9 +833,37 @@ def expand_change_paths(
     ).join(F.broadcast(map_df), on="_cf_bn").drop("_cf_bn")
 
 
+def _footer_type_drift(path: str, arrow_target) -> bool:
+    """True when a change file's parquet footer carries a field whose
+    physical type differs from the pinned (most-evolved) schema —
+    the type-widening shape the single pinned scan can't promise to
+    upcast. Missing columns are NOT drift (they NULL-pad); timestamp
+    units normalize to microseconds before comparing, mirroring
+    :func:`_changes_arrow_schema`. Unreadable footers report drift so
+    the conservative per-commit path handles them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        fschema = pq.read_schema(path)
+    except Exception:  # noqa: BLE001 — conservative fallback
+        return True
+    for f in fschema:
+        t = f.type
+        if pa.types.is_timestamp(t) and t.unit != "us":
+            t = pa.timestamp("us", tz=t.tz)
+        idx = arrow_target.get_field_index(f.name)
+        if idx >= 0 and not t.equals(arrow_target.field(idx).type):
+            return True
+    return False
+
+
 def _expand_per_commit(spark: SparkSession, rows, target) -> DataFrame:
     """Fallback expansion: one scan per source commit with literal
-    seq/version columns, NULL-padded to the logged schema."""
+    seq/version columns, NULL-padded to the logged schema and columns
+    coerced (upcast) to the pinned types — a pre-widening commit's
+    narrow physical column (e.g. float before a float→double
+    merge_schema) reads with its own inferred type, then casts."""
     by_commit: dict[tuple[int, str], list[str]] = {}
     for r in rows:
         by_commit.setdefault((int(r[1]), r[2]), []).append(r[0])
@@ -840,4 +880,6 @@ def _expand_per_commit(spark: SparkSession, rows, target) -> DataFrame:
     for f in target.fields:
         if f.name not in out.columns:
             out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+        elif out.schema[f.name].dataType != f.dataType:
+            out = out.withColumn(f.name, F.col(f.name).cast(f.dataType))
     return out

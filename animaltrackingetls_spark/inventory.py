@@ -1446,15 +1446,30 @@ def upsert_parquet_versioned(
                     else "MERGE (cow)" if carry else "MERGE"
                 ),
             )
-            if auto_compact:
-                _maybe_auto_compact(spark, table_dir, version,
-                                    auto_compact, keep_versions)
-            return read_versioned(spark, table_dir)
         except ConcurrentWriteError as err:
             # our snapshot merged a stale base — drop it and re-merge
             shutil.rmtree(os.path.join(table_dir, version),
                           ignore_errors=True)
             last_err = err
+            continue
+        # The commit is durable once the CAS pointer swap succeeds.
+        # Auto-compaction/purge runs OUTSIDE the publish try: a
+        # ConcurrentWriteError (or any failure) escaping from it must
+        # NOT reach the handler above, which would rmtree the
+        # just-published LIVE snapshot and re-merge against a dangling
+        # pointer. Best-effort by contract — the next trigger packs.
+        if auto_compact:
+            try:
+                _maybe_auto_compact(spark, table_dir, version,
+                                    auto_compact, keep_versions)
+            except Exception as err:  # noqa: BLE001 — post-commit hygiene
+                import warnings
+
+                warnings.warn(
+                    f"{table_dir}: post-publish auto-compact/purge "
+                    f"failed (commit already durable): {err}"
+                )
+        return read_versioned(spark, table_dir)
     raise last_err
 
 
@@ -3509,8 +3524,23 @@ def reorg_purge_versioned(
     targets: set[str] = set()
     for ident, e in dvsum.items():
         n = rows_of.get(ident)
-        # unknown row count (no sidecar): treat as fully dense — the
-        # purge is always correct, only possibly over-eager
+        if not n:
+            # unknown row count (missing/stale stats sidecar): read the
+            # parquet footer's num_rows (metadata-only, no data IO)
+            # instead of assuming full density — under the ≥50%
+            # auto-trigger the 1.0 fallback would silently rewrite
+            # every DV-carrying file on every auto_compact commit,
+            # degenerating merge-on-read into copy-on-write
+            try:
+                import pyarrow.parquet as pq
+
+                n = pq.ParquetFile(
+                    snap[ident_to_key[ident]]
+                ).metadata.num_rows
+            except Exception:  # noqa: BLE001 — footer unreadable
+                n = None
+        # still unknown: fully-dense fallback — the purge is always
+        # correct, only possibly over-eager
         density = (e["rows"] / n) if n else 1.0
         if density >= min_density:
             targets.add(ident_to_key[ident])

@@ -1355,6 +1355,55 @@ def test_expand_change_paths_empty_batch(spark, tmp_path, base_batches):
     assert {CHANGE_TYPE_COL, COMMIT_SEQ_COL} <= set(got.columns)
 
 
+def test_expand_change_paths_type_widening(spark, tmp_path):
+    """Round-14 advisory: a type-widening merge_schema commit (float→
+    double) leaves older change files with the NARROW physical type;
+    the single pinned scan can't promise the upcast, so the paths
+    transport must detect the footer drift and fall back to per-commit
+    expansion — coerced to the pinned (widened) types, equal to the
+    batch feed."""
+    from animaltrackingetls_spark.cdc import (
+        _footer_type_drift,
+        expand_change_paths,
+    )
+
+    tdir = str(tmp_path / "t")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    b1 = spark.createDataFrame([(1, 1.5), (2, 2.5)], "k long, x float")
+    upsert_parquet_versioned(spark, tdir, b1, ["k"], keep_versions=10,
+                             write_change_data=True)
+    b2 = spark.createDataFrame([(2, 9.25), (3, 3.5)], "k long, x double")
+    upsert_parquet_versioned(spark, tdir, b2, ["k"], keep_versions=10,
+                             merge_schema=True)
+    # the first commit's change file really is narrow vs the pinned
+    # schema (else this test pins nothing)
+    from animaltrackingetls_spark.cdc import _changes_arrow_schema
+
+    target = _changes_arrow_schema(tdir)
+    old_files = change_log(tdir, list_versions(tdir)[0])
+    assert any(_footer_type_drift(p, target) for p in old_files)
+
+    def sink(bdf, bid):
+        rows = expand_change_paths(bdf.sparkSession, bdf, tdir)
+        rows.write.mode("append").parquet(out)
+
+    q = (
+        read_changes_stream(spark, tdir, starting="earliest",
+                            transport="paths")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    got_df = spark.read.parquet(out)
+    # widened everywhere: the expansion coerced the narrow files up
+    assert dict(got_df.dtypes)["x"] == "double"
+    got = _rows(got_df, "k", "x", CHANGE_TYPE_COL, COMMIT_SEQ_COL)
+    want = _rows(read_change_data(spark, tdir),
+                 "k", "x", CHANGE_TYPE_COL, COMMIT_SEQ_COL)
+    assert got == want
+
+
 def test_replication_rows_transport_still_converges(spark, tmp_path):
     """The pre-round-13 rows transport stays a supported path."""
     from animaltrackingetls_spark.streaming.jobs import (

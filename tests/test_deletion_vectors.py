@@ -522,6 +522,39 @@ def test_reorg_purge_density_targeting(spark, tmp_path):
     assert reorg_purge_versioned(spark, t, keep_versions=10)["purged"] is False
 
 
+def test_reorg_purge_unknown_rows_reads_footer(spark, tmp_path):
+    """Round-14 advisory (low): a missing/stale stats sidecar must NOT
+    make every DV-carrying file look fully dense — that silently
+    degenerates merge-on-read into copy-on-write on every auto_compact
+    commit. With the sidecar gone, the planner reads the parquet
+    footer's num_rows (metadata only) and a 2%-dense file stays
+    untouched at min_density=0.5."""
+    from animaltrackingetls_spark.inventory import reorg_purge_versioned
+
+    t = _mk(spark, tmp_path)
+    v0 = list_versions(t)[-1]
+    by_f = _keys_by_file(spark, t, v0)
+    sparse = by_f[sorted(by_f)[0]][:5]  # ~2% of one file's rows
+    _dele(spark, t, sparse, dv=True)
+    v1 = list_versions(t)[-1]
+    # kill the stats sidecar: the density planner has no rows_of map
+    from animaltrackingetls_spark import filestats
+
+    sidecar = os.path.join(t, v1, filestats.STATS_SIDECAR)
+    if os.path.exists(sidecar):
+        os.remove(sidecar)
+    assert filestats.read_stats(t, v1) is None
+
+    r = reorg_purge_versioned(spark, t, min_density=0.5, keep_versions=10)
+    assert r["purged"] is False and r["purged_files"] == 0
+    # DV intact, read still correct
+    assert inv._dv_files(t, list_versions(t)[-1])
+    assert read_versioned(spark, t).count() == 1000 - len(sparse)
+    # explicit full REORG still rewrites it (threshold 0)
+    r2 = reorg_purge_versioned(spark, t, keep_versions=10)
+    assert r2["purged"] and r2["purged_files"] == 1
+
+
 def test_reorg_purge_auto_trigger(spark, tmp_path):
     """The auto-compaction hook self-heals the DV read tax: a commit
     with ``auto_compact`` set purges files past _DV_PURGE_DENSITY."""

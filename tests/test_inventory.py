@@ -640,6 +640,48 @@ def test_auto_compact_bounds_file_count(spark, tmp_path):
     assert read_versioned(spark, t).count() == 90
 
 
+def test_auto_compact_failure_never_clobbers_published_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """Round-14 advisory (medium): auto-compact/purge runs AFTER the
+    CAS publish succeeds — a ConcurrentWriteError (or anything else)
+    escaping from it must NOT reach the publish-conflict handler,
+    which rmtree's the version dir. Before the fix, the handler
+    deleted the already-LIVE snapshot and re-merged against a dangling
+    pointer; now the commit survives and the failure is a warning."""
+    import warnings as _warnings
+
+    import animaltrackingetls_spark.inventory as inv
+    from animaltrackingetls_spark.inventory import (
+        ConcurrentWriteError,
+        list_versions,
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+
+    t = str(tmp_path / "t")
+    base = spark.range(0, 20).selectExpr("id AS k", "id * 2 AS v")
+    upsert_parquet_versioned(spark, t, base, ["k"], keep_versions=5)
+
+    def _boom(*a, **kw):
+        raise ConcurrentWriteError("simulated compaction CAS loss")
+
+    monkeypatch.setattr(inv, "_maybe_auto_compact", _boom)
+    ins = spark.createDataFrame([(100, 7)], "k long, v long")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        upsert_parquet_versioned(spark, t, ins, ["k"], keep_versions=5,
+                                 auto_compact=1)
+    assert any("auto-compact" in str(w.message) for w in caught)
+    # exactly ONE new commit (no spurious re-merge), snapshot intact
+    versions = list_versions(t)
+    assert len(versions) == 2
+    assert os.path.isdir(os.path.join(t, versions[-1]))
+    got = read_versioned(spark, t)
+    assert got.count() == 21
+    assert got.filter("k = 100").count() == 1
+
+
 def test_compact_versioned_requires_published_table(spark, tmp_path):
     import pytest as _pytest
 
