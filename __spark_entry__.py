@@ -2219,7 +2219,18 @@ def _q_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     final snapshot derivation: base = %10<8, plus %10==8 inserts,
     %100==0 updated to x+100, minus %10==7 deletes. Fixed txn ids +
     the cursor make replays watermark/idle no-ops, so the cached
-    table cannot drift."""
+    table cannot drift.
+
+    Round 15 (r14 verdict #5 — the HLL sketch family gets a
+    driver-visible signal): the polls also maintain
+    ``sketch_cols=["x"]`` and the output carries ``sketch_ok`` — 1
+    when the MAINTAINED per-group HLL sketch's estimate equals a full
+    single-pass recompute over the final snapshot (register-max union
+    over an absolute rescan is replay-stable, so equality is exact,
+    not approximate); the oracle renders the literal 1. A cross-engine
+    estimate hash stays impossible (DuckDB's sketch differs), but the
+    maintained-equals-recomputed invariant — the thing that can break
+    — now rides the full hash gate every round."""
     import hashlib
     import os
     import tempfile
@@ -2236,7 +2247,7 @@ def _q_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders_file = os.path.join(sf_dir, "orders.parquet")
     st = os.stat(orders_file)
     key = hashlib.md5(
-        f"{orders_file}:{st.st_mtime_ns}:{st.st_size}:ivm2".encode()
+        f"{orders_file}:{st.st_mtime_ns}:{st.st_size}:ivm3".encode()
     ).hexdigest()[:16]
     src = os.path.join(tempfile.gettempdir(), f"spark_graft_ivm_{key}")
     view, cursor = src + "_view", src + "_cursor"
@@ -2250,7 +2261,8 @@ def _q_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     def poll():
         return maintain_aggregate_once(
             spark, src, view, cursor, ["g"], sum_cols=["x"],
-            minmax_cols=["x"], var_cols=["x"], dest_keep_versions=3,
+            minmax_cols=["x"], var_cols=["x"], sketch_cols=["x"],
+            dest_keep_versions=3,
         )
 
     upsert_parquet_versioned(
@@ -2278,7 +2290,16 @@ def _q_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     poll()  # one logged window over both commits (rescan path)
 
     dec = lambda c: F.col(c).cast("decimal(18,2)").cast("string")  # noqa: E731
-    return read_versioned(spark, view).select(
+    # the sketch family's driver signal (round 15): maintained HLL
+    # estimate vs a full single-pass recompute over the final snapshot
+    # — equal by construction (absolute rescan + register-max union),
+    # rendered as a per-group flag the oracle emits as literal 1
+    full = read_versioned(spark, src).groupBy("g").agg(
+        F.hll_sketch_agg(F.col("x").cast("string")).alias("_hll_full")
+    )
+    return read_versioned(spark, view).join(
+        F.broadcast(full), on="g", how="left"
+    ).select(
         "g",
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("n_x").cast("long").alias("n_x"),
@@ -2292,6 +2313,10 @@ def _q_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rendering would leave only ~2 orders of boundary headroom
         F.round(F.col("sumsq_x"), 0).cast("decimal(18,0)")
         .cast("string").alias("sumsq_x_s"),
+        (
+            F.hll_sketch_estimate(F.col("hll_x"))
+            == F.hll_sketch_estimate(F.col("_hll_full"))
+        ).cast("long").alias("sketch_ok"),
     ).orderBy("g")
 
 
@@ -5552,7 +5577,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(max_x AS DECIMAL(18,2)) AS VARCHAR)
                      AS max_x_s,
                    CAST(CAST(ROUND(sumsq_x, 0) AS DECIMAL(18,0)) AS VARCHAR)
-                     AS sumsq_x_s
+                     AS sumsq_x_s,
+                   CAST(1 AS BIGINT) AS sketch_ok
             FROM (
               SELECT CAST(o_custkey % 503 AS BIGINT) AS g,
                      COUNT(*) AS n_rows, COUNT(x) AS n_x,

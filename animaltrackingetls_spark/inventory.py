@@ -383,6 +383,17 @@ def _dv_summary(table_dir: str, version: str) -> dict[tuple, dict]:
 # parser/codegen cliff (65k literals: 6.7 s build + 9.2 s eval;
 # 16k: 0.6 s + 0.5 s) and bounds the driver-side read behind it.
 _DV_INLINE_MAX = 16384
+# The inline path builds ONE scan branch + one codegen'd NOT-IN per
+# affected file, so plan width must be capped in FILE count too (r14
+# verdict #3): a wide-churn small DV — 10k rows spread over thousands
+# of files, e.g. a predicate delete at sub-purge density — stays under
+# the 16k ROW cap but would build a thousands-branch union whose
+# driver plan-build time and codegen size, not data, become the cost
+# (measured, r15_experiments.py dvplan: 1k affected files = 70.5 s
+# plan build + 49.6 s count inline vs 3.6 s + 2.2 s via the
+# single-scan broadcast anti-join fallback). Past this many affected
+# files the fallback wins regardless of DV row count.
+_DV_INLINE_MAX_FILES = 64
 
 
 def _dv_inline_indices(
@@ -492,30 +503,28 @@ def _write_dv(spark, dv_df, vdir: str) -> None:
             os.unlink(os.path.join(stage, extra))
     # summary sidecar (per-identity rows + digest) rides the same
     # atomic rename — no published .dv/ can lack it. Computed with ONE
-    # distributed aggregation: the driver receives a row per file
-    # identity (O(files)); a long-lived MoR table's cumulative DV can
-    # be millions of rows, and re-digesting it driver-side per commit
+    # distributed pass: the driver receives a row per file identity
+    # (O(files)); a long-lived MoR table's cumulative DV can be
+    # millions of rows, and re-digesting it driver-side per commit
     # would make commit cost O(total deleted rows) (round-14 review).
-    # Digest = sha256 of the comma-joined sorted index list, byte-for-
-    # byte the _dv_summary_of convention (cross-impl equality pinned
-    # in tests via the carry path).
-    from pyspark.sql import functions as F
+    # Digest = sha256 of the comma-joined sorted deduplicated index
+    # list, byte-for-byte the _dv_summary_of convention (cross-impl
+    # equality pinned in tests via the carry path). Round 15 (r14
+    # verdict #7): the previous sort_array(collect_set(...)) form made
+    # ONE task hold a file's ENTIRE index array — a single file with
+    # millions of DV'd rows became a task-memory cliff. The digest now
+    # streams: repartition by identity, sort within partitions, and
+    # fold an incremental sha over the Arrow batches — peak task
+    # memory O(batch), same digest bytes.
+    from pyspark.sql import functions as F  # noqa: F401 (parity)
 
     rows = (
-        dv_df.groupBy("ino", "size")
-        .agg(F.sort_array(F.collect_set("row_index")).alias("idx"))
-        .select(
-            "ino", "size", F.size("idx").alias("n"),
-            F.substring(
-                F.sha2(
-                    F.concat_ws(
-                        ",", F.col("idx").cast("array<string>")
-                    ),
-                    256,
-                ),
-                1, 16,
-            ).alias("h"),
-        ).collect()
+        dv_df.repartition("ino", "size")
+        .sortWithinPartitions("ino", "size", "row_index")
+        .mapInPandas(
+            _dv_digest_batches, "ino long, size long, n long, h string"
+        )
+        .collect()
     )
     _dv_write_summary(stage, {
         "v": 1,
@@ -526,6 +535,70 @@ def _write_dv(spark, dv_df, vdir: str) -> None:
         },
     })
     os.replace(stage, os.path.join(vdir, _DV_DIR))
+
+
+def _dv_digest_batches(batches):
+    """mapInPandas kernel for the DV summary digest: the input is
+    repartitioned by (ino, size) and sorted within partitions by
+    (ino, size, row_index), so each file identity's rows arrive as one
+    contiguous ascending run (possibly spanning Arrow batches, never
+    partitions). Folds an incremental sha256 over the run — hashing
+    exactly the bytes ``",".join(map(str, sorted(set(idxs))))`` of
+    :func:`_dv_summary_of` — with peak memory O(batch): duplicates are
+    adjacent after the sort (dropped via np.unique per slice + a
+    cross-batch last-index watermark), and the cross-batch comma joins
+    through the open group's running state. Emits one (ino, size,
+    dedup'd count, 16-hex digest) row per identity."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    cur = None        # open group's (ino, size)
+    h = None          # its running sha256
+    n = 0             # its deduplicated index count
+    last_ri = None    # last index hashed (cross-batch dedupe + join)
+    done: list[tuple] = []
+
+    def close():
+        if cur is not None:
+            done.append(
+                (int(cur[0]), int(cur[1]), int(n), h.hexdigest()[:16])
+            )
+
+    for pdf in batches:
+        ino = pdf["ino"].to_numpy()
+        size = pdf["size"].to_numpy()
+        ri = pdf["row_index"].to_numpy()
+        if len(ri) == 0:
+            continue
+        newgrp = np.empty(len(ri), dtype=bool)
+        newgrp[0] = True
+        newgrp[1:] = (ino[1:] != ino[:-1]) | (size[1:] != size[:-1])
+        bounds = np.append(np.flatnonzero(newgrp), len(ri))
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            key = (int(ino[a]), int(size[a]))
+            idxs = np.unique(ri[a:b])  # sorted input: dedupe only
+            if key != cur:
+                close()
+                cur, h, n, last_ri = key, hashlib.sha256(), 0, None
+            if last_ri is not None:
+                idxs = idxs[idxs > last_ri]
+                if len(idxs) == 0:
+                    continue
+                h.update(b",")
+            h.update(",".join(map(str, idxs.tolist())).encode())
+            n += len(idxs)
+            last_ri = int(idxs[-1])
+    close()
+    yield pd.DataFrame(
+        {
+            "ino": pd.Series([r[0] for r in done], dtype="int64"),
+            "size": pd.Series([r[1] for r in done], dtype="int64"),
+            "n": pd.Series([r[2] for r in done], dtype="int64"),
+            "h": pd.Series([r[3] for r in done], dtype="object"),
+        }
+    )
 
 
 def _carry_dv(table_dir: str, version: str, base_version: str | None) -> None:
@@ -959,6 +1032,9 @@ def _cow_touched_files(
     return touched, set(all_files) - touched, all_files
 
 
+_UNCHECKED = object()  # sentinel: publish without a base-version check
+
+
 def upsert_parquet_versioned(
     spark: SparkSession,
     table_dir: str,
@@ -976,9 +1052,21 @@ def upsert_parquet_versioned(
     auto_compact: int | None = None,
     dv: bool = False,
     delete_keys: DataFrame | None = None,
+    _classified_base: str | None | object = _UNCHECKED,
 ) -> DataFrame:
     """Keyed upsert with SNAPSHOT-ATOMIC publish — closes the
     `upsert_parquet` transactionality gap without a lake format.
+
+    ``_classified_base`` (internal — :func:`merge_into`): the snapshot
+    version the caller's matched/unmatched classification was computed
+    against (``None`` = classified against an unpublished table; the
+    default ``_UNCHECKED`` disables the check). When enabled, any
+    attempt that observes a DIFFERENT current version raises
+    :class:`ConcurrentWriteError` immediately instead of re-merging:
+    re-merging the same pre-classified frames against a newer base
+    would act on a STALE matched/unmatched split (round-14 verdict #4
+    — Delta's MERGE re-validates on conflict). The caller re-runs the
+    classification and retries.
 
     The reference gets per-row atomicity from Postgres ``ON CONFLICT``
     (monarch_etl/inventory.py:52-59); Delta/Iceberg would give MERGE
@@ -1165,6 +1253,16 @@ def upsert_parquet_versioned(
         except ConcurrentWriteError as err:
             last_err = err
             continue
+        if _classified_base is not _UNCHECKED and current != _classified_base:
+            # the caller classified against a base another writer has
+            # since replaced — re-merging the pre-classified frames
+            # here would act on a STALE matched/unmatched split, so
+            # surface the conflict for the caller to RE-CLASSIFY
+            # (merge_into's retry loop does; round-14 verdict #4)
+            raise ConcurrentWriteError(
+                f"{table_dir}: classification base {_classified_base} "
+                f"superseded by {current}; re-classify and retry"
+            )
         if (
             txn_app_id is not None
             and txn_app_id in marks
@@ -2687,10 +2785,11 @@ def _snapshot_df_files(
         from pyspark.sql import functions as F
 
         total_dv = sum(e["rows"] for e in dv_sum.values())
-        if total_dv <= _DV_INLINE_MAX:
-            # small DV: inline the doomed row indices as per-file
-            # NOT-IN filters — whole-stage-codegen InSet probes, zero
-            # joins, zero broadcast jobs (see _DV_INLINE_MAX)
+        if total_dv <= _DV_INLINE_MAX and len(aff) <= _DV_INLINE_MAX_FILES:
+            # small DV over FEW files: inline the doomed row indices
+            # as per-file NOT-IN filters — whole-stage-codegen InSet
+            # probes, zero joins, zero broadcast jobs (see
+            # _DV_INLINE_MAX / _DV_INLINE_MAX_FILES for both cliffs)
             by_ident = _dv_inline_indices(table_dir, version)
             ident_of = {bn: (i, s) for bn, i, s in ident_rows}
             for k in aff:
@@ -3186,9 +3285,6 @@ def _stamp_op(table_dir: str, version: str, operation: str) -> None:
     os.replace(tmp, os.path.join(table_dir, version, _OP_SIDECAR))
 
 
-_UNCHECKED = object()  # sentinel: publish without a base-version check
-
-
 def _publish_version(
     table_dir: str,
     version: str,
@@ -3609,6 +3705,7 @@ def merge_into(
     cow: bool = False,
     dv: bool = False,
     write_change_data: bool | None = None,
+    retries: int = 2,
 ) -> DataFrame:
     """Delta's ``MERGE INTO`` surface over the versioned primitives
     (round 14): classify every source row as MATCHED (its key exists
@@ -3635,14 +3732,18 @@ def merge_into(
     unmatched — bounded by the key columns' bytes, never the row
     payload. First write: everything is NOT MATCHED.
 
-    Concurrency note: classification is computed against the snapshot
-    CURRENT at call time and materialized (localCheckpoint) before the
-    commit; the commit itself retries under the usual CAS. A writer
-    that lands in between can flip a row's matched status after
-    classification — the plain update+insert form is immune (pure
-    keyed upsert); for the conditional/delete forms the result equals
-    the two-call sequence (classify, then act). Serialize externally
-    if a merge must classify against its own commit base.
+    Concurrency note (round 15 — r14 verdict #4): classification is
+    computed against the snapshot CURRENT at call time, materialized
+    (localCheckpoint), and PINNED to that base through the commit —
+    the inner upsert raises :class:`ConcurrentWriteError` instead of
+    re-merging when any attempt observes a different current version
+    (``_classified_base``), and this function then RE-RUNS the
+    classification against the new base and retries (up to ``retries``
+    times), so the conditional/delete forms serialize like Delta's
+    MERGE, which re-validates on conflict. A key whose matched status
+    flips mid-merge is acted on under its NEW status. The plain
+    update+insert form needs no classification and keeps the inner
+    upsert's own retry loop.
     """
     if when_matched not in ("update", "delete", None):
         raise ValueError(f"when_matched must be update|delete|None, "
@@ -3668,58 +3769,72 @@ def merge_into(
         return upsert_parquet_versioned(
             spark, table_dir, source, key_cols, **kw)
 
-    current = _current_version(table_dir)
-    if current is None:
-        # first write: every source row is NOT MATCHED
-        if when_not_matched is None:
-            raise FileNotFoundError(
-                f"no published snapshot under {table_dir} and the "
-                "merge has no NOT MATCHED clause"
-            )
-        return upsert_parquet_versioned(
-            spark, table_dir, source, key_cols, **kw)
+    last_err: ConcurrentWriteError | None = None
+    for _attempt in range(max(0, retries) + 1):
+        current = _current_version(table_dir)
+        if current is None:
+            # first write: every source row is NOT MATCHED
+            if when_not_matched is None:
+                raise FileNotFoundError(
+                    f"no published snapshot under {table_dir} and the "
+                    "merge has no NOT MATCHED clause"
+                )
+            try:
+                return upsert_parquet_versioned(
+                    spark, table_dir, source, key_cols, retries=0,
+                    _classified_base=None, **kw)
+            except ConcurrentWriteError as err:
+                last_err = err
+                continue
 
-    tgt_keys = _snapshot_df(spark, table_dir, current).select(
-        *key_cols).dropDuplicates(key_cols)
-    matched = source.join(
-        tgt_keys, on=_null_safe_cond(source, tgt_keys, key_cols),
-        how="left_semi",
-    )
-    unmatched = source.join(
-        tgt_keys, on=_null_safe_cond(source, tgt_keys, key_cols),
-        how="left_anti",
-    )
-    acting = (
-        matched.filter(matched_condition)
-        if matched_condition is not None else matched
-    )
-    parts = []
-    delete_keys = None
-    if when_matched == "update":
-        parts.append(acting)
-    elif when_matched == "delete":
-        delete_keys = acting.select(*key_cols)
-    if when_not_matched == "insert":
-        parts.append(unmatched)
-    if parts:
-        updates = parts[0]
-        for p in parts[1:]:
-            updates = updates.unionByName(p)
-    else:
-        updates = source.limit(0)
-    # materialize the classified frames once: they feed the planner's
-    # probe, the merge, and the CDC classification, and must not
-    # re-classify against a snapshot a concurrent writer replaced
-    updates = updates.localCheckpoint()
-    if delete_keys is not None:
-        delete_keys = delete_keys.localCheckpoint()
-        if delete_keys.isEmpty():
-            delete_keys = None
-    if delete_keys is None and updates.isEmpty():
-        return read_versioned(spark, table_dir)  # provable no-op
-    return upsert_parquet_versioned(
-        spark, table_dir, updates, key_cols,
-        delete_keys=delete_keys, **kw)
+        tgt_keys = _snapshot_df(spark, table_dir, current).select(
+            *key_cols).dropDuplicates(key_cols)
+        matched = source.join(
+            tgt_keys, on=_null_safe_cond(source, tgt_keys, key_cols),
+            how="left_semi",
+        )
+        unmatched = source.join(
+            tgt_keys, on=_null_safe_cond(source, tgt_keys, key_cols),
+            how="left_anti",
+        )
+        acting = (
+            matched.filter(matched_condition)
+            if matched_condition is not None else matched
+        )
+        parts = []
+        delete_keys = None
+        if when_matched == "update":
+            parts.append(acting)
+        elif when_matched == "delete":
+            delete_keys = acting.select(*key_cols)
+        if when_not_matched == "insert":
+            parts.append(unmatched)
+        if parts:
+            updates = parts[0]
+            for p in parts[1:]:
+                updates = updates.unionByName(p)
+        else:
+            updates = source.limit(0)
+        # materialize the classified frames once per attempt: they
+        # feed the planner's probe, the merge, and the CDC
+        # classification, and must not silently re-plan against a
+        # snapshot a concurrent writer replaced — the pin below makes
+        # that case an explicit re-classify instead
+        updates = updates.localCheckpoint()
+        if delete_keys is not None:
+            delete_keys = delete_keys.localCheckpoint()
+            if delete_keys.isEmpty():
+                delete_keys = None
+        if delete_keys is None and updates.isEmpty():
+            return read_versioned(spark, table_dir)  # provable no-op
+        try:
+            return upsert_parquet_versioned(
+                spark, table_dir, updates, key_cols,
+                delete_keys=delete_keys, retries=0,
+                _classified_base=current, **kw)
+        except ConcurrentWriteError as err:
+            last_err = err  # re-classify against the new base
+    raise last_err
 
 
 def upsert_dbapi(

@@ -58,6 +58,29 @@ for i in range(1, iters + 1):
         if wid == 0 and i == iters // 2:
             # housekeeping races the writers; conflict back-off is fine
             optimize_versioned(spark, table, ["k"], keep_versions=2)
+    elif mode == "dv":
+        # merge-on-read soak (round 15 — r14 verdict #6): MoR upsert
+        # (DV's the matched preimages), then a DV delete of the
+        # writer's own key 0 — both exercise _carry_dv under
+        # concurrent CAS; auto_compact arms the density-triggered
+        # REORG purge, and writer 0 fires an explicit purge mid-run
+        from animaltrackingetls_spark.inventory import (
+            delete_versioned, reorg_purge_versioned,
+        )
+        upsert_parquet_versioned(
+            spark, table, df, ["k"], keep_versions=12, dv=True,
+            txn_app_id=f"w{{wid}}", txn_version=i, retries=30,
+            auto_compact=6,
+        )
+        delete_versioned(
+            spark, table,
+            spark.createDataFrame([(wid * 100,)], "k long"), ["k"],
+            keep_versions=12, dv=True,
+            txn_app_id=f"w{{wid}}#d", txn_version=i, retries=30,
+        )
+        if wid == 0 and i == iters // 2:
+            # best-effort under contention: {{"conflict": True}} is fine
+            reorg_purge_versioned(spark, table, keep_versions=12)
     else:
         upsert_group_versioned(
             spark, table,
@@ -197,6 +220,95 @@ while True:
 print(f"CONSUMER_OK {{mode}} polls={{polls}} conflicts={{conflicts}} "
       f"checks={{checks}}")
 '''
+
+
+def test_multiprocess_dv_layer_soak(spark, tmp_path):
+    """Round 15 (r14 verdict #6): the DV layer's CAS surface under
+    REAL processes — two writers issue merge-on-read upserts + DV
+    deletes (concurrent ``_carry_dv`` sidecar carries) while the
+    density-triggered AND an explicit REORG purge race them, with the
+    CDC pump and the IVM maintainer running the same per-poll
+    torn-read self-checks as the plain soak. Invariants: every
+    watermark (upsert AND delete app ids) reached its final version,
+    each writer's key 0 is deleted and keys 1-4 hold its last value,
+    shared keys are serialized, and both consumers converge on the
+    final source state."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from animaltrackingetls_spark.cdc import resolve_cdc
+    from animaltrackingetls_spark.inventory import read_versioned
+
+    src = str(tmp_path / "soak_dv")
+    dest, view = str(tmp_path / "dv_dest"), str(tmp_path / "dv_view")
+    cur_p, cur_v = str(tmp_path / "dv_cp"), str(tmp_path / "dv_cv")
+    stop = str(tmp_path / "dv_stop")
+    resolve_cdc(src, True)
+
+    n, iters = 2, 4
+    writers = []
+    for wid in range(n):
+        writers.append(subprocess.Popen(
+            [sys.executable, "-c", _WORKER.format(repo="/root/repo"),
+             "dv", src, str(wid), str(iters)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    deadline = time.monotonic() + 120
+    while not os.path.exists(os.path.join(src, "_CURRENT")):
+        assert time.monotonic() < deadline, "no writer committed"
+        time.sleep(0.2)
+    consumers = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CONSUMER.format(repo="/root/repo"),
+             mode, src, d, c, stop],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for mode, d, c in (("pump", dest, cur_p), ("ivm", view, cur_v))
+    ]
+    for p in writers:
+        out, _ = p.communicate(timeout=420)
+        assert p.returncode == 0 and "WORKER_OK" in out, out[-3000:]
+    with open(stop, "w") as f:
+        f.write("done")
+    for p in consumers:
+        out, _ = p.communicate(timeout=420)
+        assert p.returncode == 0, f"consumer died:\n{out[-3000:]}"
+        assert "CONSUMER_OK" in out, out[-2000:]
+
+    # zero lost updates across BOTH app-id families
+    marks = txn_watermarks(src)
+    for w in range(n):
+        assert marks[f"w{w}"] == iters and marks[f"w{w}#d"] == iters, marks
+    rows = {r["k"]: (r["writer"], r["iter"])
+            for r in read_versioned(spark, src).collect()}
+    for w in range(n):
+        assert w * 100 not in rows, f"DV-deleted key resurrected: {w}"
+        for j in range(1, 5):
+            assert rows[w * 100 + j] == (w, iters), (w, j)
+    for j in range(3):
+        w, it = rows[9000 + j]
+        assert 0 <= w < n and it == iters, rows[9000 + j]
+
+    # consumers converged on the final source state
+    src_rows = sorted((r.k, r.writer, r.iter)
+                      for r in read_versioned(spark, src).collect())
+    dest_rows = sorted((r.k, r.writer, r.iter)
+                       for r in read_versioned(spark, dest).collect())
+    assert dest_rows == src_rows
+    view_rows = sorted(map(tuple, read_versioned(spark, view)
+                           .select("writer", "n_rows", "n_iter",
+                                   "sum_iter", "min_iter", "max_iter")
+                           .collect()))
+    want = sorted(map(tuple, read_versioned(spark, src)
+                      .groupBy("writer").agg(
+                          F.count(F.lit(1)).alias("n_rows"),
+                          F.count("iter").alias("n_iter"),
+                          F.sum("iter").alias("sum_iter"),
+                          F.min("iter").alias("min_iter"),
+                          F.max("iter").alias("max_iter"),
+                      ).collect()))
+    assert view_rows == want
 
 
 def test_multiprocess_pump_and_ivm_soak(spark, tmp_path):

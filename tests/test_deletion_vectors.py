@@ -448,6 +448,28 @@ def test_dv_read_scoped_to_affected_files(spark, tmp_path, monkeypatch):
     lo = read_versioned(spark, t, predicates=[("k", "<", 100)])
     assert lo.count() == 94
 
+    # FILE-COUNT axis (round 15 — r14 verdict #3): a wide-churn small
+    # DV (rows under the 16k cap but spread over more files than
+    # _DV_INLINE_MAX_FILES) must pick the single-scan broadcast
+    # anti-join, not build one scan branch + one NOT-IN per file —
+    # plan width, not data, is the cost there
+    t2 = _mk(spark, tmp_path, name="wide", n=1000, files=4)
+    v0 = list_versions(t2)[-1]
+    by_f = _keys_by_file(spark, t2, v0)
+    doomed = [ks[0] for ks in by_f.values()]  # 1 key in EVERY file
+    _dele(spark, t2, doomed, dv=True)
+    monkeypatch.setattr(inv, "_DV_INLINE_MAX_FILES", 2)
+    rw = read_versioned(spark, t2)
+    assert rw.count() == 1000 - len(doomed)
+    wplan = rw._jdf.queryExecution().executedPlan().toString()
+    assert wplan.count("BroadcastHashJoin") == 2  # the join fallback
+    monkeypatch.undo()
+    # above the (restored) 64-file cap threshold, 4 files inline again
+    ri = read_versioned(spark, t2)
+    assert ri.count() == 1000 - len(doomed)
+    iplan = ri._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in iplan
+
 
 def test_dv_orphaned_identities_fail_closed(spark, tmp_path):
     """Round 14 (r13 ADVICE medium): DV identities are (inode, size);

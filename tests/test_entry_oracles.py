@@ -77,6 +77,24 @@ def test_past_window_list_is_nonempty_and_stable():
     assert names == ["quota_shuffle", "proximity_pairs", "semi_anti_join"]
 
 
+def test_ivm_view_sketch_branch_stable_across_invocations(spark):
+    """Round 15 (r14 verdict #5): the ivm_view entry's sketch branch —
+    maintained per-group HLL estimate == full single-pass recompute
+    (``sketch_ok``) — must be replay-stable: the second invocation
+    rides the cached table through watermark/idle no-op polls and has
+    to render the EXACT same rows (the driver re-runs entries and the
+    hash gate tolerates zero drift). Register-max union over an
+    absolute rescan makes the estimates deterministic, pinned here by
+    double invocation."""
+    q = entry.queries()["ivm_view"]
+    first = q(spark, SF).toPandas()
+    second = q(spark, SF).toPandas()
+    assert (first["sketch_ok"] == 1).all(), (
+        "maintained sketch estimate diverged from the full recompute"
+    )
+    pd.testing.assert_frame_equal(_canon(first), _canon(second))
+
+
 @pytest.mark.parametrize("name", _past_window_oracle_names())
 def test_past_window_oracle_matches(name, spark, duck):
     sdf = entry.queries()[name](spark, SF).toPandas()

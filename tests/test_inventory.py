@@ -2381,6 +2381,101 @@ def test_merge_into_clauses(spark, tmp_path):
         merge_into(spark, t, src4, ["k"], when_matched="upsert")
 
 
+def test_merge_into_reclassifies_on_conflict(spark, tmp_path, monkeypatch):
+    """Round 15 (r14 verdict #4): a writer landing between merge_into's
+    classification and its publish FLIPS two keys' matched status —
+    the retried merge must act on the NEW status (Delta MERGE
+    re-validates on conflict), not replay the stale split.
+
+    Table: {k1}. Merge source: {k1: 10.0, k2: 20.0} with
+    when_matched=delete + insert. Racing commit (mid-merge): deletes
+    k1, inserts k2=777. Stale split would delete nothing that exists
+    (k1 already gone), then insert k2 BESIDE the racer's k2 — i.e.
+    k1 absent / k2 = 20.0. Correct re-classified result: k1 is now
+    UNMATCHED (insert 10.0), k2 is now MATCHED (delete) →
+    k1 = 10.0, k2 absent."""
+    import animaltrackingetls_spark.inventory as inv
+    from animaltrackingetls_spark.inventory import (
+        delete_versioned,
+        merge_into,
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+
+    t = str(tmp_path / "mirace")
+    upsert_parquet_versioned(
+        spark, t, spark.createDataFrame([(1, 1.0)], "k long, x double"),
+        ["k"], keep_versions=10)
+
+    real_merge = inv.merge_upsert
+    fired = {"done": False}
+
+    def racing_merge(existing, updates, key_cols, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            delete_versioned(
+                spark, t, spark.createDataFrame([(1,)], "k long"),
+                ["k"], keep_versions=10)
+            upsert_parquet_versioned(
+                spark, t,
+                spark.createDataFrame([(2, 777.0)], "k long, x double"),
+                ["k"], keep_versions=10)
+        return real_merge(existing, updates, key_cols, **kw)
+
+    monkeypatch.setattr(inv, "merge_upsert", racing_merge)
+    src = spark.createDataFrame([(1, 10.0), (2, 20.0)],
+                                "k long, x double")
+    merge_into(spark, t, src, ["k"], when_matched="delete",
+               keep_versions=10)
+    got = {r.k: r.x for r in read_versioned(spark, t).collect()}
+    assert got == {1: 10.0}, (
+        f"stale classification acted after the conflict: {got}")
+
+
+def test_merge_into_conflict_retries_exhausted(spark, tmp_path,
+                                               monkeypatch):
+    """With a racer on EVERY attempt, merge_into surfaces
+    ConcurrentWriteError after its retry budget instead of committing
+    a stale split."""
+    import pytest as _pytest
+
+    import animaltrackingetls_spark.inventory as inv
+    from animaltrackingetls_spark.inventory import (
+        ConcurrentWriteError,
+        merge_into,
+        upsert_parquet_versioned,
+    )
+
+    t = str(tmp_path / "mirace0")
+    upsert_parquet_versioned(
+        spark, t, spark.createDataFrame([(1, 1.0)], "k long, x double"),
+        ["k"], keep_versions=10)
+
+    real_merge = inv.merge_upsert
+    state = {"racing": False, "n": 0}
+
+    def always_racing_merge(existing, updates, key_cols, **kw):
+        if not state["racing"]:
+            state["racing"] = True
+            try:
+                state["n"] += 1
+                upsert_parquet_versioned(
+                    spark, t,
+                    spark.createDataFrame(
+                        [(100 + state["n"], 0.0)], "k long, x double"),
+                    ["k"], keep_versions=10)
+            finally:
+                state["racing"] = False
+        return real_merge(existing, updates, key_cols, **kw)
+
+    monkeypatch.setattr(inv, "merge_upsert", always_racing_merge)
+    with _pytest.raises(ConcurrentWriteError):
+        merge_into(
+            spark, t,
+            spark.createDataFrame([(1, 10.0)], "k long, x double"),
+            ["k"], when_matched="delete", retries=1, keep_versions=10)
+
+
 def test_merge_into_first_write_and_dv(spark, tmp_path):
     from animaltrackingetls_spark.inventory import (
         merge_into,

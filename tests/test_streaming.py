@@ -329,7 +329,9 @@ def test_running_user_totals_tws_matches_classic_and_batch(spark, tmp_path):
     _pytest.importorskip(
         "google.protobuf",
         reason="transformWithStateInPandas's Python state server needs "
-               "protobuf, not shipped in this container",
+               "protobuf, not shipped in this container (re-checked "
+               "round 15: pip install still fails DNS resolution to the "
+               "index, no vendored wheel on disk — environment-bound)",
     )
     from animaltrackingetls_spark.streaming import running_user_totals
     from animaltrackingetls_spark.streaming.jobs import running_user_totals_tws
