@@ -76,17 +76,28 @@ what it measures instead of only reporting it:
 
 * per-query: after each query's runs, a bracketing numpy-GEMM probe
   runs; when the kept-run spread exceeds SPREAD_TRIGGER (1.5x) or the
-  probe degrades past GEMM_DEGRADE (2x) vs the warm baseline, the
-  query is RE-RUN immediately and the lower median wins (contention
-  only ever ADDS time, so min-of-medians converges on the idle
-  number). Re-runs are recorded in noise.reruns.
-* whole-run: when the canary rel_drift exceeds DRIFT_FLOOR (0.20 —
-  the documented noise floor), the emitted line is stamped
-  noise.contaminated=true and an automatic second pass re-times every
-  headline query once (warm); a query's reported median takes the
-  second-pass time when lower. The stamp survives even if the second
-  pass fixes every number, so a judge can see the invocation was
-  dirty without diffing medians.
+  probe degrades past GEMM_DEGRADE (2x) vs the warm baseline — a
+  degraded probe is re-taken once after PROBE_SETTLE_S, because
+  trailing executor/GC activity from the query just timed can depress
+  a single probe on an idle machine — the query is RE-RUN immediately
+  and the lower median wins (contention only ever ADDS time, so
+  min-of-medians converges on the idle number). Re-runs are recorded
+  in noise.reruns with an "effective" flag: true when the re-run
+  median landed materially lower (real contention), false when it
+  merely confirmed the original (probe false alarm).
+* whole-run: the contamination stamp keys on the GEMM calibration,
+  not the canary — the canary's start-vs-end rel_drift carries the
+  JVM warm-up slope (an IDLE r14 run read 0.62, so a 0.20 canary
+  floor would stamp every invocation and mean nothing), whereas the
+  numpy GEMM is warm-up-free machine state: when the end-of-run GEMM
+  drifts more than GEMM_DRIFT_FLOOR (0.5) from the post-warm-up
+  baseline, or ≥ RERUN_STAMP_COUNT (3) queries needed EFFECTIVE
+  contamination re-runs, the line is stamped noise.contaminated=true and an
+  automatic second pass re-times every headline query once (warm); a
+  query's reported median takes the second-pass time when lower. The
+  stamp survives even if the second pass fixes every number, so a
+  judge can see the invocation was dirty without diffing medians.
+  The canary rel_drift stays in the JSON as warm-up-slope context.
 """
 
 from __future__ import annotations
@@ -106,11 +117,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # contamination thresholds (module docstring, "CONTAMINATION
 # SELF-ADJUDICATION"): kept-run spread ratio that triggers a per-query
 # re-run, bracketing-GEMM degradation that does the same, and the
-# whole-run canary drift past which the invocation is stamped
-# contaminated and second-passed
+# whole-run signals past which the invocation is stamped contaminated
+# and second-passed (GEMM start-vs-end drift — warm-up-free machine
+# state, unlike the canary — or too many per-query re-runs)
 SPREAD_TRIGGER = 1.5
 GEMM_DEGRADE = 2.0
-DRIFT_FLOOR = 0.20
+DRIFT_FLOOR = 0.20  # per-query re-run convergence target (tests)
+GEMM_DRIFT_FLOOR = 0.5
+RERUN_STAMP_COUNT = 3
+# a probe taken right after a heavy Spark query can read degraded on
+# an IDLE machine (trailing executor/GC threads competing with BLAS);
+# settle and re-probe before charging the machine with contention
+PROBE_SETTLE_S = 0.3
 
 
 def gemm_probe(k: int = 3) -> float:
@@ -124,6 +142,24 @@ def gemm_probe(k: int = 3) -> float:
     for _ in range(k):
         t0 = time.monotonic(); A @ B; out.append(time.monotonic() - t0)
     return min(out)
+
+
+def stamp_contaminated(gemm_base: float, gemm_end: float,
+                       n_reruns: int) -> tuple[bool, float]:
+    """Whole-run contamination verdict: (stamp, gemm_drift). Keys on
+    the warm-up-free GEMM start-vs-end drift and the EFFECTIVE
+    per-query re-run count (re-runs whose median landed materially
+    lower — probe false alarms don't count) — NOT the canary
+    rel_drift, whose warm-up slope reads ~0.6 on an idle run (module
+    docstring)."""
+    gemm_drift = round(
+        abs(gemm_end - gemm_base) / max(min(gemm_end, gemm_base), 1e-9),
+        4,
+    )
+    return (
+        gemm_drift > GEMM_DRIFT_FLOOR or n_reruns >= RERUN_STAMP_COUNT,
+        gemm_drift,
+    )
 
 
 def run_headline(
@@ -160,7 +196,13 @@ def run_headline(
         if ratio > SPREAD_TRIGGER:
             reason = f"spread {ratio:.2f}x"
         elif gemm_base and g > GEMM_DEGRADE * gemm_base:
-            reason = f"gemm {g / gemm_base:.2f}x"
+            # the query just timed may still have trailing executor/GC
+            # activity depressing the probe on an idle machine: settle,
+            # re-probe, and only trigger if the degradation persists
+            time.sleep(PROBE_SETTLE_S)
+            g = probe()
+            if g > GEMM_DEGRADE * gemm_base:
+                reason = f"gemm {g / gemm_base:.2f}x"
         if reason is not None:
             kept2 = [run_query(name)[0] for _ in range(max(2, runs - 1))]
             med2 = statistics.median(kept2)
@@ -168,6 +210,11 @@ def run_headline(
                 "reason": reason,
                 "first_median": round(med, 3),
                 "rerun_median": round(med2, 3),
+                # a re-run that lands materially LOWER confirms real
+                # contention; one that merely matches the original was
+                # a probe false alarm and must not feed the whole-run
+                # contamination stamp
+                "effective": med2 < med * (1 - DRIFT_FLOOR),
             }
             log(f"# {name}: contaminated ({reason}) — re-ran, "
                 f"medians {med:.3f}s/{med2:.3f}s")
@@ -374,17 +421,25 @@ def main() -> None:
         4,
     )
 
-    # whole-run adjudication: a drift past the documented ±20% floor
-    # means the invocation was dirty — stamp it AND take an automatic
-    # second pass (one warm run per query; contention only adds time,
-    # so min(first median, second-pass run) converges on the idle
+    # whole-run adjudication (see docstring: the canary rel_drift is
+    # warm-up slope, an idle run reads ~0.6 — the STAMP keys on the
+    # warm-up-free GEMM drift and the EFFECTIVE re-run count, i.e.
+    # re-runs whose median landed materially lower; probe false
+    # alarms that merely confirmed the original number don't count):
+    # a dirty invocation is stamped AND takes an automatic second
+    # pass (one warm run per query; contention only adds time, so
+    # min(first median, second-pass run) converges on the idle
     # number). The stamp survives even when the second pass fixes
-    # every median, so a dirty invocation is visible on record.
-    contaminated = rel_drift > DRIFT_FLOOR
+    # every median.
+    n_effective = sum(1 for r in reruns.values() if r.get("effective"))
+    contaminated, gemm_drift = stamp_contaminated(
+        gemm_base, calib["gemm_1024_s"], n_effective
+    )
     second_pass: dict[str, float] = {}
     if contaminated:
-        print(f"# rel_drift {rel_drift} > {DRIFT_FLOOR}: contaminated "
-              "invocation — second pass", flush=True)
+        print(f"# contaminated invocation (gemm_drift {gemm_drift}, "
+              f"{n_effective}/{len(reruns)} effective re-runs) — "
+              "second pass", flush=True)
         for name in HEADLINE:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).count()
@@ -422,6 +477,8 @@ def main() -> None:
                     "start_min": round(canary_start, 3),
                     "end_min": round(canary_end, 3),
                     "rel_drift": rel_drift,
+                    "gemm_base_s": round(gemm_base, 4),
+                    "gemm_drift": gemm_drift,
                     "contaminated": contaminated,
                     "reruns": reruns,
                     "second_pass": second_pass,

@@ -55,17 +55,54 @@ def test_spread_trigger_reruns_and_converges():
 
 def test_gemm_probe_trigger():
     """Uniformly-slowed runs (tight spread — spread can't see it) with
-    a degraded bracketing probe still re-run."""
+    a PERSISTENTLY degraded bracketing probe (both the first probe and
+    the post-settle re-probe) still re-run, and the re-run counts as
+    effective because its median landed materially lower."""
     slowed_then_idle = [2.0, 2.05, 2.1, 2.02, 2.08,
                         1.0, 1.01, 0.99, 1.02]
-    probes = iter([0.05])  # 2.5x the 0.02 baseline
+    probes = iter([0.05, 0.05])  # 2.5x the 0.02 baseline, twice
     run = _scripted({"q": slowed_then_idle})
     timings, _, reruns = bench.run_headline(
         ["q"], run, runs=5, gemm_base=0.02,
         probe=lambda: next(probes), log=lambda s: None,
     )
     assert "q" in reruns and reruns["q"]["reason"].startswith("gemm")
+    assert reruns["q"]["effective"] is True
     assert timings["q"] <= 1.02
+
+
+def test_gemm_probe_false_alarm_settles_without_rerun():
+    """One depressed probe right after a query (trailing executor/GC
+    activity on an idle machine) must NOT trigger a re-run when the
+    post-settle re-probe reads clean."""
+    run = _scripted({"q": [1.5, 1.0, 1.05, 1.02, 1.04]})
+    probes = iter([0.05, 0.021])  # degraded, then clean after settle
+    timings, _, reruns = bench.run_headline(
+        ["q"], run, runs=5, gemm_base=0.02,
+        probe=lambda: next(probes), log=lambda s: None,
+    )
+    assert reruns == {}
+    assert timings["q"] == 1.03
+
+
+def test_ineffective_rerun_marked_and_excluded_from_stamp():
+    """A spread-triggered re-run whose median merely CONFIRMS the
+    original (probe/spread false alarm, e.g. one straggler run) is
+    recorded with effective=false — and effective=false re-runs must
+    not trip the whole-run contamination stamp the way
+    RERUN_STAMP_COUNT effective ones do."""
+    # one straggler run trips the spread trigger; the re-run matches
+    straggler = [1.0, 1.0, 1.0, 1.0, 1.9,
+                 1.01, 1.0, 0.99, 1.0]
+    run = _scripted({"q": straggler})
+    _, _, reruns = bench.run_headline(
+        ["q"], run, runs=5, gemm_base=0.02,
+        probe=lambda: 0.02, log=lambda s: None,
+    )
+    assert "q" in reruns and reruns["q"]["effective"] is False
+    n_eff = sum(1 for r in reruns.values() if r.get("effective"))
+    stamped, _ = bench.stamp_contaminated(0.0030, 0.0031, n_eff)
+    assert not stamped
 
 
 def test_clean_query_not_rerun():
@@ -77,6 +114,27 @@ def test_clean_query_not_rerun():
     assert reruns == {}
     assert timings["q"] == 1.03  # median of the 4 kept runs
     assert spread["q"] == [1.0, 1.05]
+
+
+def test_whole_run_stamp_keys_on_gemm_not_canary():
+    """The contamination STAMP must not fire on an idle run: the
+    canary rel_drift carries JVM warm-up slope (an idle r14 run read
+    0.62), so the stamp keys on the warm-up-free GEMM drift and the
+    re-run count instead."""
+    # idle: GEMM stable within a few %, no re-runs -> clean
+    stamped, drift = bench.stamp_contaminated(0.0030, 0.0032, 0)
+    assert not stamped and drift < bench.GEMM_DRIFT_FLOOR
+    # contended at the end: GEMM 3x -> stamped
+    stamped, _ = bench.stamp_contaminated(0.0030, 0.0090, 0)
+    assert stamped
+    # contended at the start (gemm_base inflated, end clean) -> stamped
+    stamped, _ = bench.stamp_contaminated(0.0090, 0.0030, 0)
+    assert stamped
+    # spiky mid-run contention that missed both GEMM legs but forced
+    # many per-query re-runs -> stamped
+    stamped, _ = bench.stamp_contaminated(0.0030, 0.0031,
+                                          bench.RERUN_STAMP_COUNT)
+    assert stamped
 
 
 def _spin(stop_path: str) -> None:
