@@ -2391,6 +2391,105 @@ def _q_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mor.unionByName(kind("purged")).orderBy("kind", "doc_id")
 
 
+def _q_constraints_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints + generated columns under the oracle (round
+    15): a versioned orders-derived table (o_orderkey%7==0; seed
+    carries oyear=year(o_orderdate)) gets ``price_pos: o_totalprice >
+    0`` and oyear declared GENERATED AS year(o_orderdate). A violating
+    batch (every price negated, keys %3==1) must be REFUSED WHOLESALE
+    — its count lands in the 'gate' row and its keys must show seed
+    values in the final state; a valid batch (keys %5==2, price+10,
+    oyear OMITTED) commits with oyear computed by the write path. The
+    DuckDB oracle replays the final state as the pure derivation:
+    seed overlaid with ONLY the valid batch. Re-invocations are
+    no-ops: fixed txn ids for the data commits, ensure-style ALTERs
+    (skip when the constraint/expression is already in place), and
+    the violating upsert never publishes. The reference hardcodes
+    these validity rules in its cleaning pass
+    (monarch_etl/cleaning.py:205-216); here they are table metadata
+    enforced on every commit."""
+    import hashlib
+    import os
+    import tempfile
+
+    from animaltrackingetls_spark.constraints import (
+        ConstraintViolationError,
+        add_check_constraint,
+        read_constraints,
+        set_generated_column,
+    )
+    from animaltrackingetls_spark.inventory import (
+        read_versioned,
+        upsert_parquet_versioned,
+    )
+
+    orders_file = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(orders_file)
+    key = hashlib.md5(
+        f"{orders_file}:{st.st_mtime_ns}:{st.st_size}:cns1".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(tempfile.gettempdir(), f"spark_graft_cns_{key}")
+
+    seed = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey", "o_totalprice", "o_orderdate",
+            F.year("o_orderdate").cast("long").alias("oyear"),
+        )
+    )
+    upsert_parquet_versioned(
+        spark, table, seed, ["o_orderkey"], keep_versions=4,
+        txn_app_id="cns", txn_version=0, target_files=2,
+    )
+    cons = read_constraints(table)
+    if "price_pos" not in cons["checks"]:
+        add_check_constraint(spark, table, "price_pos",
+                             "o_totalprice > 0", keep_versions=4)
+    if cons["generated"].get("oyear") != "year(o_orderdate)":
+        set_generated_column(spark, table, "oyear",
+                             "year(o_orderdate)", keep_versions=4)
+
+    n_rejected = 0
+    try:
+        upsert_parquet_versioned(
+            spark, table,
+            seed.filter(F.col("o_orderkey") % 3 == 1).select(
+                "o_orderkey",
+                (-F.col("o_totalprice") - 1).alias("o_totalprice"),
+                "o_orderdate",
+            ),
+            ["o_orderkey"], keep_versions=4,
+        )
+    except ConstraintViolationError as err:
+        n_rejected = err.violations.get("check:price_pos", 0)
+    upsert_parquet_versioned(
+        spark, table,
+        seed.filter(F.col("o_orderkey") % 5 == 2).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 10).alias("o_totalprice"),
+            "o_orderdate",
+        ),
+        ["o_orderkey"], keep_versions=4,
+        txn_app_id="cns", txn_version=1,
+    )
+
+    rows = read_versioned(spark, table).select(
+        F.lit("row").alias("kind"),
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("oyear").cast("long").alias("oyear"),
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("price_cents"),
+    )
+    gate = spark.range(1).select(
+        F.lit("gate").alias("kind"),
+        F.lit(-1).cast("long").alias("okey"),
+        F.lit(-1).cast("long").alias("oyear"),
+        F.lit(int(n_rejected)).cast("long").alias("price_cents"),
+    )
+    return rows.unionByName(gate).orderBy("kind", "okey")
+
+
 def _q_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius self-join over the derived sighting points: all pairs
     within 100 km via 3D chord-grid blocking (pole-safe ±1-cell
@@ -3604,6 +3703,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tpch_panel 'setops' fold; this standalone form is kept so the
         # bare semi/anti/intersect/except plans remain pinned.
         "semi_anti_join": _q_semi_anti_join,
+        # round 15: CHECK constraints + generated columns (Delta
+        # ALTER TABLE parity, animaltrackingetls_spark/constraints.py)
+        # — oracle-backed, past the window like semi_anti_join; the
+        # suite gate hash-compares it every run.
+        "constraints_gate": _q_constraints_gate,
     }
 
 
@@ -4566,6 +4670,31 @@ def oracle_sql() -> dict[str, str]:
               EXCEPT
               SELECT c_custkey FROM customer WHERE c_acctbal < 0
             )
+        """,
+        # round 15: the constraint gate's final state is the pure
+        # derivation — seed overlaid with ONLY the valid batch (the
+        # violating batch was refused wholesale; its row count is the
+        # 'gate' row), oyear generated from o_orderdate by the write
+        # path for the batch that omitted it
+        "constraints_gate": """
+            WITH seed AS (
+              SELECT o_orderkey, o_totalprice, o_orderdate
+              FROM orders WHERE o_orderkey % 7 = 0
+            ),
+            upd AS (
+              SELECT o_orderkey, o_totalprice + 10 AS o_totalprice
+              FROM seed WHERE o_orderkey % 5 = 2
+            )
+            SELECT 'row' AS kind,
+                   CAST(s.o_orderkey AS BIGINT) AS okey,
+                   CAST(year(s.o_orderdate) AS BIGINT) AS oyear,
+                   CAST(round(COALESCE(u.o_totalprice, s.o_totalprice)
+                              * 100) AS BIGINT) AS price_cents
+            FROM seed s LEFT JOIN upd u USING (o_orderkey)
+            UNION ALL
+            SELECT 'gate', -1, -1,
+                   (SELECT count(*) FROM seed WHERE o_orderkey % 3 = 1)
+            ORDER BY kind, okey
         """,
         "window_topn": """
             WITH r AS (

@@ -1270,6 +1270,16 @@ def upsert_parquet_versioned(
         ):
             return read_versioned(spark, table_dir)
 
+        # CHECK constraints + generated columns bind HERE, per CAS
+        # attempt: the sidecar is re-read from the attempt's base, so
+        # a constraint added by a concurrent writer governs the
+        # retried merge (the serialization Delta's metadata-conflict
+        # detection provides). One aggregation job when constraints
+        # exist; one os.path probe when none do.
+        from .constraints import enforce_constraints
+
+        updates = enforce_constraints(spark, table_dir, current, updates)
+
         version: str | None = None
         try:
             carry: dict[str, str] = {}
@@ -1793,6 +1803,16 @@ def upsert_parquet_versioned_partitioned(
             and marks[txn_app_id] >= txn_version
         ):
             return read_versioned(spark, table_dir)
+
+        # CHECK constraints + generated columns bind HERE, per CAS
+        # attempt: the sidecar is re-read from the attempt's base, so
+        # a constraint added by a concurrent writer governs the
+        # retried merge (the serialization Delta's metadata-conflict
+        # detection provides). One aggregation job when constraints
+        # exist; one os.path probe when none do.
+        from .constraints import enforce_constraints
+
+        updates = enforce_constraints(spark, table_dir, current, updates)
 
         vdir = None
         try:
@@ -3128,6 +3148,55 @@ def clone_versioned(
     return read_versioned(spark, dest_dir)
 
 
+def _relink_snapshot(table_dir: str, version: str,
+                     new_version: str) -> None:
+    """Materialize ``version``'s content as a brand-new version
+    directory ``new_version`` WITHOUT copying data — the zero-copy
+    building block shared by RESTORE and metadata-only commits
+    (constraint ALTERs). Three postures, matching the write layouts:
+    plain CoW manifest tables get a file manifest resolving every file
+    to its physical home (one hop kept), bucketed manifest tables get
+    a bucket manifest, everything else a hardlink tree."""
+    import json as _json
+    import os
+    import uuid
+
+    layout = _table_layout(table_dir)
+    if layout is None and _plain_link_mode(table_dir) == "manifest":
+        rm = _read_manifest(table_dir, version)
+        if rm is None:
+            vdir_r = os.path.join(table_dir, version)
+            rm = {
+                f"{version}/{fn}": version
+                for fn in sorted(os.listdir(vdir_r))
+                if not fn.startswith((".", "_"))
+                and os.path.isfile(os.path.join(vdir_r, fn))
+            }
+        nvdir = os.path.join(table_dir, new_version)
+        os.makedirs(nvdir, exist_ok=True)
+        mtmp = os.path.join(
+            nvdir, f".{_MANIFEST}.{uuid.uuid4().hex[:8]}.tmp"
+        )
+        with open(mtmp, "w") as f:
+            _json.dump(rm, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(mtmp, os.path.join(nvdir, _MANIFEST))
+    elif (layout or {}).get("link_mode") == "manifest":
+        resolved = _snapshot_buckets(table_dir, version)
+        nvdir = os.path.join(table_dir, new_version)
+        os.makedirs(nvdir, exist_ok=True)
+        mtmp = os.path.join(nvdir, f".{_MANIFEST}.{uuid.uuid4().hex[:8]}.tmp")
+        with open(mtmp, "w") as f:
+            _json.dump(resolved, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(mtmp, os.path.join(nvdir, _MANIFEST))
+    else:
+        _link_tree(os.path.join(table_dir, version),
+                   os.path.join(table_dir, new_version))
+
+
 def restore_versioned(
     spark: SparkSession,
     table_dir: str,
@@ -3171,50 +3240,7 @@ def restore_versioned(
             continue
         seq = int(current.split("-")[1]) + 1 if current else 1
         new_version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
-        layout = _table_layout(table_dir)
-        if layout is None and _plain_link_mode(table_dir) == "manifest":
-            # plain CoW manifest table: zero-copy RESTORE — the new
-            # version is a file manifest resolving every file of the
-            # restored snapshot to its physical home (one hop kept)
-            import json as _json
-
-            rm = _read_manifest(table_dir, version)
-            if rm is None:
-                vdir_r = os.path.join(table_dir, version)
-                rm = {
-                    f"{version}/{fn}": version
-                    for fn in sorted(os.listdir(vdir_r))
-                    if not fn.startswith((".", "_"))
-                    and os.path.isfile(os.path.join(vdir_r, fn))
-                }
-            nvdir = os.path.join(table_dir, new_version)
-            os.makedirs(nvdir, exist_ok=True)
-            mtmp = os.path.join(
-                nvdir, f".{_MANIFEST}.{uuid.uuid4().hex[:8]}.tmp"
-            )
-            with open(mtmp, "w") as f:
-                _json.dump(rm, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(mtmp, os.path.join(nvdir, _MANIFEST))
-        elif (layout or {}).get("link_mode") == "manifest":
-            # zero-copy RESTORE in the object-store posture: the new
-            # version is just a manifest resolving every bucket to the
-            # restored snapshot's physical homes (one hop preserved)
-            import json as _json
-
-            resolved = _snapshot_buckets(table_dir, version)
-            nvdir = os.path.join(table_dir, new_version)
-            os.makedirs(nvdir, exist_ok=True)
-            mtmp = os.path.join(nvdir, f".{_MANIFEST}.{uuid.uuid4().hex[:8]}.tmp")
-            with open(mtmp, "w") as f:
-                _json.dump(resolved, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(mtmp, os.path.join(nvdir, _MANIFEST))
-        else:
-            _link_tree(os.path.join(table_dir, version),
-                       os.path.join(table_dir, new_version))
+        _relink_snapshot(table_dir, version, new_version)
         try:
             _publish_version(table_dir, new_version, marks, keep_versions,
                              expected_base=current,
@@ -3322,13 +3348,18 @@ def _publish_version(
     # deletion entries or deleted rows resurrect. ``dv_base`` defaults
     # to the merge base; RESTORE overrides it with the restored
     # version (a rollback adopts THAT snapshot's DV, never CURRENT's).
-    _carry_dv(
-        table_dir, version,
-        base_version=(
-            (expected_base if isinstance(expected_base, str) else None)
-            if dv_base is _UNCHECKED else dv_base
-        ),
+    carry_base = (
+        (expected_base if isinstance(expected_base, str) else None)
+        if dv_base is _UNCHECKED else dv_base
     )
+    _carry_dv(table_dir, version, base_version=carry_base)
+    # Constraint-sidecar carry (same base semantics as the DV carry:
+    # RESTORE adopts the restored version's constraint set) — a data
+    # commit inherits the base's constraints; dropping the sidecar
+    # would silently disarm enforcement
+    from .constraints import carry_constraints
+
+    carry_constraints(table_dir, version, carry_base)
     # Per-file column stats sidecar, BEFORE the lock (footer IO has no
     # business inside the flock critical section). expected_base gives
     # the carry-forward source; _UNCHECKED/None publishes sweep every

@@ -195,6 +195,79 @@ def dvplan() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def constraints_overhead() -> None:
+    """Write-path cost of constraint enforcement at 10M rows: the
+    claim is ONE extra aggregation job over the BATCH (churn-sized),
+    independent of table size and of how many constraints exist.
+    Measures a 100k-row upsert into a 10M-row versioned table three
+    ways: no constraints, 1 check, and 4 checks + 1 generated column
+    (all folded into the same single agg)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, ".")
+    from animaltrackingetls_spark.constraints import (
+        add_check_constraint,
+        set_generated_column,
+    )
+    from animaltrackingetls_spark.inventory import upsert_parquet_versioned
+    from animaltrackingetls_spark.session import get_spark
+
+    spark = get_spark(
+        master="local[32]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    n_rows, n_batch = 10_000_000, 100_000
+
+    def batch(salt: int):
+        return spark.range(0, n_batch).select(
+            (F.col("id") * 100 + salt).alias("k"),
+            (F.col("id") % 1000 + 1).alias("qty"),
+            ((F.col("id") % 1000 + 1) * 2).alias("qty2"),
+        )
+
+    def timed_upsert(t, salt):
+        b = batch(salt)
+        t0 = time.monotonic()
+        upsert_parquet_versioned(spark, t, b, ["k"], keep_versions=2)
+        return time.monotonic() - t0
+
+    for tag, setup in (
+        ("none", lambda t: None),
+        ("1check", lambda t: add_check_constraint(
+            spark, t, "qty_pos", "qty > 0")),
+        ("4checks+gen", lambda t: (
+            add_check_constraint(spark, t, "qty_pos", "qty > 0"),
+            add_check_constraint(spark, t, "qty_hi", "qty <= 1000"),
+            add_check_constraint(spark, t, "k_nn", "k IS NOT NULL"),
+            add_check_constraint(spark, t, "pair", "qty2 >= qty"),
+            set_generated_column(spark, t, "qty2", "qty * 2"),
+        )),
+    ):
+        tmp = tempfile.mkdtemp(prefix="cns_ovh_")
+        t = os.path.join(tmp, "t")
+        seed = spark.range(0, n_rows).select(
+            F.col("id").alias("k"), (F.col("id") % 1000 + 1).alias("qty"),
+            ((F.col("id") % 1000 + 1) * 2).alias("qty2"),
+        )
+        upsert_parquet_versioned(spark, t, seed, ["k"], keep_versions=2)
+        t_alter0 = time.monotonic()
+        setup(t)
+        alter_s = time.monotonic() - t_alter0
+        warm = timed_upsert(t, 1)  # warm the merge path
+        runs = [timed_upsert(t, 2 + i) for i in range(3)]
+        print(f"cns_overhead [{tag}]: alters {alter_s:.2f}s, "
+              f"upsert warm {warm:.2f}s, "
+              f"runs {['%.2f' % r for r in runs]}, min {min(runs):.2f}s",
+              flush=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "movers"
-    {"movers": movers, "dvplan": dvplan}[cmd]()
+    {"movers": movers, "dvplan": dvplan,
+     "constraints": constraints_overhead}[cmd]()

@@ -73,8 +73,11 @@ def test_past_window_list_is_nonempty_and_stable():
     # driver's gate is hard-capped at 50 rows (observed r8: a 54-entry
     # prefix recorded exactly 50), so displaced oracle-backed queries
     # keep their hard signal through this suite-run compare instead.
+    # Round 15: constraints_gate (CHECK constraints + generated
+    # columns, constraints.py) registers oracle-backed past the window.
     names = _past_window_oracle_names()
-    assert names == ["quota_shuffle", "proximity_pairs", "semi_anti_join"]
+    assert names == ["quota_shuffle", "proximity_pairs", "semi_anti_join",
+                     "constraints_gate"]
 
 
 def test_ivm_view_sketch_branch_stable_across_invocations(spark):
