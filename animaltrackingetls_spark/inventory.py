@@ -3257,6 +3257,146 @@ def restore_versioned(
     raise last_err
 
 
+def _constraint_references(table_dir: str, current: str,
+                           column: str) -> list[str]:
+    """Names of constraints whose expression (or generated-column
+    target) references ``column`` — word-boundary match, the guard
+    Delta applies before RENAME/DROP COLUMN without column mapping."""
+    import re as _re
+
+    from .constraints import read_constraints
+
+    cons = read_constraints(table_dir, current)
+    pat = _re.compile(rf"\b{_re.escape(column)}\b", _re.IGNORECASE)
+    hits = [f"check:{n}" for n, e in cons["checks"].items() if pat.search(e)]
+    hits += [
+        f"generated:{c}" for c, e in cons["generated"].items()
+        if c == column or pat.search(e)
+    ]
+    return sorted(hits)
+
+
+def _alter_schema_versioned(spark: SparkSession, table_dir: str,
+                            column: str, transform, operation: str,
+                            keep_versions: int) -> DataFrame:
+    """Shared RENAME/DROP COLUMN writer: a FULL-REWRITE commit of the
+    transformed snapshot through the standard CAS publish. The
+    reference reshapes every incoming FRAME to a fixed target schema
+    (monarch_etl/schema.py:28 prune/complete/reorder); here the TABLE
+    schema itself evolves, with history — each retained version keeps
+    its own schema for time travel and RESTORE (this engine
+    has no column-mapping layer, so like Delta WITHOUT the
+    columnMapping table feature the physical files must be rewritten;
+    with it the same API would become a metadata commit). The rewrite
+    reads DV-resolved, so deletes materialize away (DV entries drop via
+    the no-shared-identity carry); constraints carry forward (the
+    reference guard already refused ALTERs on referenced columns);
+    CDC-pinned tables log a provably-empty change commit — historical
+    change files keep their historical column names (the batch feed
+    null-fills across the boundary, pinned in tests)."""
+    import os
+    import shutil
+    import uuid
+
+    from .cdc import cdc_enabled, write_change_log
+
+    if _table_layout(table_dir) is not None:
+        raise NotImplementedError(
+            f"{operation}: bucket-partitioned tables pin their layout "
+            "to column identities (bucket spec, per-bucket pruning); "
+            "rewrite through a fresh table instead"
+        )
+    last_err: ConcurrentWriteError | None = None
+    for _attempt in range(3):
+        try:
+            current, marks = _read_commit_state(table_dir)
+        except ConcurrentWriteError as err:
+            last_err = err
+            continue
+        if current is None:
+            raise FileNotFoundError(
+                f"no published snapshot under {table_dir}"
+            )
+        refs = _constraint_references(table_dir, current, column)
+        if refs:
+            raise ValueError(
+                f"{operation}: column {column!r} is referenced by "
+                f"constraint(s) {refs} — DROP them first (Delta applies "
+                "the same guard without column mapping)"
+            )
+        base = _snapshot_df(spark, table_dir, current)
+        out = transform(base)
+        seq = int(current.split("-")[1]) + 1
+        version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
+        vdir = os.path.join(table_dir, version)
+        out.write.mode("error").parquet(vdir)
+        if cdc_enabled(table_dir):
+            write_change_log(table_dir, version, None)
+        try:
+            _publish_version(table_dir, version, marks, keep_versions,
+                             expected_base=current, operation=operation)
+            return read_versioned(spark, table_dir)
+        except ConcurrentWriteError as err:
+            shutil.rmtree(vdir, ignore_errors=True)
+            last_err = err
+    raise last_err
+
+
+def rename_column(spark: SparkSession, table_dir: str, old: str, new: str,
+                  keep_versions: int = 2) -> DataFrame:
+    """``ALTER TABLE RENAME COLUMN old TO new`` for a versioned
+    table, as a full-rewrite commit (see
+    :func:`_alter_schema_versioned`). Guards: the source column must
+    exist, the target must not collide, and no CHECK / generated
+    column may reference the source (word-boundary match — constraint
+    expressions are not rewritten). Time travel still reads pre-rename
+    versions under their historical name; RESTORE across the rename
+    restores the historical schema."""
+
+    def transform(base: DataFrame) -> DataFrame:
+        if old not in base.columns:
+            raise ValueError(
+                f"rename_column: {old!r} not in {base.columns}"
+            )
+        if new in base.columns:
+            raise ValueError(
+                f"rename_column: target {new!r} already a column "
+                f"({base.columns})"
+            )
+        return base.withColumnRenamed(old, new)
+
+    return _alter_schema_versioned(
+        spark, table_dir, old, transform,
+        f"RENAME COLUMN {old} TO {new}", keep_versions,
+    )
+
+
+def drop_column(spark: SparkSession, table_dir: str, column: str,
+                keep_versions: int = 2) -> DataFrame:
+    """``ALTER TABLE DROP COLUMN column`` for a versioned table, as
+    a full-rewrite commit (see :func:`_alter_schema_versioned`).
+    Guards: the column must exist, must not be the last column, and no
+    CHECK / generated column may reference it. The data disappears
+    from the new version only — time travel and RESTORE still see
+    it in retained history."""
+
+    def transform(base: DataFrame) -> DataFrame:
+        if column not in base.columns:
+            raise ValueError(
+                f"drop_column: {column!r} not in {base.columns}"
+            )
+        if len(base.columns) == 1:
+            raise ValueError(
+                f"drop_column: {column!r} is the last column"
+            )
+        return base.drop(column)
+
+    return _alter_schema_versioned(
+        spark, table_dir, column, transform,
+        f"DROP COLUMN {column}", keep_versions,
+    )
+
+
 def _maybe_auto_compact(
     spark: SparkSession,
     table_dir: str,
