@@ -321,6 +321,12 @@ HEADLINE = [
     # maintenance, and the deletion-vector read/update/purge path.
     "ivm_view",
     "dv_delete",
+    # round-15: CHECK constraints + generated columns — cached-build
+    # like the other versioned entries (the cold discarded run pays
+    # the table build + ALTERs; replays are watermark/ensure no-ops),
+    # so the median is the enforcement-agg + snapshot-read cost of a
+    # constrained write path.
+    "constraints_gate",
 ]
 
 

@@ -289,3 +289,87 @@ def test_dv_and_delete_paths_unaffected(spark, tmp_path):
         ["id"], dv=True,
     )
     assert read_versioned(spark, path).count() == 2
+
+
+def test_alter_races_concurrent_writer(spark, tmp_path):
+    """A REAL second process hammers valid upserts while this process
+    cycles ADD/DROP CONSTRAINT: every ALTER either lands or surfaces
+    ConcurrentWriteError (and is retried), no writer commit is lost,
+    the final constraint set is the last ALTER's, and enforcement is
+    live afterwards — the metadata commits serialize with data commits
+    through the same CAS."""
+    import subprocess
+    import sys as _sys
+
+    from animaltrackingetls_spark.inventory import (
+        ConcurrentWriteError,
+        txn_watermarks,
+    )
+
+    path = _seed(spark, _tbl(tmp_path, "race"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = (
+        "import sys; sys.path.insert(0, {repo!r})\n"
+        "from pyspark.sql import Row\n"
+        "from animaltrackingetls_spark.session import get_spark\n"
+        "from animaltrackingetls_spark.inventory import "
+        "upsert_parquet_versioned\n"
+        "spark = get_spark(app_name='cns_race', master='local[2]',\n"
+        "                  shuffle_partitions=2,\n"
+        "                  extra_conf={{'spark.ui.enabled': 'false'}})\n"
+        "for i in range(10):\n"
+        "    upsert_parquet_versioned(\n"
+        "        spark, {path!r},\n"
+        "        spark.createDataFrame([Row(id=100 + i, qty=i + 1,\n"
+        "                                   tag='w')]),\n"
+        "        ['id'], retries=30, txn_app_id='racer', txn_version=i,\n"
+        "        keep_versions=4)\n"
+        "print('WRITER_DONE')\n"
+    ).format(repo=repo, path=path)
+    proc = subprocess.Popen(
+        [_sys.executable, "-c", worker],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        want = None
+        for round_ in range(6):
+            for op, args in (("add", ("qty_pos", "qty > 0")),
+                             ("drop", ("qty_pos",))):
+                for _try in range(40):
+                    try:
+                        if op == "add":
+                            add_check_constraint(spark, path, *args,
+                                                 keep_versions=4)
+                            want = {"qty_pos": "qty > 0"}
+                        else:
+                            drop_check_constraint(spark, path, *args,
+                                                  keep_versions=4)
+                            want = {}
+                        break
+                    except ConcurrentWriteError:
+                        continue
+                else:
+                    raise AssertionError(f"ALTER {op} never landed")
+            if proc.poll() is not None:
+                break
+        out, _ = proc.communicate(timeout=240)
+        assert proc.returncode == 0 and "WRITER_DONE" in out, out[-2000:]
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    # zero lost updates: the racer's watermark reached its final version
+    assert txn_watermarks(path).get("racer") == 9
+    got = {r.id for r in read_versioned(spark, path).collect()}
+    assert set(range(100, 110)) <= got
+    # the final constraint set is exactly the last successful ALTER's
+    assert read_constraints(path)["checks"] == want
+    # enforcement is live (re-arm if the loop ended on a drop)
+    if want == {}:
+        add_check_constraint(spark, path, "qty_pos", "qty > 0",
+                             keep_versions=4)
+    with pytest.raises(ConstraintViolationError):
+        upsert_parquet_versioned(
+            spark, path,
+            spark.createDataFrame([Row(id=999, qty=-1, tag="x")]), ["id"],
+            keep_versions=4,
+        )
