@@ -180,3 +180,40 @@ def test_restore_across_rename_restores_schema(spark, tmp_path):
     now = read_versioned(spark, path)
     assert "qty" in now.columns and "quantity" not in now.columns
     assert {r.id: r.qty for r in now.collect()} == {1: 5, 2: 7}
+
+
+def test_describe_files_metadata_table(spark, tmp_path):
+    """Iceberg's `files` metadata table analog: per-file bytes/rows/
+    stats/DV accounting from sidecars only (no Spark job to answer)."""
+    import json
+
+    from animaltrackingetls_spark.inventory import describe_files
+
+    path = str(tmp_path / "f")
+    upsert_parquet_versioned(
+        spark, path,
+        spark.createDataFrame(
+            [Row(id=i, qty=i * 2) for i in range(1, 9)]
+        ).repartition(2),
+        ["id"], target_files=2, keep_versions=4,
+    )
+    df = describe_files(spark, path)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert sum(r.rows for r in rows) == 8
+    assert all(r.bytes > 0 and r.dv_rows == 0 for r in rows)
+    stats = json.loads(rows[0].column_stats)
+    assert "id" in stats and "lo" in stats["id"]
+    # DV delete charges exactly the affected file
+    delete_versioned(
+        spark, path, spark.createDataFrame([Row(id=3)]), ["id"], dv=True,
+        keep_versions=4,
+    )
+    after = describe_files(spark, path).collect()
+    assert sum(r.dv_rows for r in after) == 1
+    # retained older version still answers; unknown version raises
+    first = list_versions(path)[0]
+    assert sum(r.dv_rows for r in
+               describe_files(spark, path, first).collect()) == 0
+    with pytest.raises(FileNotFoundError):
+        describe_files(spark, path, "v-999999-deadbeef")
