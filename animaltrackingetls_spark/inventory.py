@@ -1278,7 +1278,19 @@ def upsert_parquet_versioned(
         # exist; one os.path probe when none do.
         from .constraints import enforce_constraints
 
-        updates = enforce_constraints(spark, table_dir, current, updates)
+        try:
+            updates = enforce_constraints(spark, table_dir, current,
+                                          updates)
+        except FileNotFoundError as err:
+            # the base (or its sidecar) was pruned between the pointer
+            # read and the sidecar open — a concurrent-writer shape,
+            # same contract as a scan-time file-not-found: re-merge
+            # from the new CURRENT
+            last_err = ConcurrentWriteError(
+                f"{table_dir}: base {current} pruned during constraint "
+                f"read ({err}); re-merging from the new CURRENT"
+            )
+            continue
 
         version: str | None = None
         try:
@@ -1812,7 +1824,19 @@ def upsert_parquet_versioned_partitioned(
         # exist; one os.path probe when none do.
         from .constraints import enforce_constraints
 
-        updates = enforce_constraints(spark, table_dir, current, updates)
+        try:
+            updates = enforce_constraints(spark, table_dir, current,
+                                          updates)
+        except FileNotFoundError as err:
+            # the base (or its sidecar) was pruned between the pointer
+            # read and the sidecar open — a concurrent-writer shape,
+            # same contract as a scan-time file-not-found: re-merge
+            # from the new CURRENT
+            last_err = ConcurrentWriteError(
+                f"{table_dir}: base {current} pruned during constraint "
+                f"read ({err}); re-merging from the new CURRENT"
+            )
+            continue
 
         vdir = None
         try:

@@ -373,3 +373,30 @@ def test_alter_races_concurrent_writer(spark, tmp_path):
             spark.createDataFrame([Row(id=999, qty=-1, tag="x")]), ["id"],
             keep_versions=4,
         )
+
+
+def test_pruned_base_during_constraint_read_retries(spark, tmp_path, monkeypatch):
+    """A FileNotFoundError from the constraint-sidecar read (the base
+    version pruned between the pointer read and the open — a
+    concurrent-writer shape) must convert to a retryable conflict and
+    re-merge from the new CURRENT, not surface raw (same contract as
+    scan-time file-not-found, round-10 advisory)."""
+    import animaltrackingetls_spark.constraints as cns
+
+    path = _seed(spark, _tbl(tmp_path, "prune"))
+    real = cns.read_constraints
+    calls = {"n": 0}
+
+    def flaky(table_dir, version=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError("sidecar pruned under the reader")
+        return real(table_dir, version)
+
+    monkeypatch.setattr(cns, "read_constraints", flaky)
+    upsert_parquet_versioned(
+        spark, path, spark.createDataFrame([Row(id=3, qty=1, tag="r")]),
+        ["id"],
+    )
+    assert calls["n"] >= 2
+    assert read_versioned(spark, path).count() == 3
