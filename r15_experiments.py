@@ -267,7 +267,55 @@ def constraints_overhead() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def schema_alter() -> None:
+    """RENAME/DROP COLUMN cost at 10M rows — these are FULL-REWRITE
+    commits (no column-mapping layer), so the honest claim is "one
+    distributed rewrite of the snapshot", measured here next to the
+    table's own build cost for scale context."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, ".")
+    from animaltrackingetls_spark.inventory import (
+        drop_column,
+        read_versioned,
+        rename_column,
+        upsert_parquet_versioned,
+    )
+    from animaltrackingetls_spark.session import get_spark
+
+    spark = get_spark(
+        master="local[32]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    n_rows = 10_000_000
+    tmp = tempfile.mkdtemp(prefix="alter10m_")
+    t = os.path.join(tmp, "t")
+    seed = spark.range(0, n_rows).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("qty"),
+        F.sha1(F.col("id").cast("string")).alias("tag"),
+    )
+    t0 = time.monotonic()
+    upsert_parquet_versioned(spark, t, seed, ["k"], keep_versions=2)
+    build_s = time.monotonic() - t0
+    t1 = time.monotonic()
+    rename_column(spark, t, "qty", "quantity", keep_versions=2)
+    rename_s = time.monotonic() - t1
+    t2 = time.monotonic()
+    drop_column(spark, t, "tag", keep_versions=2)
+    drop_s = time.monotonic() - t2
+    assert read_versioned(spark, t).columns == ["k", "quantity"]
+    print(f"schema_alter 10M: build {build_s:.1f}s, "
+          f"rename {rename_s:.1f}s, drop {drop_s:.1f}s", flush=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "movers"
     {"movers": movers, "dvplan": dvplan,
-     "constraints": constraints_overhead}[cmd]()
+     "constraints": constraints_overhead,
+     "schema_alter": schema_alter}[cmd]()
