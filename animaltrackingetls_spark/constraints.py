@@ -263,8 +263,12 @@ def add_check_constraint(spark: SparkSession, table_dir: str, name: str,
         return cons
 
     def validate(current: str, cons: dict) -> None:
+        # pinned to the CAS base: validating whatever CURRENT resolves
+        # to mid-flight would be either the same version (fine) or a
+        # newer one (the publish CAS would fail anyway) — pinning makes
+        # the proof and the commit base one and the same
         _raise_if_violated(
-            read_versioned(spark, table_dir),
+            read_versioned(spark, table_dir, version=current),
             {f"check:{name}": _check_violated(expr)},
             f"{table_dir} ADD CONSTRAINT {name}",
         )
@@ -309,7 +313,7 @@ def set_generated_column(spark: SparkSession, table_dir: str, col: str,
         return cons
 
     def validate(current: str, cons: dict) -> None:
-        table = read_versioned(spark, table_dir)
+        table = read_versioned(spark, table_dir, version=current)
         if col not in table.columns:
             raise ValueError(
                 f"generated column {col!r} not in {table_dir}'s schema "
