@@ -155,6 +155,18 @@ def _raise_if_violated(df: DataFrame, violated: dict[str, "F.Column"],
         )
 
 
+def _resolves(df: DataFrame, cond) -> bool:
+    """Whether ``cond`` analyzes against ``df``'s schema (no job —
+    analysis only). Partial update batches (merge_schema contract:
+    old columns SURVIVE a batch that stopped carrying them) may lack
+    columns a constraint references."""
+    try:
+        df.select(cond)
+        return True
+    except Exception:
+        return False
+
+
 def enforce_constraints(spark: SparkSession, table_dir: str,
                         base_version: str | None,
                         updates: DataFrame) -> DataFrame:
@@ -162,7 +174,17 @@ def enforce_constraints(spark: SparkSession, table_dir: str,
     validate every CHECK over the batch — one aggregation job total.
     Reads the sidecar of the CAS base each attempt so a concurrently
     added constraint binds the retried merge. Fast path: no sidecar →
-    the batch passes through untouched (one ``os.path`` probe)."""
+    the batch passes through untouched (one ``os.path`` probe).
+
+    Partial batches (the merge_schema contract: a batch may stop
+    carrying columns, whose old values then survive the merge)
+    validate WHAT THEY CARRY: a check or generated-column rule whose
+    expression does not resolve against the batch schema is skipped
+    for that batch — sound because a matched row's surviving column
+    values were validated when they were written, and an inserted
+    row's absent column is NULL, which passes ANSI CHECK semantics.
+    (Round-15 review finding: unconditional evaluation bricked
+    previously-legal partial-batch writes with an analysis error.)"""
     cons = read_constraints(table_dir, base_version)
     checks, generated = cons["checks"], cons["generated"]
     if not checks and not generated:
@@ -170,11 +192,15 @@ def enforce_constraints(spark: SparkSession, table_dir: str,
     violated: dict[str, "F.Column"] = {}
     for col, expr in sorted(generated.items()):
         if col in updates.columns:
-            violated[f"generated:{col}"] = _generated_violated(col, expr)
-        else:
+            cond = _generated_violated(col, expr)
+            if _resolves(updates, cond):
+                violated[f"generated:{col}"] = cond
+        elif _resolves(updates, F.expr(expr)):
             updates = updates.withColumn(col, F.expr(expr))
     for name, expr in sorted(checks.items()):
-        violated[f"check:{name}"] = _check_violated(expr)
+        cond = _check_violated(expr)
+        if _resolves(updates, cond):
+            violated[f"check:{name}"] = cond
     _raise_if_violated(updates, violated, table_dir)
     return updates
 

@@ -516,8 +516,6 @@ def _write_dv(spark, dv_df, vdir: str) -> None:
     # streams: repartition by identity, sort within partitions, and
     # fold an incremental sha over the Arrow batches — peak task
     # memory O(batch), same digest bytes.
-    from pyspark.sql import functions as F  # noqa: F401 (parity)
-
     rows = (
         dv_df.repartition("ino", "size")
         .sortWithinPartitions("ino", "size", "row_index")
@@ -1837,6 +1835,12 @@ def upsert_parquet_versioned_partitioned(
                 f"read ({err}); re-merging from the new CURRENT"
             )
             continue
+        # re-derive the bucketed frame from the ENFORCED batch —
+        # enforcement may have materialized generated columns, and the
+        # pre-loop `u` would write the un-enforced frame (round-15
+        # review finding: snapshot and CDC log diverged on bucketed
+        # tables with generated columns)
+        u = updates.withColumn(_BUCKET_COL, bucket)
 
         vdir = None
         try:
@@ -3166,6 +3170,17 @@ def clone_versioned(
         sp = os.path.join(_dv_path(table_dir, version), _DV_SUMMARY)
         if os.path.exists(sp):
             os.link(sp, os.path.join(ddir, _DV_SUMMARY))
+    # the cloned snapshot's CONSTRAINT SET is part of its content, like
+    # the DV: the link walk skips '_'-prefixed sidecars and the publish
+    # has no base to carry from, so copy it explicitly — a clone of a
+    # constrained table must not be silently unconstrained (round-15
+    # review finding; Delta CLONE carries constraints)
+    scp = os.path.join(table_dir, version, "_constraints.json")
+    if os.path.exists(scp):
+        from .constraints import _write_sidecar
+
+        with open(scp) as f:
+            _write_sidecar(dest_dir, new_version, json.load(f))
     _publish_version(dest_dir, new_version, {}, keep_versions=1,
                      expected_base=None,
                      operation=f"CLONE {table_dir}@{version}")
@@ -4019,8 +4034,10 @@ def merge_into(
         if delete_keys is not None:
             delete_keys = delete_keys.localCheckpoint()
             if delete_keys.isEmpty():
+                delete_keys.unpersist()
                 delete_keys = None
         if delete_keys is None and updates.isEmpty():
+            updates.unpersist()
             return read_versioned(spark, table_dir)  # provable no-op
         try:
             return upsert_parquet_versioned(
@@ -4029,6 +4046,14 @@ def merge_into(
                 _classified_base=current, **kw)
         except ConcurrentWriteError as err:
             last_err = err  # re-classify against the new base
+            # release the superseded classification's checkpointed
+            # blocks before re-classifying — each retry materializes a
+            # fresh copy and a contended merge would otherwise pin one
+            # full classified frame per conflict until session end
+            # (round-15 review finding)
+            updates.unpersist()
+            if delete_keys is not None:
+                delete_keys.unpersist()
     raise last_err
 
 

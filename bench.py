@@ -403,12 +403,6 @@ def main() -> None:
     # code-independent calibration (see module docstring): numpy GEMM
     # for raw CPU, spark.range groupBy for JVM/shuffle machinery.
     # min-of-kept, measured here at the warm end of the invocation.
-    import numpy as _np
-
-    A = _np.ones((1024, 1024)); B = _np.ones((1024, 1024))
-    gemm = []
-    for _ in range(7):
-        g0 = time.monotonic(); A @ B; gemm.append(time.monotonic() - g0)
     from pyspark.sql import functions as _F
 
     rng = []
@@ -419,7 +413,10 @@ def main() -> None:
         ).agg(_F.sum("sum(id)")).collect()
         rng.append(time.monotonic() - r0)
     calib = {
-        "gemm_1024_s": round(min(gemm[2:]), 4),
+        # same helper as gemm_base so the contamination stamp compares
+        # identical probes (min is warm-up-robust: slow first runs
+        # never lower it, so no separate discard is needed)
+        "gemm_1024_s": round(gemm_probe(7), 4),
         "range_agg_20m_s": round(min(rng[1:]), 3),
     }
     rel_drift = round(

@@ -400,3 +400,69 @@ def test_pruned_base_during_constraint_read_retries(spark, tmp_path, monkeypatch
     )
     assert calls["n"] >= 2
     assert read_versioned(spark, path).count() == 3
+
+
+def test_partitioned_upsert_materializes_generated_columns(spark, tmp_path):
+    """Round-15 review finding: the bucketed writer derived its
+    bucketed frame BEFORE enforcement, so a batch omitting a generated
+    column wrote the un-enforced frame (snapshot and CDC diverged).
+    The generated value must land in the bucketed snapshot."""
+    path = _tbl(tmp_path, "pg")
+    rows = [Row(id=1, qty=5, qty2=10), Row(id=2, qty=7, qty2=14)]
+    upsert_parquet_versioned_partitioned(
+        spark, path, spark.createDataFrame(rows), ["id"], n_buckets=4
+    )
+    set_generated_column(spark, path, "qty2", "qty * 2")
+    upsert_parquet_versioned_partitioned(
+        spark, path, spark.createDataFrame([Row(id=3, qty=4)]), ["id"],
+        n_buckets=4, merge_schema=True,
+    )
+    got = {r.id: r.qty2 for r in read_versioned(spark, path).collect()}
+    assert got == {1: 10, 2: 14, 3: 8}
+
+
+def test_partial_batch_skips_unresolvable_constraints(spark, tmp_path):
+    """Round-15 review finding: a merge_schema partial batch that
+    stopped carrying a constrained column (old values SURVIVE the
+    merge) must not brick with an analysis error — the rule validates
+    what the batch carries. Sound: surviving values were validated at
+    their own write; an inserted row's absent column is NULL, which
+    passes ANSI CHECK."""
+    path = _seed(spark, _tbl(tmp_path, "pb"))
+    add_check_constraint(spark, path, "qty_pos", "qty > 0")
+    # update id=1's tag only — no qty column in the batch at all
+    upsert_parquet_versioned(
+        spark, path,
+        spark.createDataFrame([Row(id=1, tag="patched")]), ["id"],
+        merge_schema=True,
+    )
+    row = read_versioned(spark, path).where("id = 1").first()
+    assert row.tag == "patched" and row.qty == 5  # old value survived
+    # a batch that DOES carry qty still enforces
+    with pytest.raises(ConstraintViolationError):
+        upsert_parquet_versioned(
+            spark, path,
+            spark.createDataFrame([Row(id=9, qty=-1, tag="x")]), ["id"],
+        )
+
+
+def test_clone_carries_constraints(spark, tmp_path):
+    """Round-15 review finding: the clone link-walk skips '_'-prefixed
+    sidecars and publishes with no base, so a clone of a constrained
+    table was silently unconstrained (Delta CLONE carries
+    constraints)."""
+    from animaltrackingetls_spark.inventory import clone_versioned
+
+    src = _seed(spark, _tbl(tmp_path, "src"))
+    add_check_constraint(spark, src, "qty_pos", "qty > 0")
+    dest = _tbl(tmp_path, "dest")
+    clone_versioned(spark, src, dest)
+    assert read_constraints(dest)["checks"] == {"qty_pos": "qty > 0"}
+    with pytest.raises(ConstraintViolationError):
+        upsert_parquet_versioned(
+            spark, dest,
+            spark.createDataFrame([Row(id=9, qty=-1, tag="x")]), ["id"],
+        )
+    # and the clone's constraint set evolves independently of the source
+    drop_check_constraint(spark, dest, "qty_pos")
+    assert read_constraints(src)["checks"] == {"qty_pos": "qty > 0"}
