@@ -167,9 +167,57 @@ def _resolves(df: DataFrame, cond) -> bool:
         return False
 
 
+def _violation_conditions(updates: DataFrame, cons: dict):
+    """(possibly-augmented updates, {name: violated-cond}) — generated
+    columns computed when absent-and-resolvable, every resolvable rule
+    as a never-NULL boolean condition (TRUE iff the row violates)."""
+    checks, generated = cons["checks"], cons["generated"]
+    violated: dict[str, "F.Column"] = {}
+    for col, expr in sorted(generated.items()):
+        if col in updates.columns:
+            cond = _generated_violated(col, expr)
+            if _resolves(updates, cond):
+                violated[f"generated:{col}"] = cond
+        elif _resolves(updates, F.expr(expr)):
+            updates = updates.withColumn(col, F.expr(expr))
+    for name, expr in sorted(checks.items()):
+        cond = _check_violated(expr)
+        if _resolves(updates, cond):
+            violated[f"check:{name}"] = cond
+    return updates, violated
+
+
+def split_violations(spark: SparkSession, table_dir: str,
+                     df: DataFrame, version: str | None = None
+                     ) -> tuple[DataFrame, DataFrame]:
+    """Quarantine splitter (the DLT expectation pattern's third mode):
+    ``(clean, dirty)`` where ``dirty`` carries a ``_violations``
+    column naming every rule each row breaks (comma-joined). Generated
+    columns are computed on both sides exactly as the write path
+    would. Feed ``clean`` to the upsert and ``dirty`` to a quarantine
+    sink — same scale posture as enforcement (one codegen'd predicate,
+    no extra shuffle)."""
+    cons = read_constraints(table_dir, version)
+    df, violated = _violation_conditions(df, cons)
+    if not violated:
+        return df, df.limit(0).withColumn("_violations", F.lit(""))
+    from functools import reduce
+    from operator import or_
+
+    any_bad = reduce(or_, violated.values())
+    tags = F.concat_ws(",", *[
+        F.when(cond, F.lit(name)) for name, cond in sorted(violated.items())
+    ])
+    return (
+        df.filter(~any_bad),
+        df.filter(any_bad).withColumn("_violations", tags),
+    )
+
+
 def enforce_constraints(spark: SparkSession, table_dir: str,
                         base_version: str | None,
-                        updates: DataFrame) -> DataFrame:
+                        updates: DataFrame,
+                        on_violation: str = "fail") -> DataFrame:
     """The write-path hook: apply/validate generated columns, then
     validate every CHECK over the batch — one aggregation job total.
     Reads the sidecar of the CAS base each attempt so a concurrently
@@ -184,23 +232,29 @@ def enforce_constraints(spark: SparkSession, table_dir: str,
     values were validated when they were written, and an inserted
     row's absent column is NULL, which passes ANSI CHECK semantics.
     (Round-15 review finding: unconditional evaluation bricked
-    previously-legal partial-batch writes with an analysis error.)"""
+    previously-legal partial-batch writes with an analysis error.)
+
+    ``on_violation`` (the DLT expectation modes): ``"fail"`` (default,
+    Delta CHECK semantics) refuses the whole commit; ``"drop"``
+    filters violating rows out and commits the rest — the operative
+    posture for always-on streaming ingestion, where one bad record
+    must not kill the pipeline (pair with :func:`split_violations`
+    for a quarantine sink instead of silent drops)."""
+    if on_violation not in ("fail", "drop"):
+        raise ValueError(
+            f"on_violation must be fail|drop, got {on_violation!r}"
+        )
     cons = read_constraints(table_dir, base_version)
-    checks, generated = cons["checks"], cons["generated"]
-    if not checks and not generated:
+    if not cons["checks"] and not cons["generated"]:
         return updates
-    violated: dict[str, "F.Column"] = {}
-    for col, expr in sorted(generated.items()):
-        if col in updates.columns:
-            cond = _generated_violated(col, expr)
-            if _resolves(updates, cond):
-                violated[f"generated:{col}"] = cond
-        elif _resolves(updates, F.expr(expr)):
-            updates = updates.withColumn(col, F.expr(expr))
-    for name, expr in sorted(checks.items()):
-        cond = _check_violated(expr)
-        if _resolves(updates, cond):
-            violated[f"check:{name}"] = cond
+    updates, violated = _violation_conditions(updates, cons)
+    if not violated:
+        return updates
+    if on_violation == "drop":
+        from functools import reduce
+        from operator import or_
+
+        return updates.filter(~reduce(or_, violated.values()))
     _raise_if_violated(updates, violated, table_dir)
     return updates
 

@@ -1050,6 +1050,7 @@ def upsert_parquet_versioned(
     auto_compact: int | None = None,
     dv: bool = False,
     delete_keys: DataFrame | None = None,
+    on_violation: str = "fail",
     _classified_base: str | None | object = _UNCHECKED,
 ) -> DataFrame:
     """Keyed upsert with SNAPSHOT-ATOMIC publish — closes the
@@ -1278,7 +1279,8 @@ def upsert_parquet_versioned(
 
         try:
             updates = enforce_constraints(spark, table_dir, current,
-                                          updates)
+                                          updates,
+                                          on_violation=on_violation)
         except FileNotFoundError as err:
             # the base (or its sidecar) was pruned between the pointer
             # read and the sidecar open — a concurrent-writer shape,
@@ -1659,6 +1661,7 @@ def upsert_parquet_versioned_partitioned(
     merge_schema: bool = False,
     link_mode: str | None = None,
     write_change_data: bool | None = None,
+    on_violation: str = "fail",
 ) -> DataFrame:
     """:func:`upsert_parquet_versioned` with a PARTITION-PRUNED merge —
     the lever that makes per-batch cost proportional to the batch, not
@@ -1824,7 +1827,8 @@ def upsert_parquet_versioned_partitioned(
 
         try:
             updates = enforce_constraints(spark, table_dir, current,
-                                          updates)
+                                          updates,
+                                          on_violation=on_violation)
         except FileNotFoundError as err:
             # the base (or its sidecar) was pruned between the pointer
             # read and the sidecar open — a concurrent-writer shape,

@@ -466,3 +466,58 @@ def test_clone_carries_constraints(spark, tmp_path):
     # and the clone's constraint set evolves independently of the source
     drop_check_constraint(spark, dest, "qty_pos")
     assert read_constraints(src)["checks"] == {"qty_pos": "qty > 0"}
+
+
+def test_on_violation_drop_commits_clean_rows(spark, tmp_path):
+    """The DLT 'drop' expectation mode: violating rows filter out and
+    the rest of the batch commits — streaming ingestion must not die
+    on one bad record."""
+    path = _seed(spark, _tbl(tmp_path, "drop"))
+    add_check_constraint(spark, path, "qty_pos", "qty > 0")
+    batch = spark.createDataFrame([
+        Row(id=3, qty=9, tag="good"),
+        Row(id=4, qty=-1, tag="bad"),
+        Row(id=5, qty=0, tag="bad"),
+    ])
+    upsert_parquet_versioned(spark, path, batch, ["id"],
+                             on_violation="drop")
+    got = {r.id for r in read_versioned(spark, path).collect()}
+    assert got == {1, 2, 3}
+    with pytest.raises(ValueError, match="fail|drop"):
+        upsert_parquet_versioned(spark, path, batch, ["id"],
+                                 on_violation="quarantine")
+
+
+def test_split_violations_quarantine(spark, tmp_path):
+    """The quarantine splitter: (clean, dirty) with dirty naming every
+    broken rule per row; generated columns computed on both sides."""
+    from animaltrackingetls_spark.constraints import split_violations
+
+    path = _tbl(tmp_path, "q")
+    upsert_parquet_versioned(
+        spark, path,
+        spark.createDataFrame([Row(id=1, qty=5, qty2=10, tag="a")]),
+        ["id"],
+    )
+    add_check_constraint(spark, path, "qty_pos", "qty > 0")
+    add_check_constraint(spark, path, "tag_nn", "tag IS NOT NULL")
+    set_generated_column(spark, path, "qty2", "qty * 2")
+    batch = spark.createDataFrame(
+        [
+            Row(id=2, qty=3, tag="ok"),      # clean; qty2 generated
+            Row(id=3, qty=-1, tag="neg"),    # one violation
+            Row(id=4, qty=-2, tag=None),     # two violations
+        ],
+        "id int, qty int, tag string",
+    )
+    clean, dirty = split_violations(spark, path, batch)
+    crows = clean.collect()
+    assert [(r.id, r.qty2) for r in crows] == [(2, 6)]
+    d = {r.id: r._violations for r in dirty.collect()}
+    assert d == {
+        3: "check:qty_pos",
+        4: "check:qty_pos,check:tag_nn",
+    }
+    # the clean side commits under full enforcement
+    upsert_parquet_versioned(spark, path, clean, ["id"])
+    assert read_versioned(spark, path).count() == 2
