@@ -328,7 +328,17 @@ def _q_winnow_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     per character 8-gram — ~n_chars hashes per doc — with no
     parallelism), not Spark's; coverage is unaffected since every
     document shape appears in the subset."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    # r15: the winnow map is md5-per-character-gram — the most
+    # expression-dense pass in the repo — and a single-row-group input
+    # fuses it onto a ONE-task scan (guide §2.5). Project to the two
+    # needed columns, then raise scan parallelism to the core floor
+    # (structural no-op on any multi-split dataset). Measured 3.44 s →
+    # see OPTIMIZATION_r15.md.
+    docs = layout.ensure_scan_parallelism(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
     fps = textstats.winnow_fingerprint_frame(docs, k=8, window=4, hash_fn="md5")
     return fps.select(F.col("id").alias("doc_id"), F.explode("fps").alias("fp"))
 
@@ -866,7 +876,13 @@ def _q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote-and-pack pipeline replayed bit-for-bit by the DuckDB oracle
     (60 bit-position sign votes per doc, repacked to one long). The
     xx64 fast path stays registered rows-only as `simhash_docs`."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    # r15: same single-task-scan fix as _q_winnow_portable (guide §2.5)
+    # — the md5 token votes otherwise run on one core.
+    docs = layout.ensure_scan_parallelism(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
     return dedup.simhash64(docs, hash_fn="md5").select(
         F.col("id").alias("doc_id"), "simhash"
     )
@@ -3443,7 +3459,18 @@ def _q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile`` and DuckDB ``quantile_cont`` agreed bit-for-bit on
     every measured point before rounding. HASH-CHECKED: in the driver's
     correctness window since round 10."""
-    li = _t(spark, sf_dir, "lineitem")
+    # r15: the exact-percentile partial agg builds 4 value→count maps
+    # over 600k rows; on a single-row-group file that entire pass runs
+    # as ONE task (guide §2.5). Project to the 4 measures, then raise
+    # scan parallelism to the core floor (no-op on real multi-split
+    # data); percentile's value→count map is reduction-order-free, so
+    # the result is bit-identical. Measured 2.46 s → see
+    # OPTIMIZATION_r15.md.
+    li = layout.ensure_scan_parallelism(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+        )
+    )
     return profile.profile_quantiles(
         li,
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],

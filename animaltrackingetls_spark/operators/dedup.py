@@ -750,6 +750,7 @@ def connected_components(
     max_iter: int = 25,
     mode: str = "auto",
     star_edge_threshold: int = 5_000_000,
+    onetask_edge_threshold: int = 200_000,
     stats: dict | None = None,
     on_nonconverged: str = "raise",
 ) -> DataFrame:
@@ -777,11 +778,26 @@ def connected_components(
       threads, boilerplate rings) where propagation's rounds-=-diameter
       becomes the superlinear cliff. Per cycle: two groupBy-min + two
       self-join shuffles, all keyed on node id.
-    * ``"auto"`` (default) — ``star`` when the symmetrized edge count is
-      at or above ``star_edge_threshold``, else ``propagate``. Rationale:
+    * ``"onetask"`` (r15) — union-find inside ONE Arrow task over the
+      measured-small symmetrized edge set. An iterative distributed CC
+      on a few-thousand-edge candidate graph is pure fixed overhead:
+      every round is 2–4 Spark jobs (join + checkpoint + convergence
+      action), and the r15 profile measured the bench resolver at 38
+      jobs / 3.7 s with data that fits in one Arrow batch. Union-find
+      with min-root linking computes the identical min-label fixpoint
+      in O(E α(E)) — milliseconds — in a single task (NOT on the
+      driver: the edges never leave the executors). Linking the larger
+      root under the smaller makes the final root of every component
+      its minimum id regardless of edge order, so the result is
+      deterministic and partitioning-independent like the other modes.
+    * ``"auto"`` (default) — ``onetask`` when the symmetrized edge
+      count is under ``onetask_edge_threshold`` (conservatively sized:
+      a Python union-find over 200k edges is ~0.1 s, far under one
+      distributed round's fixed cost); ``star`` at or above
+      ``star_edge_threshold``; else ``propagate``. Rationale:
       small candidate graphs are diameter-shallow in practice and the
       propagation round is ~2 shuffles vs star's ~4, while big graphs
-      can't risk a deep chain; the threshold is per-job tunable.
+      can't risk a deep chain; the thresholds are per-job tunable.
 
     Every round is ``localCheckpoint``-ed to truncate lineage — without
     it, round k's plan re-derives rounds 1..k-1 and the job goes
@@ -808,8 +824,10 @@ def connected_components(
         raise ValueError(
             f"on_nonconverged must be raise|partial, got {on_nonconverged!r}"
         )
-    if mode not in ("auto", "propagate", "star"):
-        raise ValueError(f"mode must be auto|propagate|star, got {mode!r}")
+    if mode not in ("auto", "propagate", "star", "onetask"):
+        raise ValueError(
+            f"mode must be auto|propagate|star|onetask, got {mode!r}"
+        )
     sym = edges.select(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
     )
@@ -822,13 +840,21 @@ def connected_components(
     # metadata-cheap action. Large graphs keep the session partitioning.
     n_sym = sym.count()
     small = n_sym < 1_000_000
-    if small:
-        sym = sym.repartition(4).localCheckpoint(eager=True)
     if mode == "auto":
-        mode = "star" if n_sym >= star_edge_threshold else "propagate"
+        if n_sym < onetask_edge_threshold:
+            mode = "onetask"
+        elif n_sym >= star_edge_threshold:
+            mode = "star"
+        else:
+            mode = "propagate"
+    if small and mode in ("propagate", "star"):
+        sym = sym.repartition(4).localCheckpoint(eager=True)
 
     run_stats: dict = {}
-    if mode == "star":
+    if mode == "onetask":
+        labels = _onetask_components(sym)
+        run_stats.update({"rounds": 1, "converged": True})
+    elif mode == "star":
         labels = _star_components(sym, max_iter, run_stats)
     else:
         labels = _propagate_components(sym, max_iter, run_stats, small=small)
@@ -844,6 +870,57 @@ def connected_components(
             "fragmented labels."
         )
     return labels
+
+
+def _onetask_components(sym: DataFrame) -> DataFrame:
+    """Union-find CC over a measured-small symmetrized edge set in one
+    Arrow task (see connected_components ``"onetask"``). The edges are
+    coalesced into a single partition on the EXECUTOR side — nothing is
+    collected to the driver — and min-root linking makes every
+    component's final root its minimum node id, so the labels are the
+    same fixpoint the iterative modes converge to, independent of edge
+    arrival order."""
+
+    def uf(batches):
+        import pyarrow as pa
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for batch in batches:
+            for u, v in zip(
+                batch.column(0).to_pylist(), batch.column(1).to_pylist()
+            ):
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if ru < rv:
+                        parent[rv] = ru
+                    else:
+                        parent[ru] = rv
+        if not parent:
+            return
+        ids = list(parent)
+        yield pa.record_batch(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array([find(x) for x in ids], pa.int64()),
+            }
+        )
+
+    # coalesce (narrow), not repartition: the one task reads the
+    # checkpointed blocks directly with no extra shuffle write+read
+    return sym.coalesce(1).mapInArrow(uf, "id long, cluster_id long")
 
 
 def _propagate_components(
@@ -1089,6 +1166,16 @@ def minhash_candidate_pairs_portable(
     num_hashes = bands * rows_per_band
 
     bound = shingle_frame(df, id_col, text_col, n)
+    # r15: the band-key pass evaluates bands×rows_per_band seeded md5
+    # members per shingle — the heaviest expression work in the
+    # pipeline — and a single-row-group input would pin it to one or
+    # two tasks (guide §2.5). Raise the cached layout to the core
+    # floor (no-op when the scan is already that wide).
+    from animaltrackingetls_spark.operators.layout import (
+        ensure_scan_parallelism,
+    )
+
+    bound = ensure_scan_parallelism(bound)
     # Three plan branches read the shingle frame (band keys + both sides
     # of the verify rejoin); persist trades one materialization for two
     # re-tokenizations, same as minhash_candidate_pairs.

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "write_bucketed",
     "assert_exchange_free",
+    "ensure_scan_parallelism",
     "zvalue_expr",
     "zvalue_expr_nd",
     "write_zordered",
@@ -108,6 +109,51 @@ def assert_exchange_free(df: DataFrame, require: str | None = None) -> None:
         raise AssertionError(f"plan contains an Exchange:\n{plan}")
     if require is not None and require not in plan:
         raise AssertionError(f"plan lacks required node {require!r}:\n{plan}")
+
+
+def ensure_scan_parallelism(
+    df: DataFrame,
+    floor: int | None = None,
+) -> DataFrame:
+    """Round-robin repartition ``df`` up to ``floor`` partitions when —
+    and only when — its current layout has fewer (optimization guide
+    §2.5: one huge unsplittable file → "repartition immediately after
+    the read").
+
+    Why this exists: a parquet file is splittable only at ROW-GROUP
+    boundaries, so a single-row-group file (pandas/pyarrow writers
+    default to one group for small tables) scans as ONE task no matter
+    how many cores the cluster has — and every expression-dense map or
+    partial-agg stage fused onto that scan runs single-threaded. The
+    repartition pays one narrow shuffle of the projected input to buy
+    full parallelism for the expensive work above it.
+
+    Scale posture: ``floor`` defaults to ``defaultParallelism`` (total
+    scheduler cores — local AND cluster), and the repartition is a
+    structural NO-OP whenever the scan already carries that many
+    partitions, which any real multi-file/multi-row-group dataset does.
+    It can never REDUCE parallelism (only repartitions upward), so it
+    is not a local-mode constant baked into the plan — the same code
+    path degrades to identity at 100 TB. Callers should project to the
+    needed columns FIRST so the shuffle moves only those bytes.
+
+    The partition-count probe reads the physical plan's partitioning
+    (no job, no data); round-robin (not keyed) repartition is used so
+    no synthetic skew is possible (guide §2.5), and Spark's
+    sort-before-repartition keeps it deterministic under task retry.
+    """
+    sess = df.sparkSession
+    if floor is None:
+        floor = sess.sparkContext.defaultParallelism
+    if floor <= 1:
+        return df
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n >= floor:
+        return df
+    return df.repartition(floor)
 
 
 # --------------------------------------------------------------------------

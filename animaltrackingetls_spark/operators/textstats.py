@@ -420,9 +420,15 @@ def winnow_fingerprint_frame(
     ).otherwise(F.array().cast("array<long>"))
     bound = df.select(F.col(id_col).alias("id"), F.explode(F.array(kh)).alias("kh"))
     n_windows = F.greatest(F.size(F.col("kh")) - (window - 1), F.lit(0))
+    # r15: per-window minimum as least() over direct element_at reads —
+    # array_min(slice(...)) allocated a fresh window-sized array PER
+    # WINDOW (O(n·window) allocations per doc, pure GC churn); least()
+    # over non-null longs is the identical minimum with zero
+    # allocation. Elements are never NULL here (md5/xxhash64 of a
+    # non-null gram), so least == array_min on every window.
     mins = F.transform(
         F.sequence(F.lit(1), n_windows),
-        lambda j: F.array_min(F.slice(F.col("kh"), j, window)),
+        lambda j: F.least(*[F.element_at(F.col("kh"), j + i) for i in range(window)]),
     )
     fps = F.when(n_windows > 0, F.array_distinct(mins)).otherwise(
         F.array_distinct(F.col("kh"))

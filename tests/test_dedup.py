@@ -350,11 +350,15 @@ def test_connected_components_partitioning_independent(chain_edges):
 
 def test_connected_components_max_iter_caps_rounds(chain_edges):
     # One round only propagates one hop: the far chain end cannot reach
-    # the min label yet, proving the loop (not a lucky plan) does the work.
+    # the min label yet, proving the loop (not a lucky plan) does the
+    # work. mode="propagate" pins the ITERATIVE path — auto routes a
+    # graph this small to the r15 one-task union-find, which has no
+    # round cap by construction.
     partial = {
         (r.id, r.cluster_id)
         for r in dedup.connected_components(
-            chain_edges, max_iter=1, on_nonconverged="partial"
+            chain_edges, max_iter=1, on_nonconverged="partial",
+            mode="propagate",
         ).collect()
     }
     assert (50, 10) not in partial
@@ -364,14 +368,51 @@ def test_connected_components_max_iter_caps_rounds(chain_edges):
 def test_connected_components_raises_on_nonconvergence_by_default(chain_edges):
     """Fragmented labels are a CORRECTNESS failure, not a degraded
     result: exhausting max_iter must raise (with star-mode guidance),
-    never silently return partial clusters."""
+    never silently return partial clusters. (mode="propagate": the
+    round-capped path; auto's one-task route always converges.)"""
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(chain_edges, max_iter=1)
+        dedup.connected_components(chain_edges, max_iter=1, mode="propagate")
     stats = {}
     dedup.connected_components(chain_edges, stats=stats)
     assert stats["converged"] is True
+
+
+def test_connected_components_onetask_parity_and_auto_route(chain_edges):
+    """r15 one-task union-find: identical labels to the iterative
+    modes on the same graph, auto routes small graphs to it, and the
+    output is partitioning-independent."""
+    stats = {}
+    got = sorted(
+        map(tuple, dedup.connected_components(chain_edges, stats=stats).collect())
+    )
+    assert stats["mode"] == "onetask" and stats["converged"] is True
+    prop = sorted(
+        map(
+            tuple,
+            dedup.connected_components(chain_edges, mode="propagate").collect(),
+        )
+    )
+    star = sorted(
+        map(tuple, dedup.connected_components(chain_edges, mode="star").collect())
+    )
+    one = sorted(
+        map(
+            tuple,
+            dedup.connected_components(
+                chain_edges.repartition(7), mode="onetask"
+            ).collect(),
+        )
+    )
+    assert got == prop == star == one
+
+
+def test_connected_components_onetask_threshold_routes_to_iterative(chain_edges):
+    # over the one-task threshold, auto falls back to the iterative paths
+    stats = {}
+    dedup.connected_components(chain_edges, onetask_edge_threshold=1, stats=stats)
+    assert stats["mode"] == "propagate"
 
 
 def test_dedup_clusters_sizes(chain_edges):
@@ -1388,3 +1429,36 @@ def test_legacy_adoption_missing_bands_stays_replayable(spark, tmp_path):
                    "doc_id long, text string"),
                idx, txn_app_id="t", txn_version=1).collect()}
     assert out == {2: "exact_dup"}
+
+
+def test_minhash_portable_partitioning_independent(spark):
+    """r15: the operator raises its cached layout's parallelism
+    internally (ensure_scan_parallelism before persist) — candidate
+    pairs and verified similarities must be identical whatever the
+    input partitioning."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with no overlap at all"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    one = sorted(
+        map(
+            tuple,
+            dedup.minhash_candidate_pairs_portable(
+                docs.repartition(1), n=2, bands=2, rows_per_band=3, threshold=0.6
+            ).collect(),
+        )
+    )
+    many = sorted(
+        map(
+            tuple,
+            dedup.minhash_candidate_pairs_portable(
+                docs.repartition(5), n=2, bands=2, rows_per_band=3, threshold=0.6
+            ).collect(),
+        )
+    )
+    assert one == many and (1, 4) in {(a, b) for a, b, _ in one}

@@ -273,4 +273,6 @@ def test_profile_quantiles_single_aggregate_plan(spark):
     )
     out = profile.profile_quantiles(df, ["a", "b"], (0.5, 0.9))
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Range") == 1 and "Join" not in plan
+    # "Range (" is the scan node; bare "Range" would also match the
+    # window frame's RangeFrame spec (r15 distributed-exact form)
+    assert plan.count("Range (") == 1 and "Join" not in plan
