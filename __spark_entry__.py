@@ -409,7 +409,12 @@ def _q_geocode_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_enrich_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: Arrow-batched service enrichment (deterministic stub service)."""
-    pts = _points(spark, sf_dir)
+    # r15: the mapInPandas stage fuses onto the scan, and a single-
+    # row-group file hands ALL rows to ONE Python worker (guide §2.5 +
+    # §4) — raise the layout to the core floor so every worker gets a
+    # batch stream. Per-row results are positional within a batch, so
+    # partitioning cannot change any value.
+    pts = layout.ensure_scan_parallelism(_points(spark, sf_dir))
     return enrich_batched(pts, stub_geocode_service).select(
         "event_id", "county", "cityOrTown"
     )
@@ -767,7 +772,15 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at two granularities (folded): word-trigram Jaccard
     with source+length blocking, and unigram token-set Jaccard with a
     tighter threshold — tagged by ngram_n."""
-    docs = _t(spark, sf_dir, "documents")
+    # r15: tokenize+shingle+explode is the heavy map feeding the
+    # inverted-index self-join, and a single-row-group scan pins it to
+    # one core (guide §2.5). One repartitioned projection feeds BOTH
+    # granularities, so the exchange is built once and reused.
+    docs = layout.ensure_scan_parallelism(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source", "n_chars"
+        )
+    )
     tri = dedup.ngram_jaccard_pairs(
         docs, n=3, threshold=0.2, block_cols=["source"], length_band=40
     ).withColumn("ngram_n", F.lit(3))
@@ -1320,6 +1333,10 @@ def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # bound-token form (shingle_frame): tokenize ONCE per doc through a
     # Generate node — the expression form re-runs the regexp per shingle
+    # (r15: a scan-parallelism floor was TRIED here and reverted — the
+    # xxhash64+Arrow value_counts passes are cheap enough that the
+    # added exchange and 32-way task scheduling cost more than the
+    # single-task map, 1.78 s → 2.58 s; see OPTIMIZATION_r15.md)
     bg = dedup.shingle_frame(docs, "doc_id", "text", 2).select(
         F.explode("sh").alias("bigram")
     )
@@ -1748,23 +1765,31 @@ def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(
         spark, sf_dir, nanos_ts=True, path_glob="events.parquet"
     )
-    agg = windowed_event_counts(stream, "1 hour", round_digits=2).select(
-        "window_start", "event_type", "n_events", "sum_value"
-    )
     # 'sliding' branch: the same hour of data hopped every 30 minutes —
     # each event lands in exactly two windows (duration/slide), the
-    # oracle replays it as a two-bucket explode. Both independent
-    # queries drain CONCURRENTLY — sequential drains pay per-start
-    # fixed costs serially (the r7 bench drift: 2.6 s warm sequential
-    # vs 1.8 s concurrent at sf0.1, SCALING.md)
+    # oracle replays it as a two-bucket explode.
+    #
+    # r15 (guide §1.2: don't compute things twice): the tumbling
+    # result IS the hour-aligned subset of the sliding result — both
+    # window families are epoch-aligned, so a sliding (1 hour, 30 min)
+    # window starting on the hour contains exactly the rows of the
+    # tumbling hour window, with identical counts and sums computed by
+    # the same aggregation. ONE streaming drain therefore serves both
+    # branches, halving the per-query fixed cost (checkpoint setup,
+    # source listing, micro-batch scheduling) the r7 concurrent-drain
+    # fix could only overlap. Measured 1.49 s → see OPTIMIZATION_r15.md.
     sliding = windowed_event_counts(
         stream, "1 hour", round_digits=2, slide="30 minutes"
     ).select("window_start", "event_type", "n_events", "sum_value")
     run_available_now_to_memory_many(
-        {"q_stream_wc": agg, "q_stream_swc": sliding}, output_mode="complete"
+        {"q_stream_swc": sliding}, output_mode="complete"
     )
-    tum = spark.table("q_stream_wc").select(F.lit("tumbling").alias("kind"), "*")
     sli = spark.table("q_stream_swc").select(F.lit("sliding").alias("kind"), "*")
+    tum = (
+        spark.table("q_stream_swc")
+        .filter(F.minute("window_start") == 0)
+        .select(F.lit("tumbling").alias("kind"), "*")
+    )
     return tum.unionByName(sli)
 
 
