@@ -2096,7 +2096,13 @@ def _q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping 3-token spans, corpus-wide first occurrence wins,
     documents reassembled from surviving spans. One span-keyed shuffle +
     one id-keyed shuffle; no joins."""
-    docs = _t(spark, sf_dir, "documents")
+    # r15: tokenize + slice + posexplode is a heavy map fused onto a
+    # single-row-group scan (guide §2.5) — raise to the core floor
+    # (no-op on multi-split data); first-occurrence election is ordered
+    # by (id, pos), so partitioning cannot change the winner.
+    docs = layout.ensure_scan_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return dedup.segment_dedup(docs, k=3)
 
 
@@ -2780,14 +2786,23 @@ def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n3"),
         F.col("chunk_text").alias("txt"),
     )
-    mdocs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(
-            F.lit("HDR: subscribe to our newsletter\n"),
-            F.col("text"),
-            F.lit("\nSRC: "),
-            F.col("source"),
-        ).alias("text"),
+    # r15 (guide §2.5): each branch below fuses an expression-dense map
+    # (line posexplode, per-gram md5 fingerprints, html_to_text regex
+    # chains) onto the single-row-group documents scan, pinning it to
+    # ONE task — raise each branch's input to the core floor (no-op on
+    # multi-split data). Every branch's output is partitioning-
+    # independent: the windows order by (id, pos)/(gh, id, pos0) and
+    # the aggregates are commutative.
+    mdocs = layout.ensure_scan_parallelism(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("HDR: subscribe to our newsletter\n"),
+                F.col("text"),
+                F.lit("\nSRC: "),
+                F.col("source"),
+            ).alias("text"),
+        )
     )
     boiler = dedup.remove_boilerplate_lines(mdocs, min_docs=10).select(
         F.lit("boiler").alias("kind"),
@@ -2797,15 +2812,17 @@ def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n3"),
         F.col("clean_text").alias("txt"),
     )
-    sdocs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0).select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 2 == 0,
-                F.lit(" the quick brown fox jumps over the lazy dog today"),
-            ).otherwise(F.lit("")),
-        ).alias("text"),
+    sdocs = layout.ensure_scan_parallelism(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.lit(" the quick brown fox jumps over the lazy dog today"),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
     )
     # ONE corpus-wide gram pass feeds both branches: the duplicated-gram
     # position frame is output-bound small, so a checkpoint of IT (not
@@ -3484,13 +3501,13 @@ def _q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile`` and DuckDB ``quantile_cont`` agreed bit-for-bit on
     every measured point before rounding. HASH-CHECKED: in the driver's
     correctness window since round 10."""
-    # r15: the exact-percentile partial agg builds 4 value→count maps
-    # over 600k rows; on a single-row-group file that entire pass runs
-    # as ONE task (guide §2.5). Project to the 4 measures, then raise
-    # scan parallelism to the core floor (no-op on real multi-split
-    # data); percentile's value→count map is reduction-order-free, so
-    # the result is bit-identical. Measured 2.46 s → see
-    # OPTIMIZATION_r15.md.
+    # r15: project to the 4 measures and raise scan parallelism to the
+    # core floor (no-op on real multi-split data) so the partial
+    # value→count maps build on every core; percentile's map is
+    # reduction-order-free, so the result is bit-identical. A
+    # distributed-histogram rewrite of the aggregate itself was tried
+    # and REVERTED (slower: ~3.2-3.9 s vs ~2.6 s at sf0.1 — see
+    # profile_quantiles docstring and OPTIMIZATION_r15.md).
     li = layout.ensure_scan_parallelism(
         _t(spark, sf_dir, "lineitem").select(
             "l_quantity", "l_extendedprice", "l_discount", "l_tax"

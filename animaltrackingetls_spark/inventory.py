@@ -2880,7 +2880,47 @@ def _snapshot_df_files(
     return reduce(lambda a, c: a.unionByName(c), parts)
 
 
+# Snapshot-PLAN cache (the DeltaLog-snapshot analog): a published
+# version directory is immutable (CAS publish; names carry a uuid4
+# suffix, so a (table_dir, version) pair can never alias different
+# content, even across drop-and-recreate), so the assembled full-
+# snapshot plan can be reused per session instead of re-running footer
+# inference and rebuilding per-file DV NOT-IN literal lists on every
+# read — plan CONSTRUCTION alone measured 0.46 s per read on a
+# 15k-row-DV snapshot (r15; the ivm_view warm path paid it 4x per
+# invocation). LOGICAL PLANS ONLY: no data, rows, or results are
+# cached — every execution of the returned frame still scans the
+# snapshot's parquet. Keyed on the Spark application so a dead
+# session's plans are never resurrected; bounded LRU.
+_SNAPSHOT_PLAN_CACHE: dict = {}
+_SNAPSHOT_PLAN_CACHE_MAX = 64
+
+
 def _snapshot_df(
+    spark: SparkSession, table_dir: str, version: str,
+    buckets: set[str] | None = None,
+    identity: bool = False,
+) -> DataFrame:
+    """Cache-fronted :func:`_snapshot_df_build` — full-snapshot reads
+    (no bucket restriction, no identity columns: the shape every
+    :func:`read_versioned` and replay-no-op path uses) are memoized per
+    (session, table, version); restricted/identity shapes build fresh
+    (their keys would multiply without bounding the win)."""
+    if buckets is not None or identity:
+        return _snapshot_df_build(spark, table_dir, version, buckets,
+                                  identity)
+    key = (spark.sparkContext.applicationId, table_dir, version)
+    hit = _SNAPSHOT_PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = _snapshot_df_build(spark, table_dir, version, buckets, identity)
+    if len(_SNAPSHOT_PLAN_CACHE) >= _SNAPSHOT_PLAN_CACHE_MAX:
+        _SNAPSHOT_PLAN_CACHE.pop(next(iter(_SNAPSHOT_PLAN_CACHE)))
+    _SNAPSHOT_PLAN_CACHE[key] = df
+    return df
+
+
+def _snapshot_df_build(
     spark: SparkSession, table_dir: str, version: str,
     buckets: set[str] | None = None,
     identity: bool = False,

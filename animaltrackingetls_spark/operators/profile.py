@@ -123,26 +123,23 @@ def profile_quantiles(
     unpivot to rows is driver-trivial. Two modes with an honest scale
     split:
 
-    * ``exact=True``: distributed value-histogram form (r15). Spark's
-      ``percentile`` aggregate buffers a boxed value→count map per
-      partition and MERGES every partition's map single-threaded in
-      the one final-agg task — measured 2.5 s of the sf0.1 bench entry
-      spent in that lone task. The same R-7 answer falls out of a
-      fully partial-aggregatable plan: unpivot the columns, ONE
-      ``groupBy(col, value).count()`` shuffle (map-side combine, so
-      shuffled rows are bounded by distinct cardinality exactly like
-      the old map), a per-column cumulative-rank window over the
-      distinct values, and Spark's own interpolation formula
-      ``(higher-pos)*lowerKey + (pos-lower)*higherKey`` at
-      ``pos = p*(n-1)`` — the literal expression from
-      ``Percentile.getPercentile``, reproduced so results stay
-      bit-identical (the same doubles through the same IEEE ops).
-      Memory per task is now O(distinct values per partition) with no
-      single-task merge; still the bounded-cardinality mode — for
-      ~unique doubles at 100 TB use ``exact=False``. Bit-for-bit
-      DuckDB-replayable (``quantile_cont``; parity 0 mismatches over
-      30 column×prob points before rounding, re-verified on the r15
-      form — the ``round_digits`` rounding is insurance, not a fudge).
+    * ``exact=True``: Spark's ``percentile`` — buffers a value→count
+      map per partition, so memory is bounded by the column's DISTINCT
+      cardinality, not row count. Right for bounded-cardinality
+      metrics (prices, scores, sizes) at any row scale; wrong for
+      ~unique doubles at 100 TB (use ``exact=False`` there). A
+      distributed value-histogram rewrite (unpivot + groupBy counts +
+      per-column cumulative window + the same R-7 interpolation
+      expression) was tried in r15 and REVERTED: it reproduced the
+      hash bit-for-bit but measured ~3.2-3.9 s vs ~2.6 s for this form
+      at sf0.1 (noop sink, 5 runs) — four extra exchanges and a
+      single-task per-column window sort cost more than the single
+      final-agg map merge they removed, and the window form keeps the
+      same O(distinct)-in-one-task bound, so it was not a scale win
+      either (see OPTIMIZATION_r15.md). Bit-for-bit DuckDB-replayable
+      (``quantile_cont``; parity measured at 0 mismatches over 30
+      column×prob points before rounding — the ``round_digits``
+      rounding is insurance, not a fudge).
     * ``exact=False``: ``approx_percentile`` — Greenwald-Khanna
       sketch, O(accuracy) memory regardless of cardinality, mergeable
       map-side. The 100 TB default; rank error ≤ 1/accuracy (pinned in
@@ -156,16 +153,15 @@ def profile_quantiles(
     if not probs or not all(0.0 <= p <= 1.0 for p in probs):
         raise ValueError(f"probs must be within [0, 1], got {probs!r}")
 
-    if exact:
-        return _exact_quantiles_distributed(df, columns, probs, round_digits)
-
     plist = ", ".join(repr(float(p)) for p in probs)
     aggs = []
     for c in columns:
         qc = "`" + c.replace("`", "``") + "`"
         fn = (
-            f"approx_percentile(CAST({qc} AS DOUBLE), "
-            f"array({plist}), {int(accuracy)})"
+            f"percentile({qc}, array({plist}))"
+            if exact
+            else f"approx_percentile(CAST({qc} AS DOUBLE), "
+                 f"array({plist}), {int(accuracy)})"
         )
         aggs.append(F.expr(fn).alias(f"_q_{c}"))
     one = df.agg(*aggs)
@@ -181,106 +177,6 @@ def profile_quantiles(
         for i, p in enumerate(probs)
     ]
     return one.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
-
-
-def _exact_quantiles_distributed(
-    df: DataFrame,
-    columns: list[str],
-    probs: tuple[float, ...],
-    round_digits: int,
-) -> DataFrame:
-    """Exact R-7 quantiles as a partial-aggregatable plan (see
-    profile_quantiles docstring). Interpolation reproduces
-    ``Percentile.getPercentile`` exactly: ``pos = p * (n-1)`` over the
-    0-based sorted multiset, result ``(higher-pos)*lowerKey +
-    (pos-lower)*higherKey`` (NOT the algebraically-equal
-    ``lower + frac*(higher-lower)`` — different IEEE rounding). NULLs
-    are excluded like the aggregate; NaN groups as one value and sorts
-    last, matching the aggregate's ordering; an all-NULL column yields
-    NULL q via the domain left-join, matching ``percentile``'s NULL."""
-    from pyspark.sql import Window
-
-    stacked = (
-        df.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("col_name"),
-                            F.col(c).cast("double").alias("v"),
-                        )
-                        for c in columns
-                    ]
-                )
-            ).alias("e")
-        )
-        .select("e.col_name", "e.v")
-        .filter(F.col("v").isNotNull())
-    )
-    counts = stacked.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("_c"))
-    w = Window.partitionBy("col_name").orderBy("v")
-    wp = Window.partitionBy("col_name")
-    cum = (
-        counts.withColumn("_e", F.sum("_c").over(w) - 1)  # 0-based incl. end
-        .withColumn("_s", F.col("_e") - F.col("_c") + 1)  # 0-based start
-        .withColumn("_n", F.sum("_c").over(wp))
-    )
-    hit = (
-        cum.select(
-            "col_name",
-            "v",
-            "_s",
-            "_e",
-            "_n",
-            F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("prob"),
-        )
-        .withColumn("_pos", F.col("prob") * (F.col("_n") - 1).cast("double"))
-        .withColumn("_lo", F.floor("_pos"))
-        .withColumn("_hi", F.ceil("_pos"))
-        .filter(
-            ((F.col("_s") <= F.col("_lo")) & (F.col("_lo") <= F.col("_e")))
-            | ((F.col("_s") <= F.col("_hi")) & (F.col("_hi") <= F.col("_e")))
-        )
-    )
-    per = hit.groupBy("col_name", "prob").agg(
-        F.max(
-            F.when(
-                (F.col("_s") <= F.col("_lo")) & (F.col("_lo") <= F.col("_e")),
-                F.col("v"),
-            )
-        ).alias("_vlo"),
-        F.max(
-            F.when(
-                (F.col("_s") <= F.col("_hi")) & (F.col("_hi") <= F.col("_e")),
-                F.col("v"),
-            )
-        ).alias("_vhi"),
-        F.first("_pos").alias("_pos"),
-        F.first("_lo").alias("_lo"),
-        F.first("_hi").alias("_hi"),
-    )
-    q = F.when(F.col("_hi") == F.col("_lo"), F.col("_vlo")).otherwise(
-        (F.col("_hi").cast("double") - F.col("_pos")) * F.col("_vlo")
-        + (F.col("_pos") - F.col("_lo").cast("double")) * F.col("_vhi")
-    )
-    got = per.select(
-        "col_name", "prob", F.round(q.cast("double"), round_digits).alias("q")
-    )
-    # All-NULL-column edge: ``percentile`` still emits a row (q NULL);
-    # the histogram pipeline emits none. Union NULL-q sentinel rows for
-    # the full (col, prob) domain and keep max(q) per key — max(q,
-    # NULL) = q, sentinel-only keys stay NULL. A union + 20-row agg,
-    # NOT a join, so the "one scan of the input, no joins" plan claim
-    # is preserved.
-    domain = df.sparkSession.createDataFrame(
-        [(c, float(p)) for c in columns for p in probs],
-        "col_name string, prob double",
-    ).withColumn("q", F.lit(None).cast("double"))
-    return (
-        got.unionByName(domain)
-        .groupBy("col_name", "prob")
-        .agg(F.max("q").alias("q"))
-    )
 
 
 def quantiles_oracle_sql(

@@ -821,12 +821,18 @@ def test_star_mode_matches_propagation_on_random_graph(spark):
 def test_auto_mode_selects_by_edge_count(chain_edges):
     stats: dict = {}
     dedup.connected_components(chain_edges, stats=stats).collect()
-    assert stats["mode"] == "propagate"  # tiny graph stays on propagation
+    assert stats["mode"] == "onetask"  # tiny graph -> one-task union-find
     stats2: dict = {}
     dedup.connected_components(
-        chain_edges, star_edge_threshold=1, stats=stats2
+        chain_edges, onetask_edge_threshold=0, stats=stats2
     ).collect()
-    assert stats2["mode"] == "star"  # threshold crossed -> star rounds
+    assert stats2["mode"] == "propagate"  # onetask off: small graph propagates
+    stats3: dict = {}
+    dedup.connected_components(
+        chain_edges, onetask_edge_threshold=0, star_edge_threshold=1,
+        stats=stats3,
+    ).collect()
+    assert stats3["mode"] == "star"  # threshold crossed -> star rounds
 
 
 def test_remove_boilerplate_lines_drops_cross_doc_lines(spark):
