@@ -613,9 +613,16 @@ def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/web.py."""
     from animaltrackingetls_spark.operators import web
 
-    cust = _t(spark, sf_dir, "customer").select(
-        "c_custkey", _contact_blob().alias("contact")
-    )
+    # r15 (guide §2.5): the 4-pattern redaction regex chain fused onto
+    # the single-row-group customer scan ran as ONE task — floor it to
+    # the core count (no-op on multi-split data). Interleaved A/B at
+    # sf0.1: branch 0.97 s → 0.35 s median. Project to the 3 columns
+    # the blob needs before the exchange (guide §2.3).
+    cust = layout.ensure_scan_parallelism(
+        _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+    ).select("c_custkey", _contact_blob().alias("contact"))
     red = privacy.redact_pii(cust, "contact")
     pii = red.select(
         F.lit("pii").alias("kind"),
@@ -2096,13 +2103,13 @@ def _q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping 3-token spans, corpus-wide first occurrence wins,
     documents reassembled from surviving spans. One span-keyed shuffle +
     one id-keyed shuffle; no joins."""
-    # r15: tokenize + slice + posexplode is a heavy map fused onto a
-    # single-row-group scan (guide §2.5) — raise to the core floor
-    # (no-op on multi-split data); first-occurrence election is ordered
-    # by (id, pos), so partitioning cannot change the winner.
-    docs = layout.ensure_scan_parallelism(
-        _t(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    # r15: a scan-parallelism floor was TRIED here (and on the mdocs/
+    # sdocs branches below) and REVERTED — interleaved A/B at sf0.1
+    # read all-floors 4.70 s vs no-floors 3.91 s median: the branches'
+    # maps are cheap enough that three extra round-robin exchanges +
+    # 32-way task scheduling cost more than the single-task maps they
+    # spread (see OPTIMIZATION_r15.md).
+    docs = _t(spark, sf_dir, "documents")
     return dedup.segment_dedup(docs, k=3)
 
 
@@ -2786,23 +2793,17 @@ def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n3"),
         F.col("chunk_text").alias("txt"),
     )
-    # r15 (guide §2.5): each branch below fuses an expression-dense map
-    # (line posexplode, per-gram md5 fingerprints, html_to_text regex
-    # chains) onto the single-row-group documents scan, pinning it to
-    # ONE task — raise each branch's input to the core floor (no-op on
-    # multi-split data). Every branch's output is partitioning-
-    # independent: the windows order by (id, pos)/(gh, id, pos0) and
-    # the aggregates are commutative.
-    mdocs = layout.ensure_scan_parallelism(
-        _t(spark, sf_dir, "documents").select(
-            "doc_id",
-            F.concat(
-                F.lit("HDR: subscribe to our newsletter\n"),
-                F.col("text"),
-                F.lit("\nSRC: "),
-                F.col("source"),
-            ).alias("text"),
-        )
+    # r15: scan-parallelism floors on this branch and sdocs were TRIED
+    # and REVERTED (see the segment_dedup feeder note above — the extra
+    # exchanges cost more than the single-task maps they spread).
+    mdocs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HDR: subscribe to our newsletter\n"),
+            F.col("text"),
+            F.lit("\nSRC: "),
+            F.col("source"),
+        ).alias("text"),
     )
     boiler = dedup.remove_boilerplate_lines(mdocs, min_docs=10).select(
         F.lit("boiler").alias("kind"),
@@ -2812,17 +2813,15 @@ def _q_segments_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n3"),
         F.col("clean_text").alias("txt"),
     )
-    sdocs = layout.ensure_scan_parallelism(
-        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0).select(
-            "doc_id",
-            F.concat(
-                F.col("text"),
-                F.when(
-                    F.col("doc_id") % 2 == 0,
-                    F.lit(" the quick brown fox jumps over the lazy dog today"),
-                ).otherwise(F.lit("")),
-            ).alias("text"),
-        )
+    sdocs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(" the quick brown fox jumps over the lazy dog today"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
     )
     # ONE corpus-wide gram pass feeds both branches: the duplicated-gram
     # position frame is output-bound small, so a checkpoint of IT (not
