@@ -2905,11 +2905,16 @@ def _snapshot_df(
     (no bucket restriction, no identity columns: the shape every
     :func:`read_versioned` and replay-no-op path uses) are memoized per
     (session, table, version); restricted/identity shapes build fresh
-    (their keys would multiply without bounding the win)."""
+    (their keys would multiply without bounding the win). The DV
+    inline-path tunables ride the key: the built plan's SHAPE depends
+    on them (inline NOT-IN vs broadcast anti-join), they are constants
+    in production (one key), and tests monkeypatch them to force a
+    shape — a stale cached shape must not survive that."""
     if buckets is not None or identity:
         return _snapshot_df_build(spark, table_dir, version, buckets,
                                   identity)
-    key = (spark.sparkContext.applicationId, table_dir, version)
+    key = (spark.sparkContext.applicationId, table_dir, version,
+           _DV_INLINE_MAX, _DV_INLINE_MAX_FILES)
     hit = _SNAPSHOT_PLAN_CACHE.get(key)
     if hit is not None:
         return hit
