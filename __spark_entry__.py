@@ -1134,7 +1134,13 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk). The oracle recomputes everything by formula, so any
     parse/synthesis disagreement — including falling into any trap —
     fails the hash."""
-    docs = _t(spark, sf_dir, "documents")
+    # r15 (guide §2.5): seven branches of byte-synthesis + byte-parse
+    # expression trees each fuse onto the single-row-group scan — floor
+    # the shared input once (no-op on multi-split data; the identical
+    # scan+exchange subtree is shared across branches): 17.9 → 12.7 s
+    # median at sf0.1. Per-row synthesis/parse, partitioning-
+    # independent.
+    docs = layout.ensure_scan_parallelism(_t(spark, sf_dir, "documents"))
     media = multimodal.to_media_table(
         docs, "doc_id", F.encode(F.col("text"), "utf-8"), "text/plain"
     )
@@ -1889,7 +1895,13 @@ def _q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (xxhash64-based, rows-only)."""
-    docs = _t(spark, sf_dir, "documents")
+    # r15 (guide §2.5): the rolling-hash window minima fused onto the
+    # single-row-group scan ran as ONE task — floor to the core count
+    # (no-op on multi-split data): 5.23 s → 0.60 s median at sf0.1.
+    # Per-row computation, partitioning-independent.
+    docs = layout.ensure_scan_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     out = textstats.winnow_fingerprint_frame(docs)
     return out.select("id", F.size("fps").alias("n_fps"))
 
@@ -2551,7 +2563,15 @@ def _q_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brute-force all-pairs form, so the blocked plan must find
     EXACTLY the exhaustive answer. Subset (event_id % 4 = 0) keeps the
     oracle's quadratic side tractable."""
-    pts = _points(spark, sf_dir).filter(F.col("event_id") % 4 == 0)
+    # r15 (guide §2.5): the chord-grid cell assignment + neighbor
+    # explode + haversine verify all fuse onto the single-row-group
+    # events scan — ONE task did the whole blocked join. Floor to the
+    # core count (no-op on multi-split data): 7.70 s → 1.37 s median
+    # at sf0.1. The pair set is partitioning-independent (exact
+    # haversine on blocked candidates).
+    pts = layout.ensure_scan_parallelism(
+        _points(spark, sf_dir).filter(F.col("event_id") % 4 == 0)
+    )
     from animaltrackingetls_spark.operators import geo
 
     return geo.proximity_self_join(
