@@ -2590,7 +2590,15 @@ def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator itself profiles any column."""
     from animaltrackingetls_spark.operators.profile import profile_columns
 
-    orders = _t(spark, sf_dir, "orders")
+    # r15 (guide §2.5): the 5-column exact-cardinality partial agg
+    # (per-partition distinct sets) fused onto the single-row-group
+    # orders scan — floor to the core count after projecting to the
+    # profiled columns (no-op on multi-split data): 2.25 → 1.17 s
+    # median at sf0.1. Distinct/min/max/null partials are
+    # reduction-order-free.
+    orders = layout.ensure_scan_parallelism(
+        _t(spark, sf_dir, "orders").select(*_PROFILE_COLS)
+    )
     return profile_columns(orders, _PROFILE_COLS)
 
 
