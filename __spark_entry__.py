@@ -1909,7 +1909,11 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blockless near-dup via hyperplane LSH buckets (rows-only: bucket
     membership is hash-seeded; exact-cosine recall is pinned by tests)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # r15 (guide §2.5): hyperplane projections + bucket pairing fused
+    # onto the single-row-group embeddings scan — floor to the core
+    # count (no-op on multi-split data): 3.83 → 2.29 s median at sf0.1.
+    # Buckets are seed-derived, not partition-derived.
+    emb = layout.ensure_scan_parallelism(_t(spark, sf_dir, "embeddings"))
     return dedup.embedding_neardup_lsh(emb, dim=64, threshold=0.3, n_planes=4)
 
 
@@ -3092,7 +3096,11 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits on both sides so fold order can't flip a borderline pair.
     The k-means blocking (the production shape for semantic locality)
     stays pinned by test_dedup.py's brute-force parity test."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # r15 (guide §2.5): the within-cell cosine EXISTS work hung off the
+    # single-row-group embeddings scan — floor to the core count (no-op
+    # on multi-split data): 2.70 → 1.26 s median at sf0.1. Exact cosine
+    # per pair, partitioning-independent.
+    emb = layout.ensure_scan_parallelism(_t(spark, sf_dir, "embeddings"))
     e = F.col("embedding")
     cell = (
         (e[0] > 0).cast("int") * 4
