@@ -1140,126 +1140,100 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan+exchange subtree is shared across branches): 17.9 → 12.7 s
     # median at sf0.1. Per-row synthesis/parse, partitioning-
     # independent.
+    #
+    # r15b (guide §1.2/§2.4): the seven branches were 1:1 projections of
+    # the SAME keyed scan, stitched back with six inner joins on
+    # media_id — at scale that is 6 exchanges + 6 hash relations (and,
+    # absent exchange reuse, 7 scans) moving rows around purely to land
+    # them back on the row they came from. doc_id is the table's unique
+    # non-null key (the DuckDB oracle itself is a single joinless SELECT
+    # over documents, so the join form's correctness already presupposed
+    # that), hence the stitch folds into ONE projection over one scan:
+    # 6 joins → 0, plan is scan → project → (floor) exchange → project.
+    # Every synthesize/parse expression tree is unchanged — the PNG/
+    # JPEG/GIF/BMP/TIFF parsers still run behind the same signature-
+    # dispatched coalesce (multimodal.image_header, the exact subtree
+    # image_dimensions wraps), the WAV chunk walk via wav_fmt — so the
+    # byte-level trap coverage the oracle hashes is untouched.
+    # Measured (interleaved noop A/B at sf0.1): 12.7 → see
+    # OPTIMIZATION_r15.md. BMP: odd ids stored top-down (negative s32le
+    # height — the signed trap); TIFF: even ids big-endian, odd little-
+    # endian, BitsPerSample behind a count-3 offset pointer.
     docs = layout.ensure_scan_parallelism(_t(spark, sf_dir, "documents"))
-    media = multimodal.to_media_table(
-        docs, "doc_id", F.encode(F.col("text"), "utf-8"), "text/plain"
-    )
-    png = docs.select(
+    txt = F.encode(F.col("text"), "utf-8")
+    base = docs.select(
         F.col("doc_id").cast("long").alias("media_id"),
-        F.lit("image/png").alias("content_type"),
+        F.lit("text/plain").alias("content_type"),
+        txt.alias("_txt"),
         multimodal.synthesize_png_header(
             (F.col("doc_id") % 1024 + 16).cast("long"),
             (F.col("doc_id") * 7 % 768 + 16).cast("long"),
-        ).alias("payload"),
-    )
-    jpeg = docs.select(
-        F.col("doc_id").cast("long").alias("media_id"),
-        F.lit("image/jpeg").alias("content_type"),
+        ).alias("_p_png"),
         multimodal.synthesize_jpeg_header(
             (F.col("doc_id") * 13 % 512 + 32).cast("long"),
             (F.col("doc_id") * 3 % 512 + 32).cast("long"),
-        ).alias("payload"),
-    )
-    gif = docs.select(
-        F.col("doc_id").cast("long").alias("media_id"),
-        F.lit("image/gif").alias("content_type"),
+        ).alias("_p_jpeg"),
         multimodal.synthesize_gif_header(
             (F.col("doc_id") * 11 % 640 + 8).cast("long"),
             (F.col("doc_id") * 5 % 480 + 8).cast("long"),
-        ).alias("payload"),
-    )
-    wav = docs.select(
-        F.col("doc_id").cast("long").alias("media_id"),
-        F.lit("audio/wav").alias("content_type"),
-        multimodal.synthesize_wav_header(
-            (F.col("doc_id") % 2 + 1).cast("long"),
-            (F.col("doc_id") % 3 * 8000 + 16000).cast("long"),
-            (F.col("doc_id") * 997 % 100000 + 8000).cast("long"),
-        ).alias("payload"),
-    )
-    # BMP: odd ids stored top-down (negative s32le height — the signed
-    # trap); TIFF: even ids big-endian, odd little-endian, BitsPerSample
-    # stored as a count-3 offset array (the through-the-pointer read)
-    bmp = docs.select(
-        F.col("doc_id").cast("long").alias("media_id"),
-        F.lit("image/bmp").alias("content_type"),
+        ).alias("_p_gif"),
         multimodal.synthesize_bmp_header(
             (F.col("doc_id") * 17 % 320 + 4).cast("long"),
             (F.col("doc_id") * 19 % 240 + 4).cast("long"),
             F.when(F.col("doc_id") % 3 == 0, F.lit(8)).otherwise(F.lit(24)),
             F.col("doc_id") % 2 == 1,
-        ).alias("payload"),
-    )
-    tiff = docs.select(
-        F.col("doc_id").cast("long").alias("media_id"),
-        F.lit("image/tiff").alias("content_type"),
+        ).alias("_p_bmp"),
         multimodal.synthesize_tiff_header(
             (F.col("doc_id") * 23 % 2048 + 1).cast("long"),
             (F.col("doc_id") * 29 % 2048 + 1).cast("long"),
             F.when(F.col("doc_id") % 4 == 0, F.lit(16)).otherwise(F.lit(8)),
             (F.col("doc_id") % 3).cast("long"),
             F.col("doc_id") % 2 == 0,
-        ).alias("payload"),
+        ).alias("_p_tiff"),
+        multimodal.synthesize_wav_header(
+            (F.col("doc_id") % 2 + 1).cast("long"),
+            (F.col("doc_id") % 3 * 8000 + 16000).cast("long"),
+            (F.col("doc_id") * 997 % 100000 + 8000).cast("long"),
+        ).alias("_p_wav"),
     )
-    dims = multimodal.image_dimensions(png)
-    jdims = multimodal.image_dimensions(jpeg)
-    gdims = multimodal.image_dimensions(gif)
-    bdims = multimodal.image_dimensions(bmp)
-    tdims = multimodal.image_dimensions(tiff)
-    wmeta = multimodal.audio_metadata(wav)
-    return (
-        media.select("media_id", "content_type", "n_bytes", "sha256_hex")
-        .join(
-            dims.select("media_id", "width", "height", "bit_depth", "color_type"),
-            "media_id",
-        )
-        .join(
-            jdims.select(
-                "media_id",
-                F.col("width").alias("jpeg_w"),
-                F.col("height").alias("jpeg_h"),
-                F.col("bit_depth").alias("jpeg_precision"),
-                F.col("color_type").alias("jpeg_ncomp"),
-            ),
-            "media_id",
-        )
-        .join(
-            gdims.select(
-                "media_id",
-                F.col("width").alias("gif_w"),
-                F.col("height").alias("gif_h"),
-            ),
-            "media_id",
-        )
-        .join(
-            bdims.select(
-                "media_id",
-                F.col("width").alias("bmp_w"),
-                F.col("height").alias("bmp_h"),
-                F.col("bit_depth").alias("bmp_bits"),
-            ),
-            "media_id",
-        )
-        .join(
-            tdims.select(
-                "media_id",
-                F.col("width").alias("tiff_w"),
-                F.col("height").alias("tiff_h"),
-                F.col("bit_depth").alias("tiff_bits"),
-                F.col("color_type").alias("tiff_photo"),
-            ),
-            "media_id",
-        )
-        .join(
-            wmeta.select(
-                "media_id",
-                F.col("n_channels").alias("wav_channels"),
-                F.col("sample_rate").alias("wav_rate"),
-                F.col("bits_per_sample").alias("wav_bits"),
-                F.col("duration_ms").alias("wav_ms"),
-            ),
-            "media_id",
-        )
+    parsed = base.select(
+        "media_id",
+        "content_type",
+        F.octet_length(F.col("_txt")).cast("long").alias("n_bytes"),
+        F.lower(F.sha2(F.col("_txt"), 256)).alias("sha256_hex"),
+        multimodal.image_header(F.col("_p_png")).alias("_d"),
+        multimodal.image_header(F.col("_p_jpeg")).alias("_j"),
+        multimodal.image_header(F.col("_p_gif")).alias("_g"),
+        multimodal.image_header(F.col("_p_bmp")).alias("_b"),
+        multimodal.image_header(F.col("_p_tiff")).alias("_t"),
+        multimodal.wav_fmt(F.col("_p_wav")).alias("_w"),
+    )
+    return parsed.select(
+        "media_id",
+        "content_type",
+        "n_bytes",
+        "sha256_hex",
+        F.col("_d.width").alias("width"),
+        F.col("_d.height").alias("height"),
+        F.col("_d.bit_depth").alias("bit_depth"),
+        F.col("_d.color_type").alias("color_type"),
+        F.col("_j.width").alias("jpeg_w"),
+        F.col("_j.height").alias("jpeg_h"),
+        F.col("_j.bit_depth").alias("jpeg_precision"),
+        F.col("_j.color_type").alias("jpeg_ncomp"),
+        F.col("_g.width").alias("gif_w"),
+        F.col("_g.height").alias("gif_h"),
+        F.col("_b.width").alias("bmp_w"),
+        F.col("_b.height").alias("bmp_h"),
+        F.col("_b.bit_depth").alias("bmp_bits"),
+        F.col("_t.width").alias("tiff_w"),
+        F.col("_t.height").alias("tiff_h"),
+        F.col("_t.bit_depth").alias("tiff_bits"),
+        F.col("_t.color_type").alias("tiff_photo"),
+        F.col("_w.n_channels").alias("wav_channels"),
+        F.col("_w.sample_rate").alias("wav_rate"),
+        F.col("_w.bits_per_sample").alias("wav_bits"),
+        F.col("_w.duration_ms").alias("wav_ms"),
     )
 
 

@@ -99,6 +99,24 @@ def png_ihdr(payload: Column) -> Column:
     )
 
 
+def image_header(payload: Column) -> Column:
+    """Signature-dispatched image header parse as a column expression:
+    struct(width, height, bit_depth, color_type) for PNG/JPEG/GIF/BMP/
+    TIFF payloads, NULL for anything else. PNG first, then the JPEG
+    segment walk, the GIF screen descriptor, the BMP DIB struct, and
+    the TIFF IFD walk — coalesce short-circuits, so each payload pays
+    its own parser plus the (cheap) failed signature probes before it.
+    Shared by :func:`image_dimensions` and any entry that parses
+    in-row payload columns without reshaping into a media table."""
+    return F.coalesce(
+        png_ihdr(payload),
+        jpeg_sof(payload),
+        gif_screen(payload),
+        bmp_header(payload),
+        tiff_ifd(payload),
+    )
+
+
 def image_dimensions(media: DataFrame) -> DataFrame:
     """(media_id, width, height, bit_depth, color_type) for PNG, JPEG,
     GIF, BMP, and TIFF payloads in a media table, auto-detected by
@@ -111,13 +129,7 @@ def image_dimensions(media: DataFrame) -> DataFrame:
     :func:`gif_screen`); for BMP rows bits-per-pixel and compression
     (see :func:`bmp_header`); for TIFF rows BitsPerSample[0] and
     PhotometricInterpretation (see :func:`tiff_ifd`)."""
-    ihdr = F.coalesce(
-        png_ihdr(F.col("payload")),
-        jpeg_sof(F.col("payload")),
-        gif_screen(F.col("payload")),
-        bmp_header(F.col("payload")),
-        tiff_ifd(F.col("payload")),
-    )
+    ihdr = image_header(F.col("payload"))
     return media.select(
         "media_id",
         "content_type",
