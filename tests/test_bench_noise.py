@@ -18,6 +18,8 @@ import os
 import sys
 import time
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
 
 import bench  # noqa: E402
@@ -145,13 +147,13 @@ def _spin(stop_path: str) -> None:
 
 def test_synthetic_load_rerun_matches_idle(tmp_path):
     """The prescribed end-to-end shape: a real CPU-bound query timed
-    under genuine synthetic load (one spinner per CPU) gets flagged,
+    under genuine synthetic load (three spinners per CPU) gets flagged,
     the load stops, the re-run median matches an idle measurement
     within the ±20% floor."""
     def work():
         # pure-Python CPU work: scheduler-bound only, so it recovers
         # the instant the load dies (a multithreaded-BLAS workload
-        # takes ~4s to re-settle its thread pool after 2x
+        # takes ~4s to re-settle its thread pool after heavy
         # oversubscription — measured — which would test the machine,
         # not the bench)
         t0 = time.monotonic()
@@ -160,20 +162,45 @@ def test_synthetic_load_rerun_matches_idle(tmp_path):
             x += i * i
         return time.monotonic() - t0, 1
 
-    # idle references (min — contention only adds time), BEFORE load
+    # idle references (min — contention only adds time), BEFORE load.
+    # gemm_base over three spaced probe batches: in the full suite this
+    # test runs after files that started Spark sessions, and a single
+    # batch can land entirely inside a residual-JVM GC burst — an
+    # inflated base silently disables the 2x degrade trigger (the
+    # observed flake). min over ~a second of wall clock is burst-proof.
     idle = min(work()[0] for _ in range(3))
-    gemm_base = bench.gemm_probe(5)
+    bases = []
+    for _ in range(3):
+        bases.append(bench.gemm_probe(5))
+        time.sleep(0.3)
+    gemm_base = min(bases)
 
-    # 2x oversubscription: the probe and the query get ~1/3 of a core,
-    # putting the probe safely past the 2x degrade threshold
+    # 3x oversubscription: the probe and the query get ~1/4 of a core,
+    # putting the probe well past the 2x degrade threshold even if the
+    # base carries some residual inflation
     stop = str(tmp_path / "stop")
     procs = [
         multiprocessing.Process(target=_spin, args=(stop,), daemon=True)
-        for _ in range(2 * (os.cpu_count() or 8))
+        for _ in range(3 * (os.cpu_count() or 8))
     ]
     for p in procs:
         p.start()
-    time.sleep(0.3)  # let the load establish
+    # establish the load via the trigger's own instrument, not a fixed
+    # sleep: proceed only once a probe reads past the degrade threshold
+    # with margin. If this host cannot even show the load to the probe,
+    # the end-to-end precondition is absent — skip rather than assert
+    # on machine state (the scripted-trigger tests above pin the logic).
+    deadline = time.monotonic() + 20
+    while bench.gemm_probe(3) <= 2.2 * gemm_base:
+        if time.monotonic() > deadline:
+            for _p in procs:
+                _p.terminate()
+            pytest.skip(
+                "synthetic load never became visible to the GEMM probe "
+                "on this host; trigger logic is covered by the scripted "
+                "tests"
+            )
+        time.sleep(0.2)
 
     state = {"n": 0}
 
