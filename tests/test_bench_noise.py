@@ -212,7 +212,11 @@ def test_synthetic_load_rerun_matches_idle(tmp_path):
                 f.write("x")
             for p in procs:
                 p.join(timeout=10)
-            time.sleep(0.3)  # let the scheduler settle
+            # a full second: after heavy oversubscription dies the
+            # first ~0.5 s still reads 15-25% slow (run-queue drain +
+            # frequency recovery) — measured as a marginal flake at
+            # 0.3 s (rerun median 0.133 vs idle 0.110, floor 0.132)
+            time.sleep(1.0)
         state["n"] += 1
         return work()
 
