@@ -81,6 +81,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return eio.load_table(_ensure_confs(spark), sf_dir, name)
 
 
+def _invocation_cache_key(spark: SparkSession, tag: str, *files: str) -> str:
+    """Per-INVOCATION build key for the build-once/serve-many entries
+    (ANN indexes, versioned tables, the bucketed catalog pair).
+
+    The key folds in the Spark applicationId, so NOTHING persists
+    across bench/oracle invocations: every invocation rebuilds its
+    serving artifacts from the parquet inputs (the bench's discarded
+    cold run pays the build — exactly what its docstring documents —
+    and the kept warm-run medians are unchanged, since they always hit
+    the in-invocation build), and concurrent invocations can never
+    race each other's directories. r15: previously the key was (path,
+    mtime_ns, size) only, which persisted built artifacts in the
+    tempdir ACROSS invocations — a cross-run intermediate keyed on the
+    input dataset, prohibited by the optimization-round rules even
+    though it never reached a kept median. File identity still scopes
+    the key so a changed input within one long-lived session rebuilds.
+    Every rebuilt artifact is deterministic by construction (seeded
+    trains, fixed samples) — the rows-only replay-stability gates
+    already required that, since a fresh machine rebuilds from zero.
+    """
+    import hashlib
+    import os
+
+    ident = ":".join(
+        f"{f}:{os.stat(f).st_mtime_ns}:{os.stat(f).st_size}" for f in files
+    )
+    return hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{ident}:{tag}".encode()
+    ).hexdigest()[:16]
+
+
 def _money_round(c, decimals: int = 4):
     """Cross-engine-stable rounding for sums of fixed-decimal money
     arithmetic: round to the value's NATURAL decimal width (price×(1−disc)
@@ -1964,15 +1995,11 @@ def _q_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     here is probe-bound, where ivf_topk's is train-bound. Recall floor
     vs brute force and saved-vs-in-memory parity are pinned in
     test_similarity.py."""
-    import hashlib
     import os
     import tempfile
 
     emb_file = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(emb_file)
-    key = hashlib.md5(
-        f"{emb_file}:{st.st_mtime_ns}:{st.st_size}:v1".encode()
-    ).hexdigest()[:16]
+    key = _invocation_cache_key(spark, "v1", emb_file)
     cache = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
     done = os.path.join(cache, "_BUILT")
     if not os.path.exists(done):
@@ -2146,9 +2173,11 @@ def _q_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the portable md5 digest — the hash compare covers the
     upsert merge, snapshot retention, and CDF classification in one
     row set (added = %7==1 and %5==0; changed = %7!=1 and %5==0;
-    removed = none). The table is cached per (file, mtime) and the
-    upserts carry fixed txn ids, so repeat invocations are watermark
-    no-ops against the same snapshots — the cache cannot drift.
+    removed = none). The table is built per INVOCATION (r15: the
+    build key folds in the applicationId — see _invocation_cache_key —
+    so nothing persists across bench/oracle runs) and the upserts carry
+    fixed txn ids, so repeat reads within an invocation are watermark
+    no-ops against the same snapshots — the build cannot drift.
 
     Round 12 widens what the one hash row certifies, same slot, same
     diff shape: the base snapshot is OPTIMIZE'd on doc_id (1-col range
@@ -2174,7 +2203,6 @@ def _q_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     its bench median is round-over-round comparable again; new
     versioned-layer certification lands as new entries
     (ivm_view, dv_delete), each with its own CORRECTNESS row."""
-    import hashlib
     import os
     import tempfile
 
@@ -2186,10 +2214,7 @@ def _q_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs_file = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(docs_file)
-    key = hashlib.md5(
-        f"{docs_file}:{st.st_mtime_ns}:{st.st_size}:cdf3".encode()
-    ).hexdigest()[:16]
+    key = _invocation_cache_key(spark, "cdf3", docs_file)
     table = os.path.join(tempfile.gettempdir(), f"spark_graft_cdf_{key}")
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -2275,7 +2300,6 @@ def _q_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate hash stays impossible (DuckDB's sketch differs), but the
     maintained-equals-recomputed invariant — the thing that can break
     — now rides the full hash gate every round."""
-    import hashlib
     import os
     import tempfile
 
@@ -2289,10 +2313,7 @@ def _q_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders_file = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(orders_file)
-    key = hashlib.md5(
-        f"{orders_file}:{st.st_mtime_ns}:{st.st_size}:ivm3".encode()
-    ).hexdigest()[:16]
+    key = _invocation_cache_key(spark, "ivm3", orders_file)
     src = os.path.join(tempfile.gettempdir(), f"spark_graft_ivm_{key}")
     view, cursor = src + "_view", src + "_cursor"
 
@@ -2379,7 +2400,6 @@ def _q_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     purge content-neutrality. DuckDB replays the final state from the
     pure derivation. Fixed txn ids make replays no-ops; the purge
     no-ops once no DV remains, so the cached table is stable."""
-    import hashlib
     import os
     import tempfile
 
@@ -2391,10 +2411,7 @@ def _q_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs_file = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(docs_file)
-    key = hashlib.md5(
-        f"{docs_file}:{st.st_mtime_ns}:{st.st_size}:dv1".encode()
-    ).hexdigest()[:16]
+    key = _invocation_cache_key(spark, "dv1", docs_file)
     table = os.path.join(tempfile.gettempdir(), f"spark_graft_dv_{key}")
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -2452,7 +2469,6 @@ def _q_constraints_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     these validity rules in its cleaning pass
     (monarch_etl/cleaning.py:205-216); here they are table metadata
     enforced on every commit."""
-    import hashlib
     import os
     import tempfile
 
@@ -2468,10 +2484,7 @@ def _q_constraints_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders_file = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(orders_file)
-    key = hashlib.md5(
-        f"{orders_file}:{st.st_mtime_ns}:{st.st_size}:cns1".encode()
-    ).hexdigest()[:16]
+    key = _invocation_cache_key(spark, "cns1", orders_file)
     table = os.path.join(tempfile.gettempdir(), f"spark_graft_cns_{key}")
 
     seed = (
@@ -3382,25 +3395,20 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the plain SQL join. HASH-CHECKED: in the driver's
     correctness window since round 10.
 
-    The bucketed layout is written ONCE per (file, mtime, size) — the
-    same cache pattern as _q_pq_topk/_q_ivfpq_topk — so repeat
-    invocations are write-free and temp dirs stop accumulating (the
-    round-9 mkdtemp-per-call leak). Table names are key-suffixed so
-    sessions sharing a metastore cannot collide; a fresh session
-    re-registers the cached files with CLUSTERED BY DDL instead of
-    rewriting them (bucket metadata lives in the catalog, not the
+    The bucketed layout is written ONCE per invocation (r15: the
+    key folds in the applicationId — see _invocation_cache_key — so
+    nothing persists across bench/oracle runs; within an invocation
+    repeat reads are write-free, which is all the kept bench runs see).
+    Table names are key-suffixed so sessions sharing a metastore cannot
+    collide; re-registration uses CLUSTERED BY DDL instead of
+    rewriting files (bucket metadata lives in the catalog, not the
     parquet footers)."""
-    import hashlib
     import os
     import tempfile
 
     cust_file = os.path.join(sf_dir, "customer.parquet")
     ord_file = os.path.join(sf_dir, "orders.parquet")
-    st_c, st_o = os.stat(cust_file), os.stat(ord_file)
-    key = hashlib.md5(
-        f"{cust_file}:{st_c.st_mtime_ns}:{st_c.st_size}:"
-        f"{ord_file}:{st_o.st_mtime_ns}:{st_o.st_size}:bj2".encode()
-    ).hexdigest()[:16]
+    key = _invocation_cache_key(spark, "bj2", cust_file, ord_file)
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{key}")
     t_cust, t_ord = f"bj_customer_{key}", f"bj_orders_{key}"
     done = os.path.join(base, "done")
@@ -3542,7 +3550,6 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ's worst case). Rows-only by
     nature (k-means codebooks aren't SQL-replayable), same class as
     ivf_topk/lsh_topk."""
-    import hashlib
     import json
     import os
     import tempfile
@@ -3550,16 +3557,14 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from animaltrackingetls_spark.operators import pq as pqm
 
     emb = _t(spark, sf_dir, "embeddings")
-    # train + encode ONCE per (file, mtime) — the pq serving shape is
-    # encode-once/search-many, same cache pattern as _q_ivf_serve; the
+    # train + encode ONCE per invocation (key folds in the
+    # applicationId — nothing persists across runs) — the pq serving
+    # shape is encode-once/search-many, same as _q_ivf_serve; the
     # serving table carries (vec_id, embedding, pq_code) so the ADC
     # branch column-prunes to (vec_id, pq_code) and only the rerank's
     # pushdown-fetched candidates ever read the float column
     emb_file = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(emb_file)
-    key = hashlib.md5(
-        f"{emb_file}:{st.st_mtime_ns}:{st.st_size}:pq1".encode()
-    ).hexdigest()[:16]
+    key = _invocation_cache_key(spark, "pq1", emb_file)
     cache = os.path.join(tempfile.gettempdir(), f"spark_graft_pq_{key}")
     books_file = os.path.join(cache, "books.json")
     codes_dir = os.path.join(cache, "codes")
@@ -3614,7 +3619,6 @@ def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors is measured and pinned in tests/test_ivfpq.py (0.61 vs
     0.41 at nbits=4). Rows-only by nature (two k-means fits aren't
     SQL-replayable), same class as ivf_topk/pq_topk."""
-    import hashlib
     import os
     import tempfile
 
@@ -3622,10 +3626,7 @@ def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     emb_file = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(emb_file)
-    key = hashlib.md5(
-        f"{emb_file}:{st.st_mtime_ns}:{st.st_size}:ivfpq1".encode()
-    ).hexdigest()[:16]
+    key = _invocation_cache_key(spark, "ivfpq1", emb_file)
     cache = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{key}")
     if not os.path.exists(os.path.join(cache, "meta.json")):
         ivfpq.ivfpq_build(
@@ -3649,7 +3650,6 @@ def _q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling (two k-means fits); the rerank arithmetic itself is
     codegen zip_with/aggregate, recall dominance pinned in
     tests/test_ivfpq.py."""
-    import hashlib
     import os
     import tempfile
 
@@ -3657,10 +3657,7 @@ def _q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     emb_file = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(emb_file)
-    key = hashlib.md5(
-        f"{emb_file}:{st.st_mtime_ns}:{st.st_size}:ivfpq1".encode()
-    ).hexdigest()[:16]
+    key = _invocation_cache_key(spark, "ivfpq1", emb_file)
     cache = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{key}")
     if not os.path.exists(os.path.join(cache, "meta.json")):
         ivfpq.ivfpq_build(
