@@ -202,7 +202,7 @@ def test_synthetic_load_rerun_matches_idle(tmp_path):
             )
         time.sleep(0.2)
 
-    state = {"n": 0}
+    state = {"n": 0, "recovered": True}
 
     def run(name: str):
         # the load dies the moment the re-run pass begins (first pass
@@ -212,11 +212,20 @@ def test_synthetic_load_rerun_matches_idle(tmp_path):
                 f.write("x")
             for p in procs:
                 p.join(timeout=10)
-            # a full second: after heavy oversubscription dies the
-            # first ~0.5 s still reads 15-25% slow (run-queue drain +
-            # frequency recovery) — measured as a marginal flake at
-            # 0.3 s (rerun median 0.133 vs idle 0.110, floor 0.132)
-            time.sleep(1.0)
+            # settle-until-visible, symmetric with the load-establish
+            # loop above: fixed sleeps kept flaking (0.3 s read 15-25%
+            # slow; 1.0 s still read +24% once — run-queue drain +
+            # frequency recovery vary by host state), so wait until the
+            # work unit itself reads back at idle speed, bounded. If
+            # the host never recovers, that is machine state the bench
+            # cannot control — flag it and skip after the run.
+            time.sleep(0.5)
+            deadline = time.monotonic() + 10
+            while work()[0] > idle * 1.10:
+                if time.monotonic() > deadline:
+                    state["recovered"] = False
+                    break
+                time.sleep(0.2)
         state["n"] += 1
         return work()
 
@@ -235,6 +244,13 @@ def test_synthetic_load_rerun_matches_idle(tmp_path):
             p.join(timeout=10)
 
     assert "q" in reruns, "loaded first pass must trigger a re-run"
+    if not state["recovered"]:
+        pytest.skip(
+            "host did not return to idle speed within 10 s of the "
+            "synthetic load dying; rerun-vs-idle convergence would "
+            "measure machine state, not the bench (trigger + retirement "
+            "logic is covered by the scripted tests)"
+        )
     # compare against a CONTEMPORANEOUS idle read (multithreaded BLAS
     # throughput takes seconds to fully recover after 2x
     # oversubscription dies — the pre-load idle alone would fail the
