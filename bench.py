@@ -507,6 +507,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # the honored core count + master (r15 verdict #2: the driver's
+        # scaling heuristic flagged suspect_cpus_ignored on a run that
+        # DID honor $SPARK_GRAFT_CPUS — at sf0.1 every query is
+        # fixed-overhead-bound, so 8 cores ≈ 32 cores; printing the
+        # count removes the ambiguity at the source)
+        "cpus": int(cpus),
+        "master": f"local[{cpus}]",
         "loadavg1m": loadavg,
         "gemm_drift": gemm_drift,
         "contaminated": contaminated,
@@ -514,7 +521,8 @@ def main() -> None:
     line = json.dumps(contract)
     if len(line) > 1900:  # never regress the driver's tail window again
         line = json.dumps(
-            {k: contract[k] for k in ("metric", "value", "unit", "queries", "sf")}
+            {k: contract[k] for k in
+             ("metric", "value", "unit", "queries", "sf", "cpus")}
         )
     print(line, flush=True)
 

@@ -42,20 +42,43 @@ def _spark():
     )
 
 
+#: frames an arm materialized mid-build (localCheckpoint etc.) — the
+#: arm appends, _interleave unpersists after each timed run so block-
+#: manager storage cannot grow across runs and distort later ones
+_CLEANUP: list = []
+
+
+def _timed_arm(fn) -> float:
+    """Time DataFrame CONSTRUCTION + noop execution as one unit: an arm
+    that eagerly materializes inside fn() (localCheckpoint) would
+    otherwise do its heavy pass before the timer starts, systematically
+    understating its cost vs arms that pay everything inside the noop."""
+    t0 = time.monotonic()
+    df = fn()
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.monotonic() - t0
+    while _CLEANUP:
+        try:
+            _CLEANUP.pop().unpersist()
+        except Exception:
+            pass
+    return dt
+
+
 def _interleave(arms: dict, runs: int = 5) -> None:
     """arms: name -> zero-arg fn returning a DataFrame. Warm each once,
-    then interleave timed noop runs."""
+    then interleave timed (construction + noop) runs."""
     spark = _spark()
     sc = spark.sparkContext
     print(f"gemm floor: {bench.gemm_probe(5):.4f}s  loadavg {os.getloadavg()}")
     for name, fn in arms.items():
         sc.setJobDescription(f"warm:{name}")
-        _noop(fn())
+        _timed_arm(fn)
     walls: dict = {name: [] for name in arms}
     for i in range(runs):
         for name, fn in arms.items():
             sc.setJobDescription(f"run{i}:{name}")
-            walls[name].append(_noop(fn()))
+            walls[name].append(_timed_arm(fn))
     sc.setJobDescription(None)
     print(f"gemm floor after: {bench.gemm_probe(5):.4f}s")
     for name, ws in walls.items():
@@ -66,8 +89,7 @@ def _interleave(arms: dict, runs: int = 5) -> None:
 
 
 def quantile() -> None:
-    from animaltrackingetls_spark import layout
-    from animaltrackingetls_spark.operators import profile
+    from animaltrackingetls_spark.operators import layout, profile
 
     spark = _spark()
 
@@ -120,6 +142,7 @@ def bigrams() -> None:
             .select(F.explode("sh").alias("bigram"))
             .localCheckpoint(eager=True)
         )
+        _CLEANUP.append(bg)  # unpersisted by _timed_arm after the run
         exact = (
             bg.groupBy("bigram")
             .agg(F.count(F.lit(1)).alias("n_docs"))

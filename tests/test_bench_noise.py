@@ -145,6 +145,13 @@ def _spin(stop_path: str) -> None:
         x = x * 1.0000001 + 1.0
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1",
+    reason="spawns 3x-oversubscription spinner load + settle loops "
+    "(~10-30s, machine-state dependent); opt in with "
+    "SPARK_GRAFT_SLOW_TESTS=1 — the trigger/retirement logic is pinned "
+    "by the scripted tests above",
+)
 def test_synthetic_load_rerun_matches_idle(tmp_path):
     """The prescribed end-to-end shape: a real CPU-bound query timed
     under genuine synthetic load (three spinners per CPU) gets flagged,

@@ -14,9 +14,13 @@ keyed upserts, and asserts the optimistic-concurrency contract held:
 * liveness: every process exits 0 within the timeout (no deadlock on
   the flock, no livelock in the retry loops).
 
-Heavier than the rest of the suite (~4 extra JVMs) but deliberately in
-the default run: concurrency regressions should fail CI, not a manual
-script.
+Heavier than the rest of the suite (~4 extra JVMs per test, ~160 s of
+wall clock total). Opt-in via SPARK_GRAFT_SLOW_TESTS=1 (r15 verdict
+task #1: the driver's default verify window cannot afford them; the
+CAS/OCC *logic* stays default-on through the deterministic interleave
+and crash-injection tests in test_inventory/test_versioning, so a
+concurrency-contract regression still fails the default run — this
+file adds the real-OS-process scheduling dimension on top).
 """
 
 from __future__ import annotations
@@ -25,6 +29,13 @@ import json
 import os
 import subprocess
 import sys
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1",
+    reason="multi-JVM soak (~160s); opt in with SPARK_GRAFT_SLOW_TESTS=1",
+)
 
 from animaltrackingetls_spark.inventory import (
     group_state,
