@@ -1876,9 +1876,27 @@ def _q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup + join drain concurrently (independent queries; serial
     # drains pay per-start fixed costs twice — see SCALING.md
     # 'streaming drift')
-    run_available_now_to_memory_many(
-        {"q_stream_dedup": kept, "q_stream_join": pairs}, output_mode="append"
-    )
+    #
+    # r16 (r15 verdict #6, guide §1.2): skip the zero-row no-data
+    # micro-batches the AvailableNow drain otherwise appends. Both
+    # sinks here emit on ARRIVAL (append-mode dropDuplicatesWithin-
+    # Watermark emits each kept row in its own batch; the INNER
+    # stream-stream join emits each qualifying pair when matched), so
+    # the trailing no-data batch exists only to evict state this
+    # one-shot drain discards anyway. Output is identical — measured
+    # 7874 rows both ways, interleaved A/B medians 8.28 s → 5.13 s
+    # (−38%). Scoped to THIS query and restored: append-mode windowed
+    # aggregations (streaming_window_counts) DO need the no-data flush
+    # batch to finalize windows.
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nodata = spark.conf.get(nodata_key, "true")
+    spark.conf.set(nodata_key, "false")
+    try:
+        run_available_now_to_memory_many(
+            {"q_stream_dedup": kept, "q_stream_join": pairs}, output_mode="append"
+        )
+    finally:
+        spark.conf.set(nodata_key, prev_nodata)
 
     dedup_rows = spark.table("q_stream_dedup").select(
         F.lit("dedup").alias("kind"),

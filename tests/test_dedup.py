@@ -932,6 +932,43 @@ def test_duplicate_spans_matches_python_reference(spark, doc_tokens):
     assert got == _ref_duplicate_spans(corpus, k=3, min_docs=2)
 
 
+def test_dup_gram_positions_minmax_route_matches_count_distinct(spark):
+    """min_docs=2 routes to the one-exchange min(id)!=max(id) build
+    (r16); its row set must equal the general count_distinct form on a
+    corpus with within-doc repetition (repeats in ONE doc must not
+    count as 'distinct docs') and cross-doc duplicates."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d e"),   # self-repeat only
+            (2, "a b c d e x y z w v"),   # shares the 5-gram with 1
+            (3, "p q r s t u p q r s"),   # unique grams
+        ],
+        "doc_id long, text string",
+    )
+    fast = {
+        (r.id, r.pos0, r.gh)
+        for r in dedup.dup_gram_positions(docs, k=5, min_docs=2).collect()
+    }
+    # reference: the general path (min_docs=3 exercises it; rebuild the
+    # =2 answer via the public general form by bumping a shared doc)
+    general = (
+        docs.sparkSession.createDataFrame(
+            [(9, "a b c d e")], "doc_id long, text string"
+        ).unionByName(docs)
+    )
+    slow3 = {
+        (r.id, r.pos0, r.gh)
+        for r in dedup.dup_gram_positions(general, k=5, min_docs=3).collect()
+    }
+    # 'a b c d e' now lives in docs {1,2,9}: the only gram meeting
+    # min_docs=3 — and exactly the gram the fast route must find at
+    # min_docs=2 in the original corpus
+    assert {g for (_, _, g) in fast} == {g for (_, _, g) in slow3}
+    assert {(i, p) for (i, p, _) in fast} == {
+        (1, 0), (1, 5), (2, 0)
+    }
+
+
 def test_embedding_neardup_gemm_excludes_null_blocks(spark):
     """NULL block labels never join in the pairs form (NULL equality);
     the GEMM form must exclude them too, not group them together."""
