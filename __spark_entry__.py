@@ -1181,21 +1181,37 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over documents, so the join form's correctness already presupposed
     # that), hence the stitch folds into ONE projection over one scan:
     # 6 joins → 0, plan is scan → project → (floor) exchange → project.
-    # Every synthesize/parse expression tree is unchanged — the PNG/
-    # JPEG/GIF/BMP/TIFF parsers still run behind the same signature-
-    # dispatched coalesce (multimodal.image_header, the exact subtree
-    # image_dimensions wraps), the WAV chunk walk via wav_fmt — so the
-    # byte-level trap coverage the oracle hashes is untouched.
+    # At r15b the parse still ran behind the signature-dispatched
+    # coalesce (multimodal.image_header) and the wav_fmt chunk walk.
     # Measured (interleaved noop A/B at sf0.1): 12.7 → see
     # OPTIMIZATION_r15.md. BMP: odd ids stored top-down (negative s32le
     # height — the signed trap); TIFF: even ids big-endian, odd little-
     # endian, BitsPerSample behind a count-3 offset pointer.
+    #
+    # r16 (guide §4.2, r15 verdict #3 'most expensive declared query'):
+    # the PARSE stage moves from JVM expression trees to an Arrow-batched
+    # mapInArrow over the stdlib-struct Python twins of the same parsers
+    # (multimodal.parse_media_headers). The r15-verdict hypothesis — that
+    # the coalesce's failed signature probes carried the cost — was
+    # adjudicated FALSE first (magic-byte when/otherwise dispatch:
+    # medians 8.53 s current vs 9.39 s dispatched, mins equal at 7.4 s;
+    # per-branch decomposition shows each format's OWN parser tree costs
+    # 1.2-2.0 s per corpus pass). The real bill is hex()/conv()/
+    # substring() string machinery: ~300 µs/row for the six parses in
+    # JVM vs ~26 µs/row for the Python twins (measured on the collected
+    # sf0.1 corpus). Synthesis (the trap construction the oracle
+    # replays) stays JVM-side and byte-identical; the twins are the
+    # pinned-parity decoders test_multimodal already checks field-for-
+    # field against the JVM parsers, and decode_image_header preserves
+    # the coalesce's dispatch order. Interleaved noop A/B at sf0.1:
+    # 9.3 s → see OPTIMIZATION_r16.md; oracle hash green.
     docs = layout.ensure_scan_parallelism(_t(spark, sf_dir, "documents"))
     txt = F.encode(F.col("text"), "utf-8")
     base = docs.select(
         F.col("doc_id").cast("long").alias("media_id"),
         F.lit("text/plain").alias("content_type"),
-        txt.alias("_txt"),
+        F.octet_length(txt).cast("long").alias("n_bytes"),
+        F.lower(F.sha2(txt, 256)).alias("sha256_hex"),
         multimodal.synthesize_png_header(
             (F.col("doc_id") % 1024 + 16).cast("long"),
             (F.col("doc_id") * 7 % 768 + 16).cast("long"),
@@ -1227,45 +1243,7 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") * 997 % 100000 + 8000).cast("long"),
         ).alias("_p_wav"),
     )
-    parsed = base.select(
-        "media_id",
-        "content_type",
-        F.octet_length(F.col("_txt")).cast("long").alias("n_bytes"),
-        F.lower(F.sha2(F.col("_txt"), 256)).alias("sha256_hex"),
-        multimodal.image_header(F.col("_p_png")).alias("_d"),
-        multimodal.image_header(F.col("_p_jpeg")).alias("_j"),
-        multimodal.image_header(F.col("_p_gif")).alias("_g"),
-        multimodal.image_header(F.col("_p_bmp")).alias("_b"),
-        multimodal.image_header(F.col("_p_tiff")).alias("_t"),
-        multimodal.wav_fmt(F.col("_p_wav")).alias("_w"),
-    )
-    return parsed.select(
-        "media_id",
-        "content_type",
-        "n_bytes",
-        "sha256_hex",
-        F.col("_d.width").alias("width"),
-        F.col("_d.height").alias("height"),
-        F.col("_d.bit_depth").alias("bit_depth"),
-        F.col("_d.color_type").alias("color_type"),
-        F.col("_j.width").alias("jpeg_w"),
-        F.col("_j.height").alias("jpeg_h"),
-        F.col("_j.bit_depth").alias("jpeg_precision"),
-        F.col("_j.color_type").alias("jpeg_ncomp"),
-        F.col("_g.width").alias("gif_w"),
-        F.col("_g.height").alias("gif_h"),
-        F.col("_b.width").alias("bmp_w"),
-        F.col("_b.height").alias("bmp_h"),
-        F.col("_b.bit_depth").alias("bmp_bits"),
-        F.col("_t.width").alias("tiff_w"),
-        F.col("_t.height").alias("tiff_h"),
-        F.col("_t.bit_depth").alias("tiff_bits"),
-        F.col("_t.color_type").alias("tiff_photo"),
-        F.col("_w.n_channels").alias("wav_channels"),
-        F.col("_w.sample_rate").alias("wav_rate"),
-        F.col("_w.bits_per_sample").alias("wav_bits"),
-        F.col("_w.duration_ms").alias("wav_ms"),
-    )
+    return multimodal.parse_media_headers(base)
 
 
 def _q_catalog_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -641,3 +641,114 @@ def test_multimodal_features_oracle_is_byte_accurate():
         for b, v in enumerate(feature)
     ]
     assert sorted(got) == sorted(exp_rows)
+
+
+def test_parse_media_headers_matches_jvm_expression_path(spark):
+    """The r16 Arrow-batched parse (parse_media_headers) must reproduce
+    the JVM expression path (image_header / wav_fmt) field-for-field on
+    a synthesized corpus that exercises every trap: BMP both signs of
+    the s32le height, TIFF both endians + 16-bit BitsPerSample behind
+    the pointer, JPEG's APP1 false-SOF, the WAV LIST decoy."""
+    ids = spark.range(0, 64).select(F.col("id").alias("doc_id"))
+    base = ids.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("text/plain").alias("content_type"),
+        F.lit(0).cast("long").alias("n_bytes"),
+        F.lit("-").alias("sha256_hex"),
+        multimodal.synthesize_png_header(
+            (F.col("doc_id") % 1024 + 16).cast("long"),
+            (F.col("doc_id") * 7 % 768 + 16).cast("long"),
+        ).alias("_p_png"),
+        multimodal.synthesize_jpeg_header(
+            (F.col("doc_id") * 13 % 512 + 32).cast("long"),
+            (F.col("doc_id") * 3 % 512 + 32).cast("long"),
+        ).alias("_p_jpeg"),
+        multimodal.synthesize_gif_header(
+            (F.col("doc_id") * 11 % 640 + 8).cast("long"),
+            (F.col("doc_id") * 5 % 480 + 8).cast("long"),
+        ).alias("_p_gif"),
+        multimodal.synthesize_bmp_header(
+            (F.col("doc_id") * 17 % 320 + 4).cast("long"),
+            (F.col("doc_id") * 19 % 240 + 4).cast("long"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(8)).otherwise(F.lit(24)),
+            F.col("doc_id") % 2 == 1,
+        ).alias("_p_bmp"),
+        multimodal.synthesize_tiff_header(
+            (F.col("doc_id") * 23 % 2048 + 1).cast("long"),
+            (F.col("doc_id") * 29 % 2048 + 1).cast("long"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(16)).otherwise(F.lit(8)),
+            (F.col("doc_id") % 3).cast("long"),
+            F.col("doc_id") % 2 == 0,
+        ).alias("_p_tiff"),
+        multimodal.synthesize_wav_header(
+            (F.col("doc_id") % 2 + 1).cast("long"),
+            (F.col("doc_id") % 3 * 8000 + 16000).cast("long"),
+            (F.col("doc_id") * 997 % 100000 + 8000).cast("long"),
+        ).alias("_p_wav"),
+    )
+    arrow = multimodal.parse_media_headers(base)
+    jvm = base.select(
+        "media_id", "content_type", "n_bytes", "sha256_hex",
+        multimodal.image_header(F.col("_p_png")).alias("_d"),
+        multimodal.image_header(F.col("_p_jpeg")).alias("_j"),
+        multimodal.image_header(F.col("_p_gif")).alias("_g"),
+        multimodal.image_header(F.col("_p_bmp")).alias("_b"),
+        multimodal.image_header(F.col("_p_tiff")).alias("_t"),
+        multimodal.wav_fmt(F.col("_p_wav")).alias("_w"),
+    ).select(
+        "media_id", "content_type", "n_bytes", "sha256_hex",
+        F.col("_d.width").alias("width"),
+        F.col("_d.height").alias("height"),
+        F.col("_d.bit_depth").alias("bit_depth"),
+        F.col("_d.color_type").alias("color_type"),
+        F.col("_j.width").alias("jpeg_w"),
+        F.col("_j.height").alias("jpeg_h"),
+        F.col("_j.bit_depth").alias("jpeg_precision"),
+        F.col("_j.color_type").alias("jpeg_ncomp"),
+        F.col("_g.width").alias("gif_w"),
+        F.col("_g.height").alias("gif_h"),
+        F.col("_b.width").alias("bmp_w"),
+        F.col("_b.height").alias("bmp_h"),
+        F.col("_b.bit_depth").alias("bmp_bits"),
+        F.col("_t.width").alias("tiff_w"),
+        F.col("_t.height").alias("tiff_h"),
+        F.col("_t.bit_depth").alias("tiff_bits"),
+        F.col("_t.color_type").alias("tiff_photo"),
+        F.col("_w.n_channels").alias("wav_channels"),
+        F.col("_w.sample_rate").alias("wav_rate"),
+        F.col("_w.bits_per_sample").alias("wav_bits"),
+        F.col("_w.duration_ms").alias("wav_ms"),
+    )
+    # nullability differs (mapInArrow declares everything nullable;
+    # lit()/range() columns are not) — names and types are the contract
+    assert [(f.name, f.dataType) for f in arrow.schema.fields] == [
+        (f.name, f.dataType) for f in jvm.schema.fields
+    ]
+    a = sorted(map(tuple, arrow.collect()))
+    j = sorted(map(tuple, jvm.collect()))
+    assert a == j
+
+
+def test_parse_media_headers_null_and_garbage_payloads(spark):
+    """NULL payloads and non-media bytes yield NULL header fields (the
+    JVM coalesce's behavior), never an exception."""
+    rows = [
+        (1, None, b"not an image", None, None, None, b"junk"),
+        (2, b"", b"", b"", b"", b"", b""),
+    ]
+    base = spark.createDataFrame(
+        rows,
+        "media_id long, _p_png binary, _p_jpeg binary, _p_gif binary, "
+        "_p_bmp binary, _p_tiff binary, _p_wav binary",
+    ).select(
+        "media_id",
+        F.lit("text/plain").alias("content_type"),
+        F.lit(0).cast("long").alias("n_bytes"),
+        F.lit("-").alias("sha256_hex"),
+        "_p_png", "_p_jpeg", "_p_gif", "_p_bmp", "_p_tiff", "_p_wav",
+    )
+    out = {r.media_id: r for r in multimodal.parse_media_headers(base).collect()}
+    for mid in (1, 2):
+        r = out[mid]
+        assert r.width is None and r.jpeg_w is None and r.gif_w is None
+        assert r.bmp_w is None and r.tiff_w is None and r.wav_channels is None
