@@ -497,6 +497,30 @@ def simhash64(
     """
     if hash_fn not in ("xx64", "md5"):
         raise ValueError(f"hash_fn must be 'xx64' or 'md5', got {hash_fn!r}")
+    if hash_fn == "md5":
+        # r16 (guide §4.2): the md5-portable path ran as explode →
+        # md5+conv per token → groupBy(id) with SIXTY sum(when(shiftright
+        # &1)) vote columns — per token-row, 60 conditional aggregate
+        # updates, plus the explode/groupBy shuffle, purely to fold
+        # per-document work. The Arrow twin computes the identical
+        # votes-and-pack per document inside one mapInArrow task
+        # (hashlib md5 + one vectorized bit matrix per doc), no explode,
+        # NO shuffle at all — the plan is scan → MapInArrow. Parity
+        # (including the empty/whitespace-only doc → simhash 0 case and
+        # the vote-tie → bit 0 rule) is pinned against this JVM form in
+        # tests/test_dedup.py; interleaved noop A/B at sf0.1:
+        # simhash_portable branch 1.76 s → see OPTIMIZATION_r16.md.
+        # The xx64 fast path keeps the JVM form (no stdlib xxhash64).
+        return _simhash60_md5_arrow(df, id_col, text_col)
+    return _simhash64_expr(df, id_col, text_col, hash_fn)
+
+
+def _simhash64_expr(
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str
+) -> DataFrame:
+    """The JVM expression form of :func:`simhash64` (both hash_fns) —
+    the xx64 production path, and the md5 reference the Arrow twin's
+    parity test pins against."""
     n_bits = 64 if hash_fn == "xx64" else 60
     # explode_outer: a document whose text tokenizes to nothing still gets
     # a row (tok NULL → one deterministic vote vector, the same for every
@@ -519,6 +543,55 @@ def simhash64(
         term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(bit == 1, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
         packed = term if packed is None else packed + term
     return agg.select("id", packed.alias("simhash"))
+
+
+def _simhash60_md5_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Arrow-batched twin of the md5-portable SimHash: per document,
+    lower-cased TOKEN_PATTERN tokens → md5-prefix 60-bit hashes → one
+    vectorized ±1 vote matrix → sign-packed long. Vote semantics match
+    :func:`_simhash64_expr` exactly: a tie (vote sum 0) packs bit 0, a
+    document with no tokens (NULL/empty/whitespace-only text) packs 0
+    (the JVM form's NULL-token vote vector is all −1). One output row
+    per input row, computed where the row already lives — no explode,
+    no shuffle."""
+
+    def run(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+
+        from animaltrackingetls_spark.operators.textstats import TOKEN_PATTERN
+
+        tok_re = re.compile(TOKEN_PATTERN)
+        shifts = np.arange(60, dtype=np.int64)
+        weights = np.left_shift(np.int64(1), shifts)
+        for b in batches:
+            texts = b.column("_txt").to_pylist()
+            out = np.zeros(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts):
+                toks = tok_re.findall(t.lower()) if t is not None else []
+                if not toks:
+                    continue  # all-(-1) votes pack to 0, like the JVM form
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(tk.encode("utf-8")).hexdigest()[:15], 16)
+                        for tk in toks
+                    ),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                bits = (hs[:, None] >> shifts) & np.int64(1)
+                vote_sum = (2 * bits - 1).sum(axis=0)
+                out[i] = int(((vote_sum > 0) * weights).sum())
+            yield pa.RecordBatch.from_arrays(
+                [b.column("id"), pa.array(out, type=pa.int64())],
+                names=["id", "simhash"],
+            )
+
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+    return base.mapInArrow(run, "id long, simhash long")
 
 
 def hamming64(a: Column, b: Column) -> Column:

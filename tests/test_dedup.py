@@ -1505,3 +1505,28 @@ def test_minhash_portable_partitioning_independent(spark):
         )
     )
     assert one == many and (1, 4) in {(a, b) for a, b, _ in one}
+
+
+def test_simhash_md5_arrow_twin_matches_jvm_expression_form(spark):
+    """The r16 Arrow-batched md5 SimHash must equal the JVM explode +
+    60-vote-aggregate form bit-for-bit, including the edge rows: empty
+    text, whitespace-only text, NULL text (all pack 0 — the all-(-1)
+    vote vector), mixed case (tokens lower-case first), and vote ties."""
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "Alpha BETA gamma DELTA"),   # must equal doc 1 (lowercasing)
+        (3, ""),
+        (4, "   \t\n\x0b\f\r "),
+        (5, None),
+        (6, "solo"),
+        (7, "x y"),                       # 2 tokens: ties pack bit 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = {r.id: r.simhash for r in dedup.simhash64(df, hash_fn="md5").collect()}
+    jvm = {
+        r.id: r.simhash
+        for r in dedup._simhash64_expr(df, "doc_id", "text", "md5").collect()
+    }
+    assert arrow == jvm
+    assert arrow[1] == arrow[2]
+    assert arrow[3] == arrow[4] == arrow[5] == 0
