@@ -106,6 +106,169 @@ def profile_oracle_sql(table: str, columns: list[str]) -> str:
     return " UNION ALL ".join(branches)
 
 
+# IEEE-754 total-order trick: XOR a negative double's bit pattern with
+# 0x7FFF... so that the int64 view sorts exactly like java.lang.Double
+# .compare (-0.0 < 0.0, NaN greatest) — the order Spark's `percentile`
+# sorts its value→count map by.
+_SIGN_EXPAND = 0x7FFFFFFFFFFFFFFF
+
+
+def _doubles_to_ordkeys(v):
+    """float64 ndarray → int64 keys whose ascending order is Java
+    Double.compare order and whose equality is Double.equals (NaN
+    payloads canonicalized first, like doubleToLongBits)."""
+    import numpy as np
+
+    nan = np.isnan(v)
+    if nan.any():
+        v = np.where(nan, np.float64("nan"), v)
+    bits = np.ascontiguousarray(v, dtype=np.float64).view(np.int64)
+    return np.where(bits < 0, bits ^ np.int64(_SIGN_EXPAND), bits)
+
+
+def _ordkeys_to_doubles(k):
+    import numpy as np
+
+    bits = np.where(k < 0, k ^ np.int64(_SIGN_EXPAND), k)
+    return np.ascontiguousarray(bits, dtype=np.int64).view(np.float64)
+
+
+def _exact_quantiles_arrow(df: DataFrame, columns: list[str],
+                           probs: tuple[float, ...]) -> DataFrame:
+    """Arrow twin of ``agg(percentile(c, probs) for c in columns)`` —
+    same partial/final shape as Spark's ``Percentile`` aggregate
+    (per-partition value→count partials, one final merge task, memory
+    bounded by DISTINCT cardinality at both levels) with the JVM
+    OpenHashMap/boxed-Double machinery replaced by numpy: per-partition
+    ``np.unique`` over the int64 total-order view, a narrow
+    (col_id, key, count) exchange, and one vectorized merge +
+    interpolation task.  Returns a ONE-ROW frame with an
+    ``array<double>`` column ``_q_{c}`` per input column.
+
+    Bit parity with the JVM aggregate (pinned in tests): values first
+    cast to double — order-preserving for every numeric type, and
+    doubles that collide under the cast merge into one key, which
+    leaves the weighted CDF (hence every interpolated quantile)
+    unchanged; keys ordered/equated exactly like boxed Doubles via the
+    total-order bit view (NaN collapsed, -0.0 < 0.0); interpolation is
+    Spark's ``(higher-pos)*lower + (pos-lower)*higher`` with the same
+    Long/Double arithmetic order; position index lookup is the same
+    first-accumulated-count-≥-target search.
+    """
+    ncols = len(columns)
+    plist = [float(p) for p in probs]
+    num = df.select(*[F.col(c).cast("double").alias(c) for c in columns])
+
+    def _partial(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        acc: list[list] = [[] for _ in range(ncols)]
+        for batch in batches:
+            for j in range(ncols):
+                col = batch.column(j)
+                if col.null_count:
+                    col = col.drop_null()
+                if len(col):
+                    acc[j].append(col)
+        cids, keys, cnts = [], [], []
+        for j, chunks in enumerate(acc):
+            if not chunks:
+                continue
+            v = pa.chunked_array(chunks).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            u, c = np.unique(_doubles_to_ordkeys(v), return_counts=True)
+            cids.append(np.full(len(u), j, dtype=np.int32))
+            keys.append(u)
+            cnts.append(c.astype(np.int64))
+        if cids:
+            yield pa.record_batch(
+                {
+                    "cid": pa.array(np.concatenate(cids), type=pa.int32()),
+                    "k": pa.array(np.concatenate(keys), type=pa.int64()),
+                    "cnt": pa.array(np.concatenate(cnts), type=pa.int64()),
+                }
+            )
+
+    out_fields = [f"_q_{c}" for c in columns]
+
+    def _final(batches):
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+
+        cid_parts, key_parts, cnt_parts = [], [], []
+        for batch in batches:
+            cid_parts.append(batch.column(0).to_numpy(zero_copy_only=False))
+            key_parts.append(batch.column(1).to_numpy(zero_copy_only=False))
+            cnt_parts.append(batch.column(2).to_numpy(zero_copy_only=False))
+        if cid_parts:
+            cid = np.concatenate(cid_parts)
+            key = np.concatenate(key_parts)
+            cnt = np.concatenate(cnt_parts)
+        else:
+            cid = key = cnt = None
+        row = []
+        for j in range(ncols):
+            if cid is None:
+                row.append(None)
+                continue
+            sel = cid == j
+            if not sel.any():
+                row.append(None)
+                continue
+            # merge the per-partition (key, count) partials: sort pairs
+            # then sum runs — argsort+reduceat measured 5x faster than
+            # np.unique(return_inverse) on the ~distinct-sized merge
+            # (stability is irrelevant: tied keys' counts are summed)
+            ks, cs = key[sel], cnt[sel]
+            order = np.argsort(ks, kind="quicksort")
+            sk, sc = ks[order], cs[order]
+            brk = np.empty(len(sk), dtype=bool)
+            brk[0] = True
+            np.not_equal(sk[1:], sk[:-1], out=brk[1:])
+            starts = np.flatnonzero(brk)
+            u = sk[starts]
+            counts = np.add.reduceat(sc, starts)
+            acc = np.cumsum(counts)
+            dv = _ordkeys_to_doubles(u)
+            maxpos = float(int(acc[-1]) - 1)
+            qs = []
+            for p in plist:
+                pos = maxpos * p
+                lo = math.floor(pos)
+                hi = math.ceil(pos)
+                li = int(np.searchsorted(acc, lo + 1, side="left"))
+                lval = float(dv[li])
+                if lo == hi:
+                    qs.append(lval)
+                    continue
+                hi_ix = int(np.searchsorted(acc, hi + 1, side="left"))
+                if hi_ix == li:
+                    qs.append(lval)
+                    continue
+                hval = float(dv[hi_ix])
+                qs.append((float(hi) - pos) * lval + (pos - float(lo)) * hval)
+            row.append(qs)
+        yield pa.record_batch(
+            {
+                f: pa.array([row[j]], type=pa.list_(pa.float64()))
+                for j, f in enumerate(out_fields)
+            }
+        )
+
+    partial = num.mapInArrow(_partial, "cid int, k long, cnt long")
+    schema = ", ".join(
+        "`" + f.replace("`", "``") + "` array<double>" for f in out_fields
+    )
+    # hash-partition on a constant key: one final partition WITHOUT the
+    # local sort a round-robin repartition(1) would pay, and without
+    # collapsing the upstream partial pass the way coalesce(1) would
+    return partial.repartition(1, F.lit(0)).mapInArrow(_final, schema)
+
+
 def profile_quantiles(
     df: DataFrame,
     columns: list[str],
@@ -153,18 +316,24 @@ def profile_quantiles(
     if not probs or not all(0.0 <= p <= 1.0 for p in probs):
         raise ValueError(f"probs must be within [0, 1], got {probs!r}")
 
-    plist = ", ".join(repr(float(p)) for p in probs)
-    aggs = []
-    for c in columns:
-        qc = "`" + c.replace("`", "``") + "`"
-        fn = (
-            f"percentile({qc}, array({plist}))"
-            if exact
-            else f"approx_percentile(CAST({qc} AS DOUBLE), "
-                 f"array({plist}), {int(accuracy)})"
-        )
-        aggs.append(F.expr(fn).alias(f"_q_{c}"))
-    one = df.agg(*aggs)
+    if exact:
+        # r16: Arrow twin of the JVM `percentile` aggregate — same
+        # partial/final shape and bit-identical output (see
+        # _exact_quantiles_arrow), numpy instead of the boxed-Double
+        # OpenHashMap build/merge that dominated the near-unique
+        # l_extendedprice column (583k distinct / 600k rows).
+        one = _exact_quantiles_arrow(df, columns, probs)
+    else:
+        plist = ", ".join(repr(float(p)) for p in probs)
+        aggs = []
+        for c in columns:
+            qc = "`" + c.replace("`", "``") + "`"
+            fn = (
+                f"approx_percentile(CAST({qc} AS DOUBLE), "
+                f"array({plist}), {int(accuracy)})"
+            )
+            aggs.append(F.expr(fn).alias(f"_q_{c}"))
+        one = df.agg(*aggs)
 
     entries = [
         F.struct(

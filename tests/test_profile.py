@@ -264,6 +264,96 @@ def test_profile_quantiles_validation(spark):
         profile.profile_quantiles(df, ["v"], (1.5,))
 
 
+def _jvm_percentiles(df, cols, probs):
+    """The pre-r16 JVM form: one `percentile` aggregate per column."""
+    plist = ", ".join(repr(float(p)) for p in probs)
+    aggs = [
+        F.expr(f"percentile(CAST({c} AS DOUBLE), array({plist}))").alias(c)
+        for c in cols
+    ]
+    return df.agg(*aggs).collect()[0]
+
+
+def _arrow_percentiles(df, cols, probs):
+    row = profile._exact_quantiles_arrow(df, cols, probs).collect()[0]
+    return [row[f"_q_{c}"] for c in cols]
+
+
+def _assert_bit_equal(got, want, ctx):
+    import math
+    import struct
+
+    assert (got is None) == (want is None), f"{ctx}: {got!r} vs {want!r}"
+    if got is None:
+        return
+    assert len(got) == len(want), ctx
+    for i, (g, w) in enumerate(zip(got, want)):
+        gb = struct.pack("<d", g)
+        wb = struct.pack("<d", w)
+        if math.isnan(g) and math.isnan(w):
+            continue
+        assert gb == wb, f"{ctx}[{i}]: {g!r} != {w!r}"
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_profile_quantiles_arrow_jvm_parity(spark, parts):
+    # r16 Arrow twin vs the JVM `percentile` aggregate, BIT-for-bit
+    # before rounding, on adversarial doubles: duplicates, ties, NaN
+    # (must collapse and sort greatest), -0.0 vs 0.0 (distinct keys,
+    # -0.0 first), nulls (ignored), negatives, interpolation positions
+    # landing exactly on and between keys.
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, None, float("nan"),
+            -0.0, 0.0, -7.25, 1e300, -1e300, 2.0, 2.0, 1e-308]
+    probs = (0.0, 0.01, 0.25, 0.5, 0.6180339887, 0.75, 0.99, 1.0)
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    if parts > 1:
+        df = df.repartition(parts)
+    want = _jvm_percentiles(df, ["v"], probs)["v"]
+    got = _arrow_percentiles(df, ["v"], probs)[0]
+    _assert_bit_equal(got, want, f"parts={parts}")
+
+
+def test_profile_quantiles_arrow_jvm_parity_edge_frames(spark):
+    probs = (0.0, 0.5, 1.0)
+    cases = {
+        "empty": [],
+        "all_null": [(None,), (None,)],
+        "single": [(42.5,)],
+        "one_distinct": [(7.0,)] * 5,
+        "all_nan": [(float("nan"),)] * 3,
+        "int_overflow_longs": None,  # built below from longs
+    }
+    for name, rows in cases.items():
+        if name == "int_overflow_longs":
+            # longs past 2^53 collide under the double cast — the twin
+            # must still match the JVM aggregate (which casts at
+            # interpolation time; collisions merge harmlessly)
+            df = spark.createDataFrame(
+                [(2**53 + 1,), (2**53 + 2,), (2**53 + 3,), (5,)], "v long"
+            )
+        else:
+            df = spark.createDataFrame(rows, "v double")
+        want = _jvm_percentiles(df, ["v"], probs)["v"]
+        got = _arrow_percentiles(
+            df.select(F.col("v").cast("double").alias("v")), ["v"], probs
+        )[0]
+        _assert_bit_equal(got, want, name)
+
+
+def test_profile_quantiles_arrow_multicolumn_with_holes(spark):
+    # one column all-null, one mixed — per-column independence in the
+    # shared partial/final passes
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (None, None)], "a double, b double"
+    )
+    probs = (0.25, 0.5)
+    want_a = _jvm_percentiles(df, ["a"], probs)["a"]
+    want_b = _jvm_percentiles(df, ["b"], probs)["b"]
+    got = _arrow_percentiles(df, ["a", "b"], probs)
+    _assert_bit_equal(got[0], want_a, "a")
+    _assert_bit_equal(got[1], want_b, "b")
+
+
 def test_profile_quantiles_single_aggregate_plan(spark):
     # the scale claim: k columns x p probs is ONE aggregation pass —
     # exactly one scan of the input, no joins
