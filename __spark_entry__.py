@@ -1332,9 +1332,20 @@ def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r15: a scan-parallelism floor was TRIED here and reverted — the
     # xxhash64+Arrow value_counts passes are cheap enough that the
     # added exchange and 32-way task scheduling cost more than the
-    # single-task map, 1.78 s → 2.58 s; see OPTIMIZATION_r15.md)
-    bg = dedup.shingle_frame(docs, "doc_id", "text", 2).select(
-        F.explode("sh").alias("bigram")
+    # single-task map, 1.78 s → 2.58 s; see OPTIMIZATION_r15.md).
+    # r16b: the exploded bigram stream is consumed THREE times per
+    # execution (exact groupBy + hh candidate pass + hh recount), so
+    # materialize it once (eager localCheckpoint, executor-side blocks)
+    # and let all three read the materialized stream — one
+    # tokenize+shingle pass instead of three (interleaved noop A/B:
+    # 2.57 s → 1.96 s median). Same persist-if-reused trade
+    # segments_chunks makes for its gram frame; at scale the
+    # materialization is shuffle-file-sized local I/O vs two extra
+    # CPU-bound corpus passes.
+    bg = (
+        dedup.shingle_frame(docs, "doc_id", "text", 2)
+        .select(F.explode("sh").alias("bigram"))
+        .localCheckpoint(eager=True)
     )
     exact = (
         bg.groupBy("bigram")
