@@ -969,6 +969,31 @@ def test_dup_gram_positions_minmax_route_matches_count_distinct(spark):
     }
 
 
+def test_dup_gram_positions_materialized_matches_lazy(spark):
+    # r16b: materialize=True checkpoints the raw gram frame before it
+    # forks into build and probe sides — row set must be identical
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d e"),
+            (2, "a b c d e x y z w v"),
+            (3, "p q r s t u p q r s"),
+            (4, "x y z w v a b c d e"),
+        ],
+        "doc_id long, text string",
+    )
+    lazy = {
+        (r.id, r.pos0, r.gh)
+        for r in dedup.dup_gram_positions(docs, k=5, min_docs=2).collect()
+    }
+    mat = {
+        (r.id, r.pos0, r.gh)
+        for r in dedup.dup_gram_positions(
+            docs, k=5, min_docs=2, materialize=True
+        ).collect()
+    }
+    assert mat == lazy and lazy
+
+
 def test_embedding_neardup_gemm_excludes_null_blocks(spark):
     """NULL block labels never join in the pairs form (NULL equality);
     the GEMM form must exclude them too, not group them together."""
